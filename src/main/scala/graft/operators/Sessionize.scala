@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.model.{SessionConfig, SessionEvent, SessionState, SessionizedEvent}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization — two tiers (SURVEY.md §2.5 "Spark mapping"):
+  *
+  *  - [[gapSessionize]]: gap-only cuts as pure window functions. Fully
+  *    declarative → Catalyst plans ONE hash-exchange on the key and a single
+  *    per-partition sort; everything else (lag / running sum / running min)
+  *    rides that sort. ANSI-SQL-expressible → DuckDB-oracle-matchable.
+  *
+  *  - [[fullSessionize]]: the reference's complete rule set (gap + max-size
+  *    + max-duration cuts, `SessionizeGroupMapFunction.scala:19-83`) is
+  *    inherently sequential per key, so it runs [[SessionEngine]] over
+  *    key-sorted runs. We use the scalable secondary-sort pattern —
+  *    `repartition(key).sortWithinPartitions(key, ts, tie)` + streaming
+  *    `mapPartitions` — NOT `groupByKey.flatMapGroups`, which would
+  *    materialize each key's events in executor memory. This holds at 100 TB:
+  *    one shuffle, external sort, O(1) state per key, no per-group buffers.
+  */
+object Sessionize {
+
+  /** Millis-floored-to-seconds subtraction, matching the reference's integer
+    * math: `floor(ms/1000) - floor(firstMs/1000)` (SURVEY.md §7.1). */
+  private def secondsBetween(endMs: Column, startMs: Column): Column =
+    floor(endMs / 1000L) - floor(startMs / 1000L)
+
+  /** Gap-only sessionizer over any keyed+timestamped DataFrame.
+    *
+    * Adds: `session_id` (= "<key>-<first event millis>"), `session_idx`
+    * (1-based per key), `duration` (integer seconds since session start,
+    * reference semantics README.md:36-55).
+    *
+    * Single shuffle: every window below shares `partitionBy(key)`, so
+    * Catalyst plans one Exchange + one sort. The session-first timestamp is
+    * computed with a running `last(_, ignoreNulls)` over the SAME window
+    * instead of a second `partitionBy(key, session_idx)` shuffle.
+    */
+  def gapSessionize(
+      df: DataFrame,
+      key: String = "user_id",
+      ts: String = "ts",
+      tieBreak: String = "event_id",
+      gapSec: Long = SessionConfig.DefaultGapSec): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ms = unix_millis(col(ts))
+    df.withColumn("__ms", ms)
+      .withColumn("__prev_ms", lag(col("__ms"), 1).over(byKey))
+      .withColumn(
+        "__is_new",
+        when(col("__prev_ms").isNull || col("__ms") - col("__prev_ms") > gapSec * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__is_new")).over(running))
+      .withColumn(
+        "__first_ms",
+        last(when(col("__is_new") === 1L, col("__ms")), ignoreNulls = true).over(running))
+      .withColumn("session_id", concat(col(key).cast("string"), lit("-"), col("__first_ms")))
+      .withColumn("duration", secondsBetween(col("__ms"), col("__first_ms")))
+      .drop("__ms", "__prev_ms", "__is_new", "__first_ms")
+  }
+
+  /** Full-rule sessionizer (gap + size + duration cuts) over the `events`
+    * table shape. Output columns: event_id, user_id, ts_ms, session_id,
+    * session_idx, duration.
+    *
+    * Scale notes: `repartition($key)` is the only shuffle;
+    * `sortWithinPartitions` is Spark's external (spillable) sort, so a hot
+    * key never has to fit in memory; the mapPartitions pass is a streaming
+    * fold with O(1) state. Skewed keys cost sort time, not OOM.
+    */
+  def fullSessionize(
+      df: DataFrame,
+      key: String = "user_id",
+      ts: String = "ts",
+      tieBreak: String = "event_id",
+      cfg: SessionConfig = SessionConfig.default): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(
+        col(key).cast("string").as("key"),
+        unix_millis(col(ts)).as("tsMillis"),
+        col(tieBreak).cast("long").as("tieBreak"))
+      .as[SessionEvent]
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsMillis"), col("tieBreak"))
+
+    prepared
+      .mapPartitions { it => sessionizeSortedRun(it, cfg) }
+      .toDF()
+  }
+
+  /** Streaming fold over a key-sorted partition: reset state at key change. */
+  private[operators] def sessionizeSortedRun(
+      it: Iterator[SessionEvent],
+      cfg: SessionConfig): Iterator[SessionizedEvent] = {
+    var currentKey: String = null
+    var state: Option[SessionState] = None
+    it.map { e =>
+      if (e.key != currentKey) { currentKey = e.key; state = None }
+      val (s, out) = SessionEngine.advance(state, e, cfg)
+      state = Some(s)
+      out
+    }
+  }
+
+  /** README.md:42-50 OLAP query: total session time per visitor —
+    * inner max(duration) per (key, session), outer sum per key. */
+  def sessionDurationPerUser(sessionized: DataFrame, key: String = "user_id"): DataFrame =
+    sessionized
+      .groupBy(col(key), col("session_id"))
+      .agg(max(col("duration")).as("max_d"))
+      .groupBy(col(key))
+      .agg(sum(col("max_d")).as("total_duration"))
+
+  /** Loyal users: visitors with more than one session (README.md:8). */
+  def loyalUsers(sessionized: DataFrame, key: String = "user_id"): DataFrame =
+    sessionized
+      .groupBy(col(key))
+      .agg(countDistinct(col("session_id")).as("n_sessions"))
+      .filter(col("n_sessions") > 1L)
+}
