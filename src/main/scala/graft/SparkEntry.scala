@@ -1,7 +1,9 @@
 package graft
 
 import graft.operators.Sessionize
+import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +86,108 @@ object SparkEntry {
             .as("sum_disc_cents"),
           count(lit(1)).as("n_rows"))
     }),
+    "q_join_star" -> ((s, dir) => {
+      // Star join: fact orders against dims customer/nation/region. nation +
+      // region are broadcast (tiny at any SF); orders⋈customer shuffles —
+      // at 100 TB customer is a fact-sized table, so no broadcast there.
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
+    }),
+    "q_join_sortmerge" -> ((s, dir) => {
+      // Fact-fact equi-join (lineitem⋈orders): sort-merge/shuffle-hash path,
+      // the shape that dominates at 100 TB. Filter pushed below the join.
+      val li = table(s, dir, "lineitem").filter(col("l_quantity") > 10.0)
+      val o = table(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("price_cents"))
+    }),
+    "q_semi_anti_join" -> ((s, dir) => {
+      // left_semi (EXISTS) + left_anti (NOT EXISTS) over the same key.
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+      semi.unionByName(anti).select(col("kind"), col("n"))
+    }),
+    "q_topk_orders" -> ((s, dir) =>
+      // Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+      // driver merge of k rows — no full sort, no full shuffle).
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "q_window_rank" -> ((s, dir) => {
+      // Ranking window: top-3 orders per customer, full tie-break for
+      // determinism. row_number cast to long (DuckDB emits BIGINT).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3L)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+    "q_setops" -> ((s, dir) => {
+      // UNION / INTERSECT / EXCEPT over customer keys, labeled per branch.
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val ordered = o.select(col("o_custkey").as("k")).distinct()
+      val both = building.intersect(ordered).withColumn("kind", lit("building_with_orders"))
+      val none = building.except(ordered).withColumn("kind", lit("building_without_orders"))
+      both.unionByName(none).select(col("kind"), col("k"))
+    }),
+    "q_json_extract" -> ((s, dir) =>
+      // JSON scalar extraction on events.props ({"k": N}) + aggregation.
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), (col("k") % 10L).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    "q_string_date" -> ((s, dir) =>
+      // String + date scalar functions over events, aggregated per day bucket.
+      table(s, dir, "events")
+        .select(
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          upper(substring(col("event_type"), 1, 2)).as("et2"),
+          length(col("event_type")).cast("long").as("et_len"))
+        .groupBy(col("y"), col("m"), col("d"), col("et2"), col("et_len"))
+        .agg(count(lit(1)).as("n"))),
+    "q_parse_elb" -> ((s, dir) => {
+      // End-to-end reference-native path: synthesize ELB-style lines from the
+      // events table (deterministic), push them through the tolerant parser,
+      // emit (ip, ts_ms). The oracle recomputes the expectation from events
+      // directly — if the parser mangles anything, hashes diverge.
+      val lines = table(s, dir, "events").select(
+        format_string(
+          "%s elb u%d:%d 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("user_id"),
+          col("event_id")).as("value"))
+      ElbLogParser.parse(lines)
+        .select(col("ip"), unix_millis(col("ts")).as("ts_ms"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -109,6 +213,65 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 10.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_semi_anti_join" ->
+      """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_setops" ->
+      """SELECT 'building_with_orders' AS kind, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'building_without_orders' AS kind, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_string_date" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS d,
+        |  upper(substr(event_type, 1, 2)) AS et2,
+        |  CAST(length(event_type) AS BIGINT) AS et_len,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_parse_elb" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin,
   )
 
   /** Gap-only sessionize as ANSI window SQL (DuckDB dialect-safe): identical

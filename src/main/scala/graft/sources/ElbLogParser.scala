@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.model.Parsed
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Tolerant AWS-ELB-style access-log parser.
+  *
+  * The reference (`processes/Parse.scala:8-17`) splits on a single space,
+  * drops any line whose token count ≠ 15, and joda-parses token 0 with
+  * `yyyy-MM-dd'T'HH:mm:ss.SSSZZ` — which (verified, SURVEY.md §2.2) throws on
+  * the 6-digit microsecond fractions real ELB logs carry, and the quoted
+  * request field inflates token counts past 15 on canonical lines. Our parser
+  * is tolerant BY DESIGN (an intentional, documented divergence):
+  *
+  *  - split on runs of whitespace;
+  *  - accept any line with ≥ 3 tokens whose token 0 parses as an ISO-8601
+  *    offset timestamp with ANY fraction width (0–9 digits);
+  *  - token 2 (`client:port`) is kept whole under the name `ip`, exactly like
+  *    the reference (`schema/Parsed.scala:3`);
+  *  - unparseable rows are dropped (filter on parse success), never thrown.
+  */
+object ElbLogParser {
+
+  /** Pure single-line parser — shared by tests and the streaming path.
+    * `java.time` ISO_OFFSET_DATE_TIME accepts 0–9 fraction digits and any
+    * zone offset, covering both fixture families in FIXTURES.md §A. */
+  def parseLine(line: String): Option[Parsed] = {
+    val toks = line.trim.split("\\s+")
+    if (toks.length < 3) None
+    else
+      try {
+        val odt = java.time.OffsetDateTime.parse(toks(0))
+        Some(Parsed(toks(0), odt.toInstant.toEpochMilli, toks(2)))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
+  /** Columnar batch parser: stays inside whole-stage codegen (split +
+    * try_to_timestamp + filter), no Scala closures in the hot path.
+    * Input: one string column named `value` (spark.read.text shape).
+    * Output: timestamp (raw string), ts (TimestampType), ip. */
+  def parse(lines: DataFrame): DataFrame = {
+    val toks = split(col("value"), "\\s+")
+    // get() (not getItem) -> NULL on out-of-bounds instead of an ANSI error.
+    val t0 = get(toks, lit(0))
+    lines
+      .select(
+        t0.as("timestamp"),
+        // ISO-8601 with variable fraction width: try microseconds first
+        // (canonical ELB), then millis, then whole seconds.
+        coalesce(
+          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))).as("ts"),
+        get(toks, lit(2)).as("ip"))
+      .filter(col("ts").isNotNull && col("ip").isNotNull)
+  }
+
+  /** Typed variant for the streaming path (Dataset[String] → Dataset[Parsed]). */
+  def parseTyped(lines: Dataset[String]): Dataset[Parsed] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(parseLine)
+  }
+}
