@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Sessionize
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -188,6 +188,69 @@ object SparkEntry {
       ElbLogParser.parse(lines)
         .select(col("ip"), unix_millis(col("ts")).as("ts_ms"))
     }),
+
+    // ---- Training-data pipeline extensions (SURVEY §2.8 / north star)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"))),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // n-gram Jaccard scoring over deterministic (id, id+1) pairs —
+      // guaranteed rows, exercises the shingle+jaccard kernel with an oracle.
+      val d = table(s, dir, "documents")
+      val sh = d.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    }),
+    "q_similarity_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
+    }),
+    "q_similarity_ivf" -> ((s, dir) => {
+      // Approximate IVF search — scale path; recall measured in the spec,
+      // no SQL oracle (rows-only check by design).
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
+    }),
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupCosine(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(table(s, dir, "documents"))),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(table(s, dir, "documents"))),
+    "q_token_freq" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencies(table(s, dir, "documents"))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(table(s, dir, "documents"))),
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(table(s, dir, "documents"))
+      val frames = Multimodal.sampleFrames(media, step = 16)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      media
+        .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+        .join(frames, "doc_id")
+    }),
+    "q_multimodal_decode" -> ((s, dir) =>
+      // Batched stub-decode kernel (mapPartitions) — deterministic fake
+      // codec; plumbing is real. No SQL oracle (rows-only check).
+      Multimodal.decodeFeatures(Multimodal.asMediaTable(table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
+          round(element_at(col("feature"), 3), 6).as("f3"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -272,7 +335,122 @@ object SparkEntry {
       """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
         |  epoch_ms(ts) AS ts_ms
         |FROM events""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, t -> md5(CAST(i AS VARCHAR)||':'||t))) FOR i IN range(0,16)] AS sg
+         |FROM sh),
+         |bands AS (SELECT doc_id, sh,
+         |  [md5(sg[j*4+1]||sg[j*4+2]||sg[j*4+3]||sg[j*4+4]) FOR j IN range(0,4)] AS bk
+         |FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+         |  WHERE a.bk[1]=b.bk[1] OR a.bk[2]=b.bk[2] OR a.bk[3]=b.bk[3] OR a.bk[4]=b.bk[4])
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(sh_a, sh_b))*1.0/len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+         |  FROM pairs)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents)
+         |SELECT doc_id, $simhashSqlExpr AS simhash FROM toks""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_similarity_bruteforce" ->
+      s"""WITH $normCte,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH $normCte,
+         |scored AS (
+         |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.4""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens,
+        |  round(CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')), 6) AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    /len(string_split(text,' ')), 6) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text,' ') AS tl FROM documents),
+        |s AS (SELECT doc_id, labeled_lang,
+        |  CAST(len(list_filter(tl, t -> t IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(tl, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(tl, t -> t IN ('el','la','de','y','un'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(tl, t -> t IN ('le','la','de','et','un'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(tl, t -> t IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+        |FROM t)
+        |SELECT doc_id, labeled_lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+        |       WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin,
+    "q_token_freq" ->
+      """SELECT lang, token, COUNT(*) AS freq FROM (
+        |  SELECT lang, unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY lang, token""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS tl FROM documents)
+         |SELECT doc_id, md5(text) AS text_md5,
+         |  list_min(list_transform(tl, t -> md5(t))) AS min_token_md5,
+         |  $simhashSqlExpr AS simhash
+         |FROM toks""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(CAST(text AS BLOB)) + 15) // 16 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
   )
+
+  /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
+
+  /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
+  private val shingleCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([tl[i]||'_'||tl[i+1]||'_'||tl[i+2] FOR i IN range(1, len(tl)-1)]) AS sh
+      |FROM toks)""".stripMargin
+
+  /** 32-bit SimHash over whitespace tokens `tl` (60-bit md5-hex token hash,
+    * per-bit sign sums, packed) — mirrors TextFunctions.simhash32. */
+  private val simhashSqlExpr: String =
+    """CAST(list_sum([
+      |  CASE WHEN list_sum(list_transform(
+      |         list_transform(tl, t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)),
+      |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+      |  FOR b IN range(0,32)]) AS BIGINT)""".stripMargin
+
+  /** Embeddings with precomputed L2 norms (double math). */
+  private val normCte: String =
+    """n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      |FROM embeddings)""".stripMargin
+
+  /** Cosine between q.embedding and c.embedding using the norms above —
+    * mirrors Similarity.cosine's dot/(sqrt*sqrt) shape and fold order. */
+  private val cosineSqlExpr: String =
+    """list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.nrm)""".stripMargin
 
   /** Gap-only sessionize as ANSI window SQL (DuckDB dialect-safe): identical
     * semantics to [[Sessionize.gapSessionize]] — integer-millis arithmetic,

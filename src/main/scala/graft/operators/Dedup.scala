@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, all shuffle-based
+  * and driver-memory-free (designed for 100 TB — see scaladoc per op).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical text. One hash aggregate
+    * + one shuffle join (Spark picks broadcast/SMJ by stats). At scale,
+    * group on md5(text) instead of raw text to shrink shuffle payload —
+    * we group on the hash and verify via min id join back. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs over word n-gram shingles.
+    *
+    * Pipeline (each step one narrow map or one shuffle):
+    *   shingle → k-minhash signature → b band keys → explode bands →
+    *   shuffle on (band_idx, band_key) → self-join within band buckets →
+    *   distinct (a < b) pairs.
+    *
+    * Scale: the only quadratic step is within a single band bucket; with
+    * r rows per band P(bucket-collide) = J^r, so buckets stay tiny for
+    * non-duplicate mass. Pathological buckets (giant duplicate clusters)
+    * are an inherent property of the data — cap with a bucket-size guard
+    * upstream if needed. No driver materialization anywhere. */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(
+      col(idCol),
+      bandKeys(minhashSignature(shingles(tokens(col(textCol)), shingleN), numHashes), bands, r)
+        .as("bks"))
+    val exploded = sig.select(col(idCol), posexplode(col("bks")).as(Seq("band_idx", "band_key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(
+        b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs verified with exact shingle jaccard ≥ threshold.
+    * Candidates come from LSH (cheap, high recall at J ≥ ~0.5 with 4x4
+    * bands); verification joins token sets back in — two broadcast-or-SMJ
+    * joins, then a per-row jaccard. */
+  def nearDupMinhash(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN = shingleN)
+    val sh = docs.select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("sh"))
+    cands
+      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash per document (32-bit, portable math). Near-dups = pairs with
+    * small hamming distance; block by 16-bit halves so candidates at
+    * hamming ≤ 1 per half collide — O(n) + bucket-local joins, same scale
+    * properties as MinHash banding. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs: block on 16-bit halves (a pair at hamming ≤ h
+    * over 32 bits matches exactly on at least one half when h ≤ 1; for
+    * h ≤ 3 this is a recall/cost trade documented here), verify exact
+    * hamming ≤ maxHamming via bit_count(xor). */
+  def nearDupSimhash(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+      .withColumn("lo", col("simhash") % 65536L)
+      .withColumn("hi", floor(col("simhash") / 65536L))
+    val blocks = sh.select(col(idCol), col("simhash"), explode(array(
+      concat(lit("lo:"), col("lo")), concat(lit("hi:"), col("hi")))).as("block"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    a.join(b, col("a.block") === col("b.block") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("doc_a"),
+        col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

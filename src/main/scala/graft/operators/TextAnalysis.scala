@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: per-document stats, language-ID heuristic,
+  * token frequencies, fingerprints. All narrow maps + one aggregate at most;
+  * nothing driver-bound. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately SQL-expressible (the oracle mirrors them). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "es" -> Seq("el", "la", "de", "y", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Per-document stats: token counts (whitespace + regex-BPE-ish),
+    * char counts, average token length, stopword ratio. */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val en = stopwords("en")
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(regexTokens(col(textCol))).cast("long").as("n_regex_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      round(
+        length(regexp_replace(col(textCol), lit(" "), lit(""))).cast("double") /
+          size(toks).cast("double"),
+        6).as("avg_token_len"),
+      round(
+        size(filter(toks, t => t.isin(en: _*))).cast("double") /
+          size(toks).cast("double"),
+        6).as("stopword_ratio"))
+  }
+
+  /** Stopword-profile language ID: score per lang = #tokens in its stopword
+    * set; prediction = argmax, ties broken alphabetically. (The testdata's
+    * text is synthetic English-ish word soup, so predictions won't match the
+    * `lang` column — the operator contract is determinism + the mechanics.) */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("long")
+    val langs = Seq("de", "en", "es", "fr", "zh") // alphabetical = tie-break order
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        langs.map(l => score(l).as(s"s_$l")): _*)
+    val best = langs.map(l => col(s"s_$l")).reduce(greatest(_, _))
+    // first lang (alphabetically) attaining the max
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    // foldRight builds when(de)...otherwise(when(en)...) — evaluation order
+    // IS alphabetical-first, which is the tie-break we want.
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Token frequency per (lang, token) — explode + hash aggregate; partial
+    * aggregation (map-side combine) keeps the shuffle proportional to
+    * distinct (lang, token), not row count. */
+  def tokenFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("lang"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
+    * + a 32-bit SimHash — three independent signals, all portable. */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      fingerprint(col(textCol)).as("text_md5"),
+      array_min(transform(tokens(col(textCol)), t => md5(t))).as("min_token_md5"),
+      simhash32(tokens(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Specs for extension operators whose semantics the DuckDB oracle can't
+  * express (approximate search, stub decode) plus sanity on the dedup ops. */
+class ExtensionSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def embeddings = SparkEntry.table(spark, sf0001, "embeddings")
+  private def documents = SparkEntry.table(spark, sf0001, "documents")
+
+  test("IVF top-k: self-bucket recall vs brute force is substantial, cost is a subset scan") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val q = embeddings.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, e, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, e, 10, nCentroids = 16, nprobe = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // nprobe=8 of 16 cells scans ~half the corpus; recall must beat that
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    assert(approx.size <= exact.size)
+  }
+
+  test("IVF results are a subset of each query's probed-cell ground truth (exact within subset)") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val q = embeddings.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Similarity.ivfTopK(q, e, 5, nCentroids = 8, nprobe = 8) // probe all cells = exact
+    val exact = Similarity.bruteForceTopK(q, e, 5)
+    assert(res.select("qid", "vec_id", "rank").exceptAll(exact.select("qid", "vec_id", "rank")).isEmpty)
+  }
+
+  test("multimodal decode is deterministic and consistent with metadata") {
+    val media = Multimodal.asMediaTable(documents)
+    val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.map(_.doc_id).sameElements(b.map(_.doc_id)))
+    assert(a.zip(b).forall { case (x, y) => x.feature.sameElements(y.feature) && x.width == y.width })
+    val meta = media.select(col("doc_id"), col("meta.n_bytes")).as[(Long, Long)].collect().toMap
+    assert(a.forall(m => m.n_bytes == meta(m.doc_id)))
+    assert(a.forall(m => m.width == (m.n_bytes % 640) + 1))
+  }
+
+  test("frame sampling emits ceil(n_bytes/step) frames with correct offsets") {
+    val media = Multimodal.asMediaTable(documents.limit(20))
+    val frames = Multimodal.sampleFrames(media, step = 16)
+    val counts = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("byte_offset").as("mx"))
+      .join(media.select(col("doc_id"), col("meta.n_bytes").as("nb")), "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(counts.forall { case (_, n, mx, nb) => n == (nb + 15) / 16 && mx < nb })
+  }
+
+  test("simhash near-dup blocking finds the hamming<=3 pairs that share a 16-bit half") {
+    val pairs = Dedup.nearDupSimhash(documents, maxHamming = 3)
+    // verify against exact hamming over all pairs (500 docs -> fine locally)
+    val sh = Dedup.simhash(documents).as[(Long, Long)].collect().toMap
+    val exact = for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+      // blocking guarantee only covers pairs agreeing on one half
+      if ((sh(a) ^ sh(b)) & 0xFFFFL) == 0 || ((sh(a) ^ sh(b)) >> 16) == 0
+    } yield (a, b)
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.toSet.subsetOf(got))
+    // and everything reported really is within the hamming bound
+    val all = pairs.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(all.forall { case (a, b, h) => java.lang.Long.bitCount(sh(a) ^ sh(b)) == h && h <= 3 })
+  }
+
+  test("exact dedup keeps one row per distinct text and prefers the lowest id") {
+    val withDups = documents.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(documents.filter(col("doc_id") < 10L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"), col("source")))
+    val kept = Dedup.exact(withDups)
+    assert(kept.count() == documents.count()) // dups collapse
+    assert(kept.filter(col("doc_id") >= 100000L).count() == 0) // lowest id wins
+  }
+}
