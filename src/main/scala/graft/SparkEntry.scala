@@ -201,11 +201,9 @@ object SparkEntry {
       // n-gram Jaccard scoring over deterministic (id, id+1) pairs —
       // guaranteed rows, exercises the shingle+jaccard kernel with an oracle.
       val d = table(s, dir, "documents")
-      val sh = d.select(col("doc_id"),
-        graft.functions.TextFunctions.shingles(
-          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val sh = Dedup.shingleTable(d, "doc_id", "text", 3)
+      val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1L)
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -50,13 +50,20 @@ object TextFunctions {
   def tokenHash60(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** Array of 60-bit token hashes. Callers that feed [[simhashFromHashes]]
+    * should MATERIALIZE this column behind an Exchange first — inlined, the
+    * md5+conv work is re-evaluated once per simhash bit (32×). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => tokenHash60(t))
+
   /** 32-bit SimHash packed into a long: bit i is 1 iff the sum over tokens of
     * ±1 (sign of token-hash bit i) is positive. Columnar: the token-hash
     * array is computed once, then one `aggregate` per bit (Scala-level loop —
     * shift amounts must be literals) — O(32·|tokens|) per row, no shuffle.
     * 32 bits (not 64) keeps every intermediate exact in portable BIGINT math. */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => tokenHash60(t))
+  def simhash32(toks: Column): Column = simhashFromHashes(tokenHashes(toks))
+
+  /** SimHash packing over an (ideally pre-materialized) token-hash array. */
+  def simhashFromHashes(hashes: Column): Column = {
     (0 until 32)
       .map { b =>
         val bitSum = aggregate(

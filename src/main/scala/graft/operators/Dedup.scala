@@ -42,11 +42,17 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    // Materialize the signature behind its own Exchange: without the barrier
+    // Catalyst inlines the 16-hash signature expression INSIDE the band
+    // lambda, recomputing it once per band per join side (observed in the
+    // optimized plan: 64 signature evaluations per row → 110 s at sf0.1).
+    val sig = sh
+      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+      .repartition(col(idCol))
+    val exploded = sig.select(
       col(idCol),
-      bandKeys(minhashSignature(shingles(tokens(col(textCol)), shingleN), numHashes), bands, r)
-        .as("bks"))
-    val exploded = sig.select(col(idCol), posexplode(col("bks")).as(Seq("band_idx", "band_key")))
+      posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(
@@ -57,6 +63,28 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
   }
+
+  /** Materialized per-doc shingle arrays, spread across cores.
+    *
+    * Two deliberate Exchanges: interpreted HOF lambdas re-evaluate child
+    * expressions per element, so a collapsed split→shingle→minhash projection
+    * recomputes split(text) for EVERY lambda element (measured via jstack:
+    * 300+ s for 5000 docs pinned on one core, `StringSplit.nullSafeEval`
+    * under `ArrayTransform`). The first repartition spreads the raw rows
+    * (small parquet = 1 input partition otherwise); the second materializes
+    * the computed shingle array so downstream minhash lambdas read a bound
+    * column instead of re-running the shingle kernel 16×. Both shuffles are
+    * tiny relative to the saved CPU, and the pattern is exactly what a
+    * 1000-executor cluster needs anyway. */
+  def shingleTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("__sh"))
+      .repartition(col(idCol))
 
   /** MinHash near-dup pairs verified with exact shingle jaccard ≥ threshold.
     * Candidates come from LSH (cheap, high recall at J ≥ ~0.5 with 4x4
@@ -69,10 +97,10 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN = shingleN)
-    val sh = docs.select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
     cands
-      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -81,9 +109,15 @@ object Dedup {
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at
     * hamming ≤ 1 per half collide — O(n) + bucket-local joins, same scale
-    * properties as MinHash banding. */
+    * properties as MinHash banding.
+    * Token hashes are materialized behind an Exchange first — inlined they
+    * would be recomputed once per simhash bit (32× md5+conv per token). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))
+      .repartition(col(idCol))
+      .select(col(idCol), simhashFromHashes(col("__th")).as("simhash"))
 
   /** SimHash near-dup pairs: block on 16-bit halves (a pair at hamming ≤ h
     * over 32 bits matches exactly on at least one half when h ≤ 1; for

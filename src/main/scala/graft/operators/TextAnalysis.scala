@@ -72,11 +72,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
 
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
-    * + a 32-bit SimHash — three independent signals, all portable. */
+    * + a 32-bit SimHash — three independent signals, all portable.
+    * Per-token md5/hash arrays are materialized behind an Exchange so the
+    * simhash bit loop reads columns instead of re-hashing (see Dedup). */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      fingerprint(col(textCol)).as("text_md5"),
-      array_min(transform(tokens(col(textCol)), t => md5(t))).as("min_token_md5"),
-      simhash32(tokens(col(textCol))).as("simhash"))
+    docs
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        fingerprint(col(textCol)).as("text_md5"),
+        array_min(transform(tokens(col(textCol)), t => md5(t))).as("min_token_md5"),
+        tokenHashes(tokens(col(textCol))).as("__th"))
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        col("text_md5"),
+        col("min_token_md5"),
+        simhashFromHashes(col("__th")).as("simhash"))
 }
