@@ -242,6 +242,35 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
         .join(frames, "doc_id")
     }),
+    "q_sessionize_stream" -> ((s, dir) => {
+      // The REAL Structured-Streaming path (flatMapGroupsWithState +
+      // watermark + EventTimeTimeout), driven to completion over the file
+      // source and drained into a memory sink. One trigger sees all data, so
+      // the result equals batch full-rule sessionize (proven per-trigger-
+      // split-independent in StreamingSpec). No SQL oracle: sequential
+      // state-machine semantics (rows-only check, same as q_sessionize_full).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
+      val src = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessionized = graft.streaming.SessionizeStream.sessionizeEvents(src)
+      val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sessionized.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+        .select(
+          col("tieBreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("tsMillis").as("ts_ms"),
+          col("sessionId").as("session_id"),
+          col("sessionIdx").as("session_idx"),
+          col("duration"))
+    }),
     "q_multimodal_decode" -> ((s, dir) =>
       // Batched stub-decode kernel (mapPartitions) — deterministic fake
       // codec; plumbing is real. No SQL oracle (rows-only check).

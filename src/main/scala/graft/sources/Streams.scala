@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming source/sink wiring mirroring the reference's two entry points
+  * (SURVEY.md §2.1, §2.6): local text replay and Kafka in/out.
+  *
+  * Kafka parity notes:
+  *  - source: subscribe + startingOffsets=latest ≈ `setStartFromLatest()`
+  *    (`RealtimeSessionize.scala:94-102`);
+  *  - sink: Spark's Kafka sink is at-least-once; the reference claims
+  *    EXACTLY_ONCE via transactional producers (`:165-174`) — a documented
+  *    semantics delta (SURVEY.md §7.4), not silently glossed;
+  *  - the reference's sink bug (fresh Properties with empty
+  *    bootstrap.servers, `:162-163`) is intentionally NOT reproduced.
+  * The Kafka connector jar is not present in this container, so these paths
+  * are compile-checked and config-complete but exercised only in
+  * environments that ship spark-sql-kafka. */
+object Streams {
+
+  /** Streaming text-file source (reference `readTextFile`, but a directory —
+    * Spark's file source watches dirs, a minor surface difference). */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+
+  /** Kafka string-value source. */
+  def kafkaLines(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    extraOptions
+      .foldLeft(
+        spark.readStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", bootstrapServers)
+          .option("subscribe", topic)
+          .option("startingOffsets", startingOffsets)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** JSON-lines file sink (reference `writeAsText` of json4s output). */
+  def jsonFileSink[T](ds: org.apache.spark.sql.Dataset[T], path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    ds.toDF().writeStream
+      .format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** Kafka sink: rows serialized to a JSON `value` column. */
+  def kafkaJsonSink[T](
+      ds: org.apache.spark.sql.Dataset[T],
+      bootstrapServers: String,
+      topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    ds.toDF()
+      .select(to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+  }
+}
