@@ -1,0 +1,101 @@
+package graft
+
+import graft.model.SessionConfig
+import graft.operators.Sessionize
+import graft.sources.{ElbLogParser, Streams}
+import graft.streaming.SessionizeStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Reference-parity CLI (`RealtimeSessionize.scala:45-178`): replay ELB-style
+  * access logs from a file or Kafka, sessionize, emit JSON.
+  *
+  *   runMain graft.RealtimeSessionize --source local --sink local \
+  *     --path /data/logs.txt --out /tmp/out [--mode batch|stream] \
+  *     [--gap-sec 1800] [--kafka-bootstrap host:port] [--topic-in t] [--topic-out t]
+  *
+  * Differences from the reference, on purpose (SURVEY.md §2):
+  *  - tolerant parser (microsecond fractions, quoted request fields);
+  *  - `--sink local` with `--source kafka` works (the reference NPEs);
+  *  - the Kafka producer inherits the configured bootstrap servers (the
+  *    reference builds an empty Properties and cannot connect);
+  *  - batch mode exists at all (the reference is stream-only even for files).
+  */
+object RealtimeSessionize {
+
+  final case class Options(
+      source: String = "local",
+      sink: String = "local",
+      mode: String = "batch",
+      path: String = "",
+      out: String = "",
+      gapSec: Long = SessionConfig.DefaultGapSec,
+      kafkaBootstrap: String = "",
+      topicIn: String = "sessionize-in",
+      topicOut: String = "sessionize-out")
+
+  def parseArgs(args: Array[String]): Options = {
+    def loop(rest: List[String], o: Options): Options = rest match {
+      case "--source" :: v :: t => loop(t, o.copy(source = v))
+      case "--sink" :: v :: t => loop(t, o.copy(sink = v))
+      case "--mode" :: v :: t => loop(t, o.copy(mode = v))
+      case "--path" :: v :: t => loop(t, o.copy(path = v))
+      case "--out" :: v :: t => loop(t, o.copy(out = v))
+      case "--gap-sec" :: v :: t => loop(t, o.copy(gapSec = v.toLong))
+      case "--kafka-bootstrap" :: v :: t => loop(t, o.copy(kafkaBootstrap = v))
+      case "--topic-in" :: v :: t => loop(t, o.copy(topicIn = v))
+      case "--topic-out" :: v :: t => loop(t, o.copy(topicOut = v))
+      case Nil => o
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val o = loop(args.toList, Options())
+    require(Set("local", "kafka")(o.source), s"invalid source: ${o.source}")
+    require(Set("local", "kafka")(o.sink), s"invalid sink: ${o.sink}")
+    require(Set("batch", "stream")(o.mode), s"invalid mode: ${o.mode}")
+    require(o.source == "kafka" || o.path.nonEmpty, "--path required for local source")
+    require(o.sink == "kafka" || o.out.nonEmpty, "--out required for local sink")
+    o
+  }
+
+  def main(args: Array[String]): Unit = {
+    val o = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-realtime-sessionize")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, o)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, o: Options): Unit = {
+    val cfg = SessionConfig(gapSec = o.gapSec)
+    if (o.mode == "batch") {
+      val lines = spark.read.text(o.path)
+      val parsed = ElbLogParser.parse(lines)
+      val sessionized = Sessionize
+        .fullSessionize(parsed.withColumn("tieBreak", lit(0L)),
+          key = "ip", ts = "ts", tieBreak = "tieBreak", cfg = cfg)
+        .select(to_json(struct(
+          col("tsMillis").as("ts"), col("key").as("ip"),
+          col("sessionId").as("session_id"), col("duration"))).as("value"))
+      sessionized.write.mode("overwrite").text(o.out)
+    } else {
+      val lines =
+        if (o.source == "kafka") Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn)
+        else Streams.fileLines(spark, o.path)
+      val parsed = ElbLogParser.parse(lines)
+        .select(col("ip").as("key"), col("ts"), lit(0L).as("tieBreak"))
+      val sessionized = SessionizeStream.sessionize(parsed, cfg)
+      val writer =
+        if (o.sink == "kafka")
+          Streams.kafkaJsonSink(sessionized, o.kafkaBootstrap, o.topicOut, s"${o.out}/_checkpoint")
+        else Streams.jsonFileSink(sessionized, o.out, s"${o.out}/_checkpoint")
+      val q = writer.start()
+      q.awaitTermination()
+    }
+  }
+}

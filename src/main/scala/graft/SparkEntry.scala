@@ -141,6 +141,56 @@ object SparkEntry {
         .filter(col("rnk") <= 3L)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
     }),
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+    "q_map_funcs" -> ((s, dir) =>
+      // MapType surface: props JSON -> map<string,bigint>, element_at +
+      // map_keys, aggregated. Oracle mirrors via json_extract/json_keys.
+      table(s, dir, "events")
+        .select(
+          col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+        .select(
+          col("event_type"),
+          element_at(col("m"), "k").as("k"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
+        .groupBy(col("event_type"), col("n_keys"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    "q_window_agg" -> ((s, dir) =>
+      // Tumbling event-time window aggregation (UTC-aligned 1-day windows).
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        .select(
+          unix_millis(col("w.start")).as("day_start_ms"),
+          col("event_type"), col("n"), col("value_cents"))),
+    "q_session_summary" -> ((s, dir) => {
+      // Custom typed Aggregator (UDAF surface): one-pass per-session stats
+      // over the gap-sessionized events, then a per-user rollup.
+      val sess = Sessionize.gapSessionize(table(s, dir, "events"))
+      val stats = udaf(graft.functions.SessionStatsAggregator)
+      sess
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(stats(col("duration")).as("st"))
+        .select(col("user_id"), col("session_id"),
+          col("st.n_events").as("n_events"),
+          col("st.max_duration").as("max_duration"),
+          col("st.min_duration").as("min_duration"))
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL sketch (the 100 TB path for uniq visitors) next to the exact
+      // count. Sketch internals differ across engines -> rows-only check.
+      table(s, dir, "events").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
     "q_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -333,6 +383,26 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders
         |) WHERE rnk <= 3""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_type, CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_agg" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_start_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session_summary" ->
+      s"""SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(MAX(duration) AS BIGINT) AS max_duration,
+         |  CAST(MIN(duration) AS BIGINT) AS min_duration
+         |FROM ($gapSessionizeSql) GROUP BY user_id, session_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
