@@ -84,6 +84,11 @@ object RealtimeSessionize {
           col("sessionId").as("session_id"), col("duration"))).as("value"))
       sessionized.write.mode("overwrite").text(o.out)
     } else {
+      // Reference parity: the Flink job assumes a RocksDB state backend
+      // (README.md:92-100); Spark's equivalent is the RocksDB state store.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val lines =
         if (o.source == "kafka") Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn)
         else Streams.fileLines(spark, o.path)

@@ -124,6 +124,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
       semi.unionByName(anti).select(col("kind"), col("n"))
     }),
+    "q_outer_join" -> ((s, dir) => {
+      // FULL OUTER join coverage: every customer x order linkage, null
+      // buckets counted per side.
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("n_matched"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    }),
+    "q_pivot" -> ((s, dir) =>
+      // Pivot: event_type counts per user as columns. Oracle mirrors with
+      // CASE-WHEN aggregation (deterministic column set, fixed order).
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click"), col("view"), col("purchase"),
+          col("signup"), col("error"))),
+    "q_scalar_subquery" -> ((s, dir) => {
+      // Orders above the global average price. All-integer comparison
+      // (price_cents * n_orders > total_cents) keeps the boundary exact —
+      // a double average would make knife-edge rows nondeterministic.
+      val o = table(s, dir, "orders")
+      val totals = o.agg(
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+      o.crossJoin(broadcast(totals))
+        .filter(round(col("o_totalprice") * 100, 0).cast("long") * col("n_orders") > col("total_cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
     "q_topk_orders" -> ((s, dir) =>
       // Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
       // driver merge of k rows — no full sort, no full shuffle).
@@ -374,6 +409,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS n_matched,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """WITH t AS (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
+        |                 COUNT(*) AS n_orders FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders, t
+        |WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) * n_orders > total_cents
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,

@@ -53,16 +53,29 @@ object Dedup {
     val exploded = sig.select(
       col(idCol),
       posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(
-        b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    // Pair generation via group-then-combine, NOT a self-join: Spark plans
+    // both sides of a self-join as independent subtrees (no ReusedExchange
+    // materialized here), recomputing the md5 signature pipeline per side.
+    // Grouping computes it ONCE: one shuffle on (band_idx, band_key), sorted
+    // id list per bucket, columnar i<j pair expansion. Bucket lists are
+    // bounded by duplicate-cluster size (P(collide) = J^r for non-dups);
+    // a giant bucket means a giant duplicate cluster — cap upstream if the
+    // corpus warrants it.
+    val buckets = exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** All i<j pairs from a sorted id array, as structs (doc_a, doc_b). */
+  private def pairCombinations(ids: org.apache.spark.sql.Column) =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
 
   /** Materialized per-doc shingle arrays, spread across cores.
     *
