@@ -311,6 +311,13 @@ object SparkEntry {
       Similarity.nearDupCosine(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
+    "q_embedding_neardup_lsh" -> ((s, dir) =>
+      // Cell-blocked near-dup: the scale path for q_embedding_neardup.
+      // Approximate (cell-boundary pairs missed) -> rows-only check;
+      // recall vs the exact op is asserted in ExtensionSpec.
+      Similarity.nearDupCosineBlocked(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(table(s, dir, "documents"))),
     "q_lang_id" -> ((s, dir) =>

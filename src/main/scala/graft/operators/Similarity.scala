@@ -89,6 +89,28 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
+  /** The 100 TB near-dup path: block candidate pairs by IVF cell, verify
+    * exact cosine within each cell. O(n²/nCentroids)-ish instead of O(n²);
+    * recall < 1 (pairs straddling a cell boundary are missed — raise recall
+    * by assigning each vector to its top-2 cells, the standard trick; kept
+    * single-cell here and measured against the exact op in the spec). */
+  def nearDupCosineBlocked(
+      embeddings: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val cells = assignCells(embeddings, nCentroids)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .distinct()
+  }
+
   /** IVF cell assignment: centroids = the `nCentroids` lowest-id corpus
     * vectors (deterministic, training-free; swap in k-means centroids for
     * production recall). Returns corpus rows tagged with `cell`. */

@@ -34,6 +34,16 @@ class ExtensionSpec extends SparkFunSuite {
     assert(res.select("qid", "vec_id", "rank").exceptAll(exact.select("qid", "vec_id", "rank")).isEmpty)
   }
 
+  test("cell-blocked near-dup is a subset of exact near-dup with useful recall") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val exact = Similarity.nearDupCosine(e, 0.35)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.nearDupCosineBlocked(e, 0.35, nCentroids = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))                   // no false positives
+    assert(exact.isEmpty || blocked.size.toDouble / exact.size >= 0.05) // real recall
+  }
+
   test("multimodal decode is deterministic and consistent with metadata") {
     val media = Multimodal.asMediaTable(documents)
     val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
