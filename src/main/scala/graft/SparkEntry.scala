@@ -286,7 +286,7 @@ object SparkEntry {
       // n-gram Jaccard scoring over deterministic (id, id+1) pairs —
       // guaranteed rows, exercises the shingle+jaccard kernel with an oracle.
       val d = table(s, dir, "documents")
-      val sh = Dedup.shingleTable(d, "doc_id", "text", 3)
+      val sh = Dedup.shingleSigTable(d, "doc_id", "text", 3, numHashes = 0)
       val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1L)
