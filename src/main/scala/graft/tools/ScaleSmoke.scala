@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.operators.{Dedup, Sessionize, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke: multiply the sf0.1 tables in-memory (disjoint key
+  * spaces so semantics stay per-key) and run the heavy operators. Not a
+  * correctness gate (the driver's testdata stays the only query input) —
+  * this exists to measure how the operators behave at 10-20× local data:
+  * shuffle sizes, spill, stragglers. Linear wall-clock growth here is the
+  * local proxy for "holds on a 1000-executor cluster".
+  *
+  * usage: runMain graft.tools.ScaleSmoke [multiplier]
+  */
+object ScaleSmoke {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+
+  /** Union `mult` shifted copies: keys offset so each copy is a disjoint
+    * population (per-key row counts preserved — sessionize state size per
+    * key stays realistic, total volume scales). */
+  private def multiply(df: DataFrame, keyCol: String, mult: Int, keySpan: Long): DataFrame =
+    (0 until mult)
+      .map(i => df.withColumn(keyCol, col(keyCol) + lit(i * keySpan)))
+      .reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 20
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val events = multiply(graft.SparkEntry.table(spark, dir, "events"), "user_id", mult, 1_000_000L)
+    val docs = multiply(
+      graft.SparkEntry.table(spark, dir, "documents"), "doc_id", math.max(1, mult / 5), 1_000_000L)
+    val emb = multiply(
+      graft.SparkEntry.table(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", math.max(1, mult / 5), 1_000_000L)
+
+    println(s"[scale] events=${events.count()} docs=${docs.count()} embeddings=${emb.count()}")
+    def drain(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+    time(s"gapSessionize x$mult")(drain(Sessionize.gapSessionize(events)))
+    time(s"fullSessionize x$mult")(drain(Sessionize.fullSessionize(events)))
+    time(s"sessionDuration+loyal x$mult") {
+      val s = Sessionize.gapSessionize(events)
+      drain(Sessionize.sessionDurationPerUser(s)); drain(Sessionize.loyalUsers(s))
+    }
+    time(s"minhash nearDup x${math.max(1, mult / 5)}")(drain(Dedup.nearDupMinhash(docs, 0.5)))
+    time(s"simhash x${math.max(1, mult / 5)}")(drain(Dedup.simhash(docs)))
+    time(s"nearDupCosineBlocked x${math.max(1, mult / 5)}")(
+      drain(Similarity.nearDupCosineBlocked(emb, 0.4, nCentroids = 32)))
+    spark.stop()
+  }
+}

@@ -81,6 +81,18 @@ class ExtensionSpec extends SparkFunSuite {
     assert(all.forall { case (a, b, h) => java.lang.Long.bitCount(sh(a) ^ sh(b)) == h && h <= 3 })
   }
 
+  test("columnar shingle/minhash tier equals the fused mapPartitions kernel") {
+    import graft.functions.TextFunctions._
+    val d = documents.limit(50)
+    val columnar = Dedup.shingleTable(d, "doc_id", "text", 3)
+      .select(col("doc_id"), minhashSignature(col("__sh"), 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kernel = Dedup.shingleSigTable(d, "doc_id", "text", 3, 16)
+      .select(col("doc_id"), col("__sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(columnar == kernel)
+  }
+
   test("exact dedup keeps one row per distinct text and prefers the lowest id") {
     val withDups = documents.select(col("doc_id"), col("text"), col("lang"), col("source"))
       .unionByName(documents.filter(col("doc_id") < 10L)
