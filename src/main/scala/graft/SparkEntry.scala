@@ -275,6 +275,29 @@ object SparkEntry {
     }),
 
     // ---- Training-data pipeline extensions (SURVEY §2.8 / north star)
+    "q_salted_join" -> ((s, dir) => {
+      // Skew-resistant fact⋈dim join: deterministic salt on the fact side,
+      // dim replicated saltFactor ways. Same result as the plain join —
+      // the oracle IS the plain join.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = table(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, "l_orderkey", "l_linenumber", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+    "q_array_funcs" -> ((s, dir) =>
+      // Array scalar-function surface: sort/slice/contains/distinct over
+      // token arrays, aggregated.
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          array_join(slice(array_sort(array_distinct(split(col("text"), " "))), 1, 3), ",")
+            .as("first3"),
+          array_contains(split(col("text"), " "), "spark").cast("boolean").as("has_spark"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+        .groupBy(col("first3"), col("has_spark"))
+        .agg(count(lit(1)).as("n"), sum(col("n_uniq")).as("sum_uniq"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("source"))),
@@ -495,6 +518,20 @@ object SparkEntry {
       """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
         |  epoch_ms(ts) AS ts_ms
         |FROM events""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT first3, has_spark, COUNT(*) AS n, CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq
+        |FROM (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
+        |    list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |  FROM documents)
+        |GROUP BY first3, has_spark""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
