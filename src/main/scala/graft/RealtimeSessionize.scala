@@ -3,7 +3,7 @@ package graft
 import graft.model.SessionConfig
 import graft.operators.Sessionize
 import graft.sources.{ElbLogParser, Streams}
-import graft.streaming.SessionizeStream
+import graft.streaming.{SessionizeProcessor, SessionizeStream}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,7 @@ object RealtimeSessionize {
       path: String = "",
       out: String = "",
       gapSec: Long = SessionConfig.DefaultGapSec,
+      engine: String = "fmgws", // fmgws = flatMapGroupsWithState | tws = transformWithState
       kafkaBootstrap: String = "",
       topicIn: String = "sessionize-in",
       topicOut: String = "sessionize-out")
@@ -42,6 +43,7 @@ object RealtimeSessionize {
       case "--path" :: v :: t => loop(t, o.copy(path = v))
       case "--out" :: v :: t => loop(t, o.copy(out = v))
       case "--gap-sec" :: v :: t => loop(t, o.copy(gapSec = v.toLong))
+      case "--engine" :: v :: t => loop(t, o.copy(engine = v))
       case "--kafka-bootstrap" :: v :: t => loop(t, o.copy(kafkaBootstrap = v))
       case "--topic-in" :: v :: t => loop(t, o.copy(topicIn = v))
       case "--topic-out" :: v :: t => loop(t, o.copy(topicOut = v))
@@ -52,6 +54,7 @@ object RealtimeSessionize {
     require(Set("local", "kafka")(o.source), s"invalid source: ${o.source}")
     require(Set("local", "kafka")(o.sink), s"invalid sink: ${o.sink}")
     require(Set("batch", "stream")(o.mode), s"invalid mode: ${o.mode}")
+    require(Set("fmgws", "tws")(o.engine), s"invalid engine: ${o.engine}")
     require(o.source == "kafka" || o.path.nonEmpty, "--path required for local source")
     require(o.sink == "kafka" || o.out.nonEmpty, "--out required for local sink")
     o
@@ -94,7 +97,9 @@ object RealtimeSessionize {
         else Streams.fileLines(spark, o.path)
       val parsed = ElbLogParser.parse(lines)
         .select(col("ip").as("key"), col("ts"), lit(0L).as("tieBreak"))
-      val sessionized = SessionizeStream.sessionize(parsed, cfg)
+      val sessionized =
+        if (o.engine == "tws") SessionizeProcessor.sessionize(parsed, cfg)
+        else SessionizeStream.sessionize(parsed, cfg)
       val writer =
         if (o.sink == "kafka")
           Streams.kafkaJsonSink(sessionized, o.kafkaBootstrap, o.topicOut, s"${o.out}/_checkpoint")

@@ -64,6 +64,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed == batch)
   }
 
+  // Runs in TimeMode.None: with ProcessingTime + TTL the query schedules
+  // perpetual timer microbatches and processAllAvailable never drains
+  // (observed: endless RocksDB commits; jstack showed tasks healthy inside
+  // RocksDB.uploadSnapshot batch after batch).
+  test("transformWithState tier matches flatMapGroupsWithState across triggers") {
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamEvent]
+      val q = graft.streaming.SessionizeProcessor
+        .sessionize(input.toDF())
+        .writeStream.format("memory").queryName("sess_tws").outputMode("append").start()
+      try {
+        input.addData(Seq(ev("u", 0, 0), ev("u", 100_000, 1))); q.processAllAvailable()
+        input.addData(Seq(ev("u", 200_000, 2), ev("u", 200_000 + 1_801_000, 3))); q.processAllAvailable()
+        val got = spark.table("sess_tws")
+          .select($"key", $"tsMillis", $"sessionId", $"duration")
+          .as[(String, Long, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+        assert(got.map(_._4) == Seq(0L, 100L, 200L, 0L))
+        assert(got.map(_._3).distinct.size == 2)
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sess_tws") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming with custom config applies size cut across triggers") {
     val b1 = (0 until 3).map(i => ev("u", i * 1000L, i.toLong))
     val b2 = (3 until 6).map(i => ev("u", i * 1000L, i.toLong))
