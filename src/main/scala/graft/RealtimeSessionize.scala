@@ -56,7 +56,11 @@ object RealtimeSessionize {
     require(Set("batch", "stream")(o.mode), s"invalid mode: ${o.mode}")
     require(Set("fmgws", "tws")(o.engine), s"invalid engine: ${o.engine}")
     require(o.source == "kafka" || o.path.nonEmpty, "--path required for local source")
-    require(o.sink == "kafka" || o.out.nonEmpty, "--out required for local sink")
+    // stream mode always needs --out: a kafka sink still roots its
+    // checkpointLocation there (otherwise it would land at "/_checkpoint")
+    require(
+      (o.sink == "kafka" && o.mode == "batch") || o.out.nonEmpty,
+      "--out required (output dir, and checkpoint root in stream mode)")
     o
   }
 

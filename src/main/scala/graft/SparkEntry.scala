@@ -598,7 +598,8 @@ object SparkEntry {
         |  CAST(len(list_filter(tl, t -> t IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
         |FROM t)
         |SELECT doc_id, labeled_lang, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+        |  CASE WHEN g = 0 THEN 'und'
+        |       WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
         |       WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin,
     "q_token_freq" ->
@@ -665,7 +666,7 @@ object SparkEntry {
       |    FROM (
       |      SELECT event_id, user_id, epoch_ms(ts) AS ms,
       |        CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
-      |                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+      |                  OR epoch_ms(ts) // 1000 - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) // 1000 > 1800
       |             THEN 1 ELSE 0 END AS is_new
       |      FROM events
       |    )

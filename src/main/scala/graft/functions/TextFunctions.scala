@@ -26,10 +26,14 @@ object TextFunctions {
     * A 31-word vocabulary makes unigram sets near-identical across documents
     * (measured jaccard ≈ 0.62 at sf0.01), so near-dup detection MUST shingle. */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
-        i => array_join(slice(toks, i + lit(1), lit(n)), "_")))
+    // size < n must yield EMPTY: sequence(0, -1) is the DESCENDING array
+    // [0, -1] in Spark, which would index slice(toks, 0, n) and throw.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - lit(n)),
+            i => array_join(slice(toks, i + lit(1), lit(n)), "_"))))
 
   /** MinHash signature: k minima over per-token salted md5s. O(k·|tokens|),
     * embarrassingly parallel per row, no shuffle. */

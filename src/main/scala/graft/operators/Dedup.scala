@@ -43,9 +43,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
-    val exploded = sig.select(
-      col(idCol),
-      posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
+    val exploded = sig
+      // Shingle-less docs have all-null signatures; array_join would skip
+      // the nulls and give every such doc the SAME md5("") band key — one
+      // giant bucket of unrelated short docs. Drop them: no shingles means
+      // no near-dup evidence (the DuckDB oracle's NULL keys never join,
+      // so this also keeps oracle parity).
+      .filter(element_at(col("__sig"), 1).isNotNull)
+      .select(
+        col(idCol),
+        posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
     // Pair generation via group-then-combine, NOT a self-join: Spark plans
     // both sides of a self-join as independent subtrees (no ReusedExchange
     // materialized here), recomputing the md5 signature pipeline per side.
@@ -165,7 +172,7 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN = shingleN)
-    val sh = shingleSigTable(docs, idCol, textCol, shingleN, numHashes = 1)
+    val sh = shingleSigTable(docs, idCol, textCol, shingleN, numHashes = 0)
       .select(col(idCol), col("__sh"))
     cands
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")

@@ -72,7 +72,12 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("meta.n_bytes").as("n_bytes"),
-        posexplode(sequence(lit(0L), col("meta.n_bytes") - 1, lit(step.toLong)))
+        // zero-byte payloads must yield zero frames, not an illegal
+        // sequence(0, -1, step) boundary error
+        posexplode(
+          when(col("meta.n_bytes") > 0L,
+            sequence(lit(0L), col("meta.n_bytes") - 1, lit(step.toLong)))
+            .otherwise(array().cast("array<bigint>")))
           .as(Seq("frame_idx", "byte_offset")))
       .select(
         col("doc_id"),

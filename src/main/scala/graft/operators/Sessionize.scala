@@ -48,12 +48,17 @@ object Sessionize {
     val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ms = unix_millis(col(ts))
+    // Gap compare in FLOORED SECONDS, exactly like SessionEngine (and the
+    // reference, whose state holds event.ts/1000): raw-millis comparison
+    // diverges from the state machine inside a ~1 s band around the cut.
     df.withColumn("__ms", ms)
       .withColumn("__prev_ms", lag(col("__ms"), 1).over(byKey))
       .withColumn(
         "__is_new",
-        when(col("__prev_ms").isNull || col("__ms") - col("__prev_ms") > gapSec * 1000L, 1L)
-          .otherwise(0L))
+        when(
+          col("__prev_ms").isNull ||
+            floor(col("__ms") / 1000L) - floor(col("__prev_ms") / 1000L) > gapSec,
+          1L).otherwise(0L))
       .withColumn("session_idx", sum(col("__is_new")).over(running))
       .withColumn(
         "__first_ms",

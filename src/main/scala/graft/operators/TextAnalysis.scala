@@ -53,13 +53,14 @@ object TextAnalysis {
       col("doc_id") +: col("lang").as("labeled_lang") +:
         langs.map(l => score(l).as(s"s_$l")): _*)
     val best = langs.map(l => col(s"s_$l")).reduce(greatest(_, _))
-    // first lang (alphabetically) attaining the max
+    // first lang (alphabetically) attaining the max; zero stopword hits in
+    // EVERY language means no evidence at all -> 'und', not the tie-break
     val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
     // foldRight builds when(de)...otherwise(when(en)...) — evaluation order
     // IS alphabetical-first, which is the tie-break we want.
-    scored.withColumn("pred_lang", pred)
+    scored.withColumn("pred_lang", when(best === 0L, lit("und")).otherwise(pred))
   }
 
   /** Token frequency per (lang, token) — explode + hash aggregate; partial

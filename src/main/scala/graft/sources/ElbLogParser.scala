@@ -46,12 +46,14 @@ object ElbLogParser {
     lines
       .select(
         t0.as("timestamp"),
-        // ISO-8601 with variable fraction width: try microseconds first
-        // (canonical ELB), then millis, then whole seconds.
+        // ISO-8601 with variable fraction width, 0-9 digits (matching
+        // parseLine's ISO_OFFSET_DATE_TIME tolerance): Spark patterns need
+        // the exact S count, so try each width, most common first.
         coalesce(
-          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-          try_to_timestamp(t0, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))).as("ts"),
+          (Seq(6, 3, 0, 9, 8, 7, 5, 4, 2, 1).map { w =>
+            val frac = if (w == 0) "" else "." + "S" * w
+            try_to_timestamp(t0, lit(s"yyyy-MM-dd'T'HH:mm:ss${frac}XXX"))
+          }): _*).as("ts"),
         get(toks, lit(2)).as("ip"))
       .filter(col("ts").isNotNull && col("ip").isNotNull)
   }

@@ -32,7 +32,7 @@ class SessionizeProcessor(
     // under processAllAvailable).
     val ttl =
       if (timeMode == TimeMode.ProcessingTime())
-        TTLConfig(java.time.Duration.ofSeconds(SessionConfig.DefaultMaxDurationSec))
+        TTLConfig(java.time.Duration.ofSeconds(cfg.maxDurationSec))
       else TTLConfig.NONE
     state = getHandle.getValueState[SessionState]("session", stateEncoder, ttl)
   }

@@ -93,6 +93,30 @@ class ExtensionSpec extends SparkFunSuite {
     assert(columnar == kernel)
   }
 
+  test("short and empty documents don't crash shingles, minhash, or frame sampling") {
+    val tiny = Seq((1L, "only two", "en", "s"), (2L, "", "en", "s"), (3L, "a b c d e", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // columnar shingles: <n tokens -> empty array, no slice crash
+    val sh = Dedup.shingleTable(tiny, "doc_id", "text", 3)
+      .select("doc_id", "__sh").as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).size == 3)
+    // minhash pipeline: shingle-less docs drop out instead of all-pairing
+    assert(Dedup.minhashCandidates(tiny).collect().forall(r => r.getLong(0) == 3L || r.getLong(1) == 3L) )
+    // frame sampling: zero-byte payload -> zero frames, not a crash
+    val frames = Multimodal.sampleFrames(Multimodal.asMediaTable(tiny), 16)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(!frames.contains(2L) && frames(1L) == 1L)
+  }
+
+  test("langId predicts 'und' when no stopwords match in any language") {
+    val tiny = Seq((1L, "quantum flux capacitor", "en"), (2L, "the cat of doom", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pred = graft.operators.TextAnalysis.langId(tiny)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(pred(1L) == "und")
+    assert(pred(2L) == "en")
+  }
+
   test("exact dedup keeps one row per distinct text and prefers the lowest id") {
     val withDups = documents.select(col("doc_id"), col("text"), col("lang"), col("source"))
       .unionByName(documents.filter(col("doc_id") < 10L)

@@ -56,6 +56,23 @@ class SessionizeSpec extends SparkFunSuite {
     assert(out.forall(_._2 <= 1800L))
   }
 
+  test("gap compare uses floored seconds in BOTH tiers (sub-second boundary alignment)") {
+    // ms-diff 1800999 > 1800000 but floored-second diff is exactly 1800 (not >):
+    // the reference's seconds-based state machine continues the session, and
+    // the window tier must agree (it compared raw millis before the fix).
+    val df = eventsDf(Seq((0L, 1000L, 1L), (1L, 1_801_999L, 1L)))
+    val viaWindow = Sessionize.gapSessionize(df)
+      .select("session_id").as[String].collect().distinct
+    val viaEngine = Sessionize.fullSessionize(df)
+      .select("sessionId").as[String].collect().distinct
+    assert(viaWindow.length == 1)
+    assert(viaEngine.length == 1)
+    // and one ms later it cuts in both
+    val df2 = eventsDf(Seq((0L, 1000L, 1L), (1L, 1_802_000L, 1L)))
+    assert(Sessionize.gapSessionize(df2).select("session_id").as[String].collect().distinct.length == 2)
+    assert(Sessionize.fullSessionize(df2).select("sessionId").as[String].collect().distinct.length == 2)
+  }
+
   test("gap sessionizer is deterministic under repartitioning") {
     val ev = SparkEntry.table(spark, sf0001, "events")
     val a = Sessionize.gapSessionize(ev).select("event_id", "session_id", "duration")
