@@ -226,6 +226,29 @@ object SparkEntry {
       table(s, dir, "events").agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))),
+    "q_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS — the general grouping form (rollup/cube are sugar).
+      table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n_rows
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |""".stripMargin)
+    }),
+    "q_window_analytics" -> ((s, dir) => {
+      // Analytic-window family: lag/lead/first_value + running frame sum,
+      // all with total-order tie-breaks.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      table(s, dir, "orders")
+        .withColumn("prev_cents", lag(cents, 1).over(w))
+        .withColumn("next_cents", lead(cents, 1).over(w))
+        .withColumn("first_cents", first(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("running_cents", sum(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev_cents"), col("next_cents"), col("first_cents"), col("running_cents"))
+    }),
     "q_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -489,6 +512,20 @@ object SparkEntry {
          |  CAST(MAX(duration) AS BIGINT) AS max_duration,
          |  CAST(MIN(duration) AS BIGINT) AS min_duration
          |FROM ($gapSessionizeSql) GROUP BY user_id, session_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(cents) OVER w AS prev_cents,
+        |  lead(cents) OVER w AS next_cents,
+        |  first_value(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS first_cents,
+        |  CAST(SUM(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
