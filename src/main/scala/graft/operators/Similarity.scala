@@ -111,20 +111,27 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF cell assignment: centroids = the `nCentroids` lowest-id corpus
-    * vectors (deterministic, training-free; swap in k-means centroids for
-    * production recall). Returns corpus rows tagged with `cell`. */
-  def assignCells(corpus: DataFrame, nCentroids: Int): DataFrame = {
-    val c = withNorm(corpus, "vec_id", "embedding")
-    val centroids = broadcast(
+  /** The `nCentroids` lowest-id vectors as a broadcastable centroid table. */
+  private def centroidsOf(c: DataFrame, nCentroids: Int): DataFrame =
+    broadcast(
       c.orderBy(col("vec_id")).limit(nCentroids)
         .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("__nrm").as("cnrm")))
+
+  private def assignCellsWith(c: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cell"))
     c.crossJoin(centroids)
       .withColumn("__d", cosineFromNorms(col("embedding"), col("cvec"), col("__nrm"), col("cnrm")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .select(col("vec_id"), col("embedding"), col("__nrm"), col("cell"))
+  }
+
+  /** IVF cell assignment: centroids = the `nCentroids` lowest-id corpus
+    * vectors (deterministic, training-free; swap in k-means centroids for
+    * production recall). Returns corpus rows tagged with `cell`. */
+  def assignCells(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id", "embedding")
+    assignCellsWith(c, centroidsOf(c, nCentroids))
   }
 
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
@@ -136,11 +143,11 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val cells = assignCells(corpus, nCentroids)
+    // ONE withNorm + ONE centroid table feed both the cell assignment and
+    // the query probes (previously built twice — double corpus scans).
     val c = withNorm(corpus, "vec_id", "embedding")
-    val centroids = broadcast(
-      c.orderBy(col("vec_id")).limit(nCentroids)
-        .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("__nrm").as("cnrm")))
+    val centroids = centroidsOf(c, nCentroids)
+    val cells = assignCellsWith(c, centroids)
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val wq = Window.partitionBy(col("qid")).orderBy(col("__d").desc, col("cell"))
     val probes = q
