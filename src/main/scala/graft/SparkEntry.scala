@@ -416,6 +416,131 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
           round(element_at(col("feature"), 3), 6).as("f3"))),
+
+    // ---- Round 2: temporal joins, sampling/splits, quality, shape ops
+    "q_asof_join" -> ((s, dir) => {
+      // As-of join: each purchase attributed to the user's latest click
+      // at-or-before it. Union+window algorithm (Temporal.asofJoin) — one
+      // shuffle, no per-key loops. Unmatched -> -1 (null-free compare).
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      graft.operators.Temporal
+        .asofJoin(purchases, clicks, "user_id", "ts_ms", "event_id",
+          payload = Seq("event_id", "ts_ms"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(expr("ts_ms div 1000 - asof_ts_ms div 1000"), lit(-1L)).as("gap_s"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // Range join: event values (cents) into half-open price tiers via the
+      // binned equi-join path (no BroadcastNestedLoopJoin).
+      import s.implicits._
+      val tiers = Seq(
+        ("t0", 0L, 10000L), ("t1", 10000L, 20000L), ("t2", 20000L, 30000L),
+        ("t3", 30000L, 40000L), ("t4", 40000L, 50000L)).toDF("tier", "lo", "hi")
+      val v = table(s, dir, "events")
+        .select(col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Temporal.rangeJoinBinned(v, "cents", tiers, binSize = 10000L)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+    "q_percentile" -> ((s, dir) =>
+      // Exact percentiles (linear interpolation) over integer cents — the
+      // sort-based exact path; approx_percentile is the 100 TB variant.
+      table(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(cents, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(
+          col("event_type"),
+          round(element_at(col("p"), 1), 6).as("p50"),
+          round(element_at(col("p"), 2), 6).as("p90"),
+          round(element_at(col("p"), 3), 6).as("p99"))),
+    "q_histogram" -> ((s, dir) =>
+      // Fixed-width histogram on integer cents (25 000-dollar buckets) —
+      // deterministic bucket math, single hash aggregate.
+      table(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(expr("cents div 2500000").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))),
+    "q_hash_sample" -> ((s, dir) =>
+      // Deterministic ~5% sample by portable md5 bucket — reproducible
+      // across engines/partitionings, unlike df.sample().
+      graft.operators.Sampling
+        .sampleByHash(
+          table(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type")),
+          "event_id", pct = 5)
+        .withColumn("hb", graft.operators.Sampling.hashBucket(col("event_id"), 100))),
+    "q_train_split" -> ((s, dir) =>
+      // Stable 80/10/10 train/val/test assignment, counted per event_type.
+      graft.operators.Sampling
+        .trainValTestSplit(table(s, dir, "events"), "event_id")
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"))),
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(table(s, dir, "documents"))),
+    "q_unpivot" -> ((s, dir) => {
+      // Wide->long unpivot (melt) of four lineitem measures, aggregated.
+      val cents = table(s, dir, "lineitem").select(
+        round(col("l_quantity") * 100, 0).cast("long").as("quantity"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("extendedprice"),
+        round(col("l_discount") * 100, 0).cast("long").as("discount"),
+        round(col("l_tax") * 100, 0).cast("long").as("tax"))
+      cents
+        .unpivot(
+          Array.empty[org.apache.spark.sql.Column],
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "cents")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+    "q_streaming_window" -> ((s, dir) => {
+      // Streaming tumbling-window aggregation (complete mode, memory sink):
+      // the windowed-agg surface of Structured Streaming with a full SQL
+      // oracle — window(ts, 6h) is UTC-epoch-aligned, so the oracle is pure
+      // integer bucket math.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      val name = s"graft_swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }),
+    "q_dedup_stream" -> ((s, dir) => {
+      // Streaming exact dedup (dropDuplicates state): emits each user_id the
+      // first time it is seen. Projected to the key before dedup, so the
+      // result set is deterministic and oracle-checkable.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val distinctUsers = src.select(col("user_id")).dropDuplicates("user_id")
+      val name = s"graft_sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = distinctUsers.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(name)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -654,6 +779,90 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(CAST(text AS BLOB)) + 15) // 16 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |j AS (
+        |  SELECT *,
+        |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
+        |    LAST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, ms AS ts_ms,
+        |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
+        |  CAST(COALESCE(ms // 1000 - cms // 1000, -1) AS BIGINT) AS gap_s
+        |FROM j WHERE side = 1""".stripMargin,
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |    ('t0', 0, 10000), ('t1', 10000, 20000), ('t2', 20000, 30000),
+        |    ('t3', 30000, 40000), ('t4', 40000, 50000)),
+        |v AS (SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT tier, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM v JOIN tiers ON cents >= lo AND cents < hi
+        |GROUP BY tier""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(cents, 0.5), 6) AS p50,
+        |  round(quantile_cont(cents, 0.9), 6) AS p90,
+        |  round(quantile_cont(cents, 0.99), 6) AS p99
+        |FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 2500000 AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(ROUND(o_totalprice * 100, 0)) AS BIGINT) AS min_cents,
+        |  CAST(MAX(ROUND(o_totalprice * 100, 0)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT event_id, user_id, event_type, hb FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb
+        |  FROM events)
+        |WHERE hb < 5""".stripMargin,
+    "q_train_split" ->
+      """SELECT CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+        |  event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tl, text FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  CAST(len(tl) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tl), 6) AS avg_token_len,
+        |  round(CAST(len(list_filter(tl, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    / len(tl), 6) AS stopword_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS symbol_ratio
+        |FROM t)
+        |SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, symbol_ratio,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN n_tokens > 100000 THEN 'too_long'
+        |       WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'token_len'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbols'
+        |       WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'stopwords'
+        |       ELSE 'ok' END AS verdict
+        |FROM m""".stripMargin,
+    "q_unpivot" ->
+      """SELECT metric, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM (
+        |  SELECT 'quantity' AS metric, CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT) FROM lineitem)
+        |GROUP BY metric""".stripMargin,
+    "q_streaming_window" ->
+      """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dedup_stream" ->
+      "SELECT DISTINCT user_id FROM events",
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

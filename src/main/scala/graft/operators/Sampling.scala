@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training pipelines.
+  *
+  * `df.sample()` is seed-dependent AND partition-dependent — a repartition or
+  * a task retry changes which rows are kept, which poisons train/test splits
+  * and makes results unverifiable. Hashing a stable row id instead gives a
+  * sample that is a pure function of the data: reproducible across engines
+  * (the DuckDB oracle computes the identical buckets), across partitionings,
+  * and across runs — the property a 100 TB train/val/test split actually
+  * needs. Rows hash independently, so the filter pushes down and the
+  * operator is a narrow map (no shuffle at all).
+  */
+object Sampling {
+
+  /** Portable 60-bit hash bucket in [0, buckets): first 15 hex chars of
+    * md5(id-as-string). Identical in DuckDB via
+    * `CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) % buckets`.
+    * 60 bits keeps the value positive and inside exact BIGINT range. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Keep ~`pct`% of rows, deterministically, by id hash. */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < pct)
+
+  /** Assign every row a stable train/val/test split label (80/10/10). */
+  def trainValTestSplit(df: DataFrame, idCol: String): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn(
+      "split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and range
+  * (interval-lookup) join. Both are expressed as compositions that keep the
+  * whole plan shuffle-minimal and AQE-visible — no per-key loops, no
+  * driver-side state, no cartesian products.
+  *
+  * The reference app has no joins at all (SURVEY.md §2.8); these cover the
+  * "nearest prior event" / "value-in-range lookup" shapes every large-scale
+  * event pipeline needs (attribution, tier lookup, config-as-of).
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, attach the payload of the latest
+    * `right` row with the same `key` and `right.time <= left.time`
+    * ("last value at-or-before").
+    *
+    * Algorithm: tag both inputs with a side marker, union them, and take a
+    * running `last(payload, ignoreNulls)` over a per-key window ordered by
+    * `(time, side, tie)` — right rows sort before left rows at equal time,
+    * so "at-or-before" is inclusive; among right rows with equal time the
+    * largest `tie` wins. One hash shuffle on `key` + one sort: the same cost
+    * as a sort-merge join, with no range-duplication or per-key iteration —
+    * this is the 100 TB-safe shape (skewed keys split fine under AQE because
+    * the window is order-dependent only within a key).
+    *
+    * Left rows with no prior right row get nulls in the payload columns.
+    *
+    * @param right      must contain `key`, `timeCol`, `tieCol`, and `payload`
+    * @param payload    right columns to carry; emitted as `asof_<name>`
+    * @param tieCol     per-row unique id on BOTH sides (determinism)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      tieCol: String,
+      payload: Seq[String]): DataFrame = {
+    val asofCols = payload.map(p => s"asof_$p")
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(left.columns.map(col) ++ Seq(col("__side")) ++
+        asofCols.map(c => lit(null).as(c)): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(timeCol), col(tieCol), col("__side")) ++
+        left.columns.filterNot(Set(key, timeCol, tieCol)).map(c => lit(null).as(c)) ++
+        payload.map(p => col(p).as(s"asof_$p")): _*)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(timeCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+    val filled = asofCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range join: `facts` rows matched to `ranges` rows with
+    * `lo <= facts.valueCol < hi` (half-open intervals, long-typed bounds).
+    *
+    * A naive inequality join plans as BroadcastNestedLoopJoin — O(n·m) and a
+    * broadcast-or-bust hazard at scale. Instead each range is exploded into
+    * the fixed-width bins it overlaps (`lo div binSize .. (hi-1) div binSize`)
+    * and the join becomes an equi-join on bin + a residual bound check:
+    * shuffle-partitionable on both sides, so it survives ranges tables far
+    * beyond broadcast size. Pick `binSize` near the typical range width so
+    * the per-range explosion factor stays small.
+    */
+  def rangeJoinBinned(
+      facts: DataFrame,
+      valueCol: String,
+      ranges: DataFrame,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    val binned = ranges.withColumn(
+      "__bin",
+      explode(expr(s"sequence(lo div ${binSize}L, (hi - 1) div ${binSize}L)")))
+    facts
+      .withColumn("__bin", expr(s"$valueCol div ${binSize}L"))
+      .join(binned, Seq("__bin"))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .drop("__bin")
+  }
+}

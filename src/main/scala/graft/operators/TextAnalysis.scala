@@ -63,6 +63,40 @@ object TextAnalysis {
     scored.withColumn("pred_lang", when(best === 0L, lit("und")).otherwise(pred))
   }
 
+  /** Gopher-style document quality gate: cheap, fully-columnar heuristics
+    * (token count, mean token length, stopword ratio, symbol ratio) and a
+    * first-failing-rule verdict. Pure narrow map — filters at 100 TB cost
+    * one scan. Ratio thresholds compare the round(x,6) values so the
+    * boundary is identical in the DuckDB oracle. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val en = stopwords("en")
+    val scored = docs.select(
+      col("doc_id"),
+      col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      round(
+        length(regexp_replace(col(textCol), lit(" "), lit(""))).cast("double") /
+          size(toks).cast("double"),
+        6).as("avg_token_len"),
+      round(
+        size(filter(toks, t => t.isin(en: _*))).cast("double") /
+          size(toks).cast("double"),
+        6).as("stopword_ratio"),
+      round(
+        size(regexp_extract_all(col(textCol), lit("[^\\w\\s]"), lit(0))).cast("double") /
+          greatest(length(col(textCol)), lit(1)).cast("double"),
+        6).as("symbol_ratio"))
+    scored.withColumn(
+      "verdict",
+      when(col("n_tokens") < 10L, "too_short")
+        .when(col("n_tokens") > 100000L, "too_long")
+        .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0, "token_len")
+        .when(col("symbol_ratio") > 0.1, "symbols")
+        .when(col("lang") === "en" && col("stopword_ratio") < 0.01, "stopwords")
+        .otherwise("ok"))
+  }
+
   /** Token frequency per (lang, token) — explode + hash aggregate; partial
     * aggregation (map-side combine) keeps the shuffle proportional to
     * distinct (lang, token), not row count. */
