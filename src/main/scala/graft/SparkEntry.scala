@@ -698,12 +698,19 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
     "q_dedup_minhash" ->
+      // MinHash family: base = (60-bit md5 prefix) mod 2^30, then affine
+      // mixes (A_i·m + B_i) mod (2^31-1) — mirrors TextFunctions.minhashA/B
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, sh,
-         |  [list_min(list_transform(sh, t -> md5(CAST(i AS VARCHAR)||':'||t))) FOR i IN range(0,16)] AS sg
+         |  [list_min(list_transform(sh, t ->
+         |     (((1103515245*(i+1)+12345) % 2147483647)
+         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+         |   FOR i IN range(0,16)] AS sg
          |FROM sh),
          |bands AS (SELECT doc_id, sh,
-         |  [md5(sg[j*4+1]||sg[j*4+2]||sg[j*4+3]||sg[j*4+4]) FOR j IN range(0,4)] AS bk
+         |  [CAST(sg[j*4+1] AS VARCHAR)||'_'||CAST(sg[j*4+2] AS VARCHAR)||'_'||
+         |   CAST(sg[j*4+3] AS VARCHAR)||'_'||CAST(sg[j*4+4] AS VARCHAR) FOR j IN range(0,4)] AS bk
          |FROM sig),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b

