@@ -34,6 +34,28 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_sessionize_gap")(spark, "/root/testdata/sf0.001")
 
+  /** The events table as a file-source stream (ts normalized to
+    * TimestampType), for the Structured-Streaming queries. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drive a streaming DataFrame to completion into a memory sink; return
+    * the drained result table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_ms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Reference parity: sessionization + downstream OLAP (SURVEY §2.5, §2.7)
@@ -506,40 +528,49 @@ object SparkEntry {
       // the windowed-agg surface of Structured Streaming with a full SQL
       // oracle — window(ts, 6h) is UTC-epoch-aligned, so the oracle is pure
       // integer bucket math.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = src
+      val agg = eventsStream(s, dir)
         .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
-      val name = s"graft_swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
+      runToMemory(s, agg, "complete")
     }),
     "q_dedup_stream" -> ((s, dir) => {
       // Streaming exact dedup (dropDuplicates state): emits each user_id the
       // first time it is seen. Projected to the key before dedup, so the
       // result set is deterministic and oracle-checkable.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val distinctUsers = src.select(col("user_id")).dropDuplicates("user_id")
-      val name = s"graft_sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = distinctUsers.writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
+      val distinctUsers = eventsStream(s, dir).select(col("user_id")).dropDuplicates("user_id")
+      runToMemory(s, distinctUsers, "append")
+    }),
+    "q_stream_static_join" -> ((s, dir) => {
+      // Stream-static enrichment join (the 100 TB streaming pattern: facts
+      // stream, dimension broadcast per microbatch) + stateful agg.
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, joined, "complete")
+    }),
+    "q_stream_stream_join" -> ((s, dir) => {
+      // Stream-stream interval self-join: purchases matched to the same
+      // user's clicks within the preceding hour. Watermarks + the time-range
+      // condition bound the join state on both sides (append mode) — the
+      // real Structured Streaming two-stream path, result set deterministic
+      // regardless of trigger chunking.
+      val ev = eventsStream(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "60 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "60 seconds")
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
+      runToMemory(s, j, "append")
     }),
   )
 
@@ -870,6 +901,17 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_dedup_stream" ->
       "SELECT DISTINCT user_id FROM events",
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_ms(p.ts) AS p_ts_ms, epoch_ms(c.ts) AS c_ts_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
