@@ -47,12 +47,23 @@ object SparkEntry {
   }
 
   /** Drive a streaming DataFrame to completion into a memory sink; return
-    * the drained result table. */
+    * the drained result table.
+    *
+    * Stateful streaming allocates one state store per shuffle partition per
+    * stateful operator (a stream-stream join holds four) and checkpoints
+    * each per microbatch — at local bench scale that fixed I/O dominates, so
+    * the stream runs with 8 partitions (the conf is read at query start;
+    * restored after). On a real cluster this knob is sized to state volume,
+    * not CPU count. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_ms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Sampling, Sessionize, Similarity, Temporal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,17 @@ object ScaleSmoke {
     time(s"simhash x${math.max(1, mult / 5)}")(drain(Dedup.simhash(docs)))
     time(s"nearDupCosineBlocked x${math.max(1, mult / 5)}")(
       drain(Similarity.nearDupCosineBlocked(emb, 0.4, nCentroids = 32)))
+    time(s"asofJoin x$mult") {
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      drain(Temporal.asofJoin(p, c, "user_id", "ts_ms", "event_id", Seq("event_id")))
+    }
+    time(s"trainValTestSplit x$mult")(
+      drain(Sampling.trainValTestSplit(events, "event_id")
+        .groupBy(col("split")).agg(count(lit(1)))))
     spark.stop()
   }
 }
