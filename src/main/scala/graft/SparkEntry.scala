@@ -64,7 +64,14 @@ object SparkEntry {
       try q.processAllAvailable()
       finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name)
+    // the memory sink holds the rows on the driver anyway; detach them from
+    // the UUID-named sink table and drop it, or every invocation leaks its
+    // full result for the session lifetime
+    val sink = s.table(name)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    result
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

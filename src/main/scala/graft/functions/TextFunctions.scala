@@ -57,13 +57,17 @@ object TextFunctions {
     * kernel in `Dedup.shingleSigTable`, which hashes each element once. */
   def minhashSignature(toks: Column, k: Int): Column =
     when(size(toks) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0L), lit(k - 1L)),
-        i => {
-          val a = (lit(1103515245L) * (i + lit(1L)) + lit(12345L)) % MinhashP
-          val b = (lit(1103515245L) * (i + lit(17L)) + lit(12345L)) % MinhashP
-          array_min(transform(toks, t => (a * minhashBase(t) + b) % MinhashP))
-        }))
+      .otherwise(
+        // k == 0 must yield []: sequence(0, -1) is the DESCENDING array
+        // [0, -1] in Spark (same trap shingles() guards against)
+        if (k == 0) array().cast("array<bigint>")
+        else transform(
+          sequence(lit(0L), lit(k - 1L)),
+          i => {
+            val a = (lit(1103515245L) * (i + lit(1L)) + lit(12345L)) % MinhashP
+            val b = (lit(1103515245L) * (i + lit(17L)) + lit(12345L)) % MinhashP
+            array_min(transform(toks, t => (a * minhashBase(t) + b) % MinhashP))
+          }))
 
   /** LSH band keys over a MinHash signature: b bands of r rows, each band's
     * signature slice joined to one string key. Two docs collide on a band

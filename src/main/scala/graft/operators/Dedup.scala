@@ -134,7 +134,9 @@ object Dedup {
           sb.toString
         }
         it.map { case (id, text) =>
-          val toks = text.split(" ")
+          // limit -1: keep trailing empty tokens, matching Spark's split()
+          // and DuckDB's string_split (Java split drops trailing empties)
+          val toks = text.split(" ", -1)
           val sh: Array[String] =
             if (toks.length < shingleN) Array.empty
             else {

@@ -21,7 +21,7 @@ object Sampling {
     * `CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) % buckets`.
     * 60 bits keeps the value positive and inside exact BIGINT range. */
   def hashBucket(id: Column, buckets: Int): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+    graft.functions.TextFunctions.tokenHash60(id.cast("string")) % buckets
 
   /** Keep ~`pct`% of rows, deterministically, by id hash. */
   def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =

@@ -41,25 +41,28 @@ object Temporal {
       timeCol: String,
       tieCol: String,
       payload: Seq[String]): DataFrame = {
-    val asofCols = payload.map(p => s"asof_$p")
+    // The payload travels as ONE nullable struct so the window picks the
+    // latest right ROW atomically — per-column last(ignoreNulls) would mix
+    // fields from different right rows whenever a payload field is NULL.
+    val payloadType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__side", lit(1))
       .select(left.columns.map(col) ++ Seq(col("__side")) ++
-        asofCols.map(c => lit(null).as(c)): _*)
+        Seq(lit(null).cast(payloadType).as("__asof")): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(timeCol), col(tieCol), col("__side")) ++
         left.columns.filterNot(Set(key, timeCol, tieCol)).map(c => lit(null).as(c)) ++
-        payload.map(p => col(p).as(s"asof_$p")): _*)
+        Seq(struct(payload.map(p => col(p).as(p)): _*).as("__asof")): _*)
     val w = Window
       .partitionBy(col(key))
       .orderBy(col(timeCol), col("__side"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(r)
-    val filled = asofCols.foldLeft(joined) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
   /** Range join: `facts` rows matched to `ranges` rows with
@@ -77,15 +80,19 @@ object Temporal {
       facts: DataFrame,
       valueCol: String,
       ranges: DataFrame,
-      binSize: Long): DataFrame = {
+      binSize: Long,
+      loCol: String = "lo",
+      hiCol: String = "hi"): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
+    require(!facts.columns.contains("__bin") && !ranges.columns.contains("__bin"),
+      "inputs must not already contain a __bin column")
     val binned = ranges.withColumn(
       "__bin",
-      explode(expr(s"sequence(lo div ${binSize}L, (hi - 1) div ${binSize}L)")))
+      explode(expr(s"sequence($loCol div ${binSize}L, ($hiCol - 1) div ${binSize}L)")))
     facts
       .withColumn("__bin", expr(s"$valueCol div ${binSize}L"))
       .join(binned, Seq("__bin"))
-      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
 }
