@@ -6,10 +6,24 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are evaluated through the `noop` sink, not `.count()` — count lets
   * Catalyst prune every computed column, which under-times map-heavy queries
-  * (a simhash query "ran" in 0.4 s while computing nothing). A first untimed
-  * warm-up run of the cheapest query absorbs JVM/codegen/session start-up so
-  * per-query numbers are comparable. */
+  * (a simhash query "ran" in 0.4 s while computing nothing).
+  *
+  * Noise isolation (round-2 lesson): a single alphabetical pass let the two
+  * stream-stream-join queries dump state-store/memory-sink teardown + GC debt
+  * on whichever query ran next — `q_string_date` recorded 8.9 s in the
+  * driver's BENCH_r02 vs 1.27 s on a clean re-run, a 15% error on the total.
+  * Countermeasures here:
+  *  - the five streaming queries run as a SEPARATE TRAILING PHASE, so their
+  *    checkpoint/state teardown can't contaminate batch timings;
+  *  - every query runs TWICE and reports the MIN — a GC pause or lagging
+  *    teardown inflates one run, not both;
+  *  - an explicit GC + settle between phases and after the warm-up.
+  */
 object Bench {
+  private val StreamingQueries = Set(
+    "q_sessionize_stream", "q_streaming_window", "q_dedup_stream",
+    "q_stream_static_join", "q_stream_stream_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,14 +40,29 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    def settle(): Unit = { System.gc(); Thread.sleep(300) }
+
+    /** min-of-2 timed runs (seconds); failures count as the observed time. */
+    def timeMin2(name: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try evaluate(name) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
     // warm-up: JVM + parquet footer caches + codegen paths (untimed)
     try evaluate("q_uniq_visitors") catch { case _: Throwable => }
+    settle()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try evaluate(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val (streaming, batch) = SparkEntry.queries.keys.toSeq.sorted
+      .partition(StreamingQueries)
+    val batchResults = batch.map(n => n -> timeMin2(n))
+    settle() // batch numbers are final before any streaming state exists
+    val streamResults = streaming.map(n => n -> timeMin2(n))
+
+    val results = (batchResults ++ streamResults).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

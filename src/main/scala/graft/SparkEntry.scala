@@ -54,16 +54,31 @@ object SparkEntry {
     * each per microbatch — at local bench scale that fixed I/O dominates, so
     * the stream runs with 8 partitions (the conf is read at query start;
     * restored after). On a real cluster this knob is sized to state volume,
-    * not CPU count. */
+    * not CPU count.
+    *
+    * State lives in the RocksDB state store (reference parity: the Flink job
+    * assumes a RocksDB backend, reference README.md:92-100) — off-heap,
+    * incremental-checkpoint-capable, the provider a production deployment
+    * would run. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_ms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // the memory sink holds the rows on the driver anyway; detach them from
     // the UUID-named sink table and drop it, or every invocation leaks its
     // full result for the session lifetime
@@ -427,6 +442,10 @@ object SparkEntry {
       // the result equals batch full-rule sessionize (proven per-trigger-
       // split-independent in StreamingSpec). No SQL oracle: sequential
       // state-machine semantics (rows-only check, same as q_sessionize_full).
+      // RocksDB state store for reference parity (see runToMemory).
+      s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
       val src = s.readStream
@@ -573,8 +592,13 @@ object SparkEntry {
       // Stream-stream interval self-join: purchases matched to the same
       // user's clicks within the preceding hour. Watermarks + the time-range
       // condition bound the join state on both sides (append mode) — the
-      // real Structured Streaming two-stream path, result set deterministic
-      // regardless of trigger chunking.
+      // real Structured Streaming two-stream path. Determinism caveat: the
+      // 60 s watermark against a 1 h join interval is safe HERE because the
+      // single events.parquet file arrives as one microbatch (and
+      // StreamingJoinSpec's chunked replay feeds event-time-ordered chunks);
+      // a source that splits time-unsorted data across microbatches could
+      // late-drop rows >60 s behind the max seen event time. Size the
+      // watermark to the data's maximum disorder in such deployments.
       val ev = eventsStream(s, dir)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))

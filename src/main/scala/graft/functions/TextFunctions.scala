@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * DuckDB* so the driver's oracle can mirror each computation exactly:
   *  - token hash = first 15 hex digits of md5 → 60-bit non-negative long
   *    (DuckDB: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`)
-  *  - MinHash   = min over tokens of md5("<i>:" + token), i = hash index
+  *  - MinHash   = ONE md5 per element → 30-bit base m = (60-bit prefix)
+  *    mod 2^30, then k affine mixes h_i(m) = (A_i·m + B_i) mod (2^31 − 1)
+  *    (see [[minhashA]]/[[minhashB]]); min over elements per i
   *  - shingles  = n-gram word windows joined with '_'
   */
 object TextFunctions {

@@ -149,9 +149,12 @@ object Dedup {
               b.toArray
             }
           // one md5 per shingle -> 30-bit base; k affine mixes per base
-          // (same family as TextFunctions.minhashSignature / the oracle)
+          // (same family as TextFunctions.minhashSignature / the oracle).
+          // k == 0 (signature-less profiling callers) must be null too: an
+          // EMPTY signature would band every doc to the identical '' key —
+          // the giant-bucket failure mode the null design exists to avoid.
           val sig: Array[Long] =
-            if (sh.isEmpty) null
+            if (sh.isEmpty || numHashes == 0) null
             else {
               val bases = new Array[Long](sh.length)
               var j = 0

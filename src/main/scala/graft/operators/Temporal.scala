@@ -86,9 +86,15 @@ object Temporal {
     require(binSize > 0, s"binSize must be positive: $binSize")
     require(!facts.columns.contains("__bin") && !ranges.columns.contains("__bin"),
       "inputs must not already contain a __bin column")
-    val binned = ranges.withColumn(
-      "__bin",
-      explode(expr(s"sequence($loCol div ${binSize}L, ($hiCol - 1) div ${binSize}L)")))
+    // Degenerate ranges (hi <= lo) match nothing under half-open semantics,
+    // but an inverted range would make sequence() DESCEND and enumerate every
+    // bin from lo down to hi — a potentially huge explode (the same trap
+    // shingles() guards against). Filter them out before binning.
+    val binned = ranges
+      .filter(col(hiCol) > col(loCol))
+      .withColumn(
+        "__bin",
+        explode(expr(s"sequence($loCol div ${binSize}L, ($hiCol - 1) div ${binSize}L)")))
     facts
       .withColumn("__bin", expr(s"$valueCol div ${binSize}L"))
       .join(binned, Seq("__bin"))

@@ -43,17 +43,27 @@ object ElbLogParser {
     val toks = split(col("value"), "\\s+")
     // get() (not getItem) -> NULL on out-of-bounds instead of an ANSI error.
     val t0 = get(toks, lit(0))
+    // Variable fraction width (0-9 digits, parseLine's ISO_OFFSET_DATE_TIME
+    // tolerance) handled with ONE parse, not a 10-pattern coalesce (which
+    // ran up to 10 interpreted parse attempts per row): a single regexp
+    // rewrite pads/truncates the fraction to exactly 6 digits (Spark
+    // timestamps are microseconds — 7-9 digit fractions floor to micros,
+    // matching OffsetDateTime.toInstant.toEpochMilli's truncation), then one
+    // try_to_timestamp with the canonical pattern. Rows whose token 0 does
+    // not match the ISO shape pass through unchanged and fail that single
+    // parse -> NULL -> dropped, same tolerance as before.
+    val normalized = regexp_replace(
+      t0,
+      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9})(?!\\d))?(.*)$",
+      "$1.$2000000$3")
+    val fracTrimmed = regexp_replace(
+      normalized,
+      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6})\\d*(.*)$",
+      "$1$2")
     lines
       .select(
         t0.as("timestamp"),
-        // ISO-8601 with variable fraction width, 0-9 digits (matching
-        // parseLine's ISO_OFFSET_DATE_TIME tolerance): Spark patterns need
-        // the exact S count, so try each width, most common first.
-        coalesce(
-          (Seq(6, 3, 0, 9, 8, 7, 5, 4, 2, 1).map { w =>
-            val frac = if (w == 0) "" else "." + "S" * w
-            try_to_timestamp(t0, lit(s"yyyy-MM-dd'T'HH:mm:ss${frac}XXX"))
-          }): _*).as("ts"),
+        try_to_timestamp(fracTrimmed, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("ts"),
         get(toks, lit(2)).as("ip"))
       .filter(col("ts").isNotNull && col("ip").isNotNull)
   }
