@@ -560,6 +560,51 @@ object SparkEntry {
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }),
+    // ---- Round 3: RANGE-frame windows, global sort, approx percentiles
+    "q_window_range" -> ((s, dir) => {
+      // RANGE-frame window (the value-based frame type rowsBetween can't
+      // express): trailing-30-day spend per customer. The frame is keyed on
+      // integer days-since-epoch, so ties (same customer, same day) share
+      // one frame and the result is deterministic under any row order.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      // o_orderdate is parquet timestamp[ms] without tz -> TIMESTAMP_NTZ;
+      // cast through TIMESTAMP (session tz is UTC, so the cast is identity)
+      // for unix_millis.
+      table(s, dir, "orders")
+        .withColumn("day", expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .withColumn("cents", cents)
+        .withColumn("trailing_cents", sum(col("cents")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"), col("trailing_cents"))
+    }),
+    "q_global_sort" -> ((s, dir) =>
+      // Full global sort (not top-k): plans a range-partitioned Exchange +
+      // per-partition sort — the scalable total-order path (sampled range
+      // boundaries, no single-reducer bottleneck). Plan shape + cross-
+      // partition ordering asserted in Round3OperatorsSpec; the driver's
+      // hash compare is order-insensitive by construction.
+      table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_totalprice"))
+        .orderBy(col("odate_ms"), col("o_orderkey"))),
+    "q_approx_percentile" -> ((s, dir) =>
+      // Sketch-based percentile (approx_percentile) — the 100 TB variant of
+      // q_percentile's exact sort-based path: fixed-size mergeable sketch
+      // per group, no full sort. Sketch internals differ across engines ->
+      // rows-only check by design (the exact twin is fully oracled).
+      table(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(cents, array(0.5D, 0.9D, 0.99D), 10000)").as("p"))
+        .select(
+          col("event_type"),
+          element_at(col("p"), 1).as("ap50"),
+          element_at(col("p"), 2).as("ap90"),
+          element_at(col("p"), 3).as("ap99"))),
+
     "q_streaming_window" -> ((s, dir) => {
       // Streaming tumbling-window aggregation (complete mode, memory sink):
       // the windowed-agg surface of Structured Streaming with a full SQL
@@ -937,6 +982,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT) FROM lineitem
         |  UNION ALL SELECT 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT) FROM lineitem)
         |GROUP BY metric""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 86400000 AS day,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+        |FROM orders""".stripMargin,
+    "q_global_sort" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_totalprice
+        |FROM orders ORDER BY odate_ms, o_orderkey""".stripMargin,
     "q_streaming_window" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
         |  COUNT(*) AS n

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, all shuffle-based
@@ -31,15 +32,18 @@ object Dedup {
     * Scale: the only quadratic step is within a single band bucket; with
     * r rows per band P(bucket-collide) = J^r, so buckets stay tiny for
     * non-duplicate mass. Pathological buckets (giant duplicate clusters)
-    * are an inherent property of the data — cap with a bucket-size guard
-    * upstream if needed. No driver materialization anywhere. */
+    * are an inherent property of the data — they are hard-capped at
+    * `maxBucketSize`, above which a bucket degrades to O(n) star pairs
+    * (see [[boundedBucketPairs]]) instead of OOM-ing. No driver
+    * materialization anywhere. */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 16,
       bands: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
@@ -57,24 +61,97 @@ object Dedup {
     // materialized here), recomputing the md5 signature pipeline per side.
     // Grouping computes it ONCE: one shuffle on (band_idx, band_key), sorted
     // id list per bucket, columnar i<j pair expansion. Bucket lists are
-    // bounded by duplicate-cluster size (P(collide) = J^r for non-dups);
-    // a giant bucket means a giant duplicate cluster — cap upstream if the
-    // corpus warrants it.
-    val buckets = exploded
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // bounded by duplicate-cluster size (P(collide) = J^r for non-dups) AND
+    // hard-capped at maxBucketSize (see boundedBucketPairs) so a giant
+    // duplicate cluster degrades to O(n) star pairs instead of OOM-ing an
+    // aggregation buffer.
+    boundedBucketPairs(exploded, idCol, maxBucketSize, payload = None)
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
-  /** All i<j pairs from a sorted id array, as structs (doc_a, doc_b). */
-  private def pairCombinations(ids: org.apache.spark.sql.Column) =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)), y =>
-        struct(x.as("doc_a"), y.as("doc_b")))))
+  /** Band buckets larger than this emit O(n) star pairs instead of O(n²)
+    * all-pairs (see [[boundedBucketPairs]]). 1024 keeps every aggregation
+    * buffer ≤ 1024 structs while leaving ordinary duplicate clusters (tens
+    * to hundreds of members) on the exact all-pairs path. */
+  val DefaultMaxBucketSize: Int = 1024
+
+  /** Expand LSH band buckets into candidate pairs with a bounded-memory
+    * guarantee.
+    *
+    * Input must have columns (band_idx, band_key, idCol[, payload]). One
+    * shuffle on the band keys; per-bucket size `n` and anchor (min id, plus
+    * its payload) are computed with WINDOW functions — window buffers spill
+    * to disk, unlike aggregation buffers, so no bucket can OOM this stage.
+    * Then:
+    *  - n ≤ maxBucketSize: the classic all-pairs expansion (collect_list is
+    *    now provably bounded by maxBucketSize elements per buffer);
+    *  - n > maxBucketSize: star pairs (anchor, member) for EVERY member —
+    *    O(n) output that preserves duplicate-cluster connectivity (any
+    *    downstream connected-components/keep-min-id pass groups the cluster
+    *    exactly as the clique would), without materializing the bucket
+    *    anywhere.
+    * A bucket that large is, with overwhelming probability, one giant
+    * duplicate cluster: r-row band collisions for non-dups occur at J^r.
+    * Both branches share the shuffled band table via ReusedExchange (same
+    * plan subtree — asserted in Round3OperatorsSpec).
+    *
+    * @param payload optional (payloadCol in input) → emitted as (sh_a, sh_b)
+    */
+  private def boundedBucketPairs(
+      exploded: DataFrame,
+      idCol: String,
+      maxBucketSize: Int,
+      payload: Option[String]): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1: $maxBucketSize")
+    val keys = Seq(col("band_idx"), col("band_key"))
+    val wBucket = Window.partitionBy(keys: _*)
+    val wOrdered = wBucket.orderBy(col(idCol))
+    val marked0 = exploded
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .withColumn("__anchor", first(col(idCol)).over(wOrdered))
+    val marked = payload match {
+      case Some(p) => marked0.withColumn("__anchor_pl", first(col(p)).over(wOrdered))
+      case None => marked0
+    }
+    val small = {
+      val collected = payload match {
+        case Some(p) => struct(col(idCol).as("id"), col(p).as("pl"))
+        case None => struct(col(idCol).as("id"))
+      }
+      // groupBy on the window's partition keys: the child is already hash-
+      // partitioned on them, so no second Exchange is planned here.
+      marked.filter(col("__n") <= maxBucketSize)
+        .groupBy(keys: _*)
+        .agg(array_sort(collect_list(collected)).as("rows"))
+        .filter(size(col("rows")) > 1)
+        .select(explode(pairCombinationsStruct(col("rows"), payload.isDefined)).as("p"))
+        .select(col("p.*"))
+    }
+    val big = {
+      val base = marked.filter(col("__n") > maxBucketSize && col(idCol) > col("__anchor"))
+      payload match {
+        case Some(p) =>
+          base.select(
+            col("__anchor").as("doc_a"), col(idCol).as("doc_b"),
+            col("__anchor_pl").as("sh_a"), col(p).as("sh_b"))
+        case None =>
+          base.select(col("__anchor").as("doc_a"), col(idCol).as("doc_b"))
+      }
+    }
+    small.unionByName(big)
+  }
+
+  /** All i<j pairs from a sorted array of (id[, pl]) structs. */
+  private def pairCombinationsStruct(rows: Column, withPayload: Boolean): Column =
+    flatten(transform(rows, (x, i) =>
+      transform(slice(rows, i + lit(2), size(rows)), y =>
+        if (withPayload)
+          struct(
+            x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
+            x.getField("pl").as("sh_a"), y.getField("pl").as("sh_b"))
+        else
+          struct(x.getField("id").as("doc_a"), y.getField("id").as("doc_b")))))
 
   /** Materialized per-doc shingle arrays, spread across cores.
     *
@@ -199,7 +276,8 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val st = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
@@ -208,13 +286,7 @@ object Dedup {
       .select(
         col(idCol), col("__sh"),
         posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
-    val buckets = exploded
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__sh").as("sh")))).as("rows"))
-      .filter(size(col("rows")) > 1)
-    buckets
-      .select(explode(pairCombinationsWithPayload(col("rows"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sh_a"), col("p.sh_b"))
+    boundedBucketPairs(exploded, idCol, maxBucketSize, payload = Some("__sh"))
       // a pair can surface from several bands: dedupe BEFORE the jaccard so
       // the set math runs once per pair (sh_* is functionally determined by
       // the id, so first() is deterministic here)
@@ -224,14 +296,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
-
-  /** All i<j pairs from a sorted (id, sh) struct array, both payloads kept. */
-  private def pairCombinationsWithPayload(rows: org.apache.spark.sql.Column) =
-    flatten(transform(rows, (x, i) =>
-      transform(slice(rows, i + lit(2), size(rows)), y =>
-        struct(
-          x.getField("id").as("doc_a"), y.getField("id").as("doc_b"),
-          x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))
 
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at

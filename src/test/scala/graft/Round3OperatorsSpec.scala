@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Round-3 hardening: bounded MinHash band buckets (giant-duplicate-cluster
+  * OOM guard), global-sort plan shape, range-join degenerate-range guard,
+  * and the k=0 null-signature contract. */
+class Round3OperatorsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  /** A corpus with one giant duplicate cluster (`copies`× the same long
+    * text) plus unrelated distinct docs. Texts are ≥ 3 tokens so every doc
+    * shingles. */
+  private def clusterCorpus(copies: Int, distinct: Int) = {
+    val dup = (0 until copies).map(i =>
+      (i.toLong, "the same duplicated text body repeated verbatim across the cluster"))
+    val uniq = (0 until distinct).map(i =>
+      (100000L + i, s"unique document number $i speaking about topic $i in its own words ${i * 31}"))
+    (dup ++ uniq).toDF("doc_id", "text")
+  }
+
+  test("nearDupMinhash: giant cluster degrades to star pairs, stays connected, no quadratic blowup") {
+    val n = 3000
+    val docs = clusterCorpus(n, distinct = 20)
+    val got = Dedup
+      .nearDupMinhash(docs, threshold = 0.5, maxBucketSize = 64)
+      .collect()
+    // star expansion: anchor (min id 0) paired with every other member once —
+    // O(n) pairs, not n*(n-1)/2 ≈ 4.5M
+    assert(got.length === n - 1)
+    assert(got.forall(r => r.getLong(0) == 0L), "every pair anchored at min id")
+    assert(got.map(_.getLong(1)).toSet === (1L until n.toLong).toSet,
+      "every cluster member reachable from the anchor (connectivity preserved)")
+    assert(got.forall(_.getDouble(2) == 1.0), "identical texts verify at jaccard 1.0")
+  }
+
+  test("nearDupMinhash: results identical with and without the cap when no bucket exceeds it") {
+    val docs = clusterCorpus(copies = 8, distinct = 30)
+    val capped = Dedup.nearDupMinhash(docs, 0.5, maxBucketSize = 64)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val wide = Dedup.nearDupMinhash(docs, 0.5, maxBucketSize = 1 << 20)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(capped === wide)
+    // 8-copy cluster is below the cap -> full clique, 8*7/2 pairs
+    assert(capped.count(r => r.getLong(0) < 100000L && r.getLong(1) < 100000L) === 28)
+  }
+
+  test("minhashCandidates: star path emits anchor pairs for oversized buckets") {
+    val docs = clusterCorpus(copies = 200, distinct = 10)
+    val got = Dedup.minhashCandidates(docs, maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(got === (1L until 200L).map(i => (0L, i)).toSet)
+  }
+
+  test("boundedBucketPairs plan: band shuffle is shared via ReusedExchange, collect_list only behind the cap filter") {
+    val docs = clusterCorpus(copies = 8, distinct = 8)
+    val df = Dedup.nearDupMinhash(docs, 0.5, maxBucketSize = 64)
+    df.collect() // AQE finalizes exchange reuse only at execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the small/big branches must reuse ONE shuffled band table — a second
+    // kernel run would double the dominant cost at scale
+    assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+  }
+
+  test("rangeJoinBinned ignores degenerate and inverted ranges") {
+    val facts = Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("id", "v")
+    val ranges = Seq(
+      ("ok", 0L, 10L),
+      ("empty", 20L, 20L),     // lo == hi: half-open empty
+      ("inverted", 1000L, 0L)) // hi < lo: would explode 100 descending bins
+      .toDF("tier", "lo", "hi")
+    val got = Temporal.rangeJoinBinned(facts, "v", ranges, binSize = 10L)
+      .select("id", "tier").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "ok")))
+  }
+
+  test("shingleSigTable returns null signature for numHashes = 0") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val row = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0).collect().head
+    assert(row.isNullAt(2), "k=0 must yield a NULL signature, never an empty one")
+  }
+
+  test("q_global_sort plans a range-partitioned sort with ordered partitions") {
+    val df = SparkEntry.queries("q_global_sort")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), s"expected range partitioning in:\n$plan")
+    // cross-partition global order: per-partition [min,max] spans must not overlap
+    val spans = df.select("odate_ms", "o_orderkey").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val keys = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (keys.isEmpty) Iterator.empty
+        else Iterator((i, keys.min, keys.max, keys == keys.sorted))
+      }.collect().sortBy(_._1)
+    assert(spans.forall(_._4), "each partition internally sorted")
+    assert(spans.sliding(2).forall {
+      case Array(a, b) => Ordering[(Long, Long)].lteq(a._3, b._2)
+      case _ => true
+    }, "partition spans must be disjoint and ascending")
+  }
+
+  test("q_window_range trailing sum matches a brute-force per-row filter") {
+    val df = SparkEntry.queries("q_window_range")(spark, sf0001)
+      .select("o_custkey", "o_orderkey", "day", "trailing_cents")
+      .as[(Long, Long, Long, Long)].collect()
+    val orders = SparkEntry.table(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byCust = orders.groupBy(_._1)
+    val expected = orders.map { case (c, k, d, _) =>
+      (c, k) -> byCust(c).filter(o => o._3 >= d - 29 && o._3 <= d).map(_._4).sum
+    }.toMap
+    assert(df.length === orders.length)
+    df.foreach { case (c, k, _, t) => assert(t === expected((c, k)), s"cust $c order $k") }
+  }
+}
