@@ -33,10 +33,36 @@ object RealtimeSessionize {
       engine: String = "fmgws", // fmgws = flatMapGroupsWithState | tws = transformWithState
       kafkaBootstrap: String = "",
       topicIn: String = "sessionize-in",
-      topicOut: String = "sessionize-out")
+      topicOut: String = "sessionize-out",
+      // Reference parity (fakeTs debug shift, reference
+      // RealtimeSessionize.scala:124-128): the reference shifts replayed
+      // timestamps by (now - baseline) under --debug; ours takes the offset
+      // EXPLICITLY so replays stay deterministic and testable. 0 = off.
+      tsShiftMs: Long = 0L)
+
+  /** Apply a flat config map (see [[graft.sources.ConfLoader]]) as option
+    * DEFAULTS — explicit CLI flags override. Kafka keys match the
+    * reference's conf/sessionize.conf names. */
+  private def withConf(o: Options, conf: Map[String, String]): Options = {
+    def s(k: String, cur: String): String = conf.getOrElse(k, cur)
+    def l(k: String, cur: Long): Long = conf.get(k).map(_.toLong).getOrElse(cur)
+    o.copy(
+      source = s("source", o.source),
+      sink = s("sink", o.sink),
+      mode = s("mode", o.mode),
+      path = s("path", o.path),
+      out = s("out", o.out),
+      gapSec = l("gap.sec", o.gapSec),
+      engine = s("engine", o.engine),
+      kafkaBootstrap = s("kafka.bootstrap.servers", o.kafkaBootstrap),
+      topicIn = s("kafka.topic.in", o.topicIn),
+      topicOut = s("kafka.topic.out", o.topicOut),
+      tsShiftMs = l("ts.shift.ms", o.tsShiftMs))
+  }
 
   def parseArgs(args: Array[String]): Options = {
     def loop(rest: List[String], o: Options): Options = rest match {
+      case "--conf" :: _ :: t => loop(t, o) // handled in the pre-pass below
       case "--source" :: v :: t => loop(t, o.copy(source = v))
       case "--sink" :: v :: t => loop(t, o.copy(sink = v))
       case "--mode" :: v :: t => loop(t, o.copy(mode = v))
@@ -47,10 +73,15 @@ object RealtimeSessionize {
       case "--kafka-bootstrap" :: v :: t => loop(t, o.copy(kafkaBootstrap = v))
       case "--topic-in" :: v :: t => loop(t, o.copy(topicIn = v))
       case "--topic-out" :: v :: t => loop(t, o.copy(topicOut = v))
+      case "--ts-shift-ms" :: v :: t => loop(t, o.copy(tsShiftMs = v.toLong))
       case Nil => o
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
-    val o = loop(args.toList, Options())
+    // conf file supplies DEFAULTS; flags (parsed second) override them
+    val defaults = args.toList.sliding(2).collectFirst {
+      case "--conf" :: path :: Nil => withConf(Options(), graft.sources.ConfLoader.load(path))
+    }.getOrElse(Options())
+    val o = loop(args.toList, defaults)
     require(Set("local", "kafka")(o.source), s"invalid source: ${o.source}")
     require(Set("local", "kafka")(o.sink), s"invalid sink: ${o.sink}")
     require(Set("batch", "stream")(o.mode), s"invalid mode: ${o.mode}")
@@ -78,11 +109,17 @@ object RealtimeSessionize {
     finally spark.stop()
   }
 
+  /** Reference fakeTs parity: shift event time by a fixed offset (replay
+    * logs as if they happened now). Integer-millis arithmetic, codegen'd. */
+  private def shiftTs(df: org.apache.spark.sql.DataFrame, shiftMs: Long) =
+    if (shiftMs == 0L) df
+    else df.withColumn("ts", timestamp_millis(unix_millis(col("ts")) + shiftMs))
+
   def run(spark: SparkSession, o: Options): Unit = {
     val cfg = SessionConfig(gapSec = o.gapSec)
     if (o.mode == "batch") {
       val lines = spark.read.text(o.path)
-      val parsed = ElbLogParser.parse(lines)
+      val parsed = shiftTs(ElbLogParser.parse(lines), o.tsShiftMs)
       val sessionized = Sessionize
         .fullSessionize(parsed.withColumn("tieBreak", lit(0L)),
           key = "ip", ts = "ts", tieBreak = "tieBreak", cfg = cfg)
@@ -99,7 +136,7 @@ object RealtimeSessionize {
       val lines =
         if (o.source == "kafka") Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn)
         else Streams.fileLines(spark, o.path)
-      val parsed = ElbLogParser.parse(lines)
+      val parsed = shiftTs(ElbLogParser.parse(lines), o.tsShiftMs)
         .select(col("ip").as("key"), col("ts"), lit(0L).as("tieBreak"))
       val sessionized =
         if (o.engine == "tws") SessionizeProcessor.sessionize(parsed, cfg)

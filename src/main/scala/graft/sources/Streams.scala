@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    semantics delta (SURVEY.md §7.4), not silently glossed;
   *  - the reference's sink bug (fresh Properties with empty
   *    bootstrap.servers, `:162-163`) is intentionally NOT reproduced.
-  * The Kafka connector jar is not present in this container, so these paths
-  * are compile-checked and config-complete but exercised only in
-  * environments that ship spark-sql-kafka. */
+  * The Kafka connector jar is not present in this container (verified:
+  * `spark-sql-kafka-0-10_2.13:4.1.2` is absent from both /opt/spark/jars
+  * and the offline dependency mirror — resolution attempt documented in
+  * build.sbt), so these paths are config-complete but exercised only in
+  * environments that ship spark-sql-kafka. KafkaUnavailableSpec pins the
+  * exact in-container failure mode so the gap is tested, not assumed. */
 object Streams {
 
   /** Streaming text-file source (reference `readTextFile`, but a directory —

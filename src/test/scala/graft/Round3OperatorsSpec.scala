@@ -99,6 +99,43 @@ class Round3OperatorsSpec extends SparkFunSuite {
     }, "partition spans must be disjoint and ascending")
   }
 
+  // -- asofJoin property test (round-2 queued item) -------------------------
+
+  /** Random (event_id, key, t) tables with heavy time ties across few keys —
+    * the regime where the (time, side, tie) ordering rules actually bite.
+    * Raw ScalaCheck with fixed seeds (no scalatestplus on the offline
+    * classpath); few samples because every sample is a full Spark job. */
+  private def randomTable(seed: Long, idBase: Long): Seq[(Long, Long, Long)] = {
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (idBase + i, k, t) }
+    gen(Gen.Parameters.default, rng.Seed(seed)).get
+  }
+
+  test("asofJoin property: equals brute-force latest-at-or-before under ties, any partitioning") {
+    (1 to 12).foreach { sample =>
+      val rightRows = randomTable(sample.toLong, idBase = 1000L)
+      val leftRows = randomTable(sample.toLong + 500L, idBase = 9000L)
+      val left = leftRows.toDF("event_id", "user_id", "t")
+      val right = rightRows.toDF("event_id", "user_id", "t")
+      val expected = leftRows.map { case (id, k, t) =>
+        val cands = rightRows.filter(r => r._2 == k && r._3 <= t)
+        // inclusive at-or-before; among time ties the largest tie-break wins
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      def got(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        Temporal.asofJoin(l, r, "user_id", "t", "event_id", payload = Seq("event_id"))
+          .select($"event_id", $"asof_event_id")
+          .as[(Long, Option[Long])].collect().toMap
+      assert(got(left, right) === expected, s"sample $sample")
+      if (sample <= 3) // partition invariance, spot-checked (each run is a job)
+        assert(got(left.repartition(7), right.repartition(3)) === expected,
+          s"sample $sample repartitioned")
+    }
+  }
+
   test("q_window_range trailing sum matches a brute-force per-row filter") {
     val df = SparkEntry.queries("q_window_range")(spark, sf0001)
       .select("o_custkey", "o_orderkey", "day", "trailing_cents")
