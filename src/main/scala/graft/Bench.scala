@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val StreamingQueries = Set(
-    "q_sessionize_stream", "q_streaming_window", "q_dedup_stream",
-    "q_stream_static_join", "q_stream_stream_join")
+    "q_sessionize_stream", "q_sessionize_stream_tws", "q_streaming_window",
+    "q_dedup_stream", "q_stream_static_join", "q_stream_stream_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

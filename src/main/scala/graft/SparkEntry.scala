@@ -68,6 +68,12 @@ object SparkEntry {
     s.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: per-batch checkpoint = the delta log, not a
+    // full RocksDB snapshot — the production setting for frequent small
+    // microbatches (snapshots still happen, asynchronously, every
+    // minDeltasForSnapshot batches)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable()
@@ -87,6 +93,47 @@ object SparkEntry {
       java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     s.sql(s"DROP TABLE IF EXISTS $name")
     result
+  }
+
+  /** Drive an APPEND-mode streaming DataFrame to completion into a parquet
+    * file sink and read the files back — the scale-correct drain: results
+    * go executor→disk, never through the driver (`runToMemory`'s memory
+    * sink + collect stays only for COMPLETE-mode aggregations, which the
+    * file sink cannot express). Same partition/state-store scoping as
+    * runToMemory. */
+  private def runToFiles(s: SparkSession, df: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_fs_")
+    val data = root.resolve("data").toString
+    val ckpt = root.resolve("_checkpoint").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: per-batch checkpoint = the delta log, not a
+    // full RocksDB snapshot — the production setting for frequent small
+    // microbatches (snapshots still happen, asynchronously, every
+    // minDeltasForSnapshot batches)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // explicit schema: an all-filtered-out stream leaves no files to infer from
+    s.read.schema(df.schema).parquet(data)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -442,10 +489,7 @@ object SparkEntry {
       // the result equals batch full-rule sessionize (proven per-trigger-
       // split-independent in StreamingSpec). No SQL oracle: sequential
       // state-machine semantics (rows-only check, same as q_sessionize_full).
-      // RocksDB state store for reference parity (see runToMemory).
-      s.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // RocksDB state store for reference parity (set in runToFiles).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
       val src = s.readStream
@@ -454,12 +498,36 @@ object SparkEntry {
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sessionized = graft.streaming.SessionizeStream.sessionizeEvents(src)
-      val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = sessionized.writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(name)
+      runToFiles(s, sessionized.toDF())
+        .select(
+          col("tieBreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("tsMillis").as("ts_ms"),
+          col("sessionId").as("session_id"),
+          col("sessionIdx").as("session_idx"),
+          col("duration"))
+    }),
+    "q_sessionize_stream_tws" -> ((s, dir) => {
+      // The transformWithState tier (Spark 4 stateful API, SPARK-40434) of
+      // the same streaming sessionizer — typed ValueState handle +
+      // declarative TTL instead of flatMapGroupsWithState's per-call
+      // wrapper. REQUIRES the RocksDB provider (set in runToFiles).
+      // TimeMode.None for replay: no timers, so processAllAvailable drains.
+      // Rows-only check, same as the fMGWS tier; cross-tier equality is
+      // asserted in CrossImplFuzzSpec/StreamingSpec.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_id").as("tieBreak"))
+      val sessionized = graft.streaming.SessionizeProcessor.sessionize(src)
+      runToFiles(s, sessionized.toDF())
         .select(
           col("tieBreak").as("event_id"),
           col("key").cast("long").as("user_id"),
@@ -605,6 +673,32 @@ object SparkEntry {
           element_at(col("p"), 2).as("ap90"),
           element_at(col("p"), 3).as("ap99"))),
 
+    "q_stats_agg" -> ((s, dir) =>
+      // Statistical aggregate family (stddev/variance/corr/covar) — both
+      // engines use numerically-stable merge formulas; round(x, 6) absorbs
+      // the sub-1e-10 float jitter (values are O(10-1e5), 60k rows).
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))),
+    "q_window_ntile" -> ((s, dir) => {
+      // Distribution-window family: ntile/percent_rank/cume_dist over a
+      // total order (cents desc, key) so every rank is deterministic.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(cents.desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("quartile"), col("pct_rank"), col("cume"))
+    }),
+
     "q_streaming_window" -> ((s, dir) => {
       // Streaming tumbling-window aggregation (complete mode, memory sink):
       // the windowed-agg surface of Structured Streaming with a full SQL
@@ -619,9 +713,10 @@ object SparkEntry {
     "q_dedup_stream" -> ((s, dir) => {
       // Streaming exact dedup (dropDuplicates state): emits each user_id the
       // first time it is seen. Projected to the key before dedup, so the
-      // result set is deterministic and oracle-checkable.
+      // result set is deterministic and oracle-checkable. Drained through
+      // the parquet FILE sink (append mode): executor→disk, no driver hop.
       val distinctUsers = eventsStream(s, dir).select(col("user_id")).dropDuplicates("user_id")
-      runToMemory(s, distinctUsers, "append")
+      runToFiles(s, distinctUsers)
     }),
     "q_stream_static_join" -> ((s, dir) => {
       // Stream-static enrichment join (the 100 TB streaming pattern: facts
@@ -657,7 +752,7 @@ object SparkEntry {
           col("c_ts") <= col("p_ts"))
         .select(col("p_id"), col("c_id"),
           unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
-      runToMemory(s, j, "append")
+      runToFiles(s, j)
     }),
   )
 
@@ -991,6 +1086,21 @@ object SparkEntry {
     "q_global_sort" ->
       """SELECT o_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_totalprice
         |FROM orders ORDER BY odate_ms, o_orderkey""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey)""".stripMargin,
     "q_streaming_window" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
         |  COUNT(*) AS n
