@@ -428,6 +428,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_dedup_components" -> ((s, dir) =>
+      // Near-dup pairs -> duplicate CLUSTERS: min-label propagation to a
+      // fixpoint (component = min reachable doc id). The real dedup
+      // pipeline's keep-one-per-cluster step.
+      Dedup.connectedComponents(
+        Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(table(s, dir, "documents"))),
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -911,29 +918,21 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
     "q_dedup_minhash" ->
-      // MinHash family: base = (60-bit md5 prefix) mod 2^30, then affine
-      // mixes (A_i·m + B_i) mod (2^31-1) — mirrors TextFunctions.minhashA/B
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, sh,
-         |  [list_min(list_transform(sh, t ->
-         |     (((1103515245*(i+1)+12345) % 2147483647)
-         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
-         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
-         |   FOR i IN range(0,16)] AS sg
-         |FROM sh),
-         |bands AS (SELECT doc_id, sh,
-         |  [CAST(sg[j*4+1] AS VARCHAR)||'_'||CAST(sg[j*4+2] AS VARCHAR)||'_'||
-         |   CAST(sg[j*4+3] AS VARCHAR)||'_'||CAST(sg[j*4+4] AS VARCHAR) FOR j IN range(0,4)] AS bk
-         |FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-         |  WHERE a.bk[1]=b.bk[1] OR a.bk[2]=b.bk[2] OR a.bk[3]=b.bk[3] OR a.bk[4]=b.bk[4])
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(len(list_intersect(sh_a, sh_b))*1.0/len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
-         |  FROM pairs)
-         |WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $minhashVerifiedCtes
+         |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+    "q_dedup_components" ->
+      // Reachability closure via recursive CTE: component = min reachable
+      // id, exactly the fixpoint the Spark label propagation converges to.
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         |SELECT u AS node, CAST(MIN(v) AS BIGINT) AS component
+         |FROM reach GROUP BY u""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents)
          |SELECT doc_id, $simhashSqlExpr AS simhash FROM toks""".stripMargin,
@@ -1121,6 +1120,35 @@ object SparkEntry {
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
+
+  /** MinHash-LSH verified near-dup pairs as CTEs ending in `verified`
+    * (doc_a, doc_b, jaccard). Family: base = (60-bit md5 prefix) mod 2^30,
+    * then affine mixes (A_i·m + B_i) mod (2^31-1) — mirrors
+    * TextFunctions.minhashA/B. Shared by q_dedup_minhash and
+    * q_dedup_components. */
+  private lazy val minhashVerifiedCtes: String =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, sh,
+       |  [list_min(list_transform(sh, t ->
+       |     (((1103515245*(i+1)+12345) % 2147483647)
+       |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+       |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+       |   FOR i IN range(0,16)] AS sg
+       |FROM sh),
+       |bands AS (SELECT doc_id, sh,
+       |  [CAST(sg[j*4+1] AS VARCHAR)||'_'||CAST(sg[j*4+2] AS VARCHAR)||'_'||
+       |   CAST(sg[j*4+3] AS VARCHAR)||'_'||CAST(sg[j*4+4] AS VARCHAR) FOR j IN range(0,4)] AS bk
+       |FROM sig),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+       |  WHERE a.bk[1]=b.bk[1] OR a.bk[2]=b.bk[2] OR a.bk[3]=b.bk[3] OR a.bk[4]=b.bk[4]),
+       |verified AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(len(list_intersect(sh_a, sh_b))*1.0/len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+       |    FROM cpairs)
+       |  WHERE jaccard >= 0.5)""".stripMargin
 
   /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
   private val shingleCte: String =

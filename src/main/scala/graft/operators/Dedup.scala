@@ -297,6 +297,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup candidate PAIRS into duplicate CLUSTERS (keep one doc
+    * per component, drop the rest). Output: (node, component) where
+    * component = the minimum node id reachable from `node`.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each iteration
+    * (a) joins current labels across edges (both directions) and takes the
+    * per-node min, then (b) shortcuts by adopting the label's own label —
+    * step (b) halves the distance-to-root, so convergence is
+    * O(log diameter) iterations, not O(diameter) (a 40-link chain
+    * converges in ~6 rounds — spec-verified). Per iteration: two shuffle
+    * joins + one hash aggregate, all columnar; the only driver-side value
+    * is the single convergence count. `maxIters` bounds adversarial
+    * inputs; `localCheckpoint` truncates the growing lineage each
+    * iteration (iterative self-joins otherwise re-plan the full history).
+    *
+    * At 100 TB this is the standard alternating-propagation shape (cf. the
+    * large-star/small-star formulation): edge-partitioned, no component
+    * materialized in one place, skew-safe because labels aggregate by node.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "doc_a",
+      dstCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // (a) neighbor labels: for edge (u,v), u can adopt v's current label
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("component"))
+      val propagated = labels.unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+      // (b) pointer jumping: component values are themselves node ids, so
+      // every label resolves — adopt label(label(node)), halving depth
+      val next = propagated
+        .join(
+          propagated.select(col("node").as("component"), col("component").as("__jump")),
+          "component")
+        .select(col("node"), col("__jump").as("component"))
+        .localCheckpoint(true)
+      // convergence = no node changed its label (single driver scalar)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at
     * hamming ≤ 1 per half collide — O(n) + bucket-local joins, same scale

@@ -21,7 +21,10 @@ class Round3OperatorsSpec extends SparkFunSuite {
   }
 
   test("nearDupMinhash: giant cluster degrades to star pairs, stays connected, no quadratic blowup") {
-    val n = 3000
+    // 10k copies: all-pairs would be ~50M shingle-carrying pairs (OOM food);
+    // the bounded path caps every aggregation buffer at maxBucketSize and
+    // emits 9 999 star pairs instead.
+    val n = 10000
     val docs = clusterCorpus(n, distinct = 20)
     val got = Dedup
       .nearDupMinhash(docs, threshold = 0.5, maxBucketSize = 64)
@@ -61,6 +64,31 @@ class Round3OperatorsSpec extends SparkFunSuite {
     // the small/big branches must reuse ONE shuffled band table — a second
     // kernel run would double the dominant cost at scale
     assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+  }
+
+  test("connectedComponents: chains, separate clusters, bidirectional edges") {
+    val edges = Seq(
+      // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds)
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      // separate clique {10, 11, 12}
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      // isolated pair
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain converges within maxIters and is partition-invariant") {
+    // pointer jumping halves distance-to-root each round: 40 links needs
+    // ~log2(40)+1 ≈ 6 rounds, well inside the default maxIters = 20
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain.repartition(7)).as[(Long, Long)].collect()
+    assert(got.length === 41)
+    assert(got.forall(_._2 == 0L))
   }
 
   test("rangeJoinBinned ignores degenerate and inverted ranges") {
