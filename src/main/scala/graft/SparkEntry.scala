@@ -706,6 +706,33 @@ object SparkEntry {
           col("quartile"), col("pct_rank"), col("cume"))
     }),
 
+    "q_multi_distinct" -> ((s, dir) =>
+      // Several COUNT(DISTINCT) in ONE aggregate — Catalyst plans Expand
+      // (row replicated per distinct column set) + two-phase agg, the OLAP
+      // shape single-distinct queries never exercise.
+      table(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(
+          countDistinct(col("user_id")).as("uniq_users"),
+          countDistinct(col("event_type")).as("uniq_types"),
+          count(lit(1)).as("n"))),
+    "q_session_window_builtin" -> ((s, dir) =>
+      // Spark's BUILT-IN session_window beside the hand-rolled engine: a
+      // user of the reference gets gap sessionization from a one-liner when
+      // they don't need the full rule set (size/duration cuts, running
+      // duration). Boundary semantics differ from the reference rule by
+      // design: session_window merges half-open [t, t+gap) intervals in
+      // MILLIS (t2 − t1 ≥ gap starts a new session) while the reference
+      // compares FLOORED SECONDS — the oracle mirrors the built-in.
+      table(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"))),
+
     "q_streaming_window" -> ((s, dir) => {
       // Streaming tumbling-window aggregation (complete mode, memory sink):
       // the windowed-agg surface of Structured Streaming with a full SQL
@@ -1085,6 +1112,29 @@ object SparkEntry {
     "q_global_sort" ->
       """SELECT o_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_totalprice
         |FROM orders ORDER BY odate_ms, o_orderkey""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day,
+        |  COUNT(DISTINCT user_id) AS uniq_users,
+        |  COUNT(DISTINCT event_type) AS uniq_types,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_session_window_builtin" ->
+      // mirrors session_window's merge rule: new session iff the millis gap
+      // to the previous event is >= 30 min; end = last event + gap
+      """SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |      CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)))
+        |GROUP BY user_id, sess""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  round(stddev_samp(l_quantity), 6) AS sd_qty,

@@ -374,25 +374,31 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit halves (a pair at hamming ≤ h
     * over 32 bits matches exactly on at least one half when h ≤ 1; for
     * h ≤ 3 this is a recall/cost trade documented here), verify exact
-    * hamming ≤ maxHamming via bit_count(xor). */
+    * hamming ≤ maxHamming via bit_count(xor).
+    *
+    * Pair expansion goes through [[boundedBucketPairs]] (same machinery as
+    * MinHash banding): a block bucket holding a giant identical-doc cluster
+    * degrades to O(n) star pairs instead of a quadratic join output. */
   def nearDupSimhash(
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = simhash(docs, idCol, textCol)
-      .withColumn("lo", col("simhash") % 65536L)
-      .withColumn("hi", floor(col("simhash") / 65536L))
-    val blocks = sh.select(col(idCol), col("simhash"), explode(array(
-      concat(lit("lo:"), col("lo")), concat(lit("hi:"), col("hi")))).as("block"))
-    val a = blocks.as("a")
-    val b = blocks.as("b")
-    a.join(b, col("a.block") === col("b.block") && col(s"a.$idCol") < col(s"b.$idCol"))
+    val exploded = sh.select(
+      col(idCol), col("simhash"),
+      posexplode(array(
+        concat(lit("lo:"), col("simhash") % 65536L),
+        concat(lit("hi:"), floor(col("simhash") / 65536L))))
+        .as(Seq("band_idx", "band_key")))
+    boundedBucketPairs(exploded, idCol, maxBucketSize, payload = Some("simhash"))
+      // a pair can collide on both halves: dedupe once, then verify
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
       .select(
-        col(s"a.$idCol").as("doc_a"),
-        col(s"b.$idCol").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+        col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
