@@ -77,10 +77,17 @@ object RealtimeSessionize {
       case Nil => o
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
-    // conf file supplies DEFAULTS; flags (parsed second) override them
-    val defaults = args.toList.sliding(2).collectFirst {
-      case "--conf" :: path :: Nil => withConf(Options(), graft.sources.ConfLoader.load(path))
-    }.getOrElse(Options())
+    // conf files supply DEFAULTS; flags (parsed second) override them.
+    // The pre-pass walks flag/value PAIRS (not every sliding window), so a
+    // "--conf" appearing as another flag's value is not misread as a config
+    // file, and multiple --conf files all apply, in order (later wins).
+    def flagPairs(rest: List[String]): List[(String, String)] = rest match {
+      case k :: v :: t if k.startsWith("--") => (k, v) :: flagPairs(t)
+      case _ => Nil
+    }
+    val defaults = flagPairs(args.toList)
+      .collect { case ("--conf", path) => path }
+      .foldLeft(Options())((o, path) => withConf(o, graft.sources.ConfLoader.load(path)))
     val o = loop(args.toList, defaults)
     require(Set("local", "kafka")(o.source), s"invalid source: ${o.source}")
     require(Set("local", "kafka")(o.sink), s"invalid sink: ${o.sink}")

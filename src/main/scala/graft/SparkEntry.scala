@@ -132,8 +132,19 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    // explicit schema: an all-filtered-out stream leaves no files to infer from
-    s.read.schema(df.schema).parquet(data)
+    // explicit schema: an all-filtered-out stream leaves no files to infer
+    // from. localCheckpoint materializes the result into managed executor
+    // storage so the temp tree (parquet + RocksDB checkpoint SSTs) can be
+    // deleted NOW instead of leaking per invocation.
+    val result = s.read.schema(df.schema).parquet(data).localCheckpoint(true)
+    deleteRecursively(root.toFile)
+    result
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -721,11 +732,15 @@ object SparkEntry {
       // user of the reference gets gap sessionization from a one-liner when
       // they don't need the full rule set (size/duration cuts, running
       // duration). Boundary semantics differ from the reference rule by
-      // design: session_window merges half-open [t, t+gap) intervals in
-      // MILLIS (t2 − t1 ≥ gap starts a new session) while the reference
-      // compares FLOORED SECONDS — the oracle mirrors the built-in.
+      // design: session_window merges half-open [t, t+gap) intervals at
+      // full timestamp precision while the reference compares FLOORED
+      // SECONDS. The event column is truncated to MILLIS first — the
+      // testdata carries sub-millisecond micros, and a micros-precision
+      // merge could disagree with the millis-arithmetic oracle on gaps
+      // within 1 ms of the 30-min boundary.
       table(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+        .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(
           col("user_id"),
@@ -1175,7 +1190,14 @@ object SparkEntry {
     * (doc_a, doc_b, jaccard). Family: base = (60-bit md5 prefix) mod 2^30,
     * then affine mixes (A_i·m + B_i) mod (2^31-1) — mirrors
     * TextFunctions.minhashA/B. Shared by q_dedup_minhash and
-    * q_dedup_components. */
+    * q_dedup_components.
+    *
+    * The oracle models the UNCAPPED all-pairs band expansion: it matches
+    * the Spark side only while no band bucket in the verify/bench corpus
+    * exceeds Dedup.DefaultMaxBucketSize (above which Spark degrades to
+    * star pairs). Round3OperatorsSpec asserts that margin against the
+    * testdata explicitly, so a corpus change fails loudly there instead of
+    * as an unexplained hash mismatch here. */
   private lazy val minhashVerifiedCtes: String =
     s"""$shingleCte,
        |sig AS (SELECT doc_id, sh,

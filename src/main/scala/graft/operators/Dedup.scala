@@ -87,12 +87,19 @@ object Dedup {
     *  - n ≤ maxBucketSize: the classic all-pairs expansion (collect_list is
     *    now provably bounded by maxBucketSize elements per buffer);
     *  - n > maxBucketSize: star pairs (anchor, member) for EVERY member —
-    *    O(n) output that preserves duplicate-cluster connectivity (any
-    *    downstream connected-components/keep-min-id pass groups the cluster
-    *    exactly as the clique would), without materializing the bucket
-    *    anywhere.
+    *    O(n) output, without materializing the bucket anywhere.
     * A bucket that large is, with overwhelming probability, one giant
     * duplicate cluster: r-row band collisions for non-dups occur at J^r.
+    * Connectivity caveat (be honest about the approximation): when the
+    * oversized bucket holds IDENTICAL payloads — the overwhelmingly common
+    * case — every star pair passes downstream verification and a
+    * connected-components/keep-min-id pass groups the cluster exactly as
+    * the clique would. When it holds near-but-not-identical members, a
+    * member whose similarity to the ANCHOR falls below the caller's verify
+    * threshold loses its star edge even if it passes against some other
+    * member — a bounded recall trade of the same kind as LSH banding
+    * itself (pairs colliding on no band are lost too). Callers needing
+    * clique recall on such data must raise maxBucketSize.
     * Both branches share the shuffled band table via ReusedExchange (same
     * plan subtree — asserted in Round3OperatorsSpec).
     *
@@ -378,7 +385,10 @@ object Dedup {
     *
     * Pair expansion goes through [[boundedBucketPairs]] (same machinery as
     * MinHash banding): a block bucket holding a giant identical-doc cluster
-    * degrades to O(n) star pairs instead of a quadratic join output. */
+    * degrades to O(n) star pairs instead of a quadratic join output. For
+    * oversized buckets of near-but-not-identical members this is a recall
+    * trade — pairs are verified against the anchor only (see the
+    * connectivity caveat on boundedBucketPairs). */
   def nearDupSimhash(
       docs: DataFrame,
       maxHamming: Int = 3,

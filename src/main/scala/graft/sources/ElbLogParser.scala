@@ -24,7 +24,9 @@ object ElbLogParser {
 
   /** Pure single-line parser — shared by tests and the streaming path.
     * `java.time` ISO_OFFSET_DATE_TIME accepts 0–9 fraction digits and any
-    * zone offset, covering both fixture families in FIXTURES.md §A. */
+    * zone offset — including a BARE trailing dot ("…:00.Z", zero-width
+    * fraction; spec-verified) — covering both fixture families in
+    * FIXTURES.md §A. The columnar parser mirrors all of these. */
   def parseLine(line: String): Option[Parsed] = {
     val toks = line.trim.split("\\s+")
     if (toks.length < 3) None
@@ -51,10 +53,14 @@ object ElbLogParser {
     // matching OffsetDateTime.toInstant.toEpochMilli's truncation), then one
     // try_to_timestamp with the canonical pattern. Rows whose token 0 does
     // not match the ISO shape pass through unchanged and fail that single
-    // parse -> NULL -> dropped, same tolerance as before.
+    // parse -> NULL -> dropped, same tolerance as before. The tail group
+    // must NOT start with a digit: without that guard a malformed
+    // "…T00:00:0099Z" would normalize into a VALID timestamp (the trim
+    // step would delete the glued digits) instead of being rejected like
+    // parseLine rejects it.
     val normalized = regexp_replace(
       t0,
-      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9})(?!\\d))?(.*)$",
+      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{0,9})(?!\\d))?([^0-9].*)?$",
       "$1.$2000000$3")
     val fracTrimmed = regexp_replace(
       normalized,

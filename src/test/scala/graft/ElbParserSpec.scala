@@ -39,6 +39,29 @@ class ElbParserSpec extends SparkFunSuite {
     assert(ElbLogParser.parseLine("").isEmpty)
   }
 
+  test("columnar parser rejects exactly what the pure parser rejects at the fraction boundary") {
+    // regression for the single-parse rewrite: digits glued to the seconds
+    // field, bare trailing dot, and >9-digit fractions must all stay
+    // rejected (the normalize step must not "repair" them), while 1-9
+    // digit fractions and fractionless timestamps parse.
+    val tail = " elb 1.2.3.4:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1"
+    val cases = Seq(
+      "2024-01-01T00:00:0099Z",            // glued digits -> reject
+      "2024-01-01T00:00:00.1234567890Z",   // 10-digit fraction -> reject
+      "2024-01-01T00:00:00",               // no offset -> reject
+      "2024-01-01T00:00:00Z",              // fractionless -> ok
+      "2024-01-01T00:00:00.Z",             // bare dot: java.time zero-width fraction -> ok
+      "2024-01-01T00:00:00.5Z",            // 1 digit -> ok
+      "2024-01-01T00:00:00.123456789Z",    // 9 digits -> ok (floors to micros)
+      "2024-01-01T00:00:00.123+09:00")     // offset form -> ok
+    val lines0 = cases.map(_ + tail)
+    val got = ElbLogParser.parse(lines0.toDF("value"))
+      .select("timestamp").as[String].collect().toSet
+    val want = lines0.flatMap(ElbLogParser.parseLine).map(_.timestamp).toSet
+    assert(got === want)
+    assert(want === cases.drop(3).toSet) // the five ok cases, by construction
+  }
+
   test("columnar parser agrees with the pure parser on all fixtures") {
     val lines = Seq(msLine, microLine, quotedLine, badTs, short)
     val df = ElbLogParser.parse(lines.toDF("value"))

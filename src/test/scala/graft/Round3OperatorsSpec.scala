@@ -91,6 +91,23 @@ class Round3OperatorsSpec extends SparkFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("testdata band buckets stay far below the cap (oracle models the uncapped expansion)") {
+    // The DuckDB oracle for q_dedup_minhash/q_dedup_components is the
+    // UNCAPPED all-pairs clique; parity holds only while no band bucket in
+    // the verify corpus approaches DefaultMaxBucketSize. Assert the margin
+    // here so a corpus change fails THIS test, not the oracle hash compare.
+    import graft.functions.TextFunctions._
+    val docs = SparkEntry.table(spark, "/root/testdata/sf0.01", "documents")
+    val maxBucket = Dedup.shingleSigTable(docs, "doc_id", "text", 3, 16)
+      .filter(col("__sig").isNotNull)
+      .select(posexplode(bandKeys(col("__sig"), 4, 4)).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxBucket * 4 <= Dedup.DefaultMaxBucketSize,
+      s"largest band bucket $maxBucket is within 4x of the cap ${Dedup.DefaultMaxBucketSize}: " +
+        "oracle (uncapped clique) and Spark (star degradation) would diverge soon")
+  }
+
   test("rangeJoinBinned ignores degenerate and inverted ranges") {
     val facts = Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("id", "v")
     val ranges = Seq(
