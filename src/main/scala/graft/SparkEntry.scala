@@ -439,6 +439,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_dedup_apply" -> ((s, dir) =>
+      // The full dedup operator end-to-end: near-dup clusters collapsed to
+      // their min-id representative, unclustered docs untouched.
+      Dedup.dedupNearMinhash(table(s, dir, "documents"), threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_components" -> ((s, dir) =>
       // Near-dup pairs -> duplicate CLUSTERS: min-label propagation to a
       // fixpoint (component = min reachable doc id). The real dedup
@@ -962,6 +967,20 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH $minhashVerifiedCtes
          |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+    "q_dedup_apply" ->
+      // keep docs that are not a non-canonical member of any component
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |losers AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(v))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q_dedup_components" ->
       // Reachability closure via recursive CTE: component = min reachable
       // id, exactly the fixpoint the Spark label propagation converges to.

@@ -365,6 +365,27 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup dedup: detect near-duplicate clusters (MinHash
+    * LSH → verified pairs → connected components) and keep ONE document per
+    * cluster — the component's minimum id — plus every unclustered doc.
+    * This is the operator a training-data pipeline actually runs; the
+    * pieces are exposed separately for inspection/tuning.
+    * One extra shuffle beyond pair-finding: the anti-join of `docs` against
+    * the (tiny relative to corpus) non-canonical member list. */
+  def dedupNearMinhash(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = nearDupMinhash(docs, threshold, idCol, textCol,
+      maxBucketSize = maxBucketSize).select(col("doc_a"), col("doc_b"))
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at
     * hamming ≤ 1 per half collide — O(n) + bucket-local joins, same scale
