@@ -68,6 +68,16 @@ object ScaleSmoke {
     time(s"trainValTestSplit x$mult")(
       drain(Sampling.trainValTestSplit(events, "event_id")
         .groupBy(col("split")).agg(count(lit(1)))))
+    time(s"dedup pairs+components+apply x${math.max(1, mult / 5)}")(
+      drain(Dedup.dedupNearMinhash(docs, 0.5)))
+    time("boundedBucketPairs 50k-copy cluster (star path)") {
+      // adversarial: one duplicate cluster far past the cap — must stay
+      // O(n) and memory-bounded, not n^2/2 pairs in one buffer
+      val giant = spark.range(50000)
+        .select(col("id").as("doc_id"),
+          lit("the same duplicated text body repeated verbatim across the giant cluster").as("text"))
+      drain(Dedup.nearDupMinhash(giant, 0.5))
+    }
     spark.stop()
   }
 }
