@@ -91,6 +91,31 @@ class Round3OperatorsSpec extends SparkFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("connectedComponents property: equals brute-force union-find on random graphs") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 10).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(2, 80)
+        edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+      } yield edges.filter(e => e._1 != e._2)
+      val edges = gen(Gen.Parameters.default, rng.Seed(sample.toLong)).get
+      if (edges.nonEmpty) {
+        // brute force: path-compressed union-find, then min id per root
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val minOfRoot = parent.keys.toSeq.groupBy(find).map { case (r, ns) => r -> ns.min }
+        val expected = parent.keys.map(n => n -> minOfRoot(find(n))).toMap
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"sample $sample (${edges.size} edges)")
+      }
+    }
+  }
+
   test("testdata band buckets stay far below the cap (oracle models the uncapped expansion)") {
     // The DuckDB oracle for q_dedup_minhash/q_dedup_components is the
     // UNCAPPED all-pairs clique; parity holds only while no band bucket in
