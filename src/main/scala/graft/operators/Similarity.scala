@@ -134,6 +134,34 @@ object Similarity {
     assignCellsWith(c, centroidsOf(c, nCentroids))
   }
 
+  /** Lloyd-refined centroids: seed with the lowest-id vectors, then
+    * `iters` rounds of assign → per-cell element-wise mean. All columnar
+    * (posexplode to (cell, dim) → avg → regroup into an array); one
+    * assignment cross-join + one aggregate per round, lineage truncated per
+    * iteration. Cells that end up empty drop out (their probes fall to the
+    * surviving cells). Float means are aggregation-order-dependent, so
+    * trained centroids are NOT bit-reproducible across partitionings —
+    * use the training-free seeds where hash-stable output matters. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id", "embedding")
+    var cent = centroidsOf(c, nCentroids)
+    for (_ <- 0 until iters) {
+      val refined = assignCellsWith(c, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(
+          col("cell"),
+          transform(col("dims"), d => d.getField("m").cast("float")).as("cvec"))
+        .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+        .localCheckpoint(true)
+      cent = broadcast(refined)
+    }
+    cent
+  }
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
     * exact-rank within the probed subset. Recall rises with nprobe;
     * cost ~ nprobe/nCentroids of brute force. */
@@ -142,11 +170,14 @@ object Similarity {
       corpus: DataFrame,    // (vec_id, embedding)
       k: Int,
       nCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     // ONE withNorm + ONE centroid table feed both the cell assignment and
     // the query probes (previously built twice — double corpus scans).
     val c = withNorm(corpus, "vec_id", "embedding")
-    val centroids = centroidsOf(c, nCentroids)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(corpus, nCentroids, trainIters)
+      else centroidsOf(c, nCentroids)
     val cells = assignCellsWith(c, centroids)
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val wq = Window.partitionBy(col("qid")).orderBy(col("__d").desc, col("cell"))

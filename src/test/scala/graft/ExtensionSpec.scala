@@ -25,6 +25,26 @@ class ExtensionSpec extends SparkFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF with Lloyd-trained centroids: recall at least matches training-free seeds") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val q = embeddings.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, e, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(trainIters: Int): Double = {
+      val approx = Similarity.ivfTopK(q, e, 10, nCentroids = 16, nprobe = 4, trainIters = trainIters)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val seeded = recall(0)
+    val trained = recall(2)
+    // trained centroids balance the cells; at nprobe/nCentroids = 1/4 of
+    // the corpus they must not LOSE recall vs arbitrary low-id seeds (small
+    // slack: float means shift knife-edge assignments)
+    assert(trained >= seeded - 0.05, s"trained recall $trained vs seeded $seeded")
+    assert(trained >= 0.3, s"trained recall@10 = $trained")
+  }
+
   test("IVF results are a subset of each query's probed-cell ground truth (exact within subset)") {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val q = embeddings.filter(col("vec_id") === 0L)
