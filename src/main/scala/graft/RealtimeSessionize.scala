@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.RealtimeSessionize --source local --sink local \
   *     --path /data/logs.txt --out /tmp/out [--mode batch|stream] \
-  *     [--gap-sec 1800] [--kafka-bootstrap host:port] [--topic-in t] [--topic-out t]
+  *     [--gap-sec 1800] [--kafka-bootstrap host:port] [--topic-in t] [--topic-out t] \
+  *     [--conf file.conf] [--ts-shift-ms N] [--once]
   *
   * Differences from the reference, on purpose (SURVEY.md §2):
   *  - tolerant parser (microsecond fractions, quoted request fields);
@@ -34,6 +35,11 @@ object RealtimeSessionize {
       kafkaBootstrap: String = "",
       topicIn: String = "sessionize-in",
       topicOut: String = "sessionize-out",
+      // Trigger.AvailableNow: process everything currently available, then
+      // terminate — the incremental-batch pattern (cron-driven streaming
+      // with checkpointed progress) and the only way a file-source stream
+      // run can END for tests/smoke runs. Default = run forever.
+      once: Boolean = false,
       // Reference parity (fakeTs debug shift, reference
       // RealtimeSessionize.scala:124-128): the reference shifts replayed
       // timestamps by (now - baseline) under --debug; ours takes the offset
@@ -57,7 +63,8 @@ object RealtimeSessionize {
       kafkaBootstrap = s("kafka.bootstrap.servers", o.kafkaBootstrap),
       topicIn = s("kafka.topic.in", o.topicIn),
       topicOut = s("kafka.topic.out", o.topicOut),
-      tsShiftMs = l("ts.shift.ms", o.tsShiftMs))
+      tsShiftMs = l("ts.shift.ms", o.tsShiftMs),
+      once = conf.get("once").map(_.toBoolean).getOrElse(o.once))
   }
 
   def parseArgs(args: Array[String]): Options = {
@@ -74,6 +81,7 @@ object RealtimeSessionize {
       case "--topic-in" :: v :: t => loop(t, o.copy(topicIn = v))
       case "--topic-out" :: v :: t => loop(t, o.copy(topicOut = v))
       case "--ts-shift-ms" :: v :: t => loop(t, o.copy(tsShiftMs = v.toLong))
+      case "--once" :: t => loop(t, o.copy(once = true))
       case Nil => o
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -82,6 +90,7 @@ object RealtimeSessionize {
     // "--conf" appearing as another flag's value is not misread as a config
     // file, and multiple --conf files all apply, in order (later wins).
     def flagPairs(rest: List[String]): List[(String, String)] = rest match {
+      case "--once" :: t => flagPairs(t) // valueless flag: keep the walk aligned
       case k :: v :: t if k.startsWith("--") => (k, v) :: flagPairs(t)
       case _ => Nil
     }
@@ -152,7 +161,10 @@ object RealtimeSessionize {
         if (o.sink == "kafka")
           Streams.kafkaJsonSink(sessionized, o.kafkaBootstrap, o.topicOut, s"${o.out}/_checkpoint")
         else Streams.jsonFileSink(sessionized, o.out, s"${o.out}/_checkpoint")
-      val q = writer.start()
+      val q =
+        if (o.once)
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        else writer.start()
       q.awaitTermination()
     }
   }

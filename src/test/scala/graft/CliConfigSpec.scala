@@ -63,6 +63,30 @@ class CliConfigSpec extends SparkFunSuite {
     assert(sessions === 2L)
   }
 
+  test("--once drains stream mode end-to-end and terminates (Trigger.AvailableNow)") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("elb_stream_in").toString
+    val out = java.nio.file.Files.createTempDirectory("elb_stream_out").toString + "/run"
+    val lines = Seq(
+      "2024-01-01T00:00:00.000Z elb 1.2.3.4:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1",
+      "2024-01-01T00:10:00.000Z elb 1.2.3.4:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1",
+      "2024-01-01T01:00:00.000Z elb 5.6.7.8:99 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "log.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val o = RealtimeSessionize.parseArgs(Array(
+      "--mode", "stream", "--once", "--path", in, "--out", out))
+    assert(o.once)
+    RealtimeSessionize.run(spark, o) // must TERMINATE, not run forever
+    // stream mode emits SessionizedEvent JSON: key/sessionId/tsMillis/duration
+    val got = spark.read.json(out)
+    assert(got.count() === 3L)
+    assert(got.select($"key").distinct().as[String].collect().toSet
+      === Set("1.2.3.4:555", "5.6.7.8:99"))
+    // one user sessionized across a 10-min gap into the same session
+    assert(got.filter($"key" === "1.2.3.4:555").select($"sessionId").distinct().count() === 1L)
+  }
+
   test("kafka source is config-complete but unexecutable here: DATA_SOURCE_NOT_FOUND") {
     // The connector jar is absent (build.sbt documents the failed resolution
     // attempt); pin the exact failure so a future environment that DOES ship
