@@ -1049,10 +1049,16 @@ object SparkEntry {
         |  SELECT lang, unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY lang, token""".stripMargin,
     "q_fingerprint" ->
+      // rolling_hash mirrors TextFunctions.rollingHash: P = 2^31-1, B = 2^16,
+      // B^k mod P = 2^((16k) mod 31) (Mersenne), per-term mod, sum mod P
       s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS tl FROM documents)
          |SELECT doc_id, md5(text) AS text_md5,
          |  list_min(list_transform(tl, t -> md5(t))) AS min_token_md5,
-         |  $simhashSqlExpr AS simhash
+         |  $simhashSqlExpr AS simhash,
+         |  CAST(list_sum([
+         |    ((CAST('0x'||substr(md5(tl[i]),1,15) AS BIGINT) % 2147483647)
+         |      * (CAST(1 AS BIGINT) << ((16*(len(tl)-i)) % 31))) % 2147483647
+         |    FOR i IN range(1, len(tl)+1)]) % 2147483647 AS BIGINT) AS rolling_hash
          |FROM toks""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

@@ -97,6 +97,24 @@ object TextFunctions {
     * 32 bits (not 64) keeps every intermediate exact in portable BIGINT math. */
   def simhash32(toks: Column): Column = simhashFromHashes(tokenHashes(toks))
 
+  /** Rabin-Karp-style polynomial rolling hash over an (ideally
+    * pre-materialized) token-hash array: h = Σ th_i · B^(n-1-i) mod P,
+    * order-SENSITIVE (unlike min-hash/simhash fingerprints, token
+    * reordering changes it). Portability trick: with P = 2^31 − 1
+    * (Mersenne) and B = 2^16, B^k mod P = 2^((16k) mod 31) — every term is
+    * pure shifts/mods in BIGINT, so DuckDB mirrors it exactly with a list
+    * comprehension. Per-term mod keeps products < 2^61 and the final sum
+    * < n·2^31 — no overflow either side. */
+  def rollingHash(hashes: Column): Column = {
+    val P = 2147483647L // 2^31 - 1
+    val n = size(hashes)
+    // the Scala shiftleft() wrapper takes a literal Int shift; the SQL
+    // function accepts a column — call it directly for the variable shift
+    val terms = transform(hashes, (h, i) =>
+      (h % P) * call_function("shiftleft", lit(1L), (lit(16) * (n - 1 - i)) % 31) % P)
+    aggregate(terms, lit(0L), (acc, t) => acc + t) % P
+  }
+
   /** SimHash packing over an (ideally pre-materialized) token-hash array. */
   def simhashFromHashes(hashes: Column): Column = {
     (0 until 32)

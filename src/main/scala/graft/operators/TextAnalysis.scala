@@ -107,7 +107,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
 
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
-    * + a 32-bit SimHash — three independent signals, all portable.
+    * + a 32-bit SimHash + an order-sensitive Rabin-Karp rolling hash —
+    * four independent signals, all portable.
     * Per-token md5/hash arrays are materialized behind an Exchange so the
     * simhash bit loop reads columns instead of re-hashing (see Dedup). */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -123,5 +124,6 @@ object TextAnalysis {
         col("doc_id"),
         col("text_md5"),
         col("min_token_md5"),
-        simhashFromHashes(col("__th")).as("simhash"))
+        simhashFromHashes(col("__th")).as("simhash"),
+        rollingHash(col("__th")).as("rolling_hash"))
 }
