@@ -89,8 +89,11 @@ object RealtimeSessionize {
     // The pre-pass walks flag/value PAIRS (not every sliding window), so a
     // "--conf" appearing as another flag's value is not misread as a config
     // file, and multiple --conf files all apply, in order (later wins).
+    // A "--flag" whose successor is also a "--flag" is valueless (no flag
+    // here takes a "--"-prefixed value) — derived, so a future valueless
+    // flag can't silently misalign the walk and drop --conf files.
     def flagPairs(rest: List[String]): List[(String, String)] = rest match {
-      case "--once" :: t => flagPairs(t) // valueless flag: keep the walk aligned
+      case k :: (more @ (v :: _)) if k.startsWith("--") && v.startsWith("--") => flagPairs(more)
       case k :: v :: t if k.startsWith("--") => (k, v) :: flagPairs(t)
       case _ => Nil
     }
@@ -146,9 +149,21 @@ object RealtimeSessionize {
     } else {
       // Reference parity: the Flink job assumes a RocksDB state backend
       // (README.md:92-100); Spark's equivalent is the RocksDB state store.
+      // Scoped: restored after the query ends so a shared session (tests,
+      // notebooks) doesn't keep the provider switched behind callers' backs.
+      val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runStream(spark, o, cfg)
+      finally prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  private def runStream(spark: SparkSession, o: Options, cfg: SessionConfig): Unit = {
       val lines =
         if (o.source == "kafka") Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn)
         else Streams.fileLines(spark, o.path)
@@ -166,6 +181,5 @@ object RealtimeSessionize {
           writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         else writer.start()
       q.awaitTermination()
-    }
   }
 }

@@ -112,7 +112,10 @@ object TextFunctions {
     // function accepts a column — call it directly for the variable shift
     val terms = transform(hashes, (h, i) =>
       (h % P) * call_function("shiftleft", lit(1L), (lit(16) * (n - 1 - i)) % 31) % P)
-    aggregate(terms, lit(0L), (acc, t) => acc + t) % P
+    // empty array -> NULL, matching the DuckDB mirror (list_sum([]) is
+    // NULL) and the null-signature convention for no-evidence inputs
+    when(n === 0, lit(null).cast("long"))
+      .otherwise(aggregate(terms, lit(0L), (acc, t) => acc + t) % P)
   }
 
   /** SimHash packing over an (ideally pre-materialized) token-hash array. */

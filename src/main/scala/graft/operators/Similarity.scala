@@ -142,8 +142,14 @@ object Similarity {
     * surviving cells). Float means are aggregation-order-dependent, so
     * trained centroids are NOT bit-reproducible across partitionings —
     * use the training-free seeds where hash-stable output matters. */
-  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
-    val c = withNorm(corpus, "vec_id", "embedding")
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame =
+    kmeansCentroidsFrom(
+      withNorm(corpus, "vec_id", "embedding").localCheckpoint(true), nCentroids, iters)
+
+  /** Training loop over an ALREADY-normalized (and ideally materialized)
+    * corpus — lets ivfTopK reuse its own norm table instead of re-running
+    * the two-Exchange norm pipeline once per Lloyd iteration. */
+  private def kmeansCentroidsFrom(c: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     var cent = centroidsOf(c, nCentroids)
     for (_ <- 0 until iters) {
       val refined = assignCellsWith(c, cent)
@@ -172,11 +178,14 @@ object Similarity {
       nCentroids: Int = 16,
       nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
-    // ONE withNorm + ONE centroid table feed both the cell assignment and
-    // the query probes (previously built twice — double corpus scans).
-    val c = withNorm(corpus, "vec_id", "embedding")
+    // ONE withNorm + ONE centroid table feed the training loop, the cell
+    // assignment, and the query probes. The trained path materializes the
+    // norm table first (localCheckpoint) so Lloyd iterations and the final
+    // assignment read it instead of re-running the norm pipeline per pass.
+    val c0 = withNorm(corpus, "vec_id", "embedding")
+    val c = if (trainIters > 0) c0.localCheckpoint(true) else c0
     val centroids =
-      if (trainIters > 0) kmeansCentroids(corpus, nCentroids, trainIters)
+      if (trainIters > 0) kmeansCentroidsFrom(c, nCentroids, trainIters)
       else centroidsOf(c, nCentroids)
     val cells = assignCellsWith(c, centroids)
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
