@@ -722,6 +722,21 @@ object SparkEntry {
           col("quartile"), col("pct_rank"), col("cume"))
     }),
 
+    "q_date_arith" -> ((s, dir) => {
+      // Date-arithmetic surface: trunc-to-month, last_day, add_months
+      // (end-of-month clamping — both engines clamp), dayofweek. All
+      // emitted as integer day/ms numbers so the compare is exact.
+      val od = to_date(col("o_orderdate"))
+      table(s, dir, "orders")
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate").cast("timestamp")))
+          .as("month_ms"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(datediff(last_day(od), od).cast("long")).as("sum_days_to_eom"),
+          sum(datediff(add_months(od, 3), to_date(lit("1970-01-01"))).cast("long"))
+            .as("sum_plus3m_day"),
+          sum(dayofweek(od).cast("long")).as("sum_dow"))
+    }),
     "q_multi_distinct" -> ((s, dir) =>
       // Several COUNT(DISTINCT) in ONE aggregate — Catalyst plans Expand
       // (row replicated per distinct column set) + two-phase agg, the OLAP
@@ -1152,6 +1167,14 @@ object SparkEntry {
     "q_global_sort" ->
       """SELECT o_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_totalprice
         |FROM orders ORDER BY odate_ms, o_orderkey""".stripMargin,
+    "q_date_arith" ->
+      // DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 -> +1
+      """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(last_day(CAST(o_orderdate AS DATE)) - CAST(o_orderdate AS DATE)) AS BIGINT) AS sum_days_to_eom,
+        |  CAST(SUM(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) - DATE '1970-01-01') AS BIGINT) AS sum_plus3m_day,
+        |  CAST(SUM(dayofweek(CAST(o_orderdate AS DATE)) + 1) AS BIGINT) AS sum_dow
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_multi_distinct" ->
       """SELECT epoch_ms(ts) // 86400000 AS day,
         |  COUNT(DISTINCT user_id) AS uniq_users,
