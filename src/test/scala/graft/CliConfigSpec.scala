@@ -63,6 +63,17 @@ class CliConfigSpec extends SparkFunSuite {
     assert(sessions === 2L)
   }
 
+  test("valueless flag adjacent to --conf keeps the pre-pass aligned") {
+    val conf = writeTemp("graft", "gap.sec = 900\n")
+    val o = RealtimeSessionize.parseArgs(Array(
+      "--once", "--conf", conf, "--path", "/tmp/in", "--out", "/tmp/out"))
+    assert(o.once)
+    assert(o.gapSec === 900L) // conf still loaded despite preceding --once
+    val o2 = RealtimeSessionize.parseArgs(Array(
+      "--conf", conf, "--once", "--path", "/tmp/in", "--out", "/tmp/out"))
+    assert(o2.once && o2.gapSec === 900L)
+  }
+
   test("--once drains stream mode end-to-end and terminates (Trigger.AvailableNow)") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("elb_stream_in").toString
