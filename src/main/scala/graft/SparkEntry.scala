@@ -768,6 +768,31 @@ object SparkEntry {
           unix_millis(col("w.end")).as("end_ms"),
           col("n_events"))),
 
+    "q_freq_items" -> ((s, dir) =>
+      // Approximate frequent items (Karp-Papadimitriou-Shenker misses-count
+      // sketch via DataFrameStatFunctions.freqItems) — the heavy-hitters
+      // member of the sketch family beside HLL (q_approx_distinct) and the
+      // quantile sketch (q_approx_percentile). Support 0.01 on event_type
+      // (5 distinct values, all far above 1%) makes the ITEM SET exact and
+      // stable, but the sketch's array order is engine-internal -> rows-only
+      // check; the exact twin is q_token_freq/q_multi_distinct territory.
+      table(s, dir, "events").stat.freqItems(Seq("event_type"), 0.01)
+        .select(explode(col("event_type_freqItems")).as("event_type"))
+        .orderBy(col("event_type"))),
+    "q_streaming_update" -> ((s, dir) => {
+      // UPDATE output mode — the third Structured-Streaming mode (complete
+      // and append are covered above): emits only rows whose aggregate
+      // changed in the trigger. The single events.parquet file arrives as
+      // one microbatch, so every group changes exactly once and the update
+      // stream equals the full aggregate — which is what the oracle checks;
+      // multi-batch replays would interleave intermediate states (a
+      // changelog, documented here, not claimed deterministic in general).
+      val agg = eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "update")
+    }),
+
     "q_streaming_window" -> ((s, dir) => {
       // Streaming tumbling-window aggregation (complete mode, memory sink):
       // the windowed-agg surface of Structured Streaming with a full SQL
@@ -1213,6 +1238,8 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey)""".stripMargin,
+    "q_streaming_update" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
     "q_streaming_window" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
         |  COUNT(*) AS n
