@@ -141,6 +141,47 @@ object SparkEntry {
     result
   }
 
+  /** Drive an UPDATE-mode aggregation through the [[graft.streaming.MergeSink]]
+    * foreachBatch merge into a versioned parquet serving table; return the
+    * final version. Same partition/state-store scoping as runToFiles; the
+    * results go executor→disk (the merge is a distributed anti-join+union,
+    * never a driver collect). */
+  private def runMergeSink(s: SparkSession, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_")
+    val target = root.resolve("table").toString
+    val ckpt = root.resolve("_checkpoint").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val merge: (DataFrame, Long) => Unit =
+        graft.streaming.MergeSink.mergeBatch(target, keyCols)
+      val q = df.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(merge)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val latest = graft.streaming.MergeSink.latestVersion(target)
+      .getOrElse(sys.error(s"MergeSink published no version under $target"))
+    val result = s.read.parquet(latest).localCheckpoint(true)
+    deleteRecursively(root.toFile)
+    result
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -489,6 +530,27 @@ object SparkEntry {
       Similarity.nearDupCosineBlocked(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
+    "q_embedding_srp" -> ((s, dir) =>
+      // Signed-random-projection signatures: md5-derived hyperplanes, so the
+      // 32 bits are reproduced exactly by the DuckDB oracle (hash check).
+      Similarity.srpSignatures(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))),
+    "q_embedding_neardup_srp" -> ((s, dir) =>
+      // Cosine-LSH near-dup with deterministic hyperplanes: the ONE
+      // approximate-similarity tier whose candidates and verdicts the SQL
+      // oracle replays bit-for-bit (IVF/cell tiers are rows-only instead).
+      Similarity.nearDupCosineSrp(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_quantize_int8" -> ((s, dir) =>
+      // Symmetric int8 embedding quantization — the 4x storage-compression
+      // step of an embedding pipeline. Exact-integer codes, exploded to
+      // (vec_id, dim, q) scalars so the hash compare sees no array cells.
+      Similarity.quantizeInt8(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .withColumn("dim", col("dim").cast("long"))),
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(table(s, dir, "documents"))),
     "q_lang_id" -> ((s, dir) =>
@@ -634,6 +696,34 @@ object SparkEntry {
         .trainValTestSplit(table(s, dir, "events"), "event_id")
         .groupBy(col("split"), col("event_type"))
         .agg(count(lit(1)).as("n"))),
+    "q_stratified_sample" -> ((s, dir) =>
+      // Per-language keep rates (downsample dominant strata, keep rare ones)
+      // with stratum-salted hash buckets — deterministic, filter pushes down.
+      graft.operators.Sampling.stratifiedSample(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang",
+        pcts = Map("en" -> 60, "fr" -> 30, "es" -> 15), defaultPct = 10)),
+    "q_chunk_docs" -> ((s, dir) =>
+      // Fixed-size token chunking (context-window packing) — one Generate,
+      // no shuffle; ragged last chunk keeps every token exactly once.
+      TextAnalysis.chunkDocuments(table(s, dir, "documents"), chunkSize = 50)),
+    "q_edit_distance" -> ((s, dir) => {
+      // Levenshtein verify step over deterministic (id, id+1) pairs — the
+      // exact edit-distance check an LSH candidate pipeline would run last.
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        // single-file parquet arrives as ONE partition and the broadcast
+        // join preserves it — spread the O(len²) DP across cores first
+        .repartition(col("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+          round(
+            levenshtein(col("text_a"), col("text_b")).cast("double") /
+              greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+            6).as("edit_ratio"))
+    }),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"))),
     "q_unpivot" -> ((s, dir) => {
@@ -793,6 +883,20 @@ object SparkEntry {
       runToMemory(s, agg, "update")
     }),
 
+    "q_stream_foreach_merge" -> ((s, dir) => {
+      // foreachBatch incremental-merge sink (MergeSink): update-mode per-user
+      // counts merged into a versioned parquet serving table batch by batch —
+      // the "streaming aggregate → queryable store without native upsert"
+      // production pattern, effectively-once via per-batchId idempotent
+      // republish. The single-file source is one batch here, so the final
+      // version equals the batch aggregate (what the oracle checks);
+      // multi-batch merging and crash-replay idempotency are pinned in
+      // StreamingSpec.
+      val agg = eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runMergeSink(s, agg, Seq("user_id"))
+    }),
     "q_streaming_window" -> ((s, dir) => {
       // Streaming tumbling-window aggregation (complete mode, memory sink):
       // the windowed-agg surface of Structured Streaming with a full SQL
@@ -1060,6 +1164,34 @@ object SparkEntry {
          |    round($cosineSqlExpr, 6) AS sim
          |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_srp" ->
+      s"""SELECT vec_id, ${srpSigSqlExpr(32)} AS srp_sig
+         |FROM (SELECT vec_id, embedding AS e FROM embeddings)""".stripMargin,
+    "q_embedding_neardup_srp" ->
+      s"""WITH $normCte,
+         |sigs AS (SELECT vec_id, ${srpSigSqlExpr(32)} AS sig
+         |         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         |bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bk
+         |          FROM sigs, range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.bk = y.bk AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT cand.vec_a, cand.vec_b, round($cosineSqlExpr, 6) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
+         |            JOIN n c ON c.vec_id = cand.vec_b)
+         |WHERE sim >= 0.4""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding AS e,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |FROM embeddings),
+        |q AS (SELECT vec_id, round(ma/127, 6) AS scale,
+        |  CASE WHEN ma = 0 THEN [0 FOR x IN e]
+        |       ELSE [CAST(round(CAST(x AS DOUBLE)*127/ma) AS INTEGER) FOR x IN e]
+        |  END AS qvec
+        |FROM m)
+        |SELECT vec_id, scale, CAST(i - 1 AS BIGINT) AS dim, qvec[i] AS q
+        |FROM (SELECT vec_id, scale, qvec, unnest(range(1, len(qvec)+1)) AS i FROM q)""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, lang,
         |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -1158,6 +1290,25 @@ object SparkEntry {
         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+        |  CASE WHEN lang = 'en' THEN 60 WHEN lang = 'fr' THEN 30
+        |       WHEN lang = 'es' THEN 15 ELSE 10 END""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+        |i AS (SELECT doc_id, tl, unnest(range(0, len(tl), 50)) AS i FROM toks)
+        |SELECT doc_id, CAST(i // 50 AS BIGINT) AS chunk_idx,
+        |  array_to_string(tl[i+1:i+50], ' ') AS chunk_text,
+        |  CAST(least(50, len(tl) - i) AS BIGINT) AS n_tokens
+        |FROM i""".stripMargin,
+    "q_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |  round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |    / greatest(length(a.text), length(b.text)), 6) AS edit_ratio
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tl, text FROM documents),
         |m AS (SELECT doc_id, lang,
@@ -1240,6 +1391,8 @@ object SparkEntry {
         |             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey)""".stripMargin,
     "q_streaming_update" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    "q_stream_foreach_merge" ->
+      "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
     "q_streaming_window" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
         |  COUNT(*) AS n
@@ -1313,6 +1466,17 @@ object SparkEntry {
       |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
       |  FOR b IN range(0,32)]) AS BIGINT)""".stripMargin
+
+  /** SRP signature over an embedding list `e` — mirrors
+    * Similarity.srpSigns/srpSignatureCol exactly: sign(p, d) = parity of the
+    * 60-bit md5 prefix of "srp:p:d"; bit p set iff the signed sum (left-to-
+    * right fold, matching DotProductFloat) is >= 0. */
+  private def srpSigSqlExpr(planes: Int): String =
+    (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum([CASE WHEN (CAST('0x'||substr(md5('srp:$p:'||(i-1)),1,15) AS BIGINT) % 2) = 0
+         |  THEN CAST(e[i] AS DOUBLE) ELSE -CAST(e[i] AS DOUBLE) END
+         |  FOR i IN range(1, len(e)+1)]) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString("\n  + ")
 
   /** Embeddings with precomputed L2 norms (double math). */
   private val normCte: String =

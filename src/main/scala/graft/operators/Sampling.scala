@@ -27,6 +27,26 @@ object Sampling {
   def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), 100) < pct)
 
+  /** Stratified deterministic sampling: per-stratum keep percentages (e.g.
+    * downsample the dominant language, keep all of a rare one) with the same
+    * hash-bucket determinism as [[sampleByHash]]. The hash is salted with the
+    * stratum value so strata draw independent samples rather than the same
+    * id-prefix everywhere; strata not in `pcts` fall back to `defaultPct`.
+    * Still a pure narrow map — the filter pushes down, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      pcts: Map[String, Int],
+      defaultPct: Int = 0): DataFrame = {
+    val b = graft.functions.TextFunctions.tokenHash60(
+      concat(col(stratumCol).cast("string"), lit(":"), col(idCol).cast("string"))) % 100
+    val pct = pcts.foldLeft(lit(defaultPct): Column) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(b < pct)
+  }
+
   /** Assign every row a stable train/val/test split label (80/10/10). */
   def trainValTestSplit(df: DataFrame, idCol: String): DataFrame = {
     val b = hashBucket(col(idCol), 100)

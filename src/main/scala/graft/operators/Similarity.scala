@@ -168,6 +168,110 @@ object Similarity {
     cent
   }
 
+  /** md5 hex digest (lowercase), matching DuckDB's `md5(varchar)`. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 hyperplane signs for signed-random-projection LSH:
+    * sign(p, d) = parity of the 60-bit md5 prefix of "srp:p:d". Derived from
+    * md5 (not an RNG) so the DuckDB oracle reproduces the exact same
+    * hyperplanes — which makes SRP the one approximate-similarity tier that
+    * is fully hash-oracle-able, unlike the IVF/cell paths whose centroids
+    * depend on float aggregation order. */
+  def srpSigns(planes: Int, dims: Int): Seq[Array[Float]] =
+    Seq.tabulate(planes) { p =>
+      Array.tabulate(dims) { d =>
+        val v = java.lang.Long.parseLong(md5Hex(s"srp:$p:$d").substring(0, 15), 16)
+        if (v % 2 == 0) 1f else -1f
+      }
+    }
+
+  /** Pack the `planes` SRP bits into one long: bit p = (vec · signs(p) ≥ 0).
+    * Each plane is a codegen'd [[DotProductFloat]] against a literal sign
+    * array — `planes × dims` fused multiply-adds per row, no shuffle, no UDF.
+    * Two vectors at cosine angle θ agree on each bit with prob 1 − θ/π
+    * (Charikar 2002), so signature hamming distance estimates the angle. */
+  def srpSignatureCol(vec: Column, signs: Seq[Array[Float]]): Column = {
+    require(signs.nonEmpty && signs.size <= 62, s"planes must be in [1, 62]: ${signs.size}")
+    signs.zipWithIndex.map { case (s, p) =>
+      when(dot(vec, typedlit(s.toSeq)) >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The embedding dimensionality, read from one row (a schema-discovery
+    * scalar lookup at plan-build time, not a data materialization). */
+  private def dimsOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** (vec_id, srp_sig) signature table — deterministic, so hash-matchable
+    * against the DuckDB oracle bit-for-bit. */
+  def srpSignatures(embeddings: DataFrame, planes: Int = 32): DataFrame = {
+    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    embeddings.select(col("vec_id"), srpSignatureCol(col("embedding"), signs).as("srp_sig"))
+  }
+
+  /** SRP-LSH near-dup: band the `planes`-bit signature into `bands` keys,
+    * candidate pairs share any band, verify exact cosine ≥ threshold.
+    *
+    * The cosine-LSH sibling of [[nearDupCosineBlocked]]: same band-join shape
+    * as MinHash-LSH (equi-join on (band, key) — shuffle-partitionable, no
+    * all-pairs), but with deterministic hyperplanes end-to-end, so candidates
+    * AND verdicts are reproducible by the SQL oracle. Recall tuning: more
+    * bands of fewer bits → higher recall, bigger buckets; production at
+    * 100 TB would raise planes (64–128) and band bits (8–16) together so
+    * bucket sizes stay ~n/2^bits. */
+  def nearDupCosineSrp(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    val sigs = withNorm(embeddings, "vec_id", "embedding")
+      .withColumn("__sig", srpSignatureCol(col("embedding"), signs))
+    val banded = sigs.select(
+      col("vec_id"), col("embedding"), col("__nrm"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)).as(Seq("__band", "__bk")))
+    val a = banded.select(col("__band"), col("__bk"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
+    val b = banded.select(col("__band"), col("__bk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    a.join(b, Seq("__band", "__bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .distinct()
+  }
+
+  /** Symmetric int8 quantization, the storage/serving compression step of an
+    * embedding pipeline: per-vector scale = max|v| / 127, q_i = round(v_i /
+    * scale) ∈ [−127, 127]. A narrow map (no shuffle); 4× smaller than float32
+    * with bounded dequantization error |v − q·scale| ≤ scale/2. Zero vectors
+    * quantize to zeros with scale 0. The scale is emitted rounded to 6 dp
+    * (oracle parity); `qvec` stays exact integers. */
+  def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    // __ma is materialized behind an Exchange: referenced inside the
+    // transform lambda from the same Project it would re-evaluate the whole
+    // array_max per ELEMENT (HOFs are interpreted and CollapseProject has no
+    // CSE — the measured cliff documented in Dedup/TextAnalysis).
+    embeddings
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col(vecCol),
+        array_max(transform(col(vecCol), v => abs(v.cast("double")))).as("__ma"))
+      .repartition(col("vec_id"))
+      .select(
+        col("vec_id"),
+        round(col("__ma") / 127d, 6).as("scale"),
+        when(col("__ma") === 0d, transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol), v =>
+            round(v.cast("double") * 127d / col("__ma")).cast("int")))
+          .as("qvec"))
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
     * exact-rank within the probed subset. Recall rises with nprobe;
     * cost ~ nprobe/nCentroids of brute force. */

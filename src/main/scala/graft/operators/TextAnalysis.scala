@@ -106,6 +106,32 @@ object TextAnalysis {
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("freq"))
 
+  /** Fixed-size token chunking — the context-window packing step of an LLM
+    * training pipeline: each document becomes ⌈n_tokens/chunkSize⌉ chunks of
+    * `chunkSize` whitespace tokens (last chunk ragged). One Generate + narrow
+    * maps, no shuffle; chunk rows inherit the document's partitioning, so a
+    * downstream repartition-by-size is the only scale knob. `sequence` steps
+    * by chunkSize over token offsets; `slice`/`concat_ws` are codegen'd
+    * builtins (no interpreted HOF in the hot path). */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkSize: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("__tl"))
+      // split() never yields an empty array ("" -> [""]), but guard anyway:
+      // sequence(0, -1) would DESCEND (the shingles() trap)
+      .filter(size(col("__tl")) > 0)
+      .select(col("doc_id"), col("__tl"),
+        explode(sequence(lit(0), size(col("__tl")) - 1, lit(chunkSize))).as("__i"))
+      .select(
+        col("doc_id"),
+        (col("__i") / chunkSize).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__tl"), col("__i") + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), size(col("__tl")) - col("__i")).cast("long").as("n_tokens"))
+  }
+
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
     * + a 32-bit SimHash + an order-sensitive Rabin-Karp rolling hash —
     * four independent signals, all portable.

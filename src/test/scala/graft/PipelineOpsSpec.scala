@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline-operator additions: SRP cosine-LSH, int8 quantization,
+  * token chunking, stratified sampling. */
+class PipelineOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def embeddings = SparkEntry.table(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private def documents = SparkEntry.table(spark, sf0001, "documents")
+
+  test("srpSigns are ±1, deterministic, and roughly balanced") {
+    val a = Similarity.srpSigns(32, 64)
+    val b = Similarity.srpSigns(32, 64)
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.flatten.forall(s => s == 1f || s == -1f))
+    val pos = a.flatten.count(_ == 1f)
+    // md5 parity over 2048 draws: expect ~1024, allow a wide band
+    assert(pos > 800 && pos < 1250, s"sign balance off: $pos of 2048 positive")
+  }
+
+  test("srpSignatures: deterministic, partition-invariant, identical vectors collide") {
+    val base = Similarity.srpSignatures(embeddings).as[(Long, Long)].collect().toMap
+    val reparted = Similarity.srpSignatures(embeddings.repartition(13))
+      .as[(Long, Long)].collect().toMap
+    assert(base == reparted)
+    // duplicate a vector under a new id: signature must match its source
+    val dup = embeddings.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDup = Similarity.srpSignatures(embeddings.unionByName(dup))
+      .as[(Long, Long)].collect().toMap
+    assert(withDup(100000L) == withDup(0L))
+  }
+
+  test("srp signature hamming distance tracks cosine similarity") {
+    // Charikar: P(bit agree) = 1 - angle/pi, so high-cosine pairs must have
+    // closer signatures than random pairs on average.
+    val sigs = Similarity.srpSignatures(embeddings).as[(Long, Long)].collect().toMap
+    val sims = Similarity.nearDupCosine(embeddings, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val simHam = sims.map { case (a, b) => java.lang.Long.bitCount(sigs(a) ^ sigs(b)) }
+    val rng = new scala.util.Random(7)
+    val ids = sigs.keys.toArray
+    val randHam = Array.fill(500) {
+      val a = ids(rng.nextInt(ids.length)); val b = ids(rng.nextInt(ids.length))
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    }
+    assert(sims.nonEmpty)
+    val simMean = simHam.sum.toDouble / simHam.length
+    val randMean = randHam.sum.toDouble / randHam.length
+    assert(simMean < randMean - 2,
+      s"near-dup pairs mean hamming $simMean not clearly below random $randMean")
+  }
+
+  test("nearDupCosineSrp: no false positives (subset of exact) with useful recall") {
+    val exact = Similarity.nearDupCosine(embeddings, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val srp = Similarity.nearDupCosineSrp(embeddings, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(srp.subsetOf(exact)) // exact-verify step admits no false positives
+    assert(exact.isEmpty || srp.size.toDouble / exact.size >= 0.2,
+      s"recall ${srp.size}/${exact.size}")
+  }
+
+  test("quantizeInt8: codes in [-127,127], dequant error <= scale/2, zero vector safe") {
+    val tiny = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0f, 0f, 0f)),
+      (3L, Array(2f, 4f, -8f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(tiny)
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(q(2L)._1 == 0.0 && q(2L)._2 == Seq(0, 0, 0))
+    assert(q(3L)._2 == Seq(32, 64, -127))
+    val real = Similarity.quantizeInt8(embeddings)
+    val checked = real
+      .join(embeddings, "vec_id")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("qvec"),
+          (v, c) => abs(v.cast("double") - c * col("scale"))).as("err"),
+        col("scale"))
+      .select(max(array_max(col("err"))).as("worst"), max(col("scale")).as("smax"))
+      .as[(Double, Double)].head()
+    assert(real.select(array_min(col("qvec"))).as[Int].collect().forall(_ >= -127))
+    assert(real.select(array_max(col("qvec"))).as[Int].collect().forall(_ <= 127))
+    // scale is rounded to 6dp for the oracle: |q|·5e-7 ≤ 127·5e-7 ≈ 6.4e-5
+    // of extra reconstruction slack on top of the quantization half-step
+    assert(checked._1 <= checked._2 / 2 + 1e-4, s"dequant error $checked")
+  }
+
+  test("chunkDocuments: chunks reassemble to the original text, counts are exact") {
+    val chunks = TextAnalysis.chunkDocuments(documents, chunkSize = 50)
+    val rebuilt = chunks
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("text2"),
+        sum(col("n_tokens")).as("tok_sum"),
+        count(lit(1)).as("n_chunks"))
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), (col("text2") === col("text")).as("same"),
+        col("tok_sum"), col("n_chunks"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .as[(Long, Boolean, Long, Long, Long)].collect()
+    assert(rebuilt.nonEmpty)
+    rebuilt.foreach { case (id, same, tokSum, nChunks, nToks) =>
+      assert(same, s"doc $id reassembly")
+      assert(tokSum == nToks, s"doc $id token conservation")
+      assert(nChunks == (nToks + 49) / 50, s"doc $id chunk count")
+    }
+  }
+
+  test("chunkDocuments: ragged tail and single-chunk docs") {
+    val tiny = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(tiny, chunkSize = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b", 2L), (1L, 1L, "c d", 2L), (1L, 2L, "e", 1L),
+      (2L, 0L, "x", 1L)))
+  }
+
+  test("stratifiedSample: deterministic, partition-invariant, respects per-stratum rates") {
+    val pcts = Map("en" -> 60, "fr" -> 30, "es" -> 15)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "doc_id", "lang", pcts, defaultPct = 10)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(documents)
+    val b = run(documents.repartition(11))
+    assert(a == b)
+    // observed rate per stratum within a loose band of the target
+    val rates = Sampling.stratifiedSample(documents, "doc_id", "lang", pcts, 10)
+      .groupBy("lang").count()
+      .join(documents.groupBy("lang").agg(count(lit(1)).as("tot")), "lang")
+      .select(col("lang"), (col("count") * 100.0 / col("tot")).as("pct"))
+      .as[(String, Double)].collect().toMap
+    rates.foreach { case (lang, pct) =>
+      val target = pcts.getOrElse(lang, 10)
+      assert(math.abs(pct - target) < 25, s"$lang sampled at $pct% vs target $target%")
+    }
+    // strata draw independent samples: en-kept ids and fr-kept ids come from
+    // different hash streams, so the kept-id sets are not just a prefix rule
+    val perLang = Sampling.stratifiedSample(documents, "doc_id", "lang", Map.empty, 50)
+      .select("doc_id", "lang").as[(Long, String)].collect().groupBy(_._2)
+    assert(perLang.size > 1)
+  }
+}
