@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductFloatDescriptor)
+    // logical-plan optimization: thresholded levenshtein filters -> banded
+    // early-exit form (see the rule's scaladoc for the rewrite + proof)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }
 
@@ -37,10 +40,18 @@ object GraftExtensions {
       DotProductFloat(children.head, children(1))
     })
 
-  /** Register on an already-built session (tests, driver-owned sessions). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an already-built session (tests, driver-owned sessions):
+    * the function goes into the registry directly; the optimizer rule rides
+    * `experimental.extraOptimizations` (same rule object as the
+    * builder-time `injectOptimizerRule` path, different attachment point —
+    * a live session's optimizer cannot be extended any other way). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product_float",
       exprs => DotProductFloat(exprs.head, exprs(1)),
       "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThresholdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThresholdRule
+  }
 }

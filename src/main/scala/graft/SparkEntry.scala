@@ -313,6 +313,35 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above_avg"))
     }),
+    "q_correlated_subquery" -> ((s, dir) => {
+      // Correlated scalar subqueries (per-customer count + total): Catalyst
+      // DECORRELATES both into aggregate+join — exercised through spark.sql
+      // because the DataFrame API cannot express correlation directly.
+      // Integer-exact boundary as in q_scalar_subquery: cents · n_cust >
+      // total_cust_cents avoids a double average's knife-edge rows.
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders_corr")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
+          |FROM graft_orders_corr o1
+          |WHERE CAST(ROUND(o_totalprice*100, 0) AS BIGINT)
+          |        * (SELECT COUNT(*) FROM graft_orders_corr o2
+          |           WHERE o2.o_custkey = o1.o_custkey)
+          |      > (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+          |         FROM graft_orders_corr o3
+          |         WHERE o3.o_custkey = o1.o_custkey)""".stripMargin)
+    }),
+    "q_window_dist" -> ((s, dir) => {
+      // percent_rank / cume_dist — the remaining rank-family window
+      // functions (rank, dense_rank, ntile covered elsewhere). The unique
+      // (cents, key) order makes both fractions ratios of the same small
+      // ints on either engine -> bit-identical doubles, no rounding needed.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(round(col("o_totalprice") * 100, 0).cast("long"), col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
     "q_topk_orders" -> ((s, dir) =>
       // Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
       // driver merge of k rows — no full sort, no full shuffle).
@@ -916,6 +945,20 @@ object SparkEntry {
       val distinctUsers = eventsStream(s, dir).select(col("user_id")).dropDuplicates("user_id")
       runToFiles(s, distinctUsers)
     }),
+    "q_stream_dedup_watermark" -> ((s, dir) => {
+      // dropDuplicatesWithinWatermark: streaming dedup whose per-key state
+      // is EVICTED once the watermark passes — the bounded-state variant of
+      // q_dedup_stream (whose dropDuplicates state grows forever). At 100 TB
+      // this is the only sustainable streaming-dedup shape: state holds one
+      // watermark window of keys, not the full history. Key-only projection
+      // keeps the kept-row choice deterministic for the oracle.
+      val dedup = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToFiles(s, dedup)
+    }),
     "q_stream_static_join" -> ((s, dir) => {
       // Stream-static enrichment join (the 100 TB streaming pattern: facts
       // stream, dimension broadcast per microbatch) + stateful agg.
@@ -1019,6 +1062,20 @@ object SparkEntry {
         |FROM orders, t
         |WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) * n_orders > total_cents
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
+        |FROM orders o1
+        |WHERE CAST(ROUND(o_totalprice*100, 0) AS BIGINT)
+        |        * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        |      > (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |         FROM orders o3 WHERE o3.o_custkey = o1.o_custkey)""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(ROUND(o_totalprice*100, 0) AS BIGINT), o_orderkey)""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
@@ -1399,6 +1456,10 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_dedup_stream" ->
       "SELECT DISTINCT user_id FROM events",
+    "q_stream_dedup_watermark" ->
+      // single-batch source: every key emitted exactly once (no watermark
+      // eviction + re-emission can occur inside one microbatch)
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Clustered-layout writes and the pruning they buy on read-back:
+  * directory-level partition pruning + pushed-down range predicates over
+  * the in-file sort column. */
+class LayoutSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("writeClustered: partition pruning and filter pushdown both appear on the read plan") {
+    val root = java.nio.file.Files.createTempDirectory("layout_spec_").toString
+    val events = SparkEntry.table(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Layout.writeClustered(events, root, partCol = "event_type", sortCol = "user_id")
+
+    // one file per partition directory: the repartition aligned writer
+    // tasks to partition values (no small-file explosion)
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("event_type="))
+    assert(dirs.length > 1)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files")
+    }
+
+    val read = spark.read.parquet(root)
+      .filter(col("event_type") === "click" && col("user_id") < 50L)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected directory-level partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(user_id,50)"),
+      s"expected user_id range pushed to the parquet scan in:\n$plan")
+
+    // and the pruned read returns exactly the right rows
+    val expected = events.filter(col("event_type") === "click" && col("user_id") < 50L)
+      .select("event_id").as[Long].collect().toSet
+    val got = read.select("event_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+
+    // in-file clustering: rows inside the file are sorted by user_id, the
+    // property parquet min/max row-group skipping relies on
+    val clickRows = spark.read.parquet(root)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), input_file_name().as("f"))
+    val sorted = clickRows.rdd.mapPartitionsWithIndex { (_, it) =>
+      val rows = it.map(_.getLong(0)).toSeq
+      Iterator(rows == rows.sorted)
+    }.collect()
+    assert(sorted.forall(identity), "user_id must be monotone within each read split")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+  }
+}
