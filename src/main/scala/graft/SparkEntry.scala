@@ -313,6 +313,23 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above_avg"))
     }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // CDC-style snapshot diff (Cdc.snapshotDiff): two deterministic
+      // pseudo-snapshots of orders (mod-filters simulate deletes/inserts, a
+      // mod-5 cents bump simulates updates) -> insert/delete/update rows via
+      // ONE full-outer shuffle join with null-safe value compare.
+      def snap(drop: Int, bump: Boolean) = {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") % drop =!= 0L)
+          .select(col("o_orderkey").as("k"),
+            (if (bump) cents + when(col("o_orderkey") % 5 === 0L, 100L).otherwise(0L)
+             else cents).as("cents"))
+      }
+      graft.operators.Cdc
+        .snapshotDiff(snap(11, bump = false), snap(13, bump = true), Seq("k"), Seq("cents"))
+        .select(col("k"), col("old_cents"), col("new_cents"), col("op"))
+    }),
     "q_correlated_subquery" -> ((s, dir) => {
       // Correlated scalar subqueries (per-customer count + total): Catalyst
       // DECORRELATES both into aggregate+join — exercised through spark.sql
@@ -744,8 +761,12 @@ object SparkEntry {
       val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1L)
         // single-file parquet arrives as ONE partition and the broadcast
-        // join preserves it — spread the O(len²) DP across cores first
-        .repartition(col("doc_a"))
+        // join preserves it — spread the O(len²) DP across cores first.
+        // EXPLICIT partition count: AQE's byte-based coalescing would fold
+        // these few KB of text back into one partition, but the cost here
+        // is CPU per row, not bytes (measured: 3.8 s coalesced vs sub-second
+        // spread)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
           round(
@@ -1062,6 +1083,18 @@ object SparkEntry {
         |FROM orders, t
         |WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) * n_orders > total_cents
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey % 11 != 0),
+        |n AS (SELECT o_orderkey AS k,
+        |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT)
+        |          + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents
+        |      FROM orders WHERE o_orderkey % 13 != 0)
+        |SELECT COALESCE(o.k, n.k) AS k, o.cents AS old_cents, n.cents AS new_cents,
+        |  CASE WHEN o.k IS NULL THEN 'insert' WHEN n.k IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op
+        |FROM o FULL OUTER JOIN n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
         |FROM orders o1

@@ -121,6 +121,24 @@ class PipelineOpsSpec extends SparkFunSuite {
       (2L, 0L, "x", 1L)))
   }
 
+  test("snapshotDiff: insert/delete/update with presence markers and null-safe value compare") {
+    import graft.operators.Cdc
+    val oldDf = Seq(
+      (1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(30L)),
+      (4L, Option(40L)), (6L, Option(60L))).toDF("k", "v")
+    val newDf = Seq(
+      (2L, Option.empty[Long]), (3L, Option(31L)), (4L, Option(40L)),
+      (5L, Option.empty[Long]), (6L, Option.empty[Long])).toDF("k", "v")
+    val got = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .select("k", "op").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "delete",  // key gone
+      3L -> "update",  // value changed
+      5L -> "insert",  // new key whose value is NULL (markers, not value-null)
+      6L -> "update")) // value became NULL: update, NOT delete
+    // 2: null <=> null -> same; 4: unchanged -> same; neither emitted
+  }
+
   test("stratifiedSample: deterministic, partition-invariant, respects per-stratum rates") {
     val pcts = Map("en" -> 60, "fr" -> 30, "es" -> 15)
     def run(df: org.apache.spark.sql.DataFrame) =
