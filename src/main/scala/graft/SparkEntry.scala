@@ -46,44 +46,45 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Scope the streaming-runner confs around `body`, restoring (or
+    * unsetting) the prior values afterwards — ONE definition shared by all
+    * three drains so the settings can't diverge or leak into the session:
+    *
+    *  - `shuffle.partitions = 8`: stateful streaming allocates one state
+    *    store per shuffle partition per stateful operator (a stream-stream
+    *    join holds four) and checkpoints each per microbatch — at local
+    *    bench scale that fixed I/O dominates, so partitions are sized to
+    *    state volume, not CPU count (the right knob at any scale);
+    *  - RocksDB state store (reference parity: the Flink job assumes a
+    *    RocksDB backend, reference README.md:92-100) — off-heap,
+    *    incremental-checkpoint-capable, the production provider;
+    *  - changelog checkpointing: per-batch checkpoint = the delta log, not
+    *    a full RocksDB snapshot — the production setting for frequent small
+    *    microbatches (snapshots still happen asynchronously every
+    *    minDeltasForSnapshot batches). */
+  private def withStreamingConfs[A](s: SparkSession)(body: => A): A = {
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Drive a streaming DataFrame to completion into a memory sink; return
-    * the drained result table.
-    *
-    * Stateful streaming allocates one state store per shuffle partition per
-    * stateful operator (a stream-stream join holds four) and checkpoints
-    * each per microbatch — at local bench scale that fixed I/O dominates, so
-    * the stream runs with 8 partitions (the conf is read at query start;
-    * restored after). On a real cluster this knob is sized to state volume,
-    * not CPU count.
-    *
-    * State lives in the RocksDB state store (reference parity: the Flink job
-    * assumes a RocksDB backend, reference README.md:92-100) — off-heap,
-    * incremental-checkpoint-capable, the provider a production deployment
-    * would run. */
+    * the drained result table. Conf scoping: [[withStreamingConfs]]. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_ms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // changelog checkpointing: per-batch checkpoint = the delta log, not a
-    // full RocksDB snapshot — the production setting for frequent small
-    // microbatches (snapshots still happen, asynchronously, every
-    // minDeltasForSnapshot batches)
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    try {
+    withStreamingConfs(s) {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     // the memory sink holds the rows on the driver anyway; detach them from
     // the UUID-named sink table and drop it, or every invocation leaks its
@@ -105,19 +106,7 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft_fs_")
     val data = root.resolve("data").toString
     val ckpt = root.resolve("_checkpoint").toString
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // changelog checkpointing: per-batch checkpoint = the delta log, not a
-    // full RocksDB snapshot — the production setting for frequent small
-    // microbatches (snapshots still happen, asynchronously, every
-    // minDeltasForSnapshot batches)
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    try {
+    withStreamingConfs(s) {
       val q = df.writeStream.format("parquet")
         .option("path", data)
         .option("checkpointLocation", ckpt)
@@ -125,12 +114,6 @@ object SparkEntry {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     // explicit schema: an all-filtered-out stream leaves no files to infer
     // from. localCheckpoint materializes the result into managed executor
@@ -150,15 +133,7 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft_merge_")
     val target = root.resolve("table").toString
     val ckpt = root.resolve("_checkpoint").toString
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    try {
+    withStreamingConfs(s) {
       val merge: (DataFrame, Long) => Unit =
         graft.streaming.MergeSink.mergeBatch(target, keyCols)
       val q = df.writeStream
@@ -168,12 +143,6 @@ object SparkEntry {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     val latest = graft.streaming.MergeSink.latestVersion(target)
       .getOrElse(sys.error(s"MergeSink published no version under $target"))
@@ -312,6 +281,22 @@ object SparkEntry {
         .filter(round(col("o_totalprice") * 100, 0).cast("long") * col("n_orders") > col("total_cents"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above_avg"))
+    }),
+    "q_maxby" -> ((s, dir) => {
+      // max_by/min_by argmax aggregates: priciest/cheapest order per
+      // priority. Ties are broken INSIDE the comparison value (cents ·
+      // 10^7 + orderkey is unique at these SFs) so the argmax is
+      // deterministic under any partitioning/engine — bare max_by on a
+      // tied column picks an arbitrary row.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("cents"))
+        .withColumn("cmb", col("cents") * 10000000L + col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("cmb")).as("max_order"),
+          min_by(col("o_orderkey"), col("cmb")).as("min_order"),
+          max(col("cents")).as("max_cents"))
     }),
     "q_snapshot_diff" -> ((s, dir) => {
       // CDC-style snapshot diff (Cdc.snapshotDiff): two deterministic
@@ -769,9 +754,10 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+          // lit(1) guards the two-empty-texts 0/0 (NaN vs oracle mismatch)
           round(
             levenshtein(col("text_a"), col("text_b")).cast("double") /
-              greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+              greatest(length(col("text_a")), length(col("text_b")), lit(1)).cast("double"),
             6).as("edit_ratio"))
     }),
     "q_quality_score" -> ((s, dir) =>
@@ -1082,6 +1068,16 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n_above_avg
         |FROM orders, t
         |WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) * n_orders > total_cents
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_maxby" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, cmb) AS max_order,
+        |  arg_min(o_orderkey, cmb) AS min_order,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents,
+        |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT) * 10000000 + o_orderkey AS cmb
+        |      FROM orders)
         |GROUP BY o_orderpriority""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
@@ -1397,7 +1393,7 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
         |  round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-        |    / greatest(length(a.text), length(b.text)), 6) AS edit_ratio
+        |    / greatest(length(a.text), length(b.text), 1), 6) AS edit_ratio
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tl, text FROM documents),

@@ -200,9 +200,18 @@ object Similarity {
   }
 
   /** The embedding dimensionality, read from one row (a schema-discovery
-    * scalar lookup at plan-build time, not a data materialization). */
+    * scalar lookup at plan-build time, not a data materialization).
+    * Explicit errors for the two states `head().getInt` would obscure:
+    * an empty input (legitimate after aggressive upstream filtering) and a
+    * NULL/empty first vector. */
   private def dimsOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect().headOption match {
+      case Some(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case Some(_) =>
+        sys.error(s"first '$vecCol' row is NULL or empty — cannot derive SRP dimensionality")
+      case None =>
+        sys.error(s"empty input — cannot derive SRP dimensionality from '$vecCol'")
+    }
 
   /** (vec_id, srp_sig) signature table — deterministic, so hash-matchable
     * against the DuckDB oracle bit-for-bit. */
@@ -219,8 +228,9 @@ object Similarity {
     * all-pairs), but with deterministic hyperplanes end-to-end, so candidates
     * AND verdicts are reproducible by the SQL oracle. Recall tuning: more
     * bands of fewer bits → higher recall, bigger buckets; production at
-    * 100 TB would raise planes (64–128) and band bits (8–16) together so
-    * bucket sizes stay ~n/2^bits. */
+    * 100 TB would raise planes toward the packed-long cap of 62 and band
+    * bits (8–16) together so bucket sizes stay ~n/2^bits (beyond 62 planes
+    * the signature would need array-of-long packing). */
   def nearDupCosineSrp(
       embeddings: DataFrame,
       threshold: Double,

@@ -47,7 +47,14 @@ object MergeSink {
   }
 
   /** Merge one microbatch into the table at `target`; pass to
-    * `writeStream.foreachBatch`. `keyCols` is the aggregation key. */
+    * `writeStream.foreachBatch`. `keyCols` is the aggregation key.
+    *
+    * Publish is write-to-temp-then-rename: the parquet job writes into a
+    * dot-prefixed staging dir (invisible to [[latestVersion]]'s `v<n>`
+    * pattern) and only a completed write is renamed into place, so readers
+    * never observe a half-written version — on a local/HDFS-like fs the
+    * rename is atomic; an object-store deployment would swap this for a
+    * manifest/_SUCCESS gate. */
   def mergeBatch(target: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // base = the latest version BELOW this batchId: on crash-replay of batch
@@ -60,6 +67,16 @@ object MergeSink {
           .unionByName(batch)
       case None => batch
     }
-    merged.write.mode("overwrite").parquet(s"$target/v$batchId")
+    val staging = new java.io.File(target, s".staging-v$batchId")
+    merged.write.mode("overwrite").parquet(staging.getPath)
+    val published = new java.io.File(target, s"v$batchId")
+    if (published.exists()) deleteRecursively(published) // crash-replay leftover
+    if (!staging.renameTo(published))
+      sys.error(s"could not publish $staging as $published")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

@@ -10,16 +10,6 @@ import org.apache.spark.sql.functions._
 class AqeSkewSpec extends SparkFunSuite {
   import spark.implicits._
 
-  private def withConfs[A](pairs: (String, String)*)(body: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     withConfs(
       "spark.sql.adaptive.enabled" -> "true",

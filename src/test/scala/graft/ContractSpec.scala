@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract tripwires: the shape invariants the correctness gate
+  * assumes, asserted here so a drift fails a unit test instead of the
+  * driver's oracle run. */
+class ContractSpec extends SparkFunSuite {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("rows-only queries are exactly the declared no-oracle set") {
+    // each entry here is rows-only BY DESIGN (approximate / sequential-state
+    // / stub semantics not expressible in ANSI SQL) and is covered by a
+    // ScalaTest spec instead; adding a query without an oracle fails this
+    // test until it is either oracled or consciously added here
+    val declared = Set(
+      "q_approx_distinct",      // HLL sketch value
+      "q_approx_percentile",    // KLL-ish sketch values
+      "q_embedding_neardup_lsh",// cell blocking loses boundary pairs (recall in spec)
+      "q_freq_items",           // heavy-hitters sketch
+      "q_multimodal_decode",    // stub codec output
+      "q_sessionize_full",      // sequential per-key state machine
+      "q_sessionize_stream",    // same, streaming tier
+      "q_sessionize_stream_tws",// same, transformWithState tier
+      "q_similarity_ivf")       // probe subset depends on centroid seeds
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == declared,
+      s"undeclared rows-only: ${rowsOnly -- declared}; stale declarations: ${declared -- rowsOnly}")
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+}

@@ -51,6 +51,19 @@ class ExtensionsRegistrySpec extends SparkFunSuite {
       .collect().filter(_.getInt(2) <= k).map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty)
     assert(filtered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // all four threshold spellings rewrite (lev<=k, k>=lev, lev<k, k>lev)
+    Seq(
+      levenshtein(col("text_a"), col("text_b")) <= k,
+      lit(k) >= levenshtein(col("text_a"), col("text_b")),
+      levenshtein(col("text_a"), col("text_b")) < k + 1,
+      lit(k + 1) > levenshtein(col("text_a"), col("text_b"))).foreach { cond =>
+      val q = pairs.filter(cond).select(col("doc_a"), col("doc_b"))
+      val full = q.queryExecution.optimizedPlan.collect { case p => p.expressions.map(e =>
+        e.collect { case l: Levenshtein if l.threshold.isEmpty => l }.size).sum }.sum
+      assert(full == 0, s"unrewritten levenshtein for $cond")
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+        s"results diverge for $cond")
+    }
   }
 
   test("SQL result equals the Column API result") {

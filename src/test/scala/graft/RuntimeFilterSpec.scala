@@ -12,16 +12,6 @@ import org.apache.spark.sql.functions._
   * test tables are tiny). */
 class RuntimeFilterSpec extends SparkFunSuite {
 
-  private def withConfs[A](pairs: (String, String)*)(body: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("selective dim filter injects a bloom filter into the fact-side scan of a shuffle join") {
     withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
