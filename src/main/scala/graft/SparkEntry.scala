@@ -944,6 +944,17 @@ object SparkEntry {
         .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
       runToMemory(s, agg, "complete")
     }),
+    "q_streaming_sliding" -> ((s, dir) => {
+      // SLIDING (hopping) window aggregation — tumbling's overlapping
+      // sibling: every event lands in windowLen/slide = 2 windows. The
+      // oracle replays Spark's epoch-aligned window set exactly: starts =
+      // {floor(ms/slide)·slide − slide, floor(ms/slide)·slide}.
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      runToMemory(s, agg, "complete")
+    }),
     "q_dedup_stream" -> ((s, dir) => {
       // Streaming exact dedup (dropDuplicates state): emits each user_id the
       // first time it is seen. Projected to the key before dedup, so the
@@ -1483,6 +1494,13 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_streaming_sliding" ->
+      """SELECT ws AS win_start_ms, event_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([(epoch_ms(ts) // 10800000 - 1) * 10800000,
+        |            (epoch_ms(ts) // 10800000) * 10800000]) AS ws
+        |  FROM events)
+        |GROUP BY ws, event_type""".stripMargin,
     "q_dedup_stream" ->
       "SELECT DISTINCT user_id FROM events",
     "q_stream_dedup_watermark" ->

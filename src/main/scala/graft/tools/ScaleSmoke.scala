@@ -70,6 +70,25 @@ object ScaleSmoke {
         .groupBy(col("split")).agg(count(lit(1)))))
     time(s"dedup pairs+components+apply x${math.max(1, mult / 5)}")(
       drain(Dedup.dedupNearMinhash(docs, 0.5)))
+    time(s"srp nearDup x${math.max(1, mult / 5)} (default 4-bit bands)")(
+      drain(Similarity.nearDupCosineSrp(emb, 0.4)))
+    // the documented scale knob: band bits grow with n so bucket sizes stay
+    // ~n/2^bits — candidate pairs (quadratic per bucket) stop growing
+    time(s"srp nearDup x${math.max(1, mult / 5)} (48 planes, 6-bit bands)")(
+      drain(Similarity.nearDupCosineSrp(emb, 0.4, planes = 48, bands = 8)))
+    time(s"quantizeInt8 x${math.max(1, mult / 5)}")(drain(Similarity.quantizeInt8(emb)))
+    time(s"chunkDocuments x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.chunkDocuments(docs)))
+    time(s"snapshotDiff x$mult") {
+      val cents = round(col("o_totalprice") * lit(100), 0).cast("long")
+      val orders = multiply(
+        graft.SparkEntry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")), "o_orderkey", mult, 10_000_000L)
+        .select(col("o_orderkey").as("k"), cents.as("cents"))
+      drain(graft.operators.Cdc.snapshotDiff(
+        orders.filter(col("k") % 11 =!= 0L), orders.filter(col("k") % 13 =!= 0L),
+        Seq("k"), Seq("cents")))
+    }
     time("boundedBucketPairs 50k-copy cluster (star path)") {
       // adversarial: one duplicate cluster far past the cap — must stay
       // O(n) and memory-bounded, not n^2/2 pairs in one buffer
