@@ -62,20 +62,12 @@ object SparkEntry {
     *    a full RocksDB snapshot — the production setting for frequent small
     *    microbatches (snapshots still happen asynchronously every
     *    minDeltasForSnapshot batches). */
-  private def withStreamingConfs[A](s: SparkSession)(body: => A): A = {
-    val scoped = Seq(
+  private def withStreamingConfs[A](s: SparkSession)(body: => A): A =
+    Confs.withConfs(s)(
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
-    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
-    scoped.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")(body)
 
   /** Drive a streaming DataFrame to completion into a memory sink; return
     * the drained result table. Conf scoping: [[withStreamingConfs]]. */
@@ -151,11 +143,8 @@ object SparkEntry {
     result
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.streaming.MergeSink.deleteRecursively(f)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,13 +274,14 @@ object SparkEntry {
     "q_maxby" -> ((s, dir) => {
       // max_by/min_by argmax aggregates: priciest/cheapest order per
       // priority. Ties are broken INSIDE the comparison value (cents ·
-      // 10^7 + orderkey is unique at these SFs) so the argmax is
-      // deterministic under any partitioning/engine — bare max_by on a
-      // tied column picks an arbitrary row.
+      // 10^9 + orderkey) so the argmax is deterministic under any
+      // partitioning/engine — bare max_by on a tied column picks an
+      // arbitrary row. Headroom: cents ≤ ~6e7 → cmb ≤ ~6e16 < 2^63, and
+      // orderkey stays under 10^9 through sf ~170 (TPC-H keys ≈ 6M·SF).
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       table(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"), cents.as("cents"))
-        .withColumn("cmb", col("cents") * 10000000L + col("o_orderkey"))
+        .withColumn("cmb", col("cents") * 1000000000L + col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
           max_by(col("o_orderkey"), col("cmb")).as("max_order"),
@@ -1087,7 +1077,7 @@ object SparkEntry {
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM (SELECT o_orderpriority, o_orderkey,
         |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents,
-        |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT) * 10000000 + o_orderkey AS cmb
+        |        CAST(ROUND(o_totalprice*100, 0) AS BIGINT) * 1000000000 + o_orderkey AS cmb
         |      FROM orders)
         |GROUP BY o_orderpriority""".stripMargin,
     "q_snapshot_diff" ->

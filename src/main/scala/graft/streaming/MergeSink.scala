@@ -75,7 +75,8 @@ object MergeSink {
       sys.error(s"could not publish $staging as $published")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Shared with the SparkEntry drains (one copy of the helper). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }

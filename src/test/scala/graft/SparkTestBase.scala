@@ -24,14 +24,7 @@ abstract class SparkFunSuite extends AnyFunSuite {
 
   /** Scope session confs around `body`, restoring (or unsetting) the prior
     * values — the session is shared JVM-wide, so every suite that flips a
-    * conf must clean up through this. */
-  protected def withConfs[A](pairs: (String, String)*)(body: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+    * conf must clean up through this. Delegates to [[Confs.withConfs]]. */
+  protected def withConfs[A](pairs: (String, String)*)(body: => A): A =
+    Confs.withConfs(spark)(pairs: _*)(body)
 }
