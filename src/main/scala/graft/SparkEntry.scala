@@ -863,6 +863,25 @@ object SparkEntry {
           countDistinct(col("user_id")).as("uniq_users"),
           countDistinct(col("event_type")).as("uniq_types"),
           count(lit(1)).as("n"))),
+    "q_session_window_dynamic" -> ((s, dir) =>
+      // DYNAMIC per-event gap: a purchase holds the session open 60 min,
+      // anything else 15 min — session_window(ts, gapExpr) with a per-row
+      // gap expression. Oracled exactly: with events time-ordered, event i
+      // starts a new session iff ts_i >= max_{j<i}(ts_j + gap_j) — earlier
+      // sessions' ends are <= the break timestamps between them, so the
+      // running max over ALL previous window-ends equals the current
+      // session's end wherever the comparison matters. Millis truncation
+      // as in q_session_window_builtin.
+      table(s, dir, "events")
+        .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+        .groupBy(
+          col("user_id"),
+          session_window(
+            col("ts_ms"),
+            when(col("event_type") === "purchase", "60 minutes").otherwise("15 minutes")).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"), col("n_events"))),
     "q_session_window_builtin" -> ((s, dir) =>
       // Spark's BUILT-IN session_window beside the hand-rolled engine: a
       // user of the reference gets gap sessionization from a one-liner when
@@ -1444,6 +1463,26 @@ object SparkEntry {
         |  COUNT(DISTINCT event_type) AS uniq_types,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "q_session_window_dynamic" ->
+      // running-max-of-window-ends replay (see the query comment for why
+      // the max over ALL previous ends is the correct merge bound)
+      """SELECT user_id, MIN(ms) AS start_ms, MAX(ms + gap) AS end_ms,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ms, gap,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT event_id, user_id, ms, gap,
+        |      CASE WHEN runend IS NULL OR ms >= runend THEN 1 ELSE 0 END AS is_new
+        |    FROM (
+        |      SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |        CASE WHEN event_type = 'purchase' THEN 3600000 ELSE 900000 END AS gap,
+        |        MAX(epoch_ms(ts) + CASE WHEN event_type = 'purchase' THEN 3600000 ELSE 900000 END)
+        |          OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runend
+        |      FROM events)))
+        |GROUP BY user_id, sess""".stripMargin,
     "q_session_window_builtin" ->
       // mirrors session_window's merge rule: new session iff the millis gap
       // to the previous event is >= 30 min; end = last event + gap

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout for scan pruning — the write-side half of the scale
   * story. A 100 TB table is only as fast as what a query can SKIP:
@@ -29,4 +29,46 @@ object Layout {
       .partitionBy(partCol)
       .mode("overwrite")
       .parquet(path)
+
+  /** Bit-interleaved Z-value of two non-negative long columns, each already
+    * scaled into [0, 2^bits): bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure integer expressions — codegen'd, no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` Z-ORDER-clustered on two numeric columns: each output file
+    * covers a small rectangle in (colA, colB) space, so parquet min/max
+    * stats prune files for range predicates on EITHER column — the
+    * multi-dimensional complement of [[writeClustered]]'s linear sort
+    * (which clusters one column and leaves the other scattered). Columns
+    * are min/max-scaled into `bits`-bit grid cells (two scalar lookups at
+    * plan-build time), interleaved into a Z-value, then range-partitioned
+    * into `files` files, sorted within each. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      files: Int,
+      bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val top = (1L << bits) - 1
+    def scale(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * top).cast("long")
+    val z = zValue(scale(colA, r.getDouble(0), r.getDouble(1)),
+      scale(colB, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

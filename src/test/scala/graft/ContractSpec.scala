@@ -33,4 +33,17 @@ class ContractSpec extends SparkFunSuite {
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }
+
+  test("observe() piggybacks pipeline metrics on the query, no second scan") {
+    import org.apache.spark.sql.functions._
+    // the production monitoring hook: row counts / checksums collected AS
+    // the job runs — at 100 TB a separate count() would be a second scan
+    val obs = org.apache.spark.sql.Observation("graft_stats")
+    val df = SparkEntry.table(spark, sf0001, "orders")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val n = df.collect().length
+    assert(obs.get("rows") == n.toLong)
+    assert(obs.get("cents").asInstanceOf[Long] > 0L)
+  }
 }

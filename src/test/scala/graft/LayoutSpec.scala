@@ -53,4 +53,40 @@ class LayoutSpec extends SparkFunSuite {
     }
     rm(new java.io.File(root))
   }
+
+  test("zValue interleaves bits: a at even positions, b at odd") {
+    val got = spark.range(1)
+      .select(Layout.zValue(lit(5L), lit(3L), bits = 3).as("z"))
+      .as[Long].head()
+    // a=101b -> bits at positions 0,4 = 17; b=011b -> positions 1,3 = 10
+    assert(got == 27L)
+  }
+
+  test("writeZOrdered: every file covers a small rectangle in BOTH dimensions") {
+    val root = java.nio.file.Files.createTempDirectory("zorder_spec_").toString
+    val ev = SparkEntry.table(spark, sf0001, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    Layout.writeZOrdered(ev, root, "user_id", "ts_ms", files = 8)
+    val tagged = spark.read.parquet(root)
+      .select(input_file_name().as("f"), col("user_id"), col("ts_ms"))
+    val spans = tagged.groupBy("f").agg(
+      (max("user_id") - min("user_id")).cast("double").as("du"),
+      (max("ts_ms") - min("ts_ms")).cast("double").as("dt"))
+      .as[(String, Double, Double)].collect()
+    assert(spans.length > 4, s"expected ~8 files, got ${spans.length}")
+    val (gu, gt) = tagged
+      .agg((max("user_id") - min("user_id")).cast("double"),
+        (max("ts_ms") - min("ts_ms")).cast("double"))
+      .as[(Double, Double)].head()
+    val avgDu = spans.map(_._2).sum / spans.length / gu
+    val avgDt = spans.map(_._3).sum / spans.length / gt
+    // a LINEAR sort on one column leaves the other dimension's per-file
+    // span ≈ the full global range (ratio ~1.0); the z-curve must shrink
+    // BOTH dimensions at once (ideal for 8 files ≈ 1/sqrt(8) ≈ 0.35)
+    assert(avgDu < 0.65, s"user_id per-file span ratio $avgDu")
+    assert(avgDt < 0.65, s"ts per-file span ratio $avgDt")
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(root).count() == ev.count())
+    graft.streaming.MergeSink.deleteRecursively(new java.io.File(root))
+  }
 }
