@@ -30,14 +30,21 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
-  /** Bit-interleaved Z-value of two non-negative long columns, each already
-    * scaled into [0, 2^bits): bit i of `a` lands at position 2i, bit i of
-    * `b` at 2i+1. Pure integer expressions — codegen'd, no UDF. */
+  /** Bit-interleaved Z-value of two long columns: bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1. Pure integer expressions —
+    * codegen'd, no UDF. Inputs are expected in [0, 2^bits); out-of-range
+    * values are CLAMPED to that interval first (saturating, not silently
+    * bit-masked: a raw timestamp fed in unscaled saturates to the top cell
+    * instead of interleaving its low bits into noise — degraded clustering,
+    * never wrong data). [[writeZOrdered]] handles the scaling. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val top = lit((1L << bits) - 1)
+    def clamp(c: Column): Column = least(greatest(c, lit(0L)), top)
+    val (ca, cb) = (clamp(a), clamp(b))
     (0 until bits).map { i =>
-      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      shiftright(ca, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(cb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
 
@@ -46,25 +53,34 @@ object Layout {
     * stats prune files for range predicates on EITHER column — the
     * multi-dimensional complement of [[writeClustered]]'s linear sort
     * (which clusters one column and leaves the other scattered). Columns
-    * are min/max-scaled into `bits`-bit grid cells (two scalar lookups at
-    * plan-build time), interleaved into a Z-value, then range-partitioned
-    * into `files` files, sorted within each. */
+    * are min/max-scaled into `bits`-bit grid cells, interleaved into a
+    * Z-value, then range-partitioned into `files` files, sorted within
+    * each.
+    *
+    * Cost note: unless `ranges` is supplied, the min/max aggregation is a
+    * FULL extra scan of `df` before the write re-executes the upstream plan
+    * — for an expensive pipeline either persist `df` first or pass the
+    * known `ranges` ((loA, hiA), (loB, hiB)) and skip the scan entirely. */
   def writeZOrdered(
       df: DataFrame,
       path: String,
       colA: String,
       colB: String,
       files: Int,
-      bits: Int = 16): Unit = {
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      bits: Int = 16,
+      ranges: Option[((Double, Double), (Double, Double))] = None): Unit = {
+    val ((loA, hiA), (loB, hiB)) = ranges.getOrElse {
+      val r = df.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      if (r.isNullAt(0) || r.isNullAt(2)) ((0d, 0d), (0d, 0d)) // empty/all-null input
+      else ((r.getDouble(0), r.getDouble(1)), (r.getDouble(2), r.getDouble(3)))
+    }
     val top = (1L << bits) - 1
     def scale(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * top).cast("long")
-    val z = zValue(scale(colA, r.getDouble(0), r.getDouble(1)),
-      scale(colB, r.getDouble(2), r.getDouble(3)), bits)
+    val z = zValue(scale(colA, loA, hiA), scale(colB, loB, hiB), bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -62,6 +62,16 @@ class LayoutSpec extends SparkFunSuite {
     assert(got == 27L)
   }
 
+  test("writeZOrdered: empty input writes an empty table instead of crashing on null ranges") {
+    val root = java.nio.file.Files.createTempDirectory("zorder_empty_").toString
+    val empty = SparkEntry.table(spark, sf0001, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .filter(lit(false))
+    Layout.writeZOrdered(empty, root, "user_id", "ts_ms", files = 2)
+    assert(spark.read.schema(empty.schema).parquet(root).count() == 0)
+    graft.streaming.MergeSink.deleteRecursively(new java.io.File(root))
+  }
+
   test("writeZOrdered: every file covers a small rectangle in BOTH dimensions") {
     val root = java.nio.file.Files.createTempDirectory("zorder_spec_").toString
     val ev = SparkEntry.table(spark, sf0001, "events")

@@ -29,7 +29,7 @@ class RestartSpec extends SparkFunSuite {
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
-    def runGeneration(): Unit = Confs.withConfs(spark)(
+    def runGeneration(): Unit = withConfs(
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
