@@ -139,6 +139,72 @@ class PipelineOpsSpec extends SparkFunSuite {
     // 2: null <=> null -> same; 4: unchanged -> same; neither emitted
   }
 
+  test("chunkDocuments property: count/order/conservation for random sizes") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(1, 40)
+        c <- Gen.choose(1, 12)
+        nDocs <- Gen.choose(1, 6)
+      } yield (n, c, nDocs)
+      val (maxToks, chunkSize, nDocs) = gen(Gen.Parameters.default, rng.Seed(sample.toLong)).get
+      val docs = (0 until nDocs).map { d =>
+        val toks = (0 to (d * 7 + maxToks) % maxToks).map(i => s"w${d}_$i")
+        (d.toLong, toks.mkString(" "))
+      }
+      val got = TextAnalysis.chunkDocuments(docs.toDF("doc_id", "text"), chunkSize)
+        .as[(Long, Long, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val chunks = got(id)
+        assert(chunks.length == (toks.size + chunkSize - 1) / chunkSize, s"sample $sample doc $id")
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), "dense chunk_idx")
+        assert(chunks.flatMap(_._3.split(" ")).toSeq == toks, "token order preserved")
+        assert(chunks.map(_._4).sum == toks.size, "token conservation")
+      }
+    }
+  }
+
+  test("snapshotDiff property: equals a brute-force map diff on random snapshots") {
+    import graft.operators.Cdc
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        o <- Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 3L)))
+        n <- Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 3L)))
+      } yield (o, n)
+      val (oldM, newM) = gen(Gen.Parameters.default, rng.Seed(sample.toLong)).get
+      val expected =
+        (oldM.keySet ++ newM.keySet).flatMap { k =>
+          (oldM.get(k), newM.get(k)) match {
+            case (None, Some(_)) => Some(k -> "insert")
+            case (Some(_), None) => Some(k -> "delete")
+            case (Some(a), Some(b)) if a != b => Some(k -> "update")
+            case _ => None
+          }
+        }.toMap
+      val got = Cdc.snapshotDiff(
+        oldM.toSeq.toDF("k", "v"), newM.toSeq.toDF("k", "v"), Seq("k"), Seq("v"))
+        .select("k", "op").as[(Long, String)].collect().toMap
+      assert(got == expected, s"sample $sample: old=$oldM new=$newM")
+    }
+  }
+
+  test("stratifiedSample exactness: kept set equals the per-row md5 predicate, not a statistic") {
+    val pcts = Map("en" -> 60, "fr" -> 30)
+    val got = Sampling.stratifiedSample(documents, "doc_id", "lang", pcts, defaultPct = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = documents.select("doc_id", "lang").as[(Long, String)].collect().filter {
+      case (id, lang) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$lang:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(md.substring(0, 15), 16) % 100
+        bucket < pcts.getOrElse(lang, 10)
+    }.map(_._1).toSet
+    assert(got == expected)
+  }
+
   test("stratifiedSample: deterministic, partition-invariant, respects per-stratum rates") {
     val pcts = Map("en" -> 60, "fr" -> 30, "es" -> 15)
     def run(df: org.apache.spark.sql.DataFrame) =
