@@ -65,6 +65,19 @@ class PipelineOpsSpec extends SparkFunSuite {
       s"recall ${srp.size}/${exact.size}")
   }
 
+  test("nearDupCosineSrp at shuffle-join scale runs the signature kernel ONCE (ReusedExchange)") {
+    // locally the small band table broadcasts and the kernel evaluates per
+    // side; above the broadcast threshold — the 100 TB regime — both join
+    // sides shuffle on (band, key) and AQE must reuse one Exchange, or the
+    // dominant kernel cost doubles
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Similarity.nearDupCosineSrp(embeddings, 0.4)
+      df.collect() // AQE finalizes exchange reuse only at execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], dequant error <= scale/2, zero vector safe") {
     val tiny = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
