@@ -752,6 +752,29 @@ object SparkEntry {
     }),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"))),
+    "q_train_pipeline" -> ((s, dir) => {
+      // END-TO-END training-data pipeline composed purely from the library
+      // operators — quality gate → exact dedup → context-window chunking →
+      // deterministic 80/10/10 split — and still fully oracled because
+      // every stage is. (The testdata has no exact-duplicate texts, so the
+      // dedup stage passes everything through here; its behavior under real
+      // duplicates is covered by q_dedup_exact and ExtensionSpec.)
+      // Output: per-split corpus accounting, the numbers a training run
+      // starts from.
+      val d = table(s, dir, "documents")
+      val ok = TextAnalysis.qualityScore(d)
+        .filter(col("verdict") === "ok").select(col("doc_id"))
+      val gated = d.join(ok, Seq("doc_id"), "left_semi")
+      val chunks = TextAnalysis
+        .chunkDocuments(graft.operators.Dedup.exact(gated), chunkSize = 50)
+        .withColumn("chunk_id", concat_ws("_", col("doc_id"), col("chunk_idx")))
+      graft.operators.Sampling.trainValTestSplit(chunks, "chunk_id")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+    }),
     "q_unpivot" -> ((s, dir) => {
       // Wide->long unpivot (melt) of four lineitem measures, aggregated.
       val cents = table(s, dir, "lineitem").select(
@@ -1416,23 +1439,29 @@ object SparkEntry {
         |    / greatest(length(a.text), length(b.text), 1), 6) AS edit_ratio
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_quality_score" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tl, text FROM documents),
-        |m AS (SELECT doc_id, lang,
-        |  CAST(len(tl) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tl), 6) AS avg_token_len,
-        |  round(CAST(len(list_filter(tl, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
-        |    / len(tl), 6) AS stopword_ratio,
-        |  round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-        |    / greatest(length(text), 1), 6) AS symbol_ratio
-        |FROM t)
-        |SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, symbol_ratio,
-        |  CASE WHEN n_tokens < 10 THEN 'too_short'
-        |       WHEN n_tokens > 100000 THEN 'too_long'
-        |       WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'token_len'
-        |       WHEN symbol_ratio > 0.1 THEN 'symbols'
-        |       WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'stopwords'
-        |       ELSE 'ok' END AS verdict
-        |FROM m""".stripMargin,
+      s"""WITH $qualityCte
+         |SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, symbol_ratio, verdict
+         |FROM quality""".stripMargin,
+    "q_train_pipeline" ->
+      s"""WITH $qualityCte,
+         |gated AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN quality q ON q.doc_id = d.doc_id AND q.verdict = 'ok'),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ded AS (SELECT g.doc_id, g.text FROM gated g JOIN keep k ON k.doc_id = g.doc_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM ded),
+         |i AS (SELECT doc_id, tl, unnest(range(0, len(tl), 50)) AS i FROM toks),
+         |ch AS (SELECT doc_id,
+         |         CAST(least(50, len(tl) - i) AS BIGINT) AS n_tokens,
+         |         doc_id || '_' || CAST(i // 50 AS VARCHAR) AS chunk_id
+         |       FROM i),
+         |sp AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT *,
+         |               CAST('0x' || substr(md5(chunk_id), 1, 15) AS BIGINT) % 100 AS hb
+         |             FROM ch))
+         |SELECT split, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM (
         |  SELECT 'quantity' AS metric, CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cents FROM lineitem
@@ -1614,6 +1643,31 @@ object SparkEntry {
          |  THEN CAST(e[i] AS DOUBLE) ELSE -CAST(e[i] AS DOUBLE) END
          |  FOR i IN range(1, len(e)+1)]) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString("\n  + ")
+
+  /** Gopher-style quality verdicts as a CTE ending in
+    * `quality(doc_id, lang, n_tokens, avg_token_len, stopword_ratio,
+    * symbol_ratio, verdict)` — mirrors TextAnalysis.qualityScore exactly
+    * (rounded-ratio comparisons so thresholds are boundary-identical).
+    * Shared by q_quality_score and the q_train_pipeline composition. */
+  private val qualityCte: String =
+    """t AS (SELECT doc_id, lang, string_split(text, ' ') AS tl, text FROM documents),
+      |m AS (SELECT doc_id, lang,
+      |  CAST(len(tl) AS BIGINT) AS n_tokens,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tl), 6) AS avg_token_len,
+      |  round(CAST(len(list_filter(tl, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+      |    / len(tl), 6) AS stopword_ratio,
+      |  round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |    / greatest(length(text), 1), 6) AS symbol_ratio
+      |FROM t),
+      |quality AS (
+      |  SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, symbol_ratio,
+      |    CASE WHEN n_tokens < 10 THEN 'too_short'
+      |         WHEN n_tokens > 100000 THEN 'too_long'
+      |         WHEN avg_token_len < 2 OR avg_token_len > 12 THEN 'token_len'
+      |         WHEN symbol_ratio > 0.1 THEN 'symbols'
+      |         WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'stopwords'
+      |         ELSE 'ok' END AS verdict
+      |  FROM m)""".stripMargin
 
   /** Embeddings with precomputed L2 norms (double math). */
   private val normCte: String =
