@@ -588,6 +588,27 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
         .join(frames, "doc_id")
     }),
+    "q_multimodal_wav" -> ((s, dir) => {
+      // REAL binary decode, no codec library: synthesize deterministic PCM
+      // WAV payloads (sine tones parameterized per doc), then parse them
+      // back with the RIFF/PCM byte decoder. Proves the multimodal binary
+      // column carries an actual media format end-to-end — the stub codec
+      // (q_multimodal_decode) stands in only for formats that NEED external
+      // codecs. Synthesis isn't SQL-expressible → rows-only check;
+      // field-level exactness is pinned in ExtensionSpec.
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthesizeWavPcm(
+            freqHz = (100 + id % 400).toInt,
+            nSamples = (500 + nc % 500).toInt))
+        })
+        .toDF("doc_id", "content")
+      Multimodal.decodeWavPcm(media).toDF()
+        .withColumn("mean_abs", round(col("mean_abs"), 6))
+    }),
     "q_sessionize_stream" -> ((s, dir) => {
       // The REAL Structured-Streaming path (flatMapGroupsWithState +
       // watermark + EventTimeTimeout), driven to completion over the file

@@ -64,6 +64,96 @@ object Multimodal {
       .mapPartitions { batch => batch.map { case (id, mime, bytes) => fakeDecode(id, mime, bytes) } }
   }
 
+  /** One decoded PCM-WAV record — REAL binary decode (see [[decodeWavPcm]]). */
+  final case class WavFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      bits_per_sample: Long,
+      n_samples: Long,
+      peak_abs: Long,
+      mean_abs: Double)
+
+  /** Deterministic 16-bit mono PCM WAV bytes: a sine tone at `freqHz`.
+    * StrictMath keeps the samples bit-identical across JVMs/platforms, so
+    * synth→decode round-trips are reproducible. Exists so the WAV decode
+    * path has REAL well-formed input in an environment with no media files. */
+  def synthesizeWavPcm(
+      freqHz: Int,
+      nSamples: Int,
+      sampleRate: Int = 8000,
+      amplitude: Int = 16384): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate = rate * block align
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((amplitude * StrictMath.sin(2 * StrictMath.PI * freqHz * i / sampleRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** RIFF/PCM parser: walks the chunk list (even-padded), requires
+    * format = 1 (PCM) at 16 bits, scans the data chunk once for amplitude
+    * stats. Tolerant contract like ElbLogParser: malformed/truncated/
+    * non-PCM input → None, never an exception. */
+  private[operators] def parseWav(docId: Long, bytes: Array[Byte]): Option[WavFeatures] = {
+    def tag(o: Int): String =
+      if (bytes.length >= o + 4) new String(bytes, o, 4, "US-ASCII") else ""
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Long, Long, Long)] = None // channels, rate, bits
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None // truncated
+      id match {
+        case "fmt " if size >= 16 =>
+          if (bb.getShort(off + 8) != 1) return None // compressed — needs a codec
+          fmt = Some((bb.getShort(off + 10).toLong, bb.getInt(off + 12).toLong,
+            bb.getShort(off + 22).toLong))
+        case "data" =>
+          return fmt.collect { case (ch, rate, bits) if bits == 16 && ch >= 1 =>
+            val n = size / 2
+            var i = 0; var sum = 0L; var peak = 0L
+            while (i < n) {
+              val a = math.abs(bb.getShort(off + 8 + 2 * i).toLong)
+              sum += a; if (a > peak) peak = a; i += 1
+            }
+            WavFeatures(docId, rate, ch, bits, n / ch, peak,
+              if (n == 0) 0d else sum.toDouble / n)
+          }
+        case _ => () // skip LIST/INFO/etc.
+      }
+      off += 8 + size + (size % 2) // RIFF chunks are even-padded
+    }
+    None // no data chunk
+  }
+
+  /** REAL decode over a (doc_id, content: binary) media table: parse each
+    * payload as PCM WAV, emit per-record audio features; unparseable rows
+    * drop out (tolerant-parse contract). Same batched mapPartitions shape
+    * as [[decodeFeatures]] — this is the proof that the multimodal plumbing
+    * carries actual binary formats, not only the stub codec: PCM WAV needs
+    * byte parsing, not a codec library, so it runs everywhere. */
+  def decodeWavPcm(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseWav(id, bytes) })
+  }
+
   /** Frame sampling: every `step`-th byte offset becomes a "frame" row —
     * the explode/posexplode shape of video frame extraction. Pure columnar
     * (sequence + posexplode), no kernel needed. */

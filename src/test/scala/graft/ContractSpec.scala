@@ -21,6 +21,7 @@ class ContractSpec extends SparkFunSuite {
       "q_embedding_neardup_lsh",// cell blocking loses boundary pairs (recall in spec)
       "q_freq_items",           // heavy-hitters sketch
       "q_multimodal_decode",    // stub codec output
+      "q_multimodal_wav",       // synth WAV bytes (sine math not SQL-expressible)
       "q_sessionize_full",      // sequential per-key state machine
       "q_sessionize_stream",    // same, streaming tier
       "q_sessionize_stream_tws",// same, transformWithState tier

@@ -77,6 +77,26 @@ class ExtensionSpec extends SparkFunSuite {
     assert(a.forall(m => m.width == (m.n_bytes % 640) + 1))
   }
 
+  test("PCM WAV round-trip: synth → decode recovers exact format fields and sine amplitudes") {
+    val bytes = Multimodal.synthesizeWavPcm(
+      freqHz = 440, nSamples = 8000, sampleRate = 8000, amplitude = 10000)
+    val f = Multimodal.decodeWavPcm(Seq((7L, bytes)).toDF("doc_id", "content"))
+      .collect().head
+    assert(f.doc_id == 7L && f.sample_rate == 8000L && f.n_channels == 1L)
+    assert(f.bits_per_sample == 16L && f.n_samples == 8000L)
+    // sine of amplitude A: peak ≈ A, mean |A·sin| = 2A/π ≈ 6366
+    assert(f.peak_abs <= 10000L && f.peak_abs >= 9000L, s"peak ${f.peak_abs}")
+    assert(math.abs(f.mean_abs - 2 * 10000 / math.Pi) < 200, s"mean ${f.mean_abs}")
+    // malformed inputs drop out (tolerant-parse contract), never throw
+    val junk = Seq(
+      (1L, "definitely not a wav".getBytes("UTF-8")),
+      (2L, bytes.take(30)),             // header cut mid-fmt
+      (3L, Array.empty[Byte]),
+      (4L, bytes.take(bytes.length - 10))) // data chunk truncated
+      .toDF("doc_id", "content")
+    assert(Multimodal.decodeWavPcm(junk).count() == 0)
+  }
+
   test("frame sampling emits ceil(n_bytes/step) frames with correct offsets") {
     val media = Multimodal.asMediaTable(documents.limit(20))
     val frames = Multimodal.sampleFrames(media, step = 16)
