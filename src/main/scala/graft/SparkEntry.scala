@@ -599,6 +599,9 @@ object SparkEntry {
       import s.implicits._
       val media = table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
+        // single-file parquet = ONE partition; spread the synth+decode
+        // kernel (explicit count: AQE would coalesce these few KB back)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nc) =>
           (id, Multimodal.synthesizeWavPcm(
