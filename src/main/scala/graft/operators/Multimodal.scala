@@ -106,6 +106,7 @@ object Multimodal {
     * stats. Tolerant contract like ElbLogParser: malformed/truncated/
     * non-PCM input → None, never an exception. */
   private[operators] def parseWav(docId: Long, bytes: Array[Byte]): Option[WavFeatures] = {
+    if (bytes == null) return None // nullable binary cell -> drop, don't NPE
     def tag(o: Int): String =
       if (bytes.length >= o + 4) new String(bytes, o, 4, "US-ASCII") else ""
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
@@ -115,7 +116,9 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val id = tag(off)
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None // truncated
+      // compare in Long: a crafted size near Int.MaxValue would wrap
+      // off+8+size negative and sneak past an Int-typed bounds check
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None // truncated
       id match {
         case "fmt " if size >= 16 =>
           if (bb.getShort(off + 8) != 1) return None // compressed — needs a codec

@@ -88,11 +88,19 @@ class ExtensionSpec extends SparkFunSuite {
     assert(f.peak_abs <= 10000L && f.peak_abs >= 9000L, s"peak ${f.peak_abs}")
     assert(math.abs(f.mean_abs - 2 * 10000 / math.Pi) < 200, s"mean ${f.mean_abs}")
     // malformed inputs drop out (tolerant-parse contract), never throw
+    // adversarial: a chunk-size field near Int.MaxValue must not wrap the
+    // Int bounds check and read past the buffer
+    val overflow = bytes.clone()
+    val szOff = 40 // the data chunk's size field in the synthesized layout
+    java.nio.ByteBuffer.wrap(overflow).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(szOff, 0x7FFFFFF0)
     val junk = Seq(
       (1L, "definitely not a wav".getBytes("UTF-8")),
       (2L, bytes.take(30)),             // header cut mid-fmt
       (3L, Array.empty[Byte]),
-      (4L, bytes.take(bytes.length - 10))) // data chunk truncated
+      (4L, bytes.take(bytes.length - 10)), // data chunk truncated
+      (5L, null.asInstanceOf[Array[Byte]]), // nullable binary cell
+      (6L, overflow))
       .toDF("doc_id", "content")
     assert(Multimodal.decodeWavPcm(junk).count() == 0)
   }
