@@ -16,8 +16,13 @@ import org.apache.spark.sql.SparkSession
   *  - the streaming queries (derived from the "stream" naming convention)
   *    run as a SEPARATE TRAILING PHASE, so their checkpoint/state teardown
   *    can't contaminate batch timings;
-  *  - every query runs TWICE and reports the MIN — a GC pause or lagging
-  *    teardown inflates one run, not both;
+  *  - every query runs TWICE and reports the MIN, but as two SEPARATED
+  *    full passes (A B C … A B C), not back-to-back pairs (A A B B …):
+  *    the round-4 driver record showed a multi-second host-contention
+  *    window inflating BOTH back-to-back runs of four consecutive queries
+  *    (q_json_extract 2.29 s recorded vs 0.39 s clean) — separating a
+  *    query's two timings by the length of a full pass decorrelates them
+  *    from any noise burst shorter than that;
   *  - an explicit GC + settle between phases and after the warm-up.
   */
 object Bench {
@@ -45,25 +50,31 @@ object Bench {
 
     def settle(): Unit = { System.gc(); Thread.sleep(300) }
 
-    /** min-of-2 timed runs (seconds). A failed run must never become the
-      * reported min (a 0.3 s crash would understate a 6 s query 20×): the
-      * min is taken over SUCCESSFUL runs; only if both fail is the slower
-      * failure time reported, with a warning on stderr (the JSON line on
-      * stdout stays machine-parseable). */
-    def timeMin2(name: String): Double = {
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { evaluate(name); true }
-          catch { case t: Throwable =>
-            System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+    /** One timed run (seconds, success flag). A failed run must never
+      * become the reported min (a 0.3 s crash would understate a 6 s query
+      * 20×); failures warn on stderr so the JSON line on stdout stays
+      * machine-parseable. */
+    def timeOnce(name: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { evaluate(name); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    /** Two separated full passes over `names`; per query, min over
+      * SUCCESSFUL runs, or the slower failure time if both fail. */
+    def timePhase(names: Seq[String]): Seq[(String, Double)] = {
+      val passA = names.map(n => n -> timeOnce(n))
+      settle()
+      val passB = names.map(n => n -> timeOnce(n))
+      passA.zip(passB).map { case ((n, ra), (_, rb)) =>
+        val good = Seq(ra, rb).collect { case (sec, true) => sec }
+        n -> (if (good.nonEmpty) good.min else Seq(ra._1, rb._1).max)
       }
-      val runs = Seq(once(), once())
-      val good = runs.collect { case (sec, true) => sec }
-      if (good.nonEmpty) good.min else runs.map(_._1).max
     }
 
     // warm-up: JVM + parquet footer caches + codegen paths (untimed)
@@ -72,9 +83,9 @@ object Bench {
 
     val (streaming, batch) = SparkEntry.queries.keys.toSeq.sorted
       .partition(isStreaming)
-    val batchResults = batch.map(n => n -> timeMin2(n))
+    val batchResults = timePhase(batch)
     settle() // batch numbers are final before any streaming state exists
-    val streamResults = streaming.map(n => n -> timeMin2(n))
+    val streamResults = timePhase(streaming)
 
     val results = (batchResults ++ streamResults).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

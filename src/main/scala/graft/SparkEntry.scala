@@ -580,6 +580,42 @@ object SparkEntry {
       TextAnalysis.tokenFrequencies(table(s, dir, "documents"))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(table(s, dir, "documents"))),
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(table(s, dir, "documents"))),
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(table(s, dir, "documents"))),
+    "q_pii_redact" -> ((s, dir) => {
+      // The synthetic corpus has no PII; splice deterministic doc_id-derived
+      // email/IP/phone fragments into some documents (same parse-your-own-
+      // synthesis pattern as q_parse_elb), then scrub. The oracle rebuilds
+      // the identical text and mirrors the regexes in RE2.
+      val d = col("doc_id")
+      val withPii = table(s, dir, "documents").select(
+        d,
+        concat(
+          col("text"),
+          when(d % 3 === 0,
+            concat(lit(" contact u"), d, lit("@example.com"))).otherwise(lit("")),
+          when(d % 4 === 0,
+            concat(lit(" host 10."), d % 256L, lit(".0."), d % 100L)).otherwise(lit("")),
+          when(d % 5 === 0,
+            concat(lit(" call 555-867-"), lpad((d % 10000L).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(withPii)
+    }),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(table(s, dir, "documents"), k = 3)),
+    "q_decontaminate" -> ((s, dir) => {
+      // Held-out "benchmark" = every 20th doc; flag train docs sharing any
+      // 4-gram with it. Broadcast test shingle set, narrow train scan.
+      // (4/20 chosen so ~10% of the corpus actually flags at sf0.01 — a
+      // 5-gram over this vocab contaminates 1 doc, too thin to verify.)
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20L =!= 0L),
+        docs.filter(col("doc_id") % 20L === 0L),
+        n = 4)
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(table(s, dir, "documents"))
       val frames = Multimodal.sampleFrames(media, step = 16)
@@ -1385,6 +1421,77 @@ object SparkEntry {
          |      * (CAST(1 AS BIGINT) << ((16*(len(tl)-i)) % 31))) % 2147483647
          |    FOR i IN range(1, len(tl)+1)]) % 2147483647 AS BIGINT) AS rolling_hash
          |FROM toks""".stripMargin,
+    "q_repetition" ->
+      // bigrams: tl[i]||'_'||tl[i+1] for i in 1..len-1 (DuckDB lists are
+      // 1-based; range() excludes its end) — mirrors shingles(toks, 2)
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+        |b AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct([tl[i]||'_'||tl[i+1] FOR i IN range(1, len(tl))])) AS BIGINT)
+        |    AS n_uniq_bigrams, tl FROM t),
+        |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_freq FROM (
+        |  SELECT doc_id, token, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(tl) AS token FROM t) GROUP BY doc_id, token)
+        |  GROUP BY doc_id),
+        |r AS (SELECT b.doc_id, n_tokens, n_uniq_bigrams, top_token_freq,
+        |  round(CAST(top_token_freq AS DOUBLE)/n_tokens, 6) AS top_token_ratio,
+        |  CASE WHEN n_tokens < 2 THEN 0.0
+        |       ELSE round(1.0 - CAST(n_uniq_bigrams AS DOUBLE)/(n_tokens-1), 6)
+        |  END AS dup_bigram_ratio
+        |FROM b JOIN top ON b.doc_id = top.doc_id)
+        |SELECT *, CASE WHEN top_token_ratio > 0.2 THEN 'top_token'
+        |               WHEN dup_bigram_ratio > 0.5 THEN 'dup_bigrams'
+        |               ELSE 'ok' END AS verdict
+        |FROM r""".stripMargin,
+    "q_entropy" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n, unnest(string_split(text,'')) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  round(-SUM(cnt/CAST(n AS DOUBLE) * log2(cnt/CAST(n AS DOUBLE))), 6) AS entropy
+        |FROM g GROUP BY doc_id, n""".stripMargin,
+    "q_pii_redact" ->
+      // same synthesized text, same patterns; RE2 needs the 'g' flag for
+      // replace-all (Java regexp_replace is global by default)
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u'||doc_id||'@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' host 10.'||(doc_id % 256)||'.0.'||(doc_id % 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-'||lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term, tf, df,
+        |    round(CAST(tf AS DOUBLE) * ln(n_docs/df), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
+    "q_decontaminate" ->
+      // 4-gram strings via inclusive 1-based list slices tl[i:i+3];
+      // range(1, len-2) caps i at len-3 and is empty when len < 4
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct([array_to_string(tl[i:i+3],'_') FOR i IN range(1, len(tl)-2)]) AS gs
+        |  FROM t),
+        |te AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS sh FROM g WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+        |FROM tr JOIN te USING(sh) GROUP BY tr.doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -432,4 +432,27 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with a held-out test set. The test side (benchmark suites —
+    * small by construction, even when the train corpus is 100 TB) collapses
+    * to a distinct shingle set and BROADCASTS; the train side is one narrow
+    * explode + broadcast hash join + hash agg — no all-pairs work, shuffle
+    * proportional to contaminated shingle instances only. Returns one row
+    * per contaminated train doc with its overlapping-shingle count
+    * (shingles() is per-doc distinct, so the count is distinct n-grams). */
+  def decontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      n: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("__g"))
+    val testGrams = grams(test).select(col("__g")).distinct()
+    grams(train)
+      .join(broadcast(testGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_overlap_grams"))
+  }
 }

@@ -132,6 +132,121 @@ object TextAnalysis {
         least(lit(chunkSize), size(col("__tl")) - col("__i")).cast("long").as("n_tokens"))
   }
 
+  /** Gopher-style repetition signals: top-token concentration and duplicate
+    * bigram fraction, plus a first-failing-rule verdict. The top-token count
+    * is an explode + two-level hash aggregate (map-side partial combine, so
+    * the shuffle carries distinct (doc, token) pairs, not token instances);
+    * bigram stats reuse the `shingles` kernel — one narrow map. Both join
+    * back on doc_id. Thresholds compare round(x,6) values so the verdict
+    * boundary is identical in the DuckDB oracle. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(shingles(toks, 2)).cast("long").as("n_uniq_bigrams"))
+    val top = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast("long").as("top_token_freq"))
+    base
+      .join(top, Seq("doc_id"))
+      .withColumn(
+        "top_token_ratio",
+        round(col("top_token_freq").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn(
+        "dup_bigram_ratio",
+        when(col("n_tokens") < 2L, lit(0.0)).otherwise(
+          round(
+            lit(1.0) - col("n_uniq_bigrams").cast("double") /
+              (col("n_tokens") - 1L).cast("double"),
+            6)))
+      .withColumn(
+        "verdict",
+        when(col("top_token_ratio") > 0.2, "top_token")
+          .when(col("dup_bigram_ratio") > 0.5, "dup_bigrams")
+          .otherwise("ok"))
+  }
+
+  /** PII redaction — the scrub step of a training-data pipeline. Counts each
+    * category (regexp_extract_all BEFORE replacement), then rewrites the
+    * text with category placeholders. Pure narrow map: at 100 TB this costs
+    * one scan, no shuffle. Patterns stay inside the regex subset that Java
+    * and RE2 (the DuckDB oracle's engine) interpret identically: character
+    * classes, bounded repetition, \b word boundaries — no lookaround, no
+    * backreferences. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // order matters only for the rewrite; the patterns are mutually
+    // non-overlapping (emails carry '@', IPs dots-only, phones hyphens)
+    "email" -> "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs) { case (df, (name, pat)) =>
+      df.withColumn(
+        s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (name, pat)) =>
+      regexp_replace(c, lit(pat), lit(s"<${name.toUpperCase}>"))
+    }
+    counted.withColumn("redacted", redacted)
+      .select(
+        col("doc_id") +: PiiPatterns.map { case (n, _) => col(s"n_$n") } :+
+          col("redacted"): _*)
+  }
+
+  /** Character-level Shannon entropy per document — a cheap quality signal
+    * (binary junk and single-char spam score near 0; natural text sits
+    * around 4 bits). Explode + two hash aggregates with map-side partial
+    * combine; the shuffle carries distinct (doc, char) pairs. Spark's
+    * split(text, "") emits a trailing "" (Java split semantics) — filtered
+    * so the oracle's string_split(text,'') sees identical char sets. */
+  def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val p = col("c").cast("double") / col("n_chars").cast("double")
+    docs
+      .select(
+        col("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(round(-sum(p * log2(p)), 6).as("entropy"))
+  }
+
+  /** TF-IDF top-k terms per document. tf = explode + hash agg; df and the
+    * corpus size are tiny aggregates of tf (broadcast back — at 100 TB the
+    * document-frequency table is vocabulary-sized, not corpus-sized, and
+    * the row count is one number). Scores are rounded to 6 places BEFORE
+    * ranking so Spark and the oracle rank identical values; ties break on
+    * term ascending. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        round(col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
     * + a 32-bit SimHash + an order-sensitive Rabin-Karp rolling hash —
     * four independent signals, all portable.

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline-operator additions: repetition signals, PII redaction,
+  * TF-IDF top-k, benchmark decontamination. */
+class TextPipelineSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- repetitionStats
+
+  test("repetitionStats: hand-checked counts, ratios, and verdicts") {
+    val df = docsOf(
+      0L -> "a a a b", // top a=3/4, bigrams {a_a, a_b} of 3 -> dup 1/3
+      1L -> "w x y z w x", // top 2/6, bigrams {w_x, x_y, y_z, z_w} of 5 -> dup 1/5
+      2L -> "solo") // 1 token: dup ratio defined as 0
+    val r = TextAnalysis.repetitionStats(df)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "top_token_freq", "top_token_ratio", "dup_bigram_ratio", "verdict")
+      .as[(Long, Long, Long, Double, Double, String)]
+      .collect()
+    assert(r(0) == ((0L, 4L, 3L, 0.75, 0.333333, "top_token")))
+    assert(r(1) == ((1L, 6L, 2L, 0.333333, 0.2, "top_token")))
+    assert(r(2) == ((2L, 1L, 1L, 1.0, 0.0, "top_token")))
+  }
+
+  test("repetitionStats: a diverse document passes, a copy-paste loop flags dup_bigrams") {
+    val diverse = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val looped = Seq.fill(20)("copy paste block body").flatMap(_.split(" ")).mkString(" ")
+    val r = TextAnalysis.repetitionStats(docsOf(0L -> diverse, 1L -> looped))
+      .orderBy("doc_id").select("verdict").as[String].collect()
+    assert(r(0) == "ok")
+    // every token appears 20x of 80 -> top ratio 0.25 -> trips top_token first
+    assert(r(1) == "top_token")
+    // with the top-token rule out of reach (8 distinct tokens, each 10/80 =
+    // 0.125), the bigram rule must catch the loop: 8 distinct bigrams of 79
+    val loopedLong = Seq.fill(10)("one two three four five six seven eight")
+      .mkString(" ")
+    val r2 = TextAnalysis.repetitionStats(docsOf(2L -> loopedLong))
+      .select("top_token_ratio", "dup_bigram_ratio", "verdict")
+      .as[(Double, Double, String)].head()
+    assert(r2._1 <= 0.2 && r2._2 > 0.5 && r2._3 == "dup_bigrams", r2.toString)
+  }
+
+  // ---- redactPii
+
+  test("redactPii: counts before rewrite, placeholders after, clean text untouched") {
+    val df = docsOf(
+      0L -> "mail me at bob.smith@corp.example.com or call 555-123-4567 now",
+      1L -> "server 192.168.1.254 and 10.0.0.1 responded",
+      2L -> "no pii here just words",
+      3L -> "two mails a@b.co c.d@e.fg one ip 8.8.8.8")
+    val r = TextAnalysis.redactPii(df)
+      .orderBy("doc_id")
+      .select("n_email", "n_ip", "n_phone", "redacted")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    assert(r(0) == ((1L, 0L, 1L, "mail me at <EMAIL> or call <PHONE> now")))
+    assert(r(1) == ((0L, 2L, 0L, "server <IP> and <IP> responded")))
+    assert(r(2) == ((0L, 0L, 0L, "no pii here just words")))
+    assert(r(3) == ((2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("redactPii: an IP is not half-eaten by the email pass and digits in words survive") {
+    val r = TextAnalysis.redactPii(docsOf(
+      0L -> "v2.0.1.3 build 12345 at 1.2.3.4"))
+      .select("n_email", "n_ip", "redacted").as[(Long, Long, String)].head()
+    // v2.0.1.3 has a non-digit run -> not an IP; 12345 bare number untouched
+    assert(r == ((0L, 1L, "v2.0.1.3 build 12345 at <IP>")))
+  }
+
+  // ---- tfidfTopK
+
+  test("tfidfTopK: hand-checked scores, corpus-wide terms score zero, ties break on term") {
+    // "shared" in all 3 docs -> idf ln(1) = 0; "rare" only in doc 0
+    val df = docsOf(
+      0L -> "rare shared shared",
+      1L -> "shared common",
+      2L -> "common shared shared")
+    val r = TextAnalysis.tfidfTopK(df, k = 3)
+      .orderBy("doc_id", "rn")
+      .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+      .as[(Long, String, Long, Long, Double, Long)]
+      .collect()
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln15 = BigDecimal(math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.filter(_._1 == 0L).map(x => (x._2, x._5, x._6)).toSeq ==
+      Seq(("rare", ln3, 1L), ("shared", 0.0, 2L)))
+    // doc 1: common (ln 1.5) beats shared (0); both k-capped at 2 terms
+    assert(r.filter(_._1 == 1L).map(x => (x._2, x._5)).toSeq ==
+      Seq(("common", ln15), ("shared", 0.0)))
+    // doc 2: common 1*ln1.5 vs shared 0 -> common first
+    assert(r.filter(_._1 == 2L).map(_._2).toSeq == Seq("common", "shared"))
+    // df values: shared in 3 docs, common in 2, rare in 1
+    assert(r.find(_._2 == "shared").get._4 == 3L)
+    assert(r.find(_._2 == "common").get._4 == 2L)
+    assert(r.find(_._2 == "rare").get._4 == 1L)
+  }
+
+  test("tfidfTopK: k caps rows per doc and equal scores order by term ascending") {
+    // zeta/alpha both appear once in doc 0 only -> identical tfidf; term
+    // ascending must put alpha first
+    val df = docsOf(0L -> "zeta alpha fill", 1L -> "fill", 2L -> "fill")
+    val r = TextAnalysis.tfidfTopK(df, k = 2)
+      .filter($"doc_id" === 0L).orderBy("rn")
+      .select("term").as[String].collect()
+    assert(r.toSeq == Seq("alpha", "zeta"))
+  }
+
+  // ---- decontaminate
+
+  test("decontaminate: exact overlap counts, clean docs absent, short docs safe") {
+    val train = docsOf(
+      0L -> "the quick brown fox jumps over the lazy dog", // shares 2 distinct 4-grams
+      1L -> "completely different words entirely here now",
+      2L -> "tiny doc", // < n tokens: no shingles, never flags
+      3L -> "quick brown fox jumps") // exactly one 4-gram, shared
+    val test = docsOf(
+      100L -> "the quick brown fox jumps elsewhere") // 4-grams: the_quick_brown_fox, quick_brown_fox_jumps, brown_fox_jumps_elsewhere
+    val r = Dedup.decontaminate(train, test, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate: count is per distinct shingle even when the train doc repeats it") {
+    val train = docsOf(0L -> "a b c d x a b c d") // a_b_c_d appears twice, distinct once
+    val test = docsOf(1L -> "a b c d")
+    val r = Dedup.decontaminate(train, test, n = 4).as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1L))
+  }
+}
