@@ -66,13 +66,32 @@ object Bench {
     }
 
     /** Two separated full passes over `names`; per query, min over
-      * SUCCESSFUL runs, or the slower failure time if both fail. */
+      * SUCCESSFUL runs, or the slower failure time if both fail.
+      *
+      * Adaptive third pass (round-5 lesson): two separated passes still
+      * recorded q_repetition at 3.74 s vs 1.73 s clean — a noise burst
+      * LONGER than one full pass defeats the decorrelation. When a query's
+      * two successful timings disagree by >2×, the faster one is already
+      * suspect too (the burst may have straddled both), so those queries
+      * get one more timing in a third mini-pass and report the min of
+      * three. Bounded cost: only disagreeing queries re-run. */
     def timePhase(names: Seq[String]): Seq[(String, Double)] = {
       val passA = names.map(n => n -> timeOnce(n))
       settle()
       val passB = names.map(n => n -> timeOnce(n))
-      passA.zip(passB).map { case ((n, ra), (_, rb)) =>
-        val good = Seq(ra, rb).collect { case (sec, true) => sec }
+      val two = passA.zip(passB).map { case ((n, ra), (_, rb)) => (n, ra, rb) }
+      val suspect = two.collect {
+        case (n, (ta, true), (tb, true)) if math.max(ta, tb) > 2 * math.min(ta, tb) => n
+      }.toSet
+      if (suspect.nonEmpty) {
+        System.err.println(
+          s"[bench] >2x pass disagreement, re-timing: ${suspect.toSeq.sorted.mkString(", ")}")
+        settle()
+      }
+      val passC: Map[String, (Double, Boolean)] =
+        names.filter(suspect).map(n => n -> timeOnce(n)).toMap
+      two.map { case (n, ra, rb) =>
+        val good = (Seq(ra, rb) ++ passC.get(n)).collect { case (sec, true) => sec }
         n -> (if (good.nonEmpty) good.min else Seq(ra._1, rb._1).max)
       }
     }
@@ -81,7 +100,11 @@ object Bench {
     try evaluate("q_uniq_visitors") catch { case _: Throwable => }
     settle()
 
+    // SPARK_GRAFT_ONLY: comma-separated names — dev-iteration spot-checks
+    // only; the driver sets just SF_DIR so its record stays complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val (streaming, batch) = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
       .partition(isStreaming)
     val batchResults = timePhase(batch)
     settle() // batch numbers are final before any streaming state exists

@@ -440,7 +440,11 @@ object Dedup {
     * explode + broadcast hash join + hash agg — no all-pairs work, shuffle
     * proportional to contaminated shingle instances only. Returns one row
     * per contaminated train doc with its overlapping-shingle count
-    * (shingles() is per-doc distinct, so the count is distinct n-grams). */
+    * (the shingle set is per-doc distinct, so the count is distinct
+    * n-grams). Both sides shingle through the fused [[shingleSigTable]]
+    * kernel (one tokenization pass per doc) — the columnar `shingles` HOF
+    * re-splits the text once per n-gram (the interpreted-lambda cliff
+    * documented on [[shingleTable]]). */
   def decontaminate(
       train: DataFrame,
       test: DataFrame,
@@ -448,7 +452,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def grams(df: DataFrame) =
-      df.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("__g"))
+      shingleSigTable(df, idCol, textCol, n, numHashes = 0)
+        .select(col(idCol), explode(col("__sh")).as("__g"))
     val testGrams = grams(test).select(col("__g")).distinct()
     grams(train)
       .join(broadcast(testGrams), Seq("__g"))

@@ -133,26 +133,43 @@ object TextAnalysis {
   }
 
   /** Gopher-style repetition signals: top-token concentration and duplicate
-    * bigram fraction, plus a first-failing-rule verdict. The top-token count
-    * is an explode + two-level hash aggregate (map-side partial combine, so
-    * the shuffle carries distinct (doc, token) pairs, not token instances);
-    * bigram stats reuse the `shingles` kernel — one narrow map. Both join
-    * back on doc_id. Thresholds compare round(x,6) values so the verdict
-    * boundary is identical in the DuckDB oracle. */
+    * bigram fraction, plus a first-failing-rule verdict.
+    *
+    * ONE tokenization: a single exploded (doc, pos, token) table feeds all
+    * three stats — n_tokens (count), top_token_freq (count window over
+    * (doc, token)), and distinct bigrams (token + lead(token) over the
+    * position window; first occurrence flagged by row_number so the final
+    * aggregate needs no distinct-expand). Every window partitions on a
+    * doc_id-prefixed key, so the whole plan is ONE shuffle on doc_id +
+    * in-partition sorts + one hash aggregate; window buffers spill,
+    * nothing is broadcast. (The previous shape tokenized each document
+    * three times and built bigrams through the interpreted-HOF `shingles`
+    * kernel — the CodegenFallback cliff documented in Similarity.)
+    * Thresholds compare round(x,6) values so the verdict boundary is
+    * identical in the DuckDB oracle. */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val base = docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(shingles(toks, 2)).cast("long").as("n_uniq_bigrams"))
-    val top = docs
-      .select(col("doc_id"), explode(toks).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val stats = docs
+      .select(col("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .withColumn(
+        "__bigram",
+        when(lead(col("token"), 1).over(wPos).isNotNull,
+          concat(col("token"), lit("_"), lead(col("token"), 1).over(wPos))))
+      .withColumn(
+        "__bi_first",
+        row_number().over(
+          Window.partitionBy(col("doc_id"), col("__bigram")).orderBy(col("pos"))))
+      .withColumn(
+        "__tc",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("token"))))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).cast("long").as("top_token_freq"))
-    base
-      .join(top, Seq("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        count(when(col("__bigram").isNotNull && col("__bi_first") === 1, 1))
+          .cast("long").as("n_uniq_bigrams"),
+        max(col("__tc")).cast("long").as("top_token_freq"))
+    stats
       .withColumn(
         "top_token_ratio",
         round(col("top_token_freq").cast("double") / col("n_tokens").cast("double"), 6))
@@ -219,22 +236,24 @@ object TextAnalysis {
       .agg(round(-sum(p * log2(p)), 6).as("entropy"))
   }
 
-  /** TF-IDF top-k terms per document. tf = explode + hash agg; df and the
-    * corpus size are tiny aggregates of tf (broadcast back — at 100 TB the
-    * document-frequency table is vocabulary-sized, not corpus-sized, and
-    * the row count is one number). Scores are rounded to 6 places BEFORE
-    * ranking so Spark and the oracle rank identical values; ties break on
-    * term ascending. */
+  /** TF-IDF top-k terms per document. tf = explode + hash agg; df = a COUNT
+    * window over tf partitioned by term — one spill-safe shuffle, computed
+    * on the SAME tf subtree (no second aggregate, no join). Deliberately
+    * NOT a broadcast: the document-frequency table is vocabulary-sized, and
+    * at 100 TB of web text the vocabulary runs 10⁸–10⁹ terms — far past any
+    * broadcast threshold (a forced hint would override Spark's size gate
+    * and OOM the driver). Only the 1-row corpus count is broadcast. Scores
+    * are rounded to 6 places BEFORE ranking so Spark and the oracle rank
+    * identical values; ties break on term ascending. */
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf
-      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",

@@ -111,6 +111,21 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r.toSeq == Seq("alpha", "zeta"))
   }
 
+  test("tfidfTopK plan: document frequency is a window, never a broadcast join") {
+    // the df table is vocabulary-sized (10^8-10^9 terms at 100 TB) — a
+    // forced broadcast hint would override Spark's size gate and OOM the
+    // driver at scale. The plan must compute df as a window over tf: no
+    // hash/merge join anywhere; the only broadcast is the 1-row corpus
+    // count feeding the nested-loop cross join.
+    val out = TextAnalysis.tfidfTopK(docsOf(0L -> "a b c", 1L -> "b c d"), k = 2)
+    out.collect() // AQE: the final executed plan exists only after execution
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
   // ---- decontaminate
 
   test("decontaminate: exact overlap counts, clean docs absent, short docs safe") {
