@@ -533,8 +533,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
     }),
     "q_similarity_ivf" -> ((s, dir) => {
-      // Approximate IVF search — scale path; recall measured in the spec,
-      // no SQL oracle (rows-only check by design).
+      // Approximate IVF search — scale path. With trainIters = 0 the whole
+      // pipeline is deterministic (lowest-id seed centroids, rounded
+      // cosines, total-order tie-breaks), so the DuckDB oracle replays
+      // centroid choice, cell assignment, probe ranking, and final top-k
+      // bit-for-bit; recall vs brute force is measured in the spec.
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8L)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1346,6 +1349,31 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "q_similarity_ivf" ->
+      // mirrors Similarity.ivfTopK at trainIters = 0: cent = 16 lowest-id
+      // vectors; assign = argmax rounded cosine (tie-break cell asc) over
+      // ALL corpus rows; probes = each query's top-4 cells by the same
+      // ranking; final = exact rank within probed cells only
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1),
+         |probes AS (SELECT qid, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE r <= 4)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT p.qid, a.vec_id, round(${cosineSqlExprAs("p", "a")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY p.qid
+         |      ORDER BY round(${cosineSqlExprAs("p", "a")}, 6) DESC, a.vec_id) AS rank
+         |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id != p.qid)
+         |WHERE rank <= 10""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH $normCte,
          |scored AS (
@@ -1806,11 +1834,13 @@ object SparkEntry {
       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
       |FROM embeddings)""".stripMargin
 
-  /** Cosine between q.embedding and c.embedding using the norms above —
+  /** Cosine between `qa`.embedding and `ca`.embedding using the norms above —
     * mirrors Similarity.cosine's dot/(sqrt*sqrt) shape and fold order. */
-  private val cosineSqlExpr: String =
-    """list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
-      |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.nrm)""".stripMargin
+  private def cosineSqlExprAs(qa: String, ca: String): String =
+    s"""list_sum([CAST($qa.embedding[i] AS DOUBLE)*CAST($ca.embedding[i] AS DOUBLE)
+       |  FOR i IN range(1, len($qa.embedding)+1)]) / ($qa.nrm * $ca.nrm)""".stripMargin
+
+  private val cosineSqlExpr: String = cosineSqlExprAs("q", "c")
 
   /** Gap-only sessionize as ANSI window SQL (DuckDB dialect-safe): identical
     * semantics to [[Sessionize.gapSessionize]] — integer-millis arithmetic,
