@@ -651,6 +651,28 @@ object SparkEntry {
       Multimodal.decodeWavPcm(media).toDF()
         .withColumn("mean_abs", round(col("mean_abs"), 6))
     }),
+    "q_multimodal_image" -> ((s, dir) => {
+      // REAL image decode, no codec library: synthesize deterministic
+      // 24-bit BMPs (gray ramp parameterized by doc_id/n_chars), parse
+      // them back with the fixed-offset BMP header/pixel decoder. Unlike
+      // the WAV tier's transcendental sine, the pixel math is pure integer
+      // formulas, so the ORACLE replays the synthesis in SQL and the
+      // decode output hash-matches — a fully-oracled real binary format.
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        // single-file parquet = ONE partition; spread the synth+decode
+        // kernel (explicit count: AQE would coalesce these few KB back)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthesizeBmp24(id,
+            width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
+        })
+        .toDF("doc_id", "content")
+      Multimodal.decodeBmp24(media).toDF()
+        .withColumn("mean_px", round(col("mean_px"), 6))
+    }),
     "q_sessionize_stream" -> ((s, dir) => {
       // The REAL Structured-Streaming path (flatMapGroupsWithState +
       // watermark + EventTimeTimeout), driven to completion over the file
@@ -1525,6 +1547,22 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(CAST(text AS BLOB)) + 15) // 16 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "q_multimodal_image" ->
+      // replays the BMP SYNTHESIS formulas (not the bytes): w/h from
+      // doc_id/n_chars, pixel (x, y) = (doc_id + x + 3y) mod 251, px00 =
+      // logical pixel (0, 0); the Spark side must decode the actual binary
+      // (stride, padding, bottom-up rows) to reproduce these numbers
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h,
+        |  [ (doc_id + (i % w) + 3*(i // w)) % 251 FOR i IN range(0, w*h) ] AS px
+        |FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bits_per_pixel, CAST(w*h AS BIGINT) AS n_px,
+        |  CAST(doc_id % 251 AS BIGINT) AS px00,
+        |  CAST(list_max(px) AS BIGINT) AS peak_px,
+        |  round(CAST(list_sum(px) AS DOUBLE)/(w*h), 6) AS mean_px
+        |FROM v""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,

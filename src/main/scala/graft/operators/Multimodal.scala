@@ -157,6 +157,110 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => parseWav(id, bytes) })
   }
 
+  /** One decoded BMP record — REAL binary decode (see [[decodeBmp24]]). */
+  final case class BmpFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      bits_per_pixel: Long,
+      n_px: Long,
+      px00: Long,
+      peak_px: Long,
+      mean_px: Double)
+
+  /** Deterministic 24-bit uncompressed BMP bytes (BITMAPINFOHEADER,
+    * bottom-up rows, 4-byte row padding): pixel (x, y) is the gray value
+    * v = (seed + x + 3·y) mod 251 in all three channels. Pure integer
+    * math, so the synthesis parameters — not the bytes — are replayable in
+    * SQL, which is what makes the decode query oracle-able (unlike the
+    * WAV tier's transcendental sine). Exists so the BMP decode path has
+    * REAL well-formed input in an environment with no media files. */
+  def synthesizeBmp24(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate bitmap: ${width}x$height")
+    val stride = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val dataSize = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte); bb.putInt(54 + dataSize)
+    bb.putInt(0); bb.putInt(54) // reserved, pixel-array offset
+    bb.putInt(40); bb.putInt(width); bb.putInt(height) // BITMAPINFOHEADER
+    bb.putShort(1); bb.putShort(24) // planes, bpp
+    bb.putInt(0); bb.putInt(dataSize) // BI_RGB (uncompressed), image size
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0) // ppm, palette
+    var fy = 0 // file rows run bottom-up: file row fy is logical y = h-1-fy
+    while (fy < height) {
+      val y = height - 1 - fy
+      var x = 0
+      while (x < width) {
+        val v = ((seed + x + 3L * y) % 251L).toByte
+        bb.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { bb.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    bb.array()
+  }
+
+  /** BMP (BITMAPINFOHEADER, 24-bit BI_RGB) parser: fixed-offset header
+    * fields, then one pass over the pixel array honoring bottom-up row
+    * order and 4-byte row padding. Tolerant contract like [[parseWav]]:
+    * malformed / truncated / paletted / compressed input → None, never an
+    * exception. All size arithmetic runs in Long — crafted width/height
+    * near Int.MaxValue must not wrap the bounds check and read past (or
+    * allocate for) the buffer. Stats use the blue channel (the synthesized
+    * input is gray, all channels equal); px00 is logical pixel (0, 0) —
+    * FIRST pixel of the LAST stored row, so a decoder that ignored
+    * bottom-up order or mis-sized the stride would get it wrong. */
+  private[operators] def parseBmp24(docId: Long, bytes: Array[Byte]): Option[BmpFeatures] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = bb.getInt(10)
+    val headerSize = bb.getInt(14)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22) // negative would mean top-down; reject
+    val planes = bb.getShort(26)
+    val bpp = bb.getShort(28)
+    val compression = bb.getInt(30)
+    if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || height <= 0) return None
+    val stride = (width.toLong * 3 + 3) & ~3L
+    if (dataOffset < 14 + headerSize) return None
+    if (dataOffset.toLong + stride * height > bytes.length) return None // truncated
+    var sum = 0L; var peak = 0L
+    var fy = 0
+    while (fy < height) {
+      val rowStart = dataOffset.toLong + fy * stride
+      var x = 0
+      while (x < width) {
+        val v = (bytes((rowStart + 3L * x).toInt) & 0xFF).toLong
+        sum += v; if (v > peak) peak = v
+        x += 1
+      }
+      fy += 1
+    }
+    val px00 = (bytes((dataOffset.toLong + (height - 1) * stride).toInt) & 0xFF).toLong
+    val nPx = width.toLong * height
+    Some(BmpFeatures(docId, width, height, bpp, nPx, px00, peak,
+      sum.toDouble / nPx)) // exact integer sum -> the division is oracle-stable
+  }
+
+  /** REAL image decode over a (doc_id, content: binary) media table: parse
+    * each payload as 24-bit BMP, emit per-image dimension + pixel stats;
+    * unparseable rows drop out. Second real format next to [[decodeWavPcm]]
+    * — proves the multimodal binary column is format-plural, same batched
+    * mapPartitions shape. */
+  def decodeBmp24(media: DataFrame): Dataset[BmpFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseBmp24(id, bytes) })
+  }
+
   /** Frame sampling: every `step`-th byte offset becomes a "frame" row —
     * the explode/posexplode shape of video frame extraction. Pure columnar
     * (sequence + posexplode), no kernel needed. */

@@ -105,6 +105,49 @@ class ExtensionSpec extends SparkFunSuite {
     assert(Multimodal.decodeWavPcm(junk).count() == 0)
   }
 
+  test("BMP round-trip: synth → decode recovers dimensions, stride-correct pixel stats") {
+    // width 5: row bytes 15, stride 16 — one zero pad byte per row that a
+    // stride-naive decoder would fold into the stats
+    val bytes = Multimodal.synthesizeBmp24(seed = 9L, width = 5, height = 3)
+    val f = Multimodal.decodeBmp24(Seq((9L, bytes)).toDF("doc_id", "content"))
+      .collect().head
+    assert(f.doc_id == 9L && f.width == 5L && f.height == 3L && f.bits_per_pixel == 24L)
+    assert(f.n_px == 15L)
+    // px00 = logical (0,0) = seed % 251 — lives in the LAST stored row
+    // (bottom-up), so this catches a top-down or stride-off decode
+    assert(f.px00 == 9L)
+    val vals = for { y <- 0 until 3; x <- 0 until 5 } yield (9L + x + 3L * y) % 251L
+    assert(f.peak_px == vals.max)
+    assert(math.abs(f.mean_px - vals.sum.toDouble / 15) < 1e-9, f.toString)
+  }
+
+  test("BMP decode: malformed / truncated / crafted-overflow inputs drop out, never throw") {
+    val good = Multimodal.synthesizeBmp24(seed = 1L, width = 8, height = 4)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    val junk = Seq(
+      (1L, "not a bitmap at all".getBytes("UTF-8")),
+      (2L, good.take(40)),                    // header cut mid-info
+      (3L, Array.empty[Byte]),
+      (4L, good.take(good.length - 5)),       // pixel array truncated
+      (5L, null.asInstanceOf[Array[Byte]]),   // nullable binary cell
+      // width/height near Int.MaxValue: stride*height must be checked in
+      // Long or it wraps negative and sneaks past the bounds check
+      (6L, patched(18, Int.MaxValue / 2)),
+      (7L, patched(22, Int.MaxValue / 2)),
+      (8L, patched(22, -4)),                  // top-down (negative height)
+      (9L, patched(30, 1)),                   // RLE-compressed — needs a codec
+      (10L, { val b = good.clone(); b(28) = 8; b }), // 8-bit paletted
+      (11L, patched(10, good.length + 100)))  // pixel offset past the buffer
+      .toDF("doc_id", "content")
+    assert(Multimodal.decodeBmp24(junk).count() == 0)
+    // and the untouched original still parses (the clones didn't share state)
+    assert(Multimodal.decodeBmp24(Seq((0L, good)).toDF("doc_id", "content")).count() == 1)
+  }
+
   test("frame sampling emits ceil(n_bytes/step) frames with correct offsets") {
     val media = Multimodal.asMediaTable(documents.limit(20))
     val frames = Multimodal.sampleFrames(media, step = 16)
