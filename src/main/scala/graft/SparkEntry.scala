@@ -161,8 +161,9 @@ object SparkEntry {
           col("duration"))
     }),
     "q_sessionize_full" -> ((s, dir) => {
-      // Full reference rule set (gap + 1499-event + 12 h cuts); sequential
-      // per key → no SQL oracle (driver records rows-only check).
+      // Full reference rule set (gap + 1499-event + 12 h cuts); the
+      // sequential per-key machine is replayed by the recursive-CTE oracle
+      // (fullSessionizeSql) — one state advance per recursion step.
       Sessionize
         .fullSessionize(table(s, dir, "events"))
         .select(
@@ -549,8 +550,10 @@ object SparkEntry {
         threshold = 0.4)),
     "q_embedding_neardup_lsh" -> ((s, dir) =>
       // Cell-blocked near-dup: the scale path for q_embedding_neardup.
-      // Approximate (cell-boundary pairs missed) -> rows-only check;
-      // recall vs the exact op is asserted in ExtensionSpec.
+      // Approximate (cell-boundary pairs missed — recall vs the exact op
+      // asserted in ExtensionSpec) but DETERMINISTIC: seed centroids +
+      // rounded cosines + total-order tie-breaks, so the oracle replays
+      // the exact cell assignment and within-cell verification.
       Similarity.nearDupCosineBlocked(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
@@ -678,8 +681,9 @@ object SparkEntry {
       // watermark + EventTimeTimeout), driven to completion over the file
       // source and drained into a memory sink. One trigger sees all data, so
       // the result equals batch full-rule sessionize (proven per-trigger-
-      // split-independent in StreamingSpec). No SQL oracle: sequential
-      // state-machine semantics (rows-only check, same as q_sessionize_full).
+      // split-independent in StreamingSpec) — and therefore shares the
+      // recursive-CTE oracle (fullSessionizeSql): a streaming-tier drift
+      // from batch semantics now fails the HASH gate, not just a spec.
       // RocksDB state store for reference parity (set in runToFiles).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
@@ -704,8 +708,8 @@ object SparkEntry {
       // declarative TTL instead of flatMapGroupsWithState's per-call
       // wrapper. REQUIRES the RocksDB provider (set in runToFiles).
       // TimeMode.None for replay: no timers, so processAllAvailable drains.
-      // Rows-only check, same as the fMGWS tier; cross-tier equality is
-      // asserted in CrossImplFuzzSpec/StreamingSpec.
+      // Shares the recursive-CTE oracle with the batch machine; cross-tier
+      // equality is additionally asserted in CrossImplFuzzSpec/StreamingSpec.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       val src = s.readStream
@@ -1136,6 +1140,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_sessionize_gap" -> gapSessionizeSql,
+    // The batch full-rule machine and BOTH streaming tiers emit identical
+    // rows (single-trigger replay ≡ batch fold; asserted across tiers in
+    // StreamingSpec/CrossImplFuzzSpec), so all three share the recursive-
+    // CTE oracle — the sequential state machine, replayed in SQL.
+    "q_sessionize_full" -> fullSessionizeSql,
+    "q_sessionize_stream" -> fullSessionizeSql,
+    "q_sessionize_stream_tws" -> fullSessionizeSql,
     "q_session_duration" ->
       s"""SELECT user_id, CAST(SUM(max_d) AS BIGINT) AS total_duration FROM (
          |  SELECT user_id, session_id, MAX(duration) AS max_d
@@ -1403,6 +1414,23 @@ object SparkEntry {
          |    round($cosineSqlExpr, 6) AS sim
          |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_neardup_lsh" ->
+      // mirrors Similarity.nearDupCosineBlocked at nCentroids = 16: same
+      // deterministic cell assignment as the IVF oracle, then exact
+      // verification within cells only
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1)
+         |SELECT DISTINCT vec_a, vec_b, sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosineSqlExprAs("a", "b")}, 6) AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.4""".stripMargin,
     "q_embedding_srp" ->
       s"""SELECT vec_id, ${srpSigSqlExpr(32)} AS srp_sig
          |FROM (SELECT vec_id, embedding AS e FROM embeddings)""".stripMargin,
@@ -1879,6 +1907,48 @@ object SparkEntry {
        |  FOR i IN range(1, len($qa.embedding)+1)]) / ($qa.nrm * $ca.nrm)""".stripMargin
 
   private val cosineSqlExpr: String = cosineSqlExprAs("q", "c")
+
+  /** FULL-rule sessionize (gap + size + duration cuts) as a RECURSIVE CTE:
+    * the per-key state machine ([[graft.operators.SessionEngine.advance]])
+    * advances one event per recursion step — iteration i joins the working
+    * table (each key's state after event i) with each key's event i+1 and
+    * applies the cut rules; the three cuts OR together because they share
+    * the fresh-session outcome. Gotcha pinned here: the cut flag must live
+    * in a DERIVED TABLE — as a lateral alias in the recursive SELECT,
+    * an unqualified `cut` resolves to the PREVIOUS iteration's column of
+    * the same name (r.cut), silently lagging every cut by one event. */
+  private val fullSessionizeSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, epoch_ms(ts) // 1000 AS sec,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      |      FROM events),
+      |r AS (
+      |  SELECT user_id, rn, event_id, ms,
+      |    CAST(user_id AS VARCHAR)||'-'||CAST(ms AS VARCHAR) AS session_id,
+      |    CAST(1 AS BIGINT) AS session_idx,
+      |    sec AS first_sec, sec AS last_sec, 1 AS cnt,
+      |    CAST(0 AS BIGINT) AS duration
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, rn, event_id, ms,
+      |    CASE WHEN cut THEN CAST(user_id AS VARCHAR)||'-'||CAST(ms AS VARCHAR)
+      |         ELSE prev_id END AS session_id,
+      |    CASE WHEN cut THEN prev_idx + 1 ELSE prev_idx END AS session_idx,
+      |    CASE WHEN cut THEN sec ELSE prev_first END AS first_sec,
+      |    CASE WHEN cut THEN sec ELSE greatest(prev_last, sec) END AS last_sec,
+      |    CASE WHEN cut THEN 1 ELSE prev_cnt + 1 END AS cnt,
+      |    CASE WHEN cut THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(greatest(0, sec - prev_first) AS BIGINT) END AS duration
+      |  FROM (
+      |    SELECT e.user_id, e.rn, e.event_id, e.ms, e.sec,
+      |      (e.sec - r.last_sec > 1800 OR r.cnt + 1 >= 1500 OR e.sec - r.first_sec > 43200) AS cut,
+      |      r.session_id AS prev_id, r.session_idx AS prev_idx, r.first_sec AS prev_first,
+      |      r.last_sec AS prev_last, r.cnt AS prev_cnt
+      |    FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |)
+      |SELECT event_id, user_id, ms AS ts_ms, session_id,
+      |  CAST(session_idx AS BIGINT) AS session_idx, duration
+      |FROM r""".stripMargin
 
   /** Gap-only sessionize as ANSI window SQL (DuckDB dialect-safe): identical
     * semantics to [[Sessionize.gapSessionize]] — integer-millis arithmetic,

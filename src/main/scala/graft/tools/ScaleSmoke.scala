@@ -79,6 +79,33 @@ object ScaleSmoke {
     time(s"quantizeInt8 x${math.max(1, mult / 5)}")(drain(Similarity.quantizeInt8(emb)))
     time(s"chunkDocuments x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.chunkDocuments(docs)))
+    // round-5/6 text-pipeline ops: all should scale ~linearly (repetition/
+    // entropy/tfidf shuffle ∝ distinct keys; pii is a narrow map;
+    // decontaminate's broadcast side is fixed -> sublinear)
+    time(s"repetitionStats x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.repetitionStats(docs)))
+    time(s"charEntropy x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.charEntropy(docs)))
+    time(s"redactPii x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.redactPii(docs)))
+    time(s"tfidfTopK x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.tfidfTopK(docs)))
+    time(s"decontaminate x${math.max(1, mult / 5)}")(
+      drain(Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20L =!= 0L),
+        docs.filter(col("doc_id") % 20L === 0L), n = 4)))
+    time(s"bmp synth+decode x${math.max(1, mult / 5)}") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, graft.operators.Multimodal.synthesizeBmp24(id,
+            width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
+        })
+        .toDF("doc_id", "content")
+      drain(graft.operators.Multimodal.decodeBmp24(media).toDF())
+    }
     time(s"snapshotDiff x$mult") {
       val cents = round(col("o_totalprice") * lit(100), 0).cast("long")
       val orders = multiply(

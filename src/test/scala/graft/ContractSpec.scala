@@ -18,15 +18,15 @@ class ContractSpec extends SparkFunSuite {
     val declared = Set(
       "q_approx_distinct",      // HLL sketch value
       "q_approx_percentile",    // KLL-ish sketch values
-      "q_embedding_neardup_lsh",// cell blocking loses boundary pairs (recall in spec)
       "q_freq_items",           // heavy-hitters sketch
       "q_multimodal_decode",    // stub codec output
-      "q_multimodal_wav",       // synth WAV bytes (sine math not SQL-expressible)
-      "q_sessionize_full",      // sequential per-key state machine
-      "q_sessionize_stream",    // same, streaming tier
-      "q_sessionize_stream_tws")// same, streaming transformWithState tier
-    // (q_similarity_ivf left this set in round 6: trainIters = 0 seed
-    // centroids are deterministic, so the oracle replays the probe path)
+      "q_multimodal_wav")       // synth WAV bytes (sine math not SQL-expressible)
+    // round-6 departures: q_similarity_ivf + q_embedding_neardup_lsh
+    // (trainIters = 0 seed centroids are deterministic — the oracle replays
+    // cell assignment and probe ranking) and the three sessionize state-
+    // machine tiers (replayed as a recursive CTE, one state advance per
+    // recursion step). Only sketches and codec-stub output remain
+    // inherently non-SQL-expressible.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == declared,
       s"undeclared rows-only: ${rowsOnly -- declared}; stale declarations: ${declared -- rowsOnly}")
