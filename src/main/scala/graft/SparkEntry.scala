@@ -611,6 +611,22 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(table(s, dir, "documents"), k = 3)),
+    "q_unigram_logprob" -> ((s, dir) =>
+      // KenLM-shaped unigram quality score; corpus frequency is a window,
+      // never a broadcast (vocabulary-sized — same discipline as q_tfidf).
+      TextAnalysis.unigramLogProb(table(s, dir, "documents"))),
+    "q_chunk_dedup" -> ((s, dir) => {
+      // Within-doc boilerplate dedup. The synthetic corpus has no repeated
+      // boilerplate, so splice a 5-token header/footer onto every doc (the
+      // parse-your-own-synthesis pattern of q_pii_redact/q_multimodal_*):
+      // the trailing copy dedups exactly when it lands window-aligned
+      // ((5 + n_tokens) % 5 == 0) — the documented fixed-window trade-off.
+      val boiler = "subscribe to our newsletter today"
+      val withBoiler = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", lit(boiler), col("text"), lit(boiler)).as("text"))
+      TextAnalysis.dedupChunksWithinDoc(withBoiler, chunkSize = 5)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // Held-out "benchmark" = every 20th doc; flag train docs sharing any
       // 4-gram with it. Broadcast test shingle set, narrow train scan.
@@ -1559,6 +1575,33 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, COUNT(*) AS c FROM ex GROUP BY doc_id, token),
+        |f AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY token) AS f FROM c),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ex)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  round(-SUM(c * log2(f/total)) / SUM(c), 6) AS avg_neg_logprob
+        |FROM f CROSS JOIN t GROUP BY doc_id""".stripMargin,
+    "q_chunk_dedup" ->
+      // same 5-token chunking as the q_chunk_docs oracle over the
+      // boiler-spliced text; first occurrence per (doc, chunk_text) kept,
+      // reassembly via ORDER BY on the kept chunk indexes
+      """WITH p AS (SELECT doc_id,
+        |    'subscribe to our newsletter today ' || text || ' subscribe to our newsletter today' AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM p),
+        |i AS (SELECT doc_id, tl, unnest(range(0, len(tl), 5)) AS i FROM toks),
+        |ch AS (SELECT doc_id, CAST(i // 5 AS BIGINT) AS chunk_idx,
+        |    array_to_string(tl[i+1:i+5], ' ') AS chunk_text FROM i),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id),
+        |first AS (SELECT doc_id, chunk_text, MIN(chunk_idx) AS chunk_idx
+        |  FROM ch GROUP BY doc_id, chunk_text)
+        |SELECT first.doc_id, n.n_chunks, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+        |  CAST(n.n_chunks - COUNT(*) AS BIGINT) AS n_dropped
+        |FROM first JOIN n ON first.doc_id = n.doc_id
+        |GROUP BY first.doc_id, n.n_chunks""".stripMargin,
     "q_decontaminate" ->
       // 4-gram strings via inclusive 1-based list slices tl[i:i+3];
       // range(1, len-2) caps i at len-3 and is empty when len < 4

@@ -266,6 +266,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
   }
 
+  /** Unigram language-model scoring — the KenLM-shaped quality signal of a
+    * training-data pipeline: per document, the average negative log2
+    * probability of its tokens under the corpus unigram distribution
+    * (≈ log-perplexity; gibberish and rare-token spam score high, common
+    * prose scores low). Corpus frequency is a SUM window over the
+    * (doc, token) counts partitioned by token — the same spill-safe,
+    * never-broadcast shape as [[tfidfTopK]]'s document frequency (the
+    * frequency table is vocabulary-sized). The corpus total is the only
+    * broadcast (one row). Per-doc aggregation weights each distinct token
+    * by its in-doc count, so the shuffle carries distinct (doc, token)
+    * pairs, not token instances. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val total = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(count(lit(1)).cast("double").as("total_tokens"))
+    counted
+      .withColumn("f", sum(col("c")).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        round(
+          -sum(col("c").cast("double") * log2(col("f").cast("double") / col("total_tokens"))) /
+            sum(col("c")).cast("double"),
+          6).as("avg_neg_logprob"))
+  }
+
+  /** Within-document boilerplate dedup — the repeated-header/footer scrub
+    * of a web-corpus pipeline: token-window "paragraphs" (via
+    * [[chunkDocuments]]) that repeat verbatim inside one document keep only
+    * their first occurrence, and the document is reassembled in original
+    * order. Alignment-sensitive by design (a repeat is only caught when it
+    * lands on a window boundary — the standard fixed-window trade-off;
+    * content-defined chunking would raise recall at the same plan shape).
+    * Plan: one Generate + windows/aggregates all keyed by doc_id prefixes —
+    * shuffle ∝ chunk rows, reassembly via array_sort(collect_list) whose
+    * per-group buffer is bounded by document size, never corpus size. */
+  def dedupChunksWithinDoc(
+      docs: DataFrame,
+      chunkSize: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunkDocuments(docs, chunkSize, textCol)
+      .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    ch.groupBy(col("doc_id"), col("chunk_text"))
+      .agg(min(col("chunk_idx")).as("chunk_idx"), min(col("n_chunks")).cast("long").as("n_chunks"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " ").as("clean_text"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+  }
+
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
     * + a 32-bit SimHash + an order-sensitive Rabin-Karp rolling hash —
     * four independent signals, all portable.

@@ -46,6 +46,17 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r2._1 <= 0.2 && r2._2 > 0.5 && r2._3 == "dup_bigrams", r2.toString)
   }
 
+  test("repetitionStats plan: ONE tokenization, ONE shuffle (all windows share the doc_id exchange)") {
+    val out = TextAnalysis.repetitionStats(docsOf(0L -> "a b a c", 1L -> "x y x y"))
+    out.collect() // AQE: final plan exists only after execution
+    // toString appends the pre-AQE "Initial Plan" — count the final one only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 explode (one tokenization), got $generates:\n$plan")
+  }
+
   // ---- redactPii
 
   test("redactPii: counts before rewrite, placeholders after, clean text untouched") {
@@ -124,6 +135,48 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  // ---- unigramLogProb
+
+  test("unigramLogProb: hand-checked corpus-frequency scores") {
+    // corpus: a:2 b:2 c:1 of 5 total
+    val r = TextAnalysis.unigramLogProb(docsOf(0L -> "a a b", 1L -> "b c"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "avg_neg_logprob")
+      .as[(Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: -(2·log2(2/5) + 1·log2(2/5))/3 = -log2(0.4)
+    assert(r(0) == ((0L, 3L, r6(-math.log(0.4) / math.log(2)))))
+    // doc 1: -(log2(2/5) + log2(1/5))/2
+    assert(r(1) == ((1L, 2L,
+      r6(-(math.log(0.4) + math.log(0.2)) / (2 * math.log(2))))))
+    // rare-token spam scores strictly higher than common prose
+    val common = Seq.fill(30)("the of and").mkString(" ")
+    val spam = "zzqx wvvk pqrst uuuw"
+    val s = TextAnalysis.unigramLogProb(docsOf(0L -> common, 1L -> spam))
+      .orderBy("doc_id").select("avg_neg_logprob").as[Double].collect()
+    assert(s(1) > s(0), s.mkString(","))
+  }
+
+  // ---- dedupChunksWithinDoc
+
+  test("dedupChunksWithinDoc: window-aligned repeats collapse to first occurrence, order kept") {
+    val r = TextAnalysis.dedupChunksWithinDoc(
+      docsOf(
+        0L -> "a b c a b c d", // [a b c][a b c][d] -> drop the repeat
+        1L -> "x y z w v u"),  // no repeats
+      chunkSize = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((0L, 3L, 2L, 1L, "a b c d")))
+    assert(r(1) == ((1L, 2L, 2L, 0L, "x y z w v u")))
+    // unaligned repeat is NOT caught (documented fixed-window trade-off)
+    val r2 = TextAnalysis.dedupChunksWithinDoc(
+      docsOf(2L -> "p a b c a b c"), chunkSize = 3)
+      .select("n_dropped").as[Long].head()
+    assert(r2 == 0L)
   }
 
   // ---- decontaminate
