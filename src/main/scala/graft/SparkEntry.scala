@@ -677,19 +677,8 @@ object SparkEntry {
       // the WAV tier's transcendental sine, the pixel math is pure integer
       // formulas, so the ORACLE replays the synthesis in SQL and the
       // decode output hash-matches — a fully-oracled real binary format.
-      import s.implicits._
-      val media = table(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        // single-file parquet = ONE partition; spread the synth+decode
-        // kernel (explicit count: AQE would coalesce these few KB back)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) =>
-          (id, Multimodal.synthesizeBmp24(id,
-            width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
-        })
-        .toDF("doc_id", "content")
-      Multimodal.decodeBmp24(media).toDF()
+      Multimodal.decodeBmp24(Multimodal.synthesizeBmpTable(table(s, dir, "documents")))
+        .toDF()
         .withColumn("mean_px", round(col("mean_px"), 6))
     }),
     "q_sessionize_stream" -> ((s, dir) => {

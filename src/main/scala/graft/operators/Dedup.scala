@@ -441,10 +441,12 @@ object Dedup {
     * proportional to contaminated shingle instances only. Returns one row
     * per contaminated train doc with its overlapping-shingle count
     * (the shingle set is per-doc distinct, so the count is distinct
-    * n-grams). Both sides shingle through the fused [[shingleSigTable]]
+    * n-grams). Long-id inputs shingle through the fused [[shingleSigTable]]
     * kernel (one tokenization pass per doc) — the columnar `shingles` HOF
     * re-splits the text once per n-gram (the interpreted-lambda cliff
-    * documented on [[shingleTable]]). */
+    * documented on [[shingleTable]]). Other id types (the kernel's typed
+    * encoder casts ids to long, which would null UUIDs) take the
+    * Exchange-materialized columnar path: same output, id type preserved. */
   def decontaminate(
       train: DataFrame,
       test: DataFrame,
@@ -452,8 +454,13 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def grams(df: DataFrame) =
-      shingleSigTable(df, idCol, textCol, n, numHashes = 0)
-        .select(col(idCol), explode(col("__sh")).as("__g"))
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        shingleSigTable(df, idCol, textCol, n, numHashes = 0)
+          .select(col(idCol), explode(col("__sh")).as("__g"))
+      else
+        df.select(col(idCol), tokens(col(textCol)).as("__tl"))
+          .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+          .select(col(idCol), explode(shingles(col("__tl"), n)).as("__g"))
     val testGrams = grams(test).select(col("__g")).distinct()
     grams(train)
       .join(broadcast(testGrams), Seq("__g"))

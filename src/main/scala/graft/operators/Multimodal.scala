@@ -227,7 +227,14 @@ object Multimodal {
     if (headerSize < 40 || planes != 1 || bpp != 24 || compression != 0) return None
     if (width <= 0 || height <= 0) return None
     val stride = (width.toLong * 3 + 3) & ~3L
-    if (dataOffset < 14 + headerSize) return None
+    // 14 + headerSize must add in Long: headerSize near Int.MaxValue wraps
+    // an Int sum negative and a bogus header sneaks past
+    if (dataOffset.toLong < 14L + headerSize) return None
+    // reject stride alone first: with BOTH dims crafted near Int.MaxValue,
+    // stride * height (≤ 2^31 · 6·2^31) overflows even Long and wraps the
+    // truncation check negative; once stride ≤ bytes.length ≤ Int.MaxValue
+    // the product is ≤ 2^62 and exact
+    if (stride > bytes.length) return None
     if (dataOffset.toLong + stride * height > bytes.length) return None // truncated
     var sum = 0L; var peak = 0L
     var fy = 0
@@ -245,6 +252,26 @@ object Multimodal {
     val nPx = width.toLong * height
     Some(BmpFeatures(docId, width, height, bpp, nPx, px00, peak,
       sum.toDouble / nPx)) // exact integer sum -> the division is oracle-stable
+  }
+
+  /** (doc_id, content) media table of synthesized BMPs over a documents
+    * table: width = 1 + doc_id mod 64, height = 1 + n_chars mod 48. These
+    * formulas are PINNED by the q_multimodal_image DuckDB oracle — change
+    * them only together. Shared by the driver query and ScaleSmoke so the
+    * oracle-checked path is the one exercised at scale. */
+  def synthesizeBmpTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("n_chars"))
+      // single-file parquet = ONE partition; spread the synth+decode
+      // kernel (explicit count: AQE would coalesce these few KB back)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        (id, synthesizeBmp24(id, width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
+      })
+      .toDF("doc_id", "content")
   }
 
   /** REAL image decode over a (doc_id, content: binary) media table: parse

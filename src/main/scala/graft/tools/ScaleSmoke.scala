@@ -94,18 +94,9 @@ object ScaleSmoke {
       drain(Dedup.decontaminate(
         docs.filter(col("doc_id") % 20L =!= 0L),
         docs.filter(col("doc_id") % 20L === 0L), n = 4)))
-    time(s"bmp synth+decode x${math.max(1, mult / 5)}") {
-      import spark.implicits._
-      val media = docs.select(col("doc_id"), col("n_chars"))
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .as[(Long, Long)]
-        .mapPartitions(_.map { case (id, nc) =>
-          (id, graft.operators.Multimodal.synthesizeBmp24(id,
-            width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
-        })
-        .toDF("doc_id", "content")
-      drain(graft.operators.Multimodal.decodeBmp24(media).toDF())
-    }
+    time(s"bmp synth+decode x${math.max(1, mult / 5)}")(
+      drain(graft.operators.Multimodal.decodeBmp24(
+        graft.operators.Multimodal.synthesizeBmpTable(docs)).toDF()))
     time(s"snapshotDiff x$mult") {
       val cents = round(col("o_totalprice") * lit(100), 0).cast("long")
       val orders = multiply(

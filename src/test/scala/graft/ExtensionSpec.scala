@@ -139,6 +139,12 @@ class ExtensionSpec extends SparkFunSuite {
       (6L, patched(18, Int.MaxValue / 2)),
       (7L, patched(22, Int.MaxValue / 2)),
       (8L, patched(22, -4)),                  // top-down (negative height)
+      // BOTH dims near Int.MaxValue: stride*height overflows even Long —
+      // the stride-alone pre-check must reject before the product wraps
+      (12L, { val b = patched(18, Int.MaxValue); java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MaxValue); b }),
+      // headerSize near Int.MaxValue: 14 + headerSize must add in Long
+      (13L, patched(14, Int.MaxValue)),
       (9L, patched(30, 1)),                   // RLE-compressed — needs a codec
       (10L, { val b = good.clone(); b(28) = 8; b }), // 8-bit paletted
       (11L, patched(10, good.length + 100)))  // pixel offset past the buffer

@@ -194,6 +194,16 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r == Map(0L -> 2L, 3L -> 1L))
   }
 
+  test("decontaminate: non-long ids take the columnar path, type preserved") {
+    // the fused kernel casts ids to long (would null UUIDs) — string ids
+    // must route through the Exchange-materialized columnar fallback
+    val train = Seq(("u-aa", "the quick brown fox jumps"), ("u-bb", "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val test = Seq(("t-1", "the quick brown fox elsewhere")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, test, n = 4).as[(String, Long)].collect().toMap
+    assert(r == Map("u-aa" -> 1L))
+  }
+
   test("decontaminate: count is per distinct shingle even when the train doc repeats it") {
     val train = docsOf(0L -> "a b c d x a b c d") // a_b_c_d appears twice, distinct once
     val test = docsOf(1L -> "a b c d")
