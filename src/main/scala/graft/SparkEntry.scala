@@ -627,6 +627,23 @@ object SparkEntry {
         concat_ws(" ", lit(boiler), col("text"), lit(boiler)).as("text"))
       TextAnalysis.dedupChunksWithinDoc(withBoiler, chunkSize = 5)
     }),
+    "q_repeated_spans" -> ((s, dir) => {
+      // Lee-et-al-style exact substring dedup. The synthetic corpus has no
+      // verbatim cross-doc spans (31-word soup: P(shared 8-gram) ≈ 0), so
+      // splice a 13-token license disclaimer onto every 3rd doc — and TWICE
+      // onto every 6th, whose back-to-back copies must merge into ONE
+      // maximal span (the overlap-merge path). The oracle rebuilds the
+      // identical text and replays window hashes + span merging.
+      val disclaimer =
+        "this article is licensed under the creative commons attribution share alike license terms"
+      val withTail = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit(disclaimer)),
+          when(col("doc_id") % 6 === 0, lit(disclaimer))).as("text"))
+      Dedup.repeatedSpans(withTail, window = 8)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // Held-out "benchmark" = every 20th doc; flag train docs sharing any
       // 4-gram with it. Broadcast test shingle set, narrow train scan.
@@ -1591,6 +1608,35 @@ object SparkEntry {
         |  CAST(n.n_chunks - COUNT(*) AS BIGINT) AS n_dropped
         |FROM first JOIN n ON first.doc_id = n.doc_id
         |GROUP BY first.doc_id, n.n_chunks""".stripMargin,
+    "q_repeated_spans" ->
+      // window hashes over the rebuilt text: DuckDB pos = Spark pos via
+      // i-1 (1-based slices tl[i:i+7] = 8 tokens); dup mark = MIN≠MAX doc
+      // per hash; spans = lag/sum run-length merge, strict overlap
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM p WHERE len(string_split(text,' ')) >= 8),
+        |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(tl[i:i+7], ' ')) AS whash
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      MIN(doc_id) OVER (PARTITION BY whash) AS mn,
+        |      MAX(doc_id) OVER (PARTITION BY whash) AS mx
+        |    FROM wh) WHERE mn <> mx),
+        |f AS (SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 8) >= 8
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM dup),
+        |s AS (SELECT doc_id, pos,
+        |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+        |  FROM f)
+        |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        |  CAST(MIN(pos) AS BIGINT) AS start_tok, CAST(MAX(pos) + 8 AS BIGINT) AS end_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM s GROUP BY doc_id, span_idx""".stripMargin,
     "q_decontaminate" ->
       // 4-gram strings via inclusive 1-based list slices tl[i:i+3];
       // range(1, len-2) caps i at len-3 and is empty when len < 4

@@ -433,6 +433,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-document repeated-span detection — exact substring dedup at
+    * token-window granularity (the Lee et al. 2022 "Deduplicating Training
+    * Data" tier between full-text exact dedup and MinHash near-dup): every
+    * `window`-token sliding window is hashed; a window whose hash also
+    * occurs in ANOTHER document marks its span; per document, overlapping
+    * marked spans merge into maximal repeated regions
+    * [start_tok, end_tok).
+    *
+    * Plan (scale-sane at 100 TB): token arrays materialize behind one
+    * Exchange (the interpreted-HOF CSE barrier), window hashes are a
+    * Generate; "appears in another doc" is MIN≠MAX over a window
+    * partitioned by hash — a spill-safe shuffle ∝ window instances, no
+    * vocabulary-sized join or broadcast, no countDistinct expand; span
+    * merging is lag/sum windows keyed by doc. Strict-overlap merge: two
+    * marked windows join one span iff they share tokens (gap-0 adjacency
+    * stays separate — the combined region need not repeat as a unit). */
+  def repeatedSpans(
+      docs: DataFrame,
+      window: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val wh = docs
+      .select(col(idCol), tokens(col(textCol)).as("__tl"))
+      .repartition(np, col(idCol))
+      .filter(size(col("__tl")) >= window)
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__tl")) - window),
+          i => md5(array_join(slice(col("__tl"), i + lit(1), lit(window)), " "))))
+          .as(Seq("pos", "whash")))
+    val byHash = Window.partitionBy(col("whash"))
+    val dup = wh
+      .withColumn("__mn", min(col(idCol)).over(byHash))
+      .withColumn("__mx", max(col(idCol)).over(byHash))
+      .filter(col("__mn") =!= col("__mx"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn(
+        "__new",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(byDoc), lit(window)) >= window, 1L)
+          .otherwise(0L))
+      .withColumn(
+        "span_idx",
+        sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span_idx"))
+      .agg(
+        min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + window).cast("long").as("end_tok"),
+        count(lit(1)).cast("long").as("n_windows"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with a held-out test set. The test side (benchmark suites —
     * small by construction, even when the train corpus is 100 TB) collapses

@@ -90,6 +90,8 @@ object ScaleSmoke {
       drain(graft.operators.TextAnalysis.redactPii(docs)))
     time(s"tfidfTopK x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.tfidfTopK(docs)))
+    time(s"repeatedSpans x${math.max(1, mult / 5)}")(
+      drain(Dedup.repeatedSpans(docs, window = 8)))
     time(s"decontaminate x${math.max(1, mult / 5)}")(
       drain(Dedup.decontaminate(
         docs.filter(col("doc_id") % 20L =!= 0L),

@@ -137,6 +137,39 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 
+  // ---- repeatedSpans
+
+  test("repeatedSpans: cross-doc windows mark, overlapping windows merge, unique text silent") {
+    val boiler = "one two three four five six seven eight nine ten" // 10 tokens
+    val r = Dedup.repeatedSpans(
+      docsOf(
+        0L -> s"alpha beta $boiler gamma delta",   // boiler at tokens 2..11
+        1L -> s"$boiler epsilon zeta eta theta iota kappa", // boiler at 0..9
+        2L -> "completely unrelated words with no duplication at all here"),
+      window = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "span_idx", "start_tok", "end_tok", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // 10-token boiler -> 3 windows of 8 (offsets 0,1,2 within it), one span
+    assert(r.toSeq == Seq((0L, 1L, 2L, 12L, 3L), (1L, 1L, 0L, 10L, 3L)))
+  }
+
+  test("repeatedSpans: two marked windows sharing no tokens stay separate spans") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8" // 8 tokens, exactly one window
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    // doc 0: a ... filler(8) ... b ; docs 1/2 repeat a / b respectively
+    val r = Dedup.repeatedSpans(
+      docsOf(
+        0L -> s"$a f1 f2 f3 f4 f5 f6 f7 f8 $b",
+        1L -> s"$a tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8",
+        2L -> s"head1 head2 head3 head4 head5 head6 head7 head8 $b"),
+      window = 8)
+      .filter($"doc_id" === 0L).orderBy("span_idx")
+      .select("span_idx", "start_tok", "end_tok", "n_windows")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 0L, 8L, 1L), (2L, 16L, 24L, 1L)))
+  }
+
   // ---- unigramLogProb
 
   test("unigramLogProb: hand-checked corpus-frequency scores") {
