@@ -644,6 +644,21 @@ object SparkEntry {
           when(col("doc_id") % 6 === 0, lit(disclaimer))).as("text"))
       Dedup.repeatedSpans(withTail, window = 8)
     }),
+    "q_repeated_spans_apply" -> ((s, dir) => {
+      // The scrub step over the same spliced corpus: repeated spans removed,
+      // document rebuilt. Interval-overlay coverage (see removeRepeatedSpans)
+      // — the oracle replays spans AND the overlay with one running-sum
+      // window. Standalone-query contract: recomputes the span pipeline.
+      val disclaimer =
+        "this article is licensed under the creative commons attribution share alike license terms"
+      val withTail = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit(disclaimer)),
+          when(col("doc_id") % 6 === 0, lit(disclaimer))).as("text"))
+      Dedup.removeRepeatedSpans(withTail, window = 8)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // Held-out "benchmark" = every 20th doc; flag train docs sharing any
       // 4-gram with it. Broadcast test shingle set, narrow train scan.
@@ -1637,6 +1652,50 @@ object SparkEntry {
         |  CAST(MIN(pos) AS BIGINT) AS start_tok, CAST(MAX(pos) + 8 AS BIGINT) AS end_tok,
         |  CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM s GROUP BY doc_id, span_idx""".stripMargin,
+    "q_repeated_spans_apply" ->
+      // spans replayed as in q_repeated_spans, then the interval overlay:
+      // +1/-1 delta events union with token rows; running SUM over
+      // (pos, kind) marks covered tokens (kind puts deltas before the
+      // token at the same position -> end-exclusive semantics)
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, string_split(text,' ') AS tl FROM p),
+        |toks AS (SELECT doc_id, tl FROM t0 WHERE len(tl) >= 8),
+        |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(tl[i:i+7], ' ')) AS whash
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      MIN(doc_id) OVER (PARTITION BY whash) AS mn,
+        |      MAX(doc_id) OVER (PARTITION BY whash) AS mx
+        |    FROM wh) WHERE mn <> mx),
+        |f AS (SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 8) >= 8
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM dup),
+        |s AS (SELECT doc_id, pos,
+        |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+        |  FROM f),
+        |spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+        |    CAST(MAX(pos) + 8 AS BIGINT) AS end_tok
+        |  FROM s GROUP BY doc_id, span_idx),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tl[i] AS token
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl)+1)) AS i FROM t0)),
+        |ev AS (
+        |  SELECT doc_id, start_tok AS pos, 1 AS delta, 0 AS kind, CAST(NULL AS VARCHAR) AS token FROM spans
+        |  UNION ALL SELECT doc_id, end_tok, -1, 0, CAST(NULL AS VARCHAR) FROM spans
+        |  UNION ALL SELECT doc_id, pos, 0, 1, token FROM tok),
+        |c AS (SELECT doc_id, pos, kind, token,
+        |    SUM(delta) OVER (PARTITION BY doc_id ORDER BY pos, kind ROWS UNBOUNDED PRECEDING) AS cov
+        |  FROM ev)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) FILTER (cov = 0) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (cov > 0) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (cov = 0), '') AS clean_text
+        |FROM c WHERE kind = 1 GROUP BY doc_id""".stripMargin,
     "q_decontaminate" ->
       // 4-gram strings via inclusive 1-based list slices tl[i:i+3];
       // range(1, len-2) caps i at len-3 and is empty when len < 4

@@ -487,6 +487,53 @@ object Dedup {
         count(lit(1)).cast("long").as("n_windows"))
   }
 
+  /** The apply step of [[repeatedSpans]]: scrub every repeated span and
+    * rebuild the cleaned document. Coverage is an INTERVAL OVERLAY, not a
+    * range join: span starts (+1) and ends (−1) union with the token rows
+    * and a running SUM over (pos, kind) marks covered tokens — one window
+    * pass, shuffle ∝ tokens + 2·spans, versus a pos∈[start,end) range join
+    * that would explode at 100 TB. Kind ordering puts both deltas before
+    * the token at the same position, so end-exclusive semantics hold and
+    * gap-0 adjacent spans hand over coverage exactly. Reassembly buffers
+    * are bounded by document size. */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      window: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(docs, window, idCol, textCol)
+    val starts = spans.select(col(idCol), col("start_tok").as("pos"),
+      lit(1L).as("delta"), lit(0).as("kind"), lit(null).cast("string").as("token"))
+    val ends = spans.select(col(idCol), col("end_tok").as("pos"),
+      lit(-1L).as("delta"), lit(0).as("kind"), lit(null).cast("string").as("token"))
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        lit(0L).as("delta"), lit(1).as("kind"), col("token"))
+    val cov = starts.unionByName(ends).unionByName(toks)
+      .withColumn(
+        "__cov",
+        sum(col("delta")).over(
+          Window.partitionBy(col(idCol)).orderBy(col("pos"), col("kind"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("kind") === 1)
+    cov
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        count(when(col("__cov") === 0L, 1)).cast("long").as("n_kept"),
+        count(when(col("__cov") > 0L, 1)).cast("long").as("n_removed"),
+        // a fully-covered doc keeps zero tokens: empty string, not null
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("__cov") === 0L,
+                struct(col("pos"), col("token"))))),
+              s => s.getField("token")),
+            " "),
+          lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with a held-out test set. The test side (benchmark suites —
     * small by construction, even when the train corpus is 100 TB) collapses

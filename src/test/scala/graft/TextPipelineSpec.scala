@@ -170,6 +170,22 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r.toSeq == Seq((1L, 0L, 8L, 1L), (2L, 16L, 24L, 1L)))
   }
 
+  test("removeRepeatedSpans: covered tokens scrubbed, order kept, full coverage yields ''") {
+    val boiler = "one two three four five six seven eight nine ten"
+    val r = Dedup.removeRepeatedSpans(
+      docsOf(
+        0L -> s"alpha beta $boiler gamma delta", // span tokens 2..11
+        1L -> boiler,                            // fully covered -> ''
+        2L -> "totally unique words in this little document right here"),
+      window = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((0L, 14L, 4L, 10L, "alpha beta gamma delta")))
+    assert(r(1) == ((1L, 10L, 0L, 10L, "")))
+    assert(r(2) == ((2L, 9L, 9L, 0L, "totally unique words in this little document right here")))
+  }
+
   // ---- unigramLogProb
 
   test("unigramLogProb: hand-checked corpus-frequency scores") {
