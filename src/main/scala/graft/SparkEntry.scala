@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -569,6 +569,16 @@ object SparkEntry {
       Similarity.nearDupCosineSrp(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
+    "q_diversity_sample" -> ((s, dir) =>
+      // Embedding-space curation: cell-stratified deterministic subset —
+      // dense regions capped at perCell, sparse regions kept whole.
+      Similarity.diversitySample(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        perCell = 3)),
+    "q_pack_sequences" -> ((s, dir) =>
+      // Context-window packing: per-shard exclusive-prefix-sum bins
+      // (overflow bounded by one doc — the parallel packing contract).
+      Sampling.packSequences(table(s, dir, "documents"), budgetTokens = 512L, shards = 16)),
     "q_quantize_int8" -> ((s, dir) =>
       // Symmetric int8 embedding quantization — the 4x storage-compression
       // step of an embedding pipeline. Exact-integer codes, exploded to
@@ -1485,6 +1495,31 @@ object SparkEntry {
          |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
          |            JOIN n c ON c.vec_id = cand.vec_b)
          |WHERE sim >= 0.4""".stripMargin,
+    "q_diversity_sample" ->
+      // same deterministic cell assignment as the IVF oracle, then md5-
+      // ordered row_number per cell
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1)
+         |SELECT vec_id, cell, rk FROM (
+         |  SELECT vec_id, cell,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         |  FROM assign)
+         |WHERE rk <= 3""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT doc_id, n_tokens, shard,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        doc_id % 16 AS shard FROM documents)""".stripMargin,
     "q_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding AS e,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma

@@ -47,6 +47,35 @@ object Sampling {
     df.filter(b < pct)
   }
 
+  /** Sequence packing — the context-window batching step of LLM training:
+    * documents pack into token-budget bins, deterministically. True
+    * first-fit is sequentially dependent (un-parallelizable), so this is
+    * the standard streaming approximation: bin = ⌊exclusive-prefix-tokens /
+    * budget⌋ within a shard — a doc straddling a boundary overflows its bin
+    * by at most one doc's tokens (document the tolerance, don't serialize
+    * the cluster). Sharding by id hash keeps every window partition-local:
+    * no global sort, each of the `shards` groups packs independently —
+    * exactly how per-worker packing runs on a real cluster. Deterministic
+    * (id order within shard), so the oracle replays bins bit-for-bit. */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Long = 512L,
+      shards: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0 && shards > 0, s"bad packing params: $budgetTokens/$shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("prev_tokens") / budgetTokens).cast("long"))
+  }
+
   /** Assign every row a stable train/val/test split label (80/10/10). */
   def trainValTestSplit(df: DataFrame, idCol: String): DataFrame = {
     val b = hashBucket(col(idCol), 100)

@@ -134,6 +134,24 @@ object Similarity {
     assignCellsWith(c, centroidsOf(c, nCentroids))
   }
 
+  /** Diversity sampling — the embedding-space curation step of a training
+    * pipeline: a subset that covers the space instead of oversampling dense
+    * regions. Cell-stratified: assign IVF cells (deterministic seed
+    * centroids), keep `perCell` vectors per cell chosen by md5 order — a
+    * deterministic pseudo-random draw WITHIN each region, so dense cells
+    * are capped and sparse cells survive whole. Greedy k-center would
+    * serialize the cluster; this is its shuffle-partitionable stand-in
+    * (cells ≈ coverage regions). Fully replayable by the SQL oracle. */
+  def diversitySample(embeddings: DataFrame, perCell: Int = 3, nCentroids: Int = 16): DataFrame = {
+    require(perCell > 0, s"perCell must be positive: $perCell")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assignCells(embeddings, nCentroids)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rk"))
+  }
+
   /** Lloyd-refined centroids: seed with the lowest-id vectors, then
     * `iters` rounds of assign → per-cell element-wise mean. All columnar
     * (posexplode to (cell, dim) → avg → regroup into an array); one

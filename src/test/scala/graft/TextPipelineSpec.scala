@@ -228,6 +228,38 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r2 == 0L)
   }
 
+  // ---- packSequences / diversitySample
+
+  test("packSequences: id-ordered prefix bins per shard, overflow bounded by one doc") {
+    import graft.operators.Sampling
+    // one shard; docs of 3/4/5/6 tokens, budget 8:
+    // prev: 0,3,7,12 -> bins 0,0,0,1 (doc 2 straddles: bin 0 holds 12)
+    val df = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val r = Sampling.packSequences(df, budgetTokens = 8L, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "prev_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 3L, 0L, 0L), (1L, 4L, 3L, 0L), (2L, 5L, 7L, 0L), (3L, 6L, 12L, 1L)))
+    // per-bin token totals overflow the budget by LESS than one max doc
+    val tot = r.groupBy(_._4).map { case (_, xs) => xs.map(_._2).sum }
+    assert(tot.forall(_ < 8L + 6L))
+    // sharding: every doc appears exactly once regardless of shard count
+    val sharded = Sampling.packSequences(df, budgetTokens = 8L, shards = 3)
+    assert(sharded.count() == 4L && sharded.select("doc_id").distinct().count() == 4L)
+  }
+
+  test("diversitySample: dense cells capped at perCell, every vector ranked at most once") {
+    val emb = SparkEntry.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val r = graft.operators.Similarity.diversitySample(emb, perCell = 3)
+      .select("vec_id", "cell", "rk").as[(Long, Long, Long)].collect()
+    assert(r.map(_._1).distinct.length == r.length)    // no vector twice
+    assert(r.groupBy(_._2).forall(_._2.length <= 3))   // cap holds
+    assert(r.forall(_._3 >= 1L) && r.forall(_._3 <= 3L))
+  }
+
   // ---- decontaminate
 
   test("decontaminate: exact overlap counts, clean docs absent, short docs safe") {
