@@ -228,6 +228,52 @@ class TextPipelineSpec extends SparkFunSuite {
     assert(r2 == 0L)
   }
 
+  test("repeatedSpans + removeRepeatedSpans equal an in-memory reference on 25 random corpora") {
+    // tiny vocab forces abundant natural cross-doc repeats at every length
+    val rng = new scala.util.Random(42)
+    val w = 4
+    (1 to 25).foreach { _ =>
+      val vocabSize = 2 + rng.nextInt(4)
+      val docs = (0L until (2 + rng.nextInt(5)).toLong).map { id =>
+        id -> Seq.fill(1 + rng.nextInt(30))(s"w${rng.nextInt(vocabSize)}").mkString(" ")
+      }
+      // reference: brute-force window sets + per-doc overlap merge
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val wins = toks.toSeq.flatMap { case (id, tl) =>
+        (0 to tl.length - w).map(p => (id, p, tl.slice(p, p + w).mkString(" ")))
+      }
+      val multiDoc = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+      val marked = wins.filter(x => multiDoc(x._3)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      val expSpans = marked.toSeq.flatMap { case (id, ps) =>
+        val spans = ps.foldLeft(List.empty[(Int, Int, Int)]) { // (start, lastPos, nWin)
+          case (acc, p) if acc.nonEmpty && p - acc.head._2 < w =>
+            (acc.head._1, p, acc.head._3 + 1) :: acc.tail
+          case (acc, p) => (p, p, 1) :: acc
+        }.reverse
+        spans.zipWithIndex.map { case ((s, last, n), i) =>
+          (id, (i + 1).toLong, s.toLong, (last + w).toLong, n.toLong)
+        }
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.repeatedSpans(df, window = w)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expSpans, s"spans mismatch on corpus: $docs")
+      // scrub: positions covered by any span removed, order preserved
+      val covered = expSpans.groupBy(_._1).view.mapValues(ss =>
+        ss.flatMap(s => s._3 until s._4).toSet).toMap
+      val expClean = docs.map { case (id, _) =>
+        val tl = toks(id); val cov = covered.getOrElse(id, Set.empty)
+        val kept = tl.zipWithIndex.collect { case (t, p) if !cov(p.toLong) => t }
+        (id, tl.length.toLong, kept.length.toLong, (tl.length - kept.length).toLong,
+          kept.mkString(" "))
+      }.toSet
+      val gotClean = Dedup.removeRepeatedSpans(df, window = w)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(gotClean == expClean, s"scrub mismatch on corpus: $docs")
+    }
+  }
+
   // ---- packSequences / diversitySample
 
   test("packSequences: id-ordered prefix bins per shard, overflow bounded by one doc") {
