@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1181,6 +1181,52 @@ object SparkEntry {
           unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
       runToFiles(s, j)
     }),
+    "q_dedup_normalized" -> ((s, dir) => {
+      // Casing/punctuation-insensitive dedup tier. The synthetic corpus has
+      // no case/punct variants (it is already lowercase soup, 0 exact dups),
+      // so splice them: every 7th doc gains a shouted+decorated twin at
+      // doc_id+100000 — which must normalize back onto its base (n_group=2,
+      // twin dropped). The oracle rebuilds the union and mirrors the
+      // normalization in RE2.
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !!")).as("text"))
+      Dedup.normalizedExact(docs.unionByName(variants))
+    }),
+    "q_bigram_logprob" -> ((s, dir) =>
+      // Bigram LM quality score: corpus-conditional P(w2|w1) via windows
+      // over the (doc, w1, w2) counts — vocabulary-sized tables, never
+      // broadcast (the q_tfidf discipline).
+      TextAnalysis.bigramLogProb(table(s, dir, "documents"))),
+    "q_zipf" -> ((s, dir) =>
+      // Rank-frequency slope per language — corpus-health diagnostic;
+      // closed-form least-squares via regr_slope (Spark >= 3.4 builtin).
+      TextAnalysis.zipfSlope(table(s, dir, "documents"))),
+    "q_mixture_sample" -> ((s, dir) =>
+      // Data-mixing: per-domain ppm-quantized keep rates toward target
+      // corpus shares (src3 lands exactly at rate 1.0 — the cap boundary;
+      // src4 over-caps; absent domains drop to 0).
+      Sampling.mixtureSample(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 0.002, "src1" -> 0.01, "src2" -> 0.02,
+          "src3" -> 0.05, "src4" -> 0.08))
+        .select(col("doc_id"), col("source"), col("keep_ppm"))),
+    "q_bloom_join" -> ((s, dir) => {
+      // Explicit bloom-prefiltered semi join: dim side = high-price orders,
+      // fact side = lineitem. The bloom pass only reduces shuffled fact
+      // rows; the semi join behind it removes false positives, so the
+      // result — and the oracle — is the plain IN-subquery semi join.
+      val li = table(s, dir, "lineitem")
+      val hot = table(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      RuntimeFilter.bloomSemiJoin(li, "l_orderkey", hot, "o_orderkey",
+        expectedItems = 20000L)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1973,6 +2019,73 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
+    "q_dedup_normalized" ->
+      // same spliced variants; normalization mirrored in RE2 ('g' flag =
+      // Java's replace-all default); [^a-z0-9 ] / ' +' stay inside the
+      // Java-RE2-identical regex subset (no \s/\w shorthands)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || upper(text) || '  !!'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |norm AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |  FROM all_docs)
+        |SELECT MIN(doc_id) AS doc_id, norm_md5, CAST(COUNT(*) AS BIGINT) AS n_group
+        |FROM norm GROUP BY norm_md5""".stripMargin,
+    "q_bigram_logprob" ->
+      // bigram (w1,w2) = adjacent 1-based list slots; corpus counts as
+      // windows over the per-doc counts — same shape as the Spark plan
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+        |b AS (SELECT doc_id, tl[i] AS w1, tl[i+1] AS w2
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl))) AS i FROM toks)),
+        |c AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM b GROUP BY doc_id, w1, w2),
+        |f AS (SELECT doc_id, c,
+        |    SUM(c) OVER (PARTITION BY w1, w2) AS c12,
+        |    SUM(c) OVER (PARTITION BY w1) AS c1
+        |  FROM c)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  round(-SUM(c * log2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))) / SUM(c), 6)
+        |    AS avg_neg_logprob
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "q_zipf" ->
+      """WITH f AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT lang, unnest(string_split(text,' ')) AS token FROM documents)
+        |  GROUP BY lang, token),
+        |r AS (SELECT lang, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token ASC) AS rank
+        |  FROM f)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  round(regr_slope(log2(CAST(freq AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6)
+        |    AS zipf_slope
+        |FROM r GROUP BY lang""".stripMargin,
+    "q_mixture_sample" ->
+      // CAST targets to DOUBLE (bare 0.002 is DECIMAL in DuckDB — different
+      // rounding than Spark's double lit); op order (t*n)/c then *1e6 then
+      // floor matches Sampling.mixtureSample bit-for-bit
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY source),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |r AS (SELECT source,
+        |    CAST(floor(least(1.0, t * n / c) * 1e6) AS BIGINT) AS keep_ppm
+        |  FROM (SELECT source, c,
+        |      CASE source WHEN 'src0' THEN CAST(0.002 AS DOUBLE)
+        |                  WHEN 'src1' THEN CAST(0.01 AS DOUBLE)
+        |                  WHEN 'src2' THEN CAST(0.02 AS DOUBLE)
+        |                  WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+        |                  WHEN 'src4' THEN CAST(0.08 AS DOUBLE)
+        |                  ELSE CAST(0.0 AS DOUBLE) END AS t
+        |    FROM c) CROSS JOIN n)
+        |SELECT d.doc_id, d.source, r.keep_ppm
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_bloom_join" ->
+      // the bloom pass is a pure prefilter (false positives removed by the
+      // semi join) -> the oracle is the plain IN-subquery semi join
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

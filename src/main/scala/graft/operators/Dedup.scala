@@ -22,6 +22,32 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text form for [[normalizedExact]]: lowercase, strip every
+    * char outside [a-z0-9 ], collapse space runs, trim. Stays inside the
+    * regex subset Java and RE2 (the DuckDB oracle) interpret identically —
+    * plain character classes, no \s/\w shorthands (whose Unicode semantics
+    * differ across engines). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized exact dedup — the casing/punctuation-insensitive tier
+    * between [[exact]] and MinHash: documents identical after
+    * [[normalizeText]] keep only the lowest id. Same scale shape as
+    * [[exact]] (group on md5 of the normalized form so the shuffle carries
+    * 32-byte digests, not text; one hash aggregate + one semi join), plus
+    * the normalization itself is a pure narrow map. Returns the kept rows
+    * with their normalized-form digest and the duplicate-group size. */
+  def normalizedExact(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keep = docs
+      .groupBy(md5(normalizeText(col(textCol))).as("norm_md5"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("n_group"))
+    docs.join(keep, Seq(idCol)).select(
+      col(idCol), col("norm_md5"), col("n_group"))
+  }
+
   /** MinHash-LSH candidate pairs over word n-gram shingles.
     *
     * Pipeline (each step one narrow map or one shuffle):

@@ -76,6 +76,40 @@ object Sampling {
       .withColumn("bin", (col("prev_tokens") / budgetTokens).cast("long"))
   }
 
+  /** Domain-mixture resampling — the data-mixing step of LLM training:
+    * downsample each domain so it contributes at most `targets(domain)` of
+    * the ORIGINAL corpus size (domains under target keep everything; the
+    * operator never upsamples). Per-domain keep rate =
+    * min(1, target · N / c_domain), quantized to parts-per-million so the
+    * rate arithmetic is exact-integer-comparable in the DuckDB oracle; the
+    * keep decision hashes (domain:id) — the [[stratifiedSample]] salt — so
+    * domains draw independent, partition-stable samples. Plan shape: one
+    * domain-cardinality aggregate joined back on domain (AQE broadcasts it
+    * when small — at 100 TB of web text domains are ~10⁷ hosts, still a
+    * join, never a forced broadcast), one 1-row corpus count broadcast,
+    * then a narrow filter. Domains absent from `targets` are dropped
+    * (rate 0) — the explicit-allowlist contract of a curated mix. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val total = df.agg(count(lit(1)).cast("double").as("__n"))
+    val target = targets.foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val ppm = floor(least(lit(1.0), target * col("__n") / col("__c")) * 1e6).cast("long")
+    val b = graft.functions.TextFunctions.tokenHash60(
+      concat(col(domainCol).cast("string"), lit(":"), col(idCol).cast("string"))) % 1000000L
+    df.join(counts, Seq(domainCol))
+      .crossJoin(broadcast(total))
+      .withColumn("keep_ppm", ppm)
+      .filter(b < col("keep_ppm"))
+      .drop("__c", "__n")
+  }
+
   /** Assign every row a stable train/val/test split label (80/10/10). */
   def trainValTestSplit(df: DataFrame, idCol: String): DataFrame = {
     val b = hashBucket(col(idCol), 100)

@@ -298,6 +298,60 @@ object TextAnalysis {
           6).as("avg_neg_logprob"))
   }
 
+  /** Bigram language-model scoring — the next-step-up quality signal from
+    * [[unigramLogProb]]: per document, the average negative log2 of
+    * P(w2|w1) = c(w1,w2)/c(w1·) under corpus bigram counts (repetitive
+    * spam scores near 0; token soup scores high). Bigrams come from ONE
+    * tokenization (posexplode + lead over the doc-position window — the
+    * [[repetitionStats]] kernel); corpus counts are SUM/COUNT windows over
+    * the per-doc bigram counts partitioned by (w1,w2) and by w1 — both
+    * vocabulary-sized tables, so windows, never broadcasts (the q_tfidf
+    * discipline). c(w1·) counts bigram starts (last token of a doc starts
+    * nothing), making each P a true conditional that sums to 1 per w1. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = docs
+      .select(col("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .withColumn("w2", lead(col("token"), 1).over(wPos))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("token").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    bi
+      .withColumn("c12", sum(col("c")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("c1", sum(col("c")).over(Window.partitionBy(col("w1"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        round(
+          -sum(col("c").cast("double") * log2(col("c12").cast("double") / col("c1").cast("double"))) /
+            sum(col("c")).cast("double"),
+          6).as("avg_neg_logprob"))
+  }
+
+  /** Zipf rank-frequency slope per language — the corpus-health diagnostic
+    * of a crawl pipeline (natural text fits log2(freq) ≈ a - s·log2(rank)
+    * with s near 1; template/machine spam bends the curve). One explode +
+    * hash aggregate to (lang, token, freq), a rank window per lang, then
+    * the closed-form least-squares slope via regr_slope — all partial-agg
+    * friendly, shuffle ∝ distinct (lang, token). Rank ties break on token
+    * ascending so the oracle ranks identically. */
+  def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col("lang"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("token").asc)
+    freq
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        round(expr("regr_slope(log2(CAST(freq AS DOUBLE)), log2(CAST(rank AS DOUBLE)))"), 6)
+          .as("zipf_slope"))
+  }
+
   /** Within-document boilerplate dedup — the repeated-header/footer scrub
     * of a web-corpus pipeline: token-window "paragraphs" (via
     * [[chunkDocuments]]) that repeat verbatim inside one document keep only

@@ -96,6 +96,24 @@ object ScaleSmoke {
       drain(Dedup.decontaminate(
         docs.filter(col("doc_id") % 20L =!= 0L),
         docs.filter(col("doc_id") % 20L === 0L), n = 4)))
+    time(s"bigramLogProb x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.bigramLogProb(docs)))
+    time(s"zipfSlope x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.zipfSlope(docs)))
+    time(s"normalizedExact x${math.max(1, mult / 5)}")(
+      drain(Dedup.normalizedExact(docs)))
+    time(s"mixtureSample x${math.max(1, mult / 5)}")(
+      drain(Sampling.mixtureSample(
+        docs.select(col("doc_id"), (col("doc_id") % 37L).cast("string").as("source")),
+        "doc_id", "source",
+        (0 until 20).map(i => i.toString -> 0.01).toMap)))
+    time(s"bloomSemiJoin x$mult") {
+      val ev = events.select(col("event_id"), col("user_id"))
+      val hot = events.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      drain(graft.operators.RuntimeFilter.bloomSemiJoin(
+        ev, "user_id", hot, "user_id", expectedItems = 1000000L))
+    }
     time(s"bmp synth+decode x${math.max(1, mult / 5)}")(
       drain(graft.operators.Multimodal.decodeBmp24(
         graft.operators.Multimodal.synthesizeBmpTable(docs)).toDF()))

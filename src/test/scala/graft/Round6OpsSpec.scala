@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Dedup, RuntimeFilter, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: normalized dedup, bigram LM scoring, Zipf slope,
+  * domain-mixture sampling, explicit bloom-prefiltered semi join. */
+class Round6OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- normalizedExact
+
+  test("normalizedExact: case/punct/whitespace variants collapse onto the lowest id") {
+    val df = docsOf(
+      0L -> "Hello, World!",
+      1L -> "hello world",
+      2L -> "  HELLO   WORLD  ",
+      3L -> "a different document")
+    val r = Dedup.normalizedExact(df).orderBy("doc_id")
+      .select("doc_id", "n_group").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 3L), (3L, 1L)))
+  }
+
+  test("normalizeText: strips to [a-z0-9 ], collapses runs, trims") {
+    val r = Seq(Tuple1("  A--B  c1,d!  "))
+      .toDF("t").select(Dedup.normalizeText(col("t"))).as[String].head()
+    assert(r == "ab c1d")
+  }
+
+  // ---- bigramLogProb
+
+  test("bigramLogProb: hand-checked conditional probabilities") {
+    // corpus bigrams: a_b x2 (doc0, doc1), a_c x1 (doc1)
+    // c1(a)=3, so P(b|a)=2/3, P(c|a)=1/3
+    val df = docsOf(0L -> "a b", 1L -> "a c a b", 2L -> "solo")
+    val r = TextAnalysis.bigramLogProb(df).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // doc0: 1 bigram a_b -> -log2(2/3)
+    assert(r(0)._1 == 0L && r(0)._2 == 1L)
+    assert(math.abs(r(0)._3 - (-math.log(2.0 / 3.0) / math.log(2.0))) < 1e-5)
+    // doc1: a_c, c_a, a_b; c(c_a)=1, c1(c)=1 -> P=1 contributes 0;
+    // avg = (log2(3) + 0 + log2(3/2)) / 3
+    val expected = ((math.log(3.0) + math.log(1.5)) / math.log(2.0)) / 3.0
+    assert(r(1)._1 == 1L && r(1)._2 == 3L)
+    assert(math.abs(r(1)._3 - expected) < 1e-5)
+    // doc2 has no bigrams -> absent
+    assert(r.length == 2)
+  }
+
+  test("bigramLogProb: the dominant transition scores near zero, a rare one high") {
+    // corpus: the->cat 40x vs the->dog 1x; a doc made of the common
+    // transition is predictable (score ~0), the rare transition costs
+    // -log2(1/41) ~ 5.4 bits
+    val common = Seq.fill(40)("the cat").mkString(" ")
+    val r = TextAnalysis.bigramLogProb(docsOf(0L -> common, 1L -> "the dog"))
+      .orderBy("doc_id").select("avg_neg_logprob").as[Double].collect()
+    assert(r(0) < 0.1, s"dominant-transition doc scored ${r(0)}")
+    assert(r(1) > 5.0, s"rare-transition doc scored ${r(1)}")
+  }
+
+  // ---- zipfSlope
+
+  test("zipfSlope: an exact power law fits slope -1") {
+    // row_number ranks are consecutive 1..4, so pick freq = 240/rank
+    // (exact integers 240,120,80,60): log2(freq) = log2(240) - log2(rank)
+    // -> least-squares slope exactly -1
+    val words = (1 to 4).flatMap(r => Seq.fill(240 / r)(s"w$r"))
+    val df = Seq((0L, words.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfSlope(df).as[(String, Long, Double)].head()
+    assert(r._1 == "en" && r._2 == 4L)
+    assert(math.abs(r._3 - (-1.0)) < 2e-6, s"slope ${r._3}")
+  }
+
+  // ---- mixtureSample
+
+  test("mixtureSample: rates hit targets, under-target domains keep everything") {
+    val df = (0L until 1000L).map(i => (i, if (i < 800) "web" else "code"))
+      .toDF("doc_id", "source")
+    // web: 800 rows, target 20% of 1000 -> rate 250000 ppm
+    // code: 200 rows, target 50% of 1000 -> rate capped at 1.0
+    val out = Sampling.mixtureSample(df, "doc_id", "source",
+      Map("web" -> 0.2, "code" -> 0.5))
+    val ppm = out.select("source", "keep_ppm").distinct().as[(String, Long)]
+      .collect().toMap
+    assert(ppm == Map("web" -> 250000L, "code" -> 1000000L))
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("code") == 200L, "under-cap domain must keep every row")
+    // hash-uniform: web keeps ~200 of 800 (25%); wide tolerance, no flake
+    assert(counts("web") > 120L && counts("web") < 280L, counts.toString)
+  }
+
+  test("mixtureSample: absent domains drop; result is partition-stable") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "doc_id", "source", Map("src0" -> 0.1))
+    assert(out.select("source").distinct().as[String].collect().toSeq == Seq("src0"))
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureSample(df.repartition(7), "doc_id", "source", Map("src0" -> 0.1))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample must not depend on partitioning")
+  }
+
+  // ---- bloomSemiJoin
+
+  test("bloomSemiJoin equals the plain semi join (false positives removed)") {
+    val big = (0L until 5000L).map(i => (i, i % 97)).toDF("k", "payload")
+    val small = Seq(3L, 14L, 159L, 2653L, 4999L).toDF("sk")
+    val got = RuntimeFilter.bloomSemiJoin(big, "k", small, "sk", expectedItems = 10L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 14L, 159L, 2653L, 4999L))
+  }
+
+  test("bloomSemiJoin: bloom predicate is a codegen'd literal, no UDF in the plan") {
+    // spark.range, not a local Seq: ConvertToLocalRelation folds filters
+    // over LocalRelation at optimize time, which would hide the predicate
+    val big = spark.range(100).select(col("id").as("k"), col("id").as("v"))
+    val small = spark.range(1, 3).select(col("id").as("sk"))
+    val plan = RuntimeFilter.bloomSemiJoin(big, "k", small, "sk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
+      s"bloom pass must not be a UDF:\n$plan")
+  }
+
+  test("bloomSemiJoin: undersized bloom (high fpp) stays exact") {
+    val big = (0L until 2000L).map(i => (i, i)).toDF("k", "v")
+    val keys = (0L until 2000L by 3L)
+    val small = keys.toDF("sk")
+    // expectedItems 10 for ~667 keys -> fpp ~1; exactness must survive
+    val got = RuntimeFilter.bloomSemiJoin(big, "k", small, "sk", expectedItems = 10L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == keys.toSeq)
+  }
+}
