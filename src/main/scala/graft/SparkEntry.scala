@@ -1214,6 +1214,11 @@ object SparkEntry {
         Map("src0" -> 0.002, "src1" -> 0.01, "src2" -> 0.02,
           "src3" -> 0.05, "src4" -> 0.08))
         .select(col("doc_id"), col("source"), col("keep_ppm"))),
+    "q_cdc_chunk" -> ((s, dir) =>
+      // Content-defined chunking: rolling-window hash boundaries (expected
+      // chunk ~16 tokens), so insertions only shift chunks up to the next
+      // content boundary — the storage-dedup property fixed windows lack.
+      TextAnalysis.cdcChunk(table(s, dir, "documents"), window = 4, divisor = 16)),
     "q_bloom_join" -> ((s, dir) => {
       // Explicit bloom-prefiltered semi join: dim side = high-price orders,
       // fact side = lineitem. The bloom pass only reduces shuffled fact
@@ -2080,6 +2085,30 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_cdc_chunk" ->
+      // window hash = md5-prefix-60 of the 4-token window ending at pos
+      // (1-based slice tl[pos-2:pos+1]); boundary lagged 1 then running-sum
+      // -> chunk index, exactly the Spark plan's window chain
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+        |p AS (SELECT doc_id, tl, unnest(range(0, len(tl))) AS pos FROM toks),
+        |b AS (SELECT doc_id, pos, tl[pos+1] AS token,
+        |    CASE WHEN pos >= 3 AND pos < len(tl) - 1 AND
+        |      CAST('0x' || substr(md5(array_to_string(tl[pos-2:pos+1], ' ')), 1, 15) AS BIGINT)
+        |        % 16 = 0
+        |    THEN 1 ELSE 0 END AS boundary
+        |  FROM p),
+        |l AS (SELECT doc_id, pos, token,
+        |    COALESCE(LAG(boundary) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS lb
+        |  FROM b),
+        |c AS (SELECT doc_id, pos, token,
+        |    SUM(lb) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_idx
+        |  FROM l)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(MIN(pos) AS BIGINT) AS start_tok, CAST(MAX(pos) + 1 AS BIGINT) AS end_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+        |  md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
     "q_bloom_join" ->
       // the bloom pass is a pure prefilter (false positives removed by the
       // semi join) -> the oracle is the plain IN-subquery semi join

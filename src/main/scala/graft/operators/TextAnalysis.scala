@@ -383,6 +383,62 @@ object TextAnalysis {
       .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
   }
 
+  /** Content-defined chunking — the storage-dedup chunker (rsync/LBFS
+    * lineage) that [[chunkDocuments]]'s fixed windows cannot replace: chunk
+    * boundaries derive from the CONTENT (a rolling window hash hitting
+    * 0 mod `divisor`), so an insertion near the start of a document shifts
+    * only the chunks up to the next content boundary — every later chunk
+    * re-aligns and dedups against the unedited version (the fixed-window
+    * scheme loses alignment forever). Expected chunk length ≈ `divisor`
+    * tokens.
+    *
+    * Boundary rule: after token position p (0-based) iff p ≥ window−1, p is
+    * not the last token, and hash60(window ending at p) % divisor == 0 —
+    * the hash is the md5-prefix [[tokenHash60]] of the space-joined window,
+    * so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Plan: one Generate (posexplode) + ONE shuffle on doc_id (the position
+    * window and the final group both key on it); per-chunk buffers are
+    * bounded by document length. The carried token-array column is the
+    * [[chunkDocuments]] trade-off: heavier rows, zero extra shuffles. */
+  def cdcChunk(
+      docs: DataFrame,
+      window: Int = 4,
+      divisor: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0 && divisor > 0, s"bad cdc params: $window/$divisor")
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("__tl"))
+      .select(col("doc_id"), col("__tl"), posexplode(col("__tl")).as(Seq("pos", "token")))
+      .withColumn(
+        "__boundary",
+        when(
+          col("pos") >= window - 1 && col("pos") < size(col("__tl")) - 1 &&
+            tokenHash60(
+              concat_ws(" ", slice(col("__tl"), col("pos") - (window - 2), lit(window))))
+              % divisor === 0L,
+          1L).otherwise(0L))
+      // a boundary AFTER p starts a new chunk at p+1: cumulative sum of the
+      // lagged boundary flag = chunk index
+      .withColumn(
+        "chunk_idx",
+        sum(coalesce(lag(col("__boundary"), 1).over(wPos), lit(0L))).over(
+          wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + 1L).cast("long").as("end_tok"),
+        count(lit(1)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            s => s.getField("token")),
+          " ").as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
+
   /** Document fingerprints: full-text md5 + min-token-md5 (1-hash MinHash)
     * + a 32-bit SimHash + an order-sensitive Rabin-Karp rolling hash —
     * four independent signals, all portable.

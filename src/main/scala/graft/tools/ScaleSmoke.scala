@@ -96,6 +96,8 @@ object ScaleSmoke {
       drain(Dedup.decontaminate(
         docs.filter(col("doc_id") % 20L =!= 0L),
         docs.filter(col("doc_id") % 20L === 0L), n = 4)))
+    time(s"cdcChunk x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.cdcChunk(docs)))
     time(s"bigramLogProb x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.bigramLogProb(docs)))
     time(s"zipfSlope x${math.max(1, mult / 5)}")(

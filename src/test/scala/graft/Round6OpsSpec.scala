@@ -102,6 +102,38 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(a == b, "sample must not depend on partitioning")
   }
 
+  // ---- cdcChunk
+
+  test("cdcChunk: chunks partition the document and reassemble to the original text") {
+    val text = (1 to 200).map(i => s"tok${i * 7 % 131}").mkString(" ")
+    val chunks = TextAnalysis.cdcChunk(docsOf(0L -> text), window = 4, divisor = 8)
+      .orderBy("chunk_idx")
+      .select("start_tok", "end_tok", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    // contiguous, non-overlapping cover starting at 0
+    assert(chunks.head._1 == 0L)
+    chunks.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1); case _ => }
+    assert(chunks.last._2 == 200L)
+    assert(chunks.forall(c => c._3 == c._2 - c._1))
+    assert(chunks.map(_._4).mkString(" ") == text)
+    assert(chunks.length > 5, s"divisor 8 over 200 tokens should cut >5 chunks, got ${chunks.length}")
+  }
+
+  test("cdcChunk: a prefix insertion only disturbs chunks before the first content boundary") {
+    val base = (1 to 300).map(i => s"w${i * 13 % 251}").mkString(" ")
+    val edited = "inserted tokens here " + base
+    val out = TextAnalysis.cdcChunk(
+      docsOf(0L -> base, 1L -> edited), window = 4, divisor = 8)
+    val a = out.filter(col("doc_id") === 0L).select("chunk_idx", "chunk_md5")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val b = out.filter(col("doc_id") === 1L).select("chunk_md5").as[String].collect().toSet
+    // every chunk of the base doc except the FIRST must re-align and dedup
+    // against the edited doc — the content-defined property (fixed-window
+    // chunking would share nothing after a 3-token prefix shift)
+    val missing = a.drop(1).filterNot(c => b.contains(c._2))
+    assert(missing.isEmpty, s"chunks lost after realignment: ${missing.mkString(",")}")
+  }
+
   // ---- bloomSemiJoin
 
   test("bloomSemiJoin equals the plain semi join (false positives removed)") {
