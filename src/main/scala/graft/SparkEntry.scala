@@ -1214,6 +1214,17 @@ object SparkEntry {
         Map("src0" -> 0.002, "src1" -> 0.01, "src2" -> 0.02,
           "src3" -> 0.05, "src4" -> 0.08))
         .select(col("doc_id"), col("source"), col("keep_ppm"))),
+    "q_dedup_keep_best" -> ((s, dir) =>
+      // Curation-policy dedup: per near-dup cluster keep the LONGEST member
+      // (tie-break lowest id), not the lowest id — the policy real
+      // pipelines want. Shares the MinHash cluster machinery + oracle CTEs.
+      Dedup.dedupNearMinhashKeepBest(
+        table(s, dir, "documents"), threshold = 0.5, scoreCol = "n_chars")
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_embedding_centroids" -> ((s, dir) =>
+      // Per-label centroids in exact 2^24 fixed-point (distributed float
+      // means are summation-order-dependent; integer sums are not).
+      Similarity.labelCentroids(table(s, dir, "embeddings"))),
     "q_cdc_chunk" -> ((s, dir) =>
       // Content-defined chunking: rolling-window hash boundaries (expected
       // chunk ~16 tokens), so insertions only shift chunks up to the next
@@ -2085,6 +2096,37 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_dedup_keep_best" ->
+      // same reachability closure as q_dedup_components; winner per
+      // component by (n_chars DESC, doc_id ASC); singletons keep themselves
+      // via the COALESCE'd left join
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         |m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+         |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM m)
+         |SELECT doc_id, lang, source FROM r WHERE rn = 1""".stripMargin,
+    "q_embedding_centroids" ->
+      // 2^24 fixed-point mean: float->double is exact, the scaled products
+      // are exact integers (24-bit mantissas, |x| < 2^15), so the integer
+      // SUM is order-independent — both engines compute identical doubles
+      """WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT) AS fx
+        |  FROM (SELECT label, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings))
+        |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
+        |FROM ex GROUP BY label, dim""".stripMargin,
     "q_cdc_chunk" ->
       // window hash = md5-prefix-60 of the 4-token window ending at pos
       // (1-based slice tl[pos-2:pos+1]); boundary lagged 1 then running-sum

@@ -412,6 +412,33 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupNearMinhash]] with a caller-chosen representative: keep the
+    * cluster member MAXIMIZING `scoreCol` (tie-break minimum id) instead of
+    * the minimum id — the real curation policy (keep the longest / highest-
+    * quality copy, not the accidentally-lowest id). Unclustered docs keep
+    * themselves (component defaults to own id via the left join). Same
+    * plan as the min-id variant plus one per-component window whose
+    * partitions are cluster-sized — never corpus-sized. */
+  def dedupNearMinhashKeepBest(
+      docs: DataFrame,
+      threshold: Double,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = nearDupMinhash(docs, threshold, idCol, textCol,
+      maxBucketSize = maxBucketSize).select(col("doc_a"), col("doc_b"))
+    val comps = connectedComponents(pairs).withColumnRenamed("node", idCol)
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs
+      .join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__comp", "component")
+  }
+
   /** SimHash per document (32-bit, portable math). Near-dups = pairs with
     * small hamming distance; block by 16-bit halves so candidates at
     * hamming ≤ 1 per half collide — O(n) + bucket-local joins, same scale

@@ -300,6 +300,33 @@ object Similarity {
             round(v.cast("double") * 127d / col("__ma")).cast("int")))
           .as("qvec"))
 
+  /** Per-label embedding centroids — the class-summary / semantic-drift
+    * probe of an embedding pipeline (compare a shard's centroid against
+    * the corpus's to spot distribution shift). One posexplode + one hash
+    * aggregate with map-side partial combine: shuffle ∝ labels × dims,
+    * never vectors.
+    *
+    * Determinism: a distributed float mean is partial-sum-order-dependent
+    * (IEEE addition is non-associative), which would break the hash oracle
+    * — so each float is first scaled to an EXACT 2^24 fixed-point long
+    * (float mantissas are 24 bits; the products are exact for |x| < 2^15)
+    * and the mean is integer-summed, then rescaled. Same cents-style
+    * exactness trick as Cdc.snapshotDiff. */
+  def labelCentroids(
+      embeddings: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(
+          sum(round(col("x").cast("double") * 16777216d).cast("long")).cast("double")
+            / count(lit(1)) / 16777216d,
+          6).as("centroid"))
+      .withColumn("dim", col("dim").cast("long"))
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
     * exact-rank within the probed subset. Recall rises with nprobe;
     * cost ~ nprobe/nCentroids of brute force. */

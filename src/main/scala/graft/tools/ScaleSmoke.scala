@@ -96,6 +96,12 @@ object ScaleSmoke {
       drain(Dedup.decontaminate(
         docs.filter(col("doc_id") % 20L =!= 0L),
         docs.filter(col("doc_id") % 20L === 0L), n = 4)))
+    time(s"dedupKeepBest x${math.max(1, mult / 5)}")(
+      drain(Dedup.dedupNearMinhashKeepBest(docs, 0.5, scoreCol = "n_chars")))
+    time(s"labelCentroids x${math.max(1, mult / 5)}")(
+      drain(Similarity.labelCentroids(
+        multiply(graft.SparkEntry.table(spark, dir, "embeddings"), "vec_id",
+          math.max(1, mult / 5), 1_000_000L))))
     time(s"cdcChunk x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.cdcChunk(docs)))
     time(s"bigramLogProb x${math.max(1, mult / 5)}")(

@@ -102,6 +102,47 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(a == b, "sample must not depend on partitioning")
   }
 
+  // ---- dedupNearMinhashKeepBest
+
+  test("dedupNearMinhashKeepBest: the highest-score cluster member wins; singletons survive") {
+    // identical texts -> jaccard 1 -> the LSH family cannot miss the pairs;
+    // the SCORE column (not derived from text here) decides the winner
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, near, 10L),
+      (2L, near, 99L),
+      (3L, near, 12L),
+      (9L, "a completely unrelated singleton document body here", 51L))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = graft.operators.Dedup
+      .dedupNearMinhashKeepBest(df, threshold = 0.5, scoreCol = "n_chars")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 9L), "doc 2 has the max score")
+    // control: the min-id variant keeps doc 1 instead — the policies differ
+    val minId = graft.operators.Dedup.dedupNearMinhash(df, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 9L))
+  }
+
+  // ---- labelCentroids
+
+  test("labelCentroids: exact fixed-point means, partition-order independent") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f), 0),
+      (2L, Array(0.0f, 0.25f), 0),
+      (3L, Array(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.labelCentroids(df)
+      .orderBy("label", "dim")
+      .select("label", "dim", "n", "centroid")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((0, 0L, 2L, 0.5), (0, 1L, 2L, -0.125),
+      (1, 0L, 1L, 0.5), (1, 1L, 1L, 0.5)))
+    val shuffled = graft.operators.Similarity.labelCentroids(df.repartition(5))
+      .orderBy("label", "dim").select("centroid").as[Double].collect().toSeq
+    assert(shuffled == r.map(_._4), "mean must not depend on partial-sum order")
+  }
+
   // ---- cdcChunk
 
   test("cdcChunk: chunks partition the document and reassemble to the original text") {
