@@ -2,11 +2,10 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
+import graft.functions.expressions.BloomMightContain
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.BinaryType
 
 /** Explicit bloom-filter runtime join filtering.
   *
@@ -21,10 +20,12 @@ import org.apache.spark.sql.types.BinaryType
   * a `spark.util.sketch.BloomFilter` via the distributed
   * `stat.bloomFilter` tree-aggregate — driver memory holds ONE bloom of
   * O(expectedItems · log(1/fpp)) bits (~1.2 MB at 10⁶ keys / 1% fpp),
-  * independent of fact-side size. The filter is then embedded as a binary
-  * literal inside Spark's own codegen'd [[BloomFilterMightContain]]
-  * predicate — no Scala UDF, the fact scan stays inside WholeStageCodegen
-  * and the predicate travels with the plan (no broadcast round-trip).
+  * independent of fact-side size. The filter then rides in the codegen'd
+  * [[BloomMightContain]] predicate — no Scala UDF, the fact scan stays
+  * inside WholeStageCodegen. The bytes are an expression FIELD, not a
+  * binary Literal child: Spark's own `BloomFilterMightContain` + Literal
+  * rendered the full filter into every AQE `explainString` and OOM'd the
+  * driver at MB-scale blooms (see BloomMightContain scaladoc).
   *
   * EXACTNESS: the bloom pass is `might contain` (false positives survive);
   * the left-semi join behind it removes them, so the operator's result is
@@ -51,9 +52,8 @@ object RuntimeFilter {
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val might = bridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      XxHash64(Seq(bridge.expression(col(bigKey))), 42L)))
+    val might = bridge.column(BloomMightContain(
+      bridge.expression(xxhash64(col(bigKey))), bytes))
     big
       .filter(col(bigKey).isNotNull && might)
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")

@@ -310,12 +310,19 @@ object TextAnalysis {
     * nothing), making each P a true conditional that sums to 1 per w1. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bi = docs
-      .select(col("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-      .withColumn("w2", lead(col("token"), 1).over(wPos))
+      // successor via element_at on the carried token array (the
+      // chunkDocuments trade-off: heavier rows, NO doc-ordered window
+      // shuffle — lead() would cost a full shuffle+sort on doc_id before
+      // the aggregate's own shuffle); pos is 0-based, element_at 1-based,
+      // so pos+2 is the successor and the last token yields NULL
+      .select(col("doc_id"), tokens(col(textCol)).as("__tl"))
+      .select(col("doc_id"), col("__tl"), posexplode(col("__tl")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("token").as("w1"),
+        // try_element_at: one-past-the-end must be NULL, not an ANSI error
+        try_element_at(col("__tl"), (col("pos") + 2).cast("int")).as("w2"))
       .filter(col("w2").isNotNull)
-      .groupBy(col("doc_id"), col("token").as("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
     bi
       .withColumn("c12", sum(col("c")).over(Window.partitionBy(col("w1"), col("w2"))))

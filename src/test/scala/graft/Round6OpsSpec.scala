@@ -175,6 +175,41 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"chunks lost after realignment: ${missing.mkString(",")}")
   }
 
+  test("cdcChunk equals an in-memory reference on 25 random corpora") {
+    // tiny vocab + divisor 8 -> boundaries land everywhere, incl. edge
+    // cases (boundary at the second-to-last eligible pos, 1-token docs)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val rng = new scala.util.Random(7)
+    val w = 4
+    val d = 8
+    (1 to 25).foreach { _ =>
+      val docs = (0L until (1 + rng.nextInt(4)).toLong).map { id =>
+        id -> Seq.fill(1 + rng.nextInt(40))(s"t${rng.nextInt(6)}").mkString(" ")
+      }
+      val exp = docs.flatMap { case (id, text) =>
+        val tl = text.split(" ", -1)
+        val boundary = tl.indices.map(p =>
+          p >= w - 1 && p < tl.length - 1 &&
+            h60(tl.slice(p - w + 1, p + 1).mkString(" ")) % d == 0)
+        var idx = 0L
+        val chunkOf = tl.indices.map { p =>
+          if (p > 0 && boundary(p - 1)) idx += 1
+          idx
+        }
+        chunkOf.zipWithIndex.groupBy(_._1).toSeq.map { case (ci, ps) =>
+          val pos = ps.map(_._2)
+          val ct = pos.sorted.map(tl).mkString(" ")
+          (id, ci, pos.min.toLong, pos.max.toLong + 1L, pos.size.toLong, ct, md5hex(ct))
+        }
+      }.toSet
+      val got = TextAnalysis.cdcChunk(docs.toDF("doc_id", "text"), window = w, divisor = d)
+        .as[(Long, Long, Long, Long, Long, String, String)].collect().toSet
+      assert(got == exp, s"cdc mismatch on: $docs")
+    }
+  }
+
   // ---- bloomSemiJoin
 
   test("bloomSemiJoin equals the plain semi join (false positives removed)") {
@@ -192,9 +227,22 @@ class Round6OpsSpec extends SparkFunSuite {
     val small = spark.range(1, 3).select(col("id").as("sk"))
     val plan = RuntimeFilter.bloomSemiJoin(big, "k", small, "sk")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
+    assert(plan.contains("bloom_might_contain"), s"expected bloom_might_contain in:\n$plan")
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
       s"bloom pass must not be a UDF:\n$plan")
+  }
+
+  test("bloomSemiJoin: plan strings stay small — the bloom bytes never render") {
+    val big = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+    val small = spark.range(500).select(col("id").as("sk"))
+    // a 1M-item bloom is ~1.2 MB; with the bytes as a Literal child this
+    // explain string was multi-GB (OOM'd an 8g driver via AQE's
+    // per-update explainString) — as an expression field it stays tiny
+    val df = RuntimeFilter.bloomSemiJoin(big, "k", small, "sk", expectedItems = 1000000L)
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    assert(s.length < 100000, s"explain string blew up: ${s.length} chars")
+    assert(df.count() == 500)
   }
 
   test("bloomSemiJoin: undersized bloom (high fpp) stays exact") {
