@@ -34,6 +34,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_sessionize_gap")(spark, "/root/testdata/sf0.001")
 
+  /** 13-token license disclaimer spliced onto every 3rd doc — and TWICE
+    * onto every 6th — the deterministic cross-doc-repeat fixture shared by
+    * the q_repeated_spans* queries. SQL twin: [[disclaimerCte]]. */
+  private val RepeatedDisclaimer =
+    "this article is licensed under the creative commons attribution share alike license terms"
+
+  private def spliceDisclaimer(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat_ws(" ",
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(RepeatedDisclaimer)),
+        when(col("doc_id") % 6 === 0, lit(RepeatedDisclaimer))).as("text"))
+
   /** The events table as a file-source stream (ts normalized to
     * TimestampType), for the Structured-Streaming queries. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -637,38 +651,20 @@ object SparkEntry {
         concat_ws(" ", lit(boiler), col("text"), lit(boiler)).as("text"))
       TextAnalysis.dedupChunksWithinDoc(withBoiler, chunkSize = 5)
     }),
-    "q_repeated_spans" -> ((s, dir) => {
+    "q_repeated_spans" -> ((s, dir) =>
       // Lee-et-al-style exact substring dedup. The synthetic corpus has no
       // verbatim cross-doc spans (31-word soup: P(shared 8-gram) ≈ 0), so
       // splice a 13-token license disclaimer onto every 3rd doc — and TWICE
       // onto every 6th, whose back-to-back copies must merge into ONE
       // maximal span (the overlap-merge path). The oracle rebuilds the
       // identical text and replays window hashes + span merging.
-      val disclaimer =
-        "this article is licensed under the creative commons attribution share alike license terms"
-      val withTail = table(s, dir, "documents").select(
-        col("doc_id"),
-        concat_ws(" ",
-          col("text"),
-          when(col("doc_id") % 3 === 0, lit(disclaimer)),
-          when(col("doc_id") % 6 === 0, lit(disclaimer))).as("text"))
-      Dedup.repeatedSpans(withTail, window = 8)
-    }),
-    "q_repeated_spans_apply" -> ((s, dir) => {
+      Dedup.repeatedSpans(spliceDisclaimer(table(s, dir, "documents")), window = 8)),
+    "q_repeated_spans_apply" -> ((s, dir) =>
       // The scrub step over the same spliced corpus: repeated spans removed,
       // document rebuilt. Interval-overlay coverage (see removeRepeatedSpans)
       // — the oracle replays spans AND the overlay with one running-sum
       // window. Standalone-query contract: recomputes the span pipeline.
-      val disclaimer =
-        "this article is licensed under the creative commons attribution share alike license terms"
-      val withTail = table(s, dir, "documents").select(
-        col("doc_id"),
-        concat_ws(" ",
-          col("text"),
-          when(col("doc_id") % 3 === 0, lit(disclaimer)),
-          when(col("doc_id") % 6 === 0, lit(disclaimer))).as("text"))
-      Dedup.removeRepeatedSpans(withTail, window = 8)
-    }),
+      Dedup.removeRepeatedSpans(spliceDisclaimer(table(s, dir, "documents")), window = 8)),
     "q_decontaminate" -> ((s, dir) => {
       // Held-out "benchmark" = every 20th doc; flag train docs sharing any
       // 4-gram with it. Broadcast test shingle set, narrow train scan.
@@ -1185,13 +1181,16 @@ object SparkEntry {
       // Casing/punctuation-insensitive dedup tier. The synthetic corpus has
       // no case/punct variants (it is already lowercase soup, 0 exact dups),
       // so splice them: every 7th doc gains a shouted+decorated twin at
-      // doc_id+100000 — which must normalize back onto its base (n_group=2,
-      // twin dropped). The oracle rebuilds the union and mirrors the
-      // normalization in RE2.
+      // -(doc_id+1) — a namespace no real corpus id can collide with at ANY
+      // scale (a fixed +offset would collide once ids reach it, fanning out
+      // normalizedExact's join-back into duplicate rows). Twins normalize
+      // back onto their base (n_group=2; min-id keeps the negative twin,
+      // replayed identically by the oracle). The oracle rebuilds the union
+      // and mirrors the normalization in RE2.
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val variants = docs.filter(col("doc_id") % 7 === 0)
         .select(
-          (col("doc_id") + 100000L).as("doc_id"),
+          (-(col("doc_id") + 1L)).as("doc_id"),
           concat(lit("  "), upper(col("text")), lit("  !!")).as("text"))
       Dedup.normalizedExact(docs.unionByName(variants))
     }),
@@ -1724,11 +1723,7 @@ object SparkEntry {
       // window hashes over the rebuilt text: DuckDB pos = Spark pos via
       // i-1 (1-based slices tl[i:i+7] = 8 tokens); dup mark = MIN≠MAX doc
       // per hash; spans = lag/sum run-length merge, strict overlap
-      """WITH p AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END ||
-        |    CASE WHEN doc_id % 6 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END
-        |    AS text
-        |  FROM documents),
+      s"""WITH $disclaimerCte,
         |toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM p WHERE len(string_split(text,' ')) >= 8),
         |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |    md5(array_to_string(tl[i:i+7], ' ')) AS whash
@@ -1754,11 +1749,7 @@ object SparkEntry {
       // +1/-1 delta events union with token rows; running SUM over
       // (pos, kind) marks covered tokens (kind puts deltas before the
       // token at the same position -> end-exclusive semantics)
-      """WITH p AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END ||
-        |    CASE WHEN doc_id % 6 = 0 THEN ' this article is licensed under the creative commons attribution share alike license terms' ELSE '' END
-        |    AS text
-        |  FROM documents),
+      s"""WITH $disclaimerCte,
         |t0 AS (SELECT doc_id, string_split(text,' ') AS tl FROM p),
         |toks AS (SELECT doc_id, tl FROM t0 WHERE len(tl) >= 8),
         |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -2042,7 +2033,7 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, '  ' || upper(text) || '  !!'
+        |  SELECT -(doc_id + 1), '  ' || upper(text) || '  !!'
         |  FROM documents WHERE doc_id % 7 = 0),
         |norm AS (SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -2066,16 +2057,25 @@ object SparkEntry {
         |    AS avg_neg_logprob
         |FROM f GROUP BY doc_id""".stripMargin,
     "q_zipf" ->
+      // 2^20 fixed-point least squares (integer-exact sums, HUGEINT in
+      // DuckDB ≡ decimal(38) in Spark); only the final division floats
       """WITH f AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         |    SELECT lang, unnest(string_split(text,' ')) AS token FROM documents)
         |  GROUP BY lang, token),
         |r AS (SELECT lang, freq,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token ASC) AS rank
-        |  FROM f)
-        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |  round(regr_slope(log2(CAST(freq AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6)
-        |    AS zipf_slope
-        |FROM r GROUP BY lang""".stripMargin,
+        |  FROM f),
+        |q AS (SELECT lang,
+        |    CAST(round(log2(CAST(rank AS DOUBLE)) * 1048576) AS BIGINT) AS x,
+        |    CAST(round(log2(CAST(freq AS DOUBLE)) * 1048576) AS BIGINT) AS y
+        |  FROM r),
+        |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |  FROM q GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  round(CAST(n_terms*sxy - sx*sy AS DOUBLE)
+        |    / NULLIF(CAST(n_terms*sxx - sx*sx AS DOUBLE), 0), 6) AS zipf_slope
+        |FROM s""".stripMargin,
     "q_mixture_sample" ->
       // CAST targets to DOUBLE (bare 0.002 is DECIMAL in DuckDB — different
       // rounding than Spark's double lit); op order (t*n)/c then *1e6 then
@@ -2196,6 +2196,15 @@ object SparkEntry {
        |      round(len(list_intersect(sh_a, sh_b))*1.0/len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
        |    FROM cpairs)
        |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Disclaimer-splice fixture as a CTE named `p` — the SQL twin of
+    * [[spliceDisclaimer]]; edit BOTH or the repeated-span hash gates break. */
+  private val disclaimerCte: String =
+    s"""p AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' $RepeatedDisclaimer' ELSE '' END ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' $RepeatedDisclaimer' ELSE '' END
+       |    AS text
+       |  FROM documents)""".stripMargin
 
   /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
   private val shingleCte: String =

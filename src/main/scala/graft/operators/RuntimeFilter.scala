@@ -44,6 +44,17 @@ object RuntimeFilter {
       smallKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    // xxhash64 hashes int and long inputs DIFFERENTLY, so a type mismatch
+    // between the key columns (e.g. parquet schema drift int vs bigint)
+    // would produce bloom FALSE NEGATIVES — rows dropped before the semi
+    // join can recover them, a silent wrong answer. Refuse loudly; the
+    // caller casts one side explicitly.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"bloomSemiJoin key types must match exactly (xxhash64 is not " +
+        s"cast-stable): $bigKey is ${bigType.catalogString}, " +
+        s"$smallKey is ${smallType.catalogString} — cast one side first")
     val bf = small
       .select(xxhash64(col(smallKey)).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)

@@ -93,21 +93,34 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       domainCol: String,
-      targets: Map[String, Double]): DataFrame = {
+      targets: Map[String, Double]): DataFrame =
+    mixtureSample(df, idCol, domainCol,
+      df.sparkSession.createDataFrame(targets.toSeq)
+        .toDF(domainCol, "__target"))
+
+  /** Targets as a DataFrame (domain, __target) — the scale form: a Map
+    * baked into a when() chain builds one CASE branch per domain, which at
+    * the ~10⁷-host scale this operator advertises is an analyzer-killing
+    * 10⁷-deep expression tree. A join stays a join at any domain count
+    * (AQE broadcasts it when small). */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: DataFrame): DataFrame = {
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__c"))
     val total = df.agg(count(lit(1)).cast("double").as("__n"))
-    val target = targets.foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
-      when(col(domainCol) === k, lit(v)).otherwise(acc)
-    }
+    val target = coalesce(col("__target").cast("double"), lit(0.0))
     val ppm = floor(least(lit(1.0), target * col("__n") / col("__c")) * 1e6).cast("long")
     val b = graft.functions.TextFunctions.tokenHash60(
       concat(col(domainCol).cast("string"), lit(":"), col(idCol).cast("string"))) % 1000000L
     df.join(counts, Seq(domainCol))
+      .join(targets, Seq(domainCol), "left")
       .crossJoin(broadcast(total))
       .withColumn("keep_ppm", ppm)
       .filter(b < col("keep_ppm"))
-      .drop("__c", "__n")
+      .drop("__c", "__n", "__target")
   }
 
   /** Assign every row a stable train/val/test split label (80/10/10). */

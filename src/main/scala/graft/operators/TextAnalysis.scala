@@ -283,9 +283,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("c"))
-    val total = docs
-      .select(explode(tokens(col(textCol))).as("t"))
-      .agg(count(lit(1)).cast("double").as("total_tokens"))
+    // ONE tokenization: the corpus total is the sum of the per-(doc,token)
+    // counts — a second full tokenize+explode pass would be the dominant
+    // cost of the query at scale, spent recomputing a number the
+    // aggregated subtree already holds
+    val total = counted.agg(sum(col("c")).cast("double").as("total_tokens"))
     counted
       .withColumn("f", sum(col("c")).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(total))
@@ -340,9 +342,15 @@ object TextAnalysis {
     * of a crawl pipeline (natural text fits log2(freq) ≈ a - s·log2(rank)
     * with s near 1; template/machine spam bends the curve). One explode +
     * hash aggregate to (lang, token, freq), a rank window per lang, then
-    * the closed-form least-squares slope via regr_slope — all partial-agg
-    * friendly, shuffle ∝ distinct (lang, token). Rank ties break on token
-    * ascending so the oracle ranks identically. */
+    * the closed-form least-squares slope — all partial-agg friendly,
+    * shuffle ∝ distinct (lang, token). Rank ties break on token ascending
+    * so the oracle ranks identically.
+    *
+    * Determinism: regr_slope over raw doubles is partial-sum-order-
+    * dependent (the labelCentroids hazard), so each log2 is quantized to
+    * 2^20 fixed-point (quantization error 2^-21 — noise against the 0.5
+    * rounding tolerance) and the four least-squares sums run in exact
+    * integer/decimal arithmetic; only the final division is floating. */
   def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = docs
@@ -350,13 +358,30 @@ object TextAnalysis {
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).cast("long").as("freq"))
     val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("token").asc)
+    val scale = 1L << 20
+    val dec = "decimal(38,0)"
     freq
       .withColumn("rank", row_number().over(w))
+      .select(
+        col("lang"),
+        round(log2(col("rank").cast("double")) * scale).cast("long").as("x"),
+        round(log2(col("freq").cast("double")) * scale).cast("long").as("y"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).cast("long").as("n_terms"),
-        round(expr("regr_slope(log2(CAST(freq AS DOUBLE)), log2(CAST(rank AS DOUBLE)))"), 6)
-          .as("zipf_slope"))
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .withColumn("__num",
+        (col("n_terms") * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double"))
+      .withColumn("__den",
+        (col("n_terms") * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double"))
+      .select(
+        col("lang"), col("n_terms"),
+        round(
+          when(col("__den") === 0d, lit(null)).otherwise(col("__num") / col("__den")),
+          6).as("zipf_slope"))
   }
 
   /** Within-document boilerplate dedup — the repeated-header/footer scrub

@@ -245,6 +245,18 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(df.count() == 500)
   }
 
+  test("bloomSemiJoin refuses mismatched key types (xxhash64 is not cast-stable)") {
+    // int vs bigint keys: the bloom would be built from hashLong values and
+    // probed with hashInt values — every probe a FALSE NEGATIVE, silently
+    // dropping all matches before the semi join. Must throw, not mis-answer.
+    val big = spark.range(10).select(col("id").cast("int").as("k"))
+    val small = spark.range(5).select(col("id").as("sk"))
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiJoin(big, "k", small, "sk")
+    }
+    assert(e.getMessage.contains("cast-stable"), e.getMessage)
+  }
+
   test("bloomSemiJoin: undersized bloom (high fpp) stays exact") {
     val big = (0L until 2000L).map(i => (i, i)).toDF("k", "v")
     val keys = (0L until 2000L by 3L)
