@@ -1177,6 +1177,29 @@ object SparkEntry {
           unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
       runToFiles(s, j)
     }),
+    "q_stream_quality_gate" -> ((s, dir) => {
+      // The batch text operators run UNCHANGED on a stream: qualityScore
+      // (narrow maps) over a documents file-source stream, aggregated per
+      // verdict in complete mode. Proves the ingest gate composes with
+      // Structured Streaming; oracle = the shared qualityCte replay.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = TextAnalysis.qualityScore(src)
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+    }),
+    "q_stream_dedup_docs" -> ((s, dir) => {
+      // Streaming exact CONTENT dedup: first occurrence per md5(text),
+      // projected to the digest so the emitted set is deterministic
+      // (the q_dedup_stream pattern, on content instead of keys).
+      // Executor→disk drain via the parquet file sink.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      runToFiles(s, src.select(md5(col("text")).as("text_md5"))
+        .dropDuplicates("text_md5"))
+    }),
     "q_dedup_normalized" -> ((s, dir) => {
       // Casing/punctuation-insensitive dedup tier. The synthetic corpus has
       // no case/punct variants (it is already lowercase soup, 0 exact dups),
@@ -2026,6 +2049,11 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
+    "q_stream_quality_gate" ->
+      s"""WITH $qualityCte
+         |SELECT verdict, COUNT(*) AS n FROM quality GROUP BY verdict""".stripMargin,
+    "q_stream_dedup_docs" ->
+      "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
     "q_dedup_normalized" ->
       // same spliced variants; normalization mirrored in RE2 ('g' flag =
       // Java's replace-all default); [^a-z0-9 ] / ' +' stay inside the
