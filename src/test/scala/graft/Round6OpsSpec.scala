@@ -175,6 +175,29 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"chunks lost after realignment: ${missing.mkString(",")}")
   }
 
+  test("cdcChunk plan: ONE tokenization, ONE shuffle (group-by reuses the window's doc_id partitioning)") {
+    val out = TextAnalysis.cdcChunk(docsOf(0L -> "a b c d e f g h i j", 1L -> "k l m n o p"))
+    out.collect() // AQE: final plan exists only after execution
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 explode (one tokenization), got $generates:\n$plan")
+  }
+
+  test("bigramLogProb plan: ONE tokenization — successor via element_at, no doc-ordered window shuffle") {
+    val out = TextAnalysis.bigramLogProb(docsOf(0L -> "a b a c", 1L -> "x y"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 explode, got $generates:\n$plan")
+    // shuffles: (doc,w1,w2) aggregate + the two vocabulary windows + final
+    // doc aggregate = 4 hash exchanges is the ceiling; the lead()-window
+    // form had 5 (an extra doc-ordered sort exchange before the aggregate)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n$plan")
+  }
+
   test("cdcChunk equals an in-memory reference on 25 random corpora") {
     // tiny vocab + divisor 8 -> boundaries land everywhere, incl. edge
     // cases (boundary at the second-to-last eligible pos, 1-token docs)
