@@ -1247,6 +1247,44 @@ object SparkEntry {
       // Per-label centroids in exact 2^24 fixed-point (distributed float
       // means are summation-order-dependent; integer sums are not).
       Similarity.labelCentroids(table(s, dir, "embeddings"))),
+    "q_perplexity_sample" -> ((s, dir) => {
+      // CCNet-style perplexity-bucket curation: score every doc with the
+      // unigram LM, split the corpus at the exact 1/3 and 2/3 score
+      // percentiles (a 2-row aggregate broadcast — NOT a global-order
+      // ntile, which would serialize the corpus through one partition),
+      // then keep head=100% / middle=50% / tail=10% by deterministic hash.
+      // Scores are 1e6 fixed-point longs so the cutoff comparisons are
+      // integer-exact against interpolated cutpoints in both engines.
+      val scored = TextAnalysis.unigramLogProb(table(s, dir, "documents"))
+        .select(col("doc_id"), round(col("avg_neg_logprob") * 1e6).cast("long").as("lp"))
+      val cuts = scored
+        .agg(expr("percentile(lp, array(0.33333333D, 0.66666667D))").as("c"))
+        .select(element_at(col("c"), 1).as("c1"), element_at(col("c"), 2).as("c2"))
+      val bucketed = scored.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("lp") <= col("c1"), "head")
+            .when(col("lp") <= col("c2"), "middle")
+            .otherwise("tail"))
+      val pct = when(col("bucket") === "head", 100)
+        .when(col("bucket") === "middle", 50).otherwise(10)
+      bucketed
+        .filter(Sampling.hashBucket(
+          concat(col("bucket"), lit(":"), col("doc_id")), 100) < pct)
+        .select(col("doc_id"), col("lp"), col("bucket"))
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Exact heavy hitters — the oracled companion to the q_freq_items
+      // sketch: tokens above a 0.2% support threshold. Hash agg with
+      // map-side combine + a 1-row total broadcast; at 100 TB this is the
+      // two-pass exact alternative when sketch error bounds don't suffice.
+      val tf = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("freq"))
+      val total = tf.agg(sum(col("freq")).cast("double").as("total"))
+      tf.crossJoin(broadcast(total))
+        .filter(col("freq").cast("double") > col("total") * 0.002)
+        .select(col("token"), col("freq"))
+    }),
     "q_cdc_chunk" -> ((s, dir) =>
       // Content-defined chunking: rolling-window hash boundaries (expected
       // chunk ~16 tokens), so insertions only shift chunks up to the next
@@ -1716,13 +1754,29 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
     "q_unigram_logprob" ->
-      """WITH ex AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
-        |c AS (SELECT doc_id, token, COUNT(*) AS c FROM ex GROUP BY doc_id, token),
-        |f AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY token) AS f FROM c),
-        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ex)
-        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |  round(-SUM(c * log2(f/total)) / SUM(c), 6) AS avg_neg_logprob
-        |FROM f CROSS JOIN t GROUP BY doc_id""".stripMargin,
+      s"""WITH $unigramCte
+         |SELECT doc_id, n_tokens, avg_neg_logprob FROM u""".stripMargin,
+    "q_perplexity_sample" ->
+      // exact percentile cutpoints over 1e6 fixed-point scores; bucket
+      // comparisons are integer-vs-interpolated (never ulp-ambiguous);
+      // keep rates replayed with the md5 hash-bucket formula
+      s"""WITH $unigramCte,
+         |lp AS (SELECT doc_id, CAST(round(avg_neg_logprob * 1e6) AS BIGINT) AS lp FROM u),
+         |cuts AS (SELECT quantile_cont(lp, 0.33333333) AS c1,
+         |    quantile_cont(lp, 0.66666667) AS c2 FROM lp),
+         |b AS (SELECT doc_id, lp,
+         |    CASE WHEN lp <= c1 THEN 'head' WHEN lp <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM lp CROSS JOIN cuts)
+         |SELECT doc_id, lp, bucket FROM b
+         |WHERE CAST('0x' || substr(md5(bucket || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |  % 100 < CASE bucket WHEN 'head' THEN 100 WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |t AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM tf)
+        |SELECT token, freq FROM tf CROSS JOIN t
+        |WHERE CAST(freq AS DOUBLE) > total * 0.002""".stripMargin,
     "q_chunk_dedup" ->
       // same 5-token chunking as the q_chunk_docs oracle over the
       // boiler-spliced text; first occurrence per (doc, chunk_text) kept,
@@ -2224,6 +2278,18 @@ object SparkEntry {
        |      round(len(list_intersect(sh_a, sh_b))*1.0/len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
        |    FROM cpairs)
        |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Unigram-LM scores as CTEs ending in `u(doc_id, n_tokens,
+    * avg_neg_logprob)` — mirrors TextAnalysis.unigramLogProb. Shared by
+    * q_unigram_logprob and the q_perplexity_sample composition. */
+  private val unigramCte: String =
+    """ex AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+      |uc AS (SELECT doc_id, token, COUNT(*) AS c FROM ex GROUP BY doc_id, token),
+      |uf AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY token) AS f FROM uc),
+      |ut AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ex),
+      |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    round(-SUM(c * log2(f/total)) / SUM(c), 6) AS avg_neg_logprob
+      |  FROM uf CROSS JOIN ut GROUP BY doc_id)""".stripMargin
 
   /** Disclaimer-splice fixture as a CTE named `p` — the SQL twin of
     * [[spliceDisclaimer]]; edit BOTH or the repeated-span hash gates break. */
