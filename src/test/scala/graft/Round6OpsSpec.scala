@@ -11,6 +11,13 @@ class Round6OpsSpec extends SparkFunSuite {
   private def docsOf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  private def md5hexRef(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash60Ref(s: String): Long =
+    java.lang.Long.parseLong(md5hexRef(s).substring(0, 15), 16)
+
   // ---- normalizedExact
 
   test("normalizedExact: case/punct/whitespace variants collapse onto the lowest id") {
@@ -28,6 +35,48 @@ class Round6OpsSpec extends SparkFunSuite {
     val r = Seq(Tuple1("  A--B  c1,d!  "))
       .toDF("t").select(Dedup.normalizeText(col("t"))).as[String].head()
     assert(r == "ab c1d")
+  }
+
+  test("normalizedExact equals an in-memory reference on 20 random corpora") {
+    val rng = new scala.util.Random(11)
+    val alphabet = "aB !?-x9Z.,"
+    (1 to 20).foreach { _ =>
+      val docs = (0L until (2 + rng.nextInt(8)).toLong).map { id =>
+        id -> Seq.fill(1 + rng.nextInt(20))(alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+      def norm(s: String) =
+        s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+      val exp = docs.groupBy { case (_, t) => md5hexRef(norm(t)) }.map {
+        case (h, members) => (members.map(_._1).min, h, members.size.toLong)
+      }.toSet
+      val got = Dedup.normalizedExact(docs.toDF("doc_id", "text"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == exp, s"mismatch on corpus: $docs")
+    }
+  }
+
+  test("mixtureSample equals an in-memory reference on 10 random corpora") {
+    val rng = new scala.util.Random(13)
+    (1 to 10).foreach { _ =>
+      val nDomains = 1 + rng.nextInt(4)
+      val rows = (0L until (20 + rng.nextInt(200)).toLong)
+        .map(i => (i, s"d${rng.nextInt(nDomains)}"))
+      val targets = (0 until nDomains)
+        .map(d => s"d$d" -> (rng.nextInt(4) * 0.05)).toMap
+      val n = rows.size.toDouble
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val ppm = counts.map { case (dom, c) =>
+        dom -> math.floor(math.min(1.0, targets.getOrElse(dom, 0.0) * n / c) * 1e6).toLong
+      }
+      val exp = rows.filter { case (id, dom) =>
+        hash60Ref(s"$dom:$id") % 1000000L < ppm(dom)
+      }.map { case (id, dom) => (id, dom, ppm(dom)) }.toSet
+      val got = Sampling.mixtureSample(
+        rows.toDF("doc_id", "source"), "doc_id", "source", targets)
+        .select("doc_id", "source", "keep_ppm")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == exp, s"mismatch: targets=$targets counts=$counts")
+    }
   }
 
   // ---- bigramLogProb
