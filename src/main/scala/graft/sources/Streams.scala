@@ -44,6 +44,26 @@ object Streams {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** Typed re-ingest of the engine's own emitted session JSON — the
+    * reference loop closed: the Flink job's JSON feeds a downstream OLAP
+    * store (README.md:42-50); here the same engine consumes its emission
+    * for the OLAP queries. Explicit schema (a schema-inference pre-scan is
+    * an extra full pass at 100 TB); lines that fail to parse surface as a
+    * NULL struct and are dropped explicitly rather than silently. */
+  def readSessionsJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", LongType),
+      StructField("ip", StringType),
+      StructField("session_id", StringType),
+      StructField("duration", LongType)))
+    spark.read.text(path)
+      .select(from_json(col("value"), schema).as("s"))
+      .filter(col("s").isNotNull && col("s.ip").isNotNull)
+      .select(col("s.*"))
+  }
+
   /** JSON-lines file sink (reference `writeAsText` of json4s output). */
   def jsonFileSink[T](ds: org.apache.spark.sql.Dataset[T], path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     ds.toDF().writeStream

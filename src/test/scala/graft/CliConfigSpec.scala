@@ -63,6 +63,33 @@ class CliConfigSpec extends SparkFunSuite {
     assert(sessions === 2L)
   }
 
+  test("emitted JSON round-trips through the typed re-ingest source (reference OLAP loop)") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("elb_rt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("elb_rt_out").toString
+    val lines = Seq(
+      "2024-01-01T00:00:00.000Z elb 1.2.3.4:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1",
+      "2024-01-01T00:10:00.000Z elb 1.2.3.4:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1",
+      "2024-01-01T00:05:00.000Z elb 5.6.7.8:555 10.0.0.1:80 0 0 0 200 200 0 1 GET http://x HTTP/1.1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "log.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    RealtimeSessionize.run(spark, RealtimeSessionize.Options(path = in, out = out))
+    val back = Streams.readSessionsJson(spark, out)
+    assert(back.columns.toSeq == Seq("ts", "ip", "session_id", "duration"))
+    // both events of 1.2.3.4 fall in one session (10 min < 30 min gap);
+    // the running duration of its second event is 600 s
+    val dur = back.groupBy($"ip").agg(max($"duration").as("d"))
+      .as[(String, Long)].collect().toMap
+    // ip keeps the client port — the reference keys sessions on the raw
+    // client field (ElbLogParser parity)
+    assert(dur == Map("1.2.3.4:555" -> 600L, "5.6.7.8:555" -> 0L))
+    // a malformed line must drop, not null-poison the OLAP aggregate
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "junk.txt"), "not json at all".getBytes("UTF-8"))
+    assert(Streams.readSessionsJson(spark, out).count() == back.count())
+  }
+
   test("valueless flag adjacent to --conf keeps the pre-pass aligned") {
     val conf = writeTemp("graft", "gap.sec = 900\n")
     val o = RealtimeSessionize.parseArgs(Array(
