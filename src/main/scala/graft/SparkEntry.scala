@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1303,6 +1303,61 @@ object SparkEntry {
           col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_quantity"))
     }),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: embedding-space near-duplicate pruning — cluster with the
+      // deterministic seed centroids, keep the lowest-id member of every
+      // in-cell cosine-≥0.35 neighborhood. The oracle replays the cell
+      // assignment (same CTE as q_similarity_ivf) and the min-id keep rule.
+      Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35, nCentroids = 16)),
+    "q_linear_classifier" -> ((s, dir) =>
+      // Hashed-feature linear quality classifier (fastText-shaped): bucket
+      // tokens with the portable 60-bit md5 hash, score = mean deterministic
+      // per-bucket weight. No vocabulary table, no broadcast — the feature-
+      // hashing trick IS the 100 TB design.
+      TextAnalysis.hashedLinearScore(table(s, dir, "documents"), nBuckets = 1024)),
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization: synthesize messy-but-valid URLs from events
+      // (uppercase scheme/host, www., explicit port, tracking params,
+      // unsorted params, fragment, trailing slash), canonicalize with
+      // parse_url + array functions. The oracle does NOT replay the string
+      // surgery — it reconstructs the expected canonical form from the
+      // event columns directly, so any parse_url misuse diverges.
+      val urls = table(s, dir, "events").select(
+        col("event_id"),
+        format_string(
+          "HTTP://WWW.Host%d.example.com:8080/%s/%d/?utm_source=feed&b=%d&a=1&gclid=XYZ#sec%d",
+          pmod(col("user_id"), lit(20L)),
+          col("event_type"),
+          pmod(col("event_id"), lit(50L)),
+          pmod(col("event_id"), lit(3L)),
+          pmod(col("event_id"), lit(7L))).as("url"))
+      Urls.normalize(urls, "url").select(col("event_id"), col("url_norm"))
+    }),
+    "q_csv_source" -> ((s, dir) => {
+      // CSV batch source: round-trip the customer table through a quoted
+      // CSV directory and aggregate from the CSV read. The oracle computes
+      // the same aggregate from parquet — any quoting/parsing defect in
+      // either direction diverges the hash.
+      val src = table(s, dir, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(src.schema).csv(tmp)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+    }),
+    "q_orc_source" -> ((s, dir) => {
+      // ORC batch source: round-trip events (incl. timestamps) through ORC
+      // and aggregate from the ORC read; oracle aggregates from parquet.
+      val src = table(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          max(unix_millis(col("ts"))).as("max_ts_ms"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2239,6 +2294,51 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)""".stripMargin,
+    "q_semdedup" ->
+      // same deterministic cell assignment as the IVF oracle; drop any
+      // vector with a lower-id in-cell neighbor at rounded cosine >= 0.35
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSqlExprAs("a", "b")}, 6) >= 0.35)
+         |SELECT vec_id, cell FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "q_linear_classifier" ->
+      // portable 60-bit md5 token hash -> 1024 feature buckets -> exact
+      // int64 Knuth-multiplicative per-bucket weight in [-1, 1)
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |w AS (SELECT doc_id,
+        |    (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 1024)
+        |      * 2654435761 % 1000003 / 1000003.0 * 2.0 - 1.0 AS w
+        |  FROM t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(AVG(w), 6) AS score,
+        |  CASE WHEN round(AVG(w), 6) >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM w GROUP BY doc_id""".stripMargin,
+    "q_url_normalize" ->
+      // reconstructs the expected canonical URL from the event columns
+      // directly (host lowercased, www./port/trackers/fragment/trailing
+      // slash gone, surviving params sorted: a=1 < b=N)
+      """SELECT event_id,
+        |  'host' || CAST(user_id % 20 AS VARCHAR) || '.example.com/' || event_type ||
+        |  '/' || CAST(event_id % 50 AS VARCHAR) ||
+        |  '?a=1&b=' || CAST(event_id % 3 AS VARCHAR) AS url_norm
+        |FROM events""".stripMargin,
+    "q_csv_source" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_orc_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(value), 2) AS sum_value, epoch_ms(MAX(ts)) AS max_ts_ms
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

@@ -152,6 +152,33 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rk"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector that has a LOWER-id neighbor with cosine ≥
+    * `threshold` — one survivor per near-duplicate group, chosen by the
+    * deterministic min-id rule so the kept set is partition-invariant and
+    * SQL-replayable. Clustering reuses [[assignCells]]'s training-free seed
+    * centroids (lowest-id vectors), the same assignment the IVF oracle
+    * already replays bit-for-bit. Scale: the pairwise compare is confined
+    * to within-cell pairs — O(Σ cell²) not O(n²) — and cell size is
+    * controlled by `nCentroids`; at 100 TB raise `nCentroids` ∝ corpus so
+    * cells stay bounded (SemDeDup's own recipe). The anti-join back is
+    * shuffle-aligned on `vec_id`. */
+  def semDedup(embeddings: DataFrame, threshold: Double, nCentroids: Int = 16): DataFrame = {
+    val cells = assignCells(embeddings, nCentroids)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id"),
+      col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_id"))
+      .filter(cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")) >= threshold)
+      .select(col("vec_id"))
+      .distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Lloyd-refined centroids: seed with the lowest-id vectors, then
     * `iters` rounds of assign → per-cell element-wise mean. All columnar
     * (posexplode to (cell, dim) → avg → regroup into an array); one

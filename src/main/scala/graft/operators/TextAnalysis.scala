@@ -491,4 +491,31 @@ object TextAnalysis {
         col("min_token_md5"),
         simhashFromHashes(col("__th")).as("simhash"),
         rollingHash(col("__th")).as("rolling_hash"))
+
+  /** fastText-style linear quality classifier over HASHED token features —
+    * the shape of every production quality filter (a linear model over a
+    * feature-hashed bag of n-grams), with the trained weight vector replaced
+    * by a deterministic per-bucket weight so the DuckDB oracle replays it
+    * exactly: bucket = tokenHash60(token) mod `nBuckets`, weight(bucket) =
+    * (bucket·2654435761 mod 1000003)/1000003·2 − 1 ∈ [−1,1) (Knuth
+    * multiplicative hash in exact int64 math — swap in a real weights table
+    * joined on `bucket` for a trained model; the plan is identical).
+    * score = mean weight over the document's tokens; label = sign. Scale:
+    * explode → hash-agg on doc_id with map-side partial aggregation; the
+    * weight lookup is pure arithmetic, no vocabulary table, no broadcast —
+    * feature hashing is exactly the trick that removes the q_tfidf-style
+    * vocabulary join at 100 TB. */
+  def hashedLinearScore(docs: DataFrame, nBuckets: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val bucket = pmod(tokenHash60(col("token")), lit(nBuckets.toLong))
+    val weight =
+      ((bucket * lit(2654435761L)) % lit(1000003L)).cast("double") / lit(1000003.0) * lit(2.0) - lit(1.0)
+    docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(weight), 6).as("score"))
+      .withColumn("label", when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

@@ -135,6 +135,19 @@ object ScaleSmoke {
         orders.filter(col("k") % 11 =!= 0L), orders.filter(col("k") % 13 =!= 0L),
         Seq("k"), Seq("cents")))
     }
+    time(s"semDedup x${math.max(1, mult / 5)} (nCentroids scaled)")(
+      // SemDeDup's scale recipe: nCentroids grows with the corpus so cells
+      // stay bounded and the in-cell quadratic term stays flat
+      drain(Similarity.semDedup(emb, 0.35, nCentroids = 32)))
+    time(s"hashedLinearScore x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.hashedLinearScore(docs)))
+    time(s"urls normalize+dedup x$mult") {
+      val urls = events.select(col("event_id"),
+        format_string("https://www.h%d.example.com/%s/%d?utm_source=x&b=%d&a=1",
+          pmod(col("user_id"), lit(5000L)), col("event_type"),
+          pmod(col("event_id"), lit(50L)), pmod(col("event_id"), lit(3L))).as("url"))
+      drain(graft.operators.Urls.dedupByUrl(urls, "url", "event_id"))
+    }
     time("boundedBucketPairs 50k-copy cluster (star path)") {
       // adversarial: one duplicate cluster far past the cap — must stay
       // O(n) and memory-bounded, not n^2/2 pairs in one buffer
