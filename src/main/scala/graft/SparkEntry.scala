@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Multimodal, Profiling, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1358,6 +1358,57 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"),
           max(unix_millis(col("ts"))).as("max_ts_ms"))
     }),
+    "q_minhash_estimate" -> ((s, dir) => {
+      // Sketch-accuracy query: per adjacent-id doc pair, the MinHash
+      // estimate (fraction of agreeing signature slots) NEXT TO the exact
+      // shingle Jaccard it approximates — the verification a sketch
+      // deployment needs. Both columns oracled: the affine signature family
+      // is replayed bit-for-bit in SQL.
+      val st = Dedup.shingleSigTable(table(s, dir, "documents"), "doc_id", "text", 3, 16)
+      val a = st.select(col("doc_id").as("doc_a"),
+        col("__sh").as("sh_a"), col("__sig").as("sig_a"))
+      val b = st.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+        col("__sh").as("sh_b"), col("__sig").as("sig_b"))
+      a.join(b, Seq("doc_a"))
+        .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
+        .select(
+          col("doc_a"), col("doc_b"),
+          graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard_exact"),
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)).cast("double") / 16.0, 6).as("jaccard_est"))
+    }),
+    "q_skew_profile" -> ((s, dir) =>
+      // Join-key skew diagnostics: per event_type, user_id key counts and
+      // the max/mean skew ratio — the pre-join measurement that decides
+      // broadcast vs salt vs AQE skew-split.
+      Profiling.keySkew(table(s, dir, "events"), "event_type", "user_id")),
+    "q_profile_table" -> ((s, dir) =>
+      // Per-column quality audit of orders (nulls, exact distinct, min/max)
+      // — long/string/timestamp columns only; double min/max stringification
+      // differs across engines so doubles profile through typed queries.
+      Profiling.profile(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "q_weighted_sample" -> ((s, dir) => {
+      // Quality-weighted curation: keep probability = min(n_chars·1250,
+      // 1e6) micro-units — exact integer weights end-to-end, so the
+      // keep set is bit-stable across engines and partitionings.
+      val docs = table(s, dir, "documents")
+        .withColumn("w_micro", least(col("n_chars") * 1250L, lit(1000000L)))
+      Sampling.weightedSample(docs, "doc_id", col("w_micro"))
+        .select(col("doc_id"), col("n_chars"), col("w_micro"))
+    }),
+    "q_hll_merge" -> ((s, dir) =>
+      // Mergeable-sketch rollup — the 100 TB distinct-count architecture:
+      // per (event_type, day) HLL sketches (Apache DataSketches), merged
+      // upward with hll_union_agg. Sketch bytes aren't SQL-expressible ->
+      // rows-only; ProfilingSamplingSpec pins the estimate vs exact.
+      table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_users"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2339,6 +2390,59 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(SUM(value), 2) AS sum_value, epoch_ms(MAX(ts)) AS max_ts_ms
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_minhash_estimate" ->
+      // adjacent-id pairs; signature agreement fraction vs exact jaccard,
+      // same affine family as the minhash dedup oracle
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, t ->
+         |     (((1103515245*(i+1)+12345) % 2147483647)
+         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+         |   FOR i IN range(0,16)] AS sg
+         |FROM sh WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_exact,
+         |  round(len([i FOR i IN range(1,17) IF a.sg[i] = b.sg[i]])/16.0, 6) AS jaccard_est
+         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_skew_profile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_rows, round(AVG(c), 6) AS avg_rows,
+        |  round(MAX(c) / AVG(c), 6) AS skew_ratio
+        |FROM (SELECT event_type, user_id, COUNT(*) AS c
+        |      FROM events GROUP BY event_type, user_id)
+        |GROUP BY event_type""".stripMargin,
+    "q_profile_table" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_val, CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |  MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |  MIN(o_orderpriority), MAX(o_orderpriority)
+        |FROM orders""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(least(n_chars * 1250, 1000000) AS BIGINT) AS w_micro
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000 < least(n_chars * 1250, 1000000)""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling / diagnostics operators — the "look before you shuffle"
+  * step of a large-scale pipeline: column quality audits before training
+  * ingestion, and join-key skew measurement before choosing a join
+  * strategy (broadcast / salt / AQE skew split).
+  */
+object Profiling {
+
+  /** Per-column profile: row count, null count, exact distinct count,
+    * min/max (as strings, so one schema fits every column type).
+    *
+    * Plan shape: one aggregate PER COLUMN, unioned. Each aggregate's scan
+    * prunes to exactly that column, so total IO ≈ one full-table read
+    * spread over independent stages — versus the single-pass
+    * multi-count-distinct alternative whose Expand node multiplies every
+    * row by the number of profiled columns before the shuffle. Per-column
+    * stages also let AQE size each distinct-aggregation independently
+    * (a high-cardinality column gets more reduce partitions than a
+    * 3-value flag column). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    columns.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Join-key skew profile, grouped: for each `groupCol` value, how many
+    * distinct `keyCol` keys exist, the heaviest key's row count, the mean,
+    * and the max/mean skew ratio — the number that decides whether a join
+    * on `keyCol` needs salting ([[Skew]]) or AQE skew-split. Two hash
+    * aggregates, both with map-side partial aggregation; shuffle ∝ distinct
+    * (group, key) pairs. */
+  def keySkew(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_rows"),
+        round(avg(col("c")), 6).as("avg_rows"),
+        round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
+}

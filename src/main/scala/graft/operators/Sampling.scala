@@ -47,6 +47,21 @@ object Sampling {
     df.filter(b < pct)
   }
 
+  /** Importance sampling: keep each row with probability `weightMicro` /
+    * 1e6, deterministically — the quality-weighted curation step (keep
+    * high-quality documents with certainty, low-quality ones with
+    * probability ∝ score). The weight arrives in exact integer micro-units
+    * so the keep decision is integer-vs-integer in both engines (no
+    * float-rounding divergence at the threshold); callers with a float
+    * weight multiply by 1e6 and round upstream. Salted hash ("w:" prefix)
+    * so the draw is independent of other hash-bucket samplers on the same
+    * ids. Pure narrow map — pushes down, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightMicro: Column): DataFrame = {
+    val b = graft.functions.TextFunctions.tokenHash60(
+      concat(lit("w:"), col(idCol).cast("string"))) % 1000000L
+    df.filter(b < weightMicro)
+  }
+
   /** Sequence packing — the context-window batching step of LLM training:
     * documents pack into token-budget bins, deterministically. True
     * first-fit is sequentially dependent (un-parallelizable), so this is

@@ -20,7 +20,9 @@ class ContractSpec extends SparkFunSuite {
       "q_approx_percentile",    // KLL-ish sketch values
       "q_freq_items",           // heavy-hitters sketch
       "q_multimodal_decode",    // stub codec output
-      "q_multimodal_wav")       // synth WAV bytes (sine math not SQL-expressible)
+      "q_multimodal_wav",       // synth WAV bytes (sine math not SQL-expressible)
+      "q_hll_merge")            // DataSketches HLL binary merge
+                                // (ProfilingSamplingSpec pins vs exact distinct)
     // round-6 departures: q_similarity_ivf + q_embedding_neardup_lsh
     // (trainIters = 0 seed centroids are deterministic — the oracle replays
     // cell assignment and probe ranking) and the three sessionize state-

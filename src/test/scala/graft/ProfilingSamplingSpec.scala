@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Profiling, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation batch 2: profiling, weighted sampling, HLL merge
+  * rollup, minhash-estimate accuracy. */
+class ProfilingSamplingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- Profiling.profile
+
+  test("profile: nulls, distinct, min/max per column") {
+    val df = Seq(
+      (1L, Some("b")),
+      (2L, None),
+      (3L, Some("a")),
+      (3L, Some("a"))).toDF("id", "s")
+    val got = Profiling.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      ("id", 4L, 0L, 3L, "1", "3"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  // ---- Profiling.keySkew
+
+  test("keySkew: max/avg ratio per group") {
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L), // key 1 has 3 rows, key 2 has 1
+      ("b", 9L)).toDF("g", "k")
+    val got = Profiling.keySkew(df, "g", "k")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got == Set(("a", 2L, 3L, 2.0, 1.5), ("b", 1L, 1L, 1.0, 1.0)))
+  }
+
+  // ---- Sampling.weightedSample
+
+  test("weightedSample: micro-weight 0 keeps nothing, 1e6 keeps everything") {
+    val df = (0L until 200L).toDF("id")
+    assert(Sampling.weightedSample(df, "id", lit(0L)).count() == 0L)
+    assert(Sampling.weightedSample(df, "id", lit(1000000L)).count() == 200L)
+  }
+
+  test("weightedSample: keep rate tracks the weight and is partition-invariant") {
+    val df = (0L until 2000L).toDF("id").withColumn("w", lit(250000L))
+    val kept = Sampling.weightedSample(df, "id", col("w"))
+    val n = kept.count()
+    assert(n > 400 && n < 600, s"~500 of 2000 expected, got $n") // hash-uniformity
+    val keptRepart = Sampling.weightedSample(df.repartition(17), "id", col("w"))
+    assert(keptRepart.select("id").as[Long].collect().toSet ==
+      kept.select("id").as[Long].collect().toSet)
+  }
+
+  // ---- HLL sketch merge (q_hll_merge is rows-only; this pins accuracy)
+
+  test("hll merge rollup estimate is within 5% of exact distinct") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = SparkEntry.table(spark, dir, "events")
+    val est = SparkEntry.queries("q_hll_merge")(spark, dir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, d) =>
+      val e = est(k)
+      assert(math.abs(e - d).toDouble / d < 0.05, s"$k: est $e vs exact $d")
+    }
+  }
+
+  test("hll union of disjoint day sketches ~ union distinct, not sum") {
+    // same users on two days: union estimate must NOT double-count
+    val df = (0L until 500L).flatMap(u => Seq((u, "2024-01-01"), (u, "2024-01-02")))
+      .toDF("user_id", "day")
+    val est = df.groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("e"))
+      .as[Long].head()
+    assert(math.abs(est - 500L) < 25, s"union estimate $est should be ~500, not ~1000")
+  }
+
+  // ---- minhash estimate vs exact (query-level sanity at sf0.001)
+
+  test("q_minhash_estimate: estimates correlate with exact jaccard") {
+    val r = SparkEntry.queries("q_minhash_estimate")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    // identical docs estimate 1, fully-disjoint docs estimate 0; the mean
+    // absolute error of a 16-hash sketch on [0,1] jaccard stays well under
+    // 0.35 on any non-adversarial corpus
+    val mae = r.map { case (_, _, ex, es) => math.abs(ex - es) }.sum / r.length
+    assert(mae < 0.35, s"MAE $mae")
+  }
+}
