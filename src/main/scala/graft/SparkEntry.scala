@@ -1358,6 +1358,29 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"),
           max(unix_millis(col("ts"))).as("max_ts_ms"))
     }),
+    "q_stream_interval_left_join" -> ((s, dir) => {
+      // Stream-stream LEFT OUTER interval join — the completion-semantics
+      // tier above q_stream_stream_join: unmatched purchases emit with null
+      // click columns only once the global watermark proves no matching
+      // click can still arrive (p_ts < min(max p_ts, max c_ts) - 60 s; the
+      // oracle applies that exact cutoff). Same bounded-state interval
+      // condition as the inner variant.
+      val ev = eventsStream(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "60 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "60 seconds")
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+        .select(col("p_id"), col("c_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
+      runToFiles(s, j)
+    }),
     "q_minhash_estimate" -> ((s, dir) => {
       // Sketch-accuracy query: per adjacent-id doc pair, the MinHash
       // estimate (fraction of agreeing signature slots) NEXT TO the exact
@@ -1397,6 +1420,36 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_stream_lsh_dedup" -> ((s, dir) => {
+      // Online MinHash-LSH near-dup admission: foreachBatch keeps a
+      // persistent band-key index; a doc is admitted iff no band key
+      // collided with any earlier (lower-id / prior-batch) document. The
+      // oracle states the batching-invariant rule closed-form over the
+      // replayed band CTEs.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_lsh_")
+      val idx = root.resolve("bands").toString
+      val out = root.resolve("admitted").toString
+      val ckpt = root.resolve("_checkpoint").toString
+      withStreamingConfs(s) {
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(graft.streaming.LshDedupSink.admitBatch(idx, out) _)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val result = s.read.schema("doc_id LONG").parquet(out).localCheckpoint(true)
+      deleteRecursively(root.toFile)
+      result
+    }),
+    "q_compress_ratio" -> ((s, dir) =>
+      // Deflate-ratio quality signal (Gopher-family): rows-only by design
+      // (DEFLATE output isn't SQL-expressible); CompressionRatioSpec pins
+      // the ordering (repetitive << prose << noise) and determinism.
+      TextAnalysis.compressionRatio(table(s, dir, "documents"))),
     "q_hll_merge" -> ((s, dir) =>
       // Mergeable-sketch rollup — the 100 TB distinct-count architecture:
       // per (event_type, day) HLL sketches (Apache DataSketches), merged
@@ -2390,6 +2443,45 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(SUM(value), 2) AS sum_value, epoch_ms(MAX(ts)) AS max_ts_ms
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_stream_lsh_dedup" ->
+      // admitted <=> no band key shared with a lower-id doc; docs without
+      // shingles (no bands) always admitted. Same sig/band family as the
+      // minhash oracle.
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, t ->
+         |     (((1103515245*(i+1)+12345) % 2147483647)
+         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+         |   FOR i IN range(0,16)] AS sg
+         |FROM sh WHERE len(sh) > 0),
+         |bandkeys AS (SELECT doc_id, unnest(
+         |  [CAST(sg[j*4+1] AS VARCHAR)||'_'||CAST(sg[j*4+2] AS VARCHAR)||'_'||
+         |   CAST(sg[j*4+3] AS VARCHAR)||'_'||CAST(sg[j*4+4] AS VARCHAR) FOR j IN range(0,4)]) AS bk
+         |FROM sig),
+         |m AS (SELECT bk, min(doc_id) AS min_id FROM bandkeys GROUP BY bk),
+         |dropped AS (SELECT DISTINCT b.doc_id
+         |  FROM bandkeys b JOIN m USING (bk) WHERE b.doc_id > m.min_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    "q_stream_interval_left_join" ->
+      // matched pairs = the plain interval join; null-extended rows only
+      // for purchases whose join window provably closed under the final
+      // global watermark = min(max p_ts, max c_ts) - 60 s
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |       FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |       FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+        |         - INTERVAL 60 SECOND AS w),
+        |matched AS (SELECT p_id, c_id, epoch_ms(p_ts) AS p_ts_ms, epoch_ms(c_ts) AS c_ts_ms
+        |  FROM p JOIN c ON p_user = c_user
+        |    AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts)
+        |SELECT p_id, c_id, p_ts_ms, c_ts_ms FROM matched
+        |UNION ALL
+        |SELECT p_id, CAST(NULL AS BIGINT), epoch_ms(p_ts), CAST(NULL AS BIGINT)
+        |FROM p CROSS JOIN wm
+        |WHERE p_ts < wm.w AND p_id NOT IN (SELECT p_id FROM matched)""".stripMargin,
     "q_minhash_estimate" ->
       // adjacent-id pairs; signature agreement fraction vs exact jaccard,
       // same affine family as the minhash dedup oracle

@@ -518,4 +518,43 @@ object TextAnalysis {
         round(avg(weight), 6).as("score"))
       .withColumn("label", when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
   }
+
+  /** Compression-ratio quality signal (the Gopher-family heuristic): highly
+    * repetitive/templated text deflates far below ~1.0; natural prose sits
+    * higher; random noise near (or above) 1.0. ratio = deflate(text).length
+    * / utf8(text).length at a FIXED level, so the score is a pure function
+    * of the bytes. Per-partition `Deflater` reuse (allocation + native init
+    * amortized across rows); a pure narrow mapPartitions — embarrassingly
+    * parallel, the cheapest quality gate per byte after plain length
+    * checks. Rows-only by design: DEFLATE bit-stream output is not
+    * SQL-expressible; CompressionRatioSpec pins ordering properties
+    * (repetitive << prose << noise) and determinism instead. */
+  def compressionRatio(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = new Array[Byte](in.length + 64)
+          var n = 0
+          while (!deflater.finished()) {
+            if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+            n += deflater.deflate(out, n, out.length - n)
+          }
+          val ratio =
+            if (in.length == 0) 0.0
+            else BigDecimal(n.toDouble / in.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, in.length.toLong, n.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+  }
 }

@@ -32,11 +32,13 @@ object Urls {
   def canonical(url: Column): Column = {
     val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
     val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
-    val query = parse_url(url, lit("QUERY"))
     val kept = array_sort(
-      filter(split(query, "&"), p => !p.rlike(trackerPattern)))
-    val canonQ = when(query.isNull.or(size(kept) === 0), lit(""))
-      .otherwise(concat(lit("?"), array_join(kept, "&")))
+      filter(split(parse_url(url, lit("QUERY")), "&"), p => !p.rlike(trackerPattern)))
+    // single evaluation of the (regex-heavy) param chain: prepend '?', then
+    // erase a lone '?' — the no-surviving-params case — instead of
+    // branching on the chain's emptiness (a when() would re-evaluate it)
+    val canonQ = regexp_replace(
+      concat(lit("?"), coalesce(array_join(kept, "&"), lit(""))), "^\\?$", "")
     concat(host, path, canonQ)
   }
 

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Online MinHash-LSH near-duplicate admission — streaming dedup one tier
+  * above content-hash dedup: each microbatch's documents are admitted only
+  * if none of their LSH band keys collided with any EARLIER document
+  * (lower id within the batch; any previous batch via the persistent band
+  * index). "Earlier" counts every seen document, admitted or not, which
+  * makes the admitted set invariant to how an id-ordered stream is chopped
+  * into microbatches — and lets the SQL oracle state the rule closed-form:
+  * admitted ⇔ no band key is shared with a lower-id document.
+  *
+  * Index = an append-only parquet of (doc_id, band_idx, band_key): the
+  * foreachBatch at-least-once contract holds because a replayed batch
+  * re-appends identical band rows (semi-join hits are idempotent) and
+  * admitted-set parquet is re-derived from the same prior index prefix.
+  * At scale the index is the standard LSH posting table — the semi join
+  * shuffles on band_key, ∝ batch bands, never ∝ corpus.
+  */
+object LshDedupSink {
+
+  /** (id, band_idx, band_key) rows for `docs` — the LSH index/posting
+    * format. Shingle-less docs (< shingleN tokens) produce no rows: they
+    * carry no near-dup evidence and are always admitted. */
+  def bandTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    Dedup.shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.bandKeys(col("__sig"), bands, r))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Process one microbatch against the index at `idxDir`, appending
+    * admitted ids to `outDir` and the batch's band rows to `idxDir`. */
+  def admitBatch(idxDir: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col("doc_id")).localCheckpoint(true)
+    val bt = bandTable(batch).localCheckpoint(true)
+    val prior: DataFrame =
+      if (new java.io.File(idxDir).exists())
+        spark.read.parquet(idxDir).select(col("band_key")).distinct()
+      else spark.range(0).select(col("id").cast("string").as("band_key"))
+    val priorHits = bt.join(prior, Seq("band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val minPerKey = bt.groupBy(col("band_key")).agg(min(col("doc_id")).as("min_id"))
+    val inBatchHits = bt.join(minPerKey, Seq("band_key"))
+      .filter(col("doc_id") > col("min_id"))
+      .select(col("doc_id")).distinct()
+    val admitted = ids.join(priorHits.union(inBatchHits).distinct(),
+      Seq("doc_id"), "left_anti")
+    admitted.write.mode("append").parquet(outDir)
+    bt.write.mode("append").parquet(idxDir)
+  }
+}

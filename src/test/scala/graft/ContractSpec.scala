@@ -21,6 +21,8 @@ class ContractSpec extends SparkFunSuite {
       "q_freq_items",           // heavy-hitters sketch
       "q_multimodal_decode",    // stub codec output
       "q_multimodal_wav",       // synth WAV bytes (sine math not SQL-expressible)
+      "q_compress_ratio",       // DEFLATE bit-stream length (CompressionRatioSpec
+                                // pins ordering + determinism)
       "q_hll_merge")            // DataSketches HLL binary merge
                                 // (ProfilingSamplingSpec pins vs exact distinct)
     // round-6 departures: q_similarity_ivf + q_embedding_neardup_lsh

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.LshDedupSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Online LSH near-dup admission: the closed-form rule (admitted ⇔ no band
+  * key shared with a lower-id doc) and its microbatch invariance. */
+class LshDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // near-dup pairs: (1,2) share most shingles, (5,6) identical; 3,4 unique
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog tonight",
+    2L -> "the quick brown fox jumps over the lazy dog today",
+    3L -> "completely different text about spark structured streaming state",
+    4L -> "yet another unrelated document body with its own words",
+    5L -> "identical duplicated body of text across two documents here",
+    6L -> "identical duplicated body of text across two documents here",
+    7L -> "tiny")  // < 3 tokens: no shingles, always admitted
+
+  /** The closed-form expectation, computed batch-side. */
+  private def expectedAdmitted(d: Seq[(Long, String)]): Set[Long] = {
+    val bt = LshDedupSink.bandTable(d.toDF("doc_id", "text"))
+    val m = bt.groupBy(col("band_key")).agg(min(col("doc_id")).as("min_id"))
+    val dropped = bt.join(m, "band_key").filter(col("doc_id") > col("min_id"))
+      .select("doc_id").as[Long].collect().toSet
+    d.map(_._1).toSet -- dropped
+  }
+
+  private def runChunked(chunks: Seq[Seq[(Long, String)]]): Set[Long] = {
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_spec_")
+    val idx = root.resolve("bands").toString
+    val out = root.resolve("admitted").toString
+    chunks.zipWithIndex.foreach { case (ch, i) =>
+      LshDedupSink.admitBatch(idx, out)(ch.toDF("doc_id", "text"), i.toLong)
+    }
+    val got = spark.read.schema("doc_id LONG").parquet(out).as[Long].collect().toSet
+    graft.streaming.MergeSink.deleteRecursively(root.toFile)
+    got
+  }
+
+  test("admitted set matches the closed-form lower-id band-collision rule") {
+    val exp = expectedAdmitted(docs)
+    assert(exp.contains(1L) && !exp.contains(2L), "near-dup pair (1,2) must collide")
+    assert(exp.contains(5L) && !exp.contains(6L), "identical pair (5,6) must collide")
+    assert(exp.contains(7L), "shingle-less doc is always admitted")
+    assert(runChunked(Seq(docs)) == exp)
+  }
+
+  test("admitted set is invariant to id-ordered microbatch chunking") {
+    val exp = runChunked(Seq(docs))
+    assert(runChunked(docs.map(Seq(_))) == exp)             // one doc per batch
+    assert(runChunked(Seq(docs.take(3), docs.drop(3))) == exp)
+    assert(runChunked(Seq(docs.take(5), docs.drop(5))) == exp) // splits the (5,6) pair
+  }
+}

@@ -127,6 +127,43 @@ class SemDedupUrlsSpec extends SparkFunSuite {
     assert(kept == Set(0L, 2L))
   }
 
+  test("canonical matches a java.net.URI reference on 200 generated URLs") {
+    // independent reference implementation: java.net.URI parsing + the same
+    // normalization rules, exercised over the URL-shape cross product
+    // (scheme case × www × port × path depth/slash × params × fragment)
+    def ref(url: String): String = {
+      val u = java.net.URI.create(url)
+      val host = u.getHost.toLowerCase.replaceFirst("^www\\.", "")
+      val path = u.getPath.replaceFirst("/$", "")
+      val kept = Option(u.getQuery).toSeq
+        .flatMap(_.split("&").toSeq)
+        .filterNot(p => p.matches("^(utm_[a-z]+|gclid|fbclid|ref)=.*"))
+        .sorted
+      host + path + (if (kept.isEmpty) "" else kept.mkString("?", "&", ""))
+    }
+    val rng = new scala.util.Random(23)
+    val urls = (1 to 200).map { i =>
+      val scheme = if (rng.nextBoolean()) "https" else "HTTP"
+      val www = if (rng.nextBoolean()) "www." else ""
+      val host = s"Site$i.Example.com"
+      val port = rng.nextInt(3) match { case 0 => ""; case 1 => ":80"; case _ => ":8443" }
+      val path = (0 until rng.nextInt(3)).map(d => s"p$d").mkString("/", "/", "") match {
+        case "/" => if (rng.nextBoolean()) "/" else ""
+        case p => if (rng.nextBoolean()) p + "/" else p
+      }
+      val params = Seq(s"z=$i", "utm_source=x", "a=1", "gclid=g", s"m=${i % 3}")
+        .take(rng.nextInt(6))
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = if (rng.nextBoolean()) "#sec" else ""
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val got = urls.toDF("url").select(Urls.canonical(col("url"))).as[String].collect().toSeq
+    val exp = urls.map(ref)
+    got.zip(exp).zip(urls).foreach { case ((g, e), u) =>
+      assert(g == e, s"mismatch on $u: spark=$g ref=$e")
+    }
+  }
+
   // ---- CSV / ORC round-trips (schema + value fidelity incl. quoting)
 
   test("csv round-trip preserves quoted strings and numerics") {

@@ -72,6 +72,50 @@ class StreamingJoinSpec extends SparkFunSuite {
     assert(oneShot === halves)
   }
 
+  test("left-outer interval join: null rows emit once the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val name = s"ssloj_${System.nanoTime()}"
+    val ev = input.toDF().toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "60 seconds")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "60 seconds")
+    val q = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("p_id"), col("c_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(events.sortBy(_._3)); q.processAllAvailable()
+      // both watermarks must pass the old purchases' windows before the
+      // null-extended rows may emit: feed a far-future click AND purchase
+      val far = base + 600 * 60_000L
+      input.addData(Seq((9L, 5L, far, "click"), (8L, 5L, far + 5 * 60_000L, "purchase")))
+      q.processAllAvailable()
+      input.addData(Seq((10L, 6L, far + 120 * 60_000L, "click"),
+        (11L, 6L, far + 121 * 60_000L, "purchase")))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Option[Long])].collect().toSet
+      // matched pairs + unmatched purchases 3 and 7 with null clicks
+      // (8 matches 9; 11 matches 10; their own null-or-match status for the
+      // final chunk's rows depends on the closing watermark, so assert the
+      // CLOSED prefix exactly and the final pairs by membership)
+      assert(got.contains((2L, Some(1L))) && got.contains((6L, Some(4L))) &&
+        got.contains((6L, Some(5L))) && got.contains((8L, Some(9L))))
+      assert(got.contains((3L, None)) && got.contains((7L, None)))
+      assert(!got.contains((2L, None)) && !got.contains((6L, None)) && !got.contains((8L, None)))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("streaming dropDuplicates emits each key once across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
