@@ -8,35 +8,48 @@ import org.apache.spark.sql.functions._
   * tracking params, param order, fragments, and trailing slashes; URL-level
   * dedup (and host-level aggregation) needs one canonical form first.
   *
-  * Everything is a narrow per-row map (`parse_url` + string/array
-  * functions): no shuffle, no UDF, fully codegen-eligible except the small
-  * param-filter HOF, and exactly replayable by the SQL oracle via
-  * regexp + list functions. Reference analogy: the reference normalizes its
-  * log-line URL field before grouping (`processes/Parse.scala`); this is
-  * the same idea promoted to a reusable operator.
+  * Everything is a narrow per-row map, fully codegen-eligible except the
+  * small param-filter HOF, and exactly replayable by the SQL oracle.
+  * Components are extracted with `regexp_extract` (compiled-once literal
+  * patterns, ~µs/row), NOT `parse_url`: Spark's `ParseUrl` evaluator
+  * measured ~100 µs/row here — 13 s per 2M rows for ONE component on 32
+  * cores — which disqualifies it for a 100 TB narrow map (measured in the
+  * 20× scale smoke; see BASELINE.md). The regex parser expects
+  * `scheme://[userinfo@]host[:port][/path][?query][#frag]` inputs (crawl
+  * URLs); malformed rows canonicalize to their surviving components
+  * instead of null.
+  *
+  * Reference analogy: the reference normalizes its log-line URL field
+  * before grouping (`processes/Parse.scala`); this is the same idea
+  * promoted to a reusable operator.
   */
 object Urls {
 
   /** Query-param names that never identify content (analytics trackers). */
   private val trackerPattern = "^(utm_[a-z]+|gclid|fbclid|ref)="
 
+  private val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+  private val pathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+  private val queryRe = "^[^?#]*\\?([^#]*)"
+
   /** Canonical form of one URL column:
     *  - scheme is dropped, output is scheme-relative (`host/path?query`)
-    *  - host lowercased, leading `www.` stripped, port stripped
-    *    (`parse_url(_, "HOST")` already excludes the port)
+    *  - host lowercased, leading `www.` stripped, port/userinfo stripped
     *  - path: trailing `/` stripped (root becomes the empty path)
     *  - query: tracking params removed, survivors sorted for order
     *    independence; `?` omitted when nothing survives
-    *  - fragment dropped (`parse_url` never returns it in HOST/PATH/QUERY)
+    *  - fragment dropped
     */
   def canonical(url: Column): Column = {
-    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
-    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val host = regexp_replace(lower(regexp_extract(url, hostRe, 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_extract(url, pathRe, 1), "/$", "")
+    // regexp_extract yields '' (not null) when the URL has no query
     val kept = array_sort(
-      filter(split(parse_url(url, lit("QUERY")), "&"), p => !p.rlike(trackerPattern)))
-    // single evaluation of the (regex-heavy) param chain: prepend '?', then
-    // erase a lone '?' — the no-surviving-params case — instead of
-    // branching on the chain's emptiness (a when() would re-evaluate it)
+      filter(split(regexp_extract(url, queryRe, 1), "&"),
+        p => p =!= "" && !p.rlike(trackerPattern)))
+    // single evaluation of the param chain: prepend '?', then erase a lone
+    // '?' — the no-surviving-params case — instead of branching on the
+    // chain's emptiness (a when() would re-evaluate it)
     val canonQ = regexp_replace(
       concat(lit("?"), coalesce(array_join(kept, "&"), lit(""))), "^\\?$", "")
     concat(host, path, canonQ)
@@ -47,11 +60,16 @@ object Urls {
     df.withColumn("url_norm", canonical(col(urlCol)))
 
   /** Canonicalized-URL dedup: first (lowest `idCol`) row per canonical URL.
-    * Shuffles on the canonical form — i.e. ∝ distinct URLs, the exact-dedup
-    * discipline ([[Dedup.exact]]). */
+    * One window over one shuffle on the canonical form — the canonical
+    * column is computed exactly once per row (the groupBy-and-join-back
+    * formulation planned the normalize subtree on BOTH join sides and ran
+    * the whole map twice; measured 91 s vs 24 s on 2M rows). */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val norm = normalize(df, urlCol)
-    val keep = norm.groupBy(col("url_norm")).agg(min(col(idCol)).as(idCol))
-    norm.join(keep, Seq("url_norm", idCol))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url_norm")).orderBy(col(idCol))
+    normalize(df, urlCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }
