@@ -48,6 +48,40 @@ class LshDedupSpec extends SparkFunSuite {
     assert(runChunked(Seq(docs)) == exp)
   }
 
+  test("admission equals an independent in-memory minhash reference on 20 random corpora") {
+    // spec-side reimplementation of shingle → 16-hash affine minhash →
+    // 4 band keys (NOT the Dedup kernel — an independent code path)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bandsRef(text: String): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) return Seq.empty
+      val sh = (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString("_")).distinct
+      val bases = sh.map(s => java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16) % 1073741824L)
+      val sig = (0 until 16).map { h =>
+        val a = (1103515245L * (h + 1) + 12345L) % 2147483647L
+        val b = (1103515245L * (h + 17) + 12345L) % 2147483647L
+        bases.map(x => (a * x + b) % 2147483647L).min
+      }
+      (0 until 4).map(j => sig.slice(j * 4, j * 4 + 4).mkString("_"))
+    }
+    val rng = new scala.util.Random(41)
+    val vocab = Vector("spark", "flink", "state", "join", "window", "agg", "scan")
+    (1 to 20).foreach { trial =>
+      val corpus = (0L until (4 + rng.nextInt(10)).toLong).map { id =>
+        id -> Seq.fill(2 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      }
+      val bands = corpus.map { case (id, t) => id -> bandsRef(t).toSet }
+      val expAdmitted = corpus.collect {
+        case (id, _) if !bands.exists { case (o, ob) =>
+          o < id && ob.intersect(bands.find(_._1 == id).get._2).nonEmpty
+        } => id
+      }.toSet
+      assert(runChunked(Seq(corpus)) == expAdmitted, s"trial $trial: $corpus")
+    }
+  }
+
   test("admitted set is invariant to id-ordered microbatch chunking") {
     val exp = runChunked(Seq(docs))
     assert(runChunked(docs.map(Seq(_))) == exp)             // one doc per batch

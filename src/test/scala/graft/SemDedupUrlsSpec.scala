@@ -57,6 +57,41 @@ class SemDedupUrlsSpec extends SparkFunSuite {
     assert(kept.count() > 0)
   }
 
+  test("semDedup equals an in-memory reference on 15 random corpora") {
+    // full independent replay: seed centroids = lowest-id vectors, assign
+    // by rounded cosine (tie-break cell asc), drop on lower-id in-cell
+    // neighbor with rounded cosine >= t
+    def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rng = new scala.util.Random(31)
+    (1 to 15).foreach { trial =>
+      val n = 8 + rng.nextInt(25)
+      val nc = 2 + rng.nextInt(4)
+      val t = 0.3 + rng.nextDouble() * 0.5
+      val vecs = (0L until n.toLong).map { id =>
+        id -> Seq.fill(6)(rng.nextFloat() * 2 - 1)
+      }
+      val byId = vecs.toMap
+      val cents = vecs.take(nc)
+      def cellOf(v: Seq[Float]): Long =
+        cents.map { case (cid, cv) => (cid, cosRef(v, cv)) }
+          .sortBy { case (cid, d) => (-d, cid) }.head._1
+      val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+      val expKept = vecs.collect {
+        case (id, v) if !vecs.exists { case (o, ov) =>
+          o < id && cells(o) == cells(id) && cosRef(ov, v) >= t
+        } => id
+      }.toSet
+      val got = Similarity.semDedup(vecsOf(vecs: _*), t, nc)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == expKept, s"trial $trial (n=$n nc=$nc t=$t)")
+    }
+  }
+
   test("semDedup: threshold above all similarities is the identity") {
     val rng = new scala.util.Random(19)
     val df = vecsOf((0L until 30L).map { id =>
@@ -91,6 +126,30 @@ class SemDedupUrlsSpec extends SparkFunSuite {
       (id, toks.size.toLong, score, if (score >= 0) "keep" else "drop")
     }
     assert(got.toSeq == exp)
+  }
+
+  test("hashedLinearScore equals the reference on 10 random corpora") {
+    def weightRef(token: String, nBuckets: Long): Double = {
+      val bucket = hash60Ref(token) % nBuckets
+      (bucket * 2654435761L % 1000003L).toDouble / 1000003.0 * 2.0 - 1.0
+    }
+    val rng = new scala.util.Random(37)
+    val vocab = Vector("a", "bb", "ccc", "", "dd dd".split(" ")(0), "xyz", "42w", "Zq")
+    (1 to 10).foreach { trial =>
+      val nb = Seq(64, 256, 1024)(rng.nextInt(3))
+      val docs = (0L until (3 + rng.nextInt(10)).toLong).map { id =>
+        id -> Seq.fill(1 + rng.nextInt(30))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      }
+      val exp = docs.map { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        val score = BigDecimal(toks.map(weightRef(_, nb.toLong)).sum / toks.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, toks.size.toLong, score, if (score >= 0) "keep" else "drop")
+      }.toSet
+      val got = TextAnalysis.hashedLinearScore(docs.toDF("doc_id", "text"), nBuckets = nb)
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(got == exp, s"trial $trial (nBuckets=$nb)")
+    }
   }
 
   test("hashedLinearScore: score is partition-invariant") {
