@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{Dedup, Multimodal, Profiling, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1420,6 +1420,31 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_sessionize_incremental" -> ((s, dir) => {
+      // Incremental batch sessionization (the daily-increment pattern):
+      // history split into three event-time-contiguous increments at exact
+      // ts terciles, each sessionized locally and stitched through the
+      // per-key state table. Shares q_sessionize_gap's oracle — the
+      // stitched union must be row-identical to one full recompute.
+      val ev = table(s, dir, "events")
+      val cuts = ev
+        .agg(expr("percentile(unix_millis(ts), array(0.33D, 0.66D))").as("c"))
+        .select(element_at(col("c"), 1).cast("long").as("c1"),
+          element_at(col("c"), 2).cast("long").as("c2"))
+      def part(cond: Column): DataFrame =
+        ev.crossJoin(broadcast(cuts)).filter(cond).drop("c1", "c2")
+      val ms = unix_millis(col("ts"))
+      val b1 = part(ms <= col("c1"))
+      val b2 = part(ms > col("c1") && ms <= col("c2"))
+      val b3 = part(ms > col("c2"))
+      // localCheckpoint = the persisted state table a real daily job reads
+      val (r1, s1) = Sessionize.incrementalGapSessionize(None, b1)
+      val (r2, s2) = Sessionize.incrementalGapSessionize(Some(s1.localCheckpoint(true)), b2)
+      val (r3, _) = Sessionize.incrementalGapSessionize(Some(s2.localCheckpoint(true)), b3)
+      r1.unionByName(r2).unionByName(r3).select(
+        col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("session_id"), col("session_idx"), col("duration"))
+    }),
     "q_stream_lsh_dedup" -> ((s, dir) => {
       // Online MinHash-LSH near-dup admission: foreachBatch keeps a
       // persistent band-key index; a doc is admitted iff no band key
@@ -1468,6 +1493,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_sessionize_gap" -> gapSessionizeSql,
+    // incremental stitching must reproduce the full recompute exactly
+    "q_sessionize_incremental" -> gapSessionizeSql,
     // The batch full-rule machine and BOTH streaming tiers emit identical
     // rows (single-trigger replay ≡ batch fold; asserted across tiers in
     // StreamingSpec/CrossImplFuzzSpec), so all three share the recursive-

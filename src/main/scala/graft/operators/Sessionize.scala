@@ -44,7 +44,17 @@ object Sessionize {
       key: String = "user_id",
       ts: String = "ts",
       tieBreak: String = "event_id",
-      gapSec: Long = SessionConfig.DefaultGapSec): DataFrame = {
+      gapSec: Long = SessionConfig.DefaultGapSec): DataFrame =
+    gapSessionizeInternal(df, key, ts, tieBreak, gapSec).drop("__ms", "__first_ms")
+
+  /** [[gapSessionize]] body, keeping `__ms`/`__first_ms` — the columns the
+    * incremental state handoff needs. */
+  private def gapSessionizeInternal(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      tieBreak: String,
+      gapSec: Long): DataFrame = {
     val byKey = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ms = unix_millis(col(ts))
@@ -65,7 +75,64 @@ object Sessionize {
         last(when(col("__is_new") === 1L, col("__ms")), ignoreNulls = true).over(running))
       .withColumn("session_id", concat(col(key).cast("string"), lit("-"), col("__first_ms")))
       .withColumn("duration", secondsBetween(col("__ms"), col("__first_ms")))
-      .drop("__ms", "__prev_ms", "__is_new", "__first_ms")
+      .drop("__prev_ms", "__is_new")
+  }
+
+  /** Incremental batch sessionization — the daily-increment pattern: each
+    * time-contiguous batch is sessionized LOCALLY (one shuffle over just
+    * the increment), then stitched to history through a tiny per-key state
+    * table `(key, n_sessions, last_ms, open_first_ms)` instead of
+    * reprocessing it — at 100 TB the increment is a day of data and the
+    * state is one row per active key, which is what makes daily pipelines
+    * affordable. A key's first batch event continues the open session iff
+    * its floored-second gap from `last_ms` is ≤ `gapSec`; continuation
+    * rewrites the first local session's id/first-ms/duration to the open
+    * session's and shifts `session_idx` so numbering stays global. The
+    * stitched output is row-identical to [[gapSessionize]] over the full
+    * history (q_sessionize_incremental shares q_sessionize_gap's oracle;
+    * IncrementalSessionizeSpec fuzzes random split points).
+    *
+    * Batches must be event-time-contiguous per key (split history on a
+    * global timestamp boundary). Returns (sessionized batch, new state);
+    * state for keys absent from the batch is carried forward unchanged. */
+  def incrementalGapSessionize(
+      state: Option[DataFrame],
+      batch: DataFrame,
+      key: String = "user_id",
+      ts: String = "ts",
+      tieBreak: String = "event_id",
+      gapSec: Long = SessionConfig.DefaultGapSec): (DataFrame, DataFrame) = {
+    val local = gapSessionizeInternal(batch, key, ts, tieBreak, gapSec)
+    val st = state.getOrElse(
+      batch.select(col(key)).limit(0)
+        .withColumn("n_sessions", lit(0L))
+        .withColumn("last_ms", lit(0L))
+        .withColumn("open_first_ms", lit(0L)))
+      .select(col(key), col("n_sessions").as("__st_n"),
+        col("last_ms").as("__st_last"), col("open_first_ms").as("__st_open"))
+    val keyW = Window.partitionBy(col(key))
+    val continues = col("__st_last").isNotNull &&
+      floor(min(col("__ms")).over(keyW) / 1000L) - floor(col("__st_last") / 1000L) <= gapSec
+    val stitched = local.join(st, Seq(key), "left")
+      .withColumn("__cont", continues)
+      .withColumn("session_idx",
+        col("session_idx") + coalesce(col("__st_n"), lit(0L)) -
+          when(col("__cont"), 1L).otherwise(0L))
+      .withColumn("__first_ms",
+        when(col("__cont") && col("session_idx") === coalesce(col("__st_n"), lit(0L)),
+          col("__st_open")).otherwise(col("__first_ms")))
+      .withColumn("session_id", concat(col(key).cast("string"), lit("-"), col("__first_ms")))
+      .withColumn("duration", secondsBetween(col("__ms"), col("__first_ms")))
+      .drop("__st_n", "__st_last", "__st_open", "__cont")
+    // last session per key has the max first-ms; plain maxes all the way
+    val batchState = stitched.groupBy(col(key)).agg(
+      max(col("session_idx")).as("n_sessions"),
+      max(col("__ms")).as("last_ms"),
+      max(col("__first_ms")).as("open_first_ms"))
+    val carried = state.map(
+      _.join(batch.select(col(key)).distinct(), Seq(key), "left_anti"))
+    val newState = carried.fold(batchState)(batchState.unionByName(_))
+    (stitched.drop("__ms", "__first_ms"), newState)
   }
 
   /** Full-rule sessionizer (gap + size + duration cuts) over the `events`
