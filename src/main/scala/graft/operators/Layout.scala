@@ -87,4 +87,41 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the maintenance job every long-lived
+    * streaming/incremental sink needs: micro-batch sinks (file sink,
+    * MergeSink, the LSH index) accrete files far below the HDFS/parquet
+    * sweet spot, and a 100 TB table of 1 MB files dies on open() overhead
+    * and footer reads long before scan bandwidth matters. Rewrites `dir`
+    * into ceil(bytes/targetBytes) files via a round-robin repartition
+    * (size-based, not key-based — compaction must not assume a key), then
+    * atomically swaps directories (write to sibling tmp, rename over).
+    * Returns (filesBefore, filesAfter). Content equality and file-count
+    * collapse are pinned by LayoutSpec. */
+  def compactSmallFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val d = new java.io.File(dir)
+    def parquetFiles = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val nBefore = before.length
+    if (nBefore == 0) return (0, 0)
+    val totalBytes = before.map(_.length()).sum
+    val nAfter = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = dir.stripSuffix("/") + ".__compact_tmp"
+    spark.read.parquet(dir).repartition(nAfter)
+      .write.mode("overwrite").parquet(tmp)
+    // atomic-enough swap: move old aside, promote tmp, drop old
+    val old = new java.io.File(dir + ".__compact_old")
+    graft.streaming.MergeSink.deleteRecursively(old)
+    if (!d.renameTo(old)) sys.error(s"compact: cannot move $dir aside")
+    if (!new java.io.File(tmp).renameTo(d)) {
+      old.renameTo(d) // restore
+      sys.error(s"compact: cannot promote $tmp")
+    }
+    graft.streaming.MergeSink.deleteRecursively(old)
+    (nBefore, parquetFiles.length)
+  }
 }

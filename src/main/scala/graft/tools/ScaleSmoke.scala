@@ -148,6 +148,21 @@ object ScaleSmoke {
           pmod(col("event_id"), lit(50L)), pmod(col("event_id"), lit(3L))).as("url"))
       drain(graft.operators.Urls.dedupByUrl(urls, "url", "event_id"))
     }
+    time(s"incrementalGapSessionize x$mult (3 increments)") {
+      val ms = unix_millis(col("ts"))
+      val cuts = events.agg(
+        expr("percentile(unix_millis(ts), array(0.33D, 0.66D))").as("c"))
+        .select(element_at(col("c"), 1).cast("long").as("c1"),
+          element_at(col("c"), 2).cast("long").as("c2"))
+      def part(cond: org.apache.spark.sql.Column) =
+        events.crossJoin(broadcast(cuts)).filter(cond).drop("c1", "c2")
+      val (r1, s1) = Sessionize.incrementalGapSessionize(None, part(ms <= col("c1")))
+      val (r2, s2) = Sessionize.incrementalGapSessionize(
+        Some(s1.localCheckpoint(true)), part(ms > col("c1") && ms <= col("c2")))
+      val (r3, _) = Sessionize.incrementalGapSessionize(
+        Some(s2.localCheckpoint(true)), part(ms > col("c2")))
+      drain(r1.unionByName(r2).unionByName(r3))
+    }
     time("boundedBucketPairs 50k-copy cluster (star path)") {
       // adversarial: one duplicate cluster far past the cap — must stay
       // O(n) and memory-bounded, not n^2/2 pairs in one buffer

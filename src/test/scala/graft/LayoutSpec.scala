@@ -99,4 +99,25 @@ class LayoutSpec extends SparkFunSuite {
     assert(spark.read.parquet(root).count() == ev.count())
     graft.streaming.MergeSink.deleteRecursively(new java.io.File(root))
   }
+
+  test("compactSmallFiles collapses a micro-batch spray into few files, content-identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    // simulate a streaming sink's accretion: 40 tiny appends
+    (0 until 40).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(root)
+    }
+    val before = spark.read.parquet(root).as[(Long, String)].collect().toSet
+    val (nBefore, nAfter) = graft.operators.Layout.compactSmallFiles(spark, root)
+    assert(nBefore == 40, s"expected 40 input files, saw $nBefore")
+    assert(nAfter == 1, s"tiny table must compact to 1 file, got $nAfter")
+    val after = spark.read.parquet(root).as[(Long, String)].collect().toSet
+    assert(after == before)
+    // idempotent: re-compacting an already-compact dir is a no-op shape-wise
+    val (b2, a2) = graft.operators.Layout.compactSmallFiles(spark, root)
+    assert(b2 == 1 && a2 == 1)
+    graft.streaming.MergeSink.deleteRecursively(
+      new java.io.File(root).getParentFile)
+  }
 }
