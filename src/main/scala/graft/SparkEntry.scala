@@ -1445,6 +1445,30 @@ object SparkEntry {
         col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("session_id"), col("session_idx"), col("duration"))
     }),
+    "q_sessionize_full_incremental" -> ((s, dir) => {
+      // Incremental FULL-RULE sessionization: the engine's own SessionState
+      // is the carried state, injected into each increment's secondary sort
+      // as a tag-0 row. Row-identical to one full recompute — shares the
+      // recursive-CTE oracle with q_sessionize_full.
+      val ev = table(s, dir, "events")
+      val cuts = ev
+        .agg(expr("percentile(unix_millis(ts), array(0.33D, 0.66D))").as("c"))
+        .select(element_at(col("c"), 1).cast("long").as("c1"),
+          element_at(col("c"), 2).cast("long").as("c2"))
+      def part(cond: Column): DataFrame =
+        ev.crossJoin(broadcast(cuts)).filter(cond).drop("c1", "c2")
+      val ms = unix_millis(col("ts"))
+      val (r1, s1) = Sessionize.incrementalFullSessionize(None, part(ms <= col("c1")))
+      val (r2, s2) = Sessionize.incrementalFullSessionize(Some(s1), part(ms > col("c1") && ms <= col("c2")))
+      val (r3, _) = Sessionize.incrementalFullSessionize(Some(s2), part(ms > col("c2")))
+      r1.unionByName(r2).unionByName(r3).select(
+        col("tieBreak").as("event_id"),
+        col("key").cast("long").as("user_id"),
+        col("tsMillis").as("ts_ms"),
+        col("sessionId").as("session_id"),
+        col("sessionIdx").as("session_idx"),
+        col("duration"))
+    }),
     "q_stream_lsh_dedup" -> ((s, dir) => {
       // Online MinHash-LSH near-dup admission: foreachBatch keeps a
       // persistent band-key index; a doc is admitted iff no band key
@@ -1500,6 +1524,7 @@ object SparkEntry {
     // StreamingSpec/CrossImplFuzzSpec), so all three share the recursive-
     // CTE oracle — the sequential state machine, replayed in SQL.
     "q_sessionize_full" -> fullSessionizeSql,
+    "q_sessionize_full_incremental" -> fullSessionizeSql,
     "q_sessionize_stream" -> fullSessionizeSql,
     "q_sessionize_stream_tws" -> fullSessionizeSql,
     "q_session_duration" ->

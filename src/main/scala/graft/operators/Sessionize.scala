@@ -166,6 +166,99 @@ object Sessionize {
       .toDF()
   }
 
+  /** Incremental FULL-RULE sessionization — [[incrementalGapSessionize]]'s
+    * pattern applied to the reference's complete state machine (gap + size
+    * + duration cuts): the carried state is the engine's own per-key
+    * [[SessionState]] `(sessionId, sessionIdx, firstSec, lastSec,
+    * eventCount)`, injected into the batch's secondary sort as a tag-0 row
+    * that sorts BEFORE every event of its key, so the per-partition fold
+    * seeds [[SessionEngine.run]] exactly where the previous increment
+    * stopped. Each key's final state is emitted at the end of its sorted
+    * run — including keys with no batch events, so carry-forward is
+    * automatic, not a join. One shuffle per increment, O(1) fold state,
+    * output row-identical to [[fullSessionize]] over the full history
+    * (IncrementalSessionizeSpec fuzzes split points across all three cut
+    * rules). Batches must be event-time-contiguous per key. */
+  def incrementalFullSessionize(
+      state: Option[DataFrame],
+      batch: DataFrame,
+      key: String = "user_id",
+      ts: String = "ts",
+      tieBreak: String = "event_id",
+      cfg: SessionConfig = SessionConfig.default): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val evRows = batch.select(
+      col(key).cast("string").as("key"), lit(1).as("tag"),
+      unix_millis(col(ts)).as("tsMillis"), col(tieBreak).cast("long").as("tieBreak"),
+      lit("").as("sessionId"), lit(0L).as("sessionIdx"),
+      lit(0L).as("firstSec"), lit(0L).as("lastSec"), lit(0).as("eventCount"))
+    val stRows = state.getOrElse(emptyFullState(batch)).select(
+      col("key"), lit(0).as("tag"), lit(Long.MinValue).as("tsMillis"), lit(0L).as("tieBreak"),
+      col("sessionId"), col("sessionIdx"), col("firstSec"), col("lastSec"), col("eventCount"))
+    val folded = evRows.unionByName(stRows)
+      .as[CarrierRow]
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tag"), col("tsMillis"), col("tieBreak"))
+      .mapPartitions(it => stitchRun(it, cfg))
+      .toDF()
+      // evaluate ONCE, then split into (events, state) — also what keeps
+      // the plan flat when increments chain (the state a daily job persists)
+      .localCheckpoint(true)
+    val out = folded.filter(col("kind") === 1)
+      .select(col("key"), col("tsMillis"), col("tieBreak"),
+        col("sessionId"), col("sessionIdx"), col("duration"))
+    val newState = folded.filter(col("kind") === 0)
+      .select(col("key"), col("sessionId"), col("sessionIdx"),
+        col("firstSec"), col("lastSec"), col("eventCount"))
+    (out, newState)
+  }
+
+  private def emptyFullState(batch: DataFrame): DataFrame =
+    batch.sparkSession.range(0).select(
+      col("id").cast("string").as("key"), col("id").cast("string").as("sessionId"),
+      col("id").as("sessionIdx"), col("id").as("firstSec"), col("id").as("lastSec"),
+      col("id").cast("int").as("eventCount"))
+
+  /** Wide carrier row: tag 0 = carried state (sorts before its key's
+    * events), tag 1 = event. Public: Catalyst's generated (de)serializers
+    * live outside this package and cannot touch private classes. */
+  final case class CarrierRow(
+      key: String, tag: Int, tsMillis: Long, tieBreak: Long,
+      sessionId: String, sessionIdx: Long, firstSec: Long, lastSec: Long, eventCount: Int)
+
+  /** Fold output: kind 1 = sessionized event, kind 0 = a key's final state. */
+  final case class StitchRow(
+      kind: Int, key: String, tsMillis: Long, tieBreak: Long, sessionId: String,
+      sessionIdx: Long, duration: Long, firstSec: Long, lastSec: Long, eventCount: Int)
+
+  /** Seeded streaming fold over a key-sorted partition: a tag-0 row seeds
+    * the engine state; each key's final state is appended when its sorted
+    * run ends (lookahead via the buffered iterator). */
+  private def stitchRun(it: Iterator[CarrierRow], cfg: SessionConfig): Iterator[StitchRow] = {
+    val buffered = it.buffered
+    var curKey: String = null
+    var state: Option[SessionState] = None
+    buffered.flatMap { r =>
+      if (r.key != curKey) { curKey = r.key; state = None }
+      val emitted: Seq[StitchRow] =
+        if (r.tag == 0) {
+          state = Some(SessionState(r.sessionId, r.sessionIdx, r.firstSec, r.lastSec, r.eventCount))
+          Seq.empty
+        } else {
+          val (s, o) = SessionEngine.advance(state, SessionEvent(r.key, r.tsMillis, r.tieBreak), cfg)
+          state = Some(s)
+          Seq(StitchRow(1, o.key, o.tsMillis, o.tieBreak, o.sessionId, o.sessionIdx, o.duration, 0L, 0L, 0))
+        }
+      val keyEnds = !buffered.hasNext || buffered.head.key != r.key
+      if (keyEnds && state.isDefined) {
+        val s = state.get
+        emitted :+ StitchRow(0, r.key, 0L, 0L, s.sessionId, s.sessionIdx, 0L,
+          s.firstSec, s.lastSec, s.eventCount)
+      } else emitted
+    }
+  }
+
   /** Streaming fold over a key-sorted partition: reset state at key change. */
   private[operators] def sessionizeSortedRun(
       it: Iterator[SessionEvent],

@@ -72,6 +72,57 @@ class IncrementalSessionizeSpec extends SparkFunSuite {
     }
   }
 
+  private def fullResultSet(df: DataFrame): Set[(Long, String, String, Long, Long)] =
+    df.select(col("tieBreak"), col("key"), col("sessionId"),
+        col("sessionIdx"), col("duration"))
+      .as[(Long, String, String, Long, Long)].collect().toSet
+
+  private def incrementalFull(
+      rows: Seq[(Long, Long, Long)],
+      splits: Seq[Long],
+      cfg: graft.model.SessionConfig): DataFrame = {
+    val bounds = (Long.MinValue +: splits.sorted) :+ Long.MaxValue
+    val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+      evDF(rows.filter(r => r._3 > lo && r._3 <= hi))
+    }.toSeq
+    var state: Option[DataFrame] = None
+    val outs = batches.map { b =>
+      val (r, s) = Sessionize.incrementalFullSessionize(state, b, cfg = cfg)
+      state = Some(s)
+      r
+    }
+    outs.reduce(_ unionByName _)
+  }
+
+  test("full-rule incremental equals full recompute with ALL cut rules firing") {
+    // tight cuts so size and duration cuts trigger, including across splits
+    val cfg = graft.model.SessionConfig(gapSec = 60L, maxEvents = 4, maxDurationSec = 150L)
+    val rng = new scala.util.Random(47)
+    (1 to 10).foreach { trial =>
+      val n = 15 + rng.nextInt(40)
+      val rows = (1L to n.toLong).map { id =>
+        (id, (rng.nextInt(3) + 1).toLong,
+          1_700_000_000_000L + rng.nextInt(1200).toLong * 1000L)
+      }
+      val cuts = Seq.fill(1 + rng.nextInt(3))(
+        1_700_000_000_000L + rng.nextInt(1200).toLong * 1000L)
+      val full = fullResultSet(Sessionize.fullSessionize(evDF(rows), cfg = cfg))
+      val split = fullResultSet(incrementalFull(rows, cuts, cfg))
+      assert(split == full, s"trial $trial cuts=$cuts")
+    }
+  }
+
+  test("full-rule incremental: state carries keys through empty increments") {
+    val cfg = graft.model.SessionConfig(gapSec = 60L, maxEvents = 4, maxDurationSec = 150L)
+    val base = 1_700_000_000_000L
+    val rows = Seq((1L, 1L, base), (2L, 1L, base + 5_000L), (3L, 1L, base + 70_000L))
+    val full = fullResultSet(Sessionize.fullSessionize(evDF(rows), cfg = cfg))
+    // second increment empty, third carries on: event 3 opens session 2
+    // (gap cut) only if state survived the empty middle increment
+    val split = fullResultSet(incrementalFull(rows, Seq(base + 6_000L, base + 8_000L), cfg))
+    assert(split == full)
+  }
+
   test("empty batches are harmless: state carries through them") {
     val base = 1_700_000_000_000L
     val rows = Seq((1L, 1L, base), (2L, 1L, base + 5_000L))
