@@ -1420,6 +1420,39 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_join_shuffle_hash" -> ((s, dir) => {
+      // The third join-strategy tier: SHUFFLE_HASH hint — no sort on either
+      // side (vs SMJ), no size ceiling on the build side (vs broadcast).
+      // The hint is strategy-only, so the oracle is the plain join; the
+      // chosen-strategy assertion lives in PlanShapeSpec.
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders").filter(col("o_totalprice") > 200000.0).hint("SHUFFLE_HASH")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+    "q_union_evolution" -> ((s, dir) => {
+      // Schema-evolution union — ingesting crawl shards whose schemas
+      // drifted: a v1 shard (no `lang`) and a v2 shard (adds `quality`)
+      // merge by name with missing columns null-filled
+      // (unionByName allowMissingColumns), then aggregate per source.
+      val docs = table(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("lang"), (col("n_chars") > 200L).as("quality"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("lang")).as("n_with_lang"),
+          // all-v1 groups sum NULL over the null-filled column -> 0
+          coalesce(sum(col("quality").cast("long")), lit(0L)).as("n_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
     "q_sessionize_incremental" -> ((s, dir) => {
       // Incremental batch sessionization (the daily-increment pattern):
       // history split into three event-time-contiguous increments at exact
@@ -1519,6 +1552,24 @@ object SparkEntry {
     "q_sessionize_gap" -> gapSessionizeSql,
     // incremental stitching must reproduce the full recompute exactly
     "q_sessionize_incremental" -> gapSessionizeSql,
+    "q_join_shuffle_hash" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 200000.0
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_union_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars, NULL AS lang, NULL AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, lang, n_chars > 200
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(lang) AS BIGINT) AS n_with_lang,
+        |  CAST(SUM(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY source""".stripMargin,
     // The batch full-rule machine and BOTH streaming tiers emit identical
     // rows (single-trigger replay ≡ batch fold; asserted across tiers in
     // StreamingSpec/CrossImplFuzzSpec), so all three share the recursive-

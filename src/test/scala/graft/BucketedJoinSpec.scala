@@ -43,4 +43,12 @@ class BucketedJoinSpec extends SparkFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
+
+  test("SHUFFLE_HASH hint selects ShuffledHashJoin (q_join_shuffle_hash strategy)") {
+    val df = SparkEntry.queries("q_join_shuffle_hash")(spark, "/root/testdata/sf0.001")
+    df.collect() // force AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "hint must suppress the SMJ fallback")
+  }
 }
