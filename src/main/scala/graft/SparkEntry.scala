@@ -1420,6 +1420,26 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_quality_composite" -> ((s, dir) => {
+      // Calibrated composite quality gate — what production curation ships:
+      // heterogeneous signals (stopword density, symbol noise, unigram-LM
+      // surprise) fused into one score with fixed weights (swap in trained
+      // calibration weights; the plan — two aggregates joined on doc_id —
+      // is identical). All inputs are round(,6) values, so the arithmetic
+      // replays exactly.
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("stopword_ratio"), col("symbol_ratio"))
+      val u = TextAnalysis.unigramLogProb(docs)
+        .select(col("doc_id"), col("avg_neg_logprob"))
+      q.join(u, Seq("doc_id"))
+        .withColumn("composite", round(
+          least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - least(col("symbol_ratio") * 10.0, lit(1.0))) * 0.3 +
+            least(col("avg_neg_logprob") / 12.0, lit(1.0)) * 0.3, 6))
+        .select(col("doc_id"), col("composite"),
+          (col("composite") >= 0.55).as("keep"))
+    }),
     "q_join_shuffle_hash" -> ((s, dir) => {
       // The third join-strategy tier: SHUFFLE_HASH hint — no sort on either
       // side (vs SMJ), no size ceiling on the build side (vs broadcast).
@@ -1552,6 +1572,16 @@ object SparkEntry {
     "q_sessionize_gap" -> gapSessionizeSql,
     // incremental stitching must reproduce the full recompute exactly
     "q_sessionize_incremental" -> gapSessionizeSql,
+    "q_quality_composite" ->
+      s"""WITH $qualityCte, $unigramCte
+         |SELECT q.doc_id,
+         |  round(least(q.stopword_ratio * 5.0, 1.0) * 0.4 +
+         |    (1.0 - least(q.symbol_ratio * 10.0, 1.0)) * 0.3 +
+         |    least(u.avg_neg_logprob / 12.0, 1.0) * 0.3, 6) AS composite,
+         |  round(least(q.stopword_ratio * 5.0, 1.0) * 0.4 +
+         |    (1.0 - least(q.symbol_ratio * 10.0, 1.0)) * 0.3 +
+         |    least(u.avg_neg_logprob / 12.0, 1.0) * 0.3, 6) >= 0.55 AS keep
+         |FROM quality q JOIN u USING (doc_id)""".stripMargin,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
