@@ -1339,24 +1339,32 @@ object SparkEntry {
       // the same aggregate from parquet — any quoting/parsing defect in
       // either direction diverges the hash.
       val src = table(s, dir, "customer")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
-      src.write.mode("overwrite").option("header", "true").csv(tmp)
-      s.read.option("header", "true").schema(src.schema).csv(tmp)
+      val root = java.nio.file.Files.createTempDirectory("graft_csv_")
+      src.write.mode("overwrite").option("header", "true").csv(root.toString)
+      // localCheckpoint materializes the (tiny) aggregate so the round-trip
+      // copy can be deleted NOW instead of leaking per invocation
+      val result = s.read.option("header", "true").schema(src.schema).csv(root.toString)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .localCheckpoint(true)
+      deleteRecursively(root.toFile)
+      result
     }),
     "q_orc_source" -> ((s, dir) => {
       // ORC batch source: round-trip events (incl. timestamps) through ORC
       // and aggregate from the ORC read; oracle aggregates from parquet.
       val src = table(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
-      src.write.mode("overwrite").orc(tmp)
-      s.read.orc(tmp)
+      val root = java.nio.file.Files.createTempDirectory("graft_orc_")
+      src.write.mode("overwrite").orc(root.toString)
+      val result = s.read.orc(root.toString)
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"),
           max(unix_millis(col("ts"))).as("max_ts_ms"))
+        .localCheckpoint(true)
+      deleteRecursively(root.toFile)
+      result
     }),
     "q_stream_interval_left_join" -> ((s, dir) => {
       // Stream-stream LEFT OUTER interval join — the completion-semantics
@@ -1543,7 +1551,7 @@ object SparkEntry {
         try q.processAllAvailable()
         finally q.stop()
       }
-      val result = s.read.schema("doc_id LONG").parquet(out).localCheckpoint(true)
+      val result = s.read.parquet(out).select(col("doc_id")).localCheckpoint(true)
       deleteRecursively(root.toFile)
       result
     }),

@@ -97,12 +97,19 @@ object Layout {
     * (size-based, not key-based — compaction must not assume a key), then
     * atomically swaps directories (write to sibling tmp, rename over).
     * Returns (filesBefore, filesAfter). Content equality and file-count
-    * collapse are pinned by LayoutSpec. */
+    * collapse are pinned by LayoutSpec.
+    *
+    * CONCURRENCY CONTRACT: the caller must quiesce writers first (pause the
+    * streaming sink / run between increments) — a file appended after the
+    * read snapshot would be destroyed by the swap. This is the same
+    * stop-the-writer requirement every rewrite-based compactor without a
+    * transaction log has; pair it with a table format's commit protocol
+    * when writers can't be paused. */
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val d = new java.io.File(dir)
+    val d = new java.io.File(dir.stripSuffix("/"))
     def parquetFiles = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val before = parquetFiles
@@ -110,15 +117,20 @@ object Layout {
     if (nBefore == 0) return (0, 0)
     val totalBytes = before.map(_.length()).sum
     val nAfter = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = dir.stripSuffix("/") + ".__compact_tmp"
-    spark.read.parquet(dir).repartition(nAfter)
-      .write.mode("overwrite").parquet(tmp)
+    val base = d.getPath
+    val tmp = new java.io.File(base + ".__compact_tmp")
+    spark.read.parquet(base).repartition(nAfter)
+      .write.mode("overwrite").parquet(tmp.getPath)
     // atomic-enough swap: move old aside, promote tmp, drop old
-    val old = new java.io.File(dir + ".__compact_old")
+    val old = new java.io.File(base + ".__compact_old")
     graft.streaming.MergeSink.deleteRecursively(old)
-    if (!d.renameTo(old)) sys.error(s"compact: cannot move $dir aside")
-    if (!new java.io.File(tmp).renameTo(d)) {
+    if (!d.renameTo(old)) {
+      graft.streaming.MergeSink.deleteRecursively(tmp)
+      sys.error(s"compact: cannot move $base aside")
+    }
+    if (!tmp.renameTo(d)) {
       old.renameTo(d) // restore
+      graft.streaming.MergeSink.deleteRecursively(tmp)
       sys.error(s"compact: cannot promote $tmp")
     }
     graft.streaming.MergeSink.deleteRecursively(old)

@@ -26,7 +26,9 @@ object Profiling {
     columns.map { c =>
       df.agg(
         count(lit(1)).as("n_rows"),
-        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        // count-minus-count, not sum(isNull): sum over zero rows is NULL,
+        // and the oracle's COUNT(*) - COUNT(col) shape is 0 there
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
         countDistinct(col(c)).as("n_distinct"),
         min(col(c)).cast("string").as("min_val"),
         max(col(c)).cast("string").as("max_val"))

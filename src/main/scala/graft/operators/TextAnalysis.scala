@@ -537,7 +537,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, false)
-        it.map { case (id, text) =>
+        // Deflater holds OFF-HEAP zlib buffers that only end() releases —
+        // relying on finalization leaks native memory across thousands of
+        // tasks on a long-lived executor (container OOM-kill with zero heap
+        // pressure), so end() runs when the partition iterator drains
+        def row(id: Long, text: String): (Long, Long, Long, Double) = {
           val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(in)
@@ -553,6 +557,17 @@ object TextAnalysis {
             else BigDecimal(n.toDouble / in.length)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           (id, in.length.toLong, n.toLong, ratio)
+        }
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more) deflater.end()
+            more
+          }
+          def next(): (Long, Long, Long, Double) = {
+            val (id, text) = it.next()
+            row(id, text)
+          }
         }
       }
       .toDF("doc_id", "n_bytes", "n_deflated", "ratio")

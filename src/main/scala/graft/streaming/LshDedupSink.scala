@@ -36,15 +36,27 @@ object LshDedupSink {
           .as(Seq("band_idx", "band_key")))
   }
 
-  /** Process one microbatch against the index at `idxDir`, appending
-    * admitted ids to `outDir` and the batch's band rows to `idxDir`. */
+  /** Process one microbatch against the index at `idxDir`, writing admitted
+    * ids under `outDir` and the batch's band rows under `idxDir`.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: both writes go
+    * to batchId-deterministic partition directories (`batch=<id>`) in
+    * OVERWRITE mode, so a replayed batch rewrites its own partitions
+    * instead of appending duplicates, and the prior-index read excludes the
+    * current batchId's partition — a replay that crashed after the index
+    * write does not see the batch's own band keys as "prior". The semi
+    * join shuffles only the BATCH's band rows; the index side is read, not
+    * re-shuffled (left_semi is duplicate-insensitive, so no distinct over
+    * the corpus-sized posting table). */
   def admitBatch(idxDir: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val ids = batch.select(col("doc_id")).localCheckpoint(true)
     val bt = bandTable(batch).localCheckpoint(true)
     val prior: DataFrame =
       if (new java.io.File(idxDir).exists())
-        spark.read.parquet(idxDir).select(col("band_key")).distinct()
+        spark.read.parquet(idxDir)
+          .filter(col("batch") < batchId)
+          .select(col("band_key"))
       else spark.range(0).select(col("id").cast("string").as("band_key"))
     val priorHits = bt.join(prior, Seq("band_key"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -54,7 +66,7 @@ object LshDedupSink {
       .select(col("doc_id")).distinct()
     val admitted = ids.join(priorHits.union(inBatchHits).distinct(),
       Seq("doc_id"), "left_anti")
-    admitted.write.mode("append").parquet(outDir)
-    bt.write.mode("append").parquet(idxDir)
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    bt.write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
   }
 }

@@ -35,7 +35,7 @@ class LshDedupSpec extends SparkFunSuite {
     chunks.zipWithIndex.foreach { case (ch, i) =>
       LshDedupSink.admitBatch(idx, out)(ch.toDF("doc_id", "text"), i.toLong)
     }
-    val got = spark.read.schema("doc_id LONG").parquet(out).as[Long].collect().toSet
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     graft.streaming.MergeSink.deleteRecursively(root.toFile)
     got
   }
@@ -87,5 +87,21 @@ class LshDedupSpec extends SparkFunSuite {
     assert(runChunked(docs.map(Seq(_))) == exp)             // one doc per batch
     assert(runChunked(Seq(docs.take(3), docs.drop(3))) == exp)
     assert(runChunked(Seq(docs.take(5), docs.drop(5))) == exp) // splits the (5,6) pair
+  }
+
+  test("batch replay is idempotent: re-running a batchId changes nothing") {
+    // foreachBatch is at-least-once — a crash between the two writes replays
+    // the batch with the SAME id; partition-overwrite must absorb it even
+    // though the first attempt already published the batch's index rows
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_replay_")
+    val idx = root.resolve("bands").toString
+    val out = root.resolve("admitted").toString
+    val b0 = docs.take(4); val b1 = docs.drop(4)
+    LshDedupSink.admitBatch(idx, out)(b0.toDF("doc_id", "text"), 0L)
+    LshDedupSink.admitBatch(idx, out)(b0.toDF("doc_id", "text"), 0L) // replay
+    LshDedupSink.admitBatch(idx, out)(b1.toDF("doc_id", "text"), 1L)
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq
+    assert(got.length == got.distinct.length, s"replay duplicated rows: $got")
+    assert(got.toSet == runChunked(Seq(b0, b1)))
   }
 }
