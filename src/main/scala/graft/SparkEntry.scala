@@ -1428,6 +1428,56 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // Forward as-of: each purchase matched to the user's NEXT click
+      // at-or-after it (lead-time shape). Mirror of q_asof_join.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      graft.operators.Temporal
+        .asofJoinForward(purchases, clicks, "user_id", "ts_ms", "event_id",
+          payload = Seq("event_id", "ts_ms"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("asof_ts_ms") - col("ts_ms"), lit(-1L)).as("lead_ms"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // Nearest as-of: the closer of the prior and next click (ties to
+      // prior). Both directions in one shuffle via two window specs.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      graft.operators.Temporal
+        .asofJoinNearest(purchases, clicks, "user_id", "ts_ms", "event_id",
+          payload = Seq("event_id", "ts_ms"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("asof_ts_ms") - col("ts_ms"), lit(0L)).as("gap_ms"))
+    }),
+    "q_overlap_join" -> ((s, dir) => {
+      // Interval-overlap join (order activity windows × synthesized
+      // campaign windows) via double-sided binning — the no-BNLJ,
+      // no-broadcast-ceiling shape.
+      val day = 86400000L
+      val od = col("o_orderdate").cast("timestamp") // NTZ -> UTC session ts
+      val a = table(s, dir, "orders").select(
+        col("o_orderkey"),
+        unix_millis(od).as("lo_a"),
+        (unix_millis(od) + (pmod(col("o_orderkey"), lit(20L)) + 1L) * day).as("hi_a"))
+      val epoch92 = unix_millis(to_timestamp(lit("1992-01-01")))
+      val b = table(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        (epoch92 + col("n_nationkey").cast("long") * 60L * day).as("lo_b"),
+        (epoch92 + col("n_nationkey").cast("long") * 60L * day + 90L * day).as("hi_b"))
+      graft.operators.Temporal.overlapJoinBinned(a, b, binSize = 30L * day,
+        "o_orderkey", "lo_a", "hi_a", "n_nationkey", "lo_b", "hi_b")
+    }),
     "q_quality_composite" -> ((s, dir) => {
       // Calibrated composite quality gate — what production curation ships:
       // heterogeneous signals (stopword density, symbol noise, unigram-LM
@@ -1580,6 +1630,73 @@ object SparkEntry {
     "q_sessionize_gap" -> gapSessionizeSql,
     // incremental stitching must reproduce the full recompute exactly
     "q_sessionize_incremental" -> gapSessionizeSql,
+    "q_asof_forward" ->
+      // mirror of the q_asof_join replay: FIRST_VALUE over the FOLLOWING
+      // frame; purchases sort before equal-time clicks (side 0 < 1) so
+      // at-or-after is inclusive
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |j AS (
+        |  SELECT *,
+        |    FIRST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
+        |    FIRST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ms AS ts_ms,
+        |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
+        |  CAST(COALESCE(cms - ms, -1) AS BIGINT) AS lead_ms
+        |FROM j WHERE side = 0""".stripMargin,
+    "q_asof_nearest" ->
+      // both directions on one pass: backward frame orders clicks BEFORE
+      // equal-time purchases (side_b 0 < 1), forward frame the reverse
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side_b
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |j AS (
+        |  SELECT *,
+        |    LAST_VALUE(c_id IGNORE NULLS) OVER wb AS bcid,
+        |    LAST_VALUE(c_ms IGNORE NULLS) OVER wb AS bcms,
+        |    FIRST_VALUE(c_id IGNORE NULLS) OVER wf AS fcid,
+        |    FIRST_VALUE(c_ms IGNORE NULLS) OVER wf AS fcms
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ms, side_b, event_id
+        |               ROWS UNBOUNDED PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY ms, 1 - side_b, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |sel AS (
+        |  SELECT event_id, user_id, ms,
+        |    CASE WHEN bcid IS NULL THEN fcid
+        |         WHEN fcid IS NULL THEN bcid
+        |         WHEN (fcms - ms) < (ms - bcms) THEN fcid ELSE bcid END AS cid,
+        |    CASE WHEN bcid IS NULL THEN fcms
+        |         WHEN fcid IS NULL THEN bcms
+        |         WHEN (fcms - ms) < (ms - bcms) THEN fcms ELSE bcms END AS cms
+        |  FROM j WHERE side_b = 1)
+        |SELECT event_id, user_id, ms AS ts_ms,
+        |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
+        |  CAST(COALESCE(cms - ms, 0) AS BIGINT) AS gap_ms
+        |FROM sel""".stripMargin,
+    "q_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, epoch_ms(o_orderdate) AS lo_a,
+        |    epoch_ms(o_orderdate) + (o_orderkey % 20 + 1) * 86400000 AS hi_a
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    epoch_ms(TIMESTAMP '1992-01-01') + n_nationkey * 60 * CAST(86400000 AS BIGINT) AS lo_b,
+        |    epoch_ms(TIMESTAMP '1992-01-01') + n_nationkey * 60 * CAST(86400000 AS BIGINT)
+        |      + 90 * CAST(86400000 AS BIGINT) AS hi_b
+        |  FROM nation)
+        |SELECT o_orderkey, n_nationkey
+        |FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a""".stripMargin,
     "q_quality_composite" ->
       s"""WITH $qualityCte, $unigramCte
          |SELECT q.doc_id,

@@ -65,6 +65,113 @@ object Temporal {
         payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** Forward as-of join: for each `left` row, attach the payload of the
+    * EARLIEST `right` row with the same `key` and `right.time >= left.time`
+    * ("first value at-or-after" — the lead-time / next-event analogue of
+    * [[asofJoin]]). Same union+window algorithm mirrored: left rows sort
+    * BEFORE right rows at equal time, so "at-or-after" is inclusive, and a
+    * running `first(payload, ignoreNulls)` over (currentRow →
+    * unboundedFollowing) picks the earliest matching right row (smallest
+    * `tie` among equal times). One shuffle + one sort, no per-key loops. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      tieCol: String,
+      payload: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
+    val l = left
+      .withColumn("__side", lit(0))
+      .select(left.columns.map(col) ++ Seq(col("__side")) ++
+        Seq(lit(null).cast(payloadType).as("__asof")): _*)
+    val r = right
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(timeCol), col(tieCol), col("__side")) ++
+        left.columns.filterNot(Set(key, timeCol, tieCol)).map(c => lit(null).as(c)) ++
+        Seq(struct(payload.map(p => col(p).as(p)): _*).as("__asof")): _*)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(timeCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__asof", first(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
+  }
+
+  /** Nearest as-of join: the closer of the backward and forward matches
+    * (ties to backward — "what already happened" beats "what is about to").
+    * Both directions are computed over ONE union with two window specs that
+    * share the key partitioning (one Exchange, two in-partition sorts —
+    * the equal-time inclusivity of each direction needs its own side
+    * ordering). The right row's time rides the payload struct so the
+    * per-row distance compare is a column expression. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      tieCol: String,
+      payload: Seq[String]): DataFrame = {
+    val fields = (timeCol +: payload.filterNot(_ == timeCol)).distinct
+    val payloadType = org.apache.spark.sql.types.StructType(fields.map(p => right.schema(p)))
+    val l = left
+      .withColumn("__sb", lit(1))
+      .select(left.columns.map(col) ++ Seq(col("__sb")) ++
+        Seq(lit(null).cast(payloadType).as("__p")): _*)
+    val r = right
+      .withColumn("__sb", lit(0))
+      .select(Seq(col(key), col(timeCol), col(tieCol), col("__sb")) ++
+        left.columns.filterNot(Set(key, timeCol, tieCol)).map(c => lit(null).as(c)) ++
+        Seq(struct(fields.map(p => col(p).as(p)): _*).as("__p")): _*)
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(timeCol), col("__sb"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(timeCol), (lit(1) - col("__sb")), col(tieCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col(timeCol)
+    val back = col("__back"); val fwd = col("__fwd")
+    val chosen = when(back.isNull, fwd)
+      .when(fwd.isNull, back)
+      .when(fwd.getField(timeCol) - t < t - back.getField(timeCol), fwd)
+      .otherwise(back)
+    l.unionByName(r)
+      .withColumn("__back", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__fwd", first(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__sb") === 1)
+      .withColumn("__sel", chosen)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("__sel").getField(p).as(s"asof_$p")): _*)
+  }
+
+  /** Interval-overlap join: all (a, b) pairs whose half-open intervals
+    * intersect (`a.lo < b.hi && b.lo < a.hi`) — session-vs-campaign,
+    * outage-vs-job, any two event-span tables. Same bin trick as
+    * [[rangeJoinBinned]] applied to BOTH sides: each interval explodes to
+    * the fixed-width bins it touches, the join equi-matches on bin, a
+    * residual predicate restores exactness, and `dropDuplicates` collapses
+    * pairs that share several bins. Shuffle-partitionable on both sides —
+    * no broadcast ceiling, no nested-loop fallback. */
+  def overlapJoinBinned(
+      a: DataFrame,
+      b: DataFrame,
+      binSize: Long,
+      idA: String, loA: String, hiA: String,
+      idB: String, loB: String, hiB: String): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__bin",
+        explode(expr(s"sequence($lo div ${binSize}L, ($hi - 1) div ${binSize}L)")))
+    binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("__bin"))
+      .filter(col(loA) < col(hiB) && col(loB) < col(hiA))
+      .select(col(idA), col(idB))
+      .dropDuplicates(idA, idB)
+  }
+
   /** Range join: `facts` rows matched to `ranges` rows with
     * `lo <= facts.valueCol < hi` (half-open intervals, long-typed bounds).
     *
