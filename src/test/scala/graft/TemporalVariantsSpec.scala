@@ -123,6 +123,39 @@ class TemporalVariantsSpec extends SparkFunSuite {
     assert(got.toSet === Set((1L, 10L), (1L, 11L), (1L, 12L))) // 13 touches only at hi (half-open)
   }
 
+  // ---- plan-shape pins: the Scaladoc scale claims, asserted -------------
+
+  private def exchangesOf(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+  }
+
+  test("asofJoinForward plans exactly ONE key shuffle (union + one window)") {
+    val l = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "t")
+    val r = Seq((2L, 1L, 7L)).toDF("event_id", "user_id", "t")
+    val df = Temporal.asofJoinForward(l, r, "user_id", "t", "event_id", Seq("event_id"))
+    assert(exchangesOf(df) === 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("asofJoinNearest plans ONE key shuffle shared by both window directions") {
+    val l = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "t")
+    val r = Seq((2L, 1L, 7L)).toDF("event_id", "user_id", "t")
+    val df = Temporal.asofJoinNearest(l, r, "user_id", "t", "event_id", Seq("event_id"))
+    assert(exchangesOf(df) === 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("overlapJoinBinned plans shuffle joins only — no broadcast, no nested loop") {
+    // both sides must stay shuffle-partitionable: a BNLJ or a forced
+    // broadcast here is exactly the 100-TB failure the binning avoids
+    val a = (1L to 50L).map(i => (i, i * 10L, i * 10L + 25L)).toDF("id_a", "lo_a", "hi_a")
+    val b = (1L to 50L).map(i => (i, i * 7L, i * 7L + 12L)).toDF("id_b", "lo_b", "hi_b")
+    val df = Temporal.overlapJoinBinned(a, b, binSize = 16L,
+      "id_a", "lo_a", "hi_a", "id_b", "lo_b", "hi_b")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("overlapJoinBinned rejects non-positive bin size") {
     val d = Seq((1L, 0L, 1L)).toDF("id", "lo", "hi")
     intercept[IllegalArgumentException] {
