@@ -541,6 +541,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
     }),
+    "q_prefix_jaccard" -> ((s, dir) =>
+      // EXACT trigram-Jaccard self-join via prefix filtering (AllPairs/
+      // PPJoin) — deterministic counterpart of the MinHash tier; the
+      // oracle is an independent naive all-pairs join, so it checks the
+      // pruning logic, not a replay of it.
+      Dedup.prefixJaccardJoin(table(s, dir, "documents"), threshold = 0.3)),
     "q_similarity_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8L)
@@ -635,6 +641,11 @@ object SparkEntry {
     }),
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(table(s, dir, "documents"), k = 3)),
+    "q_bm25" -> ((s, dir) =>
+      // BM25 retrieval for a fixed 3-term query — the search-scoring
+      // counterpart of q_tfidf; corpus side is one doc-keyed agg pass.
+      TextAnalysis.bm25TopK(table(s, dir, "documents"),
+        queryTerms = Seq("join", "vector", "spark"), k = 10)),
     "q_unigram_logprob" -> ((s, dir) =>
       // KenLM-shaped unigram quality score; corpus frequency is a window,
       // never a broadcast (vocabulary-sized — same discipline as q_tfidf).
@@ -1957,6 +1968,20 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(len(list_intersect(a.sh, b.sh))*1.0/len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_prefix_jaccard" ->
+      // INDEPENDENT naive all-pairs oracle (no prefix-filter replay):
+      // checks the pruning keeps every qualifying pair
+      s"""WITH $shingleCte,
+         |ts AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM ts GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap
+         |       FROM ts a JOIN ts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, overlap, sa.s AS size_a, sb.s AS size_b,
+         |    CAST(overlap AS DOUBLE) / (sa.s + sb.s - overlap) AS jac
+         |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.3""".stripMargin,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,
          |scored AS (
@@ -2173,6 +2198,29 @@ object SparkEntry {
     "q_unigram_logprob" ->
       s"""WITH $unigramCte
          |SELECT doc_id, n_tokens, avg_neg_logprob FROM u""".stripMargin,
+    "q_bm25" ->
+      // Lucene-form idf ln(1 + (N-df+0.5)/(df+0.5)); k1=1.2, b=0.75;
+      // round-6 before ranking, doc_id tie-break — mirrors bm25TopK exactly
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('join', 'vector', 'spark') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc),
+        |scored AS (
+        |  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    round(SUM(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN perdoc USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, n_matched, score, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
     "q_perplexity_sample" ->
       // exact percentile cutpoints over 1e6 fixed-point scores; bucket
       // comparisons are integer-vs-interpolated (never ulp-ambiguous);

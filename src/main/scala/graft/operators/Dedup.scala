@@ -621,4 +621,56 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_overlap_grams"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family): every document pair whose distinct-shingle
+    * Jaccard is >= `threshold`, with no approximation — the deterministic
+    * counterpart of [[nearDupMinhash]] (which trades recall for fewer
+    * candidates). Pigeonhole bound: J(A,B) >= t implies |A∩B| >= t·|A|, so
+    * any qualifying partner must share one of A's `|A| - ceil(t·|A|) + 1`
+    * rarest shingles ("rarest" by a global (doc-frequency, shingle) order —
+    * rare shingles have few owners, so the candidate equi-join on prefix
+    * shingles stays small; frequency is a COUNT window over the shingle
+    * column, vocabulary-sized and never broadcast). Candidates are then
+    * verified exactly: pair × full shingle sets, overlap counted, final
+    * Jaccard filter. A float wobble in ceil() can only ADD candidates
+    * (longer prefix), never drop a true pair — exactness rests on the
+    * verify step alone. Every stage is a shuffle join or window: no
+    * all-pairs compare, no broadcast ceiling, no driver state. */
+  def prefixJaccardJoin(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val ts = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleN)).as("tok"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val ranked = ts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("s", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("s") - ceil(lit(threshold) * col("s")) + 1)
+      .select(col(idCol), col("tok"), col("s"))
+    val cands = prefix.select(col(idCol).as("doc_a"), col("tok"), col("s").as("sa"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("tok"), col("s").as("sb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(ts.select(col(idCol).as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(ts.select(col(idCol).as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).cast("long").as("overlap"))
+      .withColumn("jaccard",
+        col("overlap").cast("double") /
+          (col("sa") + col("sb") - col("overlap")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("overlap"),
+        col("sa").cast("long").as("size_a"), col("sb").cast("long").as("size_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

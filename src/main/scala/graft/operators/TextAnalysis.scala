@@ -572,4 +572,62 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
   }
+
+  /** BM25 retrieval: top-k documents for a fixed bag of query terms
+    * (Robertson/Sparck-Jones weighting in the Lucene `+1` idf form, so
+    * weights stay positive even for terms in most documents). The whole
+    * corpus-side computation is ONE doc-keyed aggregation over the exploded
+    * tokens: document length and each query term's tf come out of the same
+    * hash-agg pass as conditional counts (the pivot is query-width — a
+    * handful of columns — never vocabulary-width). Document frequency and
+    * the corpus stats are then aggregates of that per-doc table: `dfreq` is
+    * at most |query| rows and `stats` is one row, so both broadcasts are
+    * small BY CONSTRUCTION — unlike a vocabulary-sized table, they cannot
+    * grow with the corpus. Scores are rounded to 6 places before ranking;
+    * ties break on doc_id ascending; top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size, "queryTerms must be distinct")
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$i")
+    }
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("dl"), tfCols: _*)
+    // narrow unpivot of the query-width tf columns back to (doc, term, tf)
+    val stacked = perDoc
+      .select(col("doc_id"), col("dl"),
+        explode(map(queryTerms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"__tf_$i"))
+        }: _*)).as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
+    val dfreq = stacked.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = stacked
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        round(sum(idf * tfNorm), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    // rank assignment runs on the k surviving rows only
+    top.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+  }
 }
