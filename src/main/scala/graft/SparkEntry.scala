@@ -547,6 +547,16 @@ object SparkEntry {
       // oracle is an independent naive all-pairs join, so it checks the
       // pruning logic, not a replay of it.
       Dedup.prefixJaccardJoin(table(s, dir, "documents"), threshold = 0.3)),
+    "q_pagerank" -> ((s, dir) => {
+      // Fixed-iteration PageRank over the customer->supplier purchase
+      // graph (supplier ids offset out of the customer key space).
+      val edges = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+    }),
     "q_similarity_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8L)
@@ -1982,6 +1992,7 @@ object SparkEntry {
          |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.3""".stripMargin,
+    "q_pagerank" -> pagerankOracle,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,
          |scored AS (
@@ -2903,6 +2914,33 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
 
   /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
+  /** Unrolled fixed-iteration PageRank replay — the iteration count is a
+    * compile-time constant, so the oracle is 5 mechanical CTE blocks.
+    * `(1 - 0.85)` is spelled as the same IEEE subtraction Spark performs
+    * (`lit(1.0 - damping)`) so both engines use the identical constant. */
+  private val pagerankOracle: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+        |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+        |p0 AS (SELECT id, 1.0/n.n AS pr FROM v CROSS JOIN n)""".stripMargin
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT v.id,
+         |    (1 - 0.85)/n.n + 0.85*COALESCE(SUM(p.pr/od.odeg), 0) AS pr
+         |  FROM v CROSS JOIN n
+         |  LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN p${i - 1} p ON p.id = e.src
+         |  LEFT JOIN od ON od.src = e.src
+         |  GROUP BY v.id, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iterCtes\nSELECT id, round(pr, 8) AS pagerank FROM p5"
+  }
+
   private val shingleCte: String =
     """toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
       |sh AS (SELECT doc_id,

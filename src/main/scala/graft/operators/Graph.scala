@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics. Connected components (pointer-jumping) lives
+  * with the dedup pipeline in [[Dedup.connectedComponents]]; this object
+  * holds the rank-propagation family. */
+object Graph {
+
+  /** PageRank with a FIXED iteration count — deterministic by construction
+    * (no convergence test, so every engine that replays the same iterations
+    * gets the same ranks; the DuckDB oracle unrolls them as CTEs).
+    *
+    * Semantics: `pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u)/outdeg(u)`,
+    * dangling mass NOT redistributed (documented leak — keeps each
+    * iteration one join + one aggregate, and the oracle exact).
+    *
+    * Scale shape: `edges` is shuffled on `src` ONCE into `bySrc` and every
+    * iteration's contribution join reuses that partitioning (outdeg rides
+    * the edge rows, so the join is rank-table-sized, not edge-table-sized
+    * on the build side). Each iteration is one shuffle join + one dst-keyed
+    * aggregate — the minimum for rank propagation without a vertex-cut
+    * abstraction. Rank and vertex tables stay vertex-cardinality
+    * throughout; nothing is collected to the driver. For iteration counts
+    * beyond ~20, insert a localCheckpoint every k iterations to cap plan
+    * growth (fixed small iters here, so lineage stays shallow). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nRow = verts.agg(count(lit(1)).cast("double").as("n"))
+    // outdeg rides each edge row so the per-iteration join needs only the
+    // current rank table on the other side
+    val bySrc = e
+      .withColumn("odeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+          .cast("double"))
+    var pr = verts.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iters).foreach { _ =>
+      val mass = bySrc.join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("odeg")).as("mass"))
+      pr = verts.crossJoin(broadcast(nRow))
+        .join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("id"), round(col("pr"), 8).as("pagerank"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Graph
+
+/** Fixed-iteration PageRank vs an in-memory reference on random digraphs. */
+class GraphSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def prRef(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size.toDouble
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    val in = e.groupBy(_._2)
+    var pr = verts.map(v => v -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      pr = verts.map { v =>
+        val mass = in.getOrElse(v, Seq.empty).map { case (s, _) => pr(s) / out(s) }.sum
+        v -> ((1.0 - d) / n + d * mass)
+      }.toMap
+    }
+    pr.map { case (v, p) =>
+      v -> BigDecimal(p).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  private def randomEdges(seed: Long): Seq[(Long, Long)] = {
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      n <- Gen.choose(8, 60)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    } yield es.filter { case (a, b) => a != b }
+    gen(Gen.Parameters.default, rng.Seed(seed)).get
+  }
+
+  test("pageRank property: equals in-memory reference incl. dangling and source-only nodes") {
+    (1 to 8).foreach { sample =>
+      val edges = randomEdges(sample.toLong)
+      if (edges.nonEmpty) {
+        val expected = prRef(edges, iters = 5)
+        val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 5)
+          .as[(Long, Double)].collect().toMap
+        assert(got.keySet === expected.keySet, s"sample $sample vertex sets")
+        got.foreach { case (v, p) =>
+          assert(math.abs(p - expected(v)) <= 2e-8, s"sample $sample vertex $v: $p vs ${expected(v)}")
+        }
+      }
+    }
+  }
+
+  test("pageRank mass: total rank <= 1 and equals 1 when no dangling nodes") {
+    // a cycle has no dangling vertices: mass is conserved exactly
+    val cycle = (0L to 9L).map(i => (i, (i + 1) % 10))
+    val total = Graph.pageRank(cycle.toDF("src", "dst"), "src", "dst", iters = 5)
+      .agg(org.apache.spark.sql.functions.sum("pagerank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-6)
+    // dangling sink leaks mass: total strictly below 1
+    val chain = Seq((1L, 2L), (2L, 3L))
+    val leaked = Graph.pageRank(chain.toDF("src", "dst"), "src", "dst", iters = 5)
+      .agg(org.apache.spark.sql.functions.sum("pagerank")).as[Double].head()
+    assert(leaked < 1.0 - 1e-3)
+  }
+
+  test("pageRank rejects bad iteration count and damping") {
+    val d = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", iters = 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", damping = 1.0) }
+  }
+}
