@@ -834,6 +834,38 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }),
+    "q_retention" -> ((s, dir) => {
+      // Cohort retention triangle over the events table (first-active-day
+      // cohorts, distinct actives per day offset 0..7).
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.cohortRetention(ev, maxOffsetDays = 7)
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // view -> click -> purchase funnel, first-touch ordered semantics;
+      // -1 sentinels for unreached steps keep the schema oracle-stable.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize
+        .funnel(ev, Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1"),
+          coalesce(col("t2"), lit(-1L)).as("t2"),
+          coalesce(col("t3"), lit(-1L)).as("t3"),
+          col("stage"))
+    }),
+    "q_listagg" -> ((s, dir) =>
+      // Ordered string aggregation (LISTAGG/string_agg parity). Spark's
+      // collect_list is partition-order-nondeterministic, so the total
+      // order is imposed INSIDE the aggregate: sort the (key, value)
+      // structs (orderkey unique -> deterministic), then project values.
+      table(s, dir, "orders")
+        .filter(col("o_custkey") % 50L === 0L)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("o_orderkey"), col("o_orderpriority")))),
+              x => x.getField("o_orderpriority")),
+            ",").as("priorities"))),
     "q_percentile" -> ((s, dir) =>
       // Exact percentiles (linear interpolation) over integer cents — the
       // sort-based exact path; approx_percentile is the 100 TB variant.
@@ -2395,6 +2427,39 @@ object SparkEntry {
         |SELECT tier, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM v JOIN tiers ON cents >= lo AND cents < hi
         |GROUP BY tier""".stripMargin,
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS offset,
+        |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY cohort_day, day - cohort_day""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_ms(ts) >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_ms(ts) >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t1,
+        |  COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3,
+        |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "q_listagg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities
+        |FROM orders WHERE o_custkey % 50 = 0
+        |GROUP BY o_custkey""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(cents, 0.5), 6) AS p50,

@@ -288,4 +288,70 @@ object Sessionize {
       .groupBy(col(key))
       .agg(countDistinct(col("session_id")).as("n_sessions"))
       .filter(col("n_sessions") > 1L)
+
+  /** Cohort retention: users grouped by first-active day (their cohort),
+    * counted distinct on each later activity-day offset — the standard
+    * retention triangle. Two key-hashed aggregates and one key-hashed join
+    * (co-partitioned, the cohort table is user-cardinality and stays
+    * distributed — never broadcast by hint; AQE may choose to when small),
+    * then one (cohort, offset)-keyed count-distinct whose cardinality is
+    * days², not users. */
+  def cohortRetention(
+      events: DataFrame,
+      maxOffsetDays: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_ms"): DataFrame = {
+    val dayMs = 86400000L
+    // integer day bucket (div, not double-divide-then-cast — the cast
+    // rounds in some engines; div truncates identically everywhere)
+    val days = events.select(col(keyCol), expr(s"$tsCol div $dayMs").as("day"))
+    val cohorts = days.groupBy(col(keyCol)).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq(keyCol))
+      .select(col(keyCol), col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .filter(col("offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
+  /** Ordered funnel, first-touch semantics: per key, `t1` is the earliest
+    * step-1 event, and each later `tK` is the earliest step-K event
+    * AT-OR-AFTER `t(K-1)` — so a user counts for step K only if the steps
+    * happened in order. `stage` is the furthest step reached; users who
+    * never performed step 1 are absent (a funnel starts at its entry).
+    *
+    * Shape: one filtered aggregate per step, each keyed on `keyCol`, the
+    * step tables chained with keyed joins — every exchange hashes the same
+    * key, so the chain co-partitions and AQE reuses the layout. Step
+    * tables shrink monotonically (each is a subset of the previous step's
+    * completers), so per-step cost falls as the funnel narrows. No windows
+    * over all events, no driver state. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    var tables = Vector(first)
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val k = i + 1
+      val next = events.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol))
+        .join(tables.last.select(col(keyCol), col(s"t$i")), Seq(keyCol))
+        .filter(col(tsCol) >= col(s"t$i"))
+        .groupBy(col(keyCol))
+        .agg(min(col(tsCol)).as(s"t$k"))
+      tables = tables :+ next
+    }
+    val joined = tables.zipWithIndex.drop(1).foldLeft(tables.head) {
+      case (acc, (t, _)) => acc.join(t, Seq(keyCol), "left")
+    }
+    val stage = (2 to steps.size)
+      .map(k => when(col(s"t$k").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    joined.withColumn("stage", stage)
+  }
 }

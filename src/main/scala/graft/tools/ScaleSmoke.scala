@@ -171,6 +171,53 @@ object ScaleSmoke {
           lit("the same duplicated text body repeated verbatim across the giant cluster").as("text"))
       drain(Dedup.nearDupMinhash(giant, 0.5))
     }
+    // round-6 continuation ops: temporal variants share asofJoin's
+    // one-shuffle shape; bm25/prefix-Jaccard/pageRank are the new
+    // multi-stage ops whose scaling claims need pinning
+    time(s"asofJoinForward+Nearest x$mult") {
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      drain(Temporal.asofJoinForward(p, c, "user_id", "ts_ms", "event_id", Seq("event_id")))
+      drain(Temporal.asofJoinNearest(p, c, "user_id", "ts_ms", "event_id", Seq("event_id")))
+    }
+    time(s"overlapJoinBinned x$mult (fixed b side)") {
+      val day = 86400000L
+      val od = unix_millis(col("o_orderdate").cast("timestamp"))
+      val a = multiply(
+        graft.SparkEntry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")), "o_orderkey", mult, 10_000_000L)
+        .select(col("o_orderkey"), od.as("lo_a"),
+          (od + (pmod(col("o_orderkey"), lit(20L)) + 1L) * day).as("hi_a"))
+      val epoch92 = unix_millis(to_timestamp(lit("1992-01-01")))
+      val b = graft.SparkEntry.table(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        (epoch92 + col("n_nationkey").cast("long") * 60L * day).as("lo_b"),
+        (epoch92 + col("n_nationkey").cast("long") * 60L * day + 90L * day).as("hi_b"))
+      drain(Temporal.overlapJoinBinned(a, b, 30L * day,
+        "o_orderkey", "lo_a", "hi_a", "n_nationkey", "lo_b", "hi_b"))
+    }
+    time(s"bm25TopK x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.bm25TopK(
+        docs, Seq("join", "vector", "spark"), k = 10)))
+    time(s"prefixJaccardJoin x${math.max(1, mult / 5)}")(
+      drain(Dedup.prefixJaccardJoin(docs, threshold = 0.3)))
+    time(s"pageRank x$mult (disjoint graph copies)") {
+      val e0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10_000_000L).as("dst"))
+      val edges = (0 until mult).map { i =>
+        e0.select((col("src") + lit(i * 20_000_000L)).as("src"),
+          (col("dst") + lit(i * 20_000_000L)).as("dst"))
+      }.reduce(_ unionByName _)
+      drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5))
+    }
     spark.stop()
   }
 }

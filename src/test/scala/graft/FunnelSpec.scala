@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel semantics vs an in-memory reference. */
+class FunnelSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "ts_ms")
+
+  test("funnel: out-of-order steps do not count") {
+    // user 1: click happens BEFORE the first view -> stage stops at 1
+    // user 2: proper view -> click -> purchase
+    val df = ev(
+      (1L, "click", 5L), (1L, "view", 10L),
+      (2L, "view", 1L), (2L, "click", 2L), (2L, "purchase", 3L),
+      (3L, "click", 1L)) // never viewed: absent
+    val r = Sessionize.funnel(df, Seq("view", "click", "purchase"))
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 3L))
+  }
+
+  test("funnel: equal timestamps are at-or-after inclusive") {
+    val df = ev((1L, "view", 5L), (1L, "click", 5L), (1L, "purchase", 5L))
+    val r = Sessionize.funnel(df, Seq("view", "click", "purchase"))
+      .select("user_id", "t1", "t2", "t3", "stage")
+      .as[(Long, Long, Option[Long], Option[Long], Long)].head()
+    assert(r === ((1L, 5L, Some(5L), Some(5L), 3L)))
+  }
+
+  test("funnel property: equals brute-force first-touch chain") {
+    import org.scalacheck.{Gen, rng}
+    val types = Vector("view", "click", "purchase", "error")
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(5, 80)
+        rows <- Gen.listOfN(n,
+          Gen.zip(Gen.choose(1L, 6L), Gen.oneOf(types), Gen.choose(0L, 30L)))
+      } yield rows
+      val rows = gen(Gen.Parameters.default, rng.Seed(sample.toLong)).get
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val t1 = es.filter(_._2 == "view").map(_._3).minOption
+        t1.map { v =>
+          val t2 = es.filter(e => e._2 == "click" && e._3 >= v).map(_._3).minOption
+          val t3 = t2.flatMap(c =>
+            es.filter(e => e._2 == "purchase" && e._3 >= c).map(_._3).minOption)
+          u -> ((v, t2, t3, 1L + t2.size + t3.size))
+        }
+      }
+      val got = Sessionize.funnel(ev(rows: _*).repartition(5), Seq("view", "click", "purchase"))
+        .select("user_id", "t1", "t2", "t3", "stage")
+        .as[(Long, Long, Option[Long], Option[Long], Long)].collect()
+        .map { case (u, a, b, c, s) => u -> ((a, b, c, s)) }.toMap
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("funnel rejects degenerate step lists") {
+    val d = ev((1L, "view", 1L))
+    intercept[IllegalArgumentException] { Sessionize.funnel(d, Seq("view")) }
+    intercept[IllegalArgumentException] { Sessionize.funnel(d, Seq("view", "view")) }
+  }
+
+  test("cohortRetention property: equals brute-force triangle") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 6).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(5, 60)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 12L)))
+      } yield rows
+      val rows = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 30L)).get
+      val dayMs = 86400000L
+      val df = rows.map { case (u, d) => (u, "view", d * dayMs + u) }
+        .toDF("user_id", "event_type", "ts_ms")
+      val byUser = rows.groupBy(_._1)
+      val expected = byUser.toSeq.flatMap { case (u, es) =>
+        val cohort = es.map(_._2).min
+        es.map(_._2).distinct.map(d => (cohort, d - cohort) -> u)
+      }.filter(_._1._2 <= 7L)
+        .groupBy(_._1).map { case (k, us) => k -> us.map(_._2).distinct.size.toLong }
+      val got = Sessionize.cohortRetention(df, maxOffsetDays = 7)
+        .as[(Long, Long, Long)].collect()
+        .map { case (c, o, n) => (c, o) -> n }.toMap
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("listagg query is deterministic under repartition at sf0.001") {
+    val a = SparkEntry.queries("q_listagg")(spark, sf0001)
+      .orderBy("o_custkey").as[(Long, Long, String)].collect().toSeq
+    assert(a.nonEmpty)
+    // concatenation order is imposed inside the aggregate -> stable
+    val b = SparkEntry.queries("q_listagg")(spark, sf0001)
+      .orderBy("o_custkey").as[(Long, Long, String)].collect().toSeq
+    assert(a === b)
+    assert(a.forall(_._3.split(",").nonEmpty))
+  }
+}
