@@ -1136,6 +1136,23 @@ object SparkEntry {
       runToMemory(s, agg, "update")
     }),
 
+    "q_stream_funnel" -> ((s, dir) => {
+      // Streaming ordered funnel: flatMapGroupsWithState with three-long
+      // per-user state (no event buffering). Single-file source = one
+      // microbatch, so the update stream equals the batch funnel — the
+      // oracle is literally q_funnel's.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .otherwise(3).as("step"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[graft.streaming.StreamingFunnel.Ev]
+      runToMemory(s, graft.streaming.StreamingFunnel.funnel3(ev).toDF(), "update")
+    }),
+
     "q_stream_foreach_merge" -> ((s, dir) => {
       // foreachBatch incremental-merge sink (MergeSink): update-mode per-user
       // counts merged into a versioned parquet serving table batch by batch —
@@ -2436,25 +2453,9 @@ object SparkEntry {
         |FROM d JOIN c USING (user_id)
         |WHERE day - cohort_day <= 7
         |GROUP BY cohort_day, day - cohort_day""".stripMargin,
-    "q_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t2
-        |  FROM events e JOIN s1 USING (user_id)
-        |  WHERE event_type = 'click' AND epoch_ms(ts) >= s1.t1
-        |  GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t3
-        |  FROM events e JOIN s2 USING (user_id)
-        |  WHERE event_type = 'purchase' AND epoch_ms(ts) >= s2.t2
-        |  GROUP BY e.user_id)
-        |SELECT s1.user_id, t1,
-        |  COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3,
-        |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "q_funnel" -> funnelOracle,
+    // single-batch stream == batch funnel (see the query's doc comment)
+    "q_stream_funnel" -> funnelOracle,
     "q_listagg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities
@@ -2979,6 +2980,28 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
 
   /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
+  /** First-touch ordered funnel (view→click→purchase), shared by the batch
+    * query and its single-batch-deterministic streaming twin. */
+  private val funnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND epoch_ms(ts) >= s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(ts)) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND epoch_ms(ts) >= s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id, t1,
+      |  COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3,
+      |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   /** Unrolled fixed-iteration PageRank replay — the iteration count is a
     * compile-time constant, so the oracle is 5 mechanical CTE blocks.
     * `(1 - 0.85)` is spelled as the same IEEE subtraction Spark performs
