@@ -834,6 +834,16 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }),
+    "q_gap_fill" -> ((s, dir) => {
+      // Calendar-spine gap fill: per-user daily event counts with missing
+      // days zero-filled between each user's first and last active day.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val perDay = ev
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.TimeSeries.fillBucketGaps(perDay, "user_id", "day", "v")
+    }),
     "q_retention" -> ((s, dir) => {
       // Cohort retention triangle over the events table (first-active-day
       // cohorts, distinct actives per day offset 0..7).
@@ -2444,6 +2454,14 @@ object SparkEntry {
         |SELECT tier, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM v JOIN tiers ON cents >= lo AND cents < hi
         |GROUP BY tier""".stripMargin,
+    "q_gap_fill" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM s)
+        |SELECT spine.user_id, spine.day, CAST(COALESCE(v, 0) AS BIGINT) AS v
+        |FROM spine LEFT JOIN d USING (user_id, day)""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("fillBucketGaps property: equals brute-force spine fill") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(3, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 20L), Gen.choose(1L, 9L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong)).get
+      // pre-aggregate: one value per (key, bucket)
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum) }.toSeq
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        (rs.map(_._2).min to rs.map(_._2).max).map(b => (k, b, m.getOrElse(b, 0L)))
+      }.toSet
+      val got = TimeSeries.fillBucketGaps(
+          perBucket.toDF("k", "b", "v").repartition(5), "k", "b", "v")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("fillBucketGaps: single-bucket keys produce exactly one row, no fill") {
+    val df = Seq((1L, 5L, 7L), (2L, 9L, 1L)).toDF("k", "b", "v")
+    val got = TimeSeries.fillBucketGaps(df, "k", "b", "v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 5L, 7L), (2L, 9L, 1L)))
+  }
+}
