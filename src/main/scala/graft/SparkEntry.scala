@@ -542,11 +542,17 @@ object SparkEntry {
           graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
     }),
     "q_prefix_jaccard" -> ((s, dir) =>
-      // EXACT trigram-Jaccard self-join via prefix filtering (AllPairs/
+      // EXACT 4-gram-Jaccard self-join via prefix filtering (AllPairs/
       // PPJoin) — deterministic counterpart of the MinHash tier; the
       // oracle is an independent naive all-pairs join, so it checks the
-      // pruning logic, not a replay of it.
-      Dedup.prefixJaccardJoin(table(s, dir, "documents"), threshold = 0.3)),
+      // pruning logic, not a replay of it. Shingle width 4, not 3: on
+      // this 31-word vocabulary trigram doc-frequencies are so dense the
+      // prefix filter degenerates (695k candidate pairs at sf0.1 vs 6.3k
+      // with 4-grams — 100× — for the identical 25-pair result; min
+      // true-pair jaccard 0.889 vs threshold 0.5). Shingle width must
+      // scale with vocabulary density, same doctrine as [[shingles]].
+      Dedup.prefixJaccardJoin(table(s, dir, "documents"),
+        threshold = 0.5, shingleN = 4)),
     "q_pagerank" -> ((s, dir) => {
       // Fixed-iteration PageRank over the customer->supplier purchase
       // graph (supplier ids offset out of the customer key space).
@@ -2039,8 +2045,12 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_prefix_jaccard" ->
       // INDEPENDENT naive all-pairs oracle (no prefix-filter replay):
-      // checks the pruning keeps every qualifying pair
-      s"""WITH $shingleCte,
+      // checks the pruning keeps every qualifying pair. 4-gram shingles.
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([tl[i]||'_'||tl[i+1]||'_'||tl[i+2]||'_'||tl[i+3]
+         |                 FOR i IN range(1, len(tl)-2)]) AS sh
+         |  FROM toks WHERE len(tl) >= 4),
          |ts AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM ts GROUP BY doc_id),
          |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap
@@ -2050,7 +2060,7 @@ object SparkEntry {
          |    CAST(overlap AS DOUBLE) / (sa.s + sb.s - overlap) AS jac
          |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
-         |FROM j WHERE jac >= 0.3""".stripMargin,
+         |FROM j WHERE jac >= 0.5""".stripMargin,
     "q_pagerank" -> pagerankOracle,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,

@@ -650,9 +650,16 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
     import org.apache.spark.sql.expressions.Window
-    val shArr = docs
-      .select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // long ids take the fused mapPartitions shingle kernel (the columnar
+    // HOF is interpreted — the CodegenFallback cliff documented on
+    // [[shingleTable]]); other id types keep the columnar path
+    val shArr = (
+      if (docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        shingleSigTable(docs, idCol, textCol, shingleN, numHashes = 0)
+          .select(col(idCol), col("__sh"))
+      else
+        docs.select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("__sh"))
+    ).filter(size(col("__sh")) > 0)
     val ts = shArr.select(col(idCol), explode(col("__sh")).as("tok"))
     val wDoc = Window.partitionBy(col(idCol))
     val ranked = ts
