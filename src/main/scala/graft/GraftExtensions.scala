@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // logical-plan optimization: thresholded levenshtein filters -> banded
     // early-exit form (see the rule's scaladoc for the rewrite + proof)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    // whole-operator custom plan: AsOfJoinPlan -> co-partitioned merge exec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -53,5 +55,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinThresholdRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThresholdRule
+    // extraStrategies are consulted by the same planner AQE re-plans with
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -1514,6 +1514,24 @@ object SparkEntry {
       Sampling.weightedSample(docs, "doc_id", col("w_micro"))
         .select(col("doc_id"), col("n_chars"), col("w_micro"))
     }),
+    "q_asof_merge" -> ((s, dir) => {
+      // Same relation as q_asof_join, computed by the CUSTOM PLAN tier:
+      // AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec (co-partitioned
+      // sorted merge; no union, no window buffer). The shared oracle is
+      // the strongest cross-strategy equivalence check the driver runs.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      graft.operators.Temporal
+        .asofJoinMerge(purchases, clicks, "user_id", "ts_ms", "event_id",
+          payload = Seq("event_id", "ts_ms"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(expr("ts_ms div 1000 - asof_ts_ms div 1000"), lit(-1L)).as("gap_s"))
+    }),
     "q_asof_forward" -> ((s, dir) => {
       // Forward as-of: each purchase matched to the user's NEXT click
       // at-or-after it (lead-time shape). Mirror of q_asof_join.
@@ -2438,24 +2456,9 @@ object SparkEntry {
         |  CAST(list_max(px) AS BIGINT) AS peak_px,
         |  round(CAST(list_sum(px) AS DOUBLE)/(w*h), 6) AS mean_px
         |FROM v""".stripMargin,
-    "q_asof_join" ->
-      """WITH u AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
-        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
-        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
-        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |j AS (
-        |  SELECT *,
-        |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
-        |    LAST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
-        |               ROWS UNBOUNDED PRECEDING))
-        |SELECT event_id, user_id, ms AS ts_ms,
-        |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
-        |  CAST(COALESCE(ms // 1000 - cms // 1000, -1) AS BIGINT) AS gap_s
-        |FROM j WHERE side = 1""".stripMargin,
+    "q_asof_join" -> asofBackwardOracle,
+    // the custom-plan merge computes the identical relation
+    "q_asof_merge" -> asofBackwardOracle,
     "q_range_join" ->
       """WITH tiers(tier, lo, hi) AS (VALUES
         |    ('t0', 0, 10000), ('t1', 10000, 20000), ('t2', 20000, 30000),
@@ -3008,6 +3011,28 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
 
   /** 3-gram word shingles, distinct, joined with '_' (1-based list math). */
+  /** Backward as-of (latest click at-or-before each purchase), shared by
+    * the union+window query and the custom-plan merge query — identical
+    * semantics, different physical strategy. */
+  private val asofBackwardOracle: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |j AS (
+      |  SELECT *,
+      |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
+      |    LAST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, ms AS ts_ms,
+      |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
+      |  CAST(COALESCE(ms // 1000 - cms // 1000, -1) AS BIGINT) AS gap_s
+      |FROM j WHERE side = 1""".stripMargin
+
   /** First-touch ordered funnel (view→click→purchase), shared by the batch
     * query and its single-batch-deterministic streaming twin. */
   private val funnelOracle: String =

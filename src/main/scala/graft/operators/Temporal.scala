@@ -65,6 +65,52 @@ object Temporal {
         payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** As-of join through the custom whole-operator plan
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * IDENTICAL semantics to [[asofJoin]] (latest at-or-before per key,
+    * largest-tie tie-break, null payload on no match), different physical
+    * strategy — each side is hash-clustered and sorted independently and a
+    * single-pass merge tracks one candidate row per key, instead of
+    * sorting a null-padded union through a window. Key/time/tie must be
+    * LongType. Cross-checked row-for-row against asofJoin in
+    * AsOfJoinExecSpec. */
+  def asofJoinMerge(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      tieCol: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(Seq(key, timeCol, tieCol).forall(c => right.schema(c).dataType == LongType) &&
+      left.schema(key).dataType == LongType && left.schema(timeCol).dataType == LongType,
+      "asofJoinMerge requires LongType key/time/tie columns")
+    graft.GraftExtensions.install(left.sparkSession)
+    val payloadAttrs = payload.map { p =>
+      val f = right.schema(p)
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"asof_$p", f.dataType, nullable = true)()
+    }
+    val lPlan = left.queryExecution.analyzed
+    // alias every right column: Alias mints fresh exprIds, so a self-join
+    // (left and right derived from one scan) presents no duplicate
+    // attributes — otherwise DeduplicateRelations re-aliases the right
+    // child AFTER we resolved our references and they go stale (the
+    // optimizer then prunes the right side to nothing)
+    val rPlan = right
+      .select((Seq(key, timeCol, tieCol) ++ payload).distinct.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val plan = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attrOf(lPlan, key), attrOf(lPlan, timeCol),
+      attrOf(rPlan, key), attrOf(rPlan, timeCol), attrOf(rPlan, tieCol),
+      payload.map(attrOf(rPlan, _)), payloadAttrs)
+    org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
+  }
+
   /** Forward as-of join: for each `left` row, attach the payload of the
     * EARLIEST `right` row with the same `key` and `right.time >= left.time`
     * ("first value at-or-after" — the lead-time / next-event analogue of
