@@ -174,6 +174,14 @@ object ScaleSmoke {
     // round-6 continuation ops: temporal variants share asofJoin's
     // one-shuffle shape; bm25/prefix-Jaccard/pageRank are the new
     // multi-stage ops whose scaling claims need pinning
+    time(s"asofJoinMerge (custom exec) x$mult") {
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      drain(Temporal.asofJoinMerge(p, c, "user_id", "ts_ms", "event_id", Seq("event_id")))
+    }
     time(s"asofJoinForward+Nearest x$mult") {
       val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
       val p = ev.filter(col("event_type") === "purchase")
