@@ -461,6 +461,19 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"), (col("k") % 10L).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    "q_variant" -> ((s, dir) =>
+      // Spark-4 VARIANT ingestion: parse_json -> VariantType -> typed
+      // variant_get extraction (the modern semi-structured path next to
+      // q_json_extract's string-functions path). try_variant_get on a
+      // missing field pins null-not-error semantics.
+      table(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'long')").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(col("miss")).cast("long").as("n_absent"))),
     "q_string_date" -> ((s, dir) =>
       // String + date scalar functions over events, aggregated per day bucket.
       table(s, dir, "events")
@@ -1995,6 +2008,12 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS BIGINT)
+        |    AS n_absent
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_string_date" ->
       """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
         |  CAST(day(ts) AS BIGINT) AS d,
