@@ -461,6 +461,39 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"), (col("k") % 10L).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+    "q_xml_source" -> ((s, dir) => {
+      // Native XML ingestion (from_xml, Spark 4): parse-your-own-synthesis
+      // pattern (as q_pii_redact/q_multimodal_*) — serialize order fields
+      // to XML, parse back with an explicit schema, aggregate. The oracle
+      // reconstructs the expectation from the source columns directly, so
+      // it checks the round-trip, not a replay of it.
+      val xml = format_string("<o><k>%s</k><p>%s</p><c>%s</c></o>",
+        col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      table(s, dir, "orders")
+        .withColumn("x", from_xml(xml, org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, p STRING, c BIGINT")))
+        .groupBy(col("x.p").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x.k")).as("sum_keys"),
+          sum(col("x.c")).as("sum_cents"))
+    }),
+    "q_lateral_join" -> ((s, dir) => {
+      // LATERAL correlated subquery (per-outer-row aggregate) — the SQL
+      // surface Catalyst decorrelates into a join; oracle runs the same
+      // ANSI shape in DuckDB.
+      table(s, dir, "customer").createOrReplaceTempView("v_customer")
+      table(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c.c_custkey, x.n_orders, x.max_cents
+        FROM v_customer c,
+        LATERAL (
+          SELECT COUNT(*) AS n_orders,
+            CAST(COALESCE(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), -1) AS BIGINT)
+              AS max_cents
+          FROM v_orders o WHERE o.o_custkey = c.c_custkey) x
+        WHERE c.c_custkey % 20 = 0""")
+    }),
     "q_variant" -> ((s, dir) =>
       // Spark-4 VARIANT ingestion: parse_json -> VariantType -> typed
       // variant_get extraction (the modern semi-structured path next to
@@ -2008,6 +2041,21 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_xml_source" ->
+      // reconstructed from source columns — checks the XML round-trip
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, x.n_orders, x.max_cents
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(COALESCE(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), -1) AS BIGINT)
+        |      AS max_cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) x
+        |WHERE c.c_custkey % 20 = 0""".stripMargin,
     "q_variant" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
