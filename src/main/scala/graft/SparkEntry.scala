@@ -1578,6 +1578,23 @@ object SparkEntry {
           coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
           coalesce(expr("ts_ms div 1000 - asof_ts_ms div 1000"), lit(-1L)).as("gap_s"))
     }),
+    "q_asof_merge_fwd" -> ((s, dir) => {
+      // Forward direction of the custom merge exec — next click
+      // at-or-after each purchase, no buffered row at all (the sorted
+      // right lookahead IS the match). Shares q_asof_forward's oracle.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      graft.operators.Temporal
+        .asofJoinMerge(purchases, clicks, "user_id", "ts_ms", "event_id",
+          payload = Seq("event_id", "ts_ms"), forward = true)
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("asof_ts_ms") - col("ts_ms"), lit(-1L)).as("lead_ms"))
+    }),
     "q_asof_forward" -> ((s, dir) => {
       // Forward as-of: each purchase matched to the user's NEXT click
       // at-or-after it (lead-time shape). Mirror of q_asof_join.
@@ -1780,27 +1797,9 @@ object SparkEntry {
     "q_sessionize_gap" -> gapSessionizeSql,
     // incremental stitching must reproduce the full recompute exactly
     "q_sessionize_incremental" -> gapSessionizeSql,
-    "q_asof_forward" ->
-      // mirror of the q_asof_join replay: FIRST_VALUE over the FOLLOWING
-      // frame; purchases sort before equal-time clicks (side 0 < 1) so
-      // at-or-after is inclusive
-      """WITH u AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
-        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
-        |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
-        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |j AS (
-        |  SELECT *,
-        |    FIRST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
-        |    FIRST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
-        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT event_id, user_id, ms AS ts_ms,
-        |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
-        |  CAST(COALESCE(cms - ms, -1) AS BIGINT) AS lead_ms
-        |FROM j WHERE side = 0""".stripMargin,
+    "q_asof_forward" -> asofForwardOracle,
+    // forward direction of the custom merge exec: identical relation
+    "q_asof_merge_fwd" -> asofForwardOracle,
     "q_asof_nearest" ->
       // both directions on one pass: backward frame orders clicks BEFORE
       // equal-time purchases (side_b 0 < 1), forward frame the reverse
@@ -3099,6 +3098,29 @@ object SparkEntry {
       |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
       |  CAST(COALESCE(ms // 1000 - cms // 1000, -1) AS BIGINT) AS gap_s
       |FROM j WHERE side = 1""".stripMargin
+
+  /** Forward as-of (next click at-or-after each purchase): FIRST_VALUE
+    * over the FOLLOWING frame; purchases sort before equal-time clicks
+    * (side 0 < 1) so at-or-after is inclusive. Shared by the union+window
+    * query and the forward custom-merge query. */
+  private val asofForwardOracle: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |j AS (
+      |  SELECT *,
+      |    FIRST_VALUE(c_id IGNORE NULLS) OVER w AS cid,
+      |    FIRST_VALUE(c_ms IGNORE NULLS) OVER w AS cms
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, ms AS ts_ms,
+      |  CAST(COALESCE(cid, -1) AS BIGINT) AS click_event_id,
+      |  CAST(COALESCE(cms - ms, -1) AS BIGINT) AS lead_ms
+      |FROM j WHERE side = 0""".stripMargin
 
   /** First-touch ordered funnel (view→click→purchase), shared by the batch
     * query and its single-batch-deterministic streaming twin. */

@@ -68,11 +68,13 @@ object Temporal {
   /** As-of join through the custom whole-operator plan
     * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
     * IDENTICAL semantics to [[asofJoin]] (latest at-or-before per key,
-    * largest-tie tie-break, null payload on no match), different physical
-    * strategy — each side is hash-clustered and sorted independently and a
-    * single-pass merge tracks one candidate row per key, instead of
-    * sorting a null-padded union through a window. Key/time/tie must be
-    * LongType. Cross-checked row-for-row against asofJoin in
+    * largest-tie tie-break, null payload on no match) — or, with
+    * `forward = true`, to [[asofJoinForward]] (earliest at-or-after,
+    * smallest-tie) — under a different physical strategy: each side is
+    * hash-clustered and sorted independently and a single-pass merge
+    * tracks at most one candidate row per key, instead of sorting a
+    * null-padded union through a window. Key/time/tie must be LongType.
+    * Cross-checked row-for-row against both window forms in
     * AsOfJoinExecSpec. */
   def asofJoinMerge(
       left: DataFrame,
@@ -80,7 +82,8 @@ object Temporal {
       key: String,
       timeCol: String,
       tieCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.LongType
     require(Seq(key, timeCol, tieCol).forall(c => right.schema(c).dataType == LongType) &&
       left.schema(key).dataType == LongType && left.schema(timeCol).dataType == LongType,
@@ -107,7 +110,7 @@ object Temporal {
       lPlan, rPlan,
       attrOf(lPlan, key), attrOf(lPlan, timeCol),
       attrOf(rPlan, key), attrOf(rPlan, timeCol), attrOf(rPlan, tieCol),
-      payload.map(attrOf(rPlan, _)), payloadAttrs)
+      payload.map(attrOf(rPlan, _)), payloadAttrs, forward)
     org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
 

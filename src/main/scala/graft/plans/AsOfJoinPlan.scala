@@ -24,10 +24,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics match asofJoin exactly: latest right row with
   * `right.time <= left.time` per key, ties on equal time broken by the
-  * LARGEST `tie`; left rows with no match get null payload. Key, time and
-  * tie are LongType (enforced by the API builder); null-keyed or
-  * null-timed right rows are skipped, left rows with nulls get null
-  * payload.
+  * LARGEST `tie`; left rows with no match get null payload. With
+  * `forward = true` the direction flips to asofJoinForward's semantics —
+  * earliest right row at-or-after, equal-time ties to the SMALLEST tie —
+  * and the merge needs no buffered row at all (the right lookahead IS the
+  * match). Key, time and tie are LongType (enforced by the API builder);
+  * null-keyed or null-timed right rows are skipped, left rows with nulls
+  * get null payload.
   *
   * The needed columns are held as RESOLVED child attributes, so the
   * node's `references` is accurate and ColumnPruning keeps exactly the
@@ -45,7 +48,8 @@ case class AsOfJoinPlan(
     rTime: Attribute,
     rTie: Attribute,
     payloadRefs: Seq[Attribute],
-    payloadAttrs: Seq[AttributeReference]) extends BinaryNode {
+    payloadAttrs: Seq[AttributeReference],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadAttrs
   override def producedAttributes: AttributeSet = AttributeSet(payloadAttrs)
   override protected def withNewChildrenInternal(
@@ -61,7 +65,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.lKey, p.lTime, p.rKey, p.rTime, p.rTie, p.payloadRefs, p.payloadAttrs) :: Nil
+        p.lKey, p.lTime, p.rKey, p.rTime, p.rTie,
+        p.payloadRefs, p.payloadAttrs, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -83,7 +88,8 @@ case class AsOfJoinExec(
     rTime: Attribute,
     rTie: Attribute,
     payloadRefs: Seq[Attribute],
-    payloadAttrs: Seq[AttributeReference]) extends BinaryExecNode {
+    payloadAttrs: Seq[AttributeReference],
+    forward: Boolean = false) extends BinaryExecNode {
 
   // exprId-first ordinal lookup (name fallback covers re-aliased children)
   private def ordinal(out: Seq[Attribute], a: Attribute): Int = {
@@ -136,8 +142,17 @@ case class AsOfJoinExec(
         }
       }
       advanceRight()
-      // best (= last-seen at-or-before) right row for matchKey, copied out
-      // of the iterator's reused UnsafeRow
+      def mkPayload(row: InternalRow): InternalRow = {
+        val vals = new Array[Any](nPayload)
+        var i = 0
+        while (i < nPayload) {
+          vals(i) = if (row.isNullAt(pOrds(i))) null else row.get(pOrds(i), pTypes(i))
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      // backward direction: best (= last-seen at-or-before) right row for
+      // matchKey, copied out of the iterator's reused UnsafeRow
       var matchRow: InternalRow = null
       var matchKey: Long = 0L
 
@@ -147,25 +162,29 @@ case class AsOfJoinExec(
           else {
             val lk = lRow.getLong(lKeyOrd)
             val lt = lRow.getLong(lTimeOrd)
-            while (rRow != null && {
-              val rk = rRow.getLong(rKeyOrd)
-              rk < lk || (rk == lk && rRow.getLong(rTimeOrd) <= lt)
-            }) {
-              if (rRow.getLong(rKeyOrd) == lk) {
-                matchRow = rRow.copy(); matchKey = lk
+            if (forward) {
+              // earliest at-or-after: skip right rows strictly before
+              // (lk, lt); the lookahead itself is then the match — it is
+              // NOT consumed, so one right row can serve several left rows
+              while (rRow != null && {
+                val rk = rRow.getLong(rKeyOrd)
+                rk < lk || (rk == lk && rRow.getLong(rTimeOrd) < lt)
+              }) advanceRight()
+              if (rRow != null && rRow.getLong(rKeyOrd) == lk) mkPayload(rRow)
+              else nullPayload
+            } else {
+              while (rRow != null && {
+                val rk = rRow.getLong(rKeyOrd)
+                rk < lk || (rk == lk && rRow.getLong(rTimeOrd) <= lt)
+              }) {
+                if (rRow.getLong(rKeyOrd) == lk) {
+                  matchRow = rRow.copy(); matchKey = lk
+                }
+                advanceRight()
               }
-              advanceRight()
+              if (matchRow != null && matchKey == lk) mkPayload(matchRow)
+              else nullPayload
             }
-            if (matchRow != null && matchKey == lk) {
-              val vals = new Array[Any](nPayload)
-              var i = 0
-              while (i < nPayload) {
-                vals(i) = if (matchRow.isNullAt(pOrds(i))) null
-                          else matchRow.get(pOrds(i), pTypes(i))
-                i += 1
-              }
-              new GenericInternalRow(vals)
-            } else nullPayload
           }
         proj(joined(lRow, payloadRow))
       }

@@ -33,6 +33,22 @@ class AsOfJoinExecSpec extends SparkFunSuite {
     }
   }
 
+  test("forward asofJoinMerge equals asofJoinForward row-for-row under ties") {
+    (1 to 10).foreach { sample =>
+      val l = randomTable(sample.toLong + 40L, 9000L).toDF("event_id", "user_id", "t")
+      val r = randomTable(sample.toLong + 540L, 1000L).toDF("event_id", "user_id", "t")
+      def collect(df: DataFrame) =
+        df.select($"event_id", $"asof_event_id", $"asof_t")
+          .as[(Long, Option[Long], Option[Long])].collect().toSet
+      val viaWindow = collect(
+        Temporal.asofJoinForward(l, r, "user_id", "t", "event_id", Seq("event_id", "t")))
+      val viaMerge = collect(
+        Temporal.asofJoinMerge(l, r, "user_id", "t", "event_id", Seq("event_id", "t"),
+          forward = true))
+      assert(viaMerge === viaWindow, s"sample $sample")
+    }
+  }
+
   test("asofJoinMerge survives repartitioned inputs (EnsureRequirements re-clusters)") {
     val l = randomTable(77L, 9000L).toDF("event_id", "user_id", "t")
     val r = randomTable(78L, 1000L).toDF("event_id", "user_id", "t")

@@ -120,6 +120,17 @@ class RetrievalSpec extends SparkFunSuite {
     }
   }
 
+  test("prefixJaccardJoin property holds at the q_prefix_jaccard config (4-grams, t=0.5)") {
+    (1 to 6).foreach { sample =>
+      val docs = corpus(sample.toLong + 200L)
+      val expected = jacRef(docs, 0.5, n = 4)
+      val got = Dedup.prefixJaccardJoin(docs.toDF("doc_id", "text"),
+          threshold = 0.5, shingleN = 4)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
   test("prefixJaccardJoin: docs shorter than the shingle width never pair") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d"), (4L, "a b c d"))
     val got = Dedup.prefixJaccardJoin(docs.toDF("doc_id", "text"), threshold = 0.5)
