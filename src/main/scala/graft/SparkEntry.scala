@@ -599,6 +599,21 @@ object SparkEntry {
       // scale with vocabulary density, same doctrine as [[shingles]].
       Dedup.prefixJaccardJoin(table(s, dir, "documents"),
         threshold = 0.5, shingleN = 4)),
+    "q_bfs_hops" -> ((s, dir) => {
+      // 3-hop BFS over the UNDIRECTED customer<->supplier purchase graph
+      // from a fixed seed set (custkey < 5): min hop count per vertex.
+      val e0 = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val undirected = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = table(s, dir, "customer")
+        .filter(col("c_custkey") < 5L)
+        .select(col("c_custkey").cast("long").as("id"))
+      graft.operators.Graph.bfsHops(undirected, seeds, maxHops = 3)
+    }),
     "q_pagerank" -> ((s, dir) => {
       // Fixed-iteration PageRank over the customer->supplier purchase
       // graph (supplier ids offset out of the customer key space).
@@ -2145,6 +2160,7 @@ object SparkEntry {
          |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.5""".stripMargin,
+    "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,
@@ -3143,6 +3159,29 @@ object SparkEntry {
       |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  /** Unrolled 3-level BFS replay (same unrolling discipline as the
+    * PageRank oracle). */
+  private val bfsOracle: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS hops
+        |       FROM customer WHERE c_custkey < 5)""".stripMargin
+    val levels = (1 to 3).map { h =>
+      s"""d$h AS (
+         |  SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+         |    SELECT id, hops FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, ${h} AS hops
+         |    FROM d${h - 1} f JOIN e ON e.src = f.id WHERE f.hops = ${h - 1})
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$levels\nSELECT id, hops FROM d3"
+  }
 
   /** Unrolled fixed-iteration PageRank replay — the iteration count is a
     * compile-time constant, so the oracle is 5 mechanical CTE blocks.

@@ -66,4 +66,35 @@ object Graph {
     }
     pr.select(col("id"), round(col("pr"), 8).as("pagerank"))
   }
+
+  /** Bounded-depth BFS: minimum hop count from any `sources` row to every
+    * vertex reachable within `maxHops` (unreached vertices are absent).
+    * Each level is one frontier-edge join plus one min-aggregate, both
+    * keyed on the vertex id — the standard distributed BFS; the frontier
+    * filter (`hops = level-1`) keeps settled vertices out of the
+    * expansion, so per-level work is proportional to the frontier's edge
+    * fan-out, not the visited set. Edges are materialized once
+    * (localCheckpoint) since every level joins them. Fixed small depth →
+    * the oracle unrolls levels as CTEs, like [[pageRank]]'s. */
+  def bfsHops(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .withColumn("hops", lit(0L))
+    (1 to maxHops).foreach { h =>
+      val next = dist.filter(col("hops") === (h - 1).toLong)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
 }

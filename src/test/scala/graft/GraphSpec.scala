@@ -64,6 +64,30 @@ class GraphSpec extends SparkFunSuite {
     assert(leaked < 1.0 - 1e-3)
   }
 
+  test("bfsHops property: equals brute-force BFS distances, absent beyond maxHops") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val edges = randomEdges(sample.toLong + 20L)
+      if (edges.nonEmpty) {
+        val seeds = Seq(0L, 1L)
+        val maxHops = 3
+        // brute force: level-synchronous BFS over the directed edge list
+        val adj = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+        var dist = seeds.map(_ -> 0L).toMap
+        (1 to maxHops).foreach { h =>
+          val frontier = dist.collect { case (v, d) if d == h - 1 => v }
+          frontier.flatMap(v => adj.getOrElse(v, Seq.empty)).foreach { n =>
+            if (!dist.contains(n)) dist += n -> h.toLong
+          }
+        }
+        val got = graft.operators.Graph.bfsHops(
+            edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+          .as[(Long, Long)].collect().toMap
+        assert(got === dist, s"sample $sample")
+      }
+    }
+  }
+
   test("pageRank rejects bad iteration count and damping") {
     val d = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", iters = 0) }
