@@ -412,10 +412,20 @@ object SparkEntry {
     }),
     "q_approx_distinct" -> ((s, dir) =>
       // HLL sketch (the 100 TB path for uniq visitors) next to the exact
-      // count. Sketch internals differ across engines -> rows-only check.
-      table(s, dir, "events").agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+      // count. Sketch internals differ across engines, so the ESTIMATE
+      // can't hash-match DuckDB — instead the output carries the exact
+      // count (fully oracled) plus a bounded-error assertion computed
+      // Spark-side: |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 default).
+      // The oracle asserts the exact column and `est_ok = 1`, so an
+      // out-of-bound sketch now FAILS the driver hash gate.
+      table(s, dir, "events")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * lit(0.15)).cast("int").as("est_ok"))),
     "q_grouping_sets" -> ((s, dir) => {
       // GROUPING SETS — the general grouping form (rollup/cube are sugar).
       table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
@@ -774,12 +784,14 @@ object SparkEntry {
     }),
     "q_multimodal_wav" -> ((s, dir) => {
       // REAL binary decode, no codec library: synthesize deterministic PCM
-      // WAV payloads (sine tones parameterized per doc), then parse them
-      // back with the RIFF/PCM byte decoder. Proves the multimodal binary
-      // column carries an actual media format end-to-end — the stub codec
-      // (q_multimodal_decode) stands in only for formats that NEED external
-      // codecs. Synthesis isn't SQL-expressible → rows-only check;
-      // field-level exactness is pinned in ExtensionSpec.
+      // WAV payloads (integer sawtooth tones parameterized per doc), then
+      // parse them back with the RIFF/PCM byte decoder. Proves the
+      // multimodal binary column carries an actual media format end-to-end
+      // — the stub codec (q_multimodal_decode) stands in only for formats
+      // that NEED external codecs. The sawtooth samples are pure int64
+      // formulas, so the ORACLE replays synth + amplitude stats per sample
+      // in SQL (generate_series) and the decode output hash-matches — like
+      // the BMP tier. The sine tier stays spec-pinned in ExtensionSpec.
       import s.implicits._
       val media = table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
@@ -788,13 +800,14 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nc) =>
-          (id, Multimodal.synthesizeWavPcm(
+          (id, Multimodal.synthesizeWavSaw(
             freqHz = (100 + id % 400).toInt,
             nSamples = (500 + nc % 500).toInt))
         })
         .toDF("doc_id", "content")
       Multimodal.decodeWavPcm(media).toDF()
-        .withColumn("mean_abs", round(col("mean_abs"), 6))
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("bits_per_sample"), col("n_samples"), col("peak_abs"), col("sum_abs"))
     }),
     "q_multimodal_image" -> ((s, dir) => {
       // REAL image decode, no codec library: synthesize deterministic
@@ -864,7 +877,9 @@ object SparkEntry {
     }),
     "q_multimodal_decode" -> ((s, dir) =>
       // Batched stub-decode kernel (mapPartitions) — deterministic fake
-      // codec; plumbing is real. No SQL oracle (rows-only check).
+      // codec; plumbing is real. The fake feature hash is md5-based
+      // (Multimodal.fakeDecode) so even the payload-dependent feature
+      // replays in SQL — fully hash-oracled.
       Multimodal.decodeFeatures(Multimodal.asMediaTable(table(s, dir, "documents")))
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
@@ -1085,17 +1100,30 @@ object SparkEntry {
     "q_approx_percentile" -> ((s, dir) =>
       // Sketch-based percentile (approx_percentile) — the 100 TB variant of
       // q_percentile's exact sort-based path: fixed-size mergeable sketch
-      // per group, no full sort. Sketch internals differ across engines ->
-      // rows-only check by design (the exact twin is fully oracled).
+      // per group, no full sort. Sketch values differ across engines, so
+      // the output carries the EXACT percentiles (oracled, same expression
+      // as q_percentile) plus bounded-error assertions: accuracy = 10000
+      // guarantees rank error ≤ n/10000, so each estimate must land within
+      // the exact value envelope at p ± 0.001 (a 10× margin on the rank
+      // guarantee at this sf). The oracle asserts the exact columns and
+      // ok50/ok90/ok99 = 1 — an out-of-bound sketch fails the hash gate.
       table(s, dir, "events")
         .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
         .groupBy(col("event_type"))
-        .agg(expr("approx_percentile(cents, array(0.5D, 0.9D, 0.99D), 10000)").as("p"))
+        .agg(
+          expr("percentile(cents, array(0.499D, 0.5D, 0.501D, 0.899D, 0.9D, 0.901D, 0.989D, 0.99D, 0.991D))").as("pe"),
+          expr("approx_percentile(cents, array(0.5D, 0.9D, 0.99D), 10000)").as("pa"))
         .select(
           col("event_type"),
-          element_at(col("p"), 1).as("ap50"),
-          element_at(col("p"), 2).as("ap90"),
-          element_at(col("p"), 3).as("ap99"))),
+          round(element_at(col("pe"), 2), 6).as("p50"),
+          round(element_at(col("pe"), 5), 6).as("p90"),
+          round(element_at(col("pe"), 8), 6).as("p99"),
+          (element_at(col("pa"), 1) >= floor(element_at(col("pe"), 1)) &&
+            element_at(col("pa"), 1) <= ceil(element_at(col("pe"), 3))).cast("int").as("ok50"),
+          (element_at(col("pa"), 2) >= floor(element_at(col("pe"), 4)) &&
+            element_at(col("pa"), 2) <= ceil(element_at(col("pe"), 6))).cast("int").as("ok90"),
+          (element_at(col("pa"), 3) >= floor(element_at(col("pe"), 7)) &&
+            element_at(col("pa"), 3) <= ceil(element_at(col("pe"), 9))).cast("int").as("ok99"))),
 
     "q_stats_agg" -> ((s, dir) =>
       // Statistical aggregate family (stddev/variance/corr/covar) — both
@@ -1194,8 +1222,10 @@ object SparkEntry {
       // member of the sketch family beside HLL (q_approx_distinct) and the
       // quantile sketch (q_approx_percentile). Support 0.01 on event_type
       // (5 distinct values, all far above 1%) makes the ITEM SET exact and
-      // stable, but the sketch's array order is engine-internal -> rows-only
-      // check; the exact twin is q_token_freq/q_multi_distinct territory.
+      // deterministic: the KPS map holds 1/support = 100 slots, the column
+      // has 5 distinct values, so no decrement ever fires and the sketch
+      // returns exactly the distinct set regardless of partitioning. The
+      // exploded + sorted set therefore oracles as DISTINCT event_type.
       table(s, dir, "events").stat.freqItems(Seq("event_type"), 0.01)
         .select(explode(col("event_type_freqItems")).as("event_type"))
         .orderBy(col("event_type"))),
@@ -1788,22 +1818,37 @@ object SparkEntry {
       result
     }),
     "q_compress_ratio" -> ((s, dir) =>
-      // Deflate-ratio quality signal (Gopher-family): rows-only by design
-      // (DEFLATE output isn't SQL-expressible); CompressionRatioSpec pins
-      // the ordering (repetitive << prose << noise) and determinism.
-      TextAnalysis.compressionRatio(table(s, dir, "documents"))),
-    "q_hll_merge" -> ((s, dir) =>
+      // Deflate quality tier, driver-checkable form: the DEFLATE bit-stream
+      // is engine-internal, so the query emits exact assertions instead —
+      // per-doc inflate(deflate(text)) == text and the zlib size bound —
+      // which the oracle pins to 1 alongside the exact byte length. The
+      // ratio ordering (repetitive << prose << noise) and determinism stay
+      // pinned in CompressionRatioSpec over TextAnalysis.compressionRatio.
+      TextAnalysis.deflateRoundtrip(table(s, dir, "documents"))),
+    "q_hll_merge" -> ((s, dir) => {
       // Mergeable-sketch rollup — the 100 TB distinct-count architecture:
       // per (event_type, day) HLL sketches (Apache DataSketches), merged
-      // upward with hll_union_agg. Sketch bytes aren't SQL-expressible ->
-      // rows-only; ProfilingSamplingSpec pins the estimate vs exact.
-      table(s, dir, "events")
+      // upward with hll_union_agg. Sketch bytes aren't SQL-expressible, so
+      // the output carries the exact merged distinct (oracled) plus a
+      // bounded-error assertion on the merged estimate: lgConfigK = 12 →
+      // rsd ≈ 1.04/√4096 ≈ 1.6%; bound 3·rsd ≈ 5% relative (min 1).
+      // ProfilingSamplingSpec additionally pins estimate-vs-exact shape.
+      val merged = table(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).cast("long").as("n_days"),
-          expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_users"))),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_users"))
+      val exact = table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select(
+          col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= greatest(lit(1L), col("exact_users") * lit(0.05))).cast("int").as("est_ok"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2538,6 +2583,58 @@ object SparkEntry {
         |  CAST(list_max(px) AS BIGINT) AS peak_px,
         |  round(CAST(list_sum(px) AS DOUBLE)/(w*h), 6) AS mean_px
         |FROM v""".stripMargin,
+    "q_multimodal_wav" ->
+      // replays the SAWTOOTH SYNTHESIS formulas per sample (not the bytes):
+      // freq/n from doc_id/n_chars, sample(i) = ((i·freq) mod 8000)·65536
+      // // 8000 − 32768 — the Spark side must parse the actual RIFF/PCM
+      // binary (chunk walk, fmt gate, data scan) to reproduce these stats
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS freq,
+        |    500 + n_chars % 500 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |  [ abs(((i * freq) % 8000) * 65536 // 8000 - 32768) FOR i IN range(0, n) ] AS amp
+        |FROM p)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels, CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(amp) AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(amp) AS BIGINT) AS sum_abs
+        |FROM v""".stripMargin,
+    "q_multimodal_decode" ->
+      // replays the stub codec's formulas: dims from the byte length, f3
+      // from the md5-derived 60-bit payload hash (same bytes: DuckDB md5
+      // hashes the VARCHAR's UTF-8 encoding, the kernel hashes the binary
+      // content column = UTF-8 encode of text)
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS BIGINT) AS height,
+        |  round(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1009 AS DOUBLE), 6) AS f3
+        |FROM documents""".stripMargin,
+    "q_compress_ratio" ->
+      // the deflate bit-stream is engine-internal; the oracle pins the
+      // exact byte length and the two Spark-side assertions to 1 — a
+      // failed round-trip or size bound breaks the hash
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  1 AS roundtrip_ok, 1 AS size_ok
+        |FROM documents""".stripMargin,
+    "q_approx_distinct" ->
+      "SELECT count(DISTINCT user_id) AS exact_users, 1 AS est_ok FROM events",
+    "q_hll_merge" ->
+      """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users, 1 AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(cents, 0.5), 6) AS p50,
+        |  round(quantile_cont(cents, 0.9), 6) AS p90,
+        |  round(quantile_cont(cents, 0.99), 6) AS p99,
+        |  1 AS ok50, 1 AS ok90, 1 AS ok99
+        |FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_freq_items" ->
+      // the KPS sketch is exact here (see the query comment): 100 slots,
+      // 5 distinct values, no decrement ever fires
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_asof_join" -> asofBackwardOracle,
     // the custom-plan merge computes the identical relation
     "q_asof_merge" -> asofBackwardOracle,

@@ -36,13 +36,19 @@ object Multimodal {
         octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
   /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * Derives "dimensions" and an 4-dim "feature vector" purely from payload
-    * bytes so tests and oracles are stable. */
+    * Derives "dimensions" and a 4-dim "feature vector" purely from payload
+    * bytes so tests and oracles are stable. The payload hash is the first
+    * 60 bits of md5 (not an ad-hoc rolling hash) precisely so the feature
+    * values are REPLAYABLE IN SQL — DuckDB computes the identical value as
+    * `CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)`, which is what lets
+    * q_multimodal_decode hash-oracle a payload-dependent feature. */
   private[operators] def fakeDecode(docId: Long, mime: String, content: Array[Byte]): MediaFeatures = {
     val n = content.length.toLong
-    var h = 1125899906842597L // deterministic FNV-ish rolling hash of the payload
+    val md = java.security.MessageDigest.getInstance("MD5").digest(content)
+    // first 15 hex chars = top 60 bits, always non-negative in a Long
+    var h = 0L
     var i = 0
-    while (i < content.length) { h = 31 * h + content(i); i += 1 }
+    while (i < 15) { h = (h << 4) | ((md(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xF); i += 1 }
     MediaFeatures(
       doc_id = docId,
       mime = mime,
@@ -72,6 +78,7 @@ object Multimodal {
       bits_per_sample: Long,
       n_samples: Long,
       peak_abs: Long,
+      sum_abs: Long,
       mean_abs: Double)
 
   /** Deterministic 16-bit mono PCM WAV bytes: a sine tone at `freqHz`.
@@ -96,6 +103,36 @@ object Multimodal {
     var i = 0
     while (i < nSamples) {
       bb.putShort((amplitude * StrictMath.sin(2 * StrictMath.PI * freqHz * i / sampleRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic 16-bit mono PCM WAV bytes: an INTEGER sawtooth tone.
+    * sample(i) = ((i·freqHz mod sampleRate) · 65536) / sampleRate − 32768 —
+    * pure int64 math (truncating division), so the synthesis parameters are
+    * replayable in SQL, which is what makes the WAV decode query
+    * hash-oracle-able (the sine tier's transcendental samples are not; that
+    * path stays spec-pinned in ExtensionSpec). These formulas are PINNED by
+    * the q_multimodal_wav DuckDB oracle — change them only together. */
+  def synthesizeWavSaw(
+      freqHz: Int,
+      nSamples: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val phase = (i.toLong * freqHz) % sampleRate
+      bb.putShort((phase * 65536L / sampleRate - 32768L).toShort)
       i += 1
     }
     bb.array()
@@ -132,7 +169,7 @@ object Multimodal {
               val a = math.abs(bb.getShort(off + 8 + 2 * i).toLong)
               sum += a; if (a > peak) peak = a; i += 1
             }
-            WavFeatures(docId, rate, ch, bits, n / ch, peak,
+            WavFeatures(docId, rate, ch, bits, n / ch, peak, sum,
               if (n == 0) 0d else sum.toDouble / n)
           }
         case _ => () // skip LIST/INFO/etc.

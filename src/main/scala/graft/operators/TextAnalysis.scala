@@ -540,7 +540,12 @@ object TextAnalysis {
         // Deflater holds OFF-HEAP zlib buffers that only end() releases —
         // relying on finalization leaks native memory across thousands of
         // tasks on a long-lived executor (container OOM-kill with zero heap
-        // pressure), so end() runs when the partition iterator drains
+        // pressure). end() runs when the partition iterator drains AND via
+        // a task-completion listener: a consumer that stops early (limit /
+        // take / task kill) never drains the iterator, so the drain hook
+        // alone would still leak on those paths. end() is idempotent.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         def row(id: Long, text: String): (Long, Long, Long, Double) = {
           val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
@@ -571,6 +576,65 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+  }
+
+  /** Deflate round-trip verification: deflate each document, inflate the
+    * result, compare byte-for-byte, and bound-check the deflated size
+    * (0 < n_deflated ≤ n_bytes + 64 — zlib's worst-case stored-block
+    * overhead at these sizes). This is the driver-checkable face of the
+    * compression tier: the DEFLATE bit-stream itself is engine-internal,
+    * but `roundtrip_ok`/`size_ok` are exact assertions a SQL oracle can
+    * pin to 1, which turns the q_compress_ratio family from a rows-only
+    * check into a hash-gated one. Same per-partition codec reuse and
+    * native-buffer lifecycle as [[compressionRatio]]. */
+  def deflateRoundtrip(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val inflater = new java.util.zip.Inflater(false)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            deflater.end(); inflater.end()
+          })
+        def row(id: Long, text: String): (Long, Long, Int, Int) = {
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = new Array[Byte](in.length + 64)
+          var n = 0
+          while (!deflater.finished()) {
+            if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+            n += deflater.deflate(out, n, out.length - n)
+          }
+          inflater.reset()
+          inflater.setInput(out, 0, n)
+          val back = new Array[Byte](in.length)
+          var m = 0
+          while (!inflater.finished() && m < back.length)
+            m += inflater.inflate(back, m, back.length - m)
+          val roundtrip =
+            inflater.finished() && m == in.length && java.util.Arrays.equals(in, back)
+          val sizeOk = n > 0 && n <= in.length + 64
+          (id, in.length.toLong, if (roundtrip) 1 else 0, if (sizeOk) 1 else 0)
+        }
+        new Iterator[(Long, Long, Int, Int)] {
+          def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more) { deflater.end(); inflater.end() }
+            more
+          }
+          def next(): (Long, Long, Int, Int) = {
+            val (id, text) = it.next()
+            row(id, text)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "roundtrip_ok", "size_ok")
   }
 
   /** BM25 retrieval: top-k documents for a fixed bag of query terms

@@ -10,30 +10,20 @@ class ContractSpec extends SparkFunSuite {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("rows-only queries are exactly the declared no-oracle set") {
-    // each entry here is rows-only BY DESIGN (approximate / sequential-state
-    // / stub semantics not expressible in ANSI SQL) and is covered by a
-    // ScalaTest spec instead; adding a query without an oracle fails this
-    // test until it is either oracled or consciously added here
-    val declared = Set(
-      "q_approx_distinct",      // HLL sketch value
-      "q_approx_percentile",    // KLL-ish sketch values
-      "q_freq_items",           // heavy-hitters sketch
-      "q_multimodal_decode",    // stub codec output
-      "q_multimodal_wav",       // synth WAV bytes (sine math not SQL-expressible)
-      "q_compress_ratio",       // DEFLATE bit-stream length (CompressionRatioSpec
-                                // pins ordering + determinism)
-      "q_hll_merge")            // DataSketches HLL binary merge
-                                // (ProfilingSamplingSpec pins vs exact distinct)
-    // round-6 departures: q_similarity_ivf + q_embedding_neardup_lsh
-    // (trainIters = 0 seed centroids are deterministic — the oracle replays
-    // cell assignment and probe ranking) and the three sessionize state-
-    // machine tiers (replayed as a recursive CTE, one state advance per
-    // recursion step). Only sketches and codec-stub output remain
-    // inherently non-SQL-expressible.
+  test("every query has an oracle (no rows-only queries remain)") {
+    // round-7 closure of the last honesty gap: the former rows-only set
+    // (sketches, codec output) is now driver-checkable — estimates ship
+    // next to their exact twin with a bounded-error assertion the oracle
+    // pins to 1 (q_approx_distinct, q_approx_percentile, q_hll_merge),
+    // the WAV tier synthesizes an integer sawtooth whose amplitude stats
+    // replay in SQL (q_multimodal_wav), the stub codec hashes via md5 so
+    // its feature replays in SQL (q_multimodal_decode), the deflate tier
+    // emits round-trip/size assertions (q_compress_ratio), and the
+    // heavy-hitters sketch is provably exact at this cardinality
+    // (q_freq_items). Adding a query without an oracle fails here until
+    // it is oracled — there is no declared exception list anymore.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == declared,
-      s"undeclared rows-only: ${rowsOnly -- declared}; stale declarations: ${declared -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"queries without oracle: $rowsOnly")
   }
 
   test("flagship entry returns rows at sf0.001") {

