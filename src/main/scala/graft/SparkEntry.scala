@@ -2220,9 +2220,11 @@ object SparkEntry {
          |WHERE rank <= 10""".stripMargin,
     "q_similarity_ivf" ->
       // mirrors Similarity.ivfTopK at trainIters = 0: cent = 16 lowest-id
-      // vectors; assign = argmax rounded cosine (tie-break cell asc) over
-      // ALL corpus rows; probes = each query's top-4 cells by the same
-      // ranking; final = exact rank within probed cells only
+      // vectors; assign = top-2 cells by rounded cosine (tie-break cell
+      // asc) over ALL corpus rows (multi-assignment recall trick); probes
+      // = each query's top-4 cells by the same ranking; final = exact rank
+      // within probed cells, DISTINCT pairs first (a vector reachable via
+      // both its cells must rank once)
       s"""WITH $normCte,
          |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
          |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
@@ -2230,7 +2232,7 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
          |    FROM n q CROSS JOIN cent c)
-         |  WHERE r = 1),
+         |  WHERE r <= 2),
          |probes AS (SELECT qid, embedding, nrm, cell FROM (
          |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -2238,10 +2240,12 @@ object SparkEntry {
          |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
          |  WHERE r <= 4)
          |SELECT qid, vec_id, sim, rank FROM (
-         |  SELECT p.qid, a.vec_id, round(${cosineSqlExprAs("p", "a")}, 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY p.qid
-         |      ORDER BY round(${cosineSqlExprAs("p", "a")}, 6) DESC, a.vec_id) AS rank
-         |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id != p.qid)
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM (SELECT DISTINCT p.qid, a.vec_id,
+         |          round(${cosineSqlExprAs("p", "a")}, 6) AS sim
+         |        FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id != p.qid))
          |WHERE rank <= 10""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH $normCte,
@@ -2252,8 +2256,9 @@ object SparkEntry {
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.4""".stripMargin,
     "q_embedding_neardup_lsh" ->
       // mirrors Similarity.nearDupCosineBlocked at nCentroids = 16: same
-      // deterministic cell assignment as the IVF oracle, then exact
-      // verification within cells only
+      // deterministic cell ranking as the IVF oracle but TOP-2 assignment
+      // (multi-assignment recall trick), then exact verification within
+      // cells only; DISTINCT dedups pairs sharing both cells
       s"""WITH $normCte,
          |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
          |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
@@ -2261,7 +2266,7 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
          |    FROM n q CROSS JOIN cent c)
-         |  WHERE r = 1)
+         |  WHERE r <= 2)
          |SELECT DISTINCT vec_a, vec_b, sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${cosineSqlExprAs("a", "b")}, 6) AS sim

@@ -55,13 +55,29 @@ object Similarity {
       .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__nrm"))
       .repartition(col(idCol))
 
+  /** Fail fast when an EXACT tier is pointed at more rows than its O(n²)
+    * (or broadcast) shape can survive. The probe is a `limit(cap+1).count()`
+    * — it early-exits after cap+1 rows, never a full scan — so the guard
+    * costs one cheap job and turns a silent cluster-killer into an
+    * actionable error naming the scale path to use instead. */
+  private def requireBounded(df: DataFrame, cap: Long, what: String, alt: String): Unit = {
+    val n = df.limit(math.min(cap + 1, Int.MaxValue).toInt).count()
+    require(n <= cap,
+      s"$what is an exact tier capped at $cap rows (got >$cap): at scale use $alt")
+  }
+
   /** Exact top-k: every query row against every corpus row, ranked by
     * (cosine desc, corpus id) per query. The (small) query side is broadcast
-    * into a nested-loop join over the repartitioned corpus. */
+    * into a nested-loop join over the repartitioned corpus — so the QUERY
+    * side is the guarded one; the corpus streams partition-parallel and can
+    * be arbitrarily large (cost O(|Q|·|C|), memory O(|Q|)). */
   def bruteForceTopK(
       queries: DataFrame,   // (qid, qvec)
       corpus: DataFrame,    // (vec_id, embedding)
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Long = 10000L): DataFrame = {
+    requireBounded(queries, maxQueries, "bruteForceTopK's broadcast query side",
+      "ivfTopK (IVF cells, nprobe recall knob)")
     val c = withNorm(corpus, "vec_id", "embedding")
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val pairs = broadcast(q)
@@ -76,13 +92,23 @@ object Similarity {
   }
 
   /** All near-duplicate pairs with cosine ≥ threshold (exact, symmetric,
-    * a < b). O(n²) compare — at scale swap the self-join for [[assignCells]]
-    * blocking (same verify step, candidates from shared cells). */
-  def nearDupCosine(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * a < b). O(n²) compare — this is the VERIFICATION tier (ground truth
+    * for the blocked/SRP scale paths), guarded so it cannot be pointed at
+    * a real corpus by accident: `maxRows` fails fast with a pointer to
+    * [[nearDupCosineBlocked]]/[[nearDupCosineSrp]]. No broadcast hint —
+    * under the cap the planner broadcasts the (small) side on its own, and
+    * a partition-paired cartesian is the fallback, so no full-corpus
+    * broadcast exists on any path. */
+  def nearDupCosine(
+      embeddings: DataFrame,
+      threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    requireBounded(embeddings, maxRows, "nearDupCosine (O(n²) all-pairs)",
+      "nearDupCosineBlocked (IVF cells) or nearDupCosineSrp (cosine LSH)")
     val n = withNorm(embeddings, "vec_id", "embedding")
     val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
-    a.crossJoin(broadcast(b))
+    a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= threshold)
@@ -91,14 +117,17 @@ object Similarity {
 
   /** The 100 TB near-dup path: block candidate pairs by IVF cell, verify
     * exact cosine within each cell. O(n²/nCentroids)-ish instead of O(n²);
-    * recall < 1 (pairs straddling a cell boundary are missed — raise recall
-    * by assigning each vector to its top-2 cells, the standard trick; kept
-    * single-cell here and measured against the exact op in the spec). */
+    * recall < 1 (pairs straddling every shared cell are missed). Recall
+    * knob: `cellsPerVec` assigns each vector to its top-N cells (the
+    * standard multi-assignment trick) — 2 catches most boundary-straddling
+    * pairs for ~2× candidate volume; the `distinct()` dedups pairs that
+    * share several cells. Measured against the exact op in ExtensionSpec. */
   def nearDupCosineBlocked(
       embeddings: DataFrame,
       threshold: Double,
-      nCentroids: Int = 16): DataFrame = {
-    val cells = assignCells(embeddings, nCentroids)
+      nCentroids: Int = 16,
+      cellsPerVec: Int = 2): DataFrame = {
+    val cells = assignCells(embeddings, nCentroids, cellsPerVec)
     val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("__nrm").as("nrm_a"))
     val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
@@ -117,22 +146,33 @@ object Similarity {
       c.orderBy(col("vec_id")).limit(nCentroids)
         .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("__nrm").as("cnrm")))
 
-  private def assignCellsWith(c: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignCellsWith(
+      c: DataFrame, centroids: DataFrame, topCells: Int = 1): DataFrame = {
+    require(topCells >= 1, s"topCells must be >= 1: $topCells")
     val w = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cell"))
     c.crossJoin(centroids)
       .withColumn("__d", cosineFromNorms(col("embedding"), col("cvec"), col("__nrm"), col("cnrm")))
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+      .filter(col("__r") <= topCells)
       .select(col("vec_id"), col("embedding"), col("__nrm"), col("cell"))
   }
 
   /** IVF cell assignment: centroids = the `nCentroids` lowest-id corpus
     * vectors (deterministic, training-free; swap in k-means centroids for
-    * production recall). Returns corpus rows tagged with `cell`. */
-  def assignCells(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    * production recall). Returns corpus rows tagged with `cell`; with
+    * `topCells` > 1 each vector appears once per assigned cell (rank by
+    * rounded cosine desc, cell-id tie-break — deterministic, so oracles
+    * can replay multi-assignment as `r <= topCells`). */
+  def assignCells(corpus: DataFrame, nCentroids: Int, topCells: Int = 1): DataFrame = {
     val c = withNorm(corpus, "vec_id", "embedding")
-    assignCellsWith(c, centroidsOf(c, nCentroids))
+    assignCellsWith(c, centroidsOf(c, nCentroids), topCells)
   }
+
+  /** Cell assignment against an EXPLICIT centroid table (cell, cvec, cnrm)
+    * — e.g. one trained by [[kmeansCentroids]] — for callers that manage
+    * their own centroids or want to inspect a trained partition. */
+  def assignCellsTo(corpus: DataFrame, centroids: DataFrame, topCells: Int = 1): DataFrame =
+    assignCellsWith(withNorm(corpus, "vec_id", "embedding"), broadcast(centroids), topCells)
 
   /** Diversity sampling — the embedding-space curation step of a training
     * pipeline: a subset that covers the space instead of oversampling dense
@@ -355,15 +395,20 @@ object Similarity {
       .withColumn("dim", col("dim").cast("long"))
 
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
-    * exact-rank within the probed subset. Recall rises with nprobe;
-    * cost ~ nprobe/nCentroids of brute force. */
+    * exact-rank within the probed subset. Recall rises with nprobe (query
+    * side) and `cellsPerVec` (corpus side: each vector indexed under its
+    * top-N cells, so boundary vectors stay findable from either adjacent
+    * cell — the `distinct()` dedups (query, vector) pairs reached through
+    * several shared cells). Cost ~ cellsPerVec·nprobe/nCentroids of brute
+    * force. */
   def ivfTopK(
       queries: DataFrame,   // (qid, qvec)
       corpus: DataFrame,    // (vec_id, embedding)
       k: Int,
       nCentroids: Int = 16,
       nprobe: Int = 4,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      cellsPerVec: Int = 2): DataFrame = {
     // ONE withNorm + ONE centroid table feed the training loop, the cell
     // assignment, and the query probes. The trained path materializes the
     // norm table first (localCheckpoint) so Lloyd iterations and the final
@@ -373,7 +418,7 @@ object Similarity {
     val centroids =
       if (trainIters > 0) kmeansCentroidsFrom(c, nCentroids, trainIters)
       else centroidsOf(c, nCentroids)
-    val cells = assignCellsWith(c, centroids)
+    val cells = assignCellsWith(c, centroids, cellsPerVec)
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val wq = Window.partitionBy(col("qid")).orderBy(col("__d").desc, col("cell"))
     val probes = q
@@ -387,6 +432,8 @@ object Similarity {
       .join(cells, "cell") // shuffle join on cell — each query scans only probed cells
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", cosineFromNorms(col("qvec"), col("embedding"), col("__qnrm"), col("__nrm")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .distinct() // a vector reachable via 2 shared cells must rank once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
