@@ -18,6 +18,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to this process's stdout/stderr instead of
+// through sbt's logger: the driver tail-parses graft.Bench's final JSON
+// line, and sbt's "[info] " decoration would make every line unparseable
+// (no BENCH_r* round has ever carried a parsed payload because of this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -114,7 +114,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver records only the LAST ~2000 chars of stdout, which
+    // truncates the 140+-query map above mid-JSON (BENCH_r06 was not
+    // independently recomputable because of exactly this). So: persist the
+    // full artifact to a file in the repo, then print a compact summary —
+    // total + counts + slowest queries + file pointer — as the FINAL line,
+    // sized well under the tail window so it always parses.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case t: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $t") }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""queries_file":"BENCH_FULL.json","slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
