@@ -8,12 +8,15 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
-  // Attempted (2026-08-12): the Kafka connector, to execute the
-  // Streams.kafkaLines/kafkaJsonSink paths. Resolution fails in this
-  // container — offline coursier mirror has no org.apache.spark:
-  // spark-sql-kafka-0-10_2.13:4.1.2 ("Not found", no jar in
-  // /opt/spark/jars either), so the Kafka paths remain config-complete
-  // but unexecutable here (KafkaUnavailableSpec pins the exact failure).
+  // Attempted (2026-08-12, re-verified 2026-08-13): the Kafka connector,
+  // to execute the Streams.kafkaLines/kafkaJsonSink paths. Resolution
+  // fails in this container — offline coursier mirror has no
+  // org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 ("Not found"), no
+  // jar under /opt/spark/jars, and a filesystem-wide search finds no
+  // spark-sql-kafka or kafka-clients artifact in any cache (~/.cache/
+  // coursier, ~/.ivy2, ~/.m2) — so the Kafka paths remain
+  // config-complete but unexecutable here (KafkaUnavailableSpec pins the
+  // exact in-container failure mode).
   // "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
 )
 Test / fork := true

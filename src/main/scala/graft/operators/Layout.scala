@@ -104,7 +104,16 @@ object Layout {
     * read snapshot would be destroyed by the swap. This is the same
     * stop-the-writer requirement every rewrite-based compactor without a
     * transaction log has; pair it with a table format's commit protocol
-    * when writers can't be paused. */
+    * when writers can't be paused.
+    *
+    * LOCAL-FILESYSTEM SCOPE: the swap uses java.io.File.renameTo, which
+    * only works on a posix-local path — on hdfs:// or s3a:// it returns
+    * false and the compactor aborts before touching live data. The swap is
+    * also not crash-atomic: a crash between the two renames leaves the
+    * data parked at `<dir>.__compact_old` (and the rewrite at
+    * `<dir>.__compact_tmp`) — recovery is renaming `.__compact_old` back.
+    * An object-store deployment would swap via the table format's commit
+    * protocol instead. */
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -126,12 +135,14 @@ object Layout {
     graft.streaming.MergeSink.deleteRecursively(old)
     if (!d.renameTo(old)) {
       graft.streaming.MergeSink.deleteRecursively(tmp)
-      sys.error(s"compact: cannot move $base aside")
+      sys.error(s"compact: cannot move $base aside (non-local filesystem?); live data untouched")
     }
     if (!tmp.renameTo(d)) {
-      old.renameTo(d) // restore
+      val restored = old.renameTo(d)
       graft.streaming.MergeSink.deleteRecursively(tmp)
-      sys.error(s"compact: cannot promote $tmp")
+      sys.error(
+        if (restored) s"compact: cannot promote $tmp; original restored at $base"
+        else s"compact: cannot promote $tmp AND restore failed — data parked at ${old.getPath}; rename it back to $base")
     }
     graft.streaming.MergeSink.deleteRecursively(old)
     (nBefore, parquetFiles.length)

@@ -67,10 +67,15 @@ object Temporal {
 
   /** As-of join through the custom whole-operator plan
     * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
-    * IDENTICAL semantics to [[asofJoin]] (latest at-or-before per key,
-    * largest-tie tie-break, null payload on no match) — or, with
-    * `forward = true`, to [[asofJoinForward]] (earliest at-or-after,
-    * smallest-tie) — under a different physical strategy: each side is
+    * identical semantics to [[asofJoin]] for non-null key/time rows
+    * (latest at-or-before per key, largest-tie tie-break, null payload on
+    * no match) — or, with `forward = true`, to [[asofJoinForward]]
+    * (earliest at-or-after, smallest-tie). Null-key/null-time rows are the
+    * one divergence: this exec always emits null payload for them, while
+    * the window forms group null keys into one window partition so a
+    * null-keyed left row CAN match a null-keyed right row (SQL window
+    * PARTITION BY treats nulls as equal). The equivalence fuzz in
+    * AsOfJoinExecSpec covers non-null keys. Different physical strategy: each side is
     * hash-clustered and sorted independently and a single-pass merge
     * tracks at most one candidate row per key, instead of sorting a
     * null-padded union through a window. Key/time/tie must be LongType.

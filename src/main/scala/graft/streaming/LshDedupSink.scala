@@ -52,8 +52,15 @@ object LshDedupSink {
     val spark = batch.sparkSession
     val ids = batch.select(col("doc_id")).localCheckpoint(true)
     val bt = bandTable(batch).localCheckpoint(true)
+    // existence probed through the Hadoop FileSystem of the path's scheme
+    // (a java.io.File check is always false for hdfs:// or s3a:// paths —
+    // every batch would silently see an EMPTY prior index and re-admit
+    // near-duplicates from earlier batches)
+    val idxPath = new org.apache.hadoop.fs.Path(idxDir)
+    val idxExists =
+      idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idxPath)
     val prior: DataFrame =
-      if (new java.io.File(idxDir).exists())
+      if (idxExists)
         spark.read.parquet(idxDir)
           .filter(col("batch") < batchId)
           .select(col("band_key"))
