@@ -208,88 +208,35 @@ object Dedup {
       .select(col(idCol), shingles(tokens(col(textCol)), shingleN).as("__sh"))
       .repartition(col(idCol))
 
-  /** Fused shingle + MinHash-signature kernel as a typed `mapPartitions`
-    * pass — the measured last resort of the preference order (compose →
-    * Expression → custom plan → mapPartitions): the columnar md5 pipeline
-    * runs interpreted (HOFs are CodegenFallback) at ~2 ms/row; this kernel
-    * does the identical math (same md5-prefix base hash via MessageDigest +
-    * the same affine mixes — the DuckDB oracle still hash-matches) at
-    * ~0.06 ms/row for k=16: ONE md5 per distinct shingle + k integer mixes,
-    * not k salted md5s. One narrow pass, no shuffle beyond the
-    * parallelizing repartition. Docs with no shingles get a NULL signature
-    * (no near-dup evidence). */
+  /** Fused shingle + MinHash-signature kernel as a codegen'd Catalyst
+    * expression ([[graft.functions.expressions.ShingleSig]]) — the round-7
+    * promotion of the round-1 `mapPartitions` escape hatch one step up the
+    * preference order (compose → Expression → custom plan → mapPartitions).
+    * Identical math (one md5 per distinct shingle → 30-bit base + k affine
+    * mixes — the DuckDB oracle still hash-matches) at the same ~0.06 ms/row
+    * kernel speed, but with no DeserializeToObject/SerializeFromObject
+    * object boundary in the plan and with a canonicalizable expression, so
+    * self-join shapes over this table can plan ReusedExchange. The first
+    * repartition spreads the single-file parquet scan; the second
+    * materializes the computed struct behind an Exchange so downstream
+    * interpreted HOF lambdas (banding) read bound columns instead of
+    * collapsing the kernel into their per-element evaluation — same
+    * two-Exchange contract as [[shingleTable]]. Docs with no shingles get
+    * a NULL signature (no near-dup evidence). */
   private[graft] def shingleSigTable(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int,
-      numHashes: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+      numHashes: Int): DataFrame =
     docs
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
       .repartition(col(idCol))
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def md5hex(s: String): String = {
-          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val sb = new java.lang.StringBuilder(32)
-          var i = 0
-          while (i < d.length) {
-            sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
-            sb.append(Character.forDigit(d(i) & 0xF, 16))
-            i += 1
-          }
-          sb.toString
-        }
-        it.map { case (id, text) =>
-          // limit -1: keep trailing empty tokens, matching Spark's split()
-          // and DuckDB's string_split (Java split drops trailing empties)
-          val toks = text.split(" ", -1)
-          val sh: Array[String] =
-            if (toks.length < shingleN) Array.empty
-            else {
-              val b = new scala.collection.mutable.LinkedHashSet[String]
-              var i = 0
-              while (i <= toks.length - shingleN) {
-                b += toks.slice(i, i + shingleN).mkString("_")
-                i += 1
-              }
-              b.toArray
-            }
-          // one md5 per shingle -> 30-bit base; k affine mixes per base
-          // (same family as TextFunctions.minhashSignature / the oracle).
-          // k == 0 (signature-less profiling callers) must be null too: an
-          // EMPTY signature would band every doc to the identical '' key —
-          // the giant-bucket failure mode the null design exists to avoid.
-          val sig: Array[Long] =
-            if (sh.isEmpty || numHashes == 0) null
-            else {
-              val bases = new Array[Long](sh.length)
-              var j = 0
-              while (j < sh.length) {
-                bases(j) = java.lang.Long.parseLong(md5hex(sh(j)).substring(0, 15), 16) % 1073741824L
-                j += 1
-              }
-              Array.tabulate(numHashes) { h =>
-                val a = graft.functions.TextFunctions.minhashA(h)
-                val b = graft.functions.TextFunctions.minhashB(h)
-                var min = Long.MaxValue
-                var i = 0
-                while (i < bases.length) {
-                  val x = (a * bases(i) + b) % 2147483647L
-                  if (x < min) min = x
-                  i += 1
-                }
-                min
-              }
-            }
-          (id, sh, sig)
-        }
-      }
-      .toDF(idCol, "__sh", "__sig")
-  }
+      .select(col(idCol),
+        graft.functions.expressions.ShingleSig
+          .shingleSig(col(textCol), shingleN, numHashes).as("__ss"))
+      .repartition(col(idCol))
+      .select(col(idCol), col("__ss.sh").as("__sh"), col("__ss.sig").as("__sig"))
 
   /** MinHash near-dup pairs verified with exact shingle jaccard ≥ threshold.
     *
