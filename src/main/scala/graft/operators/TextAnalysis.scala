@@ -613,12 +613,19 @@ object TextAnalysis {
           }
           inflater.reset()
           inflater.setInput(out, 0, n)
-          val back = new Array[Byte](in.length)
+          // +1 slack: inflate needs OUTPUT SPACE to consume the terminal
+          // block — a zero-length buffer (empty doc) would never reach
+          // finished(); the extra byte also catches an over-long stream
+          val back = new Array[Byte](in.length + 1)
           var m = 0
-          while (!inflater.finished() && m < back.length)
-            m += inflater.inflate(back, m, back.length - m)
+          var stalled = false
+          while (!inflater.finished() && m < back.length && !stalled) {
+            val k = inflater.inflate(back, m, back.length - m)
+            if (k == 0 && !inflater.finished()) stalled = true else m += k
+          }
           val roundtrip =
-            inflater.finished() && m == in.length && java.util.Arrays.equals(in, back)
+            inflater.finished() && m == in.length &&
+              java.util.Arrays.equals(in, java.util.Arrays.copyOf(back, m))
           val sizeOk = n > 0 && n <= in.length + 64
           (id, in.length.toLong, if (roundtrip) 1 else 0, if (sizeOk) 1 else 0)
         }

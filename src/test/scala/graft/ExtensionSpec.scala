@@ -104,6 +104,33 @@ class ExtensionSpec extends SparkFunSuite {
     assert(a.forall(m => m.width == (m.n_bytes % 640) + 1))
   }
 
+  test("sawtooth WAV: decode recovers the closed-form integer amplitude stats") {
+    // the oracle-backed tier: sample(i) = ((i·f mod sr)·65536)//sr − 32768.
+    // sr=8000, f=1000 → phase cycles through 8 values {0,1000,…,7000}; the
+    // 8-sample amplitude set is fixed, so sum_abs/peak_abs have closed forms
+    val bytes = Multimodal.synthesizeWavSaw(freqHz = 1000, nSamples = 8000, sampleRate = 8000)
+    val f = Multimodal.decodeWavPcm(Seq((3L, bytes)).toDF("doc_id", "content"))
+      .collect().head
+    val perCycle = (0 until 8).map(p => math.abs(p * 1000L * 65536L / 8000L - 32768L))
+    assert(f.n_samples == 8000L && f.sample_rate == 8000L && f.bits_per_sample == 16L)
+    assert(f.sum_abs == perCycle.sum * 1000, s"sum_abs ${f.sum_abs}")
+    assert(f.peak_abs == perCycle.max, s"peak_abs ${f.peak_abs}")
+    assert(f.mean_abs == f.sum_abs.toDouble / 8000)
+  }
+
+  test("deflate round-trip holds for empty, unicode, and highly repetitive docs") {
+    val docs = Seq(
+      (1L, ""), (2L, "héllo wörld ünïcode ⊕⊗"), (3L, "ab " * 5000),
+      (4L, (0 until 500).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.deflateRoundtrip(docs)
+      .select("doc_id", "n_bytes", "roundtrip_ok", "size_ok")
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    assert(r.forall(x => x._3 == 1 && x._4 == 1), r.mkString(", "))
+    assert(r(0)._2 == 0L) // empty doc: zero bytes, still round-trips
+    assert(r(1)._2 > "héllo wörld ünïcode ⊕⊗".length) // UTF-8 multi-byte
+  }
+
   test("PCM WAV round-trip: synth → decode recovers exact format fields and sine amplitudes") {
     val bytes = Multimodal.synthesizeWavPcm(
       freqHz = 440, nSamples = 8000, sampleRate = 8000, amplitude = 10000)
