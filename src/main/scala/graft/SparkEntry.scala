@@ -1573,12 +1573,14 @@ object SparkEntry {
       // deployment needs. Both columns oracled: the affine signature family
       // is replayed bit-for-bit in SQL.
       val st = Dedup.shingleSigTable(table(s, dir, "documents"), "doc_id", "text", 3, 16)
-      val a = st.select(col("doc_id").as("doc_a"),
+      // filter on the cheap __has twin (pushdown-safe), not the sig —
+      // see shingleSigTable's scaladoc
+      val a = st.filter(col("__has")).select(col("doc_id").as("doc_a"),
         col("__sh").as("sh_a"), col("__sig").as("sig_a"))
-      val b = st.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+      val b = st.filter(col("__has")).select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"),
         col("__sh").as("sh_b"), col("__sig").as("sig_b"))
       a.join(b, Seq("doc_a"))
-        .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
         .select(
           col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard_exact"),

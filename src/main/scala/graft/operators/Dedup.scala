@@ -78,7 +78,9 @@ object Dedup {
       // every such doc the SAME band key — one giant bucket of unrelated
       // short docs. Drop them: no shingles means no near-dup evidence (the
       // DuckDB oracle's NULL band keys never join, so this keeps parity).
-      .filter(col("__sig").isNotNull)
+      // Filtered via the cheap __has twin, NOT `__sig IS NOT NULL` — see
+      // shingleSigTable's scaladoc for the pushdown reason.
+      .filter(col("__has"))
       .select(
         col(idCol),
         posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))
@@ -222,7 +224,16 @@ object Dedup {
     * interpreted HOF lambdas (banding) read bound columns instead of
     * collapsing the kernel into their per-element evaluation — same
     * two-Exchange contract as [[shingleTable]]. Docs with no shingles get
-    * a NULL signature (no near-dup evidence). */
+    * a NULL signature (no near-dup evidence).
+    *
+    * `__has` is a CHEAP twin of `__sig IS NOT NULL` (token count ≥
+    * shingleN, i.e. shingles exist — when numHashes > 0 the two are
+    * equivalent by construction): callers must filter on `__has`, not the
+    * sig. A predicate on the sig gets pushed below the Exchange as
+    * `shingle_sig(text).sig IS NOT NULL` — re-running the md5 kernel per
+    * pre-shuffle row, doubling the dominant CPU — while the pushed `__has`
+    * costs one split+size and still drops shingle-less rows BEFORE the
+    * shuffle. */
   private[graft] def shingleSigTable(
       docs: DataFrame,
       idCol: String,
@@ -230,13 +241,15 @@ object Dedup {
       shingleN: Int,
       numHashes: Int): DataFrame =
     docs
-      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .select(col(idCol).cast("long").as(idCol), col(textCol),
+        (size(split(col(textCol), " ", -1)) >= shingleN).as("__has"))
       .repartition(col(idCol))
-      .select(col(idCol),
+      .select(col(idCol), col("__has"),
         graft.functions.expressions.ShingleSig
           .shingleSig(col(textCol), shingleN, numHashes).as("__ss"))
       .repartition(col(idCol))
-      .select(col(idCol), col("__ss.sh").as("__sh"), col("__ss.sig").as("__sig"))
+      .select(col(idCol), col("__has"),
+        col("__ss.sh").as("__sh"), col("__ss.sig").as("__sig"))
 
   /** MinHash near-dup pairs verified with exact shingle jaccard ≥ threshold.
     *
@@ -262,7 +275,7 @@ object Dedup {
     val r = numHashes / bands
     val st = shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
     val exploded = st
-      .filter(col("__sig").isNotNull) // shingle-less docs: see minhashCandidates
+      .filter(col("__has")) // shingle-less docs: see minhashCandidates
       .select(
         col(idCol), col("__sh"),
         posexplode(bandKeys(col("__sig"), bands, r)).as(Seq("band_idx", "band_key")))

@@ -30,7 +30,7 @@ object LshDedupSink {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     Dedup.shingleSigTable(docs, idCol, textCol, shingleN, numHashes)
-      .filter(col("__sig").isNotNull)
+      .filter(col("__has")) // cheap twin of `__sig IS NOT NULL` (see its scaladoc)
       .select(col(idCol),
         posexplode(graft.functions.TextFunctions.bandKeys(col("__sig"), bands, r))
           .as(Seq("band_idx", "band_key")))

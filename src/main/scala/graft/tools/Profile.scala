@@ -32,7 +32,7 @@ object Profile {
     time("  kernel k=0 again")(noop(st0))
     import graft.functions.TextFunctions._
     val exploded = st
-      .filter(col("__sig").isNotNull)
+      .filter(col("__has"))
       .select(col("doc_id"), col("__sh"),
         posexplode(bandKeys(col("__sig"), 4, 4)).as(Seq("band_idx", "band_key")))
     time("  +bands")(noop(exploded))

@@ -148,7 +148,8 @@ class Round3OperatorsSpec extends SparkFunSuite {
   test("shingleSigTable returns null signature for numHashes = 0") {
     val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val row = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0).collect().head
-    assert(row.isNullAt(2), "k=0 must yield a NULL signature, never an empty one")
+    assert(row.isNullAt(row.fieldIndex("__sig")),
+      "k=0 must yield a NULL signature, never an empty one")
   }
 
   test("q_global_sort plans a range-partitioned sort with ordered partitions") {
