@@ -994,6 +994,17 @@ object SparkEntry {
         .trainValTestSplit(table(s, dir, "events"), "event_id")
         .groupBy(col("split"), col("event_type"))
         .agg(count(lit(1)).as("n"))),
+    "q_split_leakage_safe" -> ((s, dir) => {
+      // Near-dup-cluster-aware 80/10/10 split: hashing each doc's own id
+      // (q_train_split) lets near-duplicate docs straddle train and test —
+      // eval contamination. Hashing the cluster representative keeps every
+      // near-dup component wholly in one split.
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.nearDupMinhash(d, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Sampling.leakageSafeSplit(d, pairs)
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
     "q_stratified_sample" -> ((s, dir) =>
       // Per-language keep rates (downsample dominant strata, keep rare ones)
       // with stratum-salted hash buckets — deterministic, filter pushes down.
@@ -2705,6 +2716,26 @@ object SparkEntry {
         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q_split_leakage_safe" ->
+      // Same reachability closure as q_dedup_components, then the
+      // q_train_split bucket replay on the component representative.
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, MIN(v) AS c FROM reach GROUP BY u)
+         |SELECT doc_id, rep,
+         |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(c.c, d.doc_id) AS BIGINT) AS rep,
+         |    CAST('0x' || substr(md5(CAST(COALESCE(c.c, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 100 AS hb
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <

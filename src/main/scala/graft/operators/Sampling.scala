@@ -145,4 +145,33 @@ object Sampling {
       "split",
       when(b < 80, "train").when(b < 90, "val").otherwise("test"))
   }
+
+  /** Leakage-safe train/val/test split: every near-duplicate CLUSTER lands
+    * wholly in one split. [[trainValTestSplit]] hashes each doc's own id, so
+    * two near-identical documents routinely straddle train and test — the
+    * classic eval-contamination bug. Here the hash input is the cluster
+    * representative `rep` (min reachable id over the near-dup `pairs` graph,
+    * via [[Dedup.connectedComponents]]; unclustered docs represent
+    * themselves), so split membership is constant within a component by
+    * construction.
+    *
+    * Scale: the component table only contains docs that appear in a
+    * near-dup pair — tiny relative to the corpus — so the left join is one
+    * shuffle of that small side (AQE broadcasts it when it fits); the
+    * corpus side stays a narrow map over whatever partitioning it arrives
+    * with, same as [[trainValTestSplit]] plus the one join. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("node", idCol)
+    val withRep = docs
+      .join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val b = hashBucket(col("rep"), 100)
+    withRep.withColumn(
+      "split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+  }
 }

@@ -94,4 +94,42 @@ class ProfilingSamplingSpec extends SparkFunSuite {
     val mae = r.map { case (_, _, ex, es) => math.abs(ex - es) }.sum / r.length
     assert(mae < 0.35, s"MAE $mae")
   }
+
+  // ---- Sampling.leakageSafeSplit
+
+  test("leakageSafeSplit: near-dup pairs never straddle splits; singletons keep the naive split") {
+    import graft.operators.Dedup
+    // 40 exact-duplicate pairs (ids i and i+1000, per-pair-unique tokens so
+    // clusters don't merge) + 40 singleton docs with fully distinct tokens.
+    val dup = (0L until 40L).flatMap { i =>
+      val t = (0 until 8).map(j => s"p${i}t$j").mkString(" ")
+      Seq((i, t), (i + 1000L, t))
+    }
+    val solo = (0L until 40L).map(i => (i + 5000L, (0 until 8).map(j => s"s${i}t$j").mkString(" ")))
+    val docs = (dup ++ solo).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhash(docs, threshold = 0.5).select("doc_a", "doc_b")
+    val ps = pairs.as[(Long, Long)].collect()
+    assert(ps.length === 40, s"expected the 40 planted pairs, got ${ps.length}")
+
+    val byId = Sampling.leakageSafeSplit(docs, pairs.toDF())
+      .select("doc_id", "rep", "split").as[(Long, Long, String)].collect()
+      .map { case (id, rep, s) => id -> ((rep, s)) }.toMap
+    ps.foreach { case (a, b) =>
+      assert(byId(a)._2 === byId(b)._2, s"near-dup pair ($a,$b) split apart")
+    }
+
+    val naive = Sampling.trainValTestSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    byId.foreach { case (id, (rep, s)) =>
+      if (!clustered.contains(id)) {
+        assert(rep === id, s"singleton $id must represent itself")
+        assert(s === naive(id), s"singleton $id must keep its naive split")
+      }
+    }
+    // non-vacuous: the naive doc-id hash DOES separate at least one planted
+    // pair (the contamination this operator exists to prevent)
+    assert(ps.exists { case (a, b) => naive(a) != naive(b) },
+      "test corpus too lucky: every pair already naive-agreed; widen it")
+  }
 }
