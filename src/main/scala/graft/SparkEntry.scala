@@ -609,6 +609,16 @@ object SparkEntry {
       // scale with vocabulary density, same doctrine as [[shingles]].
       Dedup.prefixJaccardJoin(table(s, dir, "documents"),
         threshold = 0.5, shingleN = 4)),
+    "q_corpus_overlap" -> ((s, dir) =>
+      // Cross-corpus 3-gram vocabulary overlap across the 10 document
+      // sources: intersection, directional containment, Jaccard per pair —
+      // the decision input for cross-dump dedup ordering.
+      Dedup.corpusOverlap(table(s, dir, "documents"))),
+    "q_corpus_overlap_sampled" -> ((s, dir) =>
+      // The 1/4 universe-sampled scale path: the md5-mod shingle sample is
+      // a pure function of the shingle bytes, so the estimates are exactly
+      // replayable by the oracle (same hash predicate), not rows-only.
+      Dedup.corpusOverlap(table(s, dir, "documents"), sampleMod = 4)),
     "q_bfs_hops" -> ((s, dir) => {
       // 3-hop BFS over the UNDIRECTED customer<->supplier purchase graph
       // from a fixed seed set (custkey < 5): min hop count per vertex.
@@ -2218,6 +2228,8 @@ object SparkEntry {
          |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.5""".stripMargin,
+    "q_corpus_overlap" -> corpusOverlapOracle(sampleMod = 1),
+    "q_corpus_overlap_sampled" -> corpusOverlapOracle(sampleMod = 4),
     "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_similarity_bruteforce" ->
@@ -3343,6 +3355,31 @@ object SparkEntry {
          |  GROUP BY v.id, n.n)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iterCtes\nSELECT id, round(pr, 8) AS pagerank FROM p5"
+  }
+
+  /** Cross-corpus overlap oracle — mirrors Dedup.corpusOverlap: distinct
+    * (source, shingle) pairs (optionally universe-sampled by the portable
+    * 60-bit md5 hash), pairwise intersection via self-join, containment and
+    * Jaccard from the per-corpus vocabulary sizes. */
+  private def corpusOverlapOracle(sampleMod: Int): String = {
+    val sample =
+      if (sampleMod == 1) ""
+      else s" WHERE CAST('0x'||substr(md5(sh),1,15) AS BIGINT) % $sampleMod = 0"
+    s"""WITH toks AS (SELECT source, string_split(text,' ') AS tl FROM documents),
+       |ds AS (SELECT source, unnest(list_distinct(
+       |    [tl[i]||'_'||tl[i+1]||'_'||tl[i+2] FOR i IN range(1, len(tl)-1)])) AS sh
+       |  FROM toks),
+       |cs AS (SELECT DISTINCT source, sh FROM ds$sample),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM cs GROUP BY 1),
+       |pairs AS (SELECT a.source AS corpus_a, b.source AS corpus_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM cs a JOIN cs b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+       |SELECT corpus_a, corpus_b, inter, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       |  round(inter*1.0/sa.vocab, 6) AS containment_a,
+       |  round(inter*1.0/sb.vocab, 6) AS containment_b,
+       |  round(inter*1.0/(sa.vocab + sb.vocab - inter), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.source = corpus_a
+       |JOIN sizes sb ON sb.source = corpus_b""".stripMargin
   }
 
   private val shingleCte: String =

@@ -671,4 +671,80 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("overlap"),
         col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Cross-corpus shingle overlap — which snapshot/source overlaps which,
+    * the decision input for cross-dump dedup ordering (dedup the pair with
+    * the highest containment first; skip pairs with ~zero overlap).
+    *
+    * One row per unordered corpus pair (`corpus_a < corpus_b`): distinct-
+    * shingle intersection size, per-corpus vocabulary sizes, directional
+    * containment `|A∩B|/|A|` and `|A∩B|/|B|`, and vocabulary Jaccard.
+    *
+    * Plan (corpus count k is small — dozens of dumps — while shingle
+    * cardinality is data-scale):
+    *  1. shingle kernel per doc (spread by `idCol`, same two-Exchange
+    *     contract as [[shingleTable]]), explode to (corpus, shingle) rows;
+    *  2. ONE shuffle on `shingle`: `collect_set(corpus)` both dedups
+    *     (corpus, shingle) pairs map-side and yields the ≤ k-element corpus
+    *     set per shingle — no (corpus, shingle) `distinct` pre-pass and no
+    *     shingle self-join (which would shuffle twice and explode hot
+    *     shingles k² ways before aggregation);
+    *  3. vocabulary sizes AND pair intersections both derive from that one
+    *     aggregate (the shingle-keyed Exchange is reused across the two
+    *     branches); pair expansion is ≤ k(k−1)/2 rows per shingle;
+    *  4. the k-row size table joins back via broadcast.
+    * NEVER keys a shuffle by corpus (k partitions = guaranteed skew).
+    *
+    * `sampleMod > 1` is the deterministic scale path: only shingles whose
+    * 60-bit md5 hash ≡ 0 (mod sampleMod) participate. This is universe
+    * sampling (every corpus keeps the SAME 1/sampleMod shingle subset), so
+    * containment/Jaccard computed on the sample are unbiased estimates of
+    * the full-vocabulary ratios while counts scale down ~sampleMod× — and
+    * because the sample is a pure function of the shingle bytes, the result
+    * is exactly replayable (md5 in DuckDB), not merely statistically close.
+    */
+  def corpusOverlap(
+      docs: DataFrame,
+      corpusCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val exploded = docs
+      .repartition(col(idCol))
+      .select(col(corpusCol).as("corpus"),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
+    val sampled =
+      if (sampleMod == 1) exploded
+      else exploded.filter(tokenHash60(col("shingle")) % sampleMod === 0)
+    val bySh = sampled
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("corpus"))).as("srcs"))
+    val sizes = bySh
+      .select(explode(col("srcs")).as("corpus"))
+      .groupBy(col("corpus"))
+      .agg(count(lit(1)).as("vocab"))
+    val pairs = bySh
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("corpus_a"), col("srcs"))
+      .select(col("corpus_a"), explode(col("srcs")).as("corpus_b"))
+      .filter(col("corpus_a") < col("corpus_b"))
+      .groupBy(col("corpus_a"), col("corpus_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("corpus").as("corpus_a"), col("vocab").as("vocab_a"))),
+        Seq("corpus_a"))
+      .join(broadcast(sizes.select(col("corpus").as("corpus_b"), col("vocab").as("vocab_b"))),
+        Seq("corpus_b"))
+      .select(col("corpus_a"), col("corpus_b"), col("inter"),
+        col("vocab_a"), col("vocab_b"),
+        round(col("inter").cast("double") / col("vocab_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("inter").cast("double") / col("vocab_b").cast("double"), 6)
+          .as("containment_b"),
+        round(col("inter").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

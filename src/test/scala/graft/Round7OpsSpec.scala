@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Round-7 additions: cross-corpus shingle overlap/containment. */
+class Round7OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  private def md5hexRef(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash60Ref(s: String): Long =
+    java.lang.Long.parseLong(md5hexRef(s).substring(0, 15), 16)
+
+  private def shinglesRef(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString("_")).toSet
+  }
+
+  test("corpusOverlap: hand-computed two-corpus pair") {
+    val df = docsOf(
+      (0L, "A", "a b c d"), // shingles: a_b_c, b_c_d
+      (1L, "B", "b c d e")) // shingles: b_c_d, c_d_e
+    val r = Dedup.corpusOverlap(df, corpusCol = "source").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("corpus_a") == "A")
+    assert(row.getAs[String]("corpus_b") == "B")
+    assert(row.getAs[Long]("inter") == 1L)
+    assert(row.getAs[Long]("vocab_a") == 2L)
+    assert(row.getAs[Long]("vocab_b") == 2L)
+    assert(row.getAs[Double]("containment_a") == 0.5)
+    assert(row.getAs[Double]("containment_b") == 0.5)
+    assert(row.getAs[Double]("jaccard") == 0.333333)
+  }
+
+  test("corpusOverlap: zero-overlap pairs are absent; short docs contribute nothing") {
+    val df = docsOf(
+      (0L, "A", "a b c"),
+      (1L, "B", "x y z"),
+      (2L, "C", "a b")) // < 3 tokens: no shingles, corpus C has no vocabulary
+    val r = Dedup.corpusOverlap(df, corpusCol = "source").collect()
+    assert(r.isEmpty)
+  }
+
+  test("corpusOverlap matches an in-memory reference on random multi-corpus data") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g")
+    val rows = (0 until 120).map { i =>
+      val src = s"src${i % 4}"
+      val len = 2 + rnd.nextInt(10)
+      (i.toLong, src, Vector.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val expected = {
+      val vocab = rows.groupBy(_._2).view
+        .mapValues(_.flatMap(r => shinglesRef(r._3, 3)).toSet).toMap
+      for {
+        a <- vocab.keys.toSeq; b <- vocab.keys.toSeq if a < b
+        inter = (vocab(a) & vocab(b)).size if inter > 0
+      } yield (a, b, inter.toLong, vocab(a).size.toLong, vocab(b).size.toLong)
+    }.sortBy(t => (t._1, t._2))
+    val got = Dedup.corpusOverlap(docsOf(rows: _*), corpusCol = "source")
+      .orderBy("corpus_a", "corpus_b")
+      .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("corpusOverlap sampled tier equals the reference restricted to the hash-kept universe") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = (0 until 150).map { i =>
+      val src = s"src${i % 3}"
+      val len = 3 + rnd.nextInt(12)
+      (i.toLong, src, Vector.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val mod = 2
+    val vocab = rows.groupBy(_._2).view
+      .mapValues(_.flatMap(r => shinglesRef(r._3, 3)).toSet
+        .filter(sh => hash60Ref(sh) % mod == 0)).toMap
+    val expected = (for {
+      a <- vocab.keys.toSeq; b <- vocab.keys.toSeq if a < b
+      inter = (vocab(a) & vocab(b)).size if inter > 0
+    } yield (a, b, inter.toLong, vocab(a).size.toLong, vocab(b).size.toLong))
+      .sortBy(t => (t._1, t._2))
+    val got = Dedup.corpusOverlap(docsOf(rows: _*), corpusCol = "source", sampleMod = mod)
+      .orderBy("corpus_a", "corpus_b")
+      .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the sample is deterministic: a second invocation is bit-identical
+    val again = Dedup.corpusOverlap(docsOf(rows: _*), corpusCol = "source", sampleMod = mod)
+      .orderBy("corpus_a", "corpus_b")
+      .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+}
