@@ -715,6 +715,11 @@ object SparkEntry {
       TextAnalysis.fingerprints(table(s, dir, "documents"))),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
+    "q_boilerplate" -> ((s, dir) =>
+      // Corpus-wide shingle-df boilerplate/novelty profile per document —
+      // the inter-document repetition signal q_repetition (within-doc)
+      // cannot see. df >= 10 marks a trigram as boilerplate.
+      TextAnalysis.boilerplateProfile(table(s, dir, "documents"), dfThreshold = 10L)),
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(table(s, dir, "documents"))),
     "q_pii_redact" -> ((s, dir) => {
@@ -2390,6 +2395,25 @@ object SparkEntry {
          |      * (CAST(1 AS BIGINT) << ((16*(len(tl)-i)) % 31))) % 2147483647
          |    FOR i IN range(1, len(tl)+1)]) % 2147483647 AS BIGINT) AS rolling_hash
          |FROM toks""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |st AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df,
+         |    min(doc_id) AS first_seen FROM ex GROUP BY 1),
+         |p AS (SELECT e.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN st.first_seen = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |    CAST(sum(CASE WHEN st.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM ex e JOIN st ON st.shingle = e.shingle GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_shingles, 0) AS n_shingles,
+         |  coalesce(p.n_novel, 0) AS n_novel,
+         |  coalesce(p.n_common, 0) AS n_common,
+         |  CASE WHEN p.n_shingles > 0
+         |    THEN round(p.n_novel*1.0/p.n_shingles, 6) END AS novelty_ratio,
+         |  CASE WHEN p.n_shingles > 0
+         |    THEN round(p.n_common*1.0/p.n_shingles, 6) END AS boilerplate_ratio
+         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin,
     "q_repetition" ->
       // bigrams: tl[i]||'_'||tl[i+1] for i in 1..len-1 (DuckDB lists are
       // 1-based; range() excludes its end) — mirrors shingles(toks, 2)

@@ -701,4 +701,68 @@ object TextAnalysis {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
   }
+
+  /** Per-document boilerplate/novelty profile from corpus-wide shingle
+    * document frequency — the inter-document repetition signal (site
+    * chrome, license blocks, templated pages) that per-doc
+    * [[repetitionStats]] cannot see, and the decision input for
+    * boilerplate-aware filtering: high `boilerplate_ratio` docs are
+    * template dumps; high `novelty_ratio` docs introduce vocabulary.
+    *
+    * Per doc: distinct-shingle count, `n_novel` (shingles this doc is the
+    * FIRST holder of, by min doc id — the crawl-order proxy), `n_common`
+    * (shingles appearing in ≥ `dfThreshold` docs), and the two ratios
+    * (null for shingle-less docs, kept via left join).
+    *
+    * Plan: explode per-doc distinct shingles once and materialize them
+    * behind ONE shingle-keyed Exchange; the (df, first_seen) aggregate AND
+    * the join back to the exploded rows both consume that exchange
+    * (co-partitioned — the agg needs no second shuffle, the SMJ sorts in
+    * place, ReusedExchange dedups the subtree so the shingle kernel runs
+    * ONCE); one doc-keyed agg re-aggregates to profile rows. NOT
+    * collect_list(doc) per shingle: a boilerplate shingle's doc list grows
+    * with corpus size (hot-key OOM at 100 TB), while this shape keeps every
+    * per-key state fixed-width. */
+  def boilerplateProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      dfThreshold: Long = 2L): DataFrame = {
+    val exploded = docs
+      .repartition(col(idCol))
+      .select(col(idCol).cast("long").as(idCol),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
+      // explicit — otherwise InferFiltersFromConstraints pushes isnotnull
+      // into ONE consumer branch, the subtrees stop canonicalizing equal,
+      // and ReusedExchange misses (kernel would run twice)
+      .filter(col(idCol).isNotNull && col("shingle").isNotNull)
+      .repartition(col("shingle"))
+    val stats = exploded
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        min(col(idCol)).as("first_seen"))
+    val profile = exploded
+      .join(stats, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_seen") === col(idCol), 1L).otherwise(0L))
+          .cast("long").as("n_novel"),
+        sum(when(col("df") >= dfThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_common"))
+    docs
+      .select(col(idCol).cast("long").as(idCol))
+      .join(profile, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+          .as("novelty_ratio"),
+        when(col("n_shingles") > 0,
+          round(col("n_common").cast("double") / col("n_shingles").cast("double"), 6))
+          .as("boilerplate_ratio"))
+  }
 }

@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
-/** Round-7 additions: cross-corpus shingle overlap/containment. */
+/** Round-7 additions: cross-corpus shingle overlap/containment,
+  * corpus-wide boilerplate/novelty profiling. */
 class Round7OpsSpec extends SparkFunSuite {
   import spark.implicits._
 
@@ -99,5 +100,46 @@ class Round7OpsSpec extends SparkFunSuite {
       .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(again == got)
+  }
+
+  // ---- boilerplateProfile
+
+  test("boilerplateProfile: hand-computed df/first-seen on three docs") {
+    val df = Seq(
+      (0L, "a b c d"), // a_b_c (df2, first 0), b_c_d (df3, first 0)
+      (1L, "b c d e"), // b_c_d, c_d_e (df1, first 1)
+      (2L, "a b c d"), // a_b_c, b_c_d — introduces nothing
+      (3L, "x")) // shingle-less
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateProfile(df, dfThreshold = 3L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "n_common")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 2L, 1L), (1L, 2L, 1L, 1L), (2L, 2L, 0L, 1L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("boilerplateProfile matches an in-memory reference on random docs") {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("a", "b", "c", "d", "e")
+    val rows = (0 until 80).map { i =>
+      val len = 1 + rnd.nextInt(9)
+      (i.toLong, Vector.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val thr = 5L
+    val perDoc = rows.map { case (id, t) => id -> shinglesRef(t, 3) }.toMap
+    val dfreq = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val firstSeen = perDoc.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = rows.map { case (id, _) =>
+      val ss = perDoc(id)
+      (id, ss.size.toLong,
+        ss.count(s => firstSeen(s) == id).toLong,
+        ss.count(s => dfreq(s) >= thr).toLong)
+    }.sortBy(_._1)
+    val got = TextAnalysis.boilerplateProfile(rows.toDF("doc_id", "text"), dfThreshold = thr)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "n_common")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
   }
 }
