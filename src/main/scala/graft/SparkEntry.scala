@@ -1439,6 +1439,16 @@ object SparkEntry {
         Map("src0" -> 0.002, "src1" -> 0.01, "src2" -> 0.02,
           "src3" -> 0.05, "src4" -> 0.08))
         .select(col("doc_id"), col("source"), col("keep_ppm"))),
+    "q_token_budget_mix" -> ((s, dir) => {
+      // Exact token-budget mixing: per-source integer weights derived from
+      // the source NAME (ascii of last char % 3 + 1 — sf-independent), 10k
+      // total token budget, admission in md5(doc_id) order via the
+      // distributed prefix sum (range partition + per-partition offsets).
+      val d = table(s, dir, "documents")
+      val w = d.select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      Sampling.tokenBudgetMix(d, w, totalBudget = 10000L)
+    }),
     "q_dedup_keep_best" -> ((s, dir) =>
       // Curation-policy dedup: per near-dup cluster keep the LONGEST member
       // (tie-break lowest id), not the lowest id — the policy real
@@ -3004,6 +3014,25 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_token_budget_mix" ->
+      // The oracle uses the NAIVE per-source window cumsum — an independent
+      // formulation of the same prefix sum the distributed form computes;
+      // `//` keeps the budget floor in integer math.
+      """WITH w AS (SELECT source, CAST(ascii(substr(source, -1)) % 3 + 1 AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS denom FROM w),
+        |b AS (SELECT source, CAST(10000 * wt // denom AS BIGINT) AS budget FROM w, tot),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum_before < b.budget""".stripMargin,
     "q_dedup_keep_best" ->
       // same reachability closure as q_dedup_components; winner per
       // component by (n_chars DESC, doc_id ASC); singletons keep themselves

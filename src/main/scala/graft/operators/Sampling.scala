@@ -174,4 +174,75 @@ object Sampling {
       "split",
       when(b < 80, "train").when(b < 90, "val").otherwise("test"))
   }
+
+  /** Deterministic token-budget corpus mixing — the "data mixing" step of a
+    * training pipeline: given integer per-source weights and a total token
+    * budget, admit each source's documents in a fixed pseudo-random order
+    * (60-bit md5 of the doc id) until that source's share
+    * `floor(totalBudget · w_s / Σw)` is reached. A doc is admitted iff the
+    * tokens BEFORE it fit the share (so the boundary-crossing doc is kept —
+    * budgets are floors, real corpora overshoot by < 1 doc). Unlike
+    * [[mixtureSample]] (per-doc keep-probability, so realized token counts
+    * drift with doc-length variance), this is an exact cumulative cutoff.
+    *
+    * Scale: the naive form is `sum(n_tokens) over (partition by source
+    * order by h)` — ONE window partition per source, i.e. a whole source's
+    * corpus through a single task at 100 TB. Instead, a distributed prefix
+    * sum: range-partition by the admission order (source, h, id) — range,
+    * not hash, so a hot source SPLITS across partitions and partition ids
+    * ascend with key order; local cumsums run per (partition, source)
+    * group, each bounded by one range-partition's rows; the per-(partition,
+    * source) totals table (partitions × sources rows — tiny at any scale)
+    * yields cross-partition offsets, broadcast back. The output is
+    * boundary-invariant: offsets + local cumsums reproduce the global
+    * prefix sum wherever the sampler drew the range bounds, so results stay
+    * deterministic even though `spark_partition_id` is not. That projection
+    * being non-deterministic is load-bearing for the plan too: Catalyst
+    * cannot push the downstream join's inferred isnotnull filters below it,
+    * so BOTH consumers (window branch, totals branch) share one canonical
+    * range-exchange subtree and the corpus is shuffled once.
+    *
+    * `weights`: (sourceCol, weight) with integer weights; `totalBudget · w`
+    * must fit a double exactly (< 2^53 — any real budget qualifies). */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      weights: DataFrame,
+      totalBudget: Long,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol).cast("long").as(idCol), col(sourceCol),
+      size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.tokenHash60(
+        concat(lit("mix:"), col(idCol).cast("string"))).as("__h"))
+    val denom = weights.agg(sum(col("weight")).cast("long").as("__denom"))
+    val budgets = weights.crossJoin(broadcast(denom))
+      .select(col(sourceCol),
+        floor(lit(totalBudget).cast("double") * col("weight").cast("double") /
+          col("__denom").cast("double")).as("__budget"))
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = toks
+      .repartitionByRange(p, col(sourceCol), col("__h"), col(idCol))
+      .sortWithinPartitions(col(sourceCol), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(sourceCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum_local", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col("__pid"), col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__ptok"))
+      .withColumn("__off", coalesce(sum(col("__ptok")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(sourceCol), col("__off"))
+    local
+      .join(broadcast(offsets), Seq("__pid", sourceCol))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .withColumn("cum_before", col("__off") + col("__cum_local") - col("n_tokens"))
+      .filter(col("cum_before") < col("__budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_before"))
+  }
 }

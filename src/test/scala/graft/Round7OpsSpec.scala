@@ -1,9 +1,9 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Round-7 additions: cross-corpus shingle overlap/containment,
-  * corpus-wide boilerplate/novelty profiling. */
+  * corpus-wide boilerplate/novelty profiling, token-budget corpus mixing. */
 class Round7OpsSpec extends SparkFunSuite {
   import spark.implicits._
 
@@ -141,5 +141,74 @@ class Round7OpsSpec extends SparkFunSuite {
       .select("doc_id", "n_shingles", "n_novel", "n_common")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == expected)
+  }
+
+  // ---- tokenBudgetMix
+
+  private def mixRef(
+      rows: Seq[(Long, String, String)],
+      weights: Map[String, Long],
+      budget: Long): Seq[(Long, String, Long, Long)] = {
+    val denom = weights.values.sum
+    rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      val share = budget * weights(src) / denom
+      var cum = 0L
+      docs.map { case (id, _, t) =>
+        (id, src, t.split(" ", -1).length.toLong, hash60Ref(s"mix:$id"))
+      }.sortBy(r => (r._4, r._1)).flatMap { case (id, s, n, _) =>
+        val before = cum; cum += n
+        if (before < share) Some((id, s, n, before)) else None
+      }
+    }.sortBy(_._1)
+  }
+
+  test("tokenBudgetMix equals the naive per-source cumsum reference") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("a", "b", "c", "d", "e")
+    val rows = (0 until 200).map { i =>
+      val src = s"s${i % 5}"
+      val len = 1 + rnd.nextInt(20)
+      (i.toLong, src, Vector.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val wm = Map("s0" -> 1L, "s1" -> 2L, "s2" -> 3L, "s3" -> 1L, "s4" -> 2L)
+    val w = wm.toSeq.toDF("source", "weight")
+    val budget = 800L
+    val got = Sampling.tokenBudgetMix(rows.toDF("doc_id", "source", "text"), w, budget)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == mixRef(rows, wm, budget))
+    // realized token counts land within one doc of each source's share
+    val denom = wm.values.sum
+    got.groupBy(_._2).foreach { case (src, admitted) =>
+      val share = budget * wm(src) / denom
+      val toks = admitted.map(_._3).sum
+      val maxDoc = admitted.map(_._3).max
+      assert(toks >= math.min(share,
+        rows.filter(_._2 == src).map(_._3.split(" ", -1).length.toLong).sum))
+      assert(toks < share + maxDoc)
+    }
+  }
+
+  test("tokenBudgetMix is invariant to the shuffle-partition count") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 150).map { i =>
+      (i.toLong, s"s${i % 3}",
+        Vector.fill(1 + rnd.nextInt(15))("w").mkString(" "))
+    }
+    val w = Seq(("s0", 1L), ("s1", 2L), ("s2", 1L)).toDF("source", "weight")
+    def run(): Seq[(Long, String, Long, Long)] =
+      Sampling.tokenBudgetMix(rows.toDF("doc_id", "source", "text"), w, 500L)
+        .orderBy("doc_id")
+        .select("doc_id", "source", "n_tokens", "cum_before")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = run()
+    try {
+      for (p <- Seq("1", "7", "64")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run() == base, s"differs at shuffle.partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
