@@ -1855,6 +1855,41 @@ object SparkEntry {
       deleteRecursively(root.toFile)
       result
     }),
+    "q_stream_budget_admit" -> ((s, dir) => {
+      // Online token-budget admission: per-source budgets enforced on the
+      // arriving stream in id order, per-source running totals handed off
+      // across microbatches (k-row state, never per-doc). The rule is
+      // batching-invariant, so the oracle states it closed-form: admitted
+      // ⇔ same-source lower-id token sum < budget.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val w = table(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      val denom = w.agg(sum(col("weight")).cast("long").as("__denom"))
+      val budgets = w.crossJoin(broadcast(denom))
+        .select(col("source"),
+          floor(lit(10000L).cast("double") * col("weight").cast("double") /
+            col("__denom").cast("double")).as("budget"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_budget_")
+      val state = root.resolve("state").toString
+      val out = root.resolve("admitted").toString
+      val ckpt = root.resolve("_checkpoint").toString
+      withStreamingConfs(s) {
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(graft.streaming.BudgetAdmitSink.admitBatch(state, out, budgets) _)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val result = s.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+        .localCheckpoint(true)
+      deleteRecursively(root.toFile)
+      result
+    }),
     "q_compress_ratio" -> ((s, dir) =>
       // Deflate quality tier, driver-checkable form: the DEFLATE bit-stream
       // is engine-internal, so the query emits exact assertions instead —
@@ -3014,6 +3049,24 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_stream_budget_admit" ->
+      // Closed-form batching-invariant admission rule: same budget CTEs as
+      // q_token_budget_mix, cumsum ordered by ARRIVAL (doc_id) instead of
+      // the md5 admission hash.
+      """WITH w AS (SELECT source, CAST(ascii(substr(source, -1)) % 3 + 1 AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS denom FROM w),
+        |b AS (SELECT source, CAST(10000 * wt // denom AS BIGINT) AS budget FROM w, tot),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum_before < b.budget""".stripMargin,
     "q_token_budget_mix" ->
       // The oracle uses the NAIVE per-source window cumsum — an independent
       // formulation of the same prefix sum the distributed form computes;

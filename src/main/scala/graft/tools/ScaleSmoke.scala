@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * shuffle sizes, spill, stragglers. Linear wall-clock growth here is the
   * local proxy for "holds on a 1000-executor cluster".
   *
-  * usage: runMain graft.tools.ScaleSmoke [multiplier]
+  * usage: runMain graft.tools.ScaleSmoke [multiplier] [labelSubstr,...]
+  * (second arg filters ops by label substring — dev iteration on new ops)
   */
 object ScaleSmoke {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
-  }
+  private var only: Option[Seq[String]] = None
+
+  def time[A](label: String)(f: => A): Unit =
+    if (only.forall(_.exists(label.contains))) {
+      val t0 = System.nanoTime(); f
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
 
   /** Union `mult` shifted copies: keys offset so each copy is a disjoint
     * population (per-key row counts preserved — sessionize state size per
@@ -29,6 +33,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 20
+    only = if (args.length > 1) Some(args(1).split(",").toSeq) else None
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -225,6 +230,20 @@ object ScaleSmoke {
           (col("dst") + lit(i * 20_000_000L)).as("dst"))
       }.reduce(_ unionByName _)
       drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5))
+    }
+    // round-7 continuation ops: all single-shuffle-per-stage shapes whose
+    // scaling claims need pinning (corpusOverlap/boilerplateProfile shuffle
+    // ∝ exploded shingles; tokenBudgetMix ∝ one range exchange)
+    time(s"corpusOverlap x${math.max(1, mult / 5)}")(
+      drain(Dedup.corpusOverlap(docs)))
+    time(s"corpusOverlap sampled(16) x${math.max(1, mult / 5)}")(
+      drain(Dedup.corpusOverlap(docs, sampleMod = 16)))
+    time(s"boilerplateProfile x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.boilerplateProfile(docs, dfThreshold = 10L)))
+    time(s"tokenBudgetMix x${math.max(1, mult / 5)}") {
+      val w = docs.select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      drain(Sampling.tokenBudgetMix(docs, w, totalBudget = 500000L))
     }
     spark.stop()
   }
