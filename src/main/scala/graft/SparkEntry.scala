@@ -1439,6 +1439,15 @@ object SparkEntry {
         Map("src0" -> 0.002, "src1" -> 0.01, "src2" -> 0.02,
           "src3" -> 0.05, "src4" -> 0.08))
         .select(col("doc_id"), col("source"), col("keep_ppm"))),
+    "q_histogram_equalize" -> ((s, dir) =>
+      // Flatten the document-length histogram (100-char bins): every bin
+      // downsampled to the smallest bin's volume, ppm rates derived from
+      // the data's own counts — exact integer math, oracle-replayable.
+      Sampling.histogramEqualize(
+        table(s, dir, "documents")
+          .select(col("doc_id"), expr("n_chars div 100").as("len_bin")),
+        "doc_id", "len_bin")
+        .select(col("doc_id"), col("len_bin"), col("keep_ppm"))),
     "q_token_budget_mix" -> ((s, dir) => {
       // Exact token-budget mixing: per-source integer weights derived from
       // the source NAME (ascii of last char % 3 + 1 — sf-independent), 10k
@@ -3048,6 +3057,15 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, r.keep_ppm
         |FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000 < r.keep_ppm""".stripMargin,
+    "q_histogram_equalize" ->
+      """WITH b AS (SELECT doc_id, n_chars // 100 AS len_bin FROM documents),
+        |c AS (SELECT len_bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |m AS (SELECT min(c) AS mn FROM c),
+        |r AS (SELECT len_bin, CAST(mn * 1000000 // c AS BIGINT) AS keep_ppm FROM c, m)
+        |SELECT b.doc_id, b.len_bin, r.keep_ppm
+        |FROM b JOIN r USING (len_bin)
+        |WHERE CAST('0x' || substr(md5(CAST(b.len_bin AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < r.keep_ppm""".stripMargin,
     "q_stream_budget_admit" ->
       // Closed-form batching-invariant admission rule: same budget CTEs as

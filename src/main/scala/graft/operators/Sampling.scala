@@ -175,6 +175,30 @@ object Sampling {
       when(b < 80, "train").when(b < 90, "val").otherwise("test"))
   }
 
+  /** Histogram-equalizing sampler — flatten a bin distribution (length,
+    * quality decile, perplexity bucket) by downsampling every bin to the
+    * SMALLEST bin's volume: keep_ppm(bin) = floor(min_count·10⁶ /
+    * count(bin)), membership by the stable 60-bit md5 of (bin, id). The
+    * self-calibrating counterpart of [[mixtureSample]] (whose targets are
+    * caller-supplied): rates come from the data's own histogram, so the
+    * output is ~uniform across bins with no configuration. All math is
+    * exact integers (ppm floors via `div`), so the oracle replays it.
+    *
+    * Scale: one count aggregate (rows = #bins, bounded by construction), a
+    * 1-row min, a rate join the optimizer broadcasts when small — the
+    * corpus itself is touched by one narrow filter. Same shape as
+    * [[mixtureSample]]; no forced broadcast for the same reason. */
+  def histogramEqualize(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val counts = df.groupBy(col(binCol)).agg(count(lit(1)).cast("long").as("__c"))
+    val minc = counts.agg(min(col("__c")).as("__min"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col(binCol),
+        expr("__min * 1000000L div __c").cast("long").as("keep_ppm"))
+    val h = graft.functions.TextFunctions.tokenHash60(
+      concat(col(binCol).cast("string"), lit(":"), col(idCol).cast("string"))) % 1000000L
+    df.join(rates, Seq(binCol)).filter(h < col("keep_ppm"))
+  }
+
   /** Deterministic token-budget corpus mixing — the "data mixing" step of a
     * training pipeline: given integer per-source weights and a total token
     * budget, admit each source's documents in a fixed pseudo-random order

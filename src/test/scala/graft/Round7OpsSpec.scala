@@ -190,6 +190,32 @@ class Round7OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("histogramEqualize equals an exact in-memory replay and flattens the histogram") {
+    val rnd = new scala.util.Random(29)
+    // skewed bins: bin b gets ~ (b+1)^2 * 15 rows
+    val rows = (0 until 4).flatMap { b =>
+      (0 until (b + 1) * (b + 1) * 15).map(_ => (rnd.nextLong().abs % 1000000L, b.toLong))
+    }.distinct.zipWithIndex.map { case ((_, b), i) => (i.toLong, b) }
+    val df = rows.toDF("doc_id", "bin")
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val minC = counts.values.min
+    val expected = rows.filter { case (id, b) =>
+      val ppm = minC * 1000000L / counts(b)
+      hash60Ref(s"$b:$id") % 1000000L < ppm
+    }.sortBy(_._1)
+    val got = Sampling.histogramEqualize(df, "doc_id", "bin")
+      .orderBy("doc_id").select("doc_id", "bin")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // flattening: every bin's admitted count within 5x binomial sd of minC
+    val admitted = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    counts.keys.foreach { b =>
+      val sd = math.sqrt(minC.toDouble) * 5 + 1
+      assert(math.abs(admitted.getOrElse(b, 0L) - minC) <= sd,
+        s"bin $b admitted ${admitted.getOrElse(b, 0L)} vs target $minC")
+    }
+  }
+
   test("tokenBudgetMix is invariant to the shuffle-partition count") {
     val rnd = new scala.util.Random(19)
     val rows = (0 until 150).map { i =>
