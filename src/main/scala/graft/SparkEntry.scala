@@ -1448,6 +1448,16 @@ object SparkEntry {
           .select(col("doc_id"), expr("n_chars div 100").as("len_bin")),
         "doc_id", "len_bin")
         .select(col("doc_id"), col("len_bin"), col("keep_ppm"))),
+    "q_budget_select" -> ((s, dir) => {
+      // Quality-first selection: same per-source budgets as
+      // q_token_budget_mix but filled LONGEST-DOC-FIRST (-n_chars as the
+      // quality proxy) instead of hash order — the greedy
+      // select-best-under-budget curation step.
+      val d = table(s, dir, "documents")
+      val w = d.select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      Sampling.tokenBudgetSelect(d, w, totalBudget = 10000L, orderCol = -col("n_chars"))
+    }),
     "q_token_budget_mix" -> ((s, dir) => {
       // Exact token-budget mixing: per-source integer weights derived from
       // the source NAME (ascii of last char % 3 + 1 — sf-independent), 10k
@@ -3080,6 +3090,23 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum_before < b.budget""".stripMargin,
+    "q_budget_select" ->
+      // Same CTEs as q_token_budget_mix with the cumsum ordered by
+      // (-n_chars, doc_id) — longest-first greedy fill.
+      """WITH w AS (SELECT source, CAST(ascii(substr(source, -1)) % 3 + 1 AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS denom FROM w),
+        |b AS (SELECT source, CAST(10000 * wt // denom AS BIGINT) AS budget FROM w, tot),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, -n_chars AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
         |  FROM d)
         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before

@@ -234,13 +234,42 @@ object Sampling {
       totalBudget: Long,
       sourceCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    tokenBudgetOrdered(docs, weights, totalBudget,
+      graft.functions.TextFunctions.tokenHash60(
+        concat(lit("mix:"), col(idCol).cast("string"))),
+      sourceCol, idCol, textCol)
+
+  /** Quality-first budget selection: [[tokenBudgetMix]] with the admission
+    * order chosen by the caller — pass a NUMERIC column ascending (e.g.
+    * `-quality` for best-first) and each source's budget fills greedily
+    * from that end. The DsDm/QuRating-shaped "select the best docs under a
+    * token budget" step; same distributed-prefix-sum plan, same
+    * boundary-invariance ((orderCol, id) is a total order). */
+  def tokenBudgetSelect(
+      docs: DataFrame,
+      weights: DataFrame,
+      totalBudget: Long,
+      orderCol: Column,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    tokenBudgetOrdered(docs, weights, totalBudget, orderCol.cast("long"),
+      sourceCol, idCol, textCol)
+
+  private def tokenBudgetOrdered(
+      docs: DataFrame,
+      weights: DataFrame,
+      totalBudget: Long,
+      orderCol: Column,
+      sourceCol: String,
+      idCol: String,
+      textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col(idCol).cast("long").as(idCol), col(sourceCol),
       size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
-      graft.functions.TextFunctions.tokenHash60(
-        concat(lit("mix:"), col(idCol).cast("string"))).as("__h"))
+      orderCol.as("__h"))
     val denom = weights.agg(sum(col("weight")).cast("long").as("__denom"))
     val budgets = weights.crossJoin(broadcast(denom))
       .select(col(sourceCol),

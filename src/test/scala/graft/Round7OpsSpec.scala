@@ -216,6 +216,37 @@ class Round7OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("tokenBudgetSelect fills longest-first: matches the greedy reference") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"s${i % 3}",
+        Vector.fill(1 + rnd.nextInt(25))("w").mkString(" "))
+    }
+    val wm = Map("s0" -> 1L, "s1" -> 1L, "s2" -> 2L)
+    val budget = 600L
+    val denom = wm.values.sum
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val share = budget * wm(src) / denom
+      var cum = 0L
+      ds.map { case (id, s, t) => (id, s, t.split(" ", -1).length.toLong) }
+        .sortBy { case (id, _, n) => (-n, id) }
+        .flatMap { case (id, s, n) =>
+          val before = cum; cum += n
+          if (before < share) Some((id, s, n, before)) else None
+        }
+    }.sortBy(_._1)
+    val got = Sampling.tokenBudgetSelect(
+      rows.toDF("doc_id", "source", "text"),
+      wm.toSeq.toDF("source", "weight"), budget,
+      orderCol = -org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ", -1)))
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("tokenBudgetMix is invariant to the shuffle-partition count") {
     val rnd = new scala.util.Random(19)
     val rows = (0 until 150).map { i =>
