@@ -1078,6 +1078,27 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
     }),
+    "q_curation_pipeline" -> ((s, dir) => {
+      // Round-7 pipeline composition over the NEW curation tiers: Gopher
+      // quality gate → corpus-wide boilerplate gate (integer-exact 0.6
+      // threshold: 5·n_common ≤ 3·n_shingles) → token-budget mix (8k
+      // budget, source-name weights) → per-source corpus accounting.
+      // Fully oracled because every stage is.
+      val d = table(s, dir, "documents")
+      val ok = TextAnalysis.qualityScore(d)
+        .filter(col("verdict") === "ok").select(col("doc_id"))
+      val lowBp = TextAnalysis.boilerplateProfile(d, dfThreshold = 10L)
+        .filter(col("n_shingles") === 0L || col("n_common") * 5 <= col("n_shingles") * 3)
+        .select(col("doc_id"))
+      val gated = d.join(ok, Seq("doc_id"), "left_semi")
+        .join(lowBp, Seq("doc_id"), "left_semi")
+      val w = gated.select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      Sampling.tokenBudgetMix(gated, w, totalBudget = 8000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+    }),
     "q_unpivot" -> ((s, dir) => {
       // Wide->long unpivot (melt) of four lineitem measures, aggregated.
       val cents = table(s, dir, "lineitem").select(
@@ -2879,6 +2900,36 @@ object SparkEntry {
          |SELECT split, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM sp GROUP BY split""".stripMargin,
+    "q_curation_pipeline" ->
+      s"""WITH $qualityCte,
+         |$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |st AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+         |bp AS (SELECT e.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN st.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM ex e JOIN st ON st.shingle = e.shingle GROUP BY 1),
+         |gated AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN quality q ON q.doc_id = d.doc_id AND q.verdict = 'ok'
+         |  LEFT JOIN bp ON bp.doc_id = d.doc_id
+         |  WHERE bp.doc_id IS NULL OR 5 * bp.n_common <= 3 * bp.n_shingles),
+         |w AS (SELECT source, CAST(ascii(substr(source, -1)) % 3 + 1 AS BIGINT) AS wt
+         |  FROM (SELECT DISTINCT source FROM gated)),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS denom FROM w),
+         |bb AS (SELECT source, CAST(8000 * wt // denom AS BIGINT) AS budget FROM w, tot),
+         |dd AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM gated),
+         |cc AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+         |  FROM dd)
+         |SELECT cc.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(cc.n_tokens) AS BIGINT) AS n_tokens
+         |FROM cc JOIN bb ON bb.source = cc.source
+         |WHERE cc.cum_before < bb.budget
+         |GROUP BY cc.source""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM (
         |  SELECT 'quantity' AS metric, CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cents FROM lineitem
