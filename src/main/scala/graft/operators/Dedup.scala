@@ -702,7 +702,10 @@ object Dedup {
     * the full-vocabulary ratios while counts scale down ~sampleMod× — and
     * because the sample is a pure function of the shingle bytes, the result
     * is exactly replayable (md5 in DuckDB), not merely statistically close.
-    */
+    *
+    * NULL corpus labels are ignored end-to-end (`collect_set` drops nulls,
+    * and the size table derives from the collected sets) — unlabeled docs
+    * contribute to no pair and no vocabulary. */
   def corpusOverlap(
       docs: DataFrame,
       corpusCol: String = "source",

@@ -49,6 +49,18 @@ class Round7OpsSpec extends SparkFunSuite {
     assert(r.isEmpty)
   }
 
+  test("corpusOverlap: null corpus labels are ignored end-to-end") {
+    val df = Seq(
+      (0L, Some("A"), "a b c d"),
+      (1L, Some("B"), "b c d e"),
+      (2L, None, "a b c d e f")) // unlabeled: no vocabulary, no pair
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.corpusOverlap(df, corpusCol = "source").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("vocab_a") == 2L && r.head.getAs[Long]("vocab_b") == 2L)
+    assert(r.head.getAs[Long]("inter") == 1L)
+  }
+
   test("corpusOverlap matches an in-memory reference on random multi-corpus data") {
     val rnd = new scala.util.Random(7)
     val words = Vector("a", "b", "c", "d", "e", "f", "g")
