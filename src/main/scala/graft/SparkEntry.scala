@@ -572,6 +572,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_dedup_report" -> ((s, dir) => {
+      // The headline curation metric: how much of the corpus is duplicated
+      // mass. Non-canonical members of near-dup components (the docs
+      // keep-one dedup would drop) are counted in docs AND tokens — the
+      // number that justifies running dedup at all.
+      val d = table(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.nearDupMinhash(d, threshold = 0.5).select(col("doc_a"), col("doc_b")))
+        .withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("dup",
+          (col("component").isNotNull && col("component") =!= col("doc_id")).cast("int"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("dup")).cast("long").as("n_dup_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("dup") === 1, col("n_tokens")).otherwise(0L)).as("n_dup_tokens"),
+          round(sum((col("dup") * col("n_tokens")).cast("double")) /
+            sum(col("n_tokens")).cast("double"), 6).as("dup_token_frac"))
+    }),
     "q_dedup_apply" -> ((s, dir) =>
       // The full dedup operator end-to-end: near-dup clusters collapsed to
       // their min-id representative, unclustered docs untouched.
@@ -2265,6 +2286,28 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH $minhashVerifiedCtes
          |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+    "q_dedup_report" ->
+      // same reachability closure; duplicated mass = losers' docs/tokens
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |losers AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(v)),
+         |t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END AS dup
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN dup = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+         |  round(sum(dup * n_tokens) * 1.0 / sum(n_tokens), 6) AS dup_token_frac
+         |FROM t""".stripMargin,
     "q_dedup_apply" ->
       // keep docs that are not a non-canonical member of any component
       s"""WITH RECURSIVE $minhashVerifiedCtes,
