@@ -707,6 +707,14 @@ object SparkEntry {
       Similarity.nearDupCosineSrp(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
+    "q_embedding_neardup_srp_mp" -> ((s, dir) =>
+      // Multi-probe recall tier: band keys probed at Hamming distance <= 1
+      // (each 1-bit flip), equi-join preserved; the oracle states the rule
+      // closed-form via bit_count(xor(bk_a, bk_b)) <= 1. Superset of
+      // q_embedding_neardup_srp's result by construction.
+      Similarity.nearDupCosineSrpMultiProbe(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
     "q_diversity_sample" -> ((s, dir) =>
       // Embedding-space curation: cell-stratified deterministic subset —
       // dense regions capped at perCell, sparse regions kept whole.
@@ -2442,6 +2450,23 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |         FROM bands x JOIN bands y
          |           ON x.b = y.b AND x.bk = y.bk AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT cand.vec_a, cand.vec_b, round($cosineSqlExpr, 6) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
+         |            JOIN n c ON c.vec_id = cand.vec_b)
+         |WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_neardup_srp_mp" ->
+      // same band CTEs as q_embedding_neardup_srp; the multi-probe rule is
+      // closed-form: same band, keys within Hamming distance 1
+      s"""WITH $normCte,
+         |sigs AS (SELECT vec_id, ${srpSigSqlExpr(32)} AS sig
+         |         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         |bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bk
+         |          FROM sigs, range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND bit_count(xor(x.bk, y.bk)) <= 1
+         |          AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, sim FROM (
          |  SELECT cand.vec_a, cand.vec_b, round($cosineSqlExpr, 6) AS sim
          |  FROM cand JOIN n q ON q.vec_id = cand.vec_a

@@ -343,6 +343,50 @@ object Similarity {
       .distinct()
   }
 
+  /** Multi-probe SRP-LSH near-dup — [[nearDupCosineSrp]] plus the standard
+    * recall booster (Lv et al. 2007): candidates also include pairs whose
+    * band keys differ in ONE bit, because a near-threshold pair that
+    * narrowly misses every exact bucket is usually one flipped hyperplane
+    * away. ONE join side explodes each band key into 1 + bandBits probe
+    * keys (the exact key and each 1-bit flip); the other side keeps exact
+    * keys, so a Hamming-1 pair meets on the flipped probe — still an
+    * equi-join on (band, key), shuffle-partitionable, no all-pairs. The
+    * price is ×(bandBits+1) candidate-side rows pre-verify; verification
+    * (exact cosine) is unchanged. Deterministic end-to-end: the oracle
+    * states the candidate rule closed-form as
+    * `bit_count(xor(bk_a, bk_b)) <= 1` per band. */
+  def nearDupCosineSrpMultiProbe(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    val sigs = withNorm(embeddings, "vec_id", "embedding")
+      .withColumn("__sig", srpSignatureCol(col("embedding"), signs))
+    val banded = sigs.select(
+      col("vec_id"), col("embedding"), col("__nrm"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*)).as(Seq("__band", "__bk")))
+    val probeKeys: Seq[Column] =
+      col("__bk") +: (0 until bandBits).map(i => col("__bk").bitwiseXOR(lit(1L << i)))
+    val a = banded.select(
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("__nrm").as("nrm_a"),
+      col("__band"), explode(array(probeKeys: _*)).as("__bk"))
+    val b = banded.select(col("__band"), col("__bk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    a.join(b, Seq("__band", "__bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      // a pair can meet via several bands/probes: dedupe BEFORE the cosine
+      // (payloads are functionally determined by the ids)
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
   /** Symmetric int8 quantization, the storage/serving compression step of an
     * embedding pipeline: per-vector scale = max|v| / 127, q_i = round(v_i /
     * scale) ∈ [−127, 127]. A narrow map (no shuffle); 4× smaller than float32

@@ -259,6 +259,42 @@ class Round7OpsSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("multi-probe SRP: superset of exact-band candidates, recall strictly closer to exact tier") {
+    val rnd = new scala.util.Random(37)
+    // clustered vectors so near-dups exist: 30 seeds, 3 jittered copies each
+    val dims = 16
+    val rows = (0 until 30).flatMap { s =>
+      val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.map(x => x + 0.35f * rnd.nextGaussian().toFloat)
+        ((s * 3 + j).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val thr = 0.6
+    def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = {
+      // in-memory exact reference over all pairs
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      (for {
+        (ia, va) <- rows; (ib, vb) <- rows if ia < ib && cos(va, vb) >= thr
+      } yield (ia, ib)).toSet
+    }
+    val single = pairSet(graft.operators.Similarity.nearDupCosineSrp(df, thr))
+    val multi = pairSet(graft.operators.Similarity.nearDupCosineSrpMultiProbe(df, thr))
+    assert(single.subsetOf(multi), "multi-probe must be a superset of exact-band")
+    assert(single.subsetOf(exact) && multi.subsetOf(exact),
+      "verification means no false positives in either tier")
+    assert(multi.size >= single.size)
+    info(s"recall: single=${single.size}/${exact.size} multi=${multi.size}/${exact.size}")
+  }
+
   test("tokenBudgetMix is invariant to the shuffle-partition count") {
     val rnd = new scala.util.Random(19)
     val rows = (0 until 150).map { i =>
