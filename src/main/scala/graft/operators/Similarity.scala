@@ -377,14 +377,20 @@ object Similarity {
       col("__band"), explode(array(probeKeys: _*)).as("__bk"))
     val b = banded.select(col("__band"), col("__bk"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("__nrm").as("nrm_b"))
+    // cosine inline per candidate ROW (codegen'd fused multiply-adds, no
+    // shuffle), distinct only on the small verified set — same shape as
+    // [[nearDupCosineSrp]]. A pre-verify pair-dedupe looks cheaper on paper
+    // but shuffles the embedding payload for EVERY candidate (measured:
+    // 127 s vs 12 s at 20× smoke); redundant per-row cosines are the
+    // cheaper redundancy. Multi-probe amplifies bucket volume ×(bandBits+1),
+    // so production pairs it with MORE band bits (the documented knob), not
+    // fewer.
     a.join(b, Seq("__band", "__bk"))
       .filter(col("vec_a") < col("vec_b"))
-      // a pair can meet via several bands/probes: dedupe BEFORE the cosine
-      // (payloads are functionally determined by the ids)
-      .dropDuplicates("vec_a", "vec_b")
       .withColumn("sim", cosineFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+      .distinct()
   }
 
   /** Symmetric int8 quantization, the storage/serving compression step of an

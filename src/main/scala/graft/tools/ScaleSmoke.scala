@@ -81,6 +81,8 @@ object ScaleSmoke {
     // ~n/2^bits — candidate pairs (quadratic per bucket) stop growing
     time(s"srp nearDup x${math.max(1, mult / 5)} (48 planes, 6-bit bands)")(
       drain(Similarity.nearDupCosineSrp(emb, 0.4, planes = 48, bands = 8)))
+    time(s"srp nearDup multiProbe x${math.max(1, mult / 5)}")(
+      drain(Similarity.nearDupCosineSrpMultiProbe(emb, 0.4)))
     time(s"quantizeInt8 x${math.max(1, mult / 5)}")(drain(Similarity.quantizeInt8(emb)))
     time(s"chunkDocuments x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.chunkDocuments(docs)))
