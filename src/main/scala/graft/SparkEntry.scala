@@ -744,6 +744,9 @@ object SparkEntry {
       TextAnalysis.fingerprints(table(s, dir, "documents"))),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
+    "q_vocab_growth" -> ((s, dir) =>
+      // Vocabulary-saturation curve: new trigrams per 50-doc crawl bucket.
+      TextAnalysis.vocabGrowth(table(s, dir, "documents"))),
     "q_boilerplate" -> ((s, dir) =>
       // Corpus-wide shingle-df boilerplate/novelty profile per document —
       // the inter-document repetition signal q_repetition (within-doc)
@@ -2548,6 +2551,12 @@ object SparkEntry {
          |      * (CAST(1 AS BIGINT) << ((16*(len(tl)-i)) % 31))) % 2147483647
          |    FOR i IN range(1, len(tl)+1)]) % 2147483647 AS BIGINT) AS rolling_hash
          |FROM toks""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |fs AS (SELECT shingle, min(doc_id) AS first_seen FROM ex GROUP BY 1)
+         |SELECT first_seen // 50 AS bucket, CAST(count(*) AS BIGINT) AS new_shingles
+         |FROM fs GROUP BY 1""".stripMargin,
     "q_boilerplate" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),

@@ -702,6 +702,26 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
   }
 
+  /** Vocabulary-saturation curve: distinct shingles FIRST seen in each
+    * `bucketSize`-doc id bucket (id order as the crawl-order proxy) — the
+    * diminishing-novelty diagnostic that prices continued crawling of a
+    * source: a flattening curve means new data is mostly old vocabulary.
+    * One explode + one shingle-keyed min + one tiny bucket agg. */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      bucketSize: Int = 50): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol).cast("long").as(idCol),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(min(col(idCol)).as("first_seen"))
+      .groupBy(expr(s"first_seen div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("new_shingles"))
+
   /** Per-document boilerplate/novelty profile from corpus-wide shingle
     * document frequency — the inter-document repetition signal (site
     * chrome, license blocks, templated pages) that per-doc

@@ -155,6 +155,23 @@ class Round7OpsSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("vocabGrowth matches an in-memory first-seen reference") {
+    val rnd = new scala.util.Random(41)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Vector.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val firstSeen = rows.flatMap { case (id, t) => shinglesRef(t, 3).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = firstSeen.values.groupBy(_ / 10).view
+      .mapValues(_.size.toLong).toMap.toSeq.sortBy(_._1)
+    val got = TextAnalysis.vocabGrowth(rows.toDF("doc_id", "text"), bucketSize = 10)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // saturation: total novelty equals total distinct vocabulary
+    assert(got.map(_._2).sum == firstSeen.size.toLong)
+  }
+
   // ---- tokenBudgetMix
 
   private def mixRef(
