@@ -245,7 +245,9 @@ object Sampling {
     * `-quality` for best-first) and each source's budget fills greedily
     * from that end. The DsDm/QuRating-shaped "select the best docs under a
     * token budget" step; same distributed-prefix-sum plan, same
-    * boundary-invariance ((orderCol, id) is a total order). */
+    * boundary-invariance ((orderCol, id) is a total order). The column is
+    * used as-is — fractional scores keep full precision (an integral cast
+    * here would collapse `-quality` ∈ [-1, 0] onto one tie class). */
   def tokenBudgetSelect(
       docs: DataFrame,
       weights: DataFrame,
@@ -254,7 +256,7 @@ object Sampling {
       sourceCol: String = "source",
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    tokenBudgetOrdered(docs, weights, totalBudget, orderCol.cast("long"),
+    tokenBudgetOrdered(docs, weights, totalBudget, orderCol,
       sourceCol, idCol, textCol)
 
   private def tokenBudgetOrdered(

@@ -312,6 +312,21 @@ class Round7OpsSpec extends SparkFunSuite {
     info(s"recall: single=${single.size}/${exact.size} multi=${multi.size}/${exact.size}")
   }
 
+  test("tokenBudgetSelect keeps fractional order-column precision") {
+    // two docs, budget fits one: the better (more negative) fractional
+    // score must win — an integral cast would collapse both to tie class 0
+    // and admit doc 0 by id instead
+    val df = Seq(
+      (0L, "s", "w w w w", 0.1),
+      (1L, "s", "w w w w", 0.9))
+      .toDF("doc_id", "source", "text", "score")
+    val w = Seq(("s", 1L)).toDF("source", "weight")
+    val got = Sampling.tokenBudgetSelect(df, w, totalBudget = 4L,
+      orderCol = -org.apache.spark.sql.functions.col("score"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("tokenBudgetMix is invariant to the shuffle-partition count") {
     val rnd = new scala.util.Random(19)
     val rows = (0 until 150).map { i =>
