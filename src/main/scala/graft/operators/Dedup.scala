@@ -714,13 +714,71 @@ object Dedup {
       shingleN: Int = 3,
       sampleMod: Int = 1): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val exploded = docs
-      .repartition(col(idCol))
-      .select(col(corpusCol).as("corpus"),
-        explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
-    val sampled =
-      if (sampleMod == 1) exploded
-      else exploded.filter(tokenHash60(col("shingle")) % sampleMod === 0)
+    val srcs = docs
+      .select(col(corpusCol).cast("string").as("corpus"))
+      .where(col("corpus").isNotNull)
+      .distinct()
+    // k = corpus count: bounded by construction (dumps/snapshots, not
+    // data). The count is the operator's one driver-side scalar — a k-row
+    // aggregate, same bounds argument as Similarity.dimsOf / Layout's
+    // min-max head().
+    val k = srcs.count()
+    // per-doc key attach happens BEFORE the explode (doc rows, not shingle
+    // rows), and the shuffle carries the key, not the corpus string
+    def sampledBy(d: DataFrame, keyCol: String): DataFrame = {
+      val ex = d
+        .repartition(col(idCol))
+        .select(col(keyCol),
+          explode(shingles(tokens(col(textCol)), shingleN)).as("shingle"))
+      if (sampleMod == 1) ex
+      else ex.filter(tokenHash60(col("shingle")) % sampleMod === 0)
+    }
+    val base = docs.select(col(idCol), col(textCol),
+      col(corpusCol).cast("string").as("corpus"))
+    if (k <= 62) {
+      val srcIdx = srcs.withColumn("__idx",
+        (row_number().over(Window.orderBy(col("corpus"))) - 1).cast("int"))
+      bitmaskOverlap(sampledBy(base.join(broadcast(srcIdx), Seq("corpus")), "__idx"), srcIdx)
+    } else pairwiseOverlap(sampledBy(base.where(col("corpus").isNotNull), "corpus"))
+  }
+
+  /** Bitmask-rollup overlap (k ≤ 62 corpora — the common case): sources
+    * map to bit indices IN NAME ORDER (so index order ≡ name order and
+    * `ia < ib` reproduces `corpus_a < corpus_b`), one `bit_or` per shingle
+    * packs its corpus set into a long, identical masks AGGREGATE before
+    * any pair math. Pair fan-out becomes distinct_masks × C(popcount, 2)
+    * instead of shingles × C(k, 2) — the boilerplate shingle shared by all
+    * k corpora, which the naive explode turns into C(k,2) rows PER
+    * SHINGLE, collapses into one mask row. Worst case (every shingle a
+    * unique mask) degrades to the pairwise shape, never below it. */
+  private def bitmaskOverlap(sampled: DataFrame, srcIdx: DataFrame): DataFrame = {
+    val maskCounts = sampled
+      .groupBy(col("shingle"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), __idx))").as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("cnt"))
+    val bits = maskCounts.select(col("mask"), col("cnt"),
+      explode(expr("filter(sequence(0, 61), i -> ((mask >> i) & 1) = 1)")).as("__idx"))
+    val sizes = bits.groupBy(col("__idx"))
+      .agg(sum(col("cnt")).cast("long").as("vocab"))
+      .join(broadcast(srcIdx), Seq("__idx"))
+    val pairs = bits.select(col("mask"), col("cnt"), col("__idx").as("__ia"))
+      .join(bits.select(col("mask"), col("__idx").as("__ib")), Seq("mask"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(sum(col("cnt")).cast("long").as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("__idx").as("__ia"),
+        col("corpus").as("corpus_a"), col("vocab").as("vocab_a"))), Seq("__ia"))
+      .join(broadcast(sizes.select(col("__idx").as("__ib"),
+        col("corpus").as("corpus_b"), col("vocab").as("vocab_b"))), Seq("__ib"))
+      .select(overlapOutput: _*)
+  }
+
+  /** Array-explode overlap fallback for k > 62 corpora (mask exceeds one
+    * long): the round-7 original — collect_set per shingle, pair explode
+    * capped at C(k,2) rows per shingle. */
+  private def pairwiseOverlap(sampled: DataFrame): DataFrame = {
     val bySh = sampled
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("corpus"))).as("srcs"))
@@ -734,20 +792,24 @@ object Dedup {
       .select(col("corpus_a"), explode(col("srcs")).as("corpus_b"))
       .filter(col("corpus_a") < col("corpus_b"))
       .groupBy(col("corpus_a"), col("corpus_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).cast("long").as("inter"))
     pairs
       .join(broadcast(sizes.select(col("corpus").as("corpus_a"), col("vocab").as("vocab_a"))),
         Seq("corpus_a"))
       .join(broadcast(sizes.select(col("corpus").as("corpus_b"), col("vocab").as("vocab_b"))),
         Seq("corpus_b"))
-      .select(col("corpus_a"), col("corpus_b"), col("inter"),
-        col("vocab_a"), col("vocab_b"),
-        round(col("inter").cast("double") / col("vocab_a").cast("double"), 6)
-          .as("containment_a"),
-        round(col("inter").cast("double") / col("vocab_b").cast("double"), 6)
-          .as("containment_b"),
-        round(col("inter").cast("double") /
-          (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"), 6)
-          .as("jaccard"))
+      .select(overlapOutput: _*)
   }
+
+  /** Shared output projection of both overlap paths. */
+  private def overlapOutput: Seq[Column] = Seq(
+    col("corpus_a"), col("corpus_b"), col("inter"),
+    col("vocab_a"), col("vocab_b"),
+    round(col("inter").cast("double") / col("vocab_a").cast("double"), 6)
+      .as("containment_a"),
+    round(col("inter").cast("double") / col("vocab_b").cast("double"), 6)
+      .as("containment_b"),
+    round(col("inter").cast("double") /
+      (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"), 6)
+      .as("jaccard"))
 }

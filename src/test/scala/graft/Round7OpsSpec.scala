@@ -114,6 +114,27 @@ class Round7OpsSpec extends SparkFunSuite {
     assert(again == got)
   }
 
+  test("corpusOverlap: pairwise fallback (k > 62) agrees with the reference") {
+    // 70 corpora forces the array-explode path (mask exceeds one long)
+    val rnd = new scala.util.Random(43)
+    val words = Vector("a", "b", "c", "d")
+    val rows = (0 until 140).map { i =>
+      (i.toLong, s"c%02d".format(i % 70),
+        Vector.fill(3 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val vocab = rows.groupBy(_._2).view
+      .mapValues(_.flatMap(r => shinglesRef(r._3, 3)).toSet).toMap
+    val expected = (for {
+      a <- vocab.keys.toSeq; b <- vocab.keys.toSeq if a < b
+      inter = (vocab(a) & vocab(b)).size if inter > 0
+    } yield (a, b, inter.toLong)).sortBy(t => (t._1, t._2))
+    val got = Dedup.corpusOverlap(rows.toDF("doc_id", "source", "text"), corpusCol = "source")
+      .orderBy("corpus_a", "corpus_b")
+      .select("corpus_a", "corpus_b", "inter")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   // ---- boilerplateProfile
 
   test("boilerplateProfile: hand-computed df/first-seen on three docs") {
