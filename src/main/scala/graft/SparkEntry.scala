@@ -1618,6 +1618,26 @@ object SparkEntry {
           pmod(col("event_id"), lit(7L))).as("url"))
       Urls.normalize(urls, "url").select(col("event_id"), col("url_norm"))
     }),
+    "q_elb_source" -> ((s, dir) => {
+      // Native DSv2 source for the reference's ELB log format: synthesized
+      // lines written to a temp dir, read back via format("elb") — a real
+      // TableProvider/Scan/PartitionReader chain with column pruning — and
+      // projected to (ip, ts_ms). Shares q_parse_elb's oracle: the source
+      // must reproduce the parser exactly (one shared parseLine).
+      val lines = table(s, dir, "events").select(
+        format_string(
+          "%s elb u%d:%d 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("user_id"),
+          col("event_id")).as("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_elb_")
+      lines.write.mode("overwrite").text(root.toString)
+      val result = s.read.format("elb").load(root.toString)
+        .select(col("ip"), col("ts_ms"))
+        .localCheckpoint(true)
+      deleteRecursively(root.toFile)
+      result
+    }),
     "q_csv_source" -> ((s, dir) => {
       // CSV batch source: round-trip the customer table through a quoted
       // CSV directory and aggregate from the CSV read. The oracle computes
@@ -2274,6 +2294,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "q_parse_elb" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin,
+    // the DSv2 source must reproduce the parser exactly — same oracle
+    "q_elb_source" ->
       """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
         |  epoch_ms(ts) AS ts_ms
         |FROM events""".stripMargin,

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native DataSource V2 batch source for the reference's ELB access-log
+  * format (`spark.read.format("elb").load(dir)`) — the "source" tier of the
+  * Spark extension surface done properly: a `TableProvider` → `ScanBuilder`
+  * → `Batch` → `PartitionReader` chain instead of read-text-then-parse.
+  *
+  * Semantics = [[ElbLogParser.parseLine]] exactly (one shared function):
+  * tolerant tokenization, ISO-8601 timestamp with any fraction width,
+  * unparseable lines silently dropped. Emits `(timestamp string,
+  * ts_ms long, ip string)`.
+  *
+  * Scale shape: one `InputPartition` per file (ELB logs ship as many
+  * rotated files — parallelism comes from file count, the same contract as
+  * Spark's own text source before splitting); column pruning is pushed
+  * into the reader (`SupportsPushDownRequiredColumns`), so a
+  * `select(ip)` never materializes the other fields. Files resolve
+  * through the path's own Hadoop `FileSystem`, not `java.io` (works for
+  * hdfs:// and s3a:// paths, the compactSmallFiles lesson). */
+class ElbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "elb"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ElbTable.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ElbTable(properties.get("path"))
+}
+
+object ElbTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("ts_ms", LongType),
+    StructField("ip", StringType)))
+}
+
+class ElbTable(path: String) extends Table with SupportsRead {
+  require(path != null, "elb source requires a path: spark.read.format(\"elb\").load(dir)")
+  override def name(): String = s"elb($path)"
+  override def schema(): StructType = ElbTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ElbScanBuilder(path)
+}
+
+class ElbScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ElbTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+  override def build(): Scan = new ElbScan(path, required)
+}
+
+class ElbScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stat = fs.getFileStatus(p)
+    val files =
+      if (stat.isFile) Array(p)
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    files.sortBy(_.toString).map(f => ElbInputPartition(f.toString): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ElbReaderFactory(required.fieldNames)
+}
+
+case class ElbInputPartition(file: String) extends InputPartition
+
+/** Serialized to executors — carries only the pruned field names. */
+class ElbReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ElbPartitionReader(partition.asInstanceOf[ElbInputPartition].file, fields)
+}
+
+class ElbPartitionReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val path = new org.apache.hadoop.fs.Path(file)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(
+      path.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(path),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      ElbLogParser.parseLine(line) match {
+        case Some(parsed) =>
+          current = InternalRow.fromSeq(fields.toSeq.map {
+            case "timestamp" => UTF8String.fromString(parsed.timestamp)
+            case "ts_ms" => parsed.ts
+            case "ip" => UTF8String.fromString(parsed.ip)
+            case other => sys.error(s"unknown elb column: $other")
+          })
+          return true
+        case None => line = reader.readLine() // tolerant drop, like parse()
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
