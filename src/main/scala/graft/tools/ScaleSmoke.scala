@@ -240,6 +240,21 @@ object ScaleSmoke {
       drain(Dedup.corpusOverlap(docs)))
     time(s"corpusOverlap sampled(16) x${math.max(1, mult / 5)}")(
       drain(Dedup.corpusOverlap(docs, sampleMod = 16)))
+    // within-run strategy A/B (the only reliable comparison on this host's
+    // 1.3-2x window seesaw): 20 and 60 corpora, both pair-expansion paths
+    val docs60 = docs.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(60L)).cast("string")))
+    // two rounds: round 1 absorbs JVM/codegen warm-up, read round 2
+    for (r <- 1 to 2) {
+      time(s"corpusOverlap AB$r k20 pairwise")(
+        drain(Dedup.corpusOverlap(docs, strategy = "pairwise")))
+      time(s"corpusOverlap AB$r k20 bitmask")(
+        drain(Dedup.corpusOverlap(docs, strategy = "bitmask")))
+      time(s"corpusOverlap AB$r k60 pairwise")(
+        drain(Dedup.corpusOverlap(docs60, strategy = "pairwise")))
+      time(s"corpusOverlap AB$r k60 bitmask")(
+        drain(Dedup.corpusOverlap(docs60, strategy = "bitmask")))
+    }
     time(s"boilerplateProfile x${math.max(1, mult / 5)}")(
       drain(graft.operators.TextAnalysis.boilerplateProfile(docs, dfThreshold = 10L)))
     time(s"tokenBudgetMix x${math.max(1, mult / 5)}") {

@@ -82,6 +82,13 @@ class Round7OpsSpec extends SparkFunSuite {
       .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(got == expected)
+    // cross-strategy equivalence: the bitmask rollup is row-identical
+    val viaMask = Dedup.corpusOverlap(docsOf(rows: _*), corpusCol = "source",
+        strategy = "bitmask")
+      .orderBy("corpus_a", "corpus_b")
+      .select("corpus_a", "corpus_b", "inter", "vocab_a", "vocab_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(viaMask == expected)
   }
 
   test("corpusOverlap sampled tier equals the reference restricted to the hash-kept universe") {
