@@ -1638,6 +1638,25 @@ object SparkEntry {
       deleteRecursively(root.toFile)
       result
     }),
+    "q_stream_elb_source" -> ((s, dir) => {
+      // The reference's streaming file-source path (EP1) on the NATIVE
+      // DSv2 connector: readStream.format("elb") over synthesized log
+      // files, drained executor→disk. Same oracle as q_parse_elb — the
+      // MicroBatchStream tier must reproduce the batch parse exactly.
+      val lines = table(s, dir, "events").select(
+        format_string(
+          "%s elb u%d:%d 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("user_id"),
+          col("event_id")).as("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_elbs_")
+      lines.write.mode("overwrite").text(root.toString)
+      val result = runToFiles(s,
+        s.readStream.format("elb").load(root.toString)
+          .select(col("ip"), col("ts_ms")))
+      deleteRecursively(root.toFile)
+      result
+    }),
     "q_csv_source" -> ((s, dir) => {
       // CSV batch source: round-trip the customer table through a quoted
       // CSV directory and aggregate from the CSV read. The oracle computes
@@ -2299,6 +2318,11 @@ object SparkEntry {
         |FROM events""".stripMargin,
     // the DSv2 source must reproduce the parser exactly — same oracle
     "q_elb_source" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin,
+    // and its MicroBatchStream tier likewise
+    "q_stream_elb_source" ->
       """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
         |  epoch_ms(ts) AS ts_ms
         |FROM events""".stripMargin,

@@ -48,7 +48,7 @@ class ElbTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"elb($path)"
   override def schema(): StructType = ElbTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ElbScanBuilder(path)
 }
@@ -62,7 +62,18 @@ class ElbScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequ
 class ElbScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    ElbScan.listFiles(path).map(f => ElbInputPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ElbReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new ElbMicroBatchStream(path, required.fieldNames)
+}
+
+object ElbScan {
+  /** Deterministic (name-sorted) file listing through the path's own
+    * Hadoop FileSystem. */
+  def listFiles(path: String): Array[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val stat = fs.getFileStatus(p)
@@ -70,10 +81,37 @@ class ElbScan(path: String, required: StructType) extends Scan with Batch {
       if (stat.isFile) Array(p)
       else fs.listStatus(p).filter(_.isFile).map(_.getPath)
         .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-    files.sortBy(_.toString).map(f => ElbInputPartition(f.toString): InputPartition)
+    files.map(_.toString).sorted
+  }
+}
+
+/** Streaming tier: the offset is the count of files consumed from the
+  * NAME-SORTED listing — new files appended to the directory (sorting
+  * later than those already read, e.g. timestamped log rotations) arrive
+  * in later microbatches; each batch reads the file-range (start, end].
+  * Files are the atomic unit (same contract as Spark's own file stream
+  * source); a file must be fully written before it sorts into view. */
+class ElbMicroBatchStream(path: String, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class ElbOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def latestOffset(): Offset = ElbOffset(ElbScan.listFiles(path).length)
+  override def initialOffset(): Offset = ElbOffset(0)
+  override def deserializeOffset(json: String): Offset = ElbOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ElbOffset].n
+    val e = end.asInstanceOf[ElbOffset].n
+    ElbScan.listFiles(path).slice(s, e).map(f => ElbInputPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ElbReaderFactory(required.fieldNames)
+    new ElbReaderFactory(fields)
 }
 
 case class ElbInputPartition(file: String) extends InputPartition

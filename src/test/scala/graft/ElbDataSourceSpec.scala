@@ -48,6 +48,30 @@ class ElbDataSourceSpec extends SparkFunSuite {
     } finally graft.streaming.MergeSink.deleteRecursively(root.toFile)
   }
 
+  test("micro-batch stream tier reads files incrementally, new files in later batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_elb_stream_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_elb_ckpt_")
+    def writeFile(name: String, content: Seq[String]): Unit =
+      java.nio.file.Files.writeString(root.resolve(name), content.mkString("\n"))
+    try {
+      writeFile("00.log", lines.take(2)) // 2 valid lines
+      val q = spark.readStream.format("elb").load(root.toString)
+        .writeStream.format("memory").queryName("elbstream")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("elbstream").count() == 2)
+        writeFile("01.log", lines.drop(2)) // 1 valid of 3 remaining
+        q.processAllAvailable()
+        val got = spark.table("elbstream").select("ip").as[String].collect().toSet
+        assert(got == Set("10.0.0.1:80", "10.9.9.9:2817", "10.0.0.4:80"))
+      } finally q.stop()
+    } finally {
+      graft.streaming.MergeSink.deleteRecursively(root.toFile)
+      graft.streaming.MergeSink.deleteRecursively(ckpt.toFile)
+    }
+  }
+
   test("timestamp column round-trips the raw token") {
     val root = writeDir()
     try {
