@@ -29,7 +29,10 @@ object BudgetAdmitSink {
   /** Process one microbatch against the running totals at `stateDir`,
     * writing admitted (doc_id, source, n_tokens, cum_before) under `outDir`
     * and the batch's per-source totals under `stateDir`. `budgets` =
-    * (source, budget) — k rows, broadcast. */
+    * (source, budget) — k rows, broadcast. A source with NO budget row is
+    * never admitted (the inner join drops it) but its token totals are
+    * still recorded, so granting it a budget later starts from its true
+    * consumed-token position. */
   def admitBatch(stateDir: String, outDir: String, budgets: DataFrame)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -63,6 +63,22 @@ class BudgetAdmitSpec extends SparkFunSuite {
     assert(runChunked(docs.grouped(30).toSeq, replayBatch = Some(1)) == expected)
   }
 
+  test("a source without a budget row is never admitted, but its totals are tracked") {
+    val root = java.nio.file.Files.createTempDirectory("graft_budget_spec_")
+    val state = root.resolve("state").toString
+    val out = root.resolve("admitted").toString
+    try {
+      val noBudgetDocs = docs.map { case (id, _, t) => (id, "unbudgeted", t) }
+      BudgetAdmitSink.admitBatch(state, out, budgetsDf)(
+        noBudgetDocs.toDF("doc_id", "source", "text"), 0L)
+      assert(spark.read.parquet(out).count() == 0)
+      val tracked = spark.read.parquet(state)
+        .select("source", "toks").as[(String, Long)].collect().toMap
+      assert(tracked("unbudgeted") ==
+        noBudgetDocs.map(_._3.split(" ", -1).length.toLong).sum)
+    } finally graft.streaming.MergeSink.deleteRecursively(root.toFile)
+  }
+
   test("budgets saturate: admitted token sums land within one doc of the budget") {
     val bySrc = runChunked(docs.grouped(30).toSeq).groupBy(_._2)
     budgetMap.foreach { case (src, b) =>
