@@ -53,21 +53,53 @@ class ElbTable(path: String) extends Table with SupportsRead {
     new ElbScanBuilder(path)
 }
 
-class ElbScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+class ElbScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+
   private var required: StructType = ElbTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new ElbScan(path, required)
+
+  /** Accept ip equality/prefix predicates — evaluated in the reader on the
+    * RAW token BEFORE the timestamp parse (the expensive step), so a
+    * selective ip filter skips most of the per-line work. ALL filters are
+    * returned as residuals (Spark re-applies them above the scan), so the
+    * pushdown is a pure skip optimization — double-filtering keeps
+    * correctness independent of the reader's predicate support. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.collect {
+      case f @ EqualTo("ip", _: String) => f
+      case f @ StringStartsWith("ip", _) => f
+    }
+    filters // every filter stays a residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val preds = pushed.map {
+      case EqualTo("ip", v: String) => ("eq", v)
+      case StringStartsWith("ip", v) => ("prefix", v)
+    }
+    new ElbScan(path, required, preds)
+  }
 }
 
-class ElbScan(path: String, required: StructType) extends Scan with Batch {
+class ElbScan(path: String, required: StructType, preds: Array[(String, String)] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ElbScan.listFiles(path).map(f => ElbInputPartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new ElbReaderFactory(required.fieldNames)
+    new ElbReaderFactory(required.fieldNames, preds)
   override def toMicroBatchStream(checkpointLocation: String) =
     new ElbMicroBatchStream(path, required.fieldNames)
+  override def description(): String =
+    s"elb($path) pushed=[${preds.map(p => s"ip ${p._1} ${p._2}").mkString(", ")}]"
 }
 
 object ElbScan {
@@ -116,13 +148,18 @@ class ElbMicroBatchStream(path: String, fields: Array[String])
 
 case class ElbInputPartition(file: String) extends InputPartition
 
-/** Serialized to executors — carries only the pruned field names. */
-class ElbReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+/** Serialized to executors — carries the pruned field names and the
+  * pushed ip predicates. */
+class ElbReaderFactory(fields: Array[String], preds: Array[(String, String)] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ElbPartitionReader(partition.asInstanceOf[ElbInputPartition].file, fields)
+    new ElbPartitionReader(partition.asInstanceOf[ElbInputPartition].file, fields, preds)
 }
 
-class ElbPartitionReader(file: String, fields: Array[String])
+class ElbPartitionReader(
+    file: String,
+    fields: Array[String],
+    preds: Array[(String, String)] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val path = new org.apache.hadoop.fs.Path(file)
   private val reader = new java.io.BufferedReader(
@@ -131,10 +168,21 @@ class ElbPartitionReader(file: String, fields: Array[String])
       java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _
 
+  /** Pushed ip predicates checked on the RAW third token before the
+    * timestamp parse — the skip that makes pushdown worth having. */
+  private def ipMatches(line: String): Boolean =
+    preds.isEmpty || {
+      val toks = line.trim.split("\\s+", 4)
+      toks.length >= 3 && preds.forall {
+        case ("eq", v) => toks(2) == v
+        case ("prefix", v) => toks(2).startsWith(v)
+      }
+    }
+
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
-      ElbLogParser.parseLine(line) match {
+      (if (ipMatches(line)) ElbLogParser.parseLine(line) else None) match {
         case Some(parsed) =>
           current = InternalRow.fromSeq(fields.toSeq.map {
             case "timestamp" => UTF8String.fromString(parsed.timestamp)

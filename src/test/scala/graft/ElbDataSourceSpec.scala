@@ -72,6 +72,24 @@ class ElbDataSourceSpec extends SparkFunSuite {
     }
   }
 
+  test("ip filters push into the scan and results match the unpushed read") {
+    val root = writeDir()
+    try {
+      val eq = spark.read.format("elb").load(root.toString)
+        .filter($"ip" === "10.9.9.9:2817")
+      val scans = eq.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.head.scan.description().contains("ip eq 10.9.9.9:2817"),
+        s"expected pushed predicate in ${scans.head.scan.description()}")
+      assert(eq.select("ip").as[String].collect().toSeq == Seq("10.9.9.9:2817"))
+      val prefix = spark.read.format("elb").load(root.toString)
+        .filter($"ip".startsWith("10.0.0."))
+        .select("ip").as[String].collect().toSet
+      assert(prefix == Set("10.0.0.1:80", "10.0.0.4:80"))
+    } finally graft.streaming.MergeSink.deleteRecursively(root.toFile)
+  }
+
   test("timestamp column round-trips the raw token") {
     val root = writeDir()
     try {
