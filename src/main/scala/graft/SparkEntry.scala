@@ -1600,6 +1600,12 @@ object SparkEntry {
       // per-bucket weight. No vocabulary table, no broadcast — the feature-
       // hashing trick IS the 100 TB design.
       TextAnalysis.hashedLinearScore(table(s, dir, "documents"), nBuckets = 1024)),
+    "q_nb_classifier" -> ((s, dir) =>
+      // Multinomial Naive Bayes trained in-query on a weak label
+      // (lang = 'en') and scored on the same corpus: fit + transform is
+      // three shuffles of closed-form aggregates — no optimizer loop, no
+      // vocabulary broadcast (class counts are a token-keyed window).
+      TextAnalysis.naiveBayesScore(table(s, dir, "documents"), col("lang") === "en")),
     "q_url_normalize" -> ((s, dir) => {
       // URL canonicalization: synthesize messy-but-valid URLs from events
       // (uppercase scheme/host, www., explicit port, tracking params,
@@ -3397,6 +3403,33 @@ object SparkEntry {
         |  round(AVG(w), 6) AS score,
         |  CASE WHEN round(AVG(w), 6) >= 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM w GROUP BY doc_id""".stripMargin,
+    "q_nb_classifier" ->
+      // independent replay of the closed-form fit: Laplace-smoothed class
+      // log-likelihood ratios from (doc,token) counts + log prior odds;
+      // prediction thresholds on the ROUNDED log-odds (tie-stable)
+      """WITH base AS (
+        |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, text FROM documents),
+        |tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS token FROM base),
+        |c AS (SELECT doc_id, y, token, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY doc_id, y, token),
+        |f AS (SELECT *,
+        |    CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) OVER (PARTITION BY token) AS DOUBLE) AS f1,
+        |    CAST(SUM(CASE WHEN y = 0 THEN c ELSE 0 END) OVER (PARTITION BY token) AS DOUBLE) AS f0
+        |  FROM c),
+        |s AS (SELECT
+        |    CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS DOUBLE) AS t1,
+        |    CAST(SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS DOUBLE) AS t0,
+        |    CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM c),
+        |p AS (SELECT CAST(SUM(y) AS DOUBLE) AS n1, CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+        |sc AS (SELECT doc_id, MAX(y) AS label, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    round(SUM(CAST(c AS DOUBLE) *
+        |        (ln((f1 + 1) / (t1 + v)) - ln((f0 + 1) / (t0 + v)))) +
+        |      MAX(ln(n1 / (n - n1))), 6) AS log_odds
+        |  FROM f CROSS JOIN s CROSS JOIN p GROUP BY doc_id)
+        |SELECT doc_id, label, n_tokens, log_odds,
+        |  CAST(log_odds > 0 AS INT) AS pred,
+        |  CAST((log_odds > 0) = (label = 1) AS INT) AS correct
+        |FROM sc""".stripMargin,
     "q_url_normalize" ->
       // reconstructs the expected canonical URL from the event columns
       // directly (host lowercased, www./port/trackers/fragment/trailing

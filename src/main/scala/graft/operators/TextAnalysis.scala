@@ -785,4 +785,64 @@ object TextAnalysis {
           round(col("n_common").cast("double") / col("n_shingles").cast("double"), 6))
           .as("boilerplate_ratio"))
   }
+
+  /** Multinomial Naive Bayes, trained AND scored in one distributed pass —
+    * the closed-form counterpart of [[hashedLinearScore]]'s fixed weights:
+    * given a per-doc binary label (any Column — a lang flag, a quality-gate
+    * verdict, a human-label join), learn per-token class log-likelihoods
+    * from corpus counts with Laplace smoothing and emit each document's
+    * log-odds, prediction, and correctness vs the training label.
+    *
+    * score(d) = Σ_w c(d,w)·[ln((f₁(w)+1)/(T₁+V)) − ln((f₀(w)+1)/(T₀+V))]
+    *            + ln(n₁/n₀)
+    *
+    * Training is NOT an iterative optimizer: every model parameter is an
+    * aggregate of the same per-(doc,token) count table the scorer consumes,
+    * so "fit + transform" costs three shuffles total — one hash-agg to
+    * (doc,token) counts, one token-keyed window for the class counts f₁/f₀
+    * (vocabulary-sized → window, never a broadcast: the q_tfidf/q_unigram
+    * discipline), one doc-keyed agg for the scores. The corpus totals
+    * (T₁, T₀, V) and doc priors are scalar aggregates of already-shuffled
+    * subtrees (ReusedExchange, not a second tokenize), broadcast as
+    * one-row joins. At 100 TB nothing here is driver-bound or
+    * vocabulary-broadcast-bound.
+    *
+    * Prediction thresholds on the ROUNDED log-odds so the decision is a
+    * pure function of the emitted column (oracle-stable at ties). */
+  def naiveBayesScore(docs: DataFrame, label: Column, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), label.cast("int").as("y"), col(textCol).as("__text"))
+    // explicit, for subtree canonicalization (the boilerplateProfile trap):
+    // both the window branch and the totals branch must share ONE exchange
+    val counted = base
+      .select(col("doc_id"), col("y"), explode(tokens(col("__text"))).as("token"))
+      .filter(col("doc_id").isNotNull && col("token").isNotNull)
+      .groupBy(col("doc_id"), col("y"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val totals = counted.agg(
+      sum(when(col("y") === 1, col("c")).otherwise(0L)).cast("double").as("t1"),
+      sum(when(col("y") === 0, col("c")).otherwise(0L)).cast("double").as("t0"),
+      countDistinct(col("token")).cast("double").as("v"))
+    val priors = base.agg(
+      sum(when(col("y") === 1, 1).otherwise(0)).cast("double").as("n1"),
+      count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("token"))
+    counted
+      .withColumn("f1", sum(when(col("y") === 1, col("c")).otherwise(0L)).over(w).cast("double"))
+      .withColumn("f0", sum(when(col("y") === 0, col("c")).otherwise(0L)).over(w).cast("double"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("y")).as("label"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        round(
+          sum(col("c").cast("double") *
+            (log((col("f1") + 1.0) / (col("t1") + col("v"))) -
+             log((col("f0") + 1.0) / (col("t0") + col("v"))))) +
+            max(log(col("n1") / (col("n") - col("n1")))),
+          6).as("log_odds"))
+      .withColumn("pred", (col("log_odds") > 0).cast("int"))
+      .withColumn("correct", (col("pred") === col("label")).cast("int"))
+  }
 }

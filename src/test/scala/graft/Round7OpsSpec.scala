@@ -376,4 +376,52 @@ class Round7OpsSpec extends SparkFunSuite {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("naiveBayesScore matches an in-memory closed-form reference and separates a planted vocabulary") {
+    val rnd = new scala.util.Random(23)
+    val aVocab = Vector("alpha", "apex", "amber", "atlas")
+    val bVocab = Vector("beta", "bison", "bramble", "basalt")
+    val shared = Vector("the", "of", "and", "with")
+    def doc(vocab: Vector[String]): String =
+      Vector.fill(8 + rnd.nextInt(8))(
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size))
+        else shared(rnd.nextInt(shared.size))).mkString(" ")
+    val rows = (0 until 60).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, if (pos) 1 else 0, doc(if (pos) aVocab else bVocab))
+    }
+    val df = rows.toDF("doc_id", "y", "text")
+    val got = TextAnalysis.naiveBayesScore(df,
+        org.apache.spark.sql.functions.col("y") === 1)
+      .orderBy("doc_id")
+      .select("doc_id", "label", "n_tokens", "log_odds", "pred", "correct")
+      .as[(Long, Int, Long, Double, Int, Int)].collect()
+
+    // closed-form reference: Laplace-smoothed multinomial NB on raw counts
+    val toks = rows.map { case (id, y, t) => (id, y, t.split(" ", -1).toSeq) }
+    val counts = scala.collection.mutable.Map.empty[(Int, String), Long]
+    toks.foreach { case (_, y, ts) => ts.foreach(t => counts((y, t)) = counts.getOrElse((y, t), 0L) + 1L) }
+    val v = toks.flatMap(_._3).distinct.size.toDouble
+    val t1 = counts.collect { case ((1, _), c) => c }.sum.toDouble
+    val t0 = counts.collect { case ((0, _), c) => c }.sum.toDouble
+    val n1 = rows.count(_._2 == 1).toDouble
+    val n0 = rows.size - n1
+    val expected = toks.map { case (id, y, ts) =>
+      val lo = ts.map { t =>
+        math.log((counts.getOrElse((1, t), 0L) + 1.0) / (t1 + v)) -
+          math.log((counts.getOrElse((0, t), 0L) + 1.0) / (t0 + v))
+      }.sum + math.log(n1 / n0)
+      (id, y, ts.size.toLong, lo)
+    }.sortBy(_._1)
+
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((id, label, n, lo, pred, correct), (eid, ey, en, elo)) =>
+      assert(id == eid && label == ey && n == en)
+      assert(math.abs(lo - elo) < 1e-6, s"doc $id: $lo vs $elo")
+      assert(pred == (if (lo > 0) 1 else 0))
+      assert(correct == (if (pred == label) 1 else 0))
+    }
+    // planted two-vocabulary corpus: NB must separate it perfectly
+    assert(got.forall(_._6 == 1), "expected 100% in-sample accuracy on the planted vocabulary")
+  }
 }
