@@ -15,19 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Read one driver-generated parquet table.
-    *
-    * `events.ts` is parquet `timestamp[ns]`, which Spark's reader rejects by
-    * default; `nanosAsLong` (runtime-settable) reads it as epoch-nanos Long,
-    * which we convert back to TimestampType here with integer division
-    * (`div`, not `/` — epoch nanos exceed 2^53, double math would round). */
+  /** Normalize an `events.ts` column to TimestampType whatever the driver
+    * wrote it as across rounds: parquet `timestamp[ns]` arrives as
+    * epoch-nanos Long under `nanosAsLong` (integer `div`, not `/` — epoch
+    * nanos exceed 2^53, double math would round); parquet `timestamp[us]`
+    * with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ (Spark 4 inference)
+    * and casts epoch-identically because every entry point pins
+    * `spark.sql.session.timeZone=UTC` — the same naive-as-UTC reading the
+    * DuckDB oracle uses. Works on batch and streaming frames (schema is
+    * static either way). */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Read one driver-generated parquet table (ts normalized: [[normalizeTs]]). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -52,12 +61,11 @@ object SparkEntry {
     * TimestampType), for the Structured-Streaming queries. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
-    s.readStream
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    normalizeTs(s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Scope the streaming-runner confs around `body`, restoring (or
@@ -665,6 +673,22 @@ object SparkEntry {
           (col("l_suppkey").cast("long") + 10000000L).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
     }),
+    "q_triangle_count" -> ((s, dir) => {
+      // Degree-ordered triangle counting over the part co-purchase graph
+      // (parts sharing an order are adjacent): top-20 vertices by triangle
+      // participation, stable (n_tri desc, id) order. Orders with >= 3
+      // distinct parts seed the triangles; the count is orientation-
+      // invariant so the id-ordered DuckDB enumeration matches exactly.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      graft.operators.Graph.triangleCounts(e, "src", "dst")
+        .orderBy(col("n_tri").desc, col("id"))
+        .limit(20)
+    }),
     "q_similarity_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8L)
@@ -877,12 +901,11 @@ object SparkEntry {
       // from batch semantics now fails the HASH gate, not just a spec.
       // RocksDB state store for reference parity (set in runToFiles).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // ts = epoch-nanos Long
-      val src = s.readStream
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = normalizeTs(s.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir))
       val sessionized = graft.streaming.SessionizeStream.sessionizeEvents(src)
       runToFiles(s, sessionized.toDF())
         .select(
@@ -903,11 +926,10 @@ object SparkEntry {
       // equality is additionally asserted in CrossImplFuzzSpec/StreamingSpec.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
+      val src = normalizeTs(s.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir))
         .select(
           col("user_id").cast("string").as("key"),
           col("ts"),
@@ -2431,6 +2453,23 @@ object SparkEntry {
     "q_corpus_overlap_sampled" -> corpusOverlapOracle(sampleMod = 4),
     "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                  CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (
+        |  SELECT a AS id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT id, count(*) AS n_tri FROM x GROUP BY id
+        |ORDER BY n_tri DESC, id LIMIT 20""".stripMargin,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,
          |scored AS (
