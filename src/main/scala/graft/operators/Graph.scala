@@ -97,4 +97,65 @@ object Graph {
     }
     dist
   }
+
+  /** Per-vertex triangle participation counts over an UNDIRECTED graph.
+    *
+    * Input rows are treated as undirected edges; self-loops and duplicate /
+    * reversed duplicates are dropped. Output: `(id, n_tri)` for every
+    * vertex on at least one triangle — each triangle contributes 1 to each
+    * of its three corners.
+    *
+    * Scale shape — the degree-ordered "compact-forward" algorithm: every
+    * edge is oriented from its lower-(degree, id) endpoint to the higher,
+    * which turns the undirected graph into a DAG whose max out-degree is
+    * O(√m). Wedges (u→v, u→w) are then generated by one self-join on the
+    * oriented source and closed with one join against the oriented edge
+    * set, so total work is Σ outdeg(u)² = O(m^1.5) instead of the
+    * Σ deg(u)² blow-up a naive wedge join suffers on skewed (power-law)
+    * graphs — the hub that dominates degree distribution is always the
+    * wedge TARGET, never the wedge pivot. All three steps are plain
+    * shuffle joins/aggregates; nothing touches the driver. The triangle
+    * COUNT is orientation-invariant, so any engine that enumerates
+    * id-ordered triangles (the DuckDB oracle does) gets identical results.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: (lo, hi), lo < hi, distinct
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    // undirected degree per vertex (rides both endpoints)
+    val deg = und.select(col("lo").as("id"))
+      .unionByName(und.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id); the edge
+    // set is materialized once (localCheckpoint) because both the wedge
+    // self-join and the closing join consume it
+    val oriented = und
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
+          .otherwise(col("hi")).as("u"),
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
+          .otherwise(col("lo")).as("v"))
+      .localCheckpoint(true)
+    // wedges pivoting at u (v < w under an arbitrary but consistent order
+    // so each unordered wedge is generated once), closed by the oriented
+    // edge (v,w) in either orientation
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val closing = oriented
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+    val tris = wedges.join(closing,
+      least(col("b"), col("c")) === col("x") && greatest(col("b"), col("c")) === col("y"))
+      .select(col("a"), col("b"), col("c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -88,6 +88,35 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("triangleCounts property: equals brute-force enumeration on random graphs") {
+    (1 to 8).foreach { sample =>
+      val edges = randomEdges(sample.toLong + 40L)
+      if (edges.nonEmpty) {
+        // brute force: canonical undirected edge set, enumerate a < b < c
+        val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .filter { case (a, b) => a != b }.distinct.toSet
+        val verts = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+        val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          a <- verts; b <- verts if a < b && und((a, b))
+          c <- verts if b < c && und((b, c)) && und((a, c))
+        } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+        val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected.toMap, s"sample $sample")
+      }
+    }
+  }
+
+  test("triangleCounts ignores self-loops, duplicates, and reversed duplicates") {
+    // K4 with noise: every vertex sits on C(3,2) = 3 triangles
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
+    val noisy = k4 ++ Seq((0L, 0L), (1L, 1L), (0L, 1L), (1L, 0L))
+    val got = Graph.triangleCounts(noisy.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("pageRank rejects bad iteration count and damping") {
     val d = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", iters = 0) }
