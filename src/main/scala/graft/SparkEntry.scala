@@ -995,6 +995,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("v"))
       graft.operators.TimeSeries.fillBucketGaps(perDay, "user_id", "day", "v")
     }),
+    "q_interpolate" -> ((s, dir) => {
+      // Linear interpolation of missing per-user daily value sums across
+      // each user's active-day span — the sensor-series repair twin of
+      // q_gap_fill's zero-fill.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.interpolateLinear(perDay, "user_id", "day", "v")
+        .select(col("user_id"), col("day"), col("v"),
+          col("observed").cast("int").as("observed"))
+    }),
+    "q_anomaly_mad" -> ((s, dir) => {
+      // Robust volume-anomaly detection: per event_type, exact median and
+      // MAD of per-minute event counts; the 20 most deviant minutes in
+      // stable (dev desc, type, minute) order.
+      val perMin = table(s, dir, "events")
+        .select(col("event_type"), expr("unix_millis(ts) div 60000").as("minute"))
+        .groupBy(col("event_type"), col("minute"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.madOutliers(perMin, "event_type", "minute", "n")
+        .orderBy(col("dev").desc, col("event_type"), col("minute"))
+        .limit(20)
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // Type-2 SCD build over order-status changes per customer: collapse
+      // runs of unchanged status, stamp validity intervals (-1 = open).
+      val ch = table(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("ts"),
+        col("o_orderstatus").as("status"),
+        col("o_orderkey").cast("long").as("tie"))
+      graft.operators.Cdc.scdType2(ch, Seq("k"), "ts", Seq("status"), "tie")
+        .select(col("k").as("o_custkey"), col("status"), col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+    }),
     "q_retention" -> ((s, dir) => {
       // Cohort retention triangle over the events table (first-active-day
       // cohorts, distinct actives per day offset 0..7).
@@ -1011,6 +1049,14 @@ object SparkEntry {
           coalesce(col("t2"), lit(-1L)).as("t2"),
           coalesce(col("t3"), lit(-1L)).as("t3"),
           col("stage"))
+    }),
+    "q_markov_transitions" -> ((s, dir) => {
+      // First-order event-type transition matrix over per-user ordered
+      // clickstreams — the post-sessionize navigation analytics the
+      // reference's README motivates. (event_id tie-break pins equal-ts
+      // neighbors; p row-normalizes per from_type.)
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.markovTransitions(ev)
     }),
     "q_listagg" -> ((s, dir) =>
       // Ordered string aggregation (LISTAGG/string_agg parity). Spark's
@@ -2964,6 +3010,66 @@ object SparkEntry {
         |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM s)
         |SELECT spine.user_id, spine.day, CAST(COALESCE(v, 0) AS BIGINT) AS v
         |FROM spine LEFT JOIN d USING (user_id, day)""".stripMargin,
+    "q_interpolate" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ext AS (SELECT user_id, MIN(day) AS b0, MAX(day) AS b1 FROM pd GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS day FROM ext),
+        |j AS (
+        |  SELECT spine.user_id, spine.day, v
+        |  FROM spine LEFT JOIN pd USING (user_id, day)),
+        |w AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pb,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nb
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE pv + (nv - pv) * (day - pb) / CAST(nb - pb AS DOUBLE) END, 6) AS v,
+        |  CAST(v IS NOT NULL AS INT) AS observed
+        |FROM w""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH pm AS (
+        |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM pm GROUP BY 1),
+        |d AS (
+        |  SELECT pm.event_type, minute, n, med, ABS(n - med) AS rawdev
+        |  FROM pm JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(rawdev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, minute, n, round(med, 6) AS med,
+        |  round(mad, 6) AS mad, round(rawdev, 6) AS dev
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY rawdev DESC, d.event_type, minute LIMIT 20""".stripMargin,
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS k,
+        |    epoch_ms(o_orderdate) // 86400000 AS ts,
+        |    o_orderstatus AS status, CAST(o_orderkey AS BIGINT) AS tie
+        |  FROM orders),
+        |o AS (
+        |  SELECT k, ts, status, tie,
+        |    row_number() OVER w AS rn, lag(status) OVER w AS prev
+        |  FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tie)),
+        |isl AS (
+        |  SELECT k, ts, status, tie FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        |v AS (
+        |  SELECT k, status, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS valid_to
+        |  FROM isl)
+        |SELECT k AS o_custkey, status, valid_from,
+        |  COALESCE(valid_to, -1) AS valid_to,
+        |  CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM v""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
@@ -2976,6 +3082,19 @@ object SparkEntry {
     "q_funnel" -> funnelOracle,
     // single-batch stream == batch funnel (see the query's doc comment)
     "q_stream_funnel" -> funnelOracle,
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM m""".stripMargin,
     "q_listagg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities

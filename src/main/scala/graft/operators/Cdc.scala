@@ -41,4 +41,40 @@ object Cdc {
       .filter(col("op") =!= "same")
       .drop("__old", "__new")
   }
+
+  /** Build a Type-2 slowly-changing dimension from a keyed change stream:
+    * collapse consecutive rows whose tracked attributes are unchanged
+    * (gaps-and-islands), then stamp each surviving version with
+    * `valid_from` (its change time), `valid_to` (the NEXT version's change
+    * time, null for the open version) and `is_current`.
+    *
+    * Ordering within a key is `(tsCol, tieCol)` — the tie column pins
+    * equal-timestamp changes deterministically; attribute comparison is
+    * null-safe (`<=>`), and the first row per key always survives (checked
+    * by row number, not by lag-null, so an initially-NULL attribute doesn't
+    * get merged into a phantom predecessor).
+    *
+    * Scale shape: two key-partitioned windows (collapse, then lead for the
+    * validity interval) over key-hashed data and nothing else — versions
+    * never leave their key's partition, output is island-count-sized. */
+  def scdType2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String],
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "keyCols and attrCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    val unchanged = attrCols.map(a => lag(col(a), 1).over(w) <=> col(a)).reduce(_ && _)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__same", unchanged)
+      .filter(col("__rn") === 1 || !col("__same"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ attrCols.map(col)
+        :+ col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+  }
 }

@@ -313,6 +313,36 @@ object Sessionize {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-key ordered event
+    * streams: for every observed `(from_type, to_type)` consecutive pair,
+    * the transition count and the row-normalized probability
+    * `p = n / Σ_to n(from, ·)` (each FROM row sums to 1 over the observed
+    * transitions). Order within a key is `(tsCol, tieCol)` — the tie column
+    * makes equal-timestamp neighbors deterministic under any partitioning.
+    *
+    * Shape: one key-partitioned window (lead) to form pairs, one
+    * (from,to)-keyed aggregate, then a from-keyed window for the
+    * normalizing sum — per-key sequences never leave their partition and
+    * the transition matrix is |types|², tiny at any corpus scale. */
+  def markovTransitions(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))), 6))
+  }
+
   /** Ordered funnel, first-touch semantics: per key, `t1` is the earliest
     * step-1 event, and each later `tK` is the earliest step-K event
     * AT-OR-AFTER `t(K-1)` — so a user counts for step K only if the steps

@@ -33,4 +33,75 @@ object TimeSeries {
       .select(col(keyCol), col(bucketCol),
         coalesce(col(valueCol), lit(fill)).as(valueCol))
   }
+
+  /** Fill missing buckets per key by LINEAR INTERPOLATION between the
+    * nearest observed neighbors (the standard sensor-series repair).
+    * Builds the same per-key spine as [[fillBucketGaps]], then for each
+    * missing bucket takes the last observed value/bucket at-or-before and
+    * the first at-or-after (IGNORE NULLS running windows) and interpolates;
+    * spine edges are always observed (the spine spans min..max observed
+    * bucket) so both neighbors exist for every gap. Output value is
+    * `round(x, 6)` for cross-engine float stability.
+    *
+    * Scale shape: the spine join of [[fillBucketGaps]] plus two key-
+    * partitioned ordered windows — running IGNORE-NULLS first/last are
+    * O(span) per key with constant state, and nothing crosses keys. */
+  def interpolateLinear(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = perBucket
+      .groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
+      .select(col(keyCol), explode(expr("sequence(__b0, __b1)")).as(bucketCol))
+    val joined = spine.join(perBucket, Seq(keyCol, bucketCol), "left")
+    val back = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col(valueCol).isNotNull, col(bucketCol))
+    joined
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col(bucketCol),
+        round(
+          when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+            .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+              (col(bucketCol) - col("__pb")) / (col("__nb") - col("__pb"))),
+          6).as(valueCol),
+        col(valueCol).isNotNull.as("observed"))
+  }
+
+  /** Robust outlier annotation: per key, the exact interpolated median of
+    * `valueCol` and the MAD (median absolute deviation), joined back so
+    * every row carries `(med, mad, dev)` — callers threshold `dev > k·mad`
+    * or rank by deviation. Exact `percentile(0.5)` both times (interpolated,
+    * matching quantile_cont in ANSI engines), NOT approx — the medians are
+    * per-key scalars so exactness costs one sort-based aggregate each.
+    *
+    * Scale shape: two key-hashed aggregates + two key-hashed joins; the
+    * aggregate outputs are key-cardinality (tiny) so AQE broadcasts the
+    * join-back sides. Per-key exact percentile sorts within the aggregate
+    * buffer — bounded by the largest single key's bucket count. */
+  def madOutliers(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val med = perBucket.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = perBucket.join(med, Seq(keyCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withMed.join(mad, Seq(keyCol))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        round(col("dev"), 6).as("dev"))
+  }
 }

@@ -87,6 +87,34 @@ class FunnelSpec extends SparkFunSuite {
     }
   }
 
+  test("markovTransitions: counts consecutive pairs in (ts, tie) order; p row-normalizes") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: a -> b -> a (ties at ts=5 ordered by event_id: b then a)
+      (1L, "a", 0L, 1L), (1L, "b", 5L, 2L), (1L, "a", 5L, 3L),
+      // user 2: a -> b
+      (2L, "a", 0L, 4L), (2L, "b", 9L, 5L),
+      // user 3: single event -> no transition
+      (3L, "c", 0L, 6L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val got = Sessionize.markovTransitions(ev)
+      .as[(String, String, Long, Double)].collect().toSet
+    // from a: 2x a->b; from b: 1x b->a => p(a->b)=1.0, p(b->a)=1.0
+    assert(got === Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("markovTransitions: probabilities per from_type sum to 1") {
+    import graft.operators.Sessionize
+    val ev = SparkEntry.table(spark, sf0001, "events")
+      .withColumn("ts_ms", org.apache.spark.sql.functions.unix_millis($"ts"))
+    val sums = Sessionize.markovTransitions(ev)
+      .groupBy("from_type")
+      .agg(org.apache.spark.sql.functions.sum("p").as("sp"))
+      .as[(String, Double)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (f, sp) => assert(math.abs(sp - 1.0) < 1e-4, s"from $f: $sp") }
+  }
+
   test("listagg query is deterministic under repartition at sf0.001") {
     val a = SparkEntry.queries("q_listagg")(spark, sf0001)
       .orderBy("o_custkey").as[(Long, Long, String)].collect().toSeq

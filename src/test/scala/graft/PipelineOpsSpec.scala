@@ -152,6 +152,59 @@ class PipelineOpsSpec extends SparkFunSuite {
     // 2: null <=> null -> same; 4: unchanged -> same; neither emitted
   }
 
+  test("scdType2: collapses unchanged runs, stamps validity intervals, null-safe attrs") {
+    import graft.operators.Cdc
+    val changes = Seq(
+      // key 1: A,A,B,B,A -> versions A[0,2) B[2,4) A[4,open)
+      (1L, 0L, Option("A"), 10L), (1L, 1L, Option("A"), 11L),
+      (1L, 2L, Option("B"), 12L), (1L, 3L, Option("B"), 13L),
+      (1L, 4L, Option("A"), 14L),
+      // key 2: starts NULL (must survive as first version), then X
+      (2L, 0L, Option.empty[String], 20L), (2L, 5L, Option("X"), 21L),
+      // key 3: equal-ts changes ordered by tie
+      (3L, 7L, Option("P"), 31L), (3L, 7L, Option("Q"), 32L))
+      .toDF("k", "ts", "a", "tie")
+    val got = Cdc.scdType2(changes, Seq("k"), "ts", Seq("a"), "tie")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, Some("A"), 0L, Some(2L), false),
+      (1L, Some("B"), 2L, Some(4L), false),
+      (1L, Some("A"), 4L, None, true),
+      (2L, None, 0L, Some(5L), false),
+      (2L, Some("X"), 5L, None, true),
+      (3L, Some("P"), 7L, Some(7L), false),
+      (3L, Some("Q"), 7L, None, true)))
+  }
+
+  test("scdType2 property: version count equals run count; intervals chain per key") {
+    import graft.operators.Cdc
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(2, 60)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.oneOf("A", "B", "C")))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 7L)).get
+        .zipWithIndex.map { case ((k, a), i) => (k, i.toLong, a, i.toLong) }
+      val got = Cdc.scdType2(raw.toDF("k", "ts", "a", "tie"), Seq("k"), "ts", Seq("a"), "tie")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      raw.groupBy(_._1).foreach { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val runs = sorted.foldLeft(List.empty[(String, Long)]) { case (acc, (_, ts, a, _)) =>
+          if (acc.headOption.exists(_._1 == a)) acc else (a, ts) :: acc
+        }.reverse
+        val vs = got.filter(_._1 == k).sortBy(_._3)
+        assert(vs.map(v => (v._2, v._3)).toList === runs, s"sample $sample key $k versions")
+        // intervals chain: each valid_to is the next valid_from; last open
+        vs.sliding(2).foreach {
+          case Array(a, b) => assert(a._4.contains(b._3), s"sample $sample key $k chain")
+          case _ =>
+        }
+        assert(vs.last._4.isEmpty && vs.last._5, s"sample $sample key $k open version")
+      }
+    }
+  }
+
   test("chunkDocuments property: count/order/conservation for random sizes") {
     import org.scalacheck.{Gen, rng}
     (1 to 8).foreach { sample =>
