@@ -1008,6 +1008,41 @@ object SparkEntry {
         .select(col("user_id"), col("day"), col("v"),
           col("observed").cast("int").as("observed"))
     }),
+    "q_ewma" -> ((s, dir) => {
+      // Exponentially-weighted moving average (α=0.3, 30-row lookback) of
+      // per-user daily value sums — the smoothing twin of q_interpolate.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.ewma(perDay, "user_id", "day", "v",
+        alpha = 0.3, lookback = 30)
+    }),
+    "q_rolling_median" -> ((s, dir) => {
+      // Exact 7-row rolling median of per-user daily value sums — the
+      // robust-trend counterpart of q_ewma (no percentile window function
+      // in Spark; bounded frame sort inside codegen).
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.rollingMedian(perDay, "user_id", "day", "v",
+        windowRows = 7)
+    }),
+    "q_interval_union" -> ((s, dir) => {
+      // Interval-union coverage per user: each event opens a 5-minute
+      // activity interval; overlapping/touching intervals merge, then per
+      // user the disjoint-island count and total covered millis — the
+      // overlap-free "total active time" the reference's README analytics
+      // need when sessions can overlap (README.md:42-50).
+      val iv = table(s, dir, "events").select(
+        col("user_id"),
+        unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) + lit(300000L)).as("e"))
+      graft.operators.Intervals.coverage(iv, "user_id", "s", "e")
+    }),
     "q_anomaly_mad" -> ((s, dir) => {
       // Robust volume-anomaly detection: per event_type, exact median and
       // MAD of per-minute event counts; the 20 most deviant minutes in
@@ -3036,6 +3071,55 @@ object SparkEntry {
         |    ELSE pv + (nv - pv) * (day - pb) / CAST(nb - pb AS DOUBLE) END, 6) AS v,
         |  CAST(v IS NOT NULL AS INT) AS observed
         |FROM w""".stripMargin,
+    "q_ewma" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, day, v,
+        |    list(CAST(v AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vs
+        |  FROM pd)
+        |SELECT user_id, day, v,
+        |  round(
+        |    list_sum(list_transform(vs, (x, i) -> x * pow(0.7, len(vs) - i))) /
+        |    ((1 - pow(0.7, len(vs))) / 0.3), 6) AS ewma
+        |FROM w""".stripMargin,
+    "q_rolling_median" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, v,
+        |  round(quantile_cont(CAST(v AS DOUBLE), 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM pd""".stripMargin,
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |mg AS (
+        |  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered
+        |FROM mg GROUP BY 1""".stripMargin,
     "q_anomaly_mad" ->
       """WITH pm AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n

@@ -104,4 +104,81 @@ object TimeSeries {
         round(col("mad"), 6).as("mad"),
         round(col("dev"), 6).as("dev"))
   }
+
+  /** Exponentially-weighted moving average over each key's ordered bucket
+    * observations, with a FINITE lookback window of the last `lookback`
+    * rows (not calendar buckets): for the frame v₁..vₙ ending at the
+    * current row, `ewma = Σ vᵢ·(1−α)^(n−i) / Σ (1−α)^(n−i)` — the
+    * normalized form, so partial head windows are exact means of what has
+    * been seen, not biased toward an implicit zero history. Weights below
+    * (1−α)^lookback are truncated by construction; pick `lookback` ≥
+    * ln(ε)/ln(1−α) for tail error < ε. Output rounds to 6 for
+    * cross-engine float stability.
+    *
+    * Scale shape: one key-hashed ordered window; the frame collect is
+    * O(lookback) per row (constant, small) and the higher-order
+    * `aggregate`/`transform` fold stays inside codegen — no UDF, no
+    * per-row allocation beyond the bounded frame array.
+    */
+  def ewma(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      lookback: Int = 30): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(lookback >= 1, s"lookback must be >= 1: $lookback")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(lookback - 1), 0)
+    val decay = 1.0 - alpha
+    perBucket
+      .withColumn("__vs", collect_list(col(valueCol).cast("double")).over(w))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        // numerator: left-to-right fold of vᵢ·d^(n−i); denominator: the
+        // geometric closed form Σ_{j=0}^{n−1} d^j = (1−d^n)/(1−d) — the
+        // same closed form the oracle uses, so float paths match.
+        expr(
+          s"""round(
+             |  aggregate(
+             |    zip_with(__vs, sequence(1, size(__vs)),
+             |      (x, i) -> x * pow($decay, size(__vs) - i)),
+             |    0D, (a, x) -> a + x) /
+             |  ((1D - pow($decay, size(__vs))) / $alpha), 6)""".stripMargin
+        ).as("ewma"))
+  }
+
+  /** Exact rolling median over each key's last `windowRows` ordered bucket
+    * observations (interpolated/quantile_cont semantics: even frames
+    * average the two middle values). Spark has no percentile WINDOW
+    * function, so the frame is collected (bounded, `windowRows` elements),
+    * sorted, and indexed — all inside codegen'd higher-order functions.
+    *
+    * Scale shape: one key-hashed ordered window; O(windowRows·log
+    * windowRows) per row with a constant bound, nothing key-global. For
+    * large windows prefer two-heap streaming medians via a custom
+    * aggregator; at the typical 7–90 bucket windows this is faster and
+    * exact. */
+  def rollingMedian(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      windowRows: Int = 7): DataFrame = {
+    require(windowRows >= 1, s"windowRows must be >= 1: $windowRows")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    perBucket
+      .withColumn("__s",
+        sort_array(collect_list(col(valueCol).cast("double")).over(w)))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        round(expr(
+          """CASE WHEN size(__s) % 2 = 1
+            |  THEN element_at(__s, CAST(size(__s) div 2 + 1 AS INT))
+            |  ELSE (element_at(__s, CAST(size(__s) div 2 AS INT)) +
+            |        element_at(__s, CAST(size(__s) div 2 + 1 AS INT))) / 2D
+            |END""".stripMargin), 6).as("roll_med"))
+  }
 }

@@ -77,4 +77,106 @@ class TimeSeriesSpec extends SparkFunSuite {
       (1L, 2L, 3L, 2.5, 1.0, 0.5), (1L, 3L, 4L, 2.5, 1.0, 1.5),
       (2L, 0L, 10L, 10.0, 0.0, 0.0)))
   }
+
+  test("ewma property: equals brute-force normalized exponential weighting") {
+    import org.scalacheck.{Gen, rng}
+    val alpha = 0.3; val look = 5
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(3, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.choose(-9L, 9L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 300L)).get
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum) }.toSeq
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.indices.map { i =>
+          val frame = sorted.slice(math.max(0, i - look + 1), i + 1).map(_._3.toDouble)
+          val n = frame.length
+          val num = frame.zipWithIndex.map { case (x, j) => x * math.pow(1 - alpha, n - 1 - j) }.sum
+          val den = (1 - math.pow(1 - alpha, n)) / alpha
+          (k, sorted(i)._2, sorted(i)._3,
+            BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toSet
+      val got = TimeSeries.ewma(
+          perBucket.toDF("k", "b", "v").repartition(5), "k", "b", "v", alpha, look)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("ewma: single observation is its own average; constant series is constant") {
+    val df = Seq((1L, 0L, 5L), (2L, 0L, 3L), (2L, 1L, 3L), (2L, 2L, 3L))
+      .toDF("k", "b", "v")
+    val got = TimeSeries.ewma(df, "k", "b", "v", alpha = 0.5, lookback = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 0L, 5L, 5.0), (2L, 0L, 3L, 3.0),
+      (2L, 1L, 3L, 3.0), (2L, 2L, 3L, 3.0)))
+  }
+
+  test("rollingMedian property: equals brute-force sorted-frame median") {
+    import org.scalacheck.{Gen, rng}
+    val win = 4
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(3, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.choose(-50L, 50L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 400L)).get
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum) }.toSeq
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.indices.map { i =>
+          val frame = sorted.slice(math.max(0, i - win + 1), i + 1).map(_._3.toDouble).sorted
+          val n = frame.length
+          val med = if (n % 2 == 1) frame(n / 2) else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+          (k, sorted(i)._2, sorted(i)._3,
+            BigDecimal(med).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toSet
+      val got = TimeSeries.rollingMedian(
+          perBucket.toDF("k", "b", "v").repartition(5), "k", "b", "v", win)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("Intervals.mergeOverlaps: overlap and touch merge, gaps split, per key") {
+    import graft.operators.Intervals
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L), (1L, 12L, 15L), // one island [0,15)
+      (1L, 20L, 25L),                               // gap -> second island
+      (2L, 0L, 1L), (2L, 2L, 3L))                   // two islands
+      .toDF("k", "s", "e")
+    val got = Intervals.mergeOverlaps(df, "k", "s", "e")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 15L), (1L, 20L, 25L), (2L, 0L, 1L), (2L, 2L, 3L)))
+    val cov = Intervals.coverage(df, "k", "s", "e")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cov === Set((1L, 2L, 20L), (2L, 2L, 2L)))
+  }
+
+  test("Intervals.mergeOverlaps property: equals brute-force sweep; contained intervals absorbed") {
+    import graft.operators.Intervals
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(2, 50)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L), Gen.choose(1L, 12L)))
+      } yield rows.map { case (k, s, len) => (k, s, s + len) }
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 500L)).get
+      val expected = raw.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sorted
+        sorted.tail.foldLeft(List(sorted.head)) { case (acc @ (cs, ce) :: rest, (s, e)) =>
+          if (s <= ce) (cs, math.max(ce, e)) :: rest else (s, e) :: acc
+        }.map { case (s, e) => (k, s, e) }
+      }.toSet
+      val got = Intervals.mergeOverlaps(raw.toDF("k", "s", "e").repartition(5), "k", "s", "e")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
 }
