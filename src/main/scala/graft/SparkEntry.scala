@@ -1093,6 +1093,25 @@ object SparkEntry {
       val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
       graft.operators.Sessionize.markovTransitions(ev)
     }),
+    "q_seq_match" -> ((s, dir) => {
+      // MATCH_RECOGNIZE-lite: per-user event stream as a char-coded string,
+      // count non-overlapping 'view …(clicks/errors)… purchase' runs and
+      // the first match position.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.sequenceMatch(ev,
+        codes = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"),
+        pattern = "v[ce]*p")
+    }),
+    "q_attribution" -> ((s, dir) => {
+      // Last-touch attribution: each purchase credits the most recent
+      // strictly-preceding view/click by the same user within 6 h, else
+      // "(none)". Per-channel conversions and distinct converters.
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.attributeLastTouch(ev,
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackMs = 21600000L)
+    }),
     "q_listagg" -> ((s, dir) =>
       // Ordered string aggregation (LISTAGG/string_agg parity). Spark's
       // collect_list is partition-order-nondeterministic, so the total
@@ -3179,6 +3198,38 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM m""".stripMargin,
+    "q_seq_match" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      WHEN 'error' THEN 'e' END AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(c, '' ORDER BY ts_ms, event_id) AS seq
+        |  FROM e WHERE c IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_match,
+        |  CAST(CASE WHEN len(regexp_extract_all(seq, 'v[ce]*p')) > 0
+        |    THEN strpos(seq, regexp_extract(seq, 'v[ce]*p'))
+        |    ELSE 0 END AS BIGINT) AS first_pos
+        |FROM s""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, ts_ms, event_type,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN struct_pack(ts := ts_ms, ch := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e)
+        |SELECT CASE WHEN lt IS NOT NULL AND ts_ms - lt.ts <= 21600000
+        |    THEN lt.ch ELSE '(none)' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_listagg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities

@@ -343,6 +343,95 @@ object Sessionize {
           org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** MATCH_RECOGNIZE-lite: collapse each key's ordered event-type stream
+    * to a one-char-per-event string (caller supplies the type→char code
+    * map) and count NON-OVERLAPPING occurrences of a regex `pattern` over
+    * it, plus the 1-based position of the first match (0 = none) and the
+    * sequence length. Regex-over-codes is the classic log-mining encoding
+    * (each char = one event) — contiguous patterns like `vcp`, gap-
+    * tolerant ones like `v[^p]*p`, and anchors all work; both Spark and
+    * ANSI regexp counters scan left-to-right non-overlapping, so counts
+    * are engine-portable.
+    *
+    * Scale shape: one key-hashed aggregate; the per-key string is bounded
+    * by that key's event count (same bound as any per-key sessionize
+    * state). `sort_array(collect_list(struct(ts, tie, code)))` makes the
+    * order deterministic under any partitioning; the regex runs once per
+    * key, not per event.
+    */
+  def sequenceMatch(
+      events: DataFrame,
+      codes: Map[String, String],
+      pattern: String,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    require(codes.values.forall(_.length == 1),
+      s"codes must map each type to ONE char: $codes")
+    require(codes.values.toSeq.distinct.size == codes.size,
+      s"code chars must be distinct: $codes")
+    val codeCol = codes.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, c)) => when(col(typeCol) === t, lit(c)).otherwise(acc)
+    }
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), codeCol.as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col(tsCol), col(tieCol), col("__c")))),
+        x => x("__c")), "").as("seq"))
+      .select(col(keyCol),
+        length(col("seq")).as("seq_len"),
+        expr(s"CAST(regexp_count(seq, '$pattern') AS BIGINT)").as("n_match"),
+        expr(s"CAST(CASE WHEN regexp_count(seq, '$pattern') > 0 " +
+          s"THEN locate(regexp_extract(seq, '$pattern', 0), seq) " +
+          "ELSE 0 END AS BIGINT)").as("first_pos"))
+  }
+
+  /** Last-touch attribution: credit each conversion event to the MOST
+    * RECENT strictly-preceding touch event by the same key within
+    * `lookbackMs`; conversions with no touch in the window attribute to
+    * the literal channel `"(none)"`. Output is per-channel conversion
+    * count and distinct converting keys. Ties at equal timestamps resolve
+    * by `tieCol` (a touch at the conversion's exact ts with a smaller tie
+    * id IS eligible — it precedes in stream order).
+    *
+    * Scale shape: one key-hashed ordered window over the filtered
+    * touch∪conversion stream (running last-IGNORE-NULLS is O(1) state),
+    * then one small channel-keyed aggregate. No self-join of conversions
+    * against touches, no range join — the window IS the as-of lookup.
+    */
+  def attributeLastTouch(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      lookbackMs: Long,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must be non-empty and exclude the conversion: $touchTypes / $convType")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    events
+      .filter(isTouch || col(typeCol) === convType)
+      .withColumn("__lt",
+        last(when(isTouch, struct(col(tsCol).as("ts"), col(typeCol).as("ch"))),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol),
+        when(col("__lt").isNotNull &&
+            col(tsCol) - col("__lt")("ts") <= lookbackMs,
+          col("__lt")("ch")).otherwise(lit("(none)")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        count_distinct(col(keyCol)).as("n_users"))
+  }
+
   /** Ordered funnel, first-touch semantics: per key, `t1` is the earliest
     * step-1 event, and each later `tK` is the earliest step-K event
     * AT-OR-AFTER `t(K-1)` — so a user counts for step K only if the steps

@@ -115,6 +115,59 @@ class FunnelSpec extends SparkFunSuite {
     sums.foreach { case (f, sp) => assert(math.abs(sp - 1.0) < 1e-4, s"from $f: $sp") }
   }
 
+  test("sequenceMatch: non-overlapping counts, first position, unmapped types dropped") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: v c p v p  -> 'vcpvp' => 2 matches of v[c]*p, first at 1
+      (1L, "view", 0L, 1L), (1L, "click", 1L, 2L), (1L, "purchase", 2L, 3L),
+      (1L, "view", 3L, 4L), (1L, "purchase", 4L, 5L),
+      // user 2: p v c (no match; seq 'pvc')
+      (2L, "purchase", 0L, 6L), (2L, "view", 1L, 7L), (2L, "click", 2L, 8L),
+      // user 3: only an unmapped type -> absent from output
+      (3L, "other", 0L, 9L),
+      // user 4: equal-ts ties ordered by event_id: v(id 10) p(id 11)
+      (4L, "purchase", 5L, 11L), (4L, "view", 5L, 10L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val got = Sessionize.sequenceMatch(ev,
+        codes = Map("view" -> "v", "click" -> "c", "purchase" -> "p"),
+        pattern = "v[c]*p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 5L, 2L, 1L), (2L, 3L, 0L, 0L), (4L, 2L, 1L, 1L)))
+  }
+
+  test("sequenceMatch is partition-invariant") {
+    import graft.operators.Sessionize
+    val ev = SparkEntry.table(spark, sf0001, "events")
+      .withColumn("ts_ms", org.apache.spark.sql.functions.unix_millis($"ts"))
+    val codes = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "signup" -> "s", "error" -> "e")
+    val a = Sessionize.sequenceMatch(ev, codes, "v[ce]*p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Sessionize.sequenceMatch(ev.repartition(13), codes, "v[ce]*p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("attributeLastTouch: window cut, strict precedence, tie order, (none) bucket") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: click@0, purchase@5 (within 10) -> click
+      (1L, "click", 0L, 1L), (1L, "purchase", 5L, 2L),
+      // user 2: view@0, purchase@20 (outside 10) -> (none)
+      (2L, "view", 0L, 3L), (2L, "purchase", 20L, 4L),
+      // user 3: purchase with NO prior touch -> (none); later touch ignored
+      (3L, "purchase", 0L, 5L), (3L, "view", 1L, 6L),
+      // user 4: equal-ts touch with SMALLER tie id precedes -> view credited
+      (4L, "view", 7L, 7L), (4L, "purchase", 7L, 8L),
+      // user 4 second purchase: most recent touch still view@7, within 10
+      (4L, "purchase", 9L, 9L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val got = Sessionize.attributeLastTouch(ev,
+        touchTypes = Seq("view", "click"), convType = "purchase", lookbackMs = 10L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("click", 1L, 1L), ("(none)", 2L, 2L), ("view", 2L, 1L)))
+  }
+
   test("listagg query is deterministic under repartition at sf0.001") {
     val a = SparkEntry.queries("q_listagg")(spark, sf0001)
       .orderBy("o_custkey").as[(Long, Long, String)].collect().toSeq
