@@ -1093,6 +1093,35 @@ object SparkEntry {
       val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
       graft.operators.Sessionize.markovTransitions(ev)
     }),
+    "q_market_basket" -> ((s, dir) => {
+      // Association rules over orders: part pairs co-ordered >= 3 times,
+      // with per-pair support counts and lift vs independence. The
+      // self-join's two inputs are the same distinct subtree -> one
+      // basket-hashed exchange, reused.
+      val li = table(s, dir, "lineitem")
+      graft.operators.Cooccur.marketBasket(li, "l_orderkey", "l_partkey",
+          minCount = 3L)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+    }),
+    "q_jaro_winkler" -> ((s, dir) => {
+      // Fuzzy string match via the native jaro_winkler Expression
+      // (codegen'd; Spark ships levenshtein only): within-brand part-name
+      // pairs scoring >= 0.75 — brand blocking keeps the compare
+      // quadratic-per-block, never corpus-global. Oracled against
+      // DuckDB's jaro_winkler_similarity over every surviving pair.
+      import graft.functions.expressions.JaroWinklerSim.jaroWinkler
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("sim",
+          round(jaroWinkler(col("a.p_name"), col("b.p_name")), 6))
+        .filter(col("sim") >= 0.75)
+        .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
+          col("sim"))
+    }),
     "q_seq_match" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite: per-user event stream as a char-coded string,
       // count non-overlapping 'view …(clicks/errors)… purchase' runs and
@@ -3198,6 +3227,27 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM m""".stripMargin,
+    "q_market_basket" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT b) AS n_total FROM bi),
+        |freq AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.i AS part_a, r.i AS part_b, COUNT(*) AS n_ab
+        |  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(fa.n_i AS BIGINT) AS n_a, CAST(fb.n_i AS BIGINT) AS n_b,
+        |  round(n_ab * n_total / CAST(fa.n_i * fb.n_i AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN freq fa ON fa.i = part_a
+        |JOIN freq fb ON fb.i = part_b, tot""".stripMargin,
+    "q_jaro_winkler" ->
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75""".stripMargin,
     "q_seq_match" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
