@@ -1093,6 +1093,42 @@ object SparkEntry {
       val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
       graft.operators.Sessionize.markovTransitions(ev)
     }),
+    "q_cusum" -> ((s, dir) => {
+      // Two-sided CUSUM alarms over per-user daily spend vs each user's
+      // own median. Doubled-cents fixed point keeps the .5-capable median
+      // integral, so the whole recurrence is BIGINT-exact on both engines.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      val withTarget = perDay
+        .withColumn("x2", col("v") * 2)
+        .withColumn("t2", expr(
+          "CAST(percentile(v, 0.5) OVER (PARTITION BY user_id) * 2 AS BIGINT)"))
+      graft.operators.TimeSeries
+        .cusum(withTarget, "user_id", "day", "x2", "t2",
+          drift = 100L, threshold = 1000L)
+        .select(col("user_id"), col("day"), (col("x2") / 2).cast("long").as("v"),
+          col("cusum_pos"), col("cusum_neg"), col("alarm"))
+    }),
+    "q_path_trigrams" -> ((s, dir) => {
+      // Top navigation paths: the 20 most common ordered event-type
+      // trigrams across per-user streams (two leads over the markov
+      // window; deterministic n-desc/path tie-break).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .select(col("user_id"), col("event_type").as("t0"),
+          col("ts_ms"), col("event_id"))
+        .withColumn("t1", lead(col("t0"), 1).over(w))
+        .withColumn("t2", lead(col("t0"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
     "q_market_basket" -> ((s, dir) => {
       // Association rules over orders: part pairs co-ordered >= 3 times,
       // with per-pair support counts and lift vs independence. The
@@ -3227,6 +3263,42 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM m""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT user_id, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS t2
+        |  FROM pd GROUP BY 1),
+        |o AS (
+        |  SELECT pd.user_id, day, v, 2 * v AS x2, t2,
+        |    row_number() OVER (PARTITION BY pd.user_id ORDER BY day) AS rn
+        |  FROM pd JOIN med USING (user_id)),
+        |r AS (
+        |  SELECT user_id, rn, day, v,
+        |    greatest(0, x2 - t2 - 100) AS pos,
+        |    greatest(0, t2 - x2 - 100) AS neg
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.day, o.v,
+        |    greatest(0, r.pos + o.x2 - o.t2 - 100),
+        |    greatest(0, r.neg + o.t2 - o.x2 - 100)
+        |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, day, v, CAST(pos AS BIGINT) AS cusum_pos,
+        |  CAST(neg AS BIGINT) AS cusum_neg,
+        |  CAST(pos > 1000 OR neg > 1000 AS INT) AS alarm
+        |FROM r""".stripMargin,
+    "q_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+        |SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+        |FROM s WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_market_basket" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

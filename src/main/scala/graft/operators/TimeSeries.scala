@@ -181,4 +181,55 @@ object TimeSeries {
             |        element_at(__s, CAST(size(__s) div 2 + 1 AS INT))) / 2D
             |END""".stripMargin), 6).as("roll_med"))
   }
+
+  /** Two-sided CUSUM change detection — the classic drift-tolerant
+    * cumulative-sum recurrence
+    * `pos_t = max(0, pos_{t−1} + x_t − target − drift)`,
+    * `neg_t = max(0, neg_{t−1} + target − x_t − drift)`, alarm when either
+    * side exceeds `threshold`. The recurrence is NOT prefix-sum
+    * decomposable (the clamp at 0 breaks associativity), so no window
+    * function expresses it; it runs as the engine's sorted-run fold (the
+    * sessionizer's execution shape, `Sessionize.scala:20`): repartition by
+    * key, sort within partitions by (key, bucket), one streaming
+    * `mapPartitions` pass with per-key state reset — O(1) state, no
+    * groupByKey materialization, scales to any per-key series length.
+    *
+    * All arithmetic is BIGINT-exact: callers pass integer-domain value and
+    * target columns (scale fixed-point upstream — e.g. doubled cents so a
+    * `.5` median stays integral) so the fold and any SQL oracle agree bit
+    * for bit with no float drift.
+    */
+  def cusum(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      targetCol: String,
+      drift: Long,
+      threshold: Long): DataFrame = {
+    require(drift >= 0, s"drift must be >= 0: $drift")
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val spark = perBucket.sparkSession
+    import spark.implicits._
+    val typed = perBucket
+      .select(col(keyCol).cast("long"), col(bucketCol).cast("long"),
+        col(valueCol).cast("long"), col(targetCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    val folded = typed
+      .repartition(spark.sparkContext.defaultParallelism, col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(bucketCol))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var init = false
+        var pos = 0L
+        var neg = 0L
+        it.map { case (k, b, x, t) =>
+          if (!init || k != curKey) { curKey = k; init = true; pos = 0L; neg = 0L }
+          pos = math.max(0L, pos + x - t - drift)
+          neg = math.max(0L, neg + t - x - drift)
+          (k, b, x, pos, neg, if (pos > threshold || neg > threshold) 1 else 0)
+        }
+      }
+    folded.toDF(keyCol, bucketCol, valueCol, "cusum_pos", "cusum_neg", "alarm")
+  }
 }

@@ -144,6 +144,44 @@ class TimeSeriesSpec extends SparkFunSuite {
     }
   }
 
+  test("cusum property: equals brute-force clamped recurrence; partition-invariant") {
+    import org.scalacheck.{Gen, rng}
+    val drift = 2L; val threshold = 5L
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(3, 50)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L), Gen.choose(-10L, 10L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 600L)).get
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum, 1L) }.toSeq // target 1
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        var pos = 0L; var neg = 0L
+        rs.sortBy(_._2).map { case (_, b, x, t) =>
+          pos = math.max(0L, pos + x - t - drift)
+          neg = math.max(0L, neg + t - x - drift)
+          (k, b, x, pos, neg, if (pos > threshold || neg > threshold) 1 else 0)
+        }
+      }.toSet
+      val got = TimeSeries.cusum(
+          perBucket.toDF("k", "b", "x", "t").repartition(7), "k", "b", "x", "t",
+          drift, threshold)
+        .as[(Long, Long, Long, Long, Long, Int)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("cusum: clamp at zero stops drift accumulation; alarm is strict >") {
+    // target 0, drift 0, threshold 3: x = 2,2,-10,2 -> pos 2,4,0,2; neg 0,0,10,8
+    val df = Seq((1L, 0L, 2L, 0L), (1L, 1L, 2L, 0L), (1L, 2L, -10L, 0L), (1L, 3L, 2L, 0L))
+      .toDF("k", "b", "x", "t")
+    val got = TimeSeries.cusum(df, "k", "b", "x", "t", drift = 0L, threshold = 3L)
+      .as[(Long, Long, Long, Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 2L, 2L, 0L, 0), (1L, 1L, 2L, 4L, 0L, 1),
+      (1L, 2L, -10L, 0L, 10L, 1), (1L, 3L, 2L, 2L, 8L, 1)))
+  }
+
   test("Intervals.mergeOverlaps: overlap and touch merge, gaps split, per key") {
     import graft.operators.Intervals
     val df = Seq(
