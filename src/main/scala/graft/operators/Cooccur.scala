@@ -33,7 +33,13 @@ object Cooccur {
       basketCol: String,
       itemCol: String,
       minCount: Long = 2L): DataFrame = {
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    // explicit not-null filter so EVERY branch over `bi` (pairs, freq,
+    // total) carries identical pushed filters — otherwise the join
+    // branches gain isnotnull predicates the aggregate branches lack and
+    // the distinct subtrees stop canonicalizing equal (no ReusedExchange)
+    val bi = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
     // total basket count as a 1-row broadcast side, not a driver .first():
     // the whole operator stays one lazy plan, nothing materializes early
     val total = bi.select(countDistinct(col("b")).as("n_total"))
