@@ -1526,6 +1526,22 @@ object SparkEntry {
       runToMemory(s, graft.streaming.StreamingFunnel.funnel3(ev).toDF(), "update")
     }),
 
+    "q_stream_cusum" -> ((s, dir) => {
+      // Streaming two-sided CUSUM over per-event spend: two-long per-user
+      // state, update-mode changelog. Single-file source = one microbatch,
+      // so the fold equals the batch recurrence — the oracle replays it
+      // with a recursive CTE in event order.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingCusum.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingCusum.cusum(ev,
+          target = 500L, drift = 50L, threshold = 2000L).toDF(), "update")
+    }),
     "q_stream_foreach_merge" -> ((s, dir) => {
       // foreachBatch incremental-merge sink (MergeSink): update-mode per-user
       // counts merged into a versioned parquet serving table batch by batch —
@@ -3263,6 +3279,27 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM m""".stripMargin,
+    "q_stream_cusum" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS ts_ms, event_id AS tie,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT key, rn, ts_ms, tie, x,
+        |    greatest(0, x - 500 - 50) AS pos,
+        |    greatest(0, 500 - x - 50) AS neg
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.rn, o.ts_ms, o.tie, o.x,
+        |    greatest(0, r.pos + o.x - 500 - 50),
+        |    greatest(0, r.neg + 500 - o.x - 50)
+        |  FROM o JOIN r ON o.key = r.key AND o.rn = r.rn + 1)
+        |SELECT key, ts_ms, tie, x, CAST(pos AS BIGINT) AS cusum_pos,
+        |  CAST(neg AS BIGINT) AS cusum_neg,
+        |  CAST(pos > 2000 OR neg > 2000 AS INT) AS alarm
+        |FROM r""".stripMargin,
     "q_cusum" ->
       """WITH RECURSIVE pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
