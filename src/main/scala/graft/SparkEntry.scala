@@ -1149,7 +1149,11 @@ object SparkEntry {
       import graft.functions.expressions.JaroWinklerSim.jaroWinkler
       val p = table(s, dir, "part")
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      p.as("a").join(p.as("b"),
+      // the scan is tiny (1-2 file partitions) but the per-row fan-out is
+      // ~|brand|/2 comparisons — round-robin the probe side so the O(n²/
+      // brands) kernel work spreads over every core instead of 2 tasks
+      val probe = p.repartition(s.sparkContext.defaultParallelism)
+      probe.as("a").join(broadcast(p).as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey"))
         .withColumn("sim",
