@@ -1112,6 +1112,40 @@ object SparkEntry {
         .select(col("user_id"), col("day"), (col("x2") / 2).cast("long").as("v"),
           col("cusum_pos"), col("cusum_neg"), col("alarm"))
     }),
+    "q_holt" -> ((s, dir) => {
+      // Holt level+trend smoothing of per-user daily spend. Fixed-point
+      // rational arithmetic with floor division -> the recursive oracle
+      // replays the fold bit for bit (see TimeSeries.holt contract).
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.holt(perDay, "user_id", "day", "v")
+    }),
+    "q_sssp" -> ((s, dir) => {
+      // 4-round weighted shortest paths over the undirected customer<->
+      // supplier purchase graph (weight = order-to-ship day lag), from the
+      // q_bfs_hops seed set. Exact BIGINT min-plus relaxation.
+      val e0 = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("od"))
+        .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"),
+              datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+                .cast("long").as("sd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"),
+          (col("sd") - col("od")).as("w"))
+      val undirected = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = table(s, dir, "customer")
+        .filter(col("c_custkey") < 5L)
+        .select(col("c_custkey").cast("long").as("id"))
+      graft.operators.Graph.shortestPaths(undirected, seeds, rounds = 4)
+    }),
     "q_path_trigrams" -> ((s, dir) => {
       // Top navigation paths: the 20 most common ordered event-type
       // trigrams across per-user streams (two leads over the markov
@@ -3330,6 +3364,56 @@ object SparkEntry {
         |  CAST(neg AS BIGINT) AS cusum_neg,
         |  CAST(pos > 1000 OR neg > 1000 AS INT) AS alarm
         |FROM r""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, day, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM pd),
+        |r AS (
+        |  SELECT user_id, rn, day, v, v * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.day, o.v,
+        |    (3 * o.v * 1000000 + 7 * (r.l + r.b)) // 10,
+        |    (((3 * o.v * 1000000 + 7 * (r.l + r.b)) // 10 - r.l) + 4 * r.b) // 5
+        |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, day, v, l AS level_fp, b AS trend_fp,
+        |  l + b AS forecast_fp
+        |FROM r""".stripMargin,
+    "q_sssp" ->
+      """WITH e0 AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey + 10000000 AS BIGINT) AS dst,
+        |    epoch_ms(l_shipdate) // 86400000 - epoch_ms(o_orderdate) // 86400000 AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM e0
+        |    UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+        |d0 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey < 5),
+        |d1 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0 JOIN e ON d0.id = e.src)
+        |  GROUP BY 1),
+        |d2 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1 JOIN e ON d1.id = e.src)
+        |  GROUP BY 1),
+        |d3 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2 JOIN e ON d2.id = e.src)
+        |  GROUP BY 1),
+        |d4 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d3
+        |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3 JOIN e ON d3.id = e.src)
+        |  GROUP BY 1)
+        |SELECT id, d FROM d4""".stripMargin,
     "q_path_trigrams" ->
       """WITH s AS (
         |  SELECT user_id, event_type AS t0,

@@ -98,6 +98,49 @@ object Graph {
     dist
   }
 
+  /** Fixed-round weighted single-source shortest paths (Bellman-Ford
+    * relaxation): per round, every frontier distance relaxes across every
+    * outgoing edge and vertices keep their minimum. `rounds` bounds path
+    * LENGTH (hops), so the result is deterministic whether or not the
+    * graph has converged — the same fixed-iteration contract as
+    * [[pagerank]], and like it the oracle unrolls the rounds as CTEs.
+    * Weights must be non-negative BIGINTs (exact min arithmetic; no float
+    * accumulation).
+    *
+    * Scale shape: per round one (id = src) shuffle join frontier×edges +
+    * one min aggregate — linear in edges per round, no driver state; the
+    * edge set is localCheckpointed once so the loop doesn't re-derive its
+    * lineage each round (the pagerank lesson, `Graph.scala:40-67`). Unlike
+    * [[bfsHops]] the full dist table relaxes each round (a shorter-hop
+    * path can still lower a longer-hop distance), so per-round cost is
+    * dist⋈edges, not frontier-only. */
+  def shortestPaths(
+      edges: DataFrame,
+      sources: DataFrame,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w",
+      idCol: String = "id"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .withColumn("d", lit(0L))
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Per-vertex triangle participation counts over an UNDIRECTED graph.
     *
     * Input rows are treated as undirected edges; self-loops and duplicate /

@@ -232,4 +232,62 @@ object TimeSeries {
       }
     folded.toDF(keyCol, bucketCol, valueCol, "cusum_pos", "cusum_neg", "alarm")
   }
+
+  /** Holt double (level + linear trend) exponential smoothing — the
+    * forecasting recurrence
+    * `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}`, initialized `l₁ = x₁,
+    * b₁ = 0`. Like [[cusum]] it is a clamp-free but still order-dependent
+    * recurrence with no window-function form, so it runs as the same
+    * sorted-run mapPartitions fold.
+    *
+    * EXACT ARITHMETIC CONTRACT: α = alphaNum/alphaDen and β =
+    * betaNum/betaDen are rationals, the state is carried in `scale`-scaled
+    * fixed point, and every step divides with TRUNCATING semantics (JVM
+    * long `/` here; ANSI/DuckDB integer division truncates toward zero
+    * too — floorDiv would NOT match on negative trend values) — so a SQL
+    * oracle replays the fold bit for bit, no float drift ever. Output columns are
+    * the raw fixed-point BIGINTs (`level_fp`, `trend_fp`, and the
+    * one-step-ahead `forecast_fp = level + trend`); divide by `scale`
+    * downstream for display.
+    */
+  def holt(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      alphaNum: Long = 3L, alphaDen: Long = 10L,
+      betaNum: Long = 1L, betaDen: Long = 5L,
+      scale: Long = 1000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, s"alpha must be in (0,1): $alphaNum/$alphaDen")
+    require(betaNum > 0 && betaNum < betaDen, s"beta must be in (0,1): $betaNum/$betaDen")
+    require(scale > 0, s"scale must be > 0: $scale")
+    val spark = perBucket.sparkSession
+    import spark.implicits._
+    val typed = perBucket
+      .select(col(keyCol).cast("long"), col(bucketCol).cast("long"),
+        col(valueCol).cast("long"))
+      .as[(Long, Long, Long)]
+    val folded = typed
+      .repartition(spark.sparkContext.defaultParallelism, col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(bucketCol))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var init = false
+        var l = 0L
+        var b = 0L
+        it.map { case (k, bk, x) =>
+          if (!init || k != curKey) {
+            curKey = k; init = true; l = x * scale; b = 0L
+          } else {
+            val lNew =
+              (alphaNum * x * scale + (alphaDen - alphaNum) * (l + b)) / alphaDen
+            b = (betaNum * (lNew - l) + (betaDen - betaNum) * b) / betaDen
+            l = lNew
+          }
+          (k, bk, x, l, b, l + b)
+        }
+      }
+    folded.toDF(keyCol, bucketCol, valueCol, "level_fp", "trend_fp", "forecast_fp")
+  }
 }

@@ -122,4 +122,41 @@ class GraphSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", iters = 0) }
     intercept[IllegalArgumentException] { Graph.pageRank(d, "src", "dst", damping = 1.0) }
   }
+
+  test("shortestPaths: hand graph — min over paths, parallel-edge min, round bound") {
+    // 1 -> 2 (w 5), 1 -> 3 (w 1), 3 -> 2 (w 1): dist(2) = 2 via 3 after 2 rounds
+    // parallel edge 1 -> 2 (w 9) must lose to w 5; vertex 4 unreachable (absent)
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 9L), (1L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = Graph.shortestPaths(e, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 5L, 3L -> 1L)) // one round: direct edges only
+    val r2 = Graph.shortestPaths(e, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("shortestPaths property: equals brute-force bounded-hop Bellman-Ford") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 6).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(5, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L), Gen.choose(0L, 9L)))
+      } yield rows.filter { case (a, b, _) => a != b }
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 800L)).get
+      val rounds = 3
+      // brute force: repeat relaxation over the min-reduced edge set
+      val edges = raw.groupBy(r => (r._1, r._2)).map { case ((a, b), ws) => (a, b, ws.map(_._3).min) }
+      var dist = Map(1L -> 0L)
+      (1 to rounds).foreach { _ =>
+        val relaxed = edges.flatMap { case (a, b, w) => dist.get(a).map(d => b -> (d + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).min }
+      }
+      val got = Graph.shortestPaths(raw.toDF("src", "dst", "w").repartition(5),
+          Seq(1L).toDF("id"), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === dist, s"sample $sample")
+    }
+  }
 }

@@ -182,6 +182,47 @@ class TimeSeriesSpec extends SparkFunSuite {
       (1L, 2L, -10L, 0L, 10L, 1), (1L, 3L, 2L, 2L, 8L, 1)))
   }
 
+  test("holt property: equals brute-force fixed-point recurrence (truncating division)") {
+    import org.scalacheck.{Gen, rng}
+    val (aN, aD, bN, bD, s) = (3L, 10L, 1L, 5L, 1000000L)
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(3, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 25L), Gen.choose(-99L, 99L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 700L)).get
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum) }.toSeq
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        var l = 0L; var b = 0L; var first = true
+        rs.sortBy(_._2).map { case (_, bk, x) =>
+          if (first) { l = x * s; b = 0L; first = false }
+          else {
+            val lNew = (aN * x * s + (aD - aN) * (l + b)) / aD
+            b = (bN * (lNew - l) + (bD - bN) * b) / bD
+            l = lNew
+          }
+          (k, bk, x, l, b, l + b)
+        }
+      }.toSet
+      val got = TimeSeries.holt(
+          perBucket.toDF("k", "b", "v").repartition(7), "k", "b", "v",
+          aN, aD, bN, bD, s)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
+  test("holt: constant series keeps zero trend and exact level") {
+    val df = Seq((1L, 0L, 7L), (1L, 1L, 7L), (1L, 2L, 7L)).toDF("k", "b", "v")
+    val got = TimeSeries.holt(df, "k", "b", "v")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 7L, 7000000L, 0L, 7000000L),
+      (1L, 1L, 7L, 7000000L, 0L, 7000000L),
+      (1L, 2L, 7L, 7000000L, 0L, 7000000L)))
+  }
+
   test("Intervals.mergeOverlaps: overlap and touch merge, gaps split, per key") {
     import graft.operators.Intervals
     val df = Seq(
