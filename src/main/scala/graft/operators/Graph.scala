@@ -123,10 +123,17 @@ object Graph {
       weightCol: String = "w",
       idCol: String = "id"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // checkpoint the edge set ALREADY HASH-PARTITIONED ON src: the
+    // per-round join then shuffles only the vertex-cardinality dist side,
+    // not the edge table — without this the 100× smoke re-shuffled the
+    // full edge set every round and the op went superlinear (7.6× at 5×
+    // data; the join had also silently flipped from broadcast to SMJ as
+    // dist outgrew the broadcast threshold)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("d", lit(0L))

@@ -262,6 +262,86 @@ object ScaleSmoke {
         .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
       drain(Sampling.tokenBudgetMix(docs, w, totalBudget = 500000L))
     }
+    // round-7 session-5 ops. The sorted-run folds (cusum/holt) and window
+    // sweeps (intervals, ewma, rollingMedian, attribution) are one
+    // key-hashed exchange each -> must scale linearly; marketBasket and
+    // the graph ops are the quadratic-per-block shapes whose bounds
+    // (basket size, brand block, degree orientation) do the scaling work.
+    val perDay = events
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("day")).agg(sum(col("cents")).as("v"))
+    time(s"cusum x$mult") {
+      val wt = perDay.withColumn("x2", col("v") * 2)
+        .withColumn("t2", expr(
+          "CAST(percentile(v, 0.5) OVER (PARTITION BY user_id) * 2 AS BIGINT)"))
+      drain(graft.operators.TimeSeries.cusum(wt, "user_id", "day", "x2", "t2", 100L, 1000L))
+    }
+    time(s"holt x$mult")(
+      drain(graft.operators.TimeSeries.holt(perDay, "user_id", "day", "v")))
+    time(s"ewma+rollingMedian x$mult") {
+      drain(graft.operators.TimeSeries.ewma(perDay, "user_id", "day", "v"))
+      drain(graft.operators.TimeSeries.rollingMedian(perDay, "user_id", "day", "v"))
+    }
+    time(s"intervalCoverage x$mult") {
+      val iv = events.select(col("user_id"), unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) + lit(300000L)).as("e"))
+      drain(graft.operators.Intervals.coverage(iv, "user_id", "s", "e"))
+    }
+    time(s"sequenceMatch+attribution x$mult") {
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      drain(Sessionize.sequenceMatch(ev,
+        Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"), "v[ce]*p"))
+      drain(Sessionize.attributeLastTouch(ev, Seq("view", "click"), "purchase", 21600000L))
+    }
+    time(s"marketBasket x$mult (baskets stay bounded)") {
+      val li = multiply(
+        graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", mult, 10_000_000L)
+      drain(graft.operators.Cooccur.marketBasket(li, "l_orderkey", "l_partkey", minCount = 3L))
+    }
+    time(s"jaroWinkler fuzzy join x$mult (blocks stay bounded)") {
+      // disjoint brand spaces per copy: block SIZE is constant, block
+      // COUNT scales -> total compares scale linearly with copies
+      import graft.functions.expressions.JaroWinklerSim.jaroWinkler
+      val part0 = graft.SparkEntry.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val p = (0 until mult).map { i =>
+        part0.select((col("p_partkey") + lit(i * 1_000_000L)).as("p_partkey"),
+          col("p_name"), concat(col("p_brand"), lit(s"#$i")).as("p_brand"))
+      }.reduce(_ unionByName _)
+      val probe = p.repartition(spark.sparkContext.defaultParallelism)
+      drain(probe.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("sim", round(jaroWinkler(col("a.p_name"), col("b.p_name")), 6))
+        .filter(col("sim") >= 0.75)
+        .select(col("a.p_partkey"), col("b.p_partkey"), col("sim")))
+    }
+    time(s"shortestPaths x$mult (disjoint graph copies)") {
+      val e0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("od"))
+        .join(graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long").as("sd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10_000_000L).as("dst"),
+          (col("sd") - col("od")).as("w"))
+      val copies = (0 until mult).map { i =>
+        e0.select((col("src") + lit(i * 20_000_000L)).as("src"),
+          (col("dst") + lit(i * 20_000_000L)).as("dst"), col("w"))
+      }.reduce(_ unionByName _)
+      val und = copies.unionByName(
+        copies.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      import spark.implicits._
+      val seeds = (0 until mult).flatMap(i => (1L to 4L).map(_ + i * 20_000_000L))
+        .toDF("id")
+      drain(graft.operators.Graph.shortestPaths(und, seeds, rounds = 4))
+    }
     spark.stop()
   }
 }
