@@ -1112,6 +1112,32 @@ object SparkEntry {
         .select(col("user_id"), col("day"), (col("x2") / 2).cast("long").as("v"),
           col("cusum_pos"), col("cusum_neg"), col("alarm"))
     }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM quintile segmentation of visitors (recency/frequency/monetary,
+      // 5 = best on every axis; user_id tie-break pins ntile determinism).
+      graft.operators.Sessionize.rfm(table(s, dir, "events"))
+    }),
+    "q_benford" -> ((s, dir) => {
+      // Benford leading-digit audit of spend cents per event type: digit
+      // histogram, observed vs log10(1+1/d) expectation, chi2 contribution.
+      val v = table(s, dir, "events").select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      graft.operators.Profiling.benfordProfile(v, "event_type", "cents")
+    }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // Point-in-time snapshot over the q_scd2 dimension: each customer's
+      // order-status version valid on epoch day 9500 (pure filter — the
+      // partition-prunable time-travel read path).
+      val ch = table(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("ts"),
+        col("o_orderstatus").as("status"),
+        col("o_orderkey").cast("long").as("tie"))
+      val scd = graft.operators.Cdc.scdType2(ch, Seq("k"), "ts", Seq("status"), "tie")
+      graft.operators.Cdc.asOfSnapshot(scd, 9500L)
+        .select(col("k").as("o_custkey"), col("status"), col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"))
+    }),
     "q_holt" -> ((s, dir) => {
       // Holt level+trend smoothing of per-user daily spend. Fixed-point
       // rational arithmetic with floor division -> the recursive oracle
@@ -3364,6 +3390,65 @@ object SparkEntry {
         |  CAST(neg AS BIGINT) AS cusum_neg,
         |  CAST(pos > 1000 OR neg > 1000 AS INT) AS alarm
         |FROM r""".stripMargin,
+    "q_rfm" ->
+      """WITH a AS (
+        |  SELECT user_id, MAX(epoch_ms(ts) // 86400000) AS last_b,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS monetary
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, MAX(last_b) OVER () - last_b AS recency,
+        |    frequency, monetary
+        |  FROM a),
+        |c AS (
+        |  SELECT user_id, recency, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency DESC, user_id) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+        |  FROM b)
+        |SELECT user_id, recency, frequency, monetary, r_score, f_score,
+        |  m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM c""".stripMargin,
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(substr(CAST(abs(c) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM v WHERE c IS NOT NULL AND abs(c) > 0 GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n) AS n_group FROM h GROUP BY 1)
+        |SELECT h.event_type, digit, CAST(n AS BIGINT) AS n,
+        |  round(n / CAST(n_group AS DOUBLE), 6) AS obs_freq,
+        |  round(log10(1 + 1.0 / digit), 6) AS benford_freq,
+        |  round(n_group *
+        |    pow(n / CAST(n_group AS DOUBLE) - log10(1 + 1.0 / digit), 2)
+        |    / log10(1 + 1.0 / digit), 6) AS chi2_contrib
+        |FROM h JOIN t USING (event_type)""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH c AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS k,
+        |    epoch_ms(o_orderdate) // 86400000 AS ts,
+        |    o_orderstatus AS status, CAST(o_orderkey AS BIGINT) AS tie
+        |  FROM orders),
+        |o AS (
+        |  SELECT k, ts, status, tie,
+        |    row_number() OVER w AS rn, lag(status) OVER w AS prev
+        |  FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tie)),
+        |isl AS (
+        |  SELECT k, ts, status, tie FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        |v AS (
+        |  SELECT k, status, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS valid_to
+        |  FROM isl)
+        |SELECT k AS o_custkey, status, valid_from,
+        |  COALESCE(valid_to, -1) AS valid_to
+        |FROM v
+        |WHERE valid_from <= 9500 AND (valid_to IS NULL OR valid_to > 9500)""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

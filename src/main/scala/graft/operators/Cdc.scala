@@ -77,4 +77,15 @@ object Cdc {
       .select(keyCols.map(col) ++ attrCols.map(col)
         :+ col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
   }
+
+  /** Point-in-time ("as of") snapshot over a [[scdType2]] dimension: the
+    * one version per key whose validity interval covers `ts`
+    * (`valid_from <= ts < valid_to`, open version = null valid_to). Keys
+    * whose first version starts after `ts` are absent — they did not
+    * exist yet. A pure filter: no shuffle, no window; at 100 TB this is
+    * the partition-prunable time-travel read path over a persisted SCD2
+    * table. */
+  def asOfSnapshot(scd2: DataFrame, ts: Long): DataFrame =
+    scd2.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
 }

@@ -52,4 +52,37 @@ object Profiling {
         max(col("c")).as("max_rows"),
         round(avg(col("c")), 6).as("avg_rows"),
         round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
+
+  /** Benford first-significant-digit profile per group — the classic
+    * fabricated-data / unit-mix audit: for each group, the count and
+    * observed share of each leading digit 1–9 of `valueCol` (zeros and
+    * nulls ignored; sign ignored), next to the Benford expectation
+    * log₁₀(1 + 1/d) and each digit's χ² contribution
+    * `n_group·(obs − exp)²/exp`. Flag groups where Σ contrib exceeds the
+    * χ²₈ critical value.
+    *
+    * The leading digit comes from STRING surgery (first char of the
+    * absolute value's integer rendering), not log10 arithmetic — float
+    * logs misclassify exact powers of 10 on some engines; substring never
+    * does. Plan shape: one narrow map + two group-keyed aggregates (digit
+    * histogram, then per-group totals joined back — AQE broadcasts the
+    * group-cardinality side). */
+  def benfordProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val digit = substring(abs(col(valueCol)).cast("bigint").cast("string"), 1, 1)
+      .cast("int")
+    val hist = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)).cast("bigint") > 0)
+      .select(col(groupCol), digit.as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("n")).as("n_group"))
+    hist.join(totals, Seq(groupCol))
+      .withColumn("obs", col("n") / col("n_group"))
+      .withColumn("exp", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col(groupCol), col("digit"), col("n"),
+        round(col("obs"), 6).as("obs_freq"),
+        round(col("exp"), 6).as("benford_freq"),
+        round(col("n_group") * (col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp"), 6).as("chi2_contrib"))
+  }
 }

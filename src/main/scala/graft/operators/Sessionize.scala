@@ -389,6 +389,43 @@ object Sessionize {
           "ELSE 0 END AS BIGINT)").as("first_pos"))
   }
 
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * standard visitor-value model downstream of clickstream analytics.
+    * Per key: recency = max bucket observed anywhere − the key's last
+    * bucket, frequency = event count, monetary = Σ `valueCol`; each metric
+    * scores 1–5 by `ntile(5)` so 5 is always BEST (most recent, most
+    * frequent, highest spend), with `keyCol` as the total-order tie-break
+    * so scores are deterministic under any partitioning.
+    *
+    * Scale note: ntile needs a total order, so the three scoring windows
+    * are single-partition — over the PER-KEY AGGREGATE (key-cardinality
+    * rows, aggregated upstream of the sort), the same bounded-global-sort
+    * contract as q_global_sort/q_listagg. For key cardinalities where one
+    * partition is too much, swap ntile for approx-percentile cut-points
+    * (scores stay 1–5, exact equal-count property relaxes). */
+  def rfm(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      bucketExpr: String = "unix_millis(ts) div 86400000",
+      valueExpr: String = "CAST(ROUND(value * 100, 0) AS BIGINT)"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = events
+      .select(col(keyCol), expr(bucketExpr).as("__b"), expr(valueExpr).as("__v"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__b")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__v")).as("monetary"))
+      .withColumn("recency",
+        max(col("__last")).over(Window.partitionBy()) - col("__last"))
+      .drop("__last")
+    val r = ntile(5).over(Window.orderBy(col("recency").desc, col(keyCol)))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col(keyCol)))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col(keyCol)))
+    agg.select(col(keyCol), col("recency"), col("frequency"), col("monetary"),
+        r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Last-touch attribution: credit each conversion event to the MOST
     * RECENT strictly-preceding touch event by the same key within
     * `lookbackMs`; conversions with no touch in the window attribute to

@@ -205,6 +205,61 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("asOfSnapshot: covering version per key, pre-existence keys absent, open version covers") {
+    import graft.operators.Cdc
+    val changes = Seq(
+      (1L, 0L, "A", 1L), (1L, 5L, "B", 2L),   // at t=3: A; at t=5: B
+      (2L, 9L, "X", 3L))                      // born at 9: absent at t=3
+      .toDF("k", "ts", "a", "tie")
+    val scd = Cdc.scdType2(changes, Seq("k"), "ts", Seq("a"), "tie")
+    val at3 = Cdc.asOfSnapshot(scd, 3L)
+      .select("k", "a").as[(Long, String)].collect().toSet
+    assert(at3 === Set((1L, "A")))
+    val at9 = Cdc.asOfSnapshot(scd, 9L)
+      .select("k", "a").as[(Long, String)].collect().toSet
+    assert(at9 === Set((1L, "B"), (2L, "X"))) // open versions cover forever
+  }
+
+  test("benfordProfile: hand histogram, zero/null dropped, chi2 nonnegative") {
+    import graft.operators.Profiling
+    val df = Seq(
+      ("g", Some(123L)), ("g", Some(19L)), ("g", Some(-25L)), // digits 1,1,2
+      ("g", Some(0L)), ("g", Option.empty[Long]),             // dropped
+      ("h", Some(900L)))                                      // digit 9
+      .toDF("grp", "v")
+    val got = Profiling.benfordProfile(df, "grp", "v")
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("g", 1) -> ((2L, 0.666667)), ("g", 2) -> ((1L, 0.333333)),
+      ("h", 9) -> ((1L, 1.0))))
+  }
+
+  test("rfm: scores are 1..5, 5 is best on every axis, segment concatenates") {
+    import graft.operators.Sessionize
+    // 10 users with strictly increasing frequency/monetary/recency
+    val ev = (1L to 10L).flatMap { u =>
+      (0L until u).map(i => (u, (u * 86400000L) + i, u * 100.0))
+    }.toDF("user_id", "ms", "value")
+      .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"), col("value"))
+    val got = Sessionize.rfm(ev)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 10)
+    got.values.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 5 && r._6 >= 1 && r._6 <= 5 && r._7 >= 1 && r._7 <= 5)
+      assert(r._8 === s"${r._5}${r._6}${r._7}")
+    }
+    // user 10: most events, highest spend, latest day -> best everywhere
+    assert(got(10L)._5 == 5 && got(10L)._6 == 5 && got(10L)._7 == 5)
+    // user 1: fewest, lowest, earliest -> worst everywhere
+    assert(got(1L)._5 == 1 && got(1L)._6 == 1 && got(1L)._7 == 1)
+    // ntile equal-count property: each score bucket has exactly 2 of 10 users
+    Seq(got.values.map(_._6), got.values.map(_._7)).foreach { scores =>
+      assert(scores.groupBy(identity).values.map(_.size).toSet === Set(2))
+    }
+  }
+
   test("chunkDocuments property: count/order/conservation for random sizes") {
     import org.scalacheck.{Gen, rng}
     (1 to 8).foreach { sample =>
