@@ -1112,6 +1112,17 @@ object SparkEntry {
         .select(col("user_id"), col("day"), (col("x2") / 2).cast("long").as("v"),
           col("cusum_pos"), col("cusum_neg"), col("alarm"))
     }),
+    "q_acf" -> ((s, dir) => {
+      // Lag-1 autocorrelation of per-user daily spend — seasonality/trend
+      // diagnostic. Exact BIGINT moment sums, one double step at the end
+      // (engine-portable Pearson; see TimeSeries.autocorr contract).
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.autocorr(perDay, "user_id", "day", "v", lag = 1)
+    }),
     "q_rfm" -> ((s, dir) => {
       // RFM quintile segmentation of visitors (recency/frequency/monetary,
       // 5 = best on every axis; user_id tie-break pins ntile determinism).
@@ -3390,6 +3401,27 @@ object SparkEntry {
         |  CAST(neg AS BIGINT) AS cusum_neg,
         |  CAST(pos > 1000 OR neg > 1000 AS INT) AS alarm
         |FROM r""".stripMargin,
+    "q_acf" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, v AS y,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS x
+        |  FROM pd),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE))
+        |    END, 6) AS acf
+        |FROM m""".stripMargin,
     "q_rfm" ->
       """WITH a AS (
         |  SELECT user_id, MAX(epoch_ms(ts) // 86400000) AS last_b,

@@ -290,4 +290,44 @@ object TimeSeries {
       }
     folded.toDF(keyCol, bucketCol, valueCol, "level_fp", "trend_fp", "forecast_fp")
   }
+
+  /** Per-key autocorrelation at `lag` over the ordered bucket series —
+    * Pearson correlation of (vₜ, vₜ₋lag) on CONSECUTIVE-ROW pairs. The
+    * correlation is assembled from exact BIGINT moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) with ONE double step at the end —
+    * (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — so any SQL engine
+    * replays it exactly (no Welford-vs-naive float divergence); keys with
+    * zero variance on either side yield null. Input values must be
+    * integer-domain (fixed-point upstream, same contract as [[cusum]]).
+    *
+    * Plan shape: one key-hashed window (lag) + one key-hashed aggregate
+    * riding the same exchange. */
+  def autocorr(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      lag: Int = 1): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val paired = perBucket
+      .select(col(keyCol), col(bucketCol), col(valueCol).cast("long").as("__y"))
+      .withColumn("__x", org.apache.spark.sql.functions.lag(col("__y"), lag).over(w))
+      .filter(col("__x").isNotNull)
+    paired
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .select(col(keyCol), col("n"),
+        round(
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("acf"))
+  }
 }

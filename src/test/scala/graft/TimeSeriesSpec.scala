@@ -223,6 +223,54 @@ class TimeSeriesSpec extends SparkFunSuite {
       (1L, 2L, 7L, 7000000L, 0L, 7000000L)))
   }
 
+  test("autocorr: perfect positive/negative series, zero variance -> null, lag pairs only") {
+    // key 1: strictly increasing -> lag-1 acf = 1 on the 4 pairs
+    // key 2: constant -> zero variance -> null
+    // key 3: single row -> no pair -> absent
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L), (1L, 4L, 5L),
+      (2L, 0L, 7L), (2L, 1L, 7L), (2L, 2L, 7L),
+      (3L, 0L, 9L)).toDF("k", "b", "v")
+    val got = TimeSeries.autocorr(df, "k", "b", "v")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got === Set((1L, 4L, Some(1.0)), (2L, 2L, None)))
+  }
+
+  test("autocorr property: equals brute-force Pearson over lagged pairs") {
+    import org.scalacheck.{Gen, rng}
+    (1 to 8).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(4, 40)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.choose(-9L, 9L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 1000L)).get
+      val perBucket = raw.groupBy(r => (r._1, r._2))
+        .map { case ((k, b), vs) => (k, b, vs.map(_._3).sum) }.toSeq
+      val expected = perBucket.groupBy(_._1).flatMap { case (k, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3)
+        val pairs = vs.zip(vs.tail).map { case (x, y) => (x, y) }
+        if (pairs.isEmpty) None
+        else {
+          val n = pairs.size.toLong
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxy = pairs.map(p => p._1 * p._2).sum
+          val sxx = pairs.map(p => p._1 * p._1).sum
+          val syy = pairs.map(p => p._2 * p._2).sum
+          val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+          val acf = if (dx > 0 && dy > 0)
+            Some(BigDecimal((n * sxy - sx * sy) / math.sqrt(dx.toDouble * dy.toDouble))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+          Some((k, n, acf))
+        }
+      }.toSet
+      val got = TimeSeries.autocorr(
+          perBucket.toDF("k", "b", "v").repartition(5), "k", "b", "v")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      assert(got === expected, s"sample $sample")
+    }
+  }
+
   test("Intervals.mergeOverlaps: overlap and touch merge, gaps split, per key") {
     import graft.operators.Intervals
     val df = Seq(
