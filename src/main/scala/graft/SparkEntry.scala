@@ -1112,6 +1112,26 @@ object SparkEntry {
         .select(col("user_id"), col("day"), (col("x2") / 2).cast("long").as("v"),
           col("cusum_pos"), col("cusum_neg"), col("alarm"))
     }),
+    "q_prorate" -> ((s, dir) => {
+      // Largest-remainder proration: spread each order's total cents over
+      // its lineitems proportionally to extended price, shares integer and
+      // summing EXACTLY to the total (spec pins the invariant).
+      val li = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("w"))
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"), expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("t"))
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      graft.operators.Allocate
+        .largestRemainder(joined, "l_orderkey", "t", "w", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), col("alloc").as("alloc_cents"))
+    }),
+    "q_session_entry_exit" -> ((s, dir) => {
+      // Landing/exit-page analytics per session (README.md:42-50 family):
+      // entry/exit event type, size, duration, bounce flag.
+      val sess = graft.operators.Sessionize.gapSessionize(table(s, dir, "events"))
+      graft.operators.Sessionize.sessionEntryExit(sess)
+    }),
     "q_acf" -> ((s, dir) => {
       // Lag-1 autocorrelation of per-user daily spend — seasonality/trend
       // diagnostic. Exact BIGINT moment sums, one double step at the end
@@ -3401,6 +3421,57 @@ object SparkEntry {
         |  CAST(neg AS BIGINT) AS cusum_neg,
         |  CAST(pos > 1000 OR neg > 1000 AS INT) AS alarm
         |FROM r""".stripMargin,
+    "q_prorate" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS w
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS t
+        |  FROM orders),
+        |j AS (
+        |  SELECT l_orderkey, l_linenumber, w, t,
+        |    SUM(w) OVER (PARTITION BY l_orderkey) AS bigw
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber, t,
+        |    (t * w) // bigw AS base, (t * w) % bigw AS rem
+        |  FROM j),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber, base,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rk,
+        |    t - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_cents
+        |FROM r""".stripMargin,
+    "q_session_entry_exit" ->
+      """WITH s1 AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |              OR epoch_ms(ts) // 1000
+        |                 - lag(epoch_ms(ts)) OVER w // 1000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s2 AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(ms) OVER (PARTITION BY user_id, session_idx) AS first_ms
+        |  FROM s2)
+        |SELECT user_id,
+        |  CAST(user_id AS VARCHAR) || '-' || CAST(first_ms AS VARCHAR) AS session_id,
+        |  arg_min(event_type, CAST(ms AS HUGEINT) * 100000000 + event_id) AS entry_type,
+        |  arg_max(event_type, CAST(ms AS HUGEINT) * 100000000 + event_id) AS exit_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(ms // 1000 - first_ms // 1000) AS BIGINT) AS duration,
+        |  CAST(COUNT(*) = 1 AS INT) AS bounce
+        |FROM s3
+        |GROUP BY user_id, session_id""".stripMargin,
     "q_acf" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

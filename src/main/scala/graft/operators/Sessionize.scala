@@ -389,6 +389,35 @@ object Sessionize {
           "ELSE 0 END AS BIGINT)").as("first_pos"))
   }
 
+  /** Per-session entry/exit summary over [[gapSessionize]] (or any)
+    * sessionized output: first and last event type in stream order,
+    * event count, session duration, and the bounce flag (single-event
+    * session) — the landing/exit-page analytics the reference's README
+    * motivates downstream of sessionization.
+    *
+    * Plan shape: ONE (key, session) aggregate; entry/exit come from
+    * min/max over a (ts, tie, type) struct (lexicographic struct order =
+    * arg-min/arg-max by (ts, tie)), so no window pass and no second
+    * shuffle — and the aggregate's key prefix matches the sessionizer's
+    * key hash, so AQE plans it on the same exchange. */
+  def sessionEntryExit(
+      sessionized: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val ord = struct(unix_millis(col(tsCol)).as("m"), col(tieCol).as("t"),
+      col(typeCol).as("ty"))
+    sessionized
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(min(ord).as("__f"), max(ord).as("__l"),
+        count(lit(1)).as("n_events"), max(col("duration")).as("duration"))
+      .select(col(keyCol), col("session_id"),
+        col("__f")("ty").as("entry_type"), col("__l")("ty").as("exit_type"),
+        col("n_events"), col("duration"),
+        (col("n_events") === 1L).cast("int").as("bounce"))
+  }
+
   /** RFM (recency / frequency / monetary) quintile segmentation — the
     * standard visitor-value model downstream of clickstream analytics.
     * Per key: recency = max bucket observed anywhere − the key's last

@@ -260,6 +260,68 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("largestRemainder: shares sum EXACTLY to total; remainder order breaks ties") {
+    import graft.operators.Allocate
+    // group 1: T=10 over weights 1,1,1 -> base 3,3,3, leftover 1 to the
+    // largest remainder (all equal: tie -> lowest tie id)
+    // group 2: T=7 over weights 3,1 -> base 5,1; rem 1,3 -> leftover 1 to line 2
+    val df = Seq(
+      (1L, 10L, 1L, 1L), (1L, 10L, 1L, 2L), (1L, 10L, 1L, 3L),
+      (2L, 7L, 3L, 1L), (2L, 7L, 1L, 2L))
+      .toDF("g", "t", "w", "line")
+    val got = Allocate.largestRemainder(df, "g", "t", "w", "line")
+      .select("g", "line", "alloc").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 4L), (1L, 2L, 3L), (1L, 3L, 3L),
+      (2L, 1L, 5L), (2L, 2L, 2L)))
+  }
+
+  test("largestRemainder property: exact-sum invariant and proportionality bound") {
+    import graft.operators.Allocate
+    import org.scalacheck.{Gen, rng}
+    (1 to 6).foreach { sample =>
+      val gen = for {
+        n <- Gen.choose(4, 60)
+        rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 6L), Gen.choose(1L, 50L)))
+      } yield rows
+      val raw = gen(Gen.Parameters.default, rng.Seed(sample.toLong + 1100L)).get
+        .zipWithIndex.map { case ((g, w), i) => (g, 1000L + 37L * g, w, i.toLong) }
+      val got = Allocate.largestRemainder(
+          raw.toDF("g", "t", "w", "line").repartition(5), "g", "t", "w", "line")
+        .select("g", "t", "w", "alloc").as[(Long, Long, Long, Long)].collect()
+      got.groupBy(_._1).foreach { case (g, rows) =>
+        val t = rows.head._2
+        assert(rows.map(_._4).sum === t, s"sample $sample group $g sum")
+        val bigW = rows.map(_._3).sum
+        rows.foreach { case (_, _, w, a) =>
+          val exact = t.toDouble * w / bigW
+          assert(a >= math.floor(exact) && a <= math.ceil(exact) + 1e-9,
+            s"sample $sample group $g: alloc $a vs exact $exact")
+        }
+      }
+    }
+  }
+
+  test("sessionEntryExit: entry/exit in stream order, bounce on single-event sessions") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1, session 1: view(1) -> click(2) -> purchase(3); session 2: error alone
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L), (3L, 1L, "purchase", 20L),
+      (4L, 1L, "error", 10_000_000L),
+      // user 2: equal-ts entry tie broken by event_id (5 before 6)
+      (5L, 2L, "signup", 0L), (6L, 2L, "view", 0L))
+      .map { case (id, u, ty, ms) => (id, u, ty, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val sess = Sessionize.gapSessionize(ev)
+    val got = Sessionize.sessionEntryExit(sess)
+      .select("user_id", "entry_type", "exit_type", "n_events", "duration", "bounce")
+      .as[(Long, String, String, Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "view", "purchase", 3L, 0L, 0),
+      (1L, "error", "error", 1L, 0L, 1),
+      (2L, "signup", "view", 2L, 0L, 0)))
+  }
+
   test("chunkDocuments property: count/order/conservation for random sizes") {
     import org.scalacheck.{Gen, rng}
     (1 to 8).foreach { sample =>
