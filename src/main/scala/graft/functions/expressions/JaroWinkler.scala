@@ -14,6 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * jaro > 0.7 (prefix capped at 4, scaling 0.1) — the ANSI-engine
   * convention (DuckDB's jaro_winkler_similarity has the same threshold,
   * verified empirically: jw('aX','aYZWVUTSRQ') = jaro = 0.5333, unboosted).
+  * Comparison unit is the UTF-16 CODE UNIT (Java chars): identical to
+  * code-point comparison for all BMP text; strings with surrogate pairs
+  * compare per half, which can differ from a code-point engine — the
+  * oracle corpus is ASCII, where every unit choice agrees.
   * Scala emits static forwarders for object methods, so Janino-generated
   * code calls this directly. */
 object JaroWinklerKernel {
