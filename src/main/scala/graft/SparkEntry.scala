@@ -1132,6 +1132,19 @@ object SparkEntry {
       val sess = graft.operators.Sessionize.gapSessionize(table(s, dir, "events"))
       graft.operators.Sessionize.sessionEntryExit(sess)
     }),
+    "q_trend_ols" -> ((s, dir) => {
+      // Per-user spend trend line (slope cents/day, intercept, r2) from
+      // exact BIGINT moment sums — the acf pattern applied to regression.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+        // re-origin x so moment products stay far from 2^63 (day ~ 20k)
+        .withColumn("day0", col("day") - min(col("day")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      graft.operators.TimeSeries.trendOls(perDay, "user_id", "day0", "v")
+    }),
     "q_acf" -> ((s, dir) => {
       // Lag-1 autocorrelation of per-user daily spend — seasonality/trend
       // diagnostic. Exact BIGINT moment sums, one double step at the end
@@ -3472,6 +3485,34 @@ object SparkEntry {
         |  CAST(COUNT(*) = 1 AS INT) AS bounce
         |FROM s3
         |GROUP BY user_id, session_id""".stripMargin,
+    "q_trend_ols" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |x0 AS (
+        |  SELECT user_id,
+        |    day - MIN(day) OVER (PARTITION BY user_id) AS x, v AS y
+        |  FROM pd),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM x0 GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    END, 6) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (sy - sx * ((n * sxy - sx * sy) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE))) / CAST(n AS DOUBLE)
+        |    END, 6) AS intercept,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) *
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |          CAST(n * syy - sy * sy AS DOUBLE))
+        |    END, 6) AS r2
+        |FROM m""".stripMargin,
     "q_acf" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

@@ -291,6 +291,48 @@ object TimeSeries {
     folded.toDF(keyCol, bucketCol, valueCol, "level_fp", "trend_fp", "forecast_fp")
   }
 
+  /** Per-key ordinary-least-squares trend line `value ≈ slope·bucket +
+    * intercept` — the same exact-BIGINT-moments construction as
+    * [[autocorr]] (n, Σx, Σy, Σxy, Σx² summed exactly, two double steps
+    * at the end), so SQL engines replay it bit for bit. Keys with a
+    * single bucket or zero x-variance yield nulls. `r2` (null under the
+    * same condition or zero y-variance) quantifies fit.
+    *
+    * Plan shape: ONE key-hashed aggregate over the pre-aggregated series;
+    * no window, no join. */
+  def trendOls(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(bucketCol).cast("long")
+    val y = col(valueCol).cast("long")
+    perBucket
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col(keyCol), col("n"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")),
+          6).as("slope"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+          (col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) /
+            col("n").cast("double")),
+          6).as("intercept"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          // explicit product, not pow(x,2): pow's rounding is not
+          // guaranteed identical across libms; x*x is
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("r2"))
+  }
+
   /** Per-key autocorrelation at `lag` over the ordered bucket series —
     * Pearson correlation of (vₜ, vₜ₋lag) on CONSECUTIVE-ROW pairs. The
     * correlation is assembled from exact BIGINT moment sums (n, Σx, Σy,

@@ -236,6 +236,21 @@ class TimeSeriesSpec extends SparkFunSuite {
     assert(got === Set((1L, 4L, Some(1.0)), (2L, 2L, None)))
   }
 
+  test("trendOls: exact line recovered, r2 = 1; degenerate keys null out") {
+    // key 1: y = 3x + 2 exactly; key 2: one point; key 3: constant y
+    val df = Seq(
+      (1L, 0L, 2L), (1L, 1L, 5L), (1L, 2L, 8L), (1L, 3L, 11L),
+      (2L, 4L, 9L),
+      (3L, 0L, 5L), (3L, 1L, 5L)).toDF("k", "b", "v")
+    val got = TimeSeries.trendOls(df, "k", "b", "v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got === Set(
+      (1L, 4L, Some(3.0), Some(2.0), Some(1.0)),
+      (2L, 1L, None, None, None),
+      (3L, 2L, Some(0.0), Some(5.0), None))) // zero y-variance: slope 0, r2 null
+  }
+
   test("autocorr property: equals brute-force Pearson over lagged pairs") {
     import org.scalacheck.{Gen, rng}
     (1 to 8).foreach { sample =>
