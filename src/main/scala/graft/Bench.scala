@@ -75,7 +75,7 @@ object Bench {
       * suspect too (the burst may have straddled both), so those queries
       * get one more timing in a third mini-pass and report the min of
       * three. Bounded cost: only disagreeing queries re-run. */
-    def timePhase(names: Seq[String]): Seq[(String, Double)] = {
+    def timePhase(names: Seq[String]): (Seq[(String, Double)], Map[String, Seq[Double]]) = {
       val passA = names.map(n => n -> timeOnce(n))
       settle()
       val passB = names.map(n => n -> timeOnce(n))
@@ -90,10 +90,14 @@ object Bench {
       }
       val passC: Map[String, (Double, Boolean)] =
         names.filter(suspect).map(n => n -> timeOnce(n)).toMap
-      two.map { case (n, ra, rb) =>
+      val mins = two.map { case (n, ra, rb) =>
         val good = (Seq(ra, rb) ++ passC.get(n)).collect { case (sec, true) => sec }
         n -> (if (good.nonEmpty) good.min else Seq(ra._1, rb._1).max)
       }
+      val samples = two.map { case (n, ra, rb) =>
+        n -> (Seq(ra, rb) ++ passC.get(n)).collect { case (sec, true) => sec }
+      }.toMap
+      (mins, samples)
     }
 
     // warm-up: JVM + parquet footer caches + codegen paths (untimed)
@@ -106,15 +110,42 @@ object Bench {
     val (streaming, batch) = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .partition(isStreaming)
-    val batchResults = timePhase(batch)
+    val (batchMins, batchSamples) = timePhase(batch)
+
+    // Heavy-set medians (round-7 lesson: q_vocab_growth recorded a 5.3×
+    // one-off in a run whose median moved 0.89× — a single min can't tell
+    // "this query regressed" from "this query got unlucky once"). The 12
+    // slowest batch queries get ONE more timing each so every heavy query
+    // has ≥3 samples; BENCH_FULL.json carries {min, med} per heavy query,
+    // and the reported per-query number folds the extra run's min in.
+    val heavyNames = batchMins.sortBy(-_._2).take(12).map(_._1)
+    settle()
+    val heavyExtra: Map[String, Seq[Double]] =
+      heavyNames.map(n => n -> Seq(timeOnce(n)).collect { case (sec, true) => sec }).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val heavyStats = heavyNames.map { n =>
+      val ts = batchSamples.getOrElse(n, Nil) ++ heavyExtra.getOrElse(n, Nil)
+      n -> (ts.min, median(ts))
+    }
+    val batchResults = batchMins.map { case (n, v) =>
+      n -> (heavyStats.collectFirst { case (`n`, (mn, _)) => math.min(v, mn) }.getOrElse(v))
+    }
+
     settle() // batch numbers are final before any streaming state exists
-    val streamResults = timePhase(streaming)
+    val (streamResults, _) = timePhase(streaming)
 
     val results = (batchResults ++ streamResults).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val heavyJson = heavyStats.map { case (n, (mn, md)) =>
+      "\"" + n + "\":{\"min\":" + mn + ",\"med\":" + md + "}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""heavy":$heavyJson,"sf":"$sfDir"}"""
     println(full)
     // The driver records only the LAST ~2000 chars of stdout, which
     // truncates the 140+-query map above mid-JSON (BENCH_r06 was not
@@ -127,8 +158,11 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val heavyCompact = heavyStats.map { case (n, (mn, md)) =>
+      "\"" + n + "\":{\"min\":" + r3(mn) + ",\"med\":" + r3(md) + "}"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""queries_file":"BENCH_FULL.json","slowest":$slowest,"sf":"$sfDir"}""")
+      s""""queries_file":"BENCH_FULL.json","slowest":$slowest,"heavy":$heavyCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

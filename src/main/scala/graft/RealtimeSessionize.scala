@@ -44,7 +44,10 @@ object RealtimeSessionize {
       // RealtimeSessionize.scala:124-128): the reference shifts replayed
       // timestamps by (now - baseline) under --debug; ours takes the offset
       // EXPLICITLY so replays stay deterministic and testable. 0 = off.
-      tsShiftMs: Long = 0L)
+      tsShiftMs: Long = 0L,
+      // SASL/Kerberos consumer options derived from the flat config
+      // (Streams.kafkaSecurityOptions) — reference KafkaConfig.scala:29-40.
+      kafkaOptions: Map[String, String] = Map.empty)
 
   /** Apply a flat config map (see [[graft.sources.ConfLoader]]) as option
     * DEFAULTS — explicit CLI flags override. Kafka keys match the
@@ -64,7 +67,8 @@ object RealtimeSessionize {
       topicIn = s("kafka.topic.in", o.topicIn),
       topicOut = s("kafka.topic.out", o.topicOut),
       tsShiftMs = l("ts.shift.ms", o.tsShiftMs),
-      once = conf.get("once").map(_.toBoolean).getOrElse(o.once))
+      once = conf.get("once").map(_.toBoolean).getOrElse(o.once),
+      kafkaOptions = o.kafkaOptions ++ Streams.kafkaSecurityOptions(conf))
   }
 
   def parseArgs(args: Array[String]): Options = {
@@ -165,7 +169,9 @@ object RealtimeSessionize {
 
   private def runStream(spark: SparkSession, o: Options, cfg: SessionConfig): Unit = {
       val lines =
-        if (o.source == "kafka") Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn)
+        if (o.source == "kafka")
+          Streams.kafkaLines(spark, o.kafkaBootstrap, o.topicIn,
+            extraOptions = o.kafkaOptions)
         else Streams.fileLines(spark, o.path)
       val parsed = shiftTs(ElbLogParser.parse(lines), o.tsShiftMs)
         .select(col("ip").as("key"), col("ts"), lit(0L).as("tieBreak"))

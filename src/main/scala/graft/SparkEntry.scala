@@ -3256,7 +3256,7 @@ object SparkEntry {
     "q_interpolate" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |ext AS (SELECT user_id, MIN(day) AS b0, MAX(day) AS b1 FROM pd GROUP BY 1),
         |spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS day FROM ext),
@@ -3282,7 +3282,7 @@ object SparkEntry {
     "q_ewma" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |w AS (
         |  SELECT user_id, day, v,
@@ -3297,7 +3297,7 @@ object SparkEntry {
     "q_rolling_median" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, day, v,
         |  round(quantile_cont(CAST(v AS DOUBLE), 0.5) OVER (
@@ -3411,7 +3411,7 @@ object SparkEntry {
     "q_cusum" ->
       """WITH RECURSIVE pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |med AS (
         |  SELECT user_id, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS t2
@@ -3488,7 +3488,7 @@ object SparkEntry {
     "q_trend_ols" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |x0 AS (
         |  SELECT user_id,
@@ -3516,7 +3516,7 @@ object SparkEntry {
     "q_acf" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, v AS y,
@@ -3538,7 +3538,7 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT user_id, MAX(epoch_ms(ts) // 86400000) AS last_b,
         |    COUNT(*) AS frequency,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS monetary
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS monetary
         |  FROM events GROUP BY 1),
         |b AS (
         |  SELECT user_id, MAX(last_b) OVER () - last_b AS recency,
@@ -3596,7 +3596,7 @@ object SparkEntry {
     "q_holt" ->
       """WITH RECURSIVE pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |o AS (
         |  SELECT user_id, day, v,
@@ -3610,8 +3610,8 @@ object SparkEntry {
         |    (3 * o.v * 1000000 + 7 * (r.l + r.b)) // 10,
         |    (((3 * o.v * 1000000 + 7 * (r.l + r.b)) // 10 - r.l) + 4 * r.b) // 5
         |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
-        |SELECT user_id, day, v, l AS level_fp, b AS trend_fp,
-        |  l + b AS forecast_fp
+        |SELECT user_id, day, v, CAST(l AS BIGINT) AS level_fp,
+        |  CAST(b AS BIGINT) AS trend_fp, CAST(l + b AS BIGINT) AS forecast_fp
         |FROM r""".stripMargin,
     "q_sssp" ->
       """WITH e0 AS (
@@ -4041,8 +4041,8 @@ object SparkEntry {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
         |  FROM d)
         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
         |FROM c JOIN b ON b.source = c.source
@@ -4058,8 +4058,8 @@ object SparkEntry {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, -n_chars AS h
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
         |  FROM d)
         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
         |FROM c JOIN b ON b.source = c.source
@@ -4077,8 +4077,8 @@ object SparkEntry {
         |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
         |  FROM d)
         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
         |FROM c JOIN b ON b.source = c.source

@@ -382,11 +382,14 @@ object Sessionize {
         sort_array(collect_list(struct(col(tsCol), col(tieCol), col("__c")))),
         x => x("__c")), "").as("seq"))
       .select(col(keyCol),
-        length(col("seq")).as("seq_len"),
-        expr(s"CAST(regexp_count(seq, '$pattern') AS BIGINT)").as("n_match"),
-        expr(s"CAST(CASE WHEN regexp_count(seq, '$pattern') > 0 " +
-          s"THEN locate(regexp_extract(seq, '$pattern', 0), seq) " +
-          "ELSE 0 END AS BIGINT)").as("first_pos"))
+        length(col("seq")).cast("bigint").as("seq_len"),
+        regexp_count(col("seq"), lit(pattern)).cast("bigint").as("n_match"),
+        // regexp_instr returns the true 1-based match position (0 when no
+        // match), so anchored patterns report the anchor site correctly —
+        // unlike locate(regexp_extract(...)), which finds the first
+        // occurrence of the matched TEXT. Passing the pattern as a Column
+        // literal also avoids splicing caller regex into SQL text.
+        regexp_instr(col("seq"), lit(pattern)).cast("bigint").as("first_pos"))
   }
 
   /** Per-session entry/exit summary over [[gapSessionize]] (or any)

@@ -44,6 +44,28 @@ object Streams {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** SASL/Kerberos consumer-config parity with the reference's
+    * `KafkaConfig.fromRootProps` (`config/KafkaConfig.scala:29-40`): when
+    * `kafka.security.protocol` is present in the flat config, the three
+    * security keys are forwarded — and, as in the reference (unconditional
+    * `getString` once the protocol key exists), the companion SASL keys are
+    * then REQUIRED, so a half-configured secure setup fails fast at config
+    * time instead of at broker handshake. Spark's Kafka source passes any
+    * `kafka.`-prefixed option verbatim to the underlying consumer, so the
+    * reference's HOCON names are already the Spark option names; feed the
+    * result to [[kafkaLines]]'s `extraOptions`. */
+  def kafkaSecurityOptions(conf: Map[String, String]): Map[String, String] = {
+    val keys = Seq("kafka.security.protocol", "kafka.sasl.mechanism",
+      "kafka.sasl.kerberos.service.name")
+    if (!conf.contains(keys.head)) Map.empty
+    else keys.map { k =>
+      require(conf.contains(k),
+        s"kafka.security.protocol is set but $k is missing (reference " +
+          "KafkaConfig.fromRootProps requires all three security keys)")
+      k -> conf(k)
+    }.toMap
+  }
+
   /** Typed re-ingest of the engine's own emitted session JSON — the
     * reference loop closed: the Flink job's JSON feeds a downstream OLAP
     * store (README.md:42-50); here the same engine consumes its emission

@@ -125,6 +125,44 @@ class CliConfigSpec extends SparkFunSuite {
     assert(got.filter($"key" === "1.2.3.4:555").select($"sessionId").distinct().count() === 1L)
   }
 
+  test("SASL/Kerberos config keys pass through to the consumer options (reference KafkaConfig.fromRootProps)") {
+    // Reference mapping (config/KafkaConfig.scala:29-40): HOCON
+    // kafka.security.protocol / kafka.sasl.mechanism /
+    // kafka.sasl.kerberos.service.name → consumer security.protocol /
+    // sasl.mechanism / sasl.kerberos.service.name. Spark's Kafka source
+    // strips the `kafka.` prefix before handing options to the consumer,
+    // so forwarding the HOCON keys verbatim IS the reference mapping.
+    val secure = Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> "kafka",
+      "kafka.bootstrap.servers" -> "h:9092", // non-security key: not included
+      "gap.sec" -> "900")
+    assert(Streams.kafkaSecurityOptions(secure) === Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> "kafka"))
+    // no security.protocol → nothing forwarded (reference: hasPath guard)
+    assert(Streams.kafkaSecurityOptions(secure - "kafka.security.protocol") === Map.empty)
+    // protocol present but a companion key missing → fail fast, like the
+    // reference's unconditional getString inside the guarded block
+    intercept[IllegalArgumentException] {
+      Streams.kafkaSecurityOptions(secure - "kafka.sasl.mechanism")
+    }
+    // end-to-end: a conf file carries the keys into Options.kafkaOptions
+    val conf = writeTemp("graft_sasl",
+      """kafka.security.protocol = SASL_PLAINTEXT
+        |kafka.sasl.mechanism = GSSAPI
+        |kafka.sasl.kerberos.service.name = kafka
+        |""".stripMargin)
+    val o = RealtimeSessionize.parseArgs(Array(
+      "--conf", conf, "--path", "/tmp/in", "--out", "/tmp/out"))
+    assert(o.kafkaOptions === Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> "kafka"))
+  }
+
   test("kafka source is config-complete but unexecutable here: DATA_SOURCE_NOT_FOUND") {
     // The connector jar is absent (build.sbt documents the failed resolution
     // attempt); pin the exact failure so a future environment that DOES ship
