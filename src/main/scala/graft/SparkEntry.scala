@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Profiling, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Multimodal, Normalize, Profiling, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -625,6 +625,25 @@ object SparkEntry {
       a.join(b, col("doc_b") === col("doc_a") + 1L)
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    }),
+    "q_ngram_containment" -> ((s, dir) => {
+      // Directional containment |A∩B|/|A| over the same deterministic
+      // (id, id+1) pairs as q_ngram_jaccard — the asymmetric dedup score:
+      // a short doc quoted inside a long one scores ~1 here while its
+      // Jaccard stays low (union dominated by the long doc). Same plan
+      // shape: one shingle kernel, one adjacent-id equi-join, no fan-out.
+      val d = table(s, dir, "documents")
+      val sh = Dedup.shingleSigTable(d, "doc_id", "text", 3, numHashes = 0)
+      val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
+      import graft.functions.TextFunctions.containment
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          containment(col("sh_a"), col("sh_b")).as("c_ab"),
+          containment(col("sh_b"), col("sh_a")).as("c_ba"),
+          greatest(
+            containment(col("sh_a"), col("sh_b")),
+            containment(col("sh_b"), col("sh_a"))).as("c_max"))
     }),
     "q_prefix_jaccard" -> ((s, dir) =>
       // EXACT 4-gram-Jaccard self-join via prefix filtering (AllPairs/
@@ -1300,6 +1319,27 @@ object SparkEntry {
               array_sort(collect_list(struct(col("o_orderkey"), col("o_orderpriority")))),
               x => x.getField("o_orderpriority")),
             ",").as("priorities"))),
+    "q_winsorize" -> ((s, dir) => {
+      // Per-type outlier clipping at the exact interpolated [p10, p90] —
+      // the normalization step before a metric can gate or weight rows.
+      // One tiny per-group quantile agg broadcast back onto the unshuffled
+      // scan (Normalize.winsorize): narrow map + broadcast join at 100 TB.
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      Normalize.winsorize(ev, "event_type", "cents", 0.1, 0.9)
+        .select(col("event_id"), col("event_type"), col("cents"), col("v_wins"))
+    }),
+    "q_zscore_norm" -> ((s, dir) => {
+      // Per-source z-score of doc token counts from EXACT integer moments
+      // (n, Σx, Σx²) — aggregation-order-independent, unlike a distributed
+      // float mean/stddev. Same broadcast-stats-back shape as q_winsorize.
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Normalize.zscore(d, "source", "n_tokens")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("z"))
+    }),
     "q_percentile" -> ((s, dir) =>
       // Exact percentiles (linear interpolation) over integer cents — the
       // sort-based exact path; approx_percentile is the 100 TB variant.
@@ -1843,6 +1883,14 @@ object SparkEntry {
       // Per-label centroids in exact 2^24 fixed-point (distributed float
       // means are summation-order-dependent; integer sums are not).
       Similarity.labelCentroids(table(s, dir, "embeddings"))),
+    "q_kmeans_step" -> ((s, dir) =>
+      // One hash-stable Lloyd iteration: deterministic lowest-id seeds,
+      // rounded-cosine nearest-centroid assignment (broadcast centroids,
+      // narrow map over the scan), refined centroids via exact 2^24
+      // fixed-point sums in ONE (cell, dim)-keyed map-side-combined agg.
+      Similarity.kmeansStep(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        nCentroids = 8)),
     "q_perplexity_sample" -> ((s, dir) => {
       // CCNet-style perplexity-bucket curation: score every doc with the
       // unigram LM, split the corpus at the exact 1/3 and 2/3 score
@@ -2719,6 +2767,15 @@ object SparkEntry {
       s"""WITH $shingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(len(list_intersect(a.sh, b.sh))*1.0/len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_ngram_containment" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(a.sh), 6) AS c_ab,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(b.sh), 6) AS c_ba,
+         |  greatest(
+         |    round(len(list_intersect(a.sh, b.sh))*1.0/len(a.sh), 6),
+         |    round(len(list_intersect(a.sh, b.sh))*1.0/len(b.sh), 6)) AS c_max
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_prefix_jaccard" ->
       // INDEPENDENT naive all-pairs oracle (no prefix-filter replay):
@@ -3718,6 +3775,37 @@ object SparkEntry {
         |  round(quantile_cont(cents, 0.99), 6) AS p99
         |FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |q AS (
+        |  SELECT event_type, quantile_cont(cents, 0.1) AS lo,
+        |    quantile_cont(cents, 0.9) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT event_id, c.event_type, cents,
+        |  round(least(greatest(CAST(cents AS DOUBLE), lo), hi), 6) AS v_wins
+        |FROM c JOIN q ON q.event_type = c.event_type""".stripMargin,
+    "q_zscore_norm" ->
+      // Population variance from exact BIGINT moments; the double
+      // expression tree mirrors Normalize.zscore term-for-term so both
+      // engines run the identical IEEE sequence.
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS s,
+        |    CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sq
+        |  FROM d GROUP BY 1)
+        |SELECT doc_id, d.source, n_tokens,
+        |  CASE WHEN CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+        |    THEN round((CAST(n_tokens AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+        |  END AS z
+        |FROM d JOIN m ON m.source = d.source""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 2500000 AS bucket,
         |  COUNT(*) AS n,
@@ -4114,6 +4202,30 @@ object SparkEntry {
         |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
         |FROM ex GROUP BY label, dim""".stripMargin,
+    "q_kmeans_step" ->
+      // Replays the Lloyd step: lowest-id seeds, rounded-cosine argmax
+      // assignment (cell-id tie-break — the q_similarity_ivf pattern),
+      // then the same 2^24 fixed-point mean as q_embedding_centroids.
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+        |  FROM n ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, embedding, cell FROM (
+        |    SELECT q.vec_id, q.embedding, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.cvec[i] AS DOUBLE)
+        |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.cnrm), 6) DESC, c.cell) AS r
+        |    FROM n q CROSS JOIN cent c)
+        |  WHERE r = 1),
+        |ex AS (SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT) AS fx
+        |  FROM (SELECT cell, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i
+        |        FROM a))
+        |SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
+        |FROM ex GROUP BY cell, dim""".stripMargin,
     "q_cdc_chunk" ->
       // window hash = md5-prefix-60 of the 4-token window ending at pos
       // (1-based slice tl[pos-2:pos+1]); boundary lagged 1 then running-sum

@@ -139,6 +139,15 @@ object TextFunctions {
         size(array_union(a, b)).cast("double"),
       6)
 
+  /** Directional containment |a ∩ b| / |a| — the asymmetric companion to
+    * [[jaccard]]: a short document quoted inside a long one scores near 1
+    * here while its Jaccard stays low (the union is dominated by the long
+    * doc), so subset/quotation duplicates need this score, not Jaccard. */
+  def containment(a: Column, b: Column): Column =
+    round(
+      size(array_intersect(a, b)).cast("double") / size(a).cast("double"),
+      6)
+
   /** Rolling-hash document fingerprint: min-md5 over tokens (1-hash MinHash)
     * plus a full-text md5 — both portable. */
   def fingerprint(text: Column): Column = md5(text)

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group feature normalization for training pipelines: winsorization
+  * (outlier clipping at exact per-group quantiles) and z-score scaling from
+  * exact integer moments. Quality scores, token counts, and engagement
+  * metrics all need a normalization step before they can gate or weight
+  * documents; both ops here are deterministic and engine-portable so the
+  * DuckDB oracle replays them bit-for-bit.
+  *
+  * Scale shape (both ops): ONE per-group aggregate producing a tiny
+  * (n_groups)-row stats table, broadcast back onto the unshuffled input —
+  * the full table is never sorted or re-partitioned, so the normalization
+  * is a narrow map over the original scan plus a broadcast hash join. At
+  * 100 TB the stats table is still n_groups rows.
+  */
+object Normalize {
+
+  /** Winsorize: clip `valCol` to the exact interpolated [`lo`, `hi`]
+    * quantiles of its group. Exact `percentile` matches DuckDB's
+    * `quantile_cont` (same linear interpolation — parity pinned by
+    * q_percentile); it buffers each group's values on the agg side, so at
+    * extreme group cardinality swap in `approx_percentile` and accept the
+    * sketch error — the clip semantics and plan shape stay identical.
+    * Output keeps the raw value and adds `v_wins` (double, round 6). */
+  def winsorize(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      lo: Double = 0.1,
+      hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val cuts = df
+      .groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, array(${lo}D, ${hi}D))").as("c"))
+      .select(col(keyCol),
+        element_at(col("c"), 1).as("__lo"), element_at(col("c"), 2).as("__hi"))
+    df.join(broadcast(cuts), keyCol)
+      .withColumn("v_wins",
+        round(least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group z-score from EXACT integer moments: one agg computes
+    * (n, sum, sumsq) as BIGINTs over an integer-valued column, then a
+    * single double-arithmetic step derives population mean/std — the
+    * acf/trendOls house pattern, which keeps the result independent of
+    * aggregation order (a distributed float sum is not). Groups with zero
+    * variance emit null z. */
+  def zscore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val m = df
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("__n"),
+        sum(col(valCol)).cast("long").as("__s"),
+        sum(col(valCol) * col(valCol)).cast("long").as("__sq"))
+    val mean = col("__s").cast("double") / col("__n")
+    val variance = col("__sq").cast("double") / col("__n") - mean * mean
+    df.join(broadcast(m), keyCol)
+      .withColumn("z",
+        when(variance > 0d,
+          round((col(valCol).cast("double") - mean) / sqrt(variance), 6)))
+      .drop("__n", "__s", "__sq")
+  }
+}

@@ -444,6 +444,34 @@ object Similarity {
           6).as("centroid"))
       .withColumn("dim", col("dim").cast("long"))
 
+  /** One hash-stable Lloyd iteration, exposed as a first-class operator:
+    * seed centroids = lowest-id vectors (deterministic), assign every
+    * vector to its nearest centroid by rounded cosine (cell-id tie-break),
+    * and emit the refined centroids in exact 2^24 fixed-point — the
+    * [[labelCentroids]] trick, so the distributed mean is
+    * aggregation-order-independent and the DuckDB oracle replays the whole
+    * step bit-for-bit (unlike [[kmeansCentroids]]' float means, which are
+    * documented as not hash-reproducible).
+    *
+    * Scale shape: the centroid table is broadcast (nCentroids rows); the
+    * assignment is a narrow map over the corpus scan (codegen'd dot
+    * product, no shuffle); the refinement is ONE (cell, dim)-keyed hash
+    * aggregate with map-side combine. Per-iteration cost is linear in
+    * corpus size — the canonical distributed k-means step. */
+  def kmeansStep(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val c = withNorm(embeddings, "vec_id", "embedding")
+    assignCellsWith(c, centroidsOf(c, nCentroids))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(
+          sum(round(col("x").cast("double") * 16777216d).cast("long")).cast("double")
+            / count(lit(1)) / 16777216d,
+          6).as("centroid"))
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
     * exact-rank within the probed subset. Recall rises with nprobe (query
     * side) and `cellsPerVec` (corpus side: each vector indexed under its

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Normalize, Sessionize, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: per-group winsorization and z-score normalization,
+  * the hash-stable k-means step, directional n-gram containment, and the
+  * regexp_instr fix for anchored sequenceMatch patterns. */
+class Round8OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("winsorize clips to the exact per-group quantiles and keeps interior values") {
+    // group g: values 0..10 -> p10 = 1.0, p90 = 9.0 (linear interpolation
+    // on 11 points lands exactly on members)
+    val df = (0L to 10L).map(v => ("g", v)).toDF("k", "v")
+    val got = Normalize.winsorize(df, "k", "v", 0.1, 0.9)
+      .select($"v", $"v_wins").as[(Long, Double)].collect().toMap
+    assert(got(0L) == 1.0 && got(10L) == 9.0) // outliers clipped
+    assert(got(1L) == 1.0 && got(9L) == 9.0)  // boundary members kept
+    assert(got(5L) == 5.0)                    // interior untouched
+    // groups are independent: a second group with its own spread
+    val two = df.union(Seq(("h", 100L), ("h", 200L), ("h", 300L)).toDF("k", "v"))
+    val h = Normalize.winsorize(two, "k", "v", 0.1, 0.9)
+      .filter($"k" === "h").select($"v", $"v_wins").as[(Long, Double)].collect().toMap
+    assert(h(100L) == 120.0 && h(300L) == 280.0 && h(200L) == 200.0)
+  }
+
+  test("zscore: weighted mean ~0, unit variance, zero-variance group emits null") {
+    val df = Seq(("a", 2L), ("a", 4L), ("a", 6L), ("b", 5L), ("b", 5L))
+      .toDF("k", "v")
+    val z = Normalize.zscore(df, "k", "v")
+    val a = z.filter($"k" === "a").select($"v", $"z").as[(Long, Double)].collect().toMap
+    // mean 4, population std sqrt(8/3)
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(math.abs(a(2L) - math.rint(-2 / sd * 1e6) / 1e6) < 1e-9)
+    assert(a(4L) == 0.0)
+    assert(math.abs(a(2L) + a(6L)) < 1e-9) // symmetry
+    // zero variance -> null z (not NaN, not Infinity)
+    val b = z.filter($"k" === "b").select($"z").collect()
+    assert(b.forall(_.isNullAt(0)))
+  }
+
+  test("kmeansStep: every corpus vector lands in exactly one seed cell; counts conserve") {
+    val vecs = (0L until 20L).map { i =>
+      // two obvious clusters around (1,0) and (0,1)
+      val base = if (i % 2 == 0) Array(1f, 0.1f * (i % 3)) else Array(0.1f * (i % 3), 1f)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val step = Similarity.kmeansStep(vecs, nCentroids = 2).collect()
+    // cells are the two lowest ids (0, 1); dims 0 and 1 for each
+    val cells = step.map(_.getAs[Long]("cell")).toSet
+    assert(cells == Set(0L, 1L))
+    // per-dim counts sum to the corpus size for each dim
+    val byDim = step.groupBy(_.getAs[Long]("dim")).map { case (d, rows) =>
+      d -> rows.map(_.getAs[Long]("n")).sum
+    }
+    assert(byDim.values.toSet == Set(20L))
+    // the even ids (x-heavy) all join cell 0 (seed (1,0)); so cell 0's
+    // dim-0 centroid must be near 1 and cell 1's near 0.1-scale
+    val c0d0 = step.find(r => r.getAs[Long]("cell") == 0L && r.getAs[Long]("dim") == 0L).get
+      .getAs[Double]("centroid")
+    val c1d0 = step.find(r => r.getAs[Long]("cell") == 1L && r.getAs[Long]("dim") == 0L).get
+      .getAs[Double]("centroid")
+    assert(c0d0 > 0.9 && c1d0 < 0.2)
+  }
+
+  test("containment scores a quoted subset ~1 while jaccard stays low") {
+    import graft.functions.TextFunctions.{containment, jaccard}
+    val df = Seq(
+      (Seq("a_b_c", "b_c_d"), Seq("a_b_c", "b_c_d", "x_y_z", "y_z_w", "z_w_v"))
+    ).toDF("sa", "sb")
+    val r = df.select(
+      containment($"sa", $"sb").as("c_ab"),
+      containment($"sb", $"sa").as("c_ba"),
+      jaccard($"sa", $"sb").as("j")).head()
+    assert(r.getAs[Double]("c_ab") == 1.0)   // all of A is inside B
+    assert(r.getAs[Double]("c_ba") == 0.4)   // B mostly novel
+    assert(r.getAs[Double]("j") == 0.4)      // union-dominated
+  }
+
+  test("sequenceMatch reports the true match position for anchored patterns") {
+    // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
+    val ev = Seq(
+      (1L, "view", 1000L, 1L), (1L, "purchase", 2000L, 2L),
+      (1L, "checkout", 3000L, 3L),
+      (1L, "view", 4000L, 4L), (1L, "purchase", 5000L, 5L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val codes = Map("view" -> "v", "purchase" -> "p", "checkout" -> "x")
+    val got = Sessionize.sequenceMatch(ev, codes, "vp$").head()
+    assert(got.getAs[Long]("seq_len") == 5L)
+    assert(got.getAs[Long]("n_match") == 1L)
+    assert(got.getAs[Long]("first_pos") == 4L)
+    // regex metacharacters in the pattern no longer splice into SQL text:
+    // a pattern with a quote must not throw a parse error
+    val quoted = Sessionize.sequenceMatch(ev, codes, "v'p").head()
+    assert(quoted.getAs[Long]("n_match") == 0L && quoted.getAs[Long]("first_pos") == 0L)
+  }
+}
