@@ -342,6 +342,30 @@ object ScaleSmoke {
         .toDF("id")
       drain(graft.operators.Graph.shortestPaths(und, seeds, rounds = 4))
     }
+    // round-8 ops: winsorize/zscore are broadcast-stats-back narrow maps
+    // (linear, no main-table shuffle); kmeansStep is one broadcast
+    // assignment + one (cell, dim) agg (linear per iteration); containment
+    // shares q_ngram_jaccard's adjacent-id equi-join shape
+    time(s"winsorize x$mult")(
+      drain(graft.operators.Normalize.winsorize(
+        events.select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", 0.1, 0.9)))
+    time(s"zscore x${math.max(1, mult / 5)}")(
+      drain(graft.operators.Normalize.zscore(
+        docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")))
+    time(s"kmeansStep x${math.max(1, mult / 5)} (nCentroids scaled)")(
+      drain(Similarity.kmeansStep(emb, nCentroids = 32)))
+    time(s"ngramContainment x${math.max(1, mult / 5)}") {
+      val sh = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0)
+      val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
+      drain(a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.TextFunctions.containment(col("sh_a"), col("sh_b")).as("c_ab")))
+    }
     spark.stop()
   }
 }
