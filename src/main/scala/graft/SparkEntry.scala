@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Normalize, Profiling, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -823,6 +823,20 @@ object SparkEntry {
       // counterpart of q_tfidf; corpus side is one doc-keyed agg pass.
       TextAnalysis.bm25TopK(table(s, dir, "documents"),
         queryTerms = Seq("join", "vector", "spark"), k = 10)),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval: BM25 top-50 (lexical) fused with cosine top-50
+      // around query vector 0 (doc_id and vec_id share the synthetic id
+      // space) by reciprocal-rank fusion — rank-only, so no score
+      // calibration across the two scorers, and exactly oracle-replayable.
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val text = TextAnalysis.bm25TopK(table(s, dir, "documents"),
+        queryTerms = Seq("join", "vector", "spark"), k = 50)
+      val q0 = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Similarity.bruteForceTopK(q0, emb, k = 50)
+      Retrieval.rrfFuse(
+        Seq((text, "doc_id", "rn"), (vec, "vec_id", "rank")), k0 = 60, topK = 20)
+    }),
     "q_unigram_logprob" -> ((s, dir) =>
       // KenLM-shaped unigram quality score; corpus frequency is a window,
       // never a broadcast (vocabulary-sized — same discipline as q_tfidf).
@@ -1026,6 +1040,17 @@ object SparkEntry {
       graft.operators.TimeSeries.interpolateLinear(perDay, "user_id", "day", "v")
         .select(col("user_id"), col("day"), col("v"),
           col("observed").cast("int").as("observed"))
+    }),
+    "q_seasonal_dow" -> ((s, dir) => {
+      // Weekly seasonal profile + residual over the daily per-type series:
+      // (key, dow) means from exact BIGINT sums, broadcast back onto the
+      // unshuffled series (TimeSeries.seasonalByPhase).
+      val pd = table(s, dir, "events")
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+      graft.operators.TimeSeries.seasonalByPhase(pd, "event_type", "day", "v", period = 7)
     }),
     "q_ewma" -> ((s, dir) => {
       // Exponentially-weighted moving average (α=0.3, 30-row lookback) of
@@ -1319,6 +1344,16 @@ object SparkEntry {
               array_sort(collect_list(struct(col("o_orderkey"), col("o_orderpriority")))),
               x => x.getField("o_orderpriority")),
             ",").as("priorities"))),
+    "q_ab_test" -> ((s, dir) => {
+      // A/B experiment readout: deterministic even/odd user split, Welch t
+      // per event_type from exact integer moments — ONE conditional-sum
+      // aggregate over the scan, no join, no window.
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      Normalize.welchTTest(ev, "event_type", "arm", "cents")
+    }),
     "q_winsorize" -> ((s, dir) => {
       // Per-type outlier clipping at the exact interpolated [p10, p90] —
       // the normalization step before a metric can gate or weight rows.
@@ -3102,6 +3137,48 @@ object SparkEntry {
         |SELECT doc_id, n_matched, score, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    "q_rrf_fusion" ->
+      // Replays BM25 top-50 (same CTEs as q_bm25), cosine top-50 around
+      // vector 0 (same norm/rounding as q_similarity_ivf), then the
+      // 1/(60+rank) fusion: a <=2-element double sum is order-independent
+      // (IEEE addition is commutative), rank by rounded rrf desc, id.
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('join', 'vector', 'spark') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc),
+        |scored AS (
+        |  SELECT tf.doc_id, round(SUM(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN perdoc USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |trank AS (SELECT doc_id AS id, rn FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn <= 50),
+        |n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q0 AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |vrank AS (SELECT vec_id AS id, rk FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk FROM (
+        |    SELECT n.vec_id,
+        |      round(list_sum([CAST(n.embedding[i] AS DOUBLE)*CAST(q0.qv[i] AS DOUBLE)
+        |  FOR i IN range(1, len(n.embedding)+1)]) / (n.nrm * q0.qn), 6) AS sim
+        |    FROM n CROSS JOIN q0 WHERE n.vec_id != 0))
+        |  WHERE rk <= 50),
+        |u AS (SELECT id, CAST(1 AS DOUBLE) / (60 + rn) AS c FROM trank
+        |  UNION ALL SELECT id, CAST(1 AS DOUBLE) / (60 + rk) FROM vrank),
+        |f AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    round(SUM(c), 6) AS rrf FROM u GROUP BY id)
+        |SELECT id, n_lists, rrf, CAST(r AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS r FROM f)
+        |WHERE r <= 20""".stripMargin,
     "q_perplexity_sample" ->
       // exact percentile cutpoints over 1e6 fixed-point scores; bucket
       // comparisons are integer-vs-interpolated (never ulp-ambiguous);
@@ -3336,6 +3413,20 @@ object SparkEntry {
         |    ELSE pv + (nv - pv) * (day - pb) / CAST(nb - pb AS DOUBLE) END, 6) AS v,
         |  CAST(v IS NOT NULL AS INT) AS observed
         |FROM w""".stripMargin,
+    "q_seasonal_dow" ->
+      """WITH pd AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM pd GROUP BY 1, 2)
+        |SELECT pd.event_type, pd.day, pd.v,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS seasonal,
+        |  round(CAST(pd.v AS DOUBLE) - CAST(sv AS DOUBLE) / n, 6) AS resid
+        |FROM pd JOIN s
+        |  ON s.event_type = pd.event_type AND s.dow = pd.day % 7""".stripMargin,
     "q_ewma" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
@@ -3775,6 +3866,32 @@ object SparkEntry {
         |  round(quantile_cont(cents, 0.99), 6) AS p99
         |FROM (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q_ab_test" ->
+      // Welch t assembled from exact BIGINT moments; the double expression
+      // mirrors Normalize.welchTTest term-for-term (variance =
+      // (n·Σx² − (Σx)²) / (n·(n−1)), then /n, summed, sqrt).
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c * c ELSE 0 END) AS BIGINT) AS sq_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE c END) AS BIGINT) AS s_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE c * c END) AS BIGINT) AS sq_b
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+        |  round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND
+        |      CAST(n_a * sq_a - s_a * s_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / n_a +
+        |      CAST(n_b * sq_b - s_b * s_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / n_b > 0
+        |    THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) /
+        |      sqrt(CAST(n_a * sq_a - s_a * s_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / n_a +
+        |           CAST(n_b * sq_b - s_b * s_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / n_b)
+        |  END, 6) AS t
+        |FROM m""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (
         |  SELECT event_id, event_type,

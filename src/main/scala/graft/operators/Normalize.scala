@@ -43,6 +43,44 @@ object Normalize {
       .drop("__lo", "__hi")
   }
 
+  /** Welch's two-sample t statistic per group from EXACT integer moments —
+    * the A/B experiment readout: split rows into two arms with any boolean
+    * column (deterministic hash/modulo split upstream), aggregate
+    * (n, Σx, Σx²) per arm in ONE conditional-sum pass, and assemble
+    * mean/sample-variance/t in a single double step. Sample variance is
+    * computed as (n·Σx² − (Σx)²) / (n·(n−1)) — integer numerator and
+    * denominator stay EXACT BIGINTs, so both engines divide the identical
+    * integers (the trendOls pattern). Arms with <2 rows or zero variance
+    * in both arms yield null t. No p-value on purpose: erf/t-CDF libm
+    * rounding differs across engines; the statistic is the portable part.
+    *
+    * Plan: one map-side-combined aggregate over the scan — no join, no
+    * window; output is n_groups rows. */
+  def welchTTest(
+      df: DataFrame, keyCol: String, armCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    def armAgg(arm: Boolean, f: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === arm, f).otherwise(0L))
+    val m = df.groupBy(col(keyCol)).agg(
+      armAgg(true, lit(1L)).cast("long").as("n_a"),
+      armAgg(true, x).cast("long").as("s_a"),
+      armAgg(true, x * x).cast("long").as("sq_a"),
+      armAgg(false, lit(1L)).cast("long").as("n_b"),
+      armAgg(false, x).cast("long").as("s_b"),
+      armAgg(false, x * x).cast("long").as("sq_b"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    def variance(n: String, s: String, sq: String) =
+      (col(n) * col(sq) - col(s) * col(s)).cast("double") /
+        (col(n) * (col(n) - 1L)).cast("double")
+    val se2 = variance("n_a", "s_a", "sq_a") / col("n_a") +
+      variance("n_b", "s_b", "sq_b") / col("n_b")
+    m.select(col(keyCol), col("n_a"), col("n_b"),
+      round(mean("s_a", "n_a"), 6).as("mean_a"),
+      round(mean("s_b", "n_b"), 6).as("mean_b"),
+      round(when(col("n_a") > 1L && col("n_b") > 1L && se2 > 0d,
+        (mean("s_a", "n_a") - mean("s_b", "n_b")) / sqrt(se2)), 6).as("t"))
+  }
+
   /** Per-group z-score from EXACT integer moments: one agg computes
     * (n, sum, sumsq) as BIGINTs over an integer-valued column, then a
     * single double-arithmetic step derives population mean/std — the

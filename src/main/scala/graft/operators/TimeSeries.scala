@@ -372,4 +372,36 @@ object TimeSeries {
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
           6).as("acf"))
   }
+
+  /** Day-of-week seasonal decomposition of a per-(key, bucket) series:
+    * seasonal = the key's mean value at this bucket's `bucket % period`
+    * phase (from exact BIGINT sums, one double division), residual =
+    * value − seasonal. The classical-decomposition seasonal profile for
+    * integer-bucketed series — weekly traffic shape, weekday/weekend
+    * split — without a float rolling mean (order-dependent at scale).
+    *
+    * Plan: one tiny (key, phase) aggregate (≤ key·period rows) broadcast
+    * back onto the unshuffled series — same broadcast-stats-back shape as
+    * [[Normalize.winsorize]]. Buckets must be non-negative (day numbers):
+    * `%` truncates toward zero in both engines, so the phases agree. */
+  def seasonalByPhase(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period > 0, s"period must be positive: $period")
+    val phase = (col(bucketCol).cast("long") % period).as("__phase")
+    val prof = perBucket
+      .groupBy(col(keyCol), phase)
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col(valueCol).cast("long")).cast("long").as("__sv"))
+    val seasonal = col("__sv").cast("double") / col("__n")
+    perBucket
+      .withColumn("__phase", col(bucketCol).cast("long") % period)
+      .join(broadcast(prof), Seq(keyCol, "__phase"))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        round(seasonal, 6).as("seasonal"),
+        round(col(valueCol).cast("double") - seasonal, 6).as("resid"))
+  }
 }

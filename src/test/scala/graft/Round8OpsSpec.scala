@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Normalize, Sessionize, Similarity}
+import graft.operators.{Normalize, Retrieval, Sessionize, Similarity, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-8 additions: per-group winsorization and z-score normalization,
@@ -76,6 +76,60 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("c_ab") == 1.0)   // all of A is inside B
     assert(r.getAs[Double]("c_ba") == 0.4)   // B mostly novel
     assert(r.getAs[Double]("j") == 0.4)      // union-dominated
+  }
+
+  test("seasonalByPhase: dow profile means and residuals, hand-computed") {
+    // key k, period 3: buckets 0..5 with values 10,20,30,40,50,60
+    // phase 0: {10, 40} -> 25; phase 1: {20, 50} -> 35; phase 2: {30, 60} -> 45
+    val df = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L), (5L, 60L))
+      .map { case (b, v) => ("k", b, v) }.toDF("k", "bucket", "v")
+    val got = TimeSeries.seasonalByPhase(df, "k", "bucket", "v", period = 3)
+      .select($"bucket", $"seasonal", $"resid").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((25.0, -15.0)) && got(3L) == ((25.0, 15.0)))
+    assert(got(1L) == ((35.0, -15.0)) && got(4L) == ((35.0, 15.0)))
+    assert(got(2L) == ((45.0, -15.0)) && got(5L) == ((45.0, 15.0)))
+    // residuals cancel within each phase by construction of the mean
+    val sums = TimeSeries.seasonalByPhase(df, "k", "bucket", "v", period = 3)
+      .groupBy(pmod($"bucket", lit(3L))).agg(sum($"resid").as("s"))
+      .select($"s").as[Double].collect()
+    assert(sums.forall(math.abs(_) < 1e-9))
+  }
+
+  test("welchTTest: equal arms give t=0; known asymmetry matches hand math; tiny arm nulls") {
+    // arms identical -> t = 0
+    val same = Seq(("e", true, 5L), ("e", true, 7L), ("e", false, 5L), ("e", false, 7L))
+      .toDF("k", "arm", "v")
+    val t0 = Normalize.welchTTest(same, "k", "arm", "v").select($"t").as[Double].head()
+    assert(t0 == 0.0)
+    // A = {1,2,3}, B = {4,5,6,7}: mA=2, mB=5.5, vA=1, vB=5/3
+    // t = (2-5.5)/sqrt(1/3 + (5/3)/4) = -3.5/sqrt(0.75)
+    val ab = (Seq(1L, 2L, 3L).map(("e", true, _)) ++ Seq(4L, 5L, 6L, 7L).map(("e", false, _)))
+      .toDF("k", "arm", "v")
+    val r = Normalize.welchTTest(ab, "k", "arm", "v").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 5.75 - 0.25)
+    val expected = math.rint(-3.5 / math.sqrt(0.75) * 1e6) / 1e6
+    assert(math.abs(r.getAs[Double]("t") - expected) < 1e-9)
+    // an arm with one row -> null t (variance undefined)
+    val tiny = Seq(("e", true, 1L), ("e", false, 4L), ("e", false, 5L)).toDF("k", "arm", "v")
+    assert(Normalize.welchTTest(tiny, "k", "arm", "v").head().isNullAt(5))
+  }
+
+  test("rrfFuse: hand-computed two-list fusion with a single-list id") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id_a", "r_a")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id_b", "r_b")
+    val got = Retrieval.rrfFuse(Seq((a, "id_a", "r_a"), (b, "id_b", "r_b")), k0 = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lists"), r.getAs[Double]("rrf"), r.getAs[Long]("rank")))).toMap
+    def rr(ranks: Seq[Long]) =
+      math.rint(ranks.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(got(10L)._2 == rr(Seq(1L, 2L)) && got(10L)._1 == 2L)
+    assert(got(20L)._2 == rr(Seq(2L, 1L)))
+    assert(got(30L) == ((1L, rr(Seq(3L)), 3L)) || got(30L)._1 == 1L) // single-list id survives
+    // both-list ids outrank single-list ids here; ties impossible by id tie-break
+    assert(got(10L)._3 <= 2L && got(20L)._3 <= 2L)
+    assert(Set(got(30L)._3, got(40L)._3) == Set(3L, 4L))
   }
 
   test("sequenceMatch reports the true match position for anchored patterns") {
