@@ -913,6 +913,27 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_rate"), col("n_channels"),
           col("bits_per_sample"), col("n_samples"), col("peak_abs"), col("sum_abs"))
     }),
+    "q_wav_frame_energy" -> ((s, dir) => {
+      // Frame-wise RMS energy over the decoded PCM stream (200-sample
+      // frames) — the audio feature-extraction step past whole-file stats:
+      // silence trimming / VAD gating consume exactly this envelope. Same
+      // saw-tone synthesis as q_multimodal_wav (pure int64 formulas), so
+      // the oracle replays frame Σx² sample-by-sample in SQL.
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthesizeWavSaw(
+            freqHz = (100 + id % 400).toInt,
+            nSamples = (500 + nc % 500).toInt))
+        })
+        .toDF("doc_id", "content")
+      Multimodal.wavFrameEnergy(media, frameLen = 200).toDF()
+        .withColumn("rms",
+          round(sqrt(col("sumsq").cast("double") / col("n_samples")), 6))
+    }),
     "q_multimodal_image" -> ((s, dir) => {
       // REAL image decode, no codec library: synthesize deterministic
       // 24-bit BMPs (gray ramp parameterized by doc_id/n_chars), parse
@@ -3332,6 +3353,20 @@ object SparkEntry {
         |  CAST(list_max(amp) AS BIGINT) AS peak_abs,
         |  CAST(list_sum(amp) AS BIGINT) AS sum_abs
         |FROM v""".stripMargin,
+    "q_wav_frame_energy" ->
+      // replays the saw-tone synthesis sample-by-sample (same integer
+      // formula as q_multimodal_wav, signed not abs) and folds exact Σx²
+      // per 200-sample frame; rms derives from the integers in SQL round()
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS freq,
+        |    500 + n_chars % 500 AS n FROM documents),
+        |s AS (SELECT doc_id, freq, unnest(range(0, n)) AS i FROM p),
+        |v AS (SELECT doc_id, i // 200 AS frame,
+        |  ((i * freq) % 8000) * 65536 // 8000 - 32768 AS x FROM s)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(x * x) AS BIGINT) AS sumsq,
+        |  round(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)), 6) AS rms
+        |FROM v GROUP BY doc_id, frame""".stripMargin,
     "q_multimodal_decode" ->
       // replays the stub codec's formulas: dims from the byte length, f3
       // from the md5-derived 60-bit payload hash (same bytes: DuckDB md5

@@ -142,7 +142,11 @@ object Multimodal {
     * format = 1 (PCM) at 16 bits, scans the data chunk once for amplitude
     * stats. Tolerant contract like ElbLogParser: malformed/truncated/
     * non-PCM input → None, never an exception. */
-  private[operators] def parseWav(docId: Long, bytes: Array[Byte]): Option[WavFeatures] = {
+  /** Walk the RIFF chunk list and locate the 16-bit PCM data chunk:
+    * (dataOffset, nInt16Samples, channels, rate, bits). Shared by the
+    * summary decoder ([[parseWav]]) and the frame-energy decoder
+    * ([[parseWavFrames]]), so the byte-level format handling exists once. */
+  private def wavPcmData(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
     if (bytes == null) return None // nullable binary cell -> drop, don't NPE
     def tag(o: Int): String =
       if (bytes.length >= o + 4) new String(bytes, o, 4, "US-ASCII") else ""
@@ -163,20 +167,69 @@ object Multimodal {
             bb.getShort(off + 22).toLong))
         case "data" =>
           return fmt.collect { case (ch, rate, bits) if bits == 16 && ch >= 1 =>
-            val n = size / 2
-            var i = 0; var sum = 0L; var peak = 0L
-            while (i < n) {
-              val a = math.abs(bb.getShort(off + 8 + 2 * i).toLong)
-              sum += a; if (a > peak) peak = a; i += 1
-            }
-            WavFeatures(docId, rate, ch, bits, n / ch, peak, sum,
-              if (n == 0) 0d else sum.toDouble / n)
+            (off + 8, size / 2, ch, rate, bits)
           }
         case _ => () // skip LIST/INFO/etc.
       }
       off += 8 + size + (size % 2) // RIFF chunks are even-padded
     }
     None // no data chunk
+  }
+
+  private[operators] def parseWav(docId: Long, bytes: Array[Byte]): Option[WavFeatures] =
+    wavPcmData(bytes).map { case (dataOff, n, ch, rate, bits) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0; var sum = 0L; var peak = 0L
+      while (i < n) {
+        val a = math.abs(bb.getShort(dataOff + 2 * i).toLong)
+        sum += a; if (a > peak) peak = a; i += 1
+      }
+      WavFeatures(docId, rate, ch, bits, n / ch, peak, sum,
+        if (n == 0) 0d else sum.toDouble / n)
+    }
+
+  final case class WavFrame(
+      doc_id: Long,
+      frame: Long,
+      n_samples: Long,
+      sumsq: Long)
+
+  /** Per-frame energy over the decoded PCM stream: non-overlapping
+    * `frameLen`-sample frames, each with its EXACT integer Σx² — the
+    * energy-envelope primitive under silence trimming and voice-activity
+    * gating (the audio analogue of the text quality gate). The decoder
+    * emits only integers; the rms (√(Σx²/n)) is derived in the SQL
+    * expression layer so both engines apply their own round(…, 6) to the
+    * identical integer inputs. Trailing partial frames keep their true n. */
+  private[operators] def parseWavFrames(
+      docId: Long, bytes: Array[Byte], frameLen: Int): Iterator[WavFrame] =
+    wavPcmData(bytes) match {
+      case None => Iterator.empty
+      case Some((dataOff, n, _, _, _)) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until (n + frameLen - 1) / frameLen).iterator.map { f =>
+          val start = f * frameLen
+          val len = math.min(frameLen, n - start)
+          var i = 0; var sq = 0L
+          while (i < len) {
+            val a = bb.getShort(dataOff + 2 * (start + i)).toLong
+            sq += a * a; i += 1
+          }
+          WavFrame(docId, f.toLong, len.toLong, sq)
+        }
+    }
+
+  /** Distributed frame-energy decode: same batched mapPartitions shape as
+    * [[decodeWavPcm]], fanning each payload out to its frame rows —
+    * per-row work is bounded by frameLen, per-doc output by its duration. */
+  def wavFrameEnergy(media: DataFrame, frameLen: Int = 200): Dataset[WavFrame] = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseWavFrames(id, bytes, frameLen) })
   }
 
   /** REAL decode over a (doc_id, content: binary) media table: parse each

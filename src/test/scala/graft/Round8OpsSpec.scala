@@ -132,6 +132,24 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(Set(got(30L)._3, got(40L)._3) == Set(3L, 4L))
   }
 
+  test("wavFrameEnergy: exact integer frame energies, partial trailing frame, junk drops") {
+    import graft.operators.Multimodal
+    // freq=0 saw -> every sample is -32768: sumsq per full frame is exact
+    val bytes = Multimodal.synthesizeWavSaw(freqHz = 0, nSamples = 450)
+    val media = Seq((7L, bytes), (8L, "not a wav".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val got = Multimodal.wavFrameEnergy(media, frameLen = 200).collect()
+      .map(f => f.frame -> ((f.n_samples, f.sumsq))).toMap
+    val sq = 32768L * 32768L
+    assert(got == Map(
+      0L -> ((200L, 200L * sq)),
+      1L -> ((200L, 200L * sq)),
+      2L -> ((50L, 50L * sq)))) // trailing partial frame keeps true n
+    // junk payload contributes no frames; the decode is tolerant, not null-poisoning
+    assert(Multimodal.wavFrameEnergy(media, frameLen = 200)
+      .filter($"doc_id" === 8L).isEmpty)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
