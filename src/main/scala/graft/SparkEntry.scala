@@ -934,6 +934,16 @@ object SparkEntry {
         .withColumn("rms",
           round(sqrt(col("sumsq").cast("double") / col("n_samples")), 6))
     }),
+    "q_image_tiles" -> ((s, dir) =>
+      // Block-mean 8×8 tiling over the REAL BMP decode — the resize /
+      // patch-extraction step of an image pipeline, as exact integer
+      // per-tile sums (mean derived in the SQL layer). Same synthesized
+      // gray-ramp corpus as q_multimodal_image, so the oracle replays the
+      // pixel formula tile-by-tile.
+      Multimodal.bmpTileMeans(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")), tile = 8).toDF()
+        .withColumn("mean_px",
+          round(col("sum_px").cast("double") / col("n_px"), 6))),
     "q_multimodal_image" -> ((s, dir) => {
       // REAL image decode, no codec library: synthesize deterministic
       // 24-bit BMPs (gray ramp parameterized by doc_id/n_chars), parse
@@ -3367,6 +3377,19 @@ object SparkEntry {
         |  CAST(SUM(x * x) AS BIGINT) AS sumsq,
         |  round(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)), 6) AS rms
         |FROM v GROUP BY doc_id, frame""".stripMargin,
+    "q_image_tiles" ->
+      // replays the gray-ramp pixel formula (same as q_multimodal_image)
+      // grouped into 8×8 logical tiles; edge tiles keep their true n_px
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |v AS (SELECT doc_id, (i % w) // 8 AS tile_x, (i // w) // 8 AS tile_y,
+        |  (doc_id + (i % w) + 3*(i // w)) % 251 AS px FROM s)
+        |SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x,
+        |  CAST(tile_y AS BIGINT) AS tile_y,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(px) AS BIGINT) AS sum_px,
+        |  round(CAST(SUM(px) AS DOUBLE) / COUNT(*), 6) AS mean_px
+        |FROM v GROUP BY doc_id, tile_x, tile_y""".stripMargin,
     "q_multimodal_decode" ->
       // replays the stub codec's formulas: dims from the byte length, f3
       // from the md5-derived 60-bit payload hash (same bytes: DuckDB md5

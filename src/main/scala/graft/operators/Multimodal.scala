@@ -303,7 +303,10 @@ object Multimodal {
     * input is gray, all channels equal); px00 is logical pixel (0, 0) —
     * FIRST pixel of the LAST stored row, so a decoder that ignored
     * bottom-up order or mis-sized the stride would get it wrong. */
-  private[operators] def parseBmp24(docId: Long, bytes: Array[Byte]): Option[BmpFeatures] = {
+  /** Validate the BMP header and locate the pixel array:
+    * (dataOffset, width, height, stride). Shared by the summary decoder
+    * ([[parseBmp24]]) and the tile decoder ([[parseBmpTiles]]). */
+  private def bmpPixelData(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -326,6 +329,14 @@ object Multimodal {
     // the product is ≤ 2^62 and exact
     if (stride > bytes.length) return None
     if (dataOffset.toLong + stride * height > bytes.length) return None // truncated
+    Some((dataOffset, width, height, stride))
+  }
+
+  private[operators] def parseBmp24(docId: Long, bytes: Array[Byte]): Option[BmpFeatures] = {
+    val (dataOffset, width, height, stride) = bmpPixelData(bytes) match {
+      case None => return None
+      case Some(h) => h
+    }
     var sum = 0L; var peak = 0L
     var fy = 0
     while (fy < height) {
@@ -340,7 +351,7 @@ object Multimodal {
     }
     val px00 = (bytes((dataOffset.toLong + (height - 1) * stride).toInt) & 0xFF).toLong
     val nPx = width.toLong * height
-    Some(BmpFeatures(docId, width, height, bpp, nPx, px00, peak,
+    Some(BmpFeatures(docId, width, height, 24L, nPx, px00, peak, // bpp=24 validated in bmpPixelData
       sum.toDouble / nPx)) // exact integer sum -> the division is oracle-stable
   }
 
@@ -362,6 +373,59 @@ object Multimodal {
         (id, synthesizeBmp24(id, width = (1 + id % 64).toInt, height = (1 + nc % 48).toInt))
       })
       .toDF("doc_id", "content")
+  }
+
+  final case class BmpTile(
+      doc_id: Long,
+      tile_x: Long,
+      tile_y: Long,
+      n_px: Long,
+      sum_px: Long)
+
+  /** Block-mean tiling over the decoded pixel grid — the resize /
+    * patch-extraction primitive: `tile`×`tile` blocks (logical top-left
+    * origin; edge tiles keep their true pixel count), each with its EXACT
+    * integer luminance sum, so the per-tile mean (the downsampled image)
+    * derives in the SQL layer and the oracle replays the pixel formula
+    * per tile. Per-row output is bounded by ⌈w/t⌉·⌈h/t⌉. */
+  private[operators] def parseBmpTiles(
+      docId: Long, bytes: Array[Byte], tile: Int): Iterator[BmpTile] =
+    bmpPixelData(bytes) match {
+      case None => Iterator.empty
+      case Some((dataOffset, width, height, stride)) =>
+        val tilesX = (width + tile - 1) / tile
+        val tilesY = (height + tile - 1) / tile
+        val sums = Array.ofDim[Long](tilesX * tilesY)
+        val counts = Array.ofDim[Long](tilesX * tilesY)
+        var fy = 0
+        while (fy < height) {
+          val y = height - 1 - fy // file rows are bottom-up
+          val rowStart = dataOffset.toLong + fy * stride
+          val ty = y / tile
+          var x = 0
+          while (x < width) {
+            val idx = ty * tilesX + x / tile
+            sums(idx) += (bytes((rowStart + 3L * x).toInt) & 0xFF).toLong
+            counts(idx) += 1L
+            x += 1
+          }
+          fy += 1
+        }
+        (0 until tilesX * tilesY).iterator.map { i =>
+          BmpTile(docId, (i % tilesX).toLong, (i / tilesX).toLong, counts(i), sums(i))
+        }
+    }
+
+  /** Distributed tile decode: same batched mapPartitions shape as
+    * [[decodeBmp24]], fanning each image out to its tile rows. */
+  def bmpTileMeans(media: DataFrame, tile: Int = 8): Dataset[BmpTile] = {
+    require(tile > 0, s"tile must be positive: $tile")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseBmpTiles(id, bytes, tile) })
   }
 
   /** REAL image decode over a (doc_id, content: binary) media table: parse

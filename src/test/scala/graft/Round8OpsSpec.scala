@@ -150,6 +150,24 @@ class Round8OpsSpec extends SparkFunSuite {
       .filter($"doc_id" === 8L).isEmpty)
   }
 
+  test("bmpTileMeans: tile sums match the pixel formula; edge tiles keep true n_px") {
+    import graft.operators.Multimodal
+    val media = Seq((5L, Multimodal.synthesizeBmp24(seed = 5L, width = 10, height = 10)),
+      (6L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val got = Multimodal.bmpTileMeans(media, tile = 8).collect()
+      .map(t => (t.tile_x, t.tile_y) -> ((t.n_px, t.sum_px))).toMap
+    def px(x: Int, y: Int): Long = (5L + x + 3L * y) % 251L
+    def ref(xs: Range, ys: Range) =
+      (for { x <- xs; y <- ys } yield px(x, y)).sum
+    assert(got((0L, 0L)) == ((64L, ref(0 until 8, 0 until 8))))
+    assert(got((1L, 0L)) == ((16L, ref(8 until 10, 0 until 8))))
+    assert(got((0L, 1L)) == ((16L, ref(0 until 8, 8 until 10))))
+    assert(got((1L, 1L)) == ((4L, ref(8 until 10, 8 until 10))))
+    assert(got.size == 4)
+    // junk payload drops; per-tile counts conserve the pixel grid
+    assert(got.values.map(_._1).sum == 100L)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
