@@ -74,11 +74,17 @@ object Normalize {
         (col(n) * (col(n) - 1L)).cast("double")
     val se2 = variance("n_a", "s_a", "sq_a") / col("n_a") +
       variance("n_b", "s_b", "sq_b") / col("n_b")
+    // NESTED whens, not one &&-condition: under ANSI mode the divisions in
+    // se2 (by n·(n−1)) and in the means (by n) must not evaluate at all for
+    // empty/singleton arms — CASE short-circuits branches, so the inner
+    // guard only runs once both arms have ≥2 rows. An empty arm yields
+    // null mean and null t rather than DIVIDE_BY_ZERO (fuzz-caught).
     m.select(col(keyCol), col("n_a"), col("n_b"),
-      round(mean("s_a", "n_a"), 6).as("mean_a"),
-      round(mean("s_b", "n_b"), 6).as("mean_b"),
-      round(when(col("n_a") > 1L && col("n_b") > 1L && se2 > 0d,
-        (mean("s_a", "n_a") - mean("s_b", "n_b")) / sqrt(se2)), 6).as("t"))
+      round(when(col("n_a") > 0L, mean("s_a", "n_a")), 6).as("mean_a"),
+      round(when(col("n_b") > 0L, mean("s_b", "n_b")), 6).as("mean_b"),
+      round(when(col("n_a") > 1L && col("n_b") > 1L,
+        when(se2 > 0d, (mean("s_a", "n_a") - mean("s_b", "n_b")) / sqrt(se2))),
+        6).as("t"))
   }
 
   /** Per-group z-score from EXACT integer moments: one agg computes
