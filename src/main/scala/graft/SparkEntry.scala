@@ -934,6 +934,16 @@ object SparkEntry {
         .withColumn("rms",
           round(sqrt(col("sumsq").cast("double") / col("n_samples")), 6))
     }),
+    "q_image_dhash" -> ((s, dir) => {
+      // Perceptual dHash over the synthesized BMP corpus + the Hamming
+      // distance to the previous image id (lag window) — the image-side
+      // near-dup fingerprint, every bit from exact integer tile compares.
+      val h = Multimodal.imageDHash(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")), tile = 8)
+      val w = Window.orderBy(col("doc_id"))
+      h.withColumn("hamming_prev",
+        bit_count(col("dhash").bitwiseXOR(lag(col("dhash"), 1).over(w))).cast("long"))
+    }),
     "q_image_tiles" -> ((s, dir) =>
       // Block-mean 8×8 tiling over the REAL BMP decode — the resize /
       // patch-extraction step of an image pipeline, as exact integer
@@ -3377,6 +3387,30 @@ object SparkEntry {
         |  CAST(SUM(x * x) AS BIGINT) AS sumsq,
         |  round(sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)), 6) AS rms
         |FROM v GROUP BY doc_id, frame""".stripMargin,
+    "q_image_dhash" ->
+      // replays tile sums from the pixel formula, then every dHash bit via
+      // the exact integer cross-product compare; Hamming via bit_count(xor)
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |t AS (SELECT doc_id, (i % w) // 8 AS tile_x, (i // w) // 8 AS tile_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_px,
+        |    CAST(SUM((doc_id + (i % w) + 3*(i // w)) % 251) AS BIGINT) AS sum_px
+        |  FROM s GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+        |      ORDER BY a.tile_y, a.tile_x) - 1 AS k,
+        |    CASE WHEN a.sum_px * b.n_px > b.sum_px * a.n_px
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x + 1),
+        |hh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+        |  FROM pr GROUP BY 1)
+        |SELECT doc_id, n_bits, dhash,
+        |  CAST(bit_count(xor(dhash, lag(dhash, 1) OVER (ORDER BY doc_id)))
+        |    AS BIGINT) AS hamming_prev
+        |FROM hh""".stripMargin,
     "q_image_tiles" ->
       // replays the gray-ramp pixel formula (same as q_multimodal_image)
       // grouped into 8×8 logical tiles; edge tiles keep their true n_px

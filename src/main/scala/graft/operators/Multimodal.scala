@@ -428,6 +428,40 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => parseBmpTiles(id, bytes, tile) })
   }
 
+  /** Perceptual difference-hash (dHash) from the tile-mean grid: one bit
+    * per horizontally-adjacent tile pair — set when the left tile is
+    * brighter — packed in (tile_y, tile_x) order into a BIGINT. The
+    * brightness comparison is the EXACT integer cross-product
+    * sum_a·n_b > sum_b·n_a (never a float mean compare, so no tie
+    * ambiguity and the SQL oracle replays every bit). Images one tile or
+    * narrower have no pairs and drop out, like unparseable payloads.
+    *
+    * This is the image near-dup primitive: re-encoded/slightly-edited
+    * copies keep their brightness gradients, so their dHashes sit within
+    * a small Hamming distance — bucket by hash bands and verify with
+    * bit_count(xor), exactly the SimHash recipe on the text side.
+    *
+    * Plan shape: tile rows self-join per image (equi-join on
+    * (doc, ty, tx+1) — narrow, image-local), one per-doc window for bit
+    * positions, one per-doc agg to pack. Grid ≤ ⌈w/t⌉·⌈h/t⌉ keeps every
+    * stage bounded per image. */
+  def imageDHash(media: DataFrame, tile: Int = 8): DataFrame = {
+    val t = bmpTileMeans(media, tile).toDF()
+    val lft = t.select(col("doc_id"), col("tile_x"), col("tile_y"),
+      col("n_px").as("n_a"), col("sum_px").as("s_a"))
+    val rgt = t.select(col("doc_id"), (col("tile_x") - 1L).as("tile_x"),
+      col("tile_y"), col("n_px").as("n_b"), col("sum_px").as("s_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tile_y"), col("tile_x"))
+    lft.join(rgt, Seq("doc_id", "tile_x", "tile_y"))
+      .withColumn("k", (row_number().over(w) - 1).cast("int"))
+      .withColumn("bit",
+        when(col("s_a") * col("n_b") > col("s_b") * col("n_a"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bits"),
+        sum(expr("bit * shiftleft(CAST(1 AS BIGINT), k)")).cast("long").as("dhash"))
+  }
+
   /** REAL image decode over a (doc_id, content: binary) media table: parse
     * each payload as 24-bit BMP, emit per-image dimension + pixel stats;
     * unparseable rows drop out. Second real format next to [[decodeWavPcm]]

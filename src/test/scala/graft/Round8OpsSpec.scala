@@ -168,6 +168,42 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(got.values.map(_._1).sum == 100L)
   }
 
+  test("imageDHash: bits match a Scala tile reference; identical pixels give Hamming 0") {
+    import graft.operators.Multimodal
+    // seed near the 251 modulus so the gray ramp wraps inside the image
+    // and both bit values occur
+    val (seed, w, h) = (245L, 17, 9)
+    val media = Seq(
+      (1L, Multimodal.synthesizeBmp24(seed, w, h)),
+      (2L, Multimodal.synthesizeBmp24(seed, w, h)), // identical pixels
+      (3L, Multimodal.synthesizeBmp24(seed + 7, w, h)))
+      .toDF("doc_id", "content")
+    val got = Multimodal.imageDHash(media, tile = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bits"), r.getAs[Long]("dhash")))).toMap
+    // independent reference: tile sums straight from the pixel formula
+    def tileSum(tx: Int, ty: Int, s: Long): (Long, Long) = {
+      val px = for {
+        x <- (tx * 8) until math.min(w, tx * 8 + 8)
+        y <- (ty * 8) until math.min(h, ty * 8 + 8)
+      } yield (s + x + 3L * y) % 251L
+      (px.size.toLong, px.sum)
+    }
+    def refHash(s: Long): (Long, Long) = {
+      val bits = for {
+        ty <- 0 until 2; tx <- 0 until 2 // pairs (0,1) and (1,2) per row
+        pair = (tileSum(tx, ty, s), tileSum(tx + 1, ty, s))
+      } yield if (pair._1._2 * pair._2._1 > pair._2._2 * pair._1._1) 1L else 0L
+      (bits.size.toLong,
+        bits.zipWithIndex.map { case (b, k) => b << k }.sum)
+    }
+    assert(got(1L) == refHash(seed))
+    assert(got(1L) == got(2L)) // identical pixels -> identical fingerprint
+    assert(got(1L)._2 != got(3L)._2) // shifted ramp flips at least one bit
+    // both bit values occur for this wrapped ramp (not a degenerate hash)
+    assert(got(1L)._2 != 0L && got(1L)._2 != (1L << got(1L)._1.toInt) - 1L)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
