@@ -944,6 +944,17 @@ object SparkEntry {
       h.withColumn("hamming_prev",
         bit_count(col("dhash").bitwiseXOR(lag(col("dhash"), 1).over(w))).cast("long"))
     }),
+    "q_image_neardup_dhash" -> ((s, dir) => {
+      // Image near-dup via Hamming LSH on the dHash fingerprints: 6 bands
+      // × 7 bits, verify bit_count(xor) <= 3. maxHamming < bands makes the
+      // banding EXHAUSTIVE (>=1 clean band by pigeonhole), so the oracle is
+      // an independent all-pairs join within same-bit-width groups — it
+      // checks equality, not recall. Grid geometry (n_bits) scopes buckets.
+      val h = Multimodal.imageDHash(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")), tile = 8)
+      Dedup.nearDupHamming(h, groupCol = Some("n_bits"),
+        bands = 6, bandBits = 7, maxHamming = 3)
+    }),
     "q_image_tiles" -> ((s, dir) =>
       // Block-mean 8×8 tiling over the REAL BMP decode — the resize /
       // patch-extraction step of an image pipeline, as exact integer
@@ -3411,6 +3422,33 @@ object SparkEntry {
         |  CAST(bit_count(xor(dhash, lag(dhash, 1) OVER (ORDER BY doc_id)))
         |    AS BIGINT) AS hamming_prev
         |FROM hh""".stripMargin,
+    "q_image_neardup_dhash" ->
+      // INDEPENDENT all-pairs formulation (no banding): valid as an
+      // equality oracle because maxHamming(3) < bands(6) makes the
+      // engine's LSH exhaustive, and every bucket here is far under the
+      // star-fallback cap (largest n_bits group ~52 docs at sf0.01).
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |t AS (SELECT doc_id, (i % w) // 8 AS tile_x, (i // w) // 8 AS tile_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_px,
+        |    CAST(SUM((doc_id + (i % w) + 3*(i // w)) % 251) AS BIGINT) AS sum_px
+        |  FROM s GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+        |      ORDER BY a.tile_y, a.tile_x) - 1 AS k,
+        |    CASE WHEN a.sum_px * b.n_px > b.sum_px * a.n_px
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x + 1),
+        |hh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+        |  FROM pr GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hh a JOIN hh b
+        |  ON a.n_bits = b.n_bits AND b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
     "q_image_tiles" ->
       // replays the gray-ramp pixel formula (same as q_multimodal_image)
       // grouped into 8×8 logical tiles; edge tiles keep their true n_px

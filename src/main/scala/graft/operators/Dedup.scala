@@ -446,6 +446,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Generic Hamming-LSH near-dup pairs over ANY packed integer
+    * fingerprint table (image dHash, audio chromaprint-style bits, a
+    * 64-bit simhash) — the [[nearDupSimhash]] recipe generalized: band the
+    * hash into `bands` runs of `bandBits` bits, bucket-join per band, then
+    * verify exact `bit_count(xor) <= maxHamming`.
+    *
+    * EXHAUSTIVE by construction when `maxHamming < bands` (enforced):
+    * fewer differing bits than bands pigeonholes at least one band clean,
+    * so banding finds every qualifying pair and an independent all-pairs
+    * oracle can check equality, not just recall. `groupCol` (e.g. the
+    * fingerprint's bit-width for variable-geometry images) scopes buckets
+    * so only comparable fingerprints pair. Pair expansion rides
+    * [[boundedBucketPairs]]: a giant identical-fingerprint cluster
+    * degrades to O(n) star pairs, not a quadratic bucket join. */
+  def nearDupHamming(
+      hashes: DataFrame,
+      idCol: String = "doc_id",
+      hashCol: String = "dhash",
+      groupCol: Option[String] = None,
+      bands: Int = 6,
+      bandBits: Int = 7,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(bands > 0 && bandBits > 0, s"need positive bands/bandBits: $bands/$bandBits")
+    require(bands * bandBits <= 63, s"bands*bandBits must fit a BIGINT: ${bands * bandBits}")
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the exhaustive guarantee")
+    val mask = (1L << bandBits) - 1
+    val grp = groupCol
+      .map(g => concat(col(g).cast("string"), lit("|")))
+      .getOrElse(lit(""))
+    val bandKeys = array((0 until bands).map { b =>
+      concat(grp,
+        expr(s"CAST(shiftright($hashCol, ${b * bandBits}) & ${mask}L AS STRING)"))
+    }: _*)
+    val exploded = hashes
+      .select(col(idCol), col(hashCol),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    boundedBucketPairs(exploded, idCol, maxBucketSize, payload = Some(hashCol))
+      // a pair can collide on several bands: dedupe once, then verify
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Cross-document repeated-span detection — exact substring dedup at
     * token-window granularity (the Lee et al. 2022 "Deduplicating Training
     * Data" tier between full-text exact dedup and MinHash near-dup): every

@@ -107,6 +107,38 @@ class Round8FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("nearDupHamming equals brute-force all-pairs on 20 random fingerprint tables") {
+    // maxHamming < bands ⇒ the banding is exhaustive; equality (not just
+    // recall) must hold against a shared-nothing all-pairs reference
+    val tables: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, for {
+        grp <- Gen.choose(1L, 3L)
+        // cluster hashes so some pairs fall within hamming 3
+        base <- Gen.oneOf(0x155555555L, 0x2AAAAAAAAL, 0x0F0F0F0F0L)
+        flips <- Gen.choose(0, 5)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 41))
+      } yield (grp, bits.foldLeft(base)((h, b) => h ^ (1L << b))))
+    } yield rows.zipWithIndex.map { case ((g, h), i) => (i.toLong, g, h) }
+    (1 to 20).foreach { seed =>
+      tables(Gen.Parameters.default, Seed(seed.toLong)).foreach { rows =>
+        val df = rows.toDF("doc_id", "n_bits", "dhash")
+        val got = graft.operators.Dedup
+          .nearDupHamming(df, groupCol = Some("n_bits"),
+            bands = 6, bandBits = 7, maxHamming = 3)
+          .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)]
+          .collect().toSet
+        val expect = (for {
+          a <- rows; b <- rows
+          if a._1 < b._1 && a._2 == b._2
+          d = java.lang.Long.bitCount(a._3 ^ b._3)
+          if d <= 3
+        } yield (a._1, b._1, d.toLong)).toSet
+        assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+      }
+    }
+  }
+
   test("seasonalByPhase residuals cancel within every (key, phase) on 30 random series") {
     val series: Gen[List[(String, Long, Long)]] = for {
       n <- Gen.choose(3, 150)
