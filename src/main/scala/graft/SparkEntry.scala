@@ -3999,7 +3999,8 @@ object SparkEntry {
     "q_ab_test" ->
       // Welch t assembled from exact BIGINT moments; the double expression
       // mirrors Normalize.welchTTest term-for-term (variance =
-      // (n·Σx² − (Σx)²) / (n·(n−1)), then /n, summed, sqrt).
+      // (Σx² − Σx·mean) / (n−1) in DOUBLE — the integer n·Σx² form
+      // overflows long at scale and DuckDB would widen to HUGEINT).
       """WITH m AS (
         |  SELECT event_type,
         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -4012,14 +4013,14 @@ object SparkEntry {
         |          CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events)
         |  GROUP BY 1)
         |SELECT event_type, n_a, n_b,
-        |  round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
-        |  round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+        |  round(CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / n_a END, 6) AS mean_a,
+        |  round(CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / n_b END, 6) AS mean_b,
         |  round(CASE WHEN n_a > 1 AND n_b > 1 AND
-        |      CAST(n_a * sq_a - s_a * s_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / n_a +
-        |      CAST(n_b * sq_b - s_b * s_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / n_b > 0
+        |      (CAST(sq_a AS DOUBLE) - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / CAST(n_a - 1 AS DOUBLE) / n_a +
+        |      (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b > 0
         |    THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) /
-        |      sqrt(CAST(n_a * sq_a - s_a * s_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) / n_a +
-        |           CAST(n_b * sq_b - s_b * s_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) / n_b)
+        |      sqrt((CAST(sq_a AS DOUBLE) - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / CAST(n_a - 1 AS DOUBLE) / n_a +
+        |           (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b)
         |  END, 6) AS t
         |FROM m""".stripMargin,
     "q_winsorize" ->

@@ -69,9 +69,16 @@ object Normalize {
       armAgg(false, x).cast("long").as("s_b"),
       armAgg(false, x * x).cast("long").as("sq_b"))
     def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    // variance assembled as (Σx² − Σx·mean) / (n−1) in DOUBLE: the moments
+    // stay exact BIGINTs, but the n·Σx² integer product of the textbook
+    // form overflows long at ~10M rows/group (caught by the 100× smoke) —
+    // and DuckDB would silently widen to HUGEINT, diverging from the
+    // engine. The double expression tree is mirrored term-for-term in the
+    // oracle, so parity holds at every scale.
     def variance(n: String, s: String, sq: String) =
-      (col(n) * col(sq) - col(s) * col(s)).cast("double") /
-        (col(n) * (col(n) - 1L)).cast("double")
+      (col(sq).cast("double") -
+        col(s).cast("double") * (col(s).cast("double") / col(n))) /
+        (col(n) - 1L).cast("double")
     val se2 = variance("n_a", "s_a", "sq_a") / col("n_a") +
       variance("n_b", "s_b", "sq_b") / col("n_b")
     // NESTED whens, not one &&-condition: under ANSI mode the divisions in

@@ -358,6 +358,45 @@ object ScaleSmoke {
         "source", "n_tokens")))
     time(s"kmeansStep x${math.max(1, mult / 5)} (nCentroids scaled)")(
       drain(Similarity.kmeansStep(emb, nCentroids = 32)))
+    time(s"seasonalByPhase x$mult") {
+      val pd = events
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+      drain(graft.operators.TimeSeries.seasonalByPhase(pd, "event_type", "day", "v"))
+    }
+    time(s"welchTTest x$mult")(
+      drain(graft.operators.Normalize.welchTTest(
+        events.select(col("event_type"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "arm", "cents")))
+    time(s"wavFrameEnergy x${math.max(1, mult / 5)}") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, graft.operators.Multimodal.synthesizeWavSaw(
+            freqHz = (100 + id % 400).toInt, nSamples = (500 + nc % 500).toInt))
+        }).toDF("doc_id", "content")
+      drain(graft.operators.Multimodal.wavFrameEnergy(media).toDF())
+    }
+    time(s"imageDHash+nearDupHamming x${math.max(1, mult / 5)}") {
+      val h = graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.synthesizeBmpTable(docs))
+      drain(graft.operators.Dedup.nearDupHamming(h, groupCol = Some("n_bits")))
+    }
+    time(s"rrfFusion x${math.max(1, mult / 5)}") {
+      val text = graft.operators.TextAnalysis.bm25TopK(
+        docs, Seq("join", "vector", "spark"), k = 50)
+      val q0 = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Similarity.bruteForceTopK(q0, emb, k = 50)
+      drain(graft.operators.Retrieval.rrfFuse(
+        Seq((text, "doc_id", "rn"), (vec, "vec_id", "rank"))))
+    }
     time(s"ngramContainment x${math.max(1, mult / 5)}") {
       val sh = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0)
       val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
