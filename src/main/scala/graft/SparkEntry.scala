@@ -1406,6 +1406,31 @@ object SparkEntry {
           round(col("value") * 100, 0).cast("long").as("cents"))
       Normalize.welchTTest(ev, "event_type", "arm", "cents")
     }),
+    "q_merge_upsert" -> ((s, dir) => {
+      // Batch MERGE INTO: apply an upsert+tombstone change set to a base
+      // snapshot in ONE key-shuffled full-outer join; every surviving row
+      // tagged keep/insert/update/delete (absent-key tombstones vanish).
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val base = o.filter(col("o_orderkey") % 11L =!= 0L)
+      val changes = o.filter(col("o_orderkey") % 13L === 0L)
+        .select(col("o_orderkey"), (col("cents") + 1L).as("cents"),
+          lower(col("o_orderstatus")).as("o_orderstatus"),
+          (col("o_orderkey") % 17L === 0L).as("is_delete"))
+      graft.operators.Cdc.mergeUpsert(base, changes,
+        Seq("o_orderkey"), Seq("cents", "o_orderstatus"))
+    }),
+    "q_skyline" -> ((s, dir) => {
+      // 2-D Pareto frontier (min price, max recency) via local-prune +
+      // tiny-global window — the full table never crosses one partition.
+      // Oracle is an independent NOT EXISTS all-pairs formulation.
+      val o = table(s, dir, "orders").select(
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      graft.operators.Skyline.skyline2D(o, "cents", "d")
+    }),
     "q_winsorize" -> ((s, dir) => {
       // Per-type outlier clipping at the exact interpolated [p10, p90] —
       // the normalization step before a metric can gate or weight rows.
@@ -4023,6 +4048,38 @@ object SparkEntry {
         |           (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b)
         |  END, 6) AS t
         |FROM m""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o_orderstatus FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 11 != 0),
+        |c AS (SELECT o_orderkey, CAST(cents + 1 AS BIGINT) AS cents,
+        |    lower(o_orderstatus) AS o_orderstatus,
+        |    o_orderkey % 17 = 0 AS del
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |m AS (SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN c.o_orderkey IS NULL THEN 'keep'
+        |         WHEN c.del AND b.o_orderkey IS NOT NULL THEN 'delete'
+        |         WHEN c.del THEN 'noop'
+        |         WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         ELSE 'update' END AS op,
+        |    CASE WHEN c.o_orderkey IS NULL THEN b.cents
+        |         WHEN c.del THEN NULL ELSE c.cents END AS cents,
+        |    CASE WHEN c.o_orderkey IS NULL THEN b.o_orderstatus
+        |         WHEN c.del THEN NULL ELSE c.o_orderstatus END AS o_orderstatus
+        |  FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, op, CAST(cents AS BIGINT) AS cents, o_orderstatus
+        |FROM m WHERE op != 'noop'""".stripMargin,
+    "q_skyline" ->
+      // independent all-pairs NOT EXISTS formulation of the frontier
+      """WITH p AS (SELECT cents, d, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |      epoch_ms(o_orderdate) // 86400000 AS d FROM orders)
+        |  GROUP BY 1, 2)
+        |SELECT cents, CAST(d AS BIGINT) AS d, n FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.cents <= a.cents AND b.d >= a.d
+        |    AND (b.cents < a.cents OR b.d > a.d))""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (
         |  SELECT event_id, event_type,

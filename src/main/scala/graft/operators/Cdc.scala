@@ -42,6 +42,45 @@ object Cdc {
       .drop("__old", "__new")
   }
 
+  /** MERGE-style upsert: apply a keyed change set (upserts + delete
+    * tombstones) to a base snapshot and emit every resulting row tagged
+    * with its merge action — `keep` (base row untouched), `insert` (new
+    * key), `update` (key present on both sides), `delete` (tombstone hit a
+    * base row; value columns null). Tombstones for absent keys are no-ops
+    * and emit nothing. This is the batch MERGE INTO under every
+    * incremental-snapshot pipeline (the streaming counterpart is
+    * MergeSink); downstream state = rows with op != 'delete'.
+    *
+    * Scale shape: ONE key-shuffled full-outer join (broadcast when the
+    * change set is small — the common case for incremental loads) and a
+    * narrow classification map; no window, no second exchange. */
+  def mergeUpsert(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      deleteCol: String = "is_delete"): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keyCols and valueCols must be non-empty")
+    val b = base.select(
+      keyCols.map(col) ++ valueCols.map(v => col(v).as(s"base_$v")) :+ lit(1).as("__b"): _*)
+    val c = changes.select(
+      keyCols.map(col) ++ valueCols.map(v => col(v).as(s"chg_$v"))
+        :+ col(deleteCol).as("__del") :+ lit(1).as("__c"): _*)
+    val op = when(col("__c").isNull, "keep")
+      .when(col("__del") && col("__b").isNotNull, "delete")
+      .when(col("__del"), "noop") // tombstone for an absent key
+      .when(col("__b").isNull, "insert")
+      .otherwise("update")
+    val out = valueCols.map(v =>
+      when(col("op") === "keep", col(s"base_$v"))
+        .when(col("op") === "delete", lit(null))
+        .otherwise(col(s"chg_$v")).as(v))
+    b.join(c, keyCols, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op") =!= "noop")
+      .select(keyCols.map(col) ++ Seq(col("op")) ++ out: _*)
+  }
+
   /** Build a Type-2 slowly-changing dimension from a keyed change stream:
     * collapse consecutive rows whose tracked attributes are unchanged
     * (gaps-and-islands), then stamp each surviving version with

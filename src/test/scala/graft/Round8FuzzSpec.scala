@@ -139,6 +139,30 @@ class Round8FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("skyline2D equals brute-force domination on 30 random point sets") {
+    val sets: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 200)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(0L, 30L)
+        y <- Gen.choose(0L, 30L)
+      } yield (x, y))
+    } yield rows
+    (1 to 30).foreach { seed =>
+      sets(Gen.Parameters.default, Seed(seed.toLong)).foreach { rows =>
+        val got = graft.operators.Skyline
+          .skyline2D(rows.toDF("x", "y"), "x", "y", buckets = 7)
+          .select($"x", $"y", $"n").as[(Long, Long, Long)].collect().toSet
+        val pts = rows.groupBy(identity).map { case (p, g) => (p._1, p._2, g.size.toLong) }
+        val expect = pts.filter { case (x, y, _) =>
+          !pts.exists { case (qx, qy, _) =>
+            qx <= x && qy >= y && (qx < x || qy > y)
+          }
+        }.toSet
+        assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+      }
+    }
+  }
+
   test("seasonalByPhase residuals cancel within every (key, phase) on 30 random series") {
     val series: Gen[List[(String, Long, Long)]] = for {
       n <- Gen.choose(3, 150)

@@ -204,6 +204,45 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(got(1L)._2 != 0L && got(1L)._2 != (1L << got(1L)._1.toInt) - 1L)
   }
 
+  test("mergeUpsert classifies keep/insert/update/delete and drops absent-key tombstones") {
+    import graft.operators.Cdc
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "s")
+    val changes = Seq(
+      (2L, 21L, "b2", false), // update
+      (4L, 40L, "d", false),  // insert
+      (3L, 0L, "x", true),    // delete (values nulled)
+      (9L, 0L, "x", true))    // tombstone for absent key -> emits nothing
+      .toDF("k", "v", "s", "is_delete")
+    val got = Cdc.mergeUpsert(base, changes, Seq("k"), Seq("v", "s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          Option(r.getString(3))))).toMap
+    assert(got == Map(
+      1L -> (("keep", Some(10L), Some("a"))),
+      2L -> (("update", Some(21L), Some("b2"))),
+      3L -> (("delete", None, None)),
+      4L -> (("insert", Some(40L), Some("d")))))
+    // resulting state = rows with op != delete
+    assert(got.count(_._2._1 != "delete") == 3)
+  }
+
+  test("skyline2D finds the Pareto frontier with multiplicities; dominated ties drop") {
+    import graft.operators.Skyline
+    val pts = Seq(
+      (1L, 5L), (1L, 5L),  // frontier (cheapest, recent) — multiplicity 2
+      (2L, 9L),            // frontier (pricier but newer)
+      (2L, 5L),            // dominated by (1,5)
+      (3L, 9L),            // dominated by (2,9)
+      (0L, 1L),            // frontier (cheapest overall)
+      (5L, 10L))           // frontier (newest overall)
+      .toDF("x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == Map((0L, 1L) -> 1L, (1L, 5L) -> 2L, (2L, 9L) -> 1L, (5L, 10L) -> 1L))
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
