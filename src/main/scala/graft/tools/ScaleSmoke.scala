@@ -397,6 +397,30 @@ object ScaleSmoke {
       drain(graft.operators.Retrieval.rrfFuse(
         Seq((text, "doc_id", "rn"), (vec, "vec_id", "rank"))))
     }
+    time(s"mergeUpsert x$mult") {
+      val cents = round(col("o_totalprice") * lit(100), 0).cast("long")
+      val orders = multiply(
+        graft.SparkEntry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        "o_orderkey", mult, 10_000_000L)
+        .select(col("o_orderkey"), cents.as("cents"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 11L =!= 0L)
+      val changes = orders.filter(col("o_orderkey") % 13L === 0L)
+        .select(col("o_orderkey"), (col("cents") + 1L).as("cents"),
+          lower(col("o_orderstatus")).as("o_orderstatus"),
+          (col("o_orderkey") % 17L === 0L).as("is_delete"))
+      drain(graft.operators.Cdc.mergeUpsert(base, changes,
+        Seq("o_orderkey"), Seq("cents", "o_orderstatus")))
+    }
+    time(s"skyline2D x$mult") {
+      val o = multiply(
+        graft.SparkEntry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+        "o_orderkey", mult, 10_000_000L)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("d"))
+      drain(graft.operators.Skyline.skyline2D(o, "cents", "d"))
+    }
     time(s"ngramContainment x${math.max(1, mult / 5)}") {
       val sh = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0)
       val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
