@@ -1406,6 +1406,25 @@ object SparkEntry {
           round(col("value") * 100, 0).cast("long").as("cents"))
       Normalize.welchTTest(ev, "event_type", "arm", "cents")
     }),
+    "q_recursive_cte" -> ((s, dir) => {
+      // Spark 4's WITH RECURSIVE surface, end-to-end: an org-chart walk
+      // over a deterministic binary-tree hierarchy (parent = key / 2) —
+      // depth and root for every customer. The oracle runs the IDENTICAL
+      // recursion shape in DuckDB; iteration count is log2(n), and each
+      // step is a key-shuffled join of frontier × table (the same scale
+      // class as q_bfs_hops' hand-rolled loop — this pins the SQL-native
+      // spelling of it).
+      table(s, dir, "customer").createOrReplaceTempView("graft_cust_rec")
+      s.sql(
+        """WITH RECURSIVE r(c_custkey, depth, root) AS (
+          |  SELECT c_custkey, CAST(0 AS BIGINT) AS depth, c_custkey AS root
+          |  FROM graft_cust_rec WHERE c_custkey = 1
+          |  UNION ALL
+          |  SELECT c.c_custkey, r.depth + CAST(1 AS BIGINT), r.root
+          |  FROM graft_cust_rec c JOIN r ON (c.c_custkey div 2) = r.c_custkey
+          |  WHERE c.c_custkey > 1)
+          |SELECT c_custkey, depth, root FROM r""".stripMargin)
+    }),
     "q_merge_upsert" -> ((s, dir) => {
       // Batch MERGE INTO: apply an upsert+tombstone change set to a base
       // snapshot in ONE key-shuffled full-outer join; every surviving row
@@ -4048,6 +4067,17 @@ object SparkEntry {
         |           (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b)
         |  END, 6) AS t
         |FROM m""".stripMargin,
+    "q_recursive_cte" ->
+      // identical recursion in DuckDB; // is the integer-division twin of
+      // Spark's div (both truncate; keys are positive)
+      """WITH RECURSIVE r(c_custkey, depth, root) AS (
+        |  SELECT c_custkey, CAST(0 AS BIGINT) AS depth, c_custkey AS root
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, CAST(r.depth + 1 AS BIGINT), r.root
+        |  FROM customer c JOIN r ON (c.c_custkey // 2) = r.c_custkey
+        |  WHERE c.c_custkey > 1)
+        |SELECT c_custkey, CAST(depth AS BIGINT) AS depth, root FROM r""".stripMargin,
     "q_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey,
         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,

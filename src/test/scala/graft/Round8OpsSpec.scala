@@ -243,6 +243,20 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(got == Map((0L, 1L) -> 1L, (1L, 5L) -> 2L, (2L, 9L) -> 1L, (5L, 10L) -> 1L))
   }
 
+  test("WITH RECURSIVE walks the binary-tree hierarchy to the exact depth (Spark 4 surface)") {
+    // parent = key div 2: key k sits at depth floor(log2(k))
+    val got = SparkEntry.queries("q_recursive_cte")(spark, "/root/testdata/sf0.001")
+      .select($"c_custkey", $"depth").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == 1L && got(3L) == 1L && got(4L) == 2L)
+    got.foreach { case (k, d) =>
+      assert(d == (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong, s"key $k")
+    }
+    // every customer key except 0 is reachable (keys are 0-based; 0 is its
+    // own div-2 parent and sits outside the rooted tree by design)
+    val n = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(got.size.toLong == n - 1 && !got.contains(0L))
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
