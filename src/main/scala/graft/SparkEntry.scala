@@ -1406,6 +1406,18 @@ object SparkEntry {
           round(col("value") * 100, 0).cast("long").as("cents"))
       Normalize.welchTTest(ev, "event_type", "arm", "cents")
     }),
+    "q_psi_drift" -> ((s, dir) => {
+      // Feature-drift monitor: PSI of the value distribution between the
+      // even-user baseline and odd-user current sample over the baseline's
+      // decile buckets — each side scanned once, counts joined on a
+      // 10-row spine (Profiling.psiDrift).
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      Profiling.psiDrift(
+        ev.filter(pmod(col("user_id"), lit(2L)) === 0L).select(col("cents")),
+        ev.filter(pmod(col("user_id"), lit(2L)) =!= 0L).select(col("cents")),
+        "cents")
+    }),
     "q_recursive_cte" -> ((s, dir) => {
       // Spark 4's WITH RECURSIVE surface, end-to-end: an org-chart walk
       // over a deterministic binary-tree hierarchy (parent = key / 2) —
@@ -4067,6 +4079,36 @@ object SparkEntry {
         |           (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b)
         |  END, 6) AS t
         |FROM m""".stripMargin,
+    "q_psi_drift" ->
+      // smoothed probabilities mirror Profiling.psiDrift term-for-term:
+      // (n+0.5)/(total+buckets/2); bucket = edges strictly below x
+      """WITH bse AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE user_id % 2 = 0),
+        |cur AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE user_id % 2 != 0),
+        |e AS (SELECT quantile_cont(c,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM bse),
+        |nb AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_base FROM bse, e GROUP BY 1),
+        |nc AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur, e GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT sp.bucket,
+        |    CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM sp LEFT JOIN nb ON nb.bucket = sp.bucket
+        |    LEFT JOIN nc ON nc.bucket = sp.bucket),
+        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+        |SELECT bucket, n_base, n_cur,
+        |  round((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0), 6) AS p_base,
+        |  round((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0), 6) AS p_cur,
+        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0) -
+        |         (CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)) *
+        |    ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)) /
+        |       ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))), 6)
+        |    AS psi_contrib
+        |FROM j, t""".stripMargin,
     "q_recursive_cte" ->
       // identical recursion in DuckDB; // is the integer-division twin of
       // Spark's div (both truncate; keys are positive)

@@ -85,4 +85,50 @@ object Profiling {
         round(col("n_group") * (col("obs") - col("exp")) * (col("obs") - col("exp"))
           / col("exp"), 6).as("chi2_contrib"))
   }
+
+  /** Population Stability Index between a baseline and a current sample of
+    * an integer-valued column — the drift monitor every production feature
+    * pipeline runs: psi_contrib = (p_cur − p_base)·ln(p_cur/p_base) per
+    * bucket; Σ < 0.1 is conventionally "no drift", > 0.25 "major drift".
+    *
+    * Buckets are the BASELINE's exact interpolated quantiles (the standard
+    * choice: equal-population under no drift), assignment is "count of
+    * edges strictly below x" so ties bind to the lower bucket identically
+    * in both engines; probabilities use +0.5 additive smoothing so empty
+    * buckets (duplicate edges, out-of-range current values) contribute a
+    * finite, replayable term instead of ln(0).
+    *
+    * Plan shape: one baseline quantile agg broadcast to both sides, one
+    * count agg per side, and a `buckets`-row spine join — the two samples
+    * are each scanned ONCE and never shuffled beyond their bucket counts. */
+  def psiDrift(
+      base: DataFrame,
+      current: DataFrame,
+      valCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    val qs = (1 until buckets).map(i => s"${i.toDouble / buckets}D").mkString(", ")
+    val edges = broadcast(base.agg(expr(s"percentile($valCol, array($qs))").as("__e")))
+    def bucketCounts(df: DataFrame, name: String) =
+      df.crossJoin(edges)
+        .select(size(filter(col("__e"), e => col(valCol).cast("double") > e))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as(name))
+    val spine = base.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val j = spine
+      .join(bucketCounts(base, "n_base"), Seq("bucket"), "left")
+      .join(bucketCounts(current, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = broadcast(j.agg(
+      sum(col("n_base")).cast("long").as("__tb"),
+      sum(col("n_cur")).cast("long").as("__tc")))
+    val eps = lit(0.5 * buckets)
+    val p = (col("n_base").cast("double") + 0.5) / (col("__tb").cast("double") + eps)
+    val q = (col("n_cur").cast("double") + 0.5) / (col("__tc").cast("double") + eps)
+    j.crossJoin(tot).select(col("bucket"), col("n_base"), col("n_cur"),
+      round(p, 6).as("p_base"), round(q, 6).as("p_cur"),
+      round((q - p) * log(q / p), 6).as("psi_contrib"))
+  }
 }

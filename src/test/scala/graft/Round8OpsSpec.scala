@@ -257,6 +257,23 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(got.size.toLong == n - 1 && !got.contains(0L))
   }
 
+  test("psiDrift: identical samples give ~0 psi; a shifted sample concentrates mass") {
+    import graft.operators.Profiling
+    val base = (1L to 1000L).map(v => Tuple1(v)).toDF("v")
+    val same = Profiling.psiDrift(base, base, "v").collect()
+    assert(same.length == 10)
+    // identical distributions: every contribution is exactly 0 (p == q)
+    assert(same.forall(r => r.getAs[Double]("psi_contrib") == 0.0))
+    assert(same.map(_.getAs[Long]("n_base")).sum == 1000L)
+    // a hard right-shift: all current mass lands in the top bucket;
+    // total PSI must scream (far above the 0.25 "major drift" bar)
+    val shifted = (5000L to 5999L).map(v => Tuple1(v)).toDF("v")
+    val drift = Profiling.psiDrift(base, shifted, "v").collect()
+    assert(drift.map(_.getAs[Long]("n_cur")).sum == 1000L)
+    assert(drift.filter(_.getAs[Long]("bucket") == 9L).head.getAs[Long]("n_cur") == 1000L)
+    assert(drift.map(_.getAs[Double]("psi_contrib")).sum > 0.25)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
