@@ -1418,6 +1418,17 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2L)) =!= 0L).select(col("cents")),
         "cents")
     }),
+    "q_ks_test" -> ((s, dir) => {
+      // Exact two-sample KS statistic between the even/odd-user value
+      // samples — the global CDF cumsum runs as the distributed prefix sum
+      // (range partition + offset broadcast), never one partition.
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      Profiling.ksTest(
+        ev.filter(pmod(col("user_id"), lit(2L)) === 0L).select(col("cents")),
+        ev.filter(pmod(col("user_id"), lit(2L)) =!= 0L).select(col("cents")),
+        "cents")
+    }),
     "q_recursive_cte" -> ((s, dir) => {
       // Spark 4's WITH RECURSIVE surface, end-to-end: an org-chart walk
       // over a deterministic binary-tree hierarchy (parent = key / 2) —
@@ -4109,6 +4120,28 @@ object SparkEntry {
         |       ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))), 6)
         |    AS psi_contrib
         |FROM j, t""".stripMargin,
+    "q_ks_test" ->
+      // naive single-window cumsum is fine AS AN ORACLE; the engine's
+      // distributed prefix sum must produce the identical D
+      """WITH a AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE user_id % 2 != 0),
+        |per AS (SELECT v, CAST(SUM(ca) AS BIGINT) AS ca,
+        |    CAST(SUM(cb) AS BIGINT) AS cb
+        |  FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
+        |        UNION ALL SELECT v, 0, 1 FROM b) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM per),
+        |c AS (SELECT
+        |    CAST(SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM per)
+        |SELECT n_a, n_b,
+        |  round(MAX(abs(CAST(cuma AS DOUBLE) / n_a - CAST(cumb AS DOUBLE) / n_b)), 6) AS d
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
     "q_recursive_cte" ->
       // identical recursion in DuckDB; // is the integer-division twin of
       // Spark's div (both truncate; keys are positive)

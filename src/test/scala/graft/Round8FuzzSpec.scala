@@ -163,6 +163,28 @@ class Round8FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("ksTest equals the in-memory CDF reference on 30 random sample pairs") {
+    val samples: Gen[(List[Long], List[Long])] = for {
+      na <- Gen.choose(1, 150); nb <- Gen.choose(1, 150)
+      a <- Gen.listOfN(na, Gen.choose(0L, 40L))
+      // shifted support on one side so D spans the (0, 1] range across seeds
+      b <- Gen.listOfN(nb, Gen.choose(10L, 60L))
+    } yield (a, b)
+    (1 to 30).foreach { seed =>
+      samples(Gen.Parameters.default, Seed(seed.toLong)).foreach { case (a, b) =>
+        val got = graft.operators.Profiling
+          .ksTest(a.map(Tuple1(_)).toDF("v"), b.map(Tuple1(_)).toDF("v"), "v")
+          .as[(Long, Long, Double)].head()
+        val vs = (a ++ b).distinct.sorted
+        val d = vs.map { v =>
+          math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+        }.max
+        assert(got._1 == a.size.toLong && got._2 == b.size.toLong, s"seed $seed sizes")
+        assert(math.abs(got._3 - math.rint(d * 1e6) / 1e6) < 1.1e-6, s"seed $seed: ${got._3} vs $d")
+      }
+    }
+  }
+
   test("seasonalByPhase residuals cancel within every (key, phase) on 30 random series") {
     val series: Gen[List[(String, Long, Long)]] = for {
       n <- Gen.choose(3, 150)
