@@ -1418,6 +1418,32 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2L)) =!= 0L).select(col("cents")),
         "cents")
     }),
+    "q_stream_psi_drift" -> ((s, dir) => {
+      // IN-STREAM drift monitoring: the current sample arrives as a
+      // stream, buckets against the BROADCAST baseline edges (stream-
+      // static join — the stateful part is one per-bucket count in
+      // complete mode), and the drained counts compose with the batch
+      // baseline through the same PSI assembly as q_psi_drift — so the
+      // two queries share one oracle formula.
+      val evB = table(s, dir, "events")
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = evB.filter(pmod(col("user_id"), lit(2L)) === 0L).select(col("cents"))
+      val edges = Profiling.psiEdges(base, "cents")
+      val baseCounts = base.crossJoin(edges)
+        .select(Profiling.psiBucket("cents").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_base"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val cur = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .filter(pmod(col("user_id"), lit(2L)) =!= 0L)
+        .crossJoin(edges)
+        .select(Profiling.psiBucket("cents").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_cur"))
+      val curCounts = runToMemory(s, cur, "complete")
+      Profiling.psiFromCounts(
+        Profiling.psiCountsSpine(baseCounts, curCounts, 10), 10)
+    }),
     "q_ks_test" -> ((s, dir) => {
       // Exact two-sample KS statistic between the even/odd-user value
       // samples — the global CDF cumsum runs as the distributed prefix sum
@@ -4090,36 +4116,11 @@ object SparkEntry {
         |           (CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / CAST(n_b - 1 AS DOUBLE) / n_b)
         |  END, 6) AS t
         |FROM m""".stripMargin,
-    "q_psi_drift" ->
-      // smoothed probabilities mirror Profiling.psiDrift term-for-term:
-      // (n+0.5)/(total+buckets/2); bucket = edges strictly below x
-      """WITH bse AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-        |  FROM events WHERE user_id % 2 = 0),
-        |cur AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-        |  FROM events WHERE user_id % 2 != 0),
-        |e AS (SELECT quantile_cont(c,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM bse),
-        |nb AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n_base FROM bse, e GROUP BY 1),
-        |nc AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur, e GROUP BY 1),
-        |sp AS (SELECT unnest(range(0, 10)) AS bucket),
-        |j AS (SELECT sp.bucket,
-        |    CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
-        |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
-        |  FROM sp LEFT JOIN nb ON nb.bucket = sp.bucket
-        |    LEFT JOIN nc ON nc.bucket = sp.bucket),
-        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
-        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
-        |SELECT bucket, n_base, n_cur,
-        |  round((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0), 6) AS p_base,
-        |  round((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0), 6) AS p_cur,
-        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0) -
-        |         (CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)) *
-        |    ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)) /
-        |       ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))), 6)
-        |    AS psi_contrib
-        |FROM j, t""".stripMargin,
+    // q_stream_psi_drift computes the same counts from a streamed current
+    // sample and composes through the identical PSI assembly — one
+    // formula, one shared oracle (psiDriftOracle val)
+    "q_psi_drift" -> psiDriftOracle,
+    "q_stream_psi_drift" -> psiDriftOracle,
     "q_ks_test" ->
       // naive single-window cumsum is fine AS AN ORACLE; the engine's
       // distributed prefix sum must produce the identical D
@@ -4873,6 +4874,39 @@ object SparkEntry {
   /** Unigram-LM scores as CTEs ending in `u(doc_id, n_tokens,
     * avg_neg_logprob)` — mirrors TextAnalysis.unigramLogProb. Shared by
     * q_unigram_logprob and the q_perplexity_sample composition. */
+  /** Shared by q_psi_drift (batch) and q_stream_psi_drift (the streamed
+    * current sample feeds the same assembly): smoothed probabilities
+    * mirror Profiling.psiFromCounts term-for-term —
+    * (n+0.5)/(total+buckets/2); bucket = count of edges strictly below x. */
+  private val psiDriftOracle: String =
+    """WITH bse AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      |  FROM events WHERE user_id % 2 = 0),
+      |cur AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      |  FROM events WHERE user_id % 2 != 0),
+      |e AS (SELECT quantile_cont(c,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM bse),
+      |nb AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_base FROM bse, e GROUP BY 1),
+      |nc AS (SELECT len(list_filter(edges, v -> CAST(c AS DOUBLE) > v)) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur, e GROUP BY 1),
+      |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+      |j AS (SELECT sp.bucket,
+      |    CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+      |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+      |  FROM sp LEFT JOIN nb ON nb.bucket = sp.bucket
+      |    LEFT JOIN nc ON nc.bucket = sp.bucket),
+      |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+      |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+      |SELECT bucket, n_base, n_cur,
+      |  round((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0), 6) AS p_base,
+      |  round((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0), 6) AS p_cur,
+      |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0) -
+      |         (CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)) *
+      |    ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)) /
+      |       ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))), 6)
+      |    AS psi_contrib
+      |FROM j, t""".stripMargin
+
   private val unigramCte: String =
     """ex AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
       |uc AS (SELECT doc_id, token, COUNT(*) AS c FROM ex GROUP BY doc_id, token),

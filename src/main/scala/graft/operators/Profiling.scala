@@ -101,26 +101,23 @@ object Profiling {
     * Plan shape: one baseline quantile agg broadcast to both sides, one
     * count agg per side, and a `buckets`-row spine join — the two samples
     * are each scanned ONCE and never shuffled beyond their bucket counts. */
-  def psiDrift(
-      base: DataFrame,
-      current: DataFrame,
-      valCol: String,
-      buckets: Int = 10): DataFrame = {
+  /** Baseline-quantile edges for [[psiDrift]] as a broadcast 1-row frame —
+    * public so a STREAMING current sample can bucket against the same
+    * edges (stream-static broadcast join) and feed [[psiFromCounts]]. */
+  def psiEdges(base: DataFrame, valCol: String, buckets: Int = 10): DataFrame = {
     require(buckets > 1, s"buckets must be > 1: $buckets")
     val qs = (1 until buckets).map(i => s"${i.toDouble / buckets}D").mkString(", ")
-    val edges = broadcast(base.agg(expr(s"percentile($valCol, array($qs))").as("__e")))
-    def bucketCounts(df: DataFrame, name: String) =
-      df.crossJoin(edges)
-        .select(size(filter(col("__e"), e => col(valCol).cast("double") > e))
-          .cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as(name))
-    val spine = base.sparkSession.range(buckets).select(col("id").as("bucket"))
-    val j = spine
-      .join(bucketCounts(base, "n_base"), Seq("bucket"), "left")
-      .join(bucketCounts(current, "n_cur"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    broadcast(base.agg(expr(s"percentile($valCol, array($qs))").as("__e")))
+  }
+
+  /** Bucket index against [[psiEdges]]' `__e` array: count of edges
+    * strictly below x (ties bind to the lower bucket in both engines). */
+  def psiBucket(valCol: String): org.apache.spark.sql.Column =
+    size(filter(col("__e"), e => col(valCol).cast("double") > e)).cast("long")
+
+  /** PSI assembly from per-bucket counts (`bucket`, `n_base`, `n_cur` —
+    * missing buckets taken as 0 via the spine join in [[psiDrift]]). */
+  def psiFromCounts(j: DataFrame, buckets: Int): DataFrame = {
     val tot = broadcast(j.agg(
       sum(col("n_base")).cast("long").as("__tb"),
       sum(col("n_cur")).cast("long").as("__tc")))
@@ -130,6 +127,34 @@ object Profiling {
     j.crossJoin(tot).select(col("bucket"), col("n_base"), col("n_cur"),
       round(p, 6).as("p_base"), round(q, 6).as("p_cur"),
       round((q - p) * log(q / p), 6).as("psi_contrib"))
+  }
+
+  /** Spine-join per-side bucket counts so every bucket row exists. */
+  def psiCountsSpine(
+      baseCounts: DataFrame, curCounts: DataFrame, buckets: Int): DataFrame = {
+    val spine = baseCounts.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine
+      .join(baseCounts, Seq("bucket"), "left")
+      .join(curCounts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  def psiDrift(
+      base: DataFrame,
+      current: DataFrame,
+      valCol: String,
+      buckets: Int = 10): DataFrame = {
+    val edges = psiEdges(base, valCol, buckets)
+    def bucketCounts(df: DataFrame, name: String) =
+      df.crossJoin(edges)
+        .select(psiBucket(valCol).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as(name))
+    psiFromCounts(
+      psiCountsSpine(bucketCounts(base, "n_base"), bucketCounts(current, "n_cur"),
+        buckets),
+      buckets)
   }
 
   /** EXACT two-sample Kolmogorov–Smirnov statistic over an integer-valued
