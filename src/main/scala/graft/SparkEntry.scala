@@ -1444,6 +1444,13 @@ object SparkEntry {
       Profiling.psiFromCounts(
         Profiling.psiCountsSpine(baseCounts, curCounts, 10), 10)
     }),
+    "q_chi2_independence" -> ((s, dir) => {
+      // Is event-type mix independent of the user-parity cohort? One
+      // contingency aggregate + tiny broadcast marginals (Profiling).
+      val ev = table(s, dir, "events").select(col("event_type"),
+        concat(lit("arm_"), pmod(col("user_id"), lit(2L))).as("arm"))
+      Profiling.chi2Independence(ev, "event_type", "arm")
+    }),
     "q_ks_test" -> ((s, dir) => {
       // Exact two-sample KS statistic between the even/odd-user value
       // samples — the global CDF cumsum runs as the distributed prefix sum
@@ -4121,6 +4128,24 @@ object SparkEntry {
     // formula, one shared oracle (psiDriftOracle val)
     "q_psi_drift" -> psiDriftOracle,
     "q_stream_psi_drift" -> psiDriftOracle,
+    "q_chi2_independence" ->
+      // expected = row-marginal · col-marginal / total, mirrored
+      // term-for-term (CAST(nr AS DOUBLE) * nc / n)
+      """WITH ev AS (SELECT event_type,
+        |    'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm FROM events),
+        |cells AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS nr
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT arm, CAST(SUM(obs) AS BIGINT) AS nc FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, cells.arm, obs,
+        |  round(CAST(nr AS DOUBLE) * nc / n, 6) AS expected,
+        |  round((CAST(obs AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) *
+        |        (CAST(obs AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) /
+        |        (CAST(nr AS DOUBLE) * nc / n), 6) AS chi2_contrib
+        |FROM cells JOIN r ON r.event_type = cells.event_type
+        |  JOIN c ON c.arm = cells.arm CROSS JOIN t""".stripMargin,
     "q_ks_test" ->
       // naive single-window cumsum is fine AS AN ORACLE; the engine's
       // distributed prefix sum must produce the identical D

@@ -157,6 +157,31 @@ object Profiling {
       buckets)
   }
 
+  /** Chi-square test of independence over a two-column contingency table —
+    * "does the categorical distribution differ across arms/cohorts?", the
+    * categorical companion to [[ksTest]]/[[psiDrift]]. One count aggregate
+    * builds the contingency cells; row/column marginals come from two tiny
+    * re-aggregations of those cells (never a second scan) broadcast back;
+    * chi² per cell = (obs − exp)²/exp with exp = row·col/total assembled
+    * from exact BIGINT counts in one double step. No p-value on purpose
+    * (chi² CDF libm portability, same stance as welchTTest). */
+  def chi2Independence(
+      df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).cast("long").as("obs"))
+    val rows = broadcast(cells.groupBy(col(rowCol))
+      .agg(sum(col("obs")).cast("long").as("__nr")))
+    val cols = broadcast(cells.groupBy(col(colCol))
+      .agg(sum(col("obs")).cast("long").as("__nc")))
+    val tot = broadcast(cells.agg(sum(col("obs")).cast("long").as("__n")))
+    val exp = col("__nr").cast("double") * col("__nc") / col("__n")
+    cells.join(rows, rowCol).join(cols, colCol).crossJoin(tot)
+      .select(col(rowCol), col(colCol), col("obs"),
+        round(exp, 6).as("expected"),
+        round((col("obs").cast("double") - exp) * (col("obs").cast("double") - exp)
+          / exp, 6).as("chi2_contrib"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic over an integer-valued
     * column: D = max over observed values of |F_a(v) − F_b(v)| — the
     * sharper drift test next to [[psiDrift]] (no bucketing, sensitive to

@@ -274,6 +274,28 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(drift.map(_.getAs[Double]("psi_contrib")).sum > 0.25)
   }
 
+  test("chi2Independence: independent table gives 0; hand-computed 2x2 matches") {
+    import graft.operators.Profiling
+    // perfectly independent: P(row)·P(col) factorizes -> every contrib 0
+    val ind = Seq.fill(4)(("x", "a")) ++ Seq.fill(4)(("x", "b")) ++
+      Seq.fill(2)(("y", "a")) ++ Seq.fill(2)(("y", "b"))
+    val zero = Profiling.chi2Independence(ind.toDF("r", "c"), "r", "c").collect()
+    assert(zero.length == 4 && zero.forall(_.getAs[Double]("chi2_contrib") == 0.0))
+    // classic 2x2: obs [[10, 20], [30, 40]]; exp row1 = 12/8 etc.
+    val skew = Seq.fill(10)(("x", "a")) ++ Seq.fill(20)(("x", "b")) ++
+      Seq.fill(30)(("y", "a")) ++ Seq.fill(40)(("y", "b"))
+    val got = Profiling.chi2Independence(skew.toDF("r", "c"), "r", "c").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("obs"), r.getAs[Double]("expected"), r.getAs[Double]("chi2_contrib"))))
+      .toMap
+    // exp(x,a) = 30*40/100 = 12; contrib = (10-12)^2/12 = 0.333333
+    assert(got(("x", "a")) == ((10L, 12.0, 0.333333)))
+    assert(got(("y", "b")) == ((40L, 42.0, math.rint(4.0 / 42 * 1e6) / 1e6)))
+    // total chi2 for this table is ~0.7936508
+    val total = got.values.map(_._3).sum
+    assert(math.abs(total - 0.793651) < 1e-5)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
