@@ -1444,6 +1444,21 @@ object SparkEntry {
       Profiling.psiFromCounts(
         Profiling.psiCountsSpine(baseCounts, curCounts, 10), 10)
     }),
+    "q_train_shuffle" -> ((s, dir) => {
+      // Deterministic training-data shuffle order: every doc positioned by
+      // md5 rank WITHOUT a single-partition global window —
+      // Layout.globalRowNumber runs the distributed prefix-sum rank
+      // (range exchange + per-partition offsets).
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      graft.operators.Layout.globalRowNumber(d, Seq("h", "doc_id"), "pos")
+        .select(col("doc_id"), col("h"), col("pos"))
+    }),
+    "q_pmi_collocations" -> ((s, dir) =>
+      // Church–Hanks PMI collocations: top adjacent-pair associations
+      // above a count floor — one tokenization, vocabulary joins by key
+      // (never broadcast), 1-row total broadcasts.
+      TextAnalysis.pmiCollocations(table(s, dir, "documents"), minCount = 5L, k = 20)),
     "q_chi2_independence" -> ((s, dir) => {
       // Is event-type mix independent of the user-parity cohort? One
       // contingency aggregate + tiny broadcast marginals (Profiling).
@@ -4128,6 +4143,31 @@ object SparkEntry {
     // formula, one shared oracle (psiDriftOracle val)
     "q_psi_drift" -> psiDriftOracle,
     "q_stream_psi_drift" -> psiDriftOracle,
+    "q_train_shuffle" ->
+      """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+    "q_pmi_collocations" ->
+      // identical PMI expression tree; bigrams via 1-based comprehension
+      """WITH tl AS (SELECT string_split(text, ' ') AS tl FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(tl) AS w FROM tl) GROUP BY 1),
+        |bi0 AS (SELECT unnest([struct_pack(a := tl[i], b := tl[i + 1])
+        |    FOR i IN range(1, len(tl))]) AS p FROM tl),
+        |bi AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM bi0 GROUP BY 1, 2),
+        |nu AS (SELECT CAST(SUM(cw) AS BIGINT) AS nu FROM uni),
+        |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bi),
+        |sc AS (SELECT a, b, cab,
+        |    round(ln((CAST(cab AS DOUBLE) / nb) /
+        |      ((CAST(ca.cw AS DOUBLE) / nu) * (CAST(cb.cw AS DOUBLE) / nu))), 6) AS pmi
+        |  FROM bi JOIN uni ca ON ca.w = bi.a JOIN uni cb ON cb.w = bi.b, nu, nb
+        |  WHERE cab >= 5)
+        |SELECT a, b, cab, pmi, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rn FROM sc)
+        |WHERE rn <= 20""".stripMargin,
     "q_chi2_independence" ->
       // expected = row-marginal · col-marginal / total, mirrored
       // term-for-term (CAST(nr AS DOUBLE) * nc / n)

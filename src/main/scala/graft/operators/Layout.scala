@@ -114,6 +114,45 @@ object Layout {
     * `<dir>.__compact_tmp`) — recovery is renaming `.__compact_old` back.
     * An object-store deployment would swap via the table format's commit
     * protocol instead. */
+  /** Distributed GLOBAL row number over an arbitrary total order — the
+    * training-data shuffle-order assigner: position every row by a
+    * deterministic pseudo-random key (e.g. md5 of the id) without ever
+    * sorting the table through one partition. `Window.orderBy` with no
+    * partition key is the classic scale trap (WindowExec moves ALL rows to
+    * a single task); this runs the token-budget operators' distributed
+    * prefix sum instead: range-partition on the order key, local
+    * row_number per partition, per-partition counts broadcast back as
+    * offsets — two tiny windows over n_partitions rows and ONE range
+    * exchange of the data.
+    *
+    * `orderCols` must be a total order (append a unique id as the last
+    * column) or positions are nondeterministic within ties. Positions are
+    * 1-based, matching SQL ROW_NUMBER. */
+  def globalRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      posCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val oc = orderCols.map(col)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, oc: _*)
+      .sortWithinPartitions(oc: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("__rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(posCol, (col("__off") + col("__rn")).cast("long"))
+      .drop("__pid", "__rn", "__off")
+  }
+
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -845,4 +845,48 @@ object TextAnalysis {
       .withColumn("pred", (col("log_odds") > 0).cast("int"))
       .withColumn("correct", (col("pred") === col("label")).cast("int"))
   }
+
+  /** PMI collocation extraction — the corpus-linguistics "find multiword
+    * units" step (named entities, idioms, domain terms) that tokenizer and
+    * phrase-mining pipelines run before vocabulary construction:
+    * pmi(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs, top-k
+    * above a minimum pair count (PMI without a count floor surfaces
+    * hapax noise first — the standard Church–Hanks caveat).
+    *
+    * Plan: ONE tokenization feeds both the unigram and bigram aggregates
+    * (successor via try_element_at on the carried array — the
+    * [[bigramLogProb]] trade: no doc-ordered window shuffle); the
+    * vocabulary-sized unigram table joins back by word key (two shuffle
+    * joins — NEVER broadcast, same discipline as q_tfidf); the two scalar
+    * totals ride as 1-row broadcasts; ranking runs on the k survivors. */
+  def pmiCollocations(
+      docs: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tl = docs.select(tokens(col(textCol)).as("__tl"))
+    val uni = tl.select(explode(col("__tl")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cw"))
+    val bi = tl
+      .select(col("__tl"), posexplode(col("__tl")).as(Seq("pos", "a")))
+      .select(col("a"),
+        try_element_at(col("__tl"), (col("pos") + 2).cast("int")).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("cab"))
+    val nu = broadcast(uni.agg(sum(col("cw")).cast("long").as("__nu")))
+    val nb = broadcast(bi.agg(sum(col("cab")).cast("long").as("__nb")))
+    val scored = bi.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("cw").as("__ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cw").as("__cb")), "b")
+      .crossJoin(nu).crossJoin(nb)
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") / col("__nb")) /
+          ((col("__ca").cast("double") / col("__nu")) *
+            (col("__cb").cast("double") / col("__nu")))), 6))
+    scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("long"))
+      .select(col("a"), col("b"), col("cab"), col("pmi"), col("rn"))
+  }
 }

@@ -185,6 +185,22 @@ class Round8FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("globalRowNumber assigns the exact sort rank on 20 random tables (incl. near-empty partitions)") {
+    val tables: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+    } yield rows.zipWithIndex.map { case (v, i) => v * 10000 + i } // unique
+    (1 to 20).foreach { seed =>
+      tables(Gen.Parameters.default, Seed(seed.toLong)).foreach { rows =>
+        val got = graft.operators.Layout
+          .globalRowNumber(rows.map(Tuple1(_)).toDF("v"), Seq("v"))
+          .select($"v", $"pos").as[(Long, Long)].collect().toMap
+        val expect = rows.sorted.zipWithIndex.map { case (v, i) => v -> (i + 1).toLong }.toMap
+        assert(got == expect, s"seed $seed")
+      }
+    }
+  }
+
   test("seasonalByPhase residuals cancel within every (key, phase) on 30 random series") {
     val series: Gen[List[(String, Long, Long)]] = for {
       n <- Gen.choose(3, 150)

@@ -296,6 +296,24 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(math.abs(total - 0.793651) < 1e-5)
   }
 
+  test("pmiCollocations: a planted collocation outranks independent fillers") {
+    import graft.operators.TextAnalysis
+    // "new york" always co-occurs (perfect association); filler tokens mix
+    // independently across docs
+    val docs = (0L until 40L).map { i =>
+      val filler = Seq("the", "a", "of", "x", "y")(i.toInt % 5)
+      (i, s"new york $filler the a of meeting")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 5L, k = 5).collect()
+    val top = got.minBy(_.getAs[Long]("rn"))
+    assert((top.getString(0), top.getString(1)) == (("new", "york")))
+    assert(top.getAs[Long]("cab") == 40L)
+    // PMI of the perfect pair: ln((40/Nb) / ((40/Nu)*(40/Nu))) with
+    // Nu = 40·7 = 280 tokens, Nb = 40·6 = 240 bigrams
+    val expected = math.rint(math.log((40.0 / 240) / ((40.0 / 280) * (40.0 / 280))) * 1e6) / 1e6
+    assert(math.abs(top.getAs[Double]("pmi") - expected) < 1.1e-6)
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
