@@ -421,6 +421,13 @@ object ScaleSmoke {
           datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("d"))
       drain(graft.operators.Skyline.skyline2D(o, "cents", "d"))
     }
+    time(s"globalRowNumber x$mult") {
+      val d = events.select(col("event_id"),
+        md5(concat(lit("shuf:"), col("event_id").cast("string"))).as("h"))
+      drain(graft.operators.Layout.globalRowNumber(d, Seq("h", "event_id")))
+    }
+    time(s"pmiCollocations x${math.max(1, mult / 5)}")(
+      drain(graft.operators.TextAnalysis.pmiCollocations(docs)))
     time(s"ngramContainment x${math.max(1, mult / 5)}") {
       val sh = Dedup.shingleSigTable(docs, "doc_id", "text", 3, numHashes = 0)
       val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
