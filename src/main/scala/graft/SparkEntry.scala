@@ -1444,6 +1444,25 @@ object SparkEntry {
       Profiling.psiFromCounts(
         Profiling.psiCountsSpine(baseCounts, curCounts, 10), 10)
     }),
+    "q_keyword_spot" -> ((s, dir) =>
+      // Blocklist content filter: per-(doc, needle) whole-token hit counts
+      // — needles broadcast into a narrow map, only hit rows shuffle.
+      TextAnalysis.keywordSpot(table(s, dir, "documents"),
+        Seq("join", "vector", "spark", "data"))),
+    "q_stream_keyword_alert" -> ((s, dir) => {
+      // The same spotting over a document STREAM, rolled up per needle in
+      // complete mode — the alerting tier of the content filter; shares
+      // the batch formula's oracle rollup.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = TextAnalysis
+        .keywordSpot(src, Seq("join", "vector", "spark", "data"))
+        .groupBy(col("needle"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_hits")).cast("long").as("total_hits"))
+      runToMemory(s, agg, "complete")
+    }),
     "q_train_shuffle" -> ((s, dir) => {
       // Deterministic training-data shuffle order: every doc positioned by
       // md5 rank WITHOUT a single-partition global window —
@@ -4143,6 +4162,23 @@ object SparkEntry {
     // formula, one shared oracle (psiDriftOracle val)
     "q_psi_drift" -> psiDriftOracle,
     "q_stream_psi_drift" -> psiDriftOracle,
+    "q_keyword_spot" ->
+      // whole-token semantics: list_filter over the split tokens, never a
+      // substring scan
+      """SELECT doc_id, needle, CAST(n_hits AS BIGINT) AS n_hits FROM (
+        |  SELECT doc_id, needle,
+        |    len(list_filter(string_split(text, ' '), t -> t = needle)) AS n_hits
+        |  FROM documents,
+        |    (SELECT unnest(['join', 'vector', 'spark', 'data']) AS needle))
+        |WHERE n_hits > 0""".stripMargin,
+    "q_stream_keyword_alert" ->
+      """SELECT needle, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_hits) AS BIGINT) AS total_hits FROM (
+        |  SELECT doc_id, needle,
+        |    len(list_filter(string_split(text, ' '), t -> t = needle)) AS n_hits
+        |  FROM documents,
+        |    (SELECT unnest(['join', 'vector', 'spark', 'data']) AS needle))
+        |WHERE n_hits > 0 GROUP BY needle""".stripMargin,
     "q_train_shuffle" ->
       """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(ROW_NUMBER() OVER (

@@ -846,6 +846,34 @@ object TextAnalysis {
       .withColumn("correct", (col("pred") === col("label")).cast("int"))
   }
 
+  /** Blocklist keyword spotting — the content-filter primitive (unsafe
+    * terms, spam domains, license markers): per (doc, needle) occurrence
+    * counts for a fixed needle list, whole-token semantics (a needle
+    * matches a TOKEN exactly, not a substring — "cat" must not fire on
+    * "concatenate"). Emits only hits; a doc-level verdict is
+    * `groupBy(doc).agg(...)` downstream.
+    *
+    * Plan: needles ride as a BROADCAST array literal into a narrow map —
+    * one `filter` over the doc's token array per needle (needle lists are
+    * dozens-to-thousands, far under broadcast limits); the scan stays
+    * pruned to (id, text) and nothing shuffles except the hit rows. */
+  def keywordSpot(
+      docs: DataFrame,
+      needles: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(needles.nonEmpty, "needles must be non-empty")
+    require(needles.distinct.size == needles.size, s"duplicate needles: $needles")
+    val toks = tokens(col(textCol))
+    val hits = array(needles.map { n =>
+      struct(lit(n).as("needle"),
+        size(filter(toks, t => t === n)).cast("long").as("n_hits"))
+    }: _*)
+    docs
+      .select(col("doc_id"), explode(hits).as("h"))
+      .select(col("doc_id"), col("h.needle").as("needle"), col("h.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0L)
+  }
+
   /** PMI collocation extraction — the corpus-linguistics "find multiword
     * units" step (named entities, idioms, domain terms) that tokenizer and
     * phrase-mining pipelines run before vocabulary construction:

@@ -314,6 +314,17 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(math.abs(top.getAs[Double]("pmi") - expected) < 1.1e-6)
   }
 
+  test("keywordSpot: whole-token hits only, counts exact, misses emit nothing") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "concatenate cats scattered"), // substrings must NOT fire
+      (3L, "dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywordSpot(docs, Seq("cat", "dog", "bird")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, "cat") -> 2L, (3L, "dog") -> 1L))
+  }
+
   test("sequenceMatch reports the true match position for anchored patterns") {
     // the ADVICE r7 counterexample: 'vp$' over 'vpxvp' must report 4, not 1
     val ev = Seq(
