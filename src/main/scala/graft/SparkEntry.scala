@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2619,6 +2619,61 @@ object SparkEntry {
           (abs(col("approx_users") - col("exact_users"))
             <= greatest(lit(1L), col("exact_users") * lit(0.05))).cast("int").as("est_ok"))
     }),
+    "q_auc" -> ((s, dir) => {
+      // Exact ROC AUC of spend as a purchase ranker — Mann–Whitney with
+      // midrank ties, integer-exact. The distinct-cents table takes the
+      // ranged prefix sum (Eval.rangedCumsum); the events never sort
+      // through one partition.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.auc(ev, "cents", "is_pos")
+    }),
+    "q_calibration_bins" -> ((s, dir) => {
+      // Calibration/reliability table: does spend-decile membership track
+      // purchase rate? Equal-width integer bins over the observed span
+      // (one min/max broadcast + one hash aggregate).
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.calibrationBins(ev, "cents", "is_pos")
+    }),
+    "q_classifier_eval" -> ((s, dir) =>
+      // Per-class precision/recall/F1 of the language-ID heuristic against
+      // the labeled lang — the eval gate before trusting a filter on the
+      // full corpus. Confusion cells aggregate once; per-class rows are
+      // tiny re-aggregations of the cells.
+      Eval.confusionStats(
+        TextAnalysis.langId(table(s, dir, "documents")),
+        "pred_lang", "labeled_lang")),
+    "q_cohens_kappa" -> ((s, dir) =>
+      // Chance-corrected annotator agreement between the language-ID
+      // heuristic and the labels — exact rational κ from one cells
+      // aggregate + broadcast marginal products.
+      Eval.cohensKappa(
+        TextAnalysis.langId(table(s, dir, "documents")),
+        "pred_lang", "labeled_lang")),
+    "q_gini" -> ((s, dir) => {
+      // Spend-concentration Gini per market segment (order totals in
+      // cents) — a rank statistic with NO global sort: ties collapse into
+      // the distinct-(segment, cents) table, which takes the ranged
+      // prefix sum; numerator/denominator emitted as exact BIGINTs.
+      val o = table(s, dir, "orders").join(
+        table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Eval.gini(o, "c_mktsegment", "cents")
+    }),
+    "q_weighted_median" -> ((s, dir) => {
+      // Exact quantity-weighted lower median unit price per return flag —
+      // smallest price whose cumulative weight reaches half the total
+      // (2·cumw ≥ W, integer compare), same distinct-value prefix-sum
+      // shape as q_gini.
+      val li = table(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      Eval.weightedMedian(li, "l_returnflag", "cents", "qty")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -4932,6 +4987,94 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 1000000 < least(n_chars * 1250, 1000000)""".stripMargin,
+    "q_auc" ->
+      """WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events),
+        |per AS (SELECT v, CAST(SUM(pos) AS BIGINT) AS cp,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS cn FROM e GROUP BY v),
+        |c AS (SELECT v, cp, cn,
+        |    CAST(SUM(cn) OVER (ORDER BY v) AS BIGINT) AS cum_cn FROM per),
+        |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cn) AS BIGINT) AS n_neg FROM per)
+        |SELECT n_pos, n_neg,
+        |  CAST(SUM(cp * (2*(cum_cn - cn) + cn)) AS BIGINT) AS num,
+        |  CAST(2 * n_pos * n_neg AS BIGINT) AS den,
+        |  round(CAST(SUM(cp * (2*(cum_cn - cn) + cn)) AS DOUBLE)
+        |    / (2.0 * n_pos * n_neg), 6) AS auc
+        |FROM c, tot GROUP BY n_pos, n_neg""".stripMargin,
+    "q_calibration_bins" ->
+      """WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events),
+        |mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM e)
+        |SELECT CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(s) AS BIGINT) AS sum_score,
+        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+        |  round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+        |FROM e, mm GROUP BY 1""".stripMargin,
+    "q_classifier_eval" ->
+      s"""$langPredCte,
+        |cells AS (SELECT pred_lang AS p, labeled_lang AS a,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT p AS clazz FROM cells
+        |  UNION SELECT DISTINCT a FROM cells),
+        |st AS (SELECT clazz,
+        |  CAST(COALESCE((SELECT SUM(n) FROM cells WHERE p = clazz AND a = clazz), 0) AS BIGINT) AS tp,
+        |  CAST(COALESCE((SELECT SUM(n) FROM cells WHERE p = clazz AND a <> clazz), 0) AS BIGINT) AS fp,
+        |  CAST(COALESCE((SELECT SUM(n) FROM cells WHERE a = clazz AND p <> clazz), 0) AS BIGINT) AS fn
+        |  FROM cls)
+        |SELECT clazz, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 0.0
+        |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+        |  CASE WHEN tp + fn = 0 THEN 0.0
+        |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+        |       ELSE round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) END AS f1
+        |FROM st""".stripMargin,
+    "q_cohens_kappa" ->
+      s"""$langPredCte,
+        |cells AS (SELECT pred_lang AS p, labeled_lang AS a,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |    CAST(COALESCE(SUM(CASE WHEN p = a THEN n END), 0) AS BIGINT) AS n_agree
+        |  FROM cells),
+        |rc AS (SELECT CAST(SUM(np * na) AS BIGINT) AS sum_rc FROM
+        |  (SELECT p AS c, CAST(SUM(n) AS BIGINT) AS np FROM cells GROUP BY 1) x
+        |  JOIN (SELECT a AS c, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1) y
+        |  USING (c))
+        |SELECT n_items, n_agree, sum_rc,
+        |  CAST(n_items * n_agree - sum_rc AS BIGINT) AS num,
+        |  CAST(n_items * n_items - sum_rc AS BIGINT) AS den,
+        |  round(CAST(n_items * n_agree - sum_rc AS DOUBLE)
+        |    / (n_items * n_items - sum_rc), 6) AS kappa
+        |FROM m, rc""".stripMargin,
+    "q_gini" ->
+      """WITH o AS (SELECT c_mktsegment AS seg,
+        |    CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS nv FROM o GROUP BY 1, 2),
+        |c AS (SELECT seg, v, nv,
+        |    CAST(SUM(nv) OVER (PARTITION BY seg ORDER BY v) AS BIGINT) AS cum FROM per),
+        |g AS (SELECT seg, CAST(SUM(nv) AS BIGINT) AS n,
+        |    CAST(SUM(v * nv) AS BIGINT) AS sum_val,
+        |    CAST(SUM(v * nv * (2*(cum - nv) + nv + 1)) AS BIGINT) AS twice
+        |  FROM c GROUP BY seg)
+        |SELECT seg AS c_mktsegment, n, sum_val,
+        |  CAST(twice - (n + 1) * sum_val AS BIGINT) AS num,
+        |  CAST(n * sum_val AS BIGINT) AS den,
+        |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
+        |FROM g""".stripMargin,
+    "q_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |per AS (SELECT g, v, CAST(SUM(q) AS BIGINT) AS w FROM li GROUP BY 1, 2),
+        |c AS (SELECT g, v, w,
+        |    CAST(SUM(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw FROM per),
+        |tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS w_total FROM per GROUP BY g)
+        |SELECT c.g AS l_returnflag, tot.w_total, CAST(MIN(v) AS BIGINT) AS w_median
+        |FROM c JOIN tot ON c.g = tot.g
+        |WHERE 2 * cw >= w_total GROUP BY c.g, tot.w_total""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
@@ -5016,6 +5159,26 @@ object SparkEntry {
       |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
       |    round(-SUM(c * log2(f/total)) / SUM(c), 6) AS avg_neg_logprob
       |  FROM uf CROSS JOIN ut GROUP BY doc_id)""".stripMargin
+
+  /** Language-ID prediction as a WITH-prefix ending in CTE `pred`
+    * (doc_id, labeled_lang, pred_lang) — the SQL twin of
+    * [[graft.operators.TextAnalysis.langId]], shared by the q_lang_id
+    * evaluation oracles (q_classifier_eval, q_cohens_kappa). */
+  private val langPredCte: String =
+    """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+      |    string_split(text, ' ') AS tl FROM documents),
+      |sc AS (SELECT doc_id, labeled_lang,
+      |  CAST(len(list_filter(tl, t -> t IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(tl, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(tl, t -> t IN ('el','la','de','y','un'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(tl, t -> t IN ('le','la','de','et','un'))) AS BIGINT) AS s_fr,
+      |  CAST(len(list_filter(tl, t -> t IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+      |FROM t),
+      |pred AS (SELECT doc_id, labeled_lang,
+      |  CASE WHEN g = 0 THEN 'und'
+      |       WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+      |       WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
+      |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc))""".stripMargin
 
   /** Disclaimer-splice fixture as a CTE named `p` — the SQL twin of
     * [[spliceDisclaimer]]; edit BOTH or the repeated-span hash gates break. */

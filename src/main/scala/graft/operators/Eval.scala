@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics over distributed predictions — the "score the
+  * filter/classifier before trusting it on the corpus" step of a training
+  * pipeline: ranking quality (ROC AUC), per-class precision/recall/F1,
+  * inter-annotator agreement (Cohen's kappa), probability calibration,
+  * plus the rank-statistic economics pair (Gini concentration, exact
+  * weighted median).
+  *
+  * Every metric is computed from exact BIGINT counts assembled
+  * distributively; the only doubles are single final divisions rounded to
+  * 6 decimals, so a SQL oracle replays each value bit-for-bit. Rank-based
+  * statistics (AUC, Gini, weighted median) never sort the data through one
+  * partition: they aggregate to the distinct-value table first and run the
+  * same ranged prefix sum as the token-budget operators
+  * ([[rangedCumsum]]), so the only global window is over
+  * n_partitions × n_groups offset rows.
+  */
+object Eval {
+
+  /** Distributed cumulative sums over `(groupCols, orderCol)` order — the
+    * shared kernel of every rank statistic here. `Window.partitionBy(g)
+    * .orderBy(v)` is scale-safe only while single groups fit one task;
+    * with few or no groups it serializes the table. This instead:
+    * range-partitions on (group, order) — so each group's rows are
+    * pid-ordered — computes local running sums per (pid, group), and
+    * broadcasts per-(pid, group) totals back as offsets. The only global
+    * windows run over the offset table (n_partitions × n_groups rows).
+    *
+    * Adds one INCLUSIVE running-sum column `cum_<c>` per entry of
+    * `sumCols`. Rows must be unique per (groupCols, orderCol) — aggregate
+    * to distinct order values first (that aggregation is also what bounds
+    * the exchanged data by the value domain, not the row count).
+    *
+    * CORRECTNESS: the ranged frame is `localCheckpoint`ed — materialized
+    * ONCE — before fan-out, because the running-sum branch and the offsets
+    * branch would otherwise each instantiate their own copy of the range
+    * exchange, and range-boundary SAMPLING is seeded per RDD instance: the
+    * two copies can draw different partition bounds, making `__pid`
+    * disagree between branches (offsets join against the wrong rows —
+    * silently wrong cumsums). Exchange reuse sometimes deduplicates the
+    * copies, but it is an optimization, not a guarantee (observed not
+    * firing for this very shape). The bug is invisible on toy data — with
+    * ≲100 rows per input partition the boundary sample is exhaustive, so
+    * every copy computes identical bounds — and bites exactly when the
+    * data outgrows the sample, i.e. at scale. Materializing once is also
+    * cheaper: the pre-checkpoint subtree (scan → aggregate → range
+    * exchange → sort) runs once instead of per branch. The trade is the
+    * one Graph.scala already documents for its loop invariants: a lost
+    * executor loses checkpoint blocks (no lineage replay). */
+  def rangedCumsum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, gcols :+ col(orderCol): _*)
+      .sortWithinPartitions(gcols :+ col(orderCol): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy(col("__pid") +: gcols: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"__l_$c", sum(col(c)).over(wLocal))
+    }
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = ranged.groupBy(col("__pid") +: gcols: _*)
+      .agg(sum(col(sumCols.head)).as(s"__p_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"__p_$c")): _*)
+    val offsets = sumCols.foldLeft(offs0) { (d, c) =>
+      d.withColumn(s"__off_$c",
+        coalesce(sum(col(s"__p_$c")).over(wOff), lit(0L)))
+    }.select(col("__pid") +: gcols ++: sumCols.map(c => col(s"__off_$c")): _*)
+    sumCols.foldLeft(
+      local.join(broadcast(offsets), "__pid" +: groupCols)) { (d, c) =>
+      d.withColumn(s"cum_$c", (col(s"__off_$c") + col(s"__l_$c")).cast("long"))
+    }.drop("__pid" +: sumCols.flatMap(c => Seq(s"__l_$c", s"__off_$c")): _*)
+  }
+
+  /** Exact ROC AUC of an integer-domain score against a boolean label —
+    * the Mann–Whitney formulation with midrank tie handling:
+    * AUC·n⁺·n⁻ = Σ_v pos_v·(negBelow_v + neg_v/2). Kept integral as
+    * `num = Σ_v pos_v·(2·negBelow_v + neg_v)` over `den = 2·n⁺·n⁻`.
+    * One hash aggregate to the distinct-score table, one ranged prefix
+    * sum ([[rangedCumsum]]), one total — nothing row-sized ever sorts
+    * globally. Also emits the Mann–Whitney U (num/2 in AUC order), since
+    * the two statistics are the same sum. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(scoreCol).cast("long").as("v"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("cp"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).cast("long").as("cn"))
+    val c = rangedCumsum(per, Nil, "v", Seq("cn"))
+    // totals from the checkpointed frame — no second scan of the events
+    val tot = broadcast(c.agg(
+      sum(col("cp")).cast("long").as("n_pos"),
+      sum(col("cn")).cast("long").as("n_neg")))
+    c.crossJoin(tot)
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("cp") * (lit(2L) * (col("cum_cn") - col("cn")) + col("cn")))
+        .cast("long").as("num"))
+      .select(col("n_pos"), col("n_neg"), col("num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("den"),
+        round(col("num").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Per-group Gini concentration coefficient of a non-negative
+    * integer-domain value (cents): G = (2·Σ rank·x − (n+1)·Σx)/(n·Σx),
+    * ties collapsed exactly (a tie block of equal x contributes
+    * x·Σ positions regardless of within-tie order). Assembled from the
+    * distinct-(group, value) table + [[rangedCumsum]]; numerator and
+    * denominator emitted as exact BIGINTs beside the rounded ratio. */
+  def gini(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val c = rangedCumsum(per, Seq(groupCol), "v", Seq("nv"))
+    // Σ over the tie block positions: v·nv·(2·cumBefore + nv + 1) is 2·Σ rank·x
+    c.groupBy(col(groupCol))
+      .agg(
+        sum(col("nv")).cast("long").as("n"),
+        sum(col("v") * col("nv")).cast("long").as("sum_val"),
+        sum(col("v") * col("nv") *
+          (lit(2L) * (col("cum_nv") - col("nv")) + col("nv") + lit(1L)))
+          .cast("long").as("twice_rank_sum"))
+      .select(col(groupCol), col("n"), col("sum_val"),
+        (col("twice_rank_sum") - (col("n") + 1) * col("sum_val")).as("num"),
+        (col("n") * col("sum_val")).as("den"),
+        round((col("twice_rank_sum") - (col("n") + 1) * col("sum_val"))
+          .cast("double") / (col("n") * col("sum_val")), 6).as("gini"))
+  }
+
+  /** Exact per-group lower weighted median of an integer-domain value:
+    * the smallest v whose inclusive cumulative weight reaches half the
+    * group total (2·cumw ≥ W — integer compare, no ties to break). Same
+    * distinct-value + ranged-prefix-sum shape as [[gini]]. */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      weightCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).cast("long").as("w"))
+    val c = rangedCumsum(per, Seq(groupCol), "v", Seq("w"))
+    val tot = broadcast(c.groupBy(col(groupCol))
+      .agg(sum(col("w")).cast("long").as("w_total")))
+    c.join(tot, Seq(groupCol))
+      .filter(lit(2L) * col("cum_w") >= col("w_total"))
+      .groupBy(col(groupCol), col("w_total"))
+      .agg(min(col("v")).as("w_median"))
+      .select(col(groupCol), col("w_total"), col("w_median"))
+  }
+
+  /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
+    * exact counts plus precision/recall/F1 (0.0 where the denominator is
+    * empty — a class never predicted has precision 0 by convention, not
+    * NULL). One count aggregate builds the confusion cells; per-class
+    * rows come from two tiny re-aggregations of those cells. */
+  def confusionStats(
+      df: DataFrame, predCol: String, actualCol: String): DataFrame = {
+    val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val byPred = cells.groupBy(col("p").as("clazz"))
+      .agg(sum(col("n")).cast("long").as("n_pred"),
+        sum(when(col("p") === col("a"), col("n")).otherwise(0L))
+          .cast("long").as("tp_p"))
+    val byActual = cells.groupBy(col("a").as("clazz"))
+      .agg(sum(col("n")).cast("long").as("n_actual"),
+        sum(when(col("p") === col("a"), col("n")).otherwise(0L))
+          .cast("long").as("tp_a"))
+    val j = byPred.join(byActual, Seq("clazz"), "full")
+      .select(col("clazz"),
+        coalesce(col("tp_p"), col("tp_a"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) -
+          coalesce(col("tp_p"), lit(0L))).as("fp"),
+        (coalesce(col("n_actual"), lit(0L)) -
+          coalesce(col("tp_a"), lit(0L))).as("fn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+    j.select(col("clazz"), col("tp"), col("fp"), col("fn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Cohen's kappa agreement between two categorical labelings, exact
+    * rational form: κ = (N·Σdiag − Σ row_c·col_c) / (N² − Σ row_c·col_c).
+    * The confusion cells aggregate once; marginals are tiny
+    * re-aggregations joined on class (never a second data scan). */
+  def cohensKappa(
+      df: DataFrame, predCol: String, actualCol: String): DataFrame = {
+    val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val byP = cells.groupBy(col("p").as("c")).agg(sum(col("n")).as("np"))
+    val byA = cells.groupBy(col("a").as("c")).agg(sum(col("n")).as("na"))
+    val sumRc = byP.join(byA, Seq("c"), "inner")
+      .agg(sum(col("np") * col("na")).cast("long").as("sum_rc"))
+    val tot = cells.agg(
+      sum(col("n")).cast("long").as("n_items"),
+      sum(when(col("p") === col("a"), col("n")).otherwise(0L))
+        .cast("long").as("n_agree"))
+    broadcast(tot).crossJoin(broadcast(sumRc))
+      .select(col("n_items"), col("n_agree"), col("sum_rc"),
+        (col("n_items") * col("n_agree") - col("sum_rc")).as("num"),
+        (col("n_items") * col("n_items") - col("sum_rc")).as("den"),
+        round((col("n_items") * col("n_agree") - col("sum_rc")).cast("double")
+          / (col("n_items") * col("n_items") - col("sum_rc")), 6).as("kappa"))
+  }
+
+  /** Probability-calibration bins of an integer-domain score against a
+    * boolean label: `bins` equal-width buckets over the observed
+    * [min, max] score span (integer bucket arithmetic — exact), each with
+    * its count, positive count, mean score and empirical positive rate.
+    * A well-calibrated scorer has frac_pos tracking mean_score. One
+    * min/max broadcast + one hash aggregate. */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be > 0: $bins")
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(min(s).as("__lo"), max(s).as("__hi")))
+    df.crossJoin(mm)
+      .select(
+        // span+1 so the max lands in the last bin, all-BIGINT arithmetic
+        ((s - col("__lo")) * bins / (col("__hi") - col("__lo") + 1L))
+          .cast("long").as("bin"),
+        s.as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__pos")).cast("long").as("n_pos"),
+        sum(col("__s")).cast("long").as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_score"),
+        round(col("sum_score").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+  }
+}

@@ -139,6 +139,11 @@ object Layout {
     val ranged = df.repartitionByRange(p, oc: _*)
       .sortWithinPartitions(oc: _*)
       .withColumn("__pid", spark_partition_id())
+      // materialize ONCE before the row-number/offsets fan-out — without
+      // this each branch samples its own range bounds and __pid can
+      // disagree between branches (silently wrong positions at scale).
+      // Full rationale: Eval.rangedCumsum.
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(oc: _*)
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

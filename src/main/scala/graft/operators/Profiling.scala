@@ -190,42 +190,31 @@ object Profiling {
     *
     * Scale shape: PSI's cost model breaks down here because the CDF needs
     * a GLOBAL cumulative sum over distinct values — the naive window
-    * serializes the table through one partition. This runs the same
-    * distributed prefix sum as the token-budget operators: range-partition
-    * distinct values, local cumsum per partition, per-partition totals
-    * broadcast back as offsets (two tiny windows over n_partitions rows),
-    * then one max-aggregate. Nothing bigger than the distinct-value table
-    * ever shuffles, and that only once. */
+    * serializes the table through one partition. This runs the shared
+    * distributed prefix sum ([[Eval.rangedCumsum]]: range-partition
+    * distinct values, materialize ONCE, local cumsum per partition,
+    * per-partition totals broadcast back as offsets), then one
+    * max-aggregate. Nothing bigger than the distinct-value table ever
+    * shuffles, and that only once. */
   def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = a.select(col(valCol).cast("long").as("v"),
         lit(1L).as("__ca"), lit(0L).as("__cb"))
       .unionByName(b.select(col(valCol).cast("long").as("v"),
         lit(0L).as("__ca"), lit(1L).as("__cb")))
     val per = u.groupBy(col("v")).agg(
       sum(col("__ca")).cast("long").as("ca"), sum(col("__cb")).cast("long").as("cb"))
-    val p = a.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = per.repartitionByRange(p, col("v"))
-      .sortWithinPartitions(col("v"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged
-      .withColumn("__la", sum(col("ca")).over(wLocal))
-      .withColumn("__lb", sum(col("cb")).over(wLocal))
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col("ca")).as("__pa"), sum(col("cb")).as("__pb"))
-      .withColumn("__offa", coalesce(sum(col("__pa")).over(wOff), lit(0L)))
-      .withColumn("__offb", coalesce(sum(col("__pb")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__offa"), col("__offb"))
-    val tot = broadcast(per.agg(
+    // shared prefix-sum kernel: materialize-once ranged cumsum (see
+    // Eval.rangedCumsum for why the checkpoint is load-bearing — the
+    // pre-refactor twin of this code relied on exchange reuse to keep the
+    // two branches' range bounds consistent, which is not guaranteed)
+    val c = Eval.rangedCumsum(per, Nil, "v", Seq("ca", "cb"))
+    // totals from the checkpointed frame — no second scan of the inputs
+    val tot = broadcast(c.agg(
       sum(col("ca")).cast("long").as("n_a"), sum(col("cb")).cast("long").as("n_b")))
-    local.join(broadcast(offsets), Seq("__pid")).crossJoin(tot)
+    c.crossJoin(tot)
       .select(col("n_a"), col("n_b"),
-        abs((col("__offa") + col("__la")).cast("double") / col("n_a") -
-          (col("__offb") + col("__lb")).cast("double") / col("n_b")).as("__diff"))
+        abs(col("cum_ca").cast("double") / col("n_a") -
+          col("cum_cb").cast("double") / col("n_b")).as("__diff"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(round(max(col("__diff")), 6).as("d"))
   }

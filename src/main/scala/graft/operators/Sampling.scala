@@ -219,12 +219,15 @@ object Sampling {
     * source) totals table (partitions × sources rows — tiny at any scale)
     * yields cross-partition offsets, broadcast back. The output is
     * boundary-invariant: offsets + local cumsums reproduce the global
-    * prefix sum wherever the sampler drew the range bounds, so results stay
-    * deterministic even though `spark_partition_id` is not. That projection
-    * being non-deterministic is load-bearing for the plan too: Catalyst
-    * cannot push the downstream join's inferred isnotnull filters below it,
-    * so BOTH consumers (window branch, totals branch) share one canonical
-    * range-exchange subtree and the corpus is shuffled once.
+    * prefix sum wherever the sampler drew the range bounds — PROVIDED both
+    * consumers (window branch, totals branch) see the SAME bounds. That is
+    * enforced structurally by materializing the ranged frame once
+    * (`localCheckpoint` below): each consumer would otherwise instantiate
+    * its own copy of the range exchange with independently-seeded boundary
+    * sampling, and `spark_partition_id` would disagree between branches.
+    * (Exchange reuse often deduplicates the copies, but it is an
+    * optimization, not a guarantee.) The checkpoint also means the corpus
+    * is scanned and shuffled once, not once per branch.
     *
     * `weights`: (sourceCol, weight) with integer weights; `totalBudget · w`
     * must fit a double exactly (< 2^53 — any real budget qualifies). */
@@ -282,6 +285,13 @@ object Sampling {
       .repartitionByRange(p, col(sourceCol), col("__h"), col(idCol))
       .sortWithinPartitions(col(sourceCol), col("__h"), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      // materialize ONCE before the window/offsets fan-out: each branch
+      // would otherwise instantiate its own range exchange, whose boundary
+      // SAMPLING is seeded per RDD instance — divergent bounds make __pid
+      // disagree between branches and silently corrupt the prefix sum.
+      // Exhaustive-sample toy runs can't show it; partial-sample (real)
+      // scale can. Full rationale: Eval.rangedCumsum.
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__pid"), col(sourceCol))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
