@@ -2664,6 +2664,19 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_readability" -> ((s, dir) =>
+      // Flesch–Kincaid grade per doc (vowel-run syllables, punctuation
+      // sentences with ⌈words/15⌉ fallback) — narrow map, one scan.
+      TextAnalysis.readability(table(s, dir, "documents"))),
+    "q_bpe_pairs" -> ((s, dir) =>
+      // BPE-training pair counts: corpus → word histogram (the only
+      // corpus-sized pass) → pairs over DISTINCT words → top-20.
+      TextAnalysis.bpePairs(table(s, dir, "documents"))),
+    "q_minimizer_sketch" -> ((s, dir) =>
+      // (8,3)-minimizer sketch per doc: min 60-bit shingle hash per
+      // 8-position window, distinct — the sampling sketch; window-min is
+      // partitioned by doc, never global.
+      TextAnalysis.minimizerSketch(table(s, dir, "documents"))),
     "q_weighted_median" -> ((s, dir) => {
       // Exact quantity-weighted lower median unit price per return flag —
       // smallest price whose cumulative weight reaches half the total
@@ -5064,6 +5077,40 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_readability" ->
+      """WITH st AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS np
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, n_words, n_syllables,
+        |    CASE WHEN np > 0 THEN np ELSE (n_words + 14) // 15 END AS n_sentences
+        |  FROM st)
+        |SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  n_syllables,
+        |  round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
+        |    + 11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59, 6) AS fk_grade
+        |FROM s2""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w HAVING length(w) >= 2),
+        |pairs AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM
+        |    (SELECT wf, unnest([substring(w, i, 2)
+        |        FOR i IN range(1, CAST(length(w) AS INT))]) AS pair FROM vocab)
+        |  GROUP BY pair)
+        |SELECT pair, freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rn
+        |FROM pairs ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    "q_minimizer_sketch" ->
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+        |sh0 AS (SELECT doc_id, unnest([struct_pack(pos := i,
+        |      h := CAST('0x' || substr(md5(array_to_string(tl[i:i+2], '_')), 1, 15) AS BIGINT))
+        |    FOR i IN range(1, len(tl) - 1)]) AS p FROM tl),
+        |sh AS (SELECT doc_id, p.pos AS pos, p.h AS h FROM sh0)
+        |SELECT DISTINCT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS minimizer
+        |FROM sh""".stripMargin,
     "q_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS g,
         |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS v,

@@ -917,4 +917,101 @@ object TextAnalysis {
         .over(Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("long"))
       .select(col("a"), col("b"), col("cab"), col("pmi"), col("rn"))
   }
+
+  /** Flesch–Kincaid grade-level readability per document — the classic
+    * surface-form quality feature next to [[qualityScore]]'s gate rules.
+    * Syllables are the standard vowel-group heuristic ([aeiouy]+ runs —
+    * counted over the whole text in one regexp pass, since a run cannot
+    * span a space); sentences are punctuation runs ([.!?]+) with a
+    * fixed-window fallback of ⌈words/15⌉ for punctuation-free corpora
+    * (integer arithmetic, exact in SQL). Pure narrow map — one scan, no
+    * shuffle; the grade formula is evaluated in a fixed association so
+    * the oracle replays it bit-for-bit. */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = size(tokens(col(textCol))).cast("long")
+    val syll = size(expr(s"regexp_extract_all($textCol, '[aeiouy]+', 0)"))
+      .cast("long")
+    val punct = size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)"))
+      .cast("long")
+    docs
+      .select(col("doc_id"), words.as("n_words"), syll.as("n_syllables"),
+        punct.as("__punct"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        when(col("__punct") > 0L, col("__punct"))
+          .otherwise(expr("CAST((n_words + 14) div 15 AS BIGINT)"))
+          .as("n_sentences"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(
+          lit(0.39) * col("n_words").cast("double") / col("n_sentences") +
+            lit(11.8) * col("n_syllables").cast("double") / col("n_words") -
+            lit(15.59), 6).as("fk_grade"))
+  }
+
+  /** One BPE-training pair-count step: the frequency of every adjacent
+    * character pair across the corpus, weighted by word frequency — the
+    * distributed-heavy half of byte-pair-encoding tokenizer training
+    * (the argmax merge these counts feed is a driver-side scalar).
+    *
+    * Scale shape: the corpus collapses to the WORD HISTOGRAM first (hash
+    * aggregate with map-side combine — the only corpus-sized pass), then
+    * pairs explode over distinct words only, so pair work is
+    * vocabulary-sized, not corpus-sized. Top-k runs as TakeOrdered under
+    * the (freq desc, pair asc) total order — no global sort. */
+  def bpePairs(docs: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wf"))
+      .filter(length(col("w")) >= 2)
+    val pairs = vocab
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).cast("long").as("freq"))
+    pairs.orderBy(col("freq").desc, col("pair")).limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("freq").desc, col("pair"))).cast("long"))
+      .select(col("pair"), col("freq"), col("rn"))
+  }
+
+  /** (w,k)-minimizer sketch per document — the genomics-style sampling
+    * sketch: hash every k-token shingle at its position, keep the MINIMUM
+    * hash in every window of `w` consecutive positions, emit the distinct
+    * minimizers. Two overlapping strings share minimizers wherever they
+    * share a window-length run, at ~2/(w+1) the shingle count — the
+    * cheaper sketch when MinHash's fixed signature width wastes work.
+    *
+    * Plan: positions explode per doc; the window-min runs PARTITIONED BY
+    * doc (bounded frames over bounded docs — scale-safe; never a global
+    * window); distinct collapses duplicate minimizers with map-side
+    * combine. Hash = the MinHash family's 60-bit md5 prefix, so the SQL
+    * oracle reuses that exact kernel. */
+  def minimizerSketch(docs: DataFrame, window: Int = 8, shingleN: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    import org.apache.spark.sql.expressions.Window
+    val n = shingleN
+    val hashed = docs
+      .select(col("doc_id"), tokens(col(textCol)).as("__tl"))
+      .select(col("doc_id"), expr(
+        // size < n must yield EMPTY (sequence(0, -1) DESCENDS — same guard
+        // as TextFunctions.shingles)
+        s"""CASE WHEN size(__tl) >= $n THEN
+           |  transform(sequence(0, size(__tl) - $n),
+           |    i -> ${hash60Sql(s"concat_ws('_', slice(__tl, i + 1, $n))")})
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), posexplode(col("__hs")).as(Seq("pos", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    hashed
+      .select(col("doc_id"), min(col("h")).over(w).as("minimizer"))
+      .distinct()
+  }
+
+  /** 60-bit md5-prefix hash as a SQL snippet over a SQL expression —
+    * the string-expr twin of [[graft.functions.TextFunctions.tokenHash60]]. */
+  private def hash60Sql(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 }
