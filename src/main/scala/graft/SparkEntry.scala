@@ -2664,6 +2664,40 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_hampel" -> ((s, dir) => {
+      // Hampel despiking of the per-user daily spend series (same series
+      // as q_rolling_median): rolling-median/rolling-MAD repair in exact
+      // 2×/4× fixed point — per-key bounded frames, no global state.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+      graft.operators.TimeSeries.hampel(perDay, "user_id", "day", "v",
+        windowRows = 7, k = 3)
+    }),
+    "q_fuzzy_name_join" -> ((s, dir) =>
+      // Entity-resolution candidates over the part-name DOMAIN: collapse
+      // rows to the name histogram first, then Levenshtein-match distinct
+      // names inside last-token blocks with a length-band prefilter.
+      Dedup.fuzzyNameJoin(table(s, dir, "part"), "p_name",
+        n => element_at(split(n, " "), -1), maxDist = 3)),
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      // The exact heavy-hitters rollup over a document STREAM: token
+      // counts aggregate in complete mode (the streaming-state half);
+      // the support threshold joins against the drained totals. Shares
+      // q_heavy_hitters' oracle.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val counts = src.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("freq"))
+      val drained = runToMemory(s, counts, "complete")
+      val total = drained.agg(sum(col("freq")).cast("double").as("total"))
+      drained.crossJoin(broadcast(total))
+        .filter(col("freq").cast("double") > col("total") * 0.002)
+        .select(col("token"), col("freq"))
+    }),
     "q_readability" -> ((s, dir) =>
       // Flesch–Kincaid grade per doc (vowel-run syllables, punctuation
       // sentences with ⌈words/15⌉ fallback) — narrow map, one scan.
@@ -3447,13 +3481,10 @@ object SparkEntry {
          |SELECT doc_id, lp, bucket FROM b
          |WHERE CAST('0x' || substr(md5(bucket || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |  % 100 < CASE bucket WHEN 'head' THEN 100 WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin,
-    "q_heavy_hitters" ->
-      """WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(string_split(text,' ')) AS token FROM documents)
-        |  GROUP BY token),
-        |t AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM tf)
-        |SELECT token, freq FROM tf CROSS JOIN t
-        |WHERE CAST(freq AS DOUBLE) > total * 0.002""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersSql,
+    // the streaming tier computes the same exact rollup (complete-mode
+    // token counts + drained-total threshold) — one oracle, two engines
+    "q_stream_heavy_hitters" -> heavyHittersSql,
     "q_chunk_dedup" ->
       // same 5-token chunking as the q_chunk_docs oracle over the
       // boiler-spliced text; first occurrence per (doc, chunk_text) kept,
@@ -5077,6 +5108,29 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_hampel" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT user_id, day, v,
+        |    CAST(quantile_cont(CAST(2*v AS DOUBLE), 0.5) OVER w AS BIGINT) AS med2,
+        |    CAST(2 * mad(2*v) OVER w AS BIGINT) AS mad4
+        |  FROM pd WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, v, med2, mad4,
+        |  2*abs(2*v - med2) > 3*mad4 AS is_outlier,
+        |  CAST(CASE WHEN 2*abs(2*v - med2) > 3*mad4 THEN med2 ELSE 2*v END
+        |    AS BIGINT) AS repaired2
+        |FROM h""".stripMargin,
+    "q_fuzzy_name_join" ->
+      """WITH names AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+        |    string_split(p_name, ' ')[-1] AS blk FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
     "q_readability" ->
       """WITH st AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -5206,6 +5260,17 @@ object SparkEntry {
       |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
       |    round(-SUM(c * log2(f/total)) / SUM(c), 6) AS avg_neg_logprob
       |  FROM uf CROSS JOIN ut GROUP BY doc_id)""".stripMargin
+
+  /** Exact heavy hitters (tokens above 0.2% support) — shared by the
+    * batch (q_heavy_hitters) and streaming (q_stream_heavy_hitters)
+    * tiers, which compute the identical rollup. */
+  private val heavyHittersSql: String =
+    """WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text,' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |t AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM tf)
+      |SELECT token, freq FROM tf CROSS JOIN t
+      |WHERE CAST(freq AS DOUBLE) > total * 0.002""".stripMargin
 
   /** Language-ID prediction as a WITH-prefix ending in CTE `pred`
     * (doc_id, labeled_lang, pred_lang) — the SQL twin of

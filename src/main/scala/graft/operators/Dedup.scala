@@ -866,6 +866,40 @@ object Dedup {
       .select(overlapOutput: _*)
   }
 
+  /** Blocking-based fuzzy matching over a string attribute's VALUE DOMAIN
+    * — the entity-resolution/record-linkage candidate step ("red bolt" ≈
+    * "hot bolt"): pairs of DISTINCT values that share a blocking key and
+    * sit within `maxDist` Levenshtein edits, each carrying its row count.
+    *
+    * Scale design: the rows collapse to the value histogram first (hash
+    * aggregate with map-side combine — the only row-sized pass), so the
+    * quadratic work runs over distinct values per block, not rows; the
+    * length-band filter (|len a − len b| ≤ maxDist, a sound necessary
+    * condition for the edit bound) prunes candidates before the O(len²)
+    * DP runs. Block-key choice is the cost dial exactly as in the LSH
+    * family: pair count per block is C(distinct-in-block, 2). Pairs are
+    * generated a < b once (no mirror duplicates). */
+  def fuzzyNameJoin(
+      df: DataFrame,
+      nameCol: String,
+      blockOf: Column => Column,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("__blk", blockOf(col("name")))
+    val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+      col("__blk"))
+    val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+      col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+
   /** Shared output projection of both overlap paths. */
   private def overlapOutput: Seq[Column] = Seq(
     col("corpus_a"), col("corpus_b"), col("inter"),

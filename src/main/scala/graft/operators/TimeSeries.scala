@@ -182,6 +182,57 @@ object TimeSeries {
             |END""".stripMargin), 6).as("roll_med"))
   }
 
+  /** Hampel filter — rolling-median/rolling-MAD outlier repair over the
+    * same bounded trailing frames as [[rollingMedian]]: a point further
+    * than `k`·MAD from the frame median is replaced BY the median (the
+    * robust despiking step a sensor/clickstream series gets before
+    * modeling; MAD = 0 collapses the rule to "any deviation repairs").
+    *
+    * ALL arithmetic is integer-exact in fixed point: values enter as
+    * integers (cents), medians are computed over DOUBLED values (2× —
+    * every midpoint of two even numbers is integral), deviations are
+    * doubled once more for the MAD (4× — midpoints of 2×-unit deviations
+    * stay integral), and the outlier test compares 4×-unit integers:
+    * |x − med| > k·mad ⟺ 2·|2x − med₂| > k·mad₄. The SQL oracle replays
+    * every bit (DuckDB's windowed quantile_cont/mad land on the same
+    * grid). Output carries med/mad/repaired in their fixed-point units.
+    *
+    * Same scale shape as [[rollingMedian]]: per-key windows, bounded
+    * frames, whole-stage codegen array math — no global state. */
+  def hampel(
+      perBucket: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      windowRows: Int = 7,
+      k: Int = 3): DataFrame = {
+    require(windowRows >= 1, s"windowRows must be >= 1: $windowRows")
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    def intMedian(arr: String): String =
+      s"""CASE WHEN size($arr) % 2 = 1
+         |  THEN element_at($arr, CAST(size($arr) div 2 + 1 AS INT))
+         |  ELSE (element_at($arr, CAST(size($arr) div 2 AS INT)) +
+         |        element_at($arr, CAST(size($arr) div 2 + 1 AS INT))) div 2
+         |END""".stripMargin
+    perBucket
+      .withColumn("__v2", col(valueCol).cast("long") * 2)
+      .withColumn("__s", sort_array(collect_list(col("__v2")).over(w)))
+      .withColumn("__med2", expr(intMedian("__s")))
+      .withColumn("__d4",
+        sort_array(expr("transform(__s, e -> 2 * abs(e - __med2))")))
+      .withColumn("__mad4", expr(intMedian("__d4")))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        col("__med2").as("med2"), col("__mad4").as("mad4"),
+        (lit(2L) * abs(col("__v2") - col("__med2")) >
+          lit(k.toLong) * col("__mad4")).as("is_outlier"),
+        when(lit(2L) * abs(col("__v2") - col("__med2")) >
+            lit(k.toLong) * col("__mad4"), col("__med2"))
+          .otherwise(col("__v2")).as("repaired2"))
+  }
+
   /** Two-sided CUSUM change detection — the classic drift-tolerant
     * cumulative-sum recurrence
     * `pos_t = max(0, pos_{t−1} + x_t − target − drift)`,
