@@ -2664,6 +2664,29 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_mutual_info" -> ((s, dir) =>
+      // Feature-selection scorer: per-cell MI contributions between doc
+      // language and source (Σ = MI in nats) — the information-theoretic
+      // companion to q_chi2_independence, same contingency plan.
+      Profiling.mutualInformation(table(s, dir, "documents"), "lang", "source")),
+    "q_percentile_rank" -> ((s, dir) => {
+      // Rank-normalization transform: exact midrank percentile of every
+      // distinct spend value per event type — distinct-value table +
+      // ranged prefix sum, never a global sort.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      Eval.percentileRank(ev, "event_type", "cents")
+    }),
+    "q_ip_cidr" -> ((s, dir) => {
+      // Access-log CIDR rollup: requests + distinct clients per /20 (true
+      // integer network mask, splits the third octet). IPs synthesized
+      // deterministically from events — the oracle rebuilds them.
+      val ips = table(s, dir, "events").select(concat_ws(".",
+        lit(10), pmod(col("user_id"), lit(256L)),
+        pmod(expr("user_id div 256"), lit(256L)),
+        pmod(col("event_id"), lit(256L))).as("ip"))
+      graft.operators.Urls.cidrRollup(ips, "ip", bits = 20)
+    }),
     "q_hampel" -> ((s, dir) => {
       // Hampel despiking of the per-user daily spend series (same series
       // as q_rolling_median): rolling-median/rolling-MAD repair in exact
@@ -5108,6 +5131,42 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |xs AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |ys AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+        |SELECT lang, source, obs, n_x, n_y,
+        |  round((CAST(obs AS DOUBLE) / n) *
+        |    ln((CAST(obs AS DOUBLE) * n) /
+        |      (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_contrib
+        |FROM cells JOIN xs USING (lang) JOIN ys USING (source) CROSS JOIN t""".stripMargin,
+    "q_percentile_rank" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+        |per AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, nv,
+        |    CAST(SUM(nv) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum
+        |  FROM per),
+        |t AS (SELECT event_type, CAST(SUM(nv) AS BIGINT) AS n FROM per GROUP BY 1)
+        |SELECT c.event_type, v, nv, n,
+        |  round(CAST(2*cum - nv + 1 AS DOUBLE) / (2*n), 6) AS pct_rank
+        |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+    "q_ip_cidr" ->
+      """WITH ips AS (SELECT
+        |    10 * 16777216 + (user_id % 256) * 65536 +
+        |    ((user_id // 256) % 256) * 256 + (event_id % 256) AS ipl
+        |  FROM events),
+        |m AS (SELECT CAST((ipl // 4096) * 4096 AS BIGINT) AS net, ipl FROM ips)
+        |SELECT CAST(net // 16777216 AS VARCHAR) || '.' ||
+        |    CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+        |    CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+        |    CAST(net % 256 AS VARCHAR) || '/20' AS subnet,
+        |  CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(COUNT(DISTINCT ipl) AS BIGINT) AS n_ips
+        |FROM m GROUP BY 1""".stripMargin,
     "q_hampel" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

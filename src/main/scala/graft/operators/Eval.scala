@@ -158,6 +158,26 @@ object Eval {
       .select(col(groupCol), col("w_total"), col("w_median"))
   }
 
+  /** Exact per-group percentile rank (midrank convention) of every
+    * DISTINCT value — the rank-normalization feature transform: value v
+    * maps to (rank of its tie-block midpoint)/n = (2·cumBefore + n_v + 1)
+    * / (2n), integer-exact until one final rounded division. Same
+    * distinct-value + ranged-prefix-sum shape as [[gini]]; output is
+    * value-domain-sized, joined back to rows by (group, value) when a
+    * per-row column is needed. */
+  def percentileRank(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val c = rangedCumsum(per, Seq(groupCol), "v", Seq("nv"))
+    val tot = broadcast(c.groupBy(col(groupCol))
+      .agg(sum(col("nv")).cast("long").as("n")))
+    c.join(tot, Seq(groupCol))
+      .select(col(groupCol), col("v"), col("nv"), col("n"),
+        round((lit(2L) * col("cum_nv") - col("nv") + 1L).cast("double") /
+          (lit(2L) * col("n")), 6).as("pct_rank"))
+  }
+
   /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
     * exact counts plus precision/recall/F1 (0.0 where the denominator is
     * empty — a class never predicted has precision 0 by convention, not

@@ -182,6 +182,33 @@ object Profiling {
           / exp, 6).as("chi2_contrib"))
   }
 
+  /** Mutual information between two categorical columns, emitted as exact
+    * per-cell contributions (Σ = MI in nats) — the information-theoretic
+    * companion to [[chi2Independence]] and the feature-selection scorer
+    * ("how much does this feature tell me about the label?"). Same plan
+    * shape as chi²: one contingency aggregate, marginals as tiny
+    * re-aggregations joined back, one double expression per cell. The
+    * count products are computed in DOUBLE (n_x·n_y overflows BIGINT at
+    * petabyte row counts; doubles are exact to 2^53 and the final value
+    * is rounded to 6 decimals anyway — the oracle mirrors the same
+    * association). */
+  def mutualInformation(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).cast("long").as("obs"))
+    val xs = broadcast(cells.groupBy(col(xCol))
+      .agg(sum(col("obs")).cast("long").as("__nx")))
+    val ys = broadcast(cells.groupBy(col(yCol))
+      .agg(sum(col("obs")).cast("long").as("__ny")))
+    val tot = broadcast(cells.agg(sum(col("obs")).cast("long").as("__n")))
+    cells.join(xs, xCol).join(ys, yCol).crossJoin(tot)
+      .select(col(xCol), col(yCol), col("obs"), col("__nx").as("n_x"),
+        col("__ny").as("n_y"),
+        round((col("obs").cast("double") / col("__n")) *
+          log((col("obs").cast("double") * col("__n")) /
+            (col("__nx").cast("double") * col("__ny"))), 6).as("mi_contrib"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov statistic over an integer-valued
     * column: D = max over observed values of |F_a(v) − F_b(v)| — the
     * sharper drift test next to [[psiDrift]] (no bucketing, sensitive to

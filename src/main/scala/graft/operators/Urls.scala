@@ -72,4 +72,35 @@ object Urls {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Dotted-quad IPv4 → 32-bit value as a long (pure octet arithmetic —
+    * codegen-eligible, no UDF, exactly replayable in SQL). */
+  def ipv4ToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** CIDR traffic rollup — the "top talkers per subnet" step of access-log
+    * analytics: requests and distinct client IPs per /`bits` network, for
+    * ANY prefix length (true integer mask: value div 2^(32−bits) restores
+    * the network address, not octet truncation — a /20 splits the third
+    * octet correctly). One hash aggregate with map-side combine; the
+    * distinct-IP count is the usual two-level exact distinct. */
+  def cidrRollup(df: DataFrame, ipCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32]: $bits")
+    val shift = 1L << (32 - bits)
+    val net = (ipv4ToLong(col(ipCol)) / shift).cast("long") * shift
+    val dotted = concat_ws(".",
+      (net / 16777216L).cast("long"),
+      ((net / 65536L).cast("long") % 256L),
+      ((net / 256L).cast("long") % 256L),
+      (net % 256L))
+    df.withColumn("subnet", concat(dotted, lit(s"/$bits")))
+      .groupBy(col("subnet"))
+      .agg(count(lit(1)).cast("long").as("n_requests"),
+        countDistinct(col(ipCol)).cast("long").as("n_ips"))
+  }
 }

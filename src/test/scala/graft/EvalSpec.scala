@@ -112,6 +112,40 @@ class EvalSpec extends SparkFunSuite {
     assert(bad == 0L)
   }
 
+  test("percentileRank: midrank convention, exact on hand data") {
+    // group g values: 10, 20, 20, 40 -> pct ranks 1/8ths: 10->1.5/4=0.375?
+    // midrank: v=10 (2*1-1+1)/8=0.25; v=20 (2*3-2+1)/8=0.625; v=40 (2*4-1+1)/8=1.0
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 40L)).toDF("k", "s")
+    val got = Eval.percentileRank(df, "k", "s").collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("pct_rank")).toMap
+    assert(got == Map(10L -> 0.25, 20L -> 0.625, 40L -> 1.0))
+  }
+
+  test("mutualInformation: ln 2 for perfect 2-class dependence, 0 when independent") {
+    import graft.operators.Profiling
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "w")
+    val miDep = Profiling.mutualInformation(dep, "u", "w").collect()
+      .map(_.getAs[Double]("mi_contrib")).sum
+    assert(math.abs(miDep - math.log(2.0)) < 2e-6)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "w")
+    val miInd = Profiling.mutualInformation(ind, "u", "w").collect()
+      .map(_.getAs[Double]("mi_contrib")).sum
+    assert(miInd == 0.0)
+  }
+
+  test("cidrRollup: /20 mask splits the third octet, distinct IPs counted") {
+    import graft.operators.Urls
+    // 10.1.15.x and 10.1.16.x land in different /20s (16 = 0b00010000)
+    val df = Seq("10.1.15.1", "10.1.15.1", "10.1.15.2", "10.1.16.9",
+      "10.1.31.7", "10.1.32.7").toDF("ip")
+    val got = Urls.cidrRollup(df, "ip", 20).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "10.1.0.0/20" -> (3L, 2L),   // 15.x rows
+      "10.1.16.0/20" -> (2L, 2L),  // 16.9 and 31.7 share the /20
+      "10.1.32.0/20" -> (1L, 1L)))
+  }
+
   test("rangedCumsum branch consistency beyond the boundary-sample size") {
     // REGRESSION (r8): with > ~100 rows per input partition, range-boundary
     // sampling is no longer exhaustive, and before the materialize-once fix
