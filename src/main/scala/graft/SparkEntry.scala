@@ -2664,6 +2664,11 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_negative_sample" -> ((s, dir) =>
+      // Contrastive-training negatives: 3 deterministic pseudo-random
+      // partners per doc via evenly spaced strides on the md5-rank ring —
+      // reproducible across runs/partitionings, never self.
+      Sampling.negativeSample(table(s, dir, "documents"), "doc_id", k = 3)),
     "q_mutual_info" -> ((s, dir) =>
       // Feature-selection scorer: per-cell MI contributions between doc
       // language and source (Σ = MI in nats) — the information-theoretic
@@ -5131,6 +5136,16 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_negative_sample" ->
+      """WITH r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        |p AS (SELECT doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
+        |    ((pos - 1 + 1 + (j - 1) * (n - 1) // 3) % n) + 1 AS partner_pos
+        |  FROM (SELECT doc_id, pos, n, unnest(range(1, 4)) AS j FROM r, n))
+        |SELECT anchor_id, j, b.doc_id AS neg_id
+        |FROM p JOIN r b ON b.pos = p.partner_pos""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
         |  FROM documents GROUP BY 1, 2),

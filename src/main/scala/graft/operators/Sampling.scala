@@ -310,4 +310,39 @@ object Sampling {
       .filter(col("cum_before") < col("__budget"))
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_before"))
   }
+
+  /** Deterministic k-negative sampling for contrastive training: every
+    * row gets `k` pseudo-random partners, uniform-ish, never itself,
+    * reproducible across runs/partitionings/engines. Rows are placed on a
+    * RING by md5 rank ([[Layout.globalRowNumber]] — the distributed rank,
+    * no single-partition window); partner j of position p is position
+    * `((p − 1 + off_j) mod n) + 1` with evenly spaced strides
+    * `off_j = 1 + (j−1)·(n−1) div k ∈ [1, n−1]` — stride positions on a
+    * hash-shuffled ring are pseudo-random pairings, and the arithmetic is
+    * exactly replayable in SQL (vs. rand(): seed/partition-dependent).
+    * Strides are distinct while k ≤ n−1 (no duplicate partners).
+    *
+    * Cost: one ranked exchange + one join keyed on position (k-fold
+    * explode happens on the tiny (pos, id) projection, not the payload). */
+  def negativeSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ranked = Layout.globalRowNumber(
+      df.select(col(idCol),
+        md5(concat(lit("neg:"), col(idCol).cast("string"))).as("__h")),
+      Seq("__h", idCol), "pos")
+      .select(col(idCol), col("pos"))
+    val n = broadcast(ranked.agg(count(lit(1)).cast("long").as("__n")))
+    val anchors = ranked.crossJoin(n)
+      .select(col(idCol).as("anchor_id"), col("pos"), col("__n"),
+        explode(expr(s"sequence(1L, ${k}L)")).as("j"))
+      .withColumn("__off",
+        lit(1L) + (col("j") - 1L) * (col("__n") - 1L) / lit(k.toLong))
+      .withColumn("__off", col("__off").cast("long"))
+      .withColumn("partner_pos",
+        pmod(col("pos") - 1L + col("__off"), col("__n")) + 1L)
+    anchors.join(
+        ranked.select(col("pos").as("partner_pos"), col(idCol).as("neg_id")),
+        Seq("partner_pos"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+  }
 }

@@ -146,6 +146,27 @@ class EvalSpec extends SparkFunSuite {
       "10.1.32.0/20" -> (1L, 1L)))
   }
 
+  test("negativeSample: k partners each, never self, matches ring brute force") {
+    import graft.operators.Sampling
+    def h(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"neg:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val ids = (1L to 7L).toSeq
+    val got = Sampling.negativeSample(ids.toDF("doc_id"), "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force ring: rank ids by (md5, id), stride partners
+    val ring = ids.sortBy(i => (h(i), i))
+    val n = ring.length
+    val want = (for {
+      (id, idx) <- ring.zipWithIndex; j <- 1 to 2
+      off = 1 + (j - 1) * (n - 1) / 2
+    } yield (id, j.toLong) -> ring((idx + off) % n)).toMap
+    assert(got == want)
+    assert(got.forall { case ((a, _), b) => a != b }) // never self
+    assert(got.size == 14)
+  }
+
   test("rangedCumsum branch consistency beyond the boundary-sample size") {
     // REGRESSION (r8): with > ~100 rows per input partition, range-boundary
     // sampling is no longer exhaustive, and before the materialize-once fix
