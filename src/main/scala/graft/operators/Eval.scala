@@ -185,8 +185,11 @@ object Eval {
     * rows come from two tiny re-aggregations of those cells. */
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
+    // cells materialize ONCE (class²-sized) — both per-class branches
+    // would otherwise re-scan the predictions
     val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
     val byPred = cells.groupBy(col("p").as("clazz"))
       .agg(sum(col("n")).cast("long").as("n_pred"),
         sum(when(col("p") === col("a"), col("n")).otherwise(0L))
@@ -217,8 +220,10 @@ object Eval {
     * re-aggregations joined on class (never a second data scan). */
   def cohensKappa(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
+    // cells materialize ONCE — three derived branches share them
     val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
     val byP = cells.groupBy(col("p").as("c")).agg(sum(col("n")).as("np"))
     val byA = cells.groupBy(col("a").as("c")).agg(sum(col("n")).as("na"))
     val sumRc = byP.join(byA, Seq("c"), "inner")

@@ -167,8 +167,11 @@ object Profiling {
     * (chi² CDF libm portability, same stance as welchTTest). */
   def chi2Independence(
       df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    // cells materialize ONCE — the marginal/total branches would
+    // otherwise each re-scan the input (4 full scans for a tiny table)
     val cells = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).cast("long").as("obs"))
+      .localCheckpoint(true)
     val rows = broadcast(cells.groupBy(col(rowCol))
       .agg(sum(col("obs")).cast("long").as("__nr")))
     val cols = broadcast(cells.groupBy(col(colCol))
@@ -194,8 +197,11 @@ object Profiling {
     * association). */
   def mutualInformation(
       df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // contingency cells materialize ONCE (they are |X|·|Y|-sized — tiny):
+    // the marginal/total branches would otherwise each re-scan the input
     val cells = df.groupBy(col(xCol), col(yCol))
       .agg(count(lit(1)).cast("long").as("obs"))
+      .localCheckpoint(true)
     val xs = broadcast(cells.groupBy(col(xCol))
       .agg(sum(col("obs")).cast("long").as("__nx")))
     val ys = broadcast(cells.groupBy(col(yCol))

@@ -98,9 +98,15 @@ object Urls {
       ((net / 65536L).cast("long") % 256L),
       ((net / 256L).cast("long") % 256L),
       (net % 256L))
-    df.withColumn("subnet", concat(dotted, lit(s"/$bits")))
+    // two-level exact distinct: (subnet, ip) partial counts first — both
+    // aggregates map-side combine and no Expand doubles the scan (a
+    // single-agg countDistinct would); the second level is subnet-sized
+    df.select(concat(dotted, lit(s"/$bits")).as("subnet"),
+        ipv4ToLong(col(ipCol)).as("__ipl"))
+      .groupBy(col("subnet"), col("__ipl"))
+      .agg(count(lit(1)).cast("long").as("__n"))
       .groupBy(col("subnet"))
-      .agg(count(lit(1)).cast("long").as("n_requests"),
-        countDistinct(col(ipCol)).cast("long").as("n_ips"))
+      .agg(sum(col("__n")).cast("long").as("n_requests"),
+        count(lit(1)).cast("long").as("n_ips"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Sampling, Sessionize, Similarity, Temporal}
+import graft.operators.{Dedup, Eval, Profiling, Sampling, Sessionize, Similarity, Temporal, TextAnalysis, TimeSeries, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -435,6 +435,63 @@ object ScaleSmoke {
       drain(a.join(b, col("doc_b") === col("doc_a") + 1L)
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.containment(col("sh_a"), col("sh_b")).as("c_ab")))
+    }
+    // ---- round-8 late batch: eval metrics, rank stats, text sketches
+    time(s"aucCalibration x$mult") {
+      val ev = events.select(round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      drain(Eval.auc(ev, "cents", "is_pos"))
+      drain(Eval.calibrationBins(ev, "cents", "is_pos"))
+    }
+    time(s"giniPctRankWMedian x$mult (distinct-value-sized)") {
+      val ev = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (pmod(col("user_id"), lit(49L)) + 1L).as("w"))
+      drain(Eval.gini(ev, "event_type", "cents"))
+      drain(Eval.percentileRank(ev, "event_type", "cents"))
+      drain(Eval.weightedMedian(ev, "event_type", "cents", "w"))
+    }
+    time(s"hampel x$mult") {
+      val perDay = events.select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+      drain(TimeSeries.hampel(perDay, "user_id", "day", "v"))
+    }
+    time(s"readability+bpePairs x${math.max(1, mult / 5)}") {
+      drain(TextAnalysis.readability(docs))
+      drain(TextAnalysis.bpePairs(docs))
+    }
+    time(s"minimizerSketch x${math.max(1, mult / 5)}")(
+      drain(TextAnalysis.minimizerSketch(docs)))
+    time(s"negativeSample x${math.max(1, mult / 5)}")(
+      drain(Sampling.negativeSample(docs.select(col("doc_id")), "doc_id", 3)))
+    time(s"mutualInfo x$mult") {
+      drain(Profiling.mutualInformation(events.select(col("event_type"),
+        concat(lit("arm_"), pmod(col("user_id"), lit(2L))).as("arm")),
+        "event_type", "arm"))
+    }
+    time(s"cidrRollup x$mult") {
+      val ips = events.select(concat_ws(".",
+        lit(10), pmod(col("user_id"), lit(256L)),
+        pmod(expr("user_id div 256"), lit(256L)),
+        pmod(col("event_id"), lit(256L))).as("ip"))
+      drain(Urls.cidrRollup(ips, "ip", 20))
+    }
+    time(s"fuzzyNameJoin x$mult (domain stays bounded)") {
+      val names = events.select(concat_ws(" ",
+        concat(lit("adj"), pmod(col("user_id"), lit(40L))),
+        concat(lit("noun"), pmod(col("event_id"), lit(8L)))).as("name"))
+      drain(Dedup.fuzzyNameJoin(names, "name",
+        n => element_at(split(n, " "), -1), maxDist = 3))
+    }
+    time(s"ksTestPrefixSum x$mult") {
+      val ev = events.select(pmod(col("user_id"), lit(2L)).as("par"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(Profiling.ksTest(
+        ev.filter(col("par") === 0L).select(col("cents")),
+        ev.filter(col("par") =!= 0L).select(col("cents")), "cents"))
     }
     spark.stop()
   }
