@@ -2664,6 +2664,28 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_sprt" -> ((s, dir) => {
+      // Wald sequential A/B monitor: per-arm LLR walk over the event
+      // stream in (ts, event_id) order, stopping at the first Wald-bound
+      // crossing — integer micro-nat arithmetic on the materialized-once
+      // ranged prefix sum (never a per-arm single-partition window).
+      val ev = table(s, dir, "events").select(
+        concat(lit("arm_"), pmod(col("user_id"), lit(2L))).as("arm"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        (col("event_type") === "purchase").as("converted"))
+      Profiling.sprt(ev, "arm", Seq("ms", "event_id"), "converted",
+        p0 = 0.15, p1 = 0.25)
+    }),
+    "q_countmin" -> ((s, dir) =>
+      // Deterministic count-min sketch (d=4, w=1024, md5 hash family):
+      // probe estimates vs exact counts with the one-sided error flag in
+      // the output; the sketch is d·w cells at any corpus size.
+      TextAnalysis.countMinEstimate(table(s, dir, "documents"),
+        probes = Seq("the", "spark", "data", "window", "zzz_absent"))),
+    "q_good_turing" -> ((s, dir) =>
+      // Good–Turing frequency-of-frequencies smoothing: N_r + smoothed
+      // r* via an EXACT r+1 self-join (lead() would skip absent r).
+      TextAnalysis.goodTuring(table(s, dir, "documents"))),
     "q_negative_sample" -> ((s, dir) =>
       // Contrastive-training negatives: 3 deterministic pseudo-random
       // partners per doc via evenly spaced strides on the md5-rank ring —
@@ -5136,6 +5158,58 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_sprt" -> {
+      val (incPos, incNeg, upper, lower) =
+        Profiling.sprtConstants(0.15, 0.25, 0.05, 0.05)
+      s"""WITH e AS (SELECT 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,
+         |    epoch_ms(ts) AS ms, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN ${incPos}
+         |         ELSE ${incNeg} END AS llr
+         |  FROM events),
+         |c AS (SELECT arm, llr,
+         |    CAST(SUM(llr) OVER w AS BIGINT) AS cum,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_obs
+         |  FROM e WINDOW w AS (PARTITION BY arm ORDER BY ms, event_id)),
+         |f AS (SELECT arm, CAST(MIN(n_obs) AS BIGINT) AS cn,
+         |    CAST(arg_min(cum, n_obs) AS BIGINT) AS cllr
+         |  FROM c WHERE cum >= ${upper} OR cum <= ${lower} GROUP BY arm),
+         |t AS (SELECT arm, CAST(SUM(llr) AS BIGINT) AS fllr,
+         |    CAST(COUNT(*) AS BIGINT) AS nt FROM e GROUP BY arm)
+         |SELECT t.arm,
+         |  CASE WHEN cn IS NULL THEN 'continue'
+         |       WHEN cllr >= ${upper} THEN 'accept_h1'
+         |       ELSE 'accept_h0' END AS decision,
+         |  COALESCE(cn, nt) AS n_obs, COALESCE(cllr, fllr) AS llr_micro,
+         |  CAST(${upper} AS BIGINT) AS upper_micro,
+         |  CAST(${lower} AS BIGINT) AS lower_micro
+         |FROM t LEFT JOIN f ON t.arm = f.arm""".stripMargin
+    },
+    "q_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cells AS (SELECT r, h % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT r, CAST('0x' || substr(md5(
+        |      'cm' || CAST(r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) AS h
+        |    FROM toks, (SELECT unnest(range(0, 4)) AS r))
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['the','spark','data','window','zzz_absent']) AS token),
+        |pb AS (SELECT token, r, CAST('0x' || substr(md5(
+        |      'cm' || CAST(r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM probes, (SELECT unnest(range(0, 4)) AS r)),
+        |est AS (SELECT token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cm_est
+        |  FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY token),
+        |ex AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_freq
+        |  FROM toks GROUP BY token)
+        |SELECT token, CAST(COALESCE(exact_freq, 0) AS BIGINT) AS exact_freq,
+        |  cm_est, cm_est >= COALESCE(exact_freq, 0) AS is_over
+        |FROM est LEFT JOIN ex USING (token)""".stripMargin,
+    "q_good_turing" ->
+      """WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r)
+        |SELECT a.r, a.n_r,
+        |  round((a.r + 1) * CAST(COALESCE(b.n_r, 0) AS DOUBLE) / a.n_r, 6) AS r_star
+        |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1""".stripMargin,
     "q_negative_sample" ->
       """WITH r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |    ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos

@@ -56,15 +56,26 @@ object Eval {
       df: DataFrame,
       groupCols: Seq[String],
       orderCol: String,
+      sumCols: Seq[String]): DataFrame =
+    rangedCumsumOrdered(df, groupCols, Seq(orderCol), sumCols)
+
+  /** [[rangedCumsum]] over a multi-column total order (e.g. (ts, id) event
+    * order for sequential tests). */
+  def rangedCumsumOrdered(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val gcols = groupCols.map(col)
+    val ocols = orderCols.map(col)
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(p, gcols :+ col(orderCol): _*)
-      .sortWithinPartitions(gcols :+ col(orderCol): _*)
+    val ranged = df.repartitionByRange(p, gcols ++ ocols: _*)
+      .sortWithinPartitions(gcols ++ ocols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__pid") +: gcols: _*)
-      .orderBy(col(orderCol))
+      .orderBy(ocols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sumCols.foldLeft(ranged) { (d, c) =>
       d.withColumn(s"__l_$c", sum(col(c)).over(wLocal))

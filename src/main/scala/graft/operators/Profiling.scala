@@ -185,6 +185,67 @@ object Profiling {
           / exp, 6).as("chi2_contrib"))
   }
 
+  /** Fixed-point log-likelihood-ratio increments and Wald thresholds for
+    * [[sprt]] — exposed so the SQL oracle interpolates the IDENTICAL
+    * integer constants (micro-nats). */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double, beta: Double)
+      : (Long, Long, Long, Long) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0/p1 must be distinct probabilities in (0,1): $p0, $p1")
+    val s = 1000000.0
+    (math.round(math.log(p1 / p0) * s),
+      math.round(math.log((1 - p1) / (1 - p0)) * s),
+      math.round(math.log((1 - beta) / alpha) * s),
+      math.round(math.log(beta / (1 - alpha)) * s))
+  }
+
+  /** Wald's sequential probability ratio test over an event stream — the
+    * "stop the A/B test as soon as it's decided" monitor: per group, walk
+    * events in (orderCols) order accumulating the Bernoulli LLR, and stop
+    * at the first crossing of the Wald bounds (accept H1 at
+    * ln((1−β)/α), accept H0 at ln(β/(1−α))); groups that never cross
+    * report `continue` with their final state.
+    *
+    * All arithmetic is integer-exact: increments and thresholds are
+    * pre-rounded to micro-nats ([[sprtConstants]]), so the cumulative walk
+    * is a BIGINT prefix sum — it runs on the materialized-once ranged
+    * kernel ([[Eval.rangedCumsumOrdered]]), never a per-group
+    * single-partition window, and the SQL oracle replays the walk
+    * bit-for-bit. First crossing resolves with one min_by per group. */
+  def sprt(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      outcomeCol: String,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val (incPos, incNeg, upper, lower) = sprtConstants(p0, p1, alpha, beta)
+    val stepped = df.select(
+      col(groupCol) +: orderCols.map(col) :+
+        when(col(outcomeCol), incPos).otherwise(incNeg).as("__llr") :+
+        lit(1L).as("__one"): _*)
+    val c = Eval.rangedCumsumOrdered(stepped, Seq(groupCol), orderCols,
+      Seq("__llr", "__one"))
+    val firsts = c
+      .filter(col("cum___llr") >= upper || col("cum___llr") <= lower)
+      .groupBy(col(groupCol))
+      .agg(min_by(
+        struct(col("cum___one").as("n"), col("cum___llr").as("llr")),
+        struct(orderCols.map(col): _*)).as("__f"))
+      .select(col(groupCol), col("__f.n").as("__cn"), col("__f.llr").as("__cllr"))
+    val tot = c.groupBy(col(groupCol)).agg(
+      sum(col("__llr")).cast("long").as("__fllr"),
+      count(lit(1)).cast("long").as("__nt"))
+    tot.join(firsts, Seq(groupCol), "left")
+      .select(col(groupCol),
+        when(col("__cn").isNull, lit("continue"))
+          .when(col("__cllr") >= upper, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        coalesce(col("__cn"), col("__nt")).as("n_obs"),
+        coalesce(col("__cllr"), col("__fllr")).as("llr_micro"),
+        lit(upper).as("upper_micro"), lit(lower).as("lower_micro"))
+  }
+
   /** Mutual information between two categorical columns, emitted as exact
     * per-cell contributions (Σ = MI in nats) — the information-theoretic
     * companion to [[chi2Independence]] and the feature-selection scorer

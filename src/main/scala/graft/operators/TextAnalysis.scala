@@ -1010,6 +1010,65 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Count-min sketch demo over token frequencies with a DETERMINISTIC
+    * md5 hash family — the mergeable sub-linear counter a 100 TB pipeline
+    * keeps when the exact histogram ([[tokenFrequencies]]) is too wide:
+    * d salted hash rows × w buckets, estimate = min over rows. Emitted as
+    * (probe token, exact count, CM estimate, overestimate flag) so the
+    * one-sided error guarantee (est ≥ exact, e ≤ 2N/w at 1−(1/2)^d) is
+    * checked IN the output; hashes are the portable md5 kernel, so the
+    * SQL oracle rebuilds the identical sketch. The sketch build is one
+    * d-fold explode of the token stream with map-side combine (d·w cells
+    * total — broadcastable at any corpus size). */
+  def countMinEstimate(
+      docs: DataFrame, probes: Seq[String], d: Int = 4, w: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2: $d, $w")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val cells = toks
+      .select(col("token"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .select(col("r"), pmod(graft.functions.TextFunctions.tokenHash60(
+        concat(lit("cm"), col("r"), lit(":"), col("token"))), lit(w.toLong))
+        .as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val probeDf = docs.sparkSession.createDataFrame(
+      probes.map(Tuple1(_))).toDF("token")
+    val probeBuckets = probeDf
+      .select(col("token"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .select(col("token"), col("r"),
+        pmod(graft.functions.TextFunctions.tokenHash60(
+          concat(lit("cm"), col("r"), lit(":"), col("token"))), lit(w.toLong))
+          .as("bucket"))
+    val est = probeBuckets.join(cells, Seq("r", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("exact_freq"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), coalesce(col("exact_freq"), lit(0L)).as("exact_freq"),
+        col("cm_est"),
+        (col("cm_est") >= coalesce(col("exact_freq"), lit(0L))).as("is_over"))
+  }
+
+  /** Good–Turing frequency-of-frequencies smoothing table: for every
+    * observed token frequency r, how many types have it (N_r) and the
+    * smoothed count r* = (r+1)·N_{r+1}/N_r (0 where N_{r+1} is absent —
+    * the classic unsmoothed-tail caveat). The corpus collapses to the
+    * token histogram, then to the frequency histogram — the second table
+    * is tiny at any scale; adjacency is an EXACT self-join on r+1 (a lead
+    * window would skip to the next PRESENT r, which is wrong). */
+  def goodTuring(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("r"))
+    val nr = tf.groupBy(col("r")).agg(count(lit(1)).cast("long").as("n_r"))
+    nr.join(nr.select((col("r") - 1L).as("r"), col("n_r").as("__n_next")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("__n_next"), lit(0L)) / col("n_r"), 6).as("r_star"))
+  }
+
   /** 60-bit md5-prefix hash as a SQL snippet over a SQL expression —
     * the string-expr twin of [[graft.functions.TextFunctions.tokenHash60]]. */
   private def hash60Sql(e: String): String =
