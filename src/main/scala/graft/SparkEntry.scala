@@ -2664,6 +2664,28 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_order_stats" -> ((s, dir) => {
+      // EXACT p25/p50/p75/p99 of spend in ONE pass off the prefix table
+      // (tiny broadcast of position marks) — vs q_percentile's exact
+      // aggregate that sorts each group through one reducer.
+      val ev = table(s, dir, "events")
+        .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      Eval.orderStatistics(ev, "cents",
+        Seq((1, 4), (1, 2), (3, 4), (99, 100)))
+    }),
+    "q_log_templates" -> ((s, dir) => {
+      // Drain-style template mining over the synthesized ELB lines (same
+      // fixture as q_parse_elb): variable fields (timestamp, client
+      // ip:port) fall below the frequency floor and wildcard to <*>; the
+      // whole corpus collapses to ONE template shape.
+      val lines = table(s, dir, "events").select(col("event_id"),
+        format_string(
+          "%s elb u%d:%d 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("user_id"),
+          col("event_id")).as("line"))
+      TextAnalysis.logTemplates(lines, "event_id", "line", minDf = 1000L)
+    }),
     "q_sprt" -> ((s, dir) => {
       // Wald sequential A/B monitor: per-arm LLR walk over the event
       // stream in (ts, event_id) order, stopping at the first Wald-bound
@@ -5158,6 +5180,35 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_order_stats" ->
+      """WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+        |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM e GROUP BY v),
+        |c AS (SELECT v, nv, CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS cum FROM per),
+        |t AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM per),
+        |fr AS (SELECT CAST(f_num AS BIGINT) AS f_num, CAST(f_den AS BIGINT) AS f_den
+        |  FROM (VALUES (1, 4), (1, 2), (3, 4), (99, 100)) AS f(f_num, f_den)),
+        |m AS (SELECT f_num, f_den, n,
+        |    greatest((f_num * n + f_den - 1) // f_den, 1) AS pos FROM fr, t)
+        |SELECT f_num, f_den, n, CAST(pos AS BIGINT) AS pos, v AS value
+        |FROM c, m WHERE cum >= pos AND cum - nv < pos""".stripMargin,
+    "q_log_templates" ->
+      """WITH lines AS (SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || ' elb u' ||
+        |    CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) ||
+        |    ' 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1' AS line
+        |  FROM events),
+        |tl AS (SELECT event_id, string_split(line, ' ') AS tl FROM lines),
+        |toks0 AS (SELECT event_id, unnest([struct_pack(pos := i, tok := tl[i])
+        |    FOR i IN range(1, len(tl) + 1)]) AS p FROM tl),
+        |toks AS (SELECT event_id, p.pos AS pos, p.tok AS tok FROM toks0),
+        |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+        |t2 AS (SELECT event_id, pos,
+        |    CASE WHEN tf >= 1000 THEN tok ELSE '<*>' END AS t2
+        |  FROM toks JOIN freq USING (tok)),
+        |tmpl AS (SELECT event_id, string_agg(t2, ' ' ORDER BY pos) AS template
+        |  FROM t2 GROUP BY event_id)
+        |SELECT template, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM tmpl GROUP BY template""".stripMargin,
     "q_sprt" -> {
       val (incPos, incNeg, upper, lower) =
         Profiling.sprtConstants(0.15, 0.25, 0.05, 0.05)

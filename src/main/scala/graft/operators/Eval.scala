@@ -189,6 +189,37 @@ object Eval {
           (lit(2L) * col("n")), 6).as("pct_rank"))
   }
 
+  /** EXACT order statistics — many quantiles in ONE pass, no global sort:
+    * value k at cumulative position ceil(f·n) is read off the
+    * materialized-once prefix table with a tiny broadcast of position
+    * marks (distinct-value rows scan once; `percentile()`-style exact
+    * aggregates sort each group through one reducer instead). Fractions
+    * are exact rationals (num, den) so positions are integer arithmetic —
+    * pos = ⌈num·n/den⌉ = (num·n + den − 1) div den, floor-guarded to 1 —
+    * and the SQL oracle replays them. */
+  def orderStatistics(
+      df: DataFrame, valCol: String,
+      fractions: Seq[(Int, Int)]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall { case (n, d) => n >= 0 && d > 0 && n <= d },
+      s"fractions must be rationals in [0,1]: $fractions")
+    val per = df.groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val c = rangedCumsum(per, Nil, "v", Seq("nv"))
+    val tot = broadcast(c.agg(sum(col("nv")).cast("long").as("n")))
+    val fr = df.sparkSession.createDataFrame(fractions)
+      .toDF("f_num", "f_den")
+      .select(col("f_num").cast("long"), col("f_den").cast("long"))
+    val marks = broadcast(fr.crossJoin(tot).selectExpr(
+      "f_num", "f_den", "n",
+      "greatest(CAST((f_num * n + f_den - 1) div f_den AS BIGINT), 1L) AS pos"))
+    c.crossJoin(marks)
+      .filter(col("cum_nv") >= col("pos") &&
+        col("cum_nv") - col("nv") < col("pos"))
+      .select(col("f_num"), col("f_den"), col("n"), col("pos"),
+        col("v").as("value"))
+  }
+
   /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
     * exact counts plus precision/recall/F1 (0.0 where the denominator is
     * empty — a class never predicted has precision 0 by convention, not

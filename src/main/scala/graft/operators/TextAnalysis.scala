@@ -1051,6 +1051,36 @@ object TextAnalysis {
         (col("cm_est") >= coalesce(col("exact_freq"), lit(0L))).as("is_over"))
   }
 
+  /** Drain-style log template mining: wildcard every token whose corpus
+    * frequency is below `minDf` (timestamps, ids, ports — the variable
+    * fields) and group lines by the surviving template — the
+    * log-clustering step that turns raw access logs into countable event
+    * shapes. Position-preserving: lines re-assemble from a per-line sort
+    * of (pos, token), so `a <*> b` ≠ `b <*> a`.
+    *
+    * Scale shape: one positional explode of the lines, one vocab-sized
+    * frequency aggregate joined back BY KEY (never broadcast — the
+    * q_tfidf discipline), one per-line re-aggregation, one template
+    * count. All map-side-combinable aggregates; nothing is driver-sided. */
+  def logTemplates(
+      lines: DataFrame, idCol: String, lineCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val toks = lines.select(col(idCol),
+      posexplode(split(col(lineCol), " ")).as(Seq("pos", "tok")))
+    val freq = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("__tf"))
+    toks.join(freq, Seq("tok"))
+      .select(col(idCol), col("pos"),
+        when(col("__tf") >= minDf, col("tok")).otherwise(lit("<*>")).as("t2"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, t2))), x -> x.t2)"))
+        .as("template"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).cast("long").as("n_lines"))
+  }
+
   /** Good–Turing frequency-of-frequencies smoothing table: for every
     * observed token frequency r, how many types have it (N_r) and the
     * smoothed count r* = (r+1)·N_{r+1}/N_r (0 where N_{r+1} is absent —

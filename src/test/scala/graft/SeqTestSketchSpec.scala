@@ -48,6 +48,33 @@ class SeqTestSketchSpec extends SparkFunSuite {
     assert(got.values.forall(_._3), "CM estimate must never undercount")
   }
 
+  test("orderStatistics: exact ceil-position quantiles, ties collapse") {
+    import graft.operators.Eval
+    val df = (1L to 10L).toDF("v")
+    val got = Eval.orderStatistics(df, "v",
+      Seq((1, 4), (1, 2), (3, 4), (99, 100))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got((1L, 4L)) == (3L, 3L))   // ceil(2.5) = 3rd -> 3
+    assert(got((1L, 2L)) == (5L, 5L))   // 5th -> 5
+    assert(got((3L, 4L)) == (8L, 8L))   // ceil(7.5) = 8th -> 8
+    assert(got((99L, 100L)) == (10L, 10L))
+    val tied = Seq(1L, 1L, 1L, 9L).toDF("v")
+    val t = Eval.orderStatistics(tied, "v", Seq((1, 2))).head()
+    assert(t.getLong(3) == 2L && t.getLong(4) == 1L) // pos 2 inside the tie block
+  }
+
+  test("logTemplates: rare tokens wildcard, position order preserved") {
+    import graft.operators.TextAnalysis
+    val lines = Seq((1L, "a x1 b"), (2L, "a x2 b"), (3L, "a x3 b"),
+      (4L, "b a")).toDF("id", "line")
+    val got = TextAnalysis.logTemplates(lines, "id", "line", minDf = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a <*> b") == 3L)
+    assert(got("b a") == 1L) // order matters; a/b frequent so kept verbatim
+    assert(got.size == 2)
+  }
+
   test("goodTuring: adjacency is exact r+1, absent next bucket gives 0") {
     // freqs: a:3, b:1, c:1, d:2 -> N_1=2, N_2=1, N_3=1
     val docs = Seq((1L, "a a a b c d d")).toDF("doc_id", "text")
