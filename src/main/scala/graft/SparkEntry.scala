@@ -2664,6 +2664,21 @@ object SparkEntry {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       Eval.gini(o, "c_mktsegment", "cents")
     }),
+    "q_quantile_norm" -> ((s, dir) => {
+      // EXACT quantile normalization: each event type's spend
+      // distribution mapped onto the pooled distribution — two prefix-sum
+      // CDFs + a binned range join for the position lookup (no BNLJ).
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      Normalize.quantileNormalize(ev, "event_type", "cents")
+    }),
+    "q_rendezvous" -> ((s, dir) =>
+      // Consistent shard assignment: highest-random-weight hashing over 8
+      // shards — removing a shard relocates ONLY its ids (vs mod-n's
+      // global reshuffle). Pure codegen'd narrow map.
+      graft.operators.Layout.rendezvousAssign(
+        table(s, dir, "documents").select(col("doc_id")), "doc_id",
+        shards = 8)),
     "q_order_stats" -> ((s, dir) => {
       // EXACT p25/p50/p75/p99 of spend in ONE pass off the prefix table
       // (tiny broadcast of position marks) — vs q_percentile's exact
@@ -5180,6 +5195,31 @@ object SparkEntry {
         |  CAST(n * sum_val AS BIGINT) AS den,
         |  round(CAST(twice - (n + 1) * sum_val AS DOUBLE) / (n * sum_val), 6) AS gini
         |FROM g""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+        |perg AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS nv FROM e GROUP BY 1, 2),
+        |cg AS (SELECT g, v, nv,
+        |    CAST(SUM(nv) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM perg),
+        |ng AS (SELECT g, CAST(SUM(nv) AS BIGINT) AS n_g FROM perg GROUP BY g),
+        |perp AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nvp FROM e GROUP BY v),
+        |cp AS (SELECT v, nvp, CAST(SUM(nvp) OVER (ORDER BY v) AS BIGINT) AS cump FROM perp),
+        |np AS (SELECT CAST(SUM(nvp) AS BIGINT) AS n_pool FROM perp),
+        |req AS (SELECT g, v, nv,
+        |    greatest(((2*cum - nv + 1) * n_pool + 2*n_g - 1) // (2*n_g), 1) AS pos
+        |  FROM cg JOIN ng USING (g), np)
+        |SELECT req.g AS event_type, req.v, req.nv, CAST(pos AS BIGINT) AS pos,
+        |  cp.v AS v_norm
+        |FROM req JOIN cp ON pos - 1 >= cump - nvp AND pos - 1 < cump""".stripMargin,
+    "q_rendezvous" ->
+      """SELECT doc_id, CAST(s AS BIGINT) AS shard FROM (
+        |  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS rn
+        |  FROM (SELECT doc_id, s,
+        |      CAST('0x' || substr(md5('rv' || CAST(s AS VARCHAR) || ':' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |    FROM documents, (SELECT unnest(range(0, 8)) AS s)))
+        |WHERE rn = 1""".stripMargin,
     "q_order_stats" ->
       """WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
         |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM e GROUP BY v),

@@ -158,6 +158,24 @@ object Layout {
       .drop("__pid", "__rn", "__off")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: every id goes
+    * to the shard with the maximum md5-derived weight — the consistent
+    * sharding rule where REMOVING a shard only relocates that shard's
+    * ids (no global reshuffle, unlike `id mod n`). Pure narrow map: the
+    * per-shard weights evaluate as one codegen'd array expression and
+    * `array_max` picks the (weight, shard) lexicographic max — no UDF,
+    * no join, exactly replayable in SQL. */
+  def rendezvousAssign(
+      df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    df.withColumn("shard", expr(
+      s"""array_max(transform(sequence(0, ${shards - 1}),
+         |  s -> struct(
+         |    CAST(conv(substring(md5(concat('rv', s, ':',
+         |      CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,
+         |    CAST(s AS BIGINT) AS shard))).shard""".stripMargin))
+  }
+
   def compactSmallFiles(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

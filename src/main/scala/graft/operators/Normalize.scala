@@ -115,4 +115,44 @@ object Normalize {
           round((col(valCol).cast("double") - mean) / sqrt(variance), 6)))
       .drop("__n", "__s", "__sq")
   }
+
+  /** EXACT distributed quantile normalization — map every group's value
+    * distribution onto the POOLED distribution (the bioinformatics
+    * transform that makes batches comparable): value v in group g at
+    * midrank percentile p is replaced by the pooled value at cumulative
+    * position ⌈p·N⌉. Everything is integer arithmetic on distinct-value
+    * tables: both CDFs come from the materialized-once ranged prefix sum
+    * ([[Eval.rangedCumsum]]), the position lookup is the binned range
+    * join ([[Temporal.rangeJoinBinned]] — position ∈ (cumBefore, cum]
+    * half-open, never a BNLJ), and the SQL oracle replays the positions
+    * exactly. Output is distinct-(group, value)-sized; join it back by
+    * (group, value) for a per-row column.
+    *
+    * Bounds: positions multiply 2·n_g·N — fits BIGINT while
+    * n_g·N < 4.6e18 (normalize per partition-of-corpus beyond that).
+    * `binSize` trades bin-explode fan-out on the pooled side against
+    * candidate-pair width (positions per bin). */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valCol: String,
+      binSize: Long = 64L): DataFrame = {
+    val perG = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val cg = Eval.rangedCumsum(perG, Seq(groupCol), "v", Seq("nv"))
+    val ng = broadcast(cg.groupBy(col(groupCol))
+      .agg(sum(col("nv")).cast("long").as("n_g")))
+    val perP = df.groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nvp"))
+    val cp = Eval.rangedCumsum(perP, Nil, "v", Seq("nvp"))
+    val npool = broadcast(cp.agg(sum(col("nvp")).cast("long").as("n_pool")))
+    val req = cg.join(ng, Seq(groupCol)).crossJoin(npool)
+      .withColumn("pos", greatest(lit(1L), expr(
+        "CAST(((2*cum_nv - nv + 1) * n_pool + 2*n_g - 1) div (2*n_g) AS BIGINT)")))
+      .withColumn("__pos0", col("pos") - 1L)
+      .select(col(groupCol), col("v"), col("nv"), col("pos"), col("__pos0"))
+    val ranges = cp.select(
+      (col("cum_nvp") - col("nvp")).as("lo"), col("cum_nvp").as("hi"),
+      col("v").as("v_norm"))
+    Temporal.rangeJoinBinned(req, "__pos0", ranges, binSize)
+      .select(col(groupCol), col("v"), col("nv"), col("pos"), col("v_norm"))
+  }
 }

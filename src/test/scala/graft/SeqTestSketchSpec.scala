@@ -75,6 +75,31 @@ class SeqTestSketchSpec extends SparkFunSuite {
     assert(got.size == 2)
   }
 
+  test("quantileNormalize: both groups land on the pooled distribution") {
+    import graft.operators.Normalize
+    // a={1,2}, b={10,20}; pooled={1,2,10,20}; midrank p=.5 -> pos 2 -> 2,
+    // p=1 -> pos 4 -> 20: both groups normalize to {2, 20}
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L)).toDF("g", "v")
+    val got = Normalize.quantileNormalize(df, "g", "v", binSize = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got == Map(("a", 1L) -> 2L, ("a", 2L) -> 20L,
+      ("b", 10L) -> 2L, ("b", 20L) -> 20L))
+  }
+
+  test("rendezvousAssign: consistent — removing a shard only moves its ids") {
+    import graft.operators.Layout
+    val ids = (1L to 200L).toDF("id")
+    val with8 = Layout.rendezvousAssign(ids, "id", 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val with7 = Layout.rendezvousAssign(ids, "id", 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(with8.values.toSet.size >= 6, "assignments should spread")
+    // THE rendezvous property: ids not on the removed shard 7 stay put
+    val stayers = with8.filter(_._2 != 7L)
+    assert(stayers.forall { case (id, s) => with7(id) == s })
+    assert(with8.values.exists(_ == 7L)) // and some ids did move
+  }
+
   test("goodTuring: adjacency is exact r+1, absent next bucket gives 0") {
     // freqs: a:3, b:1, c:1, d:2 -> N_1=2, N_2=1, N_3=1
     val docs = Seq((1L, "a a a b c d d")).toDF("doc_id", "text")
