@@ -486,6 +486,36 @@ object ScaleSmoke {
       drain(Dedup.fuzzyNameJoin(names, "name",
         n => element_at(split(n, " "), -1), maxDist = 3))
     }
+    time(s"quantileNormalize x$mult") {
+      val ev = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(graft.operators.Normalize.quantileNormalize(ev, "event_type",
+        "cents", binSize = 256L))
+    }
+    time(s"sprt x$mult") {
+      val ev = events.select(
+        concat(lit("arm_"), pmod(col("user_id"), lit(2L))).as("arm"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        (col("event_type") === "purchase").as("y"))
+      drain(Profiling.sprt(ev, "arm", Seq("ms", "event_id"), "y", 0.15, 0.25))
+    }
+    time(s"orderStats+logTemplates x$mult") {
+      drain(Eval.orderStatistics(events.select(
+        round(col("value") * 100, 0).cast("long").as("cents")), "cents",
+        Seq((1, 4), (1, 2), (3, 4), (99, 100))))
+      val lines = events.select(col("event_id"), concat_ws(" ",
+        col("ts").cast("string"), lit("elb"),
+        concat(lit("u"), col("user_id"), lit(":"), col("event_id")),
+        lit("10.0.0.1:80 GET http://x/y HTTP/1.1")).as("line"))
+      drain(TextAnalysis.logTemplates(lines, "event_id", "line", minDf = 1000L))
+    }
+    time(s"countMin+goodTuring+rendezvous x${math.max(1, mult / 5)}") {
+      drain(TextAnalysis.countMinEstimate(docs,
+        Seq("the", "spark", "data", "window", "zzz")))
+      drain(TextAnalysis.goodTuring(docs))
+      drain(graft.operators.Layout.rendezvousAssign(
+        docs.select(col("doc_id")), "doc_id", 8))
+    }
     time(s"ksTestPrefixSum x$mult") {
       val ev = events.select(pmod(col("user_id"), lit(2L)).as("par"),
         round(col("value") * 100, 0).cast("long").as("cents"))
