@@ -2808,6 +2808,39 @@ object SparkEntry {
         col("l_quantity").cast("long").as("qty"))
       Eval.weightedMedian(li, "l_returnflag", "cents", "qty")
     }),
+    "q_zorder_stats" -> ((s, dir) => {
+      // Read-side proof of the Z-order layout: bucket lineitem by the top
+      // 6 bits of the (partkey, suppkey) Z-value (= the file boundaries a
+      // range-partitioned write would draw) and report each bucket's
+      // covered rectangle — small rect_cells means min/max pruning skips
+      // buckets for predicates on EITHER key. Integer DIV scaling into the
+      // 8-bit grid (never float), one narrow map + a 64-group agg.
+      val li = table(s, dir, "lineitem")
+      val mx = broadcast(li.agg(max(col("l_partkey")).as("mp"),
+        max(col("l_suppkey")).as("ms")))
+      val cells = li.crossJoin(mx).select(
+        expr("l_partkey * 256 DIV (mp + 1)").as("ca"),
+        expr("l_suppkey * 256 DIV (ms + 1)").as("cb"))
+      graft.operators.Layout.zOrderStats(
+        cells, col("ca"), col("cb"), bits = 8, bucketBits = 6)
+    }),
+    "q_compaction_plan" -> ((s, dir) => {
+      // Catalog-wide compaction PLAN: the per-(event_type, day) micro-file
+      // inventory binned into ~2 KB output files by offset binning
+      // (cum_bytes_before DIV target) — idempotent pure function of the
+      // inventory, the planning half of Layout.compactSmallFiles.
+      val files = table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(length(col("props"))).cast("long").as("n_bytes"))
+      graft.operators.Layout.compactionPlan(
+        files, "event_type", "day", "n_bytes", targetBytes = 2048L)
+    }),
+    "q_kmv_distinct" -> ((s, dir) =>
+      // K-minimum-values distinct sketch over order keys: 256 smallest
+      // 60-bit md5 hashes → unbiased estimate (k−1)·2^60/h_k, checked
+      // against the exact count in the same row. TakeOrderedAndProject
+      // keeps the k-smallest step a per-partition heap, never a sort.
+      Profiling.kmvDistinct(table(s, dir, "orders"), "o_orderkey", k = 256)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5415,6 +5448,43 @@ object SparkEntry {
         |SELECT c.g AS l_returnflag, tot.w_total, CAST(MIN(v) AS BIGINT) AS w_median
         |FROM c JOIN tot ON c.g = tot.g
         |WHERE 2 * cw >= w_total GROUP BY c.g, tot.w_total""".stripMargin,
+    "q_zorder_stats" ->
+      s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+         |cells AS (SELECT l_partkey * 256 // (mp + 1) AS ca,
+         |    l_suppkey * 256 // (ms + 1) AS cb FROM lineitem, mx),
+         |z AS (SELECT ca, cb,
+         |    ${graft.operators.Layout.zValueSql("ca", "cb", 8)} AS z FROM cells)
+         |SELECT (z >> 10) AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  min(ca) AS min_a, max(ca) AS max_a,
+         |  min(cb) AS min_b, max(cb) AS max_b,
+         |  (max(ca) - min(ca) + 1) * (max(cb) - min(cb) + 1) AS rect_cells
+         |FROM z GROUP BY 1""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(length(props)) AS BIGINT) AS n_bytes
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before
+        |  FROM f)
+        |SELECT event_type, day, n_bytes, cum_before,
+        |  cum_before // 2048 AS bin FROM c""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k, max(h) AS h_k FROM k),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM h),
+        |est AS (SELECT n_k, h_k, exact_distinct, (n_k = 256) AS saturated,
+        |    CASE WHEN n_k = 256
+        |      THEN round(CAST(n_k - 1 AS DOUBLE) * power(2, 60) / h_k, 6)
+        |      ELSE CAST(n_k AS DOUBLE) END AS est_distinct
+        |  FROM kk, ex)
+        |SELECT n_k, h_k, exact_distinct, saturated, est_distinct,
+        |  round(abs(est_distinct / exact_distinct - 1), 6) AS rel_err
+        |FROM est""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

@@ -158,6 +158,73 @@ object Layout {
       .drop("__pid", "__rn", "__off")
   }
 
+  /** Per-bucket clustering statistics of a Z-order layout — the read-side
+    * proof that [[writeZOrdered]]'s interleave buys data skipping. Inputs
+    * are integer grid cells in [0, 2^bits) (the caller scales raw keys —
+    * integer `DIV`, never float division, so the oracle replays bit-exact).
+    * Rows are bucketed by the TOP `bucketBits` bits of the Z-value (= the
+    * file boundary a range-partitioned write would draw), and each bucket
+    * reports its row count plus the min/max rectangle it covers in BOTH
+    * dimensions: `rect_cells`, the rectangle's area, is the quantity parquet
+    * min/max pruning acts on — small rectangles mean a predicate on EITHER
+    * column skips most buckets. One narrow codegen'd map + one agg; no
+    * shuffle beyond the 2^bucketBits-group aggregation. */
+  def zOrderStats(
+      df: DataFrame,
+      cellA: Column,
+      cellB: Column,
+      bits: Int = 8,
+      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1, ${2 * bits}]: $bucketBits")
+    val z = zValue(cellA, cellB, bits)
+    df.select(cellA.as("__ca"), cellB.as("__cb"),
+        shiftright(z, 2 * bits - bucketBits).as("zbucket"))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__ca")).as("min_a"), max(col("__ca")).as("max_a"),
+        min(col("__cb")).as("min_b"), max(col("__cb")).as("max_b"))
+      .withColumn("rect_cells",
+        (col("max_a") - col("min_a") + 1) * (col("max_b") - col("min_b") + 1))
+  }
+
+  /** DuckDB-SQL rendering of [[zValue]]'s bit interleave over expressions
+    * `a`/`b` (already-clamped BIGINT cells) — generated from the same
+    * (bits) constants so the oracle replays the exact arithmetic. */
+  def zValueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a) >> $i) & 1) * ${1L << (2 * i)} + ((($b) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Logical compaction plan — which small files coalesce into which output
+    * bin. [[compactSmallFiles]] is the physical rewrite for ONE local
+    * directory; a 100 TB lakehouse first PLANS compaction across the whole
+    * catalog, and that plan is itself a dataframe job over the file
+    * inventory: per table-partition (`partCol`), files in `orderCol` order
+    * are assigned bin = cum_bytes_before DIV targetBytes — offset binning,
+    * so every bin's input is within one file of `targetBytes` and the
+    * assignment is a pure function of the inventory (idempotent re-planning
+    * across scheduler retries). The window is per-partition: file
+    * inventories are metadata-scale (files per table-partition, not rows),
+    * so a bounded per-group window is the right tool; an inventory with
+    * millions of files in ONE partition would swap this for
+    * [[globalRowNumber]]'s ranged prefix sum. */
+  def compactionPlan(
+      files: DataFrame,
+      partCol: String,
+      orderCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV ${targetBytes}L"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: every id goes
     * to the shard with the maximum md5-derived weight — the consistent
     * sharding rule where REMOVING a shard only relocates that shard's

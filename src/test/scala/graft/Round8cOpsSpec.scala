@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Layout, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Round-8 session-3 operators: Z-order bucket stats, compaction planning,
+  * KMV distinct sketch. */
+class Round8cOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("zOrderStats: per-cell buckets degenerate to 1-cell rectangles") {
+    // bucketBits = 2*bits → every bucket is exactly one grid cell
+    val cells = Seq((0L, 0L), (0L, 0L), (1L, 0L), (3L, 3L))
+      .toDF("ca", "cb")
+    val got = Layout.zOrderStats(cells, col("ca"), col("cb"),
+        bits = 2, bucketBits = 4)
+      .collect()
+      .map(r => r.getAs[Long]("zbucket") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("rect_cells")))).toMap
+    // z(0,0)=0, z(1,0)=1, z(3,3)=15 at bits=2
+    assert(got == Map(0L -> ((2L, 1L)), 1L -> ((1L, 1L)), 15L -> ((1L, 1L))))
+  }
+
+  test("zOrderStats: top-bit buckets cover the expected quadrant rectangles") {
+    // bits=2 grid (4×4), bucketBits=2 → 4 buckets = the 2×2 quadrants of
+    // the Z curve; fill the full grid so each bucket's rectangle is its
+    // whole quadrant (4 cells)
+    val all = for { a <- 0L until 4L; b <- 0L until 4L } yield (a, b)
+    val got = Layout.zOrderStats(all.toDF("ca", "cb"), col("ca"), col("cb"),
+        bits = 2, bucketBits = 2)
+      .collect()
+      .map(r => r.getAs[Long]("zbucket") ->
+        ((r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_a"), r.getAs[Long]("max_a"),
+          r.getAs[Long]("min_b"), r.getAs[Long]("max_b"),
+          r.getAs[Long]("rect_cells")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // quadrant 0 = low halves of both dims; quadrant 1 = high a, low b
+    // (a's bits land at even positions, so bucket bit 0 is a's top bit)
+    assert(got(0L) == ((4L, 0L, 1L, 0L, 1L, 4L)))
+    assert(got(1L) == ((4L, 2L, 3L, 0L, 1L, 4L)))
+    assert(got(2L) == ((4L, 0L, 1L, 2L, 3L, 4L)))
+    assert(got(3L) == ((4L, 2L, 3L, 2L, 3L, 4L)))
+  }
+
+  test("compactionPlan: offset binning is per-partition, straddlers keep their bin") {
+    val files = Seq(
+      ("t1", 1, 600L), ("t1", 2, 600L), ("t1", 3, 600L), ("t1", 4, 600L),
+      ("t2", 1, 2000L), ("t2", 2, 100L))
+      .toDF("part", "ord", "bytes")
+    val got = Layout.compactionPlan(files, "part", "ord", "bytes", 1000L)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Int]("ord")) ->
+        ((r.getAs[Long]("cum_before"), r.getAs[Long]("bin")))).toMap
+    // t1: cum_before 0,600,1200,1800 → bins 0,0,1,1 (file 2 straddles the
+    // 1000 boundary but is assigned by its offset — bins within one file
+    // of target)
+    assert(got(("t1", 1)) == ((0L, 0L)))
+    assert(got(("t1", 2)) == ((600L, 0L)))
+    assert(got(("t1", 3)) == ((1200L, 1L)))
+    assert(got(("t1", 4)) == ((1800L, 1L)))
+    // t2 restarts at 0 — binning never leaks across table partitions
+    assert(got(("t2", 1)) == ((0L, 0L)))
+    assert(got(("t2", 2)) == ((2000L, 2L)))
+  }
+
+  test("kmvDistinct: unsaturated sketch returns the exact count") {
+    val df = (1L to 50L).map(i => i % 10).toDF("v") // 10 distinct
+    val r = Profiling.kmvDistinct(df, "v", k = 256).head()
+    assert(r.getAs[Long]("n_k") == 10L)
+    assert(!r.getAs[Boolean]("saturated"))
+    assert(r.getAs[Double]("est_distinct") == 10.0)
+    assert(r.getAs[Long]("exact_distinct") == 10L)
+    assert(r.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("kmvDistinct: saturated estimate matches the closed form and is near truth") {
+    val df = (1L to 5000L).toDF("v")
+    val r = Profiling.kmvDistinct(df, "v", k = 64).head()
+    assert(r.getAs[Boolean]("saturated"))
+    assert(r.getAs[Long]("exact_distinct") == 5000L)
+    val est = r.getAs[Double]("est_distinct")
+    // closed form from the reported kth hash
+    val expected = math.rint(63.0 * math.pow(2, 60) /
+      r.getAs[Long]("h_k").toDouble * 1e6) / 1e6
+    assert(est == expected)
+    // k=64 → σ ≈ 1/√62 ≈ 12.7%; allow 4σ
+    assert(math.abs(est / 5000.0 - 1) < 0.51, s"est=$est")
+  }
+
+  test("kmvDistinct: estimate is invariant to duplication and partitioning") {
+    val once = Profiling.kmvDistinct((1L to 3000L).toDF("v"), "v", 64).head()
+    val dup = Profiling.kmvDistinct(
+      ((1L to 3000L) ++ (1L to 3000L)).toDF("v").repartition(7), "v", 64).head()
+    assert(once.getAs[Double]("est_distinct") == dup.getAs[Double]("est_distinct"))
+    assert(once.getAs[Long]("h_k") == dup.getAs[Long]("h_k"))
+  }
+}
