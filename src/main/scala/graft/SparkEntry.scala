@@ -2841,6 +2841,43 @@ object SparkEntry {
       // against the exact count in the same row. TakeOrderedAndProject
       // keeps the k-smallest step a per-partition heap, never a sort.
       Profiling.kmvDistinct(table(s, dir, "orders"), "o_orderkey", k = 256)),
+    "q_kcore" -> ((s, dir) => {
+      // 3-core of the repeat-co-purchase graph (parts sharing >= 2 orders
+      // are adjacent): simultaneous peeling to the fixpoint — the dense
+      // community the one-off co-purchases hide. The engine iterates to
+      // convergence; the oracle unrolls 14 peel rounds (fixpoint at 11 on
+      // this data, pinned by the compare itself).
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.kCore(e, "src", "dst", k = 3)
+    }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap 94% CI of mean order value per market segment —
+      // 32 deterministic replicates assembled map-side (per-row md5
+      // Poisson weights), CI = 2nd smallest / 2nd largest replicate mean.
+      val o = table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Sampling.bootstrapCi(o, "c_mktsegment", "o_orderkey", "cents", b = 32)
+    }),
+    "q_theil_sen" -> ((s, dir) => {
+      // Robust per-type spend trend: Theil–Sen lower-median slope over
+      // daily totals in exact micro-cents/day — pairwise slopes explode
+      // only within each type's 30-day grid, never across the raw stream.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_idx"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.operators.TimeSeries.theilSen(daily, "event_type", "day_idx", "cents")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5485,6 +5522,56 @@ object SparkEntry {
         |SELECT n_k, h_k, exact_distinct, saturated, est_distinct,
         |  round(abs(est_distinct / exact_distinct - 1), 6) AS rel_err
         |FROM est""".stripMargin,
+    "q_kcore" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |${graft.operators.Graph.kCoreSql(k = 3, rounds = 14)}""".stripMargin,
+    "q_bootstrap_ci" -> {
+      val wExpr = graft.operators.Sampling.poissonThresholds
+        .map(t => s"CASE WHEN h >= ${t} THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH o AS (SELECT c_mktsegment AS g, o_orderkey AS id,
+         |    CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |base AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS point_est
+         |  FROM o GROUP BY g),
+         |reps AS (SELECT g, b, v, CAST('0x' || substr(md5('bs' ||
+         |      CAST(b AS VARCHAR) || ':' || CAST(id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) AS h
+         |  FROM o, (SELECT unnest(range(0, 32)) AS b)),
+         |wts AS (SELECT g, b, (${wExpr}) AS w, v FROM reps),
+         |cells AS (SELECT g, b, CAST(SUM(w) AS BIGINT) AS wn,
+         |    CAST(SUM(w*v) AS BIGINT) AS ws FROM wts GROUP BY g, b),
+         |means AS (SELECT g, b,
+         |    round(CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE), 6) AS mean_b
+         |  FROM cells WHERE wn > 0),
+         |ranked AS (SELECT g, mean_b,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n_reps FROM means),
+         |ci AS (SELECT g, max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+         |    max(CASE WHEN rn = n_reps - 1 THEN mean_b END) AS ci_hi
+         |  FROM ranked GROUP BY g)
+         |SELECT base.g AS c_mktsegment, n_rows, point_est, ci_lo, ci_hi
+         |FROM base JOIN ci ON base.g = ci.g""".stripMargin
+    },
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.g, a.x AS x1, b.x AS x2,
+        |    CAST(ROUND(CAST((b.y - a.y) * 1000000 AS DOUBLE) / (b.x - a.x),
+        |      0) AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+        |ranked AS (SELECT g, slope_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope_micro, x1, x2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_pairs FROM pairs)
+        |SELECT g AS event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope_micro AS sen_slope_micro
+        |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

@@ -208,4 +208,73 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** K-core decomposition by simultaneous peeling: repeatedly delete every
+    * vertex whose CURRENT degree is < k until none remains, leaving the
+    * maximal subgraph of minimum degree ≥ k — the standard dense-community
+    * / spam-cluster extractor. Input edges are undirected (src < dst,
+    * deduped); symmetrization happens inside. Returns each surviving
+    * vertex with its degree inside the core.
+    *
+    * Scale shape: each round is one degree aggregate + two semijoins, all
+    * keyed on the vertex id; the edge set only shrinks, and the round's
+    * result is materialized ONCE (localCheckpoint) before it both feeds
+    * the next round and answers the convergence count — same loop
+    * discipline as [[pageRank]]'s invariants (a growing unmaterialized
+    * plan would re-derive every prior round each iteration). Convergence
+    * is an edge-count fixpoint: simultaneous deletion is confluent, so the
+    * result is order-independent and a fixed-round SQL unroll replays it
+    * exactly once the unroll depth reaches the fixpoint. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = e.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+      val pruned = e
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == nEdges
+      nEdges = n
+      e = pruned
+      round += 1
+    }
+    e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
+  /** DuckDB-SQL unrolled peel for [[kCore]]: `rounds` fixed iterations
+    * over a symmetrized-edge CTE named `es(src, dst)` that the caller
+    * prepends. Matches the engine whenever the engine's fixpoint lands at
+    * or before `rounds`. Every CTE is MATERIALIZED — each round references
+    * its predecessor 4×, so default CTE inlining would expand the plan
+    * 4^rounds-fold (observed as parquet open-file exhaustion). */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "es" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (SELECT src AS v FROM $prev GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT $prev.src, $prev.dst FROM $prev
+         |  JOIN k$i a ON $prev.src = a.v JOIN k$i b ON $prev.dst = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$steps
+       |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM e$rounds GROUP BY src""".stripMargin
+  }
 }

@@ -345,4 +345,69 @@ object Sampling {
         Seq("partner_pos"))
       .select(col("anchor_id"), col("j"), col("neg_id"))
   }
+
+  /** Cumulative Poisson(1) CDF scaled to the 60-bit hash domain:
+    * T_j = floor(P(X ≤ j)·2^60) for j = 0..7. A hash h drawn uniformly on
+    * [0, 2^60) maps to the Poisson weight #{j : h ≥ T_j} — the inverse-CDF
+    * lookup as eight integer compares. Truncation at 8 (P ≈ 1e-6) is part
+    * of the estimator's definition, identically on both engines. */
+  lazy val poissonThresholds: Seq[Long] = {
+    val fact = (0 to 7).scanLeft(1.0)((a, i) => a * (i + 1)).take(8) // 0!..7!
+    val cdf = fact.map(1.0 / _).scanLeft(0.0)(_ + _).tail.map(_ * math.exp(-1.0))
+    cdf.map(f => (f * math.pow(2, 60)).toLong)
+  }
+
+  /** Poisson bootstrap confidence intervals — THE distributed bootstrap:
+    * classical resampling needs n draws with a global view, but
+    * Poisson(1) per-row weights are iid-independent of everything else,
+    * so each replicate's weighted sum assembles in the same map-side
+    * combine as a plain aggregate. Weights are deterministic (md5 of
+    * (replicate, id) against [[poissonThresholds]]), so the whole CI is a
+    * pure function of the data — reproducible across runs, partitionings,
+    * and engines. Emits per group: row count, the full-sample mean, and
+    * the [2nd smallest, 2nd largest] of the `b` replicate means (≈ 94%
+    * coverage at b = 32).
+    *
+    * Scale shape: one ×b row multiply (narrow), one combine-heavy
+    * aggregate to g×b cells, then windows over ≤ b rows per group —
+    * nothing unbounded ever sorts. Replicates with zero total weight
+    * (possible only on tiny groups) drop out before ranking, identically
+    * in the SQL replay. */
+  def bootstrapCi(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valCol: String,
+      b: Int = 32): DataFrame = {
+    require(b >= 4, s"b must be >= 4: $b")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col(valCol)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("point_est"))
+    val h = expr(
+      s"""CAST(conv(substring(md5(concat('bs', CAST(b AS STRING), ':',
+         |  CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+    val w = poissonThresholds.map(t => when(h >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = df
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", w)
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(col("w")).cast("long").as("wn"),
+        sum(col("w") * col(valCol)).cast("long").as("ws"))
+      .filter(col("wn") > 0)
+      .withColumn("mean_b",
+        round(col("ws").cast("double") / col("wn").cast("double"), 6))
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col("mean_b"), col("b"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = reps
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_reps", count(lit(1)).over(wAll))
+    val ci = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+      max(when(col("rn") === col("n_reps") - 1, col("mean_b"))).as("ci_hi"))
+    base.join(ci, Seq(groupCol))
+  }
 }

@@ -455,4 +455,42 @@ object TimeSeries {
         round(seasonal, 6).as("seasonal"),
         round(col(valueCol).cast("double") - seasonal, 6).as("resid"))
   }
+
+  /** Theil–Sen robust trend: per group, the LOWER MEDIAN of all pairwise
+    * slopes (y₂−y₁)/(x₂−x₁) — breakdown point 29% vs OLS's 0% (one
+    * corrupted day drags [[trendOls]] arbitrarily; it moves one of
+    * C(n,2) slopes here). Slopes are kept in micro-units
+    * (round((Δy·10⁶)/Δx) as BIGINT) so the median selection is an exact
+    * integer compare the SQL oracle replays bit-for-bit; the lower median
+    * (rank ⌈n/2⌉) avoids averaging two slopes.
+    *
+    * `xCol` must be distinct within each group (aggregate to a grid
+    * first — the callers feed daily totals); pairs explode as C(n,2) PER
+    * GROUP, so this is for bounded series per key (a year of days =
+    * 66k pairs), not raw event streams — the standard Theil–Sen regime.
+    * All windows are group-partitioned; nothing global ever sorts. */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x1"), col(yCol).cast("long").as("y1"))
+    val bb = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x2"), col(yCol).cast("long").as("y2"))
+    val pairs = a.join(bb, Seq("g")).filter(col("x1") < col("x2"))
+      .withColumn("slope_micro",
+        round(((col("y2") - col("y1")) * lit(1000000L)).cast("double") /
+          (col("x2") - col("x1")).cast("double"), 0).cast("long"))
+    val wOrd = Window.partitionBy(col("g"))
+      .orderBy(col("slope_micro"), col("x1"), col("x2"))
+    val wAll = Window.partitionBy(col("g"))
+    pairs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("g").as(groupCol), col("n_pairs").cast("long").as("n_pairs"),
+        col("slope_micro").as("sen_slope_micro"))
+  }
 }

@@ -95,4 +95,75 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(once.getAs[Double]("est_distinct") == dup.getAs[Double]("est_distinct"))
     assert(once.getAs[Long]("h_k") == dup.getAs[Long]("h_k"))
   }
+
+  test("kCore: pendant chain peels away in cascades, the clique survives") {
+    import graft.operators.Graph
+    // K4 clique (1-4) + chain 4-5-6-7: the 3-core is exactly the clique,
+    // and reaching it takes multiple rounds (7 peels first, then 6, then 5)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_deg")).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree → empty core
+    assert(Graph.kCore(edges, "src", "dst", k = 5).count() == 0L)
+  }
+
+  test("kCoreSql unroll matches the engine's fixpoint on the same fixture") {
+    import graft.operators.Graph
+    // replay the oracle shape in Spark SQL (same semantics, no DuckDB
+    // here): 4 unrolled rounds must equal the engine's converged result
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    edges.createOrReplaceTempView("e0_fixture")
+    val sql = s"""WITH es AS (SELECT src, dst FROM e0_fixture
+      UNION SELECT dst AS src, src AS dst FROM e0_fixture),
+      ${Graph.kCoreSql(k = 3, rounds = 4).replace("AS MATERIALIZED", "AS")}"""
+    val viaSql = spark.sql(sql).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_deg")).toMap
+    val viaEngine = Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_deg")).toMap
+    assert(viaSql == viaEngine)
+  }
+
+  test("poissonThresholds encode the Poisson(1) CDF in 60-bit space") {
+    import graft.operators.Sampling
+    val t = Sampling.poissonThresholds
+    assert(t.length == 8)
+    assert(t.head == (math.exp(-1.0) * math.pow(2, 60)).toLong)
+    assert(t == t.sorted)
+    // CDF at j=7 is 0.99998975… — within ~1e-5 of 1
+    assert(t.last > (0.99998 * math.pow(2, 60)).toLong)
+  }
+
+  test("bootstrapCi: deterministic across partitionings, CI brackets the point estimate") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(i => ("g", i, 100L + (i % 37))).toDF("g", "id", "v")
+    val a = Sampling.bootstrapCi(df, "g", "id", "v", b = 32).head()
+    val b2 = Sampling.bootstrapCi(df.repartition(11), "g", "id", "v", b = 32).head()
+    assert(a.getAs[Double]("ci_lo") == b2.getAs[Double]("ci_lo"))
+    assert(a.getAs[Double]("ci_hi") == b2.getAs[Double]("ci_hi"))
+    assert(a.getAs[Long]("n_rows") == 2000L)
+    val (lo, hi, pt) = (a.getAs[Double]("ci_lo"), a.getAs[Double]("ci_hi"),
+      a.getAs[Double]("point_est"))
+    assert(lo < hi && lo <= pt && pt <= hi, s"($lo, $pt, $hi)")
+    // CI width for mean of ~uniform[100,136] at n=2000: σ/√n ≈ 0.24 →
+    // the 94% interval must be tight around the mean, not degenerate
+    assert(hi - lo < 2.0 && hi - lo > 0.05)
+  }
+
+  test("theilSen: exact slope on a clean line, robust to one outlier") {
+    import graft.operators.TimeSeries
+    val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
+    val r = TimeSeries.theilSen(clean, "g", "x", "y").head()
+    assert(r.getAs[Long]("sen_slope_micro") == 2000000L)
+    assert(r.getAs[Long]("n_pairs") == 210L)
+    // poison one point: OLS would shift; the Sen slope stays exactly 2
+    val dirty = clean.union(Seq(("a", 21L, 100000L)).toDF("g", "x", "y"))
+    val r2 = TimeSeries.theilSen(dirty, "g", "x", "y").head()
+    assert(r2.getAs[Long]("n_pairs") == 231L)
+    assert(r2.getAs[Long]("sen_slope_micro") == 2000000L)
+  }
 }
