@@ -2878,6 +2878,27 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
       graft.operators.TimeSeries.theilSen(daily, "event_type", "day_idx", "cents")
     }),
+    "q_gram_covariance" -> ((s, dir) =>
+      // Distributed covariance matrix of the embedding corpus (upper
+      // triangle, exact 2^12 fixed-point sums) — the PCA/whitening kernel.
+      // mapPartitions accumulates each partition's d×d outer product
+      // locally; shuffle is P·d² triples, independent of corpus size.
+      Similarity.gramCovariance(table(s, dir, "embeddings"))),
+    "q_k_anonymity" -> ((s, dir) =>
+      // Re-identification audit before a data release: every
+      // (segment, nation) quasi-identifier cell with its population and
+      // prosecutor-model risk 1/n; cells under k=10 are flagged.
+      Profiling.kAnonymity(
+        table(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey")),
+        Seq("c_mktsegment", "c_nationkey"), k = 10L)),
+    "q_join_size_est" -> ((s, dir) =>
+      // Planner-style join cardinality probe: |orders ⋈ lineitem| from
+      // count-min inner products (d=4 × w=1024 cells per side) vs the
+      // exact size from per-key counts — one-sided error checked in-row.
+      Profiling.cmJoinSizeEstimate(
+        table(s, dir, "orders"), "o_orderkey",
+        table(s, dir, "lineitem"), "l_orderkey")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5572,6 +5593,50 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
         |  slope_micro AS sen_slope_micro
         |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+    "q_gram_covariance" ->
+      // 2^12 fixed-point quantization (Spark round = DuckDB round, the
+      // q_kmeans_step precedent), exact integer sums, then identical
+      // double arithmetic for the covariance; q² = 4096² = 16777216
+      """WITH x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+        |p AS (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS s_ij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2),
+        |m AS (SELECT dim, CAST(SUM(xq) AS BIGINT) AS m FROM x GROUP BY dim),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT p.i, p.j, n, s_ij, ma.m AS m_i, mb.m AS m_j,
+        |  round((CAST(s_ij AS DOUBLE) / n -
+        |    (CAST(ma.m AS DOUBLE) / n) * (CAST(mb.m AS DOUBLE) / n))
+        |    / 16777216.0, 8) AS cov
+        |FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim, n""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n, (COUNT(*) >= 10) AS anonymous,
+        |  round(1.0 / COUNT(*), 6) AS risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q_join_size_est" ->
+      """WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+        |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+        |ca AS (SELECT r, h % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM (SELECT key, r, CAST('0x' || substr(md5('cm' ||
+        |      CAST(r AS VARCHAR) || ':' || key), 1, 15) AS BIGINT) AS h
+        |    FROM ka, (SELECT unnest(range(0, 4)) AS r)) GROUP BY 1, 2),
+        |cb AS (SELECT r, h % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM (SELECT key, r, CAST('0x' || substr(md5('cm' ||
+        |      CAST(r AS VARCHAR) || ':' || key), 1, 15) AS BIGINT) AS h
+        |    FROM kb, (SELECT unnest(range(0, 4)) AS r)) GROUP BY 1, 2),
+        |ip AS (SELECT ca.r, CAST(SUM(ca.ca * cb.cb) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY 1),
+        |est AS (SELECT min(ip) AS cm_est FROM ip),
+        |exact AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_size
+        |  FROM (SELECT key, CAST(COUNT(*) AS BIGINT) AS na FROM ka GROUP BY 1) a
+        |  JOIN (SELECT key, CAST(COUNT(*) AS BIGINT) AS nb FROM kb GROUP BY 1) b
+        |    USING (key))
+        |SELECT exact_size, cm_est, (cm_est >= exact_size) AS is_over
+        |FROM est, exact""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

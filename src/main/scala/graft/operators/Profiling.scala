@@ -313,6 +313,61 @@ object Profiling {
       .agg(round(max(col("__diff")), 6).as("d"))
   }
 
+  /** K-anonymity audit: group rows by their quasi-identifier combination
+    * and flag every group smaller than k — the re-identification risk
+    * check run before releasing a training extract (a QI combination
+    * shared by < k people singles someone out; `risk` = 1/n is the
+    * standard prosecutor-model re-identification probability). One
+    * map-side-combined aggregate over the QI key; no row data leaves the
+    * executors. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("anonymous", col("n") >= k)
+      .withColumn("risk", round(lit(1.0) / col("n").cast("double"), 6))
+  }
+
+  /** Join-size estimation from count-min sketches — the planner-style
+    * cardinality probe that never executes the join: |A ⋈ B| on a key
+    * equals the inner product of the two frequency vectors, and the CM
+    * inner product Σ_w cmA[w]·cmB[w] (min over the d hash rows)
+    * overestimates it one-sidedly. Emits the exact size (computed from
+    * per-key counts — still never materializing join output rows), the
+    * CM estimate, and the one-sided-error flag checked in the output.
+    * Same deterministic md5 hash family as
+    * [[TextAnalysis.countMinEstimate]], so the SQL oracle rebuilds both
+    * sketches identically. Sketch cells are d·w per side regardless of
+    * table size; the exact side shuffles only per-key counts. */
+  def cmJoinSizeEstimate(
+      a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2: $d, $w")
+    def cells(df: DataFrame, key: String, cntName: String) = df
+      .select(col(key).cast("string").as("key"))
+      .withColumn("r", explode(expr(s"sequence(0, ${d - 1})")))
+      .select(col("r"),
+        pmod(graft.functions.TextFunctions.tokenHash60(
+          concat(lit("cm"), col("r"), lit(":"), col("key"))), lit(w.toLong))
+          .as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as(cntName))
+    val est = cells(a, aKey, "ca").join(cells(b, bKey, "cb"), Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("ip"))
+      .agg(min(col("ip")).as("cm_est"))
+    val exact = a.select(col(aKey).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).cast("long").as("na"))
+      .join(b.select(col(bKey).cast("string").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).cast("long").as("nb")), Seq("key"))
+      .agg(sum(col("na") * col("nb")).cast("long").as("exact_size"))
+    broadcast(est).crossJoin(exact)
+      .select(col("exact_size"), col("cm_est"),
+        (col("cm_est") >= col("exact_size")).as("is_over"))
+  }
+
   /** K-minimum-values distinct sketch: hash every value with the shared
     * 60-bit md5 kernel, keep the k SMALLEST distinct hashes, and estimate
     * the cardinality as (k−1)·2^60 / h_k — the order-statistics dual of

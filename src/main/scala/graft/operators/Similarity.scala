@@ -516,4 +516,86 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
   }
+
+  /** Distributed Gram/covariance matrix of an embedding column — the
+    * kernel under PCA, whitening, and Mahalanobis outlier scoring.
+    * Emits the upper triangle: (i, j, n, s_ij = Σ xqᵢ·xqⱼ, m_i, m_j,
+    * cov = S/n − mᵢmⱼ/n²) with the sums in EXACT 2^`scaleBits` fixed
+    * point (Spark's own `round` quantizes, so the SQL oracle replays the
+    * identical integers — the labelCentroids determinism trick).
+    *
+    * Scale shape: the classic n·d² explode (posexplode twice / pair join)
+    * generates n·d² rows before the combiner — 4·10¹¹ rows at 10⁸ vectors,
+    * d=64. This instead accumulates each partition's d×d outer-product sum
+    * in a local array (mapPartitions — the documented last-resort tier,
+    * justified here exactly like MLlib's RowMatrix Gramian) and emits
+    * d(d+1)/2+d+1 triples PER PARTITION: shuffle is P·d², independent of
+    * n. Quantization stays in DataFrame land (codegen'd transform) so the
+    * imperative part is pure integer multiply-adds.
+    *
+    * Overflow headroom: |xq| ≤ 2^scaleBits for unit-scale embeddings, so a
+    * partial s_ij grows ≤ rows·2^(2·scaleBits) — at the default 12 bits,
+    * 2^24 per row ≈ 5·10¹¹ rows per EXECUTOR before a long overflows. */
+  def gramCovariance(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      scaleBits: Int = 12): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 24, s"scaleBits in [1,24]: $scaleBits")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = (1L << scaleBits).toDouble
+    val quantized = embeddings.select(expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${q}D, 0) AS BIGINT))")
+      .as("xq")).as[Seq[Long]]
+    val dims = quantized.limit(1).collect().headOption.map(_.length).getOrElse(0)
+    val triples = quantized.mapPartitions { it =>
+      val d = dims
+      val s = new Array[Long](d * d)
+      val m = new Array[Long](d)
+      var n = 0L
+      it.foreach { v =>
+        val xq = v.toArray
+        var i = 0
+        while (i < d) { m(i) += xq(i); i += 1 }
+        i = 0
+        while (i < d) {
+          val xa = xq(i); val row = i * d
+          var j = i
+          while (j < d) { s(row + j) += xa * xq(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val out = Seq.newBuilder[(Int, Int, Long)]
+        out += ((-1, -1, n))
+        var i = 0
+        while (i < d) {
+          out += ((-1, i, m(i)))
+          var j = i
+          while (j < d) { out += ((i, j, s(i * d + j))); j += 1 }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }.toDF("i", "j", "v")
+    val agg = triples.groupBy(col("i"), col("j"))
+      .agg(sum(col("v")).as("v"))
+      .localCheckpoint(true) // three branches below — materialize once
+    val nDf = agg.filter(col("i") === -1 && col("j") === -1)
+      .select(col("v").as("n"))
+    val mDf = agg.filter(col("i") === -1 && col("j") >= 0)
+      .select(col("j").as("dim"), col("v").as("m"))
+    val q2 = q * q
+    agg.filter(col("i") >= 0)
+      .join(broadcast(mDf).select(col("dim").as("i"), col("m").as("m_i")), Seq("i"))
+      .join(broadcast(mDf).select(col("dim").as("j"), col("m").as("m_j")), Seq("j"))
+      .crossJoin(broadcast(nDf))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("v").as("s_ij"), col("m_i"), col("m_j"),
+        round((col("v").cast("double") / col("n") -
+          (col("m_i").cast("double") / col("n")) *
+            (col("m_j").cast("double") / col("n"))) / lit(q2), 8).as("cov"))
+  }
 }

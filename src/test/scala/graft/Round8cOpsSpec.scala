@@ -154,6 +154,53 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(hi - lo < 2.0 && hi - lo > 0.05)
   }
 
+  test("gramCovariance: exact on a known 2-D set, invariant to partitioning") {
+    import graft.operators.Similarity
+    // vectors (1,0),(0,1),(1,1),(0,0): E[x]=E[y]=.5, E[xy]=.25 → cov=0;
+    // var(x)=var(y)=E[x²]−E[x]² = .5−.25 = .25
+    val vs = Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 1f), Seq(0f, 0f))
+    val df = vs.map(Tuple1(_)).toDF("embedding").repartition(3)
+    val got = Similarity.gramCovariance(df, "embedding", scaleBits = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s_ij"), r.getAs[Double]("cov")))).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    val q2 = 4096L * 4096L
+    assert(got((0L, 0L)) == ((4L, 2L * q2, 0.25)))
+    assert(got((0L, 1L)) == ((4L, 1L * q2, 0.0)))
+    assert(got((1L, 1L)) == ((4L, 2L * q2, 0.25)))
+    // empty partitions (repartition 3 over 4 rows) changed nothing ^
+  }
+
+  test("kAnonymity flags exactly the small QI cells with 1/n risk") {
+    import graft.operators.Profiling
+    val df = (Seq.fill(12)(("NY", 1)) ++ Seq.fill(3)(("NY", 2)) ++
+      Seq.fill(1)(("SF", 1))).toDF("city", "grp")
+    val got = Profiling.kAnonymity(df, Seq("city", "grp"), k = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("anonymous"), r.getAs[Double]("risk"))))
+      .toMap
+    assert(got(("NY", 1)) == ((12L, true, 0.083333)))
+    assert(got(("NY", 2)) == ((3L, false, 0.333333)))
+    assert(got(("SF", 1)) == ((1L, false, 1.0)))
+  }
+
+  test("cmJoinSizeEstimate: exact from per-key counts, CM always one-sided above") {
+    import graft.operators.Profiling
+    // a keys: 1,1,2,3 ; b keys: 1,2,2,9 → exact = 2*1 + 1*2 = 4
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val r = Profiling.cmJoinSizeEstimate(a, "k", b, "k").head()
+    assert(r.getAs[Long]("exact_size") == 4L)
+    assert(r.getAs[Boolean]("is_over"))
+    assert(r.getAs[Long]("cm_est") >= 4L)
+    // w=1024 with 4 keys → almost surely collision-free: est == exact + any
+    // cross-collisions; with these fixed keys the estimate is deterministic
+    val again = Profiling.cmJoinSizeEstimate(a.repartition(5), "k", b, "k").head()
+    assert(again.getAs[Long]("cm_est") == r.getAs[Long]("cm_est"))
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
