@@ -523,6 +523,60 @@ object ScaleSmoke {
         ev.filter(col("par") === 0L).select(col("cents")),
         ev.filter(col("par") =!= 0L).select(col("cents")), "cents"))
     }
+    // events with DISJOINT event ids per copy — the id-keyed ops below
+    // (bootstrap weights, kmv hashes) need unique ids to scale honestly
+    val eventsUid = multiply(
+      graft.SparkEntry.table(spark, dir, "events"), "event_id", mult, 100_000_000L)
+    time(s"zorderStats+compactionPlan x$mult") {
+      val cells = eventsUid.select(
+        pmod(col("user_id"), lit(256L)).as("ca"),
+        pmod(round(col("value") * 100, 0).cast("long"), lit(256L)).as("cb"))
+      drain(graft.operators.Layout.zOrderStats(cells, col("ca"), col("cb"), 8, 6))
+      val files = eventsUid.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(length(col("props"))).cast("long").as("n_bytes"))
+      drain(graft.operators.Layout.compactionPlan(
+        files, "event_type", "day", "n_bytes", 2048L))
+    }
+    time(s"kmvDistinct+kAnonymity x$mult") {
+      drain(Profiling.kmvDistinct(eventsUid, "event_id", 256))
+      drain(Profiling.kAnonymity(
+        eventsUid.select(col("event_type"), pmod(col("user_id"), lit(64L)).as("ub")),
+        Seq("event_type", "ub"), 10L))
+    }
+    time(s"bootstrapCi x$mult (32 replicates map-side)") {
+      drain(Sampling.bootstrapCi(
+        eventsUid.select(col("event_type"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "event_id", "cents", 32))
+    }
+    time(s"theilSen x$mult (grid stays 5x30)") {
+      val daily = eventsUid.groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      drain(TimeSeries.theilSen(daily, "event_type", "x", "y"))
+    }
+    time(s"cmJoinSizeEst x$mult (cells stay 4x1024)") {
+      val a = eventsUid.filter(pmod(col("event_id"), lit(2L)) === 0L)
+      val b = eventsUid.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      drain(Profiling.cmJoinSizeEstimate(a, "user_id", b, "user_id"))
+    }
+    time(s"gramCovariance x${math.max(1, mult / 5)} (shuffle P*d^2)")(
+      drain(Similarity.gramCovariance(emb)))
+    time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
+      drain(graft.operators.Graph.kCore(e, "src", "dst", 3))
+    }
     spark.stop()
   }
 }
