@@ -2899,6 +2899,44 @@ object SparkEntry {
       Profiling.cmJoinSizeEstimate(
         table(s, dir, "orders"), "o_orderkey",
         table(s, dir, "lineitem"), "l_orderkey")),
+    "q_grid_cluster" -> ((s, dir) =>
+      // Grid-density clustering of the embedding cloud (first two dims,
+      // 1/32 cells, minPts=3): dense cells connected through the shared
+      // CC label propagation — corpus collapses to cell counts in one
+      // aggregate; CC runs on the bounded dense-cell table.
+      Similarity.gridClusters(table(s, dir, "embeddings"))),
+    "q_table_fingerprint" -> ((s, dir) => {
+      // Cross-engine content checksum of lineitem per return flag:
+      // 60-bit row hashes over a canonical integer/date rendering,
+      // commutative reducers — migration validation without a diff.
+      val li = table(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_shipdate").cast("date").as("ship"))
+      Profiling.tableFingerprint(li, "l_returnflag",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "cents", "ship"))
+    }),
+    "q_stream_kmv" -> ((s, dir) => {
+      // Streaming distinct-user estimate per event type via the mergeable
+      // KMV Aggregator — state is 64 longs per group no matter how long
+      // the stream runs; shares the batch KMV oracle shape.
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hashed = eventsStream(s, dir).select(col("event_type"),
+        graft.functions.TextFunctions.tokenHash60(
+          col("user_id").cast("string")).as("h"))
+      val agg = hashed.groupBy(col("event_type")).agg(kmv(col("h")).as("kmv"))
+      runToMemory(s, agg, "complete")
+        .select(col("event_type"), col("kmv.n_k").as("n_k"),
+          col("kmv.h_k").as("h_k"))
+        .withColumn("est_distinct",
+          when(col("n_k") === 64L,
+            round((col("n_k") - 1).cast("double") * lit(math.pow(2, 60)) /
+              col("h_k").cast("double"), 6))
+            .otherwise(col("n_k").cast("double")))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5637,6 +5675,56 @@ object SparkEntry {
         |    USING (key))
         |SELECT exact_size, cm_est, (cm_est >= exact_size) AS is_over
         |FROM est, exact""".stripMargin,
+    "q_grid_cluster" ->
+      // reachability closure over 8-adjacent dense cells — same
+      // recursive-CTE fixpoint as q_dedup_components' oracle
+      """WITH RECURSIVE cells AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 32) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 32) AS BIGINT) AS cy,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |dense AS (SELECT cx, cy, n,
+        |    (cx + 1000) * 1000000 + (cy + 1000) AS id
+        |  FROM cells WHERE n >= 3),
+        |und AS (SELECT a.id AS u, b.id AS v FROM dense a JOIN dense b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.id <> b.id),
+        |reach(u, v) AS (
+        |  SELECT id, id FROM dense
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+        |SELECT cx, cy, n, comp.cluster
+        |FROM dense JOIN (SELECT u AS id, CAST(MIN(v) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY u) comp USING (id)""".stripMargin,
+    "q_table_fingerprint" ->
+      """WITH h AS (SELECT l_returnflag, CAST('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(l_suppkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS VARCHAR)
+        |      || '|' ||
+        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 15) AS BIGINT)
+        |    AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(h % 1099511627776) AS BIGINT) AS hash_sum,
+        |  MIN(h) AS hash_min, MAX(h) AS hash_max
+        |FROM h GROUP BY 1""".stripMargin,
+    "q_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type, CAST('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    MAX(h) AS h_k FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, n_k, h_k,
+        |  CASE WHEN n_k = 64
+        |    THEN round(CAST(n_k - 1 AS DOUBLE) * power(2, 60) / h_k, 6)
+        |    ELSE CAST(n_k AS DOUBLE) END AS est_distinct
+        |FROM k""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

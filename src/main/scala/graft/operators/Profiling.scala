@@ -313,6 +313,32 @@ object Profiling {
       .agg(round(max(col("__diff")), 6).as("d"))
   }
 
+  /** Order-independent table fingerprint — the cross-engine / cross-copy
+    * data-validation primitive: hash each row's canonical rendering
+    * (`'|'`-joined string casts) with the 60-bit md5 kernel and aggregate
+    * per group with commutative reducers (count, sum, min, max). Two
+    * tables fingerprint-equal per group ⇒ byte-identical content with
+    * overwhelming probability, checked WITHOUT moving either table — the
+    * check a migration (engine A → engine B, region copy, format rewrite)
+    * runs at 100 TB instead of a row-level diff. One scan, one
+    * map-side-combined aggregate; caller picks `cols` with
+    * render-portable types (integers/strings/dates — float rendering is
+    * engine-specific, quantize first). The SUMMED hash is truncated to
+    * 40 bits so the exact sum fits a long up to ~8·10⁶ rows per group
+    * (fingerprint finer groups beyond that); min/max keep the full 60
+    * bits. */
+  def tableFingerprint(
+      df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    df.select(col(groupCol),
+        graft.functions.TextFunctions.tokenHash60(
+          concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(pmod(col("h"), lit(1099511627776L))).cast("long").as("hash_sum"),
+        min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
+  }
+
   /** K-anonymity audit: group rows by their quasi-identifier combination
     * and flag every group smaller than k — the re-identification risk
     * check run before releasing a training extract (a QI combination

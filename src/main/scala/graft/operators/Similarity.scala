@@ -517,6 +517,51 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** Grid-density clustering (DBSCAN's grid approximation) over the first
+    * two embedding dimensions: bucket points into 1/`scale`-sized cells,
+    * keep cells with ≥ `minPts` points (the dense cells), and connect
+    * 8-adjacent dense cells into clusters — cluster id = min cell id
+    * reachable, via the shared [[Dedup.connectedComponents]] label
+    * propagation. Returns one row per dense cell: (cx, cy, n, cluster).
+    *
+    * Scale shape: the corpus collapses to cell counts in ONE
+    * map-side-combined aggregate; everything after (adjacency, CC) runs on
+    * the dense-CELL table, which is bounded by the grid, not the corpus.
+    * Adjacency is an EQUI-join: each dense cell broadcasts against the 8
+    * neighbor offsets and joins on the shifted key — never a range/cross
+    * join. Isolated dense cells keep their own id as cluster. */
+  def gridClusters(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      scale: Int = 32,
+      minPts: Long = 3L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val cellId = (col("cx") + 1000L) * 1000000L + (col("cy") + 1000L)
+    val dense = embeddings
+      .select(
+        floor(element_at(col(vecCol), 1).cast("double") * scale).cast("long").as("cx"),
+        floor(element_at(col(vecCol), 2).cast("double") * scale).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") >= minPts)
+      .withColumn("id", cellId)
+      .localCheckpoint(true) // feeds probes, join target, and final output
+    val offsets = embeddings.sparkSession.createDataFrame(
+      Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L),
+        (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))).toDF("dx", "dy")
+    val edges = dense.select(col("id").as("ida"), col("cx"), col("cy"))
+      .crossJoin(broadcast(offsets))
+      .select(col("ida"), (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      .join(dense.select(col("id").as("idb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+    val comps = Dedup.connectedComponents(edges, "ida", "idb")
+      .withColumnRenamed("node", "id")
+    dense.join(comps, Seq("id"), "left")
+      .select(col("cx"), col("cy"), col("n"),
+        coalesce(col("component"), col("id")).as("cluster"))
+  }
+
   /** Distributed Gram/covariance matrix of an embedding column — the
     * kernel under PCA, whitening, and Mahalanobis outlier scoring.
     * Emits the upper triangle: (i, j, n, s_ij = Σ xqᵢ·xqⱼ, m_i, m_j,

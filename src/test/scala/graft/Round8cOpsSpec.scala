@@ -201,6 +201,87 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(again.getAs[Long]("cm_est") == r.getAs[Long]("cm_est"))
   }
 
+  test("KmvSketchAggregator: distinct, capped, merge-order-invariant") {
+    import graft.functions.KmvSketchAggregator
+    val a = new KmvSketchAggregator(4)
+    // duplicates collapse
+    val b1 = Seq(9L, 3L, 9L, 7L, 3L).foldLeft(a.zero)(a.reduce)
+    assert(b1 == Vector(3L, 7L, 9L))
+    // cap keeps the 4 smallest
+    val b2 = Seq(10L, 2L, 8L, 5L, 1L, 6L).foldLeft(a.zero)(a.reduce)
+    assert(b2 == Vector(1L, 2L, 5L, 6L))
+    // merge == union-then-cap, any order
+    val x = Seq(4L, 8L, 15L).foldLeft(a.zero)(a.reduce)
+    val y = Seq(16L, 23L, 42L, 3L).foldLeft(a.zero)(a.reduce)
+    assert(a.merge(x, y) == a.merge(y, x))
+    assert(a.merge(x, y) == Vector(3L, 4L, 8L, 15L))
+    val out = a.finish(a.merge(x, y))
+    assert(out.n_k == 4L && out.h_k == 15L)
+    assert(a.finish(a.zero) == graft.functions.KmvSketch(0L, 0L))
+  }
+
+  test("KmvSketchAggregator under groupBy equals sort-limit per group") {
+    import graft.functions.KmvSketchAggregator
+    val kmv = udaf(new KmvSketchAggregator(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i * 2654435761L % 100003L))
+      .toDF("g", "h").repartition(7)
+    val got = df.groupBy(col("g")).agg(kmv(col("h")).as("s"))
+      .select(col("g"), col("s.n_k"), col("s.h_k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+      val hs = rows.map(_.getLong(1)).distinct.sorted.take(8)
+      g -> ((hs.length.toLong, hs.last))
+    }
+    assert(got == want)
+  }
+
+  test("gridClusters: two separated blobs form two clusters; sparse cells drop") {
+    import graft.operators.Similarity
+    // blob A: 5 points in cell (0,0); blob B: 4 points spanning adjacent
+    // dense cells (10,10) and (11,10); one lone point at (20,20)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // cell-center coordinates: point (c+0.5)/32 lands in cell c
+    val rows = Seq.fill(5)(v(0.5 / 32, 0.5 / 32)) ++
+      Seq.fill(3)(v(10.5 / 32, 10.5 / 32)) ++
+      Seq.fill(3)(v(11.5 / 32, 10.5 / 32)) ++
+      Seq(v(20.5 / 32, 20.5 / 32))
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.gridClusters(df, "embedding", scale = 32, minPts = 3L)
+      .collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("cluster")))).toMap
+    // lone (20,20) point is below minPts → absent
+    assert(got.keySet == Set((0L, 0L), (10L, 10L), (11L, 10L)))
+    assert(got((0L, 0L))._1 == 5L)
+    // the two adjacent dense cells share one cluster = min cell id
+    val idA = (10L + 1000L) * 1000000L + (10L + 1000L)
+    assert(got((10L, 10L))._2 == idA && got((11L, 10L))._2 == idA)
+    // blob A clusters alone under its own id
+    assert(got((0L, 0L))._2 == (0L + 1000L) * 1000000L + 1000L)
+  }
+
+  test("tableFingerprint: partition-invariant, sensitive to a single cell change") {
+    import graft.operators.Profiling
+    val t1 = Seq(("g", 1L, "a"), ("g", 2L, "b"), ("h", 3L, "c"))
+      .toDF("grp", "k", "s")
+    val f1 = Profiling.tableFingerprint(t1, "grp", Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("hash_sum"),
+          r.getAs[Long]("hash_min"), r.getAs[Long]("hash_max")))).toMap
+    val f2 = Profiling.tableFingerprint(t1.repartition(5), "grp", Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("hash_sum"),
+          r.getAs[Long]("hash_min"), r.getAs[Long]("hash_max")))).toMap
+    assert(f1 == f2)
+    val t2 = Seq(("g", 1L, "a"), ("g", 2L, "B"), ("h", 3L, "c"))
+      .toDF("grp", "k", "s")
+    val f3 = Profiling.tableFingerprint(t2, "grp", Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hash_sum")).toMap
+    assert(f3("g") != f1("g")._2) // changed cell flips the group checksum
+    assert(f3("h") == f1("h")._2) // untouched group unchanged
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
