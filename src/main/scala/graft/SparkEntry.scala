@@ -2937,6 +2937,37 @@ object SparkEntry {
               col("h_k").cast("double"), 6))
             .otherwise(col("n_k").cast("double")))
     }),
+    "q_ols2" -> ((s, dir) => {
+      // Distributed regression as ONE Gram aggregate: price (whole
+      // dollars) on quantity and discount-% via normal equations — nine
+      // exact integer moments, closed-form Cramer solve + R², the
+      // shared-SQL double arithmetic evaluated by both engines.
+      val li = table(s, dir, "lineitem").select(
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      Eval.ols2(li, "y", "x1", "x2")
+    }),
+    "q_graph_stats" -> ((s, dir) => {
+      // One-row structural summary of the repeat-co-purchase graph:
+      // counts, degree extremes, and degree assortativity (exact moment
+      // sums over the degree-joined edge list, double finish).
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.graphStats(e, "src", "dst")
+    }),
+    "q_knn_eval" -> ((s, dir) =>
+      // Leave-one-out 10-NN label eval over the first 50 vectors:
+      // neighbors vote (count desc, label tie-break), prediction vs own
+      // label in-row — embedding/label quality probe on the exact kernel.
+      Similarity.knnEval(table(s, dir, "embeddings"), nQueries = 50L, k = 10)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5725,6 +5756,62 @@ object SparkEntry {
         |    THEN round(CAST(n_k - 1 AS DOUBLE) * power(2, 60) / h_k, 6)
         |    ELSE CAST(n_k AS DOUBLE) END AS est_distinct
         |FROM k""".stripMargin,
+    "q_ols2" -> {
+      val solve = graft.operators.Eval.ols2Solve
+        .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
+      s"""WITH li AS (SELECT CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y,
+         |    CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2 FROM lineitem),
+         |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(x1*x1) AS BIGINT) AS s11,
+         |    CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |    CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         |    CAST(SUM(x2*y) AS BIGINT) AS s2y,
+         |    CAST(SUM(y*y) AS BIGINT) AS syy FROM li)
+         |SELECT n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+         |  $solve
+         |FROM sums""".stripMargin
+    },
+    "q_graph_stats" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM es GROUP BY 1),
+         |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |    MAX(deg) AS max_deg,
+         |    round(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 6) AS avg_deg FROM deg),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(a.deg) AS BIGINT) AS sx, CAST(SUM(b.deg) AS BIGINT) AS sy,
+         |    CAST(SUM(a.deg*a.deg) AS BIGINT) AS sxx,
+         |    CAST(SUM(b.deg*b.deg) AS BIGINT) AS syy,
+         |    CAST(SUM(a.deg*b.deg) AS BIGINT) AS sxy
+         |  FROM es JOIN deg a ON es.src = a.id JOIN deg b ON es.dst = b.id)
+         |SELECT n_vertices, m // 2 AS n_edges, max_deg, avg_deg,
+         |  ${graft.operators.Graph.assortativitySql} AS assortativity
+         |FROM ds, mo""".stripMargin,
+    "q_knn_eval" ->
+      s"""WITH $normCte,
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id),
+         |top AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rank FROM scored) WHERE rank <= 10),
+         |votes AS (SELECT t.qid, CAST(e.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM top t JOIN embeddings e ON t.vec_id = e.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT qid, label AS pred_label, n_votes FROM (
+         |    SELECT qid, label, n_votes, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY n_votes DESC, label) AS rn FROM votes) WHERE rn = 1)
+         |SELECT p.qid, p.pred_label, p.n_votes,
+         |  CAST(e.label AS BIGINT) AS true_label,
+         |  (p.pred_label = CAST(e.label AS BIGINT)) AS correct
+         |FROM pred p JOIN embeddings e ON p.qid = e.vec_id""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

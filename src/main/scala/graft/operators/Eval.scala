@@ -225,6 +225,59 @@ object Eval {
     * empty — a class never predicted has precision 0 by convention, not
     * NULL). One count aggregate builds the confusion cells; per-class
     * rows come from two tiny re-aggregations of those cells. */
+  /** Two-feature OLS with intercept by NORMAL EQUATIONS — regression at
+    * 100 TB is one Gram aggregate, not an iterative solver: the data
+    * collapses to the 9 moment sums (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy,
+    * Σx₁y, Σx₂y, plus Σy² for R²) in a single map-side-combined pass,
+    * and the 3×3 solve is closed-form Cramer arithmetic on that one row.
+    * Inputs must be integer-valued columns (cents/counts) so the moment
+    * sums are EXACT longs; the solve casts to double with the formula
+    * written once as SQL text evaluated identically by Spark and the
+    * DuckDB oracle. R² comes from the algebraic identity
+    * SSE = Σy² − b₀Σy − b₁Σx₁y − b₂Σx₂y. */
+  def ols2(df: DataFrame, yCol: String, x1Col: String, x2Col: String): DataFrame = {
+    val sums = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(x1Col)).cast("long").as("s1"),
+      sum(col(x2Col)).cast("long").as("s2"),
+      sum(col(x1Col) * col(x1Col)).cast("long").as("s11"),
+      sum(col(x1Col) * col(x2Col)).cast("long").as("s12"),
+      sum(col(x2Col) * col(x2Col)).cast("long").as("s22"),
+      sum(col(yCol)).cast("long").as("sy"),
+      sum(col(x1Col) * col(yCol)).cast("long").as("s1y"),
+      sum(col(x2Col) * col(yCol)).cast("long").as("s2y"),
+      sum(col(yCol) * col(yCol)).cast("long").as("syy"))
+    ols2Solve.foldLeft(sums) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }
+  }
+
+  /** The shared closed-form solve, as SQL text over the moment-sum row —
+    * spliced verbatim into the DuckDB oracle so both engines execute the
+    * identical double-arithmetic expression tree. */
+  val ols2Solve: Seq[(String, String)] = {
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy) = (
+      "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+      "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)", "CAST(s22 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)",
+      "CAST(syy AS DOUBLE)")
+    val det =
+      s"($n*($s11*$s22 - $s12*$s12) - $s1*($s1*$s22 - $s12*$s2) + $s2*($s1*$s12 - $s11*$s2))"
+    val det0 =
+      s"($sy*($s11*$s22 - $s12*$s12) - $s1*($s1y*$s22 - $s12*$s2y) + $s2*($s1y*$s12 - $s11*$s2y))"
+    val det1 =
+      s"($n*($s1y*$s22 - $s12*$s2y) - $sy*($s1*$s22 - $s12*$s2) + $s2*($s1*$s2y - $s1y*$s2))"
+    val det2 =
+      s"($n*($s11*$s2y - $s1y*$s12) - $s1*($s1*$s2y - $s1y*$s2) + $sy*($s1*$s12 - $s11*$s2))"
+    val (b0, b1, b2) = (s"($det0/$det)", s"($det1/$det)", s"($det2/$det)")
+    Seq(
+      "b0" -> s"round($b0, 6)",
+      "b1" -> s"round($b1, 6)",
+      "b2" -> s"round($b2, 6)",
+      "r2" -> (s"round(1.0 - ($syy - $b0*$sy - $b1*$s1y - $b2*$s2y) / " +
+        s"($syy - $sy*$sy/$n), 6)"))
+  }
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

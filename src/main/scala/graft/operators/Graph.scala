@@ -260,6 +260,49 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("core_deg"))
   }
 
+  /** One-row graph summary: vertex/edge counts, degree extremes, and
+    * DEGREE ASSORTATIVITY — the Pearson correlation of endpoint degrees
+    * over the symmetrized edge list, the standard "do hubs link to hubs"
+    * diagnostic (positive: social-style; negative: hub-and-spoke). Exact
+    * integer moment sums over the degree-joined edges, one double finish
+    * via the shared SQL expression text (the [[Eval.ols2]] discipline).
+    * Two shuffles total: the degree aggregate and the edges⋈degrees join
+    * (both keyed on vertex id); moments combine map-side. */
+  def graphStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees AND the assortativity join
+    val deg = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val degStats = deg.agg(
+      count(lit(1)).cast("long").as("n_vertices"),
+      max(col("deg")).as("max_deg"),
+      round(sum(col("deg")).cast("double") / count(lit(1)), 6).as("avg_deg"))
+    val moments = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(col("du")).cast("long").as("sx"),
+        sum(col("dv")).cast("long").as("sy"),
+        sum(col("du") * col("du")).cast("long").as("sxx"),
+        sum(col("dv") * col("dv")).cast("long").as("syy"),
+        sum(col("du") * col("dv")).cast("long").as("sxy"))
+    broadcast(degStats).crossJoin(moments)
+      .withColumn("assortativity", expr(assortativitySql))
+      .select(col("n_vertices"), expr("m DIV 2").as("n_edges"), col("max_deg"),
+        col("avg_deg"), col("assortativity"))
+  }
+
+  /** Pearson r over the moment-sum row, shared verbatim with the oracle. */
+  val assortativitySql: String = {
+    val (m, sx, sy, sxx, syy, sxy) = ("CAST(m AS DOUBLE)", "CAST(sx AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)",
+      "CAST(sxy AS DOUBLE)")
+    s"round(($m*$sxy - $sx*$sy) / (sqrt($m*$sxx - $sx*$sx) * sqrt($m*$syy - $sy*$sy)), 6)"
+  }
+
   /** DuckDB-SQL unrolled peel for [[kCore]]: `rounds` fixed iterations
     * over a symmetrized-edge CTE named `es(src, dst)` that the caller
     * prepends. Matches the engine whenever the engine's fixpoint lands at

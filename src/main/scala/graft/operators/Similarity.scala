@@ -517,6 +517,36 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** Leave-one-out kNN classification eval — the standard label-quality /
+    * embedding-quality probe before trusting either at scale: each query
+    * vector's k nearest neighbors (self excluded) vote with their labels;
+    * majority (count desc, then smallest label — deterministic) is the
+    * prediction, compared to the query's own label in the output. Built
+    * entirely from [[bruteForceTopK]] + two bounded aggregations; swap in
+    * [[ivfTopK]] for the approximate tier at corpus scale. */
+  def knnEval(
+      labeled: DataFrame, // (vec_id, embedding, label)
+      nQueries: Long,
+      k: Int): DataFrame = {
+    val corpus = labeled.select(col("vec_id"), col("embedding"))
+    val queries = labeled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val labels = labeled.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = bruteForceTopK(queries, corpus, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n_votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), Seq("qid"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+  }
+
   /** Grid-density clustering (DBSCAN's grid approximation) over the first
     * two embedding dimensions: bucket points into 1/`scale`-sized cells,
     * keep cells with ≥ `minPts` points (the dense cells), and connect

@@ -282,6 +282,57 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(f3("h") == f1("h")._2) // untouched group unchanged
   }
 
+  test("ols2 recovers an exact plane with R^2 = 1") {
+    import graft.operators.Eval
+    val pts = for { x1 <- 0L to 4L; x2 <- 0L to 4L }
+      yield (5L + 2L * x1 + 3L * x2, x1, x2)
+    val r = Eval.ols2(pts.toDF("y", "x1", "x2"), "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n") == 25L)
+    assert(r.getAs[Double]("b0") == 5.0)
+    assert(r.getAs[Double]("b1") == 2.0)
+    assert(r.getAs[Double]("b2") == 3.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("ols2 separates correlated effects noise-free OLS can't see marginally") {
+    import graft.operators.Eval
+    // y depends ONLY on x1, but x2 correlates with x1 — the 2-feature fit
+    // must put the whole effect on b1 and zero on b2
+    val pts = (0L until 40L).map { i =>
+      val x1 = i % 10; val x2 = x1 * 2 + (i % 2) // collinear-ish + jitter
+      (7L + 4L * x1, x1, x2)
+    }
+    val r = Eval.ols2(pts.toDF("y", "x1", "x2"), "y", "x1", "x2").head()
+    assert(r.getAs[Double]("b1") == 4.0 && r.getAs[Double]("b2") == 0.0)
+  }
+
+  test("graphStats: a star is perfectly disassortative (r = -1)") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.graphStats(edges, "src", "dst").head()
+    assert(r.getAs[Long]("n_vertices") == 4L)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("max_deg") == 3L)
+    assert(r.getAs[Double]("avg_deg") == 1.5)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("knnEval: separable label clusters classify perfectly, ties break low") {
+    import graft.operators.Similarity
+    // two orthogonal clusters of 6; queries = ids 0..3 (two per cluster)
+    val rows =
+      (0L until 6L).map(i => (i * 2, Seq(1f, 0.001f * i), 7)) ++
+        (0L until 6L).map(i => (i * 2 + 1, Seq(0.001f * i, 1f), 9))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnEval(df, nQueries = 4L, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("pred_label"), r.getAs[Boolean]("correct")))).toMap
+    assert(got.size == 4)
+    assert(got(0L) == ((7L, true)) && got(2L) == ((7L, true)))
+    assert(got(1L) == ((9L, true)) && got(3L) == ((9L, true)))
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
