@@ -2968,6 +2968,39 @@ object SparkEntry {
       // neighbors vote (count desc, label tie-break), prediction vs own
       // label in-row — embedding/label quality probe on the exact kernel.
       Similarity.knnEval(table(s, dir, "embeddings"), nQueries = 50L, k = 10)),
+    "q_link_prediction" -> ((s, dir) => {
+      // Adamic–Adar link prediction on the repeat-co-purchase graph:
+      // top-20 non-adjacent part pairs by Σ 1/ln(deg) over common
+      // neighbors, micro-quantized so the score sum is an exact long.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.adamicAdar(e, "src", "dst", topK = 20)
+    }),
+    "q_conformal" -> ((s, dir) => {
+      // Split-conformal 90% interval on the OLS price fit: md5-split,
+      // fit half 0, exact ceil(0.9n) residual order statistic on half 1,
+      // calibration coverage emitted as the in-row sanity check.
+      val li = table(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      Eval.conformalOls2(li, "id", "y", "x1", "x2")
+    }),
+    "q_weighted_reservoir" -> ((s, dir) =>
+      // Exact-size weighted sample without replacement: 100 docs by
+      // Efraimidis–Spirakis exponential keys over n_chars — per-partition
+      // top-n heaps, no reservoir state, no global sort.
+      Sampling.weightedReservoir(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 100)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5812,6 +5845,71 @@ object SparkEntry {
          |  CAST(e.label AS BIGINT) AS true_label,
          |  (p.pred_label = CAST(e.label AS BIGINT)) AS correct
          |FROM pred p JOIN embeddings e ON p.qid = e.vec_id""".stripMargin,
+    "q_link_prediction" ->
+      """WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |contrib AS MATERIALIZED (SELECT src AS w,
+        |    CAST(ROUND(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)), 0) AS BIGINT)
+        |      AS contrib
+        |  FROM es GROUP BY 1 HAVING COUNT(*) >= 2),
+        |wedges AS (SELECT x.src AS w, x.dst AS a, y.dst AS b
+        |  FROM es x JOIN es y ON x.src = y.src AND x.dst < y.dst),
+        |scored AS (SELECT a, b, CAST(SUM(contrib) AS BIGINT) AS aa_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM wedges JOIN contrib USING (w) GROUP BY 1, 2)
+        |SELECT a, b, aa_micro, n_common FROM scored s
+        |WHERE NOT EXISTS (SELECT 1 FROM es
+        |  WHERE es.src = s.a AND es.dst = s.b)
+        |ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin,
+    "q_conformal" -> {
+      val solve = graft.operators.Eval.ols2Solve.toMap
+      s"""WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+         |    CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y,
+         |    CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2 FROM lineitem),
+         |tagged AS MATERIALIZED (SELECT *, CAST('0x' ||
+         |    substr(md5('cf:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+         |    AS half FROM li),
+         |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(x1*x1) AS BIGINT) AS s11,
+         |    CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |    CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         |    CAST(SUM(x2*y) AS BIGINT) AS s2y,
+         |    CAST(SUM(y*y) AS BIGINT) AS syy
+         |  FROM tagged WHERE half = 0),
+         |fit AS MATERIALIZED (SELECT n AS n_train, ${solve("b0")} AS b0,
+         |    ${solve("b1")} AS b1, ${solve("b2")} AS b2 FROM sums),
+         |resid AS MATERIALIZED (SELECT n_train, CAST(ROUND(abs(
+         |      CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE) +
+         |        b2 * CAST(x2 AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS r
+         |  FROM tagged, fit WHERE half = 1),
+         |per AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nv FROM resid GROUP BY r),
+         |c AS (SELECT r, nv,
+         |    CAST(SUM(nv) OVER (ORDER BY r) AS BIGINT) AS cum FROM per),
+         |t AS (SELECT CAST(SUM(nv) AS BIGINT) AS n_calib FROM per),
+         |m AS (SELECT n_calib,
+         |    greatest((9 * n_calib + 9) // 10, 1) AS pos FROM t),
+         |q AS (SELECT n_calib, CAST(pos AS BIGINT) AS pos, r AS q90_micro
+         |  FROM c, m WHERE cum >= pos AND cum - nv < pos),
+         |cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_covered
+         |  FROM resid, q WHERE resid.r <= q.q90_micro)
+         |SELECT f.n_train, q.n_calib, q.pos, q.q90_micro, cov.n_covered,
+         |  round(CAST(cov.n_covered AS DOUBLE) / q.n_calib, 6) AS coverage
+         |FROM fit f, q, cov""".stripMargin
+    },
+    "q_weighted_reservoir" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    ln((CAST('0x' || substr(md5('wr:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) + 1.0) / power(2, 60)) / n_chars AS es_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(ROUND(es_key * 1000000, 0) AS BIGINT) AS es_key_micro
+        |FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

@@ -220,6 +220,50 @@ object Eval {
         col("v").as("value"))
   }
 
+  /** Split-conformal prediction interval on the [[ols2]] fit — the
+    * distribution-free uncertainty wrapper every large-scale predictor
+    * needs: hash-split the data (the leakage-safe md5 split), fit on half
+    * 0, take the ceil(0.9·n) order statistic of the ABSOLUTE residuals on
+    * half 1 (micro-quantized, so the quantile is an exact integer
+    * selection via the shared prefix-sum kernel), and report it with the
+    * measured calibration coverage (≥ 0.9 by construction — emitted as a
+    * sanity check, not a claim about future data).
+    *
+    * Scale shape: one Gram aggregate (fit), one broadcast of the 1-row
+    * beta table, one distinct-residual prefix sum, one coverage
+    * aggregate. The tagged input and the residual table are each
+    * materialized ONCE before their two-branch fan-outs (the
+    * [[rangedCumsum]] discipline). */
+  def conformalOls2(
+      df: DataFrame, idCol: String,
+      yCol: String, x1Col: String, x2Col: String): DataFrame = {
+    val tagged = df.withColumn("__half",
+      pmod(graft.functions.TextFunctions.tokenHash60(
+        concat(lit("cf:"), col(idCol).cast("string"))), lit(2L)))
+      .localCheckpoint(true)
+    val train = tagged.filter(col("__half") === 0L)
+    val calib = tagged.filter(col("__half") === 1L)
+    val fit = broadcast(
+      ols2(train, yCol, x1Col, x2Col)
+        .select(col("n").as("n_train"), col("b0"), col("b1"), col("b2")))
+    val resid = calib.crossJoin(fit)
+      .withColumn("r_micro",
+        round(abs(col(yCol).cast("double") -
+          (col("b0") + col("b1") * col(x1Col).cast("double") +
+            col("b2") * col(x2Col).cast("double"))) * 1e6, 0).cast("long"))
+      .select(col("n_train"), col("r_micro"))
+      .localCheckpoint(true)
+    val q = orderStatistics(resid.select(col("r_micro")), "r_micro", Seq((9, 10)))
+      .select(col("n").as("n_calib"), col("pos"), col("value").as("q90_micro"))
+    resid.crossJoin(broadcast(q))
+      .groupBy(col("n_train"), col("n_calib"), col("pos"), col("q90_micro"))
+      .agg(
+        sum(when(col("r_micro") <= col("q90_micro"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_calib"), 6))
+  }
+
   /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
     * exact counts plus precision/recall/F1 (0.0 where the denominator is
     * empty — a class never predicted has precision 0 by convention, not

@@ -295,6 +295,48 @@ object Graph {
         col("avg_deg"), col("assortativity"))
   }
 
+  /** Link prediction by Adamic–Adar: score every NON-adjacent vertex pair
+    * that shares neighbors with Σ_w 1/ln(deg(w)) over the common neighbors
+    * w (rare shared neighbors weigh more than hubs), return the top
+    * `topK`. Contributions are quantized to micro-units
+    * (round(10⁶/ln(deg)) — one ln per DISTINCT degree value) so the
+    * per-pair sum is an exact long: float summation order can never
+    * change a score, which keeps the top-K cut deterministic and
+    * SQL-replayable. A wedge center has degree ≥ 2 by construction, so
+    * ln is never 0.
+    *
+    * Scale shape: the wedge self-join is Σ_w deg(w)² pairs — the standard
+    * common-neighbor cost, bounded by the degree distribution (run it on
+    * thresholded/sparsified edges, as the co-purchase callers do; cap
+    * hubs first on a power-law graph). Top-K via TakeOrdered under a
+    * total order (score desc, a, b), never a global sort. */
+  def adamicAdar(
+      edges: DataFrame, srcCol: String, dstCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true) // wedges join it twice; adjacency reads it once
+    val contrib = und.groupBy(col("u").as("w"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .filter(col("deg") >= 2) // only wedge centers matter; ln(1)=0 guard
+      .withColumn("contrib",
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0).cast("long"))
+      .select(col("w"), col("contrib"))
+    val wedges = und.as("x").join(und.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("w"), col("x.v").as("a"), col("y.v").as("b"))
+    val scored = wedges.join(contrib, Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("contrib")).cast("long").as("aa_micro"),
+        count(lit(1)).cast("long").as("n_common"))
+    val adjacent = und.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    scored.join(adjacent, Seq("a", "b"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Pearson r over the moment-sum row, shared verbatim with the oracle. */
   val assortativitySql: String = {
     val (m, sx, sy, sxx, syy, sxy) = ("CAST(m AS DOUBLE)", "CAST(sx AS DOUBLE)",

@@ -357,6 +357,28 @@ object Sampling {
     cdf.map(f => (f * math.pow(2, 60)).toLong)
   }
 
+  /** Weighted sampling WITHOUT replacement, exact size n — the
+    * Efraimidis–Spirakis exponential-key trick: each row draws key =
+    * ln(u)/w with u deterministic from the md5 kernel, and the n LARGEST
+    * keys are a weighted-without-replacement sample (inclusion ∝ weight,
+    * no sequential reservoir state — each key is independent, so the
+    * "reservoir" distributes as a TakeOrdered top-n: per-partition heaps,
+    * n rows to one reducer, never a global sort). Complements
+    * [[weightedSample]] (Bernoulli by weight, random SIZE) when the
+    * training mix needs an exact budget. Weights must be positive. */
+  def weightedReservoir(
+      df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val u = (graft.functions.TextFunctions.tokenHash60(
+      concat(lit("wr:"), col(idCol).cast("string"))).cast("double") + 1.0) /
+      lit(math.pow(2, 60))
+    df.withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .sort(col("es_key").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col(weightCol), round(col("es_key") * 1e6, 0)
+        .cast("long").as("es_key_micro"))
+  }
+
   /** Poisson bootstrap confidence intervals — THE distributed bootstrap:
     * classical resampling needs n draws with a global view, but
     * Poisson(1) per-row weights are iid-independent of everything else,

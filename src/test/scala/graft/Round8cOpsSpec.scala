@@ -333,6 +333,60 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got(1L) == ((9L, true)) && got(3L) == ((9L, true)))
   }
 
+  test("adamicAdar: non-adjacent pair with rare common neighbor outranks hub pair") {
+    import graft.operators.Graph
+    // path 1-2-3 plus hub 9 connected to 4,5,6,7: pair (1,3) shares the
+    // degree-2 neighbor 2 (contrib 1e6/ln2); pairs via hub 9 (deg 4) get
+    // 1e6/ln4 — half the score. adjacency excluded.
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (9L, 4L), (9L, 5L), (9L, 6L), (9L, 7L)).toDF("src", "dst")
+    val got = Graph.adamicAdar(edges, "src", "dst", topK = 10).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("aa_micro"), r.getAs[Long]("n_common"))))
+    val top = got.head
+    assert(top._1 == ((1L, 3L)))
+    assert(top._2._1 == math.rint(1000000.0 / math.log(2.0)).toLong)
+    // all hub-mediated pairs score 1e6/ln4, n_common = 1
+    val hubScore = math.rint(1000000.0 / math.log(4.0)).toLong
+    assert(got.tail.forall { case (_, (s, c)) => s == hubScore && c == 1L })
+    assert(got.length == 1 + 6) // C(4,2) = 6 hub pairs
+    // adjacent pairs never appear
+    assert(!got.exists(_._1 == ((1L, 2L))))
+  }
+
+  test("conformalOls2: q90 residual covers >= 90% of calibration points") {
+    import graft.operators.Eval
+    // y = 3 + 2*x1 + x2 with a deterministic pseudo-noise term
+    val rows = (0L until 400L).map { i =>
+      val x1 = i % 20; val x2 = (i * 7) % 11
+      val noise = (i * 2654435761L % 9L) - 4L // in [-4, 4]
+      (i, 3L + 2L * x1 + x2 + noise, x1, x2)
+    }
+    val r = Eval.conformalOls2(rows.toDF("id", "y", "x1", "x2"),
+      "id", "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_calib") == 400L)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.9 && cov <= 1.0, s"coverage=$cov")
+    // residual bound must reflect the noise scale (≤ ~4 units + fit error)
+    assert(r.getAs[Long]("q90_micro") <= 6L * 1000000L)
+  }
+
+  test("weightedReservoir: exact size, heavy weights oversampled, deterministic") {
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 100L) 1000L else 1L)).toDF("id", "w")
+    val got = Sampling.weightedReservoir(df, "id", "w", n = 50)
+    val rows = got.collect()
+    assert(rows.length == 50)
+    // the 100 heavy ids (1000x weight) should dominate the sample
+    val heavy = rows.count(_.getLong(0) <= 100L)
+    assert(heavy > 40, s"heavy=$heavy")
+    // partitioning must not change the selected set
+    val again = Sampling.weightedReservoir(df.repartition(9), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
