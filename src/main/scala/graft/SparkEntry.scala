@@ -3001,6 +3001,33 @@ object SparkEntry {
       Sampling.weightedReservoir(
         table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", n = 100)),
+    "q_did" -> ((s, dir) =>
+      // Difference-in-differences on event spend: odd users "treated",
+      // period split at day 16 — four exact (sum, n) cells in one
+      // aggregate, effect = shared-SQL double over the cell row.
+      Eval.diffInDiff(
+        table(s, dir, "events").select(
+          (pmod(col("user_id"), lit(2L)) === 1L).as("treat"),
+          (dayofmonth(col("ts")) >= 16).as("post"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "treat", "post", "cents")),
+    "q_l_diversity" -> ((s, dir) =>
+      // Homogeneity-attack audit: per (segment, nation) QI cell, distinct
+      // account-balance buckets + exact micro-nat entropy; l=3 flag.
+      Profiling.lDiversity(
+        table(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_bucket", l = 3L)),
+    "q_mmr_rerank" -> ((s, dir) =>
+      // Diversity reranking: greedy λ=0.7 MMR picking 5 of each query's
+      // 10-candidate pool — sequential over 5 STEPS, each a bounded
+      // per-query argmax on once-materialized pool/pair tables.
+      Similarity.mmrRerank(
+        table(s, dir, "embeddings").filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        poolK = 10, selectK = 5)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5910,6 +5937,58 @@ object SparkEntry {
         |SELECT doc_id, n_chars,
         |  CAST(ROUND(es_key * 1000000, 0) AS BIGINT) AS es_key_micro
         |FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q_did" ->
+      s"""WITH e AS (SELECT (user_id % 2 = 1) AS treat,
+         |    (day(ts) >= 16) AS post,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |cells AS (SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+         |w AS (SELECT
+         |    max(CASE WHEN treat AND post THEN s END) AS s_t1,
+         |    max(CASE WHEN treat AND post THEN n END) AS n_t1,
+         |    max(CASE WHEN treat AND NOT post THEN s END) AS s_t0,
+         |    max(CASE WHEN treat AND NOT post THEN n END) AS n_t0,
+         |    max(CASE WHEN NOT treat AND post THEN s END) AS s_c1,
+         |    max(CASE WHEN NOT treat AND post THEN n END) AS n_c1,
+         |    max(CASE WHEN NOT treat AND NOT post THEN s END) AS s_c0,
+         |    max(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c0
+         |  FROM cells)
+         |SELECT s_t1, n_t1, s_t0, n_t0, s_c1, n_c1, s_c0, n_c0,
+         |  ${graft.operators.Eval.didSql} AS dd_effect FROM w""".stripMargin,
+    "q_l_diversity" ->
+      s"""WITH c0 AS (SELECT c_mktsegment, CAST(c_nationkey AS BIGINT)
+         |    AS c_nationkey,
+         |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+         |  FROM customer),
+         |cells AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM c0 GROUP BY 1, 2, 3),
+         |tot AS (SELECT c_mktsegment, c_nationkey,
+         |    CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+         |j AS (SELECT cells.c_mktsegment, cells.c_nationkey, n, c,
+         |    ${graft.operators.Profiling.entropyCellSql} AS ent_c
+         |  FROM cells JOIN tot USING (c_mktsegment, c_nationkey))
+         |SELECT c_mktsegment, c_nationkey, n,
+         |  CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+         |  CAST(SUM(ent_c) AS BIGINT) AS entropy_micro,
+         |  (COUNT(*) >= 3) AS l_diverse
+         |FROM j GROUP BY 1, 2, 3""".stripMargin,
+    "q_mmr_rerank" ->
+      s"""WITH $normCte,
+         |pool AS MATERIALIZED (SELECT qid, vec_id, sim AS rel FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |      round($cosineSqlExpr, 6) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 10),
+         |pairs AS MATERIALIZED (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+         |    round(list_sum([CAST(q.embedding[i] AS DOUBLE) *
+         |        CAST(c.embedding[i] AS DOUBLE)
+         |      FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.nrm), 6)
+         |      AS psim
+         |  FROM pool x JOIN pool y ON x.qid = y.qid AND x.vec_id != y.vec_id
+         |  JOIN n q ON q.vec_id = x.vec_id JOIN n c ON c.vec_id = y.vec_id),
+         |${graft.operators.Similarity.mmrSql(selectK = 5)}""".stripMargin,
   )
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */

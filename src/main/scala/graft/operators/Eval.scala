@@ -264,6 +264,33 @@ object Eval {
         round(col("n_covered").cast("double") / col("n_calib"), 6))
   }
 
+  /** Difference-in-differences — the experiment readout when treatment
+    * wasn't randomized per-event: effect = (treated post − treated pre) −
+    * (control post − control pre), cancelling both group-level baselines
+    * and period-level shocks. The data collapses to FOUR (treat, post)
+    * cells of exact integer (sum, count) in one map-side-combined
+    * aggregate; the effect is one shared-SQL double expression over that
+    * row. */
+  def diffInDiff(
+      df: DataFrame, treatCol: String, postCol: String, valCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, agg: Column): Column =
+      max(when(col(treatCol) === t && col(postCol) === p, agg))
+    df.groupBy(col(treatCol).as("treat"), col(postCol).as("post"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col(valCol)).cast("long").as("__s"))
+      .agg(
+        cell(true, true, col("__s")).as("s_t1"), cell(true, true, col("__n")).as("n_t1"),
+        cell(true, false, col("__s")).as("s_t0"), cell(true, false, col("__n")).as("n_t0"),
+        cell(false, true, col("__s")).as("s_c1"), cell(false, true, col("__n")).as("n_c1"),
+        cell(false, false, col("__s")).as("s_c0"), cell(false, false, col("__n")).as("n_c0"))
+      .withColumn("dd_effect", expr(didSql))
+  }
+
+  /** The DiD effect over the 8-cell row, shared verbatim with the oracle. */
+  val didSql: String =
+    "round((CAST(s_t1 AS DOUBLE)/n_t1 - CAST(s_t0 AS DOUBLE)/n_t0) - " +
+      "(CAST(s_c1 AS DOUBLE)/n_c1 - CAST(s_c0 AS DOUBLE)/n_c0), 6)"
+
   /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
     * exact counts plus precision/recall/F1 (0.0 where the denominator is
     * empty — a class never predicted has precision 0 by convention, not

@@ -355,6 +355,38 @@ object Profiling {
       .withColumn("risk", round(lit(1.0) / col("n").cast("double"), 6))
   }
 
+  /** L-diversity audit — [[kAnonymity]]'s stronger sibling: a QI group
+    * can be large yet still leak if everyone in it shares the same
+    * SENSITIVE value (homogeneity attack). Reports, per QI cell, the
+    * population, the distinct sensitive-value count, the l-diversity flag
+    * (distinct ≥ l), and the sensitive-value entropy in exact micro-nats
+    * (per-cell contributions −p·ln p are micro-quantized BEFORE summing,
+    * so the aggregate is an order-independent integer sum). Two chained
+    * map-side-combined aggregates + one group-keyed join; nothing
+    * row-level leaves the executors. */
+  def lDiversity(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(l >= 2, s"l must be >= 2: $l")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol).as("__sv"): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = cells.groupBy(qi: _*)
+      .agg(sum(col("c")).cast("long").as("n"))
+    cells.join(tot, qiCols)
+      .withColumn("__ent_c", expr(entropyCellSql))
+      .groupBy(qi :+ col("n"): _*)
+      .agg(count(lit(1)).cast("long").as("distinct_sensitive"),
+        sum(col("__ent_c")).cast("long").as("entropy_micro"))
+      .withColumn("l_diverse", col("distinct_sensitive") >= l)
+  }
+
+  /** Per-cell entropy contribution over (c, n), shared with the oracle. */
+  val entropyCellSql: String =
+    "CAST(ROUND(-((CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n)) " +
+      "* 1000000, 0) AS BIGINT)"
+
   /** Join-size estimation from count-min sketches — the planner-style
     * cardinality probe that never executes the join: |A ⋈ B| on a key
     * equals the inner product of the two frequency vectors, and the CM

@@ -547,6 +547,100 @@ object Similarity {
       .withColumn("correct", col("pred_label") === col("true_label"))
   }
 
+  /** Maximal-marginal-relevance reranking — the diversity pass between
+    * retrieval and the final context window: greedily pick `selectK` of
+    * each query's `poolK`-candidate pool, scoring every remaining
+    * candidate `0.7·relevance − 0.3·max-similarity-to-already-picked`
+    * (the standard λ=0.7 MMR), so near-duplicate hits can't crowd the
+    * result. Deterministic end to end: cosines are 6-rounded, the score
+    * arithmetic is one shared SQL expression, ties break on vec_id — the
+    * greedy trace replays exactly in the unrolled oracle ([[mmrSql]]).
+    *
+    * Scale shape: the sequential part is over `selectK` STEPS, not data —
+    * each step is a bounded per-query argmax (pool ≤ poolK rows/query)
+    * over the once-materialized pool and pairwise-sim tables. The pair
+    * table is poolK² rows per query, built with one self-join of the
+    * norm-tagged pool. */
+  def mmrRerank(
+      queries: DataFrame, corpus: DataFrame,
+      poolK: Int, selectK: Int): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK,
+      s"need 1 <= selectK <= poolK: $selectK/$poolK")
+    val pool = bruteForceTopK(queries, corpus, poolK)
+      .select(col("qid"), col("vec_id"), col("sim").as("rel"))
+      .localCheckpoint(true)
+    val c = withNorm(corpus, "vec_id", "embedding")
+    val pl = pool.select(col("qid"), col("vec_id")).join(c, Seq("vec_id"))
+    val pairs = pl.as("x").join(pl.as("y"),
+        col("x.qid") === col("y.qid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.qid").as("qid"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        cosineFromNorms(col("x.embedding"), col("y.embedding"),
+          col("x.__nrm"), col("y.__nrm")).as("psim"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+    var selected = pool
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("pick_order"),
+        col("rel").as("score"))
+      .localCheckpoint(true)
+    (2 to selectK).foreach { i =>
+      val ms = pairs
+        .join(selected.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("vec_id"))
+        .agg(max(col("psim")).as("maxsim"))
+      val cand = pool
+        .join(selected.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(ms, Seq("qid", "vec_id"))
+        .withColumn("score", expr(mmrScoreSql))
+      val wi = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val pick = cand.withColumn("rn", row_number().over(wi))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(i.toLong).as("pick_order"),
+          col("score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
+  /** The MMR score over (rel, maxsim), shared verbatim with the oracle. */
+  val mmrScoreSql: String = "round(0.7 * rel - 0.3 * maxsim, 6)"
+
+  /** DuckDB unroll of the greedy MMR trace: CTEs over caller-provided
+    * `pool(qid, vec_id, rel)` and `pairs(qid, a, b, psim)`. Every CTE is
+    * MATERIALIZED — selall_i is referenced 3× by step i+1, so default
+    * inlining would expand 3^selectK. */
+  def mmrSql(selectK: Int): String = {
+    val score = mmrScoreSql.replace("rel", "pool.rel")
+      .replace("maxsim", s"ms.maxsim")
+    val steps = (2 to selectK).map { i =>
+      s"""ms$i AS MATERIALIZED (SELECT p.qid, p.a AS vec_id,
+         |    MAX(p.psim) AS maxsim
+         |  FROM pairs p JOIN selall${i - 1} s ON p.qid = s.qid AND p.b = s.vec_id
+         |  GROUP BY 1, 2),
+         |cand$i AS MATERIALIZED (SELECT pool.qid, pool.vec_id,
+         |    $score AS score
+         |  FROM pool JOIN ms$i ms ON pool.qid = ms.qid AND pool.vec_id = ms.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} s
+         |    WHERE s.qid = pool.qid AND s.vec_id = pool.vec_id)),
+         |sel$i AS MATERIALIZED (SELECT qid, vec_id, $i AS pick_order, score
+         |  FROM (SELECT qid, vec_id, score, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM cand$i)
+         |  WHERE rn = 1),
+         |selall$i AS MATERIALIZED (SELECT * FROM selall${i - 1}
+         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""sel1 AS MATERIALIZED (SELECT qid, vec_id, 1 AS pick_order, rel AS score
+       |  FROM (SELECT qid, vec_id, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |selall1 AS MATERIALIZED (SELECT * FROM sel1),
+       |$steps
+       |SELECT qid, vec_id, CAST(pick_order AS BIGINT) AS pick_order, score
+       |FROM selall$selectK""".stripMargin
+  }
+
   /** Grid-density clustering (DBSCAN's grid approximation) over the first
     * two embedding dimensions: bucket points into 1/`scale`-sized cells,
     * keep cells with ≥ `minPts` points (the dense cells), and connect

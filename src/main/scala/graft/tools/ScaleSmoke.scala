@@ -562,6 +562,49 @@ object ScaleSmoke {
     }
     time(s"gramCovariance x${math.max(1, mult / 5)} (shuffle P*d^2)")(
       drain(Similarity.gramCovariance(emb)))
+    time(s"gridCluster+knnEval x${math.max(1, mult / 5)}") {
+      drain(Similarity.gridClusters(emb))
+      val labeled = graft.SparkEntry.table(spark, dir, "embeddings")
+      drain(Similarity.knnEval(
+        multiply(labeled, "vec_id", math.max(1, mult / 5), 1_000_000L),
+        nQueries = 50L, k = 10))
+    }
+    time(s"tableFingerprint+kAnonymity x$mult") {
+      drain(Profiling.tableFingerprint(
+        eventsUid.select(col("event_type"), col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", Seq("event_id", "user_id", "cents")))
+    }
+    time(s"ols2+conformal x$mult (one Gram pass each +resid)") {
+      val ev = eventsUid.select(col("event_id").as("id"),
+        round(col("value") * 100, 0).cast("long").as("y"),
+        pmod(col("user_id"), lit(97L)).as("x1"),
+        pmod(col("event_id"), lit(31L)).as("x2"))
+      drain(graft.operators.Eval.ols2(ev, "y", "x1", "x2"))
+      drain(graft.operators.Eval.conformalOls2(ev, "id", "y", "x1", "x2"))
+    }
+    time(s"weightedReservoir+kmvStream-agg x$mult") {
+      drain(Sampling.weightedReservoir(
+        eventsUid.select(col("event_id"), (pmod(col("event_id"), lit(1000L)) + 1L).as("w")),
+        "event_id", "w", 100))
+    }
+    time(s"graphStats+adamicAdar x${math.max(1, mult / 5)} (disjoint copies)") {
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      drain(graft.operators.Graph.graphStats(e, "src", "dst"))
+      drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20))
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))

@@ -387,6 +387,50 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(again == rows.map(_.getLong(0)).toSet)
   }
 
+  test("diffInDiff cancels group baselines and period shocks exactly") {
+    import graft.operators.Eval
+    // control: 10 pre → 15 post (shock +5); treated: 20 pre → 33 post
+    // (+5 shock, +8 effect)
+    val rows =
+      Seq.fill(4)((false, false, 10L)) ++ Seq.fill(5)((false, true, 15L)) ++
+        Seq.fill(3)((true, false, 20L)) ++ Seq.fill(6)((true, true, 33L))
+    val r = Eval.diffInDiff(rows.toDF("treat", "post", "v"),
+      "treat", "post", "v").head()
+    assert(r.getAs[Long]("n_t1") == 6L && r.getAs[Long]("n_c0") == 4L)
+    assert(r.getAs[Double]("dd_effect") == 8.0)
+  }
+
+  test("lDiversity: homogeneous large group flagged, uniform entropy exact") {
+    import graft.operators.Profiling
+    val rows = Seq.fill(20)(("a", 1L)) ++ // large but homogeneous
+      (Seq.fill(5)(("b", 1L)) ++ Seq.fill(5)(("b", 2L))) // uniform 2-value
+    val got = Profiling.lDiversity(rows.toDF("qi", "sv"), Seq("qi"), "sv", l = 2L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("distinct_sensitive"),
+          r.getAs[Long]("entropy_micro"), r.getAs[Boolean]("l_diverse")))).toMap
+    assert(got("a") == ((20L, 1L, 0L, false))) // k-anonymous yet leaking
+    val ln2micro = 2L * math.rint(0.5 * math.log(2.0) * 1e6).toLong
+    assert(got("b") == ((10L, 2L, ln2micro, true)))
+  }
+
+  test("mmrRerank diversifies: the near-duplicate of pick 1 loses to the orthogonal hit") {
+    import graft.operators.Similarity
+    // q sits between the two axes; 1 and 3 are equally relevant but
+    // orthogonal to each other; 2 is 1's near-twin with a relevance edge
+    val q = Seq((100L, Seq(1f, 1f, 0f))).toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.999f, 0.05f, 0f)), // near-duplicate of 1, top relevance
+      (3L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(q, corpus, poolK = 3, selectK = 2)
+      .collect().map(r => r.getAs[Long]("pick_order") -> r.getAs[Long]("vec_id"))
+      .toMap
+    assert(got(1L) == 2L) // relevance picks the twin first
+    assert(got(2L) == 3L) // MMR then skips 1 (psim ≈ 1) for the orthogonal hit
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
