@@ -3028,6 +3028,40 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         poolK = 10, selectK = 5)),
+    "q_ohlc_bars" -> ((s, dir) => {
+      // 6-hour OHLC bars per event type: open/close under the explicit
+      // (ts, event_id) total order, one exchange for both windows + agg.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.TimeSeries.ohlcBars(
+        ev, "event_type", "ms", "event_id", "cents", barMs = 21600000L)
+    }),
+    "q_stream_ohlc" -> ((s, dir) =>
+      // The same bars as a STREAMING aggregate: row_number isn't legal in
+      // a streaming agg, so open/close become min_by/max_by over the
+      // combined (ts, event_id) key — shares q_ohlc_bars' oracle text.
+      runToMemory(s, eventsStream(s, dir)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("bar_start_ms", expr("(ms DIV 21600000L) * 21600000L"))
+        .withColumn("tkey",
+          expr("(ms - 1700000000000L) * 100000000L + event_id"))
+        .groupBy(col("event_type"), col("bar_start_ms"))
+        .agg(min_by(col("cents"), col("tkey")).as("open"),
+          max(col("cents")).as("high"), min(col("cents")).as("low"),
+          max_by(col("cents"), col("tkey")).as("close"),
+          count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("volume")), "complete")),
+    "q_streaks" -> ((s, dir) =>
+      // Gaps-and-islands: per-user consecutive-active-day streaks via the
+      // day − row_number island invariant — distinct-day collapse first,
+      // every window bounded by the calendar.
+      graft.operators.Sessionize.streaks(
+        table(s, dir, "events").select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d")),
+        "user_id", "d")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -5989,7 +6023,33 @@ object SparkEntry {
          |  FROM pool x JOIN pool y ON x.qid = y.qid AND x.vec_id != y.vec_id
          |  JOIN n q ON q.vec_id = x.vec_id JOIN n c ON c.vec_id = y.vec_id),
          |${graft.operators.Similarity.mmrSql(selectK = 5)}""".stripMargin,
+    "q_ohlc_bars" -> ohlcOracleSql,
+    "q_stream_ohlc" -> ohlcOracleSql,
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |isl AS (SELECT user_id,
+        |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM days),
+        |g AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS longest_streak
+        |FROM g GROUP BY 1""".stripMargin,
   )
+
+  /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming
+    * min_by/max_by): identical bar semantics, one oracle text. */
+  private lazy val ohlcOracleSql: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
+      |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+      |b AS (SELECT event_type, (ms // 21600000) * 21600000 AS bar_start_ms,
+      |    (ms - 1700000000000) * 100000000 + event_id AS tkey, cents FROM e)
+      |SELECT event_type, bar_start_ms, arg_min(cents, tkey) AS open,
+      |  MAX(cents) AS high, MIN(cents) AS low, arg_max(cents, tkey) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS volume
+      |FROM b GROUP BY 1, 2""".stripMargin
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
 

@@ -542,4 +542,28 @@ object Sessionize {
       .foldLeft(lit(1L))(_ + _)
     joined.withColumn("stage", stage)
   }
+
+  /** Consecutive-activity streaks — the gaps-and-islands classic: per
+    * user, collapse activity to distinct active days, tag each run of
+    * CONSECUTIVE days with the `day − row_number` island invariant (an
+    * arithmetic constant within a run, never a stateful scan), and report
+    * days active, number of streaks, and the longest streak. All three
+    * windows/aggregates share the per-user partitioning (bounded by the
+    * calendar, not the event volume — the distinct collapse happens
+    * first). */
+  def streaks(
+      df: DataFrame, keyCol: String, dayIdxCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(keyCol), col(dayIdxCol).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+    val islands = days
+      .withColumn("island", col("d") - row_number().over(w))
+      .groupBy(col(keyCol), col("island"))
+      .agg(count(lit(1)).cast("long").as("len"))
+    islands.groupBy(col(keyCol))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
 }

@@ -456,6 +456,38 @@ object TimeSeries {
         round(col(valueCol).cast("double") - seasonal, 6).as("resid"))
   }
 
+  /** OHLC downsampling — the resample step that turns a raw event stream
+    * into fixed-width bars (the warehouse representation of any
+    * price/metric series): per (key, bucket), open = first value, close =
+    * last value (both under the explicit (ts, tie) total order — bare
+    * first()/arg_min on a tied timestamp is partitioning-dependent),
+    * high/low/volume/count as plain aggregates. Two windows + one
+    * aggregate all share the (key, bucket) partitioning, so the whole bar
+    * build is ONE exchange. */
+  def ohlcBars(
+      df: DataFrame, keyCol: String, tsMsCol: String, tieCol: String,
+      valCol: String, barMs: Long): DataFrame = {
+    require(barMs > 0, s"barMs must be positive: $barMs")
+    import org.apache.spark.sql.expressions.Window
+    val bar = expr(s"($tsMsCol DIV ${barMs}L) * ${barMs}L")
+    val tagged = df.withColumn("bar_start_ms", bar)
+    val asc = Window.partitionBy(col(keyCol), col("bar_start_ms"))
+      .orderBy(col(tsMsCol), col(tieCol))
+    val desc = Window.partitionBy(col(keyCol), col("bar_start_ms"))
+      .orderBy(col(tsMsCol).desc, col(tieCol).desc)
+    tagged
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(keyCol), col("bar_start_ms"))
+      .agg(
+        max(when(col("__ra") === 1, col(valCol))).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(when(col("__rd") === 1, col(valCol))).as("close"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col(valCol)).cast("long").as("volume"))
+  }
+
   /** Theil–Sen robust trend: per group, the LOWER MEDIAN of all pairwise
     * slopes (y₂−y₁)/(x₂−x₁) — breakdown point 29% vs OLS's 0% (one
     * corrupted day drags [[trendOls]] arbitrarily; it moves one of

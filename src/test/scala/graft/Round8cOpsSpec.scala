@@ -431,6 +431,37 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got(2L) == 3L) // MMR then skips 1 (psim ≈ 1) for the orthogonal hit
   }
 
+  test("ohlcBars: bucket boundaries and tie-broken open/close are exact") {
+    import graft.operators.TimeSeries
+    // bar width 100ms; two bars; bar 1 has a timestamp tie at ms=0
+    val ev = Seq(
+      ("k", 0L, 2L, 50L), ("k", 0L, 1L, 10L), // tie: event 1 wins open
+      ("k", 99L, 3L, 5L), ("k", 100L, 4L, 70L), ("k", 150L, 5L, 60L))
+      .toDF("k", "ms", "tie", "v")
+    val got = TimeSeries.ohlcBars(ev, "k", "ms", "tie", "v", barMs = 100L)
+      .collect()
+      .map(r => r.getAs[Long]("bar_start_ms") ->
+        ((r.getAs[Long]("open"), r.getAs[Long]("high"), r.getAs[Long]("low"),
+          r.getAs[Long]("close"), r.getAs[Long]("n"), r.getAs[Long]("volume"))))
+      .toMap
+    assert(got(0L) == ((10L, 50L, 5L, 5L, 3L, 65L)))
+    assert(got(100L) == ((70L, 70L, 60L, 60L, 2L, 130L)))
+  }
+
+  test("streaks: islands split on gaps, counts exact") {
+    import graft.operators.Sessionize
+    // user 1: days 1,2,3, 7,8, 20 → streaks 3,2,1; user 2: 5 alone;
+    // duplicate activity on a day must not inflate anything
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L),
+      (1L, 20L), (2L, 5L)).toDF("u", "d")
+    val got = Sessionize.streaks(df, "u", "d").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak")))).toMap
+    assert(got(1L) == ((6L, 3L, 3L)))
+    assert(got(2L) == ((1L, 1L, 1L)))
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
