@@ -59,7 +59,13 @@ object PlanDump {
     "q_interval_union",      // ONE user-hashed exchange drives both windows + both aggs
     "q_sssp",                // src-partitioned checkpointed edges; per-round dist-side shuffle only
     "q_auc",                 // materialized-once ranged prefix sum (checkpoint scan feeds both branches)
-    "q_minimizer_sketch")    // per-doc window min over exploded shingle hashes + distinct
+    "q_minimizer_sketch",    // per-doc window min over exploded shingle hashes + distinct
+    "q_bootstrap_ci",        // ×32 replicate explode combines map-side into g×32 cells
+    "q_join_size_est",       // two d×w sketch builds + per-key-count exact side; no wide join
+    "q_link_prediction",     // wedge self-join on checkpointed sparse edges + TakeOrdered
+    "q_gram_covariance",     // mapPartitions Gramian: P·d² triples, checkpoint-fed 3-branch assembly
+    "q_conformal",           // checkpointed split + broadcast betas + prefix-sum order statistic
+    "q_ohlc_bars")           // two windows + agg share ONE (key,bar) exchange
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
