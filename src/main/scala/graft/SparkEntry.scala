@@ -3062,6 +3062,12 @@ object SparkEntry {
         table(s, dir, "events").select(col("user_id"),
           datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d")),
         "user_id", "d")),
+    "q_pca_power" -> ((s, dir) =>
+      // Top principal component by micro-quantized power iteration on the
+      // distributed covariance matrix — corpus touched ONCE (the Gramian
+      // pass); 12 iterations over d² tiny rows; deterministic trajectory
+      // incl. the eigenvector sign, replayed by the unrolled oracle.
+      Similarity.pcaPower(table(s, dir, "embeddings"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6037,6 +6043,7 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS longest_streak
         |FROM g GROUP BY 1""".stripMargin,
+    "q_pca_power" -> pcaPowerOracleSql,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming
@@ -6050,6 +6057,26 @@ object SparkEntry {
       |  MAX(cents) AS high, MIN(cents) AS low, arg_max(cents, tkey) AS close,
       |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS volume
       |FROM b GROUP BY 1, 2""".stripMargin
+
+  private lazy val pcaPowerOracleSql: String =
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, embedding AS e,
+       |          unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+       |p AS (SELECT a.dim AS i, b.dim AS j,
+       |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS s_ij
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+       |  GROUP BY 1, 2),
+       |m AS (SELECT dim, CAST(SUM(xq) AS BIGINT) AS m FROM x GROUP BY dim),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |covu AS MATERIALIZED (SELECT p.i, p.j,
+       |    round((CAST(s_ij AS DOUBLE) / n -
+       |      (CAST(ma.m AS DOUBLE) / n) * (CAST(mb.m AS DOUBLE) / n))
+       |      / 16777216.0, 8) AS cov
+       |  FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim, cnt),
+       |cov AS MATERIALIZED (SELECT i, j, cov FROM covu
+       |  UNION ALL SELECT j, i, cov FROM covu WHERE i <> j),
+       |${graft.operators.Similarity.pcaPowerSql(iters = 12)}""".stripMargin
 
   /** Shared DuckDB fragments mirroring TextFunctions/Similarity exactly. */
 

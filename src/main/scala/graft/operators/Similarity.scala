@@ -641,6 +641,82 @@ object Similarity {
        |FROM selall$selectK""".stripMargin
   }
 
+  /** Top principal component by POWER ITERATION on the
+    * [[gramCovariance]] matrix — the PCA/whitening entry point that
+    * never materializes more than the d×d matrix: the corpus is touched
+    * exactly once (the Gramian pass); every iteration is a join+aggregate
+    * over d² tiny rows. The iteration state is micro-quantized: v lives
+    * on the 10⁻⁶ grid, each product cov·v rounds to an exact long BEFORE
+    * the d-term sum, and renormalization is one double divide per entry —
+    * so the float work is order-independent and the whole 12-step
+    * trajectory (including the eigenvector's sign, fixed by the e₀ start)
+    * replays bit-for-bit in the unrolled SQL oracle ([[pcaPowerSql]]).
+    * Output: one row per dimension (i, v_micro) with the Rayleigh
+    * eigenvalue repeated alongside. */
+  def pcaPower(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val covUpper = gramCovariance(embeddings, vecCol)
+      .select(col("i"), col("j"), col("cov"))
+    val cov = covUpper.unionByName(covUpper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint(true)
+    var v = cov.select(col("i")).distinct()
+      .withColumn("v_micro",
+        when(col("i") === 0L, 1000000L).otherwise(0L))
+      .localCheckpoint(true)
+    def multiply(vec: DataFrame): DataFrame = cov
+      .join(vec.select(col("i").as("j"), col("v_micro")), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(ROUND(cov * v_micro, 0) AS BIGINT)"))
+        .cast("long").as("w"))
+    (1 to iters).foreach { _ =>
+      val w = multiply(v)
+      val nrm = broadcast(w.agg(sum(col("w") * col("w")).cast("long").as("ss")))
+      v = w.crossJoin(nrm)
+        .select(col("i"), expr(
+          "CAST(ROUND(CAST(w AS DOUBLE) * 1000000.0 / sqrt(CAST(ss AS DOUBLE)), 0) AS BIGINT)")
+          .as("v_micro"))
+        .localCheckpoint(true)
+    }
+    val wf = multiply(v).localCheckpoint(true)
+    val num = wf.join(v, Seq("i"))
+      .agg(sum(col("w") * col("v_micro")).cast("long").as("num"))
+    val den = v.agg(sum(col("v_micro") * col("v_micro")).cast("long").as("den"))
+    v.crossJoin(broadcast(num.crossJoin(den)))
+      .select(col("i"), col("v_micro"),
+        expr("round(CAST(num AS DOUBLE) / den, 6)").as("eigenvalue"))
+  }
+
+  /** DuckDB unroll of [[pcaPower]] over a caller-provided
+    * `cov(i, j, cov)` CTE (symmetrized). MATERIALIZED throughout — each
+    * v_t feeds w_{t+1}, the norm, and the final projection. */
+  def pcaPowerSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT cov.i,
+         |    CAST(SUM(CAST(ROUND(cov.cov * v${t - 1}.v, 0) AS BIGINT)) AS BIGINT) AS w
+         |  FROM cov JOIN v${t - 1} ON cov.j = v${t - 1}.i GROUP BY 1),
+         |s$t AS (SELECT CAST(SUM(w*w) AS BIGINT) AS ss FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, CAST(ROUND(CAST(w AS DOUBLE) * 1000000.0
+         |    / sqrt(CAST(ss AS DOUBLE)), 0) AS BIGINT) AS v FROM w$t, s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (SELECT DISTINCT i,
+       |    CAST(CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+       |  FROM cov),
+       |$steps,
+       |wf AS MATERIALIZED (SELECT cov.i,
+       |    CAST(SUM(CAST(ROUND(cov.cov * v$iters.v, 0) AS BIGINT)) AS BIGINT) AS w
+       |  FROM cov JOIN v$iters ON cov.j = v$iters.i GROUP BY 1),
+       |num AS (SELECT CAST(SUM(wf.w * v.v) AS BIGINT) AS num
+       |  FROM wf JOIN v$iters v USING (i)),
+       |den AS (SELECT CAST(SUM(v*v) AS BIGINT) AS den FROM v$iters)
+       |SELECT v.i, v.v AS v_micro,
+       |  round(CAST(num AS DOUBLE) / den, 6) AS eigenvalue
+       |FROM v$iters v, num, den""".stripMargin
+  }
+
   /** Grid-density clustering (DBSCAN's grid approximation) over the first
     * two embedding dimensions: bucket points into 1/`scale`-sized cells,
     * keep cells with ≥ `minPts` points (the dense cells), and connect

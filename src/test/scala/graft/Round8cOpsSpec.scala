@@ -462,6 +462,22 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got(2L) == ((1L, 1L, 1L)))
   }
 
+  test("pcaPower recovers a planted principal direction and its variance") {
+    import graft.operators.Similarity
+    // rank-1 data along (0.6, 0.8): Cov = Var(t)·vvᵀ, Var(t) = 0.5
+    val ts = Seq(-1f, -0.5f, 0f, 0.5f, 1f)
+    val df = ts.map(t => Tuple1(Seq(0.6f * t, 0.8f * t))).toDF("embedding")
+    val got = Similarity.pcaPower(df, "embedding", iters = 12).collect()
+      .map(r => r.getAs[Long]("i") ->
+        ((r.getAs[Long]("v_micro"), r.getAs[Double]("eigenvalue")))).toMap
+    val (v0, ev) = got(0L)
+    val (v1, _) = got(1L)
+    // e0 start has positive overlap with v → converges to +(0.6, 0.8)
+    assert(math.abs(v0 - 600000L) <= 200L, s"v0=$v0")
+    assert(math.abs(v1 - 800000L) <= 200L, s"v1=$v1")
+    assert(math.abs(ev - 0.5) < 0.001, s"ev=$ev")
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
