@@ -3068,6 +3068,35 @@ object SparkEntry {
       // pass); 12 iterations over d² tiny rows; deterministic trajectory
       // incl. the eigenvector sign, replayed by the unrolled oracle.
       Similarity.pcaPower(table(s, dir, "embeddings"))),
+    "q_kmv_set_ops" -> ((s, dir) => {
+      // Sketch set algebra: click-audience ∩/∪ purchase-audience from two
+      // KMV sketches (k-min union sample → Jaccard → intersection), with
+      // the exact distinct-hash answers side by side in the same row.
+      val ev = table(s, dir, "events")
+      Profiling.kmvSetOps(
+        ev.filter(col("event_type") === "click"), "user_id",
+        ev.filter(col("event_type") === "purchase"), "user_id", k = 64)
+    }),
+    "q_twap" -> ((s, dir) =>
+      // Time-weighted average spend per (type, day): holding-time weights
+      // from lead() under the (ts, event_id) total order, exact integer
+      // weighted sums, calendar-bounded windows.
+      graft.operators.TimeSeries.twap(
+        table(s, dir, "events").select(col("event_type"),
+          to_date(col("ts")).as("day"), unix_millis(col("ts")).as("ms"),
+          col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "day", "ms", "event_id", "cents")),
+    "q_impute" -> ((s, dir) =>
+      // Median-imputation audit: nulls planted deterministically
+      // (event_id % 97), filled with the per-type exact lower median via
+      // the weighted-median prefix-sum kernel; summary row per type.
+      graft.operators.Normalize.imputeMedianSummary(
+        table(s, dir, "events").select(col("event_type"),
+          when(pmod(col("event_id"), lit(97L)) === 0L, lit(null))
+            .otherwise(round(col("value") * 100, 0).cast("long"))
+            .as("cents")),
+        "event_type", "cents")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6044,6 +6073,67 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS longest_streak
         |FROM g GROUP BY 1""".stripMargin,
     "q_pca_power" -> pcaPowerOracleSql,
+    "q_kmv_set_ops" ->
+      """WITH ha AS MATERIALIZED (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS MATERIALIZED (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS MATERIALIZED (SELECT h FROM ha UNION SELECT h FROM hb),
+        |uk AS (SELECT t.h, (ha.h IS NOT NULL) AS ina, (hb.h IS NOT NULL) AS inb
+        |  FROM (SELECT h FROM u ORDER BY h LIMIT 64) t
+        |  LEFT JOIN ha ON t.h = ha.h LEFT JOIN hb ON t.h = hb.h),
+        |sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k, MAX(h) AS h_k,
+        |    CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS j_common FROM uk),
+        |ex AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_union,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ha JOIN hb USING (h))
+        |      AS exact_intersection),
+        |est AS (SELECT n_k, h_k, j_common, exact_union, exact_intersection,
+        |    CASE WHEN n_k = 64
+        |      THEN round(CAST(n_k - 1 AS DOUBLE) * power(2, 60) / h_k, 6)
+        |      ELSE CAST(n_k AS DOUBLE) END AS est_union,
+        |    round(CAST(j_common AS DOUBLE) / n_k, 6) AS est_jaccard
+        |  FROM sk, ex)
+        |SELECT n_k, h_k, j_common, exact_union, exact_intersection,
+        |  est_union, est_jaccard,
+        |  round(est_jaccard * est_union, 6) AS est_intersection
+        |FROM est""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_ms(ts) AS ms, event_id,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT event_type, day, cents,
+        |    LEAD(ms) OVER (PARTITION BY event_type, day
+        |      ORDER BY ms, event_id) - ms AS w FROM e),
+        |f AS (SELECT * FROM l WHERE w IS NOT NULL)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |  CAST(SUM(w) AS BIGINT) AS total_ms,
+        |  CAST(SUM(w*cents) AS BIGINT) AS wsum,
+        |  CASE WHEN SUM(w) > 0
+        |    THEN round(CAST(SUM(w*cents) AS DOUBLE) / SUM(w), 6) END AS twap
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    "q_impute" ->
+      """WITH e AS (SELECT event_type, CASE WHEN event_id % 97 = 0 THEN NULL
+        |    ELSE CAST(ROUND(value*100, 0) AS BIGINT) END AS cents
+        |  FROM events),
+        |per AS (SELECT event_type, cents AS v, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM e WHERE cents IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, w, CAST(SUM(w) OVER (
+        |    PARTITION BY event_type ORDER BY v) AS BIGINT) AS cw FROM per),
+        |tot AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS wt
+        |  FROM per GROUP BY 1),
+        |med AS (SELECT c.event_type, CAST(MIN(v) AS BIGINT) AS imputed_median
+        |  FROM c JOIN tot USING (event_type) WHERE 2*cw >= wt GROUP BY 1),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_missing,
+        |    CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS sum_present
+        |  FROM e GROUP BY 1)
+        |SELECT st.event_type, n, n_missing, sum_present, imputed_median,
+        |  sum_present + n_missing * imputed_median AS sum_after
+        |FROM st JOIN med USING (event_type)""".stripMargin,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming

@@ -155,4 +155,28 @@ object Normalize {
     Temporal.rangeJoinBinned(req, "__pos0", ranges, binSize)
       .select(col(groupCol), col("v"), col("nv"), col("pos"), col("v_norm"))
   }
+
+  /** Median imputation audit — the repair step run before training on a
+    * column with gaps: nulls are filled with the per-group exact LOWER
+    * MEDIAN of the present values (the [[Eval.weightedMedian]] kernel at
+    * weight 1 — a distinct-value prefix sum, never a per-group sort), and
+    * the per-group summary reports how much was imputed and the totals
+    * after repair. Summary-shaped output keeps the oracle row count
+    * bounded; the row-level fill is `coalesce(v, median)` once this table
+    * is broadcast back. */
+  def imputeMedianSummary(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = Eval.weightedMedian(
+      df.filter(col(valCol).isNotNull).withColumn("__one", lit(1L)),
+      groupCol, valCol, "__one")
+      .select(col(groupCol), col("w_median").as("imputed_median"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(valCol).isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_missing"),
+        sum(coalesce(col(valCol), lit(0L))).cast("long").as("sum_present"))
+      .join(med, Seq(groupCol))
+      .withColumn("sum_after",
+        col("sum_present") + col("n_missing") * col("imputed_median"))
+  }
 }

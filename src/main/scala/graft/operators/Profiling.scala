@@ -339,6 +339,46 @@ object Profiling {
         min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
   }
 
+  /** KMV set algebra — the payoff of the order-statistics sketch
+    * ([[kmvDistinct]]): two audiences' distinct-sketches combine WITHOUT
+    * rescanning either side. The k smallest hashes of A∪B are a uniform
+    * sample of the union, so the fraction of them present in both sides
+    * estimates Jaccard, and |A∩B| ≈ Ĵ·|A∪B| — the theta-sketch
+    * intersection recipe. Emits estimates AND exact values side by side
+    * (the exact path is distinct-hash joins — still never row data).
+    * Deterministic md5 kernel throughout; one row out. */
+  def kmvSetOps(
+      a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    def hashes(df: DataFrame, c: String) = df.select(expr(
+      s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      .as("h")).distinct()
+    val ha = hashes(a, aCol).localCheckpoint(true)
+    val hb = hashes(b, bCol).localCheckpoint(true)
+    val u = ha.unionByName(hb).distinct().localCheckpoint(true)
+    val uk = u.sort(col("h")).limit(k)
+      .join(ha.withColumn("ina", lit(1L)), Seq("h"), "left")
+      .join(hb.withColumn("inb", lit(1L)), Seq("h"), "left")
+    val sk = uk.agg(
+      count(lit(1)).cast("long").as("n_k"), max(col("h")).as("h_k"),
+      sum(when(col("ina") === 1L && col("inb") === 1L, 1L).otherwise(0L))
+        .cast("long").as("j_common"))
+    val exact = broadcast(u.agg(count(lit(1)).cast("long").as("exact_union")))
+      .crossJoin(ha.join(hb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("exact_intersection")))
+    broadcast(sk).crossJoin(exact)
+      .withColumn("est_union",
+        when(col("n_k") === lit(k.toLong),
+          round((col("n_k") - 1).cast("double") * lit(math.pow(2, 60)) /
+            col("h_k").cast("double"), 6))
+          .otherwise(col("n_k").cast("double")))
+      .withColumn("est_jaccard",
+        round(col("j_common").cast("double") / col("n_k"), 6))
+      .withColumn("est_intersection",
+        round(col("est_jaccard") * col("est_union"), 6))
+  }
+
   /** K-anonymity audit: group rows by their quasi-identifier combination
     * and flag every group smaller than k — the re-identification risk
     * check run before releasing a training extract (a QI combination

@@ -488,6 +488,36 @@ object TimeSeries {
         sum(col(valCol)).cast("long").as("volume"))
   }
 
+  /** Time-weighted average (TWAP) — the correct mean for irregularly
+    * sampled series (a value that held for 6 hours must weigh 360× one
+    * that held a minute): each observation is weighted by its holding
+    * time `lead(ts) − ts` under the explicit (ts, tie) total order; the
+    * last observation of a bucket has no successor and drops (its holding
+    * time is unknown — the standard right-open convention). Weighted sums
+    * are exact integers; one double division at the end.
+    *
+    * Buckets are (key, bucket) so the lead() window is calendar-bounded —
+    * TWAP over a raw per-key stream would serialize each key through one
+    * window task; the bucket column keeps partitions bounded at any
+    * volume (holding times never cross a bucket edge by construction). */
+  def twap(
+      df: DataFrame, keyCol: String, bucketCol: String, tsMsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol), col(bucketCol))
+      .orderBy(col(tsMsCol), col(tieCol))
+    df.withColumn("__next", lead(col(tsMsCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__w", col("__next") - col(tsMsCol))
+      .groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).cast("long").as("n_holds"),
+        sum(col("__w")).cast("long").as("total_ms"),
+        sum(col("__w") * col(valCol)).cast("long").as("wsum"))
+      .withColumn("twap",
+        when(col("total_ms") > 0,
+          round(col("wsum").cast("double") / col("total_ms"), 6)))
+  }
+
   /** Theil–Sen robust trend: per group, the LOWER MEDIAN of all pairwise
     * slopes (y₂−y₁)/(x₂−x₁) — breakdown point 29% vs OLS's 0% (one
     * corrupted day drags [[trendOls]] arbitrarily; it moves one of

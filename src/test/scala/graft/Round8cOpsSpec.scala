@@ -478,6 +478,48 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(math.abs(ev - 0.5) < 0.001, s"ev=$ev")
   }
 
+  test("kmvSetOps: disjoint and identical sets give exact boundary answers") {
+    import graft.operators.Profiling
+    val a = (1L to 40L).toDF("v")
+    val b = (1L to 40L).toDF("v")
+    val same = Profiling.kmvSetOps(a, "v", b, "v", k = 16).head()
+    assert(same.getAs[Long]("exact_union") == 40L)
+    assert(same.getAs[Long]("exact_intersection") == 40L)
+    assert(same.getAs[Long]("j_common") == 16L) // every union-min hash in both
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    val c = (101L to 140L).toDF("v")
+    val disj = Profiling.kmvSetOps(a, "v", c, "v", k = 16).head()
+    assert(disj.getAs[Long]("exact_intersection") == 0L)
+    assert(disj.getAs[Long]("j_common") == 0L)
+    assert(disj.getAs[Double]("est_jaccard") == 0.0)
+    assert(disj.getAs[Double]("est_intersection") == 0.0)
+  }
+
+  test("twap: holding-time weights beat the naive mean on irregular samples") {
+    import graft.operators.TimeSeries
+    // value 100 holds 900ms, spike 1000 holds 100ms; last point drops
+    val ev = Seq(("k", 1, 0L, 1L, 100L), ("k", 1, 900L, 2L, 1000L),
+      ("k", 1, 1000L, 3L, 7L)).toDF("k", "b", "ms", "tie", "v")
+    val r = TimeSeries.twap(ev, "k", "b", "ms", "tie", "v").head()
+    assert(r.getAs[Long]("n_holds") == 2L)
+    assert(r.getAs[Long]("total_ms") == 1000L)
+    // (100*900 + 1000*100) / 1000 = 190 — vs naive mean 369
+    assert(r.getAs[Double]("twap") == 190.0)
+  }
+
+  test("imputeMedianSummary fills nulls with the per-group lower median") {
+    import graft.operators.Normalize
+    val df = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(30L)),
+      ("g", None), ("g", None), ("h", Some(5L)), ("h", None))
+      .toDF("grp", "v")
+    val got = Normalize.imputeMedianSummary(df, "grp", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_missing"),
+          r.getAs[Long]("imputed_median"), r.getAs[Long]("sum_after")))).toMap
+    assert(got("g") == ((5L, 2L, 20L, 100L)))
+    assert(got("h") == ((2L, 1L, 5L, 10L)))
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
