@@ -605,6 +605,45 @@ object ScaleSmoke {
       drain(graft.operators.Graph.graphStats(e, "src", "dst"))
       drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20))
     }
+    time(s"did+lDiversity+impute x$mult") {
+      drain(graft.operators.Eval.diffInDiff(
+        eventsUid.select((pmod(col("user_id"), lit(2L)) === 1L).as("treat"),
+          (dayofmonth(col("ts")) >= 16).as("post"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "treat", "post", "cents"))
+      drain(Profiling.lDiversity(
+        eventsUid.select(col("event_type"),
+          pmod(col("user_id"), lit(64L)).as("ub"),
+          pmod(col("event_id"), lit(7L)).as("sv")),
+        Seq("event_type", "ub"), "sv", 2L))
+      drain(graft.operators.Normalize.imputeMedianSummary(
+        eventsUid.select(col("event_type"),
+          when(pmod(col("event_id"), lit(97L)) === 0L, lit(null))
+            .otherwise(round(col("value") * 100, 0).cast("long")).as("cents")),
+        "event_type", "cents"))
+    }
+    time(s"twap+ohlc+streaks x$mult") {
+      val ev = eventsUid.select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(TimeSeries.twap(ev, "event_type", "day", "ms", "event_id", "cents"))
+      drain(TimeSeries.ohlcBars(ev, "event_type", "ms", "event_id", "cents", 21600000L))
+      drain(Sessionize.streaks(eventsUid.select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d")),
+        "user_id", "d"))
+    }
+    time(s"kmvSetOps x$mult") {
+      drain(Profiling.kmvSetOps(
+        eventsUid.filter(col("event_type") === "click"), "user_id",
+        eventsUid.filter(col("event_type") === "purchase"), "user_id", 64))
+    }
+    time(s"mmr+pcaPower x${math.max(1, mult / 5)}") {
+      drain(Similarity.mmrRerank(
+        emb.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb, poolK = 10, selectK = 5))
+      drain(Similarity.pcaPower(emb))
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
