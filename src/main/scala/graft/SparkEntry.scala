@@ -3097,6 +3097,36 @@ object SparkEntry {
             .otherwise(round(col("value") * 100, 0).cast("long"))
             .as("cents")),
         "event_type", "cents")),
+    "q_srm" -> ((s, dir) =>
+      // Sample-ratio-mismatch gate over the experiment population:
+      // distinct users per arm vs the fair-coin expectation — the check
+      // that runs BEFORE any metric delta is read.
+      Profiling.srmCheck(
+        table(s, dir, "events").select(col("user_id")).distinct()
+          .withColumn("treat", pmod(col("user_id"), lit(2L)) === 1L),
+        "treat")),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout: per-user pre (days 1–15) and
+      // post (16–30) spend, θ from exact moments, adjusted effect +
+      // ρ² (variance removed) in one shared-SQL row.
+      val pu = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(dayofmonth(col("ts")) < 16,
+            round(col("value") * 100, 0).cast("long"))), lit(0L)).as("pre"),
+          coalesce(sum(when(dayofmonth(col("ts")) >= 16,
+            round(col("value") * 100, 0).cast("long"))), lit(0L)).as("post"))
+        .withColumn("treat", pmod(col("user_id"), lit(2L)) === 1L)
+      Eval.cuped(pu, "treat", "pre", "post")
+    }),
+    "q_wilson_ci" -> ((s, dir) =>
+      // Wilson 95% interval on the high-value-event rate per type — the
+      // binomial CI that stays in [0,1]; exact counts, closed-form
+      // shared-SQL endpoints.
+      Profiling.wilsonCi(
+        table(s, dir, "events").select(col("event_type"),
+          (col("value") > 100).as("success")),
+        "event_type", "success")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6134,6 +6164,59 @@ object SparkEntry {
         |SELECT st.event_type, n, n_missing, sum_present, imputed_median,
         |  sum_present + n_missing * imputed_median AS sum_after
         |FROM st JOIN med USING (event_type)""".stripMargin,
+    "q_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |t AS (SELECT
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c FROM u)
+         |SELECT n_t, n_c, ${graft.operators.Profiling.srmChi2Sql} AS chi2,
+         |  ${graft.operators.Profiling.srmChi2Sql} > 3.841459 AS srm
+         |FROM t""".stripMargin,
+    "q_cuped" -> {
+      val (th, rho) = (graft.operators.Eval.cupedThetaSql,
+        graft.operators.Eval.cupedRho2Sql)
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(COALESCE(SUM(CASE WHEN day(ts) < 16
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) END), 0) AS BIGINT)
+         |      AS pre,
+         |    CAST(COALESCE(SUM(CASE WHEN day(ts) >= 16
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) END), 0) AS BIGINT)
+         |      AS post,
+         |    (user_id % 2 = 1) AS treat
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(pre) AS BIGINT) AS sx, CAST(SUM(post) AS BIGINT) AS sy,
+         |    CAST(SUM(pre*pre) AS BIGINT) AS sxx,
+         |    CAST(SUM(post*post) AS BIGINT) AS syy,
+         |    CAST(SUM(pre*post) AS BIGINT) AS sxy FROM pu),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(SUM(CASE WHEN treat THEN post END) AS BIGINT) AS sy_t,
+         |    CAST(SUM(CASE WHEN treat THEN pre END) AS BIGINT) AS sx_t,
+         |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |    CAST(SUM(CASE WHEN NOT treat THEN post END) AS BIGINT) AS sy_c,
+         |    CAST(SUM(CASE WHEN NOT treat THEN pre END) AS BIGINT) AS sx_c
+         |  FROM pu)
+         |SELECT n, sx, sy, sxx, syy, sxy, n_t, sy_t, sx_t, n_c, sy_c, sx_c,
+         |  round($th, 6) AS theta, $rho AS rho2,
+         |  round(CAST(sy_t AS DOUBLE)/n_t - CAST(sy_c AS DOUBLE)/n_c, 6)
+         |    AS raw_diff,
+         |  round((CAST(sy_t AS DOUBLE)/n_t - CAST(sy_c AS DOUBLE)/n_c) -
+         |    $th * (CAST(sx_t AS DOUBLE)/n_t - CAST(sx_c AS DOUBLE)/n_c), 6)
+         |    AS adj_diff
+         |FROM g, a""".stripMargin
+    },
+    "q_wilson_ci" ->
+      s"""WITH e AS (SELECT event_type, (value > 100) AS success FROM events),
+         |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n, s, round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+         |  ${graft.operators.Profiling.wilsonSql("-")} AS ci_lo,
+         |  ${graft.operators.Profiling.wilsonSql("+")} AS ci_hi
+         |FROM c""".stripMargin,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming

@@ -291,6 +291,51 @@ object Eval {
     "round((CAST(s_t1 AS DOUBLE)/n_t1 - CAST(s_t0 AS DOUBLE)/n_t0) - " +
       "(CAST(s_c1 AS DOUBLE)/n_c1 - CAST(s_c0 AS DOUBLE)/n_c0), 6)"
 
+  /** CUPED variance reduction — the experimentation-platform readout
+    * that shrinks A/B noise with PRE-period data: θ = cov(pre, post)/
+    * var(pre) from exact integer moments, and the adjusted effect
+    * (ȳ_t − ȳ_c) − θ(x̄_t − x̄_c) removes the component of the raw
+    * difference explained by pre-existing spend. ρ² (the fraction of
+    * variance CUPED removes) is emitted alongside. Input is one row per
+    * unit (treat flag, pre metric, post metric); everything collapses to
+    * global + per-arm moment sums in one map-side-combined aggregate
+    * pair, with the solve as shared SQL text. */
+  def cuped(
+      df: DataFrame, treatCol: String, preCol: String, postCol: String): DataFrame = {
+    val g = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(preCol)).cast("long").as("sx"),
+      sum(col(postCol)).cast("long").as("sy"),
+      sum(col(preCol) * col(preCol)).cast("long").as("sxx"),
+      sum(col(postCol) * col(postCol)).cast("long").as("syy"),
+      sum(col(preCol) * col(postCol)).cast("long").as("sxy"))
+    val arms = df.agg(
+      sum(when(col(treatCol), 1L).otherwise(0L)).cast("long").as("n_t"),
+      sum(when(col(treatCol), col(postCol))).cast("long").as("sy_t"),
+      sum(when(col(treatCol), col(preCol))).cast("long").as("sx_t"),
+      sum(when(!col(treatCol), 1L).otherwise(0L)).cast("long").as("n_c"),
+      sum(when(!col(treatCol), col(postCol))).cast("long").as("sy_c"),
+      sum(when(!col(treatCol), col(preCol))).cast("long").as("sx_c"))
+    broadcast(g).crossJoin(arms)
+      .withColumn("theta", expr(s"round($cupedThetaSql, 6)"))
+      .withColumn("rho2", expr(cupedRho2Sql))
+      .withColumn("raw_diff", expr(
+        "round(CAST(sy_t AS DOUBLE)/n_t - CAST(sy_c AS DOUBLE)/n_c, 6)"))
+      .withColumn("adj_diff", expr(
+        "round((CAST(sy_t AS DOUBLE)/n_t - CAST(sy_c AS DOUBLE)/n_c) - " +
+          s"$cupedThetaSql * (CAST(sx_t AS DOUBLE)/n_t - CAST(sx_c AS DOUBLE)/n_c), 6)"))
+  }
+
+  /** θ and ρ² over the moment row, shared verbatim with the oracle. */
+  val cupedThetaSql: String =
+    "((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / " +
+      "(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx))"
+  val cupedRho2Sql: String =
+    "round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) * " +
+      "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / " +
+      "((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * " +
+      "(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)"
+
   /** Per-class confusion stats of a categorical prediction: TP/FP/FN as
     * exact counts plus precision/recall/F1 (0.0 where the denominator is
     * empty — a class never predicted has precision 0 by convention, not

@@ -339,6 +339,45 @@ object Profiling {
         min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
   }
 
+  /** Sample-ratio-mismatch check — the first gate on any experiment
+    * readout: if assignment were a fair coin, the arm counts follow
+    * Binomial(n, ½); the 1-df chi-square against the 50/50 expectation
+    * flags broken bucketing (bots filtered asymmetrically, logging loss,
+    * redirect bugs) BEFORE anyone reads the metric deltas. One count
+    * aggregate; the statistic is shared SQL over the two-cell row;
+    * flag threshold 3.841459 = χ²₁(0.95). */
+  def srmCheck(df: DataFrame, treatCol: String): DataFrame =
+    df.agg(
+      sum(when(col(treatCol), 1L).otherwise(0L)).cast("long").as("n_t"),
+      sum(when(!col(treatCol), 1L).otherwise(0L)).cast("long").as("n_c"))
+      .withColumn("chi2", expr(srmChi2Sql))
+      .withColumn("srm", expr(s"$srmChi2Sql > 3.841459"))
+
+  /** 1-df chi-square vs the 50/50 split, shared with the oracle. */
+  val srmChi2Sql: String =
+    "round(CAST((n_t - n_c) AS DOUBLE) * (n_t - n_c) / (n_t + n_c), 6)"
+
+  /** Wilson score interval per group — the binomial-rate CI that stays
+    * inside [0,1] and behaves at small n / extreme p (unlike the normal
+    * approximation): exact (successes, n) counts, closed-form z=1.959964
+    * interval as one shared SQL expression pair. The per-group row is the
+    * rate dashboard primitive. */
+  def wilsonCi(df: DataFrame, groupCol: String, successCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).cast("long").as("s"))
+      .withColumn("p_hat", expr("round(CAST(s AS DOUBLE) / n, 6)"))
+      .withColumn("ci_lo", expr(wilsonSql("-")))
+      .withColumn("ci_hi", expr(wilsonSql("+")))
+
+  /** Wilson bound over the (s, n) row; `sign` picks the endpoint. */
+  def wilsonSql(sign: String): String = {
+    val z = "1.959964"
+    val p = "(CAST(s AS DOUBLE) / n)"
+    s"""round((($p + $z*$z/(2*n)) $sign $z * sqrt($p*(1 - $p)/n +
+       | $z*$z/(4.0*n*n))) / (1 + $z*$z/n), 6)""".stripMargin.replace("\n", "")
+  }
+
   /** KMV set algebra — the payoff of the order-statistics sketch
     * ([[kmvDistinct]]): two audiences' distinct-sketches combine WITHOUT
     * rescanning either side. The k smallest hashes of A∪B are a uniform

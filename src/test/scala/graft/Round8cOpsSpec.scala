@@ -520,6 +520,50 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got("h") == ((2L, 1L, 5L, 10L)))
   }
 
+  test("srmCheck: balanced split passes, a 60/40 break at n=1000 flags") {
+    import graft.operators.Profiling
+    val ok = Profiling.srmCheck(
+      (1L to 1000L).map(i => Tuple1(i % 2 == 0)).toDF("t"), "t").head()
+    assert(!ok.getAs[Boolean]("srm") && ok.getAs[Double]("chi2") == 0.0)
+    val bad = Profiling.srmCheck(
+      (Seq.fill(600)(true) ++ Seq.fill(400)(false)).map(Tuple1(_)).toDF("t"),
+      "t").head()
+    // chi2 = (600-400)²/1000 = 40 >> 3.84
+    assert(bad.getAs[Double]("chi2") == 40.0 && bad.getAs[Boolean]("srm"))
+  }
+
+  test("cuped removes the pre-period-explained component exactly") {
+    import graft.operators.Eval
+    // post = pre + 5·treat with arms balanced in pre (cov(pre, treat)=0
+    // → θ is exactly var/var = 1): hand-computed moments give
+    // num = den = 400000, θ = 1, ρ² = 400000/400100
+    val rows = Seq(
+      (true, 100L, 105L), (true, 500L, 505L),
+      (false, 200L, 200L), (false, 400L, 400L))
+    val r = Eval.cuped(rows.toDF("treat", "pre", "post"),
+      "treat", "pre", "post").head()
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("raw_diff") == 5.0)
+    assert(r.getAs[Double]("adj_diff") == 5.0)
+    assert(r.getAs[Double]("rho2") == math.rint(400000.0 / 400100.0 * 1e6) / 1e6)
+  }
+
+  test("wilsonCi brackets p_hat and respects [0,1] at the extremes") {
+    import graft.operators.Profiling
+    val df = (Seq.fill(90)(("g", true)) ++ Seq.fill(10)(("g", false)) ++
+      Seq.fill(20)(("z", false))).toDF("grp", "s")
+    val got = Profiling.wilsonCi(df, "grp", "s").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("p_hat"), r.getAs[Double]("ci_lo"),
+          r.getAs[Double]("ci_hi")))).toMap
+    val (p, lo, hi) = got("g")
+    assert(p == 0.9 && lo < p && p < hi && hi < 1.0)
+    // known Wilson bounds for 90/100 at z=1.96: ≈ (0.825, 0.944)
+    assert(math.abs(lo - 0.825) < 0.005 && math.abs(hi - 0.944) < 0.005)
+    val (pz, loz, hiz) = got("z")
+    assert(pz == 0.0 && loz == 0.0 && hiz > 0.0 && hiz < 0.3)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
