@@ -3127,6 +3127,39 @@ object SparkEntry {
         table(s, dir, "events").select(col("event_type"),
           (col("value") > 100).as("success")),
         "event_type", "success")),
+    "q_lorenz" -> ((s, dir) => {
+      // Lorenz curve of customer order spend: cumulative population vs
+      // spend share per decile in exact ppm — gini's plottable companion
+      // on the same distinct-value prefix-sum kernel.
+      val spend = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      Eval.lorenzCurve(spend, "cents")
+    }),
+    "q_skipping_compare" -> ((s, dir) => {
+      // The number that justifies a Z-order rewrite: same cells, two
+      // layouts, one range predicate on partkey-cells — buckets pruned
+      // and rows still scanned, side by side.
+      val li = table(s, dir, "lineitem")
+      val mx = broadcast(li.agg(max(col("l_partkey")).as("mp"),
+        max(col("l_suppkey")).as("ms")))
+      val cells = li.crossJoin(mx).select(
+        expr("l_partkey * 256 DIV (mp + 1)").as("ca"),
+        expr("l_suppkey * 256 DIV (ms + 1)").as("cb"))
+      graft.operators.Layout.skippingCompare(
+        cells, col("ca"), col("cb"), predLo = 64L, predHi = 79L)
+    }),
+    "q_stream_srm" -> ((s, dir) =>
+      // The SRM gate as an in-stream monitor: per-arm event counts in a
+      // complete-mode aggregate, chi-square on the drained cells.
+      runToMemory(s, eventsStream(s, dir)
+        .select((pmod(col("user_id"), lit(2L)) === 1L).as("treat"))
+        .groupBy(col("treat")).agg(count(lit(1)).cast("long").as("n")),
+        "complete")
+        .agg(max(when(col("treat"), col("n"))).as("n_t"),
+          max(when(!col("treat"), col("n"))).as("n_c"))
+        .withColumn("chi2", expr(Profiling.srmChi2Sql))
+        .withColumn("srm", expr(s"${Profiling.srmChi2Sql} > 3.841459"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6217,6 +6250,60 @@ object SparkEntry {
          |  ${graft.operators.Profiling.wilsonSql("-")} AS ci_lo,
          |  ${graft.operators.Profiling.wilsonSql("+")} AS ci_hi
          |FROM c""".stripMargin,
+    "q_lorenz" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |per AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS nu,
+        |    CAST(SUM(cents) AS BIGINT) AS sv FROM spend GROUP BY 1),
+        |c AS (SELECT v, nu, sv,
+        |    CAST(SUM(nu) OVER (ORDER BY v) AS BIGINT) AS cum_nu,
+        |    CAST(SUM(sv) OVER (ORDER BY v) AS BIGINT) AS cum_sv FROM per),
+        |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_users,
+        |    CAST(SUM(sv) AS BIGINT) AS total_spend FROM per),
+        |dec AS (SELECT ((cum_nu - 1) * 10) // n_users AS decile,
+        |    CAST(SUM(nu) AS BIGINT) AS n_users_in,
+        |    MAX(cum_nu) AS cum_users, MAX(cum_sv) AS cum_spend
+        |  FROM c, tot GROUP BY 1)
+        |SELECT decile, n_users_in,
+        |  (cum_users * 1000000) // n_users AS cum_user_ppm,
+        |  (cum_spend * 1000000) // total_spend AS cum_spend_ppm
+        |FROM dec, tot""".stripMargin,
+    "q_skipping_compare" -> {
+      val z = graft.operators.Layout.zValueSql("ca", "cb", 8)
+      s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+         |  FROM lineitem),
+         |cells AS MATERIALIZED (SELECT l_partkey * 256 // (mp + 1) AS ca,
+         |    l_suppkey * 256 // (ms + 1) AS cb FROM lineitem, mx),
+         |zs AS (SELECT (z >> 10) AS zbucket, min(ca) AS min_a,
+         |    max(ca) AS max_a, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM (SELECT ca, cb, $z AS z FROM cells) GROUP BY 1),
+         |ls AS (SELECT cb // 4 AS bucket, min(ca) AS min_a, max(ca) AS max_a,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM cells GROUP BY 1),
+         |sz AS (SELECT 'zorder' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(CASE WHEN max_a < 64 OR min_a > 79 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skipped,
+         |    CAST(SUM(CASE WHEN max_a < 64 OR min_a > 79 THEN 0 ELSE n_rows
+         |      END) AS BIGINT) AS rows_scanned FROM zs),
+         |sl AS (SELECT 'linear_b' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(CASE WHEN max_a < 64 OR min_a > 79 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skipped,
+         |    CAST(SUM(CASE WHEN max_a < 64 OR min_a > 79 THEN 0 ELSE n_rows
+         |      END) AS BIGINT) AS rows_scanned FROM ls)
+         |SELECT * FROM sz UNION ALL SELECT * FROM sl""".stripMargin
+    },
+    "q_stream_srm" ->
+      s"""WITH t AS (SELECT
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c FROM events)
+         |SELECT n_t, n_c, ${graft.operators.Profiling.srmChi2Sql} AS chi2,
+         |  ${graft.operators.Profiling.srmChi2Sql} > 3.841459 AS srm
+         |FROM t""".stripMargin,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming

@@ -291,6 +291,33 @@ object Eval {
     "round((CAST(s_t1 AS DOUBLE)/n_t1 - CAST(s_t0 AS DOUBLE)/n_t0) - " +
       "(CAST(s_c1 AS DOUBLE)/n_c1 - CAST(s_c0 AS DOUBLE)/n_c0), 6)"
 
+  /** Lorenz curve — [[gini]]'s plottable companion: users ranked by
+    * spend, cumulative population share vs cumulative spend share at each
+    * decile boundary, in EXACT parts-per-million (integer `(cum·10⁶) DIV
+    * total` — no float accumulation). Same distinct-value prefix-sum
+    * kernel as gini: ties collapse first, the ranged cumsum assigns
+    * positions, deciles are integer arithmetic on the cumulative counts,
+    * and the final 10-row curve aggregates with one tiny window. */
+  def lorenzCurve(df: DataFrame, valCol: String): DataFrame = {
+    val per = df.groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nu"),
+        sum(col(valCol)).cast("long").as("sv"))
+    val c = rangedCumsum(per, Nil, "v", Seq("nu", "sv"))
+    val tot = broadcast(c.agg(
+      sum(col("nu")).cast("long").as("n_users"),
+      sum(col("sv")).cast("long").as("total_spend")))
+    val dec = c.crossJoin(tot)
+      .withColumn("decile", expr("((cum_nu - 1) * 10) DIV n_users"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nu")).cast("long").as("n_users_in"),
+        max(col("cum_nu")).as("cum_users"),
+        max(col("cum_sv")).as("cum_spend"))
+    dec.crossJoin(tot)
+      .select(col("decile"), col("n_users_in"),
+        expr("(cum_users * 1000000) DIV n_users").as("cum_user_ppm"),
+        expr("(cum_spend * 1000000) DIV total_spend").as("cum_spend_ppm"))
+  }
+
   /** CUPED variance reduction — the experimentation-platform readout
     * that shrinks A/B noise with PRE-period data: θ = cov(pre, post)/
     * var(pre) from exact integer moments, and the adjusted effect

@@ -189,6 +189,45 @@ object Layout {
         (col("max_a") - col("min_a") + 1) * (col("max_b") - col("min_b") + 1))
   }
 
+  /** Head-to-head data-skipping comparison — the number that justifies a
+    * Z-order rewrite: bucket the same cells two ways (Z-order top-bits =
+    * a z-ordered write's file boundaries; `cb DIV k` = a linear
+    * sort-on-B write's boundaries) and count how many buckets a range
+    * predicate on dimension A can prune from each layout's min/max stats,
+    * plus the rows a scan must still read. The linear-on-B layout
+    * clusters B and scatters A, so its A-ranges span everything and
+    * nothing prunes; the Z layout prunes most buckets for the same
+    * predicate. Two aggregates over the cell table; output is 2 rows. */
+  def skippingCompare(
+      cells: DataFrame,
+      cellA: Column,
+      cellB: Column,
+      predLo: Long,
+      predHi: Long,
+      bits: Int = 8,
+      bucketBits: Int = 6): DataFrame = {
+    def summarize(stats: DataFrame, layout: String) = stats
+      .withColumn("__skip", col("max_a") < predLo || col("min_a") > predHi)
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("__skip"), 1L).otherwise(0L)).cast("long").as("n_skipped"),
+        sum(when(!col("__skip"), col("n_rows")).otherwise(0L)).cast("long")
+          .as("rows_scanned"))
+      .withColumn("layout", lit(layout))
+      .select(col("layout"), col("n_buckets"), col("n_skipped"),
+        col("rows_scanned"))
+    require(bucketBits <= bits,
+      s"linear layout needs bucketBits <= bits: $bucketBits/$bits")
+    val zStats = zOrderStats(cells, cellA, cellB, bits, bucketBits)
+      .select(col("min_a"), col("max_a"), col("n_rows"))
+    // cb domain [0, 2^bits) → 2^bucketBits linear buckets
+    val linStats = cells
+      .select(cellA.as("__ca"), cellB.as("__cb"))
+      .groupBy(expr(s"__cb DIV ${1L << (bits - bucketBits)}L").as("bucket"))
+      .agg(min(col("__ca")).as("min_a"), max(col("__ca")).as("max_a"),
+        count(lit(1)).cast("long").as("n_rows"))
+    summarize(zStats, "zorder").unionByName(summarize(linStats, "linear_b"))
+  }
+
   /** DuckDB-SQL rendering of [[zValue]]'s bit interleave over expressions
     * `a`/`b` (already-clamped BIGINT cells) — generated from the same
     * (bits) constants so the oracle replays the exact arithmetic. */

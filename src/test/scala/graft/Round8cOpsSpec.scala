@@ -564,6 +564,45 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(pz == 0.0 && loz == 0.0 && hiz > 0.0 && hiz < 0.3)
   }
 
+  test("lorenzCurve: uniform spend gives the diagonal, one whale bends it") {
+    import graft.operators.Eval
+    val uniform = (1L to 100L).map(i => Tuple1(50L)).toDF("cents")
+    val diag = Eval.lorenzCurve(uniform, "cents").collect()
+    // all-tied spend collapses to ONE distinct value = one decile row
+    assert(diag.length == 1)
+    assert(diag.head.getAs[Long]("cum_user_ppm") == 1000000L)
+    assert(diag.head.getAs[Long]("cum_spend_ppm") == 1000000L)
+    // distinct small spends + one whale: bottom 90% owns a sliver
+    val whale = ((1L to 99L).map(i => 10L + i) :+ 100000L)
+      .map(Tuple1(_)).toDF("cents")
+    val got = Eval.lorenzCurve(whale, "cents").collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("cum_user_ppm"), r.getAs[Long]("cum_spend_ppm")))).toMap
+    assert(got(8L)._1 == 900000L)
+    assert(got(8L)._2 < 100000L) // bottom 90% of users < 10% of spend
+    assert(got(9L) == ((1000000L, 1000000L)))
+  }
+
+  test("skippingCompare: clustered layout prunes the A-range, scattered can't") {
+    import graft.operators.Layout
+    // cells on a diagonal: ca == cb — the Z layout's buckets cover small
+    // squares (prunable); the linear-on-B layout also clusters A here, so
+    // BOTH prune: use anti-diagonal noise for B to scatter instead
+    val rows = for { a <- 0L until 256L; r <- 0 until 2 }
+      yield (a, (a * 37 + r * 131) % 256) // B decorrelated from A
+    val df = rows.toDF("ca", "cb")
+    val got = Layout.skippingCompare(df, col("ca"), col("cb"), 64L, 79L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_skipped"), r.getAs[Long]("rows_scanned")))).toMap
+    val (zSkip, zScan) = got("zorder")
+    val (lSkip, lScan) = got("linear_b")
+    // Z-order buckets bound A-ranges → most prune; linear-on-B sees the
+    // full A range in every bucket → nothing prunes
+    assert(zSkip >= 40L, s"zorder skipped only $zSkip")
+    assert(lSkip == 0L && lScan == 512L)
+    assert(zScan < 100L, s"zorder scans $zScan rows")
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
