@@ -3160,6 +3160,32 @@ object SparkEntry {
           max(when(!col("treat"), col("n"))).as("n_c"))
         .withColumn("chi2", expr(Profiling.srmChi2Sql))
         .withColumn("srm", expr(s"${Profiling.srmChi2Sql} > 3.841459"))),
+    "q_mann_kendall" -> ((s, dir) => {
+      // Nonparametric trend significance per type (the theil_sen
+      // companion): exact integer S, tie-corrected variance, shared-SQL
+      // continuity-corrected z — pairs bounded by the 30-day grid.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_idx"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.operators.TimeSeries.mannKendall(
+        daily, "event_type", "day_idx", "cents")
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // Community-structure quality of the repeat-co-purchase graph under
+      // its connected-components partition: per-community Newman-Q
+      // contributions in exact micro units.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.modularity(e, "src", "dst")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6304,6 +6330,48 @@ object SparkEntry {
          |SELECT n_t, n_c, ${graft.operators.Profiling.srmChi2Sql} AS chi2,
          |  ${graft.operators.Profiling.srmChi2Sql} > 3.841459 AS srm
          |FROM t""".stripMargin,
+    "q_mann_kendall" -> {
+      val (v, z) = (graft.operators.TimeSeries.mkVarSql,
+        graft.operators.TimeSeries.mkZSql)
+      s"""WITH daily AS (SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT a.g, CAST(SUM(CASE WHEN b.y > a.y THEN 1
+         |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+         |tt AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM daily GROUP BY 1, 2),
+         |ties AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_distinct_y,
+         |    CAST(SUM(t) AS BIGINT) AS n,
+         |    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term
+         |  FROM tt GROUP BY 1)
+         |SELECT s.g AS event_type, s_stat, n_distinct_y, n, tie_term,
+         |  $v AS var_s, $z AS z, abs($z) > 1.959964 AS significant
+         |FROM s JOIN ties USING (g)""".stripMargin
+    },
+    "q_modularity" ->
+      s"""WITH RECURSIVE e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach(u, v) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM es)
+         |  UNION
+         |  SELECT r.u, e.dst FROM reach r JOIN es e ON r.v = e.src),
+         |lab AS MATERIALIZED (SELECT u AS node, CAST(MIN(v) AS BIGINT) AS label
+         |  FROM reach GROUP BY u),
+         |m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM es),
+         |tagged AS (SELECT a.label AS cu, b.label AS cv
+         |  FROM es JOIN lab a ON es.src = a.node JOIN lab b ON es.dst = b.node),
+         |perc AS (SELECT cu AS label, CAST(COUNT(*) AS BIGINT) AS a_c,
+         |    CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+         |  FROM tagged GROUP BY 1)
+         |SELECT label, a_c, e_in, m2,
+         |  ${graft.operators.Graph.modularityCellSql} AS contrib_micro
+         |FROM perc, m2t""".stripMargin,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming

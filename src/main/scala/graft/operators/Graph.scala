@@ -337,6 +337,44 @@ object Graph {
       .limit(topK)
   }
 
+  /** Newman modularity of a vertex partition — the standard "is this
+    * clustering better than chance" score for community structure:
+    * Q = Σ_c [e_c/2m − (a_c/2m)²] where e_c counts intra-community
+    * directed edges and a_c sums community degree. Labels default to the
+    * connected components (any (node, label) table works — k-core shells,
+    * grid clusters). Per-community contributions are micro-quantized
+    * before the final sum (order-independent), and the per-community
+    * breakdown is the output — the scalar Q is its exact sum/10⁶.
+    * Two label joins + two aggregates, all vertex-keyed. */
+  def modularity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.getOrElse(
+      Dedup.connectedComponents(edges, srcCol, dstCol)
+        .select(col("node"), col("component").as("label")))
+      .localCheckpoint(true)
+    val m2Df = broadcast(und.agg(count(lit(1)).cast("long").as("m2")))
+    val tagged = und
+      .join(lab.select(col("node").as("u"), col("label").as("cu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("cv")), Seq("v"))
+    val perC = tagged.groupBy(col("cu").as("label"))
+      .agg(count(lit(1)).cast("long").as("a_c"), // Σ out-deg = degree sum
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).cast("long")
+          .as("e_in"))
+    perC.crossJoin(m2Df)
+      .withColumn("contrib_micro", expr(modularityCellSql))
+  }
+
+  /** Per-community Q contribution in exact micro units, shared SQL. */
+  val modularityCellSql: String =
+    "CAST(ROUND((CAST(e_in AS DOUBLE)/m2 - " +
+      "(CAST(a_c AS DOUBLE)/m2)*(CAST(a_c AS DOUBLE)/m2)) * 1000000, 0) " +
+      "AS BIGINT)"
+
   /** Pearson r over the moment-sum row, shared verbatim with the oracle. */
   val assortativitySql: String = {
     val (m, sx, sy, sxx, syy, sxy) = ("CAST(m AS DOUBLE)", "CAST(sx AS DOUBLE)",

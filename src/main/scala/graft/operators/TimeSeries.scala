@@ -518,6 +518,48 @@ object TimeSeries {
           round(col("wsum").cast("double") / col("total_ms"), 6)))
   }
 
+  /** Mann–Kendall trend test — the significance companion to
+    * [[theilSen]] (Sen gives the slope, MK says whether a monotone trend
+    * exists at all, with NO distributional assumption): S = Σ_{i<j}
+    * sign(y_j − y_i) as an exact integer, the tie-corrected variance
+    * n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, and the continuity-corrected
+    * z statistic as shared SQL. Pairs explode only within each group's
+    * bounded grid (the Theil–Sen regime); the tie table aggregates
+    * map-side. */
+  def mannKendall(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x1"), col(yCol).cast("long").as("y1"))
+    val b = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x2"), col(yCol).cast("long").as("y2"))
+    val s = a.join(b, Seq("g")).filter(col("x1") < col("x2"))
+      .groupBy(col("g"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).cast("long")
+        .as("s_stat"))
+    val ties = df.groupBy(col(groupCol).as("g"), col(yCol).as("__y"))
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_distinct_y"),
+        sum(col("t")).cast("long").as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).cast("long")
+          .as("tie_term"))
+    s.join(ties, Seq("g"))
+      .withColumnRenamed("g", groupCol)
+      .withColumn("var_s", expr(mkVarSql))
+      .withColumn("z", expr(mkZSql))
+      .withColumn("significant", expr(s"abs($mkZSql) > 1.959964"))
+  }
+
+  /** Tie-corrected Var(S) and the continuity-corrected z, shared SQL. */
+  val mkVarSql: String =
+    "round((CAST(n AS DOUBLE)*(n-1)*(2*n+5) - tie_term) / 18.0, 6)"
+  val mkZSql: String = {
+    val v = "((CAST(n AS DOUBLE)*(n-1)*(2*n+5) - tie_term) / 18.0)"
+    s"CASE WHEN $v <= 0 THEN 0.0 WHEN s_stat > 0 " +
+      s"THEN round((s_stat - 1) / sqrt($v), 6) WHEN s_stat < 0 " +
+      s"THEN round((s_stat + 1) / sqrt($v), 6) ELSE 0.0 END"
+  }
+
   /** Theil–Sen robust trend: per group, the LOWER MEDIAN of all pairwise
     * slopes (y₂−y₁)/(x₂−x₁) — breakdown point 29% vs OLS's 0% (one
     * corrupted day drags [[trendOls]] arbitrarily; it moves one of

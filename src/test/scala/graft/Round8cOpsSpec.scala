@@ -603,6 +603,35 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(zScan < 100L, s"zorder scans $zScan rows")
   }
 
+  test("mannKendall: monotone series significant, shuffled ties are not") {
+    import graft.operators.TimeSeries
+    val mono = (0L until 20L).map(x => ("up", x, 100L + 3L * x))
+    val flat = (0L until 20L).map(x => ("fl", x, 100L + (x % 2))) // ties, no trend
+    val got = TimeSeries.mannKendall((mono ++ flat).toDF("g", "x", "y"),
+      "g", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("s_stat"), r.getAs[Boolean]("significant")))).toMap
+    assert(got("up") == ((190L, true))) // all C(20,2) pairs increasing
+    val (sFlat, sigFlat) = got("fl")
+    assert(math.abs(sFlat) < 60L && !sigFlat)
+  }
+
+  test("modularity: planted two-community graph scores near 1/2, labels override works") {
+    import graft.operators.Graph
+    // two disjoint triangles: components partition → e_in covers all
+    // edges; Q = 1 - 2·(1/2)² = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L)).toDF("src", "dst")
+    val perC = Graph.modularity(edges, "src", "dst").collect()
+    assert(perC.map(_.getAs[Long]("contrib_micro")).sum == 500000L)
+    // a deliberately BAD partition (everything one label) scores 0
+    val allOne = edges.select(col("src").as("node")).union(
+      edges.select(col("dst").as("node"))).distinct()
+      .withColumn("label", lit(0L))
+    val bad = Graph.modularity(edges, "src", "dst", Some(allOne)).collect()
+    assert(bad.map(_.getAs[Long]("contrib_micro")).sum == 0L)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
