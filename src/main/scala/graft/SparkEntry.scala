@@ -3186,6 +3186,22 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.Graph.modularity(e, "src", "dst")
     }),
+    "q_bh_fdr" -> ((s, dir) => {
+      // Multiple-testing control over 150 per-user rate-change tests:
+      // Skellam-normal z per user, two-sided p via the SHARED
+      // Abramowitz–Stegun tail (the approximation IS the cross-engine
+      // contract), Benjamini–Hochberg at q = 0.10.
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2"))
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      Profiling.bhFdr(perUser, Seq("user_id"), "p", qPpm = 100000L)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6372,6 +6388,26 @@ object SparkEntry {
          |SELECT label, a_c, e_in, m2,
          |  ${graft.operators.Graph.modularityCellSql} AS contrib_micro
          |FROM perc, m2t""".stripMargin,
+    "q_bh_fdr" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(SUM(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2 FROM events GROUP BY 1),
+         |zt AS (SELECT user_id, n1, n2,
+         |    round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)
+         |      AS z FROM pu),
+         |pt AS (SELECT *, round(${graft.operators.Profiling.normalPSql("z")}, 6)
+         |    AS p FROM zt),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, user_id)
+         |      AS BIGINT) AS p_rank,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests FROM pt),
+         |ks AS (SELECT CAST(COALESCE(MAX(CASE WHEN p * m_tests * 1000000.0
+         |      <= p_rank * 100000 THEN p_rank END), 0) AS BIGINT) AS k_star
+         |  FROM r)
+         |SELECT user_id, n1, n2, z, p, p_rank, m_tests, k_star,
+         |  (p_rank <= k_star) AS rejected
+         |FROM r, ks""".stripMargin,
   )
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming

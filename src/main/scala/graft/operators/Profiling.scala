@@ -378,6 +378,48 @@ object Profiling {
        | $z*$z/(4.0*n*n))) / (1 + $z*$z/n), 6)""".stripMargin.replace("\n", "")
   }
 
+  /** Two-sided normal p-value from a z statistic as SHARED SQL text —
+    * erfc(|z|/√2) via the Abramowitz–Stegun 7.1.26 rational approximation
+    * (max abs error 1.5e-7). The approximation — not libm's erfc — is the
+    * CONTRACT: both engines evaluate this exact expression tree, so the
+    * p-values are bit-identical even where the approximation differs from
+    * the true tail in the 7th decimal. `z` is spliced as a SQL
+    * subexpression. */
+  def normalPSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t * exp(-($x * $x)))"
+  }
+
+  /** Benjamini–Hochberg FDR control — the multiple-testing gate for any
+    * metrics dashboard running one test per segment: rank the m p-values,
+    * find the largest k with p_(k) ≤ k·q/m, reject tests 1..k. The
+    * ranking windows run over the TEST table (m rows — segments, not
+    * events), so this composes after any per-segment statistic the engine
+    * computes. Integer-safe: the threshold compare is `p·m ≤ rank·q`
+    * with q in ppm, so no division enters the decision. */
+  def bhFdr(
+      df: DataFrame, keyCols: Seq[String], pCol: String,
+      qPpm: Long = 100000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col(pCol) +: keyCols.map(col): _*)
+    val wAll = Window.partitionBy()
+    val ranked = df
+      .withColumn("p_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__pass",
+        col(pCol) * col("m_tests") * lit(1000000.0) <=
+          col("p_rank").cast("double") * qPpm)
+    val kStar = ranked
+      .agg(coalesce(max(when(col("__pass"), col("p_rank"))), lit(0L))
+        .as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("rejected", col("p_rank") <= col("k_star"))
+      .drop("__pass")
+  }
+
   /** KMV set algebra — the payoff of the order-statistics sketch
     * ([[kmvDistinct]]): two audiences' distinct-sketches combine WITHOUT
     * rescanning either side. The k smallest hashes of A∪B are a uniform

@@ -632,6 +632,37 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(bad.map(_.getAs[Long]("contrib_micro")).sum == 0L)
   }
 
+  test("normalPSql approximates the two-sided normal tail to 1e-6") {
+    import graft.operators.Profiling
+    val got = spark.sql(
+      s"""SELECT ${Profiling.normalPSql("1.959964")} AS p196,
+         |${Profiling.normalPSql("0.0")} AS p0,
+         |${Profiling.normalPSql("-2.575829")} AS pneg""".stripMargin).head()
+    assert(math.abs(got.getAs[Double]("p196") - 0.05) < 1e-5)
+    assert(math.abs(got.getAs[Double]("p0") - 1.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("pneg") - 0.01) < 1e-5) // symmetric
+  }
+
+  test("bhFdr: step-up threshold rejects exactly the BH prefix") {
+    import graft.operators.Profiling
+    // classic example (Benjamini–Hochberg 1995 shape): m=10, q=0.1 →
+    // reject while p_(k) <= k/100
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+      0.212, 0.368)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val got = Profiling.bhFdr(df, Seq("id"), "p", qPpm = 100000L).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Boolean]("rejected")).toMap
+    // step-UP: k* = max k with p_(k) <= k/100 — p_(6)=0.06 <= 0.06 passes
+    // (even though p_(3), p_(4) individually fail), p_(7)=0.074 > 0.07
+    // → k* = 6; the six smallest reject INCLUDING the locally-failing ones
+    assert(got(0.001) && got(0.008) && got(0.039) && got(0.041) &&
+      got(0.042) && got(0.06))
+    assert(!got(0.074) && !got(0.205) && !got(0.368))
+    val ks = Profiling.bhFdr(df, Seq("id"), "p", 100000L)
+      .head().getAs[Long]("k_star")
+    assert(ks == 6L)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
