@@ -644,6 +644,58 @@ object ScaleSmoke {
         emb, poolK = 10, selectK = 5))
       drain(Similarity.pcaPower(emb))
     }
+    time(s"experiment-suite x$mult (srm+cuped+wilson+bhFdr)") {
+      drain(Profiling.srmCheck(
+        eventsUid.select((pmod(col("user_id"), lit(2L)) === 1L).as("t")), "t"))
+      val pu = eventsUid.groupBy(col("user_id"))
+        .agg(coalesce(sum(when(dayofmonth(col("ts")) < 16,
+          round(col("value") * 100, 0).cast("long"))), lit(0L)).as("pre"),
+          coalesce(sum(when(dayofmonth(col("ts")) >= 16,
+            round(col("value") * 100, 0).cast("long"))), lit(0L)).as("post"))
+        .withColumn("treat", pmod(col("user_id"), lit(2L)) === 1L)
+      drain(graft.operators.Eval.cuped(pu, "treat", "pre", "post"))
+      drain(Profiling.wilsonCi(
+        eventsUid.select(col("event_type"), (col("value") > 100).as("s")),
+        "event_type", "s"))
+      val tests = eventsUid.groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+          .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2"))
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      drain(Profiling.bhFdr(tests, Seq("user_id"), "p"))
+    }
+    time(s"lorenz+mannKendall+skipping x$mult") {
+      drain(graft.operators.Eval.lorenzCurve(
+        eventsUid.groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
+        "cents"))
+      val daily = eventsUid.groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      drain(TimeSeries.mannKendall(daily, "event_type", "x", "y"))
+      val cells = eventsUid.select(pmod(col("user_id"), lit(256L)).as("ca"),
+        pmod(round(col("value") * 100, 0).cast("long"), lit(256L)).as("cb"))
+      drain(graft.operators.Layout.skippingCompare(
+        cells, col("ca"), col("cb"), 64L, 79L))
+    }
+    time(s"modularity x${math.max(1, mult / 5)} (CC to fixpoint)") {
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
+      drain(graft.operators.Graph.modularity(e, "src", "dst"))
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
