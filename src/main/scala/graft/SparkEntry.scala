@@ -3202,6 +3202,30 @@ object SparkEntry {
         .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
       Profiling.bhFdr(perUser, Seq("user_id"), "p", qPpm = 100000L)
     }),
+    "q_changepoint" -> ((s, dir) => {
+      // Binary-segmentation step: the single best split of each type's
+      // daily-total series by between-segment SS — locates what CUSUM
+      // alarms on; one prefix-sum window per bounded group.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_idx"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.operators.TimeSeries.changepoint(
+        daily, "event_type", "day_idx", "cents")
+    }),
+    "q_stream_wilson" -> ((s, dir) =>
+      // The Wilson rate CI as an in-stream monitor: complete-mode
+      // (success, n) counts per type, closed-form endpoints on the
+      // drained cells — shares q_wilson_ci's oracle semantics.
+      runToMemory(s, eventsStream(s, dir)
+        .select(col("event_type"), (col("value") > 100).as("success"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("success"), 1L).otherwise(0L)).cast("long").as("s")),
+        "complete")
+        .withColumn("p_hat", expr("round(CAST(s AS DOUBLE) / n, 6)"))
+        .withColumn("ci_lo", expr(Profiling.wilsonSql("-")))
+        .withColumn("ci_hi", expr(Profiling.wilsonSql("+")))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6283,15 +6307,8 @@ object SparkEntry {
          |    AS adj_diff
          |FROM g, a""".stripMargin
     },
-    "q_wilson_ci" ->
-      s"""WITH e AS (SELECT event_type, (value > 100) AS success FROM events),
-         |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS s
-         |  FROM e GROUP BY 1)
-         |SELECT event_type, n, s, round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
-         |  ${graft.operators.Profiling.wilsonSql("-")} AS ci_lo,
-         |  ${graft.operators.Profiling.wilsonSql("+")} AS ci_hi
-         |FROM c""".stripMargin,
+    "q_wilson_ci" -> wilsonOracleSql,
+    "q_stream_wilson" -> wilsonOracleSql,
     "q_lorenz" ->
       """WITH spend AS (SELECT o_custkey,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
@@ -6408,7 +6425,38 @@ object SparkEntry {
          |SELECT user_id, n1, n2, z, p, p_rank, m_tests, k_star,
          |  (p_rank <= k_star) AS rejected
          |FROM r, ks""".stripMargin,
+    "q_changepoint" ->
+      s"""WITH daily AS (SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT g, x,
+         |    CAST(SUM(y) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS sl,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+         |      AS nl,
+         |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+         |    CAST(SUM(y) OVER (PARTITION BY g) AS BIGINT) AS s FROM daily),
+         |sc AS (SELECT *, ${graft.operators.TimeSeries.binsegScoreSql}
+         |    AS score_micro FROM r WHERE nl < n),
+         |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+         |    ORDER BY score_micro DESC, x) AS rn FROM sc)
+         |SELECT g AS event_type, x AS split_after_x, n, score_micro,
+         |  round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
+         |  round(CAST(s - sl AS DOUBLE) / (n - nl), 6) AS mean_right
+         |FROM top WHERE rn = 1""".stripMargin,
   )
+
+  /** Shared by q_wilson_ci (batch) and q_stream_wilson (complete-mode
+    * streaming agg): identical (success, n) semantics, one oracle text. */
+  private lazy val wilsonOracleSql: String =
+    s"""WITH e AS (SELECT event_type, (value > 100) AS success FROM events),
+       |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM e GROUP BY 1)
+       |SELECT event_type, n, s, round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+       |  ${graft.operators.Profiling.wilsonSql("-")} AS ci_lo,
+       |  ${graft.operators.Profiling.wilsonSql("+")} AS ci_hi
+       |FROM c""".stripMargin
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming
     * min_by/max_by): identical bar semantics, one oracle text. */

@@ -518,6 +518,45 @@ object TimeSeries {
           round(col("wsum").cast("double") / col("total_ms"), 6)))
   }
 
+  /** Single-changepoint detection by binary segmentation — the step CUSUM
+    * alarms on ([[cusum]]) but LOCATES exactly: for every candidate split
+    * t, the between-segment sum of squares nL·nR/n·(μL−μR)² from the
+    * per-group prefix sums; the argmax is the changepoint, tie-broken on
+    * the earlier split. Recursing on the two halves yields full binary
+    * segmentation; one step is the operator (the recursion is a driver
+    * loop over tiny per-group grids). All candidate scores come from ONE
+    * prefix-sum window over the bounded per-group series; the score
+    * arithmetic is shared SQL. */
+  def changepoint(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("x"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("sl", sum(col("y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nl", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum(col("y")).over(wAll).cast("long"))
+      .filter(col("nl") < col("n")) // split AFTER x; last point can't split
+      .withColumn("score_micro", expr(binsegScoreSql))
+    val pick = Window.partitionBy(col(groupCol))
+      .orderBy(col("score_micro").desc, col("x"))
+    ranked.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col(groupCol), col("x").as("split_after_x"), col("n"),
+        col("score_micro"),
+        expr("round(CAST(sl AS DOUBLE) / nl, 6)").as("mean_left"),
+        expr("round(CAST(s - sl AS DOUBLE) / (n - nl), 6)").as("mean_right"))
+  }
+
+  /** Between-segment SS in micro units over the prefix row, shared SQL. */
+  val binsegScoreSql: String =
+    "CAST(ROUND(CAST(nl AS DOUBLE) * (n - nl) / n * " +
+      "(CAST(sl AS DOUBLE)/nl - CAST(s - sl AS DOUBLE)/(n - nl)) * " +
+      "(CAST(sl AS DOUBLE)/nl - CAST(s - sl AS DOUBLE)/(n - nl)), 0) AS BIGINT)"
+
   /** Mann–Kendall trend test — the significance companion to
     * [[theilSen]] (Sen gives the slope, MK says whether a monotone trend
     * exists at all, with NO distributional assumption): S = Σ_{i<j}

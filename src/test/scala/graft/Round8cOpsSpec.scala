@@ -663,6 +663,19 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(ks == 6L)
   }
 
+  test("changepoint locates a planted level shift exactly") {
+    import graft.operators.TimeSeries
+    // flat 100 for x in 0..9, jumps to 200 for x in 10..19
+    val rows = (0L until 20L).map(x => ("k", x, if (x < 10) 100L else 200L))
+    val r = TimeSeries.changepoint(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .head()
+    assert(r.getAs[Long]("split_after_x") == 9L)
+    assert(r.getAs[Double]("mean_left") == 100.0)
+    assert(r.getAs[Double]("mean_right") == 200.0)
+    // between-segment SS at the true split: 10*10/20 * 100² = 50000
+    assert(r.getAs[Long]("score_micro") == 50000L)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
