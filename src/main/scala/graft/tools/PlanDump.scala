@@ -65,7 +65,12 @@ object PlanDump {
     "q_link_prediction",     // wedge self-join on checkpointed sparse edges + TakeOrdered
     "q_gram_covariance",     // mapPartitions Gramian: P·d² triples, checkpoint-fed 3-branch assembly
     "q_conformal",           // checkpointed split + broadcast betas + prefix-sum order statistic
-    "q_ohlc_bars")           // two windows + agg share ONE (key,bar) exchange
+    "q_ohlc_bars",           // two windows + agg share ONE (key,bar) exchange
+    "q_modularity",          // checkpointed CC labels + two vertex-keyed joins
+    "q_bh_fdr",              // m-row ranking windows AFTER the per-segment collapse
+    "q_pca_power",           // Gramian once; 12 tiny join+agg iterations
+    "q_lorenz",              // distinct-value prefix sum -> decile agg
+    "q_changepoint")         // one per-group prefix window, argmax pick
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
