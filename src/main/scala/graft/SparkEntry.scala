@@ -3226,6 +3226,33 @@ object SparkEntry {
         .withColumn("p_hat", expr("round(CAST(s AS DOUBLE) / n, 6)"))
         .withColumn("ci_lo", expr(Profiling.wilsonSql("-")))
         .withColumn("ci_hi", expr(Profiling.wilsonSql("+")))),
+    "q_decile_lift" -> ((s, dir) => {
+      // Gains table for a spend-as-score targeting model against the
+      // heavy-purchaser label: per-decile lift over the base rate +
+      // cumulative positives captured, all exact integer micro/ppm.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+            .as("heavy"))
+      Eval.decileLift(users, "spend", "heavy")
+    }),
+    "q_stream_bh_fdr" -> ((s, dir) => {
+      // The FDR sweep as an in-stream monitor: per-user (n1, n2) cells in
+      // a complete-mode streaming aggregate; z/p/BH on the drained test
+      // table — shares q_bh_fdr's oracle text.
+      val counts = runToMemory(s, eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2")),
+        "complete")
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      Profiling.bhFdr(counts, Seq("user_id"), "p", qPpm = 100000L)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6405,7 +6432,38 @@ object SparkEntry {
          |SELECT label, a_c, e_in, m2,
          |  ${graft.operators.Graph.modularityCellSql} AS contrib_micro
          |FROM perc, m2t""".stripMargin,
-    "q_bh_fdr" ->
+    "q_bh_fdr" -> bhFdrOracleSql,
+    "q_stream_bh_fdr" -> bhFdrOracleSql,
+    "q_decile_lift" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15)
+         |      AS heavy
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT -spend AS v, CAST(COUNT(*) AS BIGINT) AS nu,
+         |    CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM users GROUP BY 1),
+         |c AS (SELECT v, nu, np,
+         |    CAST(SUM(nu) OVER (ORDER BY v) AS BIGINT) AS cum_nu,
+         |    CAST(SUM(np) OVER (ORDER BY v) AS BIGINT) AS cum_np FROM per),
+         |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_units,
+         |    CAST(SUM(np) AS BIGINT) AS n_pos_total FROM per),
+         |dec AS (SELECT ((cum_nu - 1) * 10) // n_units AS decile,
+         |    n_units, n_pos_total,
+         |    CAST(SUM(nu) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    MAX(cum_np) AS cum_pos
+         |  FROM c, tot GROUP BY 1, 2, 3)
+         |SELECT decile, n, n_pos, ${graft.operators.Eval.liftSql}
+         |    AS lift_micro,
+         |  (cum_pos * 1000000) // n_pos_total AS cum_gain_ppm
+         |FROM dec""".stripMargin,
+    "q_changepoint" -> changepointOracleSql,
+  )
+
+  /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode
+    * streaming counts): identical test semantics, one oracle text. */
+  private lazy val bhFdrOracleSql: String =
       s"""WITH pu AS (SELECT user_id,
          |    CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n1,
@@ -6424,8 +6482,9 @@ object SparkEntry {
          |  FROM r)
          |SELECT user_id, n1, n2, z, p, p_rank, m_tests, k_star,
          |  (p_rank <= k_star) AS rejected
-         |FROM r, ks""".stripMargin,
-    "q_changepoint" ->
+         |FROM r, ks""".stripMargin
+
+  private lazy val changepointOracleSql: String =
       s"""WITH daily AS (SELECT event_type AS g,
          |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS y
@@ -6443,8 +6502,7 @@ object SparkEntry {
          |SELECT g AS event_type, x AS split_after_x, n, score_micro,
          |  round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
          |  round(CAST(s - sl AS DOUBLE) / (n - nl), 6) AS mean_right
-         |FROM top WHERE rn = 1""".stripMargin,
-  )
+         |FROM top WHERE rn = 1""".stripMargin
 
   /** Shared by q_wilson_ci (batch) and q_stream_wilson (complete-mode
     * streaming agg): identical (success, n) semantics, one oracle text. */

@@ -318,6 +318,41 @@ object Eval {
         expr("(cum_spend * 1000000) DIV total_spend").as("cum_spend_ppm"))
   }
 
+  /** Decile lift / gains table — the model-eval artifact next to
+    * [[auc]]: units ranked by score DESCENDING, and per decile the
+    * positive rate relative to the base rate (lift, exact micro units)
+    * plus the cumulative share of all positives captured (gains, exact
+    * ppm). What a targeting/quality-filter model is actually USED for —
+    * "call the top 20%" — read straight off rows 0–1. Same
+    * distinct-value prefix-sum kernel as [[lorenzCurve]] (negated score
+    * orders descending); ties collapse before ranking so the table is
+    * partitioning-independent. */
+  def decileLift(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val per = df
+      .groupBy((-col(scoreCol).cast("long")).as("v"))
+      .agg(count(lit(1)).cast("long").as("nu"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("np"))
+    val c = rangedCumsum(per, Nil, "v", Seq("nu", "np"))
+    val tot = broadcast(c.agg(
+      sum(col("nu")).cast("long").as("n_units"),
+      sum(col("np")).cast("long").as("n_pos_total")))
+    c.crossJoin(tot)
+      .withColumn("decile", expr("((cum_nu - 1) * 10) DIV n_units"))
+      .groupBy(col("decile"), col("n_units"), col("n_pos_total"))
+      .agg(sum(col("nu")).cast("long").as("n"),
+        sum(col("np")).cast("long").as("n_pos"),
+        max(col("cum_np")).as("cum_pos"))
+      .withColumn("lift_micro", expr(liftSql))
+      .withColumn("cum_gain_ppm", expr("(cum_pos * 1000000) DIV n_pos_total"))
+      .select(col("decile"), col("n"), col("n_pos"), col("lift_micro"),
+        col("cum_gain_ppm"))
+  }
+
+  /** Per-decile lift over the counts row, shared with the oracle. */
+  val liftSql: String =
+    "CAST(ROUND(CAST(n_pos AS DOUBLE) / n / " +
+      "(CAST(n_pos_total AS DOUBLE) / n_units) * 1000000, 0) AS BIGINT)"
+
   /** CUPED variance reduction — the experimentation-platform readout
     * that shrinks A/B noise with PRE-period data: θ = cov(pre, post)/
     * var(pre) from exact integer moments, and the adjusted effect

@@ -676,6 +676,22 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("score_micro") == 50000L)
   }
 
+  test("decileLift: a perfect score gives max lift on top, zero below") {
+    import graft.operators.Eval
+    // 100 units, top 20 scores are the 20 positives → decile 0-1 lift 5x
+    val rows = (1L to 100L).map(i => (i, 101L - i, i <= 20L))
+    val got = Eval.decileLift(rows.toDF("id", "score", "label")
+        .select(col("score"), col("label")), "score", "label")
+      .collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("lift_micro"),
+          r.getAs[Long]("cum_gain_ppm")))).toMap
+    assert(got(0L) == ((10L, 5000000L, 500000L)))
+    assert(got(1L) == ((10L, 5000000L, 1000000L)))
+    assert(got(2L)._1 == 0L && got(2L)._2 == 0L)
+    assert(got(9L)._3 == 1000000L) // gains saturate at 100%
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
