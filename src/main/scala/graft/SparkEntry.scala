@@ -3253,6 +3253,30 @@ object SparkEntry {
         .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
       Profiling.bhFdr(counts, Seq("user_id"), "p", qPpm = 100000L)
     }),
+    "q_ecod_outliers" -> ((s, dir) =>
+      // ECOD-style parameterless outlier top-20 over (spend, time-of-day):
+      // exact per-dim ECDF tails via the ranged prefix sum, −ln(tail)
+      // micro-summed across dims, value-keyed joins (never broadcast).
+      Profiling.ecodOutliers(
+        table(s, dir, "events").select(col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          expr("unix_millis(ts) % 86400000L").as("ms_of_day")),
+        "event_id", Seq("cents", "ms_of_day"), topK = 20)),
+    "q_graph_features" -> ((s, dir) => {
+      // Per-node feature engineering on the repeat-co-purchase graph:
+      // degree, triangle participation, local clustering coefficient in
+      // exact micro units — the fraud/reco model input table.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.nodeFeatures(e, "src", "dst")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6459,6 +6483,48 @@ object SparkEntry {
          |  (cum_pos * 1000000) // n_pos_total AS cum_gain_ppm
          |FROM dec""".stripMargin,
     "q_changepoint" -> changepointOracleSql,
+    "q_ecod_outliers" -> {
+      val cell = graft.operators.Profiling.ecodCellSql
+      s"""WITH ev AS (SELECT event_id,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents,
+         |    epoch_ms(ts) % 86400000 AS ms_of_day FROM events),
+         |p1 AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM ev GROUP BY 1),
+         |c1 AS (SELECT v, nv,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS cum_nv FROM p1),
+         |n1 AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM p1),
+         |s1 AS (SELECT v, $cell AS sc FROM c1, n1),
+         |p2 AS (SELECT ms_of_day AS v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM ev GROUP BY 1),
+         |c2 AS (SELECT v, nv,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS cum_nv FROM p2),
+         |n2 AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM p2),
+         |s2 AS (SELECT v, $cell AS sc FROM c2, n2)
+         |SELECT ev.event_id, ev.cents, ev.ms_of_day,
+         |  s1.sc AS sc_cents, s2.sc AS sc_ms_of_day,
+         |  s1.sc + s2.sc AS score_micro
+         |FROM ev JOIN s1 ON ev.cents = s1.v JOIN s2 ON ev.ms_of_day = s2.v
+         |ORDER BY score_micro DESC, event_id LIMIT 20""".stripMargin
+    },
+    "q_graph_features" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM es GROUP BY 1),
+         |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e0 e1 JOIN e0 e2 ON e2.src = e1.dst
+         |  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |x AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+         |  UNION ALL SELECT c FROM t),
+         |tri AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |  FROM x GROUP BY 1),
+         |f AS (SELECT deg.id, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri
+         |  FROM deg LEFT JOIN tri USING (id))
+         |SELECT id, deg, n_tri, ${graft.operators.Graph.lccSql} AS lcc_micro
+         |FROM f""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

@@ -337,6 +337,33 @@ object Graph {
       .limit(topK)
   }
 
+  /** Per-node structural features — the graph-feature-engineering pass a
+    * fraud/recommendation model consumes: degree, triangle participation
+    * ([[triangleCounts]] reused), and the local clustering coefficient
+    * 2·tri/(deg·(deg−1)) in exact micro units (how close the node's
+    * neighborhood is to a clique). One degree aggregate + the triangle
+    * kernel + one vertex-keyed join; nodes off any triangle get tri=0,
+    * degree-1 nodes get lcc=0 by convention. */
+  def nodeFeatures(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+      .select(col("id"), col("n_tri").cast("long").as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("lcc_micro", expr(lccSql))
+  }
+
+  /** Local clustering coefficient in micro units, shared with the oracle. */
+  val lccSql: String =
+    "CASE WHEN deg >= 2 THEN CAST(ROUND(2.0 * n_tri * 1000000 / " +
+      "(CAST(deg AS DOUBLE) * (deg - 1)), 0) AS BIGINT) ELSE 0 END"
+
   /** Newman modularity of a vertex partition — the standard "is this
     * clustering better than chance" score for community structure:
     * Q = Σ_c [e_c/2m − (a_c/2m)²] where e_c counts intra-community

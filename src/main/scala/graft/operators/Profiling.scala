@@ -378,6 +378,51 @@ object Profiling {
        | $z*$z/(4.0*n*n))) / (1 + $z*$z/n), 6)""".stripMargin.replace("\n", "")
   }
 
+  /** ECOD-style outlier scoring — the modern parameterless detector
+    * (Li et al., TKDE 2022 shape): per dimension, a point's tail
+    * probability is min(F(x), 1−F(x)+P(X=x)) from the EXACT empirical
+    * CDF, and its outlier score sums −ln(tail) across dimensions — no
+    * distance metric, no clustering, no training. Extremes in ANY
+    * dimension surface; the score is micro-quantized per dimension
+    * before summing (order-independent), and the top-K cut is a
+    * TakeOrdered under (score desc, id).
+    *
+    * Scale shape: per dimension, ONE distinct-value prefix sum (the
+    * shared ranged-cumsum kernel) + one value-keyed join back — the
+    * vocabulary-join discipline, never a broadcast of the value table;
+    * dimensions chain as independent joins. */
+  def ecodOutliers(
+      df: DataFrame, idCol: String, dimCols: Seq[String],
+      topK: Int): DataFrame = {
+    require(dimCols.nonEmpty, "dimCols must be non-empty")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val scored = dimCols.zipWithIndex.foldLeft(
+      df.select(col(idCol) +: dimCols.map(c => col(c).cast("long").as(c)): _*)) {
+      case (acc, (c, i)) =>
+        val per = acc.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).cast("long").as("nv"))
+        val cum = Eval.rangedCumsum(per, Nil, "v", Seq("nv"))
+        val tot = broadcast(cum.agg(sum(col("nv")).cast("long").as("n")))
+        val tail = cum.crossJoin(tot)
+          .select(col("v").as(c),
+            expr(ecodCellSql).as(s"__sc$i"))
+        acc.join(tail, Seq(c))
+    }
+    val top = scored
+      .withColumn("score_micro",
+        dimCols.indices.map(i => col(s"__sc$i")).reduce(_ + _))
+      .sort(col("score_micro").desc, col(idCol))
+      .limit(topK)
+    dimCols.zipWithIndex.foldLeft(top) { case (d, (c, i)) =>
+      d.withColumnRenamed(s"__sc$i", s"sc_$c")
+    }
+  }
+
+  /** −ln(two-sided tail) in micro units over the (cum_nv, nv, n) row. */
+  val ecodCellSql: String =
+    "CAST(ROUND(-ln(least(CAST(cum_nv AS DOUBLE) / n, " +
+      "CAST(n - cum_nv + nv AS DOUBLE) / n)) * 1000000, 0) AS BIGINT)"
+
   /** Two-sided normal p-value from a z statistic as SHARED SQL text —
     * erfc(|z|/√2) via the Abramowitz–Stegun 7.1.26 rational approximation
     * (max abs error 1.5e-7). The approximation — not libm's erfc — is the

@@ -692,6 +692,36 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got(9L)._3 == 1000000L) // gains saturate at 100%
   }
 
+  test("ecodOutliers: the planted extreme dominates; middle points score low") {
+    import graft.operators.Profiling
+    // 99 points in the bulk, one far right on dim a AND far left on dim b
+    val rows = (1L to 99L).map(i => (i, 100L + (i % 10), 500L + (i % 7))) :+
+      ((100L, 10000L, 1L))
+    val got = Profiling.ecodOutliers(rows.toDF("id", "a", "b"),
+      "id", Seq("a", "b"), topK = 3).collect()
+    val top = got.head
+    assert(top.getAs[Long]("id") == 100L)
+    // both tails at 1/100 → score = 2·ln(100)·1e6
+    val want = 2L * math.rint(math.log(100.0) * 1e6).toLong
+    assert(top.getAs[Long]("score_micro") == want)
+    assert(got.forall(_.getAs[Long]("score_micro") <= want))
+  }
+
+  test("nodeFeatures: triangle vertex gets lcc 1, bridge node gets 0") {
+    import graft.operators.Graph
+    // triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle,
+    // lcc = 2·1/(3·2) = 1/3; nodes 1,2 have lcc 1; node 4 deg 1 → 0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.nodeFeatures(edges, "src", "dst").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("lcc_micro")))).toMap
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 333333L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
