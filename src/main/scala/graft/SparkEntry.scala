@@ -3277,6 +3277,21 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.Graph.nodeFeatures(e, "src", "dst")
     }),
+    "q_decision_stump" -> ((s, dir) => {
+      // One exact tree-split search: every distinct spend value is a
+      // candidate threshold for the heavy-purchaser label; ONE ranged
+      // prefix-sum scan scores all splits by weighted Gini.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+            .as("heavy"))
+      Eval.decisionStump(users, "spend", "heavy")
+    }),
+    "q_neg_sampling_table" -> ((s, dir) =>
+      // Word2vec negative-sampling prep: count^0.75 unigram distribution
+      // with exact ppm cumulative ranges — vocabulary-sized, sampler
+      // binary-searches the range column.
+      TextAnalysis.negativeSamplingTable(table(s, dir, "documents"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6525,6 +6540,46 @@ object SparkEntry {
          |  FROM deg LEFT JOIN tri USING (id))
          |SELECT id, deg, n_tri, ${graft.operators.Graph.lccSql} AS lcc_micro
          |FROM f""".stripMargin,
+    "q_decision_stump" -> {
+      val (split, parent) = (graft.operators.Eval.giniSplitSql,
+        graft.operators.Eval.giniParentSql)
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15)
+         |      AS heavy
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS nu,
+         |    CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM users GROUP BY 1),
+         |c AS (SELECT v, nu, np,
+         |    CAST(SUM(nu) OVER (ORDER BY v) AS BIGINT) AS cum_nu,
+         |    CAST(SUM(np) OVER (ORDER BY v) AS BIGINT) AS cum_np FROM per),
+         |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_total,
+         |    CAST(SUM(np) AS BIGINT) AS p_total FROM per),
+         |sc AS (SELECT *, $split AS gini_split_micro
+         |  FROM c, tot WHERE cum_nu < n_total),
+         |b AS (SELECT * FROM sc ORDER BY gini_split_micro, v LIMIT 1)
+         |SELECT v AS split_value, cum_nu AS n_left, cum_np AS pos_left,
+         |  n_total - cum_nu AS n_right, p_total - cum_np AS pos_right,
+         |  n_total, p_total, $parent AS gini_parent_micro, gini_split_micro,
+         |  $parent - gini_split_micro AS gain_micro
+         |FROM b""".stripMargin
+    },
+    "q_neg_sampling_table" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY 1),
+         |w AS (SELECT token, cnt,
+         |    ${graft.operators.TextAnalysis.ns075Sql} AS w_micro FROM cc),
+         |c AS (SELECT token, cnt, w_micro,
+         |    CAST(SUM(w_micro) OVER (ORDER BY token) AS BIGINT) AS cum
+         |  FROM w),
+         |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+         |SELECT token, cnt, w_micro, cum - w_micro AS range_start,
+         |  cum AS range_end, w_total
+         |FROM c, tot""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

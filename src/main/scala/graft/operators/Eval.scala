@@ -353,6 +353,54 @@ object Eval {
     "CAST(ROUND(CAST(n_pos AS DOUBLE) / n / " +
       "(CAST(n_pos_total AS DOUBLE) / n_units) * 1000000, 0) AS BIGINT)"
 
+  /** Distributed decision stump — one exact tree-split search, the
+    * building block of tree ensembles at scale: every distinct feature
+    * value is a candidate threshold, and the weighted Gini impurity of
+    * the (≤ v, > v) split comes entirely from the distinct-value prefix
+    * sums (cum units, cum positives) — ONE ranged cumsum scan evaluates
+    * ALL thresholds, no per-candidate pass. Scores are micro-quantized
+    * shared SQL; the argmin tie-breaks on the smaller threshold. Output
+    * is one row: the best split with its left/right composition and the
+    * impurity reduction. */
+  def decisionStump(df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(featureCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nu"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("np"))
+    val c = rangedCumsum(per, Nil, "v", Seq("nu", "np"))
+    val tot = broadcast(c.agg(
+      sum(col("nu")).cast("long").as("n_total"),
+      sum(col("np")).cast("long").as("p_total")))
+    val scored = c.crossJoin(tot)
+      .filter(col("cum_nu") < col("n_total")) // right side must be non-empty
+      .withColumn("gini_split_micro", expr(giniSplitSql))
+    val best = scored
+      .sort(col("gini_split_micro"), col("v"))
+      .limit(1)
+    best.select(col("v").as("split_value"),
+      col("cum_nu").as("n_left"), col("cum_np").as("pos_left"),
+      (col("n_total") - col("cum_nu")).as("n_right"),
+      (col("p_total") - col("cum_np")).as("pos_right"),
+      col("n_total"), col("p_total"),
+      expr(giniParentSql).as("gini_parent_micro"),
+      col("gini_split_micro"),
+      (expr(giniParentSql) - col("gini_split_micro")).as("gain_micro"))
+  }
+
+  /** Weighted post-split Gini over the prefix row, micro units. */
+  val giniSplitSql: String = {
+    val pl = "(CAST(cum_np AS DOUBLE) / cum_nu)"
+    val pr = "(CAST(p_total - cum_np AS DOUBLE) / (n_total - cum_nu))"
+    "CAST(ROUND((CAST(cum_nu AS DOUBLE) * (2.0 * " + pl + " * (1.0 - " + pl +
+      ")) + CAST(n_total - cum_nu AS DOUBLE) * (2.0 * " + pr +
+      " * (1.0 - " + pr + "))) / n_total * 1000000, 0) AS BIGINT)"
+  }
+
+  /** Parent-node Gini over (p_total, n_total), micro units. */
+  val giniParentSql: String = {
+    val p = "(CAST(p_total AS DOUBLE) / n_total)"
+    s"CAST(ROUND(2.0 * $p * (1.0 - $p) * 1000000, 0) AS BIGINT)"
+  }
+
   /** CUPED variance reduction — the experimentation-platform readout
     * that shrinks A/B noise with PRE-period data: θ = cov(pre, post)/
     * var(pre) from exact integer moments, and the adjusted effect

@@ -1010,6 +1010,37 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Word2vec-style negative-sampling table — the training-prep artifact
+    * that turns token counts into the count^0.75 unigram distribution
+    * (Mikolov et al.'s flattening — rare words sample more than raw
+    * frequency, hot words less): weights are exp(0.75·ln(count)) in
+    * shared SQL micro units (exact integer once quantized), shares and
+    * CUMULATIVE ranges in exact ppm off the ranged prefix sum over the
+    * token order — a sampler draws u ∈ [0, total) and binary-searches
+    * the range column. Vocabulary-sized throughout; one corpus-sized
+    * tokenization pass. */
+  def negativeSamplingTable(
+      docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("w_micro", expr(ns075Sql))
+    val c = Eval.rangedCumsum(counts, Nil, "token", Seq("w_micro"))
+    val tot = broadcast(c.agg(
+      sum(col("w_micro")).cast("long").as("w_total")))
+    c.crossJoin(tot)
+      .select(col("token"), col("cnt"), col("w_micro"),
+        (col("cum_w_micro") - col("w_micro")).as("range_start"),
+        col("cum_w_micro").as("range_end"),
+        col("w_total"))
+  }
+
+  /** count^0.75 in micro units via exp/ln (the shared-libm pair that has
+    * matched cross-engine throughout), one SQL text both engines run. */
+  val ns075Sql: String =
+    "CAST(ROUND(exp(0.75 * ln(CAST(cnt AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+
   /** Count-min sketch demo over token frequencies with a DETERMINISTIC
     * md5 hash family — the mergeable sub-linear counter a 100 TB pipeline
     * keeps when the exact histogram ([[tokenFrequencies]]) is too wide:

@@ -722,6 +722,36 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(got(4L) == ((1L, 0L, 0L)))
   }
 
+  test("decisionStump finds the perfectly separating threshold with gain = parent") {
+    import graft.operators.Eval
+    // label = feature > 50, perfectly separable at v = 50
+    val rows = (1L to 100L).map(i => (i, i > 50L))
+    val r = Eval.decisionStump(rows.toDF("f", "y"), "f", "y").head()
+    assert(r.getAs[Long]("split_value") == 50L)
+    assert(r.getAs[Long]("n_left") == 50L && r.getAs[Long]("pos_left") == 0L)
+    assert(r.getAs[Long]("n_right") == 50L && r.getAs[Long]("pos_right") == 50L)
+    assert(r.getAs[Long]("gini_split_micro") == 0L)
+    assert(r.getAs[Long]("gain_micro") == r.getAs[Long]("gini_parent_micro"))
+    assert(r.getAs[Long]("gini_parent_micro") == 500000L) // 2·.5·.5
+  }
+
+  test("negativeSamplingTable: ranges tile exactly and flatten hot words") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a a a a a a a a a a a a a a a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.negativeSamplingTable(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("w_micro"),
+          r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
+          r.getAs[Long]("w_total")))).toMap
+    // a: 16^0.75 = 8 → weight ratio 8:1 instead of raw 16:1
+    assert(got("a")._1 == 16L && got("a")._2 == 8000000L)
+    assert(got("b")._2 == 1000000L)
+    // ranges tile [0, total) with no gaps
+    val (_, _, s1, e1, tot) = got("a")
+    val (_, _, s2, e2, _) = got("b")
+    assert(s1 == 0L && e1 == s2 && e2 == tot && tot == 9000000L)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
