@@ -3292,6 +3292,27 @@ object SparkEntry {
       // with exact ppm cumulative ranges — vocabulary-sized, sampler
       // binary-searches the range column.
       TextAnalysis.negativeSamplingTable(table(s, dir, "documents"))),
+    "q_woe_iv" -> ((s, dir) => {
+      // Scorecard feature report: spend deciles vs the heavy-purchaser
+      // label — per-bin Weight of Evidence + Information Value
+      // contributions in exact micro units on the decile kernel.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+            .as("heavy"))
+      Eval.woeBins(users, "spend", "heavy")
+    }),
+    "q_conversion_lag" -> ((s, dir) => {
+      // Funnel latency: exact quartiles + p99 of the view→click lag over
+      // converting users — the funnel kernel feeding the one-pass order
+      // statistics (no per-group sort anywhere).
+      val ev = table(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+      val lags = graft.operators.Sessionize
+        .funnel(ev, Seq("view", "click", "purchase"))
+        .filter(col("t2").isNotNull)
+        .select((col("t2") - col("t1")).as("lag_ms"))
+      Eval.orderStatistics(lags, "lag_ms", Seq((1, 4), (1, 2), (3, 4), (99, 100)))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6580,6 +6601,50 @@ object SparkEntry {
          |SELECT token, cnt, w_micro, cum - w_micro AS range_start,
          |  cum AS range_end, w_total
          |FROM c, tot""".stripMargin,
+    "q_woe_iv" -> {
+      val (woe, iv) = (graft.operators.Eval.woeSql, graft.operators.Eval.ivSql)
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15)
+         |      AS heavy
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS nu,
+         |    CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM users GROUP BY 1),
+         |c AS (SELECT v, nu, np,
+         |    CAST(SUM(nu) OVER (ORDER BY v) AS BIGINT) AS cum_nu,
+         |    CAST(SUM(np) OVER (ORDER BY v) AS BIGINT) AS cum_np FROM per),
+         |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_units,
+         |    CAST(SUM(np) AS BIGINT) AS p_total FROM per),
+         |dec AS (SELECT ((cum_nu - 1) * 10) // n_units AS decile,
+         |    n_units, p_total,
+         |    CAST(SUM(nu) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS pos
+         |  FROM c, tot GROUP BY 1, 2, 3),
+         |f AS (SELECT decile, n_units, p_total, n, pos, n - pos AS neg
+         |  FROM dec)
+         |SELECT decile, n, pos, neg, $woe AS woe_micro, $iv AS iv_micro
+         |FROM f""".stripMargin
+    },
+    "q_conversion_lag" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_ms(ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_ms(ts) >= s1.t1
+        |  GROUP BY e.user_id),
+        |lag AS (SELECT s2.t2 - s1.t1 AS v FROM s1 JOIN s2 USING (user_id)),
+        |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM lag GROUP BY v),
+        |c AS (SELECT v, nv,
+        |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS cum FROM per),
+        |t AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM per),
+        |fr AS (SELECT CAST(f_num AS BIGINT) AS f_num,
+        |    CAST(f_den AS BIGINT) AS f_den
+        |  FROM (VALUES (1, 4), (1, 2), (3, 4), (99, 100)) AS f(f_num, f_den)),
+        |m AS (SELECT f_num, f_den, n,
+        |    greatest((f_num * n + f_den - 1) // f_den, 1) AS pos FROM fr, t)
+        |SELECT f_num, f_den, n, CAST(pos AS BIGINT) AS pos, v AS value
+        |FROM c, m WHERE cum >= pos AND cum - nv < pos""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

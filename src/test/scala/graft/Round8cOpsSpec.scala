@@ -752,6 +752,22 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(s1 == 0L && e1 == s2 && e2 == tot && tot == 9000000L)
   }
 
+  test("woeBins: separable deciles give NULL-WoE extremes, mixed bins exact") {
+    import graft.operators.Eval
+    // 100 units: feature = rank; positives = top 25 → decile 0-6 pure
+    // negative (NULL WoE), decile 7 mixed (5 pos / 5 neg), 8-9 pure pos
+    val rows = (1L to 100L).map(i => (i, i > 75L))
+    val got = Eval.woeBins(rows.toDF("f", "y"), "f", "y").collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+          Option(r.getAs[Any]("woe_micro"))))).toMap
+    assert(got(0L)._3.isEmpty && got(9L)._3.isEmpty) // pure bins flag NULL
+    val (p7, n7, w7) = got(7L)
+    assert(p7 == 5L && n7 == 5L)
+    // WoE = ln((5/25)/(5/75)) = ln(3)
+    assert(w7.get.asInstanceOf[Long] == math.rint(math.log(3.0) * 1e6).toLong)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
