@@ -696,6 +696,49 @@ object ScaleSmoke {
         .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
       drain(graft.operators.Graph.modularity(e, "src", "dst"))
     }
+    time(s"mleval-suite x$mult (stump+woe+lift+changepoint+lag)") {
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+            .as("heavy"))
+        .localCheckpoint(true)
+      drain(graft.operators.Eval.decisionStump(users, "spend", "heavy"))
+      drain(graft.operators.Eval.woeBins(users, "spend", "heavy"))
+      drain(graft.operators.Eval.decileLift(users, "spend", "heavy"))
+      val daily = eventsUid.groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      drain(TimeSeries.changepoint(daily, "event_type", "x", "y"))
+      val ev = eventsUid.withColumn("ts_ms", unix_millis(col("ts")))
+      val lags = Sessionize.funnel(ev, Seq("view", "click", "purchase"))
+        .filter(col("t2").isNotNull)
+        .select((col("t2") - col("t1")).as("lag_ms"))
+      drain(graft.operators.Eval.orderStatistics(lags, "lag_ms",
+        Seq((1, 4), (1, 2), (3, 4), (99, 100))))
+    }
+    time(s"ecod+negSampling x$mult/(÷5 docs)") {
+      drain(Profiling.ecodOutliers(
+        eventsUid.select(col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          expr("unix_millis(ts) % 86400000L").as("msd")),
+        "event_id", Seq("cents", "msd"), 20))
+      drain(TextAnalysis.negativeSamplingTable(docs))
+    }
+    time(s"graphFeatures x${math.max(1, mult / 5)} (disjoint copies)") {
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
+      drain(graft.operators.Graph.nodeFeatures(e, "src", "dst"))
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
