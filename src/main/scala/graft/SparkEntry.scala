@@ -3313,6 +3313,16 @@ object SparkEntry {
         .select((col("t2") - col("t1")).as("lag_ms"))
       Eval.orderStatistics(lags, "lag_ms", Seq((1, 4), (1, 2), (3, 4), (99, 100)))
     }),
+    "q_ljung_box" -> ((s, dir) => {
+      // White-noise gate on each type's daily-total series: Q over the
+      // first 5 Pearson-pair autocorrelations vs χ²₅(0.95) — the check
+      // before fitting any AR/seasonal model.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries.ljungBox(daily, "event_type", "day", "v")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6645,6 +6655,34 @@ object SparkEntry {
         |    greatest((f_num * n + f_den - 1) // f_den, 1) AS pos FROM fr, t)
         |SELECT f_num, f_den, n, CAST(pos AS BIGINT) AS pos, v AS value
         |FROM c, m WHERE cum >= pos AND cum - nv < pos""".stripMargin,
+    "q_ljung_box" -> {
+      val lagCtes = (1 to 5).map { k =>
+        s"""p$k AS (SELECT event_type, v AS y,
+           |    lag(v, $k) OVER (PARTITION BY event_type ORDER BY day) AS x
+           |  FROM pd),
+           |m$k AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+           |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+           |    SUM(y*y) AS syy
+           |  FROM p$k WHERE x IS NOT NULL GROUP BY 1),
+           |r$k AS (SELECT event_type,
+           |    round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |      THEN (n*sxy - sx*sy) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+           |        CAST(n*syy - sy*sy AS DOUBLE)) END, 6) AS rho_$k
+           |  FROM m$k)""".stripMargin
+      }.mkString(",\n")
+      val q = graft.operators.TimeSeries.lbSql(5)
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_series
+         |  FROM pd GROUP BY 1),
+         |$lagCtes
+         |SELECT base.event_type, n_series, rho_1, rho_2, rho_3, rho_4, rho_5,
+         |  $q AS lb_stat, $q > 11.0705 AS significant
+         |FROM base JOIN r1 USING (event_type) JOIN r2 USING (event_type)
+         |  JOIN r3 USING (event_type) JOIN r4 USING (event_type)
+         |  JOIN r5 USING (event_type)""".stripMargin
+    },
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

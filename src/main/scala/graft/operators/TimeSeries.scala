@@ -424,6 +424,38 @@ object TimeSeries {
           6).as("acf"))
   }
 
+  /** Ljung–Box portmanteau test — "is this series white noise at all?":
+    * Q = n(n+2)·Σ_{k≤m} ρ_k²/(n−k) over the first m autocorrelations
+    * (the [[autocorr]] Pearson-pairs kernel per lag, a documented
+    * convention choice), flagged against χ²_m(0.95). The pre-modeling
+    * gate before fitting any AR/seasonal structure. Per-lag aggregates
+    * run over the bounded per-key series and join key-wise; the Q
+    * arithmetic over the ROUNDED ρ columns is shared SQL. A constant
+    * series yields NULL ρ and a NULL Q (both engines). */
+  def ljungBox(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val base = perBucket.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_series"))
+    val joined = (1 to maxLag).foldLeft(base) { (acc, k) =>
+      acc.join(
+        autocorr(perBucket, keyCol, bucketCol, valueCol, k)
+          .select(col(keyCol), col("acf").as(s"rho_$k")),
+        Seq(keyCol))
+    }
+    joined
+      .withColumn("lb_stat", expr(lbSql(maxLag)))
+      .withColumn("significant", expr(s"${lbSql(maxLag)} > 11.0705"))
+  }
+
+  /** Q over the per-lag ρ columns, shared with the oracle. 11.0705 =
+    * χ²₅(0.95), matching the default maxLag. */
+  def lbSql(m: Int): String =
+    "round(CAST(n_series AS DOUBLE) * (n_series + 2) * (" +
+      (1 to m).map(k => s"rho_$k * rho_$k / (n_series - $k)")
+        .mkString(" + ") + "), 6)"
+
   /** Day-of-week seasonal decomposition of a per-(key, bucket) series:
     * seasonal = the key's mean value at this bucket's `bucket % period`
     * phase (from exact BIGINT sums, one double division), residual =

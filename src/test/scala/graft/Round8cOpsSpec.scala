@@ -768,6 +768,25 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(w7.get.asInstanceOf[Long] == math.rint(math.log(3.0) * 1e6).toLong)
   }
 
+  test("ljungBox: strong alternating structure flags, shuffled noise doesn't") {
+    import graft.operators.TimeSeries
+    // alternating ±: rho_1 ≈ -1 → huge Q; the modular sequence has much
+    // weaker (but nonzero) structure — assert the ordering, not a
+    // white-noise claim the fixture can't honestly make
+    val alt = (0L until 30L).map(x => ("alt", x, if (x % 2 == 0) 100L else -100L))
+    val noise = (0L until 30L).map(x => ("ns", x, (x * 2654435761L % 97L) - 48L))
+    val got = TimeSeries.ljungBox((alt ++ noise).toDF("g", "x", "y"),
+      "g", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("lb_stat"), r.getAs[Boolean]("significant"),
+          r.getAs[Double]("rho_1")))).toMap
+    val (qAlt, sigAlt, rho1Alt) = got("alt")
+    assert(sigAlt && qAlt > 100.0, s"alt Q=$qAlt")
+    assert(rho1Alt < -0.9)
+    val (qNs, _, _) = got("ns")
+    assert(qNs < qAlt / 4, s"noise Q=$qNs vs alt $qAlt")
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
