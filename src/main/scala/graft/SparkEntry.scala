@@ -3323,6 +3323,20 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
       graft.operators.TimeSeries.ljungBox(daily, "event_type", "day", "v")
     }),
+    "q_kendall_tau" -> ((s, dir) => {
+      // Nonparametric spend↔purchases association per user: exact
+      // concordant/discordant/tie pair counts over the 150-user table,
+      // tie-corrected τ-b as one shared-SQL row.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+      Profiling.kendallTau(users, "spend", "n_purch")
+    }),
+    "q_cramers_v" -> ((s, dir) =>
+      // Effect size for the lang×source contingency — the in-[0,1]
+      // companion to q_chi2_independence; micro-quantized cell sums.
+      Profiling.cramersV(table(s, dir, "documents"), "lang", "source")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6683,6 +6697,52 @@ object SparkEntry {
          |  JOIN r3 USING (event_type) JOIN r4 USING (event_type)
          |  JOIN r5 USING (event_type)""".stripMargin
     },
+    "q_kendall_tau" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |idd AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) AS i
+         |  FROM users),
+         |pp AS (SELECT
+         |    CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS cd,
+         |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         |  FROM idd a JOIN idd b ON a.i < b.i),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS concordant,
+         |    CAST(SUM(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS discordant,
+         |    CAST(SUM(tx) AS BIGINT) AS ties_x,
+         |    CAST(SUM(ty) AS BIGINT) AS ties_y FROM pp)
+         |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+         |  ${graft.operators.Profiling.tauBSql} AS tau_b
+         |FROM agg""".stripMargin,
+    "q_cramers_v" ->
+      s"""WITH cells AS (SELECT lang AS x, source AS y,
+         |    CAST(COUNT(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+         |r AS (SELECT x, CAST(SUM(obs) AS BIGINT) AS rx
+         |  FROM cells GROUP BY 1),
+         |cc AS (SELECT y, CAST(SUM(obs) AS BIGINT) AS cy
+         |  FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+         |    CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y FROM cells),
+         |grid AS (SELECT r.x, cc.y, r.rx, cc.cy,
+         |    COALESCE(cells.obs, 0) AS obs
+         |  FROM r CROSS JOIN cc LEFT JOIN cells USING (x, y)),
+         |j AS (SELECT grid.obs, grid.rx, grid.cy, nn.n, nn.n_x, nn.n_y,
+         |    ${graft.operators.Profiling.chi2CellMicroSql} AS contrib_micro
+         |  FROM grid, nn),
+         |t AS (SELECT n, n_x, n_y,
+         |    CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT n, n_x, n_y, chi2_micro,
+         |  ${graft.operators.Profiling.cramersVSql} AS cramers_v
+         |FROM t""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

@@ -339,6 +339,83 @@ object Profiling {
         min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
   }
 
+  /** Cramér's V — the EFFECT SIZE the chi-square test
+    * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
+    * [0,1], comparable across table shapes and sample sizes (χ² itself
+    * grows with n even for a fixed weak association). Per-cell χ²
+    * contributions are micro-quantized before the sum
+    * (order-independent), marginals come from two tiny re-aggregations
+    * of the contingency cells, and the final V is one shared-SQL row. */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("long").as("obs"))
+      .localCheckpoint(true) // marginals + dims + cells all read it
+    val rows = cells.groupBy(col("x")).agg(sum(col("obs")).cast("long").as("rx"))
+    val cols = cells.groupBy(col("y")).agg(sum(col("obs")).cast("long").as("cy"))
+    val n = broadcast(cells.agg(sum(col("obs")).cast("long").as("n"),
+      count_distinct(col("x")).cast("long").as("n_x"),
+      count_distinct(col("y")).cast("long").as("n_y")))
+    // the FULL r×c grid — absent combinations are real zero cells whose
+    // (0−e)²/e = e contributions the observed-cells join would drop
+    rows.crossJoin(cols)
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(n)
+      .withColumn("contrib_micro", expr(chi2CellMicroSql))
+      .groupBy(col("n"), col("n_x"), col("n_y"))
+      .agg(sum(col("contrib_micro")).cast("long").as("chi2_micro"))
+      .withColumn("cramers_v", expr(cramersVSql))
+  }
+
+  /** Per-cell χ² contribution in micro units over (obs, rx, cy, n). */
+  val chi2CellMicroSql: String = {
+    val e = "(CAST(rx AS DOUBLE) * cy / n)"
+    s"CAST(ROUND((obs - $e) * (obs - $e) / $e * 1000000, 0) AS BIGINT)"
+  }
+
+  /** V over the (chi2_micro, n, n_x, n_y) row, shared with the oracle. */
+  val cramersVSql: String =
+    "round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000) / " +
+      "(CAST(n AS DOUBLE) * (least(n_x, n_y) - 1))), 6)"
+
+  /** Kendall rank correlation (τ-b) — the nonparametric association
+    * between two metrics that ignores their scales entirely: over all
+    * unit pairs, concordant minus discordant as an EXACT integer,
+    * normalized by the tie-corrected pair counts
+    * √((n₀−n_x)(n₀−n_y)). Robust to any monotone transform of either
+    * metric (where Pearson is not). Pairwise O(n²) over the UNIT table —
+    * the Theil–Sen regime: run it on aggregated units (users, days),
+    * not raw events; ties resolve exactly through the integer counts. */
+  def kendallTau(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val u = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    // tag rows with ANY unique id: every aggregate below is symmetric in
+    // (a, b), so which member of an unordered pair gets the smaller id
+    // cannot change the result — the id only ensures each pair counts once
+    val idd = u.withColumn("__i", monotonically_increasing_id())
+    val pp = idd.as("a").join(idd.as("b"), col("a.__i") < col("b.__i"))
+      .select(
+        (signum(col("b.x") - col("a.x")) *
+          signum(col("b.y") - col("a.y"))).cast("long").as("cd"),
+        when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+        when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+    pp.agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("cd") === 1L, 1L).otherwise(0L)).cast("long").as("concordant"),
+      sum(when(col("cd") === -1L, 1L).otherwise(0L)).cast("long").as("discordant"),
+      sum(col("tx")).cast("long").as("ties_x"),
+      sum(col("ty")).cast("long").as("ties_y"))
+      .withColumn("tau_b", expr(tauBSql))
+  }
+
+  /** τ-b over the pair-count row, shared with the oracle. NULL when a
+    * variable is constant (every pair tied — τ undefined). */
+  val tauBSql: String =
+    "CASE WHEN n_pairs - ties_x > 0 AND n_pairs - ties_y > 0 THEN " +
+      "round(CAST(concordant - discordant AS DOUBLE) / " +
+      "sqrt(CAST(n_pairs - ties_x AS DOUBLE) * (n_pairs - ties_y)), 6) END"
+
   /** Sample-ratio-mismatch check — the first gate on any experiment
     * readout: if assignment were a fair coin, the arm counts follow
     * Binomial(n, ½); the 1-df chi-square against the 50/50 expectation

@@ -787,6 +787,33 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(qNs < qAlt / 4, s"noise Q=$qNs vs alt $qAlt")
   }
 
+  test("kendallTau: perfect monotone = 1, reversal = -1, ties corrected") {
+    import graft.operators.Profiling
+    val up = (1L to 20L).map(i => (i, i * i)) // monotone, nonlinear
+    val r1 = Profiling.kendallTau(up.toDF("x", "y"), "x", "y").head()
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    assert(r1.getAs[Long]("n_pairs") == 190L)
+    val down = (1L to 20L).map(i => (i, -i))
+    assert(Profiling.kendallTau(down.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("tau_b") == -1.0)
+    // y all tied → denominator uses tie correction, tau undefined-ish:
+    // (C-D)=0 over sqrt((n0-tx)(n0-0-ty)) with ty=n0 → div by 0 → guard?
+    val tied = (1L to 10L).map(i => (i, 7L))
+    val rt = Profiling.kendallTau(tied.toDF("x", "y"), "x", "y").head()
+    assert(rt.getAs[Long]("ties_y") == 45L && rt.getAs[Long]("concordant") == 0L)
+  }
+
+  test("cramersV: perfect association scores 1, independence scores 0") {
+    import graft.operators.Profiling
+    val perfect = Seq.fill(30)(("a", "p")) ++ Seq.fill(30)(("b", "q"))
+    val r1 = Profiling.cramersV(perfect.toDF("x", "y"), "x", "y").head()
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("p", "q") }
+      yield Seq.fill(15)((x, y))).flatten
+    val r2 = Profiling.cramersV(indep.toDF("x", "y"), "x", "y").head()
+    assert(r2.getAs[Double]("cramers_v") == 0.0)
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
