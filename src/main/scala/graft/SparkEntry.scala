@@ -3337,6 +3337,27 @@ object SparkEntry {
       // Effect size for the lang×source contingency — the in-[0,1]
       // companion to q_chi2_independence; micro-quantized cell sums.
       Profiling.cramersV(table(s, dir, "documents"), "lang", "source")),
+    "q_spearman" -> ((s, dir) => {
+      // Monotone spend↔purchases association per user WITHOUT O(n²)
+      // pairs: doubled midranks off two prefix sums, exact integer
+      // moments, shared-SQL Pearson — the scale path next to τ-b.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+      Profiling.spearman(users, "spend", "n_purch")
+    }),
+    "q_mcc" -> ((s, dir) => {
+      // Matthews correlation of the spend>threshold rule against the
+      // heavy-purchaser label — the imbalance-honest single score from
+      // four exact confusion cells in one aggregate.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+            .as("heavy"))
+        .withColumn("pred", col("spend") > 330000L) // ≈ median user spend
+      Profiling.mcc(users, "pred", "heavy")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -6743,6 +6764,52 @@ object SparkEntry {
          |SELECT n, n_x, n_y, chi2_micro,
          |  ${graft.operators.Profiling.cramersVSql} AS cramers_v
          |FROM t""".stripMargin,
+    "q_spearman" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purch
+         |  FROM events GROUP BY 1),
+         |px AS (SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM users GROUP BY 1),
+         |cx AS (SELECT v AS spend,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) * 2 - nv + 1 AS rx2
+         |  FROM px),
+         |py AS (SELECT n_purch AS v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM users GROUP BY 1),
+         |cy AS (SELECT v AS n_purch,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) * 2 - nv + 1 AS ry2
+         |  FROM py),
+         |j AS (SELECT rx2, ry2 FROM users
+         |  JOIN cx USING (spend) JOIN cy USING (n_purch)),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         |    CAST(SUM(rx2*rx2) AS BIGINT) AS sxx,
+         |    CAST(SUM(ry2*ry2) AS BIGINT) AS syy,
+         |    CAST(SUM(rx2*ry2) AS BIGINT) AS sxy FROM j)
+         |SELECT n, sx, sy, sxx, syy, sxy,
+         |  ${graft.operators.Profiling.pearsonMomentsSql} AS spearman_rho
+         |FROM m""".stripMargin,
+    "q_mcc" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15)
+         |      AS heavy
+         |  FROM events GROUP BY 1),
+         |p AS (SELECT (spend > 330000) AS pred, heavy FROM users),
+         |c AS (SELECT
+         |    CAST(SUM(CASE WHEN pred AND heavy THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tp,
+         |    CAST(SUM(CASE WHEN pred AND NOT heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT pred AND NOT heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    CAST(SUM(CASE WHEN NOT pred AND heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn FROM p)
+         |SELECT tp, fp, tn, fn, ${graft.operators.Profiling.mccSql} AS mcc
+         |FROM c""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

@@ -339,6 +339,72 @@ object Profiling {
         min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
   }
 
+  /** Spearman rank correlation — Pearson over MIDRANKS, the monotone-
+    * association measure that (unlike [[kendallTau]]'s O(n²) pairs)
+    * costs two distinct-value prefix sums + one moment aggregate:
+    * each variable's values map to doubled midranks (2·rank stays an
+    * exact integer through ties), and ρ is the shared-SQL Pearson over
+    * the exact integer moment sums. Value-keyed joins throughout — the
+    * vocabulary-join discipline, nothing sorts globally. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranked(c: String, out: String) = {
+      val per = df.groupBy(col(c).cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("nv"))
+      Eval.rangedCumsum(per, Nil, "v", Seq("nv"))
+        .select(col("v").as(c),
+          (col("cum_nv") * 2 - col("nv") + 1).as(out)) // 2·midrank
+    }
+    val u = df.select(col(xCol).cast("long").as(xCol),
+      col(yCol).cast("long").as(yCol))
+    val withRanks = u
+      .join(ranked(xCol, "rx2"), Seq(xCol))
+      .join(ranked(yCol, "ry2"), Seq(yCol))
+    withRanks.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rx2")).cast("long").as("sx"),
+      sum(col("ry2")).cast("long").as("sy"),
+      sum(col("rx2") * col("rx2")).cast("long").as("sxx"),
+      sum(col("ry2") * col("ry2")).cast("long").as("syy"),
+      sum(col("rx2") * col("ry2")).cast("long").as("sxy"))
+      .withColumn("spearman_rho", expr(pearsonMomentsSql))
+  }
+
+  /** Guarded Pearson over a moment-sum row, shared with the oracle. */
+  val pearsonMomentsSql: String = {
+    val (vx, vy) = ("(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)",
+      "(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)")
+    s"CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+      s"round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / " +
+      s"sqrt($vx * $vy), 6) END"
+  }
+
+  /** Matthews correlation coefficient — the single-number binary-
+    * classifier score that stays honest under class imbalance (accuracy
+    * and F1 both don't): MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)
+    * (TN+FN)) from the four exact confusion cells in ONE aggregate;
+    * NULL when a marginal is empty (undefined by convention). */
+  def mcc(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    df.agg(
+      sum(when(col(predCol) && col(labelCol), 1L).otherwise(0L))
+        .cast("long").as("tp"),
+      sum(when(col(predCol) && !col(labelCol), 1L).otherwise(0L))
+        .cast("long").as("fp"),
+      sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L))
+        .cast("long").as("tn"),
+      sum(when(!col(predCol) && col(labelCol), 1L).otherwise(0L))
+        .cast("long").as("fn"))
+      .withColumn("mcc", expr(mccSql))
+
+  /** MCC over the confusion row, shared with the oracle. The products
+    * run in doubles (identical both engines) — exact-integer products of
+    * four marginals would overflow long at ~10⁵ rows. */
+  val mccSql: String = {
+    val den = "(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))"
+    s"CASE WHEN $den > 0 THEN " +
+      s"round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) / " +
+      s"sqrt($den), 6) END"
+  }
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

@@ -814,6 +814,34 @@ class Round8cOpsSpec extends SparkFunSuite {
     assert(r2.getAs[Double]("cramers_v") == 0.0)
   }
 
+  test("spearman: monotone nonlinear = 1, reversal = -1, midranks handle ties") {
+    import graft.operators.Profiling
+    val up = (1L to 30L).map(i => (i, i * i * i))
+    assert(Profiling.spearman(up.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("spearman_rho") == 1.0)
+    val down = (1L to 30L).map(i => (i, 1000L - i))
+    assert(Profiling.spearman(down.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("spearman_rho") == -1.0)
+    // heavy ties in y must not break exactness (half the mass tied)
+    val tied = (1L to 30L).map(i => (i, if (i <= 15) 1L else 2L))
+    val rho = Profiling.spearman(tied.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("spearman_rho")
+    assert(rho > 0.8 && rho < 0.9, s"rho=$rho") // √(3/4) ≈ 0.866
+  }
+
+  test("mcc: perfect predictor 1, inverted -1, constant prediction NULL") {
+    import graft.operators.Profiling
+    val d = (1L to 40L).map(i => (i <= 10L, i <= 10L)) // imbalanced 25%
+    assert(Profiling.mcc(d.toDF("p", "y"), "p", "y")
+      .head().getAs[Double]("mcc") == 1.0)
+    val inv = (1L to 40L).map(i => (i > 10L, i <= 10L))
+    assert(Profiling.mcc(inv.toDF("p", "y"), "p", "y")
+      .head().getAs[Double]("mcc") == -1.0)
+    val const = (1L to 40L).map(i => (true, i <= 10L))
+    assert(Profiling.mcc(const.toDF("p", "y"), "p", "y")
+      .head().isNullAt(4)) // undefined marginal → NULL by convention
+  }
+
   test("theilSen: exact slope on a clean line, robust to one outlier") {
     import graft.operators.TimeSeries
     val clean = (0L to 20L).map(x => ("a", x, 10L + 2L * x)).toDF("g", "x", "y")
