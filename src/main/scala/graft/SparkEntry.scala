@@ -6119,14 +6119,14 @@ object SparkEntry {
         |  FROM reach GROUP BY u) comp USING (id)""".stripMargin,
     "q_table_fingerprint" ->
       """WITH h AS (SELECT l_returnflag, CAST('0x' || substr(md5(
-        |    CAST(l_orderkey AS VARCHAR) || '|' ||
-        |    CAST(l_partkey AS VARCHAR) || '|' ||
-        |    CAST(l_suppkey AS VARCHAR) || '|' ||
-        |    CAST(l_linenumber AS VARCHAR) || '|' ||
-        |    CAST(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS VARCHAR)
-        |      || '|' ||
-        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 15) AS BIGINT)
-        |    AS h
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), '<NUL>') || '|' ||
+        |    COALESCE(CAST(l_partkey AS VARCHAR), '<NUL>') || '|' ||
+        |    COALESCE(CAST(l_suppkey AS VARCHAR), '<NUL>') || '|' ||
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), '<NUL>') || '|' ||
+        |    COALESCE(CAST(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+        |      AS VARCHAR), '<NUL>') || '|' ||
+        |    COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '<NUL>')),
+        |    1, 15) AS BIGINT) AS h
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(h % 1099511627776) AS BIGINT) AS hash_sum,
@@ -6785,9 +6785,9 @@ object SparkEntry {
          |  JOIN cx USING (spend) JOIN cy USING (n_purch)),
          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |    CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
-         |    CAST(SUM(rx2*rx2) AS BIGINT) AS sxx,
-         |    CAST(SUM(ry2*ry2) AS BIGINT) AS syy,
-         |    CAST(SUM(rx2*ry2) AS BIGINT) AS sxy FROM j)
+         |    CAST(SUM(rx2*rx2) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(SUM(ry2*ry2) AS DECIMAL(38,0)) AS syy,
+         |    CAST(SUM(rx2*ry2) AS DECIMAL(38,0)) AS sxy FROM j)
          |SELECT n, sx, sy, sxx, syy, sxy,
          |  ${graft.operators.Profiling.pearsonMomentsSql} AS spearman_rho
          |FROM m""".stripMargin,

@@ -256,6 +256,12 @@ object Graph {
       e = pruned
       round += 1
     }
+    // a truncated peel is NOT a k-core (vertices with degree < k may
+    // survive) — long chains need O(n) rounds, so fail loudly instead of
+    // returning a silently-wrong subgraph; callers raise maxRounds
+    require(converged || nEdges == 0,
+      s"kCore(k=$k) did not reach its fixpoint within $maxRounds rounds " +
+        s"($nEdges edges still shrinking) — raise maxRounds")
     e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("core_deg"))
   }

@@ -330,14 +330,24 @@ object Profiling {
   def tableFingerprint(
       df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    // concat_ws SKIPS nulls, so without a sentinel (a, NULL, b) and
+    // (a, b, NULL) render identically — a false "content equal" for a
+    // validation primitive. The sentinel is part of the canonical
+    // rendering contract (mirrored in the oracle's COALESCE).
     df.select(col(groupCol),
         graft.functions.TextFunctions.tokenHash60(
-          concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("h"))
+          concat_ws("|", cols.map(c =>
+            coalesce(col(c).cast("string"), lit(nullSentinel))): _*)).as("h"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         sum(pmod(col("h"), lit(1099511627776L))).cast("long").as("hash_sum"),
         min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
   }
+
+  /** The canonical NULL rendering inside [[tableFingerprint]] rows —
+    * chosen to be unlikely in real cell values; the oracle SQL must
+    * COALESCE with the same token. */
+  val nullSentinel: String = "<NUL>"
 
   /** Spearman rank correlation — Pearson over MIDRANKS, the monotone-
     * association measure that (unlike [[kendallTau]]'s O(n²) pairs)
@@ -359,13 +369,17 @@ object Profiling {
     val withRanks = u
       .join(ranked(xCol, "rx2"), Seq(xCol))
       .join(ranked(yCol, "ry2"), Seq(yCol))
+    // second moments of doubled midranks grow ~4n³ — a LONG sum
+    // overflows silently past ~1.3M rows, so the squared sums run in
+    // DECIMAL(38,0) (exact to ~3·10¹² rows; each PRODUCT still fits a
+    // long to ~1.5·10⁹ rows). sx/sy are ~n² — long is fine to ~3·10⁹.
     withRanks.agg(
       count(lit(1)).cast("long").as("n"),
       sum(col("rx2")).cast("long").as("sx"),
       sum(col("ry2")).cast("long").as("sy"),
-      sum(col("rx2") * col("rx2")).cast("long").as("sxx"),
-      sum(col("ry2") * col("ry2")).cast("long").as("syy"),
-      sum(col("rx2") * col("ry2")).cast("long").as("sxy"))
+      sum((col("rx2") * col("rx2")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("ry2") * col("ry2")).cast("decimal(38,0)")).as("syy"),
+      sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"))
       .withColumn("spearman_rho", expr(pearsonMomentsSql))
   }
 
@@ -458,8 +472,13 @@ object Profiling {
       col(yCol).cast("long").as("y"))
     // tag rows with ANY unique id: every aggregate below is symmetric in
     // (a, b), so which member of an unordered pair gets the smaller id
-    // cannot change the result — the id only ensures each pair counts once
+    // cannot change the result — the id only ensures each pair counts once.
+    // The ids MUST be identical on both sides of the self-join, and
+    // monotonically_increasing_id is nondeterministic under re-evaluation
+    // (spill, task retry, differing upstream partitioning per side) —
+    // materialize ONCE so both join branches read the same tagged rows
     val idd = u.withColumn("__i", monotonically_increasing_id())
+      .localCheckpoint(true)
     val pp = idd.as("a").join(idd.as("b"), col("a.__i") < col("b.__i"))
       .select(
         (signum(col("b.x") - col("a.x")) *

@@ -435,7 +435,8 @@ object TimeSeries {
   def ljungBox(
       perBucket: DataFrame, keyCol: String, bucketCol: String,
       valueCol: String, maxLag: Int = 5): DataFrame = {
-    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    require(chi2Crit095.contains(maxLag),
+      s"maxLag must be in [1, 20] (supported χ² table range): $maxLag")
     val base = perBucket.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n_series"))
     val joined = (1 to maxLag).foldLeft(base) { (acc, k) =>
@@ -446,8 +447,20 @@ object TimeSeries {
     }
     joined
       .withColumn("lb_stat", expr(lbSql(maxLag)))
-      .withColumn("significant", expr(s"${lbSql(maxLag)} > 11.0705"))
+      .withColumn("significant",
+        expr(s"${lbSql(maxLag)} > ${chi2Crit095(maxLag)}"))
   }
+
+  /** χ²_m(0.95) critical values keyed by df = maxLag — Q at m lags is
+    * flagged against the m-df quantile, NOT a fixed one (m=1 → 3.84,
+    * m=10 → 18.31). m=5 stays the 11.0705 literal shared with the
+    * oracle SQL. */
+  val chi2Crit095: Map[Int, Double] = Map(
+    1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
+    5 -> 11.0705, 6 -> 12.591587, 7 -> 14.067140, 8 -> 15.507313,
+    9 -> 16.918978, 10 -> 18.307038, 11 -> 19.675138, 12 -> 21.026070,
+    13 -> 22.362032, 14 -> 23.684791, 15 -> 24.995790, 16 -> 26.296228,
+    17 -> 27.587112, 18 -> 28.869299, 19 -> 30.143527, 20 -> 31.410433)
 
   /** Q over the per-lag ρ columns, shared with the oracle. 11.0705 =
     * χ²₅(0.95), matching the default maxLag. */

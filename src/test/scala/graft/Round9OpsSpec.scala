@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Graph, Profiling, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: lag-dependent Ljung–Box threshold, NULL-sentinel
+  * fingerprints, overflow-proof Spearman moments, k-core round-budget
+  * guard, kendallTau id determinism under adversarial partitioning. */
+class Round9OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("ljungBox: threshold follows maxLag df (3.84 at lag 1, not 11.07)") {
+    // alternating ± series: rho_1 ≈ -1 → Q_1 ≈ n(n+2)/(n-1) ≈ n+3. With
+    // n=12, Q ≈ 15.7 — wait, rho_1^2≈1 → Q≈n(n+2)/(n-1). Pick n so Q
+    // lands BETWEEN chi2_1(0.95)=3.84 and chi2_5(0.95)=11.07: scale the
+    // correlation down instead — a weakly lag-1-correlated series.
+    // Deterministic fixture: y = (x%3) + small alternating bump.
+    val rows = (0L until 40L).map(x =>
+      ("g", x, (x % 3L) * 10L + (if (x % 2 == 0) 3L else 0L)))
+    val got = TimeSeries.ljungBox(rows.toDF("g", "x", "y"),
+      "g", "x", "y", maxLag = 1).head()
+    val q = got.getAs[Double]("lb_stat")
+    val sig = got.getAs[Boolean]("significant")
+    // the flag must equal Q > chi2_1(0.95), NOT Q > 11.0705
+    assert(sig == (q > 3.841459), s"Q=$q sig=$sig")
+    // and the fixture is chosen to discriminate: the old hardcoded 11.0705
+    // threshold would give the OPPOSITE answer if Q lands in (3.84, 11.07]
+    if (q > 3.841459 && q <= 11.0705)
+      assert(sig, "lag-1 Q in (3.84, 11.07] must flag under df=1")
+    // unsupported lag fails loudly instead of using a wrong quantile
+    intercept[IllegalArgumentException] {
+      TimeSeries.ljungBox(rows.toDF("g", "x", "y"), "g", "x", "y",
+        maxLag = 25)
+    }
+  }
+
+  test("ljungBox: maxLag=1 on a strongly alternating series flags at df=1") {
+    val alt = (0L until 30L).map(x =>
+      ("a", x, if (x % 2 == 0) 100L else -100L))
+    val got = TimeSeries.ljungBox(alt.toDF("g", "x", "y"),
+      "g", "x", "y", maxLag = 1).head()
+    assert(got.getAs[Boolean]("significant"))
+    assert(got.getAs[Double]("lb_stat") > 3.841459)
+  }
+
+  test("tableFingerprint: NULL position matters (sentinel rendering)") {
+    // (a, NULL, b) vs (a, b, NULL) — concat_ws alone would render both as
+    // "a|b"; the sentinel keeps them distinct
+    val t1 = Seq(("g", Some("a"), None: Option[String], Some("b")))
+      .toDF("grp", "c1", "c2", "c3")
+    val t2 = Seq(("g", Some("a"), Some("b"), None: Option[String]))
+      .toDF("grp", "c1", "c2", "c3")
+    val f1 = Profiling.tableFingerprint(t1, "grp", Seq("c1", "c2", "c3"))
+      .head()
+    val f2 = Profiling.tableFingerprint(t2, "grp", Seq("c1", "c2", "c3"))
+      .head()
+    assert(f1.getAs[Long]("hash_sum") != f2.getAs[Long]("hash_sum"),
+      "NULL-position swap must change the fingerprint")
+    // and a NULL cell differs from the literal sentinel string only by
+    // convention — the contract documents '<NUL>' as reserved
+    assert(Profiling.nullSentinel == "<NUL>")
+  }
+
+  test("spearman: exact at 2M rows where long second moments overflow") {
+    // doubled midranks reach 2n-1 = 4M-1; sum of squares ≈ 4n³/3 ≈
+    // 1.1e19 > Long.MaxValue (9.2e18) — the DECIMAL(38,0) moments keep
+    // the Pearson finish exact where a silent long wrap would NULL it
+    // (negative variance) or corrupt it
+    val n = 2000000L
+    val df = spark.range(n).select(col("id").as("x"), col("id").as("y"))
+    val r = Profiling.spearman(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == n)
+    val sxx = r.getAs[java.math.BigDecimal]("sxx")
+    assert(sxx.compareTo(
+      java.math.BigDecimal.valueOf(Long.MaxValue)) > 0,
+      s"fixture must exceed long range: sxx=$sxx")
+    assert(r.getAs[Double]("spearman_rho") == 1.0)
+  }
+
+  test("kCore: exhausted round budget throws instead of truncating") {
+    // a 14-vertex path at k=2 peels one vertex from each end per round —
+    // needs 7 rounds to empty; 2 rounds leaves degree-1 vertices behind
+    val path = (0L until 13L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(path, "src", "dst", k = 2, maxRounds = 2).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // with budget, the path fully peels (no 2-core) — and an attached
+    // triangle survives as the exact 2-core
+    assert(Graph.kCore(path, "src", "dst", k = 2, maxRounds = 20)
+      .count() == 0L)
+    val withTri = path.union(
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (102L, 0L))
+        .toDF("src", "dst"))
+    val core = Graph.kCore(withTri, "src", "dst", k = 2, maxRounds = 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(core == Set(100L, 101L, 102L))
+  }
+
+  test("kendallTau: stable under adversarial repartition/shuffle upstream") {
+    // the id-tagged frame is materialized once, so both self-join sides
+    // read identical ids even when the upstream partitioning is volatile
+    val base = (1L to 40L).map(i => (i, (i * 7L) % 13L)).toDF("x", "y")
+    val expected = Profiling.kendallTau(base, "x", "y").head()
+    val shuffled = Profiling.kendallTau(
+      base.repartition(17, col("y")).sortWithinPartitions(desc("x")),
+      "x", "y").head()
+    assert(expected.getAs[Double]("tau_b") ==
+      shuffled.getAs[Double]("tau_b"))
+    assert(expected.getAs[Long]("n_pairs") == 780L)
+    assert(shuffled.getAs[Long]("n_pairs") == 780L)
+  }
+}
