@@ -1678,8 +1678,16 @@ object SparkEntry {
       val lowBp = TextAnalysis.boilerplateProfile(d, dfThreshold = 10L)
         .filter(col("n_shingles") === 0L || col("n_common") * 5 <= col("n_shingles") * 3)
         .select(col("doc_id"))
+      // materialize the gated corpus ONCE: both the weight derivation and
+      // the mix's prefix-sum checkpoint consume `gated`, and those run as
+      // SEPARATE jobs (the mix materializes eagerly) — without this, the
+      // quality + boilerplate pipeline is evaluated twice, since exchange
+      // reuse cannot cross job boundaries. Only the three columns the
+      // downstream stages read are kept.
       val gated = d.join(ok, Seq("doc_id"), "left_semi")
         .join(lowBp, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(true)
       val w = gated.select(col("source")).distinct()
         .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
       Sampling.tokenBudgetMix(gated, w, totalBudget = 8000L)

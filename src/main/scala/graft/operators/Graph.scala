@@ -168,17 +168,53 @@ object Graph {
     * COUNT is orientation-invariant, so any engine that enumerates
     * id-ordered triangles (the DuckDB oracle does) gets identical results.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set: (lo, hi), lo < hi, distinct
-    val und = edges
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Long = Long.MaxValue): DataFrame =
+    triangleCountsCanonical(canonicalUndirected(edges, srcCol, dstCol),
+      maxDeg)
+
+  /** Canonical undirected edge set: (lo, hi), lo < hi, self-loops and
+    * duplicate/reversed-duplicate edges dropped. NOT materialized —
+    * callers that consume it from several kernels localCheckpoint it
+    * once themselves ([[nodeFeatures]]). */
+  private[graft] def canonicalUndirected(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
+
+  /** [[triangleCounts]] over a pre-canonicalized `(lo, hi)` edge frame —
+    * the shared kernel entry for callers that already derived the
+    * canonical set ([[nodeFeatures]]), so one query never symmetrizes
+    * the same edge list twice.
+    *
+    * `maxDeg` is the 100×-scale valve for power-law graphs: total wedge
+    * work is O(m^1.5) via the degree orientation, but m itself explodes
+    * when hubs are present. With a cap, every edge INCIDENT to a vertex
+    * of degree > maxDeg is excluded first, and the result is the EXACT
+    * triangle count of the hub-removed subgraph — a documented,
+    * well-defined degradation (triangles through a hub are not counted),
+    * not a sampled approximation. Default = no cap = exact kernel. */
+  private[graft] def triangleCountsCanonical(
+      cand: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     // undirected degree per vertex (rides both endpoints)
-    val deg = und.select(col("lo").as("id"))
-      .unionByName(und.select(col("hi").as("id")))
+    val degAll = cand.select(col("lo").as("id"))
+      .unionByName(cand.select(col("hi").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // hub cap: drop edges touching any vertex above maxDeg (exact
+    // triangles of the induced subgraph); orientation keys on ORIGINAL
+    // degrees — any consistent total order keeps the kernel correct
+    val (und, deg) =
+      if (maxDeg == Long.MaxValue) (cand, degAll)
+      else {
+        val keep = degAll.filter(col("deg") <= maxDeg).select(col("id"))
+        (cand
+          .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
+          degAll)
+      }
     // orient each edge from lower (deg, id) to higher (deg, id); the edge
     // set is materialized once (localCheckpoint) because both the wedge
     // self-join and the closing join consume it
@@ -317,19 +353,31 @@ object Graph {
     * hubs first on a power-law graph). Top-K via TakeOrdered under a
     * total order (score desc, a, b), never a global sort. */
   def adamicAdar(
-      edges: DataFrame, srcCol: String, dstCol: String, topK: Int): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String, topK: Int,
+      maxCenterDeg: Long = Long.MaxValue): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .localCheckpoint(true) // wedges join it twice; adjacency reads it once
-    val contrib = und.groupBy(col("u").as("w"))
+    val degW = und.groupBy(col("u").as("w"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .filter(col("deg") >= 2) // only wedge centers matter; ln(1)=0 guard
+      .filter(col("deg") <= maxCenterDeg) // hub-cap valve, see below
+    val contrib = degW
       .withColumn("contrib",
         round(lit(1000000.0) / log(col("deg").cast("double")), 0).cast("long"))
       .select(col("w"), col("contrib"))
-    val wedges = und.as("x").join(und.as("y"),
+    // maxCenterDeg bounds the Σ deg(w)² wedge blow-up at power-law scale:
+    // the semi-join removes hub PIVOTS before the self-join runs (not
+    // after), so the capped cost is Σ_{deg(w)≤cap} deg(w)² ≤ cap·m.
+    // Scores become exact Adamic–Adar of the hub-center-excluded wedge
+    // set — a principled cut, since a hub contributes only 1/ln(deg)→0
+    // per pair anyway. Default = no cap = exact kernel.
+    val undPivot =
+      if (maxCenterDeg == Long.MaxValue) und
+      else und.join(degW.select(col("w").as("u")), Seq("u"), "left_semi")
+    val wedges = undPivot.as("x").join(undPivot.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("w"), col("x.v").as("a"), col("y.v").as("b"))
     val scored = wedges.join(contrib, Seq("w"))
@@ -352,13 +400,15 @@ object Graph {
     * degree-1 nodes get lcc=0 by convention. */
   def nodeFeatures(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
+    // ONE canonical derivation, materialized once, feeds BOTH the degree
+    // aggregate and the triangle kernel — the plan has a single
+    // symmetrize+distinct subtree, not one per kernel
+    val cand = canonicalUndirected(edges, srcCol, dstCol)
       .localCheckpoint(true)
-    val deg = und.groupBy(col("u").as("id"))
-      .agg(count(lit(1)).cast("long").as("deg"))
-    val tri = triangleCounts(edges, srcCol, dstCol)
+    val deg = cand.select(col("lo").as("id"))
+      .unionByName(cand.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+    val tri = triangleCountsCanonical(cand)
       .select(col("id"), col("n_tri").cast("long").as("n_tri"))
     deg.join(tri, Seq("id"), "left")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))

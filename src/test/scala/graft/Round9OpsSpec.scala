@@ -97,6 +97,62 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(core == Set(100L, 101L, 102L))
   }
 
+  test("triangleCounts maxDeg: planted hub excluded, small triangles exact") {
+    // a 60-spoke hub whose spokes form triangles with it, plus two
+    // disjoint hub-free triangles; capping at maxDeg=10 removes every
+    // hub-incident edge (and with it the spoke-pair edges' hub triangles)
+    // while the small triangles keep their EXACT counts
+    val hub = (1L to 60L).map(i => (0L, i)) ++
+      (1L until 60L).map(i => (i, i + 1)) // spokes chained → hub triangles
+    val small = Seq((100L, 101L), (101L, 102L), (100L, 102L),
+      (200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (hub ++ small).toDF("src", "dst")
+    val exact = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tri")).toMap
+    assert(exact(0L) == 59L) // hub closes every chained spoke pair
+    assert(exact(100L) == 1L && exact(202L) == 1L)
+    val capped = Graph.triangleCounts(edges, "src", "dst", maxDeg = 10L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tri")).toMap
+    assert(!capped.contains(0L), "hub must not survive the cap")
+    // hub-free triangles are EXACT under the cap
+    for (v <- Seq(100L, 101L, 102L, 200L, 201L, 202L))
+      assert(capped(v) == 1L, s"vertex $v")
+    // chained spokes lost their hub triangles (chain alone has none)
+    assert(!capped.contains(30L))
+  }
+
+  test("adamicAdar maxCenterDeg: hub centers excluded, small centers exact") {
+    // hub 0 connects to 40 leaves (every leaf pair gets a hub-center
+    // wedge); a separate 3-star at 500 gives exact small-center scores
+    val hub = (1L to 40L).map(i => (0L, i))
+    val star = Seq((500L, 501L), (500L, 502L), (500L, 503L))
+    val edges = (hub ++ star).toDF("src", "dst")
+    val exact = Graph.adamicAdar(edges, "src", "dst", topK = 1000)
+    assert(exact.count() == (40L * 39 / 2) + 3L)
+    val capped = Graph.adamicAdar(edges, "src", "dst", topK = 1000,
+      maxCenterDeg = 10L)
+    val rows = capped.collect()
+    assert(rows.length == 3, "only the 3-star's leaf pairs survive")
+    // score = round(1e6/ln(3)) exactly, per pair
+    val want = math.rint(1000000.0 / math.log(3.0)).toLong
+    assert(rows.forall(_.getAs[Long]("aa_micro") == want))
+  }
+
+  test("nodeFeatures matches the standalone triangle kernel (shared subtree)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (6L, 1L)).toDF("src", "dst")
+    val feats = Graph.nodeFeatures(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("lcc_micro")))).toMap
+    val tri = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tri")).toMap
+    for ((id, (_, nTri, _)) <- feats)
+      assert(nTri == tri.getOrElse(id, 0L), s"id=$id")
+    assert(feats(3L) == ((4L, 2L, 333333L))) // 2·2·1e6/(4·3)
+    assert(feats(6L) == ((1L, 0L, 0L)))
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
