@@ -55,6 +55,7 @@ object PlanDump {
     "q_market_basket",       // self-join reuses ONE distinct exchange; 1-row total broadcast
     "q_jaro_winkler",        // brand-blocked fuzzy join, codegen'd kernel, fanned probe side
     "q_triangle_count",      // degree-ordered wedges: two equi-joins, no BNLJ
+    "q_graph_features",      // ONE canonical-edge subtree feeds deg + triangle kernel
     "q_cusum",               // one agg + one window + one repartition, object fold at the top
     "q_interval_union",      // ONE user-hashed exchange drives both windows + both aggs
     "q_sssp",                // src-partitioned checkpointed edges; per-round dist-side shuffle only

@@ -739,6 +739,32 @@ object ScaleSmoke {
         .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
       drain(graft.operators.Graph.nodeFeatures(e, "src", "dst"))
     }
+    // hub-cap valve: a power-law hub makes the wedge kernels' Σ deg²
+    // superlinear; with maxDeg/maxCenterDeg the hub is excluded BEFORE the
+    // self-joins, so wall-clock must stay ~flat as the planted hub grows
+    // 5× (the uncapped adamicAdar on the 500k-spoke hub would enumerate
+    // 1.25·10¹¹ wedge pairs — that row is intentionally absent)
+    for (spokes <- Seq(100000L, 500000L)) {
+      time(s"hubCap wedge kernels (hub=${spokes / 1000}k spokes, cap=64)") {
+        val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val base = li0.as("a").join(li0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+          .filter(col("n_ord") >= 2)
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+        val hub = spark.range(spokes)
+          .select(lit(-1L).as("src"), (col("id") + 1_000_000_000L).as("dst"))
+        val e = base.unionByName(hub)
+        drain(graft.operators.Graph.triangleCounts(e, "src", "dst",
+          maxDeg = 64L))
+        drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20,
+          maxCenterDeg = 64L))
+      }
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
