@@ -334,17 +334,23 @@ object Dedup {
         .agg(min(col("component")).as("component"))
       // (b) pointer jumping: component values are themselves node ids, so
       // every label resolves — adopt label(label(node)), halving depth
-      val next = propagated
+      val jumped = propagated
         .join(
           propagated.select(col("node").as("component"), col("component").as("__jump")),
           "component")
         .select(col("node"), col("__jump").as("component"))
+      // ONE materialization carries both the next labels and the per-node
+      // change flag: the convergence scalar then reads checkpointed rows
+      // instead of re-running the labels join as its own shuffle job —
+      // at fixpoint-iteration counts the per-round job floor, not data
+      // volume, dominates wall-clock on small-to-mid graphs
+      val next = jumped
+        .join(labels.select(col("node"), col("component").as("__prev")), "node")
+        .select(col("node"), col("component"),
+          (col("component") =!= col("__prev")).as("__changed"))
         .localCheckpoint(true)
-      // convergence = no node changed its label (single driver scalar)
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0L
       iter += 1
     }

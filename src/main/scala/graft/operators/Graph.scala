@@ -436,8 +436,13 @@ object Graph {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .localCheckpoint(true)
+    // default labels run CC on the MATERIALIZED symmetric frame, not the
+    // raw edges — otherwise the caller's (possibly expensive) edge
+    // construction is evaluated a second time inside CC's own symmetrize
+    // (CC re-symmetrizing an already-symmetric frame is an idempotent
+    // distinct over checkpointed rows — cheap)
     val lab = labels.getOrElse(
-      Dedup.connectedComponents(edges, srcCol, dstCol)
+      Dedup.connectedComponents(und, "u", "v")
         .select(col("node"), col("component").as("label")))
       .localCheckpoint(true)
     val m2Df = broadcast(und.agg(count(lit(1)).cast("long").as("m2")))
