@@ -163,15 +163,19 @@ class CliConfigSpec extends SparkFunSuite {
       "kafka.sasl.kerberos.service.name" -> "kafka"))
   }
 
-  test("kafka source is config-complete but unexecutable here: DATA_SOURCE_NOT_FOUND") {
-    // The connector jar is absent (build.sbt documents the failed resolution
-    // attempt); pin the exact failure so a future environment that DOES ship
-    // spark-sql-kafka flips this test and unlocks the path.
-    val ex = intercept[Exception] {
-      Streams.kafkaLines(spark, "localhost:9092", "t").writeStream
-        .format("memory").queryName("kafka_probe").start()
-    }
-    assert(ex.getMessage.contains("kafka"),
-      s"expected a kafka data-source resolution failure, got: ${ex.getMessage}")
+  test("'kafka' format resolves to the test-classpath contract stub (jar still absent)") {
+    // The real connector jar remains absent from the offline mirror
+    // (build.sbt documents the failed resolution attempt). Since round 9
+    // the TEST classpath registers graft.testkit.FakeKafkaSource under the
+    // short name `kafka`, so resolution SUCCEEDS here and the full
+    // source/sink contract is exercised end-to-end in
+    // FakeKafkaContractSpec. Pin that the resolved provider is the stub:
+    // if a future environment ships the real spark-sql-kafka jar, lookup
+    // turns ambiguous ("Multiple sources found") and this fails loudly —
+    // the signal to delete the stub and run against the real connector.
+    val provider = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource("kafka", spark.sessionState.conf)
+    assert(provider == classOf[graft.testkit.FakeKafkaSource],
+      s"expected the contract stub, got: $provider")
   }
 }
