@@ -3369,6 +3369,44 @@ object SparkEntry {
             .cast("long").as("n_purch"))
       Profiling.spearman(users, "spend", "n_purch")
     }),
+    "q_retrieval_eval" -> ((s, dir) => {
+      // Search/RAG eval triple per customer: parts RANKED by spend are
+      // the retrieved list, graded relevance from bought quantity
+      // (>=60 -> 2, >=30 -> 1); NDCG@10, reciprocal rank, AP@10 from
+      // per-element micro-quantized terms — exact integer sums, one
+      // double division each.
+      val li = table(s, dir, "lineitem").join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("long").as("cust"), col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("spend"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val ranked = li
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cust"))
+            .orderBy(col("spend").desc, col("l_partkey"))).cast("long"))
+        .withColumn("rel",
+          when(col("qty") >= 60L, 2L).when(col("qty") >= 30L, 1L)
+            .otherwise(0L))
+      Eval.retrievalMetrics(ranked, "cust", "rank", "rel", k = 10)
+    }),
+    "q_anova" -> ((s, dir) =>
+      // One-way ANOVA F across event types on per-event cents: exact
+      // per-group moment longs, milli-floored between/within sums via
+      // pure-BIGINT division splitting, single shared-SQL double finish.
+      Eval.anovaF(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
+    "q_runs_test" -> ((s, dir) =>
+      // Wald–Wolfowitz runs test on each type's daily-total change signs:
+      // up/down/run counts as exact integers, z vs the null run count —
+      // the clumpiness alarm next to q_mann_kendall's monotone trend.
+      graft.operators.TimeSeries.runsTest(
+        table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "event_type", "day", "v")),
     "q_mcc" -> ((s, dir) => {
       // Matthews correlation of the spend>threshold rule against the
       // heavy-purchaser label — the imbalance-honest single score from
@@ -6813,6 +6851,87 @@ object SparkEntry {
          |SELECT n, sx, sy, sxx, syy, sxy,
          |  ${graft.operators.Profiling.pearsonMomentsSql} AS spearman_rho
          |FROM m""".stripMargin,
+    "q_retrieval_eval" ->
+      s"""WITH li AS (SELECT CAST(o.o_custkey AS BIGINT) AS cust, l.l_partkey,
+         |    CAST(SUM(CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT))
+         |      AS BIGINT) AS spend,
+         |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT cust, spend,
+         |    CASE WHEN qty >= 60 THEN 2 WHEN qty >= 30 THEN 1 ELSE 0 END
+         |      AS rel,
+         |    CAST(row_number() OVER (PARTITION BY cust
+         |      ORDER BY spend DESC, l_partkey) AS BIGINT) AS r
+         |  FROM li),
+         |h AS (SELECT cust, r, rel,
+         |    CAST(row_number() OVER (PARTITION BY cust ORDER BY rel DESC, r)
+         |      AS BIGINT) AS ideal_r,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY cust ORDER BY r ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS hits_at_r
+         |  FROM rk),
+         |agg AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel,
+         |    CAST(SUM(CASE WHEN r <= 10 THEN CAST(round(
+         |      rel*1000000.0/log2(r+1), 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS dcg_micro,
+         |    CAST(SUM(CASE WHEN ideal_r <= 10 THEN CAST(round(
+         |      rel*1000000.0/log2(ideal_r+1), 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS idcg_micro,
+         |    CAST(MAX(CASE WHEN rel > 0 THEN CAST(round(1000000.0/r, 0)
+         |      AS BIGINT) END) AS BIGINT) AS rr_micro,
+         |    CAST(SUM(CASE WHEN rel > 0 AND r <= 10 THEN CAST(round(
+         |      hits_at_r*1000000.0/r, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS ap_sum_micro
+         |  FROM h GROUP BY 1)
+         |SELECT cust, n_cand, n_rel, dcg_micro, idcg_micro, rr_micro,
+         |  ap_sum_micro, ${graft.operators.Eval.ndcgSql} AS ndcg,
+         |  ${graft.operators.Eval.apSql(10)} AS ap
+         |FROM agg""".stripMargin,
+    "q_anova" ->
+      s"""WITH per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS sg,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT) *
+         |      CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS ssg
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT ng, sg, ssg,
+         |    CAST(${graft.operators.Eval.milliFloorDiv("sg * sg", "ng", "//")}
+         |      AS BIGINT) AS tg_milli FROM per),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+         |    CAST(SUM(ssg) AS BIGINT) AS ss,
+         |    CAST(SUM(tg_milli) AS BIGINT) AS t_milli FROM t)
+         |SELECT g, n, s, ss, t_milli,
+         |  CAST(${graft.operators.Eval.anovaSsbSql("//")} AS BIGINT)
+         |    AS ssb_milli,
+         |  CAST(${graft.operators.Eval.anovaSswSql} AS BIGINT) AS ssw_milli,
+         |  ${graft.operators.Eval.anovaFSql("//")} AS f_stat
+         |FROM agg""".stripMargin,
+    "q_runs_test" ->
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT event_type, day,
+         |    v - lag(v) OVER (PARTITION BY event_type ORDER BY day) AS dd
+         |  FROM pd),
+         |sg AS (SELECT event_type, day, CAST(sign(dd) AS BIGINT) AS s
+         |  FROM d WHERE dd IS NOT NULL AND dd <> 0),
+         |rr AS (SELECT event_type, s,
+         |    CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+         |      IS NULL OR lag(s) OVER (PARTITION BY event_type
+         |      ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+         |  FROM sg),
+         |agg AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_down,
+         |    CAST(SUM(new_run) AS BIGINT) AS n_runs
+         |  FROM rr GROUP BY 1)
+         |SELECT event_type, n_up, n_down, n_runs,
+         |  ${graft.operators.TimeSeries.runsZSql} AS z
+         |FROM agg""".stripMargin,
     "q_mcc" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

@@ -631,4 +631,110 @@ object Eval {
         round(col("sum_score").cast("double") / col("n"), 6).as("mean_score"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
   }
+
+  /** Ranked-retrieval quality per query — NDCG@k, reciprocal rank, and
+    * AP@k from ONE pass over a (query, rank, graded-relevance) table: the
+    * RAG / search-eval triple. Every fractional term is micro-quantized
+    * PER ELEMENT (round(·10⁶) as BIGINT) so all sums are exact integers —
+    * order-independent across partitions and engines; the only doubles
+    * are one final division each (shared SQL). The ideal ordering for
+    * IDCG breaks relevance ties by the ACTUAL rank (deterministic, and
+    * ties don't change DCG anyway). AP@k divides by min(n_rel, k) — the
+    * standard truncated-AP convention. Per-query windows only (bounded
+    * candidate lists), one grouped aggregate; queries scale out freely. */
+  def retrievalMetrics(
+      df: DataFrame, queryCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy(col(queryCol))
+    val base = df.select(col(queryCol),
+        col(rankCol).cast("long").as("r"), col(relCol).cast("long").as("rel"))
+      .withColumn("ideal_r",
+        row_number().over(byQ.orderBy(col("rel").desc, col("r"))).cast("long"))
+      .withColumn("hits_at_r",
+        sum(when(col("rel") > 0, 1L).otherwise(0L))
+          .over(byQ.orderBy(col("r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    base.groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_cand"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long").as("n_rel"),
+        sum(when(col("r") <= k,
+            round(col("rel") * 1000000.0 / log2(col("r") + 1), 0).cast("long"))
+          .otherwise(0L)).cast("long").as("dcg_micro"),
+        sum(when(col("ideal_r") <= k,
+            round(col("rel") * 1000000.0 / log2(col("ideal_r") + 1), 0)
+              .cast("long"))
+          .otherwise(0L)).cast("long").as("idcg_micro"),
+        max(when(col("rel") > 0,
+            round(lit(1000000.0) / col("r"), 0).cast("long")))
+          .as("rr_micro"),
+        sum(when(col("rel") > 0 && col("r") <= k,
+            round(col("hits_at_r") * 1000000.0 / col("r"), 0).cast("long"))
+          .otherwise(0L)).cast("long").as("ap_sum_micro"))
+      .withColumn("ndcg", expr(ndcgSql))
+      .withColumn("ap", expr(apSql(k)))
+  }
+
+  /** NDCG over the micro DCG pair, shared with the oracle. */
+  val ndcgSql: String =
+    "CASE WHEN idcg_micro > 0 THEN " +
+      "round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) END"
+
+  /** Truncated AP@k over the micro precision sum, shared with the oracle. */
+  def apSql(k: Int): String =
+    "CASE WHEN n_rel > 0 THEN round(CAST(ap_sum_micro AS DOUBLE) / " +
+      s"1000000.0 / least(n_rel, $k), 6) END"
+
+  /** One-way ANOVA F over integer-valued observations (cents): per-group
+    * exact (n, Σv, Σv²) longs collapse to one g-row table, and the
+    * between/within sums of squares assemble in EXACT MILLI UNITS via
+    * integer-division splitting — `(s² div n)·10³ + (s² mod n)·10³ div n`
+    * is the milli-floor of s²/n in pure BIGINT arithmetic, so no
+    * order-dependent double sum ever forms (the [[didSql]]/moment-sum
+    * discipline, extended to ratios). Milli (not micro) keeps the scaled
+    * sums in long up to Σv² < ~9·10¹⁵ total — ~10⁹ cents² observations;
+    * the 10⁻³ absolute truncation on sums of magnitude ≫ 10⁶ is far
+    * below the 6-dp rounding of F. Requires non-negative values
+    * (integer div/mod agree across engines there) and Σv per group
+    * < ~3·10⁹ (s² in long) — partition finer otherwise. F itself is the
+    * single final double expression, shared with the oracle. */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col(valCol).cast("long")).cast("long").as("sg"),
+        sum(col(valCol).cast("long") * col(valCol).cast("long"))
+          .cast("long").as("ssg"))
+    per.select(col("ng"), col("sg"), col("ssg"),
+        expr(milliFloorDiv("sg * sg", "ng", "div")).cast("long").as("tg_milli"))
+      .agg(count(lit(1)).cast("long").as("g"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast("long").as("s"),
+        sum(col("ssg")).cast("long").as("ss"),
+        sum(col("tg_milli")).cast("long").as("t_milli"))
+      .withColumn("ssb_milli", expr(anovaSsbSql("div")))
+      .withColumn("ssw_milli", expr(anovaSswSql))
+      .withColumn("f_stat", expr(anovaFSql("div")))
+  }
+
+  /** Milli-floor of a/b in pure BIGINT arithmetic. The integer-division
+    * OPERATOR is the one token the engines spell differently (Spark
+    * `div`, DuckDB `//`) — the arithmetic is written once here and
+    * identical on the non-negative operands [[anovaF]] requires. */
+  def milliFloorDiv(a: String, b: String, idiv: String): String =
+    s"((($a) $idiv ($b)) * 1000 + ((($a) % ($b)) * 1000) $idiv ($b))"
+
+  /** SSB·10³ = Σ s_g²/n_g − S²/N in exact milli units, shared SQL. */
+  def anovaSsbSql(idiv: String): String =
+    s"t_milli - ${milliFloorDiv("s * s", "n", idiv)}"
+
+  /** SSW·10³ = Σv² − Σ s_g²/n_g in exact milli units, shared SQL. */
+  val anovaSswSql: String = "ss * 1000 - t_milli"
+
+  /** F from the milli sums; NULL when a df is empty or SSW is 0. */
+  def anovaFSql(idiv: String): String =
+    s"CASE WHEN g > 1 AND n > g AND ($anovaSswSql) > 0 THEN " +
+      s"round((CAST((${anovaSsbSql(idiv)}) AS DOUBLE) / (g - 1)) / " +
+      s"(CAST(($anovaSswSql) AS DOUBLE) / (n - g)), 6) END"
 }

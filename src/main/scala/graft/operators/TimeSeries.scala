@@ -681,4 +681,49 @@ object TimeSeries {
       .select(col("g").as(groupCol), col("n_pairs").cast("long").as("n_pairs"),
         col("slope_micro").as("sen_slope_micro"))
   }
+
+  /** Wald–Wolfowitz runs test on the per-key series of SUCCESSIVE-change
+    * signs — "do ups and downs alternate like noise, or clump like
+    * trend/regime structure?": the sign sequence s_i = sign(v_i − v_{i−1})
+    * (ties dropped, the standard convention) is reduced to three exact
+    * integers — up-count, down-count, run count — and z compares the run
+    * count to its null mean 2u·d/n + 1. Complements [[mannKendall]]
+    * (monotone trend) with a CLUMPINESS alarm that also fires on
+    * oscillation (z ≫ 0: too many runs). Per-key windows only; the z
+    * arithmetic over the count row is one shared-SQL double chain. */
+  def runsTest(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val signs = perBucket
+      .withColumn("__d",
+        col(valueCol).cast("long") - lag(col(valueCol).cast("long"), 1).over(wk))
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+      .withColumn("__s", signum(col("__d")).cast("long"))
+    signs
+      .withColumn("__new_run",
+        when(lag(col("__s"), 1).over(wk).isNull ||
+          lag(col("__s"), 1).over(wk) =!= col("__s"), 1L).otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).cast("long").as("n_up"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).cast("long").as("n_down"),
+        sum(col("__new_run")).cast("long").as("n_runs"))
+      .withColumn("z", expr(runsZSql))
+  }
+
+  /** z for the run count vs its null distribution, shared with the
+    * oracle; NULL when either sign is absent or the variance degenerates.
+    * Products stay exact BIGINT and cast to DOUBLE once: a `2.0` literal
+    * would be DECIMAL in both parsers, and Spark then runs the whole
+    * chain in decimal (its own rounding) while DuckDB promotes to double
+    * at the first division — a 1-ulp divergence the 6-dp round exposes. */
+  val runsZSql: String =
+    "CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1 AND " +
+      "2*n_up*n_down*(2*n_up*n_down - (n_up+n_down)) > 0 THEN " +
+      "round((CAST(n_runs AS DOUBLE) - " +
+      "(CAST(2*n_up*n_down AS DOUBLE)/(n_up+n_down) + 1)) / " +
+      "sqrt(CAST(2*n_up*n_down*(2*n_up*n_down - (n_up+n_down)) AS DOUBLE) / " +
+      "(CAST(n_up+n_down AS DOUBLE)*(n_up+n_down)*(n_up+n_down-1))), 6) END"
 }

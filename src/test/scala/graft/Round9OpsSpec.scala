@@ -153,6 +153,71 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(feats(6L) == ((1L, 0L, 0L)))
   }
 
+  test("retrievalMetrics: hand-checked NDCG/RR/AP on graded relevance") {
+    import graft.operators.Eval
+    // q1: perfect head — rel 2 then 1 at ranks 1,2 → everything maximal
+    // q2: rel 2 at rank 2, rel 1 at rank 3 → hand-computed micro terms
+    val rows = Seq(
+      ("q1", 1L, 2L), ("q1", 2L, 1L), ("q1", 3L, 0L),
+      ("q2", 1L, 0L), ("q2", 2L, 2L), ("q2", 3L, 1L), ("q2", 4L, 0L))
+    val got = Eval.retrievalMetrics(rows.toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = got("q1")
+    assert(r1.getAs[Long]("n_rel") == 2L)
+    assert(r1.getAs[Double]("ndcg") == 1.0)
+    assert(r1.getAs[Long]("rr_micro") == 1000000L)
+    assert(r1.getAs[Double]("ap") == 1.0)
+    val r2 = got("q2")
+    // dcg = round(2e6/log2(3)) + round(1e6/log2(4)) = 1261860 + 500000
+    assert(r2.getAs[Long]("dcg_micro") == 1761860L)
+    // ideal: rel2@1, rel1@2 → 2e6 + round(1e6/log2(3)) = 2630930
+    assert(r2.getAs[Long]("idcg_micro") == 2630930L)
+    assert(math.abs(r2.getAs[Double]("ndcg") - 1761860.0 / 2630930) < 1e-6)
+    assert(r2.getAs[Long]("rr_micro") == 500000L) // first hit at rank 2
+    // precision terms: round(1e6·1/2)=500000, round(1e6·2/3)=666667
+    assert(r2.getAs[Long]("ap_sum_micro") == 1166667L)
+  }
+
+  test("anovaF: hand-checked two-group F, exact milli sums") {
+    import graft.operators.Eval
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L))
+    val r = Eval.anovaF(rows.toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("g") == 2L && r.getAs[Long]("n") == 6L)
+    // t = milli(36/3) + milli(324/3) = 12000 + 108000
+    assert(r.getAs[Long]("t_milli") == 120000L)
+    assert(r.getAs[Long]("ssb_milli") == 24000L) // SSB = 24
+    assert(r.getAs[Long]("ssw_milli") == 4000L)  // SSW = 4
+    assert(r.getAs[Double]("f_stat") == 24.0)    // (24/1)/(4/4)
+  }
+
+  test("runsTest: hand-checked runs/z, ties dropped, one-sided NULL") {
+    import graft.operators.TimeSeries
+    // deltas: +,+,-,+,- → 3 up, 2 down, 4 runs;
+    // z = (4 - (2·3·2/5 + 1)) / sqrt(12·(12-5)/(5²·4)) = 0.6/√0.84
+    val s1 = Seq(1L, 2L, 3L, 2L, 3L, 2L).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }
+    // constant stretch in the middle: ties drop, same sign sequence
+    val s2 = Seq(1L, 2L, 2L, 2L, 3L, 2L, 3L, 2L).zipWithIndex
+      .map { case (v, i) => ("t", i.toLong, v) }
+    // strictly increasing → no downs → z NULL
+    val s3 = (0L until 6L).map(i => ("up", i, i * 2))
+    val got = TimeSeries.runsTest((s1 ++ s2 ++ s3).toDF("k", "b", "v"),
+        "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    assert(k.getAs[Long]("n_up") == 3L && k.getAs[Long]("n_down") == 2L)
+    assert(k.getAs[Long]("n_runs") == 4L)
+    assert(math.abs(k.getAs[Double]("z") - 0.6 / math.sqrt(0.84)) < 1e-6)
+    val t = got("t")
+    assert(t.getAs[Long]("n_up") == 3L && t.getAs[Long]("n_down") == 2L,
+      "equal consecutive values must drop, not break the sign sequence")
+    assert(t.getAs[Long]("n_runs") == 4L)
+    assert(got("up").getAs[Long]("n_down") == 0L)
+    assert(got("up").isNullAt(got("up").fieldIndex("z")))
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
