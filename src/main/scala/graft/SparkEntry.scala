@@ -3407,6 +3407,29 @@ object SparkEntry {
             expr("unix_millis(ts) div 86400000").as("day"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "event_type", "day", "v")),
+    "q_mcnemar" -> ((s, dir) => {
+      // Paired model comparison on the SAME users: rule A (spend) vs
+      // rule B (clicks) predicting the heavy-purchaser label — only the
+      // discordant cells drive the continuity-corrected chi-square.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"))
+        .withColumn("heavy", col("n_purch") >= 15L)
+        .withColumn("ok_a", (col("spend") > 330000L) === col("heavy"))
+        .withColumn("ok_b", (col("n_click") >= 20L) === col("heavy"))
+      Profiling.mcnemar(users, "ok_a", "ok_b")
+    }),
+    "q_brown_forsythe" -> ((s, dir) =>
+      // Homogeneity-of-variance gate for q_anova: ANOVA F on |cents −
+      // group median| with medians off the prefix-sum kernel — the
+      // robust Levene variant, exact integer deviations throughout.
+      Eval.brownForsythe(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
     "q_mcc" -> ((s, dir) => {
       // Matthews correlation of the spend>threshold rule against the
       // heavy-purchaser label — the imbalance-honest single score from
@@ -6897,16 +6920,18 @@ object SparkEntry {
          |      CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS ssg
          |  FROM events GROUP BY 1),
          |t AS (SELECT ng, sg, ssg,
-         |    CAST(${graft.operators.Eval.milliFloorDiv("sg * sg", "ng", "//")}
-         |      AS BIGINT) AS tg_milli FROM per),
+         |    CAST(${graft.operators.Eval.sqOverNWhole("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_whole,
+         |    CAST(${graft.operators.Eval.sqOverNFracMilli("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_frac FROM per),
          |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
          |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
          |    CAST(SUM(ssg) AS BIGINT) AS ss,
-         |    CAST(SUM(tg_milli) AS BIGINT) AS t_milli FROM t)
-         |SELECT g, n, s, ss, t_milli,
-         |  CAST(${graft.operators.Eval.anovaSsbSql("//")} AS BIGINT)
-         |    AS ssb_milli,
-         |  CAST(${graft.operators.Eval.anovaSswSql} AS BIGINT) AS ssw_milli,
+         |    CAST(SUM(tg_whole) AS BIGINT) AS t_whole,
+         |    CAST(SUM(tg_frac) AS BIGINT) AS t_frac FROM t)
+         |SELECT g, n, s, ss, t_whole, t_frac,
+         |  ${graft.operators.Eval.anovaSsbSql("//")} AS ssb,
+         |  ${graft.operators.Eval.anovaSswSql} AS ssw,
          |  ${graft.operators.Eval.anovaFSql("//")} AS f_stat
          |FROM agg""".stripMargin,
     "q_runs_test" ->
@@ -6931,6 +6956,60 @@ object SparkEntry {
          |  FROM rr GROUP BY 1)
          |SELECT event_type, n_up, n_down, n_runs,
          |  ${graft.operators.TimeSeries.runsZSql} AS z
+         |FROM agg""".stripMargin,
+    "q_mcnemar" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purch,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click
+         |  FROM events GROUP BY 1),
+         |p AS (SELECT (spend > 330000) = (n_purch >= 15) AS ok_a,
+         |    (n_click >= 20) = (n_purch >= 15) AS ok_b FROM users),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b_only_a,
+         |    CAST(SUM(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c_only_b,
+         |    CAST(SUM(CASE WHEN ok_a = ok_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_concordant
+         |  FROM p)
+         |SELECT b_only_a, c_only_b, n_concordant,
+         |  ${graft.operators.Profiling.mcnemarSql} AS chi2,
+         |  ${graft.operators.Profiling.mcnemarSql} > 3.841459 AS significant
+         |FROM agg""".stripMargin,
+    "q_brown_forsythe" ->
+      s"""WITH u AS (SELECT event_type AS g,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+         |per AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM u GROUP BY 1, 2),
+         |c AS (SELECT g, v, w, CAST(SUM(w) OVER (PARTITION BY g
+         |    ORDER BY v) AS BIGINT) AS cum_w FROM per),
+         |tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS w_total
+         |  FROM per GROUP BY 1),
+         |med AS (SELECT c.g, MIN(v) AS med FROM c JOIN tot USING (g)
+         |  WHERE 2*cum_w >= w_total GROUP BY 1),
+         |dev AS (SELECT u.g, abs(u.v - med.med) AS z
+         |  FROM u JOIN med USING (g)),
+         |perg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(z) AS BIGINT) AS sg,
+         |    CAST(SUM(z*z) AS BIGINT) AS ssg FROM dev GROUP BY 1),
+         |t AS (SELECT ng, sg, ssg,
+         |    CAST(${graft.operators.Eval.sqOverNWhole("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_whole,
+         |    CAST(${graft.operators.Eval.sqOverNFracMilli("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_frac FROM perg),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+         |    CAST(SUM(ssg) AS BIGINT) AS ss,
+         |    CAST(SUM(tg_whole) AS BIGINT) AS t_whole,
+         |    CAST(SUM(tg_frac) AS BIGINT) AS t_frac FROM t)
+         |SELECT g, n, s, ss, t_whole, t_frac,
+         |  ${graft.operators.Eval.anovaSsbSql("//")} AS ssb,
+         |  ${graft.operators.Eval.anovaSswSql} AS ssw,
+         |  ${graft.operators.Eval.anovaFSql("//")} AS f_stat
          |FROM agg""".stripMargin,
     "q_mcc" ->
       s"""WITH users AS (SELECT user_id,

@@ -688,18 +688,19 @@ object Eval {
       s"1000000.0 / least(n_rel, $k), 6) END"
 
   /** One-way ANOVA F over integer-valued observations (cents): per-group
-    * exact (n, Σv, Σv²) longs collapse to one g-row table, and the
-    * between/within sums of squares assemble in EXACT MILLI UNITS via
-    * integer-division splitting — `(s² div n)·10³ + (s² mod n)·10³ div n`
-    * is the milli-floor of s²/n in pure BIGINT arithmetic, so no
-    * order-dependent double sum ever forms (the [[didSql]]/moment-sum
-    * discipline, extended to ratios). Milli (not micro) keeps the scaled
-    * sums in long up to Σv² < ~9·10¹⁵ total — ~10⁹ cents² observations;
-    * the 10⁻³ absolute truncation on sums of magnitude ≫ 10⁶ is far
-    * below the 6-dp rounding of F. Requires non-negative values
-    * (integer div/mod agree across engines there) and Σv per group
-    * < ~3·10⁹ (s² in long) — partition finer otherwise. F itself is the
-    * single final double expression, shared with the oracle. */
+    * exact (n, Σv, Σv²) longs collapse to one g-row table, and each
+    * s²/n term assembles OVERFLOW-FREE via quotient/remainder splitting:
+    * with q = s div n, r = s mod n, s²/n = q·s + r·s/n — so the largest
+    * product ever formed is r·s < n·Σv (never s², which overflows long
+    * already at ~2M cents-scale rows; the 20× ScaleSmoke caught exactly
+    * that in the first cut). Each term carries an exact integer WHOLE
+    * part and a milli-truncated FRACTION part (0–999); both engines
+    * truncate identically on the non-negative operands required here
+    * (Spark `div` / DuckDB `//` — the one dialect token, passed in).
+    * SSB/SSW then assemble in DOUBLE from SMALL exact differences
+    * (whole parts cancel to SS-sized numbers first), and F is the
+    * single shared-SQL double chain. Bound: N·Σv < ~9·10¹⁸ — pre-
+    * aggregate or partition finer beyond that. */
   def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("ng"),
@@ -707,34 +708,58 @@ object Eval {
         sum(col(valCol).cast("long") * col(valCol).cast("long"))
           .cast("long").as("ssg"))
     per.select(col("ng"), col("sg"), col("ssg"),
-        expr(milliFloorDiv("sg * sg", "ng", "div")).cast("long").as("tg_milli"))
+        expr(sqOverNWhole("sg", "ng", "div")).cast("long").as("tg_whole"),
+        expr(sqOverNFracMilli("sg", "ng", "div")).cast("long").as("tg_frac"))
       .agg(count(lit(1)).cast("long").as("g"),
         sum(col("ng")).cast("long").as("n"),
         sum(col("sg")).cast("long").as("s"),
         sum(col("ssg")).cast("long").as("ss"),
-        sum(col("tg_milli")).cast("long").as("t_milli"))
-      .withColumn("ssb_milli", expr(anovaSsbSql("div")))
-      .withColumn("ssw_milli", expr(anovaSswSql))
+        sum(col("tg_whole")).cast("long").as("t_whole"),
+        sum(col("tg_frac")).cast("long").as("t_frac"))
+      .withColumn("ssb", expr(anovaSsbSql("div")))
+      .withColumn("ssw", expr(anovaSswSql))
       .withColumn("f_stat", expr(anovaFSql("div")))
   }
 
-  /** Milli-floor of a/b in pure BIGINT arithmetic. The integer-division
-    * OPERATOR is the one token the engines spell differently (Spark
-    * `div`, DuckDB `//`) — the arithmetic is written once here and
-    * identical on the non-negative operands [[anovaF]] requires. */
-  def milliFloorDiv(a: String, b: String, idiv: String): String =
-    s"((($a) $idiv ($b)) * 1000 + ((($a) % ($b)) * 1000) $idiv ($b))"
+  /** Exact integer floor of x²/n without ever forming x²: q·x + (r·x
+    * div n) with q = x div n, r = x mod n — largest product r·x < n·x. */
+  def sqOverNWhole(x: String, n: String, idiv: String): String =
+    s"((($x) $idiv ($n)) * ($x) + ((($x) % ($n)) * ($x)) $idiv ($n))"
 
-  /** SSB·10³ = Σ s_g²/n_g − S²/N in exact milli units, shared SQL. */
+  /** Milli-truncated fractional part of x²/n (0–999), same splitting. */
+  def sqOverNFracMilli(x: String, n: String, idiv: String): String =
+    s"(((((($x) % ($n)) * ($x)) % ($n)) * 1000) $idiv ($n))"
+
+  /** SSB = Σ s_g²/n_g − S²/N as a DOUBLE assembled from exact small
+    * integer differences (whole parts cancel first), shared SQL. */
   def anovaSsbSql(idiv: String): String =
-    s"t_milli - ${milliFloorDiv("s * s", "n", idiv)}"
+    s"(CAST(t_whole - ${sqOverNWhole("s", "n", idiv)} AS DOUBLE) + " +
+      s"CAST(t_frac - ${sqOverNFracMilli("s", "n", idiv)} AS DOUBLE) / 1000)"
 
-  /** SSW·10³ = Σv² − Σ s_g²/n_g in exact milli units, shared SQL. */
-  val anovaSswSql: String = "ss * 1000 - t_milli"
+  /** SSW = Σv² − Σ s_g²/n_g as a DOUBLE, same assembly, shared SQL. */
+  val anovaSswSql: String =
+    "(CAST(ss - t_whole AS DOUBLE) - CAST(t_frac AS DOUBLE) / 1000)"
 
-  /** F from the milli sums; NULL when a df is empty or SSW is 0. */
+  /** F from the SS doubles; NULL when a df is empty or SSW is 0. */
   def anovaFSql(idiv: String): String =
-    s"CASE WHEN g > 1 AND n > g AND ($anovaSswSql) > 0 THEN " +
-      s"round((CAST((${anovaSsbSql(idiv)}) AS DOUBLE) / (g - 1)) / " +
-      s"(CAST(($anovaSswSql) AS DOUBLE) / (n - g)), 6) END"
+    s"CASE WHEN g > 1 AND n > g AND $anovaSswSql > 0 THEN " +
+      s"round((${anovaSsbSql(idiv)} / (g - 1)) / " +
+      s"($anovaSswSql / (n - g)), 6) END"
+
+  /** Brown–Forsythe homogeneity-of-variance test — the robust Levene
+    * variant: [[anovaF]] run on |v − group MEDIAN| (medians via the
+    * [[weightedMedian]] lower-median prefix-sum kernel, no per-group
+    * sort). The gate BEFORE trusting [[anovaF]]'s equal-variance
+    * assumption, robust to the heavy tails that break the mean-based
+    * Levene. Deviations are exact longs, so the whole composition stays
+    * on the integer-moment discipline: one distinct-value prefix sum +
+    * one broadcast join + the g-row ANOVA assembly. */
+  def brownForsythe(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(col(groupCol).as("__g"), col(valCol).cast("long").as("__v"))
+    val med = weightedMedian(u.withColumn("__w", lit(1L)), "__g", "__v", "__w")
+      .select(col("__g"), col("w_median").as("__med"))
+    val dev = u.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    anovaF(dev, "__g", "__z")
+  }
 }

@@ -419,6 +419,33 @@ object Profiling {
       s"sqrt($den), 6) END"
   }
 
+  /** McNemar's test on PAIRED binary outcomes — "is model B actually
+    * better than model A on the SAME examples?", the question accuracy
+    * deltas can't answer (they ignore pairing). Only the DISCORDANT
+    * cells matter: b = A right, B wrong; c = A wrong, B right; the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c) vs χ²₁(0.95). One
+    * aggregate over the paired table; the statistic's numerator is an
+    * exact integer, one shared-SQL double division. NULL (no evidence
+    * either way) when the models never disagree. */
+  def mcnemar(df: DataFrame, okACol: String, okBCol: String): DataFrame =
+    df.agg(
+      sum(when(col(okACol) && !col(okBCol), 1L).otherwise(0L))
+        .cast("long").as("b_only_a"),
+      sum(when(!col(okACol) && col(okBCol), 1L).otherwise(0L))
+        .cast("long").as("c_only_b"),
+      sum(when(col(okACol) === col(okBCol), 1L).otherwise(0L))
+        .cast("long").as("n_concordant"))
+      .withColumn("chi2", expr(mcnemarSql))
+      .withColumn("significant", expr(s"$mcnemarSql > 3.841459"))
+
+  /** Continuity-corrected McNemar χ² over the discordant cells, shared
+    * with the oracle; the squared term stays exact BIGINT. */
+  val mcnemarSql: String =
+    "CASE WHEN b_only_a + c_only_b > 0 THEN " +
+      "round(CAST((abs(b_only_a - c_only_b) - 1) * " +
+      "(abs(b_only_a - c_only_b) - 1) AS DOUBLE) / " +
+      "(b_only_a + c_only_b), 6) END"
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

@@ -681,6 +681,41 @@ object ScaleSmoke {
       drain(graft.operators.Layout.skippingCompare(
         cells, col("ca"), col("cb"), 64L, 79L))
     }
+    time(s"r9-stats anova+bf+runs+mcnemar x$mult") {
+      val cents = eventsUid.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(graft.operators.Eval.anovaF(cents, "event_type", "cents"))
+      drain(graft.operators.Eval.brownForsythe(cents, "event_type", "cents"))
+      val daily = eventsUid.groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      drain(TimeSeries.runsTest(daily, "event_type", "day", "v"))
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("np"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("nc"))
+        .withColumn("ok_a", (col("spend") > 330000L) === (col("np") >= 15L))
+        .withColumn("ok_b", (col("nc") >= 20L) === (col("np") >= 15L))
+      drain(Profiling.mcnemar(users, "ok_a", "ok_b"))
+    }
+    time(s"retrievalMetrics x$mult (users as queries)") {
+      // each user's event types ranked by spend — bounded candidate lists
+      // per query, queries scale with the multiplier
+      val cand = eventsUid.groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          count(lit(1)).cast("long").as("cnt"))
+      val ranked = cand.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("spend").desc, col("event_type"))).cast("long"))
+        .withColumn("rel",
+          when(col("cnt") >= 6L, 2L).when(col("cnt") >= 4L, 1L).otherwise(0L))
+      drain(graft.operators.Eval.retrievalMetrics(
+        ranked, "user_id", "rank", "rel", k = 3))
+    }
     time(s"modularity x${math.max(1, mult / 5)} (CC to fixpoint)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))

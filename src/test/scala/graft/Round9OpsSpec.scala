@@ -185,11 +185,27 @@ class Round9OpsSpec extends SparkFunSuite {
       ("b", 5L), ("b", 6L), ("b", 7L))
     val r = Eval.anovaF(rows.toDF("g", "v"), "g", "v").head()
     assert(r.getAs[Long]("g") == 2L && r.getAs[Long]("n") == 6L)
-    // t = milli(36/3) + milli(324/3) = 12000 + 108000
-    assert(r.getAs[Long]("t_milli") == 120000L)
-    assert(r.getAs[Long]("ssb_milli") == 24000L) // SSB = 24
-    assert(r.getAs[Long]("ssw_milli") == 4000L)  // SSW = 4
-    assert(r.getAs[Double]("f_stat") == 24.0)    // (24/1)/(4/4)
+    // t = 36/3 + 324/3 = 12 + 108, both exact
+    assert(r.getAs[Long]("t_whole") == 120L && r.getAs[Long]("t_frac") == 0L)
+    assert(r.getAs[Double]("ssb") == 24.0)
+    assert(r.getAs[Double]("ssw") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 24.0) // (24/1)/(4/4)
+  }
+
+  test("anovaF: no overflow at sums where sg*sg exceeds long range") {
+    import graft.operators.Eval
+    // two groups of 2M rows with values ~5e4: sg ≈ 1e11, sg² ≈ 1e22 —
+    // the naive square overflows long 1000×; the q/r-split assembly
+    // never forms it (largest product r·s < n·Σv). F ≈ huge (disjoint
+    // means) — assert finiteness + the exact moment columns
+    val df = spark.range(4000000L).select(
+      (col("id") % 2L).cast("string").as("g"),
+      (lit(50000L) + (col("id") % 2L) * 1000L + (col("id") % 7L)).as("v"))
+    val r = Eval.anovaF(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 4000000L)
+    assert(r.getAs[Long]("s") > 2L * 100000000000L) // sg ≈ 1e11 per group
+    val f = r.getAs[Double]("f_stat")
+    assert(!f.isNaN && f > 1000.0, s"F=$f")
   }
 
   test("runsTest: hand-checked runs/z, ties dropped, one-sided NULL") {
@@ -216,6 +232,46 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(t.getAs[Long]("n_runs") == 4L)
     assert(got("up").getAs[Long]("n_down") == 0L)
     assert(got("up").isNullAt(got("up").fieldIndex("z")))
+  }
+
+  test("mcnemar: discordant cells only, continuity-corrected, NULL on agreement") {
+    import graft.operators.Profiling
+    val pairs = Seq.fill(5)((true, true)) ++ Seq.fill(8)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Profiling.mcnemar(pairs.toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .head()
+    assert(r.getAs[Long]("b_only_a") == 8L && r.getAs[Long]("c_only_b") == 2L)
+    assert(r.getAs[Long]("n_concordant") == 8L)
+    assert(r.getAs[Double]("chi2") == 2.5) // (|8-2|-1)^2 / 10
+    assert(!r.getAs[Boolean]("significant"))
+    val strong = Seq.fill(15)((true, false)) ++ Seq.fill(1)((false, true))
+    val r2 = Profiling.mcnemar(strong.toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .head()
+    assert(r2.getAs[Double]("chi2") == 10.5625) // 13^2/16
+    assert(r2.getAs[Boolean]("significant"))
+    val agree = Seq((true, true), (false, false))
+    val r3 = Profiling.mcnemar(agree.toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .head()
+    assert(r3.isNullAt(r3.fieldIndex("chi2")), "no disagreement -> NULL")
+  }
+
+  test("brownForsythe: equal spreads -> F 0, unequal spreads -> hand value") {
+    import graft.operators.Eval
+    // same |dev| profile in both groups → SSB = 0 exactly
+    val same = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L))
+    val r0 = Eval.brownForsythe(same.toDF("g", "v"), "g", "v").head()
+    assert(r0.getAs[Double]("ssb") == 0.0)
+    // a devs {1,0,1}, b devs {10,0,10}: t = 1+333/1000 + 133+333/1000,
+    // SSB = 54 exactly (fractions cancel), SSW = 68 − 666/1000
+    val diff = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L), ("b", 30L))
+    val r = Eval.brownForsythe(diff.toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("t_whole") == 134L && r.getAs[Long]("t_frac") == 666L)
+    assert(r.getAs[Double]("ssb") == 54.0)
+    assert(math.abs(r.getAs[Double]("ssw") - 67.334) < 1e-9)
+    val expectedF = (54.0 / 1) / ((68.0 - 666.0 / 1000) / 4)
+    assert(math.abs(r.getAs[Double]("f_stat") - expectedF) < 1e-6)
   }
 
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
