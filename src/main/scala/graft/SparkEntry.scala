@@ -3407,6 +3407,25 @@ object SparkEntry {
             expr("unix_millis(ts) div 86400000").as("day"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "event_type", "day", "v")),
+    "q_bradley_terry" -> ((s, dir) => {
+      // Arena-style preference ranking of event types: each user's
+      // pairwise spend comparisons are "games" (higher spend wins, ties
+      // skipped); 10 integer MM iterations on the aggregated pair table
+      // give preference shares in ppb — bit-identical across engines.
+      val spend = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val games = spend.as("x").join(spend.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .filter(col("x.cents") =!= col("y.cents"))
+        .select(
+          when(col("x.cents") > col("y.cents"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("winner"),
+          when(col("x.cents") > col("y.cents"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("loser"))
+      Eval.bradleyTerry(games, "winner", "loser", iters = 10)
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -6957,6 +6976,56 @@ object SparkEntry {
          |SELECT event_type, n_up, n_down, n_runs,
          |  ${graft.operators.TimeSeries.runsZSql} AS z
          |FROM agg""".stripMargin,
+    "q_bradley_terry" -> {
+      val iterCtes = (1 to 10).map { i =>
+        val p = s"t${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT item, CAST(SUM(term) AS BIGINT) AS d
+           |  FROM (SELECT np.a AS item,
+           |      n_games * 1000000000000 // (ta.theta + tb.theta) AS term
+           |    FROM np JOIN $p ta ON np.a = ta.item
+           |      JOIN $p tb ON np.b = tb.item
+           |    UNION ALL
+           |    SELECT np.b AS item,
+           |      n_games * 1000000000000 // (ta.theta + tb.theta) AS term
+           |    FROM np JOIN $p ta ON np.a = ta.item
+           |      JOIN $p tb ON np.b = tb.item) z GROUP BY 1),
+           |r$i AS (SELECT items.item, items.n_wins,
+           |    CASE WHEN d > 0 THEN n_wins * 1000000000000 // d ELSE 0 END
+           |      AS raw
+           |  FROM items JOIN d$i USING (item)),
+           |tt$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM r$i),
+           |t$i AS MATERIALIZED (SELECT item,
+           |    CAST(CASE WHEN t > 0 THEN greatest(raw * 1000000000 // t, 1)
+           |      ELSE 1 END AS BIGINT) AS theta
+           |  FROM r$i, tt$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS (SELECT user_id, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT
+         |    CASE WHEN x.cents > y.cents THEN x.event_type
+         |      ELSE y.event_type END AS w,
+         |    CASE WHEN x.cents > y.cents THEN y.event_type
+         |      ELSE x.event_type END AS l
+         |  FROM sp x JOIN sp y ON x.user_id = y.user_id
+         |    AND x.event_type < y.event_type
+         |  WHERE x.cents <> y.cents),
+         |np AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_games FROM g GROUP BY 1, 2),
+         |wi AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS n_wins
+         |  FROM g GROUP BY 1),
+         |items AS MATERIALIZED (SELECT u.item,
+         |    CAST(COALESCE(wi.n_wins, 0) AS BIGINT) AS n_wins
+         |  FROM (SELECT a AS item FROM np UNION SELECT b FROM np) u
+         |  LEFT JOIN wi USING (item)),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+         |t0 AS MATERIALIZED (SELECT item,
+         |    CAST(1000000000 // k AS BIGINT) AS theta FROM items, kk),
+         |$iterCtes
+         |SELECT items.item, items.n_wins, theta AS bt_share_ppb
+         |FROM items JOIN t10 USING (item)""".stripMargin
+    },
     "q_mcnemar" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

@@ -762,4 +762,71 @@ object Eval {
       .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
     anovaF(dev, "__g", "__z")
   }
+
+  /** Bradley–Terry preference strengths from pairwise outcomes — the
+    * arena/RLHF ranking model: P(i beats j) = θ_i/(θ_i+θ_j), fit by the
+    * standard MM iteration θ'_i = W_i / Σ_j n_ij/(θ_i+θ_j), re-normalized
+    * each round so Σθ = 10⁹ (θ reads as preference share in ppb).
+    *
+    * Determinism: every step is INTEGER arithmetic — per-pair terms
+    * n_ij·10¹² div (θ_i+θ_j), win totals, and the normalization are all
+    * BIGINT div/sums, so the fixed-iteration fit is bit-identical across
+    * partitionings and engines, and the oracle replays it as unrolled
+    * CTEs. θ floors at 1 ppb (keeps denominators alive for zero-win
+    * items); bounds: ≤ ~9·10⁶ games per PAIR and ≤ ~1.8·10⁷ per item
+    * (the 10¹² scaling in long) — far above any aggregated arena table.
+    *
+    * Scale shape: raw games collapse to the (a, b, n_games) pair table
+    * FIRST (one aggregate over the event stream — the only data-sized
+    * pass); iterations run joins on the items×items-bounded pair table
+    * with the k-row θ, each round materialized once (kCore discipline).
+    * Requires a connected comparison graph for a meaningful full
+    * ranking, as BT always does; disconnected components still converge
+    * within themselves. */
+  def bradleyTerry(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
+    val dir = games.select(col(winnerCol).cast("string").as("w"),
+      col(loserCol).cast("string").as("l"))
+    val np = dir
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_games"))
+      .localCheckpoint(true)
+    val wins = dir.groupBy(col("w").as("item"))
+      .agg(count(lit(1)).cast("long").as("n_wins"))
+    val items = np.select(col("a").as("item"))
+      .unionByName(np.select(col("b").as("item"))).distinct()
+      .join(wins, Seq("item"), "left")
+      .withColumn("n_wins", coalesce(col("n_wins"), lit(0L)))
+      .localCheckpoint(true)
+    val kDf = broadcast(items.agg(count(lit(1)).cast("long").as("__k")))
+    var theta = items.crossJoin(kDf)
+      .select(col("item"), expr("1000000000 div __k").cast("long").as("theta"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val terms = np
+        .join(theta.select(col("item").as("a"), col("theta").as("ta")), Seq("a"))
+        .join(theta.select(col("item").as("b"), col("theta").as("tb")), Seq("b"))
+        .withColumn("term",
+          expr("n_games * 1000000000000 div (ta + tb)").cast("long"))
+      val d = terms.select(col("a").as("item"), col("term"))
+        .unionByName(terms.select(col("b").as("item"), col("term")))
+        .groupBy(col("item")).agg(sum(col("term")).cast("long").as("d"))
+      val raw = items.join(d, Seq("item"))
+        .select(col("item"),
+          expr("CASE WHEN d > 0 THEN n_wins * 1000000000000 div d " +
+            "ELSE 0 END").cast("long").as("raw"))
+      val tot = broadcast(raw.agg(sum(col("raw")).cast("long").as("__t")))
+      theta = raw.crossJoin(tot)
+        .select(col("item"),
+          expr("CASE WHEN __t > 0 THEN greatest(raw * 1000000000 div __t, 1) " +
+            "ELSE 1 END").cast("long").as("theta"))
+        .localCheckpoint(true)
+    }
+    items.join(theta, Seq("item"))
+      .select(col("item"), col("n_wins"), col("theta").as("bt_share_ppb"))
+  }
 }

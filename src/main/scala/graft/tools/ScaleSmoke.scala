@@ -700,6 +700,22 @@ object ScaleSmoke {
         .withColumn("ok_b", (col("nc") >= 20L) === (col("np") >= 15L))
       drain(Profiling.mcnemar(users, "ok_a", "ok_b"))
     }
+    time(s"bradleyTerry x$mult (pairwise spend games, 10 iters)") {
+      // the data-sized pass is the games derivation + the ONE pair-table
+      // aggregate; the 10 MM iterations run on the k²-bounded pair table
+      val spend = eventsUid.groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val games = spend.as("x").join(spend.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .filter(col("x.cents") =!= col("y.cents"))
+        .select(
+          when(col("x.cents") > col("y.cents"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("w"),
+          when(col("x.cents") > col("y.cents"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("l"))
+      drain(graft.operators.Eval.bradleyTerry(games, "w", "l", iters = 10))
+    }
     time(s"retrievalMetrics x$mult (users as queries)") {
       // each user's event types ranked by spend — bounded candidate lists
       // per query, queries scale with the multiplier

@@ -274,6 +274,28 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(math.abs(r.getAs[Double]("f_stat") - expectedF) < 1e-6)
   }
 
+  test("bradleyTerry: dominance orders, symmetry splits, bit-identical under repartition") {
+    import graft.operators.Eval
+    // A beats B 3-0, B beats C 3-0, A beats C 3-0 → θ_A > θ_B > θ_C
+    val dom = (Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(3)(("A", "C"))).toDF("w", "l")
+    val t = Eval.bradleyTerry(dom, "w", "l", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("bt_share_ppb")).toMap
+    assert(t("A") > t("B") && t("B") > t("C"), t.toString)
+    assert(math.abs(t.values.sum - 1000000000L) <= 3,
+      s"shares must renormalize to ~1e9 ppb: ${t.values.sum}")
+    // perfectly split head-to-head → equal shares (±1 ppb integer floor)
+    val even = (Seq.fill(2)(("X", "Y")) ++ Seq.fill(2)(("Y", "X"))).toDF("w", "l")
+    val e = Eval.bradleyTerry(even, "w", "l", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("bt_share_ppb")).toMap
+    assert(math.abs(e("X") - e("Y")) <= 1, e.toString)
+    // integer arithmetic → the fit is BIT-identical under any partitioning
+    val shuffled = Eval.bradleyTerry(dom.repartition(13, col("l")), "w", "l",
+        iters = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("bt_share_ppb")).toMap
+    assert(shuffled == t)
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
