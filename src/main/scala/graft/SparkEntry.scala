@@ -2863,6 +2863,24 @@ object SparkEntry {
       // against the exact count in the same row. TakeOrderedAndProject
       // keeps the k-smallest step a per-partition heap, never a sort.
       Profiling.kmvDistinct(table(s, dir, "orders"), "o_orderkey", k = 256)),
+    "q_ktruss" -> ((s, dir) => {
+      // 4-truss of the sampled co-purchase graph (parts with key%10 < 3
+      // sharing an order — the repeat-filtered graph is triangle-poor):
+      // every surviving edge sits on >= 2 triangles WITHIN the truss,
+      // the edge-grade community core that cuts the bridge edges
+      // q_kcore keeps. Engine peels to the fixpoint (12 rounds at
+      // sf0.01); the oracle unrolls 14 id-ordered rounds (idempotent
+      // past the fixpoint, pinned by the compare).
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 < 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      graft.operators.Graph.kTruss(e, "src", "dst", k = 4)
+    }),
     "q_kcore" -> ((s, dir) => {
       // 3-core of the repeat-co-purchase graph (parts sharing >= 2 orders
       // are adjacent): simultaneous peeling to the fixpoint — the dense
@@ -6104,6 +6122,14 @@ object SparkEntry {
         |SELECT n_k, h_k, exact_distinct, saturated, est_distinct,
         |  round(abs(est_distinct / exact_distinct - 1), 6) AS rel_err
         |FROM est""".stripMargin,
+    "q_ktruss" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_partkey % 10 < 3),
+         |ec AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo,
+         |    b.l_partkey AS hi
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |${graft.operators.Graph.kTrussSql(k = 4, rounds = 14)}""".stripMargin,
     "q_kcore" ->
       s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
          |  FROM lineitem a JOIN lineitem b

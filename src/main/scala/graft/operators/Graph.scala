@@ -198,6 +198,17 @@ object Graph {
     * well-defined degradation (triangles through a hub are not counted),
     * not a sampled approximation. Default = no cap = exact kernel. */
   private[graft] def triangleCountsCanonical(
+      cand: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame =
+    triangleEnum(cand, maxDeg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+
+  /** Degree-ordered triangle ENUMERATION over a canonical `(lo, hi)`
+    * frame: one row per distinct triangle `(a, b, c)` (a = wedge pivot).
+    * Shared by the corner-count kernel ([[triangleCountsCanonical]]) and
+    * the edge-support peel ([[kTruss]]); the O(m^1.5) compact-forward
+    * analysis in [[triangleCounts]]'s doc applies verbatim. */
+  private[graft] def triangleEnum(
       cand: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     // undirected degree per vertex (rides both endpoints)
     val degAll = cand.select(col("lo").as("id"))
@@ -237,12 +248,61 @@ object Graph {
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     val closing = oriented
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
-    val tris = wedges.join(closing,
+    wedges.join(closing,
       least(col("b"), col("c")) === col("x") && greatest(col("b"), col("c")) === col("y"))
       .select(col("a"), col("b"), col("c"))
-    tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** K-truss decomposition — the EDGE-grade dense-subgraph extractor one
+    * notch stricter than [[kCore]]: repeatedly delete every edge on
+    * fewer than k−2 triangles until none remains. Survives: the maximal
+    * subgraph where every edge is reinforced by k−2 common neighbors —
+    * the standard community-core / spam-ring signature (a k-truss is
+    * always inside the (k−1)-core, but cuts bridge edges k-core keeps).
+    * Returns surviving canonical edges with their in-truss support.
+    *
+    * Scale shape: each round re-runs the degree-ordered triangle
+    * ENUMERATION ([[triangleEnum]], O(m^1.5) on the CURRENT edge set —
+    * which only shrinks) + one edge-keyed support aggregate + one
+    * semi-join, materialized once per round. Simultaneous deletion is
+    * confluent, so the fixpoint is order-independent and an unrolled
+    * SQL replay matches exactly. Fails loudly when `maxRounds` is
+    * exhausted before the fixpoint ([[kCore]] discipline). */
+  def kTruss(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 keeps every edge): $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var nEdges = e.count()
+    var support = e.limit(0)
+      .select(col("lo"), col("hi"), lit(0L).as("support")) // k never < 3
+    var converged = nEdges == 0
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val tris = triangleEnum(e)
+      val sup = tris.select(col("a").as("p"), col("b").as("q"))
+        .unionByName(tris.select(col("a").as("p"), col("c").as("q")))
+        .unionByName(tris.select(col("b").as("p"), col("c").as("q")))
+        .select(least(col("p"), col("q")).as("lo"),
+          greatest(col("p"), col("q")).as("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      val kept = e.join(sup, Seq("lo", "hi"), "left_semi")
+        .localCheckpoint(true)
+      val n = kept.count()
+      converged = n == nEdges
+      nEdges = n
+      e = kept
+      support = sup
+      round += 1
+    }
+    require(converged || nEdges == 0,
+      s"kTruss(k=$k) did not reach its fixpoint within $maxRounds rounds " +
+        s"($nEdges edges still shrinking) — raise maxRounds")
+    e.join(support, Seq("lo", "hi"))
   }
 
   /** K-core decomposition by simultaneous peeling: repeatedly delete every
@@ -477,6 +537,34 @@ object Graph {
     * or before `rounds`. Every CTE is MATERIALIZED — each round references
     * its predecessor 4×, so default CTE inlining would expand the plan
     * 4^rounds-fold (observed as parquet open-file exhaustion). */
+  /** DuckDB-SQL unrolled peel for [[kTruss]]: `rounds` fixed iterations
+    * over a canonical-edge CTE named `ec(lo, hi)` (lo < hi, distinct)
+    * that the caller provides. Triangles enumerate id-ordered (a<b<c) —
+    * a different orientation than the engine's degree order, but the
+    * triangle SET (and so every support count) is identical. Extra
+    * rounds past the fixpoint are idempotent, so `rounds` only needs to
+    * reach it. Every CTE is MATERIALIZED (each round references its
+    * predecessor three times — default inlining goes exponential). */
+  def kTrussSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "ec" else s"e${i - 1}"
+      s"""tr$i AS MATERIALIZED (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |  FROM $prev e1 JOIN $prev e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+         |  JOIN $prev e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         |sup$i AS MATERIALIZED (SELECT lo, hi,
+         |    CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM (SELECT a AS lo, b AS hi FROM tr$i
+         |    UNION ALL SELECT a, c FROM tr$i
+         |    UNION ALL SELECT b, c FROM tr$i) z
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${k - 2}),
+         |e$i AS MATERIALIZED (SELECT $prev.lo, $prev.hi FROM $prev
+         |  JOIN sup$i USING (lo, hi))""".stripMargin
+    }.mkString(",\n")
+    s"""$steps
+       |SELECT e$rounds.lo, e$rounds.hi, sup$rounds.support
+       |FROM e$rounds JOIN sup$rounds USING (lo, hi)""".stripMargin
+  }
+
   def kCoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "es" else s"e${i - 1}"

@@ -816,6 +816,24 @@ object ScaleSmoke {
           maxCenterDeg = 64L))
       }
     }
+    time(s"kTruss x${math.max(1, mult / 5)} (disjoint copies, k=4)") {
+      // disjoint copies of the sampled co-purchase graph: edge count
+      // multiplies while the per-copy peel depth stays fixed, so growth
+      // tracks the per-round triangle enumeration (O(m^1.5) worst case)
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_partkey") % 10 < 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      drain(graft.operators.Graph.kTruss(e, "src", "dst", 4))
+    }
     time(s"kCore x${math.max(1, mult / 5)} (disjoint copies)") {
       val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))

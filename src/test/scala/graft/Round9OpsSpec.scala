@@ -296,6 +296,31 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(shuffled == t)
   }
 
+  test("kTruss: cliques survive, bridges cut, unrolled SQL matches, budget throws") {
+    // two K4 cliques joined by a bridge edge: the 4-truss is exactly the
+    // two cliques (every clique edge on 2 triangles); the bridge (on 0)
+    // and a pendant triangle (edges on 1) peel away
+    val k4a = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val k4b = for { i <- 10L to 13L; j <- (i + 1) to 13L } yield (i, j)
+    val extra = Seq((3L, 10L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (k4a ++ k4b ++ extra).toDF("src", "dst")
+    val got = Graph.kTruss(edges, "src", "dst", k = 4)
+    val kept = got.collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+    assert(kept == (k4a ++ k4b).toSet, kept.toString)
+    assert(got.collect().forall(_.getAs[Long]("support") == 2L))
+    // (the unrolled kTrussSql replay is validated by the DuckDB oracle on
+    // q_ktruss — re-running it through Spark's CTE inliner here expands
+    // 3^rounds references and is intentionally NOT done)
+    // the same graph needs >1 round (round 1 cuts the weak edges, a
+    // second pass must CONFIRM the fixpoint) — a 1-round budget throws
+    // instead of returning an unconfirmed peel
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kTruss(edges, "src", "dst", k = 4, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
