@@ -3415,6 +3415,16 @@ object SparkEntry {
         table(s, dir, "events").select(col("event_type"),
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents")),
+    "q_durbin_watson" -> ((s, dir) =>
+      // First-order autocorrelation diagnostic of each type's daily
+      // totals: d = Σ(Δe)²/Σe² on n-scaled exact-integer deviations —
+      // the companion magnitude to q_runs_test's sign-based z.
+      graft.operators.TimeSeries.durbinWatson(
+        table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "event_type", "day", "v")),
     "q_runs_test" -> ((s, dir) =>
       // Wald–Wolfowitz runs test on each type's daily-total change signs:
       // up/down/run counts as exact integers, z vs the null run count —
@@ -6978,6 +6988,24 @@ object SparkEntry {
          |  ${graft.operators.Eval.anovaSsbSql("//")} AS ssb,
          |  ${graft.operators.Eval.anovaSswSql} AS ssw,
          |  ${graft.operators.Eval.anovaFSql("//")} AS f_stat
+         |FROM agg""".stripMargin,
+    "q_durbin_watson" ->
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(v) AS BIGINT) AS s FROM pd GROUP BY 1),
+         |e AS (SELECT pd.event_type, day, n, n * v - s AS e
+         |  FROM pd JOIN st USING (event_type)),
+         |d AS (SELECT event_type, n, e,
+         |    e - lag(e) OVER (PARTITION BY event_type ORDER BY day) AS de
+         |  FROM e),
+         |agg AS (SELECT event_type, MAX(n) AS n,
+         |    SUM(CAST(e AS HUGEINT) * e) AS sse,
+         |    SUM(CAST(de AS HUGEINT) * de) AS ssd
+         |  FROM d GROUP BY 1)
+         |SELECT event_type, n, sse, ssd,
+         |  ${graft.operators.TimeSeries.dwSql} AS dw
          |FROM agg""".stripMargin,
     "q_runs_test" ->
       s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -713,6 +713,46 @@ object TimeSeries {
       .withColumn("z", expr(runsZSql))
   }
 
+  /** Durbin–Watson statistic per key — first-order autocorrelation of a
+    * series' deviations from its own mean: d = Σ(e_i − e_{i−1})² / Σe_i²
+    * ∈ [0, 4], d ≈ 2 for white noise, → 0 under positive
+    * autocorrelation (the regression-residual diagnostic, applied to
+    * mean-detrended per-key series). Exactness: e_i scaled by n —
+    * ñ_i = n·v_i − S is an exact integer, and d is a ratio of
+    * quadratics so the scaling cancels; the squared sums run in
+    * DECIMAL(38,0) (ñ² can pass 2⁶³ on long daily-total series), and d
+    * is one shared-SQL double division. Two passes over the per-key
+    * series (mean join-back + lag window), both key-bounded. */
+  def durbinWatson(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val stats = perBucket.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col(valueCol).cast("long")).cast("long").as("__s"))
+    perBucket
+      .join(broadcast(stats), Seq(keyCol))
+      .withColumn("__e",
+        col("__n") * col(valueCol).cast("long") - col("__s"))
+      .withColumn("__d", col("__e") - lag(col("__e"), 1).over(wk))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        // square in DECIMAL — ñ² itself passes 2⁶³ once n·v > 3·10⁹
+        // (hit by the 100× smoke's daily totals)
+        sum(col("__e").cast("decimal(19,0)") *
+          col("__e").cast("decimal(19,0)")).as("sse"),
+        sum(col("__d").cast("decimal(19,0)") *
+          col("__d").cast("decimal(19,0)")).as("ssd"))
+      .withColumn("dw", expr(dwSql))
+  }
+
+  /** d over the quadratic sums, shared with the oracle; NULL for a
+    * constant series (sse = 0) or a 1-point series. */
+  val dwSql: String =
+    "CASE WHEN n > 1 AND sse > 0 THEN " +
+      "round(CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE), 6) END"
+
   /** z for the run count vs its null distribution, shared with the
     * oracle; NULL when either sign is absent or the variance degenerates.
     * Products stay exact BIGINT and cast to DOUBLE once: a `2.0` literal

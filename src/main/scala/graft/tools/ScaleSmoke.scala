@@ -690,6 +690,7 @@ object ScaleSmoke {
           expr("unix_millis(ts) div 86400000").as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
       drain(TimeSeries.runsTest(daily, "event_type", "day", "v"))
+      drain(TimeSeries.durbinWatson(daily, "event_type", "day", "v"))
       val users = eventsUid.groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))

@@ -321,6 +321,21 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("durbinWatson: hand values — trend 1.0, alternation 3.0, constant NULL") {
+    import graft.operators.TimeSeries
+    val rows =
+      Seq(1L, 2L, 3L).zipWithIndex.map { case (v, i) => ("tr", i.toLong, v) } ++
+      Seq(1L, 3L, 1L, 3L).zipWithIndex.map { case (v, i) => ("alt", i.toLong, v) } ++
+      Seq(5L, 5L).zipWithIndex.map { case (v, i) => ("const", i.toLong, v) }
+    val got = TimeSeries.durbinWatson(rows.toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // tr: ñ = {-3,0,3}, sse=18, diffs {3,3} → ssd=18 → d=1.0
+    assert(got("tr").getAs[Double]("dw") == 1.0)
+    // alt: ñ = {-4,4,-4,4}, sse=64, diffs {8,-8,8} → ssd=192 → d=3.0
+    assert(got("alt").getAs[Double]("dw") == 3.0)
+    assert(got("const").isNullAt(got("const").fieldIndex("dw")))
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
