@@ -3454,6 +3454,36 @@ object SparkEntry {
             .otherwise(col("x.event_type")).as("loser"))
       Eval.bradleyTerry(games, "winner", "loser", iters = 10)
     }),
+    "q_markov_stationary" -> ((s, dir) => {
+      // Where does user behavior settle: empirical event-type transition
+      // chain (per-user (ts, event_id)-ordered pairs), micro-quantized
+      // row-stochastic P, 12 integer power-method rounds to the
+      // stationary distribution in ppb — bit-identical across engines.
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ms"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      Eval.markovStationary(trans, "event_type", "next_type", iters = 12)
+    }),
+    "q_cochran_armitage" -> ((s, dir) => {
+      // Ordered dose-response: does the heavy-purchaser rate RISE with
+      // click-activity tier (0/1/2)? The 1-df trend chi-square from one
+      // exact moment row.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+        .select(
+          when(col("n_click") >= 25L, 2L).when(col("n_click") >= 18L, 1L)
+            .otherwise(0L).as("dose"),
+          (col("n_purch") >= 15L).as("heavy"))
+      Profiling.cochranArmitage(users, "dose", "heavy")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -7080,6 +7110,67 @@ object SparkEntry {
          |SELECT items.item, items.n_wins, theta AS bt_share_ppb
          |FROM items JOIN t10 USING (item)""".stripMargin
     },
+    "q_markov_stationary" -> {
+      val iterCtes = (1 to 12).map { i =>
+        val p = s"t${i - 1}"
+        s"""f$i AS MATERIALIZED (SELECT pp.dst AS state,
+           |    CAST(SUM(x.x * p_micro // 1000000) AS BIGINT) AS inflow
+           |  FROM pp JOIN $p x ON pp.src = x.state GROUP BY 1),
+           |s$i AS (SELECT st.state,
+           |    (CASE WHEN outs.state IS NULL THEN x.x ELSE 0 END) +
+           |      COALESCE(f.inflow, 0) AS raw
+           |  FROM states st JOIN $p x USING (state)
+           |  LEFT JOIN outs USING (state) LEFT JOIN f$i f USING (state)),
+           |tt$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM s$i),
+           |t$i AS MATERIALIZED (SELECT state,
+           |    CAST(CASE WHEN t > 0 THEN raw * 1000000000 // t ELSE 0 END
+           |      AS BIGINT) AS x
+           |  FROM s$i, tt$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+         |    event_id FROM events),
+         |tr AS (SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ms, event_id) AS dst
+         |  FROM ev),
+         |pairs AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |outtot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out
+         |  FROM pairs GROUP BY 1),
+         |pp AS MATERIALIZED (SELECT pairs.src, pairs.dst,
+         |    CAST(n * 1000000 // n_out AS BIGINT) AS p_micro
+         |  FROM pairs JOIN outtot USING (src)),
+         |states AS MATERIALIZED (SELECT src AS state FROM pp
+         |  UNION SELECT dst FROM pp),
+         |outs AS MATERIALIZED (SELECT DISTINCT src AS state FROM pp),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+         |t0 AS MATERIALIZED (SELECT state,
+         |    CAST(1000000000 // k AS BIGINT) AS x FROM states, kk),
+         |$iterCtes
+         |SELECT states.state, t12.x AS stationary_ppb
+         |FROM states JOIN t12 USING (state)""".stripMargin
+    },
+    "q_cochran_armitage" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purch
+         |  FROM events GROUP BY 1),
+         |d AS (SELECT CASE WHEN n_click >= 25 THEN 2
+         |      WHEN n_click >= 18 THEN 1 ELSE 0 END AS w,
+         |    CASE WHEN n_purch >= 15 THEN 1 ELSE 0 END AS y FROM users),
+         |per AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(y) AS BIGINT) AS rg FROM d GROUP BY 1),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(rg) AS BIGINT) AS r,
+         |    CAST(SUM(w * ng) AS BIGINT) AS swn,
+         |    CAST(SUM(w * rg) AS BIGINT) AS swr,
+         |    CAST(SUM(w * w * ng) AS BIGINT) AS sw2n FROM per)
+         |SELECT g, n, r, swn, swr, sw2n,
+         |  ${graft.operators.Profiling.caChi2Sql} AS chi2_trend,
+         |  ${graft.operators.Profiling.caChi2Sql} > 3.841459 AS significant
+         |FROM agg""".stripMargin,
     "q_mcnemar" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

@@ -829,4 +829,66 @@ object Eval {
     items.join(theta, Seq("item"))
       .select(col("item"), col("n_wins"), col("theta").as("bt_share_ppb"))
   }
+
+  /** Stationary distribution of the empirical Markov chain over a
+    * transition-pair table — "where does user behavior settle": counts
+    * n_ij collapse to micro-quantized row-stochastic probabilities
+    * p_ij = n_ij·10⁶ div n_i, and a fixed-iteration power method runs
+    * x' = x·P in ppb units with an integer renormalization each round —
+    * the [[bradleyTerry]] discipline, so the fit is bit-identical across
+    * partitionings/engines and the oracle replays it as unrolled CTEs.
+    *
+    * States with no outgoing transition (absorbing tails) keep their
+    * mass in place (implicit self-loop — the conventional fix that keeps
+    * P stochastic). Convergence: geometric in the spectral gap; `iters`
+    * = 12 covers any mixing chain a behavioral dataset produces (pin
+    * higher for near-periodic chains). Scale shape: the data-sized pass
+    * is ONE lag window per entity + one pair aggregate; iterations run
+    * on the k²-bounded transition table. */
+  def markovStationary(
+      transitions: DataFrame, fromCol: String, toCol: String,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
+    val pairs = transitions.select(col(fromCol).cast("string").as("src"),
+        col(toCol).cast("string").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
+    val states = pairs.select(col("src").as("state"))
+      .unionByName(pairs.select(col("dst").as("state"))).distinct()
+      .localCheckpoint(true)
+    val outTot = pairs.groupBy(col("src"))
+      .agg(sum(col("n")).cast("long").as("n_out"))
+    val p = pairs.join(outTot, Seq("src"))
+      .select(col("src"), col("dst"),
+        expr("n * 1000000 div n_out").cast("long").as("p_micro"))
+      .localCheckpoint(true)
+    val kDf = broadcast(states.agg(count(lit(1)).cast("long").as("__k")))
+    var x = states.crossJoin(kDf)
+      .select(col("state"), expr("1000000000 div __k").cast("long").as("x"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val flow = p
+        .join(x.select(col("state").as("src"), col("x").as("xs")), Seq("src"))
+        .groupBy(col("dst").as("state"))
+        .agg(sum(expr("xs * p_micro div 1000000")).cast("long").as("inflow"))
+      // absorbing states (no outgoing row in p) keep their own mass;
+      // every other state's carried mass is exactly its inflow
+      val stepped = x
+        .join(p.select(col("src").as("state")).distinct()
+          .withColumn("__has_out", lit(true)), Seq("state"), "left")
+        .join(flow, Seq("state"), "left")
+        .select(col("state"),
+          (when(col("__has_out").isNull, col("x")).otherwise(0L) +
+            coalesce(col("inflow"), lit(0L))).as("raw"))
+      val tot = broadcast(stepped.agg(sum(col("raw")).cast("long").as("__t")))
+      x = stepped.crossJoin(tot)
+        .select(col("state"),
+          expr("CASE WHEN __t > 0 THEN raw * 1000000000 div __t " +
+            "ELSE 0 END").cast("long").as("x"))
+        .localCheckpoint(true)
+    }
+    states.join(x, Seq("state"))
+      .select(col("state"), col("x").as("stationary_ppb"))
+  }
 }

@@ -446,6 +446,37 @@ object Profiling {
       "(abs(b_only_a - c_only_b) - 1) AS DOUBLE) / " +
       "(b_only_a + c_only_b), 6) END"
 
+  /** Cochran–Armitage trend test — "does the outcome rate RISE with
+    * dose?", the 1-df ordered alternative the omnibus chi-square wastes
+    * power on: integer dose scores w, binary outcome; Z² = N·(N·Σwr −
+    * R·Σwn)² / (R(N−R)(N·Σw²n − (Σwn)²)) vs χ²₁(0.95). One grouped
+    * aggregate to the dose-level table, one total row; every sum and
+    * every pre-square product is exact BIGINT (bounds: w·N < ~3·10⁹),
+    * the squared term and final ratio are one shared-SQL double chain. */
+  def cochranArmitage(
+      df: DataFrame, doseCol: String, outcomeCol: String): DataFrame =
+    df.select(col(doseCol).cast("long").as("w"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col("y")).cast("long").as("rg"))
+      .agg(count(lit(1)).cast("long").as("g"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("rg")).cast("long").as("r"),
+        sum(col("w") * col("ng")).cast("long").as("swn"),
+        sum(col("w") * col("rg")).cast("long").as("swr"),
+        sum(col("w") * col("w") * col("ng")).cast("long").as("sw2n"))
+      .withColumn("chi2_trend", expr(caChi2Sql))
+      .withColumn("significant", expr(s"$caChi2Sql > 3.841459"))
+
+  /** Trend χ² over the moment row, shared with the oracle; NULL when the
+    * outcome or the dose is constant (variance degenerates). */
+  val caChi2Sql: String =
+    "CASE WHEN r > 0 AND r < n AND n*sw2n - swn*swn > 0 THEN " +
+      "round(CAST(n AS DOUBLE) * (CAST(n*swr - r*swn AS DOUBLE) * " +
+      "CAST(n*swr - r*swn AS DOUBLE)) / " +
+      "(CAST(r AS DOUBLE) * (n - r) * (n*sw2n - swn*swn)), 6) END"
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

@@ -700,6 +700,22 @@ object ScaleSmoke {
         .withColumn("ok_a", (col("spend") > 330000L) === (col("np") >= 15L))
         .withColumn("ok_b", (col("nc") >= 20L) === (col("np") >= 15L))
       drain(Profiling.mcnemar(users, "ok_a", "ok_b"))
+      drain(Profiling.cochranArmitage(
+        users.select(
+          when(col("nc") >= 25L, 2L).when(col("nc") >= 18L, 1L)
+            .otherwise(0L).as("dose"),
+          (col("np") >= 15L).as("heavy")),
+        "dose", "heavy"))
+    }
+    time(s"markovStationary x$mult (event-type chain, 12 iters)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_millis(ts)"), col("event_id"))
+      val trans = eventsUid
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      drain(graft.operators.Eval.markovStationary(
+        trans, "event_type", "next_type", iters = 12))
     }
     time(s"bradleyTerry x$mult (pairwise spend games, 10 iters)") {
       // the data-sized pass is the games derivation + the ONE pair-table

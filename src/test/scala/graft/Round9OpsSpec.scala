@@ -336,6 +336,43 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(got("const").isNullAt(got("const").fieldIndex("dw")))
   }
 
+  test("markovStationary: hand chain 10/11, absorbing drain, bit-identical") {
+    import graft.operators.Eval
+    // A→A ×9, A→B ×1, B→A ×10 → P=[[.9,.1],[1,0]], π_A = 10/11
+    val chain = (Seq.fill(9)(("A", "A")) ++ Seq(("A", "B")) ++
+      Seq.fill(10)(("B", "A"))).toDF("f", "t")
+    val pi = Eval.markovStationary(chain, "f", "t")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("stationary_ppb")).toMap
+    assert(math.abs(pi("A") - 909090909L) <= 1000, pi.toString)
+    assert(math.abs(pi.values.sum - 1000000000L) <= 3)
+    // absorbing state C swallows all mass (implicit self-loop keeps it)
+    val absorb = Seq(("A", "B"), ("B", "C")).toDF("f", "t")
+    val pa = Eval.markovStationary(absorb, "f", "t")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("stationary_ppb")).toMap
+    assert(pa("C") >= 999999990L, pa.toString)
+    // integer arithmetic → identical under adversarial repartition
+    val again = Eval.markovStationary(chain.repartition(7, col("t")), "f", "t")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("stationary_ppb")).toMap
+    assert(again == pi)
+  }
+
+  test("cochranArmitage: hand chi2 12.8 on a rising dose-response, flat -> 0") {
+    import graft.operators.Profiling
+    def subjects(spec: Seq[(Long, Int, Int)]) = // (dose, positives, total)
+      spec.flatMap { case (w, pos, tot) =>
+        Seq.fill(pos)((w, true)) ++ Seq.fill(tot - pos)((w, false))
+      }.toDF("dose", "y")
+    val rising = subjects(Seq((0L, 1, 10), (1L, 5, 10), (2L, 9, 10)))
+    val r = Profiling.cochranArmitage(rising, "dose", "y").head()
+    // N=30 R=15 swn=30 swr=23 sw2n=50 → 30·240²/(15·15·600) = 12.8
+    assert(r.getAs[Double]("chi2_trend") == 12.8)
+    assert(r.getAs[Boolean]("significant"))
+    val flat = subjects(Seq((0L, 5, 10), (1L, 5, 10), (2L, 5, 10)))
+    val rf = Profiling.cochranArmitage(flat, "dose", "y").head()
+    assert(rf.getAs[Double]("chi2_trend") == 0.0)
+    assert(!rf.getAs[Boolean]("significant"))
+  }
+
   test("kendallTau: stable under adversarial repartition/shuffle upstream") {
     // the id-tagged frame is materialized once, so both self-join sides
     // read identical ids even when the upstream partitioning is volatile
