@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, Survival, TextAnalysis, Urls}
 import graft.sources.ElbLogParser
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -3483,6 +3483,55 @@ object SparkEntry {
             .otherwise(0L).as("dose"),
           (col("n_purch") >= 15L).as("heavy"))
       Profiling.cochranArmitage(users, "dose", "heavy")
+    }),
+    "q_mann_whitney" -> ((s, dir) => {
+      // Distribution-free spend shift: do users who ever hit an error
+      // spend differently? Combined midranks off one prefix sum; exact
+      // 2*U1 integer, tie-corrected z + Cliff's delta effect size.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"))
+      Profiling.mannWhitney(users, "had_error", "spend")
+    }),
+    "q_kruskal_wallis" -> ((s, dir) =>
+      // k-group rank ANOVA: is document length distribution the same
+      // across sources? Micro-quantized per-group R^2/n terms, tie
+      // correction, df-indexed chi-square critical value.
+      Profiling.kruskalWallis(
+        table(s, dir, "documents"), "source", "n_chars")),
+    "q_kaplan_meier" -> ((s, dir) => {
+      // Time-to-first-error per user (hours from first activity),
+      // right-censored at the last observed event for error-free users;
+      // KM curves per parity cohort — exact nano-log survival products.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.kaplanMeier(users, "cohort", "t_hours", "event")
+    }),
+    "q_logrank" -> ((s, dir) => {
+      // Do the parity cohorts' time-to-error curves differ? Two-group
+      // log-rank chi-square from exact risk sets + nano-quantized
+      // per-time (O-E)/V terms.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select((pmod(col("user_id"), lit(2L)) === 0L).as("even_cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.logRank(users, "even_cohort", "t_hours", "event")
     }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
@@ -7171,6 +7220,123 @@ object SparkEntry {
          |  ${graft.operators.Profiling.caChi2Sql} AS chi2_trend,
          |  ${graft.operators.Profiling.caChi2Sql} > 3.841459 AS significant
          |FROM agg""".stripMargin,
+    "q_mann_whitney" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0 AS had_error
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM users GROUP BY 1),
+         |rk AS (SELECT v,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) * 2 - nv + 1 AS r2,
+         |    CAST(nv AS DECIMAL(38,0)) * nv * nv - nv AS t3t_v
+         |  FROM per),
+         |tie AS (SELECT CAST(SUM(t3t_v) AS DECIMAL(38,0)) AS t3t FROM rk),
+         |m AS (SELECT
+         |    CAST(SUM(CASE WHEN had_error THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(SUM(CASE WHEN had_error THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n2,
+         |    CAST(SUM(CASE WHEN had_error THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS r1x2
+         |  FROM users JOIN rk ON users.spend = rk.v),
+         |a AS (SELECT n1, n2, CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2,
+         |    t3t FROM m, tie)
+         |SELECT n1, n2, u1x2, t3t,
+         |  ${graft.operators.Profiling.mwZSql} AS z,
+         |  ${graft.operators.Profiling.cliffsDeltaSql} AS cliffs_delta,
+         |  abs(${graft.operators.Profiling.mwZSql}) > 1.959964 AS significant
+         |FROM a""".stripMargin,
+    "q_kruskal_wallis" ->
+      s"""WITH d AS (SELECT source AS grp, n_chars AS v FROM documents),
+         |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM d GROUP BY 1),
+         |rk AS (SELECT v,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) * 2 - nv + 1 AS r2,
+         |    CAST(nv AS DECIMAL(38,0)) * nv * nv - nv AS t3t_v
+         |  FROM per),
+         |tie AS (SELECT CAST(SUM(t3t_v) AS DECIMAL(38,0)) AS t3t FROM rk),
+         |pg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(r2) AS BIGINT) AS rgx2
+         |  FROM d JOIN rk USING (v) GROUP BY 1),
+         |pc AS (SELECT ng,
+         |    ${graft.operators.Profiling.kwCellMicroSql} AS s_micro FROM pg),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |    CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(SUM(s_micro) AS DECIMAL(38,0)) AS s_micro FROM pc),
+         |t AS (SELECT g, n, s_micro, t3t FROM a, tie)
+         |SELECT g, n, s_micro, t3t,
+         |  ${graft.operators.Profiling.kwHSql} AS h,
+         |  CAST(g - 1 AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("g - 1")} AS chi2_crit,
+         |  ${graft.operators.Profiling.kwHSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("g - 1")} AS significant
+         |FROM t""".stripMargin,
+    "q_kaplan_meier" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM agg),
+         |per AS (SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+         |r AS (SELECT grp, t, d, m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+         |  FROM per),
+         |s AS (SELECT grp, t, d, n_grp - cum_m + m AS n_at_risk FROM r),
+         |f AS (SELECT grp, t, d, n_at_risk,
+         |    ${graft.operators.Survival.kmLnNanoSql} AS ln_nano,
+         |    ${graft.operators.Survival.kmZeroFlagSql} AS zf FROM s),
+         |c AS (SELECT grp, t, d, n_at_risk,
+         |    CAST(SUM(ln_nano) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_ln_nano,
+         |    CAST(SUM(zf) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_zf
+         |  FROM f)
+         |SELECT grp, t, n_at_risk, d,
+         |  ${graft.operators.Survival.kmSurvivalSql} AS survival
+         |FROM c WHERE d > 0""".stripMargin,
+    "q_logrank" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM agg),
+         |per AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(SUM(g1 * ev) AS BIGINT) AS d1,
+         |    CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(g1) AS BIGINT) AS m1
+         |  FROM subj GROUP BY 1),
+         |r AS (SELECT t, d, d1, m, m1,
+         |    CAST(SUM(m) OVER (ORDER BY t) AS BIGINT) AS cum_m,
+         |    CAST(SUM(m1) OVER (ORDER BY t) AS BIGINT) AS cum_m1,
+         |    CAST(SUM(m) OVER () AS BIGINT) AS n_tot,
+         |    CAST(SUM(m1) OVER () AS BIGINT) AS n1_tot
+         |  FROM per),
+         |s AS (SELECT t, d, d1, n_tot - cum_m + m AS n_at_risk,
+         |    n1_tot - cum_m1 + m1 AS n1_at_risk
+         |  FROM r WHERE d > 0),
+         |f AS (SELECT d, ${graft.operators.Survival.lrOmeNanoSql} AS ome_nano,
+         |    ${graft.operators.Survival.lrVarNanoSql} AS v_nano FROM s),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+         |    CAST(SUM(d) AS BIGINT) AS events,
+         |    CAST(SUM(ome_nano) AS BIGINT) AS ome_nano,
+         |    CAST(SUM(v_nano) AS BIGINT) AS v_nano FROM f)
+         |SELECT n_times, events, ome_nano, v_nano,
+         |  ${graft.operators.Survival.lrChi2Sql} AS chi2,
+         |  ${graft.operators.Survival.lrChi2Sql} > 3.841459 AS significant
+         |FROM a""".stripMargin,
     "q_mcnemar" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

@@ -477,6 +477,127 @@ object Profiling {
       "CAST(n*swr - r*swn AS DOUBLE)) / " +
       "(CAST(r AS DOUBLE) * (n - r) * (n*sw2n - swn*swn)), 6) END"
 
+  /** Mann–Whitney U — "is treatment's metric distribution shifted vs
+    * control?" without ANY normality assumption (the t-test's blind
+    * spot on heavy-tailed spend/latency metrics). Combined doubled
+    * midranks off ONE prefix sum over the distinct-value table (the
+    * [[spearman]] kernel), so the rank sums and 2·U₁ stay exact
+    * integers through ties; the tie-corrected normal z and Cliff's δ
+    * (the in-[−1,1] effect size: P(x>y) − P(x<y)) finish in one
+    * shared-SQL double chain. Long-sum bound: Σr2 ≤ 2n² — exact to
+    * ~2·10⁹ rows (documented, like [[spearman]]'s). */
+  def mannWhitney(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(when(col(groupCol), 1L).otherwise(0L).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val per = u.groupBy(col("v")).agg(count(lit(1)).cast("long").as("nv"))
+    val ranks = Eval.rangedCumsum(per, Nil, "v", Seq("nv"))
+      .select(col("v"), (col("cum_nv") * 2 - col("nv") + 1).as("r2"),
+        (col("nv").cast("decimal(38,0)") * col("nv") * col("nv")
+          - col("nv")).as("t3t_v"))
+    // Σ(t³−t) over tie groups in DECIMAL — a 3M-row tie would overflow
+    // a long cube; one broadcast row
+    val tie = broadcast(ranks.agg(
+      sum(col("t3t_v")).cast("decimal(38,0)").as("t3t")))
+    u.join(ranks.select(col("v"), col("r2")), Seq("v"))
+      .agg(
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("grp") === 0L, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("grp") === 1L, col("r2")).otherwise(0L))
+          .cast("long").as("r1x2"))
+      .crossJoin(tie)
+      .withColumn("u1x2", (col("r1x2") - col("n1") * (col("n1") + 1))
+        .cast("long"))
+      .withColumn("z", expr(mwZSql))
+      .withColumn("cliffs_delta", expr(cliffsDeltaSql))
+      .withColumn("significant", expr(s"abs($mwZSql) > 1.959964"))
+      .select("n1", "n2", "u1x2", "t3t", "z", "cliffs_delta", "significant")
+  }
+
+  /** Tie-corrected Mann–Whitney variance ·4 (of 2·U) over the moment
+    * row — shared between [[mwZSql]]'s guard and numerator scale. */
+  private val mwVar4Sql: String =
+    "((CAST(n1 AS DOUBLE) * n2 / 3) * ((n1 + n2 + 1) - " +
+      "CAST(t3t AS DOUBLE) / " +
+      "((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))))"
+
+  /** Normal z for 2·U₁ over (n1, n2, u1x2, t3t), shared with the
+    * oracle; NULL when a group is empty or every value ties. */
+  val mwZSql: String =
+    s"CASE WHEN n1 > 0 AND n2 > 0 AND $mwVar4Sql > 0 THEN " +
+      "round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / " +
+      s"sqrt($mwVar4Sql), 6) END"
+
+  /** Cliff's δ = 2U₁/(n₁n₂) − 1 over the same row, shared with the
+    * oracle (2U₁ = u1x2 keeps the half-tie counts exact). */
+  val cliffsDeltaSql: String =
+    "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+      "round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / " +
+      "(CAST(n1 AS DOUBLE) * n2), 6) END"
+
+  /** Kruskal–Wallis H — the k-group rank ANOVA: does AT LEAST ONE
+    * group's metric distribution differ? The omnibus companion to
+    * [[mannWhitney]] on the same combined-midrank kernel. Per-group
+    * rank sums stay exact longs; each group's R²/n term is
+    * micro-quantized before the final sum (order-independent, the
+    * [[cramersV]] discipline), tie correction divides by
+    * 1 − Σ(t³−t)/(n³−n), and the critical value follows df = k−1
+    * through [[chi2Crit95Sql]] — never a hardcoded quantile. */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("string").as("grp"),
+      col(valCol).cast("long").as("v"))
+    val per = u.groupBy(col("v")).agg(count(lit(1)).cast("long").as("nv"))
+    val ranks = Eval.rangedCumsum(per, Nil, "v", Seq("nv"))
+      .select(col("v"), (col("cum_nv") * 2 - col("nv") + 1).as("r2"),
+        (col("nv").cast("decimal(38,0)") * col("nv") * col("nv")
+          - col("nv")).as("t3t_v"))
+    val tie = broadcast(ranks.agg(
+      sum(col("t3t_v")).cast("decimal(38,0)").as("t3t")))
+    u.join(ranks.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col("r2")).cast("long").as("rgx2"))
+      .withColumn("s_micro", expr(kwCellMicroSql))
+      .agg(count(lit(1)).cast("long").as("g"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("s_micro")).cast("decimal(38,0)").as("s_micro"))
+      .crossJoin(tie)
+      .withColumn("h", expr(kwHSql))
+      .withColumn("df", (col("g") - 1).cast("long"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("g - 1")))
+      .withColumn("significant",
+        expr(s"$kwHSql > ${chi2Crit95Sql("g - 1")}"))
+  }
+
+  /** Per-group H contribution (R_g²/n_g with R_g = rgx2/2) in micro
+    * units — deterministic double ops on exact-integer inputs, no sum
+    * inside, so the quantized value is engine-independent. */
+  val kwCellMicroSql: String =
+    "CAST(ROUND(CAST(rgx2 AS DOUBLE) * rgx2 / (4.0 * ng) * 1000000, 0) " +
+      "AS DECIMAL(38,0))"
+
+  /** Tie-corrected H over (n, s_micro, t3t), shared with the oracle;
+    * NULL when n < 2 or every value ties (correction degenerates). */
+  val kwHSql: String =
+    "CASE WHEN n > 1 AND CAST(t3t AS DOUBLE) < " +
+      "CAST(n AS DOUBLE) * n * n - n THEN " +
+      "round(((12.0 / (CAST(n AS DOUBLE) * (n + 1))) * " +
+      "(CAST(s_micro AS DOUBLE) / 1000000) - 3.0 * (n + 1)) / " +
+      "(1 - CAST(t3t AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * n * n - n)), 6) END"
+
+  /** χ²(df, 0.95) critical value as a CASE lookup over a df
+    * expression — df 1..10 supported, NULL beyond (callers see a NULL
+    * flag instead of a silently wrong quantile; the [[TimeSeries]]
+    * ljungBox lesson). Shared with the oracle. */
+  def chi2Crit95Sql(dfExpr: String): String =
+    s"CAST((CASE CAST(($dfExpr) AS BIGINT) " +
+      "WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 " +
+      "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 " +
+      "WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 WHEN 9 THEN 16.918978 " +
+      "WHEN 10 THEN 18.307038 END) AS DOUBLE)"
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

@@ -707,6 +707,41 @@ object ScaleSmoke {
           (col("np") >= 15L).as("heavy")),
         "dose", "heavy"))
     }
+    time(s"rank tests mannWhitney+kruskalWallis x$mult") {
+      // both ride the spearman midrank kernel: one distinct-value prefix
+      // sum + one value-keyed join-back + one/two tiny aggregates — the
+      // shuffle is ∝ distinct values, not rows
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L)) > 0L)
+            .as("had_error"))
+      drain(Profiling.mannWhitney(users, "had_error", "spend"))
+      drain(Profiling.kruskalWallis(
+        eventsUid.select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents"))
+    }
+    time(s"survival kaplanMeier+logRank x$mult") {
+      // subject table reduces to per-(grp,t) steps in one aggregate; the
+      // two prefix sums run on the step table (∝ distinct hours, not
+      // subjects) — growth tracks the user-level aggregate only
+      val users = eventsUid
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(col("user_id"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000").as("t"),
+          col("err_ms").isNotNull.as("ev"))
+        .localCheckpoint(true)
+      drain(graft.operators.Survival.kaplanMeier(
+        users.withColumn("grp",
+          concat(lit("c"), pmod(col("user_id"), lit(2L)))), "grp", "t", "ev"))
+      drain(graft.operators.Survival.logRank(
+        users.withColumn("g", pmod(col("user_id"), lit(2L)) === 0L),
+        "g", "t", "ev"))
+    }
     time(s"markovStationary x$mult (event-type chain, 12 iters)") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))

@@ -386,4 +386,56 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(expected.getAs[Long]("n_pairs") == 780L)
     assert(shuffled.getAs[Long]("n_pairs") == 780L)
   }
+
+  test("mannWhitney: separated groups, exact 2U1, Cliff's delta, z") {
+    // control {1,2,3} vs treatment {4,5,6}: every treatment value wins
+    // -> U1 = n1*n2 = 9 (u1x2 = 18), delta = +1, z = 9/sqrt(21) ≈ 1.9640
+    // (JUST over 1.959964 — the fixture discriminates the variance chain)
+    val df = Seq((false, 1L), (false, 2L), (false, 3L),
+      (true, 4L), (true, 5L), (true, 6L)).toDF("grp", "v")
+    val r = Profiling.mannWhitney(df, "grp", "v").head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("u1x2") == 18L)
+    assert(r.getAs[Double]("cliffs_delta") == 1.0)
+    assert(r.getAs[Double]("z") == math.rint(9.0 / math.sqrt(21.0) * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("mannWhitney: ties give half-wins through exact doubled midranks") {
+    // A={1,1} B={1,2}: U1(B) = 0.5+0.5+1+1 = 3 -> u1x2 = 6; tie group of
+    // three 1s -> t3t = 27-3 = 24
+    val df = Seq((false, 1L), (false, 1L), (true, 1L), (true, 2L))
+      .toDF("grp", "v")
+    val r = Profiling.mannWhitney(df, "grp", "v").head()
+    assert(r.getAs[Long]("u1x2") == 6L)
+    assert(r.getAs[java.math.BigDecimal]("t3t").longValueExact() == 24L)
+  }
+
+  test("kruskalWallis: hand H on separated tertiles, df-indexed critical") {
+    // g1={1,2} g2={3,4} g3={5,6}: R={3,7,11}, S=89.5,
+    // H = 12/42*89.5 - 21 = 4.571429 < chi2_2(0.95)=5.991465
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("grp", "v")
+    val r = Profiling.kruskalWallis(df, "grp", "v").head()
+    assert(r.getAs[Double]("h") == 4.571429)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Double]("chi2_crit") == 5.991465)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("kruskalWallis: all-ties degenerates to NULL, df>10 crit is NULL") {
+    val ties = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L))
+      .toDF("grp", "v")
+    val rt = Profiling.kruskalWallis(ties, "grp", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("h")), "all-equal values: H undefined")
+    assert(rt.isNullAt(rt.fieldIndex("significant")))
+    // 12 groups -> df=11 beyond the lookup: the flag must be NULL, never
+    // a silently wrong quantile (the ljungBox lesson)
+    val wide = (0L until 24L).map(i => (s"g${i % 12}", i)).toDF("grp", "v")
+    val rw = Profiling.kruskalWallis(wide, "grp", "v").head()
+    assert(rw.getAs[Long]("df") == 11L)
+    assert(rw.isNullAt(rw.fieldIndex("chi2_crit")))
+    assert(rw.isNullAt(rw.fieldIndex("significant")))
+    assert(!rw.isNullAt(rw.fieldIndex("h")), "H itself is still reported")
+  }
 }
