@@ -3533,6 +3533,35 @@ object SparkEntry {
           col("err_ms").isNotNull.as("event"))
       Survival.logRank(users, "even_cohort", "t_hours", "event")
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS on the customer->supplier purchase graph (the q_pagerank
+      // edges): customers score as hubs, suppliers as authorities;
+      // 4 fixed max-normalized iterations, oracle unrolls them.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 4)
+    }),
+    "q_label_prop" -> ((s, dir) => {
+      // Majority-vote communities on the repeat-co-purchase graph
+      // (the q_modularity edges): 4 synchronous rounds, smallest-label
+      // tie-break — exact integer votes, no quantization needed.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -3968,6 +3997,8 @@ object SparkEntry {
     "q_corpus_overlap_sampled" -> corpusOverlapOracle(sampleMod = 4),
     "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_hits" -> hitsOracle,
+    "q_label_prop" -> labelPropOracle,
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
@@ -7717,6 +7748,25 @@ object SparkEntry {
     * compile-time constant, so the oracle is 5 mechanical CTE blocks.
     * `(1 - 0.85)` is spelled as the same IEEE subtraction Spark performs
     * (`lit(1.0 - damping)`) so both engines use the identical constant. */
+  private val hitsOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |${graft.operators.Graph.hitsSql(4)}""".stripMargin
+
+  private val labelPropOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT CAST(a.l_partkey AS BIGINT) AS src,
+       |    CAST(b.l_partkey AS BIGINT) AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+       |und AS (SELECT src, dst FROM pairs
+       |  UNION SELECT dst, src FROM pairs),
+       |${graft.operators.Graph.labelPropSql(4)}""".stripMargin
+
   private val pagerankOracle: String = {
     val base =
       """WITH e AS (

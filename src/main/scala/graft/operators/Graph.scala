@@ -565,6 +565,130 @@ object Graph {
        |FROM e$rounds JOIN sup$rounds USING (lo, hi)""".stripMargin
   }
 
+  /** HITS hubs & authorities with a FIXED iteration count — the
+    * [[pageRank]] determinism recipe: no convergence test, the oracle
+    * unrolls the same iterations as CTEs. Per round: auth(v) = Σ hub
+    * over in-edges, hub(u) = Σ auth over out-edges, each normalized by
+    * its MAX (max of doubles is order-independent, unlike an L2-norm
+    * sum — the normalization choice is free up to scaling and this one
+    * keeps the chain engine-exact to the ulp class round(·,8) absorbs).
+    *
+    * Scale shape: each iteration is two vertex-keyed shuffle joins +
+    * two aggregates + two 1-row broadcast maxes; edge and vertex
+    * tables are materialized once. Scores stay vertex-cardinality;
+    * nothing collects to the driver. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var hub = verts.select(col("id"), lit(1.0).as("hub"))
+    var auth = verts.select(col("id"), lit(1.0).as("auth"))
+    (1 to iters).foreach { _ =>
+      val a0 = verts.join(
+        e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
+      val am = broadcast(a0.agg(max(col("auth")).as("am")))
+      auth = a0.crossJoin(am)
+        .select(col("id"), (col("auth") / col("am")).as("auth"))
+      val h0 = verts.join(
+        e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
+      val hm = broadcast(h0.agg(max(col("hub")).as("hm")))
+      hub = h0.crossJoin(hm)
+        .select(col("id"), (col("hub") / col("hm")).as("hub"))
+    }
+    auth.join(hub, Seq("id"))
+      .select(col("id"), round(col("auth"), 8).as("auth"),
+        round(col("hub"), 8).as("hub"))
+  }
+
+  /** Unrolled HITS oracle body (CTEs after an `e(src,dst)` + `v(id)`
+    * pair the caller provides). Every round CTE is MATERIALIZED — the
+    * self-referencing inline expansion is exponential otherwise. */
+  def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}0 AS MATERIALIZED (SELECT v.id,
+         |    COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS auth
+         |  FROM v LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN $prevHub h ON h.id = e.src GROUP BY v.id),
+         |am$i AS (SELECT MAX(auth) AS m FROM a${i}0),
+         |a$i AS MATERIALIZED (SELECT id, auth/m AS auth FROM a${i}0, am$i),
+         |h${i}0 AS MATERIALIZED (SELECT v.id,
+         |    COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS hub
+         |  FROM v LEFT JOIN e ON e.src = v.id
+         |  LEFT JOIN a$i a ON a.id = e.dst GROUP BY v.id),
+         |hm$i AS (SELECT MAX(hub) AS m FROM h${i}0),
+         |h$i AS MATERIALIZED (SELECT id, hub/m AS hub FROM h${i}0, hm$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM v),
+       |$rounds
+       |SELECT a.id, round(a.auth, 8) AS auth, round(h.hub, 8) AS hub
+       |FROM a$iters a JOIN h$iters h USING (id)""".stripMargin
+  }
+
+  /** Synchronous label propagation with a FIXED round count —
+    * community detection by majority vote: each round every vertex
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label (fully deterministic: exact integer counts
+    * + integer tie-break, so the result is engine- and partitioning-
+    * exact, no quantization needed). Labels start as vertex ids over
+    * the symmetrized edge set.
+    *
+    * Scale shape: one label join + one (vertex, label) count + one
+    * vertex-keyed argmax per round — the count table is bounded by the
+    * edge count, never materializing neighbor lists. Synchronous
+    * updates can oscillate on bipartite structures; the fixed round
+    * count makes that a documented property, not nondeterminism. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var lbl = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    (1 to rounds).foreach { _ =>
+      lbl = und.join(lbl.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Unrolled label-propagation oracle body (after `und(src,dst)`):
+    * per-round majority vote via ROW_NUMBER over (count DESC, label
+    * ASC) — the same deterministic tie-break as the operator. */
+  def labelPropSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (SELECT dst AS id, lbl FROM (
+         |  SELECT e.dst, l.lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY e.dst
+         |      ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+         |  FROM und e JOIN $prev l ON l.id = e.src
+         |  GROUP BY e.dst, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und),
+       |$steps
+       |SELECT id, lbl AS community FROM l$rounds""".stripMargin
+  }
+
   def kCoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "es" else s"e${i - 1}"

@@ -868,6 +868,25 @@ object ScaleSmoke {
           maxCenterDeg = 64L))
       }
     }
+    time(s"hits+labelProp x$mult (disjoint graph copies)") {
+      // hits rides the pageRank edge shapes (2 joins+aggs/iter);
+      // labelProp's per-round count table is edge-bounded — both must
+      // scale with the multiplied edge count, not worse
+      val e0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10_000_000L).as("dst"))
+      val edges = (0 until mult).map { i =>
+        e0.select((col("src") + lit(i * 20_000_000L)).as("src"),
+          (col("dst") + lit(i * 20_000_000L)).as("dst"))
+      }.reduce(_ unionByName _)
+      drain(graft.operators.Graph.hits(edges, "src", "dst", iters = 4))
+      drain(graft.operators.Graph.labelPropagation(
+        edges, "src", "dst", rounds = 4))
+    }
     time(s"kTruss x${math.max(1, mult / 5)} (disjoint copies, k=4)") {
       // disjoint copies of the sampled co-purchase graph: edge count
       // multiplies while the per-copy peel depth stays fixed, so growth

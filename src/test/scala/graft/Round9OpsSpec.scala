@@ -438,4 +438,51 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rw.isNullAt(rw.fieldIndex("significant")))
     assert(!rw.isNullAt(rw.fieldIndex("h")), "H itself is still reported")
   }
+
+  test("hits: one-iteration hand values on a bipartite hub/authority graph") {
+    // h1->{a1,a2}, h2->a2: auth = indegree-of-hub-mass {1,2} -> max-norm
+    // {0.5, 1}; hub = {0.5+1, 1} = {1.5, 1} -> {1, 0.66666667}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L)).toDF("src", "dst")
+    val m = Graph.hits(e, "src", "dst", iters = 1).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("auth"), r.getAs[Double]("hub"))).toMap
+    assert(m(10L) == ((0.5, 0.0)))
+    assert(m(11L) == ((1.0, 0.0)))
+    assert(m(1L) == ((0.0, 1.0)))
+    assert(m(2L) == ((0.0, 0.66666667)))
+  }
+
+  test("hits: 4 iterations converge toward the golden-ratio split") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L)).toDF("src", "dst")
+    val m = Graph.hits(e, "src", "dst", iters = 4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("auth"), r.getAs[Double]("hub"))).toMap
+    // dominant hub/authority pinned at 1 by the max normalization
+    assert(m(11L)._1 == 1.0 && m(1L)._2 == 1.0)
+    assert(m(10L)._1 > 0.6 && m(10L)._1 < 0.63, s"a1=${m(10L)._1}")
+    assert(m(2L)._2 > 0.61 && m(2L)._2 < 0.67, s"h2=${m(2L)._2}")
+    // deterministic under adversarial partitioning (exact max-norm chain)
+    val shuf = Graph.hits(e.repartition(7, col("dst")), "src", "dst",
+      iters = 4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("auth"), r.getAs[Double]("hub"))).toMap
+    assert(shuf == m)
+  }
+
+  test("labelPropagation: two triangles with a bridge settle into two communities") {
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4; after 4 rounds the
+    // hand-traced labels are {1,2,3}->1 and {4,5,6}->3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val m = Graph.labelPropagation(e, "src", "dst", rounds = 4).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L), s"left triangle: $m")
+    assert(Seq(4L, 5L, 6L).forall(m(_) == 3L), s"right triangle: $m")
+    // one-directional input is symmetrized: reversed edges, same result
+    val rev = Graph.labelPropagation(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      "src", "dst", rounds = 4).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(rev == m)
+  }
 }
