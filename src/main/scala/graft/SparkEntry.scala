@@ -3562,6 +3562,31 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)
     }),
+    "q_emd" -> ((s, dir) => {
+      // HOW FAR apart are the parity cohorts' spend distributions, in
+      // cents (Wasserstein-1) — the magnitude companion to q_ks_test's
+      // yes/no; micro-quantized CDF-gap rectangles, exact sums.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("even", pmod(col("user_id"), lit(2L)) === 0L)
+      Profiling.emd1d(
+        users.filter(col("even")).select(col("spend")),
+        users.filter(!col("even")).select(col("spend")), "spend")
+    }),
+    "q_jsd" -> ((s, dir) =>
+      // Pairwise Jensen-Shannon divergence between document sources'
+      // token distributions — symmetric, finite on disjoint vocabulary;
+      // H(M) - (H(P)+H(Q))/2 with nano-quantized entropy terms.
+      TextAnalysis.jsDivergence(table(s, dir, "documents"))),
+    "q_isotonic" -> ((s, dir) => {
+      // Monotone (PAV) calibration of purchase rate vs spend bins via
+      // the minimax identity on the B-row bin table — the fitted curve
+      // a threshold picker can actually consume.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.isotonicCalibration(ev, "cents", "is_pos")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -3999,6 +4024,89 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle,
     "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_emd" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend
+         |  FROM events GROUP BY 1),
+         |u AS (SELECT spend AS v,
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS ib FROM users),
+         |per AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+         |    CAST(SUM(ib) AS BIGINT) AS cb FROM u GROUP BY 1),
+         |c AS (SELECT v, ca, cb,
+         |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+         |    LEAD(v) OVER (ORDER BY v) AS next_v FROM per),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) AS BIGINT) AS n_b FROM per),
+         |g AS (SELECT n_a, n_b,
+         |    ${graft.operators.Profiling.emdGapMicroSql} AS gap_micro
+         |  FROM c, t WHERE next_v IS NOT NULL),
+         |agg AS (SELECT n_a, n_b,
+         |    CAST(SUM(gap_micro) AS BIGINT) AS emd_micro
+         |  FROM g GROUP BY 1, 2)
+         |SELECT n_a, n_b, emd_micro,
+         |  round(CAST(emd_micro AS DOUBLE) / 1000000, 6) AS emd
+         |FROM agg""".stripMargin,
+    "q_jsd" ->
+      s"""WITH tk AS (SELECT source AS g,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |counts AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |tots AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t
+         |  FROM counts GROUP BY 1),
+         |hp AS (SELECT g,
+         |    CAST(SUM(${graft.operators.TextAnalysis
+                  .entropyTermNanoSql("c", "t")}) AS BIGINT) AS h_nano
+         |  FROM counts JOIN tots USING (g) GROUP BY g),
+         |ex AS (SELECT LEAST(a.g, o.g2) AS ga, GREATEST(a.g, o.g2) AS gb,
+         |    a.tok,
+         |    CASE WHEN a.g < o.g2 THEN a.c ELSE 0 END AS c_a,
+         |    CASE WHEN a.g < o.g2 THEN 0 ELSE a.c END AS c_b,
+         |    CASE WHEN a.g < o.g2 THEN t.t ELSE o.t2 END AS t_a,
+         |    CASE WHEN a.g < o.g2 THEN o.t2 ELSE t.t END AS t_b
+         |  FROM counts a JOIN tots t ON a.g = t.g
+         |  JOIN (SELECT g AS g2, t AS t2 FROM tots) o ON a.g <> o.g2),
+         |pt AS (SELECT ga, gb, tok, CAST(SUM(c_a) AS BIGINT) AS ca,
+         |    CAST(SUM(c_b) AS BIGINT) AS cb, CAST(MAX(t_a) AS BIGINT) AS ta,
+         |    CAST(MAX(t_b) AS BIGINT) AS tb FROM ex GROUP BY 1, 2, 3),
+         |hm AS (SELECT ga, gb, ta, tb,
+         |    CAST(SUM(${graft.operators.TextAnalysis.jsMixtureTermNanoSql})
+         |      AS BIGINT) AS hm_nano
+         |  FROM pt GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT hm.ga, hm.gb, hm.ta, hm.tb, hm.hm_nano,
+         |    pa.h_nano AS ha_nano, pb.h_nano AS hb_nano
+         |  FROM hm JOIN hp pa ON pa.g = hm.ga JOIN hp pb ON pb.g = hm.gb)
+         |SELECT ga AS corpus_a, gb AS corpus_b, ta, tb, hm_nano, ha_nano,
+         |  hb_nano, ${graft.operators.TextAnalysis.jsdSql} AS jsd
+         |FROM j""".stripMargin,
+    "q_isotonic" ->
+      """WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM e),
+        |b AS (SELECT CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+        |  FROM e, mm GROUP BY 1),
+        |cum AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM b),
+        |ks AS (SELECT bin AS k, cn AS cnk, cp AS cpk FROM cum),
+        |pairs AS (
+        |  SELECT k, CAST(0 AS BIGINT) AS j, cnk AS nn, cpk AS np FROM ks
+        |  UNION ALL
+        |  SELECT k, jm.bin + 1 AS j, cnk - jm.cn AS nn, cpk - jm.cp AS np
+        |  FROM ks JOIN cum jm ON jm.bin < k),
+        |pm AS (SELECT k, j, CAST(np AS DOUBLE) / nn AS mean_jk
+        |  FROM pairs WHERE nn > 0),
+        |im AS (SELECT i.bin AS i, pm.j, MIN(mean_jk) AS inner_min
+        |  FROM b i JOIN pm ON pm.j <= i.bin AND i.bin <= pm.k
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, round(MAX(inner_min), 6) AS fitted
+        |  FROM im GROUP BY 1)
+        |SELECT b.bin, b.n, b.n_pos, b.frac_pos, fit.fitted
+        |FROM b JOIN fit ON fit.i = b.bin""".stripMargin,
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,

@@ -65,7 +65,8 @@ object Eval {
       df: DataFrame,
       groupCols: Seq[String],
       orderCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String],
+      keepPid: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val gcols = groupCols.map(col)
     val ocols = orderCols.map(col)
@@ -92,7 +93,8 @@ object Eval {
     sumCols.foldLeft(
       local.join(broadcast(offsets), "__pid" +: groupCols)) { (d, c) =>
       d.withColumn(s"cum_$c", (col(s"__off_$c") + col(s"__l_$c")).cast("long"))
-    }.drop("__pid" +: sumCols.flatMap(c => Seq(s"__l_$c", s"__off_$c")): _*)
+    }.drop((if (keepPid) Seq.empty[String] else Seq("__pid")) ++
+      sumCols.flatMap(c => Seq(s"__l_$c", s"__off_$c")): _*)
   }
 
   /** Exact ROC AUC of an integer-domain score against a boolean label —
@@ -630,6 +632,59 @@ object Eval {
       .select(col("bin"), col("n"), col("n_pos"), col("sum_score"),
         round(col("sum_score").cast("double") / col("n"), 6).as("mean_score"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+  }
+
+  /** Isotonic (monotone) calibration over score bins — the PAV fit via
+    * the minimax identity f(i) = max_{j≤i} min_{k≥i} mean(y over bins
+    * j..k): the calibration curve [[calibrationBins]] reports raw, made
+    * MONOTONE, which is what "higher score ⇒ higher quality" consumers
+    * (threshold pickers, budget allocators) actually need.
+    *
+    * Scale shape: the data-sized pass is the one binned aggregate
+    * (identical to [[calibrationBins]]); the fit runs on the B-row bin
+    * table (B = `bins`, a parameter, ≤ ~100) — the window + B³ pair/
+    * anchor joins are bounded by construction, never data-sized. Every
+    * windowed mean is an exact-integer ratio evaluated once in double
+    * (identical both engines), min/max over those are exact — no
+    * quantization needed anywhere. */
+  def isotonicCalibration(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0 && bins <= 128, s"bins in [1,128]: $bins")
+    val b = calibrationBins(df, scoreCol, labelCol, bins)
+      .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"))
+      .localCheckpoint(true) // B rows; read by cum + final join
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.select(col("bin"),
+      sum(col("n")).over(w).cast("long").as("cn"),
+      sum(col("n_pos")).over(w).cast("long").as("cp"))
+    // interval means over [j..k] from the prefix sums: exact ratios.
+    // j enumerates 0 (full prefix) plus every bin boundary + 1.
+    val ks = cum.select(col("bin").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val pairs = ks
+      .select(col("k"), lit(0L).as("j"), col("cnk").as("nn"),
+        col("cpk").as("np"))
+      .unionByName(ks
+        .join(cum.select(col("bin").as("jm1"), col("cn").as("cnj"),
+          col("cp").as("cpj")), col("jm1") < col("k"))
+        .select(col("k"), (col("jm1") + 1L).as("j"),
+          (col("cnk") - col("cnj")).as("nn"),
+          (col("cpk") - col("cpj")).as("np")))
+      .filter(col("nn") > 0L)
+      .withColumn("mean_jk",
+        col("np").cast("double") / col("nn").cast("double"))
+    val anchors = b.select(col("bin").as("i"))
+    val fit = anchors
+      .join(pairs, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("mean_jk")).as("inner_min"))
+      .groupBy(col("i"))
+      .agg(round(max(col("inner_min")), 6).as("fitted"))
+    b.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"),
+        col("fitted"))
   }
 
   /** Ranked-retrieval quality per query — NDCG@k, reciprocal rank, and

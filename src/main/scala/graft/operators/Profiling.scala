@@ -313,6 +313,57 @@ object Profiling {
       .agg(round(max(col("__diff")), 6).as("d"))
   }
 
+  /** 1-D earth mover's (Wasserstein-1) distance between two samples —
+    * the MAGNITUDE companion to [[ksTest]]: KS asks "do the
+    * distributions differ?", EMD answers "by how much, in the metric's
+    * own units" (∫|F_a − F_b| dv — robust to binning, sensitive to
+    * location shifts KS saturates on). Same distinct-value prefix-sum
+    * kernel; the inter-value gaps come from a per-partition `lead` plus
+    * a partition-boundary stitch over the ≤#partitions first-value rows
+    * (never a single-partition global sort). Per-gap rectangles are
+    * micro-quantized — order-independent exact sums. */
+  def emd1d(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(valCol).cast("long").as("v"),
+        lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionByName(b.select(col(valCol).cast("long").as("v"),
+        lit(0L).as("__ca"), lit(1L).as("__cb")))
+    val per = u.groupBy(col("v")).agg(
+      sum(col("__ca")).cast("long").as("ca"),
+      sum(col("__cb")).cast("long").as("cb"))
+    val c = Eval.rangedCumsumOrdered(per, Nil, Seq("v"), Seq("ca", "cb"),
+      keepPid = true)
+    val tot = broadcast(c.agg(
+      sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b")))
+    // next distinct value: in-partition lead; the last row of each range
+    // partition reads the NEXT non-empty partition's first value from a
+    // tiny (#partitions-row) stitched table
+    val firsts = c.groupBy(col("__pid")).agg(min(col("v")).as("__fv"))
+      .withColumn("__next_fv",
+        lead(col("__fv"), 1).over(Window.orderBy(col("__pid"))))
+      .select(col("__pid"), col("__next_fv"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("v"))
+    c.join(broadcast(firsts), Seq("__pid"))
+      .withColumn("next_v",
+        coalesce(lead(col("v"), 1).over(wIn), col("__next_fv")))
+      .filter(col("next_v").isNotNull)
+      .crossJoin(tot)
+      .withColumn("gap_micro", expr(emdGapMicroSql))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("gap_micro")).cast("long").as("emd_micro"))
+      .withColumn("emd",
+        expr("round(CAST(emd_micro AS DOUBLE) / 1000000, 6)"))
+  }
+
+  /** Per-gap |F_a − F_b|·(next_v − v) rectangle in micro units over
+    * (cum_ca, cum_cb, n_a, n_b, v, next_v) — deterministic double ops
+    * on exact integers, no inner sum. Shared with the oracle. */
+  val emdGapMicroSql: String =
+    "CAST(ROUND(ABS(CAST(cum_ca AS DOUBLE) / n_a - " +
+      "CAST(cum_cb AS DOUBLE) / n_b) * (next_v - v) * 1000000, 0) " +
+      "AS BIGINT)"
+
   /** Order-independent table fingerprint — the cross-engine / cross-copy
     * data-validation primitive: hash each row's canonical rendering
     * (`'|'`-joined string casts) with the 60-bit md5 kernel and aggregate

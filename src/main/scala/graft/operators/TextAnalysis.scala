@@ -1134,4 +1134,78 @@ object TextAnalysis {
     * the string-expr twin of [[graft.functions.TextFunctions.tokenHash60]]. */
   private def hash60Sql(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Pairwise Jensen–Shannon divergence between corpora (token
+    * distributions per `groupCol`) — the SYMMETRIC, always-finite
+    * distribution distance for "how different is source A's language
+    * from source B's?" (KL blows up on disjoint vocabulary, exactly the
+    * common case across web/code/chat corpora). Computed as
+    * JSD = H(M) − (H(P)+H(Q))/2 with M the even mixture: the per-source
+    * entropies come straight off each source's count table, and only
+    * H(M) needs the pair-expanded union vocabulary (each token row joins
+    * the k−1 other sources — the corpusOverlap pairwise regime, shuffle
+    * ∝ vocab·k, never document-sized). Every −p·ln p term is
+    * nano-quantized per token so all sums are exact integers. Result in
+    * nats; 0 ≤ JSD ≤ ln 2. */
+  def jsDivergence(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // read 3x: totals, entropies, pair expansion
+    val tot = counts.groupBy(col("g")).agg(sum(col("c")).cast("long").as("t"))
+    val hp = counts.join(broadcast(tot), Seq("g"))
+      .withColumn("term", expr(entropyTermNanoSql("c", "t")))
+      .groupBy(col("g"))
+      .agg(sum(col("term")).cast("long").as("h_nano"))
+    val others = tot.select(col("g").as("g2"), col("t").as("t2"))
+    val pairTok = counts.join(broadcast(tot), Seq("g"))
+      .join(broadcast(others), col("g") =!= col("g2"))
+      .select(least(col("g"), col("g2")).as("ga"),
+        greatest(col("g"), col("g2")).as("gb"), col("tok"),
+        when(col("g") < col("g2"), col("c")).otherwise(0L).as("c_a"),
+        when(col("g") < col("g2"), lit(0L)).otherwise(col("c")).as("c_b"),
+        when(col("g") < col("g2"), col("t")).otherwise(col("t2")).as("t_a"),
+        when(col("g") < col("g2"), col("t2")).otherwise(col("t")).as("t_b"))
+      .groupBy(col("ga"), col("gb"), col("tok"))
+      .agg(sum(col("c_a")).cast("long").as("ca"),
+        sum(col("c_b")).cast("long").as("cb"),
+        max(col("t_a")).cast("long").as("ta"),
+        max(col("t_b")).cast("long").as("tb"))
+    pairTok.withColumn("term", expr(jsMixtureTermNanoSql))
+      .groupBy(col("ga"), col("gb"), col("ta"), col("tb"))
+      .agg(sum(col("term")).cast("long").as("hm_nano"))
+      .join(broadcast(hp.select(col("g").as("ga"),
+        col("h_nano").as("ha_nano"))), Seq("ga"))
+      .join(broadcast(hp.select(col("g").as("gb"),
+        col("h_nano").as("hb_nano"))), Seq("gb"))
+      .select(col("ga").as("corpus_a"), col("gb").as("corpus_b"),
+        col("ta"), col("tb"), col("hm_nano"), col("ha_nano"),
+        col("hb_nano"), expr(jsdSql).as("jsd"))
+  }
+
+  /** Per-token −p·ln p entropy term in nano units over count/total
+    * column names — deterministic double ops on exact integers, no
+    * inner sum. Shared with the oracle. */
+  def entropyTermNanoSql(c: String, t: String): String =
+    s"CAST(ROUND(-(CAST($c AS DOUBLE)/$t) * LN(CAST($c AS DOUBLE)/$t) * " +
+      "1000000000, 0) AS BIGINT)"
+
+  /** Per-token mixture entropy term −m·ln m, m = (ca/ta + cb/tb)/2,
+    * over (ca, cb, ta, tb); m > 0 because every pair-token row exists
+    * only where at least one side counts it. Shared with the oracle. */
+  val jsMixtureTermNanoSql: String =
+    "CAST(ROUND(-((CAST(ca AS DOUBLE)/ta + CAST(cb AS DOUBLE)/tb)/2) * " +
+      "LN((CAST(ca AS DOUBLE)/ta + CAST(cb AS DOUBLE)/tb)/2) * " +
+      "1000000000, 0) AS BIGINT)"
+
+  /** JSD over the exact nano entropy sums, clamped at 0 (quantization
+    * can land an identical-distribution pair a few nano below). */
+  val jsdSql: String =
+    "round(greatest(CAST(0 AS DOUBLE), (CAST(hm_nano AS DOUBLE) - " +
+      "(CAST(ha_nano AS DOUBLE) + hb_nano)/2) / 1000000000), 6)"
 }

@@ -721,6 +721,23 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"emd1d+isotonic x$mult") {
+      // emd rides the ks prefix-sum kernel (∝ distinct values);
+      // isotonic's data-sized pass is the one binned aggregate — the
+      // B^3 fit is constant-size
+      val spend = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("even", pmod(col("user_id"), lit(2L)) === 0L)
+        .localCheckpoint(true)
+      drain(Profiling.emd1d(
+        spend.filter(col("even")).select(col("spend")),
+        spend.filter(!col("even")).select(col("spend")), "spend"))
+      drain(Eval.isotonicCalibration(
+        eventsUid.select(round(col("value") * 100, 0).cast("long").as("c"),
+          (col("event_type") === "purchase").as("y")), "c", "y"))
+    }
+    time(s"jsDivergence x${math.max(1, mult / 5)} (pairwise k sources)")(
+      drain(TextAnalysis.jsDivergence(docs)))
     time(s"survival kaplanMeier+logRank x$mult") {
       // subject table reduces to per-(grp,t) steps in one aggregate; the
       // two prefix sums run on the step table (∝ distinct hours, not

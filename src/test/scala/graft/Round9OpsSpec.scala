@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Profiling, TimeSeries}
+import graft.operators.{Eval, Graph, Profiling, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-9 hardening: lag-dependent Ljung–Box threshold, NULL-sentinel
@@ -484,5 +484,59 @@ class Round9OpsSpec extends SparkFunSuite {
       "src", "dst", rounds = 4).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
     assert(rev == m)
+  }
+
+  test("emd1d: hand Wasserstein-1, zero on identical samples") {
+    // a={0,4}, b={2,6}: |F gaps| 0.5·2 + 0·2 + 0.5·2 = 2 (each point
+    // shifts by 2)
+    val a = Seq(0L, 4L).toDF("v")
+    val b = Seq(2L, 6L).toDF("v")
+    val r = Profiling.emd1d(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("emd") == 2.0)
+    val same = Profiling.emd1d(a, a, "v").head()
+    assert(same.getAs[Double]("emd") == 0.0)
+    // asymmetric sizes: a={0}, b={10,10} -> EMD = 10
+    val r2 = Profiling.emd1d(Seq(0L).toDF("v"),
+      Seq(10L, 10L).toDF("v"), "v").head()
+    assert(r2.getAs[Double]("emd") == 10.0)
+  }
+
+  test("jsDivergence: ln 2 on disjoint vocab, 0 on identical corpora") {
+    val disjoint = Seq((1L, "a", "x x"), (2L, "b", "y y"))
+      .toDF("doc_id", "source", "text")
+    val d = TextAnalysis.jsDivergence(disjoint).head()
+    assert(d.getAs[String]("corpus_a") == "a")
+    assert(d.getAs[String]("corpus_b") == "b")
+    assert(d.getAs[Double]("jsd") == 0.693147, s"got ${d.getAs[Double]("jsd")}")
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    assert(TextAnalysis.jsDivergence(same).head().getAs[Double]("jsd") == 0.0)
+    // 3 corpora -> 3 unordered pairs
+    val tri = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x y"))
+      .toDF("doc_id", "source", "text")
+    assert(TextAnalysis.jsDivergence(tri).count() == 3L)
+  }
+
+  test("isotonicCalibration: PAV pools the decreasing middle bins") {
+    // scores 0..3 with bins=4 map bin = score; per-bin positive rates
+    // [0.1, 0.3, 0.2, 0.4] -> isotonic fit [0.1, 0.25, 0.25, 0.4]
+    val rows = Seq((0, 1), (1, 3), (2, 2), (3, 4)).flatMap {
+      case (s, pos) => (0 until 10).map(i => (s.toLong, i < pos))
+    }
+    val r = Eval.isotonicCalibration(rows.toDF("s", "y"), "s", "y",
+      bins = 4).orderBy("bin").collect()
+    assert(r.map(_.getAs[Double]("frac_pos")).toSeq ==
+      Seq(0.1, 0.3, 0.2, 0.4))
+    assert(r.map(_.getAs[Double]("fitted")).toSeq ==
+      Seq(0.1, 0.25, 0.25, 0.4))
+    // already-monotone data is untouched
+    val mono = Seq((0, 1), (1, 2), (2, 5), (3, 9)).flatMap {
+      case (s, pos) => (0 until 10).map(i => (s.toLong, i < pos))
+    }
+    val rm = Eval.isotonicCalibration(mono.toDF("s", "y"), "s", "y",
+      bins = 4).orderBy("bin").collect()
+    assert(rm.map(_.getAs[Double]("fitted")).toSeq ==
+      rm.map(_.getAs[Double]("frac_pos")).toSeq)
   }
 }
