@@ -3587,6 +3587,25 @@ object SparkEntry {
         (col("event_type") === "purchase").as("is_pos"))
       Eval.isotonicCalibration(ev, "cents", "is_pos")
     }),
+    "q_effect_size" -> ((s, dir) => {
+      // HOW BIG is the parity-arm spend shift per event type, in SD
+      // units: Cohen's d (pooled), Hedges' g (small-sample corrected),
+      // Glass's delta (control SD) — the magnitude companion to
+      // q_ab_test's t; exact moment row, shared-SQL chain.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("arm"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      Normalize.effectSize(ev, "event_type", "arm", "cents")
+    }),
+    "q_gumbel" -> ((s, dir) => {
+      // Worst-case tail per event type: Gumbel fit over daily block
+      // maxima of cents (method of moments) + the 100-day return level
+      // — the capacity-planning threshold mean/std can't give.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.TimeSeries.gumbelFit(ev, "event_type", "day", "cents")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -4107,6 +4126,35 @@ object SparkEntry {
         |  FROM im GROUP BY 1)
         |SELECT b.bin, b.n, b.n_pos, b.frac_pos, fit.fitted
         |FROM b JOIN fit ON fit.i = b.bin""".stripMargin,
+    "q_effect_size" ->
+      s"""WITH e AS (SELECT event_type, user_id % 2 = 0 AS arm,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),
+         |m AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm THEN x ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(SUM(CASE WHEN arm THEN x*x ELSE 0 END) AS BIGINT) AS sq_a,
+         |    CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm THEN 0 ELSE x END) AS BIGINT) AS s_b,
+         |    CAST(SUM(CASE WHEN arm THEN 0 ELSE x*x END) AS BIGINT) AS sq_b
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n_a, s_a, sq_a, n_b, s_b, sq_b,
+         |  ${graft.operators.Normalize.cohensDSql} AS cohens_d,
+         |  ${graft.operators.Normalize.hedgesGSql} AS hedges_g,
+         |  ${graft.operators.Normalize.glassDeltaSql} AS glass_delta
+         |FROM m""".stripMargin,
+    "q_gumbel" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),
+         |bm AS (SELECT event_type, day, MAX(x) AS m FROM e GROUP BY 1, 2),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(m*m) AS BIGINT) AS sq
+         |  FROM bm GROUP BY 1)
+         |SELECT event_type, n_blocks, sm, sq,
+         |  round(CAST(sm AS DOUBLE) / n_blocks, 6) AS mean_max,
+         |  ${graft.operators.TimeSeries.gumbelBetaSql} AS beta,
+         |  ${graft.operators.TimeSeries.gumbelMuSql} AS mu,
+         |  ${graft.operators.TimeSeries.gumbelRl100Sql} AS return_level_100
+         |FROM a""".stripMargin,
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,

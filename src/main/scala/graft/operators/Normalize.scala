@@ -94,6 +94,60 @@ object Normalize {
         6).as("t"))
   }
 
+  /** Standardized effect sizes per key — the MAGNITUDE companion to
+    * [[welchTTest]]'s yes/no: Cohen's d (pooled-SD units), Hedges' g
+    * (d with the small-sample bias correction J = 1 − 3/(4N−9)), and
+    * Glass's Δ (control-SD units, for when the treatment changes the
+    * variance too). A t-statistic grows with √n even for a trivial
+    * shift; these don't — they are what "is the effect big enough to
+    * care?" actually asks. Same exact-BIGINT moment row + shared-SQL
+    * double chain as welchTTest (one map-side-combined aggregate, no
+    * join; `sq` stays exact to ~10⁹ cents²-scale rows per arm). */
+  def effectSize(
+      df: DataFrame, keyCol: String, armCol: String,
+      valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    def armAgg(arm: Boolean, f: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === arm, f).otherwise(0L))
+    df.groupBy(col(keyCol)).agg(
+        armAgg(true, lit(1L)).cast("long").as("n_a"),
+        armAgg(true, x).cast("long").as("s_a"),
+        armAgg(true, x * x).cast("long").as("sq_a"),
+        armAgg(false, lit(1L)).cast("long").as("n_b"),
+        armAgg(false, x).cast("long").as("s_b"),
+        armAgg(false, x * x).cast("long").as("sq_b"))
+      .withColumn("cohens_d", expr(cohensDSql))
+      .withColumn("hedges_g", expr(hedgesGSql))
+      .withColumn("glass_delta", expr(glassDeltaSql))
+  }
+
+  /** Sample variance of arm `p` from its exact moment columns, in the
+    * overflow-safe double assembly [[welchTTest]] documents. */
+  private def armVarSql(p: String): String =
+    s"((CAST(sq_$p AS DOUBLE) - CAST(s_$p AS DOUBLE) * " +
+      s"(CAST(s_$p AS DOUBLE) / n_$p)) / (n_$p - 1))"
+
+  /** Pooled-SD Cohen's d over the two-arm moment row; NULL when either
+    * arm has <2 rows or the pooled variance degenerates. Shared with
+    * the oracle. */
+  val cohensDSql: String = {
+    val pooled = s"(((n_a - 1) * ${armVarSql("a")} + " +
+      s"(n_b - 1) * ${armVarSql("b")}) / (n_a + n_b - 2))"
+    "CASE WHEN n_a > 1 AND n_b > 1 AND " + pooled + " > 0 THEN " +
+      "round((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b) / " +
+      s"sqrt($pooled), 6) END"
+  }
+
+  /** Hedges' g = J·d with J = 1 − 3/(4(n_a+n_b) − 9). */
+  val hedgesGSql: String =
+    s"round($cohensDSql * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6)"
+
+  /** Glass's Δ — mean shift in CONTROL-arm SD units. */
+  val glassDeltaSql: String =
+    s"CASE WHEN n_b > 1 AND ${armVarSql("b")} > 0 THEN " +
+      "round((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b) / " +
+      s"sqrt(${armVarSql("b")}), 6) END"
+
   /** Per-group z-score from EXACT integer moments: one agg computes
     * (n, sum, sumsq) as BIGINTs over an integer-valued column, then a
     * single double-arithmetic step derives population mean/std — the

@@ -766,4 +766,59 @@ object TimeSeries {
       "(CAST(2*n_up*n_down AS DOUBLE)/(n_up+n_down) + 1)) / " +
       "sqrt(CAST(2*n_up*n_down*(2*n_up*n_down - (n_up+n_down)) AS DOUBLE) / " +
       "(CAST(n_up+n_down AS DOUBLE)*(n_up+n_down)*(n_up+n_down-1))), 6) END"
+
+  /** Gumbel extreme-value fit per key from BLOCK MAXIMA — the tail
+    * question mean/std can't answer: "what's the worst value we should
+    * expect per day/month/year?". Method-of-moments on the per-block
+    * maxima: β = s·√6/π, μ = x̄ − γ·β (Euler–Mascheroni γ), plus the
+    * 100-block return level μ − β·ln(−ln(1−1/100)) — the classical
+    * first-order answer for capacity planning / anomaly thresholds.
+    *
+    * Plan: one (key, block) max aggregate (map-side combined) + one
+    * per-key moment aggregate — maxima are exact longs, Σm² exact to
+    * ~10⁹ blocks at cents² scale, and the fit is one shared-SQL double
+    * chain. NULL fit when <2 blocks or zero variance. */
+  def gumbelFit(
+      df: DataFrame, keyCol: String, blockCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(blockCol))
+      .agg(max(col(valCol).cast("long")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(col("m")).cast("long").as("sm"),
+        sum(col("m") * col("m")).cast("long").as("sq"))
+      .withColumn("mean_max", expr(
+        "round(CAST(sm AS DOUBLE) / n_blocks, 6)"))
+      .withColumn("beta", expr(gumbelBetaSql))
+      .withColumn("mu", expr(gumbelMuSql))
+      .withColumn("return_level_100", expr(gumbelRl100Sql))
+
+  /** Sample SD of the maxima in the overflow-safe double assembly
+    * (see welchTTest's note on why not the n·Σx² integer form). */
+  private val gumbelSdSql: String =
+    "sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * " +
+      "(CAST(sm AS DOUBLE) / n_blocks)) / (n_blocks - 1))"
+
+  private val gumbelGuardSql: String =
+    "n_blocks > 1 AND (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * " +
+      "(CAST(sm AS DOUBLE) / n_blocks)) > 0"
+
+  /** β = s·√6/π over the moment row, shared with the oracle. */
+  val gumbelBetaSql: String =
+    s"CASE WHEN $gumbelGuardSql THEN " +
+      s"round($gumbelSdSql * sqrt(6.0) / pi(), 6) END"
+
+  /** μ = x̄ − γβ (γ = 0.5772156649015329), shared with the oracle. */
+  val gumbelMuSql: String =
+    s"CASE WHEN $gumbelGuardSql THEN " +
+      "round(CAST(sm AS DOUBLE) / n_blocks - 0.5772156649015329 * " +
+      s"($gumbelSdSql * sqrt(6.0) / pi()), 6) END"
+
+  /** 100-block return level μ − β·ln(−ln(0.99)), shared with the
+    * oracle (libm ln matches engine-for-engine; see FIXTURES.md). */
+  val gumbelRl100Sql: String =
+    s"CASE WHEN $gumbelGuardSql THEN " +
+      "round(CAST(sm AS DOUBLE) / n_blocks - 0.5772156649015329 * " +
+      s"($gumbelSdSql * sqrt(6.0) / pi()) - " +
+      s"($gumbelSdSql * sqrt(6.0) / pi()) * LN(-LN(0.99)), 6) END"
 }

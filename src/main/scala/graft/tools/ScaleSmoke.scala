@@ -721,6 +721,18 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"effectSize+gumbel x$mult (one agg chain each)") {
+      drain(graft.operators.Normalize.effectSize(
+        eventsUid.select(col("event_type"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "arm", "cents"))
+      drain(TimeSeries.gumbelFit(
+        eventsUid.select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "day", "cents"))
+    }
     time(s"emd1d+isotonic x$mult") {
       // emd rides the ks prefix-sum kernel (∝ distinct values);
       // isotonic's data-sized pass is the one binned aggregate — the

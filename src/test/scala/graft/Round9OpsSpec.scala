@@ -539,4 +539,45 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rm.map(_.getAs[Double]("fitted")).toSeq ==
       rm.map(_.getAs[Double]("frac_pos")).toSeq)
   }
+
+  test("effectSize: hand d/g/delta on equal-variance arms") {
+    import graft.operators.Normalize
+    // a={10,12,14} (mean 12, var 4), b={8,10,12} (mean 10, var 4):
+    // pooled var 4 -> d = 1; J = 1 - 3/15 = 0.8 -> g = 0.8; glass = 1
+    val df = Seq(("k", true, 10L), ("k", true, 12L), ("k", true, 14L),
+      ("k", false, 8L), ("k", false, 10L), ("k", false, 12L))
+      .toDF("k", "arm", "v")
+    val r = Normalize.effectSize(df, "k", "arm", "v").head()
+    assert(r.getAs[Double]("cohens_d") == 1.0)
+    assert(r.getAs[Double]("hedges_g") == 0.8)
+    assert(r.getAs[Double]("glass_delta") == 1.0)
+    // singleton arm -> NULL everywhere (guards, not DIVIDE_BY_ZERO)
+    val tiny = Seq(("k", true, 5L), ("k", false, 1L), ("k", false, 3L))
+      .toDF("k", "arm", "v")
+    val rt = Normalize.effectSize(tiny, "k", "arm", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("cohens_d")))
+    assert(rt.isNullAt(rt.fieldIndex("hedges_g")))
+    assert(!rt.isNullAt(rt.fieldIndex("glass_delta")),
+      "control arm has 2 rows: Glass delta is still defined")
+  }
+
+  test("gumbelFit: method-of-moments params on hand block maxima") {
+    // blocks max {10,20,30}: mean 20, s 10 -> beta = 10*sqrt(6)/pi,
+    // mu = 20 - gamma*beta, rl100 = mu - beta*ln(-ln .99)
+    val df = Seq(("k", 1L, 10L), ("k", 1L, 7L), ("k", 2L, 20L),
+      ("k", 3L, 30L), ("k", 3L, 4L)).toDF("k", "day", "v")
+    val r = TimeSeries.gumbelFit(df, "k", "day", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("mean_max") == 20.0)
+    val beta = 10.0 * math.sqrt(6.0) / math.Pi
+    val mu = 20.0 - 0.5772156649015329 * beta
+    val rl = mu - beta * math.log(-math.log(0.99))
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mu") - mu) < 1e-6)
+    assert(math.abs(r.getAs[Double]("return_level_100") - rl) < 1e-6)
+    // single block -> NULL fit
+    val one = Seq(("k", 1L, 10L)).toDF("k", "day", "v")
+    val ro = TimeSeries.gumbelFit(one, "k", "day", "v").head()
+    assert(ro.isNullAt(ro.fieldIndex("beta")))
+  }
 }
