@@ -3606,6 +3606,26 @@ object SparkEntry {
         round(col("value") * 100, 0).cast("long").as("cents"))
       graft.operators.TimeSeries.gumbelFit(ev, "event_type", "day", "cents")
     }),
+    "q_pacf" -> ((s, dir) => {
+      // AR-order diagnostic on each type's daily-total series: partial
+      // autocorrelations 1..5 via the unrolled Durbin-Levinson chain
+      // over the rounded rho columns (pure arithmetic, engine-exact).
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries.pacf(daily, "event_type", "day", "v")
+    }),
+    "q_pettitt" -> ((s, dir) => {
+      // Nonparametric level-shift detection on each type's daily-total
+      // series: exact integer U_t off the doubled-midrank identity,
+      // K = max|U_t|, where, and the 2exp(-6K^2/(n^3+n^2)) tail.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries.pettitt(daily, "event_type", "day", "v")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -4155,6 +4175,75 @@ object SparkEntry {
          |  ${graft.operators.TimeSeries.gumbelMuSql} AS mu,
          |  ${graft.operators.TimeSeries.gumbelRl100Sql} AS return_level_100
          |FROM a""".stripMargin,
+    "q_pacf" -> {
+      val lagCtes = (1 to 5).map { k =>
+        s"""p$k AS (SELECT event_type, v AS y,
+           |    lag(v, $k) OVER (PARTITION BY event_type ORDER BY day) AS x
+           |  FROM pd),
+           |m$k AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+           |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+           |    SUM(y*y) AS syy
+           |  FROM p$k WHERE x IS NOT NULL GROUP BY 1),
+           |r$k AS (SELECT event_type,
+           |    round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |      THEN (n*sxy - sx*sy) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+           |        CAST(n*syy - sy*sy AS DOUBLE)) END, 6) AS rho_$k
+           |  FROM m$k)""".stripMargin
+      }.mkString(",\n")
+      val stepCtes = graft.operators.TimeSeries.pacfSteps.zipWithIndex
+        .map { case ((name, sql), i) =>
+          s"s${i + 1} AS (SELECT *, $sql AS $name FROM s$i)"
+        }.mkString(",\n")
+      val last = s"s${graft.operators.TimeSeries.pacfSteps.size}"
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_series
+         |  FROM pd GROUP BY 1),
+         |$lagCtes,
+         |s0 AS (SELECT base.event_type, n_series, rho_1, rho_2, rho_3,
+         |    rho_4, rho_5
+         |  FROM base JOIN r1 USING (event_type) JOIN r2 USING (event_type)
+         |  JOIN r3 USING (event_type) JOIN r4 USING (event_type)
+         |  JOIN r5 USING (event_type)),
+         |$stepCtes
+         |SELECT event_type, n_series, round(phi11, 6) AS pacf_1,
+         |  round(phi22, 6) AS pacf_2, round(phi33, 6) AS pacf_3,
+         |  round(phi44, 6) AS pacf_4, round(phi55, 6) AS pacf_5
+         |FROM $last""".stripMargin
+    },
+    "q_pettitt" ->
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |pv AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM pd GROUP BY 1, 2),
+         |rk AS (SELECT event_type, v,
+         |    CAST(SUM(nv) OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) * 2 - nv + 1 AS r2
+         |  FROM pv),
+         |j AS (SELECT pd.event_type, pd.day, rk.r2 FROM pd
+         |  JOIN rk ON rk.event_type = pd.event_type AND rk.v = pd.v),
+         |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1),
+         |cum AS (SELECT event_type, day,
+         |    CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY day)
+         |      AS BIGINT) AS cr2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+         |      AS BIGINT) AS ti
+         |  FROM j),
+         |ut AS (SELECT cum.event_type, tot.n, cum.day, cum.ti,
+         |    cr2 - ti * (n + 1) AS u_t
+         |  FROM cum JOIN tot USING (event_type) WHERE ti < n),
+         |sel AS (SELECT event_type, n, ABS(u_t) AS k_stat, day AS t_change,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY ABS(u_t) DESC, ti ASC) AS rn FROM ut),
+         |f AS (SELECT event_type, n, CAST(k_stat AS BIGINT) AS k_stat,
+         |    t_change FROM sel WHERE rn = 1)
+         |SELECT event_type, n, k_stat, t_change,
+         |  ${graft.operators.TimeSeries.pettittPSql} AS p,
+         |  ${graft.operators.TimeSeries.pettittPSql} < 0.05 AS significant
+         |FROM f""".stripMargin,
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,

@@ -767,6 +767,111 @@ object TimeSeries {
       "sqrt(CAST(2*n_up*n_down*(2*n_up*n_down - (n_up+n_down)) AS DOUBLE) / " +
       "(CAST(n_up+n_down AS DOUBLE)*(n_up+n_down)*(n_up+n_down-1))), 6) END"
 
+  /** Partial autocorrelation (PACF) at lags 1..5 per key — the AR-order
+    * diagnostic ACF can't give: pacf_k is the correlation at lag k AFTER
+    * removing what lags 1..k−1 already explain (an AR(p) series cuts off
+    * after lag p in PACF, tails off in ACF). Computed by the
+    * Durbin–Levinson recursion over the ROUNDED [[autocorr]] ρ columns
+    * (identical in both engines), unrolled as the shared [[pacfSteps]]
+    * chain — pure ·/−// double arithmetic, no libm, so engine-exact;
+    * degenerate denominators (|den| ≤ 1e-12, e.g. ρ₁ = ±1) yield NULL
+    * from that lag on. Plan: five lag-window aggregates joined key-wise
+    * (the [[ljungBox]] frame) + a width-constant expression chain. */
+  def pacf(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val base = perBucket.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_series"))
+    val joined = (1 to 5).foldLeft(base) { (acc, k) =>
+      acc.join(
+        autocorr(perBucket, keyCol, bucketCol, valueCol, k)
+          .select(col(keyCol), col("acf").as(s"rho_$k")),
+        Seq(keyCol))
+    }
+    val stepped = pacfSteps.foldLeft(joined) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }
+    stepped.select(col(keyCol), col("n_series"),
+      round(col("phi11"), 6).as("pacf_1"),
+      round(col("phi22"), 6).as("pacf_2"),
+      round(col("phi33"), 6).as("pacf_3"),
+      round(col("phi44"), 6).as("pacf_4"),
+      round(col("phi55"), 6).as("pacf_5"))
+  }
+
+  /** Durbin–Levinson steps over (rho_1..rho_5): each entry is one
+    * column derived from the previous ones — the oracle replays them as
+    * one CTE per step (φ_{k,j} = φ_{k−1,j} − φ_{kk}·φ_{k−1,k−j}). */
+  val pacfSteps: Seq[(String, String)] = {
+    def lvl(k: Int, num: String, den: String) =
+      s"CASE WHEN abs(1.0 - ($den)) > 1e-12 THEN " +
+        s"(rho_$k - ($num)) / (1.0 - ($den)) END"
+    Seq(
+      "phi11" -> "CAST(rho_1 AS DOUBLE)",
+      "phi22" -> lvl(2, "phi11*rho_1", "phi11*rho_1"),
+      "phi21" -> "phi11 - phi22*phi11",
+      "phi33" -> lvl(3, "phi21*rho_2 + phi22*rho_1",
+        "phi21*rho_1 + phi22*rho_2"),
+      "phi31" -> "phi21 - phi33*phi22",
+      "phi32" -> "phi22 - phi33*phi21",
+      "phi44" -> lvl(4, "phi31*rho_3 + phi32*rho_2 + phi33*rho_1",
+        "phi31*rho_1 + phi32*rho_2 + phi33*rho_3"),
+      "phi41" -> "phi31 - phi44*phi33",
+      "phi42" -> "phi32 - phi44*phi32",
+      "phi43" -> "phi33 - phi44*phi31",
+      "phi55" -> lvl(5,
+        "phi41*rho_4 + phi42*rho_3 + phi43*rho_2 + phi44*rho_1",
+        "phi41*rho_1 + phi42*rho_2 + phi43*rho_3 + phi44*rho_4"))
+  }
+
+  /** Pettitt change-point test per key — the NONPARAMETRIC "did the
+    * level shift, and when?" (cusum needs a target; Pettitt doesn't):
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_j − x_i) collapses to the EXACT integer
+    * Σ_{i≤t} 2·midrank_i − t(n+1) via the doubled-midrank identity, so
+    * the whole statistic is integer arithmetic on two prefix sums
+    * (value ranks + time order); K = max|U_t| with smallest-t
+    * tie-break, p ≈ 2·exp(−6K²/(n³+n²)) as one shared-SQL double.
+    * Plan: one per-(key,value) count + two [[Eval.rangedCumsum]] passes
+    * + one key aggregate — nothing row-quadratic, nothing sorts
+    * globally. */
+  def pettitt(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val u = perBucket.select(col(keyCol).as("__k"),
+      col(bucketCol).cast("long").as("__t"),
+      col(valueCol).cast("long").as("__v"))
+    val perv = u.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val ranks = Eval.rangedCumsum(perv, Seq("__k"), "__v", Seq("nv"))
+      .select(col("__k"), col("__v"),
+        (col("cum_nv") * 2 - col("nv") + 1).as("r2"))
+    val tot = broadcast(u.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as("n")))
+    val cum = Eval.rangedCumsumOrdered(
+      u.join(ranks, Seq("__k", "__v")).withColumn("one", lit(1L)),
+      Seq("__k"), Seq("__t"), Seq("r2", "one"))
+    cum.join(tot, Seq("__k"))
+      .select(col("__k"), col("n"), col("__t"),
+        col("cum_one").as("ti"),
+        (col("cum_r2") - col("cum_one") * (col("n") + 1L)).as("u_t"))
+      .filter(col("ti") < col("n"))
+      .groupBy(col("__k"), col("n"))
+      .agg(max(struct(abs(col("u_t")).as("a"), (-col("ti")).as("nti"),
+        col("__t").as("b"))).as("m"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("m.a").cast("long").as("k_stat"),
+        col("m.b").as("t_change"))
+      .withColumn("p", expr(pettittPSql))
+      .withColumn("significant", expr(s"$pettittPSql < 0.05"))
+  }
+
+  /** Pettitt tail approximation p = min(1, 2·exp(−6K²/(n³+n²))) over
+    * (k_stat, n), shared with the oracle; NULL for n < 2. */
+  val pettittPSql: String =
+    "CASE WHEN n > 1 THEN round(least(CAST(1 AS DOUBLE), " +
+      "2 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat / " +
+      "(CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n))), 6) END"
+
   /** Gumbel extreme-value fit per key from BLOCK MAXIMA — the tail
     * question mean/std can't answer: "what's the worst value we should
     * expect per day/month/year?". Method-of-moments on the per-block

@@ -721,6 +721,14 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"pacf+pettitt x$mult (daily series per type)") {
+      val daily = eventsUid.groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+        .localCheckpoint(true)
+      drain(TimeSeries.pacf(daily, "event_type", "day", "v"))
+      drain(TimeSeries.pettitt(daily, "event_type", "day", "v"))
+    }
     time(s"effectSize+gumbel x$mult (one agg chain each)") {
       drain(graft.operators.Normalize.effectSize(
         eventsUid.select(col("event_type"),

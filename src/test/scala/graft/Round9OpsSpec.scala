@@ -580,4 +580,61 @@ class Round9OpsSpec extends SparkFunSuite {
     val ro = TimeSeries.gumbelFit(one, "k", "day", "v").head()
     assert(ro.isNullAt(ro.fieldIndex("beta")))
   }
+
+  test("pacf: matches an independent Durbin-Levinson replay on the rhos") {
+    // fixed pseudo-series with real autocorrelation structure
+    val rows = (0L until 40L).map(t =>
+      ("k", t, (t % 7L) * 100L + (t % 3L) * 31L))
+    val df = rows.toDF("k", "day", "v")
+    val rho = (1 to 5).map(k =>
+      TimeSeries.autocorr(df, "k", "day", "v", k).head()
+        .getAs[Double]("acf")).toArray
+    // replay Durbin-Levinson in plain Scala on the same rounded rhos
+    var phi = Array(rho(0))
+    val exp = Array.newBuilder[Double]
+    exp += rho(0)
+    for (k <- 2 to 5) {
+      val num = rho(k - 1) -
+        (1 until k).map(j => phi(j - 1) * rho(k - 1 - j)).sum
+      val den = 1.0 - (1 until k).map(j => phi(j - 1) * rho(j - 1)).sum
+      val pkk = num / den
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - 1 - j)).toArray :+ pkk
+      exp += pkk
+    }
+    val got = TimeSeries.pacf(df, "k", "day", "v").head()
+    val expected = exp.result()
+    (1 to 5).foreach { k =>
+      assert(math.abs(got.getAs[Double](s"pacf_$k") - expected(k - 1)) < 2e-6,
+        s"lag $k: got ${got.getAs[Double](s"pacf_$k")} want ${expected(k - 1)}")
+    }
+    // constant series: NULL rhos -> NULL pacf at every lag
+    val const = (0L until 10L).map(t => ("c", t, 5L)).toDF("k", "day", "v")
+    val rc = TimeSeries.pacf(const, "k", "day", "v").head()
+    (1 to 5).foreach(k => assert(rc.isNullAt(rc.fieldIndex(s"pacf_$k"))))
+  }
+
+  test("pettitt: hand level shift K=9 at t=3, constant series p=1") {
+    // {1,1,1,5,5,5}: U_t = cum(2r) - t*7 = {-3,-6,-9,-6,-3} -> K=9, t=3
+    val df = (1L to 6L).map(t => ("k", t, if (t <= 3) 1L else 5L))
+      .toDF("k", "day", "v")
+    val r = TimeSeries.pettitt(df, "k", "day", "v").head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("k_stat") == 9L)
+    assert(r.getAs[Long]("t_change") == 3L)
+    val p = math.min(1.0, 2 * math.exp(-6.0 * 81 / (216.0 + 36.0)))
+    assert(math.abs(r.getAs[Double]("p") - p) < 1e-6)
+    assert(!r.getAs[Boolean]("significant"))
+    // constant series: all U_t = 0 -> K=0, p clamps to 1, first t wins
+    val const = (1L to 6L).map(t => ("k", t, 7L)).toDF("k", "day", "v")
+    val rc = TimeSeries.pettitt(const, "k", "day", "v").head()
+    assert(rc.getAs[Long]("k_stat") == 0L)
+    assert(rc.getAs[Long]("t_change") == 1L)
+    assert(rc.getAs[Double]("p") == 1.0)
+    // a LONG clean shift is significant: 15+15 at distance
+    val big = (1L to 30L).map(t => ("k", t, if (t <= 15) 1L else 9L))
+      .toDF("k", "day", "v")
+    val rb = TimeSeries.pettitt(big, "k", "day", "v").head()
+    assert(rb.getAs[Boolean]("significant"))
+    assert(rb.getAs[Long]("t_change") == 15L)
+  }
 }
