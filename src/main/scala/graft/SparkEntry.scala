@@ -3626,6 +3626,39 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
       graft.operators.TimeSeries.pettitt(daily, "event_type", "day", "v")
     }),
+    "q_ccf" -> ((s, dir) => {
+      // Do clicks LEAD purchases day-over-day? Cross-correlation at
+      // lags -5..5 between the daily click and purchase cent totals —
+      // exact moment assembly per lag, peak position = lead time.
+      val cents = round(col("value") * 100, 0).cast("long")
+      val daily = table(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(when(col("event_type") === "click", cents).otherwise(0L))
+            .as("click_cents"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("purch_cents"))
+        .withColumn("k", lit("all"))
+      graft.operators.TimeSeries.ccf(daily, "k", "day",
+        "click_cents", "purch_cents", maxLag = 5)
+    }),
+    "q_cochran_q" -> ((s, dir) => {
+      // Do ANY of three heavy-purchaser rules (spend/clicks/views)
+      // differ on the same users? Cochran's Q — the k-treatment
+      // McNemar, exact integer sums, df-indexed critical value.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("np"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("nc"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("nv"))
+        .withColumn("heavy", col("np") >= 15L)
+      val long = users.selectExpr("user_id",
+        "stack(3, 'a', (spend > 330000) = heavy, " +
+          "'b', (nc >= 20) = heavy, 'c', (nv >= 20) = heavy) AS (rule, ok)")
+      Profiling.cochranQ(long, "user_id", "rule", "ok")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -4243,6 +4276,74 @@ object SparkEntry {
          |SELECT event_type, n, k_stat, t_change,
          |  ${graft.operators.TimeSeries.pettittPSql} AS p,
          |  ${graft.operators.TimeSeries.pettittPSql} < 0.05 AS significant
+         |FROM f""".stripMargin,
+    "q_ccf" -> {
+      val lagCtes = (-5 to 5).map { k =>
+        val idx = k + 5
+        val sh = if (k >= 0) s"lag(x0, $k)" else s"lead(x0, ${-k})"
+        s"""c$idx AS (SELECT y, $sh OVER (ORDER BY day) AS x FROM pd),
+           |m$idx AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+           |  FROM c$idx WHERE x IS NOT NULL),
+           |r$idx AS (SELECT 'all' AS k, CAST($k AS BIGINT) AS lag,
+           |    CAST(n AS BIGINT) AS n,
+           |    round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |      THEN (n*sxy - sx*sy) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+           |        CAST(n*syy - sy*sy AS DOUBLE)) END, 6) AS ccf
+           |  FROM m$idx)""".stripMargin
+      }.mkString(",\n")
+      val unions = (-5 to 5)
+        .map(k => s"SELECT * FROM r${k + 5}").mkString("\nUNION ALL ")
+      s"""WITH pd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x0,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |$lagCtes
+         |$unions""".stripMargin
+    },
+    "q_cochran_q" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nc,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nv
+         |  FROM events GROUP BY 1),
+         |u2 AS (SELECT user_id, spend, nc, nv, np >= 15 AS heavy
+         |  FROM users),
+         |lng AS (
+         |  SELECT user_id, 'a' AS rule, (spend > 330000) = heavy AS ok
+         |    FROM u2
+         |  UNION ALL SELECT user_id, 'b', (nc >= 20) = heavy FROM u2
+         |  UNION ALL SELECT user_id, 'c', (nv >= 20) = heavy FROM u2),
+         |sf AS (SELECT user_id, rule,
+         |    CASE WHEN ok THEN 1 ELSE 0 END AS sflag FROM lng),
+         |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(gj) AS BIGINT) AS sum_g,
+         |    CAST(SUM(CAST(gj AS DECIMAL(38,0)) * gj) AS DECIMAL(38,0))
+         |      AS sum_g2
+         |  FROM (SELECT rule, CAST(SUM(sflag) AS BIGINT) AS gj
+         |    FROM sf GROUP BY 1)),
+         |bi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(li) AS BIGINT) AS sum_l,
+         |    CAST(SUM(li * li) AS BIGINT) AS sum_l2
+         |  FROM (SELECT user_id, CAST(SUM(sflag) AS BIGINT) AS li
+         |    FROM sf GROUP BY 1)),
+         |f AS (SELECT * FROM bt, bi)
+         |SELECT k, sum_g, sum_g2, n_items, sum_l, sum_l2,
+         |  ${graft.operators.Profiling.cochranQSql} AS q,
+         |  CAST(k - 1 AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")} AS chi2_crit,
+         |  ${graft.operators.Profiling.cochranQSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS significant
          |FROM f""".stripMargin,
     "q_triangle_count" ->
       """WITH e AS (

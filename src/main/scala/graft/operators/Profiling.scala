@@ -649,6 +649,47 @@ object Profiling {
       "WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 WHEN 9 THEN 16.918978 " +
       "WHEN 10 THEN 18.307038 END) AS DOUBLE)"
 
+  /** Cochran's Q — the k-treatment extension of [[mcnemar]]: "do ANY of
+    * k classifiers/rules differ on the SAME items?" over paired binary
+    * outcomes. Q = (k−1)·(k·ΣG_j² − N²)/(k·N − ΣL_i²) with G_j the
+    * per-treatment success counts and L_i the per-item counts — every
+    * term an EXACT integer from two tiny aggregates (treatment-keyed
+    * and item-keyed) over one scan; df = k−1 flags through
+    * [[chi2Crit95Sql]]. Expects exactly one row per (item, treatment).
+    * NULL when every item is all-success/all-failure (denominator 0). */
+  def cochranQ(
+      df: DataFrame, itemCol: String, treatCol: String,
+      okCol: String): DataFrame = {
+    val u = df.select(col(itemCol).as("__i"), col(treatCol).as("__t"),
+      when(col(okCol), 1L).otherwise(0L).as("__s"))
+    val byTreat = u.groupBy(col("__t"))
+      .agg(sum(col("__s")).cast("long").as("gj"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("gj")).cast("long").as("sum_g"),
+        sum((col("gj") * col("gj")).cast("decimal(38,0)")).as("sum_g2"))
+    val byItem = u.groupBy(col("__i"))
+      .agg(sum(col("__s")).cast("long").as("li"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("li")).cast("long").as("sum_l"),
+        sum(col("li") * col("li")).cast("long").as("sum_l2"))
+    byTreat.crossJoin(broadcast(byItem))
+      .withColumn("q", expr(cochranQSql))
+      .withColumn("df", (col("k") - 1L).cast("long"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("k - 1")))
+      .withColumn("significant",
+        expr(s"$cochranQSql > ${chi2Crit95Sql("k - 1")}"))
+  }
+
+  /** Q over (k, sum_g, sum_g2, sum_l, sum_l2); the numerator's
+    * k·ΣG² − N² runs in DOUBLE off the exact DECIMAL/BIGINT sums (the
+    * welchTTest overflow note); NULL when the denominator degenerates
+    * (all items uniform) or k < 2. Shared with the oracle. */
+  val cochranQSql: String =
+    "CASE WHEN k > 1 AND k * sum_l - sum_l2 > 0 THEN " +
+      "round((k - 1) * (CAST(k AS DOUBLE) * CAST(sum_g2 AS DOUBLE) - " +
+      "CAST(sum_g AS DOUBLE) * sum_g) / " +
+      "(CAST(k AS DOUBLE) * sum_l - sum_l2), 6) END"
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

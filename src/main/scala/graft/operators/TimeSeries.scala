@@ -824,6 +824,48 @@ object TimeSeries {
         "phi41*rho_1 + phi42*rho_2 + phi43*rho_3 + phi44*rho_4"))
   }
 
+  /** Cross-correlation function between TWO series per key at lags
+    * −maxLag..maxLag — "do clicks lead purchases, and by how many
+    * days?": ccf(ℓ) correlates x shifted ℓ buckets back against y, so
+    * a peak at positive ℓ means x LEADS y by ℓ. Same exact-BIGINT
+    * Pearson-moment assembly as [[autocorr]], one lag-window +
+    * aggregate per ℓ over the pre-aggregated series (2·maxLag+1
+    * bounded passes, each key-hashed — the series table is tiny
+    * relative to the raw events that built it). */
+  def ccf(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      xCol: String, yCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"maxLag in [1,12]: $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val base = perBucket.select(col(keyCol), col(bucketCol),
+      col(xCol).cast("long").as("__x0"), col(yCol).cast("long").as("__y"))
+    val frames = (-maxLag to maxLag).map { k =>
+      val shifted =
+        if (k >= 0) org.apache.spark.sql.functions.lag(col("__x0"), k).over(w)
+        else lead(col("__x0"), -k).over(w)
+      base.withColumn("__x", shifted)
+        .filter(col("__x").isNotNull)
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+          sum(col("__y")).as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+          sum(col("__x") * col("__x")).as("sxx"),
+          sum(col("__y") * col("__y")).as("syy"))
+        .select(col(keyCol), lit(k.toLong).as("lag"),
+          col("n").cast("long").as("n"),
+          round(
+            when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))),
+            6).as("ccf"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Pettitt change-point test per key — the NONPARAMETRIC "did the
     * level shift, and when?" (cusum needs a target; Pettitt doesn't):
     * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_j − x_i) collapses to the EXACT integer

@@ -721,6 +721,30 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"ccf+cochranQ x$mult") {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val daily = eventsUid
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(when(col("event_type") === "click", cents).otherwise(0L))
+            .as("xc"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("yc"))
+        .withColumn("k", lit("all"))
+      drain(TimeSeries.ccf(daily, "k", "day", "xc", "yc"))
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(cents).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("np"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("nc"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("nv"))
+        .withColumn("heavy", col("np") >= 15L)
+        .selectExpr("user_id",
+          "stack(3, 'a', (spend > 330000) = heavy, " +
+            "'b', (nc >= 20) = heavy, 'c', (nv >= 20) = heavy) AS (rule, ok)")
+      drain(Profiling.cochranQ(users, "user_id", "rule", "ok"))
+    }
     time(s"pacf+pettitt x$mult (daily series per type)") {
       val daily = eventsUid.groupBy(col("event_type"),
           expr("unix_millis(ts) div 86400000").as("day"))

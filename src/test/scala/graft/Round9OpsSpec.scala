@@ -637,4 +637,44 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rb.getAs[Boolean]("significant"))
     assert(rb.getAs[Long]("t_change") == 15L)
   }
+
+  test("ccf: lag-shifted copy peaks at exactly that lag, both signs work") {
+    // y_t = x_{t-2}: ccf at lag +2 (x leads y by 2) must be 1.0
+    val xs = (0L until 30L).map(t => (t, (t % 7L) * 10L + (t % 3L)))
+    val rows = xs.map { case (t, x) =>
+      val y = if (t >= 2) xs((t - 2).toInt)._2 else 0L
+      ("k", t, x, y)
+    }.filter(_._2 >= 2)
+    val df = rows.toDF("k", "day", "x", "y")
+    val m = TimeSeries.ccf(df, "k", "day", "x", "y", maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ccf")).toMap
+    assert(m.size == 7, s"lags -3..3: $m")
+    assert(m(2L) == 1.0, s"peak at +2: $m")
+    assert(m(0L) < 1.0 && m(-2L) < 1.0)
+    // pair counts shrink with |lag|
+    val ns = TimeSeries.ccf(df, "k", "day", "x", "y", maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n")).toMap
+    assert(ns(3L) == ns(0L) - 3 && ns(-3L) == ns(0L) - 3)
+  }
+
+  test("cochranQ: textbook 3-rule table Q = 4.666667, uniform items NULL") {
+    import graft.operators.Profiling
+    // G = {4,3,1}, L = {2,2,1,3}: Q = 2*(3*26 - 64)/(24 - 18) = 14/3
+    val rows = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", true), (2L, "c", false),
+      (3L, "a", true), (3L, "b", false), (3L, "c", false),
+      (4L, "a", true), (4L, "b", true), (4L, "c", true))
+      .toDF("item", "rule", "ok")
+    val r = Profiling.cochranQ(rows, "item", "rule", "ok").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Double]("q") == 4.666667)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(!r.getAs[Boolean]("significant"))
+    // all-success items only: denominator k*N - sum(L^2) = 0 -> NULL
+    val uni = Seq((1L, "a", true), (1L, "b", true),
+      (2L, "a", true), (2L, "b", true)).toDF("item", "rule", "ok")
+    val ru = Profiling.cochranQ(uni, "item", "rule", "ok").head()
+    assert(ru.isNullAt(ru.fieldIndex("q")))
+  }
 }
