@@ -3659,6 +3659,25 @@ object SparkEntry {
           "'b', (nc >= 20) = heavy, 'c', (nv >= 20) = heavy) AS (rule, ok)")
       Profiling.cochranQ(long, "user_id", "rule", "ok")
     }),
+    "q_friedman" -> ((s, dir) => {
+      // Rank-based k-paired test: do the five event types draw
+      // different spend from the SAME users? Doubled midranks within
+      // each complete user, exact-integer tie-robust chi-square.
+      val ut = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      Profiling.friedman(ut, "user_id", "event_type", "cents")
+    }),
+    "q_hurst" -> ((s, dir) => {
+      // Long-memory diagnostic per type on the HOURLY cent series:
+      // R/S over dyadic blocks {8,16,32}, exact integer ranges,
+      // H from the 3-point dyadic slope.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      graft.operators.TimeSeries.hurst(hourly, "event_type", "h", "v")
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -4345,6 +4364,83 @@ object SparkEntry {
          |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
          |    AS significant
          |FROM f""".stripMargin,
+    "q_friedman" ->
+      s"""WITH ut AS (SELECT user_id, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+         |  FROM ut),
+         |comp AS (SELECT ut.user_id, ut.event_type, ut.v, k FROM ut, kk
+         |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) = k),
+         |rk AS (SELECT user_id, event_type, k,
+         |    CAST(2 * COUNT(*) OVER (PARTITION BY user_id ORDER BY v
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      + COUNT(*) OVER (PARTITION BY user_id, v) + 1 AS BIGINT)
+         |      AS r2
+         |  FROM comp),
+         |bt AS (SELECT k,
+         |    CAST(SUM(CAST(r2j AS DECIMAL(38,0)) * r2j) AS DECIMAL(38,0))
+         |      AS b4n
+         |  FROM (SELECT k, event_type, CAST(SUM(r2) AS BIGINT) AS r2j
+         |    FROM rk GROUP BY 1, 2) GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_items
+         |  FROM rk),
+         |aa AS (SELECT
+         |    CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS DECIMAL(38,0))
+         |      AS a4 FROM rk),
+         |f AS (SELECT * FROM bt, tt, aa)
+         |SELECT k, b4n, n_items, a4,
+         |  ${graft.operators.Profiling.friedmanSql} AS chi2,
+         |  CAST(k - 1 AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")} AS chi2_crit,
+         |  ${graft.operators.Profiling.friedmanSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_hurst" -> {
+      val mCtes = graft.operators.TimeSeries.hurstBlockSizes.map { m =>
+        s"""bl$m AS (SELECT event_type, (ti - 1) // $m AS block, h, x
+           |  FROM idx),
+           |z$m AS (SELECT event_type, block, x,
+           |    $m * CAST(SUM(x) OVER (PARTITION BY event_type, block
+           |      ORDER BY h) AS BIGINT)
+           |      - CAST(ROW_NUMBER() OVER (PARTITION BY event_type, block
+           |        ORDER BY h) AS BIGINT)
+           |      * CAST(SUM(x) OVER (PARTITION BY event_type, block)
+           |        AS BIGINT) AS zm,
+           |    CAST(SUM(x) OVER (PARTITION BY event_type, block) AS BIGINT)
+           |      AS sxb
+           |  FROM bl$m),
+           |g$m AS (SELECT event_type, block, COUNT(*) AS cnt,
+           |    CAST(MAX(zm) AS BIGINT) AS zmax,
+           |    CAST(MIN(zm) AS BIGINT) AS zmin,
+           |    CAST(MAX(sxb) AS BIGINT) AS sx,
+           |    CAST(SUM(x*x) AS BIGINT) AS sxx
+           |  FROM z$m GROUP BY 1, 2),
+           |f$m AS (SELECT event_type,
+           |    ${graft.operators.TimeSeries.hurstRsMicroSql(m)} AS rs_micro
+           |  FROM g$m WHERE cnt = $m),
+           |a$m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb_$m,
+           |    CAST(SUM(rs_micro) AS BIGINT) AS rsm_$m
+           |  FROM f$m WHERE rs_micro IS NOT NULL GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, h, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS ti
+         |  FROM pd),
+         |$mCtes,
+         |j AS (SELECT a8.event_type, nb_8, nb_16, nb_32,
+         |    ${graft.operators.TimeSeries.hurstMeanRsSql(8)} AS rs_8,
+         |    ${graft.operators.TimeSeries.hurstMeanRsSql(16)} AS rs_16,
+         |    ${graft.operators.TimeSeries.hurstMeanRsSql(32)} AS rs_32
+         |  FROM a8 JOIN a16 USING (event_type) JOIN a32 USING (event_type))
+         |SELECT event_type, nb_8, nb_16, nb_32, rs_8, rs_16, rs_32,
+         |  ${graft.operators.TimeSeries.hurstSql} AS hurst FROM j"""
+        .stripMargin
+    },
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,

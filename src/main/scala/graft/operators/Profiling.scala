@@ -690,6 +690,65 @@ object Profiling {
       "CAST(sum_g AS DOUBLE) * sum_g) / " +
       "(CAST(k AS DOUBLE) * sum_l - sum_l2), 6) END"
 
+  /** Friedman test — the k-treatment RANK analogue of [[cochranQ]] for
+    * CONTINUOUS paired outcomes: "does any of k models/variants score
+    * differently on the same items?" without normality. Within each
+    * complete item the k values map to doubled midranks (exact ints);
+    * with A4 = Σr2², B4n = ΣR2_j², C4 = n·k·(k+1)², the tie-robust
+    * statistic is χ² = (k−1)·(B4n − n·C4)/(A4 − C4) — one exact-integer
+    * ratio, a single double division at the end (reduces to the classic
+    * 12/nk(k+1) form when tie-free). Items missing a treatment are
+    * EXCLUDED (pairing is the point); df = k−1 flags through
+    * [[chi2Crit95Sql]]; NULL when every item is internally tied.
+    * Plan: one item-window rank pass (k-row partitions) + two tiny
+    * aggregates. */
+  def friedman(
+      df: DataFrame, itemCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(col(itemCol).as("__i"), col(treatCol).as("__t"),
+      col(valCol).cast("long").as("__v"))
+    val k1 = broadcast(u.agg(
+      count_distinct(col("__t")).cast("long").as("k")))
+    val complete = u
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__i"))))
+      .crossJoin(k1)
+      .filter(col("__cnt") === col("k"))
+    val wLess = Window.partitionBy(col("__i")).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ranked = complete
+      .withColumn("__nless",
+        coalesce(count(lit(1)).over(wLess), lit(0L)))
+      .withColumn("__neq",
+        count(lit(1)).over(Window.partitionBy(col("__i"), col("__v"))))
+      .withColumn("r2", (col("__nless") * 2 + col("__neq") + 1).cast("long"))
+    val byTreat = ranked.groupBy(col("k"), col("__t"))
+      .agg(sum(col("r2")).cast("long").as("r2j"))
+      .groupBy(col("k"))
+      .agg(sum((col("r2j") * col("r2j")).cast("decimal(38,0)")).as("b4n"))
+    val totals = ranked.groupBy(col("__i")).agg(lit(1L).as("__one"))
+      .agg(count(lit(1)).cast("long").as("n_items"))
+    val a4 = ranked.agg(
+      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("a4"))
+    byTreat.crossJoin(broadcast(totals)).crossJoin(broadcast(a4))
+      .withColumn("chi2", expr(friedmanSql))
+      .withColumn("df", (col("k") - 1L).cast("long"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("k - 1")))
+      .withColumn("significant",
+        expr(s"$friedmanSql > ${chi2Crit95Sql("k - 1")}"))
+  }
+
+  /** Tie-robust Friedman χ² over (k, b4n, n_items, a4); C4 = n·k·(k+1)²
+    * in exact arithmetic, one double division. Shared with the
+    * oracle. */
+  val friedmanSql: String = {
+    val c4 = "(CAST(n_items AS DOUBLE) * k * (k + 1) * (k + 1))"
+    s"CASE WHEN k > 1 AND CAST(a4 AS DOUBLE) > $c4 THEN " +
+      s"round((k - 1) * (CAST(b4n AS DOUBLE) - n_items * $c4) / " +
+      s"(CAST(a4 AS DOUBLE) - $c4), 6) END"
+  }
+
   /** Cramér's V — the EFFECT SIZE the chi-square test
     * ([[chi2Independence]]) doesn't give: V = √(χ²/(n·(min(r,c)−1))) in
     * [0,1], comparable across table shapes and sample sizes (χ² itself

@@ -824,6 +824,84 @@ object TimeSeries {
         "phi41*rho_1 + phi42*rho_2 + phi43*rho_3 + phi44*rho_4"))
   }
 
+  /** Hurst exponent per key via rescaled-range (R/S) analysis over
+    * dyadic blocks {8,16,32} — the long-memory diagnostic: H ≈ 0.5
+    * random walk, H → 1 trending/persistent, H → 0 mean-reverting.
+    * Each full m-block's R/S = (max−min of cumulative deviations) / σ
+    * is computed from EXACT integers (z·m = m·cumsum − t·blocksum stays
+    * a BIGINT; σ off the exact moment row), micro-quantized per block
+    * and averaged; with three log2-equally-spaced sizes the OLS slope
+    * collapses to H = (log2(R/S₃₂) − log2(R/S₈))/2 over the ROUNDED
+    * means. Keys need ≥ 32 points (inner-joined away otherwise).
+    * Plan: one index prefix-sum + three bounded block-window passes
+    * (m-row partitions) + per-key aggregates. */
+  def hurst(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = perBucket.select(col(keyCol).as("__k"),
+      col(bucketCol).cast("long").as("__t"),
+      col(valueCol).cast("long").as("__x"))
+      .withColumn("one", lit(1L))
+    val idx = Eval.rangedCumsumOrdered(u, Seq("__k"), Seq("__t"), Seq("one"))
+      .select(col("__k"), col("__t"), col("__x"), col("cum_one").as("ti"))
+      .localCheckpoint(true) // read by the three block passes
+    val perM = hurstBlockSizes.map { m =>
+      val wRun = Window.partitionBy(col("__k"), col("block"))
+        .orderBy(col("__t"))
+      val wBlk = Window.partitionBy(col("__k"), col("block"))
+      idx
+        .withColumn("block", expr(s"(ti - 1) div $m"))
+        .withColumn("cumx", sum(col("__x")).over(
+          wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tb", row_number().over(wRun).cast("long"))
+        .withColumn("sxb", sum(col("__x")).over(wBlk))
+        .withColumn("zm",
+          lit(m.toLong) * col("cumx") - col("tb") * col("sxb"))
+        .groupBy(col("__k"), col("block"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          max(col("zm")).cast("long").as("zmax"),
+          min(col("zm")).cast("long").as("zmin"),
+          max(col("sxb")).cast("long").as("sx"),
+          sum(col("__x") * col("__x")).cast("long").as("sxx"))
+        .filter(col("cnt") === lit(m.toLong))
+        .withColumn("rs_micro", expr(hurstRsMicroSql(m)))
+        .filter(col("rs_micro").isNotNull)
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).cast("long").as(s"nb_$m"),
+          sum(col("rs_micro")).cast("long").as(s"rsm_$m"))
+    }
+    perM.reduce((a, b) => a.join(b, Seq("__k")))
+      .select(col("__k").as(keyCol) +:
+        hurstBlockSizes.map(m => col(s"nb_$m")) ++:
+        hurstBlockSizes.map(m => expr(hurstMeanRsSql(m)).as(s"rs_$m")): _*)
+      .withColumn("hurst", expr(hurstSql))
+  }
+
+  /** Dyadic R/S block sizes — three log2-equally-spaced points. */
+  val hurstBlockSizes: Seq[Int] = Seq(8, 16, 32)
+
+  /** Per-block R/S in micro units over (zmax, zmin, sx, sxx) for block
+    * size m — R = (zmax−zmin)/m, σ = √((Σx² − (Σx)²/m)/m); NULL when
+    * the block is constant. Shared with the oracle. */
+  def hurstRsMicroSql(m: Int): String = {
+    val s2 = s"((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      s"(CAST(sx AS DOUBLE) / $m)) / $m)"
+    s"CASE WHEN $s2 > 0 THEN " +
+      s"CAST(ROUND(CAST(zmax - zmin AS DOUBLE) / ($m * sqrt($s2)) * " +
+      "1000000, 0) AS BIGINT) END"
+  }
+
+  /** Mean block R/S at size m off the exact micro sum. */
+  def hurstMeanRsSql(m: Int): String =
+    s"round(CAST(rsm_$m AS DOUBLE) / nb_$m / 1000000, 6)"
+
+  /** H = (log2(R/S₃₂) − log2(R/S₈)) / 2 over the ROUNDED means (the
+    * 3-point OLS slope on a dyadic grid), shared with the oracle. */
+  val hurstSql: String =
+    "CASE WHEN rs_8 > 0 AND rs_32 > 0 THEN " +
+      "round((log2(rs_32) - log2(rs_8)) / 2, 6) END"
+
   /** Cross-correlation function between TWO series per key at lags
     * −maxLag..maxLag — "do clicks lead purchases, and by how many
     * days?": ccf(ℓ) correlates x shifted ℓ buckets back against y, so

@@ -721,6 +721,17 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"friedman+hurst x$mult") {
+      drain(Profiling.friedman(
+        eventsUid.groupBy(col("user_id"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
+        "user_id", "event_type", "cents"))
+      drain(TimeSeries.hurst(
+        eventsUid.groupBy(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("h"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "event_type", "h", "v"))
+    }
     time(s"ccf+cochranQ x$mult") {
       val cents = round(col("value") * 100, 0).cast("long")
       val daily = eventsUid

@@ -677,4 +677,62 @@ class Round9OpsSpec extends SparkFunSuite {
     val ru = Profiling.cochranQ(uni, "item", "rule", "ok").head()
     assert(ru.isNullAt(ru.fieldIndex("q")))
   }
+
+  test("friedman: classic tie-free chi2 = 4, incomplete items excluded") {
+    import graft.operators.Profiling
+    // two items, both ranking a<b<c: R2 = {4,8,12}, A4=112, C4=96 ->
+    // chi2 = 2*(224-192)/16 = 4.0 (matches 12/nk(k+1)*SumR^2 - 3n(k+1))
+    val base = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 5L), (2L, "b", 6L), (2L, "c", 7L))
+    val r = Profiling.friedman(base.toDF("item", "t", "v"),
+      "item", "t", "v").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(!r.getAs[Boolean]("significant"))
+    // an item missing treatment c must be excluded, leaving chi2 as-is
+    val withPartial = base ++ Seq((3L, "a", 99L), (3L, "b", 1L))
+    val rp = Profiling.friedman(withPartial.toDF("item", "t", "v"),
+      "item", "t", "v").head()
+    assert(rp.getAs[Long]("n_items") == 2L)
+    assert(rp.getAs[Double]("chi2") == 4.0)
+    // every item internally tied -> A4 = C4 -> NULL
+    val tied = Seq((1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L))
+    val rt = Profiling.friedman(tied.toDF("item", "t", "v"),
+      "item", "t", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("chi2")))
+  }
+
+  test("hurst: ramp is persistent (H near 1), alternation gives H = 0") {
+    // linear ramp: every m-block is 1..m shifted — replay R/S in Scala
+    val ramp = (1L to 64L).map(t => ("r", t, t)).toDF("k", "t", "v")
+    def rampRs(m: Int): Double = {
+      val z = (1 to m).map(t => m * (t.toLong * (t + 1) / 2) -
+        t.toLong * (m.toLong * (m + 1) / 2))
+      val r = (z.max - z.min).toDouble
+      val s2 = ((1 to m).map(t => t.toLong * t).sum.toDouble -
+        (m.toLong * (m + 1) / 2).toDouble *
+          ((m.toLong * (m + 1) / 2).toDouble / m)) / m
+      math.rint(r / (m * math.sqrt(s2)) * 1e6) / 1e6
+    }
+    val r = TimeSeries.hurst(ramp, "k", "t", "v").head()
+    assert(r.getAs[Long]("nb_8") == 8L && r.getAs[Long]("nb_32") == 2L)
+    assert(math.abs(r.getAs[Double]("rs_8") - rampRs(8)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rs_32") - rampRs(32)) < 1e-6)
+    val h = (math.log(rampRs(32)) - math.log(rampRs(8))) /
+      math.log(2.0) / 2
+    assert(math.abs(r.getAs[Double]("hurst") - h) < 1e-5)
+    assert(r.getAs[Double]("hurst") > 0.9, s"ramp H=${r.getAs[Double]("hurst")}")
+    // strict alternation: R = S in every block -> R/S = 1 -> H = 0
+    val alt = (1L to 64L).map(t => ("a", t, if (t % 2 == 0) 10L else 0L))
+      .toDF("k", "t", "v")
+    val ra = TimeSeries.hurst(alt, "k", "t", "v").head()
+    assert(ra.getAs[Double]("rs_8") == 1.0)
+    assert(ra.getAs[Double]("rs_32") == 1.0)
+    assert(ra.getAs[Double]("hurst") == 0.0)
+    // short series (< 32 points) have no 32-block: key drops out
+    val short = (1L to 20L).map(t => ("s", t, t)).toDF("k", "t", "v")
+    assert(TimeSeries.hurst(short, "k", "t", "v").count() == 0L)
+  }
 }
