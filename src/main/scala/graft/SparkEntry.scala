@@ -1933,6 +1933,24 @@ object SparkEntry {
         graft.streaming.StreamingCusum.cusum(ev,
           target = 500L, drift = 50L, threshold = 2000L).toDF(), "update")
     }),
+    "q_stream_cadence" -> ((s, dir) => {
+      // Streaming bot screen: five-long per-user state (exact gap
+      // moments + last position), update-mode one-row-per-key
+      // changelog; cv/is_regular finish with the SAME shared SQL the
+      // batch operator and oracle use. Single-file source = one
+      // microbatch, so moments equal the batch fold.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"))
+        .as[graft.streaming.StreamingCadence.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingCadence.cadence(ev).toDF(), "update")
+        .withColumn("cv", expr(Sessionize.cadenceCvSql))
+        .withColumn("is_regular",
+          expr(s"${Sessionize.cadenceCvSql} < 0.1 AND n_gaps >= 5"))
+    }),
     "q_stream_foreach_merge" -> ((s, dir) => {
       // foreachBatch incremental-merge sink (MergeSink): update-mode per-user
       // counts merged into a versioned parquet serving table batch by batch —
@@ -3678,6 +3696,61 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
       graft.operators.TimeSeries.hurst(hourly, "event_type", "h", "v")
     }),
+    "q_rich_club" -> ((s, dir) => {
+      // Do the hub parts of the repeat-co-purchase graph interconnect?
+      // phi(k) over degree thresholds {2,4,8} — exact integer club
+      // edge/member counts, one pass per table.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.richClub(e, "src", "dst")
+    }),
+    "q_reach_profile" -> ((s, dir) => {
+      // How much of the co-purchase graph do the 4 biggest hubs reach,
+      // and how fast? Multi-source BFS levels -> vertices-per-hop
+      // profile (max hop = a diameter lower bound).
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val seeds = deg.orderBy(col("d").desc, col("id")).limit(4)
+        .select(col("id"))
+      graft.operators.Graph.bfsHops(und, seeds, maxHops = 4)
+        .groupBy(col("hops"))
+        .agg(count(lit(1)).cast("long").as("n_vertices"))
+    }),
+    "q_cadence" -> ((s, dir) =>
+      // Bot screen: per-user inter-event cadence — metronomic gaps
+      // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
+      Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_diversity_index" -> ((s, dir) =>
+      // Template-farm screen per source: Shannon/Simpson/evenness of
+      // the token distribution — exact pair counts + nano entropy.
+      TextAnalysis.diversityIndex(table(s, dir, "documents"))),
+    "q_burstiness" -> ((s, dir) =>
+      // Poisson-or-bursty per type over the DENSE hourly grid (empty
+      // buckets enter through the algebra, not a spine join).
+      graft.operators.TimeSeries.fanoFactor(
+        table(s, dir, "events").select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("h")),
+        "event_type", "h")),
     "q_mcnemar" -> ((s, dir) => {
       // Paired model comparison on the SAME users: rule A (spend) vs
       // rule B (clicks) predicting the heavy-purchaser label — only the
@@ -4441,6 +4514,108 @@ object SparkEntry {
          |  ${graft.operators.TimeSeries.hurstSql} AS hurst FROM j"""
         .stripMargin
     },
+    "q_rich_club" ->
+      s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         |    CAST(b.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |e0 AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+         |    GREATEST(src, dst) AS hi FROM pairs WHERE src <> dst),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0)
+         |  GROUP BY 1),
+         |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+         |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+         |  FROM deg CROSS JOIN ks WHERE deg.deg > ks.k GROUP BY 1),
+         |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+         |  FROM e0 JOIN deg dl ON dl.id = e0.lo
+         |  JOIN deg dh ON dh.id = e0.hi
+         |  CROSS JOIN ks WHERE dl.deg > ks.k AND dh.deg > ks.k
+         |  GROUP BY 1),
+         |f AS (SELECT ks.k, CAST(COALESCE(n_k, 0) AS BIGINT) AS n_k,
+         |    CAST(COALESCE(e_k, 0) AS BIGINT) AS e_k
+         |  FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k))
+         |SELECT k, n_k, e_k, ${graft.operators.Graph.richClubSql} AS phi
+         |FROM f""".stripMargin,
+    "q_reach_profile" -> {
+      val levels = (1 to 4).map { h =>
+        s"""d$h AS (
+           |  SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+           |    SELECT id, hops FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, ${h} AS hops
+           |    FROM d${h - 1} f JOIN e ON e.src = f.id
+           |    WHERE f.hops = ${h - 1})
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         |    CAST(b.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src
+         |  FROM pairs),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM e GROUP BY 1),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM (
+         |    SELECT id FROM deg ORDER BY d DESC, id LIMIT 4)),
+         |$levels
+         |SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_vertices
+         |FROM d4 GROUP BY 1""".stripMargin
+    },
+    "q_cadence" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id
+         |  FROM events),
+         |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id
+         |    ORDER BY ms, event_id) AS gap FROM e),
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |    CAST(SUM(gap) AS BIGINT) AS sg,
+         |    CAST(SUM(gap*gap) AS BIGINT) AS sgg
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         |SELECT user_id, n_gaps, sg, sgg,
+         |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
+         |  ${graft.operators.Sessionize.cadenceCvSql} AS cv,
+         |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
+         |    AND n_gaps >= 5 AS is_regular
+         |FROM a""".stripMargin,
+    "q_diversity_index" ->
+      s"""WITH tk AS (SELECT source AS g,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |wt AS (SELECT g, c,
+         |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS t FROM cnt),
+         |wterm AS (SELECT g, c, t,
+         |    ${graft.operators.TextAnalysis.entropyTermNanoSql("c", "t")}
+         |      AS term FROM wt),
+         |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS vocab,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1))
+         |      AS DECIMAL(38,0)) AS s_pairs,
+         |    CAST(SUM(term) AS BIGINT) AS h_nano FROM wterm GROUP BY 1)
+         |SELECT g AS source, n_tokens, vocab, s_pairs, h_nano,
+         |  round(CAST(h_nano AS DOUBLE) / 1000000000, 6) AS shannon_nats,
+         |  ${graft.operators.TextAnalysis.simpsonSql} AS simpson,
+         |  CASE WHEN ${graft.operators.TextAnalysis.simpsonSql} > 0 THEN
+         |    round(1.0 / ${graft.operators.TextAnalysis.simpsonSql}, 6)
+         |    END AS inv_simpson,
+         |  ${graft.operators.TextAnalysis.evennessSql} AS evenness
+         |FROM a""".stripMargin,
+    "q_burstiness" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS b
+         |  FROM events),
+         |c AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |a AS (SELECT event_type,
+         |    CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n_buckets,
+         |    CAST(SUM(c) AS BIGINT) AS n_events,
+         |    CAST(SUM(c*c) AS BIGINT) AS scc
+         |  FROM c GROUP BY 1)
+         |SELECT event_type, n_buckets, n_events, scc,
+         |  ${graft.operators.TimeSeries.fanoSql} AS fano,
+         |  ${graft.operators.TimeSeries.burstinessSql} AS burstiness
+         |FROM a""".stripMargin,
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
@@ -5217,6 +5392,21 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM m""".stripMargin,
+    "q_stream_cadence" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id
+         |  FROM events),
+         |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id
+         |    ORDER BY ms, event_id) AS gap FROM e),
+         |a AS (SELECT user_id,
+         |    CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         |    CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sg,
+         |    CAST(COALESCE(SUM(gap*gap), 0) AS BIGINT) AS sgg
+         |  FROM g GROUP BY 1)
+         |SELECT user_id, n_gaps, sg, sgg,
+         |  ${graft.operators.Sessionize.cadenceCvSql} AS cv,
+         |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
+         |    AND n_gaps >= 5 AS is_regular
+         |FROM a""".stripMargin,
     "q_stream_cusum" ->
       """WITH RECURSIVE o AS (
         |  SELECT user_id AS key, epoch_ms(ts) AS ts_ms, event_id AS tie,

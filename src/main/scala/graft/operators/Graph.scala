@@ -565,6 +565,47 @@ object Graph {
        |FROM e$rounds JOIN sup$rounds USING (lo, hi)""".stripMargin
   }
 
+  /** Rich-club coefficient at degree thresholds k — "do the hubs stick
+    * together?": φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of
+    * vertices with degree > k. φ rising toward 1 with k means the
+    * high-degree core is densely interconnected (supplier oligopolies,
+    * spam farms); flat/falling means hubs are independent stars. All
+    * exact integers: one canonical-edge distinct, one degree aggregate,
+    * one degree-annotated edge join, and the k thresholds ride a tiny
+    * broadcast cross join — single pass per table, no per-k rescans. */
+  def richClub(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Long] = Seq(2L, 4L, 8L)): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val e0 = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    val deg = e0.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    val kTable = broadcast(e0.sparkSession
+      .createDataFrame(ks.map(Tuple1(_))).toDF("k"))
+    val nk = deg.crossJoin(kTable).filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).cast("long").as("n_k"))
+    val ek = e0
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .crossJoin(kTable)
+      .filter(col("dlo") > col("k") && col("dhi") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).cast("long").as("e_k"))
+    kTable.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .withColumn("phi", expr(richClubSql))
+  }
+
+  /** φ over (n_k, e_k); NULL below two club members. Shared with the
+    * oracle. */
+  val richClubSql: String =
+    "CASE WHEN n_k > 1 THEN " +
+      "round(2.0 * e_k / (CAST(n_k AS DOUBLE) * (n_k - 1)), 6) END"
+
   /** HITS hubs & authorities with a FIXED iteration count — the
     * [[pageRank]] determinism recipe: no convergence test, the oracle
     * unrolls the same iterations as CTEs. Per round: auth(v) = Σ hub

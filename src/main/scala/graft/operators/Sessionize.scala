@@ -47,6 +47,40 @@ object Sessionize {
       gapSec: Long = SessionConfig.DefaultGapSec): DataFrame =
     gapSessionizeInternal(df, key, ts, tieBreak, gapSec).drop("__ms", "__first_ms")
 
+  /** Inter-event cadence profile per key — the BOT/AUTOMATION signal
+    * humans don't leave: scripted traffic fires at metronomic intervals
+    * (coefficient of variation of gaps ≈ 0), organic behavior is bursty
+    * (cv ≥ 1). Per key: gap count, mean gap, and cv from EXACT BIGINT
+    * gap moments (gaps in ms; Σgap² exact to ~week-long gaps), with the
+    * `is_regular` flag = cv < 0.1 over ≥ 5 gaps. One key-window lag +
+    * one aggregate riding the same exchange — the [[gapSessionize]]
+    * plan shape. Run it keyed by user for account-level screening or by
+    * session_id (compose with gapSessionize) for per-session flags. */
+  def cadenceProfile(
+      df: DataFrame, keyCol: String, tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__ms", unix_millis(col(tsCol)))
+      .withColumn("__gap", col("__ms") - lag(col("__ms"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("__gap")).cast("long").as("sg"),
+        sum(col("__gap") * col("__gap")).cast("long").as("sgg"))
+      .withColumn("mean_gap_ms",
+        expr("round(CAST(sg AS DOUBLE) / n_gaps, 6)"))
+      .withColumn("cv", expr(cadenceCvSql))
+      .withColumn("is_regular", expr(s"$cadenceCvSql < 0.1 AND n_gaps >= 5"))
+  }
+
+  /** Population cv of gaps over (n_gaps, sg, sgg) — NULL for a single
+    * gap or zero mean. Shared with the oracle. */
+  val cadenceCvSql: String =
+    "CASE WHEN n_gaps > 1 AND sg > 0 THEN " +
+      "round(sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * " +
+      "(CAST(sg AS DOUBLE) / n_gaps)) / n_gaps) / " +
+      "(CAST(sg AS DOUBLE) / n_gaps), 6) END"
+
   /** [[gapSessionize]] body, keeping `__ms`/`__first_ms` — the columns the
     * incremental state handoff needs. */
   private def gapSessionizeInternal(

@@ -1135,6 +1135,59 @@ object TextAnalysis {
   private def hash60Sql(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Lexical diversity indices per corpus — the "is this source a
+    * template farm?" profile: Shannon entropy (nats, via the exact
+    * nano-term sum), Simpson concentration λ = Σn_i(n_i−1)/(N(N−1))
+    * (the probability two random tokens match — an EXACT integer
+    * ratio), its inverse (effective vocabulary size), and Pielou
+    * evenness H/ln(V). Boilerplate-heavy corpora show high λ / low
+    * evenness long before eyeballing samples would. One token count
+    * aggregate per group; everything else is a width-constant
+    * shared-SQL chain. */
+  def diversityIndex(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      // group total rides a key-window so ONE pass feeds both the
+      // integer pair counts and the nano entropy terms
+      .withColumn("t", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .withColumn("term", expr(entropyTermNanoSql("c", "t")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1L))
+          .cast("decimal(38,0)").as("s_pairs"),
+        sum(col("term")).cast("long").as("h_nano"))
+      .withColumn("simpson", expr(simpsonSql))
+      .withColumn("inv_simpson", expr(
+        s"CASE WHEN $simpsonSql > 0 THEN round(1.0 / $simpsonSql, 6) END"))
+      .withColumn("shannon_nats", expr(
+        "round(CAST(h_nano AS DOUBLE) / 1000000000, 6)"))
+      .withColumn("evenness", expr(evennessSql))
+      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("s_pairs"), col("h_nano"), col("shannon_nats"),
+        col("simpson"), col("inv_simpson"), col("evenness"))
+
+  /** Simpson λ over (s_pairs, n_tokens) — exact integers, one double
+    * division; NULL below two tokens. Shared with the oracle. */
+  val simpsonSql: String =
+    "CASE WHEN n_tokens > 1 THEN " +
+      "round(CAST(s_pairs AS DOUBLE) / " +
+      "(CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) END"
+
+  /** Pielou evenness H/ln(V) over (h_nano, vocab); NULL for a
+    * single-type vocabulary. Shared with the oracle. */
+  val evennessSql: String =
+    "CASE WHEN vocab > 1 THEN " +
+      "round(CAST(h_nano AS DOUBLE) / 1000000000 / LN(CAST(vocab " +
+      "AS DOUBLE)), 6) END"
+
   /** Pairwise Jensen–Shannon divergence between corpora (token
     * distributions per `groupCol`) — the SYMMETRIC, always-finite
     * distribution distance for "how different is source A's language

@@ -824,6 +824,53 @@ object TimeSeries {
         "phi41*rho_1 + phi42*rho_2 + phi43*rho_3 + phi44*rho_4"))
   }
 
+  /** Fano factor / burstiness per key over a DENSE bucket grid — "is
+    * traffic Poisson, or does it arrive in bursts?": var/mean of
+    * per-bucket event counts INCLUDING the empty buckets between min
+    * and max (dropping them is the classic bias — a source active one
+    * hour a day looks calm without its 23 zero buckets). The zeros
+    * enter through arithmetic, not materialization: n_buckets =
+    * max−min+1 and Σc² over present buckets are all that's needed, so
+    * the plan is one (key,bucket) count + one key aggregate — no spine
+    * join. Fano F = σ²/μ (1 = Poisson, >1 overdispersed); burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1,1), 0 = Poisson. Exact integer moments,
+    * shared-SQL finish. */
+  def fanoFactor(
+      df: DataFrame, keyCol: String, bucketCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"), col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("__k"))
+      .agg((max(col("__b")) - min(col("__b")) + 1L).cast("long")
+          .as("n_buckets"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+      .withColumn("fano", expr(fanoSql))
+      .withColumn("burstiness", expr(burstinessSql))
+      .select(col("__k").as(keyCol), col("n_buckets"), col("n_events"),
+        col("scc"), col("fano"), col("burstiness"))
+
+  /** σ²/μ over (n_buckets, n_events, scc) with the dense-grid zeros in
+    * the algebra: μ = N/B, σ² = Σc²/B − μ². Shared with the oracle. */
+  val fanoSql: String =
+    "CASE WHEN n_events > 0 THEN " +
+      "round((CAST(scc AS DOUBLE) / n_buckets - " +
+      "(CAST(n_events AS DOUBLE) / n_buckets) * " +
+      "(CAST(n_events AS DOUBLE) / n_buckets)) / " +
+      "(CAST(n_events AS DOUBLE) / n_buckets), 6) END"
+
+  /** (σ−μ)/(σ+μ) over the same row; NULL when both vanish. */
+  val burstinessSql: String =
+    "CASE WHEN n_events > 0 THEN " +
+      "round((sqrt(CAST(scc AS DOUBLE) / n_buckets - " +
+      "(CAST(n_events AS DOUBLE) / n_buckets) * " +
+      "(CAST(n_events AS DOUBLE) / n_buckets)) - " +
+      "CAST(n_events AS DOUBLE) / n_buckets) / " +
+      "(sqrt(CAST(scc AS DOUBLE) / n_buckets - " +
+      "(CAST(n_events AS DOUBLE) / n_buckets) * " +
+      "(CAST(n_events AS DOUBLE) / n_buckets)) + " +
+      "CAST(n_events AS DOUBLE) / n_buckets), 6) END"
+
   /** Hurst exponent per key via rescaled-range (R/S) analysis over
     * dyadic blocks {8,16,32} — the long-memory diagnostic: H ≈ 0.5
     * random walk, H → 1 trending/persistent, H → 0 mean-reverting.

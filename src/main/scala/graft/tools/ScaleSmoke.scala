@@ -721,6 +721,13 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"cadence+diversity+fano x$mult/(÷5 docs)") {
+      drain(Sessionize.cadenceProfile(eventsUid, "user_id"))
+      drain(TextAnalysis.diversityIndex(docs))
+      drain(TimeSeries.fanoFactor(
+        eventsUid.select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("h")), "event_type", "h"))
+    }
     time(s"friedman+hurst x$mult") {
       drain(Profiling.friedman(
         eventsUid.groupBy(col("user_id"), col("event_type"))

@@ -735,4 +735,74 @@ class Round9OpsSpec extends SparkFunSuite {
     val short = (1L to 20L).map(t => ("s", t, t)).toDF("k", "t", "v")
     assert(TimeSeries.hurst(short, "k", "t", "v").count() == 0L)
   }
+
+  test("cadenceProfile: metronomic gaps flag, bursty and sparse do not") {
+    import graft.operators.Sessionize
+    val rows =
+      (0 until 7).map(i => (1L, i * 1000L, i.toLong)) ++ // exact 1s ticks
+      Seq((2L, 0L), (2L, 100L), (2L, 10100L), (2L, 10300L), (2L, 30300L),
+        (2L, 30400L)).zipWithIndex.map { case ((u, ms), i) => (u, ms, i.toLong) } ++
+      (0 until 3).map(i => (3L, i * 500L, i.toLong)) // regular but < 5 gaps
+    val df = rows.toDF("user_id", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val m = Sessionize.cadenceProfile(df, "user_id").collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(m(1L).getAs[Double]("cv") == 0.0)
+    assert(m(1L).getAs[Boolean]("is_regular"))
+    assert(m(2L).getAs[Double]("cv") > 1.0)
+    assert(!m(2L).getAs[Boolean]("is_regular"))
+    assert(m(3L).getAs[Double]("cv") == 0.0)
+    assert(!m(3L).getAs[Boolean]("is_regular"), "needs >= 5 gaps to flag")
+  }
+
+  test("diversityIndex: degenerate and uniform corpora hit exact bounds") {
+    val docs = Seq((1L, "mono", "x x x x"), (2L, "uni", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val m = TextAnalysis.diversityIndex(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val mono = m("mono")
+    assert(mono.getAs[Long]("vocab") == 1L)
+    assert(mono.getAs[Double]("simpson") == 1.0)
+    assert(mono.getAs[Double]("shannon_nats") == 0.0)
+    assert(mono.isNullAt(mono.fieldIndex("evenness")))
+    val uni = m("uni")
+    assert(uni.getAs[Double]("simpson") == 0.0)
+    assert(uni.isNullAt(uni.fieldIndex("inv_simpson")))
+    assert(math.abs(uni.getAs[Double]("shannon_nats") - math.log(4)) < 1e-6)
+    assert(uni.getAs[Double]("evenness") == 1.0)
+  }
+
+  test("fanoFactor: dense-grid zeros counted, regular=-1, bursty replay") {
+    // one event per consecutive bucket: sigma = 0 -> F=0, B=-1
+    val reg = (0L until 4L).map(b => ("r", b)).toDF("k", "b")
+    val rr = TimeSeries.fanoFactor(reg, "k", "b").head()
+    assert(rr.getAs[Long]("n_buckets") == 4L)
+    assert(rr.getAs[Double]("fano") == 0.0)
+    assert(rr.getAs[Double]("burstiness") == -1.0)
+    // 4 events at bucket 0, 1 at bucket 4: B=5 (3 EMPTY buckets count)
+    val bur = (Seq.fill(4)(("b", 0L)) :+ (("b", 4L))).toDF("k", "b")
+    val rb = TimeSeries.fanoFactor(bur, "k", "b").head()
+    assert(rb.getAs[Long]("n_buckets") == 5L)
+    val mu = 1.0; val s2 = 17.0 / 5 - 1.0
+    assert(math.abs(rb.getAs[Double]("fano") - s2 / mu) < 1e-6)
+    assert(math.abs(rb.getAs[Double]("burstiness") -
+      (math.sqrt(s2) - mu) / (math.sqrt(s2) + mu)) < 1e-6)
+  }
+
+  test("richClub: clique core with pendant spokes, empty clubs NULL") {
+    // K4 on {1,2,3,4} (deg >= 3 each) + 2 spokes per core vertex
+    // (core deg = 5, spokes deg = 1): at k=2 and k=4 the club is the K4
+    // with phi = 1.0; at k=8 nobody qualifies -> 0 members, NULL phi
+    val core = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val spokes = (1L to 4L).flatMap(v =>
+      Seq((v, 100 + v * 10), (v, 101 + v * 10)))
+    val e = (core ++ spokes).toDF("src", "dst")
+    val m = Graph.richClub(e, "src", "dst").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          Option(r.get(r.fieldIndex("phi"))))).toMap
+    assert(m(2L) == ((4L, 6L, Some(1.0))))
+    assert(m(4L) == ((4L, 6L, Some(1.0))))
+    assert(m(8L) == ((0L, 0L, None)))
+  }
 }
