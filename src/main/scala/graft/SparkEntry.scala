@@ -3727,7 +3727,10 @@ object SparkEntry {
         .filter(col("n_ord") >= 2)
         .select(col("src"), col("dst"))
       val und = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        // the co-purchase self-join is the expensive subtree; the seeds
+        // derivation and the BFS both read it — materialize once
+        .localCheckpoint(true)
       val deg = und.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("d"))
       val seeds = deg.orderBy(col("d").desc, col("id")).limit(4)
@@ -3740,6 +3743,38 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_platt" -> ((s, dir) => {
+      // Turn the spend score into a PROBABILITY of purchase: Platt
+      // sigmoid fit on the standardized score, 4 fixed Newton steps
+      // with micro-quantized gradient/Hessian sums; final log-loss.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.plattScale(ev, "cents", "is_pos")
+    }),
+    "q_youden" -> ((s, dir) => {
+      // WHERE to cut the spend score for the heavy-purchase screen:
+      // Youden-J argmax over the exact integer (TPR-FPR) numerator on
+      // the auc prefix-sum kernel; smallest-threshold tie-break.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.youdenThreshold(ev, "cents", "is_pos")
+    }),
+    "q_ece" -> ((s, dir) => {
+      // One-number calibration check for the spend score: expected
+      // calibration error over the 10-bin reliability table,
+      // micro-quantized per-bin gaps, exact weighted sum.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.ece(ev, "cents", "is_pos")
+    }),
+    "q_rake" -> ((s, dir) =>
+      // What is each source ABOUT? RAKE keyphrases: stopword-delimited
+      // candidate runs, degree/frequency word scores micro-quantized so
+      // phrase sums stay exact; deterministic top-10 per source.
+      TextAnalysis.rakeKeyphrases(table(s, dir, "documents"))),
     "q_diversity_index" -> ((s, dir) =>
       // Template-farm screen per source: Shannon/Simpson/evenness of
       // the token distribution — exact pair counts + nano entropy.
@@ -4579,6 +4614,129 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_platt" -> {
+      import graft.operators.Eval.{plattTermSql, plattStepASql, plattStepBSql, plattZSql, plattSdSql}
+      val steps = (1 to 4).map { i =>
+        s"""m$i AS (SELECT a, b,
+           |    CAST(SUM(${plattTermSql("(p - y) * z")}) AS BIGINT) AS g1m,
+           |    CAST(SUM(${plattTermSql("(p - y)")}) AS BIGINT) AS g0m,
+           |    CAST(SUM(${plattTermSql("p * (1 - p) * z * z")}) AS BIGINT)
+           |      AS h11m,
+           |    CAST(SUM(${plattTermSql("p * (1 - p) * z")}) AS BIGINT)
+           |      AS h01m,
+           |    CAST(SUM(${plattTermSql("p * (1 - p)")}) AS BIGINT) AS h00m
+           |  FROM z CROSS JOIN it${i - 1} GROUP BY a, b),
+           |it$i AS (SELECT $plattStepASql AS a, $plattStepBSql AS b
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS __s,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS __y
+         |  FROM events),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(__s) AS BIGINT) AS ss,
+         |    CAST(SUM(__s*__s) AS BIGINT) AS ssq FROM e),
+         |z0 AS (SELECT $plattZSql AS z, __y AS y FROM e, mm),
+         |z AS MATERIALIZED (SELECT z, y FROM z0 WHERE z IS NOT NULL),
+         |it0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+         |$steps,
+         |ll AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_fit,
+         |    CAST(SUM(${plattTermSql(
+                "-(y * LN(p) + (1 - y) * LN(1 - p))")}) AS BIGINT)
+         |      AS ll_micro
+         |  FROM z CROSS JOIN it4 GROUP BY a, b)
+         |SELECT n, round(CAST(ss AS DOUBLE) / n, 6) AS mean_s,
+         |  round($plattSdSql, 6) AS sd_s, round(a, 6) AS a,
+         |  round(b, 6) AS b,
+         |  round(CAST(ll_micro AS DOUBLE) / n_fit / 1000000, 6) AS logloss
+         |FROM ll, mm""".stripMargin
+    },
+    "q_youden" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |per AS (SELECT v, CAST(SUM(p) AS BIGINT) AS cp,
+         |    CAST(SUM(1 - p) AS BIGINT) AS cn FROM e GROUP BY 1),
+         |c AS (SELECT v,
+         |    CAST(SUM(cp) OVER (ORDER BY v) AS BIGINT) AS cum_cp,
+         |    CAST(SUM(cn) OVER (ORDER BY v) AS BIGINT) AS cum_cn
+         |  FROM per),
+         |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cn) AS BIGINT) AS n_neg FROM per),
+         |j AS (SELECT v, n_pos, n_neg, cum_cp, cum_cn,
+         |    (n_pos - cum_cp) * n_neg - (n_neg - cum_cn) * n_pos AS j_num
+         |  FROM c, t),
+         |sel AS (SELECT *, ROW_NUMBER() OVER (ORDER BY j_num DESC, v ASC)
+         |    AS rn FROM j),
+         |f AS (SELECT n_pos, n_neg, v AS threshold,
+         |    CAST(j_num AS BIGINT) AS j_num, cum_cp, cum_cn
+         |  FROM sel WHERE rn = 1)
+         |SELECT n_pos, n_neg, threshold, j_num, cum_cp, cum_cn,
+         |  CASE WHEN n_pos > 0 THEN
+         |    round(CAST(n_pos - cum_cp AS DOUBLE) / n_pos, 6) END AS tpr,
+         |  CASE WHEN n_neg > 0 THEN
+         |    round(CAST(n_neg - cum_cn AS DOUBLE) / n_neg, 6) END AS fpr,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round(CAST(j_num AS DOUBLE) /
+         |      (CAST(n_pos AS DOUBLE) * n_neg), 6) END AS j
+         |FROM f""".stripMargin,
+    "q_ece" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS s,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |mm AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM e),
+         |b AS (SELECT CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT)
+         |      AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(s) AS BIGINT) AS sum_score
+         |  FROM e, mm GROUP BY 1),
+         |w AS (SELECT b.*, lo, hi FROM b, mm),
+         |t AS (SELECT lo, hi, n,
+         |    ${graft.operators.Eval.eceTermMicroSql} AS term_micro FROM w),
+         |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |    CAST(SUM(term_micro) AS BIGINT) AS ece_micro FROM t)
+         |SELECT n_total, n_bins, ece_micro,
+         |  round(CAST(ece_micro AS DOUBLE) / n_total / 1000000, 6) AS ece
+         |FROM a""".stripMargin,
+    "q_rake" -> {
+      val stops = graft.operators.TextAnalysis.stopwords("en")
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH tl AS (SELECT source AS g, doc_id,
+         |    string_split(text, ' ') AS tl FROM documents),
+         |tk AS (SELECT g, doc_id, unnest(tl) AS tok,
+         |    unnest(range(1, len(tl) + 1)) AS pos FROM tl),
+         |tk2 AS (SELECT g, doc_id, tok, pos,
+         |    tok IN ($stops) AS is_stop
+         |  FROM tk WHERE tok <> ''),
+         |runs AS (SELECT g, doc_id, tok, pos, is_stop,
+         |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY g, doc_id ORDER BY pos) AS grp
+         |  FROM tk2),
+         |ns AS (SELECT g, doc_id, tok, pos, grp,
+         |    COUNT(*) OVER (PARTITION BY g, doc_id, grp) AS plen
+         |  FROM runs WHERE NOT is_stop),
+         |ws AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(plen) AS BIGINT) AS deg FROM ns GROUP BY 1, 2),
+         |ws2 AS (SELECT g, tok,
+         |    ${graft.operators.TextAnalysis.rakeWordMicroSql} AS w_micro
+         |  FROM ws),
+         |ph AS (SELECT ns.g, ns.doc_id, ns.grp,
+         |    string_agg(ns.tok, ' ' ORDER BY ns.pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(w_micro) AS BIGINT) AS score_micro
+         |  FROM ns JOIN ws2 ON ws2.g = ns.g AND ws2.tok = ns.tok
+         |  GROUP BY 1, 2, 3),
+         |agg AS (SELECT g, phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+         |    CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |    CAST(MAX(score_micro) AS BIGINT) AS score_micro
+         |  FROM ph GROUP BY 1, 2),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+         |    ORDER BY score_micro DESC, phrase) AS rn FROM agg)
+         |SELECT g AS source, CAST(rn AS BIGINT) AS rnk, phrase, n_words,
+         |  n_occ, round(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
+         |FROM rk WHERE rn <= 10""".stripMargin
+    },
     "q_diversity_index" ->
       s"""WITH tk AS (SELECT source AS g,
          |    unnest(string_split(text, ' ')) AS tok FROM documents),

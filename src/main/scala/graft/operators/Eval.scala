@@ -125,6 +125,174 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Platt scaling — fit p = σ(a·z + b) to (score, label) so a raw
+    * ranking score becomes a PROBABILITY (the parametric companion to
+    * [[isotonicCalibration]]'s monotone fit): z is the standardized
+    * score (exact-moment mean/sd — raw cents would overflow exp), and
+    * (a, b) take `iters` FIXED Newton steps from (0,0). Each step is
+    * ONE aggregate whose per-row gradient/Hessian terms are
+    * micro-quantized (order-independent exact sums — the only float
+    * nondeterminism an iterated fit can leak), and the 2×2 solve is a
+    * shared-SQL closed form on a 1-row frame; the oracle unrolls the
+    * same steps. No convergence test by design (the [[pageRank]]
+    * determinism recipe). Output includes the final log-loss in milli
+    * units as the fit-quality check. */
+  def plattScale(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8]: $iters")
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(s).cast("long").as("ss"),
+      sum(s * s).cast("long").as("ssq")))
+    val z = df.select(s.as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .crossJoin(mm)
+      .withColumn("z", expr(plattZSql))
+      .filter(col("z").isNotNull)
+      .select(col("z"), col("__y").as("y"))
+      .localCheckpoint(true) // scanned once per Newton step + log-loss
+    var params = z.sparkSession.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"))
+    (1 to iters).foreach { _ =>
+      val m = z.crossJoin(broadcast(params))
+        .withColumn("g1m", expr(plattTermSql("(p - y) * z")))
+        .withColumn("g0m", expr(plattTermSql("(p - y)")))
+        .withColumn("h11m", expr(plattTermSql("p * (1 - p) * z * z")))
+        .withColumn("h01m", expr(plattTermSql("p * (1 - p) * z")))
+        .withColumn("h00m", expr(plattTermSql("p * (1 - p)")))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("g1m")).cast("long").as("g1m"),
+          sum(col("g0m")).cast("long").as("g0m"),
+          sum(col("h11m")).cast("long").as("h11m"),
+          sum(col("h01m")).cast("long").as("h01m"),
+          sum(col("h00m")).cast("long").as("h00m"))
+      params = m.select(expr(plattStepASql).as("a"),
+        expr(plattStepBSql).as("b"))
+    }
+    val ll = z.crossJoin(broadcast(params))
+      .withColumn("llm", expr(plattTermSql(
+        "-(y * LN(p) + (1 - y) * LN(1 - p))")))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_fit"),
+        sum(col("llm")).cast("long").as("ll_micro"))
+    ll.crossJoin(mm)
+      .select(col("n"),
+        expr("round(CAST(ss AS DOUBLE) / n, 6)").as("mean_s"),
+        expr(s"round($plattSdSql, 6)").as("sd_s"),
+        round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+        expr("round(CAST(ll_micro AS DOUBLE) / n_fit / 1000000, 6)")
+          .as("logloss"))
+  }
+
+  /** Sample sd of the raw score off the exact moment row (welchTTest
+    * double assembly). Shared with the oracle. */
+  val plattSdSql: String =
+    "sqrt((CAST(ssq AS DOUBLE) - CAST(ss AS DOUBLE) * " +
+      "(CAST(ss AS DOUBLE) / n)) / (n - 1))"
+
+  /** Standardized score over (__s, n, ss, ssq); NULL (row dropped) when
+    * the score is constant. Shared with the oracle. */
+  val plattZSql: String =
+    s"CASE WHEN n > 1 AND $plattSdSql > 0 THEN " +
+      s"(__s - CAST(ss AS DOUBLE) / n) / $plattSdSql END"
+
+  /** A per-row Newton term in micro units: `e` may reference z, y, and
+    * p = σ(a·z+b) (spliced in). Deterministic double ops — exp matches
+    * libm-for-libm across the engines (FIXTURES.md). */
+  def plattTermSql(e: String): String = {
+    val withP = e.replace("p", "(1.0 / (1.0 + EXP(-(a * z + b))))")
+    s"CAST(ROUND(($withP) * 1000000, 0) AS BIGINT)"
+  }
+
+  /** Newton update a' = a − (h00·g1 − h01·g0)/det over the exact micro
+    * sums (the 1e6 scales cancel in the ratios). Shared with the
+    * oracle; NULL once the Hessian degenerates. */
+  val plattStepASql: String =
+    "CASE WHEN CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m" +
+      " <> 0 THEN a - (CAST(h00m AS DOUBLE) * g1m - " +
+      "CAST(h01m AS DOUBLE) * g0m) / " +
+      "(CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m) END"
+
+  val plattStepBSql: String =
+    "CASE WHEN CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m" +
+      " <> 0 THEN b - (CAST(h11m AS DOUBLE) * g0m - " +
+      "CAST(h01m AS DOUBLE) * g1m) / " +
+      "(CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m) END"
+
+  /** Youden-J optimal threshold — [[auc]] says HOW separable; this says
+    * WHERE to cut: over every candidate threshold v ("positive if
+    * score > v"), J(v) = TPR − FPR, maximized with smallest-v
+    * tie-break. J·P·N = (P−cumP)·N − (N−cumN)·P stays an EXACT integer
+    * off the same distinct-score prefix-sum kernel as auc, so the
+    * argmax is engine- and partitioning-exact — no float ranking.
+    * One row: threshold, tpr/fpr/j at the cut. */
+  def youdenThreshold(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(scoreCol).cast("long").as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("cp"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).cast("long").as("cn"))
+    val c = rangedCumsum(per, Nil, "v", Seq("cp", "cn"))
+    val tot = broadcast(c.agg(
+      sum(col("cp")).cast("long").as("n_pos"),
+      sum(col("cn")).cast("long").as("n_neg")))
+    c.crossJoin(tot)
+      .select(col("v"), col("n_pos"), col("n_neg"),
+        col("cum_cp"), col("cum_cn"),
+        ((col("n_pos") - col("cum_cp")) * col("n_neg") -
+          (col("n_neg") - col("cum_cn")) * col("n_pos")).as("j_num"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(max(struct(col("j_num"), (-col("v")).as("negv"),
+        col("cum_cp"), col("cum_cn"))).as("m"))
+      .select(col("n_pos"), col("n_neg"),
+        (-col("m.negv")).cast("long").as("threshold"),
+        col("m.j_num").cast("long").as("j_num"),
+        col("m.cum_cp").as("cum_cp"), col("m.cum_cn").as("cum_cn"))
+      .withColumn("tpr", expr(
+        "CASE WHEN n_pos > 0 THEN round(CAST(n_pos - cum_cp AS DOUBLE)" +
+          " / n_pos, 6) END"))
+      .withColumn("fpr", expr(
+        "CASE WHEN n_neg > 0 THEN round(CAST(n_neg - cum_cn AS DOUBLE)" +
+          " / n_neg, 6) END"))
+      .withColumn("j", expr(
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+          "round(CAST(j_num AS DOUBLE) / " +
+          "(CAST(n_pos AS DOUBLE) * n_neg), 6) END"))
+  }
+
+  /** Expected calibration error over the [[calibrationBins]] table —
+    * ONE number for "do the scores mean what they say": confidence is
+    * the bin's mean score as a POSITION in the observed span (the
+    * integer-score analogue of a probability), accuracy is the bin's
+    * positive rate, ECE = Σ (n_b/N)·|acc_b − conf_b|. Per-bin terms
+    * micro-quantized (deterministic double ops on exact integers), the
+    * weighted sum exact. */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(min(s).as("lo"), max(s).as("hi")))
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .crossJoin(mm)
+      .withColumn("term_micro", expr(eceTermMicroSql))
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("n")).cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("term_micro")).cast("long").as("ece_micro"))
+      .select(col("n_total"), col("n_bins"), col("ece_micro"),
+        expr("round(CAST(ece_micro AS DOUBLE) / n_total / 1000000, 6)")
+          .as("ece"))
+  }
+
+  /** Per-bin n_b·|acc−conf| in micro units over (n, n_pos, sum_score,
+    * lo, hi) — conf = (mean_score − lo)/(hi − lo), degenerate single-
+    * value spans score conf 0. Shared with the oracle. */
+  val eceTermMicroSql: String =
+    "CAST(ROUND(n * ABS(CAST(n_pos AS DOUBLE) / n - " +
+      "(CASE WHEN hi > lo THEN " +
+      "(CAST(sum_score AS DOUBLE) / n - lo) / (hi - lo) " +
+      "ELSE CAST(0 AS DOUBLE) END)) * 1000000, 0) AS BIGINT)"
+
   /** Per-group Gini concentration coefficient of a non-negative
     * integer-domain value (cents): G = (2·Σ rank·x − (n+1)·Σx)/(n·Σx),
     * ties collapsed exactly (a tie block of equal x contributes

@@ -629,11 +629,17 @@ object Graph {
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
     var auth = verts.select(col("id"), lit(1.0).as("auth"))
     (1 to iters).foreach { _ =>
+      // materialize each half-step BEFORE the broadcast max: the max is
+      // an ACTION per iteration, and without the checkpoint every action
+      // re-evaluates the whole growing lineage (measured 44 s for 4
+      // iterations at sf0.1 vs ~2 s materialized — the pageRank plan
+      // note, compounded by the mid-loop aggregates)
       val a0 = verts.join(
         e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
         Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
       val am = broadcast(a0.agg(max(col("auth")).as("am")))
       auth = a0.crossJoin(am)
         .select(col("id"), (col("auth") / col("am")).as("auth"))
@@ -642,6 +648,7 @@ object Graph {
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
         Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
       val hm = broadcast(h0.agg(max(col("hub")).as("hm")))
       hub = h0.crossJoin(hm)
         .select(col("id"), (col("hub") / col("hm")).as("hub"))

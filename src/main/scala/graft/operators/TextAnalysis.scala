@@ -1135,6 +1135,69 @@ object TextAnalysis {
   private def hash60Sql(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** RAKE keyphrase extraction per corpus — the unsupervised "what is
+    * this source ABOUT?" summary: candidate phrases are maximal runs of
+    * non-stopword tokens (gaps-and-islands on the stopword positions),
+    * each word scores degree/frequency (degree = Σ lengths of phrases
+    * containing it — co-occurring words inherit their phrases' reach),
+    * and a phrase scores the sum of its words. Word scores are
+    * micro-quantized so phrase sums are EXACT integers
+    * (order-independent); top-k per corpus by (score, phrase) is fully
+    * deterministic. Plan: one tokenize pass, one island window, two
+    * corpus-keyed aggregates, one bounded top-k window. */
+  def rakeKeyphrases(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = stopwords("en")
+    val toks = docs
+      .select(col(groupCol).as("g"), col("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("is_stop", col("tok").isInCollection(stops))
+    val wRun = Window.partitionBy(col("g"), col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(wRun))
+      .filter(!col("is_stop"))
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("g"), col("doc_id"), col("grp"))))
+      .localCheckpoint(true) // read by word scores AND phrase assembly
+    val wordScore = runs.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("plen")).cast("long").as("deg"))
+      .withColumn("w_micro", expr(rakeWordMicroSql))
+    val phrases = runs.join(wordScore.select(col("g"), col("tok"),
+        col("w_micro")), Seq("g", "tok"))
+      .groupBy(col("g"), col("doc_id"), col("grp"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("w_micro")).cast("long").as("score_micro"))
+      .groupBy(col("g"), col("phrase"))
+      .agg(max(col("n_words")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_occ"),
+        max(col("score_micro")).cast("long").as("score_micro"))
+    phrases
+      .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("score_micro").desc, col("phrase"))))
+      .filter(col("rn") <= topK)
+      .select(col("g").as(groupCol), col("rn").cast("long").as("rnk"),
+        col("phrase"), col("n_words"), col("n_occ"),
+        expr("round(CAST(score_micro AS DOUBLE) / 1000000, 6)")
+          .as("score"))
+  }
+
+  /** Per-word RAKE degree/frequency ratio in micro units over
+    * (deg, freq) — exact integers in, one deterministic double op.
+    * Shared with the oracle. */
+  val rakeWordMicroSql: String =
+    "CAST(ROUND(CAST(deg AS DOUBLE) * 1000000 / freq, 0) AS BIGINT)"
+
   /** Lexical diversity indices per corpus — the "is this source a
     * template farm?" profile: Shannon entropy (nats, via the exact
     * nano-term sum), Simpson concentration λ = Σn_i(n_i−1)/(N(N−1))

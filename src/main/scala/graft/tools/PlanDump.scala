@@ -71,7 +71,13 @@ object PlanDump {
     "q_bh_fdr",              // m-row ranking windows AFTER the per-segment collapse
     "q_pca_power",           // Gramian once; 12 tiny join+agg iterations
     "q_lorenz",              // distinct-value prefix sum -> decile agg
-    "q_changepoint")         // one per-group prefix window, argmax pick
+    "q_changepoint",         // one per-group prefix window, argmax pick
+    "q_hits",                // per-half-step checkpoint BEFORE the broadcast max action
+    "q_jsd",                 // per-source entropies off one count pass; pair expansion only for H(M)
+    "q_kaplan_meier",        // two ranged prefix sums on the step table, broadcast group totals
+    "q_rake",                // one island window + two corpus-keyed aggs + bounded top-k
+    "q_platt",               // checkpointed z table scanned once per Newton step
+    "q_reach_profile")       // ONE checkpointed co-purchase subtree feeds seeds + BFS
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

@@ -721,6 +721,16 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"rake+platt+youden+ece x$mult/(÷5 docs)") {
+      drain(TextAnalysis.rakeKeyphrases(docs))
+      val scored = eventsUid.select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+        .localCheckpoint(true)
+      drain(Eval.plattScale(scored, "cents", "is_pos"))
+      drain(Eval.youdenThreshold(scored, "cents", "is_pos"))
+      drain(Eval.ece(scored, "cents", "is_pos"))
+    }
     time(s"cadence+diversity+fano x$mult/(÷5 docs)") {
       drain(Sessionize.cadenceProfile(eventsUid, "user_id"))
       drain(TextAnalysis.diversityIndex(docs))

@@ -805,4 +805,80 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(m(4L) == ((4L, 6L, Some(1.0))))
     assert(m(8L) == ((0L, 0L, None)))
   }
+
+  test("rakeKeyphrases: stopword islands, deg/freq scores, stable top-k") {
+    // doc 1 phrases: "deep learning", "deep networks", "learning rate"
+    // (every word deg/freq = 2 -> phrase score 4); doc 2 is one 3-word
+    // phrase of singleton words (deg 3 each -> score 9, rank 1)
+    val docs = Seq(
+      (1L, "s", "deep learning of deep networks and the learning rate"),
+      (2L, "s", "gradient descent optimizer"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.rakeKeyphrases(docs).orderBy("rnk").collect()
+    assert(rows.head.getAs[String]("phrase") == "gradient descent optimizer")
+    assert(rows.head.getAs[Double]("score") == 9.0)
+    assert(rows.head.getAs[Long]("n_words") == 3L)
+    assert(rows.map(_.getAs[String]("phrase")).toSeq == Seq(
+      "gradient descent optimizer", "deep learning", "deep networks",
+      "learning rate"), "score desc then phrase asc")
+    assert(rows.tail.forall(_.getAs[Double]("score") == 4.0))
+    // repeated phrase counts occurrences, score unchanged
+    val rep = docs.union(Seq((3L, "s", "deep learning and deep learning"))
+      .toDF("doc_id", "source", "text"))
+    val m = TextAnalysis.rakeKeyphrases(rep).collect()
+      .map(r => r.getAs[String]("phrase") -> r.getAs[Long]("n_occ")).toMap
+    assert(m("deep learning") == 3L)
+  }
+
+  test("youdenThreshold: perfect separation cuts at the boundary score") {
+    // scores {1F, 2F, 3T, 4T}: 'positive if s > 2' gives TPR=1 FPR=0
+    val df = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    val r = Eval.youdenThreshold(df, "s", "y").head()
+    assert(r.getAs[Long]("threshold") == 2L)
+    assert(r.getAs[Double]("tpr") == 1.0)
+    assert(r.getAs[Double]("fpr") == 0.0)
+    assert(r.getAs[Double]("j") == 1.0)
+    // tie on J -> smallest threshold wins
+    val tie = Seq((1L, false), (2L, true)).toDF("s", "y")
+    assert(Eval.youdenThreshold(tie, "s", "y").head()
+      .getAs[Long]("threshold") == 1L)
+  }
+
+  test("ece: perfectly position-calibrated bins score exactly 0") {
+    // scores 0..9, bins=10 -> bin = score; n=9 rows per score with
+    // n_pos = score: acc = s/9 = conf = (s-0)/(9-0) -> every term 0
+    val rows = (0 until 10).flatMap(s =>
+      (0 until 9).map(i => (s.toLong, i < s)))
+    val r = Eval.ece(rows.toDF("s", "y"), "s", "y").head()
+    assert(r.getAs[Long]("n_bins") == 10L)
+    assert(r.getAs[Double]("ece") == 0.0)
+    // constant score (degenerate span): conf pinned to 0, ece = pos rate
+    val const = Seq((5L, true), (5L, true), (5L, false), (5L, false))
+      .toDF("s", "y")
+    assert(Eval.ece(const, "s", "y").head().getAs[Double]("ece") == 0.5)
+  }
+
+  test("plattScale: separable-ish data fits a rising sigmoid, beats chance") {
+    // labels follow sign(score) with two flips — a should come out
+    // clearly positive and the fit should beat the ln 2 chance floor
+    val rows = Seq(
+      (-30L, false), (-20L, false), (-10L, false), (-5L, true),
+      (5L, false), (10L, true), (20L, true), (30L, true),
+      (-25L, false), (25L, true), (-15L, false), (15L, true))
+    val r = Eval.plattScale(rows.toDF("s", "y"), "s", "y").head()
+    assert(r.getAs[Double]("a") > 0.5, s"a=${r.getAs[Double]("a")}")
+    assert(r.getAs[Double]("logloss") < 0.693147,
+      s"logloss=${r.getAs[Double]("logloss")}")
+    // bit-identical under adversarial repartitioning (micro-quantized
+    // Newton sums are order-independent)
+    val shuf = Eval.plattScale(
+      rows.toDF("s", "y").repartition(13, col("y")), "s", "y").head()
+    assert(shuf.getAs[Double]("a") == r.getAs[Double]("a"))
+    assert(shuf.getAs[Double]("b") == r.getAs[Double]("b"))
+    assert(shuf.getAs[Double]("logloss") == r.getAs[Double]("logloss"))
+    // constant score: no z rows -> empty fit (documented degenerate)
+    val const = Seq((5L, true), (5L, false)).toDF("s", "y")
+    assert(Eval.plattScale(const, "s", "y").count() == 0L)
+  }
 }
