@@ -3743,6 +3743,33 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_mahalanobis" -> ((s, dir) => {
+      // Users off the spend~activity correlation ridge: 2-D Mahalanobis
+      // top-20 — exact moment covariance, closed-form inverse, rounded
+      // distances with id tie-break.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          count(lit(1)).cast("long").as("n_events"))
+      Profiling.mahalanobis2d(users, "user_id", "spend", "n_events")
+    }),
+    "q_partial_corr" -> ((s, dir) => {
+      // Does spend~purchases survive controlling for raw activity?
+      // Three pairwise Pearsons off ONE exact moment row, partial via
+      // the shared chain over the rounded r's.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("y"),
+          count(lit(1)).cast("long").as("z"))
+      Profiling.partialCorr(users, "x", "y", "z")
+    }),
+    "q_trimmed_mean" -> ((s, dir) =>
+      // Robust per-type cents location: exact 5%-trimmed mean off the
+      // distinct-value prefix sum — tie blocks split exactly at cuts.
+      Eval.trimmedMean(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
     "q_platt" -> ((s, dir) => {
       // Turn the spend score into a PROBABILITY of purchase: Platt
       // sigmoid fit on the standardized score, 4 fixed Newton steps
@@ -4614,6 +4641,81 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_mahalanobis" ->
+      s"""WITH u AS (SELECT user_id AS id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+         |      AS sxx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS syy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS sxy FROM u),
+         |d AS (SELECT id, x, y,
+         |    ${graft.operators.Profiling.mahalanobis2Sql} AS d2
+         |  FROM u, mm),
+         |r AS (SELECT id, x, y, d2, ROW_NUMBER() OVER (
+         |    ORDER BY d2 DESC, id ASC) AS rn
+         |  FROM d WHERE d2 IS NOT NULL)
+         |SELECT CAST(rn AS BIGINT) AS rnk, id, x, y, d2
+         |FROM r WHERE rn <= 20""".stripMargin,
+    "q_partial_corr" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    CAST(COUNT(*) AS BIGINT) AS z
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(z) AS BIGINT) AS sz,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+         |      AS sxx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS syy,
+         |    CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+         |      AS szz,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS sxy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+         |      AS sxz,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+         |      AS syz FROM u),
+         |rr AS (SELECT n,
+         |    ${graft.operators.Profiling.rPairSql("x", "y")} AS r_xy,
+         |    ${graft.operators.Profiling.rPairSql("x", "z")} AS r_xz,
+         |    ${graft.operators.Profiling.rPairSql("y", "z")} AS r_yz
+         |  FROM m)
+         |SELECT n, r_xy, r_xz, r_yz,
+         |  ${graft.operators.Profiling.partialCorrSql} AS r_xy_z
+         |FROM rr""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+        |per AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, nv,
+        |    CAST(SUM(nv) OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS cum_nv FROM per),
+        |t AS (SELECT event_type, CAST(SUM(nv) AS BIGINT) AS n
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT c.event_type, v, nv, cum_nv, n, n * 5 // 100 AS k
+        |  FROM c JOIN t USING (event_type)),
+        |inc AS (SELECT event_type, v, n, k,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(cum_nv, n - k) - GREATEST(cum_nv - nv, k))
+        |      AS included
+        |  FROM w),
+        |a AS (SELECT event_type, n, k,
+        |    CAST(SUM(v * included) AS BIGINT) AS s_kept,
+        |    CAST(SUM(included) AS BIGINT) AS n_kept
+        |  FROM inc WHERE included > 0 GROUP BY 1, 2, 3)
+        |SELECT event_type, n, k, s_kept, n_kept,
+        |  round(CAST(s_kept AS DOUBLE) / n_kept, 6) AS trimmed_mean
+        |FROM a""".stripMargin,
     "q_platt" -> {
       import graft.operators.Eval.{plattTermSql, plattStepASql, plattStepBSql, plattZSql, plattSdSql}
       val steps = (1 to 4).map { i =>

@@ -221,6 +221,37 @@ object Eval {
       "CAST(h01m AS DOUBLE) * g1m) / " +
       "(CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m) END"
 
+  /** Exact trimmed mean per group — the robust location estimate
+    * between median (drops 50%) and mean (drops nothing): discard the
+    * lowest and highest `trimPct`% EXACTLY via the distinct-value
+    * prefix-sum kernel — a tie block straddling a cut contributes
+    * min(cum, n−k) − max(cum−nv, k) occurrences, all integer
+    * arithmetic, so the result is partitioning- and engine-exact
+    * (no approximate percentile anywhere). k = n·trimPct/100 rows off
+    * each end. One distinct-value aggregate + one ranged cumsum + one
+    * group aggregate. */
+  def trimmedMean(
+      df: DataFrame, groupCol: String, valCol: String,
+      trimPct: Int = 5): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct in [0,50): $trimPct")
+    val per = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val c = rangedCumsum(per, Seq(groupCol), "v", Seq("nv"))
+    val tot = broadcast(c.groupBy(col(groupCol))
+      .agg(sum(col("nv")).cast("long").as("n")))
+    c.join(tot, Seq(groupCol))
+      .withColumn("k", expr(s"n * $trimPct div 100"))
+      .withColumn("included", expr(
+        "greatest(CAST(0 AS BIGINT), " +
+          "least(cum_nv, n - k) - greatest(cum_nv - nv, k))"))
+      .filter(col("included") > 0L)
+      .groupBy(col(groupCol), col("n"), col("k"))
+      .agg(sum(col("v") * col("included")).cast("long").as("s_kept"),
+        sum(col("included")).cast("long").as("n_kept"))
+      .withColumn("trimmed_mean",
+        expr("round(CAST(s_kept AS DOUBLE) / n_kept, 6)"))
+  }
+
   /** Youden-J optimal threshold — [[auc]] says HOW separable; this says
     * WHERE to cut: over every candidate threshold v ("positive if
     * score > v"), J(v) = TPR − FPR, maximized with smallest-v

@@ -690,6 +690,106 @@ object Profiling {
       "CAST(sum_g AS DOUBLE) * sum_g) / " +
       "(CAST(k AS DOUBLE) * sum_l - sum_l2), 6) END"
 
+  /** 2-D Mahalanobis outliers — the MULTIVARIATE screen [[ecodOutliers]]'
+    * per-dimension tails can't do: a point can be unremarkable on each
+    * axis yet far off the correlation ridge (high spend + low activity).
+    * d² = (Δ'Σ⁻¹Δ) from the EXACT moment row (population covariance,
+    * closed-form 2×2 inverse — one shared-SQL chain), per-row distances
+    * rounded to 6 before ranking so the top-k order is engine-exact
+    * (id tie-break). One aggregate + one broadcast-back narrow map +
+    * one top-k window. NULL-guarded on a singular covariance. */
+  def mahalanobis2d(
+      df: DataFrame, idCol: String, xCol: String, yCol: String,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val mm = broadcast(df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).cast("long").as("sx"), sum(y).cast("long").as("sy"),
+      sum((x * x).cast("decimal(38,0)")).as("sxx"),
+      sum((y * y).cast("decimal(38,0)")).as("syy"),
+      sum((x * y).cast("decimal(38,0)")).as("sxy")))
+    df.select(col(idCol).as("id"), x.as("x"), y.as("y"))
+      .crossJoin(mm)
+      .withColumn("d2", expr(mahalanobis2Sql))
+      .filter(col("d2").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("d2").desc, col("id"))))
+      .filter(col("rn") <= topK)
+      .select(col("rn").cast("long").as("rnk"), col("id"),
+        col("x"), col("y"), col("d2"))
+  }
+
+  /** d² over (x, y, n, sx, sy, sxx, syy, sxy): population covariance
+    * entries assembled in the overflow-safe double form, closed-form
+    * inverse; NULL when the covariance is singular. Shared with the
+    * oracle. */
+  val mahalanobis2Sql: String = {
+    val vxx = "(CAST(sxx AS DOUBLE) / n - " +
+      "(CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))"
+    val vyy = "(CAST(syy AS DOUBLE) / n - " +
+      "(CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))"
+    val vxy = "(CAST(sxy AS DOUBLE) / n - " +
+      "(CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))"
+    val det = s"($vxx * $vyy - $vxy * $vxy)"
+    val dx = "(x - CAST(sx AS DOUBLE) / n)"
+    val dy = "(y - CAST(sy AS DOUBLE) / n)"
+    s"CASE WHEN $det > 0 THEN " +
+      s"round(($vyy * $dx * $dx - 2 * $vxy * $dx * $dy + " +
+      s"$vxx * $dy * $dy) / $det, 6) END"
+  }
+
+  /** Partial correlation r(x,y | z) — "does the x↔y association
+    * survive controlling for z?" (spend↔purchases both scale with raw
+    * activity; the partial strips that): the three pairwise Pearsons
+    * come off ONE exact moment row, and r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) is one shared-SQL chain over the ROUNDED
+    * pairwise r's (identical both engines). One aggregate, no join. */
+  def partialCorr(
+      df: DataFrame, xCol: String, yCol: String, zCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val z = col(zCol).cast("long")
+    df.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(x).cast("long").as("sx"), sum(y).cast("long").as("sy"),
+        sum(z).cast("long").as("sz"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("syy"),
+        sum((z * z).cast("decimal(38,0)")).as("szz"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * z).cast("decimal(38,0)")).as("sxz"),
+        sum((y * z).cast("decimal(38,0)")).as("syz"))
+      .withColumn("r_xy", expr(rPairSql("x", "y")))
+      .withColumn("r_xz", expr(rPairSql("x", "z")))
+      .withColumn("r_yz", expr(rPairSql("y", "z")))
+      .withColumn("r_xy_z", expr(partialCorrSql))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        col("r_xy_z"))
+  }
+
+  /** Pearson r of pair (a,b) over the 10-moment row (names s$a, s$b,
+    * s$a$a, s$b$b, s$a$b with xy/xz/yz cross naming). Shared with the
+    * oracle. */
+  def rPairSql(a: String, b: String): String = {
+    val (sa, sb) = (s"s$a", s"s$b")
+    val (saa, sbb) = (s"s$a$a", s"s$b$b")
+    val sab = s"s$a$b"
+    val va = s"(CAST(n AS DOUBLE) * CAST($saa AS DOUBLE) - " +
+      s"CAST($sa AS DOUBLE) * $sa)"
+    val vb = s"(CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE) - " +
+      s"CAST($sb AS DOUBLE) * $sb)"
+    s"CASE WHEN $va > 0 AND $vb > 0 THEN " +
+      s"round((CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - " +
+      s"CAST($sa AS DOUBLE) * $sb) / sqrt($va * $vb), 6) END"
+  }
+
+  /** Partial correlation over the ROUNDED pairwise r columns; NULL when
+    * either control correlation is ±1 (denominator 0). */
+  val partialCorrSql: String =
+    "CASE WHEN (1 - r_xz * r_xz) * (1 - r_yz * r_yz) > 0 THEN " +
+      "round((r_xy - r_xz * r_yz) / " +
+      "sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 6) END"
+
   /** Friedman test — the k-treatment RANK analogue of [[cochranQ]] for
     * CONTINUOUS paired outcomes: "does any of k models/variants score
     * differently on the same items?" without normality. Within each

@@ -721,6 +721,20 @@ object ScaleSmoke {
           round(col("value") * 100, 0).cast("long").as("cents")),
         "event_type", "cents"))
     }
+    time(s"mahalanobis+partialCorr+trimmedMean x$mult") {
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("y"),
+          count(lit(1)).cast("long").as("z"))
+        .localCheckpoint(true)
+      drain(Profiling.mahalanobis2d(users, "user_id", "x", "z"))
+      drain(Profiling.partialCorr(users, "x", "y", "z"))
+      drain(Eval.trimmedMean(
+        eventsUid.select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents"))
+    }
     time(s"rake+platt+youden+ece x$mult/(÷5 docs)") {
       drain(TextAnalysis.rakeKeyphrases(docs))
       val scored = eventsUid.select(

@@ -881,4 +881,56 @@ class Round9OpsSpec extends SparkFunSuite {
     val const = Seq((5L, true), (5L, false)).toDF("s", "y")
     assert(Eval.plattScale(const, "s", "y").count() == 0L)
   }
+
+  test("mahalanobis2d: ridge-breaker tops the list, singular cov empty") {
+    import graft.operators.Profiling
+    // tight x=y ridge plus one off-ridge point: (10,0) must rank first
+    // even though x=10 is within the marginal range of neither axis alone
+    val df = Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 2L), (4L, 3L, 3L),
+      (5L, 4L, 4L), (6L, 12L, 11L), (7L, 10L, 0L)).toDF("id", "x", "y")
+    val rows = Profiling.mahalanobis2d(df, "id", "x", "y", topK = 3)
+      .orderBy("rnk").collect()
+    assert(rows.head.getAs[Long]("id") == 7L, rows.mkString(","))
+    assert(rows.head.getAs[Double]("d2") >
+      rows(1).getAs[Double]("d2"))
+    // all points identical -> singular covariance -> empty result
+    val flat = Seq((1L, 5L, 5L), (2L, 5L, 5L)).toDF("id", "x", "y")
+    assert(Profiling.mahalanobis2d(flat, "id", "x", "y").count() == 0L)
+  }
+
+  test("partialCorr: common-cause correlation vanishes when controlled") {
+    import graft.operators.Profiling
+    // x = z + ax, y = z + ay with small independent wiggles: r_xy is
+    // large through z; the partial strips it toward 0
+    val rows = (0L until 60L).map { i =>
+      val z = i * 10
+      (z + (i * 7 % 13), z + (i * 11 % 17), z)
+    }
+    val r = Profiling.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .head()
+    assert(r.getAs[Double]("r_xy") > 0.99)
+    assert(math.abs(r.getAs[Double]("r_xy_z")) < 0.35,
+      s"partial=${r.getAs[Double]("r_xy_z")}")
+    // replay the shared formula on the rounded r's
+    val (rxy, rxz, ryz) = (r.getAs[Double]("r_xy"),
+      r.getAs[Double]("r_xz"), r.getAs[Double]("r_yz"))
+    val exp = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(r.getAs[Double]("r_xy_z") - exp) < 1e-6)
+  }
+
+  test("trimmedMean: tie blocks split exactly at the cut positions") {
+    // {0,0,0,1,2,3} with 20% trim: k=1, keep positions 2..5 ->
+    // values (0,0,1,2) -> mean 0.75
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 1L), ("g", 2L),
+      ("g", 3L)).toDF("grp", "v")
+    val r = Eval.trimmedMean(df, "grp", "v", trimPct = 20).head()
+    assert(r.getAs[String]("grp") == "g")
+    assert(r.getAs[Long]("n_kept") == 4L)
+    assert(r.getAs[Double]("trimmed_mean") == 0.75)
+    // outlier clipped: mean of 1..9 after dropping 0 and 1000 (k=1)
+    val out = ((0L to 9L) :+ 1000L).map(v => ("h", v)).toDF("grp", "v")
+    val ro = Eval.trimmedMean(out, "grp", "v", trimPct = 10).head()
+    assert(ro.getAs[Double]("trimmed_mean") == 5.0)
+  }
 }
