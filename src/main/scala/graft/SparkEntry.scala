@@ -3743,6 +3743,48 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_cox" -> ((s, dir) => {
+      // Does spend change the error hazard? Cox PH on time-to-first-
+      // error (censored at last activity), covariate = total spend:
+      // 3 fixed Newton steps on micro-quantized risk-set sums.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"),
+          sum(col("cents")).as("spend"))
+        .select(
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"), col("spend"))
+      Survival.coxPH(users, "t_hours", "event", "spend")
+    }),
+    "q_negbin" -> ((s, dir) =>
+      // When q_burstiness says overdispersed: the negative-binomial
+      // (r, p) you can actually threshold against, MoM on the dense
+      // hourly grid.
+      graft.operators.TimeSeries.negbinFit(
+        table(s, dir, "events").select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("h")),
+        "event_type", "h")),
+    "q_dunn" -> ((s, dir) =>
+      // WHICH sources differ in doc-length distribution (after
+      // q_kruskal_wallis's omnibus): pairwise Dunn z on the shared
+      // midrank kernel, A-S two-sided p, Bonferroni across pairs.
+      Profiling.dunnTest(
+        table(s, dir, "documents"), "source", "n_chars")),
+    "q_eb_shrinkage" -> ((s, dir) => {
+      // Honest per-user purchase rates: Beta prior fit by method of
+      // moments on the rate distribution, posterior-mean shrinkage —
+      // thin keys pull toward the prior, thick keys barely move.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"),
+          count(lit(1)).cast("long").as("n_events"))
+      Eval.ebShrink(users, "user_id", "n_purch", "n_events")
+    }),
     "q_mahalanobis" -> ((s, dir) => {
       // Users off the spend~activity correlation ridge: 2-D Mahalanobis
       // top-20 — exact moment covariance, closed-form inverse, rounded
@@ -4641,6 +4683,124 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_cox" -> {
+      import graft.operators.Survival.{coxTermSql, coxUNanoSql, coxINanoSql, coxStepSql, coxSdSql}
+      val steps = (1 to 3).map { i =>
+        s"""p$i AS (SELECT beta, t,
+           |    CAST(SUM(${coxTermSql("w")}) AS BIGINT) AS w_m,
+           |    CAST(SUM(${coxTermSql("w * z")}) AS BIGINT) AS wz_m,
+           |    CAST(SUM(${coxTermSql("w * z * z")}) AS BIGINT) AS wzz_m,
+           |    CAST(SUM(ev) AS BIGINT) AS d,
+           |    CAST(SUM(${coxTermSql("ev * z")}) AS BIGINT) AS evz_m
+           |  FROM z CROSS JOIN b${i - 1} GROUP BY beta, t),
+           |s$i AS (SELECT beta, t, d, evz_m,
+           |    CAST(SUM(w_m) OVER (ORDER BY t DESC) AS BIGINT) AS cum_w_m,
+           |    CAST(SUM(wz_m) OVER (ORDER BY t DESC) AS BIGINT)
+           |      AS cum_wz_m,
+           |    CAST(SUM(wzz_m) OVER (ORDER BY t DESC) AS BIGINT)
+           |      AS cum_wzz_m
+           |  FROM p$i),
+           |a$i AS (SELECT beta,
+           |    CAST(SUM($coxUNanoSql) AS BIGINT) AS u_n,
+           |    CAST(SUM($coxINanoSql) AS BIGINT) AS i_n
+           |  FROM s$i WHERE d > 0 GROUP BY beta),
+           |b$i AS (SELECT $coxStepSql AS beta FROM a$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH users AS (SELECT user_id, MIN(epoch_ms(ts)) AS first_ms,
+         |    MAX(epoch_ms(ts)) AS last_ms,
+         |    MIN(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END)
+         |      AS err_ms,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend
+         |  FROM events GROUP BY 1),
+         |subj AS (SELECT
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         |    spend AS __s FROM users),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(__s) AS BIGINT) AS ss,
+         |    CAST(SUM(__s*__s) AS BIGINT) AS ssq FROM subj),
+         |z0 AS (SELECT t, ev, ${graft.operators.Eval.plattZSql} AS z
+         |  FROM subj, mm),
+         |z AS MATERIALIZED (SELECT t, ev, z FROM z0 WHERE z IS NOT NULL),
+         |b0 AS (SELECT CAST(0 AS DOUBLE) AS beta),
+         |$steps,
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+         |    CAST(SUM(ev) AS BIGINT) AS events FROM z)
+         |SELECT n_fit, events, round(beta, 6) AS beta_per_sd,
+         |  CASE WHEN beta IS NOT NULL THEN round(EXP(beta), 6) END
+         |    AS hazard_ratio_per_sd,
+         |  CASE WHEN beta IS NOT NULL THEN
+         |    round(EXP(beta / ($coxSdSql)), 6) END
+         |    AS hazard_ratio_per_unit
+         |FROM b3, tot, mm""".stripMargin
+    },
+    "q_negbin" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS b
+         |  FROM events),
+         |c AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |a AS (SELECT event_type,
+         |    CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n_buckets,
+         |    CAST(SUM(c) AS BIGINT) AS n_events,
+         |    CAST(SUM(c*c) AS BIGINT) AS scc
+         |  FROM c GROUP BY 1)
+         |SELECT event_type, n_buckets, n_events, scc,
+         |  round(CAST(n_events AS DOUBLE) / n_buckets, 6) AS mean_rate,
+         |  ${graft.operators.TimeSeries.negbinRSql} AS nb_r,
+         |  ${graft.operators.TimeSeries.negbinPSql} AS nb_p
+         |FROM a""".stripMargin,
+    "q_dunn" ->
+      s"""WITH d AS (SELECT source AS grp, n_chars AS v FROM documents),
+         |per AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM d GROUP BY 1),
+         |rk AS (SELECT v,
+         |    CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) * 2 - nv + 1 AS r2,
+         |    CAST(nv AS DECIMAL(38,0)) * nv * nv - nv AS t3t_v
+         |  FROM per),
+         |tie AS (SELECT CAST(SUM(t3t_v) AS DECIMAL(38,0)) AS t3t FROM rk),
+         |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(r2) AS BIGINT) AS rg2
+         |  FROM d JOIN rk USING (v) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS k FROM g),
+         |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |    a.ng AS n_a, b.ng AS n_b, a.rg2 AS rg2_a, b.rg2 AS rg2_b,
+         |    n, k, t3t
+         |  FROM g a JOIN g b ON a.grp < b.grp, tot, tie)
+         |SELECT grp_a, grp_b, n_a, n_b,
+         |  ${graft.operators.Profiling.dunnZSql} AS z,
+         |  round(${graft.operators.Profiling.normalPSql(
+                graft.operators.Profiling.dunnZSql)}, 6) AS p,
+         |  round(${graft.operators.Profiling.normalPSql(
+                graft.operators.Profiling.dunnZSql)}, 6)
+         |    < 0.05 / (k * (k - 1) / 2) AS significant
+         |FROM pairs""".stripMargin,
+    "q_eb_shrinkage" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS nt
+         |  FROM events GROUP BY 1),
+         |u2 AS (SELECT * FROM u WHERE nt > 0),
+         |q AS (SELECT user_id, x, nt,
+         |    CAST(ROUND(CAST(x AS DOUBLE) / nt * 1000000, 0) AS BIGINT)
+         |      AS p_micro,
+         |    CAST(ROUND((CAST(x AS DOUBLE) / nt) * (CAST(x AS DOUBLE) / nt)
+         |      * 1000000000, 0) AS BIGINT) AS p2_nano
+         |  FROM u2),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+         |    CAST(SUM(p_micro) AS BIGINT) AS sp_micro,
+         |    CAST(SUM(p2_nano) AS BIGINT) AS sp2_nano FROM q),
+         |w AS (SELECT u2.user_id, u2.x, u2.nt,
+         |    ${graft.operators.Eval.ebAlphaSql} AS alpha_raw,
+         |    ${graft.operators.Eval.ebBetaSql} AS beta_raw
+         |  FROM u2, m)
+         |SELECT user_id, x, nt AS n,
+         |  round(CAST(x AS DOUBLE) / nt, 6) AS raw_rate,
+         |  round(alpha_raw, 6) AS alpha, round(beta_raw, 6) AS beta,
+         |  ${graft.operators.Eval.ebShrunkSql} AS shrunk_rate
+         |FROM w""".stripMargin,
     "q_mahalanobis" ->
       s"""WITH u AS (SELECT user_id AS id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS x,

@@ -221,6 +221,65 @@ object Eval {
       "CAST(h01m AS DOUBLE) * g1m) / " +
       "(CAST(h11m AS DOUBLE) * h00m - CAST(h01m AS DOUBLE) * h01m) END"
 
+  /** Empirical-Bayes rate shrinkage — the CTR/conversion smoothing a
+    * per-key dashboard needs: a 1/1 key is NOT a 100% performer. Fit
+    * Beta(α, β) to the observed per-key rates by method of moments
+    * (α = m̄·c, β = (1−m̄)·c, c = m̄(1−m̄)/var − 1), then report each
+    * key's posterior mean (x+α)/(n+α+β) — extremes with little data
+    * pull toward the prior, well-measured keys barely move. Per-key
+    * rate moments are micro/nano-quantized (exact order-independent
+    * sums); the prior is one broadcast row; the shrink is a narrow
+    * map. NULL shrunk (and α, β) when the rate variance degenerates
+    * or the moments leave the Beta family (var ≥ m̄(1−m̄)). */
+  def ebShrink(
+      df: DataFrame, keyCol: String, succCol: String,
+      totCol: String): DataFrame = {
+    val u = df.select(col(keyCol).as("__k"),
+        col(succCol).cast("long").as("x"),
+        col(totCol).cast("long").as("nt"))
+      .filter(col("nt") > 0L)
+      .localCheckpoint(true) // read by the prior fit AND the shrink map
+    val m = broadcast(u
+      .withColumn("p_micro", expr(
+        "CAST(ROUND(CAST(x AS DOUBLE) / nt * 1000000, 0) AS BIGINT)"))
+      .withColumn("p2_nano", expr(
+        "CAST(ROUND((CAST(x AS DOUBLE) / nt) * (CAST(x AS DOUBLE) / nt)" +
+          " * 1000000000, 0) AS BIGINT)"))
+      .agg(count(lit(1)).cast("long").as("kk"),
+        sum(col("p_micro")).cast("long").as("sp_micro"),
+        sum(col("p2_nano")).cast("long").as("sp2_nano")))
+    u.crossJoin(m)
+      .withColumn("alpha_raw", expr(ebAlphaSql))
+      .withColumn("beta_raw", expr(ebBetaSql))
+      .select(col("__k").as(keyCol), col("x"), col("nt").as("n"),
+        expr("round(CAST(x AS DOUBLE) / nt, 6)").as("raw_rate"),
+        round(col("alpha_raw"), 6).as("alpha"),
+        round(col("beta_raw"), 6).as("beta"),
+        expr(ebShrunkSql).as("shrunk_rate"))
+  }
+
+  private val ebM1Sql = "(CAST(sp_micro AS DOUBLE) / kk / 1000000)"
+  private val ebVarSql =
+    s"((CAST(sp2_nano AS DOUBLE) / kk / 1000000000) - $ebM1Sql * $ebM1Sql)"
+  private val ebCSql = s"($ebM1Sql * (1 - $ebM1Sql) / $ebVarSql - 1)"
+
+  /** Beta-prior α over the exact rate-moment row; NULL outside the
+    * Beta-expressible region. Shared with the oracle. */
+  val ebAlphaSql: String =
+    s"CASE WHEN kk > 1 AND $ebVarSql > 0 AND $ebCSql > 0 THEN " +
+      s"$ebM1Sql * $ebCSql END"
+
+  val ebBetaSql: String =
+    s"CASE WHEN kk > 1 AND $ebVarSql > 0 AND $ebCSql > 0 THEN " +
+      s"(1 - $ebM1Sql) * $ebCSql END"
+
+  /** Posterior mean over (x, nt, alpha_raw, beta_raw) — the UNROUNDED
+    * prior params feed the shrink (rounded copies are display-only).
+    * Shared with the oracle. */
+  val ebShrunkSql: String =
+    "CASE WHEN alpha_raw IS NOT NULL THEN " +
+      "round((x + alpha_raw) / (nt + alpha_raw + beta_raw), 6) END"
+
   /** Exact trimmed mean per group — the robust location estimate
     * between median (drops 50%) and mean (drops nothing): discard the
     * lowest and highest `trimPct`% EXACTLY via the distinct-value

@@ -690,6 +690,59 @@ object Profiling {
       "CAST(sum_g AS DOUBLE) * sum_g) / " +
       "(CAST(k AS DOUBLE) * sum_l - sum_l2), 6) END"
 
+  /** Dunn's post-hoc test — WHICH groups differ after [[kruskalWallis]]
+    * rejects: pairwise z on the SAME combined-midrank kernel,
+    * z_ij = (R̄_i − R̄_j)/√(V·(1/n_i + 1/n_j)) with the tie-corrected
+    * V = (N(N+1) − ΣT/(N−1))/12; two-sided p via the shared
+    * Abramowitz–Stegun tail ([[normalPSql]]) and Bonferroni-adjusted
+    * significance across the m = k(k−1)/2 comparisons (the FDR-free
+    * conservative default; feed `p` to [[bhFdr]] for the FDR variant).
+    * Per-group rank sums stay exact longs; the pair table is k²-bounded
+    * (a broadcast self-join of the k-row group table). */
+  def dunnTest(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("string").as("grp"),
+      col(valCol).cast("long").as("v"))
+    val per = u.groupBy(col("v")).agg(count(lit(1)).cast("long").as("nv"))
+    val ranks = Eval.rangedCumsum(per, Nil, "v", Seq("nv"))
+      .select(col("v"), (col("cum_nv") * 2 - col("nv") + 1).as("r2"),
+        (col("nv").cast("decimal(38,0)") * col("nv") * col("nv")
+          - col("nv")).as("t3t_v"))
+    val tie = broadcast(ranks.agg(
+      sum(col("t3t_v")).cast("decimal(38,0)").as("t3t")))
+    val g = u.join(ranks.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col("r2")).cast("long").as("rg2"))
+      .localCheckpoint(true) // k rows; both sides of the pair join
+    val tot = broadcast(g.agg(sum(col("ng")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("k")))
+    g.as("a").join(broadcast(g.as("b")),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.ng").as("n_a"), col("b.ng").as("n_b"),
+        col("a.rg2").as("rg2_a"), col("b.rg2").as("rg2_b"))
+      .crossJoin(tot).crossJoin(tie)
+      .withColumn("z", expr(dunnZSql))
+      .withColumn("p", expr(s"round(${normalPSql(dunnZSql)}, 6)"))
+      .withColumn("significant", expr(
+        s"round(${normalPSql(dunnZSql)}, 6) < 0.05 / (k * (k - 1) / 2)"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("z"), col("p"), col("significant"))
+  }
+
+  /** Dunn z over (rg2_a, n_a, rg2_b, n_b, n, t3t) — mean ranks off the
+    * doubled sums, tie-corrected variance; NULL when the variance
+    * degenerates (all values tied). Shared with the oracle. */
+  val dunnZSql: String = {
+    val v = "((CAST(n AS DOUBLE) * (n + 1) - " +
+      "CAST(t3t AS DOUBLE) / (n - 1)) / 12.0)"
+    s"CASE WHEN n > 1 AND $v > 0 THEN " +
+      "round((CAST(rg2_a AS DOUBLE) / (2 * n_a) - " +
+      "CAST(rg2_b AS DOUBLE) / (2 * n_b)) / " +
+      s"sqrt($v * (1.0 / n_a + 1.0 / n_b)), 6) END"
+  }
+
   /** 2-D Mahalanobis outliers — the MULTIVARIATE screen [[ecodOutliers]]'
     * per-dimension tails can't do: a point can be unremarkable on each
     * axis yet far off the correlation ridge (high spend + low activity).

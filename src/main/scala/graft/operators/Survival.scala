@@ -137,4 +137,101 @@ object Survival {
       "ROUND((CAST(ome_nano AS DOUBLE) / 1000000000) * " +
       "(CAST(ome_nano AS DOUBLE) / 1000000000) / " +
       "(CAST(v_nano AS DOUBLE) / 1000000000), 6) END"
+
+  /** Cox proportional-hazards fit, ONE covariate, Breslow ties —
+    * "how much does covariate x change the hazard?" as a hazard ratio
+    * e^β, the regression [[logRank]] can't give (log-rank only
+    * compares two fixed groups). β takes `iters` FIXED Newton steps on
+    * the partial-likelihood score: per step, per-subject e^{βz} terms
+    * are micro-quantized and summed per distinct time, risk-set sums
+    * S0/S1/S2 come off ONE descending-time prefix sum
+    * ([[Eval.rangedCumsum]] on −t), and the per-event-time score/
+    * information terms are nano-quantized — every sum exact and
+    * order-independent, so the chain is engine-exact (the plattScale
+    * recipe applied to survival). The covariate is standardized
+    * internally (β is per-SD; the output also reports the raw-x
+    * hazard ratio via sd). No convergence test by design. */
+  def coxPH(
+      df: DataFrame, timeCol: String, eventCol: String, xCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"iters in [1,6]: $iters")
+    val s = col(xCol).cast("long")
+    val mm = broadcast(df.agg(count(lit(1)).cast("long").as("n"),
+      sum(s).cast("long").as("ss"), sum(s * s).cast("long").as("ssq")))
+    val z = df.select(col(timeCol).cast("long").as("t"),
+        when(col(eventCol), 1L).otherwise(0L).as("ev"), s.as("__s"))
+      .crossJoin(mm)
+      .withColumn("z", expr(Eval.plattZSql))
+      .filter(col("z").isNotNull)
+      .select(col("t"), col("ev"), col("z"))
+      .localCheckpoint(true) // scanned once per Newton step
+    var beta = z.sparkSession.range(1).select(lit(0.0).as("beta"))
+    (1 to iters).foreach { _ =>
+      val perT = z.crossJoin(broadcast(beta))
+        .withColumn("w_micro", expr(coxTermSql("w")))
+        .withColumn("wz_micro", expr(coxTermSql("w * z")))
+        .withColumn("wzz_micro", expr(coxTermSql("w * z * z")))
+        .withColumn("evz_micro", expr(coxTermSql("ev * z")))
+        .groupBy(col("beta"), col("t"))
+        .agg(sum(col("w_micro")).cast("long").as("w_m"),
+          sum(col("wz_micro")).cast("long").as("wz_m"),
+          sum(col("wzz_micro")).cast("long").as("wzz_m"),
+          sum(col("ev")).cast("long").as("d"),
+          sum(col("evz_micro")).cast("long").as("evz_m"))
+        .withColumn("negt", -col("t"))
+      val suf = Eval.rangedCumsum(perT, Seq("beta"), "negt",
+        Seq("w_m", "wz_m", "wzz_m"))
+      val score = suf.filter(col("d") > 0L)
+        .withColumn("u_nano", expr(coxUNanoSql))
+        .withColumn("i_nano", expr(coxINanoSql))
+        .groupBy(col("beta"))
+        .agg(sum(col("u_nano")).cast("long").as("u_n"),
+          sum(col("i_nano")).cast("long").as("i_n"))
+      beta = score.select(expr(coxStepSql).as("beta"))
+    }
+    val tot = broadcast(z.agg(count(lit(1)).cast("long").as("n_fit"),
+      sum(col("ev")).cast("long").as("events")))
+    beta.crossJoin(tot).crossJoin(mm)
+      .select(col("n_fit"), col("events"),
+        round(col("beta"), 6).as("beta_per_sd"),
+        expr("CASE WHEN beta IS NOT NULL THEN " +
+          "round(EXP(beta), 6) END").as("hazard_ratio_per_sd"),
+        expr("CASE WHEN beta IS NOT NULL THEN " +
+          s"round(EXP(beta / ($coxSdSql)), 6) END")
+          .as("hazard_ratio_per_unit"))
+  }
+
+  /** Raw-x sd off the (n, ss, ssq) moment row — the plattScale double
+    * assembly. Shared with the oracle. */
+  val coxSdSql: String =
+    "sqrt((CAST(ssq AS DOUBLE) - CAST(ss AS DOUBLE) * " +
+      "(CAST(ss AS DOUBLE) / n)) / (n - 1))"
+
+  /** A per-subject Cox term in micro units: `e` may reference z, ev,
+    * and w = e^{βz} (spliced). Shared with the oracle. */
+  def coxTermSql(e: String): String = {
+    val withW = e.replace("w", "EXP(beta * z)")
+    s"CAST(ROUND(($withW) * 1000000, 0) AS BIGINT)"
+  }
+
+  /** Per-event-time score term (Σ_events z) − d·S1/S0 in nano units
+    * over (evz_m, d, cum_wz_m, cum_w_m); S0 > 0 always. Shared with
+    * the oracle. */
+  val coxUNanoSql: String =
+    "CAST(ROUND((CAST(evz_m AS DOUBLE) / 1000000 - " +
+      "d * (CAST(cum_wz_m AS DOUBLE) / cum_w_m)) * 1000000000, 0) " +
+      "AS BIGINT)"
+
+  /** Per-event-time information d·(S2/S0 − (S1/S0)²) in nano units. */
+  val coxINanoSql: String =
+    "CAST(ROUND(d * (CAST(cum_wzz_m AS DOUBLE) / cum_w_m - " +
+      "(CAST(cum_wz_m AS DOUBLE) / cum_w_m) * " +
+      "(CAST(cum_wz_m AS DOUBLE) / cum_w_m)) * 1000000000, 0) " +
+      "AS BIGINT)"
+
+  /** Newton update β' = β + U/I (nano scales cancel); NULL once the
+    * information degenerates. Shared with the oracle. */
+  val coxStepSql: String =
+    "CASE WHEN i_n > 0 THEN " +
+      "beta + CAST(u_n AS DOUBLE) / i_n END"
 }

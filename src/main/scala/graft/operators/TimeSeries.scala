@@ -871,6 +871,44 @@ object TimeSeries {
       "(CAST(n_events AS DOUBLE) / n_buckets)) + " +
       "CAST(n_events AS DOUBLE) / n_buckets), 6) END"
 
+  /** Negative-binomial fit per key by method of moments over the SAME
+    * dense bucket grid as [[fanoFactor]] — when Fano says
+    * "overdispersed", this says BY HOW MUCH, as a distribution you can
+    * simulate/threshold against: r = μ²/(σ²−μ), p = μ/σ² (σ² > μ
+    * required; NULL for under/equi-dispersed keys — use plain Poisson
+    * there). Same exact integer moments, one extra shared-SQL chain. */
+  def negbinFit(
+      df: DataFrame, keyCol: String, bucketCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"), col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("__k"))
+      .agg((max(col("__b")) - min(col("__b")) + 1L).cast("long")
+          .as("n_buckets"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+      .withColumn("mean_rate", expr(
+        "round(CAST(n_events AS DOUBLE) / n_buckets, 6)"))
+      .withColumn("nb_r", expr(negbinRSql))
+      .withColumn("nb_p", expr(negbinPSql))
+      .select(col("__k").as(keyCol), col("n_buckets"), col("n_events"),
+        col("scc"), col("mean_rate"), col("nb_r"), col("nb_p"))
+
+  private val nbMuSql = "(CAST(n_events AS DOUBLE) / n_buckets)"
+  private val nbVarSql =
+    s"(CAST(scc AS DOUBLE) / n_buckets - $nbMuSql * $nbMuSql)"
+
+  /** r = μ²/(σ²−μ) over the dense-grid moment row; NULL unless
+    * overdispersed. Shared with the oracle. */
+  val negbinRSql: String =
+    s"CASE WHEN n_events > 0 AND $nbVarSql > $nbMuSql THEN " +
+      s"round($nbMuSql * $nbMuSql / ($nbVarSql - $nbMuSql), 6) END"
+
+  /** p = μ/σ² under the same guard. Shared with the oracle. */
+  val negbinPSql: String =
+    s"CASE WHEN n_events > 0 AND $nbVarSql > $nbMuSql THEN " +
+      s"round($nbMuSql / $nbVarSql, 6) END"
+
   /** Hurst exponent per key via rescaled-range (R/S) analysis over
     * dyadic blocks {8,16,32} — the long-memory diagnostic: H ≈ 0.5
     * random walk, H → 1 trending/persistent, H → 0 mean-reverting.

@@ -824,6 +824,34 @@ object ScaleSmoke {
     }
     time(s"jsDivergence x${math.max(1, mult / 5)} (pairwise k sources)")(
       drain(TextAnalysis.jsDivergence(docs)))
+    time(s"survival coxPH+dunn+ebShrink+negbin x$mult") {
+      val users = eventsUid
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"),
+          sum(col("cents")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("np"),
+          count(lit(1)).cast("long").as("ne"))
+        .localCheckpoint(true)
+      drain(graft.operators.Survival.coxPH(
+        users.select(
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t"),
+          col("err_ms").isNotNull.as("ev"), col("spend")),
+        "t", "ev", "spend"))
+      drain(Profiling.dunnTest(
+        eventsUid.select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents"))
+      drain(Eval.ebShrink(users, "user_id", "np", "ne"))
+      drain(TimeSeries.negbinFit(
+        eventsUid.select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("h")), "event_type", "h"))
+    }
     time(s"survival kaplanMeier+logRank x$mult") {
       // subject table reduces to per-(grp,t) steps in one aggregate; the
       // two prefix sums run on the step table (∝ distinct hours, not

@@ -933,4 +933,84 @@ class Round9OpsSpec extends SparkFunSuite {
     val ro = Eval.trimmedMean(out, "grp", "v", trimPct = 10).head()
     assert(ro.getAs[Double]("trimmed_mean") == 5.0)
   }
+
+  test("dunnTest: separated pair flags, overlapping pair does not") {
+    import graft.operators.Profiling
+    // a = 1..10, b = 101..110 (fully separated), c interleaves a
+    val rows = (1L to 10L).map(v => ("a", v)) ++
+      (101L to 110L).map(v => ("b", v)) ++
+      (2L to 11L).map(v => ("c", v))
+    val m = Profiling.dunnTest(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b")) -> r)
+      .toMap
+    assert(m.size == 3)
+    val ab = m(("a", "b"))
+    assert(ab.getAs[Double]("z") < 0 && ab.getAs[Boolean]("significant"),
+      s"a<b strongly: z=${ab.getAs[Double]("z")} p=${ab.getAs[Double]("p")}")
+    val ac = m(("a", "c"))
+    assert(!ac.getAs[Boolean]("significant"),
+      s"a~c overlap: p=${ac.getAs[Double]("p")}")
+    assert(m(("b", "c")).getAs[Boolean]("significant"))
+  }
+
+  test("ebShrink: extremes pull toward the prior, thick keys move less") {
+    // 20 keys at rate ~0.5 with n=50 anchor the prior; one 1/1 hero and
+    // one 0/1 zero must shrink hard toward ~0.5
+    val anchor = (1L to 20L).map(k => (k, 25L + k % 3 - 1, 50L))
+    val rows = anchor ++ Seq((100L, 1L, 1L), (101L, 0L, 1L))
+    val m = Eval.ebShrink(rows.toDF("k", "x", "n"), "k", "x", "n")
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    val hero = m(100L); val zero = m(101L)
+    assert(hero.getAs[Double]("raw_rate") == 1.0)
+    val hs = hero.getAs[Double]("shrunk_rate")
+    val zs = zero.getAs[Double]("shrunk_rate")
+    assert(hs < 0.7 && hs > 0.5, s"hero shrunk=$hs")
+    assert(zs > 0.3 && zs < 0.5, s"zero shrunk=$zs")
+    // an anchor key barely moves
+    val a = m(1L)
+    assert(math.abs(a.getAs[Double]("shrunk_rate") -
+      a.getAs[Double]("raw_rate")) < 0.05)
+    // identical rates everywhere -> zero variance -> NULL prior
+    val flat = (1L to 5L).map(k => (k, 1L, 2L))
+    val rf = Eval.ebShrink(flat.toDF("k", "x", "n"), "k", "x", "n").head()
+    assert(rf.isNullAt(rf.fieldIndex("shrunk_rate")))
+  }
+
+  test("coxPH: planted covariate effect recovers a positive hazard ratio") {
+    import graft.operators.Survival
+    // high-x subjects fail early, low-x survive long (half censored):
+    // beta per SD must come out clearly positive, HR > 1
+    val rows = (1L to 20L).map { i =>
+      val x = i * 10
+      if (i > 10) (21L - i, true, x) // x=110..200 fail at t=1..10
+      else (30L + i, i % 2 == 0, x)  // x=10..100 late, half censored
+    }
+    val df = rows.toDF("t", "ev", "x")
+    val r = Survival.coxPH(df, "t", "ev", "x").head()
+    assert(r.getAs[Long]("n_fit") == 20L)
+    val b = r.getAs[Double]("beta_per_sd")
+    assert(b > 0.5, s"beta=$b")
+    assert(r.getAs[Double]("hazard_ratio_per_sd") > 1.6)
+    // exact determinism under repartitioning (micro-quantized sums)
+    val shuf = Survival.coxPH(df.repartition(11, col("x")), "t", "ev", "x")
+      .head()
+    assert(shuf.getAs[Double]("beta_per_sd") == b)
+    // constant covariate -> no z rows -> empty fit
+    val const = Seq((1L, true, 5L), (2L, false, 5L)).toDF("t", "ev", "x")
+    assert(Survival.coxPH(const, "t", "ev", "x").count() == 0L)
+  }
+
+  test("negbinFit: hand MoM on the bursty grid, Poisson-or-less is NULL") {
+    // 4 events at bucket 0, 1 at bucket 4: mu=1, var=2.4 ->
+    // r = 1/1.4, p = 1/2.4
+    val bur = (Seq.fill(4)(("b", 0L)) :+ (("b", 4L))).toDF("k", "b")
+    val r = TimeSeries.negbinFit(bur, "k", "b").head()
+    assert(math.abs(r.getAs[Double]("nb_r") - 1.0 / 1.4) < 1e-6)
+    assert(math.abs(r.getAs[Double]("nb_p") - 1.0 / 2.4) < 1e-6)
+    // one event per bucket: var=0 < mean -> NULL (not overdispersed)
+    val reg = (0L until 4L).map(b => ("r", b)).toDF("k", "b")
+    val rr = TimeSeries.negbinFit(reg, "k", "b").head()
+    assert(rr.isNullAt(rr.fieldIndex("nb_r")))
+    assert(rr.isNullAt(rr.fieldIndex("nb_p")))
+  }
 }
