@@ -3743,6 +3743,32 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_life_table" -> ((s, dir) => {
+      // Actuarial daily life table for time-to-first-error per parity
+      // cohort: half-censoring exposure in doubled integers, nano-log
+      // survival products.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.lifeTable(users, "cohort", "t_hours", "event", width = 24L)
+    }),
+    "q_perm_test" -> ((s, dir) => {
+      // Assumption-free p for the parity-arm spend difference: 64
+      // deterministic hash re-randomizations, exact integer sums,
+      // add-one p.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)) === 0L)
+      Sampling.permTest(users, "user_id", "arm", "spend")
+    }),
     "q_cox" -> ((s, dir) => {
       // Does spend change the error hazard? Cox PH on time-to-first-
       // error (censored at last activity), covariate = total spend:
@@ -4683,6 +4709,85 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_life_table" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         |    ((COALESCE(err_ms, last_ms) - first_ms) // 3600000) // 24
+         |      AS iv,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM agg),
+         |per AS (SELECT grp, iv, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+         |r AS (SELECT grp, iv, d, c, m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY iv) AS BIGINT)
+         |      AS cum_m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+         |  FROM per),
+         |s AS (SELECT grp, iv, d, c, n_grp - cum_m + m AS n_enter FROM r),
+         |f AS (SELECT grp, iv, d, c, n_enter,
+         |    ${graft.operators.Survival.ltLnNanoSql} AS ln_nano,
+         |    ${graft.operators.Survival.ltZeroFlagSql} AS zf FROM s),
+         |cc AS (SELECT grp, iv, d, c, n_enter,
+         |    CAST(SUM(ln_nano) OVER (PARTITION BY grp ORDER BY iv)
+         |      AS BIGINT) AS cum_ln_nano,
+         |    CAST(SUM(zf) OVER (PARTITION BY grp ORDER BY iv) AS BIGINT)
+         |      AS cum_zf
+         |  FROM f)
+         |SELECT grp, CAST(iv * 24 AS BIGINT) AS interval_start, n_enter,
+         |  d, c, ${graft.operators.Survival.ltQSql} AS q,
+         |  ${graft.operators.Survival.kmSurvivalSql} AS survival
+         |FROM cc""".stripMargin,
+    "q_perm_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    user_id % 2 = 0 AS arm
+         |  FROM events GROUP BY user_id),
+         |base AS (SELECT
+         |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm THEN spend ELSE 0 END) AS BIGINT)
+         |      AS s_a,
+         |    CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm THEN 0 ELSE spend END) AS BIGINT)
+         |      AS s_b
+         |  FROM u),
+         |ob AS (SELECT n_a AS obs_n_a, n_b AS obs_n_b,
+         |    ${graft.operators.Sampling.permDeltaMicroSql}
+         |      AS obs_delta_micro FROM base),
+         |tagged AS (SELECT u.user_id, u.spend, rr.r,
+         |    (CAST('0x' || substr(md5('perm' || CAST(rr.r AS VARCHAR) ||
+         |      ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2)
+         |      = 0 AS ra
+         |  FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS r) rr),
+         |reps AS (SELECT r,
+         |    CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN ra THEN spend ELSE 0 END) AS BIGINT)
+         |      AS s_a,
+         |    CAST(SUM(CASE WHEN ra THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN ra THEN 0 ELSE spend END) AS BIGINT)
+         |      AS s_b
+         |  FROM tagged GROUP BY r),
+         |rd AS (SELECT r,
+         |    ${graft.operators.Sampling.permDeltaMicroSql} AS delta_micro
+         |  FROM reps),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |    CAST(SUM(CASE WHEN delta_micro >= obs_delta_micro THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_ge,
+         |    CAST(MAX(obs_n_a) AS BIGINT) AS n_a,
+         |    CAST(MAX(obs_n_b) AS BIGINT) AS n_b,
+         |    CAST(MAX(obs_delta_micro) AS BIGINT) AS obs_delta_micro
+         |  FROM rd, ob WHERE delta_micro IS NOT NULL)
+         |SELECT n_a, n_b, n_reps, n_ge,
+         |  round(CAST(obs_delta_micro AS DOUBLE) / 1000000, 6)
+         |    AS obs_delta,
+         |  ${graft.operators.Sampling.permPSql} AS p,
+         |  ${graft.operators.Sampling.permPSql} < 0.05 AS significant
+         |FROM agg""".stripMargin,
     "q_cox" -> {
       import graft.operators.Survival.{coxTermSql, coxUNanoSql, coxINanoSql, coxStepSql, coxSdSql}
       val steps = (1 to 3).map { i =>

@@ -395,6 +395,68 @@ object Sampling {
     * nothing unbounded ever sorts. Replicates with zero total weight
     * (possible only on tiny groups) drop out before ranking, identically
     * in the SQL replay. */
+  /** Randomization (permutation-style) test for a mean difference —
+    * the assumption-free p-value next to the t-test: re-assign arms by
+    * a DETERMINISTIC per-replicate hash parity (the [[bootstrapCi]]
+    * md5 discipline — reproducible across engines and partitionings),
+    * recompute |Δmean| per replicate from exact integer sums, and
+    * p = (#{|Δ_b| ≥ |Δ_obs|} + 1)/(B + 1). Arm sizes vary binomially
+    * per replicate (a randomization test under exchangeability, not a
+    * fixed-margin permutation — documented choice, same null).
+    * Scale shape: one ×B row multiply into a combine-heavy aggregate
+    * to B cells — the bootstrapCi plan. */
+  def permTest(
+      df: DataFrame, idCol: String, armCol: String, valCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 8, s"b must be >= 8: $b")
+    val v = col(valCol).cast("long")
+    val base = broadcast(df.agg(
+        sum(when(col(armCol), 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col(armCol), v).otherwise(0L)).cast("long").as("s_a"),
+        sum(when(!col(armCol), 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(!col(armCol), v).otherwise(0L)).cast("long").as("s_b"))
+      .withColumn("obs_delta_micro", expr(permDeltaMicroSql))
+      .select(col("n_a").as("obs_n_a"), col("n_b").as("obs_n_b"),
+        col("obs_delta_micro")))
+    val ra = expr(
+      s"""pmod(CAST(conv(substring(md5(concat('perm', CAST(r AS STRING),
+         |  ':', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT), 2)
+         |  = 0""".stripMargin)
+    df.withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("ra", ra)
+      .groupBy(col("r"))
+      .agg(sum(when(col("ra"), 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("ra"), v).otherwise(0L)).cast("long").as("s_a"),
+        sum(when(!col("ra"), 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(!col("ra"), v).otherwise(0L)).cast("long").as("s_b"))
+      .withColumn("delta_micro", expr(permDeltaMicroSql))
+      .filter(col("delta_micro").isNotNull)
+      .crossJoin(base)
+      .agg(count(lit(1)).cast("long").as("n_reps"),
+        sum(when(col("delta_micro") >= col("obs_delta_micro"), 1L)
+          .otherwise(0L)).cast("long").as("n_ge"),
+        max(col("obs_n_a")).as("n_a"), max(col("obs_n_b")).as("n_b"),
+        max(col("obs_delta_micro")).as("obs_delta_micro"))
+      .withColumn("obs_delta", expr(
+        "round(CAST(obs_delta_micro AS DOUBLE) / 1000000, 6)"))
+      .withColumn("p", expr(permPSql))
+      .withColumn("significant", expr(s"$permPSql < 0.05"))
+      .select(col("n_a"), col("n_b"), col("n_reps"), col("n_ge"),
+        col("obs_delta"), col("p"), col("significant"))
+  }
+
+  /** |mean_a − mean_b| in micro units over the four exact sums; NULL
+    * when an arm is empty. Shared with the oracle. */
+  val permDeltaMicroSql: String =
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST(ROUND(ABS(CAST(s_a AS DOUBLE) / n_a - " +
+      "CAST(s_b AS DOUBLE) / n_b) * 1000000, 0) AS BIGINT) END"
+
+  /** Add-one randomization p over (n_ge, n_reps). Shared with the
+    * oracle. */
+  val permPSql: String =
+    "round(CAST(n_ge + 1 AS DOUBLE) / (n_reps + 1), 6)"
+
   def bootstrapCi(
       df: DataFrame,
       groupCol: String,

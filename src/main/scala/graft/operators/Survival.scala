@@ -138,6 +138,62 @@ object Survival {
       "(CAST(ome_nano AS DOUBLE) / 1000000000) / " +
       "(CAST(v_nano AS DOUBLE) / 1000000000), 6) END"
 
+  /** Actuarial life table per group — [[kaplanMeier]] binned into
+    * fixed-width intervals with the classical half-censoring
+    * adjustment: subjects censored inside an interval count as exposed
+    * for half of it (n′ = n_enter − c/2), q = d/n′, and survival is
+    * the running product of (1−q). The half-unit arithmetic runs in
+    * DOUBLED integers (n2′ = 2·n_enter − c vs 2d — exact), the product
+    * as the KM nano-log sum with the same exact-zero extinction flag.
+    * Two ranged prefix sums on the interval table — ∝ intervals, not
+    * subjects. */
+  def lifeTable(
+      df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String, width: Long): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val u = df.select(col(groupCol).cast("string").as("grp"),
+      expr(s"CAST(`$timeCol` AS BIGINT) div $width").as("iv"),
+      when(col(eventCol), 1L).otherwise(0L).as("ev"))
+    val per = u.groupBy(col("grp"), col("iv"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        (count(lit(1)) - sum(col("ev"))).cast("long").as("c"),
+        count(lit(1)).cast("long").as("m"))
+    val tot = broadcast(
+      per.groupBy(col("grp")).agg(sum(col("m")).cast("long").as("n_grp")))
+    val risk = Eval.rangedCumsum(per, Seq("grp"), "iv", Seq("m"))
+      .join(tot, Seq("grp"))
+      .withColumn("n_enter",
+        (col("n_grp") - col("cum_m") + col("m")).cast("long"))
+      .withColumn("ln_nano", expr(ltLnNanoSql))
+      .withColumn("zf", expr(ltZeroFlagSql))
+    Eval.rangedCumsum(
+      risk.select(col("grp"), col("iv"), col("d"), col("c"),
+        col("n_enter"), col("ln_nano"), col("zf")),
+      Seq("grp"), "iv", Seq("ln_nano", "zf"))
+      .select(col("grp"), (col("iv") * width).as("interval_start"),
+        col("n_enter"), col("d"), col("c"),
+        expr(ltQSql).as("q"),
+        expr(kmSurvivalSql).as("survival"))
+  }
+
+  /** Interval ln(1−q) in nano units over (d, c, n_enter) with the
+    * doubled-integer actuarial exposure n2′ = 2n − c; extinction
+    * (2d ≥ n2′) routes through [[ltZeroFlagSql]]. Shared with the
+    * oracle. */
+  val ltLnNanoSql: String =
+    "CASE WHEN 2 * d >= 2 * n_enter - c THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(ROUND(LN(CAST(2 * n_enter - c - 2 * d AS DOUBLE) / " +
+      "(2 * n_enter - c)) * 1000000000, 0) AS BIGINT) END"
+
+  val ltZeroFlagSql: String =
+    "CAST(CASE WHEN 2 * d >= 2 * n_enter - c THEN 1 ELSE 0 END AS BIGINT)"
+
+  /** Conditional death probability q = 2d/(2n−c), capped at 1. */
+  val ltQSql: String =
+    "CASE WHEN 2 * n_enter - c > 0 THEN " +
+      "round(least(CAST(1 AS DOUBLE), " +
+      "CAST(2 * d AS DOUBLE) / (2 * n_enter - c)), 6) END"
+
   /** Cox proportional-hazards fit, ONE covariate, Breslow ties —
     * "how much does covariate x change the hazard?" as a hazard ratio
     * e^β, the regression [[logRank]] can't give (log-rank only

@@ -1013,4 +1013,47 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rr.isNullAt(rr.fieldIndex("nb_r")))
     assert(rr.isNullAt(rr.fieldIndex("nb_p")))
   }
+
+  test("lifeTable: half-censoring exposure and running survival by hand") {
+    import graft.operators.Survival
+    // width 2; subjects (t, ev): interval 0 {0T, 1C}, 1 {2T, 3T}, 2 {5C}
+    // q0 = 2/9, q1 = 2/3, q2 = 0 -> S = 7/9, 7/27, 7/27
+    val df = Seq(("a", 0L, true), ("a", 1L, false), ("a", 2L, true),
+      ("a", 3L, true), ("a", 5L, false)).toDF("g", "t", "ev")
+    val rows = Survival.lifeTable(df, "g", "t", "ev", width = 2L)
+      .orderBy("interval_start").collect()
+    assert(rows.map(_.getAs[Long]("interval_start")).toSeq ==
+      Seq(0L, 2L, 4L))
+    assert(rows.map(_.getAs[Long]("n_enter")).toSeq == Seq(5L, 3L, 1L))
+    assert(rows.map(_.getAs[Double]("q")).toSeq ==
+      Seq(0.222222, 0.666667, 0.0))
+    assert(rows.map(_.getAs[Double]("survival")).toSeq ==
+      Seq(0.777778, 0.259259, 0.259259))
+    // full extinction pins survival to exact 0 (no half-censor rescue)
+    val ext = Seq(("b", 0L, true), ("b", 0L, true)).toDF("g", "t", "ev")
+    assert(Survival.lifeTable(ext, "g", "t", "ev", 2L).head()
+      .getAs[Double]("survival") == 0.0)
+  }
+
+  test("permTest: separated arms measured, all-equal values give p = 1") {
+    import graft.operators.Sampling
+    val sep = Seq((1L, true, 100L), (2L, true, 100L), (3L, true, 100L),
+      (4L, false, 0L), (5L, false, 0L), (6L, false, 0L))
+      .toDF("id", "arm", "v")
+    val r = Sampling.permTest(sep, "id", "arm", "v").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("obs_delta") == 100.0)
+    assert(r.getAs[Double]("p") < 0.5, s"p=${r.getAs[Double]("p")}")
+    // deterministic under repartitioning (hash arms, exact sums)
+    val shuf = Sampling.permTest(sep.repartition(7, col("v")),
+      "id", "arm", "v").head()
+    assert(shuf.getAs[Double]("p") == r.getAs[Double]("p"))
+    // identical values: every replicate ties the observed 0 -> p = 1
+    val flat = (1L to 10L).map(i => (i, i % 2 == 0, 7L))
+      .toDF("id", "arm", "v")
+    val rf = Sampling.permTest(flat, "id", "arm", "v").head()
+    assert(rf.getAs[Double]("obs_delta") == 0.0)
+    assert(rf.getAs[Double]("p") == 1.0)
+    assert(!rf.getAs[Boolean]("significant"))
+  }
 }
