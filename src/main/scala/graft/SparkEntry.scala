@@ -3743,6 +3743,94 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape (shipping-priority top 10): BUILDING segment,
+      // orders before / shipments after the cutoff; revenue kept EXACT
+      // in cents*pct units; customer dim broadcast, fact-fact join on
+      // the order key.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(expr("o_orderdate < timestamp '1998-06-01'"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"))
+      val l = table(s, dir, "lineitem")
+        .filter(expr("l_shipdate > timestamp '1998-06-01'"))
+        .select(col("l_orderkey"), rev.as("rev"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_date"))
+        .agg(sum(col("rev")).cast("long").as("revenue_cp"))
+        .orderBy(col("revenue_cp").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_date"), col("revenue_cp"),
+          expr("round(CAST(revenue_cp AS DOUBLE) / 10000, 6)")
+            .as("revenue"))
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape (local-supplier volume in ASIA for one year):
+      // customer and supplier must share a nation; all dims broadcast,
+      // the two facts join on the order key.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val asiaNations = table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = table(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp '1996-01-01' AND " +
+          "o_orderdate < timestamp '1997-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      o.join(broadcast(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("long").as("revenue_cp"))
+        .select(col("n_name"), col("revenue_cp"),
+          expr("round(CAST(revenue_cp AS DOUBLE) / 10000, 6)")
+            .as("revenue"))
+    }),
+    "q_ref_integrity" -> ((s, dir) => {
+      // Star-schema FK audit: orphan counts per relation via left-anti
+      // joins against the (broadcast) parent key sets — the load-gate
+      // check a warehouse runs before trusting a batch.
+      def rel(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.select(col(ck).as("k"))
+          .join(broadcast(parent.select(col(pk).as("k")).distinct()),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_orphans"))
+        child.agg(count(lit(1)).cast("long").as("n_child"))
+          .crossJoin(orphans)
+          .select(lit(name).as("relation"), col("n_child"),
+            col("n_orphans"))
+      }
+      rel("lineitem->orders", table(s, dir, "lineitem"), "l_orderkey",
+          table(s, dir, "orders"), "o_orderkey")
+        .unionByName(rel("lineitem->part", table(s, dir, "lineitem"),
+          "l_partkey", table(s, dir, "part"), "p_partkey"))
+        .unionByName(rel("lineitem->supplier", table(s, dir, "lineitem"),
+          "l_suppkey", table(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(rel("orders->customer", table(s, dir, "orders"),
+          "o_custkey", table(s, dir, "customer"), "c_custkey"))
+        .unionByName(rel("customer->nation", table(s, dir, "customer"),
+          "c_nationkey", table(s, dir, "nation"), "n_nationkey"))
+        .unionByName(rel("supplier->nation", table(s, dir, "supplier"),
+          "s_nationkey", table(s, dir, "nation"), "n_nationkey"))
+    }),
     "q_life_table" -> ((s, dir) => {
       // Actuarial daily life table for time-to-first-error per parity
       // cohort: half-censoring exposure in doubled integers, nano-log
@@ -4709,6 +4797,69 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_tpch_q3" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+        |j AS (SELECT l.l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |    CAST(SUM(rev) AS BIGINT) AS revenue_cp
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |    AND c_mktsegment = 'BUILDING'
+        |  JOIN l ON l.l_orderkey = o_orderkey
+        |  WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |  GROUP BY 1, 2)
+        |SELECT l_orderkey, o_date, revenue_cp,
+        |  round(CAST(revenue_cp AS DOUBLE) / 10000, 6) AS revenue
+        |FROM j ORDER BY revenue_cp DESC, l_orderkey LIMIT 10"""
+        .stripMargin,
+    "q_tpch_q5" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem),
+        |j AS (SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_cp
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN l ON l.l_orderkey = o_orderkey
+        |  JOIN supplier ON l.l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT n_name, revenue_cp,
+        |  round(CAST(revenue_cp AS DOUBLE) / 10000, 6) AS revenue
+        |FROM j""".stripMargin,
+    "q_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS n_orphans
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |UNION ALL SELECT 'supplier->nation',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier
+        |    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))"""
+        .stripMargin,
     "q_life_table" ->
       s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
          |    event_type = 'error' AS is_err FROM events),

@@ -77,7 +77,10 @@ object PlanDump {
     "q_kaplan_meier",        // two ranged prefix sums on the step table, broadcast group totals
     "q_rake",                // one island window + two corpus-keyed aggs + bounded top-k
     "q_platt",               // checkpointed z table scanned once per Newton step
-    "q_reach_profile")       // ONE checkpointed co-purchase subtree feeds seeds + BFS
+    "q_reach_profile",       // ONE checkpointed co-purchase subtree feeds seeds + BFS
+    "q_tpch_q3",             // broadcast dim filter + fact-fact equi-join + TakeOrdered
+    "q_tpch_q5",             // all dims broadcast; facts join once on the order key
+    "q_cox")                 // checkpointed z; per-step agg + ranged suffix sum
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
