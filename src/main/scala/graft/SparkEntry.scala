@@ -3743,6 +3743,74 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_tpch_q1" -> ((s, dir) => {
+      // The FULL TPC-H Q1 pricing summary (q1_agg is the 2-column
+      // smoke): all sums exact in cents / cents*pct / cents*pct*pct
+      // integer units, averages as one double division each — pure
+      // map-side-combined aggregate, the scan-throughput benchmark.
+      val extc = round(col("l_extendedprice") * 100, 0).cast("long")
+      val discp = round(col("l_discount") * 100, 0).cast("long")
+      val taxp = round(col("l_tax") * 100, 0).cast("long")
+      table(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= timestamp '2001-09-01'"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"), extc.as("extc"),
+          (extc * (lit(100L) - discp)).as("disc_cp"),
+          (extc * (lit(100L) - discp) * (lit(100L) + taxp)).as("charge_cpp"),
+          discp.as("discp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty")).cast("long").as("sum_qty"),
+          sum(col("extc")).cast("long").as("sum_base_cents"),
+          sum(col("disc_cp")).cast("long").as("sum_disc_cp"),
+          // cents*pct*pct rows reach ~1e11 — a long sum overflows near
+          // 1e8 rows/group, so the charge total runs in DECIMAL
+          sum(col("charge_cpp").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sum_charge_cpp"),
+          count(lit(1)).cast("long").as("count_order"),
+          sum(col("discp")).cast("long").as("sum_discp"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_cents"), col("sum_disc_cp"),
+          col("sum_charge_cpp"), col("count_order"),
+          expr("round(CAST(sum_qty AS DOUBLE) / count_order, 6)")
+            .as("avg_qty"),
+          expr("round(CAST(sum_base_cents AS DOUBLE) / 100 / count_order," +
+            " 6)").as("avg_price"),
+          expr("round(CAST(sum_discp AS DOUBLE) / 100 / count_order, 6)")
+            .as("avg_disc"))
+    }),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume customers): orders whose total
+      // quantity clears the threshold, joined back to customer — the
+      // agg-filter-join-back pattern; exact integer quantities.
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 320L)
+      table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          round(col("o_totalprice") * 100, 0).cast("long")
+            .as("total_cents"),
+          col("total_qty"))
+    }),
+    "q_kendalls_w" -> ((s, dir) => {
+      // HOW MUCH do the five event types agree on user ranking (not
+      // just whether they differ): Kendall's W = chi2_F/(n(k-1)) on
+      // the friedman kernel — 0 = no concordance, 1 = identical
+      // rankings.
+      val ut = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      Profiling.friedman(ut, "user_id", "event_type", "cents")
+        .select(col("k"), col("n_items"), col("chi2"),
+          expr("CASE WHEN chi2 IS NOT NULL AND n_items > 0 AND k > 1 " +
+            "THEN round(chi2 / (n_items * (k - 1)), 6) END")
+            .as("kendalls_w"))
+    }),
     "q_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 shape (shipping-priority top 10): BUILDING segment,
       // orders before / shipments after the cutoff; revenue kept EXACT
@@ -4797,6 +4865,72 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_tpch_q1" ->
+      """WITH e AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS extc,
+        |    CAST(ROUND(l_discount*100, 0) AS BIGINT) AS discp,
+        |    CAST(ROUND(l_tax*100, 0) AS BIGINT) AS taxp
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |    CAST(SUM(extc) AS BIGINT) AS sum_base_cents,
+        |    CAST(SUM(extc * (100 - discp)) AS BIGINT) AS sum_disc_cp,
+        |    CAST(SUM(CAST(extc * (100 - discp) AS DECIMAL(38,0))
+        |      * (100 + taxp)) AS DECIMAL(38,0)) AS sum_charge_cpp,
+        |    CAST(COUNT(*) AS BIGINT) AS count_order,
+        |    CAST(SUM(discp) AS BIGINT) AS sum_discp
+        |  FROM e GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+        |  sum_disc_cp, sum_charge_cpp, count_order,
+        |  round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+        |  round(CAST(sum_base_cents AS DOUBLE) / 100 / count_order, 6)
+        |    AS avg_price,
+        |  round(CAST(sum_discp AS DOUBLE) / 100 / count_order, 6)
+        |    AS avg_disc
+        |FROM a""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT))
+        |    > 320)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS total_cents,
+        |  total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_kendalls_w" ->
+      s"""WITH ut AS (SELECT user_id, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+         |  FROM ut),
+         |comp AS (SELECT ut.user_id, ut.event_type, ut.v, k FROM ut, kk
+         |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) = k),
+         |rk AS (SELECT user_id, event_type, k,
+         |    CAST(2 * COUNT(*) OVER (PARTITION BY user_id ORDER BY v
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      + COUNT(*) OVER (PARTITION BY user_id, v) + 1 AS BIGINT)
+         |      AS r2
+         |  FROM comp),
+         |bt AS (SELECT k,
+         |    CAST(SUM(CAST(r2j AS DECIMAL(38,0)) * r2j) AS DECIMAL(38,0))
+         |      AS b4n
+         |  FROM (SELECT k, event_type, CAST(SUM(r2) AS BIGINT) AS r2j
+         |    FROM rk GROUP BY 1, 2) GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_items
+         |  FROM rk),
+         |aa AS (SELECT
+         |    CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS DECIMAL(38,0))
+         |      AS a4 FROM rk),
+         |f AS (SELECT * FROM bt, tt, aa),
+         |g AS (SELECT k, n_items,
+         |    ${graft.operators.Profiling.friedmanSql} AS chi2 FROM f)
+         |SELECT k, n_items, chi2,
+         |  CASE WHEN chi2 IS NOT NULL AND n_items > 0 AND k > 1
+         |    THEN round(chi2 / (n_items * (k - 1)), 6) END AS kendalls_w
+         |FROM g""".stripMargin,
     "q_tpch_q3" ->
       """WITH l AS (SELECT l_orderkey,
         |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
