@@ -3743,6 +3743,22 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_jarque_bera" -> ((s, dir) =>
+      // Is per-type cent value remotely normal? JB from exact raw
+      // moments (DECIMAL x^3/x^4) — the gate before any ±2σ rule.
+      Normalize.jarqueBera(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
+    "q_bartlett" -> ((s, dir) =>
+      // Do the five types share a variance (the ANOVA precondition)?
+      // Bartlett B with the small-sample correction, per-group terms
+      // milli/nano-quantized; compare with q_brown_forsythe's robust
+      // answer.
+      Normalize.bartlett(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
     "q_tpch_q1" -> ((s, dir) => {
       // The FULL TPC-H Q1 pricing summary (q1_agg is the 2-column
       // smoke): all sums exact in cents / cents*pct / cents*pct*pct
@@ -4864,6 +4880,52 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} AS cv,
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
+         |FROM a""".stripMargin,
+    "q_jarque_bera" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s1,
+         |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         |    CAST(SUM(CAST(x*x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+         |      AS s3,
+         |    CAST(SUM((CAST(x*x AS DECIMAL(38,0)) * x) * x)
+         |      AS DECIMAL(38,0)) AS s4
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT event_type, n, s1, s2, s3, s4,
+         |    ${graft.operators.Normalize.jbSkewSql} AS skewness,
+         |    ${graft.operators.Normalize.jbKurtSql} AS kurtosis_excess
+         |  FROM a)
+         |SELECT event_type, n, s1, s2, s3, s4, skewness, kurtosis_excess,
+         |  ${graft.operators.Normalize.jbSql} AS jb,
+         |  ${graft.operators.Normalize.jbSql} > 5.991465 AS significant
+         |FROM b""".stripMargin,
+    "q_bartlett" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),
+         |g0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(x) AS BIGINT) AS sg,
+         |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqg
+         |  FROM e GROUP BY 1),
+         |g1 AS (SELECT *, ${graft.operators.Normalize.bartlettVarSql}
+         |    AS var_g FROM g0 WHERE ng > 1),
+         |g AS (SELECT * FROM g1 WHERE var_g > 0),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(SUM(${graft.operators.Normalize.bartlettPoolMilliSql})
+         |      AS BIGINT) AS pool_milli,
+         |    CAST(SUM(${graft.operators.Normalize.bartlettLnMilliSql})
+         |      AS BIGINT) AS ln_milli,
+         |    CAST(SUM(${graft.operators.Normalize.bartlettInvNanoSql})
+         |      AS BIGINT) AS inv_nano FROM g)
+         |SELECT k, n, pool_milli, ln_milli, inv_nano,
+         |  ${graft.operators.Normalize.bartlettSql} AS bartlett_stat,
+         |  CAST(k - 1 AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS chi2_crit,
+         |  ${graft.operators.Normalize.bartlettSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS significant
          |FROM a""".stripMargin,
     "q_tpch_q1" ->
       """WITH e AS (SELECT l_returnflag, l_linestatus,

@@ -148,6 +148,121 @@ object Normalize {
       "round((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b) / " +
       s"sqrt(${armVarSql("b")}), 6) END"
 
+  /** Jarque–Bera normality test per key — the gate before trusting any
+    * ±2σ rule or t-interval on a metric: JB = n/6·(S² + K²/4) from the
+    * skewness and excess kurtosis, assembled from EXACT raw moment
+    * sums (Σx, Σx², and DECIMAL Σx³/Σx⁴ — cents⁴ leaves long at ~10³)
+    * with one shared-SQL double chain; flagged against χ²₂(0.95).
+    * One map-side-combined aggregate per key, no join. Heavy-tailed
+    * spend/latency metrics light this up long before a histogram
+    * would. */
+  def jarqueBera(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    df.groupBy(col(keyCol)).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(x).cast("long").as("s1"),
+        sum((x * x).cast("decimal(38,0)")).as("s2"),
+        sum((x * x).cast("decimal(38,0)") * x).as("s3"),
+        sum(((x * x).cast("decimal(38,0)") * x) * x).as("s4"))
+      .withColumn("skewness", expr(jbSkewSql))
+      .withColumn("kurtosis_excess", expr(jbKurtSql))
+      .withColumn("jb", expr(jbSql))
+      .withColumn("significant", expr(s"$jbSql > 5.991465"))
+  }
+
+  private val jbMuSql = "(CAST(s1 AS DOUBLE) / n)"
+  private val jbM2Sql =
+    s"(CAST(s2 AS DOUBLE) / n - $jbMuSql * $jbMuSql)"
+  private val jbM3Sql =
+    s"(CAST(s3 AS DOUBLE) / n - 3 * $jbMuSql * (CAST(s2 AS DOUBLE) / n)" +
+      s" + 2 * $jbMuSql * $jbMuSql * $jbMuSql)"
+  private val jbM4Sql =
+    s"(CAST(s4 AS DOUBLE) / n - 4 * $jbMuSql * (CAST(s3 AS DOUBLE) / n)" +
+      s" + 6 * $jbMuSql * $jbMuSql * (CAST(s2 AS DOUBLE) / n)" +
+      s" - 3 * $jbMuSql * $jbMuSql * $jbMuSql * $jbMuSql)"
+
+  /** Skewness m₃/m₂^1.5 over the raw-moment row; NULL on zero
+    * variance. Shared with the oracle. */
+  val jbSkewSql: String =
+    s"CASE WHEN n > 2 AND $jbM2Sql > 0 THEN " +
+      s"round($jbM3Sql / ($jbM2Sql * sqrt($jbM2Sql)), 6) END"
+
+  /** Excess kurtosis m₄/m₂² − 3 under the same guard. */
+  val jbKurtSql: String =
+    s"CASE WHEN n > 2 AND $jbM2Sql > 0 THEN " +
+      s"round($jbM4Sql / ($jbM2Sql * $jbM2Sql) - 3, 6) END"
+
+  /** JB over the ROUNDED skew/kurtosis columns (identical both
+    * engines). */
+  val jbSql: String =
+    "CASE WHEN skewness IS NOT NULL THEN " +
+      "round(CAST(n AS DOUBLE) / 6 * (skewness * skewness + " +
+      "kurtosis_excess * kurtosis_excess / 4), 6) END"
+
+  /** Bartlett's test for variance homogeneity across k groups — the
+    * ANOVA precondition check ([[welchTTest]] exists because this
+    * often FAILS): B = ((N−k)·ln Sp² − Σ(nᵢ−1)·ln sᵢ²) / C with the
+    * standard small-sample correction C. Per-group variances come off
+    * exact moment rows; the (nᵢ−1)·ln sᵢ² and 1/(nᵢ−1) terms and the
+    * (nᵢ−1)·sᵢ² pooled contributions are milli/nano-quantized per
+    * group (exact order-independent sums over the k-row group table);
+    * df = k−1 flags through the shared lookup. Sensitive to
+    * non-normality by construction — run [[jarqueBera]] first (the
+    * robust alternative is brownForsythe). */
+  def bartlett(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    val g = df.groupBy(col(keyCol)).agg(
+        count(lit(1)).cast("long").as("ng"),
+        sum(x).cast("long").as("sg"),
+        sum((x * x).cast("decimal(38,0)")).as("sqg"))
+      .filter(col("ng") > 1L)
+      .withColumn("var_g", expr(bartlettVarSql))
+      .filter(col("var_g") > 0d)
+    g.agg(count(lit(1)).cast("long").as("k"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(expr(bartlettPoolMilliSql)).cast("long").as("pool_milli"),
+        sum(expr(bartlettLnMilliSql)).cast("long").as("ln_milli"),
+        sum(expr(bartlettInvNanoSql)).cast("long").as("inv_nano"))
+      .withColumn("bartlett_stat", expr(bartlettSql))
+      .withColumn("df", (col("k") - 1L).cast("long"))
+      .withColumn("chi2_crit",
+        expr(graft.operators.Profiling.chi2Crit95Sql("k - 1")))
+      .withColumn("significant", expr(
+        s"$bartlettSql > ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}"))
+  }
+
+  /** Sample variance off the per-group exact moment row (welchTTest
+    * assembly). Shared with the oracle. */
+  val bartlettVarSql: String =
+    "((CAST(sqg AS DOUBLE) - CAST(sg AS DOUBLE) * " +
+      "(CAST(sg AS DOUBLE) / ng)) / (ng - 1))"
+
+  /** (nᵢ−1)·sᵢ² in milli units (micro would overflow long at cents²
+    * scale), per group — no inner sum. Shared with the oracle. */
+  val bartlettPoolMilliSql: String =
+    s"CAST(ROUND((ng - 1) * $bartlettVarSql * 1000, 0) AS BIGINT)"
+
+  /** (nᵢ−1)·ln sᵢ² in milli units. */
+  val bartlettLnMilliSql: String =
+    s"CAST(ROUND((ng - 1) * LN($bartlettVarSql) * 1000, 0) AS BIGINT)"
+
+  /** 1/(nᵢ−1) in nano units. */
+  val bartlettInvNanoSql: String =
+    "CAST(ROUND(1000000000.0 / (ng - 1), 0) AS BIGINT)"
+
+  /** B over (k, n, pool_milli, ln_milli, inv_nano); NULL for k < 2 or
+    * a degenerate pool. Shared with the oracle. */
+  val bartlettSql: String = {
+    val sp2 = "(CAST(pool_milli AS DOUBLE) / 1000 / (n - k))"
+    val c = "(1 + (CAST(inv_nano AS DOUBLE) / 1000000000 - " +
+      "1.0 / (n - k)) / (3.0 * (k - 1)))"
+    s"CASE WHEN k > 1 AND n > k AND $sp2 > 0 THEN " +
+      s"round(((n - k) * LN($sp2) - CAST(ln_milli AS DOUBLE) / 1000) " +
+      s"/ $c, 6) END"
+  }
+
   /** Per-group z-score from EXACT integer moments: one agg computes
     * (n, sum, sumsq) as BIGINTs over an integer-valued column, then a
     * single double-arithmetic step derives population mean/std — the

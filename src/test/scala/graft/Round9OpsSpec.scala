@@ -1056,4 +1056,51 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rf.getAs[Double]("p") == 1.0)
     assert(!rf.getAs[Boolean]("significant"))
   }
+
+  test("jarqueBera: binomial passes, uniform fails on kurtosis") {
+    import graft.operators.Normalize
+    // binomial(10, .5) replicated by pmf counts: skew 0,
+    // excess kurtosis (1-6pq)/(npq) = -0.2 -> JB = 1024/6*0.01 ≈ 1.7
+    val binom = Seq(1, 10, 45, 120, 210, 252, 210, 120, 45, 10, 1)
+      .zipWithIndex.flatMap { case (c, v) =>
+        Seq.fill(c)(("b", v.toLong)) }
+    val rb = Normalize.jarqueBera(binom.toDF("k", "v"), "k", "v").head()
+    assert(math.abs(rb.getAs[Double]("skewness")) < 1e-3)
+    assert(math.abs(rb.getAs[Double]("kurtosis_excess") + 0.2) < 1e-3)
+    assert(!rb.getAs[Boolean]("significant"),
+      s"jb=${rb.getAs[Double]("jb")}")
+    // uniform 1..101: kurtosis -1.2 -> JB ≈ 101/6*0.36 ≈ 6.06 > 5.99
+    val unif = (1L to 101L).map(v => ("u", v))
+    val ru = Normalize.jarqueBera(unif.toDF("k", "v"), "k", "v").head()
+    assert(math.abs(ru.getAs[Double]("skewness")) < 1e-3)
+    assert(ru.getAs[Boolean]("significant"),
+      s"jb=${ru.getAs[Double]("jb")}")
+    // constant -> NULL
+    val const = Seq(("c", 5L), ("c", 5L), ("c", 5L)).toDF("k", "v")
+    val rc = Normalize.jarqueBera(const, "k", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("jb")))
+  }
+
+  test("bartlett: equal variances pass, a 10x-sd group flags") {
+    import graft.operators.Normalize
+    def grp(name: String, scale: Long) =
+      (1L to 40L).map(i => (name, 1000L + scale * ((i % 9) - 4)))
+    val eq = (grp("a", 5L) ++ grp("b", 5L) ++ grp("c", 5L))
+      .toDF("g", "v")
+    val re = Normalize.bartlett(eq, "g", "v").head()
+    assert(re.getAs[Long]("k") == 3L)
+    assert(re.getAs[Double]("bartlett_stat") < 0.001,
+      s"B=${re.getAs[Double]("bartlett_stat")}")
+    assert(!re.getAs[Boolean]("significant"))
+    val uneq = (grp("a", 5L) ++ grp("b", 50L) ++ grp("c", 5L))
+      .toDF("g", "v")
+    val ru = Normalize.bartlett(uneq, "g", "v").head()
+    assert(ru.getAs[Boolean]("significant"),
+      s"B=${ru.getAs[Double]("bartlett_stat")}")
+    // a constant group contributes no variance term and is dropped
+    val withConst = (grp("a", 5L) ++ grp("b", 5L) ++
+      (1L to 10L).map(i => ("z", 7L))).toDF("g", "v")
+    assert(Normalize.bartlett(withConst, "g", "v").head()
+      .getAs[Long]("k") == 2L)
+  }
 }
