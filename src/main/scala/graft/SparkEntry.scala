@@ -958,6 +958,17 @@ object SparkEntry {
       h.withColumn("hamming_prev",
         bit_count(col("dhash").bitwiseXOR(lag(col("dhash"), 1).over(w))).cast("long"))
     }),
+    "q_image_ahash" -> ((s, dir) => {
+      // Average-hash over the synthesized BMP corpus + Hamming to the
+      // previous id — the global-brightness fingerprint next to
+      // q_image_dhash's gradient one; every bit exact.
+      val h = Multimodal.imageAHash(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")), tile = 8)
+      val w = Window.orderBy(col("doc_id"))
+      h.withColumn("hamming_prev",
+        bit_count(col("ahash").bitwiseXOR(lag(col("ahash"), 1).over(w)))
+          .cast("long"))
+    }),
     "q_image_neardup_dhash" -> ((s, dir) => {
       // Image near-dup via Hamming LSH on the dHash fingerprints: 6 bands
       // × 7 bits, verify bit_count(xor) <= 3. maxHamming < bands makes the
@@ -6019,6 +6030,31 @@ object SparkEntry {
         |  FROM pr GROUP BY 1)
         |SELECT doc_id, n_bits, dhash,
         |  CAST(bit_count(xor(dhash, lag(dhash, 1) OVER (ORDER BY doc_id)))
+        |    AS BIGINT) AS hamming_prev
+        |FROM hh""".stripMargin,
+    "q_image_ahash" ->
+      // replays tile + whole-image sums from the pixel formula; every
+      // aHash bit via the exact integer cross-product compare
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |t AS (SELECT doc_id, (i % w) // 8 AS tile_x, (i // w) // 8 AS tile_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_px,
+        |    CAST(SUM((doc_id + (i % w) + 3*(i // w)) % 251) AS BIGINT) AS sum_px
+        |  FROM s GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, CAST(SUM(sum_px) AS BIGINT) AS s_tot,
+        |    CAST(SUM(n_px) AS BIGINT) AS n_tot FROM t GROUP BY 1),
+        |pr AS (SELECT t.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY tile_y, tile_x) - 1 AS k,
+        |    CASE WHEN sum_px * n_tot > s_tot * n_px THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM t JOIN tt USING (doc_id)),
+        |hh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS ahash
+        |  FROM pr GROUP BY 1)
+        |SELECT doc_id, n_bits, ahash,
+        |  CAST(bit_count(xor(ahash, lag(ahash, 1) OVER (ORDER BY doc_id)))
         |    AS BIGINT) AS hamming_prev
         |FROM hh""".stripMargin,
     "q_image_neardup_dhash" ->

@@ -462,6 +462,32 @@ object Multimodal {
         sum(expr("bit * shiftleft(CAST(1 AS BIGINT), k)")).cast("long").as("dhash"))
   }
 
+  /** Perceptual average-hash (aHash) from the same tile-mean grid as
+    * [[imageDHash]]: one bit per tile — set when the tile outshines the
+    * WHOLE image's mean (vs dHash's horizontal gradient). The compare
+    * is the exact integer cross-product sum_tile·n_img > sum_img·n_tile,
+    * so the oracle replays every bit. aHash survives global gradient
+    * edits dHash keys on (and vice versa) — fuse both for robust image
+    * near-dup, same Hamming-LSH downstream. One per-image total + the
+    * tile window + one pack aggregate. */
+  def imageAHash(media: DataFrame, tile: Int = 8): DataFrame = {
+    val t = bmpTileMeans(media, tile).toDF()
+    val tot = t.groupBy(col("doc_id"))
+      .agg(sum(col("sum_px")).cast("long").as("s_tot"),
+        sum(col("n_px")).cast("long").as("n_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tile_y"), col("tile_x"))
+    t.join(tot, Seq("doc_id"))
+      .withColumn("k", (row_number().over(w) - 1).cast("int"))
+      .withColumn("bit",
+        when(col("sum_px") * col("n_tot") > col("s_tot") * col("n_px"),
+          1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bits"),
+        sum(expr("bit * shiftleft(CAST(1 AS BIGINT), k)")).cast("long")
+          .as("ahash"))
+  }
+
   /** REAL image decode over a (doc_id, content: binary) media table: parse
     * each payload as 24-bit BMP, emit per-image dimension + pixel stats;
     * unparseable rows drop out. Second real format next to [[decodeWavPcm]]

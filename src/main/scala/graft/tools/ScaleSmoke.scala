@@ -824,6 +824,35 @@ object ScaleSmoke {
     }
     time(s"jsDivergence x${math.max(1, mult / 5)} (pairwise k sources)")(
       drain(TextAnalysis.jsDivergence(docs)))
+    time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
+      val users = eventsUid
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"),
+          sum(col("cents")).as("spend"))
+        .localCheckpoint(true)
+      drain(graft.operators.Survival.lifeTable(
+        users.select(concat(lit("c"), pmod(col("user_id"), lit(2L)))
+            .as("g"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t"),
+          col("err_ms").isNotNull.as("ev")), "g", "t", "ev", 24L))
+      drain(Sampling.permTest(
+        users.withColumn("arm", pmod(col("user_id"), lit(2L)) === 0L),
+        "user_id", "arm", "spend"))
+      val cents = eventsUid.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(graft.operators.Normalize.jarqueBera(
+        cents, "event_type", "cents"))
+      drain(graft.operators.Normalize.bartlett(
+        cents, "event_type", "cents"))
+    }
+    time(s"imageAHash x${math.max(1, mult / 5)}")(
+      drain(graft.operators.Multimodal.imageAHash(
+        graft.operators.Multimodal.synthesizeBmpTable(docs))))
     time(s"survival coxPH+dunn+ebShrink+negbin x$mult") {
       val users = eventsUid
         .select(col("user_id"), unix_millis(col("ts")).as("ms"),

@@ -1103,4 +1103,33 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(Normalize.bartlett(withConst, "g", "v").head()
       .getAs[Long]("k") == 2L)
   }
+
+  test("imageAHash: bits match a direct tile-vs-image-mean replay") {
+    import graft.operators.Multimodal
+    val docs = Seq((3L, 40L), (17L, 25L), (40L, 33L))
+      .toDF("doc_id", "n_chars")
+    val media = Multimodal.synthesizeBmpTable(docs)
+    val tiles = Multimodal.bmpTileMeans(media, 8).toDF().collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tile_x"),
+        r.getAs[Long]("tile_y"), r.getAs[Long]("n_px"),
+        r.getAs[Long]("sum_px")))
+    val expected = tiles.groupBy(_._1).map { case (id, ts) =>
+      val sTot = ts.map(_._5).sum; val nTot = ts.map(_._4).sum
+      val bits = ts.sortBy(t => (t._3, t._2)).zipWithIndex.map {
+        case ((_, _, _, n, s), k) =>
+          if (s * nTot > sTot * n) 1L << k else 0L
+      }
+      id -> ((ts.length.toLong, bits.sum))
+    }
+    val got = Multimodal.imageAHash(media, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bits"), r.getAs[Long]("ahash")))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // dHash needs >= 2 tile columns (doc 3 is 4px wide and drops out);
+    // aHash still fingerprints it — the two hashes are complementary
+    val d = Multimodal.imageDHash(media, 8).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(d.subsetOf(got.keySet) && !d.contains(3L) &&
+      got.keySet.contains(3L))
+  }
 }
