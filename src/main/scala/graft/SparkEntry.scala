@@ -3754,6 +3754,49 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_rmst" -> ((s, dir) => {
+      // Expected error-free hours in the first 14 days per cohort:
+      // area under the KM curve to tau=336 — micro-quantized step
+      // rectangles over the rounded survival column.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.rmst(users, "cohort", "t_hours", "event", tau = 336L)
+    }),
+    "q_brier" -> ((s, dir) => {
+      // Per-row calibration loss of the spend score vs purchase, plus
+      // skill vs the base-rate forecast — next to q_ece's binned gap.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.brier(ev, "cents", "is_pos")
+    }),
+    "q_harrell_c" -> ((s, dir) => {
+      // Does spend ORDER the error failures (survival-side AUC)?
+      // Exact pair counts on the aggregated user table — the kendall
+      // O(n^2)-on-units regime with the bounded guard.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"),
+          sum(col("cents")).as("spend"))
+        .select(col("user_id"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"), col("spend"))
+      Survival.harrellC(users, "user_id", "t_hours", "event", "spend")
+    }),
     "q_jarque_bera" -> ((s, dir) =>
       // Is per-type cent value remotely normal? JB from exact raw
       // moments (DECIMAL x^3/x^4) — the gate before any ±2σ rule.
@@ -4892,6 +4935,86 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_rmst" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM agg),
+         |per AS (SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+         |r AS (SELECT grp, t, d, m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+         |  FROM per),
+         |s AS (SELECT grp, t, d, n_grp - cum_m + m AS n_at_risk FROM r),
+         |f AS (SELECT grp, t, d, n_at_risk,
+         |    ${graft.operators.Survival.kmLnNanoSql} AS ln_nano,
+         |    ${graft.operators.Survival.kmZeroFlagSql} AS zf FROM s),
+         |c AS (SELECT grp, t, d,
+         |    CAST(SUM(ln_nano) OVER (PARTITION BY grp ORDER BY t)
+         |      AS BIGINT) AS cum_ln_nano,
+         |    CAST(SUM(zf) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_zf
+         |  FROM f),
+         |km AS (SELECT grp, t,
+         |    ${graft.operators.Survival.kmSurvivalSql} AS survival
+         |  FROM c WHERE d > 0),
+         |st AS (SELECT grp, t, survival,
+         |    lead(t) OVER (PARTITION BY grp ORDER BY t) AS next_t
+         |  FROM km),
+         |rect AS (SELECT grp, t,
+         |    ${graft.operators.Survival.rmstRectMicroSql(336L)}
+         |      AS rect_micro FROM st),
+         |a AS (SELECT grp, CAST(MIN(t) AS BIGINT) AS t_first,
+         |    CAST(COUNT(*) AS BIGINT) AS n_steps,
+         |    CAST(SUM(rect_micro) AS BIGINT) AS steps_micro
+         |  FROM rect GROUP BY 1)
+         |SELECT grp, CAST(336 AS BIGINT) AS tau, n_steps,
+         |  round(least(CAST(t_first AS DOUBLE), 336) +
+         |    CAST(steps_micro AS DOUBLE) / 1000000, 6) AS rmst
+         |FROM a""".stripMargin,
+    "q_brier" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS __s,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |mm AS (SELECT MIN(__s) AS lo, MAX(__s) AS hi FROM e),
+         |t AS (SELECT lo, hi, y,
+         |    ${graft.operators.Eval.brierTermMicroSql} AS term_micro
+         |  FROM e, mm),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(SUM(term_micro) AS BIGINT) AS brier_micro FROM t)
+         |SELECT n, n_pos, brier_micro,
+         |  round(CAST(brier_micro AS DOUBLE) / n / 1000000, 6) AS brier,
+         |  ${graft.operators.Eval.brierSkillSql} AS brier_skill
+         |FROM a""".stripMargin,
+    "q_harrell_c" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms,
+         |    CAST(SUM(cents) AS BIGINT) AS spend
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT user_id AS id,
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         |    spend AS sc FROM agg),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS comparable,
+         |    CAST(SUM(CASE WHEN a.sc > b.sc THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS concordant,
+         |    CAST(SUM(CASE WHEN a.sc = b.sc THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tied_score
+         |  FROM subj a JOIN subj b ON a.t < b.t AND a.ev = 1)
+         |SELECT comparable, concordant, tied_score,
+         |  ${graft.operators.Survival.harrellCSql} AS c_index
+         |FROM p""".stripMargin,
     "q_jarque_bera" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),

@@ -351,6 +351,46 @@ object Eval {
           "(CAST(n_pos AS DOUBLE) * n_neg), 6) END"))
   }
 
+  /** Brier score of the position-normalized score against the binary
+    * label — the PER-ROW calibration loss next to [[ece]]'s binned
+    * gap: mean (conf − y)², plus the skill score 1 − Brier/(p̄(1−p̄))
+    * (positive = beats the base-rate forecast). conf maps the integer
+    * score into [0,1] by observed span (the ece convention); per-row
+    * terms micro-quantized, one aggregate + one broadcast min/max. */
+  def brier(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(min(s).as("lo"), max(s).as("hi")))
+    df.select(s.as("__s"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .crossJoin(mm)
+      .withColumn("term_micro", expr(brierTermMicroSql))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("term_micro")).cast("long").as("brier_micro"))
+      .select(col("n"), col("n_pos"), col("brier_micro"),
+        expr("round(CAST(brier_micro AS DOUBLE) / n / 1000000, 6)")
+          .as("brier"),
+        expr(brierSkillSql).as("brier_skill"))
+  }
+
+  /** Per-row (conf − y)² in micro units over (__s, y, lo, hi);
+    * degenerate spans pin conf to 0. Shared with the oracle. */
+  val brierTermMicroSql: String = {
+    val conf = "(CASE WHEN hi > lo THEN " +
+      "CAST(__s - lo AS DOUBLE) / (hi - lo) ELSE CAST(0 AS DOUBLE) END)"
+    s"CAST(ROUND(($conf - y) * ($conf - y) * 1000000, 0) AS BIGINT)"
+  }
+
+  /** Skill vs the base-rate forecast over (n, n_pos, brier_micro);
+    * NULL when the label is constant (no skill defined). */
+  val brierSkillSql: String = {
+    val p = "(CAST(n_pos AS DOUBLE) / n)"
+    s"CASE WHEN n_pos > 0 AND n_pos < n THEN " +
+      s"round(1 - (CAST(brier_micro AS DOUBLE) / n / 1000000) / " +
+      s"($p * (1 - $p)), 6) END"
+  }
+
   /** Expected calibration error over the [[calibrationBins]] table —
     * ONE number for "do the scores mean what they say": confidence is
     * the bin's mean score as a POSITION in the observed span (the

@@ -138,6 +138,80 @@ object Survival {
       "(CAST(ome_nano AS DOUBLE) / 1000000000) / " +
       "(CAST(v_nano AS DOUBLE) / 1000000000), 6) END"
 
+  /** Restricted mean survival time per group — the AREA under the
+    * [[kaplanMeier]] curve up to τ: "expected event-free time in the
+    * first τ units", the single-number curve summary medians can't
+    * give when >50% survive. Piecewise-constant integration over the
+    * KM step table: the pre-first-event segment contributes
+    * min(t₁, τ) at S = 1, each step S(tᵢ)·(min(tᵢ₊₁, τ) − min(tᵢ, τ))
+    * with the last step running to τ. Per-step rectangles are
+    * micro-quantized over the ROUNDED survival column (identical both
+    * engines) and summed exactly; the step windows are per-group over
+    * the event-time table — ∝ steps, not subjects. */
+  def rmst(
+      df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0: $tau")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, groupCol, timeCol, eventCol)
+    val w = Window.partitionBy(col("grp")).orderBy(col("t"))
+    val stepped = km
+      .withColumn("next_t", lead(col("t"), 1).over(w))
+      .withColumn("rect_micro", expr(rmstRectMicroSql(tau)))
+    stepped.groupBy(col("grp"))
+      .agg(min(col("t")).cast("long").as("t_first"),
+        count(lit(1)).cast("long").as("n_steps"),
+        sum(col("rect_micro")).cast("long").as("steps_micro"))
+      .select(col("grp"), lit(tau).as("tau"), col("n_steps"),
+        expr(s"round(least(CAST(t_first AS DOUBLE), $tau) + " +
+          "CAST(steps_micro AS DOUBLE) / 1000000, 6)").as("rmst"))
+  }
+
+  /** Per-step S·Δt rectangle in micro units over (survival, t,
+    * next_t) truncated at τ; the last step integrates to τ. Shared
+    * with the oracle. */
+  def rmstRectMicroSql(tau: Long): String =
+    s"CAST(ROUND(survival * (least(CAST(COALESCE(next_t, $tau) " +
+      s"AS DOUBLE), $tau) - least(CAST(t AS DOUBLE), $tau)) * 1000000," +
+      " 0) AS BIGINT)"
+
+  /** Harrell's concordance index — "does the risk score ORDER the
+    * failures correctly?", the survival-side AUC: over comparable
+    * pairs (the earlier subject's event observed), count score
+    * agreement with half credit for score ties. EXACT integer pair
+    * counts from one self-join — the [[Profiling.kendallTau]] O(n²)
+    * regime: run it on aggregated units (users, cohorts), never raw
+    * events; `requireBounded` fails fast past `maxRows` and points
+    * here. */
+  def harrellC(
+      df: DataFrame, idCol: String, timeCol: String, eventCol: String,
+      scoreCol: String, maxRows: Long = 100000L): DataFrame = {
+    val u = df.select(col(idCol).as("id"),
+        col(timeCol).cast("long").as("t"),
+        when(col(eventCol), 1L).otherwise(0L).as("ev"),
+        col(scoreCol).cast("long").as("sc"))
+      .localCheckpoint(true)
+    val n = u.count()
+    require(n <= maxRows,
+      s"harrellC is O(n²) pairwise ($n rows > $maxRows): aggregate to " +
+        "units first, or raise maxRows knowingly")
+    u.as("a").join(u.as("b"),
+        col("a.t") < col("b.t") && col("a.ev") === 1L)
+      .agg(count(lit(1)).cast("long").as("comparable"),
+        sum(when(col("a.sc") > col("b.sc"), 1L).otherwise(0L))
+          .cast("long").as("concordant"),
+        sum(when(col("a.sc") === col("b.sc"), 1L).otherwise(0L))
+          .cast("long").as("tied_score"))
+      .withColumn("c_index", expr(harrellCSql))
+  }
+
+  /** C = (concordant + ties/2)/comparable; NULL with no comparable
+    * pairs. Shared with the oracle. */
+  val harrellCSql: String =
+    "CASE WHEN comparable > 0 THEN " +
+      "round((concordant + 0.5 * tied_score) / " +
+      "CAST(comparable AS DOUBLE), 6) END"
+
   /** Actuarial life table per group — [[kaplanMeier]] binned into
     * fixed-width intervals with the classical half-censoring
     * adjustment: subjects censored inside an interval count as exposed

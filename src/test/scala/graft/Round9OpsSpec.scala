@@ -1132,4 +1132,59 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(d.subsetOf(got.keySet) && !d.contains(3L) &&
       got.keySet.contains(3L))
   }
+
+  test("rmst: hand area under the textbook KM curve, tau truncation") {
+    import graft.operators.Survival
+    // KM fixture {1e,2c,3e,4e,5c}: S = 1 on [0,1), 0.8 on [1,3),
+    // 0.533333 on [3,4), 0.266667 on [4,tau)
+    val df = Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, true),
+      ("a", 4L, true), ("a", 5L, false)).toDF("g", "t", "ev")
+    val r = Survival.rmst(df, "g", "t", "ev", tau = 10L).head()
+    // 1 + 0.8*2 + 0.533333*1 + 0.266667*6 = 4.733335
+    assert(math.abs(r.getAs[Double]("rmst") - 4.733335) < 1e-6,
+      s"rmst=${r.getAs[Double]("rmst")}")
+    // tau inside the curve truncates: tau=3 -> 1 + 0.8*2 = 2.6
+    val r3 = Survival.rmst(df, "g", "t", "ev", tau = 3L).head()
+    assert(r3.getAs[Double]("rmst") == 2.6)
+  }
+
+  test("brier: perfect, inverted, and constant forecasts") {
+    // scores 0/1 spanning conf {0,1}: perfect labels -> 0; inverted -> 1
+    val perfect = Seq((0L, false), (1L, true), (0L, false), (1L, true))
+      .toDF("s", "y")
+    val rp = Eval.brier(perfect, "s", "y").head()
+    assert(rp.getAs[Double]("brier") == 0.0)
+    assert(rp.getAs[Double]("brier_skill") == 1.0)
+    val inverted = Seq((0L, true), (1L, false)).toDF("s", "y")
+    assert(Eval.brier(inverted, "s", "y").head()
+      .getAs[Double]("brier") == 1.0)
+    // constant label: skill undefined
+    val const = Seq((0L, true), (1L, true)).toDF("s", "y")
+    val rc = Eval.brier(const, "s", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("brier_skill")))
+  }
+
+  test("harrellC: perfect risk ordering = 1, anti-ordering = 0, guard") {
+    import graft.operators.Survival
+    // higher score fails earlier, all events observed: every comparable
+    // pair concordant
+    val good = Seq((1L, 1L, true, 40L), (2L, 2L, true, 30L),
+      (3L, 3L, true, 20L), (4L, 4L, true, 10L)).toDF("id", "t", "ev", "sc")
+    val rg = Survival.harrellC(good, "id", "t", "ev", "sc").head()
+    assert(rg.getAs[Long]("comparable") == 6L)
+    assert(rg.getAs[Double]("c_index") == 1.0)
+    val bad = Seq((1L, 1L, true, 10L), (2L, 2L, true, 20L),
+      (3L, 3L, true, 30L)).toDF("id", "t", "ev", "sc")
+    assert(Survival.harrellC(bad, "id", "t", "ev", "sc").head()
+      .getAs[Double]("c_index") == 0.0)
+    // censored-first pairs are NOT comparable
+    val cens = Seq((1L, 1L, false, 40L), (2L, 2L, true, 30L),
+      (3L, 3L, false, 20L)).toDF("id", "t", "ev", "sc")
+    assert(Survival.harrellC(cens, "id", "t", "ev", "sc").head()
+      .getAs[Long]("comparable") == 1L)
+    // the O(n^2) guard fails fast
+    intercept[IllegalArgumentException] {
+      Survival.harrellC(good, "id", "t", "ev", "sc", maxRows = 2L)
+    }
+  }
 }
