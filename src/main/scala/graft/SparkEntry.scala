@@ -3754,6 +3754,36 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6 shape (forecast revenue change): pure filter +
+      // single-cell aggregate, revenue EXACT in cents*pct units —
+      // the predicate-pushdown showcase.
+      table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1996-01-01' AND " +
+          "l_shipdate < timestamp '1997-01-01'") &&
+          round(col("l_discount") * 100, 0).cast("long").between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .select((round(col("l_extendedprice") * 100, 0).cast("long") *
+          round(col("l_discount") * 100, 0).cast("long")).as("rev_cp"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("rev_cp")).cast("long").as("revenue_cp"))
+        .select(col("n_lines"), col("revenue_cp"),
+          expr("round(CAST(revenue_cp AS DOUBLE) / 10000, 6)")
+            .as("revenue"))),
+    "q_mode" -> ((s, dir) =>
+      // Exact per-type modal cent value with the smallest-value
+      // tie-break — the deterministic mode a dashboard actually wants.
+      table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("cnt"), (-col("cents")).as("negv"))).as("m"),
+          count(lit(1)).cast("long").as("n_distinct"))
+        .select(col("event_type"), col("n_distinct"),
+          col("m.cnt").as("mode_count"),
+          (-col("m.negv")).cast("long").as("mode_cents"))),
     "q_rmst" -> ((s, dir) => {
       // Expected error-free hours in the first 14 days per cohort:
       // area under the KM curve to tau=336 — micro-quantized step
@@ -4935,6 +4965,32 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_tpch_q6" ->
+      """WITH e AS (SELECT
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      CAST(ROUND(l_discount*100, 0) AS BIGINT) AS rev_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND CAST(ROUND(l_discount*100, 0) AS BIGINT) BETWEEN 5 AND 7
+        |    AND l_quantity < 24)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(rev_cp) AS BIGINT) AS revenue_cp,
+        |  round(CAST(SUM(rev_cp) AS DOUBLE) / 10000, 6) AS revenue
+        |FROM e""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, cents ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+        |  FROM c)
+        |SELECT event_type, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  cnt AS mode_count, cents AS mode_cents
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_rmst" ->
       s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
          |    event_type = 'error' AS is_err FROM events),
