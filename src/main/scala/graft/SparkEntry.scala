@@ -3754,6 +3754,26 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_pr_auc" -> ((s, dir) => {
+      // Imbalance-honest ranking quality of the spend score for
+      // purchase: average precision over descending thresholds —
+      // exact rational terms on the auc prefix-sum kernel.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.prAuc(ev, "cents", "is_pos")
+    }),
+    "q_ess" -> ((s, dir) =>
+      // How many unweighted users is the spend-weighted sample worth
+      // per type? Kish ESS from exact weight moments.
+      Sampling.effectiveSampleSize(
+        table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("w")),
+        "event_type", "w")),
+    "q_hapax" -> ((s, dir) =>
+      // Zipf-tail authenticity fingerprint per source: hapax/dis
+      // legomena counts and the hapax share of vocabulary.
+      TextAnalysis.hapaxProfile(table(s, dir, "documents"))),
     "q_tpch_q6" -> ((s, dir) =>
       // TPC-H Q6 shape (forecast revenue change): pure filter +
       // single-cell aggregate, revenue EXACT in cents*pct units —
@@ -4965,6 +4985,61 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_pr_auc" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |per AS (SELECT v, CAST(SUM(p) AS BIGINT) AS cp,
+         |    CAST(SUM(1 - p) AS BIGINT) AS cn FROM e GROUP BY 1),
+         |c AS (SELECT v, cp, cn,
+         |    CAST(SUM(cp) OVER (ORDER BY v) AS BIGINT) AS cum_cp,
+         |    CAST(SUM(cn) OVER (ORDER BY v) AS BIGINT) AS cum_cn
+         |  FROM per),
+         |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cn) AS BIGINT) AS n_neg FROM per),
+         |d AS (SELECT cp, n_pos, n_neg,
+         |    n_pos - cum_cp + cp AS dp, n_neg - cum_cn + cn AS dn
+         |  FROM c, t),
+         |w AS (SELECT n_pos, n_neg,
+         |    ${graft.operators.Eval.prAucTermMicroSql} AS term_micro
+         |  FROM d),
+         |a AS (SELECT n_pos, n_neg,
+         |    CAST(SUM(term_micro) AS BIGINT) AS ap_micro
+         |  FROM w GROUP BY 1, 2)
+         |SELECT n_pos, n_neg, ap_micro,
+         |  CASE WHEN n_pos > 0 THEN
+         |    round(CAST(ap_micro AS DOUBLE) / 1000000, 6) END AS pr_auc
+         |FROM a""".stripMargin,
+    "q_ess" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS w
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(w) AS BIGINT) AS sw,
+         |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))
+         |      AS sww
+         |  FROM u WHERE w > 0 GROUP BY 1)
+         |SELECT event_type, n, sw, sww,
+         |  ${graft.operators.Sampling.essSql} AS ess,
+         |  round(${graft.operators.Sampling.essSql} / n, 6) AS ess_ratio
+         |FROM a""".stripMargin,
+    "q_hapax" ->
+      """WITH tk AS (SELECT source AS g,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dis
+        |  FROM cnt GROUP BY 1)
+        |SELECT g AS source, n_tokens, vocab, n_hapax, n_dis,
+        |  CASE WHEN vocab > 0 THEN
+        |    round(CAST(n_hapax AS DOUBLE) / vocab, 6) END AS hapax_ratio
+        |FROM a""".stripMargin,
     "q_tpch_q6" ->
       """WITH e AS (SELECT
         |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *

@@ -311,6 +311,42 @@ object Eval {
         expr("round(CAST(s_kept AS DOUBLE) / n_kept, 6)"))
   }
 
+  /** Precision–recall AUC (average precision) — the ranking metric
+    * that stays honest under CLASS IMBALANCE where ROC [[auc]]
+    * flatters (1% positives: ROC barely moves when false positives
+    * double; precision halves): AP = Σ_v ΔR(v)·P(v) over descending
+    * score thresholds, with ΔR = positives AT v / P and P(v) the
+    * precision of "predict ≥ v". Every term is an exact rational off
+    * the same distinct-score prefix-sum kernel as auc, micro-quantized
+    * per threshold and summed exactly. */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(scoreCol).cast("long").as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("cp"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).cast("long").as("cn"))
+    val c = rangedCumsum(per, Nil, "v", Seq("cp", "cn"))
+    val tot = broadcast(c.agg(
+      sum(col("cp")).cast("long").as("n_pos"),
+      sum(col("cn")).cast("long").as("n_neg")))
+    c.crossJoin(tot)
+      .withColumn("dp", col("n_pos") - col("cum_cp") + col("cp"))
+      .withColumn("dn", col("n_neg") - col("cum_cn") + col("cn"))
+      .withColumn("term_micro", expr(prAucTermMicroSql))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("term_micro")).cast("long").as("ap_micro"))
+      .withColumn("pr_auc", expr(
+        "CASE WHEN n_pos > 0 THEN " +
+          "round(CAST(ap_micro AS DOUBLE) / 1000000, 6) END"))
+  }
+
+  /** Per-threshold ΔR·P term in micro units over (cp, dp, dn, n_pos) —
+    * thresholds with no positives contribute 0 (cp = 0). Shared with
+    * the oracle. */
+  val prAucTermMicroSql: String =
+    "CASE WHEN n_pos > 0 AND dp + dn > 0 THEN " +
+      "CAST(ROUND((CAST(cp AS DOUBLE) / n_pos) * " +
+      "(CAST(dp AS DOUBLE) / (dp + dn)) * 1000000, 0) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+
   /** Youden-J optimal threshold — [[auc]] says HOW separable; this says
     * WHERE to cut: over every candidate threshold v ("positive if
     * score > v"), J(v) = TPR − FPR, maximized with smallest-v

@@ -395,6 +395,30 @@ object Sampling {
     * nothing unbounded ever sorts. Replicates with zero total weight
     * (possible only on tiny groups) drop out before ranking, identically
     * in the SQL replay. */
+  /** Effective sample size of a weighted sample per key — "how many
+    * UNWEIGHTED rows is this weighted set worth?": ESS = (Σw)²/Σw²,
+    * the Kish formula every importance-weighted mixture
+    * ([[mixtureSample]], [[tokenBudgetMix]]) should report next to its
+    * raw count — 1M rows at wildly skewed weights can carry the
+    * information of 10k. Exact integer weight moments (DECIMAL Σw²),
+    * one aggregate. */
+  def effectiveSampleSize(
+      df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    df.filter(w > 0L)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(w).cast("long").as("sw"),
+        sum((w * w).cast("decimal(38,0)")).as("sww"))
+      .withColumn("ess", expr(essSql))
+      .withColumn("ess_ratio", expr(
+        s"round($essSql / n, 6)"))
+  }
+
+  /** (Σw)²/Σw² over the exact moment row. Shared with the oracle. */
+  val essSql: String =
+    "round(CAST(sw AS DOUBLE) * sw / CAST(sww AS DOUBLE), 6)"
+
   /** Randomization (permutation-style) test for a mean difference —
     * the assumption-free p-value next to the t-test: re-assign arms by
     * a DETERMINISTIC per-replicate hash parity (the [[bootstrapCi]]

@@ -1198,6 +1198,33 @@ object TextAnalysis {
   val rakeWordMicroSql: String =
     "CAST(ROUND(CAST(deg AS DOUBLE) * 1000000 / freq, 0) AS BIGINT)"
 
+  /** Hapax-legomena profile per corpus — the Zipf-tail fingerprint of
+    * authentic text: natural language keeps ~40–60% of its vocabulary
+    * at frequency 1; template farms and boilerplate collapse the tail.
+    * One token-count pass, exact integer tail counts (hapax = freq 1,
+    * dis = freq 2). */
+  def hapaxProfile(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("n_hapax"), col("n_dis"),
+        expr("CASE WHEN vocab > 0 THEN " +
+          "round(CAST(n_hapax AS DOUBLE) / vocab, 6) END")
+          .as("hapax_ratio"))
+
   /** Lexical diversity indices per corpus — the "is this source a
     * template farm?" profile: Shannon entropy (nats, via the exact
     * nano-term sum), Simpson concentration λ = Σn_i(n_i−1)/(N(N−1))

@@ -824,6 +824,28 @@ object ScaleSmoke {
     }
     time(s"jsDivergence x${math.max(1, mult / 5)} (pairwise k sources)")(
       drain(TextAnalysis.jsDivergence(docs)))
+    time(s"prAuc+ess+hapax+rmst x$mult/(÷5 docs)") {
+      val scored = eventsUid.select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      drain(Eval.prAuc(scored, "cents", "is_pos"))
+      drain(Sampling.effectiveSampleSize(
+        eventsUid.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("w")),
+        "event_type", "w"))
+      drain(TextAnalysis.hapaxProfile(docs))
+      val subj = eventsUid
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(concat(lit("c"), pmod(col("user_id"), lit(2L))).as("g"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t"),
+          col("err_ms").isNotNull.as("ev"))
+      drain(graft.operators.Survival.rmst(subj, "g", "t", "ev", 336L))
+    }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid
         .select(col("user_id"), unix_millis(col("ts")).as("ms"),

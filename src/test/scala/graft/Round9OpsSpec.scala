@@ -1187,4 +1187,47 @@ class Round9OpsSpec extends SparkFunSuite {
       Survival.harrellC(good, "id", "t", "ev", "sc", maxRows = 2L)
     }
   }
+
+  test("prAuc: perfect ranking = 1, reversed collapses to prevalence") {
+    // scores rank positives strictly above negatives
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    val rp = Eval.prAuc(perfect, "s", "y").head()
+    assert(rp.getAs[Double]("pr_auc") == 1.0)
+    // reversed: positives at the bottom -> AP = sum over positives of
+    // k/(rank_k): thresholds 1,2 give P = 2/4, 1/3 with dR = 1/2 each
+    val rev = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("s", "y")
+    val rr = Eval.prAuc(rev, "s", "y").head()
+    val exp = 0.5 * (2.0 / 4) + 0.5 * (1.0 / 3)
+    assert(math.abs(rr.getAs[Double]("pr_auc") - exp) < 2e-6,
+      s"ap=${rr.getAs[Double]("pr_auc")} want $exp")
+    // no positives -> NULL
+    val none = Seq((1L, false), (2L, false)).toDF("s", "y")
+    val rn = Eval.prAuc(none, "s", "y").head()
+    assert(rn.isNullAt(rn.fieldIndex("pr_auc")))
+  }
+
+  test("effectiveSampleSize: equal weights = n, one dominant weight -> 1") {
+    import graft.operators.Sampling
+    val eq = (1L to 8L).map(i => ("a", i, 5L)).toDF("k", "id", "w")
+    val re = Sampling.effectiveSampleSize(eq, "k", "w").head()
+    assert(re.getAs[Double]("ess") == 8.0)
+    assert(re.getAs[Double]("ess_ratio") == 1.0)
+    val skew = (Seq(("b", 0L, 1000000L)) ++
+      (1L to 9L).map(i => ("b", i, 1L))).toDF("k", "id", "w")
+    val rs = Sampling.effectiveSampleSize(skew, "k", "w").head()
+    assert(rs.getAs[Double]("ess") < 1.001, s"ess=${rs.getAs[Double]("ess")}")
+  }
+
+  test("hapaxProfile: tail counts by hand") {
+    // tokens: a a a b b c d -> vocab 4, hapax {c,d}=2, dis {b}=1
+    val docs = Seq((1L, "s", "a a a b"), (2L, "s", "b c d"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.hapaxProfile(docs).head()
+    assert(r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("n_hapax") == 2L)
+    assert(r.getAs[Long]("n_dis") == 1L)
+    assert(r.getAs[Double]("hapax_ratio") == 0.5)
+  }
 }
