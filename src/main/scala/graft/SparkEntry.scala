@@ -3754,6 +3754,34 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_ordinal_assoc" -> ((s, dir) => {
+      // Gamma + both Somers' D next to tau-b — the full ordinal
+      // association readout off ONE exact pair-count row (the kendall
+      // O(n^2)-on-units kernel).
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+      Profiling.kendallTau(users, "spend", "n_purch")
+        .withColumn("gamma", expr(Profiling.gammaSql))
+        .withColumn("somers_d_yx", expr(Profiling.somersDyxSql))
+        .withColumn("somers_d_xy", expr(Profiling.somersDxySql))
+    }),
+    "q_weighted_kappa" -> ((s, dir) => {
+      // Ordinal rater agreement: spend tier vs click tier per user,
+      // linear weights — one-off disagreements cost less; every term
+      // exact integer over the full grid.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"))
+        .select(
+          when(col("spend") >= 360000L, 3L).when(col("spend") >= 330000L, 2L)
+            .when(col("spend") >= 300000L, 1L).otherwise(0L).as("tier_a"),
+          when(col("n_click") >= 25L, 3L).when(col("n_click") >= 20L, 2L)
+            .when(col("n_click") >= 15L, 1L).otherwise(0L).as("tier_b"))
+      Profiling.weightedKappa(users, "tier_a", "tier_b")
+    }),
     "q_pr_auc" -> ((s, dir) => {
       // Imbalance-honest ranking quality of the spend score for
       // purchase: average precision over descending thresholds —
@@ -4985,6 +5013,64 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_ordinal_assoc" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |idd AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) AS i
+         |  FROM users),
+         |pp AS (SELECT
+         |    CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS cd,
+         |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         |  FROM idd a JOIN idd b ON a.i < b.i),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS concordant,
+         |    CAST(SUM(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS discordant,
+         |    CAST(SUM(tx) AS BIGINT) AS ties_x,
+         |    CAST(SUM(ty) AS BIGINT) AS ties_y FROM pp)
+         |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+         |  ${graft.operators.Profiling.tauBSql} AS tau_b,
+         |  ${graft.operators.Profiling.gammaSql} AS gamma,
+         |  ${graft.operators.Profiling.somersDyxSql} AS somers_d_yx,
+         |  ${graft.operators.Profiling.somersDxySql} AS somers_d_xy
+         |FROM agg""".stripMargin,
+    "q_weighted_kappa" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT
+         |    CASE WHEN spend >= 360000 THEN 3 WHEN spend >= 330000 THEN 2
+         |      WHEN spend >= 300000 THEN 1 ELSE 0 END AS i,
+         |    CASE WHEN n_click >= 25 THEN 3 WHEN n_click >= 20 THEN 2
+         |      WHEN n_click >= 15 THEN 1 ELSE 0 END AS j
+         |  FROM users),
+         |cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS obs FROM t GROUP BY 1, 2),
+         |r AS (SELECT i, CAST(SUM(obs) AS BIGINT) AS ri
+         |  FROM cells GROUP BY 1),
+         |cc AS (SELECT j, CAST(SUM(obs) AS BIGINT) AS cj
+         |  FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+         |grid AS (SELECT r.i, cc.j, r.ri, cc.cj,
+         |    COALESCE(cells.obs, 0) AS obs
+         |  FROM r CROSS JOIN cc LEFT JOIN cells USING (i, j)),
+         |a AS (SELECT CAST(SUM(ABS(i - j) * obs) AS BIGINT) AS swo,
+         |    CAST(SUM(CAST(ABS(i - j) * ri AS DECIMAL(38,0)) * cj)
+         |      AS DECIMAL(38,0)) AS swe
+         |  FROM grid),
+         |f AS (SELECT swo, swe, n FROM a, nn)
+         |SELECT swo, swe, n,
+         |  ${graft.operators.Profiling.weightedKappaSql} AS kappa_w
+         |FROM f""".stripMargin,
     "q_pr_auc" ->
       s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p

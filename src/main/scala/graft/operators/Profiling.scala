@@ -984,6 +984,62 @@ object Profiling {
       "round(CAST(concordant - discordant AS DOUBLE) / " +
       "sqrt(CAST(n_pairs - ties_x AS DOUBLE) * (n_pairs - ties_y)), 6) END"
 
+  /** Goodman–Kruskal γ over the [[kendallTau]] pair-count row — the
+    * ordinal association that IGNORES ties entirely: (C−D)/(C+D).
+    * Shared with the oracle. */
+  val gammaSql: String =
+    "CASE WHEN concordant + discordant > 0 THEN " +
+      "round(CAST(concordant - discordant AS DOUBLE) / " +
+      "(concordant + discordant), 6) END"
+
+  /** Somers' D_yx — (C−D) over the pairs NOT tied on x (y as the
+    * response): the asymmetric ordinal effect size. */
+  val somersDyxSql: String =
+    "CASE WHEN n_pairs - ties_x > 0 THEN " +
+      "round(CAST(concordant - discordant AS DOUBLE) / " +
+      "(n_pairs - ties_x), 6) END"
+
+  /** Somers' D_xy — the x-as-response twin. */
+  val somersDxySql: String =
+    "CASE WHEN n_pairs - ties_y > 0 THEN " +
+      "round(CAST(concordant - discordant AS DOUBLE) / " +
+      "(n_pairs - ties_y), 6) END"
+
+  /** Linearly-weighted Cohen's κ for ORDINAL raters — a one-category
+    * disagreement should not cost what a four-category miss costs
+    * (plain kappa charges both the same): with w_ij = |i−j|,
+    * κ_w = 1 − n·Σw·O / Σw·rᵢ·cⱼ — EVERY term an exact integer off
+    * the full contingency grid (the [[cramersV]] zero-cell
+    * discipline), one double division at the end. Categories must be
+    * integer-coded. */
+  def weightedKappa(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("long").as("i"),
+        col(bCol).cast("long").as("j"))
+      .agg(count(lit(1)).cast("long").as("obs"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col("i"))
+      .agg(sum(col("obs")).cast("long").as("ri"))
+    val colsM = cells.groupBy(col("j"))
+      .agg(sum(col("obs")).cast("long").as("cj"))
+    val n1 = broadcast(cells.agg(sum(col("obs")).cast("long").as("n")))
+    rows.crossJoin(colsM)
+      .join(cells, Seq("i", "j"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("w", abs(col("i") - col("j")))
+      .agg(sum(col("w") * col("obs")).cast("long").as("swo"),
+        sum((col("w") * col("ri")).cast("decimal(38,0)") * col("cj"))
+          .cast("decimal(38,0)").as("swe"))
+      .crossJoin(n1)
+      .withColumn("kappa_w", expr(weightedKappaSql))
+  }
+
+  /** κ_w over (n, swo, swe); NULL when the raters never spread
+    * (Σw·E = 0). Shared with the oracle. */
+  val weightedKappaSql: String =
+    "CASE WHEN CAST(swe AS DOUBLE) > 0 THEN " +
+      "round(1 - CAST(n AS DOUBLE) * swo / CAST(swe AS DOUBLE), 6) END"
+
   /** Sample-ratio-mismatch check — the first gate on any experiment
     * readout: if assignment were a fair coin, the arm counts follow
     * Binomial(n, ½); the 1-df chi-square against the 50/50 expectation

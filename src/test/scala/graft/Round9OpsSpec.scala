@@ -1220,6 +1220,43 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rs.getAs[Double]("ess") < 1.001, s"ess=${rs.getAs[Double]("ess")}")
   }
 
+  test("ordinal association: gamma/Somers on monotone and tied data") {
+    import graft.operators.Profiling
+    val mono = (1L to 12L).map(i => (i, i * 2)).toDF("x", "y")
+    val r = Profiling.kendallTau(mono, "x", "y")
+      .withColumn("gamma", expr(Profiling.gammaSql))
+      .withColumn("somers_d_yx", expr(Profiling.somersDyxSql))
+      .withColumn("somers_d_xy", expr(Profiling.somersDxySql)).head()
+    assert(r.getAs[Double]("gamma") == 1.0)
+    assert(r.getAs[Double]("somers_d_yx") == 1.0)
+    // y collapses to 2 levels: gamma ignores ties, Somers D_yx pays
+    // for pairs tied on y? no — D_yx divides by pairs untied on X
+    val tied = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("x", "y")
+    val rt = Profiling.kendallTau(tied, "x", "y")
+      .withColumn("gamma", expr(Profiling.gammaSql))
+      .withColumn("somers_d_yx", expr(Profiling.somersDyxSql)).head()
+    // pairs: C = 4 (cross-level), ties_y = 2, D = 0 -> gamma 1,
+    // D_yx = 4/6
+    assert(rt.getAs[Double]("gamma") == 1.0)
+    assert(rt.getAs[Double]("somers_d_yx") == 0.666667)
+  }
+
+  test("weightedKappa: perfect = 1, maximal spread penalized by distance") {
+    import graft.operators.Profiling
+    val perfect = (0L to 3L).map(i => (i, i)).toDF("a", "b")
+    assert(Profiling.weightedKappa(perfect, "a", "b").head()
+      .getAs[Double]("kappa_w") == 1.0)
+    // swo = 8 over swe = 20 with n=4 -> 1 - 32/20 = -0.6
+    val off = Seq((0L, 3L), (3L, 0L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    assert(Profiling.weightedKappa(off, "a", "b").head()
+      .getAs[Double]("kappa_w") == -0.6)
+    // both raters constant: swe = 0 -> NULL
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    val rc = Profiling.weightedKappa(const, "a", "b").head()
+    assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
+  }
+
   test("hapaxProfile: tail counts by hand") {
     // tokens: a a a b b c d -> vocab 4, hapax {c,d}=2, dis {b}=1
     val docs = Seq((1L, "s", "a a a b"), (2L, "s", "b c d"))
