@@ -3754,6 +3754,36 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_mood_median" -> ((s, dir) => {
+      // Mood's median test by composition: above/below the GRAND
+      // median per type -> the existing chi2 independence kernel.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val med = broadcast(ev.agg(
+        expr("percentile(cents, 0.5)").as("med")))
+      Profiling.chi2Independence(
+        ev.crossJoin(med).select(col("event_type"),
+          when(col("cents") > col("med"), "above")
+            .otherwise("at_or_below").as("side")),
+        "event_type", "side")
+    }),
+    "q_kfold_balance" -> ((s, dir) => {
+      // 5-fold CV assignment by the portable 60-bit hash on the UNIT
+      // (user) key — leakage-free by construction; fold sizes + label
+      // balance are the bookkeeping check before training.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15L).as("heavy"))
+      users.withColumn("fold", expr(
+          "pmod(CAST(conv(substring(md5(concat('fold:', " +
+            "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 5)"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("heavy"), 1L).otherwise(0L)).cast("long")
+            .as("n_pos"))
+        .withColumn("pos_rate",
+          expr("round(CAST(n_pos AS DOUBLE) / n, 6)"))
+    }),
     "q_ordinal_assoc" -> ((s, dir) => {
       // Gamma + both Somers' D next to tau-b — the full ordinal
       // association readout off ONE exact pair-count row (the kendall
@@ -5013,6 +5043,43 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_mood_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT median(cents) AS med FROM e),
+        |ev AS (SELECT event_type,
+        |    CASE WHEN cents > med THEN 'above' ELSE 'at_or_below' END
+        |      AS side FROM e, m),
+        |cells AS (SELECT event_type, side, CAST(COUNT(*) AS BIGINT)
+        |    AS obs FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS nr
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT side, CAST(SUM(obs) AS BIGINT) AS nc
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, cells.side, obs,
+        |  round(CAST(nr AS DOUBLE) * nc / n, 6) AS expected,
+        |  round((CAST(obs AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) *
+        |        (CAST(obs AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) /
+        |        (CAST(nr AS DOUBLE) * nc / n), 6) AS chi2_contrib
+        |FROM cells JOIN r ON r.event_type = cells.event_type
+        |  JOIN c ON c.side = cells.side CROSS JOIN t""".stripMargin,
+    "q_kfold_balance" ->
+      """WITH users AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 15 AS heavy
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id, heavy,
+        |    CAST('0x' || substr(md5('fold:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold
+        |  FROM users)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  round(CAST(SUM(CASE WHEN heavy THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS pos_rate
+        |FROM f GROUP BY 1""".stripMargin,
     "q_ordinal_assoc" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
