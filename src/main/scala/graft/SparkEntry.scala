@@ -3754,6 +3754,29 @@ object SparkEntry {
       // Bot screen: per-user inter-event cadence — metronomic gaps
       // (cv < 0.1 over >= 5 gaps) flag automation; exact gap moments.
       Sessionize.cadenceProfile(table(s, dir, "events"), "user_id")),
+    "q_pairwise_welch" -> ((s, dir) =>
+      // WHICH event types differ in mean cents (parametric post-hoc,
+      // the Dunn twin): pairwise Welch t off the exact moment table,
+      // A-S normal p, Bonferroni across the 10 pairs.
+      Normalize.pairwiseWelch(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")),
+    "q_rolling_corr" -> ((s, dir) => {
+      // Are clicks and purchases STILL moving together? Trailing
+      // 14-day correlation of the daily cent totals — exact window
+      // moments, NULL under 5 periods.
+      val cents = round(col("value") * 100, 0).cast("long")
+      val daily = table(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(when(col("event_type") === "click", cents).otherwise(0L))
+            .as("xc"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("yc"))
+        .withColumn("k", lit("all"))
+      graft.operators.TimeSeries.rollingCorr(daily, "k", "day",
+        "xc", "yc")
+    }),
     "q_mood_median" -> ((s, dir) => {
       // Mood's median test by composition: above/below the GRAND
       // median per type -> the existing chi2 independence kernel.
@@ -5043,6 +5066,45 @@ object SparkEntry {
          |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
          |    AND n_gaps >= 5 AS is_regular
          |FROM a""".stripMargin,
+    "q_pairwise_welch" -> {
+      val t = graft.operators.Normalize.pwWelchTSql
+      val p = graft.operators.Profiling.normalPSql(t)
+      s"""WITH e AS (SELECT event_type AS grp,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS x FROM events),
+         |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x*x) AS BIGINT) AS sq
+         |  FROM e GROUP BY 1 HAVING COUNT(*) > 1),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM g),
+         |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |    a.n AS n_a, a.s AS s_a, a.sq AS sq_a,
+         |    b.n AS n_b, b.s AS s_b, b.sq AS sq_b, k
+         |  FROM g a JOIN g b ON a.grp < b.grp, kk)
+         |SELECT grp_a, grp_b, n_a, n_b, $t AS t,
+         |  round($p, 6) AS p_normal,
+         |  round($p, 6) < 0.05 / (k * (k - 1) / 2) AS significant
+         |FROM pairs""".stripMargin
+    },
+    "q_rolling_corr" ->
+      s"""WITH pd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click'
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS xc,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(ROUND(value*100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS yc
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT 'all' AS k, day,
+         |    CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+         |    CAST(SUM(xc) OVER fr AS BIGINT) AS sx,
+         |    CAST(SUM(yc) OVER fr AS BIGINT) AS sy,
+         |    CAST(SUM(xc*yc) OVER fr AS BIGINT) AS sxy,
+         |    CAST(SUM(xc*xc) OVER fr AS BIGINT) AS sxx,
+         |    CAST(SUM(yc*yc) OVER fr AS BIGINT) AS syy
+         |  FROM pd WINDOW fr AS (ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT k, day, n,
+         |  ${graft.operators.TimeSeries.rollingCorrSql(5)} AS corr
+         |FROM w""".stripMargin,
     "q_mood_median" ->
       """WITH e AS (SELECT event_type,
         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),

@@ -148,6 +148,52 @@ object Normalize {
       "round((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b) / " +
       s"sqrt(${armVarSql("b")}), 6) END"
 
+  /** Pairwise Welch post-hoc — WHICH groups differ after [[bartlett]]/
+    * anova flag (the parametric twin of Dunn's test): every group pair
+    * gets the unequal-variance t off the exact k-row moment table
+    * (one tiny self-join, never a rescan), a two-sided p via the
+    * shared A–S normal tail (documented large-n approximation of the
+    * Welch t distribution), and Bonferroni significance across the
+    * k(k−1)/2 comparisons. */
+  def pairwiseWelch(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    val g = df.groupBy(col(keyCol).cast("string").as("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(x).cast("long").as("s"),
+        sum(x * x).cast("long").as("sq"))
+      .filter(col("n") > 1L)
+      .localCheckpoint(true) // both sides of the pair join
+    val tot = broadcast(g.agg(count(lit(1)).cast("long").as("k")))
+    g.as("a").join(broadcast(g.as("b")), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.n").as("n_a"), col("a.s").as("s_a"),
+        col("a.sq").as("sq_a"), col("b.n").as("n_b"),
+        col("b.s").as("s_b"), col("b.sq").as("sq_b"))
+      .crossJoin(tot)
+      .withColumn("t", expr(pwWelchTSql))
+      .withColumn("p_normal", expr(
+        s"round(${graft.operators.Profiling.normalPSql(pwWelchTSql)}, 6)"))
+      .withColumn("significant", expr(
+        s"round(${graft.operators.Profiling.normalPSql(pwWelchTSql)}, 6)" +
+          " < 0.05 / (k * (k - 1) / 2)"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("t"), col("p_normal"), col("significant"))
+  }
+
+  /** Welch t over the pair moment row (overflow-safe variance
+    * assembly); NULL when both variances vanish. Shared with the
+    * oracle. */
+  val pwWelchTSql: String = {
+    def v(p: String) =
+      s"((CAST(sq_$p AS DOUBLE) - CAST(s_$p AS DOUBLE) * " +
+        s"(CAST(s_$p AS DOUBLE) / n_$p)) / (n_$p - 1))"
+    val se2 = s"(${v("a")} / n_a + ${v("b")} / n_b)"
+    s"CASE WHEN $se2 > 0 THEN " +
+      "round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / " +
+      s"sqrt($se2), 6) END"
+  }
+
   /** Jarque–Bera normality test per key — the gate before trusting any
     * ±2σ rule or t-interval on a metric: JB = n/6·(S² + K²/4) from the
     * skewness and excess kurtosis, assembled from EXACT raw moment

@@ -987,6 +987,45 @@ object TimeSeries {
     "CASE WHEN rs_8 > 0 AND rs_32 > 0 THEN " +
       "round((log2(rs_32) - log2(rs_8)) / 2, 6) END"
 
+  /** Rolling correlation of two series per key over a trailing
+    * `window`-bucket frame — "are these metrics STILL moving
+    * together?": the all-history Pearson hides regime changes this
+    * surfaces. Every frame's moment sums are window SUMs of exact
+    * integers (no incremental float state to drift), the per-row
+    * correlation is the shared [[autocorr]]-style assembly; frames
+    * shorter than `minPeriods` or with a flat side yield NULL. One
+    * key-hashed exchange drives all six window sums. */
+  def rollingCorr(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      xCol: String, yCol: String, window: Int = 14,
+      minPeriods: Int = 5): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(minPeriods >= 2 && minPeriods <= window,
+      s"minPeriods in [2, window]: $minPeriods")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(window - 1).toLong, 0L)
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    perBucket
+      .select(col(keyCol), col(bucketCol), x.as("__x"), y.as("__y"))
+      .withColumn("n", count(lit(1)).over(w).cast("long"))
+      .withColumn("sx", sum(col("__x")).over(w).cast("long"))
+      .withColumn("sy", sum(col("__y")).over(w).cast("long"))
+      .withColumn("sxy", sum(col("__x") * col("__y")).over(w).cast("long"))
+      .withColumn("sxx", sum(col("__x") * col("__x")).over(w).cast("long"))
+      .withColumn("syy", sum(col("__y") * col("__y")).over(w).cast("long"))
+      .select(col(keyCol), col(bucketCol), col("n"),
+        expr(rollingCorrSql(minPeriods)).as("corr"))
+  }
+
+  /** Frame correlation over the six window-sum columns; NULL below
+    * minPeriods or on a flat side. Shared with the oracle. */
+  def rollingCorrSql(minPeriods: Int): String =
+    s"CASE WHEN n >= $minPeriods AND n*sxx - sx*sx > 0 AND " +
+      "n*syy - sy*sy > 0 THEN " +
+      "round((n*sxy - sx*sy) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * " +
+      "CAST(n*syy - sy*sy AS DOUBLE)), 6) END"
+
   /** Cross-correlation function between TWO series per key at lags
     * −maxLag..maxLag — "do clicks lead purchases, and by how many
     * days?": ccf(ℓ) correlates x shifted ℓ buckets back against y, so

@@ -1257,6 +1257,43 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
   }
 
+  test("pairwiseWelch: shifted pair flags, identical pair does not") {
+    import graft.operators.Normalize
+    def grp(name: String, base: Long) =
+      (1L to 40L).map(i => (name, base + (i % 9)))
+    val df = (grp("a", 100L) ++ grp("b", 100L) ++ grp("c", 200L))
+      .toDF("g", "v")
+    val m = Normalize.pairwiseWelch(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b")) -> r)
+      .toMap
+    assert(m.size == 3)
+    assert(m(("a", "b")).getAs[Double]("t") == 0.0)
+    assert(!m(("a", "b")).getAs[Boolean]("significant"))
+    assert(m(("a", "c")).getAs[Double]("t") < -10)
+    assert(m(("a", "c")).getAs[Boolean]("significant"))
+    assert(m(("b", "c")).getAs[Boolean]("significant"))
+  }
+
+  test("rollingCorr: lockstep = 1 after warmup, anti = -1, NULL early") {
+    val rows = (1L to 20L).map(t => ("k", t, t * 3 + (t % 4), 0L))
+      .map { case (k, t, x, _) => (k, t, x, x * 2 + 7) } // y = 2x+7
+    val df = rows.toDF("k", "t", "x", "y")
+    val m = TimeSeries.rollingCorr(df, "k", "t", "x", "y",
+      window = 7, minPeriods = 5).collect()
+      .map(r => r.getAs[Long]("t") ->
+        Option(r.get(r.fieldIndex("corr")))).toMap
+    assert(m(1L).isEmpty && m(4L).isEmpty, "below minPeriods -> NULL")
+    assert(m(5L) == Some(1.0) && m(20L) == Some(1.0))
+    val anti = (1L to 20L).map(t => ("k", t, t * 3 + (t % 4)))
+      .map { case (k, t, x) => (k, t, x, 1000 - 2 * x) }
+      .toDF("k", "t", "x", "y")
+    val ma = TimeSeries.rollingCorr(anti, "k", "t", "x", "y",
+      window = 7, minPeriods = 5).collect()
+      .map(r => r.getAs[Long]("t") ->
+        Option(r.get(r.fieldIndex("corr")))).toMap
+    assert(ma(10L) == Some(-1.0))
+  }
+
   test("hapaxProfile: tail counts by hand") {
     // tokens: a a a b b c d -> vocab 4, hapax {c,d}=2, dis {b}=1
     val docs = Seq((1L, "s", "a a a b"), (2L, "s", "b c d"))
