@@ -125,8 +125,15 @@ object Bench {
       (mins, samples)
     }
 
-    // warm-up: JVM + parquet footer caches + codegen paths (untimed)
-    try evaluate("q_uniq_visitors") catch { case _: Throwable => }
+    // warm-up: JVM + parquet footer caches + codegen paths (untimed).
+    // q_uniq_visitors warms the scan/agg path; q_url_normalize and
+    // q_variant warm the LARGE-GENERATED-CODE narrow-map path — three
+    // rounds of heavy lists carried a 0.8 s-min/6.9 s-med split on
+    // exactly these two (BASELINE.md "full-run anomaly"): their first
+    // timed run lands mid-JIT-compilation of their own kilostatement
+    // codegen. Running each once untimed retires the artifact.
+    for (w <- Seq("q_uniq_visitors", "q_url_normalize", "q_variant"))
+      try evaluate(w) catch { case _: Throwable => }
     settle()
 
     // SPARK_GRAFT_ONLY: comma-separated names — dev-iteration spot-checks

@@ -3971,7 +3971,10 @@ object SparkEntry {
           sum(col("discp")).cast("long").as("sum_discp"))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
           col("sum_base_cents"), col("sum_disc_cp"),
-          col("sum_charge_cpp"), col("count_order"),
+          // exposed DECIMAL → STRING (r10 decimal contract; the exact
+          // decimal sum happened above)
+          col("sum_charge_cpp").cast("string").as("sum_charge_cpp"),
+          col("count_order"),
           expr("round(CAST(sum_qty AS DOUBLE) / count_order, 6)")
             .as("avg_qty"),
           expr("round(CAST(sum_base_cents AS DOUBLE) / 100 / count_order," +
@@ -4271,6 +4274,90 @@ object SparkEntry {
             .as("heavy"))
         .withColumn("pred", col("spend") > 330000L) // ≈ median user spend
       Profiling.mcc(users, "pred", "heavy")
+    }),
+    "q_sign_test" -> ((s, dir) => {
+      // Paired sign test: does each user spend more on even or odd
+      // days? Ties drop; exact win counts, one z chain — the
+      // weakest-assumption paired test next to the signed-rank tier.
+      val users = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") % 2 === 0L, col("cents")).otherwise(0L))
+            .cast("long").as("spend_even"),
+          sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
+            .cast("long").as("spend_odd"))
+      Profiling.signTest(users, "spend_even", "spend_odd")
+    }),
+    "q_g_test" -> ((s, dir) =>
+      // Likelihood-ratio independence of lang × source — the G twin of
+      // q_chi2_independence; nano-quantized O·ln(O·N/NrNc) cell terms.
+      Profiling.gTest(table(s, dir, "documents"), "lang", "source")),
+    "q_risk_ratio" -> ((s, dir) => {
+      // Does hitting an error associate with heavy purchasing? RR + OR
+      // with Wald log-scale CIs off four exact 2x2 cells.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"))
+      Profiling.riskRatio(users, "had_error", "heavy")
+    }),
+    "q_cmh" -> ((s, dir) => {
+      // The error→heavy association CONTROLLED for spend tier:
+      // Mantel-Haenszel pooled OR vs the crude OR, CMH chi2, and the
+      // Simpson's-paradox flag — per-stratum nano terms, exact sums.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"))
+        .withColumn("tier",
+          when(col("spend") >= 360000L, "high")
+            .when(col("spend") >= 300000L, "mid").otherwise("low"))
+      Profiling.cmh(users, "tier", "had_error", "heavy")
+    }),
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      // Magnitude-aware paired twin of q_sign_test on the SAME pairing
+      // (even-day vs odd-day spend per user): doubled midranks of |d|
+      // off the prefix-sum kernel, tie-corrected z.
+      val users = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") % 2 === 0L, col("cents")).otherwise(0L))
+            .cast("long").as("spend_even"),
+          sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
+            .cast("long").as("spend_odd"))
+      Profiling.wilcoxonSignedRank(users, "spend_even", "spend_odd")
+    }),
+    "q_page_trend" -> ((s, dir) =>
+      // Ordered-alternative sharpening of q_friedman on the same
+      // user × event-type spend layout: Page's L with the treatment
+      // order = sorted type labels, exact doubled-rank L2.
+      Profiling.pageTrend(
+        table(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "user_id", "event_type", "v")),
+    "q_link_predictors" -> ((s, dir) => {
+      // The classical predictor battery (common neighbors / Jaccard /
+      // preferential attachment / resource allocation) on the SAME
+      // repeat-co-purchase graph as q_link_prediction — one wedge
+      // enumeration feeds all four scores.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.linkPredictors(e, "src", "dst", topK = 20)
     }),
   )
 
@@ -4916,7 +5003,8 @@ object SparkEntry {
          |  FROM (SELECT user_id, CAST(SUM(sflag) AS BIGINT) AS li
          |    FROM sf GROUP BY 1)),
          |f AS (SELECT * FROM bt, bi)
-         |SELECT k, sum_g, sum_g2, n_items, sum_l, sum_l2,
+         |SELECT k, sum_g, CAST(sum_g2 AS VARCHAR) AS sum_g2,
+         |  n_items, sum_l, sum_l2,
          |  ${graft.operators.Profiling.cochranQSql} AS q,
          |  CAST(k - 1 AS BIGINT) AS df,
          |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")} AS chi2_crit,
@@ -4949,7 +5037,8 @@ object SparkEntry {
          |    CAST(SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS DECIMAL(38,0))
          |      AS a4 FROM rk),
          |f AS (SELECT * FROM bt, tt, aa)
-         |SELECT k, b4n, n_items, a4,
+         |SELECT k, CAST(b4n AS VARCHAR) AS b4n, n_items,
+         |  CAST(a4 AS VARCHAR) AS a4,
          |  ${graft.operators.Profiling.friedmanSql} AS chi2,
          |  CAST(k - 1 AS BIGINT) AS df,
          |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")} AS chi2_crit,
@@ -5058,13 +5147,13 @@ object SparkEntry {
          |    ORDER BY ms, event_id) AS gap FROM e),
          |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
          |    CAST(SUM(gap) AS BIGINT) AS sg,
-         |    CAST(SUM(gap*gap) AS BIGINT) AS sgg
+         |    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0))
+         |      AS sgg
          |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
-         |SELECT user_id, n_gaps, sg, sgg,
+         |SELECT user_id, n_gaps, sg, CAST(sgg AS VARCHAR) AS sgg,
          |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
          |  ${graft.operators.Sessionize.cadenceCvSql} AS cv,
-         |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
-         |    AND n_gaps >= 5 AS is_regular
+         |  ${graft.operators.Sessionize.cadenceRegularSql} AS is_regular
          |FROM a""".stripMargin,
     "q_pairwise_welch" -> {
       val t = graft.operators.Normalize.pwWelchTSql
@@ -5197,7 +5286,7 @@ object SparkEntry {
          |      AS DECIMAL(38,0)) AS swe
          |  FROM grid),
          |f AS (SELECT swo, swe, n FROM a, nn)
-         |SELECT swo, swe, n,
+         |SELECT swo, CAST(swe AS VARCHAR) AS swe, n,
          |  ${graft.operators.Profiling.weightedKappaSql} AS kappa_w
          |FROM f""".stripMargin,
     "q_pr_auc" ->
@@ -5235,7 +5324,7 @@ object SparkEntry {
          |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))
          |      AS sww
          |  FROM u WHERE w > 0 GROUP BY 1)
-         |SELECT event_type, n, sw, sww,
+         |SELECT event_type, n, sw, CAST(sww AS VARCHAR) AS sww,
          |  ${graft.operators.Sampling.essSql} AS ess,
          |  round(${graft.operators.Sampling.essSql} / n, 6) AS ess_ratio
          |FROM a""".stripMargin,
@@ -5357,7 +5446,9 @@ object SparkEntry {
          |      AS concordant,
          |    CAST(SUM(CASE WHEN a.sc = b.sc THEN 1 ELSE 0 END) AS BIGINT)
          |      AS tied_score
-         |  FROM subj a JOIN subj b ON a.t < b.t AND a.ev = 1)
+         |  FROM subj a JOIN subj b
+         |    ON (a.t < b.t AND a.ev = 1)
+         |    OR (a.t = b.t AND a.ev = 1 AND b.ev = 0))
          |SELECT comparable, concordant, tied_score,
          |  ${graft.operators.Survival.harrellCSql} AS c_index
          |FROM p""".stripMargin,
@@ -5376,7 +5467,9 @@ object SparkEntry {
          |    ${graft.operators.Normalize.jbSkewSql} AS skewness,
          |    ${graft.operators.Normalize.jbKurtSql} AS kurtosis_excess
          |  FROM a)
-         |SELECT event_type, n, s1, s2, s3, s4, skewness, kurtosis_excess,
+         |SELECT event_type, n, s1, CAST(s2 AS VARCHAR) AS s2,
+         |  CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+         |  skewness, kurtosis_excess,
          |  ${graft.operators.Normalize.jbSql} AS jb,
          |  ${graft.operators.Normalize.jbSql} > 5.991465 AS significant
          |FROM b""".stripMargin,
@@ -5424,7 +5517,8 @@ object SparkEntry {
         |    CAST(SUM(discp) AS BIGINT) AS sum_discp
         |  FROM e GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
-        |  sum_disc_cp, sum_charge_cpp, count_order,
+        |  sum_disc_cp, CAST(sum_charge_cpp AS VARCHAR) AS sum_charge_cpp,
+        |  count_order,
         |  round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
         |  round(CAST(sum_base_cents AS DOUBLE) / 100 / count_order, 6)
         |    AS avg_price,
@@ -5946,7 +6040,8 @@ object SparkEntry {
          |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1))
          |      AS DECIMAL(38,0)) AS s_pairs,
          |    CAST(SUM(term) AS BIGINT) AS h_nano FROM wterm GROUP BY 1)
-         |SELECT g AS source, n_tokens, vocab, s_pairs, h_nano,
+         |SELECT g AS source, n_tokens, vocab,
+         |  CAST(s_pairs AS VARCHAR) AS s_pairs, h_nano,
          |  round(CAST(h_nano AS DOUBLE) / 1000000000, 6) AS shannon_nats,
          |  ${graft.operators.TextAnalysis.simpsonSql} AS simpson,
          |  CASE WHEN ${graft.operators.TextAnalysis.simpsonSql} > 0 THEN
@@ -9045,7 +9140,9 @@ object SparkEntry {
          |    CAST(SUM(rx2*rx2) AS DECIMAL(38,0)) AS sxx,
          |    CAST(SUM(ry2*ry2) AS DECIMAL(38,0)) AS syy,
          |    CAST(SUM(rx2*ry2) AS DECIMAL(38,0)) AS sxy FROM j)
-         |SELECT n, sx, sy, sxx, syy, sxy,
+         |SELECT n, sx, sy,
+         |  CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+         |  CAST(sxy AS VARCHAR) AS sxy,
          |  ${graft.operators.Profiling.pearsonMomentsSql} AS spearman_rho
          |FROM m""".stripMargin,
     "q_retrieval_eval" ->
@@ -9123,7 +9220,8 @@ object SparkEntry {
          |    SUM(CAST(e AS HUGEINT) * e) AS sse,
          |    SUM(CAST(de AS HUGEINT) * de) AS ssd
          |  FROM d GROUP BY 1)
-         |SELECT event_type, n, sse, ssd,
+         |SELECT event_type, n,
+         |  CAST(sse AS VARCHAR) AS sse, CAST(ssd AS VARCHAR) AS ssd,
          |  ${graft.operators.TimeSeries.dwSql} AS dw
          |FROM agg""".stripMargin,
     "q_runs_test" ->
@@ -9284,7 +9382,7 @@ object SparkEntry {
          |  FROM users JOIN rk ON users.spend = rk.v),
          |a AS (SELECT n1, n2, CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2,
          |    t3t FROM m, tie)
-         |SELECT n1, n2, u1x2, t3t,
+         |SELECT n1, n2, u1x2, CAST(t3t AS VARCHAR) AS t3t,
          |  ${graft.operators.Profiling.mwZSql} AS z,
          |  ${graft.operators.Profiling.cliffsDeltaSql} AS cliffs_delta,
          |  abs(${graft.operators.Profiling.mwZSql}) > 1.959964 AS significant
@@ -9307,7 +9405,8 @@ object SparkEntry {
          |    CAST(SUM(ng) AS BIGINT) AS n,
          |    CAST(SUM(s_micro) AS DECIMAL(38,0)) AS s_micro FROM pc),
          |t AS (SELECT g, n, s_micro, t3t FROM a, tie)
-         |SELECT g, n, s_micro, t3t,
+         |SELECT g, n, CAST(s_micro AS VARCHAR) AS s_micro,
+         |  CAST(t3t AS VARCHAR) AS t3t,
          |  ${graft.operators.Profiling.kwHSql} AS h,
          |  CAST(g - 1 AS BIGINT) AS df,
          |  ${graft.operators.Profiling.chi2Crit95Sql("g - 1")} AS chi2_crit,
@@ -9450,6 +9549,217 @@ object SparkEntry {
          |      AS BIGINT) AS fn FROM p)
          |SELECT tp, fp, tn, fn, ${graft.operators.Profiling.mccSql} AS mcc
          |FROM c""".stripMargin,
+    "q_sign_test" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |u AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_neg,
+         |    CAST(SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tie
+         |  FROM u),
+         |f AS (SELECT n_pos, n_neg, n_tie,
+         |    CAST(n_pos + n_neg AS BIGINT) AS m FROM a)
+         |SELECT n_pos, n_neg, n_tie, m,
+         |  ${graft.operators.Profiling.signZSql} AS z,
+         |  abs(${graft.operators.Profiling.signZSql}) > 1.959964
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_g_test" ->
+      s"""WITH cells AS (SELECT lang, source,
+         |    CAST(COUNT(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+         |rr AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS nr
+         |  FROM cells GROUP BY 1),
+         |cc AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS nc
+         |  FROM cells GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+         |j AS (SELECT obs, nr, nc, n
+         |  FROM cells JOIN rr USING (lang) JOIN cc USING (source), tt),
+         |w AS (SELECT n, ${graft.operators.Profiling.gCellNanoSql}
+         |    AS term_nano FROM j),
+         |a AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rr) AS r,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS c,
+         |    MAX(n) AS n,
+         |    CAST(SUM(term_nano) AS BIGINT) AS g_nano FROM w)
+         |SELECT r, c, n, g_nano,
+         |  ${graft.operators.Profiling.gSql} AS g,
+         |  CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("(r - 1) * (c - 1)")}
+         |    AS chi2_crit,
+         |  ${graft.operators.Profiling.gSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("(r - 1) * (c - 1)")}
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_risk_ratio" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0 AS had_error,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 15 AS heavy
+         |  FROM events GROUP BY 1),
+         |x AS (SELECT
+         |    CAST(SUM(CASE WHEN had_error AND heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN had_error AND NOT heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN NOT had_error AND heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN NOT had_error AND NOT heavy THEN 1 ELSE 0
+         |      END) AS BIGINT) AS d
+         |  FROM users)
+         |SELECT a, b, c, d,
+         |  ${graft.operators.Profiling.rrSql} AS risk_ratio,
+         |  ${graft.operators.Profiling.rrCiSql("-")} AS rr_lo,
+         |  ${graft.operators.Profiling.rrCiSql("+")} AS rr_hi,
+         |  ${graft.operators.Profiling.orSql} AS odds_ratio,
+         |  ${graft.operators.Profiling.orCiSql("-")} AS or_lo,
+         |  ${graft.operators.Profiling.orCiSql("+")} AS or_hi
+         |FROM x""".stripMargin,
+    "q_cmh" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0 AS had_error,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 15 AS heavy
+         |  FROM events GROUP BY 1),
+         |u2 AS (SELECT CASE WHEN spend >= 360000 THEN 'high'
+         |      WHEN spend >= 300000 THEN 'mid' ELSE 'low' END AS s,
+         |    had_error AS e0, heavy AS o0 FROM users),
+         |st AS (SELECT s,
+         |    CAST(SUM(CASE WHEN e0 AND o0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(SUM(CASE WHEN e0 AND NOT o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN NOT e0 AND o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN NOT e0 AND NOT o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS nk
+         |  FROM u2 GROUP BY 1 HAVING COUNT(*) > 1),
+         |t AS (SELECT a, b, c, d, nk,
+         |    ${graft.operators.Profiling.cmhENanoSql} AS e_nano,
+         |    ${graft.operators.Profiling.cmhVNanoSql} AS v_nano,
+         |    ${graft.operators.Profiling.cmhAdNanoSql} AS adn_nano,
+         |    ${graft.operators.Profiling.cmhBcNanoSql} AS bcn_nano
+         |  FROM st),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+         |    CAST(SUM(e_nano) AS BIGINT) AS se_nano,
+         |    CAST(SUM(v_nano) AS BIGINT) AS sv_nano,
+         |    CAST(SUM(adn_nano) AS BIGINT) AS sadn_nano,
+         |    CAST(SUM(bcn_nano) AS BIGINT) AS sbcn_nano
+         |  FROM t)
+         |SELECT k, sa, sb, sc, sd, se_nano, sv_nano, sadn_nano, sbcn_nano,
+         |  ${graft.operators.Profiling.cmhChi2Sql} AS chi2_mh,
+         |  ${graft.operators.Profiling.cmhChi2Sql} > 3.841459
+         |    AS significant,
+         |  ${graft.operators.Profiling.cmhOrSql} AS or_mh,
+         |  ${graft.operators.Profiling.cmhCrudeOrSql} AS or_crude,
+         |  ${graft.operators.Profiling.cmhFlipSql} AS simpson_flip
+         |FROM agg""".stripMargin,
+    "q_wilcoxon_signed" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |u AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |d AS (SELECT ABS(x - y) AS ad, x > y AS pos FROM u
+         |  WHERE x <> y),
+         |per AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM d GROUP BY 1),
+         |rk AS (SELECT ad,
+         |    CAST(SUM(nv) OVER (ORDER BY ad) AS BIGINT) * 2 - nv + 1
+         |      AS r2,
+         |    CAST(nv AS DECIMAL(38,0)) * nv * nv - nv AS t3t_v
+         |  FROM per),
+         |tie AS (SELECT CAST(SUM(t3t_v) AS DECIMAL(38,0)) AS t3t FROM rk),
+         |m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS wpos2
+         |  FROM d JOIN rk USING (ad)),
+         |f AS (SELECT m, wpos2, t3t FROM m0, tie)
+         |SELECT m, wpos2, CAST(t3t AS VARCHAR) AS t3t,
+         |  ${graft.operators.Profiling.wsrZSql} AS z,
+         |  abs(${graft.operators.Profiling.wsrZSql}) > 1.959964
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_page_trend" ->
+      s"""WITH ut AS (SELECT user_id, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+         |  FROM ut),
+         |comp AS (SELECT ut.user_id, ut.event_type, ut.v, k FROM ut, kk
+         |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) = k),
+         |rk AS (SELECT user_id, event_type, k,
+         |    CAST(2 * COUNT(*) OVER (PARTITION BY user_id ORDER BY v
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      + COUNT(*) OVER (PARTITION BY user_id, v) + 1 AS BIGINT)
+         |      AS r2
+         |  FROM comp),
+         |rs AS (SELECT k, event_type, CAST(SUM(r2) AS BIGINT) AS r2j
+         |  FROM rk GROUP BY 1, 2),
+         |ord AS (SELECT event_type,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS cj
+         |  FROM (SELECT DISTINCT event_type FROM rs) q),
+         |bt AS (SELECT k, CAST(SUM(cj * r2j) AS BIGINT) AS l2
+         |  FROM rs JOIN ord USING (event_type) GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_items
+         |  FROM rk),
+         |f AS (SELECT * FROM bt, tt)
+         |SELECT k, l2, n_items,
+         |  ${graft.operators.Profiling.pageZSql} AS z,
+         |  abs(${graft.operators.Profiling.pageZSql}) > 1.959964
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_link_predictors" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src,
+        |    b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |deg AS MATERIALIZED (SELECT src AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS deg FROM es GROUP BY 1),
+        |centers AS MATERIALIZED (SELECT w,
+        |    CAST(ROUND(1000000.0 / deg, 0) AS BIGINT) AS ra_contrib
+        |  FROM deg WHERE deg >= 2),
+        |wedges AS (SELECT x.src AS w, x.dst AS a, y.dst AS b
+        |  FROM es x JOIN es y ON x.src = y.src AND x.dst < y.dst),
+        |scored AS (SELECT a, b,
+        |    CAST(SUM(ra_contrib) AS BIGINT) AS ra_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM wedges JOIN centers USING (w) GROUP BY 1, 2),
+        |wd AS (SELECT s.a, s.b, s.n_common, s.ra_micro,
+        |    da.deg AS deg_a, db.deg AS deg_b
+        |  FROM scored s JOIN deg da ON da.w = s.a
+        |    JOIN deg db ON db.w = s.b),
+        |f AS (SELECT a, b, n_common, deg_a, deg_b,
+        |    ${graft.operators.Graph.jaccardMicroSql} AS jaccard_micro,
+        |    CAST(deg_a * deg_b AS BIGINT) AS pref_attach, ra_micro
+        |  FROM wd)
+        |SELECT a, b, n_common, deg_a, deg_b, jaccard_micro, pref_attach,
+        |  ra_micro
+        |FROM f s
+        |WHERE NOT EXISTS (SELECT 1 FROM es
+        |  WHERE es.src = s.a AND es.dst = s.b)
+        |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

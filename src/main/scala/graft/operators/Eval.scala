@@ -202,7 +202,9 @@ object Eval {
     * p = σ(a·z+b) (spliced in). Deterministic double ops — exp matches
     * libm-for-libm across the engines (FIXTURES.md). */
   def plattTermSql(e: String): String = {
-    val withP = e.replace("p", "(1.0 / (1.0 + EXP(-(a * z + b))))")
+    // word-boundary splice: a bare .replace("p", …) would corrupt any
+    // future term containing p inside an identifier (pow, exp, p_hat)
+    val withP = e.replaceAll("\\bp\\b", "(1.0 / (1.0 + EXP(-(a * z + b))))")
     s"CAST(ROUND(($withP) * 1000000, 0) AS BIGINT)"
   }
 

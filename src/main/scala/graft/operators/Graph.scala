@@ -451,6 +451,63 @@ object Graph {
       .limit(topK)
   }
 
+  /** Multi-score link prediction — the classical neighborhood predictors
+    * next to [[adamicAdar]], all from ONE wedge enumeration: common
+    * neighbors, Jaccard |Γa∩Γb|/|Γa∪Γb| (micro), preferential
+    * attachment deg_a·deg_b, and resource allocation Σ 1/deg(w) (micro —
+    * the RA index, Adamic–Adar without the ln softening). Top-K
+    * non-adjacent pairs by RA with the (a, b) tie-break. Same hub-cap
+    * valve as adamicAdar: `maxCenterDeg` removes hub PIVOTS before the
+    * self-join, bounding the wedge blow-up to cap·m at power-law scale;
+    * endpoint degrees stay exact (the cap only affects which wedges are
+    * enumerated). */
+  def linkPredictors(
+      edges: DataFrame, srcCol: String, dstCol: String, topK: Int,
+      maxCenterDeg: Long = Long.MaxValue): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true) // wedges join it twice; degrees read it once
+    val degAll = und.groupBy(col("u").as("w"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true) // feeds centers + both endpoint joins
+    val centers = degAll
+      .filter(col("deg") >= 2).filter(col("deg") <= maxCenterDeg)
+      .withColumn("ra_contrib",
+        round(lit(1000000.0) / col("deg").cast("double"), 0).cast("long"))
+      .select(col("w"), col("ra_contrib"))
+    val undPivot =
+      if (maxCenterDeg == Long.MaxValue) und
+      else und.join(centers.select(col("w").as("u")), Seq("u"), "left_semi")
+    val wedges = undPivot.as("x").join(undPivot.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("w"), col("x.v").as("a"), col("y.v").as("b"))
+    val scored = wedges.join(centers, Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("ra_contrib")).cast("long").as("ra_micro"),
+        count(lit(1)).cast("long").as("n_common"))
+    val adjacent = und.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    scored
+      .join(degAll.select(col("w").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(degAll.select(col("w").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(adjacent, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"),
+        col("deg_b"), expr(jaccardMicroSql).as("jaccard_micro"),
+        (col("deg_a") * col("deg_b")).cast("long").as("pref_attach"),
+        col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Jaccard coefficient in micro units over (n_common, deg_a, deg_b);
+    * the union size is deg_a + deg_b − common, never zero for a pair
+    * that shares a neighbor. Shared with the oracle. */
+  val jaccardMicroSql: String =
+    "CAST(ROUND(1000000.0 * n_common / (deg_a + deg_b - n_common), 0) " +
+      "AS BIGINT)"
+
   /** Per-node structural features — the graph-feature-engineering pass a
     * fraud/recommendation model consumes: degree, triangle participation
     * ([[triangleCounts]] reused), and the local clustering coefficient

@@ -215,6 +215,12 @@ object Normalize {
       .withColumn("kurtosis_excess", expr(jbKurtSql))
       .withColumn("jb", expr(jbSql))
       .withColumn("significant", expr(s"$jbSql > 5.991465"))
+      // exposed DECIMAL → STRING (r10 decimal contract; JB consumed the
+      // exact decimals already — a DOUBLE cast of the >2^53 s4 differed
+      // by 1 ulp between the engines)
+      .withColumn("s2", col("s2").cast("string"))
+      .withColumn("s3", col("s3").cast("string"))
+      .withColumn("s4", col("s4").cast("string"))
   }
 
   private val jbMuSql = "(CAST(s1 AS DOUBLE) / n)"

@@ -432,6 +432,15 @@ object Profiling {
       sum((col("ry2") * col("ry2")).cast("decimal(38,0)")).as("syy"),
       sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"))
       .withColumn("spearman_rho", expr(pearsonMomentsSql))
+      // the statistic consumed the exact DECIMAL sums above; the EXPOSED
+      // copies leave as STRING — raw DECIMAL in an output schema renders
+      // engine-dependently under the driver's hasher, and DOUBLE casts of
+      // >2^53 decimals differ by 1 ulp between the engines (the r10
+      // jarque-bera lesson, BASELINE.md dtype clause); exact digits are
+      // identical everywhere
+      .withColumn("sxx", col("sxx").cast("string"))
+      .withColumn("syy", col("syy").cast("string"))
+      .withColumn("sxy", col("sxy").cast("string"))
   }
 
   /** Guarded Pearson over a moment-sum row, shared with the oracle. */
@@ -562,7 +571,11 @@ object Profiling {
       .withColumn("z", expr(mwZSql))
       .withColumn("cliffs_delta", expr(cliffsDeltaSql))
       .withColumn("significant", expr(s"abs($mwZSql) > 1.959964"))
-      .select("n1", "n2", "u1x2", "t3t", "z", "cliffs_delta", "significant")
+      // exposed DECIMAL → STRING (r10 decimal contract; z consumed the
+      // exact decimal already)
+      .select(col("n1"), col("n2"), col("u1x2"),
+        col("t3t").cast("string").as("t3t"), col("z"),
+        col("cliffs_delta"), col("significant"))
   }
 
   /** Tie-corrected Mann–Whitney variance ·4 (of 2·U) over the moment
@@ -619,6 +632,10 @@ object Profiling {
       .withColumn("chi2_crit", expr(chi2Crit95Sql("g - 1")))
       .withColumn("significant",
         expr(s"$kwHSql > ${chi2Crit95Sql("g - 1")}"))
+      // exposed DECIMAL → STRING (r10 decimal contract; H consumed the
+      // exact decimals already)
+      .withColumn("s_micro", col("s_micro").cast("string"))
+      .withColumn("t3t", col("t3t").cast("string"))
   }
 
   /** Per-group H contribution (R_g²/n_g with R_g = rgx2/2) in micro
@@ -678,6 +695,9 @@ object Profiling {
       .withColumn("chi2_crit", expr(chi2Crit95Sql("k - 1")))
       .withColumn("significant",
         expr(s"$cochranQSql > ${chi2Crit95Sql("k - 1")}"))
+      // exposed DECIMAL → STRING (r10 decimal contract; Q consumed the
+      // exact decimal already)
+      .withColumn("sum_g2", col("sum_g2").cast("string"))
   }
 
   /** Q over (k, sum_g, sum_g2, sum_l, sum_l2); the numerator's
@@ -762,13 +782,20 @@ object Profiling {
       sum((x * x).cast("decimal(38,0)")).as("sxx"),
       sum((y * y).cast("decimal(38,0)")).as("syy"),
       sum((x * y).cast("decimal(38,0)")).as("sxy")))
-    df.select(col(idCol).as("id"), x.as("x"), y.as("y"))
+    // top-K via orderBy().limit() => TakeOrderedAndProject (per-partition
+    // heaps + driver merge of K), never a global row_number window that
+    // would funnel every row through one partition at 100× scale; the
+    // k-row survivor set then ranks through a window that only ever sees
+    // topK rows. Tie-break (d2 desc, id) preserved end-to-end.
+    val top = df.select(col(idCol).as("id"), x.as("x"), y.as("y"))
       .crossJoin(mm)
       .withColumn("d2", expr(mahalanobis2Sql))
       .filter(col("d2").isNotNull)
+      .orderBy(col("d2").desc, col("id"))
+      .limit(topK)
+    top
       .withColumn("rn", row_number().over(
         Window.orderBy(col("d2").desc, col("id"))))
-      .filter(col("rn") <= topK)
       .select(col("rn").cast("long").as("rnk"), col("id"),
         col("x"), col("y"), col("d2"))
   }
@@ -890,6 +917,10 @@ object Profiling {
       .withColumn("chi2_crit", expr(chi2Crit95Sql("k - 1")))
       .withColumn("significant",
         expr(s"$friedmanSql > ${chi2Crit95Sql("k - 1")}"))
+      // exposed DECIMAL → STRING (r10 decimal contract; χ² consumed the
+      // exact decimals already)
+      .withColumn("b4n", col("b4n").cast("string"))
+      .withColumn("a4", col("a4").cast("string"))
   }
 
   /** Tie-robust Friedman χ² over (k, b4n, n_items, a4); C4 = n·k·(k+1)²
@@ -1032,6 +1063,9 @@ object Profiling {
           .cast("decimal(38,0)").as("swe"))
       .crossJoin(n1)
       .withColumn("kappa_w", expr(weightedKappaSql))
+      // exposed DECIMAL → STRING (r10 decimal contract; κ_w consumed the
+      // exact decimal already)
+      .withColumn("swe", col("swe").cast("string"))
   }
 
   /** κ_w over (n, swo, swe); NULL when the raters never spread
@@ -1326,5 +1360,425 @@ object Profiling {
           .otherwise(col("n_k").cast("double")))
       .withColumn("rel_err",
         round(abs(col("est_distinct") / col("exact_distinct").cast("double") - 1), 6))
+  }
+
+  /** Paired sign test — the assumption-free "did the metric move?" for
+    * paired observations (same unit measured twice): counts units where
+    * x > y vs x < y (ties drop, the canonical treatment) and tests the
+    * win count against Binomial(m, ½) via the normal approximation
+    * z = (2·n_pos − m)/√m. The weakest-assumption member of the paired
+    * family next to [[mannWhitney]] (independent) and the signed-rank
+    * test (paired, magnitude-aware). One conditional aggregate — exact
+    * integers, one double chain shared with the oracle. */
+  def signTest(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .agg(
+        sum(when(col("x") > col("y"), 1L).otherwise(0L)).cast("long")
+          .as("n_pos"),
+        sum(when(col("x") < col("y"), 1L).otherwise(0L)).cast("long")
+          .as("n_neg"),
+        sum(when(col("x") === col("y"), 1L).otherwise(0L)).cast("long")
+          .as("n_tie"))
+      .withColumn("m", (col("n_pos") + col("n_neg")).cast("long"))
+      .withColumn("z", expr(signZSql))
+      .withColumn("significant", expr(s"abs($signZSql) > 1.959964"))
+
+  /** z over (n_pos, m); NULL when every pair tied. Shared with the
+    * oracle. */
+  val signZSql: String =
+    "CASE WHEN m > 0 THEN round((2.0 * n_pos - m) / sqrt(CAST(m AS " +
+      "DOUBLE)), 6) END"
+
+  /** G-test of independence — the likelihood-ratio twin of
+    * [[chi2Independence]], preferred when any cell is small relative to
+    * the table (χ²'s quadratic form over-rejects there):
+    * G = 2·Σ O·ln(O·N / (N_r·N_c)), df = (r−1)(c−1). Zero cells
+    * contribute 0 and are simply never materialized. Per-cell ln terms
+    * quantize to nano units so the cross-stratum sum is an exact BIGINT
+    * (order-independent across engines; ln matches libm-for-libm —
+    * FIXTURES.md); the term magnitude bounds Σ|term| < N·ln(N)·10⁹,
+    * inside long range to ~10⁸ rows — beyond that, re-scale to micro.
+    * Same plan shape as chi2Independence: cells materialize once,
+    * marginals broadcast back. */
+  def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).cast("long").as("obs"))
+      .localCheckpoint(true)
+    val rows = broadcast(cells.groupBy(col(rowCol))
+      .agg(sum(col("obs")).cast("long").as("nr")))
+    val colsM = broadcast(cells.groupBy(col(colCol))
+      .agg(sum(col("obs")).cast("long").as("nc")))
+    val tot = broadcast(cells.agg(sum(col("obs")).cast("long").as("n")))
+    cells.join(rows, rowCol).join(colsM, colCol).crossJoin(tot)
+      .withColumn("term_nano", expr(gCellNanoSql))
+      .agg(
+        count_distinct(col(rowCol)).cast("long").as("r"),
+        count_distinct(col(colCol)).cast("long").as("c"),
+        max(col("n")).as("n"),
+        sum(col("term_nano")).cast("long").as("g_nano"))
+      .withColumn("g", expr(gSql))
+      .withColumn("df", expr("CAST((r - 1) * (c - 1) AS BIGINT)"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("(r - 1) * (c - 1)")))
+      .withColumn("significant",
+        expr(s"$gSql > ${chi2Crit95Sql("(r - 1) * (c - 1)")}"))
+  }
+
+  /** Per-cell G contribution O·ln(O·N/(N_r·N_c)) in nano units over
+    * (obs, nr, nc, n). Shared with the oracle. */
+  val gCellNanoSql: String =
+    "CAST(ROUND(obs * LN(CAST(obs AS DOUBLE) * n / " +
+      "(CAST(nr AS DOUBLE) * nc)) * 1000000000, 0) AS BIGINT)"
+
+  /** G = 2·Σterms over the nano sum. The CAST keeps the chain DOUBLE —
+    * a bare `2.0 * g_nano` parses as DECIMAL in both engines and would
+    * expose DecimalType (the tripwire) and decimal rounding. Shared
+    * with the oracle. */
+  val gSql: String =
+    "round(2.0 * CAST(g_nano AS DOUBLE) / 1000000000, 6)"
+
+  /** 2×2 risk readout — relative risk AND odds ratio with Wald 95% CIs,
+    * the effect-size table every incident/exposure postmortem wants next
+    * to the chi-square yes/no: cells a (exposed, outcome), b (exposed,
+    * no outcome), c (unexposed, outcome), d (unexposed, no outcome);
+    * RR = (a/(a+b))/(c/(c+d)), OR = ad/bc, CIs via
+    * exp(ln(est) ± 1.96·SE) with the standard log-scale SEs. One
+    * conditional aggregate; exact cells, shared double chains (ln/exp
+    * are the portable libm pair); NULL estimates when a needed cell is
+    * empty (no continuity fudge — the caller should see the degeneracy,
+    * not a silently shifted estimate). */
+  def riskRatio(
+      df: DataFrame, exposedCol: String, outcomeCol: String): DataFrame =
+    df.select(when(col(exposedCol), 1L).otherwise(0L).as("e"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+      .agg(
+        sum(when(col("e") === 1L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("a"),
+        sum(when(col("e") === 1L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(col("e") === 0L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(col("e") === 0L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("d"))
+      .withColumn("risk_ratio", expr(rrSql))
+      .withColumn("rr_lo", expr(rrCiSql("-")))
+      .withColumn("rr_hi", expr(rrCiSql("+")))
+      .withColumn("odds_ratio", expr(orSql))
+      .withColumn("or_lo", expr(orCiSql("-")))
+      .withColumn("or_hi", expr(orCiSql("+")))
+
+  private val rrEstSql: String =
+    "((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)))"
+  private val rrSeSql: String =
+    "sqrt(1.0/a - 1.0/(a + b) + 1.0/c - 1.0/(c + d))"
+  /** RR over the 2×2 row; NULL unless both risk denominators and both
+    * numerators are positive. Shared with the oracle. */
+  val rrSql: String =
+    s"CASE WHEN a > 0 AND c > 0 THEN round($rrEstSql, 6) END"
+  def rrCiSql(sign: String): String =
+    s"CASE WHEN a > 0 AND c > 0 THEN round(exp(ln($rrEstSql) $sign " +
+      s"1.959964 * $rrSeSql), 6) END"
+  private val orEstSql: String =
+    "(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+  private val orSeSql: String = "sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)"
+  /** OR over the 2×2 row; NULL when any cell is empty. Shared with the
+    * oracle. */
+  val orSql: String =
+    "CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN " +
+      s"round($orEstSql, 6) END"
+  def orCiSql(sign: String): String =
+    "CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN " +
+      s"round(exp(ln($orEstSql) $sign 1.959964 * $orSeSql), 6) END"
+
+  /** Cochran–Mantel–Haenszel — the STRATIFIED 2×2 test: "does exposure
+    * associate with outcome AFTER controlling for the confounder?" Per
+    * stratum k: cells (a,b,c,d,n); the CMH statistic
+    * (Σa − ΣE_k)²/ΣV_k with E = (a+b)(a+c)/n and
+    * V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)), plus the Mantel–Haenszel
+    * pooled OR = Σ(a·d/n)/Σ(b·c/n) next to the CRUDE OR of the collapsed
+    * table — `simpson_flip` flags when the two sit on opposite sides of
+    * 1, the Simpson's-paradox alarm this operator exists to ring.
+    * Per-stratum double terms quantize to nano units so the
+    * cross-stratum sums are exact BIGINTs (order-independent; bounded to
+    * ~10⁸ rows/stratum). Single-row strata drop (V's n−1 denominator),
+    * identically in the oracle. One aggregate to the stratum table, one
+    * to the statistic — stratum count bounds nothing. */
+  def cmh(
+      df: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val u = df.select(col(stratumCol).cast("string").as("s"),
+      when(col(exposedCol), 1L).otherwise(0L).as("e"),
+      when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+    u.groupBy(col("s"))
+      .agg(
+        sum(when(col("e") === 1L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("a"),
+        sum(when(col("e") === 1L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(col("e") === 0L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(col("e") === 0L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("d"),
+        count(lit(1)).cast("long").as("nk"))
+      .filter(col("nk") > 1L)
+      .withColumn("e_nano", expr(cmhENanoSql))
+      .withColumn("v_nano", expr(cmhVNanoSql))
+      .withColumn("adn_nano", expr(cmhAdNanoSql))
+      .withColumn("bcn_nano", expr(cmhBcNanoSql))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("a")).cast("long").as("sa"),
+        sum(col("b")).cast("long").as("sb"),
+        sum(col("c")).cast("long").as("sc"),
+        sum(col("d")).cast("long").as("sd"),
+        sum(col("e_nano")).cast("long").as("se_nano"),
+        sum(col("v_nano")).cast("long").as("sv_nano"),
+        sum(col("adn_nano")).cast("long").as("sadn_nano"),
+        sum(col("bcn_nano")).cast("long").as("sbcn_nano"))
+      .withColumn("chi2_mh", expr(cmhChi2Sql))
+      .withColumn("significant", expr(s"$cmhChi2Sql > 3.841459"))
+      .withColumn("or_mh", expr(cmhOrSql))
+      .withColumn("or_crude", expr(cmhCrudeOrSql))
+      .withColumn("simpson_flip", expr(cmhFlipSql))
+  }
+
+  /** Per-stratum expectation (a+b)(a+c)/n in nano units. Shared with
+    * the oracle. */
+  val cmhENanoSql: String =
+    "CAST(ROUND(CAST(a + b AS DOUBLE) * (a + c) / nk * 1000000000, 0) " +
+      "AS BIGINT)"
+  /** Per-stratum hypergeometric variance in nano units. */
+  val cmhVNanoSql: String =
+    "CAST(ROUND(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) / " +
+      "(CAST(nk AS DOUBLE) * nk * (nk - 1)) * 1000000000, 0) AS BIGINT)"
+  val cmhAdNanoSql: String =
+    "CAST(ROUND(CAST(a AS DOUBLE) * d / nk * 1000000000, 0) AS BIGINT)"
+  val cmhBcNanoSql: String =
+    "CAST(ROUND(CAST(b AS DOUBLE) * c / nk * 1000000000, 0) AS BIGINT)"
+  /** CMH χ² over the nano sums; NULL when the variance degenerates.
+    * Shared with the oracle. */
+  val cmhChi2Sql: String =
+    "CASE WHEN sv_nano > 0 THEN round((CAST(sa AS DOUBLE) - " +
+      "CAST(se_nano AS DOUBLE) / 1000000000) * (CAST(sa AS DOUBLE) - " +
+      "CAST(se_nano AS DOUBLE) / 1000000000) / " +
+      "(CAST(sv_nano AS DOUBLE) / 1000000000), 6) END"
+  /** MH pooled OR (nano scales cancel); NULL when no discordant mass. */
+  val cmhOrSql: String =
+    "CASE WHEN sbcn_nano > 0 THEN round(CAST(sadn_nano AS DOUBLE) / " +
+      "CAST(sbcn_nano AS DOUBLE), 6) END"
+  /** Crude OR of the collapsed table. */
+  val cmhCrudeOrSql: String =
+    "CASE WHEN sb > 0 AND sc > 0 THEN round(CAST(sa AS DOUBLE) * sd / " +
+      "(CAST(sb AS DOUBLE) * sc), 6) END"
+  /** TRUE when pooled and crude ORs sit on opposite sides of 1 — the
+    * Simpson's-paradox alarm; FALSE when both exist and agree, NULL
+    * when either is undefined. */
+  val cmhFlipSql: String =
+    s"CASE WHEN $cmhOrSql IS NOT NULL AND $cmhCrudeOrSql IS NOT NULL " +
+      s"THEN ($cmhOrSql - 1.0) * ($cmhCrudeOrSql - 1.0) < 0 END"
+
+  /** Wilcoxon signed-rank — the magnitude-aware paired test between
+    * [[signTest]] (signs only) and the paired t (normality needed):
+    * drop zero differences, rank |d| with DOUBLED midranks off the
+    * prefix-sum kernel (the [[mannWhitney]] machinery — no O(n log n)
+    * global sort), and test 2W⁺ = Σ r2 over positive d against its null
+    * mean m(m+1)/2 with the tie-corrected variance
+    * Var(2W⁺) = m(m+1)(2m+1)/6 − Σ(t³−t)/12. The tie cube runs in
+    * DECIMAL (exposed as STRING per the r10 contract). One value-level
+    * aggregate + one ranged cumsum + one final aggregate. */
+  def wilcoxonSignedRank(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val u0 = df.select(
+        (col(xCol).cast("long") - col(yCol).cast("long")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
+    val per = u0.groupBy(col("ad")).agg(count(lit(1)).cast("long").as("nv"))
+    val ranks = Eval.rangedCumsum(per, Nil, "ad", Seq("nv"))
+      .select(col("ad"), (col("cum_nv") * 2 - col("nv") + 1).as("r2"),
+        (col("nv").cast("decimal(38,0)") * col("nv") * col("nv")
+          - col("nv")).as("t3t_v"))
+    val tie = broadcast(ranks.agg(
+      sum(col("t3t_v")).cast("decimal(38,0)").as("t3t")))
+    u0.join(ranks.select(col("ad"), col("r2")), Seq("ad"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(when(col("pos"), col("r2")).otherwise(0L)).cast("long")
+          .as("wpos2"))
+      .crossJoin(tie)
+      .withColumn("z", expr(wsrZSql))
+      .withColumn("significant", expr(s"abs($wsrZSql) > 1.959964"))
+      .withColumn("t3t", col("t3t").cast("string"))
+  }
+
+  /** Tie-corrected variance of 2W⁺ over (m, t3t). */
+  private val wsrVar4Sql: String =
+    "(CAST(m AS DOUBLE) * (m + 1) * (2 * m + 1) / 6 - " +
+      "CAST(t3t AS DOUBLE) / 12)"
+  /** z for 2W⁺ over (m, wpos2, t3t); NULL when no non-zero pairs or the
+    * variance degenerates (all |d| tied to one value with m = 1).
+    * Shared with the oracle. */
+  val wsrZSql: String =
+    s"CASE WHEN m > 0 AND $wsrVar4Sql > 0 THEN " +
+      "round((CAST(wpos2 AS DOUBLE) - CAST(m AS DOUBLE) * (m + 1) / 2) " +
+      s"/ sqrt($wsrVar4Sql), 6) END"
+
+  /** Page's trend test — [[friedman]]'s omnibus "any difference?"
+    * sharpened to an ORDERED alternative ("treatment effect increases
+    * along this order"): L = Σ_j c_j·R_j with c_j = 1..k the position of
+    * treatment j in lexicographic label order and R_j the within-item
+    * rank sums. Runs on the friedman midrank kernel (complete items
+    * only, DOUBLED ranks → l2 = 2L stays an exact BIGINT) and tests
+    * against the no-tie null E[2L] = n·k(k+1)²/2,
+    * Var(2L) = n·k²(k+1)(k²−1)/36 — ties shrink the true variance
+    * slightly, so the z is mildly conservative (documented deviation;
+    * midranks keep L itself exact). The treatment order is the SORTED
+    * LABEL order — encode the hypothesis in the labels ("1_low" <
+    * "2_mid" < "3_high"). */
+  def pageTrend(
+      df: DataFrame, itemCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(col(itemCol).as("__i"),
+      col(treatCol).cast("string").as("__t"),
+      col(valCol).cast("long").as("__v"))
+    val k1 = broadcast(u.agg(
+      count_distinct(col("__t")).cast("long").as("k")))
+    val complete = u
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__i"))))
+      .crossJoin(k1)
+      .filter(col("__cnt") === col("k"))
+    val wLess = Window.partitionBy(col("__i")).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ranked = complete
+      .withColumn("__nless",
+        coalesce(count(lit(1)).over(wLess), lit(0L)))
+      .withColumn("__neq",
+        count(lit(1)).over(Window.partitionBy(col("__i"), col("__v"))))
+      .withColumn("r2", (col("__nless") * 2 + col("__neq") + 1).cast("long"))
+    // treatment order index c_j: row_number over the k-row distinct
+    // treatment table (k-bounded; the single-partition window is fine)
+    val order = ranked.select(col("__t")).distinct()
+      .withColumn("cj", row_number().over(
+        Window.orderBy(col("__t"))).cast("long"))
+    val byTreat = ranked.groupBy(col("k"), col("__t"))
+      .agg(sum(col("r2")).cast("long").as("r2j"))
+      .join(broadcast(order), Seq("__t"))
+      .groupBy(col("k"))
+      .agg(sum(col("cj") * col("r2j")).cast("long").as("l2"))
+    val totals = ranked.groupBy(col("__i")).agg(lit(1L).as("__one"))
+      .agg(count(lit(1)).cast("long").as("n_items"))
+    byTreat.crossJoin(broadcast(totals))
+      .withColumn("z", expr(pageZSql))
+      .withColumn("significant", expr(s"abs($pageZSql) > 1.959964"))
+  }
+
+  /** z for 2L over (k, l2, n_items); NULL below 2 treatments or with no
+    * complete items. Shared with the oracle. */
+  val pageZSql: String =
+    "CASE WHEN k > 1 AND n_items > 0 THEN " +
+      "round((CAST(l2 AS DOUBLE) - CAST(n_items AS DOUBLE) * k * " +
+      "(k + 1) * (k + 1) / 2) / " +
+      "sqrt(CAST(n_items AS DOUBLE) * k * k * (k + 1) * " +
+      "(k * k - 1) / 36), 6) END"
+
+  /** Two-sample Cramér–von Mises — the WHOLE-distribution companion to
+    * [[mannWhitney]] (location-sensitive) and the KS test (max gap
+    * only): T = n₁n₂/(n₁+n₂)² · Σ_pooled (F₁(v) − F₂(v))², integrating
+    * the squared ECDF gap over every pooled observation, so tail and
+    * shape differences the max misses accumulate. Exact arithmetic:
+    * per distinct value, d = cum₁·n₂ − cum₂·n₁ (the gap scaled by
+    * n₁n₂) and the numerator Σ (cnt₁+cnt₂)·d² runs in DECIMAL (d² alone
+    * passes 2⁶³ once n₁n₂ > 3·10⁹), with
+    * T = num / ((n₁+n₂)²·n₁·n₂). Value-domain aggregate + ONE ranged
+    * prefix sum — nothing row-sized sorts. `significant` flags
+    * T > 0.461249, the asymptotic two-sample 5% point (Anderson 1962).
+    * The exposed numerator leaves as STRING (r10 decimal contract). */
+  def cramerVonMises(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(when(col(groupCol), 1L).otherwise(0L).as("g"),
+      col(valCol).cast("long").as("v"))
+    val per = u.groupBy(col("v"))
+      .agg(sum(col("g")).cast("long").as("c1"),
+        sum(lit(1L) - col("g")).cast("long").as("c2"))
+    val cum = Eval.rangedCumsum(per, Nil, "v", Seq("c1", "c2"))
+    val tot = broadcast(per.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2")))
+    cum.crossJoin(tot)
+      // the scaled gap forms in DECIMAL from the first product — cum·n
+      // itself brushes 2⁶³ at ~3·10⁹ rows per sample
+      .withColumn("d",
+        col("cum_c1").cast("decimal(38,0)") * col("n2")
+          - col("cum_c2").cast("decimal(38,0)") * col("n1"))
+      .withColumn("term", (col("c1") + col("c2")).cast("decimal(38,0)")
+        * col("d") * col("d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).cast("decimal(38,0)").as("num"))
+      .withColumn("t", expr(cvmTSql))
+      .withColumn("significant", expr(s"$cvmTSql > 0.461249"))
+      .withColumn("num", col("num").cast("string"))
+  }
+
+  /** T over (n1, n2, num); NULL when either sample is empty. Shared
+    * with the oracle. */
+  val cvmTSql: String =
+    "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+      "round(CAST(num AS DOUBLE) / ((CAST(n1 AS DOUBLE) + n2) * " +
+      "(CAST(n1 AS DOUBLE) + n2) * CAST(n1 AS DOUBLE) * n2), 6) END"
+
+  /** Jonckheere–Terpstra — [[kruskalWallis]]'s omnibus sharpened to an
+    * ORDERED alternative across k groups (the independent-samples twin
+    * of [[pageTrend]]): J = Σ_{i<j} U_ij summed over group pairs in
+    * sorted-label order, kept exact in DOUBLED units
+    * (2J counts ties once, wins twice). Computed without O(n²) pairs:
+    * per-(group, value) counts on the FULL value×group grid (zero-filled
+    * so every group has a cumulative at every pooled value — a V·k
+    * fan-out, k-bounded), one ranged prefix sum per group, then the
+    * k²-bounded pair join on the value axis:
+    * 2U_ij = Σ_v cnt_j(v)·(2·cum_i(v) − cnt_i(v)). The null uses the
+    * NO-TIE moments E[2J] = (n² − Σn_g²)/2 and
+    * Var(2J) = (n²(2n+3) − Σn_g²(2n_g+3))/18 — with heavy ties the z is
+    * mildly conservative (documented; J itself stays exact). The J sum
+    * and the cubic group moments run in DECIMAL and leave as STRING. */
+  def jonckheere(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("string").as("g"),
+      col(valCol).cast("long").as("v"))
+    val per = u.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+      .localCheckpoint(true) // feeds the grid left-join + both distincts
+    val vals = per.select(col("v")).distinct()
+    val groups = per.select(col("g")).distinct()
+    val grid = vals.crossJoin(groups)
+      .join(per, Seq("g", "v"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+    val cum = Eval.rangedCumsum(grid, Seq("g"), "v", Seq("nv"))
+      .localCheckpoint(true) // both sides of the ordered pair join
+    val j2 = cum.as("x").join(cum.as("y"),
+        col("x.v") === col("y.v") && col("x.g") < col("y.g"))
+      .agg(sum(col("y.nv").cast("decimal(38,0)") *
+        (col("x.cum_nv") * 2 - col("x.nv"))).cast("decimal(38,0)")
+        .as("j2"))
+    val sizes = per.groupBy(col("g"))
+      .agg(sum(col("nv")).cast("long").as("ng"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("ng").cast("decimal(38,0)") * col("ng"))
+          .cast("decimal(38,0)").as("sg2"),
+        sum(col("ng").cast("decimal(38,0)") * col("ng")
+          * (col("ng") * 2 + 3)).cast("decimal(38,0)").as("sg23"))
+    j2.crossJoin(broadcast(sizes))
+      .withColumn("z", expr(jtZSql))
+      .withColumn("significant", expr(s"abs($jtZSql) > 1.959964"))
+      .withColumn("j2", col("j2").cast("string"))
+      .withColumn("sg2", col("sg2").cast("string"))
+      .withColumn("sg23", col("sg23").cast("string"))
+  }
+
+  /** z for 2J over (j2, n, sg2, sg23); NULL below 2 groups or when the
+    * variance degenerates. Shared with the oracle. */
+  val jtZSql: String = {
+    val var18 = "((CAST(n AS DOUBLE) * n * (2 * n + 3) - " +
+      "CAST(sg23 AS DOUBLE)) / 18)"
+    s"CASE WHEN k > 1 AND $var18 > 0 THEN " +
+      "round((CAST(j2 AS DOUBLE) - (CAST(n AS DOUBLE) * n - " +
+      s"CAST(sg2 AS DOUBLE)) / 2) / sqrt($var18), 6) END"
   }
 }

@@ -413,6 +413,9 @@ object Sampling {
       .withColumn("ess", expr(essSql))
       .withColumn("ess_ratio", expr(
         s"round($essSql / n, 6)"))
+      // exposed DECIMAL → STRING (r10 decimal contract; ESS consumed the
+      // exact decimal already)
+      .withColumn("sww", col("sww").cast("string"))
   }
 
   /** (Σw)²/Σw² over the exact moment row. Shared with the oracle. */

@@ -50,11 +50,16 @@ object Sessionize {
   /** Inter-event cadence profile per key — the BOT/AUTOMATION signal
     * humans don't leave: scripted traffic fires at metronomic intervals
     * (coefficient of variation of gaps ≈ 0), organic behavior is bursty
-    * (cv ≥ 1). Per key: gap count, mean gap, and cv from EXACT BIGINT
-    * gap moments (gaps in ms; Σgap² exact to ~week-long gaps), with the
-    * `is_regular` flag = cv < 0.1 over ≥ 5 gaps. One key-window lag +
-    * one aggregate riding the same exchange — the [[gapSessionize]]
-    * plan shape. Run it keyed by user for account-level screening or by
+    * (cv ≥ 1). Per key: gap count, mean gap, and cv from EXACT gap
+    * moments (gaps in ms; Σgap runs in BIGINT, Σgap² in DECIMAL(38,0) —
+    * a key with ~1000 day-scale gaps pushes n·g² past 2⁶³, so a long
+    * sum would wrap silently; the exposed copy leaves as STRING per the
+    * r10 decimal contract), with the `is_regular` flag = cv < 0.1 over
+    * ≥ 5 gaps — and an all-zero-gap burst (cv degenerates NULL via
+    * sg = 0) counts as regular, not NULL: a perfectly metronomic replay
+    * is the strongest bot signal of all. One key-window lag + one
+    * aggregate riding the same exchange — the [[gapSessionize]] plan
+    * shape. Run it keyed by user for account-level screening or by
     * session_id (compose with gapSessionize) for per-session flags. */
   def cadenceProfile(
       df: DataFrame, keyCol: String, tsCol: String = "ts",
@@ -66,11 +71,14 @@ object Sessionize {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n_gaps"),
         sum(col("__gap")).cast("long").as("sg"),
-        sum(col("__gap") * col("__gap")).cast("long").as("sgg"))
+        sum(col("__gap").cast("decimal(38,0)") * col("__gap"))
+          .cast("decimal(38,0)").as("sgg"))
       .withColumn("mean_gap_ms",
         expr("round(CAST(sg AS DOUBLE) / n_gaps, 6)"))
       .withColumn("cv", expr(cadenceCvSql))
-      .withColumn("is_regular", expr(s"$cadenceCvSql < 0.1 AND n_gaps >= 5"))
+      .withColumn("is_regular", expr(cadenceRegularSql))
+      // exposed DECIMAL → STRING (r10 decimal contract)
+      .withColumn("sgg", col("sgg").cast("string"))
   }
 
   /** Population cv of gaps over (n_gaps, sg, sgg) — NULL for a single
@@ -80,6 +88,12 @@ object Sessionize {
       "round(sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * " +
       "(CAST(sg AS DOUBLE) / n_gaps)) / n_gaps) / " +
       "(CAST(sg AS DOUBLE) / n_gaps), 6) END"
+
+  /** Never-NULL regularity flag: the cv branch when it exists, else the
+    * sg = 0 degenerate (all-zero gaps — a metronomic burst IS regular).
+    * Shared with the oracle. */
+  val cadenceRegularSql: String =
+    s"(COALESCE($cadenceCvSql < 0.1, sg = 0) AND n_gaps >= 5)"
 
   /** [[gapSessionize]] body, keeping `__ms`/`__first_ms` — the columns the
     * incremental state handoff needs. */

@@ -195,8 +195,13 @@ object Survival {
     require(n <= maxRows,
       s"harrellC is O(n²) pairwise ($n rows > $maxRows): aggregate to " +
         "units first, or raise maxRows knowingly")
+    // Canonical Harrell comparable set (lifelines/R survival): a's event
+    // before b's time, PLUS tied-time pairs where a had the event and b
+    // was censored at that same time (a's risk should still rank higher)
     u.as("a").join(u.as("b"),
-        col("a.t") < col("b.t") && col("a.ev") === 1L)
+        (col("a.t") < col("b.t") && col("a.ev") === 1L) ||
+          (col("a.t") === col("b.t") && col("a.ev") === 1L &&
+            col("b.ev") === 0L))
       .agg(count(lit(1)).cast("long").as("comparable"),
         sum(when(col("a.sc") > col("b.sc"), 1L).otherwise(0L))
           .cast("long").as("concordant"),
@@ -340,7 +345,9 @@ object Survival {
   /** A per-subject Cox term in micro units: `e` may reference z, ev,
     * and w = e^{βz} (spliced). Shared with the oracle. */
   def coxTermSql(e: String): String = {
-    val withW = e.replace("w", "EXP(beta * z)")
+    // word-boundary splice: a bare .replace("w", …) would corrupt any
+    // future term containing w inside an identifier (wz, pow, lower)
+    val withW = e.replaceAll("\\bw\\b", "EXP(beta * z)")
     s"CAST(ROUND(($withW) * 1000000, 0) AS BIGINT)"
   }
 

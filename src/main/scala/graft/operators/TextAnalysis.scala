@@ -1261,7 +1261,10 @@ object TextAnalysis {
         "round(CAST(h_nano AS DOUBLE) / 1000000000, 6)"))
       .withColumn("evenness", expr(evennessSql))
       .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
-        col("s_pairs"), col("h_nano"), col("shannon_nats"),
+        // exposed DECIMAL → STRING (r10 decimal contract; λ consumed the
+        // exact decimal already)
+        col("s_pairs").cast("string").as("s_pairs"), col("h_nano"),
+        col("shannon_nats"),
         col("simpson"), col("inv_simpson"), col("evenness"))
 
   /** Simpson λ over (s_pairs, n_tokens) — exact integers, one double

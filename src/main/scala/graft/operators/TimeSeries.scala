@@ -745,6 +745,10 @@ object TimeSeries {
         sum(col("__d").cast("decimal(19,0)") *
           col("__d").cast("decimal(19,0)")).as("ssd"))
       .withColumn("dw", expr(dwSql))
+      // exposed DECIMAL → STRING (r10 decimal contract; d consumed the
+      // exact decimals already)
+      .withColumn("sse", col("sse").cast("string"))
+      .withColumn("ssd", col("ssd").cast("string"))
   }
 
   /** d over the quadratic sums, shared with the oracle; NULL for a

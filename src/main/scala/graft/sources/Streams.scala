@@ -93,12 +93,19 @@ object Streams {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
 
-  /** Kafka sink: rows serialized to a JSON `value` column. */
+  /** Kafka sink: rows serialized to a JSON `value` column.
+    *
+    * `extraOptions` is the producer-side twin of [[kafkaLines]]'s: the
+    * reference applies the SAME security config to its producer as to its
+    * consumer (`config/KafkaConfig.scala:29-40` feeds both ends), so the
+    * [[kafkaSecurityOptions]] map passes through here too — asserted at
+    * the writer boundary by FakeKafkaContractSpec. */
   def kafkaJsonSink[T](
       ds: org.apache.spark.sql.Dataset[T],
       bootstrapServers: String,
       topic: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+      checkpoint: String,
+      extraOptions: Map[String, String] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
     ds.toDF()
       .select(to_json(struct(col("*"))).as("value"))
@@ -107,5 +114,6 @@ object Streams {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+      .options(extraOptions)
   }
 }

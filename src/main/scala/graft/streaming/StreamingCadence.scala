@@ -39,7 +39,17 @@ object StreamingCadence {
           s =
             if (s.has) {
               val g = e.ts_ms - s.lastMs
-              St(s.nGaps + 1, s.sg + g, s.sgg + g * g, e.ts_ms, e.tie, true)
+              // Long bound guard: g² overflows 2⁶³ for gaps > ~55 days,
+              // and ~1000 day-scale gaps push the running Σg² past it
+              // (the batch twin runs this sum in DECIMAL(38,0)). Keeping
+              // per-key state a flat Long, saturate instead of wrapping:
+              // a pinned Σg² yields a huge cv → is_regular = false, the
+              // right read for a key with pathological gaps.
+              val g2 = try Math.multiplyExact(g, g)
+                catch { case _: ArithmeticException => Long.MaxValue }
+              val sgg2 = try Math.addExact(s.sgg, g2)
+                catch { case _: ArithmeticException => Long.MaxValue }
+              St(s.nGaps + 1, s.sg + g, sgg2, e.ts_ms, e.tie, true)
             } else St(0L, 0L, 0L, e.ts_ms, e.tie, true)
         }
         if (evs.nonEmpty) {

@@ -604,6 +604,7 @@ object ScaleSmoke {
         .localCheckpoint(true)
       drain(graft.operators.Graph.graphStats(e, "src", "dst"))
       drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20))
+      drain(graft.operators.Graph.linkPredictors(e, "src", "dst", 20))
     }
     time(s"did+lDiversity+impute x$mult") {
       drain(graft.operators.Eval.diffInDiff(
@@ -845,6 +846,76 @@ object ScaleSmoke {
             .as("t"),
           col("err_ms").isNotNull.as("ev"))
       drain(graft.operators.Survival.rmst(subj, "g", "t", "ev", 336L))
+    }
+    time(s"ordinalAssoc+kappa+mood+kfold x$mult") {
+      // the four round-9 final-wave bookkeeping/association ops: all
+      // reduce events -> per-user aggregate (one shuffle) -> k-bounded
+      // moment rows, so growth should track the user aggregate only
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"))
+        .localCheckpoint(true)
+      drain(Profiling.kendallTau(users, "spend", "n_purch")
+        .withColumn("gamma", expr(Profiling.gammaSql)))
+      drain(Profiling.weightedKappa(
+        users.select(
+          when(col("spend") >= 360000L, 3L).when(col("spend") >= 330000L, 2L)
+            .when(col("spend") >= 300000L, 1L).otherwise(0L).as("tier_a"),
+          when(col("n_click") >= 25L, 3L).when(col("n_click") >= 20L, 2L)
+            .when(col("n_click") >= 15L, 1L).otherwise(0L).as("tier_b")),
+        "tier_a", "tier_b"))
+      val cents = eventsUid.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val med = broadcast(cents.agg(expr("percentile(cents, 0.5)").as("med")))
+      drain(Profiling.chi2Independence(
+        cents.crossJoin(med).select(col("event_type"),
+          when(col("cents") > col("med"), "above")
+            .otherwise("at_or_below").as("side")),
+        "event_type", "side"))
+      drain(users.withColumn("fold", expr(
+          "pmod(CAST(conv(substring(md5(concat('fold:', " +
+            "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 5)"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("n_purch") >= 15L, 1L).otherwise(0L)).cast("long")
+            .as("n_pos")))
+    }
+    time(s"sign+wsr+gtest+rr+cmh+page x$mult") {
+      // round-10 wave: paired tests ride one user aggregate + the
+      // value-domain prefix sum; g/rr/cmh are cell-table reductions;
+      // page shares the friedman per-item rank windows
+      val paired = eventsUid
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") % 2 === 0L, col("cents")).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
+            .cast("long").as("y"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"),
+          sum(col("cents")).cast("long").as("spend"))
+        .localCheckpoint(true)
+      drain(Profiling.signTest(paired, "x", "y"))
+      drain(Profiling.wilcoxonSignedRank(paired, "x", "y"))
+      drain(Profiling.gTest(docs, "lang", "source"))
+      drain(Profiling.riskRatio(paired, "had_error", "heavy"))
+      drain(Profiling.cmh(
+        paired.withColumn("tier",
+          when(col("spend") >= 360000L, "high")
+            .when(col("spend") >= 300000L, "mid").otherwise("low")),
+        "tier", "had_error", "heavy"))
+      drain(Profiling.pageTrend(
+        eventsUid.groupBy(col("user_id"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "user_id", "event_type", "v"))
     }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid

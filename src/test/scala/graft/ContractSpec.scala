@@ -26,6 +26,32 @@ class ContractSpec extends SparkFunSuite {
     assert(rowsOnly.isEmpty, s"queries without oracle: $rowsOnly")
   }
 
+  test("no query output schema exposes DecimalType") {
+    // r9 driver lesson: a DECIMAL column in an OUTPUT schema renders as
+    // decimal.Decimal("123") under the driver's pyarrow read but as
+    // float64 "123.0" under a DuckDB .df() oracle — 11 queries failed
+    // hash_match on exactly this. DECIMAL stays legal (and necessary)
+    // for internal exact sums; it must be cast to DOUBLE/BIGINT before
+    // the final projection. No whitelist: there is no deliberate
+    // decimal-exposing query.
+    import org.apache.spark.sql.types.{DecimalType, StructType, ArrayType, DataType, MapType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val bad = q(spark, sf0001).schema.fields
+          .filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL-exposed query outputs: ${offenders.mkString("; ")}")
+  }
+
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }

@@ -73,9 +73,15 @@ class FakeKafkaContractSpec extends SparkFunSuite {
     val parsed = graft.sources.ElbLogParser.parse(
       Streams.kafkaLines(spark, "fake:9092", "elb_in", "earliest")
         .select(col("value")))
+    // same security map on the PRODUCER end — the reference builds one
+    // KafkaConfig and feeds both its consumer and producer from it
+    val sasl = Streams.kafkaSecurityOptions(Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> "kafka"))
     val q = Streams.kafkaJsonSink(
         parsed.select(col("ip"), expr("unix_millis(ts)").as("ts_ms")),
-        "fake:9092", "sessions_out", tmp("fk_ckpt"))
+        "fake:9092", "sessions_out", tmp("fk_ckpt"), extraOptions = sasl)
       .start()
     try {
       q.processAllAvailable()
@@ -85,6 +91,10 @@ class FakeKafkaContractSpec extends SparkFunSuite {
       assert(out.head.contains("\"ip\":\"10.0.0.1:5000\"") &&
         out.head.contains("\"ts_ms\":1704164645123"), out.head)
       assert(out(1).contains("\"ip\":\"10.0.0.2:5000\""))
+      // the three security keys arrive at the WRITER boundary too
+      for ((k, v) <- sasl)
+        assert(FakeKafkaBroker.lastSinkOptions.get(k).contains(v), k)
+      assert(FakeKafkaBroker.lastSinkOptions("topic") == "sessions_out")
     } finally q.stop()
   }
 

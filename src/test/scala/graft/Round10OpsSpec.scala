@@ -1,0 +1,189 @@
+package graft
+
+import graft.operators.{Graph, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: paired sign test, G-test of independence, 2×2
+  * risk/odds readout with Wald CIs, and Cochran–Mantel–Haenszel with the
+  * Simpson's-paradox flag. Hand fixtures mirror the shared-SQL chains. */
+class Round10OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("signTest: wins/losses/ties counted, z = (2·pos − m)/√m") {
+    val df = Seq((5L, 1L), (4L, 2L), (3L, 1L), (1L, 2L), (7L, 7L))
+      .toDF("x", "y")
+    val r = Profiling.signTest(df, "x", "y").head()
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("n_tie") == 1L)
+    assert(r.getAs[Long]("m") == 4L)
+    assert(r.getAs[Double]("z") == 1.0) // (6-4)/2
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("signTest: all ties degenerate to NULL z, never a crash") {
+    val df = Seq((2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r = Profiling.signTest(df, "x", "y").head()
+    assert(r.getAs[Long]("m") == 0L)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("gTest: independent table gives G = 0; skewed matches hand value") {
+    // perfectly independent 2×2 (all expected ratios 1 → ln 1 = 0)
+    val ind = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r0", "c0")
+    val g0 = Profiling.gTest(ind, "r0", "c0").head()
+    assert(g0.getAs[Double]("g") == 0.0)
+    assert(g0.getAs[Long]("df") == 1L)
+    // skewed (8,2)/(2,8): replicate the nano quantization exactly
+    val skew = (Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(8)(("b", "y")))
+      .toDF("r0", "c0")
+    val r = Profiling.gTest(skew, "r0", "c0").head()
+    def term(obs: Long): Long =
+      math.round(obs * math.log(obs * 20.0 / (10.0 * 10.0)) * 1e9)
+    val gNano = 2 * term(8) + 2 * term(2)
+    assert(r.getAs[Long]("g_nano") == gNano)
+    assert(r.getAs[Double]("g") ==
+      math.rint(2.0 * gNano / 1e9 * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant") ==
+      (r.getAs[Double]("g") > 3.841459))
+  }
+
+  test("riskRatio: hand 2×2 — RR 2, OR 2.111111, CI chains match libm") {
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(90)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(95)((false, false))
+    val r = Profiling.riskRatio(rows.toDF("e0", "o0"), "e0", "o0").head()
+    assert(r.getAs[Long]("a") == 10L && r.getAs[Long]("d") == 95L)
+    assert(r.getAs[Double]("risk_ratio") == 2.0)
+    assert(r.getAs[Double]("odds_ratio") ==
+      math.rint(10.0 * 95 / (90.0 * 5) * 1e6) / 1e6)
+    val seRr = math.sqrt(1.0 / 10 - 1.0 / 100 + 1.0 / 5 - 1.0 / 100)
+    assert(r.getAs[Double]("rr_lo") ==
+      math.rint(math.exp(math.log(2.0) - 1.959964 * seRr) * 1e6) / 1e6)
+    assert(r.getAs[Double]("rr_hi") ==
+      math.rint(math.exp(math.log(2.0) + 1.959964 * seRr) * 1e6) / 1e6)
+  }
+
+  test("riskRatio: empty cell gives NULL estimates, not a crash") {
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, false))
+    val r = Profiling.riskRatio(rows.toDF("e0", "o0"), "e0", "o0").head()
+    assert(r.isNullAt(r.fieldIndex("risk_ratio")))
+    assert(r.isNullAt(r.fieldIndex("odds_ratio")))
+  }
+
+  test("cmh: constructed Simpson's paradox — per-stratum ORs > 1, crude < 1, flip flagged") {
+    // stratum X: exposed 8+/2−, unexposed 70+/30− (OR 1.714)
+    // stratum Y: exposed 20+/80−, unexposed 1+/9− (OR 2.25)
+    // collapsed: 28/82 vs 71/39 → crude OR 0.188 — direction reverses
+    def block(s: String, e: Boolean, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, e, true)) ++ Seq.fill(neg)((s, e, false))
+    val rows = block("X", e = true, 8, 2) ++ block("X", e = false, 70, 30) ++
+      block("Y", e = true, 20, 80) ++ block("Y", e = false, 1, 9)
+    val r = Profiling.cmh(rows.toDF("s0", "e0", "o0"), "s0", "e0", "o0")
+      .head()
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("sa") == 28L && r.getAs[Long]("sd") == 39L)
+    assert(r.getAs[Double]("or_mh") > 1.0, "pooled OR must keep the " +
+      "within-stratum direction")
+    assert(r.getAs[Double]("or_crude") < 1.0)
+    assert(r.getAs[Boolean]("simpson_flip"))
+    // pooled OR replays the nano-quantized term arithmetic exactly
+    def nano(x: Double): Long = math.round(x * 1e9)
+    val sadn = nano(8.0 * 30 / 110) + nano(20.0 * 9 / 110)
+    val sbcn = nano(2.0 * 70 / 110) + nano(80.0 * 1 / 110)
+    assert(r.getAs[Double]("or_mh") ==
+      math.rint(sadn.toDouble / sbcn * 1e6) / 1e6)
+  }
+
+  test("wilcoxonSignedRank: hand ranks — zero diffs drop, ties midrank, 2W+ exact") {
+    // pairs: d = +3, -1, +1, 0, +2 → nonzero |d| = {3,1,1,2}; midranks
+    // of |d|: 1→1.5,1.5 (r2=3), 2→3 (r2=6), 3→4 (r2=8); 2W+ = r2(+3) +
+    // r2(+1) + r2(+2) = 8 + 3 + 6 = 17; m=4, E[2W+]=10,
+    // Var(2W+) = 4·5·9/6 − (2³−2)/12 = 30 − 0.5 = 29.5
+    val df = Seq((4L, 1L), (1L, 2L), (3L, 2L), (5L, 5L), (9L, 7L))
+      .toDF("x", "y")
+    val r = Profiling.wilcoxonSignedRank(df, "x", "y").head()
+    assert(r.getAs[Long]("m") == 4L)
+    assert(r.getAs[Long]("wpos2") == 17L)
+    assert(r.getAs[String]("t3t") == "6") // one tie pair: 2³−2
+    assert(r.getAs[Double]("z") ==
+      math.rint((17.0 - 10.0) / math.sqrt(29.5) * 1e6) / 1e6)
+  }
+
+  test("pageTrend: monotone items give the maximal L; reversed order flips the sign") {
+    // 4 items × 3 treatments (labels sort a<b<c), values strictly
+    // increasing along the label order in every item → within-item ranks
+    // (1,2,3) doubled (2,4,6); R2j = (8,16,24); c=(1,2,3) → 2L = 112 =
+    // the maximum n·k(k+1)(2k+1)/3... checked directly below
+    val inc = for (i <- 1L to 4L; (t, v) <- Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+      yield (i, t, v * 10 + i)
+    val r = Profiling.pageTrend(inc.toDF("item", "t", "v"), "item", "t", "v")
+      .head()
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("l2") == 2L * (1 * 4 + 2 * 8 + 3 * 12))
+    // E[2L] = n·k(k+1)²/2 = 4·3·16/2 = 96; Var(2L) = 4·9·4·8/36 = 32
+    assert(r.getAs[Double]("z") ==
+      math.rint((112.0 - 96.0) / math.sqrt(32.0) * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant"))
+    // reversing the value trend reverses z exactly
+    val dec = inc.map { case (i, t, v) => (i, t, 1000L - v) }
+    val r2 = Profiling.pageTrend(dec.toDF("item", "t", "v"), "item", "t", "v")
+      .head()
+    assert(r2.getAs[Double]("z") == -r.getAs[Double]("z"))
+  }
+
+  test("pageTrend: incomplete items drop before ranking") {
+    val rows = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "a", 5L)) // item 2 incomplete
+    val r = Profiling.pageTrend(rows.toDF("item", "t", "v"),
+      "item", "t", "v").head()
+    assert(r.getAs[Long]("n_items") == 1L)
+  }
+
+  test("linkPredictors: triangle+tail graph — all four scores hand-checked") {
+    // 1-2, 2-3, 1-3 (triangle) + 3-4 (tail): non-adjacent pairs sharing
+    // a neighbor are (1,4) and (2,4), both through center 3 (deg 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val rows = Graph.linkPredictors(edges, "src", "dst", topK = 10)
+      .collect()
+    assert(rows.length == 2)
+    val r14 = rows.find(r => r.getAs[Long]("a") == 1L).get
+    assert(r14.getAs[Long]("b") == 4L)
+    assert(r14.getAs[Long]("n_common") == 1L)
+    assert(r14.getAs[Long]("deg_a") == 2L && r14.getAs[Long]("deg_b") == 1L)
+    assert(r14.getAs[Long]("ra_micro") == math.round(1e6 / 3)) // 1/deg(3)
+    assert(r14.getAs[Long]("jaccard_micro") == 500000L) // 1/(2+1-1)
+    assert(r14.getAs[Long]("pref_attach") == 2L)
+    // deterministic order: equal RA ties break on (a, b)
+    assert(rows.map(_.getAs[Long]("a")).toSeq == Seq(1L, 2L))
+  }
+
+  test("linkPredictors: maxCenterDeg cap removes hub-centered wedges but keeps exact endpoint degrees") {
+    // star center 0 with spokes 1..5 (deg 5) + one 1-2 edge: capping at
+    // 4 removes every wedge through the hub; only centers 1 and 2
+    // (deg 2) pivot — wedges (0,2) via 1 and (0,1) via 2 are ADJACENT,
+    // so nothing survives; uncapped, pairs like (1,3) appear via the hub
+    val edges = ((1L to 5L).map(i => (0L, i)) :+ (1L, 2L)).toDF("src", "dst")
+    val uncapped = Graph.linkPredictors(edges, "src", "dst", topK = 100)
+    assert(uncapped.count() > 0)
+    val capped = Graph.linkPredictors(edges, "src", "dst", topK = 100,
+      maxCenterDeg = 4)
+    assert(capped.count() == 0L)
+  }
+
+  test("cmh: single-row strata drop; uniform-outcome strata keep V = 0 out of the denominator") {
+    // one real stratum + one 1-row stratum (must be excluded: V needs n−1)
+    def block(s: String, e: Boolean, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, e, true)) ++ Seq.fill(neg)((s, e, false))
+    val rows = block("X", e = true, 3, 2) ++ block("X", e = false, 2, 3) ++
+      Seq(("lone", true, true))
+    val r = Profiling.cmh(rows.toDF("s0", "e0", "o0"), "s0", "e0", "o0")
+      .head()
+    assert(r.getAs[Long]("k") == 1L, "1-row stratum must drop")
+    assert(r.getAs[Long]("sa") == 3L)
+  }
+}

@@ -70,7 +70,9 @@ class Round9OpsSpec extends SparkFunSuite {
     val df = spark.range(n).select(col("id").as("x"), col("id").as("y"))
     val r = Profiling.spearman(df, "x", "y").head()
     assert(r.getAs[Long]("n") == n)
-    val sxx = r.getAs[java.math.BigDecimal]("sxx")
+    // exposed moments leave as STRING (r10 decimal contract) — exact
+    // digits, parsed back here to assert the >2^63 magnitude survived
+    val sxx = new java.math.BigDecimal(r.getAs[String]("sxx"))
     assert(sxx.compareTo(
       java.math.BigDecimal.valueOf(Long.MaxValue)) > 0,
       s"fixture must exceed long range: sxx=$sxx")
@@ -408,7 +410,8 @@ class Round9OpsSpec extends SparkFunSuite {
       .toDF("grp", "v")
     val r = Profiling.mannWhitney(df, "grp", "v").head()
     assert(r.getAs[Long]("u1x2") == 6L)
-    assert(r.getAs[java.math.BigDecimal]("t3t").longValueExact() == 24L)
+    // t3t is STRING-exposed (r10 decimal contract); exact digits
+    assert(r.getAs[String]("t3t") == "24")
   }
 
   test("kruskalWallis: hand H on separated tertiles, df-indexed critical") {

@@ -73,6 +73,9 @@ object FakeKafkaBroker {
     * spec assert the SASL/Kerberos keys actually reach the consumer
     * config, mirroring reference `KafkaConfig.fromRootProps`. */
   @volatile var lastSourceOptions: Map[String, String] = Map.empty
+  /** Options the last SINK write was built with — the producer-side
+    * twin (reference applies one security config to both ends). */
+  @volatile var lastSinkOptions: Map[String, String] = Map.empty
 
   private def log(topic: String): ArrayBuffer[(Array[Byte], Long)] =
     topics.computeIfAbsent(topic, _ => ArrayBuffer.empty)
@@ -97,7 +100,9 @@ object FakeKafkaBroker {
     val l = log(topic)
     l.synchronized(l.map(r => new String(r._1, "UTF-8")).toSeq)
   }
-  def clear(): Unit = { topics.clear(); lastSourceOptions = Map.empty }
+  def clear(): Unit = {
+    topics.clear(); lastSourceOptions = Map.empty; lastSinkOptions = Map.empty
+  }
 
   def requireOption(options: CaseInsensitiveStringMap, key: String): String = {
     val v = options.get(key)
@@ -131,6 +136,11 @@ class FakeKafkaTable(options: CaseInsensitiveStringMap) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     FakeKafkaBroker.requireOption(info.options(), "kafka.bootstrap.servers")
     val topic = FakeKafkaBroker.requireOption(info.options(), "topic")
+    // capture the full option map (incl. kafka.* SASL keys) for the spec —
+    // the producer-side twin of the newScanBuilder capture
+    val capturedW = scala.collection.mutable.Map[String, String]()
+    info.options().entrySet().forEach(e => capturedW += (e.getKey -> e.getValue))
+    FakeKafkaBroker.lastSinkOptions = capturedW.toMap
     val valueIdx = info.schema().fieldNames.indexOf("value")
     require(valueIdx >= 0,
       "fake kafka sink: input must carry a 'value' column (same contract " +
