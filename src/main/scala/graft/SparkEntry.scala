@@ -4359,6 +4359,62 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.Graph.linkPredictors(e, "src", "dst", topK = 20)
     }),
+    "q_cvm" -> ((s, dir) => {
+      // Whole-distribution spend comparison (error-touched users vs
+      // not) — the integrated-ECDF-gap companion to q_mann_whitney
+      // (location) and q_ks_test (max gap): exact decimal numerator
+      // over one value-domain prefix sum.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"))
+      Profiling.cramerVonMises(users, "had_error", "spend")
+    }),
+    "q_jonckheere" -> ((s, dir) => {
+      // Does spend INCREASE along purchase-count tiers? The ordered
+      // alternative over independent groups (the q_page_trend twin):
+      // exact doubled J off the zero-filled grid prefix sums.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+        .withColumn("tier",
+          when(col("n_purch") >= 20L, "3_high")
+            .when(col("n_purch") >= 12L, "2_mid").otherwise("1_low"))
+      Profiling.jonckheere(users, "tier", "spend")
+    }),
+    "q_granger" -> ((s, dir) => {
+      // Do yesterday's clicks improve today's purchase forecast beyond
+      // purchases' own past? Lag-1 Granger F per parity cohort — one
+      // moment row solves both nested fits closed-form.
+      val daily = table(s, dir, "events")
+        .groupBy(concat(lit("c"), pmod(col("user_id"), lit(2L)))
+            .as("cohort"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("y"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("x"))
+      graft.operators.TimeSeries.grangerLag1(
+        daily, "cohort", "day", "y", "x")
+    }),
+    "q_hill_tail" -> ((s, dir) =>
+      // How heavy is each language's token-frequency tail? Hill MLE on
+      // counts >= 2 — the tail-only companion to q_zipf's OLS slope.
+      TextAnalysis.hillTail(table(s, dir, "documents"))),
+    "q_yules_k" -> ((s, dir) =>
+      // Scale-invariant repeat rate per source — the TTR replacement
+      // that survives corpus-size changes; exact decimal Σc².
+      TextAnalysis.yulesK(table(s, dir, "documents"))),
+    "q_forecast_skill" -> ((s, dir) =>
+      // Is there weekly structure in each type's daily cents? Season-7
+      // naive vs persistence on shared support, exact absolute errors.
+      graft.operators.TimeSeries.naiveSkill(
+        table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "event_type", "day", "v")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -9760,6 +9816,147 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM es
         |  WHERE es.src = s.a AND es.dst = s.b)
         |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin,
+    "q_cvm" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0 AS had_error
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT spend AS v,
+         |    CAST(SUM(CASE WHEN had_error THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(SUM(CASE WHEN had_error THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS c2
+         |  FROM users GROUP BY 1),
+         |c AS (SELECT v, c1, c2,
+         |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+         |    CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2 FROM per),
+         |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2 FROM per),
+         |w AS (SELECT n1, n2,
+         |    CAST(c1 + c2 AS DECIMAL(38,0)) *
+         |      (CAST(cum1 AS DECIMAL(38,0)) * n2
+         |        - CAST(cum2 AS DECIMAL(38,0)) * n1) *
+         |      (CAST(cum1 AS DECIMAL(38,0)) * n2
+         |        - CAST(cum2 AS DECIMAL(38,0)) * n1) AS term
+         |  FROM c, tt),
+         |a AS (SELECT n1, n2, CAST(SUM(term) AS DECIMAL(38,0)) AS num
+         |  FROM w GROUP BY 1, 2)
+         |SELECT n1, n2, CAST(num AS VARCHAR) AS num,
+         |  ${graft.operators.Profiling.cvmTSql} AS t,
+         |  ${graft.operators.Profiling.cvmTSql} > 0.461249 AS significant
+         |FROM a""".stripMargin,
+    "q_jonckheere" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purch
+         |  FROM events GROUP BY 1),
+         |u2 AS (SELECT CASE WHEN n_purch >= 20 THEN '3_high'
+         |      WHEN n_purch >= 12 THEN '2_mid' ELSE '1_low' END AS g,
+         |    spend AS v FROM users),
+         |per AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM u2 GROUP BY 1, 2),
+         |vals AS (SELECT DISTINCT v FROM per),
+         |grps AS (SELECT DISTINCT g FROM per),
+         |grid AS (SELECT grps.g, vals.v, COALESCE(per.nv, 0) AS nv
+         |  FROM vals CROSS JOIN grps
+         |  LEFT JOIN per ON per.g = grps.g AND per.v = vals.v),
+         |c AS (SELECT g, v, nv,
+         |    CAST(SUM(nv) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+         |      AS cum FROM grid),
+         |jj AS (SELECT CAST(SUM(CAST(y.nv AS DECIMAL(38,0)) *
+         |      (x.cum * 2 - x.nv)) AS DECIMAL(38,0)) AS j2
+         |  FROM c x JOIN c y ON x.v = y.v AND x.g < y.g),
+         |sz AS (SELECT g, CAST(SUM(nv) AS BIGINT) AS ng
+         |  FROM per GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS DECIMAL(38,0))
+         |      AS sg2,
+         |    CAST(SUM(CAST(ng AS DECIMAL(38,0)) * ng * (ng * 2 + 3))
+         |      AS DECIMAL(38,0)) AS sg23 FROM sz),
+         |f AS (SELECT * FROM jj, mm)
+         |SELECT CAST(j2 AS VARCHAR) AS j2, k, n,
+         |  CAST(sg2 AS VARCHAR) AS sg2, CAST(sg23 AS VARCHAR) AS sg23,
+         |  ${graft.operators.Profiling.jtZSql} AS z,
+         |  abs(${graft.operators.Profiling.jtZSql}) > 1.959964
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_granger" -> {
+      val solve = graft.operators.TimeSeries.grangerSolve.toMap
+      s"""WITH d AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS cohort,
+         |    epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT cohort, y, x,
+         |    lag(y) OVER (PARTITION BY cohort ORDER BY day) AS yl,
+         |    lag(x) OVER (PARTITION BY cohort ORDER BY day) AS xl
+         |  FROM d),
+         |m AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(yl) AS BIGINT) AS s1,
+         |    CAST(SUM(xl) AS BIGINT) AS s2,
+         |    CAST(SUM(yl*yl) AS BIGINT) AS s11,
+         |    CAST(SUM(yl*xl) AS BIGINT) AS s12,
+         |    CAST(SUM(xl*xl) AS BIGINT) AS s22,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(yl*y) AS BIGINT) AS s1y,
+         |    CAST(SUM(xl*y) AS BIGINT) AS s2y,
+         |    CAST(SUM(y*y) AS BIGINT) AS syy
+         |  FROM l WHERE yl IS NOT NULL AND xl IS NOT NULL GROUP BY 1)
+         |SELECT cohort, n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+         |  ${solve("b_yl")} AS b_yl,
+         |  ${solve("b_xl")} AS b_xl,
+         |  ${solve("f_stat")} AS f_stat,
+         |  ${solve("significant")} AS significant
+         |FROM m""".stripMargin
+    },
+    "q_hill_tail" ->
+      s"""WITH tk AS (SELECT lang AS g,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |tail AS (SELECT g, ${graft.operators.TextAnalysis.hillLnNanoSql(2L)}
+         |    AS ln_nano FROM cnt WHERE c >= 2),
+         |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m_tail,
+         |    CAST(SUM(ln_nano) AS BIGINT) AS sln_nano
+         |  FROM tail GROUP BY 1)
+         |SELECT g AS lang, m_tail, sln_nano,
+         |  ${graft.operators.TextAnalysis.hillAlphaSql} AS alpha
+         |FROM a""".stripMargin,
+    "q_yules_k" ->
+      s"""WITH tk AS (SELECT source AS g,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS vocab,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+         |      AS s2
+         |  FROM cnt GROUP BY 1)
+         |SELECT g AS source, n_tokens, vocab, CAST(s2 AS VARCHAR) AS s2,
+         |  ${graft.operators.TextAnalysis.yulesKSql} AS yules_k
+         |FROM a""".stripMargin,
+    "q_forecast_skill" ->
+      s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, v,
+         |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+         |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS ls
+         |  FROM pd),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(ABS(v - l1)) AS BIGINT) AS sae_naive,
+         |    CAST(SUM(ABS(v - ls)) AS BIGINT) AS sae_season
+         |  FROM l WHERE l1 IS NOT NULL AND ls IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n, sae_naive, sae_season,
+         |  ${graft.operators.TimeSeries.naiveSkillSql} AS skill
+         |FROM a""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

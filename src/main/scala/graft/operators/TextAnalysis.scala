@@ -1354,4 +1354,75 @@ object TextAnalysis {
   val jsdSql: String =
     "round(greatest(CAST(0 AS DOUBLE), (CAST(hm_nano AS DOUBLE) - " +
       "(CAST(ha_nano AS DOUBLE) + hb_nano)/2) / 1000000000), 6)"
+
+  /** Hill estimator of the power-law tail exponent per group —
+    * "HOW heavy is this corpus's frequency tail?" next to
+    * [[zipfSlope]]'s whole-curve fit (the Hill MLE uses only the tail
+    * c ≥ xmin, where the power law actually holds; log-log OLS over the
+    * full curve is biased by the head): α̂ = 1 + m / Σ ln(c/xmin) over
+    * the m tail tokens. Per-element nano-quantized ln terms make the
+    * sum an exact BIGINT (order-independent across engines). One token
+    * aggregate + one filtered aggregate. */
+  def hillTail(
+      docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text", xmin: Long = 2L): DataFrame = {
+    require(xmin >= 1, s"xmin must be >= 1: $xmin")
+    docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .filter(col("c") >= xmin)
+      .withColumn("ln_nano", expr(hillLnNanoSql(xmin)))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("m_tail"),
+        sum(col("ln_nano")).cast("long").as("sln_nano"))
+      .withColumn("alpha", expr(hillAlphaSql))
+      .select(col("g").as(groupCol), col("m_tail"), col("sln_nano"),
+        col("alpha"))
+  }
+
+  /** Per-token ln(c/xmin) in nano units. Shared with the oracle. */
+  def hillLnNanoSql(xmin: Long): String =
+    s"CAST(ROUND(LN(CAST(c AS DOUBLE) / $xmin) * 1000000000, 0) AS BIGINT)"
+
+  /** α̂ = 1 + m/Σln over the nano sum; NULL when the tail is flat
+    * (every tail count equals xmin → Σln = 0). Shared with the
+    * oracle. */
+  val hillAlphaSql: String =
+    "CASE WHEN sln_nano > 0 THEN round(1.0 + CAST(m_tail AS DOUBLE) / " +
+      "(CAST(sln_nano AS DOUBLE) / 1000000000), 6) END"
+
+  /** Yule's K per group — the classic repeat-rate characteristic
+    * K = 10⁴·(Σc² − N)/N², scale-invariant vocabulary richness (its
+    * expectation doesn't drift with corpus size the way raw TTR does —
+    * the right cross-source comparison number next to
+    * [[diversityIndex]]'s entropy family). Σc² runs in DECIMAL and
+    * leaves as STRING (r10 contract); K is one double step. */
+  def yulesK(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * col("c"))
+          .cast("decimal(38,0)").as("s2"))
+      .withColumn("yules_k", expr(yulesKSql))
+      .withColumn("s2", col("s2").cast("string"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("s2"), col("yules_k"))
+
+  /** K over (n_tokens, s2); NULL below 2 tokens. Shared with the
+    * oracle. */
+  val yulesKSql: String =
+    "CASE WHEN n_tokens > 1 THEN " +
+      "round(10000.0 * (CAST(s2 AS DOUBLE) - n_tokens) / " +
+      "(CAST(n_tokens AS DOUBLE) * n_tokens), 6) END"
 }

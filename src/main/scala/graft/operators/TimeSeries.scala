@@ -1174,4 +1174,110 @@ object TimeSeries {
       "round(CAST(sm AS DOUBLE) / n_blocks - 0.5772156649015329 * " +
       s"($gumbelSdSql * sqrt(6.0) / pi()) - " +
       s"($gumbelSdSql * sqrt(6.0) / pi()) * LN(-LN(0.99)), 6) END"
+
+  /** Granger causality at lag 1, per key — "does x's PAST improve the
+    * forecast of y beyond y's own past?": F-test of the lag-1
+    * unrestricted fit y_t ~ b0 + b1·y_{t−1} + b2·x_{t−1} against the
+    * restricted y_t ~ a0 + a1·y_{t−1}, both solved CLOSED-FORM from ONE
+    * per-key moment row (the restricted fit reuses a subset of the same
+    * sums — no second pass). The lag is the OBSERVATION lag over the
+    * bucket order (gap-fill upstream for a calendar lag). Integer
+    * inputs keep every moment an exact BIGINT (Σy² exact to ~10⁹
+    * cents²-scale buckets per key — the welchTTest bound); the whole
+    * F assembly is one shared-SQL double chain, so the oracle replays
+    * it term-for-term. `significant` compares F(1, n−3) against the
+    * asymptotic χ²₁ 5% point 3.841459 (exact for n → ∞, slightly
+    * anti-conservative below ~30 buckets — documented, not hidden).
+    * One key-window lag + one map-side-combined aggregate. */
+  def grangerLag1(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val lagged = perBucket
+      .select(col(keyCol), col(bucketCol),
+        col(yCol).cast("long").as("y"), col(xCol).cast("long").as("x"))
+      .withColumn("yl", lag(col("y"), 1).over(wk))
+      .withColumn("xl", lag(col("x"), 1).over(wk))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    val m = lagged.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("yl")).cast("long").as("s1"),
+      sum(col("xl")).cast("long").as("s2"),
+      sum(col("yl") * col("yl")).cast("long").as("s11"),
+      sum(col("yl") * col("xl")).cast("long").as("s12"),
+      sum(col("xl") * col("xl")).cast("long").as("s22"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("yl") * col("y")).cast("long").as("s1y"),
+      sum(col("xl") * col("y")).cast("long").as("s2y"),
+      sum(col("y") * col("y")).cast("long").as("syy"))
+    grangerSolve.foldLeft(m) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }
+  }
+
+  /** The shared Granger F assembly over the 10-moment row — spliced
+    * verbatim into the DuckDB oracle (the ols2Solve pattern). */
+  val grangerSolve: Seq[(String, String)] = {
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy) = (
+      "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+      "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)", "CAST(s22 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)",
+      "CAST(syy AS DOUBLE)")
+    val det =
+      s"($n*($s11*$s22 - $s12*$s12) - $s1*($s1*$s22 - $s12*$s2) + $s2*($s1*$s12 - $s11*$s2))"
+    val det0 =
+      s"($sy*($s11*$s22 - $s12*$s12) - $s1*($s1y*$s22 - $s12*$s2y) + $s2*($s1y*$s12 - $s11*$s2y))"
+    val det1 =
+      s"($n*($s1y*$s22 - $s12*$s2y) - $sy*($s1*$s22 - $s12*$s2) + $s2*($s1*$s2y - $s1y*$s2))"
+    val det2 =
+      s"($n*($s11*$s2y - $s1y*$s12) - $s1*($s1*$s2y - $s1y*$s2) + $sy*($s1*$s12 - $s11*$s2))"
+    val rssU =
+      s"($syy - ($det0/$det)*$sy - ($det1/$det)*$s1y - ($det2/$det)*$s2y)"
+    val s11c = s"($s11 - $s1*$s1/$n)"
+    val s1yc = s"($s1y - $s1*$sy/$n)"
+    val syyc = s"($syy - $sy*$sy/$n)"
+    val rssR = s"($syyc - $s1yc*$s1yc/$s11c)"
+    val guard =
+      s"n > 3 AND $det <> 0 AND $s11c > 0 AND $rssU > 0"
+    val f = s"(($rssR - $rssU) / ($rssU / (n - 3)))"
+    Seq(
+      "b_yl" -> s"CASE WHEN $guard THEN round($det1/$det, 6) END",
+      "b_xl" -> s"CASE WHEN $guard THEN round($det2/$det, 6) END",
+      "f_stat" -> s"CASE WHEN $guard THEN round($f, 6) END",
+      "significant" -> s"CASE WHEN $guard THEN $f > 3.841459 END")
+  }
+
+  /** Seasonal forecast skill per key — "is there weekly structure worth
+    * modeling?": compare the season-lag naive forecast (v_{t−season})
+    * against the plain lag-1 naive on the SAME support (rows where both
+    * lags exist), as skill = 1 − ΣAE_season/ΣAE_naive. Positive skill →
+    * the seasonal copy beats persistence → real seasonality; ≈0 → none;
+    * negative → the series drifts faster than it repeats. All absolute
+    * errors are exact BIGINTs (one key-window pass, two lags riding one
+    * sort); the lag is the OBSERVATION lag over the bucket order
+    * (gap-fill upstream for calendar lags). */
+  def naiveSkill(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"season must be >= 2: $season")
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valueCol).cast("long").as("v"))
+      .withColumn("l1", lag(col("v"), 1).over(wk))
+      .withColumn("ls", lag(col("v"), season).over(wk))
+      .filter(col("l1").isNotNull && col("ls").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(abs(col("v") - col("l1"))).cast("long").as("sae_naive"),
+        sum(abs(col("v") - col("ls"))).cast("long").as("sae_season"))
+      .withColumn("skill", expr(naiveSkillSql))
+  }
+
+  /** skill over (sae_naive, sae_season); NULL for a constant series
+    * (persistence is already perfect). Shared with the oracle. */
+  val naiveSkillSql: String =
+    "CASE WHEN sae_naive > 0 THEN " +
+      "round(1.0 - CAST(sae_season AS DOUBLE) / sae_naive, 6) END"
 }

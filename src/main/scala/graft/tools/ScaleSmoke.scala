@@ -917,6 +917,37 @@ object ScaleSmoke {
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "user_id", "event_type", "v"))
     }
+    time(s"cvm+jonckheere+granger x$mult") {
+      val users = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            > 0L).as("had_error"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"))
+        .localCheckpoint(true)
+      drain(Profiling.cramerVonMises(users, "had_error", "spend"))
+      drain(Profiling.jonckheere(
+        users.withColumn("tier",
+          when(col("n_purch") >= 20L, "3_high")
+            .when(col("n_purch") >= 12L, "2_mid").otherwise("1_low")),
+        "tier", "spend"))
+      drain(graft.operators.TimeSeries.grangerLag1(
+        eventsUid.groupBy(
+            concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).cast("long").as("y"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .cast("long").as("x")),
+        "cohort", "day", "y", "x"))
+      drain(TextAnalysis.hillTail(docs))
+      drain(TextAnalysis.yulesK(docs))
+      drain(graft.operators.TimeSeries.naiveSkill(
+        eventsUid.groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "event_type", "day", "v"))
+    }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid
         .select(col("user_id"), unix_millis(col("ts")).as("ms"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Profiling}
+import graft.operators.{Graph, Profiling, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-10 additions: paired sign test, G-test of independence, 2×2
@@ -173,6 +173,113 @@ class Round10OpsSpec extends SparkFunSuite {
     val capped = Graph.linkPredictors(edges, "src", "dst", topK = 100,
       maxCenterDeg = 4)
     assert(capped.count() == 0L)
+  }
+
+  test("cramerVonMises: identical samples give T = 0; disjoint shift hand-checked") {
+    val same = (Seq(1L, 2L, 3L).map((true, _)) ++
+      Seq(1L, 2L, 3L).map((false, _))).toDF("g0", "v")
+    val r0 = Profiling.cramerVonMises(same, "g0", "v").head()
+    assert(r0.getAs[Double]("t") == 0.0)
+    assert(!r0.getAs[Boolean]("significant"))
+    // {1,2,3} vs {11,12,13}: d = 3·cum1 − 3·cum2 over the 6 pooled
+    // values = (3,6,9,6,3,0); num = 9+36+81+36+9 = 171;
+    // T = 171/(6²·3·3) = 0.527778 — past the 0.461 asymptotic 5% point
+    val shift = (Seq(1L, 2L, 3L).map((true, _)) ++
+      Seq(11L, 12L, 13L).map((false, _))).toDF("g0", "v")
+    val r = Profiling.cramerVonMises(shift, "g0", "v").head()
+    assert(r.getAs[String]("num") == "171")
+    assert(r.getAs[Double]("t") == math.rint(171.0 / 324 * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("jonckheere: strictly increasing ordered groups — exact 2J and z") {
+    // g1={1,2} < g2={3,4} < g3={5,6}: every cross-pair is a win →
+    // 2J = 2·(4+4+4) = 24; E[2J] = (36−12)/2 = 12;
+    // Var(2J) = (36·15 − 84)/18 = 25.333…
+    val rows = Seq(("1_a", 1L), ("1_a", 2L), ("2_b", 3L), ("2_b", 4L),
+      ("3_c", 5L), ("3_c", 6L))
+    val r = Profiling.jonckheere(rows.toDF("g0", "v"), "g0", "v").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[String]("j2") == "24")
+    assert(r.getAs[String]("sg2") == "12")
+    assert(r.getAs[String]("sg23") == "84")
+    assert(r.getAs[Double]("z") ==
+      math.rint(12.0 / math.sqrt(456.0 / 18) * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("jonckheere: ties count half — two identical groups give 2J = n1·n2") {
+    // both groups {5,5}: every cross pair ties → U = ½·4 → 2J = 4
+    val rows = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+    val r = Profiling.jonckheere(rows.toDF("g0", "v"), "g0", "v").head()
+    assert(r.getAs[String]("j2") == "4")
+  }
+
+  test("grangerLag1: lagged-x-driven series flags, pure-AR noise does not, constant NULLs") {
+    // causal: y_t = 3·x_{t-1} + (t mod 2) — x's past nearly determines y
+    val causal = (0L until 24L).map { t =>
+      val x = (t * 7) % 13
+      val xl = ((t - 1) * 7) % 13
+      ("k", t, if (t == 0) 0L else 3 * xl + (t % 2), x)
+    }
+    val rc = TimeSeries.grangerLag1(
+      causal.toDF("key", "t", "y", "x"), "key", "t", "y", "x").head()
+    assert(rc.getAs[Double]("f_stat") > 10.0, s"causal F=$rc")
+    assert(rc.getAs[Boolean]("significant"))
+    // independent: y is pure deterministic pseudo-noise, x another —
+    // the x lag must not clear the 3.84 asymptotic bar
+    val indep = (0L until 40L).map { t =>
+      ("k", t, (t * 5) % 11, (t * 3) % 7)
+    }
+    val ri = TimeSeries.grangerLag1(
+      indep.toDF("key", "t", "y", "x"), "key", "t", "y", "x").head()
+    assert(!ri.getAs[Boolean]("significant"), s"indep F=$ri")
+    // constant y: every SS degenerates → NULL F, never a divide error
+    val const = (0L until 10L).map(t => ("k", t, 5L, t))
+    val rn = TimeSeries.grangerLag1(
+      const.toDF("key", "t", "y", "x"), "key", "t", "y", "x").head()
+    assert(rn.isNullAt(rn.fieldIndex("f_stat")))
+  }
+
+  test("hillTail: exact nano ln sum; flat tail (all counts = xmin) gives NULL alpha") {
+    // counts: a→4, b→2, c→2, d→1 (below xmin, excluded):
+    // m=3, Σln = ln(2)+ln(1)+ln(1) = ln 2 → alpha = 1 + 3/ln 2
+    val docs = Seq(("en", "a a a a b b c c d")).toDF("lang", "text")
+    val r = TextAnalysis.hillTail(docs).head()
+    assert(r.getAs[Long]("m_tail") == 3L)
+    val sln = math.round(math.log(2.0) * 1e9)
+    assert(r.getAs[Long]("sln_nano") == sln)
+    assert(r.getAs[Double]("alpha") ==
+      math.rint((1.0 + 3.0 / (sln / 1e9)) * 1e6) / 1e6)
+    // flat tail: every surviving count exactly xmin
+    val flat = Seq(("de", "x x y y z")).toDF("lang", "text")
+    val rf = TextAnalysis.hillTail(flat).head()
+    assert(rf.isNullAt(rf.fieldIndex("alpha")))
+  }
+
+  test("yulesK: hand counts — K = 1e4·(Σc² − N)/N²") {
+    // counts 3,2,1 → N=6, Σc²=14 → K = 1e4·8/36
+    val docs = Seq(("s0", "a a a b b c")).toDF("source", "text")
+    val r = TextAnalysis.yulesK(docs).head()
+    assert(r.getAs[Long]("n_tokens") == 6L && r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[String]("s2") == "14")
+    assert(r.getAs[Double]("yules_k") ==
+      math.rint(10000.0 * 8 / 36 * 1e6) / 1e6)
+  }
+
+  test("naiveSkill: perfectly periodic series scores skill 1; constant series NULLs") {
+    // period-7 sawtooth over 21 days: season lag is exact (sae_season
+    // = 0), lag-1 errors are not → skill = 1
+    val rows = (0L until 21L).map(t => ("k", t, (t % 7) * 10))
+    val r = TimeSeries.naiveSkill(rows.toDF("key", "t", "v"),
+      "key", "t", "v").head()
+    assert(r.getAs[Long]("n") == 14L)
+    assert(r.getAs[Long]("sae_season") == 0L)
+    assert(r.getAs[Double]("skill") == 1.0)
+    val const = (0L until 21L).map(t => ("k", t, 5L))
+    val rc = TimeSeries.naiveSkill(const.toDF("key", "t", "v"),
+      "key", "t", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("skill")))
   }
 
   test("cmh: single-row strata drop; uniform-outcome strata keep V = 0 out of the denominator") {
