@@ -4415,6 +4415,51 @@ object SparkEntry {
             expr("unix_millis(ts) div 86400000").as("day"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "event_type", "day", "v")),
+    "q_nelson_aalen" -> ((s, dir) => {
+      // Cumulative hazard of first error per parity cohort — the
+      // additive twin of q_kaplan_meier on the same subject table:
+      // exact nano hazard increments + Breslow survival.
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.nelsonAalen(users, "cohort", "t_hours", "event")
+    }),
+    "q_harmonic_centrality" -> ((s, dir) => {
+      // Which parts sit closest to the co-purchase core? Landmark
+      // harmonic centrality (8 lowest-id landmarks, 3 BFS hops) — the
+      // documented Eppstein-Wang estimator, deterministic end to end.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.harmonicCentrality(e, "src", "dst")
+    }),
+    "q_stream_risk_ratio" -> ((s, dir) =>
+      // The 2x2 risk readout as an in-stream monitor: complete-mode
+      // per-user exposure/outcome state, RR/OR + CIs on the drained
+      // table — shares the batch q_risk_ratio oracle.
+      Profiling.riskRatio(
+        runToMemory(s, eventsStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg((sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              > 0L).as("had_error"),
+            (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              >= 15L).as("heavy")),
+          "complete"),
+        "had_error", "heavy")),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -9655,31 +9700,10 @@ object SparkEntry {
          |    ${graft.operators.Profiling.chi2Crit95Sql("(r - 1) * (c - 1)")}
          |    AS significant
          |FROM a""".stripMargin,
-    "q_risk_ratio" ->
-      s"""WITH users AS (SELECT user_id,
-         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-         |      AS BIGINT) > 0 AS had_error,
-         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         |      AS BIGINT) >= 15 AS heavy
-         |  FROM events GROUP BY 1),
-         |x AS (SELECT
-         |    CAST(SUM(CASE WHEN had_error AND heavy THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS a,
-         |    CAST(SUM(CASE WHEN had_error AND NOT heavy THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS b,
-         |    CAST(SUM(CASE WHEN NOT had_error AND heavy THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS c,
-         |    CAST(SUM(CASE WHEN NOT had_error AND NOT heavy THEN 1 ELSE 0
-         |      END) AS BIGINT) AS d
-         |  FROM users)
-         |SELECT a, b, c, d,
-         |  ${graft.operators.Profiling.rrSql} AS risk_ratio,
-         |  ${graft.operators.Profiling.rrCiSql("-")} AS rr_lo,
-         |  ${graft.operators.Profiling.rrCiSql("+")} AS rr_hi,
-         |  ${graft.operators.Profiling.orSql} AS odds_ratio,
-         |  ${graft.operators.Profiling.orCiSql("-")} AS or_lo,
-         |  ${graft.operators.Profiling.orCiSql("+")} AS or_hi
-         |FROM x""".stripMargin,
+    "q_risk_ratio" -> riskRatioOracleSql,
+    // the streaming tier drains to the identical per-user table —
+    // ONE oracle text serves both (the q_stream_wilson pattern)
+    "q_stream_risk_ratio" -> riskRatioOracleSql,
     "q_cmh" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
@@ -9957,6 +9981,71 @@ object SparkEntry {
          |SELECT event_type, n, sae_naive, sae_season,
          |  ${graft.operators.TimeSeries.naiveSkillSql} AS skill
          |FROM a""".stripMargin,
+    "q_nelson_aalen" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+         |    event_type = 'error' AS is_err FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM agg),
+         |per AS (SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+         |r AS (SELECT grp, t, d, m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+         |  FROM per),
+         |s AS (SELECT grp, t, d, n_grp - cum_m + m AS n_at_risk FROM r),
+         |f AS (SELECT grp, t, d, n_at_risk,
+         |    ${graft.operators.Survival.naHazardNanoSql} AS h_nano
+         |  FROM s),
+         |c AS (SELECT grp, t, d, n_at_risk,
+         |    CAST(SUM(h_nano) OVER (PARTITION BY grp ORDER BY t)
+         |      AS BIGINT) AS cum_h_nano
+         |  FROM f)
+         |SELECT grp, t, n_at_risk, d,
+         |  ${graft.operators.Survival.naCumHazardSql} AS cum_hazard,
+         |  ${graft.operators.Survival.naBreslowSql} AS surv_breslow
+         |FROM c WHERE d > 0""".stripMargin,
+    "q_harmonic_centrality" ->
+      """WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src,
+        |    b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |lm AS MATERIALIZED (SELECT src AS u FROM es GROUP BY 1
+        |  ORDER BY 1 LIMIT 8),
+        |d0 AS MATERIALIZED (SELECT u AS lm, u AS v FROM lm),
+        |n1 AS MATERIALIZED (
+        |  SELECT DISTINCT d0.lm, es.dst AS v FROM d0
+        |    JOIN es ON es.src = d0.v
+        |  EXCEPT SELECT lm, v FROM d0),
+        |p1 AS MATERIALIZED (SELECT lm, v FROM d0
+        |  UNION SELECT lm, v FROM n1),
+        |n2 AS MATERIALIZED (
+        |  SELECT DISTINCT n1.lm, es.dst AS v FROM n1
+        |    JOIN es ON es.src = n1.v
+        |  EXCEPT SELECT lm, v FROM p1),
+        |p2 AS MATERIALIZED (SELECT lm, v FROM p1
+        |  UNION SELECT lm, v FROM n2),
+        |n3 AS MATERIALIZED (
+        |  SELECT DISTINCT n2.lm, es.dst AS v FROM n2
+        |    JOIN es ON es.src = n2.v
+        |  EXCEPT SELECT lm, v FROM p2),
+        |alld AS (SELECT lm, v, 1 AS d FROM n1
+        |  UNION ALL SELECT lm, v, 2 FROM n2
+        |  UNION ALL SELECT lm, v, 3 FROM n3)
+        |SELECT v,
+        |  CAST(SUM(CAST(ROUND(1000000.0 / d, 0) AS BIGINT)) AS BIGINT)
+        |    AS harmonic_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_reached
+        |FROM alld GROUP BY 1
+        |ORDER BY harmonic_micro DESC, v LIMIT 20""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode
@@ -10001,6 +10090,35 @@ object SparkEntry {
          |  round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
          |  round(CAST(s - sl AS DOUBLE) / (n - nl), 6) AS mean_right
          |FROM top WHERE rn = 1""".stripMargin
+
+  /** Shared by q_risk_ratio (batch) and q_stream_risk_ratio (the
+    * complete-mode streaming tier drains the identical per-user
+    * table): one oracle text. */
+  private lazy val riskRatioOracleSql: String =
+    s"""WITH users AS (SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) > 0 AS had_error,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) >= 15 AS heavy
+       |  FROM events GROUP BY 1),
+       |x AS (SELECT
+       |    CAST(SUM(CASE WHEN had_error AND heavy THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN had_error AND NOT heavy THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN NOT had_error AND heavy THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN NOT had_error AND NOT heavy THEN 1 ELSE 0
+       |      END) AS BIGINT) AS d
+       |  FROM users)
+       |SELECT a, b, c, d,
+       |  ${graft.operators.Profiling.rrSql} AS risk_ratio,
+       |  ${graft.operators.Profiling.rrCiSql("-")} AS rr_lo,
+       |  ${graft.operators.Profiling.rrCiSql("+")} AS rr_hi,
+       |  ${graft.operators.Profiling.orSql} AS odds_ratio,
+       |  ${graft.operators.Profiling.orCiSql("-")} AS or_lo,
+       |  ${graft.operators.Profiling.orCiSql("+")} AS or_hi
+       |FROM x""".stripMargin
 
   /** Shared by q_wilson_ci (batch) and q_stream_wilson (complete-mode
     * streaming agg): identical (success, n) semantics, one oracle text. */

@@ -508,6 +508,55 @@ object Graph {
     "CAST(ROUND(1000000.0 * n_common / (deg_a + deg_b - n_common), 0) " +
       "AS BIGINT)"
 
+  /** Landmark harmonic centrality — the tractable closeness stand-in at
+    * scale: exact all-pairs closeness is O(V·E); instead run `maxHops`
+    * BFS levels from the `nLandmarks` LOWEST-ID vertices (deterministic
+    * landmark choice — no sampling seed) and score each vertex by
+    * Σ_landmarks 1/dist in micro units (unreached or beyond-horizon
+    * landmarks contribute 0, the harmonic convention that needs no ∞
+    * handling). A documented ESTIMATOR: ranks are relative to the
+    * landmark set, the standard landmark/pivot trade (Eppstein–Wang).
+    * Each level is one frontier-edges join + anti-join dedup, frontier
+    * materialized per level (the Graph loop-invariant discipline);
+    * state is (landmark, vertex) pairs — ≤ nLandmarks·V rows. Top-K by
+    * (score, v) via TakeOrdered. */
+  def harmonicCentrality(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nLandmarks: Int = 8, maxHops: Int = 3, topK: Int = 20): DataFrame = {
+    require(nLandmarks >= 1 && maxHops >= 1 && topK >= 1,
+      s"bad params: $nLandmarks/$maxHops/$topK")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val ed = und.select(col("u").as("eu"), col("v").as("ev"))
+    val landmarks = und.select(col("u")).distinct()
+      .orderBy(col("u")).limit(nLandmarks)
+    var dist = landmarks
+      .select(col("u").as("lm"), col("u").as("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (i <- 1 to maxHops) {
+      val next = frontier.select(col("lm"), col("v"))
+        .join(ed, col("v") === col("eu"))
+        .select(col("lm"), col("ev").as("v"))
+        .distinct()
+        .join(dist.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
+        .withColumn("d", lit(i.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist.filter(col("d") > 0L)
+      .withColumn("c_micro",
+        expr("CAST(ROUND(1000000.0 / d, 0) AS BIGINT)"))
+      .groupBy(col("v"))
+      .agg(sum(col("c_micro")).cast("long").as("harmonic_micro"),
+        count(lit(1)).cast("long").as("n_reached"))
+      .orderBy(col("harmonic_micro").desc, col("v"))
+      .limit(topK)
+  }
+
   /** Per-node structural features — the graph-feature-engineering pass a
     * fraud/recommendation model consumes: degree, triangle participation
     * ([[triangleCounts]] reused), and the local clustering coefficient

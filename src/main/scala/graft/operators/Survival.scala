@@ -56,6 +56,55 @@ object Survival {
         expr(kmSurvivalSql).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the ESTIMATOR-SIDE companion to
+    * [[kaplanMeier]] (KM multiplies survival factors; NA sums hazard
+    * increments d/n, which is the better-behaved quantity to difference,
+    * regress, or compare across cohorts): per event time,
+    * H(t) = Σ_{s≤t} d_s/n_s with each increment nano-quantized so the
+    * running sum is an exact BIGINT, plus the Breslow survival
+    * exp(−H(t)). Identical plan shape to kaplanMeier — one per-(grp,t)
+    * aggregate and two ranged prefix sums over the STEP table (∝
+    * distinct event times, not subjects). */
+  def nelsonAalen(
+      df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("string").as("grp"),
+      col(timeCol).cast("long").as("t"),
+      when(col(eventCol), 1L).otherwise(0L).as("ev"))
+    val per = u.groupBy(col("grp"), col("t"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        count(lit(1)).cast("long").as("m"))
+    val tot = broadcast(
+      per.groupBy(col("grp")).agg(sum(col("m")).cast("long").as("n_grp")))
+    val risk = Eval.rangedCumsum(per, Seq("grp"), "t", Seq("m"))
+      .join(tot, Seq("grp"))
+      .withColumn("n_at_risk",
+        (col("n_grp") - col("cum_m") + col("m")).cast("long"))
+      .withColumn("h_nano", expr(naHazardNanoSql))
+    Eval.rangedCumsum(
+      risk.select(col("grp"), col("t"), col("d"), col("n_at_risk"),
+        col("h_nano")),
+      Seq("grp"), "t", Seq("h_nano"))
+      .filter(col("d") > 0L)
+      .select(col("grp"), col("t"), col("n_at_risk"), col("d"),
+        expr(naCumHazardSql).as("cum_hazard"),
+        expr(naBreslowSql).as("surv_breslow"))
+  }
+
+  /** Per-time hazard increment d/n in nano units over (d, n_at_risk) —
+    * one deterministic double division on exact integers. Shared with
+    * the oracle. */
+  val naHazardNanoSql: String =
+    "CAST(ROUND(CAST(d AS DOUBLE) / n_at_risk * 1000000000, 0) AS BIGINT)"
+
+  /** H(t) off the exact nano sum. Shared with the oracle. */
+  val naCumHazardSql: String =
+    "ROUND(CAST(cum_h_nano AS DOUBLE) / 1000000000, 6)"
+
+  /** Breslow survival exp(−H). Shared with the oracle. */
+  val naBreslowSql: String =
+    "ROUND(EXP(-CAST(cum_h_nano AS DOUBLE) / 1000000000), 6)"
+
   /** Per-time ln((n−d)/n) in nano units over (d, n_at_risk) — a
     * deterministic double op on exact integers, no sum inside; the
     * d = n (risk set extinguished) case routes through [[kmZeroFlagSql]]

@@ -605,6 +605,7 @@ object ScaleSmoke {
       drain(graft.operators.Graph.graphStats(e, "src", "dst"))
       drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20))
       drain(graft.operators.Graph.linkPredictors(e, "src", "dst", 20))
+      drain(graft.operators.Graph.harmonicCentrality(e, "src", "dst"))
     }
     time(s"did+lDiversity+impute x$mult") {
       drain(graft.operators.Eval.diffInDiff(
@@ -1025,6 +1026,9 @@ object ScaleSmoke {
       drain(graft.operators.Survival.logRank(
         users.withColumn("g", pmod(col("user_id"), lit(2L)) === 0L),
         "g", "t", "ev"))
+      drain(graft.operators.Survival.nelsonAalen(
+        users.withColumn("grp",
+          concat(lit("c"), pmod(col("user_id"), lit(2L)))), "grp", "t", "ev"))
     }
     time(s"markovStationary x$mult (event-type chain, 12 iters)") {
       import org.apache.spark.sql.expressions.Window

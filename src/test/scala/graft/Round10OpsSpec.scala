@@ -282,6 +282,40 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("skill")))
   }
 
+  test("nelsonAalen: hand increments — censoring shrinks the risk set, H sums d/n") {
+    // grp g: events at t=1 (2 of 4 at risk), censor at t=2, event at
+    // t=3 (1 at risk) → H = 0.5 then 1.5; Breslow = exp(−H)
+    val subj = Seq(("g", 1L, true), ("g", 1L, true), ("g", 2L, false),
+      ("g", 3L, true)).toDF("grp", "t", "ev")
+    val rows = graft.operators.Survival.nelsonAalen(subj, "grp", "t", "ev")
+      .orderBy("t").collect()
+    assert(rows.length == 2) // the censor-only time drops from output
+    assert(rows(0).getAs[Long]("n_at_risk") == 4L &&
+      rows(0).getAs[Long]("d") == 2L)
+    assert(rows(0).getAs[Double]("cum_hazard") == 0.5)
+    assert(rows(0).getAs[Double]("surv_breslow") ==
+      math.rint(math.exp(-0.5) * 1e6) / 1e6)
+    assert(rows(1).getAs[Double]("cum_hazard") == 1.5)
+    assert(rows(1).getAs[Double]("surv_breslow") ==
+      math.rint(math.exp(-1.5) * 1e6) / 1e6)
+  }
+
+  test("harmonicCentrality: path graph, 2 landmarks, hand scores and tie-break") {
+    // path 1-2-3-4-5, landmarks = {1,2} (lowest ids), 3 hops:
+    // v3: 1/2 + 1/1 = 1.5e6 micro; v1 = v2 = 1e6 (tie → id order);
+    // v4: 1/3 + 1/2 = 833333; v5: 1/3 only
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val rows = Graph.harmonicCentrality(edges, "src", "dst",
+      nLandmarks = 2, maxHops = 3, topK = 10).collect()
+    assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(3L, 1L, 2L, 4L, 5L))
+    assert(rows(0).getAs[Long]("harmonic_micro") == 1500000L)
+    assert(rows(0).getAs[Long]("n_reached") == 2L)
+    assert(rows(3).getAs[Long]("harmonic_micro") ==
+      math.round(1e6 / 3) + 500000L)
+    assert(rows(4).getAs[Long]("harmonic_micro") == math.round(1e6 / 3))
+  }
+
   test("cmh: single-row strata drop; uniform-outcome strata keep V = 0 out of the denominator") {
     // one real stratum + one 1-row stratum (must be excluded: V needs n−1)
     def block(s: String, e: Boolean, pos: Int, neg: Int) =
