@@ -3514,14 +3514,17 @@ object SparkEntry {
       Profiling.cochranArmitage(users, "dose", "heavy")
     }),
     "q_mann_whitney" -> ((s, dir) => {
-      // Distribution-free spend shift: do users who ever hit an error
-      // spend differently? Combined midranks off one prefix sum; exact
+      // Distribution-free spend shift: do high-clickers spend
+      // differently? Combined midranks off one prefix sum; exact
       // 2*U1 integer, tie-corrected z + Cliff's delta effect size.
+      // (Split on the click rate, balanced ~71/79 at sf0.01 — the
+      // original had_error flag is TRUE for every sf0.01 user, which
+      // left the test silently degenerate, caught in round 10.)
       val users = table(s, dir, "events").groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
-          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"))
-      Profiling.mannWhitney(users, "had_error", "spend")
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"))
+      Profiling.mannWhitney(users, "clicker", "spend")
     }),
     "q_kruskal_wallis" -> ((s, dir) =>
       // k-group rank ANOVA: is document length distribution the same
@@ -4295,29 +4298,32 @@ object SparkEntry {
       // q_chi2_independence; nano-quantized O·ln(O·N/NrNc) cell terms.
       Profiling.gTest(table(s, dir, "documents"), "lang", "source")),
     "q_risk_ratio" -> ((s, dir) => {
-      // Does hitting an error associate with heavy purchasing? RR + OR
-      // with Wald log-scale CIs off four exact 2x2 cells.
+      // Does heavy clicking associate with heavy purchasing? RR + OR
+      // with Wald log-scale CIs off four exact 2x2 cells (balanced
+      // 53/26/47/24 table at sf0.01; the original had_error exposure
+      // was TRUE for every user — all four estimates NULLed).
       val users = table(s, dir, "events").groupBy(col("user_id"))
-        .agg((sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"),
+        .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"),
           (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             >= 15L).as("heavy"))
-      Profiling.riskRatio(users, "had_error", "heavy")
+      Profiling.riskRatio(users, "clicker", "heavy")
     }),
     "q_cmh" -> ((s, dir) => {
-      // The error→heavy association CONTROLLED for spend tier:
+      // The clicker→heavy association CONTROLLED for spend tier:
       // Mantel-Haenszel pooled OR vs the crude OR, CMH chi2, and the
-      // Simpson's-paradox flag — per-stratum nano terms, exact sums.
+      // Simpson's-paradox flag — per-stratum nano terms, exact sums
+      // (same balanced clicker exposure as q_risk_ratio).
       val users = table(s, dir, "events").groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
-          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"),
           (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             >= 15L).as("heavy"))
         .withColumn("tier",
           when(col("spend") >= 360000L, "high")
             .when(col("spend") >= 300000L, "mid").otherwise("low"))
-      Profiling.cmh(users, "tier", "had_error", "heavy")
+      Profiling.cmh(users, "tier", "clicker", "heavy")
     }),
     "q_wilcoxon_signed" -> ((s, dir) => {
       // Magnitude-aware paired twin of q_sign_test on the SAME pairing
@@ -4360,15 +4366,16 @@ object SparkEntry {
       graft.operators.Graph.linkPredictors(e, "src", "dst", topK = 20)
     }),
     "q_cvm" -> ((s, dir) => {
-      // Whole-distribution spend comparison (error-touched users vs
-      // not) — the integrated-ECDF-gap companion to q_mann_whitney
+      // Whole-distribution spend comparison (high-clickers vs the
+      // rest) — the integrated-ECDF-gap companion to q_mann_whitney
       // (location) and q_ks_test (max gap): exact decimal numerator
-      // over one value-domain prefix sum.
+      // over one value-domain prefix sum. Same balanced clicker split
+      // as q_mann_whitney (had_error degenerates at sf0.01).
       val users = table(s, dir, "events").groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
-          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"))
-      Profiling.cramerVonMises(users, "had_error", "spend")
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"))
+      Profiling.cramerVonMises(users, "clicker", "spend")
     }),
     "q_jonckheere" -> ((s, dir) => {
       // Does spend INCREASE along purchase-count tiers? The ordered
@@ -4454,12 +4461,91 @@ object SparkEntry {
       Profiling.riskRatio(
         runToMemory(s, eventsStream(s, dir)
           .groupBy(col("user_id"))
-          .agg((sum(when(col("event_type") === "error", 1L).otherwise(0L))
-              > 0L).as("had_error"),
+          .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              >= 14L).as("clicker"),
             (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               >= 15L).as("heavy")),
           "complete"),
-        "had_error", "heavy")),
+        "clicker", "heavy")),
+    "q_gof_dow" -> ((s, dir) =>
+      // Is each type's traffic uniform across the 7-day cycle? Per-key
+      // GOF chi2 with the zero-cell correction in the algebra — the
+      // calendar-structure alarm next to q_forecast_skill.
+      Profiling.gofUniform(
+        table(s, dir, "events").select(col("event_type"),
+          expr("(unix_millis(ts) div 86400000) % 7").as("dow")),
+        "event_type", "dow")),
+    "q_shift_function" -> ((s, dir) => {
+      // WHERE does heavy purchasers' spend differ from the rest? Nine
+      // decile quantiles side by side with their gap — the location
+      // readout after q_cvm's whole-distribution yes/no. (Split on the
+      // heavy flag, not had_error: every sf0.01 user touches an error,
+      // which would empty one side.)
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"))
+      Profiling.shiftFunction(users, "heavy", "spend")
+    }),
+    "q_capture_recapture" -> ((s, dir) =>
+      // Chapman estimate of the distinct-visitor population from two
+      // deterministic hash captures, audited in-row against the exact
+      // count — the two-sample cousin of q_kmv_distinct.
+      Sampling.captureRecapture(table(s, dir, "events"), "user_id")),
+    "q_bowker" -> ((s, dir) => {
+      // Do users' spend tiers MOVE symmetrically between even and odd
+      // days? The kxk McNemar: per-pair micro terms, df = informative
+      // pairs only.
+      def tier(c: org.apache.spark.sql.Column) =
+        when(c >= 180000L, "h").when(c >= 150000L, "m").otherwise("l")
+      val users = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") % 2 === 0L, col("cents")).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
+            .cast("long").as("y"))
+        .select(tier(col("x")).as("tier_even"), tier(col("y")).as("tier_odd"))
+      Profiling.bowkerSymmetry(users, "tier_even", "tier_odd")
+    }),
+    "q_atkinson" -> ((s, dir) =>
+      // Welfare-weighted spend inequality per type (epsilon = 1) —
+      // the log-utility companion to q_gini; exact nano ln sums.
+      Eval.atkinson(
+        table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
+        "event_type", "cents")),
+    "q_cronbach_alpha" -> ((s, dir) =>
+      // Do the per-type spends hang together as ONE engagement scale?
+      // Cronbach's alpha over the user x type layout — exact moments,
+      // nano item variances.
+      Profiling.cronbachAlpha(
+        table(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "user_id", "event_type", "v")),
+    "q_fleiss_kappa" -> ((s, dir) => {
+      // Three deterministic tier rules as raters over users: does the
+      // spend rule agree with the click and view rules beyond chance?
+      def tier(c: org.apache.spark.sql.Column, t3: Long, t2: Long, t1: Long) =
+        when(c >= t3, 3L).when(c >= t2, 2L).when(c >= t1, 1L).otherwise(0L)
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("n_view"))
+        .localCheckpoint(true)
+      val long = users.select(col("user_id"), lit("r_spend").as("rater"),
+          tier(col("spend"), 360000L, 330000L, 300000L).as("cat"))
+        .unionByName(users.select(col("user_id"), lit("r_click").as("rater"),
+          tier(col("n_click"), 25L, 20L, 15L).as("cat")))
+        .unionByName(users.select(col("user_id"), lit("r_view").as("rater"),
+          tier(col("n_view"), 25L, 20L, 15L).as("cat")))
+      Profiling.fleissKappa(long, "user_id", "rater", "cat")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -9463,8 +9549,8 @@ object SparkEntry {
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
          |      AS spend,
-         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-         |      AS BIGINT) > 0 AS had_error
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 14 AS had_error
          |  FROM events GROUP BY 1),
          |per AS (SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS nv
          |  FROM users GROUP BY 1),
@@ -9708,14 +9794,14 @@ object SparkEntry {
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
          |      AS spend,
-         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-         |      AS BIGINT) > 0 AS had_error,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 14 AS clicker,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |      AS BIGINT) >= 15 AS heavy
          |  FROM events GROUP BY 1),
          |u2 AS (SELECT CASE WHEN spend >= 360000 THEN 'high'
          |      WHEN spend >= 300000 THEN 'mid' ELSE 'low' END AS s,
-         |    had_error AS e0, heavy AS o0 FROM users),
+         |    clicker AS e0, heavy AS o0 FROM users),
          |st AS (SELECT s,
          |    CAST(SUM(CASE WHEN e0 AND o0 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS a,
@@ -9844,13 +9930,13 @@ object SparkEntry {
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
          |      AS spend,
-         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-         |      AS BIGINT) > 0 AS had_error
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 14 AS clicker
          |  FROM events GROUP BY 1),
          |per AS (SELECT spend AS v,
-         |    CAST(SUM(CASE WHEN had_error THEN 1 ELSE 0 END) AS BIGINT)
+         |    CAST(SUM(CASE WHEN clicker THEN 1 ELSE 0 END) AS BIGINT)
          |      AS c1,
-         |    CAST(SUM(CASE WHEN had_error THEN 0 ELSE 1 END) AS BIGINT)
+         |    CAST(SUM(CASE WHEN clicker THEN 0 ELSE 1 END) AS BIGINT)
          |      AS c2
          |  FROM users GROUP BY 1),
          |c AS (SELECT v, c1, c2,
@@ -10046,6 +10132,193 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_reached
         |FROM alld GROUP BY 1
         |ORDER BY harmonic_micro DESC, v LIMIT 20""".stripMargin,
+    "q_gof_dow" ->
+      s"""WITH e AS (SELECT event_type,
+         |    (epoch_ms(ts) // 86400000) % 7 AS dow FROM events),
+         |cells AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM e GROUP BY 1, 2),
+         |kk AS (SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) AS k
+         |  FROM cells),
+         |tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1),
+         |d AS (SELECT c.event_type, k, n,
+         |    CAST(o AS DECIMAL(38,0)) * k - n AS dev
+         |  FROM cells c JOIN tot USING (event_type), kk),
+         |a AS (SELECT event_type, k, n,
+         |    CAST(COUNT(*) AS BIGINT) AS k_obs,
+         |    CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS sdev2
+         |  FROM d GROUP BY 1, 2, 3)
+         |SELECT event_type, k, n, k_obs,
+         |  CAST(sdev2 AS VARCHAR) AS sdev2,
+         |  ${graft.operators.Profiling.gofChi2Sql} AS chi2,
+         |  CAST(k - 1 AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS chi2_crit,
+         |  ${graft.operators.Profiling.gofChi2Sql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_shift_function" ->
+      """WITH users AS (SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS spend,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) >= 15 AS heavy
+        |  FROM events GROUP BY 1),
+        |qa AS (SELECT quantile_cont(spend,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM users WHERE heavy),
+        |qb AS (SELECT quantile_cont(spend,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM users WHERE NOT heavy),
+        |ea AS (SELECT generate_subscripts(q, 1) AS i, unnest(q) AS v
+        |  FROM qa),
+        |eb AS (SELECT generate_subscripts(q, 1) AS i, unnest(q) AS v
+        |  FROM qb)
+        |SELECT CAST(ea.i * 10 AS BIGINT) AS decile,
+        |  round(ea.v, 6) AS q_a, round(eb.v, 6) AS q_b,
+        |  round(ea.v - eb.v, 6) AS shift
+        |FROM ea JOIN eb ON ea.i = eb.i""".stripMargin,
+    "q_capture_recapture" ->
+      s"""WITH ids AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
+         |  FROM events),
+         |h AS (SELECT
+         |    CAST('0x' || substr(md5('capA:' || id), 1, 15) AS BIGINT)
+         |      % 2 = 0 AS in_a,
+         |    CAST('0x' || substr(md5('capB:' || id), 1, 15) AS BIGINT)
+         |      % 2 = 0 AS in_b
+         |  FROM ids),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS m
+         |  FROM h)
+         |SELECT exact_distinct, n1, n2, m,
+         |  ${graft.operators.Sampling.chapmanSql} AS est,
+         |  CASE WHEN exact_distinct > 0 THEN
+         |    round(abs(${graft.operators.Sampling.chapmanSql} /
+         |      exact_distinct - 1), 6) END AS rel_err
+         |FROM a""".stripMargin,
+    "q_bowker" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |u AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |t AS (SELECT
+         |    CASE WHEN x >= 180000 THEN 'h' WHEN x >= 150000 THEN 'm'
+         |      ELSE 'l' END AS i,
+         |    CASE WHEN y >= 180000 THEN 'h' WHEN y >= 150000 THEN 'm'
+         |      ELSE 'l' END AS j
+         |  FROM u),
+         |cells AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM t
+         |  WHERE i <> j GROUP BY 1, 2),
+         |pairs AS (SELECT least(i, j) AS lo, greatest(i, j) AS hi,
+         |    CAST(SUM(CASE WHEN i < j THEN n ELSE 0 END) AS BIGINT)
+         |      AS nij,
+         |    CAST(SUM(CASE WHEN i > j THEN n ELSE 0 END) AS BIGINT)
+         |      AS nji
+         |  FROM cells GROUP BY 1, 2),
+         |w AS (SELECT ${graft.operators.Profiling.bowkerTermMicroSql}
+         |    AS term_micro FROM pairs),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(term_micro) AS BIGINT) AS chi2_micro FROM w)
+         |SELECT m, chi2_micro,
+         |  ${graft.operators.Profiling.bowkerChi2Sql} AS chi2,
+         |  m AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("m")} AS chi2_crit,
+         |  ${graft.operators.Profiling.bowkerChi2Sql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("m")}
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_atkinson" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(ROUND(LN(CAST(cents AS DOUBLE)) * 1000000000,
+         |      0) AS BIGINT)) AS BIGINT) AS sln_nano
+         |  FROM u WHERE cents > 0 GROUP BY 1)
+         |SELECT event_type, n, sx, sln_nano,
+         |  ${graft.operators.Eval.atkinsonSql} AS atkinson
+         |FROM a""".stripMargin,
+    "q_cronbach_alpha" ->
+      s"""WITH ut AS (SELECT user_id, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+         |  FROM ut),
+         |comp AS (SELECT ut.user_id, ut.event_type, ut.v, k FROM ut, kk
+         |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) = k),
+         |it AS (SELECT k, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(v) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+         |      AS sq
+         |  FROM comp GROUP BY 1, 2),
+         |iv AS (SELECT k, n,
+         |    ${graft.operators.Profiling.cronbachItemVarNanoSql}
+         |      AS var_nano FROM it),
+         |ia AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n_units,
+         |    CAST(SUM(var_nano) AS BIGINT) AS sum_var_nano
+         |  FROM iv GROUP BY 1),
+         |tt AS (SELECT user_id, CAST(SUM(v) AS BIGINT) AS t FROM comp
+         |  GROUP BY 1),
+         |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+         |    CAST(SUM(t) AS BIGINT) AS st,
+         |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+         |      AS stq FROM tt),
+         |f AS (SELECT * FROM ia, ta)
+         |SELECT k, n_units, sum_var_nano,
+         |  ${graft.operators.Profiling.cronbachAlphaSql} AS alpha
+         |FROM f""".stripMargin,
+    "q_fleiss_kappa" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_view
+         |  FROM events GROUP BY 1),
+         |lng AS (
+         |  SELECT user_id, 'r_spend' AS rater,
+         |      CASE WHEN spend >= 360000 THEN 3 WHEN spend >= 330000
+         |        THEN 2 WHEN spend >= 300000 THEN 1 ELSE 0 END AS cat
+         |    FROM users
+         |  UNION ALL SELECT user_id, 'r_click',
+         |      CASE WHEN n_click >= 25 THEN 3 WHEN n_click >= 20 THEN 2
+         |        WHEN n_click >= 15 THEN 1 ELSE 0 END FROM users
+         |  UNION ALL SELECT user_id, 'r_view',
+         |      CASE WHEN n_view >= 25 THEN 3 WHEN n_view >= 20 THEN 2
+         |        WHEN n_view >= 15 THEN 1 ELSE 0 END FROM users),
+         |nr AS (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) AS n_raters
+         |  FROM lng),
+         |comp AS (SELECT lng.user_id, CAST(lng.cat AS VARCHAR) AS cat,
+         |    n_raters FROM lng, nr
+         |  QUALIFY COUNT(*) OVER (PARTITION BY user_id) = n_raters),
+         |cells AS (SELECT n_raters, user_id, cat,
+         |    CAST(COUNT(*) AS BIGINT) AS nic FROM comp GROUP BY 1, 2, 3),
+         |pi AS (SELECT n_raters,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_items,
+         |    CAST(SUM(CAST(nic AS DECIMAL(38,0)) * nic) AS DECIMAL(38,0))
+         |      AS s_nic2
+         |  FROM cells GROUP BY 1),
+         |pc AS (SELECT CAST(SUM(CAST(colsum AS DECIMAL(38,0)) * colsum)
+         |      AS DECIMAL(38,0)) AS s_col2
+         |  FROM (SELECT cat, CAST(SUM(nic) AS BIGINT) AS colsum
+         |    FROM cells GROUP BY 1)),
+         |f AS (SELECT * FROM pi, pc)
+         |SELECT n_raters, n_items,
+         |  ${graft.operators.Profiling.fleissKappaSql} AS kappa,
+         |  CAST(s_nic2 AS VARCHAR) AS s_nic2,
+         |  CAST(s_col2 AS VARCHAR) AS s_col2
+         |FROM f""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode
@@ -10096,19 +10369,19 @@ object SparkEntry {
     * table): one oracle text. */
   private lazy val riskRatioOracleSql: String =
     s"""WITH users AS (SELECT user_id,
-       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-       |      AS BIGINT) > 0 AS had_error,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) >= 14 AS clicker,
        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
        |      AS BIGINT) >= 15 AS heavy
        |  FROM events GROUP BY 1),
        |x AS (SELECT
-       |    CAST(SUM(CASE WHEN had_error AND heavy THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN clicker AND heavy THEN 1 ELSE 0 END)
        |      AS BIGINT) AS a,
-       |    CAST(SUM(CASE WHEN had_error AND NOT heavy THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN clicker AND NOT heavy THEN 1 ELSE 0 END)
        |      AS BIGINT) AS b,
-       |    CAST(SUM(CASE WHEN NOT had_error AND heavy THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN NOT clicker AND heavy THEN 1 ELSE 0 END)
        |      AS BIGINT) AS c,
-       |    CAST(SUM(CASE WHEN NOT had_error AND NOT heavy THEN 1 ELSE 0
+       |    CAST(SUM(CASE WHEN NOT clicker AND NOT heavy THEN 1 ELSE 0
        |      END) AS BIGINT) AS d
        |  FROM users)
        |SELECT a, b, c, d,

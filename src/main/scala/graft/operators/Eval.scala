@@ -486,6 +486,32 @@ object Eval {
           .cast("double") / (col("n") * col("sum_val")), 6).as("gini"))
   }
 
+  /** Atkinson inequality index (ε = 1) per group — the WELFARE-weighted
+    * companion to [[gini]]: A = 1 − geomean(x)/mean(x) over positive
+    * values, i.e. the share of total income society could discard and
+    * be equally well off under log utility. ln terms nano-quantize per
+    * element so the sum is an exact BIGINT; one map-side-combined
+    * aggregate, no join, no sort (gini needs the rank prefix sum; this
+    * doesn't). */
+  def atkinson(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    df.filter(v > 0L)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(v).cast("long").as("sx"),
+        sum(expr(s"CAST(ROUND(LN(CAST($valCol AS DOUBLE)) * 1000000000," +
+          " 0) AS BIGINT)")).cast("long").as("sln_nano"))
+      .withColumn("atkinson", expr(atkinsonSql))
+  }
+
+  /** A = 1 − exp(Σln/n)/(Σx/n) over (n, sx, sln_nano); NULL for an
+    * empty group never reaches here (filter), n ≥ 1 always valid.
+    * Shared with the oracle. */
+  val atkinsonSql: String =
+    "round(1.0 - exp(CAST(sln_nano AS DOUBLE) / 1000000000 / n) / " +
+      "(CAST(sx AS DOUBLE) / n), 6)"
+
   /** Exact per-group lower weighted median of an integer-domain value:
     * the smallest v whose inclusive cumulative weight reaches half the
     * group total (2·cumw ≥ W — integer compare, no ties to break). Same

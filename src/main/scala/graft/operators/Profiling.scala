@@ -656,15 +656,22 @@ object Profiling {
       "(CAST(n AS DOUBLE) * n * n - n)), 6) END"
 
   /** χ²(df, 0.95) critical value as a CASE lookup over a df
-    * expression — df 1..10 supported, NULL beyond (callers see a NULL
+    * expression — df 1..20 supported, NULL beyond (callers see a NULL
     * flag instead of a silently wrong quantile; the [[TimeSeries]]
-    * ljungBox lesson). Shared with the oracle. */
+    * ljungBox lesson). 11..20 landed in round 10 when the 20-source
+    * documents table pushed kruskalWallis to df = 19 and its flag went
+    * permanently NULL. Shared with the oracle. */
   def chi2Crit95Sql(dfExpr: String): String =
     s"CAST((CASE CAST(($dfExpr) AS BIGINT) " +
       "WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 " +
       "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 " +
       "WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 WHEN 9 THEN 16.918978 " +
-      "WHEN 10 THEN 18.307038 END) AS DOUBLE)"
+      "WHEN 10 THEN 18.307038 WHEN 11 THEN 19.675138 " +
+      "WHEN 12 THEN 21.026070 WHEN 13 THEN 22.362032 " +
+      "WHEN 14 THEN 23.684791 WHEN 15 THEN 24.995790 " +
+      "WHEN 16 THEN 26.296228 WHEN 17 THEN 27.587112 " +
+      "WHEN 18 THEN 28.869299 WHEN 19 THEN 30.143527 " +
+      "WHEN 20 THEN 31.410433 END) AS DOUBLE)"
 
   /** Cochran's Q — the k-treatment extension of [[mcnemar]]: "do ANY of
     * k classifiers/rules differ on the SAME items?" over paired binary
@@ -1770,6 +1777,224 @@ object Profiling {
       .withColumn("j2", col("j2").cast("string"))
       .withColumn("sg2", col("sg2").cast("string"))
       .withColumn("sg23", col("sg23").cast("string"))
+  }
+
+  /** Bowker symmetry test — the k×k extension of [[mcnemar]]: did the
+    * category TRANSITIONS balance (as many i→j as j→i moves)? χ² =
+    * Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) over the off-diagonal pairs
+    * with any mass, df = m = #pairs with n_ij + n_ji > 0 (the
+    * zero-mass pairs carry no information and, conventionally, no df).
+    * Per-pair terms micro-quantize so the sum is exact; the pair table
+    * is k²-bounded (cells materialize once, then a pair self-join of
+    * the k² cell table). df ≤ 10 supported by the shared critical
+    * table; beyond that the flag is NULL, never a wrong quantile. */
+  def bowkerSymmetry(
+      df: DataFrame, fromCol: String, toCol: String): DataFrame = {
+    // each off-diagonal cell folds onto its canonical {lo, hi} pair with
+    // a forward/reverse tag — one regroup, no self-join, no missing-cell
+    // cases (an unpaired direction just leaves the other side at 0)
+    df.groupBy(col(fromCol).cast("string").as("i"),
+        col(toCol).cast("string").as("j"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("lo"),
+        greatest(col("i"), col("j")).as("hi"),
+        when(col("i") < col("j"), col("n")).otherwise(0L).as("fwd"),
+        when(col("i") > col("j"), col("n")).otherwise(0L).as("rev"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("fwd")).cast("long").as("nij"),
+        sum(col("rev")).cast("long").as("nji"))
+      .withColumn("term_micro", expr(bowkerTermMicroSql))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("term_micro")).cast("long").as("chi2_micro"))
+      .withColumn("chi2", expr(bowkerChi2Sql))
+      .withColumn("df", col("m"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("m")))
+      .withColumn("significant",
+        expr(s"$bowkerChi2Sql > ${chi2Crit95Sql("m")}"))
+  }
+
+  /** Per-pair (n_ij − n_ji)²/(n_ij + n_ji) in micro units; pairs reach
+    * the sum only with positive mass. Shared with the oracle. */
+  val bowkerTermMicroSql: String =
+    "CAST(ROUND(CAST(nij - nji AS DOUBLE) * (nij - nji) / (nij + nji) " +
+      "* 1000000, 0) AS BIGINT)"
+
+  /** χ² off the exact micro sum. Shared with the oracle. */
+  val bowkerChi2Sql: String =
+    "round(CAST(chi2_micro AS DOUBLE) / 1000000, 6)"
+
+  /** Cronbach's alpha — internal-consistency reliability of k "items"
+    * measured on the same units (do the k signals hang together as one
+    * scale?): α = k/(k−1)·(1 − Σσ²_item/σ²_total) with POPULATION
+    * variances assembled from exact integer moments (Σv and DECIMAL Σv²
+    * per item; total score T = Σ_items v per unit, Σt/Σt² likewise).
+    * COMPLETE units only (a missing item would silently shrink an
+    * item's variance — the friedman completeness rule). Per-item
+    * variances nano-quantize before the k-row sum, so the chain is
+    * order-independent. Two aggregates over the unit×item table + one
+    * per-unit total pass. */
+  def cronbachAlpha(
+      df: DataFrame, unitCol: String, itemCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(col(unitCol).as("__u"),
+      col(itemCol).cast("string").as("__i"),
+      col(valCol).cast("long").as("__v"))
+    val k1 = broadcast(u.agg(
+      count_distinct(col("__i")).cast("long").as("k")))
+    val complete = u
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__u"))))
+      .crossJoin(k1)
+      .filter(col("__cnt") === col("k"))
+      .localCheckpoint(true) // feeds the item moments + the unit totals
+    val items = complete.groupBy(col("k"), col("__i"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__v")).cast("long").as("s"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v"))
+          .cast("decimal(38,0)").as("sq"))
+      .withColumn("var_nano", expr(cronbachItemVarNanoSql))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n_units"),
+        sum(col("var_nano")).cast("long").as("sum_var_nano"))
+    val totals = complete.groupBy(col("__u"))
+      .agg(sum(col("__v")).cast("long").as("t"))
+      .agg(count(lit(1)).cast("long").as("nt"),
+        sum(col("t")).cast("long").as("st"),
+        sum(col("t").cast("decimal(38,0)") * col("t"))
+          .cast("decimal(38,0)").as("stq"))
+    items.crossJoin(broadcast(totals))
+      .withColumn("alpha", expr(cronbachAlphaSql))
+      .select(col("k"), col("n_units"), col("sum_var_nano"), col("alpha"))
+  }
+
+  /** Population item variance Σv²/n − (Σv/n)² in nano units over
+    * (n, s, sq). Shared with the oracle. */
+  val cronbachItemVarNanoSql: String =
+    "CAST(ROUND((CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * " +
+      "(CAST(s AS DOUBLE) / n)) * 1000000000, 0) AS BIGINT)"
+
+  /** α over (k, sum_var_nano, nt, st, stq); NULL for k < 2 or a
+    * zero-variance total. Shared with the oracle. */
+  val cronbachAlphaSql: String = {
+    val vt = "(CAST(stq AS DOUBLE) / nt - (CAST(st AS DOUBLE) / nt) * " +
+      "(CAST(st AS DOUBLE) / nt))"
+    s"CASE WHEN k > 1 AND $vt > 0 THEN " +
+      "round(CAST(k AS DOUBLE) / (k - 1) * (1.0 - " +
+      s"CAST(sum_var_nano AS DOUBLE) / 1000000000 / $vt), 6) END"
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for n raters × N items
+    * over c categories (the multi-rater generalization of
+    * [[cohensKappa]]): per item P_i = (Σ_c n_ic² − n)/(n(n−1)),
+    * P̄e = Σ_c p_c² from the category shares. COMPLETE items only
+    * (every item must carry exactly n = #distinct raters ratings).
+    * Integer kernels: Σ_items Σ_c n_ic² and Σ_c (col totals)² run in
+    * DECIMAL (exposed as STRING), one double chain at the end. */
+  def fleissKappa(
+      df: DataFrame, itemCol: String, raterCol: String,
+      catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+      col(catCol).cast("string").as("__c"))
+    val n1 = broadcast(u.agg(
+      count_distinct(col("__r")).cast("long").as("n_raters")))
+    val complete = u
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__i"))))
+      .crossJoin(n1)
+      .filter(col("__cnt") === col("n_raters"))
+      .localCheckpoint(true)
+    val cells = complete.groupBy(col("n_raters"), col("__i"), col("__c"))
+      .agg(count(lit(1)).cast("long").as("nic"))
+      .localCheckpoint(true) // feeds the item sum + the category totals
+    val perItem = cells.groupBy(col("n_raters"))
+      .agg(count_distinct(col("__i")).cast("long").as("n_items"),
+        sum(col("nic").cast("decimal(38,0)") * col("nic"))
+          .cast("decimal(38,0)").as("s_nic2"))
+    val perCat = cells.groupBy(col("__c"))
+      .agg(sum(col("nic")).cast("long").as("colsum"))
+      .agg(sum(col("colsum").cast("decimal(38,0)") * col("colsum"))
+        .cast("decimal(38,0)").as("s_col2"))
+    perItem.crossJoin(broadcast(perCat))
+      .withColumn("kappa", expr(fleissKappaSql))
+      .withColumn("s_nic2", col("s_nic2").cast("string"))
+      .withColumn("s_col2", col("s_col2").cast("string"))
+  }
+
+  /** κ over (n_raters, n_items, s_nic2, s_col2):
+    * P̄ = (Σn_ic² − Nn)/(Nn(n−1)), P̄e = Σcol²/(Nn)²; NULL when raters
+    * never disagree by chance (P̄e = 1: all mass in one category) or
+    * n < 2. Shared with the oracle. */
+  val fleissKappaSql: String = {
+    val pbar = "((CAST(s_nic2 AS DOUBLE) - CAST(n_items AS DOUBLE) * " +
+      "n_raters) / (CAST(n_items AS DOUBLE) * n_raters * (n_raters - 1)))"
+    val pe = "(CAST(s_col2 AS DOUBLE) / ((CAST(n_items AS DOUBLE) * " +
+      "n_raters) * (CAST(n_items AS DOUBLE) * n_raters)))"
+    s"CASE WHEN n_raters > 1 AND n_items > 0 AND $pe < 1 THEN " +
+      s"round(($pbar - $pe) / (1.0 - $pe), 6) END"
+  }
+
+  /** Chi-square goodness-of-fit against the UNIFORM distribution over
+    * the GLOBAL category set, per key — "is this key's traffic evenly
+    * spread across hours/weekdays/shards?" (the per-key companion to
+    * [[srmCheck]]'s 2-arm case): with k global categories and n rows
+    * for the key, χ² = [Σ_observed (O·k − n)² + (k − k_obs)·n²]/(n·k) —
+    * the zero-cell correction enters through the ALGEBRA (each absent
+    * category contributes (0·k − n)²), so no grid join materializes
+    * empty cells. The squared deviations run in DECIMAL (n·k products
+    * pass 2⁶³ at ~10⁹ rows/key) and only the final division is a
+    * double. One cell aggregate + one key aggregate + a 1-row category
+    * count broadcast. */
+  def gofUniform(
+      df: DataFrame, keyCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint(true) // feeds the key totals + the global k
+    val kGlob = broadcast(cells.select(col(catCol)).distinct()
+      .agg(count(lit(1)).cast("long").as("k")))
+    val totals = cells.groupBy(col(keyCol))
+      .agg(sum(col("o")).cast("long").as("n"))
+    cells.join(totals, keyCol).crossJoin(kGlob)
+      .withColumn("dev",
+        col("o").cast("decimal(38,0)") * col("k") - col("n"))
+      .groupBy(col(keyCol), col("k"), col("n"))
+      .agg(count(lit(1)).cast("long").as("k_obs"),
+        sum(col("dev") * col("dev")).cast("decimal(38,0)").as("sdev2"))
+      .withColumn("chi2", expr(gofChi2Sql))
+      .withColumn("df", (col("k") - 1L).cast("long"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("k - 1")))
+      .withColumn("significant",
+        expr(s"$gofChi2Sql > ${chi2Crit95Sql("k - 1")}"))
+      .withColumn("sdev2", col("sdev2").cast("string"))
+  }
+
+  /** χ² over (sdev2, k, k_obs, n); NULL for a single category. Shared
+    * with the oracle. */
+  val gofChi2Sql: String =
+    "CASE WHEN k > 1 AND n > 0 THEN " +
+      "round((CAST(sdev2 AS DOUBLE) + CAST(k - k_obs AS DOUBLE) * n * n)" +
+      " / (CAST(n AS DOUBLE) * k), 6) END"
+
+  /** Decile shift function — WHERE two distributions differ, not just
+    * whether ([[cramerVonMises]] says "different", this says "the gap
+    * lives in the upper tail"): the nine decile quantiles of each
+    * group side by side with their difference. Exact interpolated
+    * `percentile` matches DuckDB's `quantile_cont` (the q_percentile
+    * parity precedent); each group reduces map-side to one row, so the
+    * operator is two aggregates + a 9-row join. */
+  def shiftFunction(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val ps = (1 to 9).map(i => s"${i / 10.0}D").mkString(", ")
+    def side(flag: Boolean, name: String) = df
+      .filter(col(groupCol) === flag)
+      .agg(expr(s"percentile($valCol, array($ps))").as("q"))
+      .select(posexplode(col("q")).as(Seq("i", name)))
+    side(flag = true, "q_a").join(side(flag = false, "q_b"), Seq("i"))
+      .select(((col("i") + 1) * 10).cast("long").as("decile"),
+        round(col("q_a"), 6).as("q_a"), round(col("q_b"), 6).as("q_b"),
+        round(col("q_a") - col("q_b"), 6).as("shift"))
   }
 
   /** z for 2J over (j2, n, sg2, sg23); NULL below 2 groups or when the

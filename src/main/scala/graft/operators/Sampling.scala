@@ -521,4 +521,38 @@ object Sampling {
       max(when(col("rn") === col("n_reps") - 1, col("mean_b"))).as("ci_hi"))
     base.join(ci, Seq(groupCol))
   }
+
+  /** Chapman capture–recapture estimate of a distinct population from
+    * two DETERMINISTIC hash captures — "how many distinct ids exist if
+    * we can only afford to look at halves?": capture A keeps ids with
+    * hash("capA:"+id) even, capture B with hash("capB:"+id) even
+    * (independent md5 salts, the [[weightedSample]] discipline), and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the overlap m. The exact distinct
+    * count and the relative error ship IN-ROW (the kmvDistinct
+    * pattern), so the estimator audits itself wherever the exact count
+    * is still affordable. One distinct reduction + one conditional
+    * aggregate; no seed, so the SQL oracle replays it bit-for-bit. */
+  def captureRecapture(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("string").as("id")).distinct()
+    ids
+      .select(
+        (graft.functions.TextFunctions.tokenHash60(
+          concat(lit("capA:"), col("id"))) % 2L === 0L).as("in_a"),
+        (graft.functions.TextFunctions.tokenHash60(
+          concat(lit("capB:"), col("id"))) % 2L === 0L).as("in_b"))
+      .agg(count(lit(1)).cast("long").as("exact_distinct"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .cast("long").as("m"))
+      .withColumn("est", expr(chapmanSql))
+      .withColumn("rel_err", expr(
+        s"CASE WHEN exact_distinct > 0 THEN round(abs($chapmanSql / " +
+          "exact_distinct - 1), 6) END"))
+  }
+
+  /** Chapman N̂ over (n1, n2, m). Shared with the oracle. */
+  val chapmanSql: String =
+    "round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) / " +
+      "(CAST(m AS DOUBLE) + 1) - 1, 6)"
 }

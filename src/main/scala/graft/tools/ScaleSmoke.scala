@@ -898,8 +898,8 @@ object ScaleSmoke {
             .cast("long").as("x"),
           sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
             .cast("long").as("y"),
-          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("had_error"),
           (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             >= 15L).as("heavy"),
           sum(col("cents")).cast("long").as("spend"))
@@ -921,8 +921,8 @@ object ScaleSmoke {
     time(s"cvm+jonckheere+granger x$mult") {
       val users = eventsUid.groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
-          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
-            > 0L).as("had_error"),
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("had_error"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .cast("long").as("n_purch"))
         .localCheckpoint(true)
@@ -948,6 +948,57 @@ object ScaleSmoke {
             expr("unix_millis(ts) div 86400000").as("day"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "event_type", "day", "v"))
+      drain(Profiling.gofUniform(
+        eventsUid.select(col("event_type"),
+          expr("(unix_millis(ts) div 86400000) % 7").as("dow")),
+        "event_type", "dow"))
+      drain(Profiling.shiftFunction(
+        eventsUid.groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              > 0L).as("had_error")),
+        "had_error", "spend"))
+      drain(Sampling.captureRecapture(eventsUid, "user_id"))
+    }
+    time(s"bowker+atkinson+cronbach+fleiss x$mult") {
+      val perType = eventsUid.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint(true)
+      drain(graft.operators.Eval.atkinson(perType, "event_type", "cents"))
+      drain(Profiling.cronbachAlpha(
+        perType.select(col("user_id"), col("event_type"),
+          col("cents").as("v")), "user_id", "event_type", "v"))
+      val users = eventsUid
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") % 2 === 0L, col("cents")).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(col("day") % 2 === 1L, col("cents")).otherwise(0L))
+            .cast("long").as("y"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("n_view"),
+          sum(col("cents")).cast("long").as("spend"))
+        .localCheckpoint(true)
+      drain(Profiling.bowkerSymmetry(
+        users.select(
+          when(col("x") >= 180000L, "h").when(col("x") >= 150000L, "m")
+            .otherwise("l").as("te"),
+          when(col("y") >= 180000L, "h").when(col("y") >= 150000L, "m")
+            .otherwise("l").as("to")), "te", "to"))
+      def tier(c: org.apache.spark.sql.Column, t3: Long, t2: Long, t1: Long) =
+        when(c >= t3, 3L).when(c >= t2, 2L).when(c >= t1, 1L).otherwise(0L)
+      val long = users.select(col("user_id"), lit("r_spend").as("rater"),
+          tier(col("spend"), 360000L, 330000L, 300000L).as("cat"))
+        .unionByName(users.select(col("user_id"), lit("r_click").as("rater"),
+          tier(col("n_click"), 25L, 20L, 15L).as("cat")))
+        .unionByName(users.select(col("user_id"), lit("r_view").as("rater"),
+          tier(col("n_view"), 25L, 20L, 15L).as("cat")))
+      drain(Profiling.fleissKappa(long, "user_id", "rater", "cat"))
     }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid
@@ -980,7 +1031,8 @@ object ScaleSmoke {
         graft.operators.Multimodal.synthesizeBmpTable(docs))))
     time(s"survival coxPH+dunn+ebShrink+negbin x$mult") {
       val users = eventsUid
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"),
           (col("event_type") === "error").as("is_err"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         .groupBy(col("user_id"))

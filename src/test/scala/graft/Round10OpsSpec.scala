@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Profiling, TextAnalysis, TimeSeries}
+import graft.operators.{Eval, Graph, Profiling, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-10 additions: paired sign test, G-test of independence, 2×2
@@ -314,6 +314,123 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(rows(3).getAs[Long]("harmonic_micro") ==
       math.round(1e6 / 3) + 500000L)
     assert(rows(4).getAs[Long]("harmonic_micro") == math.round(1e6 / 3))
+  }
+
+  test("gofUniform: uniform key scores 0, skewed key gets the zero-cell correction") {
+    // global categories {a,b,c}; key u: 10/10/10 (chi2 0); key s:
+    // 20/10/absent → sdev2 = (60−30)² = 900, zero-cell adds 1·30²,
+    // chi2 = 1800/90 = 20
+    val rows = Seq.fill(10)(("u", "a")) ++ Seq.fill(10)(("u", "b")) ++
+      Seq.fill(10)(("u", "c")) ++ Seq.fill(20)(("s", "a")) ++
+      Seq.fill(10)(("s", "b"))
+    val got = Profiling.gofUniform(rows.toDF("key", "cat"), "key", "cat")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(got("u").getAs[Double]("chi2") == 0.0)
+    assert(!got("u").getAs[Boolean]("significant"))
+    val s = got("s")
+    assert(s.getAs[Long]("k") == 3L && s.getAs[Long]("k_obs") == 2L)
+    assert(s.getAs[String]("sdev2") == "900")
+    assert(s.getAs[Double]("chi2") == 20.0)
+    assert(s.getAs[Boolean]("significant"))
+  }
+
+  test("shiftFunction: 0..10 vs constant 5 — deciles interpolate exactly, shift = d/10 − 5") {
+    val rows = (0L to 10L).map((true, _)) ++ Seq.fill(5)((false, 5L))
+    val got = Profiling.shiftFunction(rows.toDF("g0", "v"), "g0", "v")
+      .orderBy("decile").collect()
+    assert(got.length == 9)
+    for ((r, idx) <- got.zipWithIndex) {
+      val d = idx + 1
+      assert(r.getAs[Long]("decile") == d * 10L)
+      assert(r.getAs[Double]("q_a") == d.toDouble) // p·(n−1) lands on ints
+      assert(r.getAs[Double]("q_b") == 5.0)
+      assert(r.getAs[Double]("shift") == d - 5.0)
+    }
+  }
+
+  test("captureRecapture: exact count audited in-row, Chapman replays the cell formula") {
+    val df = (1L to 500L).toDF("id")
+    val r = graft.operators.Sampling.captureRecapture(df, "id").head()
+    assert(r.getAs[Long]("exact_distinct") == 500L)
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m"))
+    assert(m <= math.min(n1, n2))
+    assert(r.getAs[Double]("est") ==
+      math.rint(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1) * 1e6) / 1e6)
+    // the halves are ~250 each, so Chapman should land near 500
+    assert(r.getAs[Double]("rel_err") < 0.25)
+  }
+
+  test("bowkerSymmetry: hand pairs — one-directional mass counts, diagonal ignored") {
+    // transitions: a→b ×6, b→a ×2 (term (6−2)²/8 = 2), a→c ×3 with no
+    // c→a (term 9/3 = 3), b→b ×10 (diagonal, ignored) → chi2 = 5, m = 2
+    val rows = Seq.fill(6)(("a", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq.fill(3)(("a", "c")) ++ Seq.fill(10)(("b", "b"))
+    val r = Profiling.bowkerSymmetry(rows.toDF("f0", "t0"), "f0", "t0")
+      .head()
+    assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Double]("chi2") == 5.0)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(!r.getAs[Boolean]("significant")) // 5.0 < 5.991465
+  }
+
+  test("atkinson: equal values score 0; hand value on {1, e²}") {
+    val eq = Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("g0", "v")
+    assert(Eval.atkinson(eq, "g0", "v").head().getAs[Double]("atkinson")
+      == 0.0)
+    // {1, 7}: geomean = √7, mean = 4 → A = 1 − √7/4, replayed through
+    // the nano-quantized ln path exactly
+    val two = Seq(("g", 1L), ("g", 7L)).toDF("g0", "v")
+    val r = Eval.atkinson(two, "g0", "v").head()
+    val slnNano = math.round(math.log(1.0) * 1e9) + math.round(math.log(7.0) * 1e9)
+    assert(r.getAs[Long]("sln_nano") == slnNano)
+    assert(r.getAs[Double]("atkinson") ==
+      math.rint((1.0 - math.exp(slnNano / 1e9 / 2) / 4.0) * 1e6) / 1e6)
+  }
+
+  test("cronbachAlpha: duplicated item gives alpha 1; anti-correlated items go negative") {
+    // two identical items per unit → Σσ_i² = 2σ², σ_T² = 4σ² → α = 2·(1−½) = 1
+    val dup = (1L to 6L).flatMap(u =>
+      Seq((u, "i1", u * 10), (u, "i2", u * 10)))
+    val r1 = Profiling.cronbachAlpha(dup.toDF("u", "item", "v"),
+      "u", "item", "v").head()
+    assert(r1.getAs[Long]("k") == 2L && r1.getAs[Long]("n_units") == 6L)
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    // perfectly anti-correlated items: T constant → σ_T² = 0 → NULL
+    val anti = (1L to 6L).flatMap(u =>
+      Seq((u, "i1", u * 10), (u, "i2", 100 - u * 10)))
+    val r2 = Profiling.cronbachAlpha(anti.toDF("u", "item", "v"),
+      "u", "item", "v").head()
+    assert(r2.isNullAt(r2.fieldIndex("alpha")))
+  }
+
+  test("fleissKappa: perfect agreement gives 1, fixed marginals worked example") {
+    // 3 raters, 4 items, all agree per item (2 cats) → κ = 1
+    val perfect = (1L to 4L).flatMap(i =>
+      Seq("r1", "r2", "r3").map(r => (i, r, if (i <= 2) "a" else "b")))
+    val r1 = Profiling.fleissKappa(perfect.toDF("item", "rater", "cat"),
+      "item", "rater", "cat").head()
+    assert(r1.getAs[Long]("n_raters") == 3L && r1.getAs[Long]("n_items") == 4L)
+    assert(r1.getAs[Double]("kappa") == 1.0)
+    // worked: 2 items, 2 raters; item1 split (a,b), item2 agree (a,a):
+    // P̄ = ((2−2)/2 + (4−2)/2)/2 = 0.5; p_a = 3/4, p_b = 1/4,
+    // Pe = 9/16 + 1/16 = 0.625 → κ = (0.5−0.625)/0.375 = −1/3
+    val mixed = Seq((1L, "r1", "a"), (1L, "r2", "b"),
+      (2L, "r1", "a"), (2L, "r2", "a"))
+    val r2 = Profiling.fleissKappa(mixed.toDF("item", "rater", "cat"),
+      "item", "rater", "cat").head()
+    assert(r2.getAs[Double]("kappa") ==
+      math.rint(-1.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
+    val row = spark.sql(
+      s"SELECT ${Profiling.chi2Crit95Sql("19")} AS c19, " +
+        s"${Profiling.chi2Crit95Sql("20")} AS c20, " +
+        s"${Profiling.chi2Crit95Sql("21")} AS c21").head()
+    assert(row.getAs[Double]("c19") == 30.143527)
+    assert(row.getAs[Double]("c20") == 31.410433)
+    assert(row.isNullAt(row.fieldIndex("c21")))
   }
 
   test("cmh: single-row strata drop; uniform-outcome strata keep V = 0 out of the denominator") {

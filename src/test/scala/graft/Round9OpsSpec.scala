@@ -432,11 +432,12 @@ class Round9OpsSpec extends SparkFunSuite {
     val rt = Profiling.kruskalWallis(ties, "grp", "v").head()
     assert(rt.isNullAt(rt.fieldIndex("h")), "all-equal values: H undefined")
     assert(rt.isNullAt(rt.fieldIndex("significant")))
-    // 12 groups -> df=11 beyond the lookup: the flag must be NULL, never
-    // a silently wrong quantile (the ljungBox lesson)
-    val wide = (0L until 24L).map(i => (s"g${i % 12}", i)).toDF("grp", "v")
+    // 22 groups -> df=21 beyond the (r10-extended, df<=20) lookup: the
+    // flag must be NULL, never a silently wrong quantile (the ljungBox
+    // lesson); df=11 now resolves — see Round10OpsSpec's table test
+    val wide = (0L until 44L).map(i => (s"g${i % 22}", i)).toDF("grp", "v")
     val rw = Profiling.kruskalWallis(wide, "grp", "v").head()
-    assert(rw.getAs[Long]("df") == 11L)
+    assert(rw.getAs[Long]("df") == 21L)
     assert(rw.isNullAt(rw.fieldIndex("chi2_crit")))
     assert(rw.isNullAt(rw.fieldIndex("significant")))
     assert(!rw.isNullAt(rw.fieldIndex("h")), "H itself is still reported")
