@@ -4526,6 +4526,19 @@ object SparkEntry {
           .groupBy(col("user_id"), col("event_type"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
         "user_id", "event_type", "v")),
+    "q_fisher_ratio" -> ((s, dir) =>
+      // Which embedding dimensions separate the labels? Per-dim
+      // between/within scatter off exact fixed-point moments — the
+      // space-quality probe before q_knn_eval spends a classifier.
+      Similarity.fisherRatio(table(s, dir, "embeddings"))),
+    "q_zero_inflation" -> ((s, dir) =>
+      // Is each type's quiet time a zero SPIKE (on/off mixture) or
+      // plain overdispersion? Van den Broek score chi2 over the dense
+      // hourly grid — the sharper question after q_burstiness.
+      graft.operators.TimeSeries.zeroInflation(
+        table(s, dir, "events").select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("hour")),
+        "event_type", "hour")),
     "q_fleiss_kappa" -> ((s, dir) => {
       // Three deterministic tier rules as raters over users: does the
       // spend rule agree with the click and view rules beyond chance?
@@ -10277,6 +10290,56 @@ object SparkEntry {
          |SELECT k, n_units, sum_var_nano,
          |  ${graft.operators.Profiling.cronbachAlphaSql} AS alpha
          |FROM f""".stripMargin,
+    "q_zero_inflation" ->
+      s"""WITH e AS (SELECT event_type,
+         |    epoch_ms(ts) // 3600000 AS h FROM events),
+         |c AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |a AS (SELECT event_type,
+         |    CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS n_buckets,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         |    CAST(SUM(c) AS BIGINT) AS n_events
+         |  FROM c GROUP BY 1),
+         |f AS (SELECT event_type, n_buckets,
+         |    CAST(n_buckets - n_nonzero AS BIGINT) AS n_zero, n_events
+         |  FROM a)
+         |SELECT event_type, n_buckets, n_zero, n_events,
+         |  ${graft.operators.TimeSeries.ziScoreSql} AS score_chi2,
+         |  ${graft.operators.TimeSeries.ziScoreSql} > 3.841459
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_fisher_ratio" ->
+      s"""WITH ex AS (SELECT label AS lbl,
+         |    generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding) AS x FROM embeddings),
+         |qv AS (SELECT lbl, CAST(dim AS BIGINT) AS dim,
+         |    CAST(ROUND(CAST(x AS DOUBLE) * 16777216, 0) AS BIGINT) AS q
+         |  FROM ex),
+         |per AS (SELECT dim, lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+         |      AS sq
+         |  FROM qv GROUP BY 1, 2),
+         |pm AS (SELECT dim, lbl, n, s, sq,
+         |    CAST(ROUND(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS mu
+         |  FROM per),
+         |gl AS (SELECT dim,
+         |    CAST(ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 0) AS BIGINT)
+         |      AS mug
+         |  FROM pm GROUP BY 1),
+         |t AS (SELECT pm.dim,
+         |    sq - CAST(mu AS DECIMAL(38,0)) * s * 2
+         |      + CAST(n AS DECIMAL(38,0)) * mu * mu AS w_l,
+         |    CAST(n AS DECIMAL(38,0)) * (mu - mug) * (mu - mug) AS b_l
+         |  FROM pm JOIN gl USING (dim)),
+         |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS k_labels,
+         |    CAST(SUM(w_l) AS DECIMAL(38,0)) AS w,
+         |    CAST(SUM(b_l) AS DECIMAL(38,0)) AS b
+         |  FROM t GROUP BY 1)
+         |SELECT dim, k_labels,
+         |  ${graft.operators.Similarity.fisherSql} AS fisher,
+         |  CAST(w AS VARCHAR) AS w, CAST(b AS VARCHAR) AS b
+         |FROM a""".stripMargin,
     "q_fleiss_kappa" ->
       s"""WITH users AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

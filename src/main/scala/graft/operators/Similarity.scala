@@ -444,6 +444,63 @@ object Similarity {
           6).as("centroid"))
       .withColumn("dim", col("dim").cast("long"))
 
+  /** Per-dimension Fisher separability of the labels — "how much of
+    * this embedding dimension's variance is BETWEEN classes?": the
+    * classic between/within scatter ratio B/W per dim, the
+    * embedding-quality diagnostic that tells a training pipeline which
+    * dimensions carry label signal (and whether the space separates at
+    * all) before any classifier runs. Exactness: values quantize to
+    * 2²⁴ fixed-point on entry (the [[labelCentroids]] trick), per-label
+    * means round to INTEGER fixed-point, and both scatters assemble in
+    * DECIMAL from integer moments — W = Σ_l (Σq² − 2μ_l·Σq + n_l·μ_l²),
+    * B = Σ_l n_l·(μ_l − μ̄)² — so the cross-label sums are
+    * order-independent and the oracle replays them exactly (the integer
+    * rounding of μ is a documented ~2⁻²⁴ quantization, identical in
+    * both engines). One (dim, label) aggregate + a k·d-row finish;
+    * scatter tables never exceed labels × dims. */
+  def fisherRatio(
+      embeddings: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = round(col("x").cast("double") * 16777216d).cast("long")
+    val per = embeddings
+      .select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("lbl"), (col("dim") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"), col("lbl"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(q).cast("long").as("s"),
+        sum(q.cast("decimal(38,0)") * q).cast("decimal(38,0)").as("sq"))
+      .withColumn("mu",
+        expr("CAST(ROUND(CAST(s AS DOUBLE) / n, 0) AS BIGINT)"))
+      .localCheckpoint(true) // k·d rows; feeds the global means + finish
+    val glob = per.groupBy(col("dim"))
+      .agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("s")).cast("long").as("ss"))
+      .withColumn("mug",
+        expr("CAST(ROUND(CAST(ss AS DOUBLE) / nn, 0) AS BIGINT)"))
+      .select(col("dim"), col("mug"))
+    per.join(glob, Seq("dim"))
+      .withColumn("w_l",
+        col("sq") - col("mu").cast("decimal(38,0)") * col("s") * 2
+          + col("n").cast("decimal(38,0)") * col("mu") * col("mu"))
+      .withColumn("b_l",
+        col("n").cast("decimal(38,0)") * (col("mu") - col("mug"))
+          * (col("mu") - col("mug")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("k_labels"),
+        sum(col("w_l")).cast("decimal(38,0)").as("w"),
+        sum(col("b_l")).cast("decimal(38,0)").as("b"))
+      .withColumn("fisher", expr(fisherSql))
+      .withColumn("w", col("w").cast("string"))
+      .withColumn("b", col("b").cast("string"))
+  }
+
+  /** B/W over the exact decimal scatters; NULL when within-scatter is
+    * zero (constant dimension per label). Shared with the oracle. */
+  val fisherSql: String =
+    "CASE WHEN CAST(w AS DOUBLE) > 0 THEN " +
+      "round(CAST(b AS DOUBLE) / CAST(w AS DOUBLE), 6) END"
+
   /** One hash-stable Lloyd iteration, exposed as a first-class operator:
     * seed centroids = lowest-id vectors (deterministic), assign every
     * vector to its nearest centroid by rounded cosine (cell-id tie-break),

@@ -875,6 +875,47 @@ object TimeSeries {
       "(CAST(n_events AS DOUBLE) / n_buckets)) + " +
       "CAST(n_events AS DOUBLE) / n_buckets), 6) END"
 
+  /** Van den Broek score test for ZERO INFLATION per key — when
+    * [[fanoFactor]] says "overdispersed", this asks the sharper
+    * question: is the excess specifically a spike at ZERO (a mixture of
+    * "inactive" and "active" states — dead hours, dark sensors) rather
+    * than general spread ([[negbinFit]]'s answer)? Over the same dense
+    * bucket grid: n₀ observed zeros (= B − #nonzero buckets — zeros
+    * enter through the algebra, never materialized), λ̂ = N/B,
+    * p₀ = e^{−λ̂}, and the score statistic
+    * (n₀ − B·p₀)² / (B·p₀(1−p₀) − B·λ̂·p₀²) referred to χ²₁. exp
+    * matches libm-for-libm; everything upstream is exact integers. One
+    * grid aggregate per key. */
+  def zeroInflation(
+      df: DataFrame, keyCol: String, bucketCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"), col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("__k"))
+      .agg((max(col("__b")) - min(col("__b")) + 1L).cast("long")
+          .as("n_buckets"),
+        count(lit(1)).cast("long").as("n_nonzero"),
+        sum(col("c")).cast("long").as("n_events"))
+      .withColumn("n_zero",
+        (col("n_buckets") - col("n_nonzero")).cast("long"))
+      .withColumn("score_chi2", expr(ziScoreSql))
+      .withColumn("significant", expr(s"$ziScoreSql > 3.841459"))
+      .select(col("__k").as(keyCol), col("n_buckets"), col("n_zero"),
+        col("n_events"), col("score_chi2"), col("significant"))
+
+  /** Score χ²₁ over (n_buckets, n_zero, n_events): p₀ = e^{−N/B},
+    * (n₀ − B·p₀)²/(B·p₀·(1−p₀) − B·λ̂·p₀²); NULL when the denominator
+    * degenerates (λ̂ = 0 or numerically tiny B). Shared with the
+    * oracle. */
+  val ziScoreSql: String = {
+    val lam = "(CAST(n_events AS DOUBLE) / n_buckets)"
+    val p0 = s"exp(-$lam)"
+    val den = s"(n_buckets * $p0 * (1.0 - $p0) - n_buckets * $lam * $p0 * $p0)"
+    s"CASE WHEN n_events > 0 AND $den > 0 THEN " +
+      s"round((n_zero - n_buckets * $p0) * (n_zero - n_buckets * $p0) " +
+      s"/ $den, 6) END"
+  }
+
   /** Negative-binomial fit per key by method of moments over the SAME
     * dense bucket grid as [[fanoFactor]] — when Fano says
     * "overdispersed", this says BY HOW MUCH, as a distribution you can

@@ -999,6 +999,14 @@ object ScaleSmoke {
         .unionByName(users.select(col("user_id"), lit("r_view").as("rater"),
           tier(col("n_view"), 25L, 20L, 15L).as("cat")))
       drain(Profiling.fleissKappa(long, "user_id", "rater", "cat"))
+      // synthetic 8-way labels: the multiplied emb view drops the label
+      // column; timing only needs the (dim, label) aggregate shape
+      drain(graft.operators.Similarity.fisherRatio(
+        emb.withColumn("label", pmod(col("vec_id"), lit(8L)))))
+      drain(graft.operators.TimeSeries.zeroInflation(
+        eventsUid.select(col("event_type"),
+          expr("unix_millis(ts) div 3600000").as("hour")),
+        "event_type", "hour"))
     }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid

@@ -423,6 +423,37 @@ class Round10OpsSpec extends SparkFunSuite {
       math.rint(-1.0 / 3 * 1e6) / 1e6)
   }
 
+  test("fisherRatio: 1-dim two-label hand case — B/W = 25; zero-within NULLs") {
+    // labels a:{0,2}, b:{10,12} in fixed-point f = 2^24: per-label
+    // within = 2f² each → W = 4f²; means ±5f from the grand mean →
+    // B = 100f²; fisher = 25
+    val df = Seq((0, Array(0f)), (0, Array(2f)), (1, Array(10f)),
+      (1, Array(12f))).toDF("label", "embedding")
+    val r = graft.operators.Similarity.fisherRatio(df).head()
+    assert(r.getAs[Long]("dim") == 1L && r.getAs[Long]("k_labels") == 2L)
+    assert(r.getAs[Double]("fisher") == 25.0)
+    // constant values per label → W = 0 → NULL, never a divide error
+    val const = Seq((0, Array(1f)), (0, Array(1f)), (1, Array(5f)))
+      .toDF("label", "embedding")
+    val rc = graft.operators.Similarity.fisherRatio(const).head()
+    assert(rc.isNullAt(rc.fieldIndex("fisher")))
+  }
+
+  test("zeroInflation: zeros from the grid algebra, score chain replays libm exp") {
+    // buckets 1..10, events only at h=1 (x3) and h=10 (x1): B=10,
+    // n_zero=8, lambda=0.4 — a zero spike the Poisson can't explain
+    val rows = Seq(("k", 1L), ("k", 1L), ("k", 1L), ("k", 10L))
+    val r = TimeSeries.zeroInflation(rows.toDF("key", "h"), "key", "h")
+      .head()
+    assert(r.getAs[Long]("n_buckets") == 10L)
+    assert(r.getAs[Long]("n_zero") == 8L)
+    val lam = 0.4; val p0 = math.exp(-lam)
+    val den = 10 * p0 * (1 - p0) - 10 * lam * p0 * p0
+    val expect = math.rint((8 - 10 * p0) * (8 - 10 * p0) / den * 1e6) / 1e6
+    assert(r.getAs[Double]("score_chi2") == expect)
+    assert(r.getAs[Boolean]("significant") == (expect > 3.841459))
+  }
+
   test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
     val row = spark.sql(
       s"SELECT ${Profiling.chi2Crit95Sql("19")} AS c19, " +
