@@ -4539,6 +4539,85 @@ object SparkEntry {
         table(s, dir, "events").select(col("event_type"),
           expr("unix_millis(ts) div 3600000").as("hour")),
         "event_type", "hour")),
+    "q_spiegelhalter" -> ((s, dir) => {
+      // Unbinned calibration z of the spend score vs purchase — the
+      // bin-free companion to q_ece/q_brier on the same conf mapping.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.spiegelhalterZ(ev, "cents", "is_pos")
+    }),
+    "q_hosmer_lemeshow" -> ((s, dir) => {
+      // The classical binned calibration chi2 (10 fixed-width bins,
+      // degenerate bins dropped AND reported) on the brier conf map.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.hosmerLemeshow(ev, "cents", "is_pos")
+    }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promotion effect): promo share of one month's
+      // discounted revenue — exact cents*pct sums in DECIMAL (STRING
+      // exposed), one double division.
+      val li = table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-09-01' AND " +
+          "l_shipdate < timestamp '1997-10-01'"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("disc_cp"))
+      li.join(table(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("disc_cp"))
+            .otherwise(0L).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("promo_cp"),
+          sum(col("disc_cp").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("total_cp"))
+        .withColumn("promo_pct", expr(
+          "CASE WHEN CAST(total_cp AS DOUBLE) > 0 THEN " +
+            "round(100.0 * CAST(promo_cp AS DOUBLE) / " +
+            "CAST(total_cp AS DOUBLE), 6) END"))
+        .withColumn("promo_cp", col("promo_cp").cast("string"))
+        .withColumn("total_cp", col("total_cp").cast("string"))
+    }),
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 shape (order priority checking), ADAPTED: the
+      // synthetic lineitem has no commit/receipt dates, so "late" =
+      // any line shipped > 30 days after the order date. Same plan
+      // skeleton as the real Q4: quarter filter + EXISTS semi-join +
+      // priority count.
+      val o = table(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp '1997-07-01' AND " +
+          "o_orderdate < timestamp '1997-10-01'"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("order_count"))
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 shape (shipping modes vs priority), ADAPTED: the
+      // synthetic lineitem has no l_shipmode, so the return flag plays
+      // the mode. Same skeleton: year filter, join, per-mode
+      // high/low-priority conditional counts.
+      table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01' AND " +
+          "l_shipdate < timestamp '1998-01-01'"))
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .cast("long").as("low_line_count"))
+    }),
     "q_fleiss_kappa" -> ((s, dir) => {
       // Three deterministic tier rules as raters over users: does the
       // spend rule agree with the click and view rules beyond chance?
@@ -9783,14 +9862,14 @@ object SparkEntry {
          |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
          |j AS (SELECT obs, nr, nc, n
          |  FROM cells JOIN rr USING (lang) JOIN cc USING (source), tt),
-         |w AS (SELECT n, ${graft.operators.Profiling.gCellNanoSql}
-         |    AS term_nano FROM j),
+         |w AS (SELECT n, ${graft.operators.Profiling.gCellMicroSql}
+         |    AS term_micro FROM j),
          |a AS (SELECT
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rr) AS r,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS c,
          |    MAX(n) AS n,
-         |    CAST(SUM(term_nano) AS BIGINT) AS g_nano FROM w)
-         |SELECT r, c, n, g_nano,
+         |    CAST(SUM(term_micro) AS BIGINT) AS g_micro FROM w)
+         |SELECT r, c, n, g_micro,
          |  ${graft.operators.Profiling.gSql} AS g,
          |  CAST((r - 1) * (c - 1) AS BIGINT) AS df,
          |  ${graft.operators.Profiling.chi2Crit95Sql("(r - 1) * (c - 1)")}
@@ -10275,10 +10354,10 @@ object SparkEntry {
          |      AS sq
          |  FROM comp GROUP BY 1, 2),
          |iv AS (SELECT k, n,
-         |    ${graft.operators.Profiling.cronbachItemVarNanoSql}
-         |      AS var_nano FROM it),
+         |    ${graft.operators.Profiling.cronbachItemVarMilliSql}
+         |      AS var_milli FROM it),
          |ia AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n_units,
-         |    CAST(SUM(var_nano) AS BIGINT) AS sum_var_nano
+         |    CAST(SUM(var_milli) AS BIGINT) AS sum_var_milli
          |  FROM iv GROUP BY 1),
          |tt AS (SELECT user_id, CAST(SUM(v) AS BIGINT) AS t FROM comp
          |  GROUP BY 1),
@@ -10287,9 +10366,104 @@ object SparkEntry {
          |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
          |      AS stq FROM tt),
          |f AS (SELECT * FROM ia, ta)
-         |SELECT k, n_units, sum_var_nano,
+         |SELECT k, n_units, sum_var_milli,
          |  ${graft.operators.Profiling.cronbachAlphaSql} AS alpha
          |FROM f""".stripMargin,
+    "q_spiegelhalter" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS __s,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |mm AS (SELECT MIN(__s) AS lo, MAX(__s) AS hi FROM e),
+         |t AS (SELECT
+         |    ${graft.operators.Eval.spiegelNumMicroSql} AS num_micro,
+         |    ${graft.operators.Eval.spiegelDenMicroSql} AS den_micro
+         |  FROM e, mm),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(num_micro) AS BIGINT) AS snum_micro,
+         |    CAST(SUM(den_micro) AS BIGINT) AS sden_micro FROM t)
+         |SELECT n, snum_micro, sden_micro,
+         |  ${graft.operators.Eval.spiegelZSql} AS z,
+         |  abs(${graft.operators.Eval.spiegelZSql}) > 1.959964
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_hosmer_lemeshow" ->
+      s"""WITH e AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS __s,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |mm AS (SELECT MIN(__s) AS lo, MAX(__s) AS hi FROM e),
+         |b AS (SELECT y,
+         |    CASE WHEN hi > lo THEN least(CAST(9 AS BIGINT),
+         |      (__s - lo) * 10 // (hi - lo)) ELSE CAST(0 AS BIGINT) END
+         |      AS bin,
+         |    CAST(ROUND((CASE WHEN hi > lo THEN
+         |      CAST(__s - lo AS DOUBLE) / (hi - lo) ELSE
+         |      CAST(0 AS DOUBLE) END) * 1000000, 0) AS BIGINT) AS e_micro
+         |  FROM e, mm),
+         |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(y) AS BIGINT) AS o1,
+         |    CAST(SUM(e_micro) AS BIGINT) AS e1_micro
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT nb, e1_micro,
+         |    (e1_micro > 0 AND e1_micro < nb * 1000000) AS usable,
+         |    ${graft.operators.Eval.hlTermMicroSql} AS term_micro
+         |  FROM g),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bins_used,
+         |    CAST(SUM(CASE WHEN usable THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS bins_dropped,
+         |    CAST(SUM(CASE WHEN usable THEN term_micro ELSE 0 END)
+         |      AS BIGINT) AS hl_micro
+         |  FROM t)
+         |SELECT bins_used, bins_dropped, hl_micro,
+         |  ${graft.operators.Eval.hlChi2Sql} AS hl_chi2,
+         |  CAST(greatest(bins_used - 2, 0) AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("bins_used - 2")}
+         |    AS chi2_crit,
+         |  ${graft.operators.Eval.hlChi2Sql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("bins_used - 2")}
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS disc_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01'),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(disc_cp AS DECIMAL(38,0)) ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS promo_cp,
+        |    CAST(SUM(CAST(disc_cp AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS total_cp
+        |  FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(promo_cp AS VARCHAR) AS promo_cp,
+        |  CAST(total_cp AS VARCHAR) AS total_cp,
+        |  CASE WHEN CAST(total_cp AS DOUBLE) > 0 THEN
+        |    round(100.0 * CAST(promo_cp AS DOUBLE) /
+        |      CAST(total_cp AS DOUBLE), 6) END AS promo_pct
+        |FROM a""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |    '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "q_zero_inflation" ->
       s"""WITH e AS (SELECT event_type,
          |    epoch_ms(ts) // 3600000 AS h FROM events),

@@ -429,6 +429,104 @@ object Eval {
       s"($p * (1 - $p)), 6) END"
   }
 
+  /** Spiegelhalter's Z — the UNBINNED calibration test next to
+    * [[brier]] (loss magnitude) and [[ece]] (binned gap): under perfect
+    * calibration E[(y−p)(1−2p)] = 0, so
+    * Z = Σ(y−p)(1−2p) / √Σ(1−2p)²p(1−p) ~ N(0,1), sensitive to
+    * miscalibration anywhere on the score range without choosing bins.
+    * p is the same min-max confidence as brier's; per-row numerator and
+    * variance terms micro-quantize so the sums are exact BIGINTs. One
+    * min/max broadcast + one aggregate. */
+  def spiegelhalterZ(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(min(s).as("lo"), max(s).as("hi")))
+    df.select(s.as("__s"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .crossJoin(mm)
+      .withColumn("num_micro", expr(spiegelNumMicroSql))
+      .withColumn("den_micro", expr(spiegelDenMicroSql))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("num_micro")).cast("long").as("snum_micro"),
+        sum(col("den_micro")).cast("long").as("sden_micro"))
+      .withColumn("z", expr(spiegelZSql))
+      .withColumn("significant", expr(s"abs($spiegelZSql) > 1.959964"))
+  }
+
+  private val spiegelConfSql: String =
+    "(CASE WHEN hi > lo THEN CAST(__s - lo AS DOUBLE) / (hi - lo) " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+  /** Per-row (y−p)(1−2p) in micro units. Shared with the oracle. */
+  val spiegelNumMicroSql: String =
+    s"CAST(ROUND((y - $spiegelConfSql) * (1.0 - 2 * $spiegelConfSql) * " +
+      "1000000, 0) AS BIGINT)"
+  /** Per-row (1−2p)²p(1−p) in micro units. Shared with the oracle. */
+  val spiegelDenMicroSql: String =
+    s"CAST(ROUND((1.0 - 2 * $spiegelConfSql) * (1.0 - 2 * $spiegelConfSql)" +
+      s" * $spiegelConfSql * (1.0 - $spiegelConfSql) * 1000000, 0) AS BIGINT)"
+  /** Z over the exact micro sums; NULL when the variance degenerates
+    * (every p at 0, ½, or 1). Shared with the oracle. */
+  val spiegelZSql: String =
+    "CASE WHEN sden_micro > 0 THEN " +
+      "round((CAST(snum_micro AS DOUBLE) / 1000000) / " +
+      "sqrt(CAST(sden_micro AS DOUBLE) / 1000000), 6) END"
+
+  /** Hosmer–Lemeshow test — the BINNED calibration chi-square the
+    * medical-stats world standardizes on: 10 fixed-width confidence
+    * bins (fixed-width, not deciles — bin membership stays a pure
+    * integer function of the score, so the oracle replays it with no
+    * order-statistics machinery), per bin observed vs expected
+    * positives, χ² = Σ (o−e)²·n/(e(n−e)) on the usable bins, df =
+    * bins_used − 2. Degenerate bins (expected 0 or n — no information)
+    * drop and are REPORTED in `bins_dropped`, not silently merged.
+    * Expected sums micro-quantize per row; per-bin terms micro-quantize
+    * before the cross-bin sum. */
+  def hosmerLemeshow(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val mm = broadcast(df.agg(min(s).as("lo"), max(s).as("hi")))
+    df.select(s.as("__s"), when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .crossJoin(mm)
+      .withColumn("bin", expr(
+        "CASE WHEN hi > lo THEN least(CAST(9 AS BIGINT), " +
+          "(__s - lo) * 10 div (hi - lo)) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("e_micro", expr(
+        s"CAST(ROUND($spiegelConfSql * 1000000, 0) AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("nb"),
+        sum(col("y")).cast("long").as("o1"),
+        sum(col("e_micro")).cast("long").as("e1_micro"))
+      .withColumn("usable",
+        col("e1_micro") > 0L && col("e1_micro") < col("nb") * 1000000L)
+      .withColumn("term_micro", expr(hlTermMicroSql))
+      .agg(
+        sum(when(col("usable"), 1L).otherwise(0L)).cast("long")
+          .as("bins_used"),
+        sum(when(!col("usable"), 1L).otherwise(0L)).cast("long")
+          .as("bins_dropped"),
+        sum(when(col("usable"), col("term_micro")).otherwise(0L))
+          .cast("long").as("hl_micro"))
+      .withColumn("hl_chi2", expr(hlChi2Sql))
+      .withColumn("df",
+        greatest(col("bins_used") - 2L, lit(0L)).cast("long"))
+      .withColumn("chi2_crit",
+        expr(graft.operators.Profiling.chi2Crit95Sql("bins_used - 2")))
+      .withColumn("significant", expr(
+        s"$hlChi2Sql > ${graft.operators.Profiling.chi2Crit95Sql("bins_used - 2")}"))
+  }
+
+  /** Per-bin (o−e)²·n/(e(n−e)) in micro units over (nb, o1, e1_micro);
+    * 0 for degenerate bins — the guard lives INSIDE the expression so
+    * ANSI mode never sees a ROUND(∞) cast. Shared with the oracle. */
+  val hlTermMicroSql: String = {
+    val e = "(CAST(e1_micro AS DOUBLE) / 1000000)"
+    "CASE WHEN e1_micro > 0 AND e1_micro < nb * 1000000 THEN " +
+      s"CAST(ROUND((o1 - $e) * (o1 - $e) * nb / ($e * (nb - $e)) * " +
+      "1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  }
+  /** HL χ² off the exact micro sum. Shared with the oracle. */
+  val hlChi2Sql: String =
+    "round(CAST(hl_micro AS DOUBLE) / 1000000, 6)"
+
   /** Expected calibration error over the [[calibrationBins]] table —
     * ONE number for "do the scores mean what they say": confidence is
     * the bin's mean score as a POSITION in the observed span (the

@@ -1417,12 +1417,12 @@ object Profiling {
       .agg(sum(col("obs")).cast("long").as("nc")))
     val tot = broadcast(cells.agg(sum(col("obs")).cast("long").as("n")))
     cells.join(rows, rowCol).join(colsM, colCol).crossJoin(tot)
-      .withColumn("term_nano", expr(gCellNanoSql))
+      .withColumn("term_micro", expr(gCellMicroSql))
       .agg(
         count_distinct(col(rowCol)).cast("long").as("r"),
         count_distinct(col(colCol)).cast("long").as("c"),
         max(col("n")).as("n"),
-        sum(col("term_nano")).cast("long").as("g_nano"))
+        sum(col("term_micro")).cast("long").as("g_micro"))
       .withColumn("g", expr(gSql))
       .withColumn("df", expr("CAST((r - 1) * (c - 1) AS BIGINT)"))
       .withColumn("chi2_crit", expr(chi2Crit95Sql("(r - 1) * (c - 1)")))
@@ -1430,18 +1430,20 @@ object Profiling {
         expr(s"$gSql > ${chi2Crit95Sql("(r - 1) * (c - 1)")}"))
   }
 
-  /** Per-cell G contribution O·ln(O·N/(N_r·N_c)) in nano units over
-    * (obs, nr, nc, n). Shared with the oracle. */
-  val gCellNanoSql: String =
+  /** Per-cell G contribution O·ln(O·N/(N_r·N_c)) in MICRO units over
+    * (obs, nr, nc, n) — micro keeps Σ|term| ≤ N·ln(N)·10⁶ inside long
+    * to ~4·10¹¹ rows (nano capped out near 10⁸). Shared with the
+    * oracle. */
+  val gCellMicroSql: String =
     "CAST(ROUND(obs * LN(CAST(obs AS DOUBLE) * n / " +
-      "(CAST(nr AS DOUBLE) * nc)) * 1000000000, 0) AS BIGINT)"
+      "(CAST(nr AS DOUBLE) * nc)) * 1000000, 0) AS BIGINT)"
 
-  /** G = 2·Σterms over the nano sum. The CAST keeps the chain DOUBLE —
-    * a bare `2.0 * g_nano` parses as DECIMAL in both engines and would
+  /** G = 2·Σterms over the micro sum. The CAST keeps the chain DOUBLE —
+    * a bare `2.0 * g_micro` parses as DECIMAL in both engines and would
     * expose DecimalType (the tripwire) and decimal rounding. Shared
     * with the oracle. */
   val gSql: String =
-    "round(2.0 * CAST(g_nano AS DOUBLE) / 1000000000, 6)"
+    "round(2.0 * CAST(g_micro AS DOUBLE) / 1000000, 6)"
 
   /** 2×2 risk readout — relative risk AND odds ratio with Wald 95% CIs,
     * the effect-size table every incident/exposure postmortem wants next
@@ -1854,10 +1856,10 @@ object Profiling {
         sum(col("__v")).cast("long").as("s"),
         sum(col("__v").cast("decimal(38,0)") * col("__v"))
           .cast("decimal(38,0)").as("sq"))
-      .withColumn("var_nano", expr(cronbachItemVarNanoSql))
+      .withColumn("var_milli", expr(cronbachItemVarMilliSql))
       .groupBy(col("k"))
       .agg(max(col("n")).as("n_units"),
-        sum(col("var_nano")).cast("long").as("sum_var_nano"))
+        sum(col("var_milli")).cast("long").as("sum_var_milli"))
     val totals = complete.groupBy(col("__u"))
       .agg(sum(col("__v")).cast("long").as("t"))
       .agg(count(lit(1)).cast("long").as("nt"),
@@ -1866,23 +1868,27 @@ object Profiling {
           .cast("decimal(38,0)").as("stq"))
     items.crossJoin(broadcast(totals))
       .withColumn("alpha", expr(cronbachAlphaSql))
-      .select(col("k"), col("n_units"), col("sum_var_nano"), col("alpha"))
+      .select(col("k"), col("n_units"), col("sum_var_milli"), col("alpha"))
   }
 
-  /** Population item variance Σv²/n − (Σv/n)² in nano units over
-    * (n, s, sq). Shared with the oracle. */
-  val cronbachItemVarNanoSql: String =
+  /** Population item variance Σv²/n − (Σv/n)² in MILLI units over
+    * (n, s, sq) — milli, not nano: a cents-scale item variance is ~10¹¹
+    * and the 20× smoke caught the nano scaling at 2.7·10²⁰ past 2⁶³
+    * (CAST_OVERFLOW under ANSI); milli holds to variance ~9·10¹⁵ with
+    * ≤10⁻³ absolute quantization — ~10⁻¹⁴ relative at these magnitudes.
+    * Shared with the oracle. */
+  val cronbachItemVarMilliSql: String =
     "CAST(ROUND((CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * " +
-      "(CAST(s AS DOUBLE) / n)) * 1000000000, 0) AS BIGINT)"
+      "(CAST(s AS DOUBLE) / n)) * 1000, 0) AS BIGINT)"
 
-  /** α over (k, sum_var_nano, nt, st, stq); NULL for k < 2 or a
+  /** α over (k, sum_var_milli, nt, st, stq); NULL for k < 2 or a
     * zero-variance total. Shared with the oracle. */
   val cronbachAlphaSql: String = {
     val vt = "(CAST(stq AS DOUBLE) / nt - (CAST(st AS DOUBLE) / nt) * " +
       "(CAST(st AS DOUBLE) / nt))"
     s"CASE WHEN k > 1 AND $vt > 0 THEN " +
       "round(CAST(k AS DOUBLE) / (k - 1) * (1.0 - " +
-      s"CAST(sum_var_nano AS DOUBLE) / 1000000000 / $vt), 6) END"
+      s"CAST(sum_var_milli AS DOUBLE) / 1000 / $vt), 6) END"
   }
 
   /** Fleiss' kappa — chance-corrected agreement for n raters × N items

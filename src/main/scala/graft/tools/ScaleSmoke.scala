@@ -1007,6 +1007,11 @@ object ScaleSmoke {
         eventsUid.select(col("event_type"),
           expr("unix_millis(ts) div 3600000").as("hour")),
         "event_type", "hour"))
+      val scored = eventsUid.select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      drain(graft.operators.Eval.spiegelhalterZ(scored, "cents", "is_pos"))
+      drain(graft.operators.Eval.hosmerLemeshow(scored, "cents", "is_pos"))
     }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid

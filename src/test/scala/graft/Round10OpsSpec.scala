@@ -42,11 +42,11 @@ class Round10OpsSpec extends SparkFunSuite {
       .toDF("r0", "c0")
     val r = Profiling.gTest(skew, "r0", "c0").head()
     def term(obs: Long): Long =
-      math.round(obs * math.log(obs * 20.0 / (10.0 * 10.0)) * 1e9)
-    val gNano = 2 * term(8) + 2 * term(2)
-    assert(r.getAs[Long]("g_nano") == gNano)
+      math.round(obs * math.log(obs * 20.0 / (10.0 * 10.0)) * 1e6)
+    val gMicro = 2 * term(8) + 2 * term(2)
+    assert(r.getAs[Long]("g_micro") == gMicro)
     assert(r.getAs[Double]("g") ==
-      math.rint(2.0 * gNano / 1e9 * 1e6) / 1e6)
+      math.rint(2.0 * gMicro / 1e6 * 1e6) / 1e6)
     assert(r.getAs[Boolean]("significant") ==
       (r.getAs[Double]("g") > 3.841459))
   }
@@ -389,12 +389,15 @@ class Round10OpsSpec extends SparkFunSuite {
   }
 
   test("cronbachAlpha: duplicated item gives alpha 1; anti-correlated items go negative") {
-    // two identical items per unit → Σσ_i² = 2σ², σ_T² = 4σ² → α = 2·(1−½) = 1
-    val dup = (1L to 6L).flatMap(u =>
-      Seq((u, "i1", u * 10), (u, "i2", u * 10)))
+    // two identical items per unit → Σσ_i² = 2σ², σ_T² = 4σ² →
+    // α = 2·(1−½) = 1; values {0, 60} make the milli-quantized item
+    // variance (900) exactly representable
+    val dup = (1L to 2L).flatMap(u =>
+      Seq((u, "i1", (u - 1) * 60), (u, "i2", (u - 1) * 60)))
     val r1 = Profiling.cronbachAlpha(dup.toDF("u", "item", "v"),
       "u", "item", "v").head()
-    assert(r1.getAs[Long]("k") == 2L && r1.getAs[Long]("n_units") == 6L)
+    assert(r1.getAs[Long]("k") == 2L && r1.getAs[Long]("n_units") == 2L)
+    assert(r1.getAs[Long]("sum_var_milli") == 2L * 900L * 1000L)
     assert(r1.getAs[Double]("alpha") == 1.0)
     // perfectly anti-correlated items: T constant → σ_T² = 0 → NULL
     val anti = (1L to 6L).flatMap(u =>
@@ -452,6 +455,35 @@ class Round10OpsSpec extends SparkFunSuite {
     val expect = math.rint((8 - 10 * p0) * (8 - 10 * p0) / den * 1e6) / 1e6
     assert(r.getAs[Double]("score_chi2") == expect)
     assert(r.getAs[Boolean]("significant") == (expect > 3.841459))
+  }
+
+  test("spiegelhalterZ: hand three-point case — endpoint terms vanish, z = 2") {
+    // scores {0,2,10} → conf {0, .2, 1}; only the interior point carries
+    // numerator (1−.2)·.6 = .48 and variance .36·.2·.8 = .0576 →
+    // z = .48/.24 = 2
+    val df = Seq((0L, false), (2L, true), (10L, true)).toDF("s0", "y0")
+    val r = Eval.spiegelhalterZ(df, "s0", "y0").head()
+    assert(r.getAs[Long]("snum_micro") == 480000L)
+    assert(r.getAs[Long]("sden_micro") == 57600L)
+    assert(r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("hosmerLemeshow: endpoint bins drop and are reported; terms replay the micro chain") {
+    // scores 0..9, one row per bin; y = 1 iff s >= 5. conf = s/9; the
+    // e=0 and e=1 bins are uninformative → bins_used 8, dropped 2
+    val rows = (0L to 9L).map(s => (s, s >= 5L))
+    val r = Eval.hosmerLemeshow(rows.toDF("s0", "y0"), "s0", "y0").head()
+    assert(r.getAs[Long]("bins_used") == 8L)
+    assert(r.getAs[Long]("bins_dropped") == 2L)
+    val hl = (1L to 8L).map { s =>
+      val e = math.round(s / 9.0 * 1e6) / 1e6
+      val o = if (s >= 5) 1.0 else 0.0
+      math.round((o - e) * (o - e) * 1 / (e * (1 - e)) * 1e6)
+    }.sum
+    assert(r.getAs[Long]("hl_micro") == hl)
+    assert(r.getAs[Long]("df") == 6L)
+    assert(r.getAs[Double]("chi2_crit") == 12.591587)
   }
 
   test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
