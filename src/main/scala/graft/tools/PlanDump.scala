@@ -64,6 +64,10 @@ object PlanDump {
     "q_bootstrap_ci",        // ×32 replicate explode combines map-side into g×32 cells
     "q_join_size_est",       // two d×w sketch builds + per-key-count exact side; no wide join
     "q_link_prediction",     // wedge self-join on checkpointed sparse edges + TakeOrdered
+    "q_link_predictors",     // same wedge kernel + two degree joins feeding four scores
+    "q_harmonic_centrality", // 3 materialized BFS levels from 8 landmarks + TakeOrdered
+    "q_jonckheere",          // zero-filled value×group grid + per-group ranged cumsum + k² pair join
+    "q_fisher_ratio",        // (dim,label) fixed-point moment agg + k·d-row scatter finish
     "q_gram_covariance",     // mapPartitions Gramian: P·d² triples, checkpoint-fed 3-branch assembly
     "q_conformal",           // checkpointed split + broadcast betas + prefix-sum order statistic
     "q_ohlc_bars",           // two windows + agg share ONE (key,bar) exchange
