@@ -4517,6 +4517,28 @@ object SparkEntry {
         table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
         "event_type", "cents")),
+    "q_theil_index" -> ((s, dir) =>
+      // The decomposable third of the inequality trio on the same
+      // per-type user-spend layout — exact milli x·ln x sums.
+      Eval.theilIndex(
+        table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
+        "event_type", "cents")),
+    "q_woolf" -> ((s, dir) => {
+      // Is the clicker→heavy OR HOMOGENEOUS across the spend tiers
+      // q_cmh pools over? Woolf chi2 with inverse-variance weights;
+      // empty-cell strata drop and are reported.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"))
+        .withColumn("tier",
+          when(col("spend") >= 360000L, "high")
+            .when(col("spend") >= 300000L, "mid").otherwise("low"))
+      Profiling.woolf(users, "tier", "clicker", "heavy")
+    }),
     "q_cronbach_alpha" -> ((s, dir) =>
       // Do the per-type spends hang together as ONE engagement scale?
       // Cronbach's alpha over the user x type layout — exact moments,
@@ -10340,6 +10362,66 @@ object SparkEntry {
          |SELECT event_type, n, sx, sln_nano,
          |  ${graft.operators.Eval.atkinsonSql} AS atkinson
          |FROM a""".stripMargin,
+    "q_theil_index" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(ROUND(cents * LN(CAST(cents AS DOUBLE)) *
+         |      1000, 0) AS BIGINT)) AS BIGINT) AS sxlx_milli
+         |  FROM u WHERE cents > 0 GROUP BY 1)
+         |SELECT event_type, n, sx, sxlx_milli,
+         |  ${graft.operators.Eval.theilSql} AS theil
+         |FROM a""".stripMargin,
+    "q_woolf" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 14 AS clicker,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 15 AS heavy
+         |  FROM events GROUP BY 1),
+         |u2 AS (SELECT CASE WHEN spend >= 360000 THEN 'high'
+         |      WHEN spend >= 300000 THEN 'mid' ELSE 'low' END AS s,
+         |    clicker AS e0, heavy AS o0 FROM users),
+         |st AS (SELECT s,
+         |    CAST(SUM(CASE WHEN e0 AND o0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(SUM(CASE WHEN e0 AND NOT o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN NOT e0 AND o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN NOT e0 AND NOT o0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM u2 GROUP BY 1),
+         |ok0 AS (SELECT *,
+         |    (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok FROM st),
+         |t AS (SELECT ok,
+         |    ${graft.operators.Profiling.woolfWMicroSql} AS w_micro,
+         |    ${graft.operators.Profiling.woolfWlMicroSql} AS wl_micro,
+         |    ${graft.operators.Profiling.woolfWl2MicroSql} AS wl2_micro
+         |  FROM ok0),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS k_used,
+         |    CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS k_dropped,
+         |    CAST(SUM(w_micro) AS BIGINT) AS sw_micro,
+         |    CAST(SUM(wl_micro) AS BIGINT) AS swl_micro,
+         |    CAST(SUM(wl2_micro) AS BIGINT) AS swl2_micro
+         |  FROM t)
+         |SELECT k_used, k_dropped, sw_micro, swl_micro, swl2_micro,
+         |  ${graft.operators.Profiling.woolfChi2Sql} AS chi2,
+         |  CAST(greatest(k_used - 1, 0) AS BIGINT) AS df,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k_used - 1")}
+         |    AS chi2_crit,
+         |  ${graft.operators.Profiling.woolfChi2Sql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k_used - 1")}
+         |    AS significant
+         |FROM agg""".stripMargin,
     "q_cronbach_alpha" ->
       s"""WITH ut AS (SELECT user_id, event_type,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v

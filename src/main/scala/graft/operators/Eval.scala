@@ -610,6 +610,32 @@ object Eval {
     "round(1.0 - exp(CAST(sln_nano AS DOUBLE) / 1000000000 / n) / " +
       "(CAST(sx AS DOUBLE) / n), 6)"
 
+  /** Theil T inequality index per group — the DECOMPOSABLE member of
+    * the trio with [[gini]] (rank-based) and [[atkinson]] (welfare):
+    * T = (Σ x·ln x)/Σx − ln(Σx/n) over positive values, zero at
+    * perfect equality, ln n at perfect concentration. x·ln x terms
+    * quantize to MILLI units per element (cents-scale x·ln x ~ 4·10⁶ —
+    * milli keeps the sum long-safe to ~10⁹ rows/group where nano would
+    * cap near 10⁶), so the sum is exact; the rest is one shared double
+    * chain. One map-side-combined aggregate. */
+  def theilIndex(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    df.filter(v > 0L)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(v).cast("long").as("sx"),
+        sum(expr(s"CAST(ROUND($valCol * LN(CAST($valCol AS DOUBLE)) * " +
+          "1000, 0) AS BIGINT)")).cast("long").as("sxlx_milli"))
+      .withColumn("theil", expr(theilSql))
+  }
+
+  /** T over (n, sx, sxlx_milli); sx > 0 by the positive filter. Shared
+    * with the oracle. */
+  val theilSql: String =
+    "round(CAST(sxlx_milli AS DOUBLE) / 1000 / sx - " +
+      "LN(CAST(sx AS DOUBLE) / n), 6)"
+
   /** Exact per-group lower weighted median of an integer-domain value:
     * the smallest v whose inclusive cumulative weight reaches half the
     * group total (2·cumw ≥ W — integer compare, no ties to break). Same

@@ -1584,6 +1584,81 @@ object Profiling {
     s"CASE WHEN $cmhOrSql IS NOT NULL AND $cmhCrudeOrSql IS NOT NULL " +
       s"THEN ($cmhOrSql - 1.0) * ($cmhCrudeOrSql - 1.0) < 0 END"
 
+  /** Woolf test for odds-ratio HOMOGENEITY across strata — the
+    * question [[cmh]] assumes away: is there ONE common OR to pool, or
+    * does the effect differ by stratum (interaction)? χ² =
+    * Σ w_k·(lnOR_k − lnOR_pooled)² with inverse-variance weights
+    * w = 1/(1/a+1/b+1/c+1/d), df = k−1. Strata with ANY empty cell
+    * carry an undefined lnOR — they DROP and are reported in
+    * `k_dropped` (no 0.5 continuity fudge; the caller should see it).
+    * Per-stratum w, w·lnOR, and w·lnOR² micro-quantize so the
+    * cross-stratum sums are exact BIGINTs, and the χ² assembles as
+    * Σw·lnOR² − (Σw·lnOR)²/Σw — one double chain off three exact
+    * sums. */
+  def woolf(
+      df: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val u = df.select(col(stratumCol).cast("string").as("s"),
+      when(col(exposedCol), 1L).otherwise(0L).as("e"),
+      when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+    u.groupBy(col("s"))
+      .agg(
+        sum(when(col("e") === 1L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("a"),
+        sum(when(col("e") === 1L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(col("e") === 0L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(col("e") === 0L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("d"))
+      .withColumn("ok",
+        col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L)
+      .withColumn("w_micro", expr(woolfWMicroSql))
+      .withColumn("wl_micro", expr(woolfWlMicroSql))
+      .withColumn("wl2_micro", expr(woolfWl2MicroSql))
+      .agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).cast("long").as("k_used"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).cast("long")
+          .as("k_dropped"),
+        sum(col("w_micro")).cast("long").as("sw_micro"),
+        sum(col("wl_micro")).cast("long").as("swl_micro"),
+        sum(col("wl2_micro")).cast("long").as("swl2_micro"))
+      .withColumn("chi2", expr(woolfChi2Sql))
+      .withColumn("df",
+        greatest(col("k_used") - 1L, lit(0L)).cast("long"))
+      .withColumn("chi2_crit", expr(chi2Crit95Sql("k_used - 1")))
+      .withColumn("significant",
+        expr(s"$woolfChi2Sql > ${chi2Crit95Sql("k_used - 1")}"))
+  }
+
+  private val woolfWSql: String =
+    "(1.0 / (1.0/a + 1.0/b + 1.0/c + 1.0/d))"
+  private val woolfLnorSql: String =
+    "LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+  /** Per-stratum inverse-variance weight in micro units; 0 for dropped
+    * strata — the guard lives inside so no 1/0 evaluates. Shared with
+    * the oracle. */
+  val woolfWMicroSql: String =
+    "CASE WHEN ok THEN " +
+      s"CAST(ROUND($woolfWSql * 1000000, 0) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+  val woolfWlMicroSql: String =
+    "CASE WHEN ok THEN " +
+      s"CAST(ROUND($woolfWSql * $woolfLnorSql * 1000000, 0) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+  val woolfWl2MicroSql: String =
+    "CASE WHEN ok THEN " +
+      s"CAST(ROUND($woolfWSql * $woolfLnorSql * $woolfLnorSql * " +
+      "1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  /** χ² = Σwl² − (Σwl)²/Σw off the exact micro sums; NULL below two
+    * usable strata or zero total weight. Shared with the oracle. */
+  val woolfChi2Sql: String =
+    "CASE WHEN k_used > 1 AND sw_micro > 0 THEN " +
+      "round(CAST(swl2_micro AS DOUBLE) / 1000000 - " +
+      "(CAST(swl_micro AS DOUBLE) / 1000000) * " +
+      "(CAST(swl_micro AS DOUBLE) / 1000000) / " +
+      "(CAST(sw_micro AS DOUBLE) / 1000000), 6) END"
+
   /** Wilcoxon signed-rank — the magnitude-aware paired test between
     * [[signTest]] (signs only) and the paired t (normality needed):
     * drop zero differences, rank |d| with DOUBLED midranks off the

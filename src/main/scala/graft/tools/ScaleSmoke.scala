@@ -1012,6 +1012,15 @@ object ScaleSmoke {
         (col("event_type") === "purchase").as("is_pos"))
       drain(graft.operators.Eval.spiegelhalterZ(scored, "cents", "is_pos"))
       drain(graft.operators.Eval.hosmerLemeshow(scored, "cents", "is_pos"))
+      drain(graft.operators.Eval.theilIndex(perType, "event_type", "cents"))
+      drain(Profiling.woolf(
+        users.select(
+          when(col("spend") >= 360000L, "high")
+            .when(col("spend") >= 300000L, "mid").otherwise("l")
+            .as("tier"),
+          (col("n_click") >= 14L).as("e0"),
+          (col("spend") >= 330000L).as("o0")),
+        "tier", "e0", "o0"))
     }
     time(s"lifeTable+permTest+tpch+jb+bartlett x$mult") {
       val users = eventsUid

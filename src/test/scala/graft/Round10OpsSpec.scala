@@ -486,6 +486,46 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("chi2_crit") == 12.591587)
   }
 
+  test("woolf: equal stratum ORs give chi2 ~ 0; inverted OR flags; empty cells drop") {
+    def block(s: String, e: Boolean, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, e, true)) ++ Seq.fill(neg)((s, e, false))
+    // both strata OR = 4 → homogeneous (chi2 only quantization residue)
+    val homo = block("P", e = true, 4, 2) ++ block("P", e = false, 2, 4) ++
+      block("Q", e = true, 8, 4) ++ block("Q", e = false, 4, 8)
+    val rh = Profiling.woolf(homo.toDF("s0", "e0", "o0"), "s0", "e0", "o0")
+      .head()
+    assert(rh.getAs[Long]("k_used") == 2L)
+    assert(math.abs(rh.getAs[Double]("chi2")) < 1e-4)
+    assert(!rh.getAs[Boolean]("significant"))
+    // stratum Q inverted: OR 4 vs 1/4 → heterogeneous (×3 cell counts
+    // so the inverse-variance weights push chi2 past the 3.84 bar)
+    val het = block("P", e = true, 12, 6) ++ block("P", e = false, 6, 12) ++
+      block("Q", e = true, 12, 24) ++ block("Q", e = false, 24, 12)
+    val rt = Profiling.woolf(het.toDF("s0", "e0", "o0"), "s0", "e0", "o0")
+      .head()
+    assert(rt.getAs[Double]("chi2") > 3.841459)
+    assert(rt.getAs[Boolean]("significant"))
+    // a zero-cell stratum drops and is reported
+    val withEmpty = homo ++ block("R", e = true, 3, 0) ++
+      block("R", e = false, 2, 2)
+    val rd = Profiling.woolf(withEmpty.toDF("s0", "e0", "o0"),
+      "s0", "e0", "o0").head()
+    assert(rd.getAs[Long]("k_used") == 2L && rd.getAs[Long]("k_dropped") == 1L)
+  }
+
+  test("theilIndex: perfect equality scores 0; hand case replays the milli chain") {
+    val eq = Seq(("g", 1L), ("g", 1L), ("g", 1L)).toDF("g0", "v")
+    assert(Eval.theilIndex(eq, "g0", "v").head().getAs[Double]("theil")
+      == 0.0)
+    val two = Seq(("g", 1L), ("g", 7L)).toDF("g0", "v")
+    val r = Eval.theilIndex(two, "g0", "v").head()
+    val sxlx = math.round(1 * math.log(1.0) * 1000) +
+      math.round(7 * math.log(7.0) * 1000)
+    assert(r.getAs[Long]("sxlx_milli") == sxlx)
+    assert(r.getAs[Double]("theil") ==
+      math.rint((sxlx / 1000.0 / 8 - math.log(4.0)) * 1e6) / 1e6)
+  }
+
   test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
     val row = spark.sql(
       s"SELECT ${Profiling.chi2Crit95Sql("19")} AS c19, " +
