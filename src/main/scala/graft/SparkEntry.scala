@@ -4294,9 +4294,17 @@ object SparkEntry {
       Profiling.signTest(users, "spend_even", "spend_odd")
     }),
     "q_g_test" -> ((s, dir) =>
-      // Likelihood-ratio independence of lang × source — the G twin of
-      // q_chi2_independence; nano-quantized O·ln(O·N/NrNc) cell terms.
-      Profiling.gTest(table(s, dir, "documents"), "lang", "source")),
+      // Likelihood-ratio independence of lang × length tier — the G
+      // twin of q_chi2_independence; micro-quantized O·ln(O·N/NrNc)
+      // cell terms. (Length tier, not source: lang × 20 sources puts
+      // df at 76, past the critical table, NULLing the flag — the
+      // degenerate-output sweep's r10 find.)
+      Profiling.gTest(
+        table(s, dir, "documents").select(col("lang"),
+          when(col("n_chars") >= 380L, "long")
+            .when(col("n_chars") >= 220L, "mid").otherwise("short")
+            .as("len_tier")),
+        "lang", "len_tier")),
     "q_risk_ratio" -> ((s, dir) => {
       // Does heavy clicking associate with heavy purchasing? RR + OR
       // with Wald log-scale CIs off four exact 2x2 cells (balanced
@@ -9875,15 +9883,19 @@ object SparkEntry {
          |    AS significant
          |FROM f""".stripMargin,
     "q_g_test" ->
-      s"""WITH cells AS (SELECT lang, source,
-         |    CAST(COUNT(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+      s"""WITH d AS (SELECT lang,
+         |    CASE WHEN n_chars >= 380 THEN 'long'
+         |      WHEN n_chars >= 220 THEN 'mid' ELSE 'short' END
+         |      AS len_tier FROM documents),
+         |cells AS (SELECT lang, len_tier,
+         |    CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY 1, 2),
          |rr AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS nr
          |  FROM cells GROUP BY 1),
-         |cc AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS nc
+         |cc AS (SELECT len_tier, CAST(SUM(obs) AS BIGINT) AS nc
          |  FROM cells GROUP BY 1),
          |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
          |j AS (SELECT obs, nr, nc, n
-         |  FROM cells JOIN rr USING (lang) JOIN cc USING (source), tt),
+         |  FROM cells JOIN rr USING (lang) JOIN cc USING (len_tier), tt),
          |w AS (SELECT n, ${graft.operators.Profiling.gCellMicroSql}
          |    AS term_micro FROM j),
          |a AS (SELECT
