@@ -4532,6 +4532,26 @@ object SparkEntry {
         table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
         "event_type", "cents")),
+    "q_risk_diff" -> ((s, dir) => {
+      // The absolute-scale 2x2 readout (RD + Wald CI + z + NNT) on the
+      // same balanced clicker→heavy table as q_risk_ratio.
+      val users = table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("clicker"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 15L).as("heavy"))
+      Profiling.riskDiff(users, "clicker", "heavy")
+    }),
+    "q_rbo" -> ((s, dir) => {
+      // Do the revenue ranker and the quantity ranker surface the same
+      // top parts? Truncated RBO@100, top-weighted via p=0.9 — exact
+      // micro terms off one k-row cumulative.
+      val parts = table(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("revenue"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      Eval.rboTopK(parts, "l_partkey", "revenue", "qty", k = 100)
+    }),
     "q_woolf" -> ((s, dir) => {
       // Is the clicker→heavy OR HOMOGENEOUS across the spend tiers
       // q_cmh pools over? Woolf chi2 with inverse-variance weights;
@@ -10386,6 +10406,61 @@ object SparkEntry {
          |  FROM u WHERE cents > 0 GROUP BY 1)
          |SELECT event_type, n, sx, sxlx_milli,
          |  ${graft.operators.Eval.theilSql} AS theil
+         |FROM a""".stripMargin,
+    "q_risk_diff" ->
+      s"""WITH users AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 14 AS clicker,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) >= 15 AS heavy
+         |  FROM events GROUP BY 1),
+         |x AS (SELECT
+         |    CAST(SUM(CASE WHEN clicker AND heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN clicker AND NOT heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN NOT clicker AND heavy THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN NOT clicker AND NOT heavy THEN 1 ELSE 0
+         |      END) AS BIGINT) AS d
+         |  FROM users)
+         |SELECT a, b, c, d,
+         |  ${graft.operators.Profiling.rdSql} AS risk_diff,
+         |  ${graft.operators.Profiling.rdCiSql("-")} AS rd_lo,
+         |  ${graft.operators.Profiling.rdCiSql("+")} AS rd_hi,
+         |  ${graft.operators.Profiling.rdZSql} AS z,
+         |  ${graft.operators.Profiling.nntSql} AS nnt
+         |FROM x""".stripMargin,
+    "q_rbo" ->
+      s"""WITH parts AS (SELECT l_partkey,
+         |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))
+         |      AS BIGINT) AS revenue,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY 1),
+         |ta AS (SELECT l_partkey AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey)
+         |      AS BIGINT) AS ra
+         |  FROM parts QUALIFY ra <= 100),
+         |tb AS (SELECT l_partkey AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey)
+         |      AS BIGINT) AS rb
+         |  FROM parts QUALIFY rb <= 100),
+         |j AS (SELECT greatest(ra, rb) AS maxr FROM ta JOIN tb USING (id)),
+         |cnt AS (SELECT maxr, CAST(COUNT(*) AS BIGINT) AS c FROM j
+         |  GROUP BY 1),
+         |spine AS (SELECT CAST(gs.generate_series AS BIGINT) AS d
+         |  FROM generate_series(1, 100) gs),
+         |cum AS (SELECT d, CAST(SUM(COALESCE(c, 0)) OVER (ORDER BY d)
+         |      AS BIGINT) AS agree
+         |  FROM spine LEFT JOIN cnt ON cnt.maxr = spine.d),
+         |t AS (SELECT d, agree,
+         |    ${graft.operators.Eval.rboTermMicroSql} AS term_micro
+         |  FROM cum),
+         |a AS (SELECT CAST(MAX(d) AS BIGINT) AS k,
+         |    CAST(MAX(agree) AS BIGINT) AS n_both,
+         |    CAST(SUM(term_micro) AS BIGINT) AS rbo_micro FROM t)
+         |SELECT k, n_both, rbo_micro,
+         |  ${graft.operators.Eval.rboSql} AS rbo
          |FROM a""".stripMargin,
     "q_woolf" ->
       s"""WITH users AS (SELECT user_id,

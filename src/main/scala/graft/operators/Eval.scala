@@ -429,6 +429,59 @@ object Eval {
       s"($p * (1 - $p)), 6) END"
   }
 
+  /** Rank-biased overlap of two top-k rankings — "do these two rankers
+    * agree, weighted toward the top?" (Webber et al.): the truncated
+    * RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d with p = 0.9 (the
+    * residual mass beyond k is ignored — a documented LOWER bound, the
+    * right read for comparing two top-k dashboards). Exactness: both
+    * rankings are TakeOrdered top-k with (score desc, id) tie-breaks;
+    * the depth-d agreement comes from each shared item's
+    * max(rank_A, rank_B) via one k-row cumulative window; p^{d−1}
+    * evaluates as exp((d−1)·ln p) — the portable libm pair, never
+    * `pow` — and per-depth terms micro-quantize before the k-row sum.
+    * Everything after the two top-k heaps is k-sized. */
+  def rboTopK(
+      df: DataFrame, idCol: String, scoreACol: String,
+      scoreBCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    def ranks(scoreCol: String, name: String) = df
+      .select(col(idCol).as("id"), col(scoreCol).cast("long").as("s"))
+      .orderBy(col("s").desc, col("id"))
+      .limit(k)
+      // k rows — the global window ranks the already-TakeOrdered head
+      .withColumn(name, row_number().over(
+        Window.orderBy(col("s").desc, col("id"))).cast("long"))
+      .select(col("id"), col(name))
+    val joined = ranks(scoreACol, "ra").join(ranks(scoreBCol, "rb"), Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("maxr"))
+    val counts = joined.groupBy(col("maxr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val spine = df.sparkSession.range(1, k + 1).toDF("d")
+    spine.join(counts, col("maxr") === col("d"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      // k-row cumulative — single-partition window on k rows by design
+      .withColumn("agree", sum(col("c")).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("term_micro", expr(rboTermMicroSql))
+      .agg(max(col("d")).cast("long").as("k"),
+        max(col("agree")).cast("long").as("n_both"),
+        sum(col("term_micro")).cast("long").as("rbo_micro"))
+      .withColumn("rbo", expr(rboSql))
+  }
+
+  /** Per-depth (1−p)·p^{d−1}·agree/d in micro units, p = 0.9 via
+    * exp/ln (portable libm; `pow` is not). Shared with the oracle. */
+  val rboTermMicroSql: String =
+    "CAST(ROUND(CAST(0.1 AS DOUBLE) * " +
+      "exp((d - 1) * LN(CAST(0.9 AS DOUBLE))) * agree " +
+      "/ d * 1000000, 0) AS BIGINT)"
+  /** RBO@k off the exact micro sum. Shared with the oracle. */
+  val rboSql: String =
+    "round(CAST(rbo_micro AS DOUBLE) / 1000000, 6)"
+
   /** Spiegelhalter's Z — the UNBINNED calibration test next to
     * [[brier]] (loss magnitude) and [[ece]] (binned gap): under perfect
     * calibration E[(y−p)(1−2p)] = 0, so

@@ -1498,6 +1498,55 @@ object Profiling {
     "CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN " +
       s"round(exp(ln($orEstSql) $sign 1.959964 * $orSeSql), 6) END"
 
+  /** Risk difference with Wald CI — the ABSOLUTE-scale member of the
+    * 2×2 readout ([[riskRatio]] gives the multiplicative RR/OR; policy
+    * decisions need percentage points): RD = a/(a+b) − c/(c+d),
+    * CI = RD ± 1.96·√(p₁(1−p₁)/n₁ + p₂(1−p₂)/n₂), z = RD/SE, and the
+    * number-needed-to-treat 1/|RD|. Same single conditional aggregate
+    * as riskRatio; NULL estimates when either margin is empty. */
+  def riskDiff(
+      df: DataFrame, exposedCol: String, outcomeCol: String): DataFrame =
+    df.select(when(col(exposedCol), 1L).otherwise(0L).as("e"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+      .agg(
+        sum(when(col("e") === 1L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("a"),
+        sum(when(col("e") === 1L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(col("e") === 0L && col("o") === 1L, 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(col("e") === 0L && col("o") === 0L, 1L).otherwise(0L))
+          .cast("long").as("d"))
+      .withColumn("risk_diff", expr(rdSql))
+      .withColumn("rd_lo", expr(rdCiSql("-")))
+      .withColumn("rd_hi", expr(rdCiSql("+")))
+      .withColumn("z", expr(rdZSql))
+      .withColumn("nnt", expr(nntSql))
+
+  private val rdEstSql: String =
+    "(CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d))"
+  private val rdSeSql: String =
+    "sqrt((CAST(a AS DOUBLE) / (a + b)) * (1.0 - CAST(a AS DOUBLE) / " +
+      "(a + b)) / (a + b) + (CAST(c AS DOUBLE) / (c + d)) * " +
+      "(1.0 - CAST(c AS DOUBLE) / (c + d)) / (c + d))"
+  private val rdGuardSql: String = "(a + b > 0 AND c + d > 0)"
+  /** RD over the 2×2 row; NULL when either margin is empty. Shared
+    * with the oracle. */
+  val rdSql: String =
+    s"CASE WHEN $rdGuardSql THEN round($rdEstSql, 6) END"
+  def rdCiSql(sign: String): String =
+    s"CASE WHEN $rdGuardSql THEN round($rdEstSql $sign 1.959964 * " +
+      s"$rdSeSql, 6) END"
+  /** z = RD/SE; NULL when the variance degenerates (both margins
+    * pure). Shared with the oracle. */
+  val rdZSql: String =
+    s"CASE WHEN $rdGuardSql AND $rdSeSql > 0 THEN " +
+      s"round($rdEstSql / $rdSeSql, 6) END"
+  /** Number needed to treat 1/|RD|; NULL at RD = 0. */
+  val nntSql: String =
+    s"CASE WHEN $rdGuardSql AND abs($rdEstSql) > 0 THEN " +
+      s"round(1.0 / abs($rdEstSql), 6) END"
+
   /** Cochran–Mantel–Haenszel — the STRATIFIED 2×2 test: "does exposure
     * associate with outcome AFTER controlling for the confounder?" Per
     * stratum k: cells (a,b,c,d,n); the CMH statistic

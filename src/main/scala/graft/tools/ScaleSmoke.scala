@@ -1013,6 +1013,14 @@ object ScaleSmoke {
       drain(graft.operators.Eval.spiegelhalterZ(scored, "cents", "is_pos"))
       drain(graft.operators.Eval.hosmerLemeshow(scored, "cents", "is_pos"))
       drain(graft.operators.Eval.theilIndex(perType, "event_type", "cents"))
+      drain(Profiling.riskDiff(
+        users.select((col("n_click") >= 14L).as("e0"),
+          (col("spend") >= 330000L).as("o0")), "e0", "o0"))
+      drain(graft.operators.Eval.rboTopK(
+        eventsUid.groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("sa"),
+            count(lit(1)).cast("long").as("sb")),
+        "user_id", "sa", "sb", k = 100))
       drain(Profiling.woolf(
         users.select(
           when(col("spend") >= 360000L, "high")

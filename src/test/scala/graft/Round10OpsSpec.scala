@@ -526,6 +526,38 @@ class Round10OpsSpec extends SparkFunSuite {
       math.rint((sxlx / 1000.0 / 8 - math.log(4.0)) * 1e6) / 1e6)
   }
 
+  test("riskDiff: hand 2×2 — RD .05, z and CI replay the SE chain, NNT 20") {
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(90)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(95)((false, false))
+    val r = Profiling.riskDiff(rows.toDF("e0", "o0"), "e0", "o0").head()
+    assert(r.getAs[Double]("risk_diff") == 0.05)
+    val se = math.sqrt(0.1 * 0.9 / 100 + 0.05 * 0.95 / 100)
+    assert(r.getAs[Double]("z") == math.rint(0.05 / se * 1e6) / 1e6)
+    assert(r.getAs[Double]("rd_lo") ==
+      math.rint((0.05 - 1.959964 * se) * 1e6) / 1e6)
+    assert(r.getAs[Double]("nnt") == 20.0)
+  }
+
+  test("rboTopK: identical rankings give 1 − p^k (truncated); reversal drops agreement") {
+    def micro(d: Int, agree: Long): Long =
+      math.round(0.1 * math.exp((d - 1) * math.log(0.9)) * agree / d * 1e6)
+    val same = (1L to 5L).map(i => (i, 100 - i, 100 - i))
+      .toDF("id", "sa", "sb")
+    val r = Eval.rboTopK(same, "id", "sa", "sb", k = 5).head()
+    assert(r.getAs[Long]("k") == 5L && r.getAs[Long]("n_both") == 5L)
+    val exp1 = (1 to 5).map(d => micro(d, d.toLong)).sum
+    assert(r.getAs[Long]("rbo_micro") == exp1)
+    // ≈ 1 − 0.9⁵ = 0.40951 up to micro quantization
+    assert(math.abs(r.getAs[Double]("rbo") - (1 - math.pow(0.9, 5))) < 1e-4)
+    // fully reversed: maxr = max(i, 6−i) → agree = (0,0,1,3,5)
+    val rev = (1L to 5L).map(i => (i, 100 - i, 100 + i)).toDF("id", "sa", "sb")
+    val r2 = Eval.rboTopK(rev, "id", "sa", "sb", k = 5).head()
+    val agrees = Seq(0L, 0L, 1L, 3L, 5L)
+    val exp2 = (1 to 5).map(d => micro(d, agrees(d - 1))).sum
+    assert(r2.getAs[Long]("rbo_micro") == exp2)
+    assert(r2.getAs[Double]("rbo") < r.getAs[Double]("rbo"))
+  }
+
   test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
     val row = spark.sql(
       s"SELECT ${Profiling.chi2Crit95Sql("19")} AS c19, " +
