@@ -4532,6 +4532,22 @@ object SparkEntry {
         table(s, dir, "events").groupBy(col("event_type"), col("user_id"))
           .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents")),
         "event_type", "cents")),
+    "q_stream_sign_test" -> ((s, dir) =>
+      // The paired sign test as an in-stream monitor: complete-mode
+      // per-user even/odd-day spend state, sign z on the drained
+      // table — shares the batch q_sign_test oracle.
+      Profiling.signTest(
+        runToMemory(s, eventsStream(s, dir)
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("day") % 2 === 0L, col("cents"))
+              .otherwise(0L)).cast("long").as("x"),
+            sum(when(col("day") % 2 === 1L, col("cents"))
+              .otherwise(0L)).cast("long").as("y")),
+          "complete"),
+        "x", "y")),
     "q_risk_diff" -> ((s, dir) => {
       // The absolute-scale 2x2 readout (RD + Wald CI + z + NNT) on the
       // same balanced clicker→heavy table as q_risk_ratio.
@@ -9878,30 +9894,10 @@ object SparkEntry {
          |      AS BIGINT) AS fn FROM p)
          |SELECT tp, fp, tn, fn, ${graft.operators.Profiling.mccSql} AS mcc
          |FROM c""".stripMargin,
-    "q_sign_test" ->
-      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
-         |u AS (SELECT user_id,
-         |    CAST(SUM(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)
-         |      AS BIGINT) AS x,
-         |    CAST(SUM(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)
-         |      AS BIGINT) AS y
-         |  FROM e GROUP BY 1),
-         |a AS (SELECT
-         |    CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_pos,
-         |    CAST(SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_neg,
-         |    CAST(SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_tie
-         |  FROM u),
-         |f AS (SELECT n_pos, n_neg, n_tie,
-         |    CAST(n_pos + n_neg AS BIGINT) AS m FROM a)
-         |SELECT n_pos, n_neg, n_tie, m,
-         |  ${graft.operators.Profiling.signZSql} AS z,
-         |  abs(${graft.operators.Profiling.signZSql}) > 1.959964
-         |    AS significant
-         |FROM f""".stripMargin,
+    "q_sign_test" -> signTestOracleSql,
+    // the streaming tier drains to the identical per-user paired table —
+    // ONE oracle text serves both (the q_stream_wilson pattern)
+    "q_stream_sign_test" -> signTestOracleSql,
     "q_g_test" ->
       s"""WITH d AS (SELECT lang,
          |    CASE WHEN n_chars >= 380 THEN 'long'
@@ -10769,6 +10765,34 @@ object SparkEntry {
          |  round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
          |  round(CAST(s - sl AS DOUBLE) / (n - nl), 6) AS mean_right
          |FROM top WHERE rn = 1""".stripMargin
+
+  /** Shared by q_sign_test (batch) and q_stream_sign_test (the
+    * complete-mode streaming tier drains the identical per-user
+    * paired table): one oracle text. */
+  private lazy val signTestOracleSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+       |u AS (SELECT user_id,
+       |    CAST(SUM(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM e GROUP BY 1),
+       |a AS (SELECT
+       |    CAST(SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neg,
+       |    CAST(SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_tie
+       |  FROM u),
+       |f AS (SELECT n_pos, n_neg, n_tie,
+       |    CAST(n_pos + n_neg AS BIGINT) AS m FROM a)
+       |SELECT n_pos, n_neg, n_tie, m,
+       |  ${graft.operators.Profiling.signZSql} AS z,
+       |  abs(${graft.operators.Profiling.signZSql}) > 1.959964
+       |    AS significant
+       |FROM f""".stripMargin
 
   /** Shared by q_risk_ratio (batch) and q_stream_risk_ratio (the
     * complete-mode streaming tier drains the identical per-user
