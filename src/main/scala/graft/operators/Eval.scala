@@ -505,8 +505,12 @@ object Eval {
       .withColumn("significant", expr(s"abs($spiegelZSql) > 1.959964"))
   }
 
+  // nullif divisor: subexpression elimination shares conf across the
+  // numerator and variance terms, hoisting the division out of the
+  // hi > lo guard (the riskDiff note in Profiling)
   private val spiegelConfSql: String =
-    "(CASE WHEN hi > lo THEN CAST(__s - lo AS DOUBLE) / (hi - lo) " +
+    "(CASE WHEN hi > lo THEN " +
+      "CAST(__s - lo AS DOUBLE) / nullif(hi - lo, 0) " +
       "ELSE CAST(0 AS DOUBLE) END)"
   /** Per-row (y−p)(1−2p) in micro units. Shared with the oracle. */
   val spiegelNumMicroSql: String =
@@ -541,7 +545,8 @@ object Eval {
       .crossJoin(mm)
       .withColumn("bin", expr(
         "CASE WHEN hi > lo THEN least(CAST(9 AS BIGINT), " +
-          "(__s - lo) * 10 div (hi - lo)) ELSE CAST(0 AS BIGINT) END"))
+          "(__s - lo) * 10 div nullif(hi - lo, 0)) " +
+          "ELSE CAST(0 AS BIGINT) END"))
       .withColumn("e_micro", expr(
         s"CAST(ROUND($spiegelConfSql * 1000000, 0) AS BIGINT)"))
       .groupBy(col("bin"))

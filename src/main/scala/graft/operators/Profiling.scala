@@ -1475,10 +1475,14 @@ object Profiling {
       .withColumn("or_lo", expr(orCiSql("-")))
       .withColumn("or_hi", expr(orCiSql("+")))
 
+  // nullif divisors for the same subexpression-elimination hazard the
+  // riskDiff note documents (guards alone do not protect hoisted terms)
   private val rrEstSql: String =
-    "((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)))"
+    "((CAST(a AS DOUBLE) / nullif(a + b, 0)) / " +
+      "(CAST(c AS DOUBLE) / nullif(c + d, 0)))"
   private val rrSeSql: String =
-    "sqrt(1.0/a - 1.0/(a + b) + 1.0/c - 1.0/(c + d))"
+    "sqrt(1.0/nullif(a, 0) - 1.0/nullif(a + b, 0) + " +
+      "1.0/nullif(c, 0) - 1.0/nullif(c + d, 0))"
   /** RR over the 2×2 row; NULL unless both risk denominators and both
     * numerators are positive. Shared with the oracle. */
   val rrSql: String =
@@ -1487,8 +1491,10 @@ object Profiling {
     s"CASE WHEN a > 0 AND c > 0 THEN round(exp(ln($rrEstSql) $sign " +
       s"1.959964 * $rrSeSql), 6) END"
   private val orEstSql: String =
-    "(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
-  private val orSeSql: String = "sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)"
+    "(CAST(a AS DOUBLE) * d / nullif(CAST(b AS DOUBLE) * c, 0))"
+  private val orSeSql: String =
+    "sqrt(1.0/nullif(a, 0) + 1.0/nullif(b, 0) + 1.0/nullif(c, 0) + " +
+      "1.0/nullif(d, 0))"
   /** OR over the 2×2 row; NULL when any cell is empty. Shared with the
     * oracle. */
   val orSql: String =
@@ -1523,12 +1529,20 @@ object Profiling {
       .withColumn("z", expr(rdZSql))
       .withColumn("nnt", expr(nntSql))
 
+  // divisors wrapped in nullif: Spark's subexpression elimination HOISTS
+  // a division shared by several output columns out of its CASE guard,
+  // so a zero margin throws DIVIDE_BY_ZERO under ANSI even though every
+  // consumer guards it (caught by the 20x smoke at sf0.1 where every
+  // user clears the clicker bar). NULL divisors propagate NULL instead,
+  // and the outer guards still decide the output exactly as before.
   private val rdEstSql: String =
-    "(CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d))"
+    "(CAST(a AS DOUBLE) / nullif(a + b, 0) - " +
+      "CAST(c AS DOUBLE) / nullif(c + d, 0))"
   private val rdSeSql: String =
-    "sqrt((CAST(a AS DOUBLE) / (a + b)) * (1.0 - CAST(a AS DOUBLE) / " +
-      "(a + b)) / (a + b) + (CAST(c AS DOUBLE) / (c + d)) * " +
-      "(1.0 - CAST(c AS DOUBLE) / (c + d)) / (c + d))"
+    "sqrt((CAST(a AS DOUBLE) / nullif(a + b, 0)) * " +
+      "(1.0 - CAST(a AS DOUBLE) / nullif(a + b, 0)) / nullif(a + b, 0)" +
+      " + (CAST(c AS DOUBLE) / nullif(c + d, 0)) * " +
+      "(1.0 - CAST(c AS DOUBLE) / nullif(c + d, 0)) / nullif(c + d, 0))"
   private val rdGuardSql: String = "(a + b > 0 AND c + d > 0)"
   /** RD over the 2×2 row; NULL when either margin is empty. Shared
     * with the oracle. */
@@ -1680,10 +1694,13 @@ object Profiling {
         expr(s"$woolfChi2Sql > ${chi2Crit95Sql("k_used - 1")}"))
   }
 
+  // nullif divisors: the ok guard does not protect terms hoisted by
+  // subexpression elimination (the riskDiff note)
   private val woolfWSql: String =
-    "(1.0 / (1.0/a + 1.0/b + 1.0/c + 1.0/d))"
+    "(1.0 / (1.0/nullif(a, 0) + 1.0/nullif(b, 0) + 1.0/nullif(c, 0) + " +
+      "1.0/nullif(d, 0)))"
   private val woolfLnorSql: String =
-    "LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+    "LN(CAST(a AS DOUBLE) * d / nullif(CAST(b AS DOUBLE) * c, 0))"
   /** Per-stratum inverse-variance weight in micro units; 0 for dropped
     * strata — the guard lives inside so no 1/0 evaluates. Shared with
     * the oracle. */

@@ -1013,8 +1013,10 @@ object ScaleSmoke {
       drain(graft.operators.Eval.spiegelhalterZ(scored, "cents", "is_pos"))
       drain(graft.operators.Eval.hosmerLemeshow(scored, "cents", "is_pos"))
       drain(graft.operators.Eval.theilIndex(perType, "event_type", "cents"))
+      // parity exposure: count thresholds drift with sf (every sf0.1
+      // user clears 14 clicks, emptying a margin — the nullif lesson)
       drain(Profiling.riskDiff(
-        users.select((col("n_click") >= 14L).as("e0"),
+        users.select((pmod(col("user_id"), lit(2L)) === 0L).as("e0"),
           (col("spend") >= 330000L).as("o0")), "e0", "o0"))
       drain(graft.operators.Eval.rboTopK(
         eventsUid.groupBy(col("user_id"))
