@@ -4558,6 +4558,15 @@ object SparkEntry {
             >= 15L).as("heavy"))
       Profiling.riskDiff(users, "clicker", "heavy")
     }),
+    "q_rank_tau" -> ((s, dir) => {
+      // Exact tau + footrule over the shared top-100 of the revenue
+      // and quantity rankers — the unweighted companion to q_rbo.
+      val parts = table(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("revenue"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      Eval.rankAgreement(parts, "l_partkey", "revenue", "qty", k = 100)
+    }),
     "q_rbo" -> ((s, dir) => {
       // Do the revenue ranker and the quantity ranker surface the same
       // top parts? Truncated RBO@100, top-weighted via p=0.9 — exact
@@ -10427,6 +10436,34 @@ object SparkEntry {
          |  ${graft.operators.Profiling.rdZSql} AS z,
          |  ${graft.operators.Profiling.nntSql} AS nnt
          |FROM x""".stripMargin,
+    "q_rank_tau" ->
+      s"""WITH parts AS (SELECT l_partkey,
+         |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))
+         |      AS BIGINT) AS revenue,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY 1),
+         |ta AS (SELECT l_partkey AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey)
+         |      AS BIGINT) AS ra
+         |  FROM parts QUALIFY ra <= 100),
+         |tb AS (SELECT l_partkey AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey)
+         |      AS BIGINT) AS rb
+         |  FROM parts QUALIFY rb <= 100),
+         |sh AS (SELECT id, ra, rb FROM ta JOIN tb USING (id)),
+         |pr AS (SELECT
+         |    CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_con,
+         |    CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+         |  FROM sh x JOIN sh y ON x.id < y.id),
+         |ft AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(ABS(ra - rb)) AS BIGINT) AS footrule FROM sh),
+         |f AS (SELECT CAST(100 AS BIGINT) AS k, m, n_con, n_dis,
+         |    footrule FROM pr, ft)
+         |SELECT k, m, n_con, n_dis, footrule,
+         |  ${graft.operators.Eval.rankTauSql} AS tau
+         |FROM f""".stripMargin,
     "q_rbo" ->
       s"""WITH parts AS (SELECT l_partkey,
          |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))

@@ -472,6 +472,51 @@ object Eval {
       .withColumn("rbo", expr(rboSql))
   }
 
+  /** Exact rank-agreement metrics over the SHARED top-k items — the
+    * unweighted companions to [[rboTopK]]'s top-weighted overlap:
+    * Kendall tau = (concordant − discordant)/(m(m−1)/2) over the m
+    * items both rankers place in their top k (ranks are distinct, so
+    * no tie terms), and the Spearman footrule Σ|rank_A − rank_B|. Both
+    * are EXACT integer counts off the m²-bounded pair self-join
+    * (m ≤ k — the whole computation after the two top-k heaps is
+    * k²-sized). */
+  def rankAgreement(
+      df: DataFrame, idCol: String, scoreACol: String,
+      scoreBCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    def ranks(scoreCol: String, name: String) = df
+      .select(col(idCol).as("id"), col(scoreCol).cast("long").as("s"))
+      .orderBy(col("s").desc, col("id"))
+      .limit(k)
+      .withColumn(name, row_number().over(
+        Window.orderBy(col("s").desc, col("id"))).cast("long"))
+      .select(col("id"), col(name))
+    val shared = ranks(scoreACol, "ra").join(ranks(scoreBCol, "rb"), Seq("id"))
+      .localCheckpoint(true) // both sides of the m² pair join
+    val pairs = shared.as("x").join(shared.as("y"),
+        col("x.id") < col("y.id"))
+      .select(((col("x.ra") - col("y.ra")) *
+        (col("x.rb") - col("y.rb"))).as("prod"))
+      .agg(sum(when(col("prod") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_con"),
+        sum(when(col("prod") < 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+    val foot = shared.agg(count(lit(1)).cast("long").as("m"),
+      sum(abs(col("ra") - col("rb"))).cast("long").as("footrule"))
+    pairs.crossJoin(broadcast(foot))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("tau", expr(rankTauSql))
+      .select(col("k"), col("m"), col("n_con"), col("n_dis"),
+        col("footrule"), col("tau"))
+  }
+
+  /** τ over (n_con, n_dis, m); NULL below two shared items. Shared
+    * with the oracle. */
+  val rankTauSql: String =
+    "CASE WHEN m > 1 THEN round(CAST(n_con - n_dis AS DOUBLE) / " +
+      "(CAST(m AS DOUBLE) * (m - 1) / 2), 6) END"
+
   /** Per-depth (1−p)·p^{d−1}·agree/d in micro units, p = 0.9 via
     * exp/ln (portable libm; `pow` is not). Shared with the oracle. */
   val rboTermMicroSql: String =

@@ -1018,11 +1018,14 @@ object ScaleSmoke {
       drain(Profiling.riskDiff(
         users.select((pmod(col("user_id"), lit(2L)) === 0L).as("e0"),
           (col("spend") >= 330000L).as("o0")), "e0", "o0"))
-      drain(graft.operators.Eval.rboTopK(
-        eventsUid.groupBy(col("user_id"))
-          .agg(sum(round(col("value") * 100, 0).cast("long")).as("sa"),
-            count(lit(1)).cast("long").as("sb")),
-        "user_id", "sa", "sb", k = 100))
+      val ranked = eventsUid.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("sa"),
+          count(lit(1)).cast("long").as("sb"))
+        .localCheckpoint(true)
+      drain(graft.operators.Eval.rboTopK(ranked, "user_id", "sa", "sb",
+        k = 100))
+      drain(graft.operators.Eval.rankAgreement(ranked, "user_id", "sa",
+        "sb", k = 100))
       drain(Profiling.woolf(
         users.select(
           when(col("spend") >= 360000L, "high")

@@ -558,6 +558,20 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(r2.getAs[Double]("rbo") < r.getAs[Double]("rbo"))
   }
 
+  test("rankAgreement: identical rankings score tau 1 / footrule 0; reversal scores -1") {
+    val same = (1L to 5L).map(i => (i, 100 - i, 100 - i))
+      .toDF("id", "sa", "sb")
+    val r = Eval.rankAgreement(same, "id", "sa", "sb", k = 5).head()
+    assert(r.getAs[Long]("m") == 5L && r.getAs[Long]("n_dis") == 0L)
+    assert(r.getAs[Double]("tau") == 1.0)
+    assert(r.getAs[Long]("footrule") == 0L)
+    val rev = (1L to 5L).map(i => (i, 100 - i, 100 + i)).toDF("id", "sa", "sb")
+    val r2 = Eval.rankAgreement(rev, "id", "sa", "sb", k = 5).head()
+    assert(r2.getAs[Double]("tau") == -1.0)
+    // footrule of full reversal on 5 ranks: |1−5|+|2−4|+0+|4−2|+|5−1| = 12
+    assert(r2.getAs[Long]("footrule") == 12L)
+  }
+
   test("chi2Crit95Sql: extended to df 20 (the 20-source kruskal df=19 case); NULL beyond") {
     val row = spark.sql(
       s"SELECT ${Profiling.chi2Crit95Sql("19")} AS c19, " +
