@@ -4693,6 +4693,405 @@ object SparkEntry {
             col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
             .cast("long").as("low_line_count"))
     }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 shape (min-cost supplier), ADAPTED: no partsupp table
+      // in the synthetic schema, so the part-supplier catalog derives
+      // from lineitem pairs with the min observed sell price as the
+      // cost. Same skeleton: region-filtered suppliers, per-part
+      // min-cost correlated subquery (rewritten as groupBy-min + an
+      // exact-cents equality join back), top-100 by balance.
+      val sized = broadcast(table(s, dir, "part")
+        .filter(col("p_size").between(10, 20) &&
+          col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val eur = broadcast(table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal") * 100, 0).cast("long")
+            .as("s_acctbal_cents"),
+          col("n_name")))
+      // part filter pushed BELOW the per-pair min so only qualifying
+      // parts ever aggregate (per-part min is unaffected by it)
+      val costs = table(s, dir, "lineitem")
+        .join(sized, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cost_cents"))
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
+      val minCost = costs.groupBy(col("p_partkey"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      costs.join(minCost, Seq("p_partkey"))
+        .filter(col("cost_cents") === col("min_cost"))
+        .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost_cents"))
+        .orderBy(col("s_acctbal_cents").desc, col("n_name"),
+          col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping): revenue flowing between two
+      // nations by supplier-nation x customer-nation x ship year. The
+      // nation pair filter is pushed into BOTH broadcast dims before
+      // the fact-fact join; the pair-validity check runs after. Few
+      // huge groups => the cents*pct sum runs in DECIMAL and is
+      // exposed as STRING per the r10 decimal contract.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val nat = table(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = table(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1996-01-01' AND " +
+          "l_shipdate < timestamp '1998-01-01'"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          rev.as("rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("rev_d"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("rev_d").cast("string").as("revenue_cp"),
+          expr("round(CAST(rev_d AS DOUBLE) / 10000, 6)").as("revenue"))
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (national market share): NATION_3's share of ECONOMY
+      // part revenue sold into AMERICA, by order year. Numerator and
+      // denominator accumulate in DECIMAL (few huge groups), the share
+      // divides as DOUBLE.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val amerCust = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNat = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders")
+          .filter(expr("o_orderdate >= timestamp '1996-01-01' AND " +
+            "o_orderdate < timestamp '1998-01-01'"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev"))
+            .otherwise(0L).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("num_d"),
+          sum(col("rev").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("den_d"))
+        .select(col("o_year"),
+          expr("CASE WHEN CAST(den_d AS DOUBLE) > 0 THEN " +
+            "round(CAST(num_d AS DOUBLE) / CAST(den_d AS DOUBLE), 6) " +
+            "END").as("mkt_share"),
+          col("den_d").cast("string").as("total_rev_cp"))
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 (product-type profit), ADAPTED: no partsupp, so the
+      // supply cost proxies as p_retailprice (scaled into the same
+      // cents*pct units). Profit per supplier nation per order year
+      // over parts named like widget; 25x7 groups aggregate the whole
+      // fact table => DECIMAL sums, STRING exposure.
+      val amount = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long")) -
+        round(col("p_retailprice") * 100, 0).cast("long") * lit(100L) *
+          col("l_quantity").cast("long")
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("nation"), amount.as("amount"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("profit_d"))
+        .select(col("nation"), col("o_year"),
+          col("profit_d").cast("string").as("sum_profit_cp"),
+          expr("round(CAST(profit_d AS DOUBLE) / 10000, 6)")
+            .as("sum_profit"))
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item revenue): customers who returned
+      // goods ordered in one quarter, top 20 by lost revenue. The
+      // aggregate runs fact-side keyed on the customer BEFORE the dim
+      // join, so the wide customer row never rides the big shuffle.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val agg = table(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp '1997-10-01' AND " +
+          "o_orderdate < timestamp '1998-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), rev.as("rev")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("long").as("revenue_cp"))
+      agg.join(broadcast(table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100, 0).cast("long")
+              .as("c_acctbal_cents"),
+            col("n_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_cp"),
+          expr("round(CAST(revenue_cp AS DOUBLE) / 10000, 6)")
+            .as("revenue"),
+          col("c_acctbal_cents"), col("n_name"))
+        .orderBy(col("revenue_cp").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 shape (important stock), ADAPTED: inventory value
+      // proxies as summed sell cents per part over one nation's
+      // suppliers. Skeleton preserved: group-by HAVING against a
+      // global-scalar fraction (broadcast 1-row cross join, exact
+      // integer compare value*1000 > total).
+      val perPart = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation")
+            .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("value_cents"))
+      perPart
+        .crossJoin(broadcast(perPart.agg(
+          sum(col("value_cents")).cast("long").as("total_cents"))))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+    }),
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 (customer order-count distribution), ADAPTED: the
+      // o_comment NOT LIKE filter stands in as an order-priority
+      // exclusion. Skeleton preserved: LEFT join with the filter in
+      // the join condition (customers with zero surviving orders must
+      // count at c_count = 0), then the distribution of counts.
+      table(s, dir, "customer").select(col("c_custkey"))
+        .join(table(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+      // the supplier(s) equal to the max (scalar subquery => broadcast
+      // 1-row cross join; exact BIGINT equality so ties are exact).
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val r = table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01' AND " +
+          "l_shipdate < timestamp '1997-04-01'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).cast("long").as("total_rev_cp"))
+      r.crossJoin(broadcast(r.agg(max(col("total_rev_cp")).as("max_rev"))))
+        .filter(col("total_rev_cp") === col("max_rev"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cp"),
+          expr("round(CAST(total_rev_cp AS DOUBLE) / 10000, 6)")
+            .as("total_rev"))
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 shape (part/supplier relationship), ADAPTED: the
+      // part-supplier relation derives from DISTINCT lineitem pairs
+      // (no partsupp) and the complaints NOT IN subquery stands in as
+      // negative-balance suppliers. Skeleton preserved: anti-join the
+      // excluded suppliers, brand/type/size filters, COUNT(DISTINCT
+      // suppkey) per class.
+      table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(table(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("long")
+          .as("supplier_cnt"))
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue), ADAPTED: container
+      // filter stands in as a size bound. The correlated per-part avg
+      // rewrites as groupBy + join back; the 20%-of-avg comparison is
+      // EXACT integer arithmetic (qty*5*n < sum_qty), so no double
+      // threshold can flip a borderline row across engines.
+      val small = broadcast(table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
+        .select(col("p_partkey")))
+      val li = table(s, dir, "lineitem")
+        .join(small, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("extc"))
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sumq"),
+          count(lit(1)).cast("long").as("cnt"))
+      li.join(pa, Seq("l_partkey"))
+        .filter(col("qty") * 5 * col("cnt") < col("sumq"))
+        .agg(sum(col("extc")).cast("long").as("sum_cents"))
+        .select(col("sum_cents"),
+          expr("round(CAST(sum_cents AS DOUBLE) / 100 / 7.0, 6)")
+            .as("avg_yearly"))
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (discounted revenue, OR-of-ANDs), ADAPTED: container
+      // and shipmode predicates stand in as size and returnflag. The
+      // disjunction sits in ONE filter so Catalyst can push the shared
+      // l_returnflag conjunct to the scan; single global sum =>
+      // DECIMAL, STRING exposure.
+      val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_returnflag") === "N" && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(rev.cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("rev_d"))
+        .select(col("rev_d").cast("string").as("revenue_cp"),
+          expr("round(CAST(rev_d AS DOUBLE) / 10000, 6)").as("revenue"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 shape (part promotion), ADAPTED: availqty proxies as
+      // the supplier's shipped share of a part's yearly volume —
+      // suppliers of PROMO parts who shipped > 30% of the part's 1997
+      // total, restricted to three nations. Skeleton preserved:
+      // nested IN subqueries become semi-joins; the share compare is
+      // exact integer (sq*10 > tq*3).
+      val yr = table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01' AND " +
+          "l_shipdate < timestamp '1998-01-01'"))
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val sp = yr.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("sq"))
+      val pt = yr.groupBy(col("l_partkey")).agg(sum(col("qty")).as("tq"))
+      val qual = sp.join(pt, Seq("l_partkey"))
+        .filter(col("sq") * 10 > col("tq") * 3)
+        .select(col("l_suppkey")).distinct()
+      table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_4", "NATION_5", "NATION_6"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 (suppliers who kept orders waiting), ADAPTED: "late"
+      // = shipped > 60 days after the order date (no receipt/commit
+      // dates). The EXISTS/NOT-EXISTS pair rewrites Spark-first as ONE
+      // per-order aggregate — n_supp > 1 (another supplier exists) and
+      // n_late_supp = 1 (no OTHER late supplier) — instead of two
+      // correlated self-joins.
+      val l = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS").as("late"))
+      val os = l.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supp"))
+      l.filter(col("late"))
+        .join(os, Seq("l_orderkey"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(broadcast(table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 (global sales opportunity), ADAPTED: country code =
+      // nation key (no c_phone), "never ordered" = no order since
+      // 2000-09-01 (the synthetic order volume leaves almost nobody
+      // order-free for all time). The above-average-balance compare is
+      // exact integer (bal*n > sum) so no double threshold straddles
+      // engines; NOT EXISTS = left anti.
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"),
+          col("c_acctbal"))
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("bal_cents")).cast("long").as("s"),
+          count(lit(1)).cast("long").as("n"))
+      cust.filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("n") > col("s"))
+        .join(table(s, dir, "orders")
+          .filter(expr("o_orderdate >= timestamp '2000-09-01'"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).cast("long").as("numcust"),
+          sum(col("bal_cents")).cast("long").as("totacctbal_cents"))
+    }),
     "q_fleiss_kappa" -> ((s, dir) => {
       // Three deterministic tier rules as raters over users: does the
       // spend rule agree with the click and view rules beyond chance?
@@ -10666,6 +11065,239 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH eur AS (SELECT s_suppkey, s_name,
+        |    CAST(ROUND(s_acctbal*100, 0) AS BIGINT) AS s_acctbal_cents,
+        |    n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |sized AS (SELECT p_partkey FROM part
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'),
+        |costs AS (SELECT p_partkey, l_suppkey,
+        |    MIN(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS cost_cents
+        |  FROM lineitem JOIN sized ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ec AS (SELECT c.p_partkey, c.cost_cents, e.s_acctbal_cents,
+        |    e.s_name, e.n_name
+        |  FROM costs c JOIN eur e ON c.l_suppkey = e.s_suppkey),
+        |mc AS (SELECT p_partkey, MIN(cost_cents) AS min_cost
+        |  FROM ec GROUP BY 1)
+        |SELECT s_acctbal_cents, s_name, n_name, ec.p_partkey, cost_cents
+        |FROM ec JOIN mc ON ec.p_partkey = mc.p_partkey
+        |  AND ec.cost_cents = mc.min_cost
+        |ORDER BY s_acctbal_cents DESC, n_name, s_name, ec.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS revenue_cp,
+        |  round(CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DOUBLE) / 10000,
+        |    6) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') x
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  CASE WHEN CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DOUBLE) > 0
+        |    THEN round(
+        |      CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN
+        |        CAST(rev AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0))
+        |        END) AS DOUBLE) /
+        |      CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DOUBLE), 6)
+        |  END AS mkt_share,
+        |  CAST(CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS total_rev_cp
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA'
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01') x
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS sum_profit_cp,
+        |  round(CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DOUBLE) /
+        |    10000, 6) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) -
+        |    CAST(ROUND(p_retailprice*100, 0) AS BIGINT) * 100 *
+        |      CAST(l_quantity AS BIGINT) AS amount
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') x
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, revenue_cp,
+        |  round(CAST(revenue_cp AS DOUBLE) / 10000, 6) AS revenue,
+        |  c_acctbal_cents, n_name
+        |FROM (SELECT o_custkey, CAST(SUM(rev) AS BIGINT) AS revenue_cp
+        |  FROM (SELECT o_custkey,
+        |      CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |        (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01'
+        |      AND l_returnflag = 'R') y
+        |  GROUP BY 1) a
+        |JOIN (SELECT c_custkey, c_name,
+        |    CAST(ROUND(c_acctbal*100, 0) AS BIGINT) AS c_acctbal_cents,
+        |    n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) c
+        |  ON a.o_custkey = c.c_custkey
+        |ORDER BY revenue_cp DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH val AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, value_cents FROM val
+        |WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM val)"""
+        .stripMargin,
+    "q_tpch_q13" ->
+      """WITH co AS (SELECT c_custkey,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |      (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)))
+        |      AS BIGINT) AS total_rev_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_cp,
+        |  round(CAST(total_rev_cp AS DOUBLE) / 10000, 6) AS total_rev
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_rev_cp = (SELECT MAX(total_rev_cp) FROM r)"""
+        .stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS extc
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#3' AND p_size < 10)),
+        |pa AS (SELECT l_partkey, SUM(qty) AS sumq,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(SUM(extc) AS BIGINT) AS sum_cents,
+        |  round(CAST(SUM(extc) AS DOUBLE) / 100 / 7.0, 6) AS avg_yearly
+        |FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+        |WHERE qty * 5 * cnt < sumq""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(CAST(SUM(CAST(rev AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS revenue_cp,
+        |  round(CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DOUBLE) / 10000,
+        |    6) AS revenue
+        |FROM (SELECT CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+        |    (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'N' AND (
+        |    (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11) OR
+        |    (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20) OR
+        |    (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 20 AND 30))) x""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH yr AS (SELECT l_partkey, l_suppkey,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_type = 'PROMO')),
+        |sp AS (SELECT l_partkey, l_suppkey, SUM(qty) AS sq
+        |  FROM yr GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(qty) AS tq FROM yr GROUP BY 1),
+        |qual AS (SELECT DISTINCT sp.l_suppkey AS k
+        |  FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+        |  WHERE sp.sq * 10 > pt.tq * 3)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+        |WHERE s_suppkey IN (SELECT k FROM qual)""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderstatus = 'F'),
+        |os AS (SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+        |      AS n_late_supp
+        |  FROM l GROUP BY 1)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l JOIN os ON l.l_orderkey = os.l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE l.late = 1 AND os.n_supp > 1 AND os.n_late_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""
+        .stripMargin,
+    "q_tpch_q22" ->
+      """WITH pos AS (SELECT
+        |    CAST(SUM(CAST(ROUND(c_acctbal*100, 0) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-09-01'),
+        |c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND(c_acctbal*100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer, pos
+        |  WHERE CAST(ROUND(c_acctbal*100, 0) AS BIGINT) * n > s
+        |    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |    AND c_custkey NOT IN (SELECT o_custkey FROM recent))
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c GROUP BY 1""".stripMargin,
     "q_zero_inflation" ->
       s"""WITH e AS (SELECT event_type,
          |    epoch_ms(ts) // 3600000 AS h FROM events),
