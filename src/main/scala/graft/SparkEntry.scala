@@ -5092,6 +5092,97 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("numcust"),
           sum(col("bal_cents")).cast("long").as("totacctbal_cents"))
     }),
+    "q_turning_points" -> ((s, dir) => {
+      // Is each event type's hourly spend pure noise? Turning-point
+      // count vs the i.i.d. null over the 720-hour January series —
+      // too few turns = persistence/trend, too many = alternation.
+      // Hour index is RELATIVE to Jan 1 2024 (small exact integers).
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.turningPoints(
+        hourly, "event_type", "h", "v")
+    }),
+    "q_cox_stuart" -> ((s, dir) => {
+      // Did each event type's hourly spend drift across the month?
+      // Cox-Stuart pairs hour i with hour i+ceil(n/2) and sign-tests —
+      // the half-span pairing catches slow monotone drifts lag-1
+      // tests miss.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.coxStuart(hourly, "event_type", "h", "v")
+    }),
+    "q_chow_test" -> ((s, dir) => {
+      // Did the hourly-spend TREND break mid-month? Chow F on the
+      // y ~ hour fit, break at hour 360 (Jan 16 00:00) — pooled vs
+      // per-segment residuals per event type.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.chowTest(
+        hourly, "event_type", "h", "v", breakBucket = 360L)
+    }),
+    "q_welch_anova" -> ((s, dir) => {
+      // Do mean user-day spends differ across event types WITHOUT
+      // assuming equal variances (which q_bartlett shows they don't
+      // have)? Welch's F per day-of-week over per-(user, type) totals.
+      val obs = table(s, dir, "events")
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("cents"))
+      graft.operators.Normalize.welchAnova(
+        obs, "dow", "event_type", "cents")
+    }),
+    "q_breusch_pagan" -> ((s, dir) =>
+      // Does price-residual variance grow with quantity? (It must:
+      // extendedprice ~ qty x unit price, so the spread fans out.)
+      // LM = n.R^2 of squared OLS residuals regressed back on qty.
+      graft.operators.Eval.breuschPagan(
+        table(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("p")),
+        "q", "p")),
+    "q_cooks_distance" -> ((s, dir) =>
+      // WHICH parts bend the retail-price ~ size fit: top-20 by
+      // Cook's D — the rows a pricing audit deletes and refits.
+      graft.operators.Eval.cooksDistance(
+        table(s, dir, "part")
+          .select(col("p_partkey"), col("p_size").cast("long").as("sz"),
+            round(col("p_retailprice") * 100, 0).cast("long").as("rc")),
+        "p_partkey", "sz", "rc", topK = 20)),
+    "q_hodges_lehmann" -> ((s, dir) => {
+      // Robust shift between even- and odd-id users' total spend:
+      // the median pairwise difference in cents — outlier-immune where
+      // a mean difference isn't, in the metric's own units.
+      val users = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("cents"))
+      graft.operators.Profiling.hodgesLehmann(
+        users.filter(pmod(col("user_id"), lit(2L)) === 0L),
+        users.filter(pmod(col("user_id"), lit(2L)) === 1L),
+        "cents")
+    }),
+    "q_dist_distance" -> ((s, dir) => {
+      // How far apart are click and purchase value distributions?
+      // The full histogram-distance panel (TV / Bhattacharyya /
+      // Hellinger / overlap) over 10 pooled-span bins.
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      graft.operators.Profiling.distDistances(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        "c", nBins = 10)
+    }),
     "q_fleiss_kappa" -> ((s, dir) => {
       // Three deterministic tier rules as raters over users: does the
       // spend rule agree with the click and view rules beyond chance?
@@ -11298,6 +11389,238 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS numcust,
         |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
         |FROM c GROUP BY 1""".stripMargin,
+    "q_turning_points" ->
+      s"""WITH hb AS (SELECT event_type,
+         |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, v,
+         |    lag(v) OVER (PARTITION BY event_type ORDER BY h) AS p,
+         |    lead(v) OVER (PARTITION BY event_type ORDER BY h) AS f
+         |  FROM hb),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+         |      AND (v - p) * (f - v) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_turning
+         |  FROM w GROUP BY 1)
+         |SELECT event_type, n, n_turning,
+         |  ${graft.operators.TimeSeries.turningZSql} AS z,
+         |  abs(${graft.operators.TimeSeries.turningZSql}) > 1.959964
+         |    AS significant
+         |FROM m""".stripMargin,
+    "q_cox_stuart" ->
+      s"""WITH hb AS (SELECT event_type,
+         |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |sq AS (SELECT event_type, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS nk
+         |  FROM hb),
+         |j AS (SELECT lo.event_type, lo.nk, lo.v AS v_lo, hi.v AS v_hi
+         |  FROM (SELECT *, rn + (nk + 1) // 2 AS rn_pair FROM sq
+         |    WHERE rn * 2 <= nk) lo
+         |  JOIN sq hi ON hi.event_type = lo.event_type
+         |    AND hi.rn = lo.rn_pair),
+         |m AS (SELECT event_type, CAST(MAX(nk) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN v_hi > v_lo THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s_plus,
+         |    CAST(SUM(CASE WHEN v_hi < v_lo THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s_minus
+         |  FROM j GROUP BY 1)
+         |SELECT event_type, n, s_plus, s_minus,
+         |  ${graft.operators.TimeSeries.coxStuartZSql} AS z,
+         |  CASE WHEN abs(${graft.operators.TimeSeries.coxStuartZSql})
+         |      > 1.959964 THEN
+         |    CASE WHEN ${graft.operators.TimeSeries.coxStuartZSql} > 0
+         |      THEN 'increasing' ELSE 'decreasing' END
+         |  ELSE 'none' END AS trend
+         |FROM m""".stripMargin,
+    "q_chow_test" ->
+      s"""WITH hb AS (SELECT event_type,
+         |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN h < 360 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_1,
+         |    CAST(SUM(CASE WHEN h < 360 THEN h ELSE 0 END) AS BIGINT)
+         |      AS sx_1,
+         |    CAST(SUM(CASE WHEN h < 360 THEN v ELSE 0 END) AS BIGINT)
+         |      AS sy_1,
+         |    CAST(SUM(CASE WHEN h < 360 THEN h*h ELSE 0 END) AS BIGINT)
+         |      AS sxx_1,
+         |    CAST(SUM(CASE WHEN h < 360 THEN h*v ELSE 0 END) AS BIGINT)
+         |      AS sxy_1,
+         |    CAST(SUM(CASE WHEN h < 360 THEN CAST(v AS DECIMAL(38,0))*v
+         |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+         |      AS syy_1,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_2,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN h ELSE 0 END) AS BIGINT)
+         |      AS sx_2,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN v ELSE 0 END) AS BIGINT)
+         |      AS sy_2,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN h*h ELSE 0 END) AS BIGINT)
+         |      AS sxx_2,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN h*v ELSE 0 END) AS BIGINT)
+         |      AS sxy_2,
+         |    CAST(SUM(CASE WHEN h >= 360 THEN CAST(v AS DECIMAL(38,0))*v
+         |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+         |      AS syy_2
+         |  FROM hb GROUP BY 1)
+         |SELECT event_type, n_1 AS n1, n_2 AS n2,
+         |  ${graft.operators.TimeSeries.chowFSql} AS f_stat,
+         |  ${graft.operators.TimeSeries.chowFSql} >
+         |    CAST(2.995732 AS DOUBLE) AS significant
+         |FROM m""".stripMargin,
+    "q_welch_anova" ->
+      s"""WITH obs AS (SELECT
+         |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS x
+         |  FROM events GROUP BY dayofweek(ts), event_type, user_id),
+         |g0 AS (SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(x) AS BIGINT) AS sg,
+         |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS sqg
+         |  FROM obs GROUP BY 1, 2),
+         |g1 AS (SELECT *, ${graft.operators.Normalize.bartlettVarSql}
+         |    AS var_g FROM g0 WHERE ng > 1),
+         |g2 AS (SELECT * FROM g1 WHERE var_g > 0),
+         |g AS (SELECT *, ${graft.operators.Normalize.waWNanoSql}
+         |    AS w_nano FROM g2),
+         |gw AS (SELECT *, ${graft.operators.Normalize.waWmMicroSql}
+         |    AS wm_micro FROM g),
+         |per AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(ng) AS BIGINT) AS n,
+         |    CAST(SUM(w_nano) AS BIGINT) AS w_sum_nano,
+         |    CAST(SUM(wm_micro) AS BIGINT) AS wm_sum_micro
+         |  FROM gw GROUP BY 1),
+         |jn AS (SELECT gw.*, per.k, per.n, per.w_sum_nano,
+         |    per.wm_sum_micro
+         |  FROM gw JOIN per ON gw.dow = per.dow),
+         |t AS (SELECT *, ${graft.operators.Normalize.waAMicroSql}
+         |    AS a_micro, ${graft.operators.Normalize.waLNanoSql}
+         |    AS l_nano FROM jn),
+         |f AS (SELECT dow, CAST(MAX(k) AS BIGINT) AS k,
+         |    CAST(MAX(n) AS BIGINT) AS n,
+         |    CAST(SUM(a_micro) AS BIGINT) AS a_sum_micro,
+         |    CAST(SUM(l_nano) AS BIGINT) AS l_sum_nano
+         |  FROM t GROUP BY 1)
+         |SELECT dow, k, n, a_sum_micro, l_sum_nano,
+         |  ${graft.operators.Normalize.waFSql} AS f_stat,
+         |  CAST(k - 1 AS BIGINT) AS df1,
+         |  ${graft.operators.Normalize.waDf2Sql} AS df2,
+         |  ${graft.operators.Normalize.waFSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")} / (k - 1)
+         |    AS significant
+         |FROM f""".stripMargin,
+    "q_breusch_pagan" ->
+      s"""WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS __x,
+         |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS __y
+         |  FROM lineitem),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(__x) AS BIGINT) AS sx,
+         |    CAST(SUM(__y) AS BIGINT) AS sy,
+         |    CAST(SUM(__x*__x) AS BIGINT) AS sxx,
+         |    CAST(SUM(__x*__y) AS BIGINT) AS sxy
+         |  FROM pts),
+         |r AS (SELECT __x, n, sx, sxx,
+         |    ${graft.operators.Eval.bpResid2Sql} AS g FROM pts, mm),
+         |a AS (SELECT n, sx, sxx,
+         |    CAST(SUM(g) AS DECIMAL(38,0)) AS sg,
+         |    CAST(SUM(CAST(g AS DECIMAL(38,0)) * __x) AS DECIMAL(38,0))
+         |      AS sgx,
+         |    CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0))
+         |      AS sgg
+         |  FROM r GROUP BY 1, 2, 3)
+         |SELECT n, ${graft.operators.Eval.bpLmSql} AS lm,
+         |  ${graft.operators.Eval.bpLmSql} > 3.841459 AS significant
+         |FROM a""".stripMargin,
+    "q_cooks_distance" ->
+      s"""WITH pts AS (SELECT p_partkey AS id,
+         |    CAST(p_size AS BIGINT) AS __x,
+         |    CAST(ROUND(p_retailprice*100, 0) AS BIGINT) AS __y
+         |  FROM part),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(__x) AS BIGINT) AS sx,
+         |    CAST(SUM(__y) AS BIGINT) AS sy,
+         |    CAST(SUM(__x*__x) AS BIGINT) AS sxx,
+         |    CAST(SUM(__x*__y) AS BIGINT) AS sxy,
+         |    CAST(SUM(CAST(__y*__y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS syy
+         |  FROM pts),
+         |d AS (SELECT id, __x, __y,
+         |    ${graft.operators.Eval.cooksDSql} AS d FROM pts, mm),
+         |top AS (SELECT * FROM d WHERE d IS NOT NULL
+         |  ORDER BY d DESC, id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY d DESC, id) AS BIGINT)
+         |    AS rnk, id, __x AS x, __y AS y, d
+         |FROM top""".stripMargin,
+    "q_hodges_lehmann" ->
+      """WITH users AS (SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |pairs AS (SELECT a.cents - b.cents AS d
+        |  FROM (SELECT cents FROM users WHERE user_id % 2 = 0) a
+        |  CROSS JOIN (SELECT cents FROM users WHERE user_id % 2 = 1) b),
+        |per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM pairs GROUP BY 1),
+        |c AS (SELECT d, SUM(nd) OVER (ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS cum_nd FROM per),
+        |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS np FROM per),
+        |lo AS (SELECT MIN(d) AS d_lo FROM c, tot
+        |  WHERE cum_nd >= (np + 1) // 2),
+        |hi AS (SELECT MIN(d) AS d_hi FROM c, tot
+        |  WHERE cum_nd >= (np + 2) // 2)
+        |SELECT np AS n_pairs, CAST(d_lo + d_hi AS BIGINT) AS hl_x2,
+        |  round(CAST(d_lo + d_hi AS DOUBLE) / 2, 6) AS hl
+        |FROM lo, hi, tot""".stripMargin,
+    "q_dist_distance" ->
+      s"""WITH u AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS __ca,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |      AS __cb
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM u),
+         |bins AS (SELECT CASE WHEN hi > lo THEN
+         |      least(CAST(9 AS BIGINT), (v - lo) * 10 // (hi - lo))
+         |    ELSE CAST(0 AS BIGINT) END AS bin,
+         |    CAST(SUM(__ca) AS BIGINT) AS ca,
+         |    CAST(SUM(__cb) AS BIGINT) AS cb
+         |  FROM u, ext GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) AS BIGINT) AS n_b FROM bins),
+         |t AS (SELECT bin, ca, cb, n_a, n_b,
+         |    ${graft.operators.Profiling.ddTvNanoSql} AS tv_nano,
+         |    ${graft.operators.Profiling.ddBcNanoSql} AS bc_nano,
+         |    ${graft.operators.Profiling.ddOvNanoSql} AS ov_nano
+         |  FROM bins, tot),
+         |f AS (SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |    CAST(SUM(tv_nano) AS BIGINT) AS tv_sum,
+         |    CAST(SUM(bc_nano) AS BIGINT) AS bc_sum,
+         |    CAST(SUM(ov_nano) AS BIGINT) AS ov_sum
+         |  FROM t GROUP BY 1, 2)
+         |SELECT n_a, n_b, n_bins,
+         |  round(CAST(tv_sum AS DOUBLE) / 1000000000 / 2, 6)
+         |    AS total_variation,
+         |  round(CAST(bc_sum AS DOUBLE) / 1000000000, 6)
+         |    AS bhattacharyya_coef,
+         |  CASE WHEN bc_sum > 0 THEN
+         |    round(-LN(CAST(bc_sum AS DOUBLE) / 1000000000), 6) END
+         |    AS bhattacharyya_dist,
+         |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+         |    1 - CAST(bc_sum AS DOUBLE) / 1000000000)), 6) AS hellinger,
+         |  round(CAST(ov_sum AS DOUBLE) / 1000000000, 6)
+         |    AS overlap_coef
+         |FROM f""".stripMargin,
     "q_zero_inflation" ->
       s"""WITH e AS (SELECT event_type,
          |    epoch_ms(ts) // 3600000 AS h FROM events),

@@ -1535,4 +1535,129 @@ object Eval {
     states.join(x, Seq("state"))
       .select(col("state"), col("x").as("stationary_ppb"))
   }
+
+  /** Breusch–Pagan heteroskedasticity test on the simple OLS y ~ x —
+    * "does the VARIANCE of the residuals grow with x?" The diagnostic
+    * that tells you whether the fit's standard errors (and anything
+    * downstream that trusts them) are lies: regress the SQUARED
+    * residuals back on x and take LM = n·R². LM ~ χ²(1) under
+    * homoskedasticity.
+    *
+    * Two passes: (1) exact-BIGINT moments of (x, y) → one broadcast
+    * row; (2) per-row residual from the shared closed-form slope/
+    * intercept (identical double tree both engines), residual² ROUNDED
+    * to an exact integer g per row (unit scale — g ≈ cents², so Σg·g
+    * runs DECIMAL per the durbinWatson bound), then the g ~ x moment
+    * row assembles LM in one double step. No window, no join beyond
+    * the 1-row broadcast. */
+  def breuschPagan(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val mm = broadcast(df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).cast("long").as("sx"), sum(y).cast("long").as("sy"),
+      sum(x * x).cast("long").as("sxx"),
+      sum(x * y).cast("long").as("sxy")))
+    df.select(x.as("__x"), y.as("__y"))
+      .crossJoin(mm)
+      .withColumn("g", expr(bpResid2Sql))
+      .groupBy(col("n"), col("sx"), col("sxx"))
+      // Σg must ACCUMULATE in decimal, not merely cast after: g ≈ e² is
+      // ~10¹³-cents²-scale, so a long sum wraps near 10⁶ rows (caught
+      // by the 20× smoke)
+      .agg(sum(col("g").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("sg"),
+        sum(col("g").cast("decimal(38,0)") * col("__x"))
+          .cast("decimal(38,0)").as("sgx"),
+        sum(col("g").cast("decimal(38,0)") * col("g"))
+          .cast("decimal(38,0)").as("sgg"))
+      .withColumn("lm", expr(bpLmSql))
+      .withColumn("significant", expr(s"$bpLmSql > 3.841459"))
+      .select(col("n"), col("lm"), col("significant"))
+  }
+
+  /** Squared OLS residual per row, rounded to an exact BIGINT (unit
+    * scale), over (__x, __y, n, sx, sy, sxx, sxy). The slope/intercept
+    * derive from the exact moment integers in one double chain —
+    * identical in both engines; nullif on the shared variance divisor
+    * (the riskDiff hoisting note). Shared with the oracle. */
+  val bpResid2Sql: String = {
+    val b = "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0))"
+    val a = s"((CAST(sy AS DOUBLE) - $b * sx) / n)"
+    val e = s"(CAST(__y AS DOUBLE) - $a - $b * __x)"
+    s"CAST(ROUND($e * $e, 0) AS BIGINT)"
+  }
+
+  /** LM = n·R² of g ~ x over the second moment row; NULL when x or g
+    * is constant. Shared with the oracle. */
+  val bpLmSql: String = {
+    val num = "(CAST(n AS DOUBLE) * CAST(sgx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sg AS DOUBLE))"
+    val dx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    val dg = "(CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - " +
+      "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+    s"CASE WHEN $dx > 0 AND $dg > 0 THEN " +
+      s"round(n * ($num * $num) / ($dx * $dg), 6) END"
+  }
+
+  /** Cook's distance top-K on the simple OLS y ~ x — WHICH rows bend
+    * the fit: Dᵢ = eᵢ²·hᵢ / (p·s²·(1−hᵢ)²) with leverage
+    * hᵢ = 1/n + (xᵢ−x̄)²/Sxx, p = 2, s² = SSR/(n−2). The row-level
+    * companion to [[breuschPagan]]'s global alarm — the rows a fit
+    * audit actually deletes and refits.
+    *
+    * One exact-moment broadcast row (Σy² in DECIMAL, internal only),
+    * then a narrow map computes D per row and TakeOrdered keeps K —
+    * the mahalanobis2d discipline: never a global row_number window;
+    * the k survivors rank through a window that only sees K rows. */
+  def cooksDistance(
+      df: DataFrame, idCol: String, xCol: String, yCol: String,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val mm = broadcast(df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(x).cast("long").as("sx"), sum(y).cast("long").as("sy"),
+      sum(x * x).cast("long").as("sxx"),
+      sum(x * y).cast("long").as("sxy"),
+      sum((y * y).cast("decimal(38,0)")).as("syy")))
+    val top = df.select(col(idCol).as("id"), x.as("__x"), y.as("__y"))
+      .crossJoin(mm)
+      .withColumn("d", expr(cooksDSql))
+      .filter(col("d").isNotNull)
+      .orderBy(col("d").desc, col("id"))
+      .limit(topK)
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("d").desc, col("id"))))
+      .select(col("rn").cast("long").as("rnk"), col("id"),
+        col("__x").as("x"), col("__y").as("y"), col("d"))
+  }
+
+  /** Dᵢ over (__x, __y, n, sx, sy, sxx, sxy, syy); NULL when n ≤ 2,
+    * x is constant, or the fit is exact (s² = 0). All divisors carry
+    * nullif (shared across the CASE and the downstream sort). Shared
+    * with the oracle. */
+  val cooksDSql: String = {
+    val b = "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0))"
+    val a = s"((CAST(sy AS DOUBLE) - $b * sx) / n)"
+    val e = s"(CAST(__y AS DOUBLE) - $a - $b * __x)"
+    val sxxC = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "(CAST(sx AS DOUBLE) / n))"
+    val syyC = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * " +
+      "(CAST(sy AS DOUBLE) / n))"
+    val sxyC = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "(CAST(sy AS DOUBLE) / n))"
+    val ssr = s"($syyC - $sxyC * ($sxyC / nullif($sxxC, 0)))"
+    val s2 = s"($ssr / nullif(n - 2, 0))"
+    val h = s"(1.0 / n + (CAST(__x AS DOUBLE) - " +
+      s"CAST(sx AS DOUBLE) / n) * (CAST(__x AS DOUBLE) - " +
+      s"CAST(sx AS DOUBLE) / n) / nullif($sxxC, 0))"
+    s"CASE WHEN n > 2 AND $sxxC > 0 AND $s2 > 0 THEN " +
+      s"round($e * $e * $h / (2 * $s2 * nullif((1 - $h) * (1 - $h), 0))" +
+      ", 6) END"
+  }
 }

@@ -400,4 +400,105 @@ object Normalize {
       .withColumn("sum_after",
         col("sum_present") + col("n_missing") * col("imputed_median"))
   }
+
+  /** Welch's heteroskedastic one-way ANOVA per key — the k-group
+    * omnibus that does NOT assume equal variances: where the classic F
+    * (q_anova) inflates its false-positive rate once group variances
+    * differ (exactly what [[bartlett]] flags), Welch weights each group
+    * by wⱼ = nⱼ/s²ⱼ and adjusts the denominator df. The parametric
+    * complement to kruskalWallis on the same decision: "did the MEANS
+    * move, given unequal spreads?".
+    *
+    * Groups with <2 rows or zero variance are EXCLUDED (wⱼ undefined);
+    * k counts the survivors and k < 2 yields NULL. Per-group terms are
+    * fixed-point-quantized before the cross-group sums (bartlett
+    * discipline, order-independent): wⱼ at nano — fits while
+    * Σ nⱼ/s²ⱼ < 9·10⁹, i.e. until a group is BOTH huge and
+    * near-constant, which the zero-variance exclusion already borders —
+    * wⱼmⱼ and wⱼ(mⱼ−m̄)² at micro. All downstream doubles derive from
+    * the SAME quantized sums in both engines. Significance compares F
+    * against chi²₉₅(k−1)/(k−1) — the df₂→∞ limit (documented
+    * approximation; exact df₂ is exposed for re-judging).
+    *
+    * Plan: one (key, group)-hashed moment aggregate, one key-hashed
+    * k-row aggregate, a broadcast-sized join back, one final key
+    * aggregate — all post-shuffle frames are k-row-per-key tiny. */
+  def welchAnova(
+      df: DataFrame, keyCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    val g = df.groupBy(col(keyCol), col(groupCol)).agg(
+        count(lit(1)).cast("long").as("ng"),
+        sum(x).cast("long").as("sg"),
+        sum((x * x).cast("decimal(38,0)")).as("sqg"))
+      .filter(col("ng") > 1L)
+      .withColumn("var_g", expr(bartlettVarSql))
+      .filter(col("var_g") > 0d)
+      .withColumn("w_nano", expr(waWNanoSql))
+      .withColumn("wm_micro", expr(waWmMicroSql))
+    val per = g.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("ng")).cast("long").as("n"),
+      sum(col("w_nano")).cast("long").as("w_sum_nano"),
+      sum(col("wm_micro")).cast("long").as("wm_sum_micro"))
+    g.join(per, Seq(keyCol))
+      .withColumn("a_micro", expr(waAMicroSql))
+      .withColumn("l_nano", expr(waLNanoSql))
+      .groupBy(col(keyCol))
+      .agg(max(col("k")).cast("long").as("k"),
+        max(col("n")).cast("long").as("n"),
+        sum(col("a_micro")).cast("long").as("a_sum_micro"),
+        sum(col("l_nano")).cast("long").as("l_sum_nano"))
+      .withColumn("f_stat", expr(waFSql))
+      .withColumn("df1", (col("k") - 1L).cast("long"))
+      .withColumn("df2", expr(waDf2Sql))
+      .withColumn("significant", expr(
+        s"$waFSql > ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}" +
+          " / (k - 1)"))
+  }
+
+  /** wⱼ = nⱼ/s²ⱼ in nano units off the per-group moment row (var_g
+    * already guarded positive). Shared with the oracle. */
+  val waWNanoSql: String =
+    "CAST(ROUND(ng / var_g * 1000000000, 0) AS BIGINT)"
+
+  /** wⱼ·mⱼ in micro units, with wⱼ re-derived FROM the quantized nano
+    * value so every downstream double sees identical inputs. */
+  val waWmMicroSql: String =
+    "CAST(ROUND((CAST(w_nano AS DOUBLE) / 1000000000) * " +
+      "(CAST(sg AS DOUBLE) / ng) * 1000000, 0) AS BIGINT)"
+
+  /** wⱼ·(mⱼ−m̄w)² in micro units over the joined row (needs w_sum_nano,
+    * wm_sum_micro); m̄w derives from the quantized sums. */
+  val waAMicroSql: String = {
+    val mbar = "(CAST(wm_sum_micro AS DOUBLE) / 1000000 / " +
+      "nullif(CAST(w_sum_nano AS DOUBLE) / 1000000000, 0))"
+    val dm = s"(CAST(sg AS DOUBLE) / ng - $mbar)"
+    "CAST(ROUND((CAST(w_nano AS DOUBLE) / 1000000000) * " +
+      s"$dm * $dm * 1000000, 0) AS BIGINT)"
+  }
+
+  /** (1 − wⱼ/W)²/(nⱼ−1) in nano units over the joined row. */
+  val waLNanoSql: String = {
+    val frac = "(1.0 - CAST(w_nano AS DOUBLE) / nullif(w_sum_nano, 0))"
+    s"CAST(ROUND($frac * $frac / (ng - 1) * 1000000000, 0) AS BIGINT)"
+  }
+
+  /** Welch F over (k, a_sum_micro, l_sum_nano); NULL for k < 2.
+    * Shared with the oracle. */
+  val waFSql: String = {
+    val a = "(CAST(a_sum_micro AS DOUBLE) / 1000000 / nullif(k - 1, 0))"
+    val lam = "(CAST(l_sum_nano AS DOUBLE) / 1000000000)"
+    s"CASE WHEN k > 1 THEN round($a / " +
+      s"(1 + CAST(2*(k-2) AS DOUBLE) / nullif((k-1)*(k+1), 0) * $lam), " +
+      "6) END"
+  }
+
+  /** Welch–Satterthwaite df₂ = (k²−1)/(3Λ); NULL for k < 2 or a zero
+    * Λ (all weight in one group). */
+  val waDf2Sql: String = {
+    val lam = "(CAST(l_sum_nano AS DOUBLE) / 1000000000)"
+    "CASE WHEN k > 1 AND l_sum_nano > 0 THEN " +
+      s"round(CAST((k-1)*(k+1) AS DOUBLE) / (3 * $lam), 6) END"
+  }
 }

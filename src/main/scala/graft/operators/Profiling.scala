@@ -2153,4 +2153,115 @@ object Profiling {
       "round((CAST(j2 AS DOUBLE) - (CAST(n AS DOUBLE) * n - " +
       s"CAST(sg2 AS DOUBLE)) / 2) / sqrt($var18), 6) END"
   }
+
+  /** Hodges–Lehmann two-sample shift estimator — the ROBUST "how far
+    * apart are these two distributions?" in the metric's own units:
+    * the median of ALL pairwise differences aᵢ − bⱼ. Where mannWhitney
+    * answers yes/no and its Cliff's δ answers in probability units, HL
+    * answers in cents/ms/units — and unlike mean-difference it ignores
+    * outliers on both sides. Even pair-counts average the two middle
+    * order statistics exactly: hl_x2 = d(k₁)+d(k₂) stays an exact
+    * BIGINT, hl divides once.
+    *
+    * Plan: the pair space materializes as DISTINCT differences with
+    * counts (cross join → groupBy d), so memory is #distinct-diffs,
+    * not nₐ·n_b; the order statistics select via the rangedCumsum
+    * prefix-sum kernel — no global sort, no row_number over the pair
+    * space. Callers pass PRE-AGGREGATED samples (per-entity rollups);
+    * the cross join is the honest O(nₐ·n_b) of the estimator itself —
+    * aggregate first, and keep the smaller side broadcastable. */
+  def hodgesLehmann(
+      a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val per = a.select(col(valCol).cast("long").as("va"))
+      .crossJoin(broadcast(b.select(col(valCol).cast("long").as("vb"))))
+      .groupBy((col("va") - col("vb")).as("d"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+    val c = Eval.rangedCumsum(per, Nil, "d", Seq("nd"))
+      .localCheckpoint(true)
+    val tot = broadcast(c.agg(sum(col("nd")).cast("long").as("np")))
+    def orderStat(kExpr: String, name: String) =
+      c.crossJoin(tot)
+        .filter(expr(s"cum_nd >= $kExpr"))
+        .agg(min(col("d")).as(name))
+    orderStat("(np + 1) div 2", "d_lo")
+      .crossJoin(orderStat("(np + 2) div 2", "d_hi"))
+      .crossJoin(tot)
+      .select(col("np").as("n_pairs"),
+        (col("d_lo") + col("d_hi")).cast("long").as("hl_x2"),
+        expr("round(CAST(d_lo + d_hi AS DOUBLE) / 2, 6)").as("hl"))
+  }
+
+  /** Binned distribution distances between two samples — the full
+    * "how different are these two histograms?" panel PSI/JSD don't
+    * cover: total variation (½Σ|p−q|, the fraction of mass you'd move),
+    * Bhattacharyya coefficient (Σ√(pq), 1 = identical support use) and
+    * its distance −ln BC, Hellinger √(1−BC) (a PROPER metric, bounded
+    * [0,1]), and the overlap coefficient Σmin(p,q). Equal-width bins
+    * over the POOLED [lo, hi] span keep both sides comparable; per-bin
+    * double terms are fixed-point-quantized at nano before the
+    * cross-bin sums (order-independent, the bartlett discipline —
+    * sqrt is IEEE-exact so per-bin doubles already match engines).
+    *
+    * Plan: one pooled-extent aggregate (broadcast 1 row), one
+    * bin-hashed conditional-count aggregate, one nBins-row finish. */
+  def distDistances(
+      a: DataFrame, b: DataFrame, valCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val u = a.select(col(valCol).cast("long").as("v"),
+        lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionByName(b.select(col(valCol).cast("long").as("v"),
+        lit(0L).as("__ca"), lit(1L).as("__cb")))
+    val ext = broadcast(u.agg(min(col("v")).as("lo"), max(col("v")).as("hi")))
+    val bins = u.crossJoin(ext)
+      .withColumn("bin", expr(
+        s"CASE WHEN hi > lo THEN least(CAST(${nBins - 1} AS BIGINT), " +
+          s"(v - lo) * $nBins div nullif(hi - lo, 0)) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__ca")).cast("long").as("ca"),
+        sum(col("__cb")).cast("long").as("cb"))
+    val tot = broadcast(bins.agg(
+      sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b")))
+    bins.crossJoin(tot)
+      .withColumn("tv_nano", expr(ddTvNanoSql))
+      .withColumn("bc_nano", expr(ddBcNanoSql))
+      .withColumn("ov_nano", expr(ddOvNanoSql))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("long").as("n_bins"),
+        sum(col("tv_nano")).cast("long").as("tv_sum"),
+        sum(col("bc_nano")).cast("long").as("bc_sum"),
+        sum(col("ov_nano")).cast("long").as("ov_sum"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        expr("round(CAST(tv_sum AS DOUBLE) / 1000000000 / 2, 6)")
+          .as("total_variation"),
+        expr("round(CAST(bc_sum AS DOUBLE) / 1000000000, 6)")
+          .as("bhattacharyya_coef"),
+        expr("CASE WHEN bc_sum > 0 THEN " +
+          "round(-LN(CAST(bc_sum AS DOUBLE) / 1000000000), 6) END")
+          .as("bhattacharyya_dist"),
+        expr("round(sqrt(greatest(CAST(0 AS DOUBLE), " +
+          "1 - CAST(bc_sum AS DOUBLE) / 1000000000)), 6)")
+          .as("hellinger"),
+        expr("round(CAST(ov_sum AS DOUBLE) / 1000000000, 6)")
+          .as("overlap_coef"))
+  }
+
+  /** Per-bin |p−q| in nano units over (ca, cb, n_a, n_b). Shared with
+    * the oracle. */
+  val ddTvNanoSql: String =
+    "CAST(ROUND(ABS(CAST(ca AS DOUBLE) / n_a - " +
+      "CAST(cb AS DOUBLE) / n_b) * 1000000000, 0) AS BIGINT)"
+
+  /** Per-bin √(p·q) in nano units (sqrt is IEEE-correctly-rounded —
+    * engine-identical). */
+  val ddBcNanoSql: String =
+    "CAST(ROUND(sqrt((CAST(ca AS DOUBLE) / n_a) * " +
+      "(CAST(cb AS DOUBLE) / n_b)) * 1000000000, 0) AS BIGINT)"
+
+  /** Per-bin min(p, q) in nano units. */
+  val ddOvNanoSql: String =
+    "CAST(ROUND(least(CAST(ca AS DOUBLE) / n_a, " +
+      "CAST(cb AS DOUBLE) / n_b) * 1000000000, 0) AS BIGINT)"
 }

@@ -1321,4 +1321,187 @@ object TimeSeries {
   val naiveSkillSql: String =
     "CASE WHEN sae_naive > 0 THEN " +
       "round(1.0 - CAST(sae_season AS DOUBLE) / sae_naive, 6) END"
+
+  /** Turning-points randomness test per key — the cheapest "is this
+    * series random noise?" screen: count interior points where the
+    * series changes direction ((vᵢ−vᵢ₋₁)(vᵢ₊₁−vᵢ) < 0) and compare to
+    * the i.i.d. null E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. Too FEW
+    * turning points → trend/persistence; too MANY → alternation
+    * (negative lag-1 correlation). Complements [[naiveSkill]] (which
+    * asks which structure) and the runs test (which dichotomizes
+    * around a level first). Tied neighbors do not count as turns
+    * (documented downward bias on heavily tied series — pre-aggregate
+    * to a coarser bucket if most neighbors tie).
+    *
+    * Plan: one key-hashed window (lag+lead ride one sort), one
+    * key-hashed aggregate on the same exchange — scale-safe for any
+    * number of keys; per-key series length is the caller's bucket
+    * granularity. */
+  def turningPoints(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valueCol).cast("long").as("v"))
+      .withColumn("__p", lag(col("v"), 1).over(wk))
+      .withColumn("__f", lead(col("v"), 1).over(wk))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("__p").isNotNull && col("__f").isNotNull &&
+          (col("v") - col("__p")) * (col("__f") - col("v")) < 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_turning"))
+      .withColumn("z", expr(turningZSql))
+      .withColumn("significant", expr(s"abs($turningZSql) > 1.959964"))
+  }
+
+  /** z for the turning-point count vs the i.i.d. null over
+    * (n, n_turning); NULL for n ≤ 2 (no interior point). Integer terms
+    * cast to DOUBLE once (the runsZSql discipline — bare decimal
+    * literals would run the chain in DECIMAL on the Spark side).
+    * Shared with the oracle. */
+  val turningZSql: String =
+    "CASE WHEN n > 2 THEN " +
+      "round((CAST(n_turning AS DOUBLE) - CAST(2*(n-2) AS DOUBLE)/3) / " +
+      "sqrt(CAST(16*n - 29 AS DOUBLE)/90), 6) END"
+
+  /** Cox–Stuart trend test per key — the sign test folded onto itself:
+    * pair the i-th observation with the (i+⌈n/2⌉)-th and sign-test the
+    * differences (odd middles drop). Distribution-free where
+    * [[trendOls]] assumes linearity and mannKendall costs a window per
+    * lag; the pairing spans HALF the series, so slow monotone drifts
+    * that defeat lag-1 tests show up. Ties discard (classical).
+    *
+    * Plan: per-key row_number + count ride one key-hashed sort; the
+    * half-offset pairing is a self-join on (key, rn+⌈n/2⌉) — one
+    * shuffle each side, per-key series bounded by the caller's bucket
+    * granularity. */
+  def coxStuart(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val seq0 = perBucket
+      .select(col(keyCol).as("__k"), col(bucketCol),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col(bucketCol))).cast("long"))
+      .withColumn("nk", count(lit(1)).over(
+        Window.partitionBy(col("__k"))).cast("long"))
+    val lo = seq0.filter(col("rn") * 2 <= col("nk"))
+      // integer div, not `/` (Column./ on longs returns DOUBLE)
+      .withColumn("rn_pair", expr("rn + (nk + 1) div 2"))
+      .select(col("__k"), col("rn_pair"), col("nk"), col("v").as("v_lo"))
+    val hi = seq0.select(col("__k").as("__k2"),
+      col("rn").as("rn_hi"), col("v").as("v_hi"))
+    lo.join(hi, col("__k") === col("__k2") &&
+        col("rn_hi") === col("rn_pair"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("nk")).cast("long").as("n"),
+        sum(when(col("v_hi") > col("v_lo"), 1L).otherwise(0L))
+          .cast("long").as("s_plus"),
+        sum(when(col("v_hi") < col("v_lo"), 1L).otherwise(0L))
+          .cast("long").as("s_minus"))
+      .withColumn("z", expr(coxStuartZSql))
+      .withColumn("trend", expr(
+        s"CASE WHEN abs($coxStuartZSql) > 1.959964 THEN " +
+          s"CASE WHEN $coxStuartZSql > 0 THEN 'increasing' " +
+          "ELSE 'decreasing' END ELSE 'none' END"))
+  }
+
+  /** Sign-test z over (s_plus, s_minus); NULL when every pair ties.
+    * Shared with the oracle. */
+  val coxStuartZSql: String =
+    "CASE WHEN s_plus + s_minus > 0 THEN " +
+      "round((CAST(s_plus AS DOUBLE) - s_minus) / " +
+      "sqrt(CAST(s_plus + s_minus AS DOUBLE)), 6) END"
+
+  /** Chow structural-break test per key — did the linear relation
+    * y ~ bucket CHANGE at `breakBucket`? Fit pooled and per-segment
+    * OLS from ONE conditional-moment pass and compare residual sums:
+    * F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n₁+n₂−4)). The
+    * changepoint companions ([[TimeSeries]] pettitt / cusum) locate a
+    * LEVEL shift; Chow asks whether the fitted TREND itself broke at a
+    * known date (deploy, policy change). Squared-value sums run in
+    * DECIMAL (the durbinWatson bound: Σv² passes 2⁶³ near 3·10⁹-scale
+    * values), consumed internally — never exposed. Significance uses
+    * the large-n F(2,∞) 95% critical value 2.995732 (documented
+    * approximation, exact dfs exposed for re-judging).
+    *
+    * Plan: ONE map-side-combined aggregate per key over the scan — no
+    * join, no window; output is n_keys rows. */
+  def chowTest(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, breakBucket: Long): DataFrame = {
+    val x = col(bucketCol).cast("long")
+    val y = col(valueCol).cast("long")
+    val seg = (x < lit(breakBucket)).as("__s1")
+    def segAgg(one: Boolean, f: org.apache.spark.sql.Column) =
+      sum(when(if (one) col("__s1") else !col("__s1"), f)
+        .otherwise(lit(0L)))
+    def segAggDec(one: Boolean, f: org.apache.spark.sql.Column) =
+      sum(when(if (one) col("__s1") else !col("__s1"), f)
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+    val yd = y.cast("decimal(38,0)")
+    val frame = perBucket.select(col(keyCol), seg, x.as("__x"), y.as("__y"),
+      (yd * yd).as("__yy"))
+    def half(p: String, one: Boolean) = Seq(
+      segAgg(one, lit(1L)).cast("long").as(s"n_$p"),
+      segAgg(one, col("__x")).cast("long").as(s"sx_$p"),
+      segAgg(one, col("__y")).cast("long").as(s"sy_$p"),
+      segAgg(one, col("__x") * col("__x")).cast("long").as(s"sxx_$p"),
+      segAgg(one, col("__x") * col("__y")).cast("long").as(s"sxy_$p"),
+      segAggDec(one, col("__yy")).cast("decimal(38,0)").as(s"syy_$p"))
+    val aggs = half("1", true) ++ half("2", false)
+    frame.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("f_stat", expr(chowFSql))
+      .withColumn("n1", col("n_1")).withColumn("n2", col("n_2"))
+      .withColumn("significant",
+        expr(s"$chowFSql > CAST(2.995732 AS DOUBLE)"))
+      .select(col(keyCol), col("n1"), col("n2"), col("f_stat"),
+        col("significant"))
+  }
+
+  /** Residual sum of squares of segment `p` from its exact moment
+    * columns — Syy_c − Sxy_c²/Sxx_c in the overflow-safe double
+    * assembly; nullif-guarded divisors (the riskDiff hoisting note). */
+  private def chowSsrSql(p: String): String = {
+    val n = s"n_$p"
+    val sxxC = s"(CAST(sxx_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * " +
+      s"(CAST(sx_$p AS DOUBLE) / nullif($n, 0)))"
+    val syyC = s"(CAST(syy_$p AS DOUBLE) - CAST(sy_$p AS DOUBLE) * " +
+      s"(CAST(sy_$p AS DOUBLE) / nullif($n, 0)))"
+    val sxyC = s"(CAST(sxy_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * " +
+      s"(CAST(sy_$p AS DOUBLE) / nullif($n, 0)))"
+    s"($syyC - $sxyC * ($sxyC / nullif($sxxC, 0)))"
+  }
+
+  /** Pooled-segment SSR from the summed moment columns (pooled moments
+    * are the exact sums of the two segments'). */
+  private val chowSsrPooledSql: String = {
+    val n = "(n_1 + n_2)"
+    val sx = "(CAST(sx_1 AS DOUBLE) + sx_2)"
+    val sy = "(CAST(sy_1 AS DOUBLE) + sy_2)"
+    val sxx = "(CAST(sxx_1 AS DOUBLE) + sxx_2)"
+    val sxy = "(CAST(sxy_1 AS DOUBLE) + sxy_2)"
+    val syy = "(CAST(syy_1 AS DOUBLE) + CAST(syy_2 AS DOUBLE))"
+    val sxxC = s"($sxx - $sx * ($sx / nullif($n, 0)))"
+    val syyC = s"($syy - $sy * ($sy / nullif($n, 0)))"
+    val sxyC = s"($sxy - $sx * ($sy / nullif($n, 0)))"
+    s"($syyC - $sxyC * ($sxyC / nullif($sxxC, 0)))"
+  }
+
+  /** Chow F over the two-segment moment row; NULL unless both segments
+    * carry ≥3 points with x-variance and the pooled residual is
+    * positive. Shared with the oracle. */
+  val chowFSql: String = {
+    val s1 = chowSsrSql("1"); val s2 = chowSsrSql("2")
+    "CASE WHEN n_1 > 2 AND n_2 > 2 AND " +
+      s"(CAST(n_1 AS DOUBLE) * sxx_1 - CAST(sx_1 AS DOUBLE) * sx_1) > 0 AND " +
+      s"(CAST(n_2 AS DOUBLE) * sxx_2 - CAST(sx_2 AS DOUBLE) * sx_2) > 0 AND " +
+      s"($s1 + $s2) > 0 THEN " +
+      s"round((($chowSsrPooledSql - $s1 - $s2) / 2) / " +
+      s"nullif(($s1 + $s2) / nullif(n_1 + n_2 - 4, 0), 0), 6) END"
+  }
 }

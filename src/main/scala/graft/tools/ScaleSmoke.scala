@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Eval, Profiling, Sampling, Sessionize, Similarity, Temporal, TextAnalysis, TimeSeries, Urls}
+import graft.operators.{Dedup, Eval, Normalize, Profiling, Sampling, Sessionize, Similarity, Temporal, TextAnalysis, TimeSeries, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1294,6 +1294,51 @@ object ScaleSmoke {
         .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
         .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
       drain(graft.operators.Graph.kCore(e, "src", "dst", 3))
+    }
+    time(s"r10b stats wave x$mult (turning/cox/chow/welch/dist)") {
+      // hourly series aggregates the multiplied events down to 720
+      // buckets x 5 types — the three series tests and the binned
+      // distances must track the SCAN, not the series length
+      val hourly = events.groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+        .localCheckpoint(true)
+      drain(TimeSeries.turningPoints(hourly, "event_type", "h", "v"))
+      drain(TimeSeries.coxStuart(hourly, "event_type", "h", "v"))
+      drain(TimeSeries.chowTest(hourly, "event_type", "h", "v", 360L))
+      val obs = events.groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("cents"))
+      drain(Normalize.welchAnova(obs, "dow", "event_type", "cents"))
+      val vals = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      drain(Profiling.distDistances(
+        vals.filter(col("event_type") === "click"),
+        vals.filter(col("event_type") === "purchase"), "c"))
+    }
+    time(s"r10b regression diagnostics x${math.max(1, mult / 5)} (bp/cooks)") {
+      // repeated-copy union: the fit moments change but the SCAN and
+      // per-row residual map are what must stay linear
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("p"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      val li = (0 until math.max(1, mult / 5))
+        .map(_ => li0).reduce(_ unionByName _)
+      drain(Eval.breuschPagan(li, "q", "p"))
+      drain(Eval.cooksDistance(li, "id", "q", "p", topK = 20))
+    }
+    time(s"r10b hodgesLehmann x$mult (user-level arms, honest O(n*m))") {
+      // per-user rollups at mult x 1500 users -> the pair space is the
+      // estimator's own quadratic; distinct-diff grouping bounds memory
+      val users = events.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("cents"))
+      drain(Profiling.hodgesLehmann(
+        users.filter(pmod(col("user_id"), lit(2L)) === 0L),
+        users.filter(pmod(col("user_id"), lit(2L)) === 1L), "cents"))
     }
     spark.stop()
   }
