@@ -5203,6 +5203,119 @@ object SparkEntry {
           tier(col("n_view"), 25L, 20L, 15L).as("cat")))
       Profiling.fleissKappa(long, "user_id", "rater", "cat")
     }),
+    "q_drawdown" -> ((s, dir) => {
+      // Worst peak-to-trough drop in each event type's hourly spend —
+      // exact integer drop + the (peak, trough, hour) triple that
+      // realizes it, earliest trough on ties.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.drawdown(hourly, "event_type", "h", "v")
+    }),
+    "q_bollinger" -> ((s, dir) => {
+      // 24-hour Bollinger envelope over hourly spend: breach flags are
+      // EXACT decimal integer compares (no double sqrt can flip a
+      // boolean across engines); only the mid is a double.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.bollinger(
+        hourly, "event_type", "h", "v", nBars = 24, k = 2)
+    }),
+    "q_rsi" -> ((s, dir) => {
+      // Cutler's 14-bar RSI over hourly spend per event type: exact
+      // long gain/loss sums, one double division at the end.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.rsi(hourly, "event_type", "h", "v", 14)
+    }),
+    "q_stochastic" -> ((s, dir) => {
+      // 14-bar stochastic oscillator: %K from rolling min/max, %D the
+      // 3-bar mean of MICRO-QUANTIZED %K (sum of longs — a double sum
+      // would be order-dependent across engines).
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.stochasticOsc(
+        hourly, "event_type", "h", "v", 14)
+    }),
+    "q_vwap" -> ((s, dir) =>
+      // Volume-weighted average unit price per (returnflag, ship
+      // month): notional = extendedprice cents, volume = quantity —
+      // the execution-benchmark twin of q_twap's time weighting.
+      graft.operators.TimeSeries.vwap(
+        table(s, dir, "lineitem").select(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("notional_cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "m", "notional_cents", "qty")),
+    "q_atr" -> ((s, dir) => {
+      // 8-bar average true range over q_ohlc_bars' 6-hour bars — the
+      // gap-aware volatility gauge, composed directly on the bar
+      // operator's output.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.TimeSeries.atr(
+        graft.operators.TimeSeries.ohlcBars(
+          ev, "event_type", "ms", "event_id", "cents", barMs = 21600000L),
+        "event_type", "bar_start_ms", nBars = 8)
+    }),
+    "q_binomial_test" -> ((s, dir) =>
+      // Do even-id users really generate half of each event type's
+      // traffic? Exact-rational null 1/2, continuity-corrected z.
+      graft.operators.Profiling.binomialTest(
+        table(s, dir, "events")
+          .withColumn("even_user", pmod(col("user_id"), lit(2L)) === 0L),
+        "event_type", "even_user", p0Num = 1L, p0Den = 2L)),
+    "q_poisson_rates" -> ((s, dir) =>
+      // Did each event type's arrival RATE change after the first
+      // week? Conditional-binomial two-rate test: week-1 events vs the
+      // rest, exposures 7 and 24 days.
+      graft.operators.Profiling.poissonTwoRate(
+        table(s, dir, "events")
+          .withColumn("in_week1", dayofmonth(col("ts")) <= 7),
+        "event_type", "in_week1", tA = 7L, tB = 24L)),
+    "q_anderson_darling" -> ((s, dir) => {
+      // Are hourly spends normal? AD weights the CDF distance by
+      // 1/(F(1-F)) so tail departures q_jarque_bera smears show up.
+      // DOLLARS, not cents: keeps Σx² exactly double-representable.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      graft.operators.Normalize.andersonDarling(hourly, "event_type", "v")
+    }),
+    "q_kpss" -> ((s, dir) => {
+      // Is hourly spend level-stationary? KPSS's null is STATIONARY —
+      // the mirror of q_dickey_fuller; exact decimal bridge sums,
+      // nano-quantized per-row terms.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      graft.operators.TimeSeries.kpss(hourly, "event_type", "h", "v")
+    }),
+    "q_dickey_fuller" -> ((s, dir) => {
+      // Does hourly spend mean-revert or random-walk? DF regression of
+      // the hourly delta on the lagged level, t vs the -2.86
+      // nonstandard critical value.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      graft.operators.TimeSeries.dickeyFuller(hourly, "event_type", "h", "v")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -11713,6 +11826,218 @@ object SparkEntry {
          |  CAST(s_nic2 AS VARCHAR) AS s_nic2,
          |  CAST(s_col2 AS VARCHAR) AS s_col2
          |FROM f""".stripMargin,
+    "q_drawdown" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    MAX(v) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM hb),
+         |d AS (SELECT event_type, n, run_max - v AS dd, run_max, v, h,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY run_max - v DESC, h) AS rn FROM r),
+         |m AS (SELECT event_type, n, CAST(dd AS BIGINT) AS max_dd,
+         |    CAST(run_max AS BIGINT) AS peak_v, v AS trough_v,
+         |    h AS trough_bucket
+         |  FROM d WHERE rn = 1)
+         |SELECT event_type, n, max_dd, peak_v, trough_v, trough_bucket,
+         |  ${graft.operators.TimeSeries.ddFracSql} AS dd_frac
+         |FROM m""".stripMargin,
+    "q_bollinger" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) OVER (
+         |      PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         |      AS DECIMAL(38,0)) AS ss
+         |  FROM hb)
+         |SELECT event_type, h, v, round(CAST(s AS DOUBLE) / 24, 6) AS mid,
+         |  ${graft.operators.TimeSeries.bollingerBreachSql(24, 2, hi = true)}
+         |    AS breach_hi,
+         |  ${graft.operators.TimeSeries.bollingerBreachSql(24, 2, hi = false)}
+         |    AS breach_lo
+         |FROM r WHERE rn >= 24""".stripMargin,
+    "q_rsi" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    v - lag(v) OVER (PARTITION BY event_type ORDER BY h) AS d,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hb),
+         |f AS (SELECT * FROM r WHERE d IS NOT NULL),
+         |g AS (SELECT event_type, h, v, rn,
+         |    CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER (
+         |      PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sg,
+         |    CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER (
+         |      PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+         |  FROM f)
+         |SELECT event_type, h, v, sg, sl,
+         |  ${graft.operators.TimeSeries.rsiSql} AS rsi
+         |FROM g WHERE rn > 14""".stripMargin,
+    "q_stochastic" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    MIN(v) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
+         |    MAX(v) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi
+         |  FROM hb),
+         |k AS (SELECT event_type, h, v,
+         |    ${graft.operators.TimeSeries.stochKMicroSql} AS k_micro
+         |  FROM r WHERE rn >= 14),
+         |g AS (SELECT event_type, h, v, k_micro,
+         |    CAST(COUNT(k_micro) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS d_n,
+         |    CAST(SUM(k_micro) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS d_sum
+         |  FROM k)
+         |SELECT event_type, h, v,
+         |  CASE WHEN k_micro IS NOT NULL THEN
+         |    round(CAST(k_micro AS DOUBLE) / 1e6, 6) END AS pct_k,
+         |  CASE WHEN d_n = 3 THEN
+         |    round(CAST(d_sum AS DOUBLE) / d_n / 1e6, 6) END AS pct_d
+         |FROM g""".stripMargin,
+    "q_vwap" ->
+      s"""WITH t AS (SELECT l_returnflag,
+         |    CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS notional_cents,
+         |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+         |g AS (SELECT l_returnflag, m,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trades,
+         |    CAST(SUM(q) AS BIGINT) AS qty,
+         |    CAST(SUM(notional_cents) AS BIGINT) AS notional
+         |  FROM t GROUP BY 1, 2)
+         |SELECT l_returnflag, m, n_trades, qty, notional,
+         |  ${graft.operators.TimeSeries.vwapSql} AS vwap
+         |FROM g""".stripMargin,
+    "q_atr" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT event_type, (ms // 21600000) * 21600000
+         |      AS bar_start_ms,
+         |    (ms - 1700000000000) * 100000000 + event_id AS tkey, cents
+         |  FROM e),
+         |bars AS (SELECT event_type, bar_start_ms, MAX(cents) AS h,
+         |    MIN(cents) AS l, arg_max(cents, tkey) AS c
+         |  FROM b GROUP BY 1, 2),
+         |lg AS (SELECT event_type, bar_start_ms, h, l, c,
+         |    lag(c) OVER (PARTITION BY event_type ORDER BY bar_start_ms)
+         |      AS __pc,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY bar_start_ms) AS rn
+         |  FROM bars),
+         |t AS (SELECT event_type, bar_start_ms, rn,
+         |    CAST(${graft.operators.TimeSeries.trSql} AS BIGINT) AS tr
+         |  FROM lg),
+         |g AS (SELECT event_type, bar_start_ms, rn, tr,
+         |    CAST(SUM(tr) OVER (PARTITION BY event_type ORDER BY bar_start_ms
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS tr_sum
+         |  FROM t)
+         |SELECT event_type, bar_start_ms, tr,
+         |  round(CAST(tr_sum AS DOUBLE) / 8, 6) AS atr
+         |FROM g WHERE rn >= 8""".stripMargin,
+    "q_binomial_test" ->
+      s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |z AS (SELECT event_type, n, x,
+         |    ${graft.operators.Profiling.binomialZSql("1", "2")} AS z
+         |  FROM g)
+         |SELECT event_type, n, x, z,
+         |  round(${graft.operators.Profiling.normalPSql("z")}, 6)
+         |    AS p_normal,
+         |  abs(z) > 1.959964 AS significant
+         |FROM z""".stripMargin,
+    "q_poisson_rates" ->
+      s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN day(ts) <= 7 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |z AS (SELECT event_type, n, x,
+         |    round(CAST(x AS DOUBLE) / 7, 6) AS rate_a,
+         |    round(CAST(n - x AS DOUBLE) / 24, 6) AS rate_b,
+         |    ${graft.operators.Profiling.binomialZSql("7", "31")} AS z
+         |  FROM g)
+         |SELECT event_type, n, x, rate_a, rate_b, z,
+         |  round(${graft.operators.Profiling.normalPSql("z")}, 6)
+         |    AS p_normal,
+         |  abs(z) > 1.959964 AS significant
+         |FROM z""".stripMargin,
+    "q_anderson_darling" ->
+      s"""WITH $hourlyDollarsCte,
+         |w AS (SELECT event_type, v,
+         |    CAST(COUNT(*) OVER wk AS BIGINT) AS n,
+         |    CAST(SUM(v) OVER wk AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) OVER wk
+         |      AS DECIMAL(38,0)) AS sxx,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) AS r
+         |  FROM hd WINDOW wk AS (PARTITION BY event_type)),
+         |t AS (SELECT event_type, n,
+         |    ${graft.operators.Normalize.adTermSql} AS term FROM w),
+         |g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |    CAST(SUM(term) AS BIGINT) AS s_micro
+         |  FROM t GROUP BY 1),
+         |a AS (SELECT event_type, n, s_micro,
+         |    ${graft.operators.Normalize.adA2Sql} AS a2 FROM g)
+         |SELECT event_type, n, s_micro, a2,
+         |  ${graft.operators.Normalize.adAStarSql} AS a2_star,
+         |  coalesce(${graft.operators.Normalize.adAStarSql} > 0.787, false)
+         |    AS significant
+         |FROM a""".stripMargin,
+    "q_kpss" ->
+      s"""WITH $hourlyDollarsCte,
+         |w AS (SELECT event_type, v,
+         |    CAST(COUNT(*) OVER wk AS BIGINT) AS n,
+         |    CAST(SUM(v) OVER wk AS BIGINT) AS sv,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) OVER wk
+         |      AS DECIMAL(38,0)) AS sxx,
+         |    CAST(row_number() OVER wo AS BIGINT) AS t,
+         |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS ps
+         |  FROM hd WINDOW wk AS (PARTITION BY event_type),
+         |    wo AS (PARTITION BY event_type ORDER BY h)),
+         |t AS (SELECT event_type, n,
+         |    ${graft.operators.TimeSeries.kpssTermNanoSql} AS term FROM w),
+         |g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |    CAST(SUM(term) AS BIGINT) AS s_nano
+         |  FROM t GROUP BY 1)
+         |SELECT event_type, n, s_nano,
+         |  ${graft.operators.TimeSeries.kpssEtaSql} AS eta,
+         |  coalesce(${graft.operators.TimeSeries.kpssEtaSql} > 0.463, false)
+         |    AS nonstationary
+         |FROM g""".stripMargin,
+    "q_dickey_fuller" ->
+      s"""WITH $hourlyDollarsCte,
+         |d AS (SELECT event_type, v,
+         |    lag(v) OVER (PARTITION BY event_type ORDER BY h) AS x
+         |  FROM hd),
+         |f AS (SELECT event_type, x, v - x AS y FROM d
+         |  WHERE x IS NOT NULL),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+         |      AS sxx,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS sxy,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS syy
+         |  FROM f GROUP BY 1)
+         |SELECT event_type, m, sx, sy,
+         |  ${graft.operators.TimeSeries.dfBetaSql} AS beta,
+         |  ${graft.operators.TimeSeries.dfTSql} AS t_stat,
+         |  coalesce(${graft.operators.TimeSeries.dfTSql} < -2.86, false)
+         |    AS stationary,
+         |  CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
+         |  CAST(syy AS VARCHAR) AS syy
+         |FROM g""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode
@@ -11829,6 +12154,26 @@ object SparkEntry {
 
   /** Shared by q_ohlc_bars (batch windows) and q_stream_ohlc (streaming
     * min_by/max_by): identical bar semantics, one oracle text. */
+  /** Hourly spend-cents per event type, hour index relative to Jan 1
+    * 2024 — the shared series the rolling-window oracles (drawdown /
+    * bollinger / rsi / stochastic) replay. Mirrors the Spark-side
+    * hourly groupBy exactly. */
+  private lazy val hourlySpendCte: String =
+    """hb AS (SELECT event_type,
+      |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
+      |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Hourly spend in whole DOLLARS per event type — the stationarity /
+    * normality oracles (kpss / dickey_fuller / anderson_darling) use
+    * dollars so squared sums stay exactly double-representable at any
+    * bench scale. Mirrors the Spark-side hourly groupBy exactly. */
+  private lazy val hourlyDollarsCte: String =
+    """hd AS (SELECT event_type,
+      |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
+      |    CAST(SUM(CAST(ROUND(value, 0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   private lazy val ohlcOracleSql: String =
     """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
       |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events),

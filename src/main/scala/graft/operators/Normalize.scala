@@ -501,4 +501,73 @@ object Normalize {
     "CASE WHEN k > 1 AND l_sum_nano > 0 THEN " +
       s"round(CAST((k-1)*(k+1) AS DOUBLE) / (3 * $lam), 6) END"
   }
+
+  /** Anderson–Darling normality test per key (case 4: mean and sd
+    * estimated) — weights the CDF-distance by 1/(F(1−F)), so it sees
+    * the TAILS [[jarqueBera]]'s moment ratios smear: A² = −n − (1/n)·
+    * Σ(2i−1)[ln Φ(zᵢ) + ln(1−Φ(z_{n+1−i}))] over the value-ordered
+    * sample, A*² = A²(1 + 0.75/n + 2.25/n²), reject at 5% when
+    * A*² > 0.787 (Stephens). Φ through the shared erfc approximation
+    * ([[Profiling.normalPSql]], |err| < 1.5e-7 — a test statistic, not
+    * a quantile engine).
+    *
+    * Exactness: mean/sd assemble from Σx (long) and Σx² (decimal —
+    * cents² escapes long at ~1e9-row keys); each row's two log terms
+    * are MICRO-QUANTIZED longs before the coefficient multiply, so the
+    * cross-row sum is exact and order-free (the welchAnova nano-term
+    * discipline). Tied values are safe under any tie order: the
+    * coefficient sum over a tied run is permutation-invariant. Feed
+    * values in units keeping Σx² under ~2⁵³ (dollars, not cents, for
+    * 100 TB spend series) so the one decimal→double cast is exact.
+    *
+    * Plan: per-key moments and ranks ride one key-hashed exchange (an
+    * aggregate + a window on the same partitioning); per-key rows are
+    * the caller's series granularity. */
+  def andersonDarling(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wKey = Window.partitionBy(col(keyCol))
+    val wOrd = wKey.orderBy(col(valCol))
+    df.select(col(keyCol), col(valCol).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wKey).cast("long"))
+      .withColumn("sx", sum(col("v")).over(wKey).cast("long"))
+      .withColumn("sxx", sum(col("v").cast("decimal(38,0)") * col("v"))
+        .over(wKey).cast("decimal(38,0)"))
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("term", expr(adTermSql))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), sum(col("term")).cast("long").as("s_micro"))
+      .withColumn("a2", expr(adA2Sql))
+      .withColumn("a2_star", expr(adAStarSql))
+      .withColumn("significant", expr(s"coalesce($adAStarSql > 0.787, false)"))
+  }
+
+  private val adMuSql = "(CAST(sx AS DOUBLE) / n)"
+  private val adSdSql =
+    s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * $adMuSql) / (n - 1))"
+  private val adZSql = s"((CAST(v AS DOUBLE) - $adMuSql) / $adSdSql)"
+
+  /** Per-row micro-quantized (2r−1)·lnΦ(z) + (2(n−r)+1)·ln(1−Φ(z));
+    * NULL (dropping the key) on zero variance or n < 2. The erfc p is
+    * floored at 1e-300 so extreme z never hits ln(0). Shared with the
+    * oracle. */
+  val adTermSql: String = {
+    val p2 = Profiling.normalPSql(adZSql)
+    val phi = s"(CASE WHEN $adZSql >= 0 THEN 1 - greatest($p2, 1e-300) / 2 " +
+      s"ELSE greatest($p2, 1e-300) / 2 END)"
+    "CASE WHEN n > 1 AND " +
+      s"CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * $adMuSql > 0 THEN " +
+      s"(2 * r - 1) * CAST(round(1000000 * ln($phi), 0) AS BIGINT) + " +
+      s"(2 * (n - r) + 1) * " +
+      s"CAST(round(1000000 * ln(1 - $phi), 0) AS BIGINT) END"
+  }
+
+  /** A² over (n, s_micro). Shared with the oracle. */
+  val adA2Sql: String =
+    "round(-CAST(n AS DOUBLE) - " +
+      "CAST(s_micro AS DOUBLE) / n / 1000000, 6)"
+
+  /** Stephens' small-sample adjusted A*² over the ROUNDED a2 column. */
+  val adAStarSql: String =
+    "round(a2 * (1 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 6)"
 }

@@ -2264,4 +2264,63 @@ object Profiling {
   val ddOvNanoSql: String =
     "CAST(ROUND(least(CAST(ca AS DOUBLE) / n_a, " +
       "CAST(cb AS DOUBLE) / n_b) * 1000000000, 0) AS BIGINT)"
+
+  /** One-sample exact-rational binomial proportion test per key — "is
+    * this success share p₀?" with p₀ = num/den held as INTEGERS so the
+    * null never picks up a float representation: z = (x − n·p₀ ∓ ½)/
+    * √(n·p₀(1−p₀)) with the continuity correction toward the null
+    * (|x − n·p₀| ≤ ½ pins z to exactly 0), two-sided normal p. The
+    * workhorse behind SRM checks, coin-flip guardrails, and
+    * [[poissonTwoRate]]'s conditional reduction. One map-side-combined
+    * aggregate; the z/p chain is shared SQL over exact (n, x). */
+  def binomialTest(
+      df: DataFrame, keyCol: String, successCol: String,
+      p0Num: Long, p0Den: Long): DataFrame = {
+    require(p0Num > 0 && p0Num < p0Den,
+      s"p0 must be strictly inside (0,1): $p0Num/$p0Den")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).cast("long").as("x"))
+      .withColumn("z",
+        expr(binomialZSql(p0Num.toString, p0Den.toString)))
+      .withColumn("p_normal", expr(s"round(${normalPSql("z")}, 6)"))
+      .withColumn("significant", expr("abs(z) > 1.959964"))
+  }
+
+  /** Continuity-corrected proportion z over (n, x) for null num/den —
+    * num/den may be literals OR column names (poissonTwoRate passes
+    * exposure columns). Shared with the oracle. */
+  def binomialZSql(num: String, den: String): String = {
+    val p = s"(CAST($num AS DOUBLE) / ($den))"
+    val d = s"(CAST(x AS DOUBLE) - CAST(n AS DOUBLE) * $p)"
+    s"CASE WHEN n > 0 THEN " +
+      s"round((CASE WHEN $d > 0.5 THEN $d - 0.5 " +
+      s"WHEN $d < -0.5 THEN $d + 0.5 ELSE 0.0 END) / " +
+      s"sqrt(CAST(n AS DOUBLE) * $p * (1 - $p)), 6) END"
+  }
+
+  /** Two-sample Poisson rate comparison per key via the CONDITIONAL
+    * binomial reduction (the uniformly-most-powerful exact framing,
+    * normal-approximated): given x_a events in exposure t_a and x_b in
+    * t_b, under rate equality x_a | (x_a+x_b) ~ Bin(x_a+x_b,
+    * t_a/(t_a+t_b)) — so the test IS [[binomialTest]]'s z with an
+    * exact-rational null from the integer exposures. Reports both
+    * per-exposure rates. Incident counts, error budgets, arrival-rate
+    * drift — anywhere "did the rate change between two windows?" is
+    * the question. One aggregate, shared-SQL z/p chain. */
+  def poissonTwoRate(
+      df: DataFrame, keyCol: String, inACol: String,
+      tA: Long, tB: Long): DataFrame = {
+    require(tA > 0 && tB > 0, s"exposures must be positive: $tA, $tB")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(inACol), 1L).otherwise(0L)).cast("long").as("x"))
+      .withColumn("rate_a", expr(s"round(CAST(x AS DOUBLE) / $tA, 6)"))
+      .withColumn("rate_b",
+        expr(s"round(CAST(n - x AS DOUBLE) / $tB, 6)"))
+      .withColumn("z",
+        expr(binomialZSql(tA.toString, (tA + tB).toString)))
+      .withColumn("p_normal", expr(s"round(${normalPSql("z")}, 6)"))
+      .withColumn("significant", expr("abs(z) > 1.959964"))
+  }
 }

@@ -1504,4 +1504,346 @@ object TimeSeries {
       s"round((($chowSsrPooledSql - $s1 - $s2) / 2) / " +
       s"nullif(($s1 + $s2) / nullif(n_1 + n_2 - 4, 0), 0), 6) END"
   }
+
+  /** Maximum drawdown per key — the risk summary for any cumulative or
+    * level series (portfolio value, running revenue, queue depth): the
+    * largest peak-to-trough drop under the running maximum. Reported
+    * exactly in the metric's integer units plus the peak/trough pair
+    * that realizes it (earliest trough on ties — the deterministic
+    * choice an audit can replay). `dd_frac` is the one double: the
+    * exact long drop divided by the exact long peak.
+    *
+    * Plan: running max and the argmax pick are two sorts over ONE
+    * key-hashed exchange; series length per key is the caller's bucket
+    * granularity, so no partition outgrows calendar bounds. */
+  def drawdown(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("run_max", max(col("v")).over(wRun))
+      .withColumn("dd", col("run_max") - col("v"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))).cast("long"))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("dd").desc, col(bucketCol))
+    ranked.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("n"), col("dd").as("max_dd"),
+        col("run_max").as("peak_v"), col("v").as("trough_v"),
+        col(bucketCol).as("trough_bucket"))
+      .withColumn("dd_frac", expr(ddFracSql))
+  }
+
+  /** Drawdown fraction over (max_dd, peak_v); NULL on a non-positive
+    * peak (series never rose above zero). Shared with the oracle. */
+  val ddFracSql: String =
+    "CASE WHEN peak_v > 0 THEN " +
+      "round(CAST(max_dd AS DOUBLE) / peak_v, 6) END"
+
+  /** Bollinger-band breach flags per (key, bucket) — the rolling
+    * volatility envelope: mid = n-bar rolling mean, band = ±k·rolling
+    * population sd. The breach DECISION is exact integer arithmetic —
+    * `(n·v − s) > 0 ∧ (n·v − s)² > k²·(n·ss − s²)` in decimal(38,0) —
+    * so no double sqrt can flip a boolean across engines (the
+    * jarque-bera 1-ulp lesson); only the mid is a double, one exact
+    * long division. Squared sums accumulate in decimal: cents² at
+    * 100 TB bucket sums (~1e15) squares past 2⁶³. Bars before a full
+    * window drop (standard warm-up convention). |n·v − s| stays under
+    * ~1e19 for any realistic cents series — document, don't guard.
+    *
+    * Plan: both rolling sums and the row_number warm-up gate ride ONE
+    * key-hashed sort; per-key series is calendar-bounded. */
+  def bollinger(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, nBars: Int = 24, k: Int = 2): DataFrame = {
+    require(nBars > 1, s"nBars must be > 1: $nBars")
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wRoll = wOrd.rowsBetween(-(nBars - 1), 0)
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("s", sum(col("v")).over(wRoll).cast("long"))
+      .withColumn("ss",
+        sum(col("v").cast("decimal(38,0)") * col("v")).over(wRoll)
+          .cast("decimal(38,0)"))
+      .filter(col("rn") >= nBars)
+      .withColumn("mid", expr(s"round(CAST(s AS DOUBLE) / $nBars, 6)"))
+      .withColumn("breach_hi", expr(bollingerBreachSql(nBars, k, hi = true)))
+      .withColumn("breach_lo", expr(bollingerBreachSql(nBars, k, hi = false)))
+      .select(col(keyCol), col(bucketCol), col("v"), col("mid"),
+        col("breach_hi"), col("breach_lo"))
+  }
+
+  /** Exact-integer band breach over (v, s, ss) for window n and width
+    * k·sd: sign gate + squared compare, all in decimal. Shared with the
+    * oracle (DuckDB runs the same text over HUGEINT-compatible
+    * decimals). */
+  def bollingerBreachSql(n: Int, k: Int, hi: Boolean): String = {
+    val dev = if (hi) s"(CAST($n AS DECIMAL(38,0)) * v - s)"
+      else s"(s - CAST($n AS DECIMAL(38,0)) * v)"
+    s"$dev > 0 AND $dev * $dev > " +
+      s"${k * k} * (CAST($n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+  }
+
+  /** Cutler's RSI per (key, bucket) — the bounded momentum oscillator:
+    * 100·Σgains/(Σgains+Σlosses) over the last n deltas (simple
+    * averages, not Wilder's recursive smoothing — window-expressible
+    * and the standard batch variant). Flat windows (no movement) yield
+    * NULL; all-gain windows 100, all-loss 0. Gains/losses are exact
+    * longs; one double division.
+    *
+    * Plan: the lag diff, both rolling sums, and the warm-up gate share
+    * ONE key-hashed sort. */
+  def rsi(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, nBars: Int = 14): DataFrame = {
+    require(nBars > 0, s"nBars must be positive: $nBars")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wRoll = wOrd.rowsBetween(-(nBars - 1), 0)
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("__d", col("v") - lag(col("v"), 1).over(wOrd))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("__d").isNotNull)
+      .withColumn("sg",
+        sum(greatest(col("__d"), lit(0L))).over(wRoll).cast("long"))
+      .withColumn("sl",
+        sum(greatest(-col("__d"), lit(0L))).over(wRoll).cast("long"))
+      .filter(col("rn") > nBars) // first diff is at rn=2; full window at n+1
+      .select(col(keyCol), col(bucketCol), col("v"), col("sg"), col("sl"))
+      .withColumn("rsi", expr(rsiSql))
+  }
+
+  /** RSI over (sg, sl); NULL when the window never moved. Shared with
+    * the oracle. */
+  val rsiSql: String =
+    "CASE WHEN sg + sl > 0 THEN " +
+      "round(100 * CAST(sg AS DOUBLE) / (sg + sl), 6) END"
+
+  /** Stochastic oscillator per (key, bucket) — where the value sits in
+    * its n-bar range: %K = 100·(v − min)/(max − min), %D = 3-bar mean
+    * of %K. %D averages MICRO-QUANTIZED %K longs (sum of 3 exact longs,
+    * one division) — averaging round-6 doubles directly would make the
+    * sum order-dependent across engines. Flat ranges yield NULL %K and
+    * drop from %D's average (classical convention: undefined, not 50).
+    *
+    * Plan: rolling min/max, the quantized %K, and the %D average all
+    * ride ONE key-hashed sort. */
+  def stochasticOsc(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, nBars: Int = 14): DataFrame = {
+    require(nBars > 1, s"nBars must be > 1: $nBars")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wRoll = wOrd.rowsBetween(-(nBars - 1), 0)
+    val wD = wOrd.rowsBetween(-2, 0)
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("lo", min(col("v")).over(wRoll))
+      .withColumn("hi", max(col("v")).over(wRoll))
+      .filter(col("rn") >= nBars)
+      .withColumn("k_micro", expr(stochKMicroSql))
+      .withColumn("d_n",
+        count(col("k_micro")).over(wD).cast("long"))
+      .withColumn("d_sum", sum(col("k_micro")).over(wD).cast("long"))
+      .select(col(keyCol), col(bucketCol), col("v"),
+        expr("CASE WHEN k_micro IS NOT NULL THEN " +
+          "round(CAST(k_micro AS DOUBLE) / 1e6, 6) END").as("pct_k"),
+        expr("CASE WHEN d_n = 3 THEN " +
+          "round(CAST(d_sum AS DOUBLE) / d_n / 1e6, 6) END").as("pct_d"))
+  }
+
+  /** Micro-quantized %K over (v, lo, hi); NULL on a flat range. Shared
+    * with the oracle. */
+  val stochKMicroSql: String =
+    "CASE WHEN hi > lo THEN " +
+      "CAST(round(100000000 * CAST(v - lo AS DOUBLE) / (hi - lo), 0)" +
+      " AS BIGINT) END"
+
+  /** Volume-weighted average price per (key, bucket) — the execution
+    * benchmark [[twap]] time-weights and VWAP volume-weights: exact
+    * integer notional and quantity sums, one double division. Pure
+    * map-side-combinable aggregate — the cheapest operator in the
+    * family, scale-free. */
+  def vwap(
+      df: DataFrame, keyCol: String, bucketCol: String,
+      notionalCol: String, qtyCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).cast("long").as("n_trades"),
+        sum(col(qtyCol).cast("long")).cast("long").as("qty"),
+        sum(col(notionalCol).cast("long")).cast("long").as("notional"))
+      .withColumn("vwap", expr(vwapSql))
+
+  /** VWAP over (notional, qty); NULL on zero quantity. Shared with the
+    * oracle. */
+  val vwapSql: String =
+    "CASE WHEN qty > 0 THEN " +
+      "round(CAST(notional AS DOUBLE) / qty, 6) END"
+
+  /** Average true range per (key, bar) over [[ohlcBars]] output — the
+    * standard volatility gauge that sees GAPS between bars, not just
+    * intra-bar spread: TR = greatest(high−low, |high−prev_close|,
+    * |low−prev_close|) (first bar: high−low), ATR = n-bar rolling mean
+    * of TR. TR is an exact long; one double division.
+    *
+    * Plan: composes the bar build's (key, bar) aggregate with ONE
+    * key-hashed sort for lag + rolling sum + warm-up gate. */
+  def atr(
+      bars: DataFrame, keyCol: String, barCol: String,
+      nBars: Int = 14): DataFrame = {
+    require(nBars > 0, s"nBars must be positive: $nBars")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(barCol))
+    val wRoll = wOrd.rowsBetween(-(nBars - 1), 0)
+    bars
+      .select(col(keyCol), col(barCol), col("high").cast("long").as("h"),
+        col("low").cast("long").as("l"), col("close").cast("long").as("c"))
+      .withColumn("__pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("tr", expr(trSql))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("tr_sum", sum(col("tr")).over(wRoll).cast("long"))
+      .filter(col("rn") >= nBars)
+      .select(col(keyCol), col(barCol), col("tr"),
+        expr(s"round(CAST(tr_sum AS DOUBLE) / $nBars, 6)").as("atr"))
+  }
+
+  /** True range over (h, l, __pc); first bar falls back to h−l. Shared
+    * with the oracle. */
+  val trSql: String =
+    "CASE WHEN __pc IS NULL THEN h - l ELSE " +
+      "greatest(h - l, abs(h - __pc), abs(l - __pc)) END"
+
+  /** KPSS level-stationarity test per key — the null is STATIONARY
+    * (the mirror of [[dickeyFuller]], whose null is a unit root; run
+    * both and the quadrant tells you trend vs drift vs noise):
+    * η = Σₜ Sₜ² / (n²·σ̂²) with Sₜ the demeaned partial sums and σ̂²
+    * the lag-0 residual variance (the zero-truncation-lag variant —
+    * serially correlated series need the caller to pre-whiten or
+    * accept the documented size distortion). Reject stationarity at 5%
+    * when η > 0.463.
+    *
+    * Exactness: Sₜ is held as the EXACT decimal n·prefixₜ − t·Σv (no
+    * mean division), σ̂²'s moments likewise; each row's squared-bridge
+    * term is nano-quantized to a long before summing, so the cross-row
+    * sum is exact and order-free. Feed units keeping n·prefix and
+    * n·Σx² under ~2⁵³ (dollars at warehouse scale) so the per-row
+    * decimal→double casts are exact.
+    *
+    * Plan: the key aggregate windows and the ordered prefix window
+    * share ONE key-hashed exchange; per-key series is the caller's
+    * bucket granularity. */
+  def kpss(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wKey = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wKey).cast("long"))
+      .withColumn("sv", sum(col("v")).over(wKey).cast("long"))
+      .withColumn("sxx", sum(col("v").cast("decimal(38,0)") * col("v"))
+        .over(wKey).cast("decimal(38,0)"))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("ps", sum(col("v")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("term", expr(kpssTermNanoSql))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+        sum(col("term")).cast("long").as("s_nano"))
+      .withColumn("eta", expr(kpssEtaSql))
+      .withColumn("nonstationary",
+        expr(s"coalesce($kpssEtaSql > 0.463, false)"))
+  }
+
+  /** Per-row nano-quantized Sₜ²/(n²σ̂²) bridge term over
+    * (v, n, sv, sxx, t, ps); NULL (dropping the key) on a constant
+    * series. D = n·ps − t·sv is the n-scaled demeaned partial sum;
+    * den = n·sxx − sv² is n²·Σ(v−v̄)²/n = n·(n·σ̂²·n)/… — the n powers
+    * cancel so term = D²/(n·den). Shared with the oracle. */
+  val kpssTermNanoSql: String = {
+    val d = "(CAST(n AS DECIMAL(38,0)) * ps - CAST(t AS DECIMAL(38,0)) * sv)"
+    val den = "(CAST(n AS DECIMAL(38,0)) * sxx - " +
+      "CAST(sv AS DECIMAL(38,0)) * sv)"
+    s"CASE WHEN $den > 0 THEN " +
+      s"CAST(round(1000000000 * CAST($d AS DOUBLE) * CAST($d AS DOUBLE) / " +
+      s"(CAST(n AS DOUBLE) * CAST($den AS DOUBLE)), 0) AS BIGINT) END"
+  }
+
+  /** η over (n, s_nano). Shared with the oracle. */
+  val kpssEtaSql: String =
+    "CASE WHEN s_nano IS NOT NULL THEN " +
+      "round(CAST(s_nano AS DOUBLE) / 1e9 / n, 6) END"
+
+  /** Dickey–Fuller unit-root test per key (constant, no trend, no
+    * augmentation — the workhorse single-lag variant; serially
+    * correlated differences need pre-whitening): regress Δvₜ on vₜ₋₁,
+    * t-statistic of the slope against the Dickey–Fuller 5% asymptotic
+    * critical value −2.86 (NOT the t-table — the null distribution is
+    * nonstandard). t < −2.86 rejects the unit root: the series mean-
+    * reverts. Moments accumulate exactly (cross-products in decimal);
+    * one shared-SQL double chain assembles β and its standard error —
+    * the trendOls discipline. Feed units keeping Σx² under ~2⁵³.
+    *
+    * Plan: the lag diff and the moment aggregate share ONE key-hashed
+    * exchange. */
+  def dickeyFuller(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("__x", lag(col("v"), 1).over(wOrd))
+      .filter(col("__x").isNotNull)
+      .withColumn("__y", col("v") - col("__x"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("__x")).cast("long").as("sx"),
+        sum(col("__y")).cast("long").as("sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y"))
+          .cast("decimal(38,0)").as("syy"))
+      .withColumn("beta", expr(dfBetaSql))
+      .withColumn("t_stat", expr(dfTSql))
+      .withColumn("stationary", expr(s"coalesce($dfTSql < -2.86, false)"))
+      // exposed DECIMAL → STRING (r10 decimal contract)
+      .withColumn("sxx", col("sxx").cast("string"))
+      .withColumn("sxy", col("sxy").cast("string"))
+      .withColumn("syy", col("syy").cast("string"))
+  }
+
+  private val dfSxxCSql =
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / m))"
+  private val dfSxyCSql =
+    "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / m))"
+  private val dfSyyCSql =
+    "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / m))"
+
+  /** Slope of Δv on lagged v over the moment row; NULL without x
+    * variance. Shared with the oracle. */
+  val dfBetaSql: String =
+    s"CASE WHEN m > 2 AND $dfSxxCSql > 0 THEN " +
+      s"round($dfSxyCSql / $dfSxxCSql, 6) END"
+
+  /** DF t = β/se(β) from the same moments; NULL on a perfect fit
+    * (zero residual) or degenerate x. Shared with the oracle. */
+  val dfTSql: String = {
+    val ssr = s"($dfSyyCSql - ($dfSxyCSql / $dfSxxCSql) * $dfSxyCSql)"
+    s"CASE WHEN m > 2 AND $dfSxxCSql > 0 AND $ssr > 0 THEN " +
+      s"round(($dfSxyCSql / $dfSxxCSql) / " +
+      s"sqrt(($ssr / (m - 2)) / $dfSxxCSql), 6) END"
+  }
 }

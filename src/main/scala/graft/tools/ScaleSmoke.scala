@@ -1340,6 +1340,48 @@ object ScaleSmoke {
         users.filter(pmod(col("user_id"), lit(2L)) === 0L),
         users.filter(pmod(col("user_id"), lit(2L)) === 1L), "cents"))
     }
+    time(s"r10c rolling envelope x$mult (dd/boll/rsi/stoch/atr)") {
+      // the rolling family runs over the 720-bucket hourly rollup —
+      // the SCAN and groupBy must stay linear, the windows are
+      // calendar-bounded by construction
+      val hourly = events.groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+        .localCheckpoint(true)
+      drain(TimeSeries.drawdown(hourly, "event_type", "h", "v"))
+      drain(TimeSeries.bollinger(hourly, "event_type", "h", "v", 24, 2))
+      drain(TimeSeries.rsi(hourly, "event_type", "h", "v", 14))
+      drain(TimeSeries.stochasticOsc(hourly, "event_type", "h", "v", 14))
+      val ev = events.select(col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(TimeSeries.atr(TimeSeries.ohlcBars(
+        ev, "event_type", "ms", "event_id", "cents", 21600000L),
+        "event_type", "bar_start_ms", 8))
+    }
+    time(s"r10c stationarity+rates x$mult (kpss/df/ad/binom/poisson)") {
+      val dollars = events.groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+        .localCheckpoint(true)
+      drain(TimeSeries.kpss(dollars, "event_type", "h", "v"))
+      drain(TimeSeries.dickeyFuller(dollars, "event_type", "h", "v"))
+      drain(Normalize.andersonDarling(dollars, "event_type", "v"))
+      drain(Profiling.binomialTest(
+        events.withColumn("s", pmod(col("user_id"), lit(2L)) === 0L),
+        "event_type", "s", 1L, 2L))
+      drain(Profiling.poissonTwoRate(
+        events.withColumn("a", dayofmonth(col("ts")) <= 7),
+        "event_type", "a", 7L, 24L))
+      drain(TimeSeries.vwap(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag"),
+            date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("nc"),
+            col("l_quantity").cast("long").as("q")),
+        "l_returnflag", "m", "nc", "q"))
+    }
     spark.stop()
   }
 }
