@@ -5316,6 +5316,29 @@ object SparkEntry {
         .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
       graft.operators.TimeSeries.dickeyFuller(hourly, "event_type", "h", "v")
     }),
+    "q_dsir_weights" -> ((s, dir) =>
+      // Which documents look like the English reference slice? DSIR
+      // unigram importance weights: avg log p_target/p_source with
+      // add-1 smoothing, micro-quantized per token — the cheap
+      // resampling score before classifier-based filtering.
+      graft.operators.TextAnalysis.dsirWeights(
+        table(s, dir, "documents")
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en")),
+    "q_mmd" -> ((s, dir) =>
+      // Did the embedding distribution drift between the even and odd
+      // vector populations? Linear-kernel MMD^2 = squared distance of
+      // the mean embeddings, nano-quantized per dimension.
+      graft.operators.Similarity.mmdLinear(
+        table(s, dir, "embeddings")
+          .withColumn("in_a", pmod(col("vec_id"), lit(2L)) === 0L),
+        "in_a")),
+    "q_random_projection" -> ((s, dir) =>
+      // Seed-free Rademacher JL reduction of the 64-dim embeddings to
+      // 4 dims: the +/-1 matrix derives from a multiplicative hash of
+      // (i, j), so re-runs and the oracle materialize the same matrix.
+      graft.operators.Similarity.randomProjection(
+        table(s, dir, "embeddings"), k = 4)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -12038,6 +12061,60 @@ object SparkEntry {
          |  CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
          |  CAST(syy AS VARCHAR) AS syy
          |FROM g""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH ex AS (SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(string_split(text,' ')) AS token FROM documents),
+         |uc AS (SELECT doc_id, tgt, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY 1, 2, 3),
+         |uf AS (SELECT doc_id, c,
+         |    CAST(SUM(c) OVER (PARTITION BY token) AS BIGINT) AS fs,
+         |    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END)
+         |      OVER (PARTITION BY token) AS BIGINT) AS ft
+         |  FROM uc),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ns,
+         |    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS nt,
+         |    CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM uc),
+         |t AS (SELECT doc_id, c,
+         |    ${graft.operators.TextAnalysis.dsirRatioMicroSql} AS rm
+         |  FROM uf CROSS JOIN tot),
+         |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(c * rm) AS BIGINT) AS s_micro
+         |  FROM t GROUP BY 1)
+         |SELECT doc_id, n_tokens, s_micro,
+         |  ${graft.operators.TextAnalysis.dsirAvgSql} AS avg_log_ratio
+         |FROM g""".stripMargin,
+    "q_mmd" ->
+      s"""WITH x AS (SELECT vec_id % 2 = 0 AS a, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding AS e,
+         |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+         |p AS (SELECT dim,
+         |    CAST(SUM(CASE WHEN a THEN xq ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+         |    CAST(SUM(CASE WHEN NOT a THEN xq ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb_d
+         |  FROM x GROUP BY 1),
+         |t AS (SELECT dim, na_d, nb_d,
+         |    ${graft.operators.Similarity.mmdTermNanoSql} AS term FROM p),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         |    CAST(MAX(na_d) AS BIGINT) AS n_a,
+         |    CAST(MAX(nb_d) AS BIGINT) AS n_b,
+         |    CAST(SUM(term) AS BIGINT) AS s_nano FROM t)
+         |SELECT d, n_a, n_b, s_nano,
+         |  ${graft.operators.Similarity.mmdSql} AS mmd2
+         |FROM g""".stripMargin,
+    "q_random_projection" ->
+      s"""WITH x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding AS e,
+         |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+         |jj AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS j),
+         |t AS (SELECT vec_id, j, xq,
+         |    ${graft.operators.Similarity.rpSignSql} AS sgn
+         |  FROM x CROSS JOIN jj)
+         |SELECT vec_id, j, CAST(SUM(xq * sgn) AS BIGINT) AS y_q,
+         |  round(CAST(SUM(xq * sgn) AS DOUBLE) / 4096, 6) AS y
+         |FROM t GROUP BY 1, 2""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

@@ -900,4 +900,96 @@ object Similarity {
           (col("m_i").cast("double") / col("n")) *
             (col("m_j").cast("double") / col("n"))) / lit(q2), 8).as("cov"))
   }
+
+  /** Linear-kernel maximum mean discrepancy between two embedding
+    * populations — the cheapest distribution-shift alarm in embedding
+    * space: MMD²_linear = ‖μ_A − μ_B‖², zero iff the mean embeddings
+    * coincide (higher-order moments need a nonlinear kernel; this is
+    * the screening tier). The train/serve drift check for any
+    * embedding pipeline, and the embedding twin of the histogram
+    * panel's total-variation distance.
+    *
+    * Exactness: coordinates quantize to 1/4096 longs (the gram/pca
+    * convention — float→double widening is exact binary in both
+    * engines), per-dim mean-difference squares are NANO-quantized
+    * before the cross-dim sum. One posexplode + one dim-keyed
+    * aggregate + one scalar row: embedding count scales freely, the
+    * shuffle carries d·(two sums) only. */
+  def mmdLinear(
+      emb: DataFrame, inACol: String,
+      embCol: String = "embedding"): DataFrame = {
+    val x = emb
+      .select(col(inACol).as("__a"), posexplode(col(embCol)).as(Seq("i", "x")))
+      .withColumn("xq",
+        expr("CAST(round(CAST(x AS DOUBLE) * 4096, 0) AS BIGINT)"))
+    x.groupBy(col("i").cast("long").as("dim"))
+      .agg(
+        sum(when(col("__a"), col("xq")).otherwise(0L)).cast("long").as("sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).cast("long").as("na_d"),
+        sum(when(!col("__a"), col("xq")).otherwise(0L)).cast("long").as("sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).cast("long").as("nb_d"))
+      .withColumn("term", expr(mmdTermNanoSql))
+      .agg(count(lit(1)).cast("long").as("d"),
+        max(col("na_d")).cast("long").as("n_a"),
+        max(col("nb_d")).cast("long").as("n_b"),
+        sum(col("term")).cast("long").as("s_nano"))
+      .withColumn("mmd2", expr(mmdSql))
+  }
+
+  /** Per-dim nano-quantized squared mean difference over
+    * (sa, na_d, sb, nb_d), back in original embedding units; NULL
+    * (poisoning the total) when either population is empty. Shared
+    * with the oracle. */
+  val mmdTermNanoSql: String = {
+    val du = "((CAST(sa AS DOUBLE) / na_d - CAST(sb AS DOUBLE) / nb_d)" +
+      " / 4096)"
+    "CASE WHEN na_d > 0 AND nb_d > 0 THEN " +
+      s"CAST(round(1000000000 * $du * $du, 0) AS BIGINT) END"
+  }
+
+  /** MMD² over (s_nano); NULL when a side was empty. Shared with the
+    * oracle. */
+  val mmdSql: String =
+    "CASE WHEN s_nano IS NOT NULL THEN " +
+      "round(CAST(s_nano AS DOUBLE) / 1e9, 6) END"
+
+  /** Deterministic Rademacher random projection of embeddings to k
+    * dimensions — the classical Achlioptas/JL reduction with the
+    * ±1 matrix derived from a multiplicative hash of (i, j) instead of
+    * stored randomness, so both engines (and any re-run) materialize
+    * the SAME matrix with no side table: y_j = Σᵢ xᵢ·sign(i,j). The
+    * pre-step that makes brute-force candidate generation k/d cheaper
+    * before exact re-scoring, and a seed-free alternative to storing a
+    * projection matrix alongside the pipeline.
+    *
+    * Exact integer path: quantized coordinates times ±1 sum to exact
+    * longs; one double division at the end. sign balance is 50/101
+    * (|bias| < 0.01 — documented, irrelevant at JL error scale).
+    * Plan: posexplode → k-fold sequence explode (narrow) → one
+    * (vec, j) aggregate; shuffle carries n·k rows. */
+  def randomProjection(
+      emb: DataFrame, k: Int = 4, embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    emb.select(col("vec_id"), posexplode(col(embCol)).as(Seq("i", "x")))
+      .withColumn("xq",
+        expr("CAST(round(CAST(x AS DOUBLE) * 4096, 0) AS BIGINT)"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        col("i").cast("long").as("i"), col("xq"))
+      .withColumn("sgn", expr(rpSignSql))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("xq") * col("sgn")).cast("long").as("y_q"))
+      .withColumn("y", expr("round(CAST(y_q AS DOUBLE) / 4096, 6)"))
+  }
+
+  /** ±1 from a multiplicative hash of (i, j). The additive form
+    * a·i + b·j (and bare i+j parity) is structurally DEGENERATE:
+    * mod a small prime it makes adjacent output dims exact negations
+    * (a+b collapses mod p) — measured cross-column sign dots over 64
+    * dims: additive ±64, this multiplicative form ≤ 12. Fits long for
+    * any realistic (i, j); modulo of positives agrees across engines.
+    * Shared with the oracle. */
+  val rpSignSql: String =
+    "CASE WHEN ((i + 1) * (j + 7) * 2654435761) % 101 < 50 " +
+      "THEN 1 ELSE -1 END"
 }

@@ -1425,4 +1425,63 @@ object TextAnalysis {
     "CASE WHEN n_tokens > 1 THEN " +
       "round(10000.0 * (CAST(s2 AS DOUBLE) - n_tokens) / " +
       "(CAST(n_tokens AS DOUBLE) * n_tokens), 6) END"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every
+    * document by how much its unigram distribution resembles a TARGET
+    * subset vs the whole corpus: avg log p̂_target(w)/p̂_source(w)
+    * over the document's tokens, add-1 smoothed over the shared
+    * vocabulary. Positive = target-like; rank-and-take-top composes
+    * with the budget selectors for the actual resampling step. The
+    * standard cheap alternative to classifier-based quality filtering
+    * when a trusted reference corpus exists.
+    *
+    * Exactness: each token's log-ratio is MICRO-QUANTIZED once, then
+    * multiplied by the exact integer in-doc count — the per-doc sum is
+    * exact and order-free. Target/source token frequencies come from
+    * token-partitioned WINDOWS over the per-(doc, token) count table
+    * (the tfidf discipline — vocabulary never broadcasts; only the
+    * 3-scalar totals row does). Plan: one tokenize+explode, one
+    * (doc, token) aggregate, one token-keyed window exchange, one
+    * doc-keyed aggregate. */
+  def dsirWeights(
+      docs: DataFrame, targetCol: String,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(col("doc_id"), col(targetCol).as("__tgt"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("__tgt"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val totals = counted.agg(
+      sum(col("c")).cast("long").as("ns"),
+      sum(when(col("__tgt"), col("c")).otherwise(0L)).cast("long").as("nt"),
+      countDistinct(col("token")).cast("long").as("v"))
+    val wTok = Window.partitionBy(col("token"))
+    counted
+      .withColumn("fs", sum(col("c")).over(wTok).cast("long"))
+      .withColumn("ft",
+        sum(when(col("__tgt"), col("c")).otherwise(0L)).over(wTok)
+          .cast("long"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rm", expr(dsirRatioMicroSql))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * col("rm")).cast("long").as("s_micro"))
+      .withColumn("avg_log_ratio", expr(dsirAvgSql))
+  }
+
+  /** Micro-quantized ln p̂_t(w)/p̂_s(w) over (ft, fs, nt, ns, v) with
+    * add-1 smoothing — defined even for tokens absent from the target.
+    * Shared with the oracle. */
+  val dsirRatioMicroSql: String =
+    "CAST(round(1000000 * (ln((ft + 1) / CAST(nt + v AS DOUBLE)) - " +
+      "ln((fs + 1) / CAST(ns + v AS DOUBLE))), 0) AS BIGINT)"
+
+  /** Average log importance ratio over (s_micro, n_tokens). Shared
+    * with the oracle. */
+  val dsirAvgSql: String =
+    "CASE WHEN n_tokens > 0 THEN " +
+      "round(CAST(s_micro AS DOUBLE) / n_tokens / 1e6, 6) END"
 }

@@ -1382,6 +1382,15 @@ object ScaleSmoke {
             col("l_quantity").cast("long").as("q")),
         "l_returnflag", "m", "nc", "q"))
     }
+    time(s"r10c curation trio x${math.max(1, mult / 5)} (dsir/mmd/rp)") {
+      // dsir: the token window scales with vocab x docs; mmd/rp with
+      // vectors x dims — all shuffle-bounded, no broadcasts
+      drain(TextAnalysis.dsirWeights(
+        docs.withColumn("is_en", col("lang") === "en"), "is_en"))
+      drain(Similarity.mmdLinear(
+        emb.withColumn("a", pmod(col("vec_id"), lit(2L)) === 0L), "a"))
+      drain(Similarity.randomProjection(emb, k = 4))
+    }
     spark.stop()
   }
 }
