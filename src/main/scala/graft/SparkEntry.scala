@@ -5339,6 +5339,38 @@ object SparkEntry {
       // (i, j), so re-runs and the oracle materialize the same matrix.
       graft.operators.Similarity.randomProjection(
         table(s, dir, "embeddings"), k = 4)),
+    "q_local_clustering" -> ((s, dir) => {
+      // Which parts sit inside tight co-purchase cliques vs acting as
+      // bridges? Per-vertex clustering coefficient, top-20 by
+      // (cc, n_tri). Even-part sparsification (the adamicAdar caller
+      // discipline) — q_triangle_count already pays for the full graph.
+      val li = table(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
+    }),
+    "q_stream_zscore" -> ((s, dir) => {
+      // Streaming anomaly screen: each spend event judged against the
+      // PRIOR per-user moments (three-long state), then folded in.
+      // z/flag finish with the SAME shared SQL the window-replay
+      // oracle uses; single-file source = one microbatch = batch fold.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingZscore.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingZscore.zscore(ev).toDF(), "update")
+        .withColumn("z", expr(graft.streaming.StreamingZscore.zSql))
+        .withColumn("anomaly", expr("coalesce(abs(z) > 3, false)"))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -12115,6 +12147,49 @@ object SparkEntry {
          |SELECT vec_id, j, CAST(SUM(xq * sgn) AS BIGINT) AS y_q,
          |  round(CAST(SUM(xq * sgn) AS DOUBLE) / 4096, 6) AS y
          |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_local_clustering" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+         |                  CAST(b.l_partkey AS BIGINT) AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+         |d AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |x AS (
+         |  SELECT a AS id FROM t
+         |  UNION ALL SELECT b FROM t
+         |  UNION ALL SELECT c FROM t),
+         |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |  FROM x GROUP BY id),
+         |m AS (SELECT d.id, d.deg,
+         |    CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri
+         |  FROM d LEFT JOIN tc USING (id) WHERE d.deg > 1)
+         |SELECT id, deg, n_tri,
+         |  ${graft.operators.Graph.localCcSql} AS cc
+         |FROM m
+         |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_stream_zscore" ->
+      s"""WITH o AS (SELECT user_id AS key, epoch_ms(ts) AS ts_ms,
+         |    event_id AS tie, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |w AS (SELECT key, ts_ms, tie, x,
+         |    CAST(COUNT(*) OVER pw AS BIGINT) AS n_prior,
+         |    CAST(COALESCE(SUM(x) OVER pw, 0) AS BIGINT) AS sx_prior,
+         |    CAST(COALESCE(SUM(x * x) OVER pw, 0) AS BIGINT) AS sxx_prior
+         |  FROM o WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT key, ts_ms, tie, x, n_prior, sx_prior, sxx_prior,
+         |  ${graft.streaming.StreamingZscore.zSql} AS z,
+         |  coalesce(abs(${graft.streaming.StreamingZscore.zSql}) > 3, false)
+         |    AS anomaly
+         |FROM w""".stripMargin,
   )
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode

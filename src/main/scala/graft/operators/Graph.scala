@@ -854,4 +854,41 @@ object Graph {
        |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
        |FROM e$rounds GROUP BY src""".stripMargin
   }
+
+  /** Per-vertex local clustering coefficient — how close each vertex's
+    * neighborhood is to a clique: cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)).
+    * The node-level refinement of [[graphStats]]' global transitivity:
+    * high-cc low-deg vertices sit inside tight communities, low-cc
+    * high-deg vertices are bridges/hubs — the standard split for
+    * community seeding and hub detection. Degree-1 vertices (cc
+    * undefined) are excluded by contract. Top-K under the total order
+    * (cc desc, n_tri desc, id) via TakeOrdered, never a global sort.
+    *
+    * Plan: canonical edges localCheckpointed ONCE feed both the degree
+    * aggregate and the [[triangleCountsCanonical]] kernel (the
+    * graphStats reuse discipline); `maxDeg` passes through as the
+    * power-law hub valve with the same exact-subgraph semantics. */
+  def localClustering(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20, maxDeg: Long = Long.MaxValue): DataFrame = {
+    val cand = canonicalUndirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // feeds degrees AND the triangle kernel
+    val deg = cand.select(col("lo").as("id"))
+      .unionByName(cand.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+    val tri = triangleCountsCanonical(cand, maxDeg)
+      .select(col("id"), col("n_tri").cast("long").as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .filter(col("deg") > 1)
+      .withColumn("cc", expr(localCcSql))
+      .orderBy(col("cc").desc, col("n_tri").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** cc over (n_tri, deg); callers exclude deg ≤ 1 first. Shared with
+    * the oracle. */
+  val localCcSql: String =
+    "round(CAST(2 * n_tri AS DOUBLE) / " +
+      "(CAST(deg AS DOUBLE) * (deg - 1)), 6)"
 }

@@ -1382,6 +1382,23 @@ object ScaleSmoke {
             col("l_quantity").cast("long").as("q")),
         "l_returnflag", "m", "nc", "q"))
     }
+    time(s"r10c localClustering x${math.max(1, mult / 5)} (disjoint copies)") {
+      // same disjoint-copy co-purchase graph as the kTruss row: degree
+      // agg + the shared triangle kernel, one checkpointed edge frame
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_partkey") % 10 < 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      drain(graft.operators.Graph.localClustering(e, "src", "dst", 20))
+    }
     time(s"r10c curation trio x${math.max(1, mult / 5)} (dsir/mmd/rp)") {
       // dsir: the token window scales with vocab x docs; mmd/rp with
       // vectors x dims — all shuffle-bounded, no broadcasts
