@@ -5354,6 +5354,27 @@ object SparkEntry {
           col("b.l_partkey").cast("long").as("dst"))
       graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
     }),
+    "q_seasonal_decompose" -> ((s, dir) => {
+      // Classical additive decomposition of hourly spend: centered
+      // 2x24 MA trend, hour-of-day seasonal (centered), remainder.
+      // DOLLARS keep the micro-exact component sums double-safe.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      graft.operators.TimeSeries.classicalDecompose(
+        hourly, "event_type", "h", "v", period = 24)
+    }),
+    "q_seasonal_strength" -> ((s, dir) => {
+      // Is the hour-of-day cycle or the trend worth modeling? Hyndman
+      // variance-ratio strengths over the same decomposition.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      graft.operators.TimeSeries.seasonalStrength(
+        hourly, "event_type", "h", "v", period = 24)
+    }),
     "q_stream_zscore" -> ((s, dir) => {
       // Streaming anomaly screen: each spend event judged against the
       // PRIOR per-user moments (three-long state), then folded in.
@@ -12175,6 +12196,34 @@ object SparkEntry {
          |  ${graft.operators.Graph.localCcSql} AS cc
          |FROM m
          |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_seasonal_decompose" ->
+      s"""WITH $decomposeCtes
+         |SELECT event_type, h, v, phase, trend, seasonal, remainder
+         |FROM dc""".stripMargin,
+    "q_seasonal_strength" ->
+      s"""WITH $decomposeCtes,
+         |mi AS (SELECT event_type,
+         |    CAST(round(remainder * 1e6, 0) AS BIGINT) AS r_mi,
+         |    CAST(round(seasonal * 1e6, 0) AS BIGINT) +
+         |      CAST(round(remainder * 1e6, 0) AS BIGINT) AS sr_mi,
+         |    CAST(round(trend * 1e6, 0) AS BIGINT) +
+         |      CAST(round(remainder * 1e6, 0) AS BIGINT) AS tr_mi
+         |  FROM dc),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r_mi) AS BIGINT) AS s_r,
+         |    CAST(SUM(CAST(r_mi AS DECIMAL(38,0)) * r_mi)
+         |      AS DECIMAL(38,0)) AS q_r,
+         |    CAST(SUM(sr_mi) AS BIGINT) AS s_sr,
+         |    CAST(SUM(CAST(sr_mi AS DECIMAL(38,0)) * sr_mi)
+         |      AS DECIMAL(38,0)) AS q_sr,
+         |    CAST(SUM(tr_mi) AS BIGINT) AS s_tr,
+         |    CAST(SUM(CAST(tr_mi AS DECIMAL(38,0)) * tr_mi)
+         |      AS DECIMAL(38,0)) AS q_tr
+         |  FROM mi GROUP BY 1)
+         |SELECT event_type, n,
+         |  ${graft.operators.TimeSeries.strengthSql("sr")} AS f_seasonal,
+         |  ${graft.operators.TimeSeries.strengthSql("tr")} AS f_trend
+         |FROM g""".stripMargin,
     "q_stream_zscore" ->
       s"""WITH o AS (SELECT user_id AS key, epoch_ms(ts) AS ts_ms,
          |    event_id AS tie, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
@@ -12315,6 +12364,46 @@ object SparkEntry {
       |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
       |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Classical-decomposition replay over the hourly-dollars series,
+    * ending in `dc(event_type, h, v, phase, trend, seasonal,
+    * remainder)` — shared by q_seasonal_decompose and
+    * q_seasonal_strength. Mirrors TimeSeries.classicalDecompose at
+    * period = 24 exactly (2×24 MA, micro-rounded centered phase
+    * means). */
+  private lazy val decomposeCtes: String = {
+    import graft.operators.TimeSeries
+    s"""$hourlyDollarsCte,
+       |b AS (SELECT event_type, h, v,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |      AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nk,
+       |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+       |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+       |      AS s_wide,
+       |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h
+       |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS BIGINT)
+       |      AS s_narrow
+       |  FROM hd),
+       |f2 AS (SELECT event_type, h, v, s_wide + s_narrow AS t2p,
+       |    h % 24 AS phase, 48 * v - (s_wide + s_narrow) AS detr
+       |  FROM b WHERE rn > 12 AND rn + 12 <= nk),
+       |pm0 AS (SELECT event_type, phase,
+       |    CAST(SUM(detr) AS BIGINT) AS se_num,
+       |    CAST(COUNT(*) AS BIGINT) AS se_cnt
+       |  FROM f2 GROUP BY 1, 2),
+       |pm1 AS (SELECT event_type, phase,
+       |    ${TimeSeries.decompSeasMicroSql(24)} AS seas_micro FROM pm0),
+       |pm AS (SELECT event_type, phase, seas_micro -
+       |    CAST(round(avg(seas_micro) OVER (PARTITION BY event_type), 0)
+       |      AS BIGINT) AS s_eff
+       |  FROM pm1),
+       |dc AS (SELECT f2.event_type, h, v, CAST(phase AS BIGINT) AS phase,
+       |    ${TimeSeries.decompTrendSql(24)} AS trend,
+       |    round(CAST(s_eff AS DOUBLE) / 1e6, 6) AS seasonal,
+       |    ${TimeSeries.decompRemainderSql(24)} AS remainder
+       |  FROM f2 JOIN pm USING (event_type, phase))""".stripMargin
+  }
 
   /** Hourly spend in whole DOLLARS per event type — the stationarity /
     * normality oracles (kpss / dickey_fuller / anderson_darling) use

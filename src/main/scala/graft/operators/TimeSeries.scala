@@ -1825,6 +1825,129 @@ object TimeSeries {
       .withColumn("syy", col("syy").cast("string"))
   }
 
+  /** Classical additive seasonal decomposition per key (the
+    * statsmodels `seasonal_decompose` contract): trend = centered
+    * 2×period moving average, seasonal = mean detrended value per
+    * phase (bucket mod period) CENTERED to sum ≈ 0 across phases,
+    * remainder = v − trend − seasonal. Rows without a full trend
+    * window (the first/last period/2 buckets) drop — the standard
+    * edge convention. Requires an EVEN period (the 2×p MA handles the
+    * half-weights exactly: t2p = wide(p+1) + narrow(p−1) integer sums,
+    * trend = t2p/2p with ONE division).
+    *
+    * Exactness: the detrended value is held as the exact long
+    * 2p·v − t2p; per-phase means round ONCE to micro units; the
+    * centering adjustment is the rounded phase-mean average. Every
+    * output double is a deterministic chain over exact longs.
+    *
+    * Plan: the two rolling sums + row gates ride one key-hashed sort;
+    * the phase means are a (key, phase) aggregate + join back — the
+    * per-key series is the caller's bucket granularity, phases are
+    * `period` rows per key. */
+  def classicalDecompose(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, period: Int = 24): DataFrame = {
+    require(period > 1 && period % 2 == 0,
+      s"period must be even and > 1 (2xp centered MA): $period")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wKey = Window.partitionBy(col(keyCol))
+    val base = perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("nk", count(lit(1)).over(wKey).cast("long"))
+      .withColumn("s_wide",
+        sum(col("v")).over(wOrd.rowsBetween(-half, half)).cast("long"))
+      .withColumn("s_narrow",
+        sum(col("v")).over(wOrd.rowsBetween(-(half - 1), half - 1))
+          .cast("long"))
+      .filter(col("rn") > half && col("rn") + half <= col("nk"))
+      .withColumn("t2p", col("s_wide") + col("s_narrow"))
+      .withColumn("phase", pmod(col(bucketCol), lit(period.toLong)))
+      .withColumn("detr_x2p", lit(2L * period) * col("v") - col("t2p"))
+    val pm = base.groupBy(col(keyCol), col("phase"))
+      .agg(sum(col("detr_x2p")).cast("long").as("se_num"),
+        count(lit(1)).cast("long").as("se_cnt"))
+      .withColumn("seas_micro", expr(decompSeasMicroSql(period)))
+      .withColumn("adj_micro", expr(
+        s"CAST(round(avg(seas_micro) OVER (PARTITION BY $keyCol), 0)" +
+          " AS BIGINT)"))
+      .withColumn("s_eff", col("seas_micro") - col("adj_micro"))
+    base.join(pm.select(col(keyCol), col("phase"), col("s_eff")),
+        Seq(keyCol, "phase"))
+      .withColumn("trend", expr(decompTrendSql(period)))
+      .withColumn("seasonal",
+        expr("round(CAST(s_eff AS DOUBLE) / 1e6, 6)"))
+      .withColumn("remainder", expr(decompRemainderSql(period)))
+      .select(col(keyCol), col(bucketCol), col("v"), col("phase"),
+        col("trend"), col("seasonal"), col("remainder"))
+  }
+
+  /** Centered 2×p MA over t2p. Shared with the oracle. */
+  def decompTrendSql(p: Int): String =
+    s"round(CAST(t2p AS DOUBLE) / ${2 * p}, 6)"
+
+  /** Micro-rounded phase mean of the exact detrended 2p·v − t2p.
+    * Shared with the oracle. */
+  def decompSeasMicroSql(p: Int): String =
+    s"CAST(round(1000000 * CAST(se_num AS DOUBLE) / (${2 * p} * se_cnt)," +
+      " 0) AS BIGINT)"
+
+  /** remainder = v − trend − seasonal over exact (v, t2p, s_eff).
+    * Shared with the oracle. */
+  def decompRemainderSql(p: Int): String =
+    s"round(CAST(v AS DOUBLE) - CAST(t2p AS DOUBLE) / ${2 * p} - " +
+      "CAST(s_eff AS DOUBLE) / 1e6, 6)"
+
+  /** Hyndman seasonal/trend strength per key over the
+    * [[classicalDecompose]] output: F_seasonal = max(0, 1 −
+    * Var(R)/Var(S+R)), F_trend = max(0, 1 − Var(R)/Var(T+R)) — the
+    * "is this series worth a seasonal model?" triage that turns a
+    * decomposition into one scheduling decision per metric. Component
+    * values are micro-exact BY CONSTRUCTION (round-6 doubles), so the
+    * variance moments accumulate as exact longs/decimals; one double
+    * chain per ratio at the end. Feed series in units that keep
+    * component² sums inside 2⁵³ (dollars for warehouse spend) so the
+    * decimal→double casts stay exact. */
+  def seasonalStrength(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, period: Int = 24): DataFrame = {
+    val d = classicalDecompose(perBucket, keyCol, bucketCol, valCol, period)
+      .withColumn("r_mi",
+        expr("CAST(round(remainder * 1e6, 0) AS BIGINT)"))
+      .withColumn("sr_mi",
+        expr("CAST(round(seasonal * 1e6, 0) AS BIGINT) + " +
+          "CAST(round(remainder * 1e6, 0) AS BIGINT)"))
+      .withColumn("tr_mi",
+        expr("CAST(round(trend * 1e6, 0) AS BIGINT) + " +
+          "CAST(round(remainder * 1e6, 0) AS BIGINT)"))
+    d.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("r_mi")).cast("long").as("s_r"),
+        sum(col("r_mi").cast("decimal(38,0)") * col("r_mi"))
+          .cast("decimal(38,0)").as("q_r"),
+        sum(col("sr_mi")).cast("long").as("s_sr"),
+        sum(col("sr_mi").cast("decimal(38,0)") * col("sr_mi"))
+          .cast("decimal(38,0)").as("q_sr"),
+        sum(col("tr_mi")).cast("long").as("s_tr"),
+        sum(col("tr_mi").cast("decimal(38,0)") * col("tr_mi"))
+          .cast("decimal(38,0)").as("q_tr"))
+      .withColumn("f_seasonal", expr(strengthSql("sr")))
+      .withColumn("f_trend", expr(strengthSql("tr")))
+      .select(col(keyCol), col("n"), col("f_seasonal"), col("f_trend"))
+  }
+
+  /** max(0, 1 − Var(r)/Var(x)) over the micro-moment row; NULL when
+    * the component series is flat. Shared with the oracle. */
+  def strengthSql(x: String): String = {
+    def v(p: String) =
+      s"(CAST(q_$p AS DOUBLE) - CAST(s_$p AS DOUBLE) * " +
+        s"(CAST(s_$p AS DOUBLE) / n))"
+    s"CASE WHEN ${v(x)} > 0 THEN " +
+      s"round(greatest(0, 1 - ${v("r")} / ${v(x)}), 6) END"
+  }
+
   private val dfSxxCSql =
     "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / m))"
   private val dfSxyCSql =

@@ -1367,6 +1367,8 @@ object ScaleSmoke {
         .localCheckpoint(true)
       drain(TimeSeries.kpss(dollars, "event_type", "h", "v"))
       drain(TimeSeries.dickeyFuller(dollars, "event_type", "h", "v"))
+      drain(TimeSeries.classicalDecompose(dollars, "event_type", "h", "v"))
+      drain(TimeSeries.seasonalStrength(dollars, "event_type", "h", "v"))
       drain(Normalize.andersonDarling(dollars, "event_type", "v"))
       drain(Profiling.binomialTest(
         events.withColumn("s", pmod(col("user_id"), lit(2L)) === 0L),

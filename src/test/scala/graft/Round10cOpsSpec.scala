@@ -104,6 +104,37 @@ class Round10cOpsSpec extends SparkFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
   }
 
+  test("classicalDecompose: linear trend + exact period-4 cycle recovered") {
+    // v_t = 10t + s(t%4), s = [0, 8, -4, -4]: the 2x4 MA recovers the
+    // line exactly, phase means recover s, remainder is identically 0
+    val s4 = Seq(0L, 8L, -4L, -4L)
+    val vs = (0 until 12).map(t => 10L * t + s4(t % 4))
+    val out = TimeSeries.classicalDecompose(
+      series(vs), "k", "b", "v", period = 4).orderBy("b").collect()
+    assert(out.map(_.getAs[Long]("b")).toSeq == (2L to 9L))
+    assert(out.map(_.getAs[Double]("trend")).toSeq ==
+      (2 to 9).map(_ * 10.0))
+    assert(out.map(_.getAs[Double]("seasonal")).toSeq ==
+      (2 to 9).map(t => s4(t % 4).toDouble))
+    assert(out.forall(_.getAs[Double]("remainder") == 0.0))
+  }
+
+  test("seasonalStrength: exact cycle scores 1.0; noise scores low") {
+    val s4 = Seq(0L, 8L, -4L, -4L)
+    val clean = (0 until 12).map(t => 10L * t + s4(t % 4))
+    val r = TimeSeries.seasonalStrength(
+      series(clean), "k", "b", "v", period = 4).head()
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("f_seasonal") == 1.0)
+    assert(r.getAs[Double]("f_trend") == 1.0)
+    // alternating noise, no period-4 structure beyond its own variance
+    val noise = Seq(5L, -3L, 7L, -1L, 2L, 9L, -4L, 6L, 0L, 3L, -2L, 8L)
+    val rn = TimeSeries.seasonalStrength(
+      series(noise), "k", "b", "v", period = 4).head()
+    val fs = rn.getAs[Double]("f_seasonal")
+    assert(fs >= 0.0 && fs <= 1.0)
+  }
+
   test("atr: true range sees inter-bar gaps; pinned rolling means") {
     val bars = Seq(("k", 0L, 10L, 5L, 8L), ("k", 1L, 9L, 8L, 7L),
       ("k", 2L, 20L, 6L, 12L))
