@@ -5354,6 +5354,33 @@ object SparkEntry {
           col("b.l_partkey").cast("long").as("dst"))
       graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
     }),
+    "q_macd" -> ((s, dir) => {
+      // Momentum turns in hourly spend: truncated-window EMA12-EMA26
+      // with an EMA9 signal line and sign-flip crossover labels —
+      // the ewma kernel's proven cross-engine fold, three spans.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.macd(hourly, "event_type", "h", "v")
+    }),
+    "q_hhi" -> ((s, dir) =>
+      // How concentrated is spend within each event type across users?
+      // Herfindahl index + dominant share — the mix-concentration twin
+      // of q_gini's inequality curve.
+      graft.operators.Eval.hhi(
+        table(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "user_id", "cents")),
+    "q_chain_entropy" -> ((s, dir) =>
+      // Is the next click predictable from the current page? H(next |
+      // current) vs the marginal H(current) over the per-user ordered
+      // event-type chain — the one-row "is a sequence model worth it".
+      graft.operators.Sessionize.chainEntropy(
+        table(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts"))))),
     "q_seasonal_decompose" -> ((s, dir) => {
       // Classical additive decomposition of hourly spend: centered
       // 2x24 MA trend, hour-of-day seasonal (centered), remainder.
@@ -12196,6 +12223,84 @@ object SparkEntry {
          |  ${graft.operators.Graph.localCcSql} AS cc
          |FROM m
          |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_macd" ->
+      s"""WITH $hourlySpendCte,
+         |w1 AS (SELECT event_type, h, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS rn,
+         |    list(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type
+         |      ORDER BY h ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS vs
+         |  FROM hb),
+         |m AS (SELECT event_type, h, v, rn,
+         |    round(${graft.operators.TimeSeries.emaFoldDuckSql("vs",
+              graft.operators.TimeSeries.emaAlpha(12))} -
+         |      ${graft.operators.TimeSeries.emaFoldDuckSql("vs",
+              graft.operators.TimeSeries.emaAlpha(26))}, 6) AS macd
+         |  FROM w1),
+         |m2 AS (SELECT event_type, h, v, rn, macd,
+         |    list(macd) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS ms
+         |  FROM m),
+         |sg AS (SELECT event_type, h, v, rn, macd,
+         |    round(${graft.operators.TimeSeries.emaFoldDuckSql("ms",
+              graft.operators.TimeSeries.emaAlpha(9))}, 6) AS signal
+         |  FROM m2),
+         |hh AS (SELECT event_type, h, v, rn, macd, signal,
+         |    ${graft.operators.TimeSeries.macdHistSql} AS histogram
+         |  FROM sg),
+         |cc AS (SELECT *, lag(histogram) OVER (PARTITION BY event_type
+         |    ORDER BY h) AS __ph FROM hh)
+         |SELECT event_type, h, v, macd, signal, histogram,
+         |  ${graft.operators.TimeSeries.macdCrossSql} AS crossover
+         |FROM cc WHERE rn >= 26""".stripMargin,
+    "q_hhi" ->
+      s"""WITH f AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, c,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+         |  FROM f),
+         |tm AS (SELECT event_type, c, t,
+         |    ${graft.operators.Eval.hhiTermNanoSql} AS term FROM w),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_firms,
+         |    CAST(MAX(t) AS BIGINT) AS total,
+         |    CAST(SUM(term) AS BIGINT) AS s_nano,
+         |    CAST(MAX(c) AS BIGINT) AS top_c
+         |  FROM tm GROUP BY 1)
+         |SELECT event_type, n_firms, total, s_nano, top_c,
+         |  ${graft.operators.Eval.hhiSql} AS hhi,
+         |  CASE WHEN total > 0 THEN
+         |    round(CAST(top_c AS DOUBLE) / total, 6) END AS top_share
+         |FROM g""".stripMargin,
+    "q_chain_entropy" ->
+      s"""WITH s AS (SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS to_type
+         |  FROM events),
+         |cells AS (SELECT event_type AS from_type, to_type,
+         |    CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |cw AS (SELECT from_type, to_type, nij,
+         |    CAST(SUM(nij) OVER (PARTITION BY from_type) AS BIGINT) AS ni
+         |  FROM cells),
+         |ct AS (SELECT nij,
+         |    ${graft.operators.Sessionize.condTermMicroSql} AS t_cond
+         |  FROM cw),
+         |ca AS (SELECT CAST(SUM(nij) AS BIGINT) AS n_transitions,
+         |    CAST(SUM(t_cond) AS BIGINT) AS s_cond_micro FROM ct),
+         |mg AS (SELECT from_type, CAST(MAX(ni) AS BIGINT) AS ni
+         |  FROM cw GROUP BY 1),
+         |mt AS (SELECT ni,
+         |    ${graft.operators.Sessionize.margTermMicroSql} AS t_marg
+         |  FROM mg),
+         |ma AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+         |    CAST(SUM(t_marg) AS BIGINT) AS s_marg_micro FROM mt)
+         |SELECT n_transitions, n_states,
+         |  round(-CAST(s_cond_micro AS DOUBLE) / n_transitions / 1e6, 6)
+         |    AS h_cond_bits,
+         |  round(-CAST(s_marg_micro AS DOUBLE) / n_transitions / 1e6, 6)
+         |    AS h_marginal_bits
+         |FROM ca CROSS JOIN ma""".stripMargin,
     "q_seasonal_decompose" ->
       s"""WITH $decomposeCtes
          |SELECT event_type, h, v, phase, trend, seasonal, remainder

@@ -1660,4 +1660,46 @@ object Eval {
       s"round($e * $e * $h / (2 * $s2 * nullif((1 - $h) * (1 - $h), 0))" +
       ", 6) END"
   }
+
+  /** Herfindahl–Hirschman concentration index per market — the
+    * antitrust-standard scalar [[gini]]'s rank curve summarizes
+    * differently: HHI = Σ share², 1/n_firms (perfect split) → 1
+    * (monopoly); reported with the dominant share. The supplier/
+    * source-concentration check for any mix dashboard (DOJ thresholds
+    * 0.15/0.25 quoted in points×10⁴).
+    *
+    * Exact: firm totals are integer sums; each share² is NANO-
+    * quantized before the cross-firm sum. Two same-key aggregates on
+    * one exchange (firm rollup, then market rollup). */
+  def hhi(
+      df: DataFrame, marketCol: String, firmCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firm = df.groupBy(col(marketCol), col(firmCol))
+      .agg(sum(col(valCol).cast("long")).cast("long").as("c"))
+      .withColumn("t", sum(col("c")).over(
+        Window.partitionBy(col(marketCol))).cast("long"))
+      .withColumn("term", expr(hhiTermNanoSql))
+    firm.groupBy(col(marketCol))
+      .agg(count(lit(1)).cast("long").as("n_firms"),
+        max(col("t")).as("total"),
+        sum(col("term")).cast("long").as("s_nano"),
+        max(col("c")).cast("long").as("top_c"))
+      .withColumn("hhi", expr(hhiSql))
+      .withColumn("top_share", expr(
+        "CASE WHEN total > 0 THEN " +
+          "round(CAST(top_c AS DOUBLE) / total, 6) END"))
+  }
+
+  /** Nano-quantized share² over (c, t); NULL on an empty market
+    * (zero total). Shared with the oracle. */
+  val hhiTermNanoSql: String =
+    "CASE WHEN t > 0 THEN " +
+      "CAST(round(1000000000 * (CAST(c AS DOUBLE) / t) * " +
+      "(CAST(c AS DOUBLE) / t), 0) AS BIGINT) END"
+
+  /** HHI over (s_nano). Shared with the oracle. */
+  val hhiSql: String =
+    "CASE WHEN s_nano IS NOT NULL THEN " +
+      "round(CAST(s_nano AS DOUBLE) / 1e9, 6) END"
 }

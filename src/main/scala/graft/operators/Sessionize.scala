@@ -614,4 +614,66 @@ object Sessionize {
         count(lit(1)).cast("long").as("n_streaks"),
         max(col("len")).as("longest_streak"))
   }
+
+  /** Conditional entropy of the first-order navigation chain —
+    * H(next | current) in bits over [[markovTransitions]]' counts,
+    * with the marginal H(current) alongside: how predictable the next
+    * step is GIVEN where the user stands vs how spread the states are
+    * at all. H_cond ≈ 0 = deterministic funnels; H_cond ≈ H_marginal
+    * = navigation is memoryless noise and the transition matrix adds
+    * nothing. The one-row summary that says whether sequence models
+    * are worth running on this clickstream.
+    *
+    * Exact: each cell contributes n_ij·round(10⁶·log2(n_ij/n_i)) —
+    * integer-times-rounded-log longs, order-free; marginals likewise
+    * from the from-state rollup. The transition table is |types|²
+    * rows, so everything after the pair count is a scalar job. */
+  def chainEntropy(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("nij"))
+      .withColumn("ni", sum(col("nij")).over(
+        Window.partitionBy(col("from_type"))).cast("long"))
+      .withColumn("t_cond", expr(condTermMicroSql))
+    val marg = cells.groupBy(col("from_type"))
+      .agg(max(col("ni")).as("ni"))
+      .withColumn("t_marg", expr(margTermMicroSql))
+    val condAgg = cells.agg(
+      sum(col("nij")).cast("long").as("n_transitions"),
+      sum(col("t_cond")).cast("long").as("s_cond_micro"))
+    val margAgg = marg.agg(
+      count(lit(1)).cast("long").as("n_states"),
+      sum(col("t_marg")).cast("long").as("s_marg_micro"))
+    condAgg.crossJoin(margAgg)
+      .withColumn("h_cond_bits", expr(
+        "round(-CAST(s_cond_micro AS DOUBLE) / n_transitions / 1e6, 6)"))
+      .withColumn("h_marginal_bits", expr(
+        "round(-CAST(s_marg_micro AS DOUBLE) / n_transitions / 1e6, 6)"))
+      .select(col("n_transitions"), col("n_states"),
+        col("h_cond_bits"), col("h_marginal_bits"))
+  }
+
+  /** Per-cell n_ij·round(10⁶·log2(n_ij/n_i)). Shared with the
+    * oracle. */
+  val condTermMicroSql: String =
+    "nij * CAST(round(1000000 * log2(CAST(nij AS DOUBLE) / ni), 0)" +
+      " AS BIGINT)"
+
+  /** Per-from-state marginal term n_i·round(10⁶·log2(n_i/N)) — N is
+    * the summed marginal, spliced by the caller as a window/aggregate.
+    * Here the grand total arrives via SUM OVER () in both engines. */
+  val margTermMicroSql: String =
+    "ni * CAST(round(1000000 * log2(CAST(ni AS DOUBLE) / " +
+      "sum(ni) OVER ()), 0) AS BIGINT)"
 }

@@ -149,6 +149,86 @@ object TimeSeries {
         ).as("ewma"))
   }
 
+  /** MACD over the truncated-window EMA kernel ([[ewma]]'s fold — the
+    * recursion-free form both engines can replay): macd = EMA_fast −
+    * EMA_slow (spans 12/26, α = 2/(span+1)), signal = EMA_signal of
+    * the macd series, histogram = macd − signal, and the crossover
+    * label where the histogram changes sign — the classic momentum
+    * turn detector. Rows before `slow` observations drop (truncated
+    * EMAs are defined earlier but biased — the standard warm-up).
+    *
+    * Determinism: both EMAs fold ONE collected window (one sort); the
+    * signal line folds a second window of the ROUND-6 macd values; all
+    * constants splice from the same Scala doubles into both engines'
+    * texts, and the left-to-right fold is the ewma kernel's proven
+    * cross-engine contract. Crossovers compare rounded doubles to 0 —
+    * exact.
+    *
+    * Plan: two same-sort windows + one lag on one key-hashed exchange;
+    * per-key series is the caller's bucket granularity, window state
+    * bounded by `lookback`. */
+  def macd(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, fast: Int = 12, slow: Int = 26,
+      signalSpan: Int = 9, lookback: Int = 60): DataFrame = {
+    require(fast < slow, s"fast span must be < slow: $fast vs $slow")
+    require(lookback >= slow, s"lookback must cover slow: $lookback")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wRoll = wOrd.rowsBetween(-(lookback - 1), 0)
+    val staged = perBucket
+      .select(col(keyCol), col(bucketCol), col(valueCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("__vs", collect_list(col("v").cast("double")).over(wRoll))
+      .withColumn("macd", expr(
+        s"round(${emaFoldSparkSql("__vs", emaAlpha(fast))} - " +
+          s"${emaFoldSparkSql("__vs", emaAlpha(slow))}, 6)"))
+      .withColumn("__ms", collect_list(col("macd")).over(wRoll))
+      .withColumn("signal",
+        expr(s"round(${emaFoldSparkSql("__ms", emaAlpha(signalSpan))}, 6)"))
+      .withColumn("histogram", expr(macdHistSql))
+      .withColumn("__ph", lag(col("histogram"), 1).over(wOrd))
+      .withColumn("crossover", expr(macdCrossSql))
+    staged.filter(col("rn") >= slow)
+      .select(col(keyCol), col(bucketCol), col("v"), col("macd"),
+        col("signal"), col("histogram"), col("crossover"))
+  }
+
+  /** α = 2/(span+1), spliced as the SAME Scala double into both
+    * engines' fold texts. */
+  def emaAlpha(span: Int): Double = 2.0 / (span + 1)
+
+  /** Spark-side truncated-EMA fold over a collected double list —
+    * the [[ewma]] kernel parameterized by column and α. */
+  def emaFoldSparkSql(listCol: String, alpha: Double): String = {
+    val d = 1.0 - alpha
+    s"""(aggregate(
+       |    zip_with($listCol, sequence(1, size($listCol)),
+       |      (x, i) -> x * pow($d, size($listCol) - i)),
+       |    0D, (a, x) -> a + x) /
+       |  ((1D - pow($d, size($listCol))) / $alpha))""".stripMargin
+  }
+
+  /** DuckDB-side twin of [[emaFoldSparkSql]] (list_transform/list_sum —
+    * the q_ewma-proven pairing). */
+  def emaFoldDuckSql(listCol: String, alpha: Double): String = {
+    val d = 1.0 - alpha
+    s"(list_sum(list_transform($listCol, (x, i) -> " +
+      s"x * pow($d, len($listCol) - i))) / " +
+      s"((1 - pow($d, len($listCol))) / $alpha))"
+  }
+
+  /** histogram over the ROUNDED (macd, signal). Shared with the
+    * oracle. */
+  val macdHistSql: String = "round(macd - signal, 6)"
+
+  /** Crossover label over (histogram, __ph): sign change only, NULL
+    * elsewhere and on the first row. Shared with the oracle. */
+  val macdCrossSql: String =
+    "CASE WHEN __ph IS NULL THEN NULL " +
+      "WHEN __ph <= 0 AND histogram > 0 THEN 'bullish' " +
+      "WHEN __ph >= 0 AND histogram < 0 THEN 'bearish' END"
+
   /** Exact rolling median over each key's last `windowRows` ordered bucket
     * observations (interpolated/quantile_cont semantics: even frames
     * average the two middle values). Spark has no percentile WINDOW

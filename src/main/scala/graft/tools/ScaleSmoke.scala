@@ -1359,6 +1359,13 @@ object ScaleSmoke {
       drain(TimeSeries.atr(TimeSeries.ohlcBars(
         ev, "event_type", "ms", "event_id", "cents", 21600000L),
         "event_type", "bar_start_ms", 8))
+      drain(TimeSeries.macd(hourly, "event_type", "h", "v"))
+      drain(graft.operators.Eval.hhi(
+        events.select(col("event_type"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "user_id", "cents"))
+      drain(graft.operators.Sessionize.chainEntropy(
+        events.withColumn("ts_ms", unix_millis(col("ts")))))
     }
     time(s"r10c stationarity+rates x$mult (kpss/df/ad/binom/poisson)") {
       val dollars = events.groupBy(col("event_type"),
