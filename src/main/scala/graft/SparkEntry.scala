@@ -5354,6 +5354,41 @@ object SparkEntry {
           col("b.l_partkey").cast("long").as("dst"))
       graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
     }),
+    "q_by_fdr" -> ((s, dir) => {
+      // The same 150 per-user rate-change tests as q_bh_fdr, but
+      // Benjamini-Yekutieli corrected — valid under ARBITRARY test
+      // dependence (the H_m-penalized threshold).
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2"))
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      Profiling.byFdr(perUser, Seq("user_id"), "p", qPpm = 100000L)
+    }),
+    "q_wav_activity" -> ((s, dir) => {
+      // Voice-activity segments over the decoded frame-energy stream:
+      // a GATED saw tone (every third 200-sample frame silenced) gives
+      // real on/off structure; segment membership is the exact integer
+      // compare sumsq > T^2*n, islands by frame - row_number.
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthesizeWavGated(
+            freqHz = (100 + id % 400).toInt,
+            nSamples = (500 + nc % 500).toInt))
+        })
+        .toDF("doc_id", "content")
+      Multimodal.activitySegments(
+        Multimodal.wavFrameEnergy(media, frameLen = 200).toDF(),
+        thresholdAmp = 16384L)
+    }),
     "q_macd" -> ((s, dir) => {
       // Momentum turns in hourly spend: truncated-window EMA12-EMA26
       // with an EMA9 signal line and sign-flip crossover labels —
@@ -12223,6 +12258,56 @@ object SparkEntry {
          |  ${graft.operators.Graph.localCcSql} AS cc
          |FROM m
          |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_by_fdr" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(SUM(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2 FROM events GROUP BY 1),
+         |zt AS (SELECT user_id, n1, n2,
+         |    round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)
+         |      AS z FROM pu),
+         |pt AS (SELECT *, round(${graft.operators.Profiling.normalPSql("z")}, 6)
+         |    AS p FROM zt),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, user_id)
+         |      AS BIGINT) AS p_rank,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests FROM pt),
+         |r2 AS (SELECT *, CAST(SUM(CAST(round(1000000.0 / p_rank, 0)
+         |      AS BIGINT)) OVER () AS BIGINT) AS hm_micro FROM r),
+         |ks AS (SELECT CAST(COALESCE(MAX(CASE WHEN p * m_tests * hm_micro
+         |      <= p_rank * 100000 THEN p_rank END), 0) AS BIGINT) AS k_star
+         |  FROM r2)
+         |SELECT user_id, n1, n2, z, p, p_rank, m_tests, hm_micro, k_star,
+         |  (p_rank <= k_star) AS rejected
+         |FROM r2, ks""".stripMargin,
+    "q_wav_activity" ->
+      // replays the GATED saw synthesis sample-by-sample (the
+      // synthesizeWavGated formula), folds exact frame sums, then the
+      // same integer threshold + gaps-and-islands segmentation
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS freq,
+        |    500 + n_chars % 500 AS n FROM documents),
+        |s AS (SELECT doc_id, freq, unnest(range(0, n)) AS i FROM p),
+        |v AS (SELECT doc_id, i // 200 AS frame,
+        |    CASE WHEN (i // 200) % 3 = 0 THEN 0
+        |      ELSE ((i * freq) % 8000) * 65536 // 8000 - 32768 END AS x
+        |  FROM s),
+        |f AS (SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(x * x) AS BIGINT) AS sumsq
+        |  FROM v GROUP BY 1, 2),
+        |a AS (SELECT *, frame - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame) AS isl
+        |  FROM f WHERE sumsq > 268435456 * n_samples),
+        |g AS (SELECT doc_id, isl,
+        |    CAST(MIN(frame) AS BIGINT) AS start_frame,
+        |    CAST(MAX(frame) AS BIGINT) AS end_frame,
+        |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+        |    CAST(SUM(sumsq) AS BIGINT) AS sumsq
+        |  FROM a GROUP BY 1, 2)
+        |SELECT doc_id, start_frame, end_frame, n_frames, n_samples,
+        |  sumsq, round(sqrt(CAST(sumsq AS DOUBLE) / n_samples), 6) AS rms
+        |FROM g""".stripMargin,
     "q_macd" ->
       s"""WITH $hourlySpendCte,
          |w1 AS (SELECT event_type, h, v,

@@ -138,6 +138,69 @@ object Multimodal {
     bb.array()
   }
 
+  /** [[synthesizeWavSaw]] with a frame gate: every sample whose
+    * 200-sample frame index satisfies `(i div 200) % gateMod == 0` is
+    * SILENCED — a deterministic speech-pause stand-in that gives the
+    * activity segmenter real on/off structure. Same pure-int64 sample
+    * formula (SQL-replayable); PINNED by the q_wav_activity oracle —
+    * change them only together. */
+  def synthesizeWavGated(
+      freqHz: Int,
+      nSamples: Int,
+      gateMod: Int = 3,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(gateMod > 1, s"gateMod must be > 1: $gateMod")
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val gated = (i / 200) % gateMod == 0
+      val phase = (i.toLong * freqHz) % sampleRate
+      bb.putShort(
+        if (gated) 0 else (phase * 65536L / sampleRate - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Voice-activity segments over a [[wavFrameEnergy]] frame table —
+    * gaps-and-islands on the frames whose energy clears the amplitude
+    * threshold: the compare is the EXACT integer
+    * `sumsq > thresholdAmp²·n_samples` (rms > T without the sqrt), so
+    * no float can flip a frame's membership. Per segment: frame span,
+    * exact energy sums, rms. The silence-trim / VAD gating step the
+    * frame-energy scaladoc promises downstream.
+    *
+    * Plan: filter + one key-ordered window + one (doc, island)
+    * aggregate — a single doc-hashed exchange over frame rows. */
+  def activitySegments(
+      frames: DataFrame, thresholdAmp: Long = 16384L): DataFrame = {
+    require(thresholdAmp > 0, s"thresholdAmp must be positive: $thresholdAmp")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    frames
+      .filter(col("sumsq") >
+        lit(thresholdAmp * thresholdAmp) * col("n_samples"))
+      .withColumn("__isl", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("frame")).cast("long").as("start_frame"),
+        max(col("frame")).cast("long").as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"),
+        sum(col("n_samples")).cast("long").as("n_samples"),
+        sum(col("sumsq")).cast("long").as("sumsq"))
+      .drop("__isl")
+      .withColumn("rms",
+        round(sqrt(col("sumsq").cast("double") / col("n_samples")), 6))
+  }
+
   /** RIFF/PCM parser: walks the chunk list (even-padded), requires
     * format = 1 (PCM) at 16 bits, scans the data chunk once for amplitude
     * stats. Tolerant contract like ElbLogParser: malformed/truncated/

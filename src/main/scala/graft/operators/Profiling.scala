@@ -1207,6 +1207,41 @@ object Profiling {
       .drop("__pass")
   }
 
+  /** Benjamini–Yekutieli FDR control — [[bhFdr]] hardened for
+    * ARBITRARY dependence between the tests (BH's guarantee needs
+    * positive dependence; correlated per-segment tests on overlapping
+    * traffic violate it): the BH threshold divides by the harmonic
+    * number H_m, i.e. reject tests 1..k* with k* the largest k where
+    * p_(k) ≤ k·q/(m·H_m). H_m is held as the DEFINED quantity
+    * Σ round(10⁶/i) — both engines compute the identical integer, so
+    * the decision inequality (evaluated over exact-double products
+    * < 2⁵³) can never split. Same m-row test-table contract as bhFdr:
+    * the global windows run over segments, not events. */
+  def byFdr(
+      df: DataFrame, keyCols: Seq[String], pCol: String,
+      qPpm: Long = 100000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col(pCol) +: keyCols.map(col): _*)
+    val wAll = Window.partitionBy()
+    val ranked = df
+      .withColumn("p_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("hm_micro",
+        sum(expr("CAST(round(1000000.0 / p_rank, 0) AS BIGINT)"))
+          .over(wAll).cast("long"))
+      .withColumn("__pass",
+        // p ≤ k·q/(m·H_m) ⟺ p·m·(hm_micro/10⁶)·10⁶ ≤ k·qPpm
+        col(pCol) * col("m_tests") * col("hm_micro") <=
+          col("p_rank").cast("double") * qPpm)
+    val kStar = ranked
+      .agg(coalesce(max(when(col("__pass"), col("p_rank"))), lit(0L))
+        .as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("rejected", col("p_rank") <= col("k_star"))
+      .drop("__pass")
+  }
+
   /** KMV set algebra — the payoff of the order-statistics sketch
     * ([[kmvDistinct]]): two audiences' distinct-sketches combine WITHOUT
     * rescanning either side. The k smallest hashes of A∪B are a uniform

@@ -1408,6 +1408,29 @@ object ScaleSmoke {
           col("b.l_partkey").cast("long").as("dst"))
       drain(graft.operators.Graph.localClustering(e, "src", "dst", 20))
     }
+    time(s"r10c wavActivity+byFdr x${math.max(1, mult / 5)}/x$mult") {
+      // gated-wav decode fans docs to frames (bounded per doc); byFdr's
+      // global windows run over the USER test table, not events
+      import spark.implicits._
+      val media = docs.select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, graft.operators.Multimodal.synthesizeWavGated(
+            freqHz = (100 + id % 400).toInt,
+            nSamples = (500 + nc % 500).toInt))
+        }).toDF("doc_id", "content")
+      drain(graft.operators.Multimodal.activitySegments(
+        graft.operators.Multimodal.wavFrameEnergy(media, 200).toDF()))
+      val perUser = events.groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2"))
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      drain(Profiling.byFdr(perUser, Seq("user_id"), "p"))
+    }
     time(s"r10c curation trio x${math.max(1, mult / 5)} (dsir/mmd/rp)") {
       // dsir: the token window scales with vocab x docs; mmd/rp with
       // vectors x dims — all shuffle-bounded, no broadcasts

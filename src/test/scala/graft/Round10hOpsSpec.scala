@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Multimodal, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Round-10 continuation: voice-activity segmentation over the frame
+  * energies (exact integer threshold + gaps-and-islands) and the
+  * Benjamini–Yekutieli dependence-robust FDR variant. */
+class Round10hOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("activitySegments: islands split on quiet frames, exact sums") {
+    // threshold 10: active <=> sumsq > 100*n; n=4 per frame
+    val frames = Seq((1L, 0L, 4L, 500L), (1L, 1L, 4L, 600L),
+      (1L, 2L, 4L, 100L), (1L, 3L, 4L, 900L), (1L, 4L, 4L, 50L),
+      (1L, 5L, 4L, 401L))
+      .toDF("doc_id", "frame", "n_samples", "sumsq")
+    val out = Multimodal.activitySegments(frames, thresholdAmp = 10L)
+      .orderBy("start_frame").collect()
+    assert(out.map(r => (r.getAs[Long]("start_frame"),
+      r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames"))).toSeq ==
+      Seq((0L, 1L, 2L), (3L, 3L, 1L), (5L, 5L, 1L)))
+    assert(out(0).getAs[Long]("sumsq") == 1100L)
+    assert(out(0).getAs[Double]("rms") == 11.726039)
+    assert(out(1).getAs[Double]("rms") == 15.0)
+  }
+
+  test("synthesizeWavGated: every third frame decodes to exact silence") {
+    val media = Seq((7L, Multimodal.synthesizeWavGated(200, 600)))
+      .toDF("doc_id", "content")
+    val frames = Multimodal.wavFrameEnergy(media, frameLen = 200)
+      .toDF().orderBy("frame").collect()
+    assert(frames.length == 3)
+    assert(frames(0).getAs[Long]("sumsq") == 0L) // gated frame 0
+    assert(frames(1).getAs[Long]("sumsq") > 0L)
+    val seg = Multimodal.activitySegments(
+      Multimodal.wavFrameEnergy(media, frameLen = 200).toDF()).collect()
+    assert(seg.map(r => (r.getAs[Long]("start_frame"),
+      r.getAs[Long]("end_frame"))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("byFdr: the harmonic penalty rejects fewer than BH") {
+    val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
+      .toDF("seg", "p")
+    val by = Profiling.byFdr(tests, Seq("seg"), "p", qPpm = 100000L)
+      .orderBy("p_rank").collect()
+    assert(by.head.getAs[Long]("hm_micro") == 2083333L) // 1e6*(1+1/2+1/3+1/4)
+    assert(by.head.getAs[Long]("k_star") == 2L)
+    assert(by.map(_.getAs[Boolean]("rejected")).toSeq ==
+      Seq(true, true, false, false))
+    // BH at the same q admits rank 3 (0.04 <= 3*0.025)
+    val bh = Profiling.bhFdr(tests, Seq("seg"), "p", qPpm = 100000L)
+      .orderBy("p_rank").collect()
+    assert(bh.map(_.getAs[Boolean]("rejected")).toSeq ==
+      Seq(true, true, true, false))
+  }
+}
