@@ -5354,6 +5354,23 @@ object SparkEntry {
           col("b.l_partkey").cast("long").as("dst"))
       graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
     }),
+    "q_pq_encode" -> ((s, dir) =>
+      // Product-quantization codes: 64-dim embeddings -> 4 subspace
+      // codes from deterministic lowest-id codebooks, exact integer L2
+      // assignment — the ANN compression step next to q_similarity_ivf.
+      graft.operators.Similarity.pqEncode(
+        table(s, dir, "embeddings"), m = 4, k = 16)),
+    "q_pq_error" -> ((s, dir) =>
+      // Reconstruction quality of the PQ codes: per-vector total exact
+      // squared distance and per-coordinate RMSE in original units
+      // (64 = the corpus embedding dim, pinned with the oracle).
+      graft.operators.Similarity.pqEncode(
+        table(s, dir, "embeddings"), m = 4, k = 16)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).cast("long").as("n_subspaces"),
+          sum(col("dist2")).cast("long").as("dist2_total"))
+        .withColumn("rmse", expr(
+          "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
     "q_by_fdr" -> ((s, dir) => {
       // The same 150 per-user rate-change tests as q_bh_fdr, but
       // Benjamini-Yekutieli corrected — valid under ARBITRARY test
@@ -12258,6 +12275,17 @@ object SparkEntry {
          |  ${graft.operators.Graph.localCcSql} AS cc
          |FROM m
          |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH $pqEncodeCtes
+         |SELECT vec_id, subspace, code, dist2 FROM pq""".stripMargin,
+    "q_pq_error" ->
+      s"""WITH $pqEncodeCtes,
+         |g AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_subspaces,
+         |    CAST(SUM(dist2) AS BIGINT) AS dist2_total
+         |  FROM pq GROUP BY 1)
+         |SELECT vec_id, n_subspaces, dist2_total,
+         |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
+         |FROM g""".stripMargin,
     "q_by_fdr" ->
       s"""WITH pu AS (SELECT user_id,
          |    CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT)
@@ -12554,6 +12582,30 @@ object SparkEntry {
       |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
       |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** PQ-encode replay (Similarity.pqEncode at m=4, k=16), ending in
+    * `pq(vec_id, subspace, code, dist2)` — shared by q_pq_encode and
+    * q_pq_error. Codebooks = subvectors of the 16 lowest vec_ids (the
+    * ivf trainIters=0 convention); exact integer L2 assignment. */
+  private lazy val pqEncodeCtes: String =
+    """x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+      |    CAST((i - 1) // (len(e) // 4) AS BIGINT) AS subspace,
+      |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, embedding AS e,
+      |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+      |ids AS (SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |cb AS (SELECT code, subspace, i, xq AS cq
+      |  FROM x JOIN ids USING (vec_id)),
+      |sc AS (SELECT x.vec_id, x.subspace, cb.code,
+      |    CAST(SUM((x.xq - cb.cq) * (x.xq - cb.cq)) AS BIGINT) AS dist2
+      |  FROM x JOIN cb ON cb.subspace = x.subspace AND cb.i = x.i
+      |  GROUP BY 1, 2, 3),
+      |pq AS (SELECT vec_id, subspace, code, dist2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY dist2, code) AS rn FROM sc)
+      |  WHERE rn = 1)""".stripMargin
 
   /** Classical-decomposition replay over the hourly-dollars series,
     * ending in `dc(event_type, h, v, phase, trend, seasonal,

@@ -982,6 +982,51 @@ object Similarity {
       .withColumn("y", expr("round(CAST(y_q AS DOUBLE) / 4096, 6)"))
   }
 
+  /** Product-quantization encode (PQ — Jégou et al., the workhorse
+    * ANN compression): split each embedding into `m` contiguous
+    * subvectors and replace each with the id of its nearest codeword,
+    * compressing d floats to m small codes. Codebooks follow the
+    * ivfTopK trainIters = 0 convention — codeword c of every subspace
+    * is the subvector of the (c+1)-th LOWEST vec_id — so the whole
+    * pipeline is deterministic and the oracle replays codebook choice,
+    * assignment, and distances bit-for-bit (k-means refinement is a
+    * quality upgrade on the same plan shape). Distances are EXACT
+    * integer L2 over 1/4096-quantized coordinates; ties break on the
+    * lowest code. Emits one row per (vector, subspace) with the code
+    * and its exact squared distance — the reconstruction-error rollup
+    * is one groupBy away.
+    *
+    * Plan: posexplode → broadcast the k·d-value codebook → per
+    * (vec, subspace, code) aggregate → TakeOrdered-style row_number
+    * pick on the same hash. Corpus size scales freely; work is
+    * n·d·k narrow rows. */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    require(m > 0 && k > 0, s"m and k must be positive: $m, $k")
+    import org.apache.spark.sql.expressions.Window
+    val x = emb
+      .select(col("vec_id"), col("embedding"),
+        expr(s"size(embedding) div $m").cast("long").as("sub"))
+      .select(col("vec_id"), col("sub"),
+        posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        expr("i div sub").cast("long").as("subspace"),
+        expr("CAST(round(CAST(e AS DOUBLE) * 4096, 0) AS BIGINT)").as("xq"))
+    val ids = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    val cb = x.join(broadcast(ids), Seq("vec_id"))
+      .select(col("code"), col("subspace"), col("i"), col("xq").as("cq"))
+    val pick = Window.partitionBy(col("vec_id"), col("subspace"))
+      .orderBy(col("dist2"), col("code"))
+    x.join(broadcast(cb), Seq("subspace", "i"))
+      .groupBy(col("vec_id"), col("subspace"), col("code"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+        .cast("long").as("dist2"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("code"), col("dist2"))
+  }
+
   /** ±1 from a multiplicative hash of (i, j). The additive form
     * a·i + b·j (and bare i+j parity) is structurally DEGENERATE:
     * mod a small prime it makes adjacent output dims exact negations

@@ -1439,6 +1439,7 @@ object ScaleSmoke {
       drain(Similarity.mmdLinear(
         emb.withColumn("a", pmod(col("vec_id"), lit(2L)) === 0L), "a"))
       drain(Similarity.randomProjection(emb, k = 4))
+      drain(Similarity.pqEncode(emb, m = 4, k = 16))
     }
     spark.stop()
   }

@@ -39,6 +39,31 @@ class Round10hOpsSpec extends SparkFunSuite {
       r.getAs[Long]("end_frame"))).toSeq == Seq((1L, 2L)))
   }
 
+  test("pqEncode: nearest codeword per subspace, exact L2, low-code ties") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), // codeword 0 (lowest id)
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // codeword 1
+      (3L, Seq(1.0f, 0.25f, 0.0f, 0.75f)),
+      (4L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // exact copy of codeword 1
+      (5L, Seq(0.5f, 0.5f, 0.5f, 0.5f))) // equidistant -> code 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(emb, m = 2, k = 2)
+      .orderBy("vec_id", "subspace").collect()
+    def row(v: Long, s: Long) = out.find(r =>
+      r.getAs[Long]("vec_id") == v && r.getAs[Long]("subspace") == s).get
+    assert(row(1L, 0L).getAs[Long]("code") == 0L) // codewords self-assign
+    assert(row(1L, 0L).getAs[Long]("dist2") == 0L)
+    assert(row(2L, 1L).getAs[Long]("code") == 1L)
+    assert(row(3L, 0L).getAs[Long]("code") == 0L)
+    assert(row(3L, 0L).getAs[Long]("dist2") == 1048576L) // (0.25*4096)^2
+    assert(row(3L, 1L).getAs[Long]("dist2") == 1048576L)
+    assert(row(4L, 0L).getAs[Long]("code") == 1L)
+    assert(row(4L, 0L).getAs[Long]("dist2") == 0L)
+    assert(row(5L, 0L).getAs[Long]("code") == 0L) // tie -> lowest code
+    assert(row(5L, 1L).getAs[Long]("code") == 0L)
+  }
+
   test("byFdr: the harmonic penalty rejects fewer than BH") {
     val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
       .toDF("seg", "p")
