@@ -5371,6 +5371,17 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_pq_adc" -> ((s, dir) => {
+      // PQ search by asymmetric distance: per-query codeword lookup
+      // tables (exact integer L2), corpus scanned as CODES only —
+      // the compressed-domain sibling of q_similarity_bruteforce/ivf.
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 4, k = 16, topK = 10)
+    }),
     "q_by_fdr" -> ((s, dir) => {
       // The same 150 per-user rate-change tests as q_bh_fdr, but
       // Benjamini-Yekutieli corrected — valid under ARBITRARY test
@@ -12286,6 +12297,23 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_pq_adc" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, subspace, i, xq FROM x
+         |  WHERE vec_id < 8),
+         |adc AS (SELECT qid, qx.subspace, cb.code,
+         |    CAST(SUM((qx.xq - cb.cq) * (qx.xq - cb.cq)) AS BIGINT) AS d2
+         |  FROM qx JOIN cb ON cb.subspace = qx.subspace AND cb.i = qx.i
+         |  GROUP BY 1, 2, 3),
+         |ap AS (SELECT adc.qid, pq.vec_id,
+         |    CAST(SUM(adc.d2) AS BIGINT) AS adc_dist2
+         |  FROM pq JOIN adc ON adc.subspace = pq.subspace
+         |    AND adc.code = pq.code
+         |  WHERE pq.vec_id <> adc.qid GROUP BY 1, 2)
+         |SELECT qid, vec_id, adc_dist2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank FROM ap)
+         |WHERE rank <= 10""".stripMargin,
     "q_by_fdr" ->
       s"""WITH pu AS (SELECT user_id,
          |    CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT)

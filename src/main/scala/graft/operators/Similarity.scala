@@ -1003,28 +1003,77 @@ object Similarity {
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
     require(m > 0 && k > 0, s"m and k must be positive: $m, $k")
     import org.apache.spark.sql.expressions.Window
-    val x = emb
-      .select(col("vec_id"), col("embedding"),
-        expr(s"size(embedding) div $m").cast("long").as("sub"))
-      .select(col("vec_id"), col("sub"),
-        posexplode(col("embedding")).as(Seq("i", "e")))
-      .select(col("vec_id"), col("i").cast("long").as("i"),
-        expr("i div sub").cast("long").as("subspace"),
-        expr("CAST(round(CAST(e AS DOUBLE) * 4096, 0) AS BIGINT)").as("xq"))
-    val ids = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
-      .withColumn("code",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
-    val cb = x.join(broadcast(ids), Seq("vec_id"))
-      .select(col("code"), col("subspace"), col("i"), col("xq").as("cq"))
+    val x = pqQuantized(emb, "vec_id", "embedding", m)
     val pick = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("dist2"), col("code"))
-    x.join(broadcast(cb), Seq("subspace", "i"))
+    x.join(broadcast(pqCodebook(emb, m, k)), Seq("subspace", "i"))
       .groupBy(col("vec_id"), col("subspace"), col("code"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
         .cast("long").as("dist2"))
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("subspace"), col("code"), col("dist2"))
+  }
+
+  /** (id, subspace, i, xq): the 1/4096-quantized coordinate explode
+    * shared by the PQ kernels. */
+  private[operators] def pqQuantized(
+      df: DataFrame, idCol: String, embCol: String, m: Int): DataFrame =
+    df.select(col(idCol), col(embCol).as("__emb"),
+        expr(s"size($embCol) div $m").cast("long").as("sub"))
+      .select(col(idCol), col("sub"),
+        posexplode(col("__emb")).as(Seq("i", "e")))
+      .select(col(idCol), col("i").cast("long").as("i"),
+        expr("i div sub").cast("long").as("subspace"),
+        expr("CAST(round(CAST(e AS DOUBLE) * 4096, 0) AS BIGINT)").as("xq"))
+
+  /** (code, subspace, i, cq): codebooks per subspace — codeword c is
+    * the subvector of the (c+1)-th lowest id (the ivf trainIters = 0
+    * determinism convention). k·d values, always broadcastable. */
+  private[operators] def pqCodebook(
+      emb: DataFrame, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    pqQuantized(emb, "vec_id", "embedding", m)
+      .join(broadcast(ids), Seq("vec_id"))
+      .select(col("code"), col("subspace"), col("i"), col("xq").as("cq"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC) — the payoff
+    * of [[pqEncode]]: each query precomputes its exact integer L2 to
+    * every codeword per subspace (an m·k lookup table), and a corpus
+    * vector's approximate distance is the SUM of table entries at its
+    * codes — the corpus embeddings are never touched at query time.
+    * Top-K under (adc_dist2, vec_id); queries exclude themselves. The
+    * compressed-domain counterpart of [[bruteForceTopK]] (exact) and
+    * [[ivfTopK]] (partition-pruned): at 100 TB the codes table is
+    * ~m bytes/vector and the per-query work is a broadcast-joined
+    * aggregate over it.
+    *
+    * All-integer arithmetic end to end — the oracle replays the
+    * lookup tables and sums exactly. */
+  def pqAdcTopK(
+      queries: DataFrame, corpus: DataFrame,
+      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(corpus, m, k)
+    val codes = pqEncode(corpus, m, k)
+      .select(col("vec_id"), col("subspace"), col("code"))
+    val adc = pqQuantized(queries, "qid", "qvec", m)
+      .join(broadcast(cb), Seq("subspace", "i"))
+      .groupBy(col("qid"), col("subspace"), col("code"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+        .cast("long").as("d2"))
+    val pick = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    codes.join(broadcast(adc), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).cast("long").as("adc_dist2"))
+      .withColumn("rank", row_number().over(pick).cast("long"))
+      .filter(col("rank") <= topK)
   }
 
   /** ±1 from a multiplicative hash of (i, j). The additive form

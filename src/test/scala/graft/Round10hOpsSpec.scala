@@ -64,6 +64,26 @@ class Round10hOpsSpec extends SparkFunSuite {
     assert(row(5L, 1L).getAs[Long]("code") == 0L)
   }
 
+  test("pqAdcTopK: lookup-table sums rank by code distance, self excluded") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), // codeword 0
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // codeword 1
+      (3L, Seq(1.0f, 0.25f, 0.0f, 0.75f)), // codes (0,0)
+      (4L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // codes (1,1)
+      (5L, Seq(1.0f, 0.0f, 0.0f, 1.0f))) // codes (0,0)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb, m = 2, k = 2, topK = 10).orderBy("rank").collect()
+    // q3's table: d2(s,c0)=1048576, d2(s,c1)=26214400 per subspace
+    assert(out.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("adc_dist2"))).toSeq == Seq(
+      (1L, 2097152L), (5L, 2097152L), // code-(0,0) corpus, id tie-break
+      (2L, 52428800L), (4L, 52428800L)))
+  }
+
   test("byFdr: the harmonic penalty rejects fewer than BH") {
     val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
       .toDF("seg", "p")
