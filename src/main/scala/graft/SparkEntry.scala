@@ -5371,6 +5371,25 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      // Decomposition-based anomaly screen: hours whose REMAINDER
+      // (what's left after trend + hour-of-day cycle) deviates > 5 MAD
+      // — catches spikes the raw-value MAD screen (q_anomaly_mad)
+      // would excuse as "it's just a busy hour".
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
+      val d = graft.operators.TimeSeries.classicalDecompose(
+          hourly, "event_type", "h", "v", period = 24)
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(remainder * 1e6, 0) AS BIGINT)").as("r_micro"))
+      graft.operators.TimeSeries.madOutliers(
+          d, "event_type", "h", "r_micro")
+        .withColumn("anomaly", expr("mad > 0 AND dev > 5 * mad"))
+        .orderBy(col("dev").desc, col("event_type"), col("h"))
+        .limit(20)
+    }),
     "q_pq_adc" -> ((s, dir) => {
       // PQ search by asymmetric distance: per-query codeword lookup
       // tables (exact integer L2), corpus scanned as CODES only —
@@ -12297,6 +12316,23 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_seasonal_anomaly" ->
+      s"""WITH $decomposeCtes,
+         |rm AS (SELECT event_type, h,
+         |    CAST(round(remainder * 1e6, 0) AS BIGINT) AS r_micro
+         |  FROM dc),
+         |m AS (SELECT event_type, quantile_cont(r_micro, 0.5) AS med
+         |  FROM rm GROUP BY 1),
+         |d AS (SELECT rm.event_type, h, r_micro, med,
+         |    ABS(r_micro - med) AS rawdev
+         |  FROM rm JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(rawdev, 0.5) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_type, h, r_micro, round(med, 6) AS med,
+         |  round(mad, 6) AS mad, round(rawdev, 6) AS dev,
+         |  (mad > 0 AND rawdev > 5 * mad) AS anomaly
+         |FROM d JOIN md USING (event_type)
+         |ORDER BY rawdev DESC, d.event_type, h LIMIT 20""".stripMargin,
     "q_pq_adc" ->
       s"""WITH $pqEncodeCtes,
          |qx AS (SELECT vec_id AS qid, subspace, i, xq FROM x

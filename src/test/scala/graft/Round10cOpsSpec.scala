@@ -135,6 +135,25 @@ class Round10cOpsSpec extends SparkFunSuite {
     assert(fs >= 0.0 && fs <= 1.0)
   }
 
+  test("seasonal anomaly composition: a planted spike tops the remainder") {
+    // trend + period-4 cycle + small period-3 noise (NOT absorbable by
+    // the phase means) + one +500 spike at bucket 8
+    val s4 = Seq(0L, 8L, -4L, -4L)
+    val vs = (0 until 16).map(t =>
+      10L * t + s4(t % 4) + (t % 3) + (if (t == 8) 500L else 0L))
+    val d = TimeSeries.classicalDecompose(
+        series(vs), "k", "b", "v", period = 4)
+      .select(col("k"), col("b"),
+        expr("CAST(round(remainder * 1e6, 0) AS BIGINT)").as("r_micro"))
+    val out = TimeSeries.madOutliers(d, "k", "b", "r_micro")
+      .withColumn("anomaly", expr("mad > 0 AND dev > 5 * mad"))
+      .orderBy(col("dev").desc, col("b")).collect()
+    assert(out.head.getAs[Long]("b") == 8L)
+    assert(out.head.getAs[Boolean]("anomaly"))
+    // the spike's MA bleed into neighbors stays below the 5-MAD gate...
+    assert(out.count(_.getAs[Boolean]("anomaly")) <= 5)
+  }
+
   test("atr: true range sees inter-bar gaps; pinned rolling means") {
     val bars = Seq(("k", 0L, 10L, 5L, 8L), ("k", 1L, 9L, 8L, 7L),
       ("k", 2L, 20L, 6L, 12L))
