@@ -5371,6 +5371,45 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_stream_hhi" -> ((s, dir) => {
+      // Streaming concentration watch: the per-(type, user) spend
+      // rollup runs as a COMPLETE-mode streaming aggregate (the
+      // incremental part); the tiny share^2 finish is batch SQL over
+      // the drained table — shares q_hhi's oracle text verbatim.
+      val perUser = runToMemory(s, eventsStream(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("c")), "complete")
+      import org.apache.spark.sql.expressions.Window
+      perUser
+        .withColumn("t", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))).cast("long"))
+        .withColumn("term", expr(graft.operators.Eval.hhiTermNanoSql))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_firms"),
+          max(col("t")).as("total"),
+          sum(col("term")).cast("long").as("s_nano"),
+          max(col("c")).cast("long").as("top_c"))
+        .withColumn("hhi", expr(graft.operators.Eval.hhiSql))
+        .withColumn("top_share", expr(
+          "CASE WHEN total > 0 THEN " +
+            "round(CAST(top_c AS DOUBLE) / total, 6) END"))
+    }),
+    "q_elasticity" -> ((s, dir) => {
+      // Price elasticity of demand per brand: slope of ln(qty) on
+      // ln(unit price) from MILLI-quantized logs (defined identically
+      // in both engines; sums stay inside 2^53) — the log-log OLS
+      // every pricing team runs first.
+      val li = table(s, dir, "lineitem")
+        .join(table(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(round(1000 * ln(CAST(l_quantity AS DOUBLE)), 0)" +
+            " AS BIGINT)").as("y"),
+          expr("CAST(round(1000 * ln(round(l_extendedprice * 100, 0) / " +
+            "CAST(l_quantity AS DOUBLE)), 0) AS BIGINT)").as("x"))
+      graft.operators.TimeSeries.elasticity(li, "p_brand", "x", "y")
+    }),
     "q_seasonal_anomaly" -> ((s, dir) => {
       // Decomposition-based anomaly screen: hours whose REMAINDER
       // (what's left after trend + hour-of-day cycle) deviates > 5 MAD
@@ -12316,6 +12355,26 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_elasticity" ->
+      s"""WITH li AS (SELECT p_brand,
+         |    CAST(round(1000 * ln(CAST(l_quantity AS DOUBLE)), 0)
+         |      AS BIGINT) AS y,
+         |    CAST(round(1000 * ln(CAST(ROUND(l_extendedprice*100, 0)
+         |      AS BIGINT) / CAST(l_quantity AS DOUBLE)), 0) AS BIGINT) AS x
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |g AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+         |      AS sxx,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS sxy,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+         |      AS syy
+         |  FROM li GROUP BY 1)
+         |SELECT p_brand, m AS n,
+         |  ${graft.operators.TimeSeries.dfBetaSql} AS slope,
+         |  ${graft.operators.TimeSeries.elasticityR2Sql} AS r2
+         |FROM g""".stripMargin,
     "q_seasonal_anomaly" ->
       s"""WITH $decomposeCtes,
          |rm AS (SELECT event_type, h,
@@ -12430,25 +12489,8 @@ object SparkEntry {
          |SELECT event_type, h, v, macd, signal, histogram,
          |  ${graft.operators.TimeSeries.macdCrossSql} AS crossover
          |FROM cc WHERE rn >= 26""".stripMargin,
-    "q_hhi" ->
-      s"""WITH f AS (SELECT event_type, user_id,
-         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS c
-         |  FROM events GROUP BY 1, 2),
-         |w AS (SELECT event_type, c,
-         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
-         |  FROM f),
-         |tm AS (SELECT event_type, c, t,
-         |    ${graft.operators.Eval.hhiTermNanoSql} AS term FROM w),
-         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_firms,
-         |    CAST(MAX(t) AS BIGINT) AS total,
-         |    CAST(SUM(term) AS BIGINT) AS s_nano,
-         |    CAST(MAX(c) AS BIGINT) AS top_c
-         |  FROM tm GROUP BY 1)
-         |SELECT event_type, n_firms, total, s_nano, top_c,
-         |  ${graft.operators.Eval.hhiSql} AS hhi,
-         |  CASE WHEN total > 0 THEN
-         |    round(CAST(top_c AS DOUBLE) / total, 6) END AS top_share
-         |FROM g""".stripMargin,
+    "q_stream_hhi" -> hhiOracleSql,
+    "q_hhi" -> hhiOracleSql,
     "q_chain_entropy" ->
       s"""WITH s AS (SELECT user_id, event_type,
          |    lead(event_type) OVER (PARTITION BY user_id
@@ -12646,6 +12688,29 @@ object SparkEntry {
       |    (epoch_ms(ts) - 1704067200000) // 3600000 AS h,
       |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by q_hhi (batch) and q_stream_hhi (complete-mode streaming
+    * rollup + batch share² finish): identical concentration semantics,
+    * one oracle text. */
+  private lazy val hhiOracleSql: String =
+      s"""WITH f AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, c,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+         |  FROM f),
+         |tm AS (SELECT event_type, c, t,
+         |    ${graft.operators.Eval.hhiTermNanoSql} AS term FROM w),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_firms,
+         |    CAST(MAX(t) AS BIGINT) AS total,
+         |    CAST(SUM(term) AS BIGINT) AS s_nano,
+         |    CAST(MAX(c) AS BIGINT) AS top_c
+         |  FROM tm GROUP BY 1)
+         |SELECT event_type, n_firms, total, s_nano, top_c,
+         |  ${graft.operators.Eval.hhiSql} AS hhi,
+         |  CASE WHEN total > 0 THEN
+         |    round(CAST(top_c AS DOUBLE) / total, 6) END AS top_share
+         |FROM g""".stripMargin
 
   /** PQ-encode replay (Similarity.pqEncode at m=4, k=16), ending in
     * `pq(vec_id, subspace, code, dist2)` — shared by q_pq_encode and

@@ -2028,6 +2028,32 @@ object TimeSeries {
       s"round(greatest(0, 1 - ${v("r")} / ${v(x)}), 6) END"
   }
 
+  /** Generic exact-moment OLS slope per key over PRE-QUANTIZED integer
+    * (x, y) — the log-log elasticity fit (slope of ln q on ln p is the
+    * price elasticity of demand), but any caller that milli/micro-
+    * quantizes its transforms first gets the same exact-moment
+    * treatment. Reuses [[dfBetaSql]]'s moment row (same column
+    * contract as the Dickey–Fuller regression); adds r². Quantized
+    * units cancel in the slope. Decimal cross-products internally,
+    * none exposed. One map-side-combined aggregate. */
+  def elasticity(
+      df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame =
+    df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("__x")).cast("long").as("sx"),
+        sum(col("__y")).cast("long").as("sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y"))
+          .cast("decimal(38,0)").as("syy"))
+      .withColumn("slope", expr(dfBetaSql))
+      .withColumn("r2", expr(elasticityR2Sql))
+      .select(col(keyCol), col("m").as("n"), col("slope"), col("r2"))
+
   private val dfSxxCSql =
     "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / m))"
   private val dfSxyCSql =
@@ -2040,6 +2066,13 @@ object TimeSeries {
   val dfBetaSql: String =
     s"CASE WHEN m > 2 AND $dfSxxCSql > 0 THEN " +
       s"round($dfSxyCSql / $dfSxxCSql, 6) END"
+
+  /** r² over the same moment row ([[elasticity]]); NULL on degenerate
+    * x or y. Shared with the oracle. */
+  lazy val elasticityR2Sql: String =
+    s"CASE WHEN m > 2 AND $dfSxxCSql > 0 AND $dfSyyCSql > 0 THEN " +
+      s"round($dfSxyCSql * $dfSxyCSql / " +
+      s"($dfSxxCSql * $dfSyyCSql), 6) END"
 
   /** DF t = β/se(β) from the same moments; NULL on a perfect fit
     * (zero residual) or degenerate x. Shared with the oracle. */

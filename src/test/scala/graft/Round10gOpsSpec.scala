@@ -46,6 +46,20 @@ class Round10gOpsSpec extends SparkFunSuite {
     assert(out(2).getAs[Double]("hhi") == 0.25)
   }
 
+  test("elasticity: exact log-log line recovers the slope, pinned r2") {
+    val line = Seq(0L, 100L, 200L, 300L).map(x => ("b", x, 1000L - 2 * x))
+      .toDF("k", "x", "y")
+    val r = TimeSeries.elasticity(line, "k", "x", "y").head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("slope") == -2.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    val noisy = Seq((0L, 0L), (1000L, 900L), (2000L, 2100L))
+      .map { case (x, y) => ("b", x, y) }.toDF("k", "x", "y")
+    val rn = TimeSeries.elasticity(noisy, "k", "x", "y").head()
+    assert(rn.getAs[Double]("slope") == 1.05)
+    assert(rn.getAs[Double]("r2") == 0.993243)
+  }
+
   test("chainEntropy: deterministic chain has zero conditional entropy") {
     val ev = Seq("a", "b", "a", "b", "a").zipWithIndex
       .map { case (t, i) => (1L, t, i.toLong * 1000, i.toLong) }
