@@ -5371,6 +5371,26 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_auc_ci" -> ((s, dir) => {
+      // q_auc's point estimate with the DeLong confidence interval:
+      // exact integer placement values off the same distinct-score
+      // prefix frame, variance from their exact moments.
+      val ev = table(s, dir, "events").select(
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("is_pos"))
+      Eval.aucDeLongCi(ev, "cents", "is_pos")
+    }),
+    "q_power_analysis" -> ((s, dir) => {
+      // Experiment design: per event type, the per-arm n needed to
+      // detect a $50 lift in user-day spend at alpha=.05 / 80% power,
+      // and the minimum detectable effect at the current n.
+      val ud = table(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("cents"))
+      Eval.powerAnalysis(ud, "event_type", "cents", delta = 5000L)
+    }),
     "q_stream_hhi" -> ((s, dir) => {
       // Streaming concentration watch: the per-(type, user) spend
       // rollup runs as a COMPLETE-mode streaming aggregate (the
@@ -12354,6 +12374,55 @@ object SparkEntry {
          |  FROM pq GROUP BY 1)
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
+         |FROM g""".stripMargin,
+    "q_auc_ci" ->
+      s"""WITH per AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cp,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS cn
+         |  FROM events GROUP BY 1),
+         |c AS (SELECT *,
+         |    CAST(SUM(cn) OVER (ORDER BY v) AS BIGINT) AS cum_cn,
+         |    CAST(SUM(cp) OVER (ORDER BY v) AS BIGINT) AS cum_cp
+         |  FROM per),
+         |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cn) AS BIGINT) AS n_neg FROM per),
+         |t AS (SELECT c.*, n_pos, n_neg,
+         |    2*(cum_cn - cn) + cn AS vpos,
+         |    2*(n_pos - cum_cp) + cp AS wneg
+         |  FROM c, tot),
+         |g AS (SELECT n_pos, n_neg,
+         |    CAST(SUM(cp * vpos) AS BIGINT) AS sv,
+         |    CAST(SUM(CAST(cp AS DECIMAL(38,0)) * vpos * vpos)
+         |      AS DECIMAL(38,0)) AS svv,
+         |    CAST(SUM(cn * wneg) AS BIGINT) AS sw,
+         |    CAST(SUM(CAST(cn AS DECIMAL(38,0)) * wneg * wneg)
+         |      AS DECIMAL(38,0)) AS sww
+         |  FROM t GROUP BY 1, 2),
+         |a AS (SELECT n_pos, n_neg, sv, sw,
+         |    round(CAST(sv AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE)
+         |      * n_pos), 6) AS auc,
+         |    ${graft.operators.Eval.aucSeSql} AS se FROM g)
+         |SELECT n_pos, n_neg, sv, sw, auc, se,
+         |  round(auc - 1.959964 * se, 6) AS ci_lo,
+         |  round(auc + 1.959964 * se, 6) AS ci_hi
+         |FROM a""".stripMargin,
+    "q_power_analysis" ->
+      s"""WITH ud AS (SELECT event_type, user_id,
+         |    epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2, 3),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+         |      AS DECIMAL(38,0)) AS sxx
+         |  FROM ud GROUP BY 1)
+         |SELECT event_type, n,
+         |  ${graft.operators.Eval.powerVarSql} AS variance,
+         |  ${graft.operators.Eval.powerNReqSql(5000L)} AS n_required,
+         |  ${graft.operators.Eval.powerMdeSql} AS mde
          |FROM g""".stripMargin,
     "q_elasticity" ->
       s"""WITH li AS (SELECT p_brand,

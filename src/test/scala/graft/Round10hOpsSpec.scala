@@ -84,6 +84,34 @@ class Round10hOpsSpec extends SparkFunSuite {
       (2L, 52428800L), (4L, 52428800L)))
   }
 
+  test("aucDeLongCi: exact placements, pinned DeLong interval") {
+    import graft.operators.Eval
+    // pos {3, 5}, neg {1, 4}: AUC 3/4; placements V = {2,4}, W = {4,2}
+    val df = Seq((3L, true), (5L, true), (1L, false), (4L, false))
+      .toDF("score", "y")
+    val r = Eval.aucDeLongCi(df, "score", "y").head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("sv") == 6L && r.getAs[Long]("sw") == 6L)
+    assert(r.getAs[Double]("auc") == 0.75)
+    assert(r.getAs[Double]("se") == 0.353553)
+    assert(r.getAs[Double]("ci_lo") == 0.057049)
+    assert(r.getAs[Double]("ci_hi") == 1.442951)
+  }
+
+  test("powerAnalysis: pinned n_required and MDE from exact moments") {
+    import graft.operators.Eval
+    val df = Seq(10L, 20L, 30L, 40L).map(("k", _)).toDF("k", "v")
+    val r = Eval.powerAnalysis(df, "k", "v", delta = 10L).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("variance") == 166.666667)
+    assert(r.getAs[Long]("n_required") == 27L)
+    assert(r.getAs[Double]("mde") == 25.574855)
+    val tiny = Seq(5L).map(("k", _)).toDF("k", "v")
+    val t = Eval.powerAnalysis(tiny, "k", "v", delta = 10L).head()
+    assert(t.isNullAt(t.fieldIndex("variance")))
+    assert(t.isNullAt(t.fieldIndex("n_required")))
+  }
+
   test("byFdr: the harmonic penalty rejects fewer than BH") {
     val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
       .toDF("seg", "p")
