@@ -84,7 +84,12 @@ object PlanDump {
     "q_reach_profile",       // ONE checkpointed co-purchase subtree feeds seeds + BFS
     "q_tpch_q3",             // broadcast dim filter + fact-fact equi-join + TakeOrdered
     "q_tpch_q5",             // all dims broadcast; facts join once on the order key
-    "q_cox")                 // checkpointed z; per-step agg + ranged suffix sum
+    "q_cox",                 // checkpointed z; per-step agg + ranged suffix sum
+    "q_macd",                // two collected windows + lag share ONE key-hashed sort
+    "q_pq_adc",              // codes scan + broadcast ADC table join + per-query TakeOrdered
+    "q_dsir_weights",        // token window exchange + 3-scalar totals broadcast, no vocab broadcast
+    "q_seasonal_decompose",  // two rolling sums on one sort + (key,phase) agg/join-back
+    "q_local_clustering")    // one checkpointed canonical edge frame feeds degrees + triangles
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
