@@ -5371,6 +5371,27 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_l2_topk" -> ((s, dir) => {
+      // Exact Euclidean top-10 over quantized coordinates — the L2
+      // ground truth q_pq_recall measures the code table against
+      // (q_similarity_bruteforce is the cosine twin).
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.l2TopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")), topK = 10)
+    }),
+    "q_pq_recall" -> ((s, dir) => {
+      // recall@10 of the PQ-ADC search vs exact L2 per query — the
+      // measure-don't-guess number that validates m/k before the code
+      // table ships.
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqRecall(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 4, k = 16, topK = 10)
+    }),
     "q_auc_ci" -> ((s, dir) => {
       // q_auc's point estimate with the DeLong confidence interval:
       // exact integer placement values off the same distinct-score
@@ -12375,6 +12396,49 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_l2_topk" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, i, xq AS qq FROM x
+         |  WHERE vec_id < 8),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qq - x.xq) * (qq - x.xq)) AS BIGINT) AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, vec_id, dist2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist2, vec_id) AS BIGINT) AS rank FROM bf)
+         |WHERE rank <= 10""".stripMargin,
+    "q_pq_recall" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, subspace, i, xq FROM x
+         |  WHERE vec_id < 8),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qx.xq - x.xq) * (qx.xq - x.xq)) AS BIGINT) AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2),
+         |bft AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+         |      AS rn FROM bf) WHERE rn <= 10),
+         |adc AS (SELECT qid, qx.subspace, cb.code,
+         |    CAST(SUM((qx.xq - cb.cq) * (qx.xq - cb.cq)) AS BIGINT) AS d2
+         |  FROM qx JOIN cb ON cb.subspace = qx.subspace AND cb.i = qx.i
+         |  GROUP BY 1, 2, 3),
+         |ap AS (SELECT adc.qid, pq.vec_id,
+         |    CAST(SUM(adc.d2) AS BIGINT) AS adc_dist2
+         |  FROM pq JOIN adc ON adc.subspace = pq.subspace
+         |    AND adc.code = pq.code
+         |  WHERE pq.vec_id <> adc.qid GROUP BY 1, 2),
+         |adct AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist2, vec_id) AS rn FROM ap) WHERE rn <= 10)
+         |SELECT bft.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bft LEFT JOIN adct ON adct.qid = bft.qid
+         |  AND adct.vec_id = bft.vec_id
+         |GROUP BY 1""".stripMargin,
     "q_auc_ci" ->
       s"""WITH per AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

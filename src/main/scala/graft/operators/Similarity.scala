@@ -1076,6 +1076,52 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Exact L2 top-K over 1/4096-quantized coordinates — the EUCLIDEAN
+    * ground truth next to [[bruteForceTopK]]'s cosine ranking, and the
+    * reference [[pqAdcTopK]]'s recall is measured against: all-integer
+    * squared distances, (dist2, vec_id) total order, self excluded.
+    * Same scale contract as the cosine brute force: queries are the
+    * small side; candidate work is |Q|·n·d narrow rows. */
+  def l2TopK(
+      queries: DataFrame, corpus: DataFrame, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qx = pqQuantized(queries, "qid", "qvec", 1)
+      .select(col("qid"), col("i"), col("xq").as("qq"))
+    val cx = pqQuantized(corpus, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("i"), col("xq").as("cq"))
+    val pick = Window.partitionBy(col("qid"))
+      .orderBy(col("dist2"), col("vec_id"))
+    cx.join(broadcast(qx), Seq("i"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq")))
+        .cast("long").as("dist2"))
+      .withColumn("rank", row_number().over(pick).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** PQ recall@K — "measure, don't guess" for the compressed search
+    * path: per query, the fraction of the exact-L2 top-K ([[l2TopK]])
+    * that [[pqAdcTopK]] recovers. The one number that says whether
+    * m/k are adequate before anyone ships the code table. */
+  def pqRecall(
+      queries: DataFrame, corpus: DataFrame,
+      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame = {
+    val bf = l2TopK(queries, corpus, topK)
+      .select(col("qid"), col("vec_id"))
+    val adc = pqAdcTopK(queries, corpus, m, k, topK)
+      .select(col("qid").as("__q2"), col("vec_id").as("__v2"))
+    bf.join(adc,
+        col("qid") === col("__q2") && col("vec_id") === col("__v2"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(when(col("__q2").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_match"))
+      .withColumn("recall", expr(
+        "round(CAST(n_match AS DOUBLE) / n_truth, 6)"))
+  }
+
   /** ±1 from a multiplicative hash of (i, j). The additive form
     * a·i + b·j (and bare i+j parity) is structurally DEGENERATE:
     * mod a small prime it makes adjacent output dims exact negations

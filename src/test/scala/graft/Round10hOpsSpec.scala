@@ -84,6 +84,27 @@ class Round10hOpsSpec extends SparkFunSuite {
       (2L, 52428800L), (4L, 52428800L)))
   }
 
+  test("l2TopK + pqRecall: codeword-only corpus is recalled perfectly") {
+    import graft.operators.Similarity
+    // every corpus vector IS a codeword (k = n) -> ADC distance equals
+    // the exact L2, so recall@k must be 1.0
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)), (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") <= 2L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = Similarity.l2TopK(q, emb, topK = 3).collect()
+    assert(bf.count(_.getAs[Long]("qid") == 1L) == 3)
+    // q1's nearest: all others at 2*4096^2, id order 2,3,4
+    assert(bf.filter(_.getAs[Long]("qid") == 1L)
+      .map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(bf.forall(_.getAs[Long]("dist2") == 2L * 4096 * 4096))
+    val rec = Similarity.pqRecall(q, emb, m = 2, k = 4, topK = 3).collect()
+    assert(rec.length == 2)
+    assert(rec.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("aucDeLongCi: exact placements, pinned DeLong interval") {
     import graft.operators.Eval
     // pos {3, 5}, neg {1, 4}: AUC 3/4; placements V = {2,4}, W = {4,2}
