@@ -5371,6 +5371,30 @@ object SparkEntry {
           sum(col("dist2")).cast("long").as("dist2_total"))
         .withColumn("rmse", expr(
           "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_ivf_recall" -> ((s, dir) => {
+      // recall@10 of the IVF path vs the exact cosine brute force —
+      // the partition-pruning twin of q_pq_recall's code-table number;
+      // together they certify both approximate search paths.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(q, corpus, k = 10),
+        Similarity.ivfTopK(q, corpus, k = 10))
+    }),
+    "q_power_proportion" -> ((s, dir) => {
+      // Experiment design for BINARY metrics: per user-cohort, the
+      // per-arm n to detect a 2pp conversion lift and the MDE now.
+      val users = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select(pmod(col("user_id"), lit(4L)).as("cohort"),
+          (col("conv") === 1L).as("converted"))
+      Eval.powerProportion(users, "cohort", "converted",
+        deltaPpm = 20000L)
+    }),
     "q_l2_topk" -> ((s, dir) => {
       // Exact Euclidean top-10 over quantized coordinates — the L2
       // ground truth q_pq_recall measures the code table against
@@ -12395,6 +12419,58 @@ object SparkEntry {
          |  FROM pq GROUP BY 1)
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
+         |FROM g""".stripMargin,
+    "q_ivf_recall" ->
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r <= 2),
+         |probes AS (SELECT qid, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE r <= 4),
+         |ivfres AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM (SELECT DISTINCT p.qid, a.vec_id,
+         |          round(${cosineSqlExprAs("p", "a")}, 6) AS sim
+         |        FROM probes p JOIN assign a ON p.cell = a.cell
+         |          AND a.vec_id != p.qid))
+         |  WHERE rank <= 10),
+         |bfs AS (SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT bfs.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN ivfres.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN ivfres.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bfs LEFT JOIN ivfres ON ivfres.qid = bfs.qid
+         |  AND ivfres.vec_id = bfs.vec_id
+         |GROUP BY 1""".stripMargin,
+    "q_power_proportion" ->
+      s"""WITH u AS (SELECT user_id % 4 AS cohort,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS x
+         |  FROM u GROUP BY 1)
+         |SELECT cohort, n, x, round(CAST(x AS DOUBLE) / n, 6) AS p,
+         |  ${graft.operators.Eval.powerPropNReqSql(20000L)} AS n_required,
+         |  ${graft.operators.Eval.powerPropMdeSql} AS mde
          |FROM g""".stripMargin,
     "q_l2_topk" ->
       s"""WITH $pqEncodeCtes,

@@ -1765,6 +1765,40 @@ object Eval {
     "CASE WHEN n > 1 THEN " +
       s"round(2.801585 * sqrt(2 * $powerVarRawSql / n), 6) END"
 
+  /** [[powerAnalysis]] for BINARY metrics (conversion, retention,
+    * click-through): per-arm n to detect an absolute lift of
+    * deltaPpm/10⁶ in a proportion at α = 0.05 / 80% power,
+    * n = 2(z_{α/2}+z_β)²·p(1−p)/δ², plus the MDE at the current n.
+    * p comes exact from integer counts; δ² splices as the exact
+    * rational (deltaPpm²/10¹²). One aggregate. */
+  def powerProportion(
+      df: DataFrame, keyCol: String, successCol: String,
+      deltaPpm: Long): DataFrame = {
+    require(deltaPpm > 0, s"deltaPpm must be positive: $deltaPpm")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).cast("long").as("x"))
+      .withColumn("p", expr("round(CAST(x AS DOUBLE) / n, 6)"))
+      .withColumn("n_required", expr(powerPropNReqSql(deltaPpm)))
+      .withColumn("mde", expr(powerPropMdeSql))
+  }
+
+  private val powerPropPqSql =
+    "((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n))"
+
+  /** Per-arm n for a proportion lift of deltaPpm/10⁶; NULL on a
+    * degenerate (all-or-nothing) base rate. Shared with the oracle. */
+  def powerPropNReqSql(deltaPpm: Long): String =
+    s"CASE WHEN x > 0 AND x < n THEN " +
+      s"CAST(ceil(2 * 2.801585 * 2.801585 * $powerPropPqSql / " +
+      s"(($deltaPpm.0 * $deltaPpm) / 1e12)) AS BIGINT) END"
+
+  /** MDE (absolute proportion lift) at the current per-arm n. Shared
+    * with the oracle. */
+  val powerPropMdeSql: String =
+    "CASE WHEN x > 0 AND x < n THEN " +
+      s"round(2.801585 * sqrt(2 * $powerPropPqSql / n), 6) END"
+
   /** Herfindahl–Hirschman concentration index per market — the
     * antitrust-standard scalar [[gini]]'s rank curve summarizes
     * differently: HHI = Σ share², 1/n_firms (perfect split) → 1

@@ -1106,12 +1106,17 @@ object Similarity {
     * m/k are adequate before anyone ships the code table. */
   def pqRecall(
       queries: DataFrame, corpus: DataFrame,
-      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame = {
-    val bf = l2TopK(queries, corpus, topK)
-      .select(col("qid"), col("vec_id"))
-    val adc = pqAdcTopK(queries, corpus, m, k, topK)
-      .select(col("qid").as("__q2"), col("vec_id").as("__v2"))
-    bf.join(adc,
+      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame =
+    recallAtK(l2TopK(queries, corpus, topK),
+      pqAdcTopK(queries, corpus, m, k, topK))
+
+  /** Per-query recall of an approximate (qid, vec_id) result set
+    * against a ground-truth one — the shared scorer behind
+    * [[pqRecall]] and the IVF recall query; any (truth, approx) pair
+    * of top-K frames composes. */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid").as("__q2"), col("vec_id").as("__v2")),
         col("qid") === col("__q2") && col("vec_id") === col("__v2"),
         "left")
       .groupBy(col("qid"))
@@ -1120,7 +1125,6 @@ object Similarity {
           .cast("long").as("n_match"))
       .withColumn("recall", expr(
         "round(CAST(n_match AS DOUBLE) / n_truth, 6)"))
-  }
 
   /** ±1 from a multiplicative hash of (i, j). The additive form
     * a·i + b·j (and bare i+j parity) is structurally DEGENERATE:

@@ -133,6 +133,21 @@ class Round10hOpsSpec extends SparkFunSuite {
     assert(t.isNullAt(t.fieldIndex("n_required")))
   }
 
+  test("powerProportion: pinned n_required/MDE, degenerate rates null") {
+    import graft.operators.Eval
+    val users = (Seq.fill(3)(true) ++ Seq.fill(7)(false))
+      .map(("k", _)).toDF("k", "c")
+    val r = Eval.powerProportion(users, "k", "c", deltaPpm = 100000L)
+      .head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("x") == 3L)
+    assert(r.getAs[Double]("p") == 0.3)
+    assert(r.getAs[Long]("n_required") == 330L)
+    assert(r.getAs[Double]("mde") == 0.574154)
+    val all = Seq.fill(5)(true).map(("k", _)).toDF("k", "c")
+    val a = Eval.powerProportion(all, "k", "c", deltaPpm = 100000L).head()
+    assert(a.isNullAt(a.fieldIndex("n_required")))
+  }
+
   test("byFdr: the harmonic penalty rejects fewer than BH") {
     val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
       .toDF("seg", "p")
