@@ -3088,6 +3088,15 @@ object SparkEntry {
           col("c_nationkey").cast("long").as("c_nationkey"),
           floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket")),
         Seq("c_mktsegment", "c_nationkey"), "bal_bucket", l = 3L)),
+    "q_t_closeness" -> ((s, dir) =>
+      // Skewness-attack audit completing the k-anon/l-div ladder: per
+      // QI cell, the exact ordered EMD between its balance-bucket
+      // distribution and the table's; t = 0.2.
+      Profiling.tCloseness(
+        table(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_bucket", t = 0.2)),
     "q_mmr_rerank" -> ((s, dir) =>
       // Diversity reranking: greedy λ=0.7 MMR picking 5 of each query's
       // 10-candidate pool — sequential over 5 STEPS, each a bounded
@@ -12420,6 +12429,37 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_t_closeness" ->
+      s"""WITH base AS (SELECT c_mktsegment,
+         |    CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS v FROM customer),
+         |cells AS (SELECT c_mktsegment, c_nationkey, v,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+         |grp AS (SELECT c_mktsegment, c_nationkey,
+         |    CAST(SUM(c) AS BIGINT) AS n_cell FROM cells GROUP BY 1, 2),
+         |gv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cg
+         |  FROM base GROUP BY 1),
+         |gv2 AS (SELECT v,
+         |    CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS cum_g,
+         |    CAST(SUM(cg) OVER () AS BIGINT) AS n_tot,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS m_vals
+         |  FROM gv),
+         |grid AS (SELECT g.c_mktsegment, g.c_nationkey, g.n_cell, z.v,
+         |    z.cum_g, z.n_tot, z.m_vals, COALESCE(cells.c, 0) AS c
+         |  FROM grp g CROSS JOIN gv2 z
+         |  LEFT JOIN cells ON cells.c_mktsegment = g.c_mktsegment
+         |    AND cells.c_nationkey = g.c_nationkey AND cells.v = z.v),
+         |cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY c_mktsegment,
+         |      c_nationkey ORDER BY v) AS BIGINT) AS cum_c FROM grid),
+         |agg AS (SELECT c_mktsegment, c_nationkey, n_cell, n_tot, m_vals,
+         |    CAST(SUM(ABS(cum_c * n_tot - cum_g * n_cell)) AS BIGINT)
+         |      AS s_num
+         |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+         |SELECT c_mktsegment, c_nationkey, n_cell, s_num,
+         |  ${graft.operators.Profiling.tCloseEmdSql} AS emd,
+         |  coalesce(${graft.operators.Profiling.tCloseEmdSql} <= 0.2, true)
+         |    AS t_close
+         |FROM agg""".stripMargin,
     "q_ivf_recall" ->
       s"""WITH $normCte,
          |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n

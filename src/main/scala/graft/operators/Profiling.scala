@@ -1330,6 +1330,65 @@ object Profiling {
     "CAST(ROUND(-((CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n)) " +
       "* 1000000, 0) AS BIGINT)"
 
+  /** T-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] and [[lDiversity]]: a QI group can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    * from the table's (a salary band where "diverse" means
+    * high/higher/highest). Per QI cell, the ordered-attribute earth
+    * mover's distance to the global distribution:
+    * EMD = Σ_v |F_cell(v) − F_global(v)| / (m−1) over the m ordered
+    * sensitive buckets; flag cells with EMD > t.
+    *
+    * EXACT end to end: the per-bucket term is the integer
+    * |cumC_cell·N − cumC_global·n_cell| (cross-multiplied cumulative
+    * counts), summed as longs; ONE double division by n_cell·N·(m−1)
+    * at the end. The value grid is (cells × m) rows with the m-row
+    * distinct-value table broadcast — group counts shuffle once. */
+  def tCloseness(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    import org.apache.spark.sql.expressions.Window
+    val qi = qiCols.map(col)
+    val sv = col(sensitiveCol).cast("long")
+    val cells = df.groupBy(qi :+ sv.as("v"): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+    val groups = cells.groupBy(qi: _*)
+      .agg(sum(col("c")).cast("long").as("n_cell"))
+    val wOrd = Window.orderBy(col("v"))
+    val glob = df.groupBy(sv.as("v"))
+      .agg(count(lit(1)).cast("long").as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("n_tot", sum(col("cg")).over(
+        Window.partitionBy()).cast("long"))
+      .withColumn("m_vals", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+      .select(col("v"), col("cum_g"), col("n_tot"), col("m_vals"))
+    val wCell = Window.partitionBy(qi: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(broadcast(glob))
+      .join(cells, qiCols :+ "v", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_c", sum(col("c")).over(wCell).cast("long"))
+      .withColumn("num",
+        abs(col("cum_c") * col("n_tot") - col("cum_g") * col("n_cell")))
+      .groupBy(qi :+ col("n_cell") :+ col("n_tot") :+ col("m_vals"): _*)
+      .agg(sum(col("num")).cast("long").as("s_num"))
+      .withColumn("emd", expr(tCloseEmdSql))
+      .withColumn("t_close", expr(s"coalesce($tCloseEmdSql <= $t, true)"))
+      .drop("n_tot", "m_vals")
+  }
+
+  /** Ordered EMD over (s_num, n_cell, n_tot, m_vals); NULL (flagged
+    * close) for a single-bucket table. Shared with the oracle. */
+  val tCloseEmdSql: String =
+    "CASE WHEN m_vals > 1 THEN " +
+      "round(CAST(s_num AS DOUBLE) / " +
+      "(CAST(n_cell AS DOUBLE) * n_tot * (m_vals - 1)), 6) END"
+
   /** Join-size estimation from count-min sketches — the planner-style
     * cardinality probe that never executes the join: |A ⋈ B| on a key
     * equals the inner product of the two frequency vectors, and the CM

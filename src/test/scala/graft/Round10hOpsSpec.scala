@@ -148,6 +148,26 @@ class Round10hOpsSpec extends SparkFunSuite {
     assert(a.isNullAt(a.fieldIndex("n_required")))
   }
 
+  test("tCloseness: exact ordered EMD against the global distribution") {
+    // A: {0,0,0,1}, B: {1,1,1,1}; global {0:3, 1:5}, m=2
+    // EMD(A) = |3*8-3*4| / (4*8*1) = 0.375; EMD(B) = |0-12|/32 = 0.375
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 1L), ("B", 1L), ("B", 1L), ("B", 1L))
+      .toDF("grp", "v")
+    val out = Profiling.tCloseness(rows, Seq("grp"), "v", t = 0.2)
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[Double]("emd")).toSeq == Seq(0.375, 0.375))
+    assert(out.forall(!_.getAs[Boolean]("t_close"))) // both skew past 0.2
+    val loose = Profiling.tCloseness(rows, Seq("grp"), "v", t = 0.4)
+      .orderBy("grp").collect()
+    assert(loose.forall(_.getAs[Boolean]("t_close")))
+    // a group matching the global distribution exactly has EMD 0
+    val bal = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+      .toDF("grp", "v")
+    val b = Profiling.tCloseness(bal, Seq("grp"), "v", t = 0.2).collect()
+    assert(b.forall(_.getAs[Double]("emd") == 0.0))
+  }
+
   test("byFdr: the harmonic penalty rejects fewer than BH") {
     val tests = Seq(("a", 0.001), ("b", 0.02), ("c", 0.04), ("d", 0.5))
       .toDF("seg", "p")
