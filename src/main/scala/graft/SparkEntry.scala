@@ -3088,6 +3088,30 @@ object SparkEntry {
           col("c_nationkey").cast("long").as("c_nationkey"),
           floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket")),
         Seq("c_mktsegment", "c_nationkey"), "bal_bucket", l = 3L)),
+    "q_exact_jaccard" -> ((s, dir) =>
+      // EXACT Jaccard >= 0.5 self-join via prefix filtering (the
+      // PPJoin baseline the MinHash LSH approximates): rare-first
+      // prefixes bound the inverted index; integer threshold compare.
+      graft.operators.Dedup.exactJaccardJoin(
+        table(s, dir, "documents"), thresholdPpm = 500000L)),
+    "q_minhash_recall" -> ((s, dir) => {
+      // recall of the banded MinHash near-dup pairs against the exact
+      // prefix-join ground truth at the same threshold — the number
+      // that certifies the banding parameters (16 hashes x 4 bands).
+      val d = table(s, dir, "documents")
+      val exact = graft.operators.Dedup.exactJaccardJoin(d, 500000L)
+        .select(col("doc_a"), col("doc_b"))
+      val mh = graft.operators.Dedup.nearDupMinhash(d, threshold = 0.5)
+        .select(col("doc_a").as("__a"), col("doc_b").as("__b"))
+      exact.join(mh,
+          col("doc_a") === col("__a") && col("doc_b") === col("__b"),
+          "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(when(col("__a").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_found"))
+        .withColumn("recall",
+          expr("round(CAST(n_found AS DOUBLE) / n_exact, 6)"))
+    }),
     "q_t_closeness" -> ((s, dir) =>
       // Skewness-attack audit completing the k-anon/l-div ladder: per
       // QI cell, the exact ordered EMD between its balance-bucket
@@ -12429,6 +12453,67 @@ object SparkEntry {
          |SELECT vec_id, n_subspaces, dist2_total,
          |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
          |FROM g""".stripMargin,
+    "q_exact_jaccard" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2)
+         |SELECT cm.doc_a, cm.doc_b, common,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+         |    AS jaccard
+         |FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |  JOIN szs sb ON sb.id = cm.doc_b
+         |WHERE common * 1000000 >= 500000 * (sa.sz + sb.sz - common)
+         |""".stripMargin,
+    "q_minhash_recall" ->
+      s"""WITH $minhashVerifiedCtes,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT cm.doc_a, cm.doc_b
+         |  FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |    JOIN szs sb ON sb.id = cm.doc_b
+         |  WHERE common * 1000000 >= 500000 * (sa.sz + sb.sz - common))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_found,
+         |  round(CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM exact LEFT JOIN verified v ON v.doc_a = exact.doc_a
+         |  AND v.doc_b = exact.doc_b""".stripMargin,
     "q_t_closeness" ->
       s"""WITH base AS (SELECT c_mktsegment,
          |    CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -917,4 +917,67 @@ object Dedup {
     round(col("inter").cast("double") /
       (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"), 6)
       .as("jaccard"))
+
+  /** EXACT Jaccard-threshold self-join with prefix filtering (the
+    * PPJoin-family baseline [[nearDupMinhash]]'s LSH approximates):
+    * order each document's distinct shingles by global rarity
+    * (df asc, shingle asc); if J(A,B) ≥ t the two PREFIXES of length
+    * |d| − ⌈t·|d|⌉ + 1 must share a shingle, so the inverted index is
+    * built over prefixes only — rare-first ordering keeps candidate
+    * buckets small where a naive shingle join explodes. Candidates
+    * verify with exact integer set math (common via a count join,
+    * union = |A|+|B|−common) and the threshold DECISION is the integer
+    * compare common·10⁶ ≥ t_ppm·union — no float can flip a pair.
+    *
+    * This is the exact ground-truth generator for the LSH recall
+    * measurement (q_minhash_recall): complete where banding may miss,
+    * at the documented O(Σ prefix-df²) candidate cost — the price of
+    * exactness the LSH tier exists to avoid at 100 TB.
+    *
+    * Plan: one tokenize+explode, df aggregate + per-doc rank windows,
+    * prefix-keyed candidate join (checkpointed prefix frame feeds both
+    * sides), verify joins on the exploded table. */
+  def exactJaccardJoin(
+      docs: DataFrame, thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm < 1000000L,
+      s"thresholdPpm must be in (0, 1e6): $thresholdPpm")
+    val ex = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("s"))
+      .localCheckpoint(true) // feeds df, ranks, and both verify joins
+    val dfTab = ex.groupBy(col("s")).agg(count(lit(1)).cast("long").as("df"))
+    val ranked = ex.join(dfTab, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s")))
+        .cast("long"))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("id"))).cast("long"))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") -
+        expr(s"(($thresholdPpm * sz) + 999999) div 1000000") + 1)
+      .select(col("id"), col("s"))
+      .localCheckpoint(true) // both sides of the candidate self-join
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).cast("long").as("sz"))
+    cand
+      .join(ex.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(col("common") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sz_a"), col("sz_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 6).as("jaccard"))
+  }
 }
