@@ -12215,14 +12215,15 @@ object SparkEntry {
          |g AS (SELECT event_type, h, v, k_micro,
          |    CAST(COUNT(k_micro) OVER (PARTITION BY event_type ORDER BY h
          |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS d_n,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS f_n,
          |    CAST(SUM(k_micro) OVER (PARTITION BY event_type ORDER BY h
          |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS d_sum
          |  FROM k)
          |SELECT event_type, h, v,
          |  CASE WHEN k_micro IS NOT NULL THEN
          |    round(CAST(k_micro AS DOUBLE) / 1e6, 6) END AS pct_k,
-         |  CASE WHEN d_n = 3 THEN
-         |    round(CAST(d_sum AS DOUBLE) / d_n / 1e6, 6) END AS pct_d
+         |  ${graft.operators.TimeSeries.stochDSql} AS pct_d
          |FROM g""".stripMargin,
     "q_vwap" ->
       s"""WITH t AS (SELECT l_returnflag,
@@ -12666,8 +12667,7 @@ object SparkEntry {
          |      AS DECIMAL(38,0)) AS sww
          |  FROM t GROUP BY 1, 2),
          |a AS (SELECT n_pos, n_neg, sv, sw,
-         |    round(CAST(sv AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE)
-         |      * n_pos), 6) AS auc,
+         |    ${graft.operators.Eval.aucPointSql} AS auc,
          |    ${graft.operators.Eval.aucSeSql} AS se FROM g)
          |SELECT n_pos, n_neg, sv, sw, auc, se,
          |  round(auc - 1.959964 * se, 6) AS ci_lo,

@@ -1696,15 +1696,22 @@ object Eval {
         sum(col("cn") * col("wneg")).cast("long").as("sw"),
         sum(col("cn").cast("decimal(38,0)") * col("wneg") * col("wneg"))
           .cast("decimal(38,0)").as("sww"))
-      .withColumn("auc", expr(
-        "round(CAST(sv AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE) * n_pos)," +
-          " 6)"))
+      .withColumn("auc", expr(aucPointSql))
       .withColumn("se", expr(aucSeSql))
       .withColumn("ci_lo", expr("round(auc - 1.959964 * se, 6)"))
       .withColumn("ci_hi", expr("round(auc + 1.959964 * se, 6)"))
       .select(col("n_pos"), col("n_neg"), col("sv"), col("sw"),
         col("auc"), col("se"), col("ci_lo"), col("ci_hi"))
   }
+
+  /** AUC point estimate over (sv, n_pos, n_neg); NULL when either
+    * class is empty (a single-class input has no ROC — an ungated
+    * division would yield engine-dependent NULL/Inf). Shared with the
+    * oracle. */
+  val aucPointSql: String =
+    "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      "round(CAST(sv AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE) * n_pos)" +
+      ", 6) END"
 
   /** DeLong se over (n_pos, n_neg, sv, svv, sw, sww); NULL when either
     * class has < 2 members. Shared with the oracle. */

@@ -293,9 +293,9 @@ object Similarity {
     df.select(size(col(vecCol))).limit(1).collect().headOption match {
       case Some(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
       case Some(_) =>
-        sys.error(s"first '$vecCol' row is NULL or empty — cannot derive SRP dimensionality")
+        sys.error(s"first '$vecCol' row is NULL or empty — cannot derive vector dimensionality")
       case None =>
-        sys.error(s"empty input — cannot derive SRP dimensionality from '$vecCol'")
+        sys.error(s"empty input — cannot derive vector dimensionality from '$vecCol'")
     }
 
   /** (vec_id, srp_sig) signature table — deterministic, so hash-matchable
@@ -1016,9 +1016,15 @@ object Similarity {
   }
 
   /** (id, subspace, i, xq): the 1/4096-quantized coordinate explode
-    * shared by the PQ kernels. */
+    * shared by the PQ kernels. Fails fast (one-row probe, same as
+    * [[dimsOf]]) when the embedding dimensionality is < m (sub = 0
+    * would divide by zero → NULL subspace → silently dropped rows) or
+    * not divisible by m (a ragged (m+1)-th subspace would appear). */
   private[operators] def pqQuantized(
-      df: DataFrame, idCol: String, embCol: String, m: Int): DataFrame =
+      df: DataFrame, idCol: String, embCol: String, m: Int): DataFrame = {
+    val dims = dimsOf(df, embCol)
+    require(dims >= m && dims % m == 0,
+      s"PQ needs embedding dims divisible by m: dims=$dims, m=$m")
     df.select(col(idCol), col(embCol).as("__emb"),
         expr(s"size($embCol) div $m").cast("long").as("sub"))
       .select(col(idCol), col("sub"),
@@ -1026,6 +1032,7 @@ object Similarity {
       .select(col(idCol), col("i").cast("long").as("i"),
         expr("i div sub").cast("long").as("subspace"),
         expr("CAST(round(CAST(e AS DOUBLE) * 4096, 0) AS BIGINT)").as("xq"))
+  }
 
   /** (code, subspace, i, cq): codebooks per subspace — codeword c is
     * the subvector of the (c+1)-th lowest id (the ivf trainIters = 0

@@ -1712,7 +1712,10 @@ object TimeSeries {
     * of %K. %D averages MICRO-QUANTIZED %K longs (sum of 3 exact longs,
     * one division) — averaging round-6 doubles directly would make the
     * sum order-dependent across engines. Flat ranges yield NULL %K and
-    * drop from %D's average (classical convention: undefined, not 50).
+    * drop from %D's average (classical convention: undefined, not 50):
+    * %D requires a FULL 3-row frame (warm-up rows are NULL) but then
+    * averages the d_n defined %K values in it, NULL only when all 3
+    * are flat.
     *
     * Plan: rolling min/max, the quantized %K, and the %D average all
     * ride ONE key-hashed sort. */
@@ -1733,13 +1736,19 @@ object TimeSeries {
       .withColumn("k_micro", expr(stochKMicroSql))
       .withColumn("d_n",
         count(col("k_micro")).over(wD).cast("long"))
+      .withColumn("f_n", count(lit(1)).over(wD).cast("long"))
       .withColumn("d_sum", sum(col("k_micro")).over(wD).cast("long"))
       .select(col(keyCol), col(bucketCol), col("v"),
         expr("CASE WHEN k_micro IS NOT NULL THEN " +
           "round(CAST(k_micro AS DOUBLE) / 1e6, 6) END").as("pct_k"),
-        expr("CASE WHEN d_n = 3 THEN " +
-          "round(CAST(d_sum AS DOUBLE) / d_n / 1e6, 6) END").as("pct_d"))
+        expr(stochDSql).as("pct_d"))
   }
+
+  /** %D over (f_n, d_n, d_sum): full 3-row frame required, then the
+    * mean of the d_n non-NULL %K values. Shared with the oracle. */
+  val stochDSql: String =
+    "CASE WHEN f_n = 3 AND d_n > 0 THEN " +
+      "round(CAST(d_sum AS DOUBLE) / d_n / 1e6, 6) END"
 
   /** Micro-quantized %K over (v, lo, hi); NULL on a flat range. Shared
     * with the oracle. */

@@ -29,6 +29,16 @@ object StreamingZscore {
   case class Out(key: Long, ts_ms: Long, tie: Long, x: Long,
       n_prior: Long, sx_prior: Long, sxx_prior: Long)
 
+  /** Saturating add: pins at ±Long.MaxValue/MinValue (by the addend's
+    * sign) instead of wrapping, so ALL moments honor the scaladoc's
+    * saturation contract — a wrapped Σx would silently corrupt μ. */
+  private def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch {
+      case _: ArithmeticException =>
+        if (b >= 0) Long.MaxValue else Long.MinValue
+    }
+
   def zscore(events: Dataset[Ev]): Dataset[Out] = {
     import events.sparkSession.implicits._
     events
@@ -40,9 +50,8 @@ object StreamingZscore {
           val o = Out(k, e.ts_ms, e.tie, e.x, s.n, s.sx, s.sxx)
           val x2 = try Math.multiplyExact(e.x, e.x)
             catch { case _: ArithmeticException => Long.MaxValue }
-          val sxx2 = try Math.addExact(s.sxx, x2)
-            catch { case _: ArithmeticException => Long.MaxValue }
-          s = MomState(s.n + 1, s.sx + e.x, sxx2)
+          s = MomState(satAdd(s.n, 1L), satAdd(s.sx, e.x),
+            satAdd(s.sxx, x2))
           o
         }
         if (out.nonEmpty) state.update(s)

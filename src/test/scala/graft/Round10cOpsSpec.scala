@@ -83,13 +83,24 @@ class Round10cOpsSpec extends SparkFunSuite {
     assert(out(3).getAs[Double]("pct_d") == 72.222222)
   }
 
-  test("stochasticOsc: flat range nulls %K and starves %D") {
+  test("stochasticOsc: flat range nulls %K, which drops from %D's mean") {
     val out = TimeSeries.stochasticOsc(
       series(Seq(10L, 20L, 5L, 5L, 5L, 30L)), "k", "b", "v", nBars = 3)
       .orderBy("b").collect()
     val r5 = out(2) // window [5,5,5]
     assert(r5.isNullAt(r5.fieldIndex("pct_k")))
-    assert(out.forall(_.isNullAt(out(0).fieldIndex("pct_d"))))
+    // warm-up rows (frame < 3) stay NULL...
+    assert(out(0).isNullAt(out(0).fieldIndex("pct_d")))
+    assert(out(1).isNullAt(out(1).fieldIndex("pct_d")))
+    // ...then the NULL %K drops from the average of the remaining two:
+    // frame (0, 0, NULL) -> 0; frame (0, NULL, 100) -> 50
+    assert(out(2).getAs[Double]("pct_d") == 0.0)
+    assert(out(3).getAs[Double]("pct_d") == 50.0)
+    // an all-flat frame has no defined %K at all -> %D NULL
+    val flat = TimeSeries.stochasticOsc(
+      series(Seq(5L, 5L, 5L, 5L, 5L, 5L)), "k", "b", "v", nBars = 3)
+      .orderBy("b").collect()
+    assert(flat.forall(_.isNullAt(flat(0).fieldIndex("pct_d"))))
   }
 
   test("vwap: exact notional/qty division; zero quantity nulls") {
