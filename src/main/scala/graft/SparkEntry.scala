@@ -5,6 +5,7 @@ import graft.sources.ElbLogParser
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,7 +148,7 @@ object SparkEntry {
     // from. localCheckpoint materializes the result into managed executor
     // storage so the temp tree (parquet + RocksDB checkpoint SSTs) can be
     // deleted NOW instead of leaking per invocation.
-    val result = s.read.schema(df.schema).parquet(data).localCheckpoint(true)
+    val result = s.read.schema(df.schema).parquet(data).materialize
     deleteRecursively(root.toFile)
     result
   }
@@ -174,7 +175,7 @@ object SparkEntry {
     }
     val latest = graft.streaming.MergeSink.latestVersion(target)
       .getOrElse(sys.error(s"MergeSink published no version under $target"))
-    val result = s.read.parquet(latest).localCheckpoint(true)
+    val result = s.read.parquet(latest).materialize
     deleteRecursively(root.toFile)
     result
   }
@@ -1712,7 +1713,7 @@ object SparkEntry {
       val gated = d.join(ok, Seq("doc_id"), "left_semi")
         .join(lowBp, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("source"), col("text"))
-        .localCheckpoint(true)
+        .materialize
       val w = gated.select(col("source")).distinct()
         .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
       Sampling.tokenBudgetMix(gated, w, totalBudget = 8000L)
@@ -2271,7 +2272,7 @@ object SparkEntry {
       lines.write.mode("overwrite").text(root.toString)
       val result = s.read.format("elb").load(root.toString)
         .select(col("ip"), col("ts_ms"))
-        .localCheckpoint(true)
+        .materialize
       deleteRecursively(root.toFile)
       result
     }),
@@ -2307,7 +2308,7 @@ object SparkEntry {
       val result = s.read.option("header", "true").schema(src.schema).csv(root.toString)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
-        .localCheckpoint(true)
+        .materialize
       deleteRecursively(root.toFile)
       result
     }),
@@ -2323,7 +2324,7 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"),
           max(unix_millis(col("ts"))).as("max_ts_ms"))
-        .localCheckpoint(true)
+        .materialize
       deleteRecursively(root.toFile)
       result
     }),
@@ -2548,8 +2549,8 @@ object SparkEntry {
       val b3 = part(ms > col("c2"))
       // localCheckpoint = the persisted state table a real daily job reads
       val (r1, s1) = Sessionize.incrementalGapSessionize(None, b1)
-      val (r2, s2) = Sessionize.incrementalGapSessionize(Some(s1.localCheckpoint(true)), b2)
-      val (r3, _) = Sessionize.incrementalGapSessionize(Some(s2.localCheckpoint(true)), b3)
+      val (r2, s2) = Sessionize.incrementalGapSessionize(Some(s1.materialize), b2)
+      val (r3, _) = Sessionize.incrementalGapSessionize(Some(s2.materialize), b3)
       r1.unionByName(r2).unionByName(r3).select(
         col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("session_id"), col("session_idx"), col("duration"))
@@ -2599,7 +2600,7 @@ object SparkEntry {
         try q.processAllAvailable()
         finally q.stop()
       }
-      val result = s.read.parquet(out).select(col("doc_id")).localCheckpoint(true)
+      val result = s.read.parquet(out).select(col("doc_id")).materialize
       deleteRecursively(root.toFile)
       result
     }),
@@ -2619,7 +2620,7 @@ object SparkEntry {
         .select(col("source"),
           floor(lit(10000L).cast("double") * col("weight").cast("double") /
             col("__denom").cast("double")).as("budget"))
-        .localCheckpoint(true)
+        .materialize
       val root = streamTempRoot("graft_budget_")
       val state = root.resolve("state").toString
       val out = root.resolve("admitted").toString
@@ -2634,7 +2635,7 @@ object SparkEntry {
       }
       val result = s.read.parquet(out)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
-        .localCheckpoint(true)
+        .materialize
       deleteRecursively(root.toFile)
       result
     }),
@@ -3777,7 +3778,7 @@ object SparkEntry {
           e.select(col("dst").as("src"), col("src").as("dst")))
         // the co-purchase self-join is the expensive subtree; the seeds
         // derivation and the BFS both read it — materialize once
-        .localCheckpoint(true)
+        .materialize
       val deg = und.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("d"))
       val seeds = deg.orderBy(col("d").desc, col("id")).limit(4)
@@ -5227,7 +5228,7 @@ object SparkEntry {
             .cast("long").as("n_click"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .cast("long").as("n_view"))
-        .localCheckpoint(true)
+        .materialize
       val long = users.select(col("user_id"), lit("r_spend").as("rater"),
           tier(col("spend"), 360000L, 330000L, 300000L).as("cat"))
         .unionByName(users.select(col("user_id"), lit("r_click").as("rater"),

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Deduplication operators for a training-data pipeline, all shuffle-based
   * and driver-memory-free (designed for 100 TB — see scaladoc per op).
@@ -318,10 +319,10 @@ object Dedup {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(true)
+      .materialize
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -348,7 +349,7 @@ object Dedup {
         .join(labels.select(col("node"), col("component").as("__prev")), "node")
         .select(col("node"), col("component"),
           (col("component") =!= col("__prev")).as("__changed"))
-        .localCheckpoint(true)
+        .materialize
       val changed = next.filter(col("__changed")).limit(1).count()
       labels = next.select(col("node"), col("component"))
       converged = changed == 0L
@@ -946,7 +947,7 @@ object Dedup {
     val ex = docs
       .select(col(idCol).cast("long").as("id"),
         explode(shingles(tokens(col(textCol)), shingleN)).as("s"))
-      .localCheckpoint(true) // feeds df, ranks, and both verify joins
+      .materialize // feeds df, ranks, and both verify joins
     val dfTab = ex.groupBy(col("s")).agg(count(lit(1)).cast("long").as("df"))
     val ranked = ex.join(dfTab, Seq("s"))
       .withColumn("rk", row_number().over(
@@ -958,7 +959,7 @@ object Dedup {
       .filter(col("rk") <= col("sz") -
         expr(s"(($thresholdPpm * sz) + 999999) div 1000000") + 1)
       .select(col("id"), col("s"))
-      .localCheckpoint(true) // both sides of the candidate self-join
+      .materialize // both sides of the candidate self-join
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

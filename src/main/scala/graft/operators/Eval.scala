@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Model-evaluation metrics over distributed predictions — the "score the
   * filter/classifier before trusting it on the corpus" step of a training
@@ -74,7 +75,7 @@ object Eval {
     val ranged = df.repartitionByRange(p, gcols ++ ocols: _*)
       .sortWithinPartitions(gcols ++ ocols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .materialize
     val wLocal = Window.partitionBy(col("__pid") +: gcols: _*)
       .orderBy(ocols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -152,7 +153,7 @@ object Eval {
       .withColumn("z", expr(plattZSql))
       .filter(col("z").isNotNull)
       .select(col("z"), col("__y").as("y"))
-      .localCheckpoint(true) // scanned once per Newton step + log-loss
+      .materialize // scanned once per Newton step + log-loss
     var params = z.sparkSession.range(1)
       .select(lit(0.0).as("a"), lit(0.0).as("b"))
     (1 to iters).foreach { _ =>
@@ -240,7 +241,7 @@ object Eval {
         col(succCol).cast("long").as("x"),
         col(totCol).cast("long").as("nt"))
       .filter(col("nt") > 0L)
-      .localCheckpoint(true) // read by the prior fit AND the shrink map
+      .materialize // read by the prior fit AND the shrink map
     val m = broadcast(u
       .withColumn("p_micro", expr(
         "CAST(ROUND(CAST(x AS DOUBLE) / nt * 1000000, 0) AS BIGINT)"))
@@ -493,7 +494,7 @@ object Eval {
         Window.orderBy(col("s").desc, col("id"))).cast("long"))
       .select(col("id"), col(name))
     val shared = ranks(scoreACol, "ra").join(ranks(scoreBCol, "rb"), Seq("id"))
-      .localCheckpoint(true) // both sides of the m² pair join
+      .materialize // both sides of the m² pair join
     val pairs = shared.as("x").join(shared.as("y"),
         col("x.id") < col("y.id"))
       .select(((col("x.ra") - col("y.ra")) *
@@ -831,7 +832,7 @@ object Eval {
     val tagged = df.withColumn("__half",
       pmod(graft.functions.TextFunctions.tokenHash60(
         concat(lit("cf:"), col(idCol).cast("string"))), lit(2L)))
-      .localCheckpoint(true)
+      .materialize
     val train = tagged.filter(col("__half") === 0L)
     val calib = tagged.filter(col("__half") === 1L)
     val fit = broadcast(
@@ -843,7 +844,7 @@ object Eval {
           (col("b0") + col("b1") * col(x1Col).cast("double") +
             col("b2") * col(x2Col).cast("double"))) * 1e6, 0).cast("long"))
       .select(col("n_train"), col("r_micro"))
-      .localCheckpoint(true)
+      .materialize
     val q = orderStatistics(resid.select(col("r_micro")), "r_micro", Seq((9, 10)))
       .select(col("n").as("n_calib"), col("pos"), col("value").as("q90_micro"))
     resid.crossJoin(broadcast(q))
@@ -1144,7 +1145,7 @@ object Eval {
     // would otherwise re-scan the predictions
     val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
       .agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint(true)
+      .materialize
     val byPred = cells.groupBy(col("p").as("clazz"))
       .agg(sum(col("n")).cast("long").as("n_pred"),
         sum(when(col("p") === col("a"), col("n")).otherwise(0L))
@@ -1178,7 +1179,7 @@ object Eval {
     // cells materialize ONCE — three derived branches share them
     val cells = df.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
       .agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint(true)
+      .materialize
     val byP = cells.groupBy(col("p").as("c")).agg(sum(col("n")).as("np"))
     val byA = cells.groupBy(col("a").as("c")).agg(sum(col("n")).as("na"))
     val sumRc = byP.join(byA, Seq("c"), "inner")
@@ -1242,7 +1243,7 @@ object Eval {
     require(bins > 0 && bins <= 128, s"bins in [1,128]: $bins")
     val b = calibrationBins(df, scoreCol, labelCol, bins)
       .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"))
-      .localCheckpoint(true) // B rows; read by cum + final join
+      .materialize // B rows; read by cum + final join
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = b.select(col("bin"),
@@ -1438,18 +1439,18 @@ object Eval {
         greatest(col("w"), col("l")).as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_games"))
-      .localCheckpoint(true)
+      .materialize
     val wins = dir.groupBy(col("w").as("item"))
       .agg(count(lit(1)).cast("long").as("n_wins"))
     val items = np.select(col("a").as("item"))
       .unionByName(np.select(col("b").as("item"))).distinct()
       .join(wins, Seq("item"), "left")
       .withColumn("n_wins", coalesce(col("n_wins"), lit(0L)))
-      .localCheckpoint(true)
+      .materialize
     val kDf = broadcast(items.agg(count(lit(1)).cast("long").as("__k")))
     var theta = items.crossJoin(kDf)
       .select(col("item"), expr("1000000000 div __k").cast("long").as("theta"))
-      .localCheckpoint(true)
+      .materialize
     for (_ <- 1 to iters) {
       val terms = np
         .join(theta.select(col("item").as("a"), col("theta").as("ta")), Seq("a"))
@@ -1468,7 +1469,7 @@ object Eval {
         .select(col("item"),
           expr("CASE WHEN __t > 0 THEN greatest(raw * 1000000000 div __t, 1) " +
             "ELSE 1 END").cast("long").as("theta"))
-        .localCheckpoint(true)
+        .materialize
     }
     items.join(theta, Seq("item"))
       .select(col("item"), col("n_wins"), col("theta").as("bt_share_ppb"))
@@ -1497,20 +1498,20 @@ object Eval {
         col(toCol).cast("string").as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint(true)
+      .materialize
     val states = pairs.select(col("src").as("state"))
       .unionByName(pairs.select(col("dst").as("state"))).distinct()
-      .localCheckpoint(true)
+      .materialize
     val outTot = pairs.groupBy(col("src"))
       .agg(sum(col("n")).cast("long").as("n_out"))
     val p = pairs.join(outTot, Seq("src"))
       .select(col("src"), col("dst"),
         expr("n * 1000000 div n_out").cast("long").as("p_micro"))
-      .localCheckpoint(true)
+      .materialize
     val kDf = broadcast(states.agg(count(lit(1)).cast("long").as("__k")))
     var x = states.crossJoin(kDf)
       .select(col("state"), expr("1000000000 div __k").cast("long").as("x"))
-      .localCheckpoint(true)
+      .materialize
     for (_ <- 1 to iters) {
       val flow = p
         .join(x.select(col("state").as("src"), col("x").as("xs")), Seq("src"))
@@ -1530,7 +1531,7 @@ object Eval {
         .select(col("state"),
           expr("CASE WHEN __t > 0 THEN raw * 1000000000 div __t " +
             "ELSE 0 END").cast("long").as("x"))
-        .localCheckpoint(true)
+        .materialize
     }
     states.join(x, Seq("state"))
       .select(col("state"), col("x").as("stationary_ppb"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Iterative graph analytics. Connected components (pointer-jumping) lives
   * with the dedup pipeline in [[Dedup.connectedComponents]]; this object
@@ -43,15 +44,15 @@ object Graph {
     // the edge scan+distinct ran 11×)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    val nRow = verts.agg(count(lit(1)).cast("double").as("n")).localCheckpoint(true)
+      .materialize
+    val nRow = verts.agg(count(lit(1)).cast("double").as("n")).materialize
     // outdeg rides each edge row so the per-iteration join needs only the
     // current rank table on the other side
     val bySrc = e
       .withColumn("odeg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
           .cast("double"))
-      .localCheckpoint(true)
+      .materialize
     var pr = verts.crossJoin(broadcast(nRow))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foreach { _ =>
@@ -85,7 +86,7 @@ object Graph {
       idCol: String = "id"): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint(true)
+      .materialize
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("hops", lit(0L))
     (1 to maxHops).foreach { h =>
@@ -134,7 +135,7 @@ object Graph {
         col(weightCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .materialize
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("d", lit(0L))
     (1 to rounds).foreach { _ =>
@@ -143,7 +144,7 @@ object Graph {
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .materialize
     }
     dist
   }
@@ -239,7 +240,7 @@ object Graph {
         when(col("dlo") < col("dhi") ||
           (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
           .otherwise(col("lo")).as("v"))
-      .localCheckpoint(true)
+      .materialize
     // wedges pivoting at u (v < w under an arbitrary but consistent order
     // so each unordered wedge is generated once), closed by the oriented
     // edge (v,w) in either orientation
@@ -273,7 +274,7 @@ object Graph {
       maxRounds: Int = 30): DataFrame = {
     require(k >= 3, s"k must be >= 3 (k=2 keeps every edge): $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
-    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var e = canonicalUndirected(edges, srcCol, dstCol).materialize
     var nEdges = e.count()
     var support = e.limit(0)
       .select(col("lo"), col("hi"), lit(0L).as("support")) // k never < 3
@@ -289,9 +290,9 @@ object Graph {
         .groupBy(col("lo"), col("hi"))
         .agg(count(lit(1)).cast("long").as("support"))
         .filter(col("support") >= k - 2)
-        .localCheckpoint(true)
+        .materialize
       val kept = e.join(sup, Seq("lo", "hi"), "left_semi")
-        .localCheckpoint(true)
+        .materialize
       val n = kept.count()
       converged = n == nEdges
       nEdges = n
@@ -332,7 +333,7 @@ object Graph {
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     var nEdges = e.count()
     var converged = false
     var round = 0
@@ -345,7 +346,7 @@ object Graph {
         .join(keep.withColumnRenamed("v", "src"), Seq("src"))
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .materialize
       val n = pruned.count()
       converged = n == nEdges
       nEdges = n
@@ -374,7 +375,7 @@ object Graph {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true) // feeds degrees AND the assortativity join
+      .materialize // feeds degrees AND the assortativity join
     val deg = und.groupBy(col("u").as("id"))
       .agg(count(lit(1)).cast("long").as("deg"))
     val degStats = deg.agg(
@@ -419,7 +420,7 @@ object Graph {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true) // wedges join it twice; adjacency reads it once
+      .materialize // wedges join it twice; adjacency reads it once
     val degW = und.groupBy(col("u").as("w"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .filter(col("deg") >= 2) // only wedge centers matter; ln(1)=0 guard
@@ -468,10 +469,10 @@ object Graph {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true) // wedges join it twice; degrees read it once
+      .materialize // wedges join it twice; degrees read it once
     val degAll = und.groupBy(col("u").as("w"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint(true) // feeds centers + both endpoint joins
+      .materialize // feeds centers + both endpoint joins
     val centers = degAll
       .filter(col("deg") >= 2).filter(col("deg") <= maxCenterDeg)
       .withColumn("ra_contrib",
@@ -528,13 +529,13 @@ object Graph {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     val ed = und.select(col("u").as("eu"), col("v").as("ev"))
     val landmarks = und.select(col("u")).distinct()
       .orderBy(col("u")).limit(nLandmarks)
     var dist = landmarks
       .select(col("u").as("lm"), col("u").as("v"), lit(0L).as("d"))
-      .localCheckpoint(true)
+      .materialize
     var frontier = dist
     for (i <- 1 to maxHops) {
       val next = frontier.select(col("lm"), col("v"))
@@ -543,8 +544,8 @@ object Graph {
         .distinct()
         .join(dist.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
         .withColumn("d", lit(i.toLong))
-        .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+        .materialize
+      dist = dist.unionByName(next).materialize
       frontier = next
     }
     dist.filter(col("d") > 0L)
@@ -570,7 +571,7 @@ object Graph {
     // aggregate and the triangle kernel — the plan has a single
     // symmetrize+distinct subtree, not one per kernel
     val cand = canonicalUndirected(edges, srcCol, dstCol)
-      .localCheckpoint(true)
+      .materialize
     val deg = cand.select(col("lo").as("id"))
       .unionByName(cand.select(col("hi").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
@@ -601,7 +602,7 @@ object Graph {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     // default labels run CC on the MATERIALIZED symmetric frame, not the
     // raw edges — otherwise the caller's (possibly expensive) edge
     // construction is evaluated a second time inside CC's own symmetrize
@@ -610,7 +611,7 @@ object Graph {
     val lab = labels.getOrElse(
       Dedup.connectedComponents(und, "u", "v")
         .select(col("node"), col("component").as("label")))
-      .localCheckpoint(true)
+      .materialize
     val m2Df = broadcast(und.agg(count(lit(1)).cast("long").as("m2")))
     val tagged = und
       .join(lab.select(col("node").as("u"), col("label").as("cu")), Seq("u"))
@@ -686,10 +687,10 @@ object Graph {
     val e0 = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+      .filter(col("lo") =!= col("hi")).distinct().materialize
     val deg = e0.select(explode(array(col("lo"), col("hi"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint(true)
+      .materialize
     val kTable = broadcast(e0.sparkSession
       .createDataFrame(ks.map(Tuple1(_))).toDF("k"))
     val nk = deg.crossJoin(kTable).filter(col("deg") > col("k"))
@@ -729,9 +730,9 @@ object Graph {
       iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+      col(dstCol).cast("long").as("dst")).distinct().materialize
     val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().materialize
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
     var auth = verts.select(col("id"), lit(1.0).as("auth"))
     (1 to iters).foreach { _ =>
@@ -745,7 +746,7 @@ object Graph {
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
         Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("auth"))
-        .localCheckpoint(true)
+        .materialize
       val am = broadcast(a0.agg(max(col("auth")).as("am")))
       auth = a0.crossJoin(am)
         .select(col("id"), (col("auth") / col("am")).as("auth"))
@@ -754,7 +755,7 @@ object Graph {
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
         Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("hub"))
-        .localCheckpoint(true)
+        .materialize
       val hm = broadcast(h0.agg(max(col("hub")).as("hm")))
       hub = h0.crossJoin(hm)
         .select(col("id"), (col("hub") / col("hm")).as("hub"))
@@ -811,7 +812,7 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().materialize
     var lbl = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     (1 to rounds).foreach { _ =>
@@ -872,7 +873,7 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20, maxDeg: Long = Long.MaxValue): DataFrame = {
     val cand = canonicalUndirected(edges, srcCol, dstCol)
-      .localCheckpoint(true) // feeds degrees AND the triangle kernel
+      .materialize // feeds degrees AND the triangle kernel
     val deg = cand.select(col("lo").as("id"))
       .unionByName(cand.select(col("hi").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))

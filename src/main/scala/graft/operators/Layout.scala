@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Physical data layout for scan pruning — the write-side half of the scale
   * story. A 100 TB table is only as fast as what a query can SKIP:
@@ -143,7 +144,7 @@ object Layout {
       // this each branch samples its own range bounds and __pid can
       // disagree between branches (silently wrong positions at scale).
       // Full rationale: Eval.rangedCumsum.
-      .localCheckpoint(true)
+      .materialize
     val wLocal = Window.partitionBy(col("__pid")).orderBy(oc: _*)
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

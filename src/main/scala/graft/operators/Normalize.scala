@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Per-group feature normalization for training pipelines: winsorization
   * (outlier clipping at exact per-group quantiles) and z-score scaling from
@@ -163,7 +164,7 @@ object Normalize {
         sum(x).cast("long").as("s"),
         sum(x * x).cast("long").as("sq"))
       .filter(col("n") > 1L)
-      .localCheckpoint(true) // both sides of the pair join
+      .materialize // both sides of the pair join
     val tot = broadcast(g.agg(count(lit(1)).cast("long").as("k")))
     g.as("a").join(broadcast(g.as("b")), col("a.grp") < col("b.grp"))
       .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Data-profiling / diagnostics operators — the "look before you shuffle"
   * step of a large-scale pipeline: column quality audits before training
@@ -171,7 +172,7 @@ object Profiling {
     // otherwise each re-scan the input (4 full scans for a tiny table)
     val cells = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).cast("long").as("obs"))
-      .localCheckpoint(true)
+      .materialize
     val rows = broadcast(cells.groupBy(col(rowCol))
       .agg(sum(col("obs")).cast("long").as("__nr")))
     val cols = broadcast(cells.groupBy(col(colCol))
@@ -262,7 +263,7 @@ object Profiling {
     // the marginal/total branches would otherwise each re-scan the input
     val cells = df.groupBy(col(xCol), col(yCol))
       .agg(count(lit(1)).cast("long").as("obs"))
-      .localCheckpoint(true)
+      .materialize
     val xs = broadcast(cells.groupBy(col(xCol))
       .agg(sum(col("obs")).cast("long").as("__nx")))
     val ys = broadcast(cells.groupBy(col(yCol))
@@ -741,7 +742,7 @@ object Profiling {
       .groupBy(col("grp"))
       .agg(count(lit(1)).cast("long").as("ng"),
         sum(col("r2")).cast("long").as("rg2"))
-      .localCheckpoint(true) // k rows; both sides of the pair join
+      .materialize // k rows; both sides of the pair join
     val tot = broadcast(g.agg(sum(col("ng")).cast("long").as("n"),
       count(lit(1)).cast("long").as("k")))
     g.as("a").join(broadcast(g.as("b")),
@@ -950,7 +951,7 @@ object Profiling {
   def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).cast("long").as("obs"))
-      .localCheckpoint(true) // marginals + dims + cells all read it
+      .materialize // marginals + dims + cells all read it
     val rows = cells.groupBy(col("x")).agg(sum(col("obs")).cast("long").as("rx"))
     val cols = cells.groupBy(col("y")).agg(sum(col("obs")).cast("long").as("cy"))
     val n = broadcast(cells.agg(sum(col("obs")).cast("long").as("n"),
@@ -999,7 +1000,7 @@ object Profiling {
     // (spill, task retry, differing upstream partitioning per side) —
     // materialize ONCE so both join branches read the same tagged rows
     val idd = u.withColumn("__i", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .materialize
     val pp = idd.as("a").join(idd.as("b"), col("a.__i") < col("b.__i"))
       .select(
         (signum(col("b.x") - col("a.x")) *
@@ -1055,7 +1056,7 @@ object Profiling {
     val cells = df.groupBy(col(aCol).cast("long").as("i"),
         col(bCol).cast("long").as("j"))
       .agg(count(lit(1)).cast("long").as("obs"))
-      .localCheckpoint(true)
+      .materialize
     val rows = cells.groupBy(col("i"))
       .agg(sum(col("obs")).cast("long").as("ri"))
     val colsM = cells.groupBy(col("j"))
@@ -1257,9 +1258,9 @@ object Profiling {
     def hashes(df: DataFrame, c: String) = df.select(expr(
       s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
       .as("h")).distinct()
-    val ha = hashes(a, aCol).localCheckpoint(true)
-    val hb = hashes(b, bCol).localCheckpoint(true)
-    val u = ha.unionByName(hb).distinct().localCheckpoint(true)
+    val ha = hashes(a, aCol).materialize
+    val hb = hashes(b, bCol).materialize
+    val u = ha.unionByName(hb).distinct().materialize
     val uk = u.sort(col("h")).limit(k)
       .join(ha.withColumn("ina", lit(1L)), Seq("h"), "left")
       .join(hb.withColumn("inb", lit(1L)), Seq("h"), "left")
@@ -1504,7 +1505,7 @@ object Profiling {
   def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val cells = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).cast("long").as("obs"))
-      .localCheckpoint(true)
+      .materialize
     val rows = broadcast(cells.groupBy(col(rowCol))
       .agg(sum(col("obs")).cast("long").as("nr")))
     val colsM = broadcast(cells.groupBy(col(colCol))
@@ -1987,14 +1988,14 @@ object Profiling {
       col(valCol).cast("long").as("v"))
     val per = u.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).cast("long").as("nv"))
-      .localCheckpoint(true) // feeds the grid left-join + both distincts
+      .materialize // feeds the grid left-join + both distincts
     val vals = per.select(col("v")).distinct()
     val groups = per.select(col("g")).distinct()
     val grid = vals.crossJoin(groups)
       .join(per, Seq("g", "v"), "left")
       .withColumn("nv", coalesce(col("nv"), lit(0L)))
     val cum = Eval.rangedCumsum(grid, Seq("g"), "v", Seq("nv"))
-      .localCheckpoint(true) // both sides of the ordered pair join
+      .materialize // both sides of the ordered pair join
     val j2 = cum.as("x").join(cum.as("y"),
         col("x.v") === col("y.v") && col("x.g") < col("y.g"))
       .agg(sum(col("y.nv").cast("decimal(38,0)") *
@@ -2085,7 +2086,7 @@ object Profiling {
         count(lit(1)).over(Window.partitionBy(col("__u"))))
       .crossJoin(k1)
       .filter(col("__cnt") === col("k"))
-      .localCheckpoint(true) // feeds the item moments + the unit totals
+      .materialize // feeds the item moments + the unit totals
     val items = complete.groupBy(col("k"), col("__i"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("__v")).cast("long").as("s"),
@@ -2146,10 +2147,10 @@ object Profiling {
         count(lit(1)).over(Window.partitionBy(col("__i"))))
       .crossJoin(n1)
       .filter(col("__cnt") === col("n_raters"))
-      .localCheckpoint(true)
+      .materialize
     val cells = complete.groupBy(col("n_raters"), col("__i"), col("__c"))
       .agg(count(lit(1)).cast("long").as("nic"))
-      .localCheckpoint(true) // feeds the item sum + the category totals
+      .materialize // feeds the item sum + the category totals
     val perItem = cells.groupBy(col("n_raters"))
       .agg(count_distinct(col("__i")).cast("long").as("n_items"),
         sum(col("nic").cast("decimal(38,0)") * col("nic"))
@@ -2192,7 +2193,7 @@ object Profiling {
       df: DataFrame, keyCol: String, catCol: String): DataFrame = {
     val cells = df.groupBy(col(keyCol), col(catCol))
       .agg(count(lit(1)).cast("long").as("o"))
-      .localCheckpoint(true) // feeds the key totals + the global k
+      .materialize // feeds the key totals + the global k
     val kGlob = broadcast(cells.select(col(catCol)).distinct()
       .agg(count(lit(1)).cast("long").as("k")))
     val totals = cells.groupBy(col(keyCol))
@@ -2271,7 +2272,7 @@ object Profiling {
       .groupBy((col("va") - col("vb")).as("d"))
       .agg(count(lit(1)).cast("long").as("nd"))
     val c = Eval.rangedCumsum(per, Nil, "d", Seq("nd"))
-      .localCheckpoint(true)
+      .materialize
     val tot = broadcast(c.agg(sum(col("nd")).cast("long").as("np")))
     def orderStat(kExpr: String, name: String) =
       c.crossJoin(tot)

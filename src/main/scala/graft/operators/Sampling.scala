@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Deterministic sampling / dataset-split operators for training pipelines.
   *
@@ -291,7 +292,7 @@ object Sampling {
       // disagree between branches and silently corrupt the prefix sum.
       // Exhaustive-sample toy runs can't show it; partial-sample (real)
       // scale can. Full rationale: Eval.rangedCumsum.
-      .localCheckpoint(true)
+      .materialize
     val wLocal = Window.partitionBy(col("__pid"), col(sourceCol))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

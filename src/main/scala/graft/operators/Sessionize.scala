@@ -4,6 +4,7 @@ import graft.model.{SessionConfig, SessionEvent, SessionState, SessionizedEvent}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Batch sessionization — two tiers (SURVEY.md §2.5 "Spark mapping"):
   *
@@ -252,7 +253,7 @@ object Sessionize {
       .toDF()
       // evaluate ONCE, then split into (events, state) — also what keeps
       // the plan flat when increments chain (the state a daily job persists)
-      .localCheckpoint(true)
+      .materialize
     val out = folded.filter(col("kind") === 1)
       .select(col("key"), col("tsMillis"), col("tieBreak"),
         col("sessionId"), col("sessionIdx"), col("duration"))

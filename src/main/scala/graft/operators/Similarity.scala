@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -229,7 +230,7 @@ object Similarity {
     * use the training-free seeds where hash-stable output matters. */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame =
     kmeansCentroidsFrom(
-      withNorm(corpus, "vec_id", "embedding").localCheckpoint(true), nCentroids, iters)
+      withNorm(corpus, "vec_id", "embedding").materialize, nCentroids, iters)
 
   /** Training loop over an ALREADY-normalized (and ideally materialized)
     * corpus — lets ivfTopK reuse its own norm table instead of re-running
@@ -247,7 +248,7 @@ object Similarity {
           col("cell"),
           transform(col("dims"), d => d.getField("m").cast("float")).as("cvec"))
         .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
-        .localCheckpoint(true)
+        .materialize
       cent = broadcast(refined)
     }
     cent
@@ -472,7 +473,7 @@ object Similarity {
         sum(q.cast("decimal(38,0)") * q).cast("decimal(38,0)").as("sq"))
       .withColumn("mu",
         expr("CAST(ROUND(CAST(s AS DOUBLE) / n, 0) AS BIGINT)"))
-      .localCheckpoint(true) // k·d rows; feeds the global means + finish
+      .materialize // k·d rows; feeds the global means + finish
     val glob = per.groupBy(col("dim"))
       .agg(sum(col("n")).cast("long").as("nn"),
         sum(col("s")).cast("long").as("ss"))
@@ -549,7 +550,7 @@ object Similarity {
     // norm table first (localCheckpoint) so Lloyd iterations and the final
     // assignment read it instead of re-running the norm pipeline per pass.
     val c0 = withNorm(corpus, "vec_id", "embedding")
-    val c = if (trainIters > 0) c0.localCheckpoint(true) else c0
+    val c = if (trainIters > 0) c0.materialize else c0
     val centroids =
       if (trainIters > 0) kmeansCentroidsFrom(c, nCentroids, trainIters)
       else centroidsOf(c, nCentroids)
@@ -625,7 +626,7 @@ object Similarity {
       s"need 1 <= selectK <= poolK: $selectK/$poolK")
     val pool = bruteForceTopK(queries, corpus, poolK)
       .select(col("qid"), col("vec_id"), col("sim").as("rel"))
-      .localCheckpoint(true)
+      .materialize
     val c = withNorm(corpus, "vec_id", "embedding")
     val pl = pool.select(col("qid"), col("vec_id")).join(c, Seq("vec_id"))
     val pairs = pl.as("x").join(pl.as("y"),
@@ -634,13 +635,13 @@ object Similarity {
         col("y.vec_id").as("b"),
         cosineFromNorms(col("x.embedding"), col("y.embedding"),
           col("x.__nrm"), col("y.__nrm")).as("psim"))
-      .localCheckpoint(true)
+      .materialize
     val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
     var selected = pool
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("qid"), col("vec_id"), lit(1L).as("pick_order"),
         col("rel").as("score"))
-      .localCheckpoint(true)
+      .materialize
     (2 to selectK).foreach { i =>
       val ms = pairs
         .join(selected.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
@@ -656,7 +657,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id"), lit(i.toLong).as("pick_order"),
           col("score"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).materialize
     }
     selected
   }
@@ -719,11 +720,11 @@ object Similarity {
       .select(col("i"), col("j"), col("cov"))
     val cov = covUpper.unionByName(covUpper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .localCheckpoint(true)
+      .materialize
     var v = cov.select(col("i")).distinct()
       .withColumn("v_micro",
         when(col("i") === 0L, 1000000L).otherwise(0L))
-      .localCheckpoint(true)
+      .materialize
     def multiply(vec: DataFrame): DataFrame = cov
       .join(vec.select(col("i").as("j"), col("v_micro")), Seq("j"))
       .groupBy(col("i"))
@@ -736,9 +737,9 @@ object Similarity {
         .select(col("i"), expr(
           "CAST(ROUND(CAST(w AS DOUBLE) * 1000000.0 / sqrt(CAST(ss AS DOUBLE)), 0) AS BIGINT)")
           .as("v_micro"))
-        .localCheckpoint(true)
+        .materialize
     }
-    val wf = multiply(v).localCheckpoint(true)
+    val wf = multiply(v).materialize
     val num = wf.join(v, Seq("i"))
       .agg(sum(col("w") * col("v_micro")).cast("long").as("num"))
     val den = v.agg(sum(col("v_micro") * col("v_micro")).cast("long").as("den"))
@@ -802,7 +803,7 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("n"))
       .filter(col("n") >= minPts)
       .withColumn("id", cellId)
-      .localCheckpoint(true) // feeds probes, join target, and final output
+      .materialize // feeds probes, join target, and final output
     val offsets = embeddings.sparkSession.createDataFrame(
       Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L),
         (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))).toDF("dx", "dy")
@@ -884,7 +885,7 @@ object Similarity {
     }.toDF("i", "j", "v")
     val agg = triples.groupBy(col("i"), col("j"))
       .agg(sum(col("v")).as("v"))
-      .localCheckpoint(true) // three branches below — materialize once
+      .materialize // three branches below — materialize once
     val nDf = agg.filter(col("i") === -1 && col("j") === -1)
       .select(col("v").as("n"))
     val mDf = agg.filter(col("i") === -1 && col("j") >= 0)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Survival / time-to-event analysis over subject tables — "how long
   * until a user churns / errors / converts, and do cohorts differ?"
@@ -239,7 +240,7 @@ object Survival {
         col(timeCol).cast("long").as("t"),
         when(col(eventCol), 1L).otherwise(0L).as("ev"),
         col(scoreCol).cast("long").as("sc"))
-      .localCheckpoint(true)
+      .materialize
     val n = u.count()
     require(n <= maxRows,
       s"harrellC is O(n²) pairwise ($n rows > $maxRows): aggregate to " +
@@ -348,7 +349,7 @@ object Survival {
       .withColumn("z", expr(Eval.plattZSql))
       .filter(col("z").isNotNull)
       .select(col("t"), col("ev"), col("z"))
-      .localCheckpoint(true) // scanned once per Newton step
+      .materialize // scanned once per Newton step
     var beta = z.sparkSession.range(1).select(lit(0.0).as("beta"))
     (1 to iters).foreach { _ =>
       val perT = z.crossJoin(broadcast(beta))

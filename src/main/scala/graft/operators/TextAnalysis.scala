@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Text-analysis operators: per-document stats, language-ID heuristic,
   * token frequencies, fingerprints. All narrow maps + one aggregate at most;
@@ -1164,7 +1165,7 @@ object TextAnalysis {
       .filter(!col("is_stop"))
       .withColumn("plen", count(lit(1)).over(
         Window.partitionBy(col("g"), col("doc_id"), col("grp"))))
-      .localCheckpoint(true) // read by word scores AND phrase assembly
+      .materialize // read by word scores AND phrase assembly
     val wordScore = runs.groupBy(col("g"), col("tok"))
       .agg(count(lit(1)).cast("long").as("freq"),
         sum(col("plen")).cast("long").as("deg"))
@@ -1302,7 +1303,7 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
       .groupBy(col("g"), col("tok"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint(true) // read 3x: totals, entropies, pair expansion
+      .materialize // read 3x: totals, entropies, pair expansion
     val tot = counts.groupBy(col("g")).agg(sum(col("c")).cast("long").as("t"))
     val hp = counts.join(broadcast(tot), Seq("g"))
       .withColumn("term", expr(entropyTermNanoSql("c", "t")))

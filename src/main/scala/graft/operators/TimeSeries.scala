@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Time-series shaping: gap filling over integer bucket spines. */
 object TimeSeries {
@@ -1055,7 +1056,7 @@ object TimeSeries {
       .withColumn("one", lit(1L))
     val idx = Eval.rangedCumsumOrdered(u, Seq("__k"), Seq("__t"), Seq("one"))
       .select(col("__k"), col("__t"), col("__x"), col("cum_one").as("ti"))
-      .localCheckpoint(true) // read by the three block passes
+      .materialize // read by the three block passes
     val perM = hurstBlockSizes.map { m =>
       val wRun = Window.partitionBy(col("__k"), col("block"))
         .orderBy(col("__t"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Online token-budget admission — the streaming counterpart of
   * [[graft.operators.Sampling.tokenBudgetMix]]: documents arrive over time
@@ -39,7 +40,7 @@ object BudgetAdmitSink {
     val toks = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
-      .localCheckpoint(true)
+      .materialize
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val stateExists =
       statePath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statePath)

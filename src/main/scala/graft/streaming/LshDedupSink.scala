@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Online MinHash-LSH near-duplicate admission — streaming dedup one tier
   * above content-hash dedup: each microbatch's documents are admitted only
@@ -50,8 +51,8 @@ object LshDedupSink {
     * the corpus-sized posting table). */
   def admitBatch(idxDir: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val ids = batch.select(col("doc_id")).localCheckpoint(true)
-    val bt = bandTable(batch).localCheckpoint(true)
+    val ids = batch.select(col("doc_id")).materialize
+    val bt = bandTable(batch).materialize
     // existence probed through the Hadoop FileSystem of the path's scheme
     // (a java.io.File check is always false for hdfs:// or s3a:// paths —
     // every batch would silently see an EMPTY prior index and re-admit

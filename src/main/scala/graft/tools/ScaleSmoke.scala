@@ -3,6 +3,7 @@ package graft.tools
 import graft.operators.{Dedup, Eval, Normalize, Profiling, Sampling, Sessionize, Similarity, Temporal, TextAnalysis, TimeSeries, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
 
 /** Scale-stress smoke: multiply the sf0.1 tables in-memory (disjoint key
   * spaces so semantics stay per-key) and run the heavy operators. Not a
@@ -165,9 +166,9 @@ object ScaleSmoke {
         events.crossJoin(broadcast(cuts)).filter(cond).drop("c1", "c2")
       val (r1, s1) = Sessionize.incrementalGapSessionize(None, part(ms <= col("c1")))
       val (r2, s2) = Sessionize.incrementalGapSessionize(
-        Some(s1.localCheckpoint(true)), part(ms > col("c1") && ms <= col("c2")))
+        Some(s1.materialize), part(ms > col("c1") && ms <= col("c2")))
       val (r3, _) = Sessionize.incrementalGapSessionize(
-        Some(s2.localCheckpoint(true)), part(ms > col("c2")))
+        Some(s2.materialize), part(ms > col("c2")))
       drain(r1.unionByName(r2).unionByName(r3))
     }
     time("boundedBucketPairs 50k-copy cluster (star path)") {
@@ -601,7 +602,7 @@ object ScaleSmoke {
         .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
         .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Graph.graphStats(e, "src", "dst"))
       drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20))
       drain(graft.operators.Graph.linkPredictors(e, "src", "dst", 20))
@@ -729,7 +730,7 @@ object ScaleSmoke {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .cast("long").as("y"),
           count(lit(1)).cast("long").as("z"))
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.mahalanobis2d(users, "user_id", "x", "z"))
       drain(Profiling.partialCorr(users, "x", "y", "z"))
       drain(Eval.trimmedMean(
@@ -742,7 +743,7 @@ object ScaleSmoke {
       val scored = eventsUid.select(
         round(col("value") * 100, 0).cast("long").as("cents"),
         (col("event_type") === "purchase").as("is_pos"))
-        .localCheckpoint(true)
+        .materialize
       drain(Eval.plattScale(scored, "cents", "is_pos"))
       drain(Eval.youdenThreshold(scored, "cents", "is_pos"))
       drain(Eval.ece(scored, "cents", "is_pos"))
@@ -793,7 +794,7 @@ object ScaleSmoke {
       val daily = eventsUid.groupBy(col("event_type"),
           expr("unix_millis(ts) div 86400000").as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
-        .localCheckpoint(true)
+        .materialize
       drain(TimeSeries.pacf(daily, "event_type", "day", "v"))
       drain(TimeSeries.pettitt(daily, "event_type", "day", "v"))
     }
@@ -816,7 +817,7 @@ object ScaleSmoke {
       val spend = eventsUid.groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
         .withColumn("even", pmod(col("user_id"), lit(2L)) === 0L)
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.emd1d(
         spend.filter(col("even")).select(col("spend")),
         spend.filter(!col("even")).select(col("spend")), "spend"))
@@ -858,7 +859,7 @@ object ScaleSmoke {
             .cast("long").as("n_purch"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L))
             .cast("long").as("n_click"))
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.kendallTau(users, "spend", "n_purch")
         .withColumn("gamma", expr(Profiling.gammaSql)))
       drain(Profiling.weightedKappa(
@@ -903,7 +904,7 @@ object ScaleSmoke {
           (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             >= 15L).as("heavy"),
           sum(col("cents")).cast("long").as("spend"))
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.signTest(paired, "x", "y"))
       drain(Profiling.wilcoxonSignedRank(paired, "x", "y"))
       drain(Profiling.gTest(docs, "lang", "source"))
@@ -925,7 +926,7 @@ object ScaleSmoke {
             >= 14L).as("had_error"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .cast("long").as("n_purch"))
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.cramerVonMises(users, "had_error", "spend"))
       drain(Profiling.jonckheere(
         users.withColumn("tier",
@@ -963,7 +964,7 @@ object ScaleSmoke {
     time(s"bowker+atkinson+cronbach+fleiss x$mult") {
       val perType = eventsUid.groupBy(col("event_type"), col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Eval.atkinson(perType, "event_type", "cents"))
       drain(Profiling.cronbachAlpha(
         perType.select(col("user_id"), col("event_type"),
@@ -983,7 +984,7 @@ object ScaleSmoke {
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .cast("long").as("n_view"),
           sum(col("cents")).cast("long").as("spend"))
-        .localCheckpoint(true)
+        .materialize
       drain(Profiling.bowkerSymmetry(
         users.select(
           when(col("x") >= 180000L, "h").when(col("x") >= 150000L, "m")
@@ -1021,7 +1022,7 @@ object ScaleSmoke {
       val ranked = eventsUid.groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("sa"),
           count(lit(1)).cast("long").as("sb"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Eval.rboTopK(ranked, "user_id", "sa", "sb",
         k = 100))
       drain(graft.operators.Eval.rankAgreement(ranked, "user_id", "sa",
@@ -1044,7 +1045,7 @@ object ScaleSmoke {
         .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
           min(when(col("is_err"), col("ms"))).as("err_ms"),
           sum(col("cents")).as("spend"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Survival.lifeTable(
         users.select(concat(lit("c"), pmod(col("user_id"), lit(2L)))
             .as("g"),
@@ -1077,7 +1078,7 @@ object ScaleSmoke {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .cast("long").as("np"),
           count(lit(1)).cast("long").as("ne"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Survival.coxPH(
         users.select(
           expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
@@ -1106,7 +1107,7 @@ object ScaleSmoke {
         .select(col("user_id"),
           expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000").as("t"),
           col("err_ms").isNotNull.as("ev"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Survival.kaplanMeier(
         users.withColumn("grp",
           concat(lit("c"), pmod(col("user_id"), lit(2L)))), "grp", "t", "ev"))
@@ -1179,7 +1180,7 @@ object ScaleSmoke {
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"),
           (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
             .as("heavy"))
-        .localCheckpoint(true)
+        .materialize
       drain(graft.operators.Eval.decisionStump(users, "spend", "heavy"))
       drain(graft.operators.Eval.woeBins(users, "spend", "heavy"))
       drain(graft.operators.Eval.decileLift(users, "spend", "heavy"))
@@ -1303,7 +1304,7 @@ object ScaleSmoke {
           expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
         .agg(sum(round(col("value") * 100, 0).cast("long"))
           .cast("long").as("v"))
-        .localCheckpoint(true)
+        .materialize
       drain(TimeSeries.turningPoints(hourly, "event_type", "h", "v"))
       drain(TimeSeries.coxStuart(hourly, "event_type", "h", "v"))
       drain(TimeSeries.chowTest(hourly, "event_type", "h", "v", 360L))
@@ -1348,7 +1349,7 @@ object ScaleSmoke {
           expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
         .agg(sum(round(col("value") * 100, 0).cast("long"))
           .cast("long").as("v"))
-        .localCheckpoint(true)
+        .materialize
       drain(TimeSeries.drawdown(hourly, "event_type", "h", "v"))
       drain(TimeSeries.bollinger(hourly, "event_type", "h", "v", 24, 2))
       drain(TimeSeries.rsi(hourly, "event_type", "h", "v", 14))
@@ -1371,7 +1372,7 @@ object ScaleSmoke {
       val dollars = events.groupBy(col("event_type"),
           expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
         .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
-        .localCheckpoint(true)
+        .materialize
       drain(TimeSeries.kpss(dollars, "event_type", "h", "v"))
       drain(TimeSeries.dickeyFuller(dollars, "event_type", "h", "v"))
       drain(TimeSeries.classicalDecompose(dollars, "event_type", "h", "v"))
