@@ -5450,6 +5450,40 @@ object SparkEntry {
         e.select(col("vec_id"), col("embedding")),
         m = 4, k = 16, topK = 10)
     }),
+    "q_pq_train" -> ((s, dir) => {
+      // Lloyd-trained PQ codebook (2 refinement iterations seeded from
+      // the lowest-id convention) — exact integer centroid rounding,
+      // replayed by unrolled per-iteration CTEs like pageRank.
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.pqCodebookTrained(
+        e, m = 4, k = 16, iters = 2)
+    }),
+    "q_pq_rerank" -> ((s, dir) => {
+      // ADC search with exact re-ranking (FAISS-style refine): trained
+      // m=16/k=16 codes shortlist 400 candidates per query, exact
+      // integer L2 re-picks the top 10 — compressed-domain scan
+      // economics with measured recall >= 0.96 (BASELINE.md r11).
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqAdcRerankTopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 16, k = 16, topK = 10, rerank = 400, trainIters = 1)
+    }),
+    "q_pq_recall_rerank" -> ((s, dir) => {
+      // recall@10 of the rerank tier vs exact L2 — the certification
+      // number next to q_pq_recall's ADC-only value.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.recallAtK(
+        graft.operators.Similarity.l2TopK(q, corpus, topK = 10),
+        graft.operators.Similarity.pqAdcRerankTopK(
+          q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
+          trainIters = 1))
+    }),
     "q_auc_ci" -> ((s, dir) => {
       // q_auc's point estimate with the DeLong confidence interval:
       // exact integer placement values off the same distinct-score
@@ -12642,6 +12676,38 @@ object SparkEntry {
          |FROM bft LEFT JOIN adct ON adct.qid = bft.qid
          |  AND adct.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_pq_train" ->
+      s"""WITH ${pqTrainedCtes(4, 16, 2)}
+         |SELECT code, subspace, i, cq FROM cb_2""".stripMargin,
+    "q_pq_rerank" ->
+      s"""WITH ${pqTrainedCtes(16, 16, 1)},
+         |${pqRerankCtes("cb_1", 400)}
+         |SELECT qid, vec_id, dist2, rank FROM (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist2, vec_id) AS BIGINT) AS rank FROM rer)
+         |WHERE rank <= 10""".stripMargin,
+    "q_pq_recall_rerank" ->
+      s"""WITH ${pqTrainedCtes(16, 16, 1)},
+         |${pqRerankCtes("cb_1", 400)},
+         |rrt AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist2, vec_id) AS rn FROM rer) WHERE rn <= 10),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qx.xq - x.xq) * (qx.xq - x.xq)) AS BIGINT)
+         |      AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2),
+         |bft AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+         |      AS rn FROM bf) WHERE rn <= 10)
+         |SELECT bft.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN rrt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN rrt.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
+         |  AND rrt.vec_id = bft.vec_id
+         |GROUP BY 1""".stripMargin,
     "q_auc_ci" ->
       s"""WITH per AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -13070,6 +13136,87 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
       |      ORDER BY dist2, code) AS rn FROM sc)
       |  WHERE rn = 1)""".stripMargin
+
+  /** Unrolled Lloyd-training replay for the PQ codebook — mirrors
+    * Similarity.pqCodebookTrained(m, k, iters) exactly: quantized
+    * coords `x`, lowest-id seed `cb_0`, then per iteration the argmin
+    * assignment (d_t/a_t), per-coordinate sums (s_t), and the
+    * half-away-from-zero integer mean update (cb_t, empty clusters
+    * keep the previous codeword via the shared pqMeanRoundSql). Every
+    * round is AS MATERIALIZED — default inlining expands k^rounds when
+    * a round references its predecessor k times (the pageRank lesson).
+    * Ends in `cb_$iters`; callers append their own assignment /
+    * ADC / rerank CTEs against it. */
+  private def pqTrainedCtes(m: Int, k: Int, iters: Int): String = {
+    val head =
+      s"""x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST((i - 1) // (len(e) // $m) AS BIGINT) AS subspace,
+         |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding AS e,
+         |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+         |ids AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS code
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+         |    LIMIT $k)),
+         |cb_0 AS (SELECT code, subspace, i, xq AS cq
+         |  FROM x JOIN ids USING (vec_id))""".stripMargin
+    val its = (1 to iters).map { t =>
+      s"""d_$t AS MATERIALIZED (SELECT x.vec_id, x.subspace, p.code,
+         |    CAST(SUM((x.xq - p.cq) * (x.xq - p.cq)) AS BIGINT) AS d2
+         |  FROM x JOIN cb_${t - 1} p ON p.subspace = x.subspace
+         |    AND p.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |a_$t AS MATERIALIZED (SELECT vec_id, subspace, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+         |      ORDER BY d2, code) AS rn FROM d_$t) WHERE rn = 1),
+         |s_$t AS MATERIALIZED (SELECT a.subspace, a.code, x.i,
+         |    CAST(SUM(x.xq) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM a_$t a JOIN x ON x.vec_id = a.vec_id
+         |    AND x.subspace = a.subspace
+         |  GROUP BY 1, 2, 3),
+         |cb_$t AS MATERIALIZED (SELECT p.code, p.subspace, p.i,
+         |    CAST(${graft.operators.Similarity.pqMeanRoundSql("//")}
+         |      AS BIGINT) AS cq
+         |  FROM cb_${t - 1} p LEFT JOIN s_$t s ON s.code = p.code
+         |    AND s.subspace = p.subspace AND s.i = p.i)""".stripMargin
+    }
+    (head +: its).mkString(",\n")
+  }
+
+  /** Corpus codes + per-query ADC tables + top-`rerank` candidates +
+    * exact re-rank against the trained codebook `cb` — the shared tail
+    * of q_pq_rerank and q_pq_recall_rerank. Ends in `rer(qid, vec_id,
+    * dist2)`. */
+  private def pqRerankCtes(cb: String, rerank: Int): String =
+    s"""pqd AS MATERIALIZED (SELECT x.vec_id, x.subspace, p.code,
+       |    CAST(SUM((x.xq - p.cq) * (x.xq - p.cq)) AS BIGINT) AS d2
+       |  FROM x JOIN $cb p ON p.subspace = x.subspace AND p.i = x.i
+       |  GROUP BY 1, 2, 3),
+       |pqc AS MATERIALIZED (SELECT vec_id, subspace, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d2, code) AS rn FROM pqd) WHERE rn = 1),
+       |qx AS MATERIALIZED (SELECT vec_id AS qid, subspace, i, xq
+       |  FROM x WHERE vec_id < 8),
+       |adc AS (SELECT qid, qx.subspace, p.code,
+       |    CAST(SUM((qx.xq - p.cq) * (qx.xq - p.cq)) AS BIGINT) AS d2
+       |  FROM qx JOIN $cb p ON p.subspace = qx.subspace AND p.i = qx.i
+       |  GROUP BY 1, 2, 3),
+       |ap AS (SELECT adc.qid, pqc.vec_id,
+       |    CAST(SUM(adc.d2) AS BIGINT) AS adc_dist2
+       |  FROM pqc JOIN adc ON adc.subspace = pqc.subspace
+       |    AND adc.code = pqc.code
+       |  WHERE pqc.vec_id <> adc.qid GROUP BY 1, 2),
+       |cand AS (SELECT qid, vec_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_dist2, vec_id) AS rn FROM ap)
+       |  WHERE rn <= $rerank),
+       |rer AS (SELECT c.qid, c.vec_id,
+       |    CAST(SUM((q.xq - x.xq) * (q.xq - x.xq)) AS BIGINT) AS dist2
+       |  FROM cand c JOIN x ON x.vec_id = c.vec_id
+       |    JOIN qx q ON q.qid = c.qid AND q.i = x.i
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Classical-decomposition replay over the hourly-dollars series,
     * ending in `dc(event_type, h, v, phase, trend, seasonal,

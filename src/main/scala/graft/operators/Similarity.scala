@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize
 import graft.Materialize.MaterializeOps
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -1000,14 +1001,27 @@ object Similarity {
     * Plan: posexplode → broadcast the k·d-value codebook → per
     * (vec, subspace, code) aggregate → TakeOrdered-style row_number
     * pick on the same hash. Corpus size scales freely; work is
-    * n·d·k narrow rows. */
-  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    * n·d·k narrow rows.
+    *
+    * `trainIters > 0` swaps in the [[pqCodebookTrained]] Lloyd-refined
+    * codebook on the identical plan shape. */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16,
+      trainIters: Int = 0): DataFrame = {
     require(m > 0 && k > 0, s"m and k must be positive: $m, $k")
+    val cb =
+      if (trainIters > 0) pqCodebookTrained(emb, m, k, trainIters)
+      else pqCodebook(emb, m, k)
+    pqEncodeWith(pqQuantized(emb, "vec_id", "embedding", m), cb)
+  }
+
+  /** Nearest-codeword assignment of pre-quantized coords against a
+    * given codebook — the kernel [[pqEncode]] and [[pqAdcTopK]] share
+    * so a trained codebook never gets re-derived per caller. */
+  private def pqEncodeWith(x: DataFrame, cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val x = pqQuantized(emb, "vec_id", "embedding", m)
     val pick = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("dist2"), col("code"))
-    x.join(broadcast(pqCodebook(emb, m, k)), Seq("subspace", "i"))
+    x.join(broadcast(cb), Seq("subspace", "i"))
       .groupBy(col("vec_id"), col("subspace"), col("code"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
         .cast("long").as("dist2"))
@@ -1049,6 +1063,58 @@ object Similarity {
       .select(col("code"), col("subspace"), col("i"), col("xq").as("cq"))
   }
 
+  /** Lloyd-trained PQ codebooks — the quality upgrade the measured
+    * recall demanded (lowest-id codewords scored recall@10 ≈ 0.15 at
+    * sf0.1; see BASELINE.md): fixed-iteration k-means per subspace,
+    * SEEDED from the lowest-id picks so iters = 0 degrades to the
+    * [[pqCodebook]] convention. Fully deterministic and
+    * oracle-replayable: assignment is argmin exact integer L2 with
+    * (d2, code) tie-break; the centroid update rounds the coordinate
+    * mean half-away-from-zero in INTEGER arithmetic
+    * ([[pqMeanRoundSql]] — a double round() could differ by 1 across
+    * engines at .5); an emptied cluster keeps its previous codeword.
+    *
+    * Plan per iteration: quantized coords (materialized ONCE) join the
+    * broadcast k·d codebook → n·m·k-row hash aggregate → argmin pick →
+    * one k·d-row update aggregate. Corpus size scales freely; the
+    * codebook never leaves broadcast range. */
+  def pqCodebookTrained(
+      emb: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val xq = Materialize(pqQuantized(emb, "vec_id", "embedding", m))
+    var cb = pqCodebook(emb, m, k)
+    for (_ <- 1 to iters) {
+      val assign = xq.join(broadcast(cb), Seq("subspace", "i"))
+        .groupBy(col("vec_id"), col("subspace"), col("code"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+          .cast("long").as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("subspace"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("subspace"), col("code"))
+      val sums = assign.join(xq, Seq("vec_id", "subspace"))
+        .groupBy(col("subspace"), col("code"), col("i"))
+        .agg(sum(col("xq")).cast("long").as("sm"),
+          count(lit(1)).cast("long").as("cnt"))
+      cb = Materialize(cb.join(sums, Seq("subspace", "code", "i"), "left")
+        .select(col("code"), col("subspace"), col("i"),
+          expr(pqMeanRoundSql("div")).cast("long").as("cq")))
+    }
+    cb
+  }
+
+  /** Half-away-from-zero integer mean over (sm, cnt), keeping the
+    * previous codeword cq on an empty cluster. `d` is the truncating
+    * integer-division operator spelling (Spark `div`, DuckDB `//`) —
+    * the CASE keeps both operands non-negative, where truncation and
+    * floor agree, so the two spellings are identical. */
+  def pqMeanRoundSql(d: String): String =
+    s"COALESCE(CASE WHEN sm >= 0 THEN (2*sm + cnt) $d (2*cnt) " +
+      s"ELSE -((2*(-sm) + cnt) $d (2*cnt)) END, cq)"
+
   /** PQ search by asymmetric distance computation (ADC) — the payoff
     * of [[pqEncode]]: each query precomputes its exact integer L2 to
     * every codeword per subspace (an m·k lookup table), and a corpus
@@ -1064,10 +1130,15 @@ object Similarity {
     * lookup tables and sums exactly. */
   def pqAdcTopK(
       queries: DataFrame, corpus: DataFrame,
-      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame = {
+      m: Int = 4, k: Int = 16, topK: Int = 10,
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = pqCodebook(corpus, m, k)
-    val codes = pqEncode(corpus, m, k)
+    val cb =
+      if (trainIters > 0)
+        Materialize(pqCodebookTrained(corpus, m, k, trainIters))
+      else pqCodebook(corpus, m, k)
+    val codes = pqEncodeWith(
+        pqQuantized(corpus, "vec_id", "embedding", m), cb)
       .select(col("vec_id"), col("subspace"), col("code"))
     val adc = pqQuantized(queries, "qid", "qvec", m)
       .join(broadcast(cb), Seq("subspace", "i"))
@@ -1080,6 +1151,40 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).cast("long").as("adc_dist2"))
+      .withColumn("rank", row_number().over(pick).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** ADC search with exact re-ranking — the FAISS-style refine tier
+    * that turns PQ's coarse distances into high recall: the ADC pass
+    * retrieves a candidate list of `rerank` ids per query (cheap —
+    * codes only), then ONLY those candidates are re-scored with exact
+    * integer L2 and the top-K re-picked. Per-query exact work is
+    * rerank·d coordinates regardless of corpus size, so the scan
+    * economics stay compressed-domain at 100 TB while recall climbs
+    * from the measured ADC-only ~0.28 to ≥ 0.96 on the hardest
+    * (i.i.d. unit-norm) embedding distribution — see BASELINE.md's
+    * r11 sweep. All-integer end to end; oracle replays training,
+    * encoding, candidates, and the re-rank bit-for-bit. */
+  def pqAdcRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      m: Int = 16, k: Int = 16, topK: Int = 10, rerank: Int = 400,
+      trainIters: Int = 1): DataFrame = {
+    require(rerank >= topK, s"rerank must be >= topK: $rerank, $topK")
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqAdcTopK(queries, corpus, m, k, rerank, trainIters)
+      .select(col("qid"), col("vec_id"))
+    val qx = pqQuantized(queries, "qid", "qvec", 1)
+      .select(col("qid"), col("i"), col("xq").as("qq"))
+    val cx = pqQuantized(corpus, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("i"), col("xq").as("cq2"))
+    val pick = Window.partitionBy(col("qid"))
+      .orderBy(col("dist2"), col("vec_id"))
+    cand.join(cx, "vec_id")
+      .join(broadcast(qx), Seq("qid", "i"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum((col("qq") - col("cq2")) * (col("qq") - col("cq2")))
+        .cast("long").as("dist2"))
       .withColumn("rank", row_number().over(pick).cast("long"))
       .filter(col("rank") <= topK)
   }
@@ -1114,9 +1219,10 @@ object Similarity {
     * m/k are adequate before anyone ships the code table. */
   def pqRecall(
       queries: DataFrame, corpus: DataFrame,
-      m: Int = 4, k: Int = 16, topK: Int = 10): DataFrame =
+      m: Int = 4, k: Int = 16, topK: Int = 10,
+      trainIters: Int = 0): DataFrame =
     recallAtK(l2TopK(queries, corpus, topK),
-      pqAdcTopK(queries, corpus, m, k, topK))
+      pqAdcTopK(queries, corpus, m, k, topK, trainIters))
 
   /** Per-query recall of an approximate (qid, vec_id) result set
     * against a ground-truth one — the shared scorer behind
