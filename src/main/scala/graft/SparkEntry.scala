@@ -5484,6 +5484,41 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_dtype_canary" -> ((s, dir) => {
+      // Dtype-contract regression canary (VERDICT r10 #8): the HUGEINT
+      // (r7) and DECIMAL (r9) episodes were both "new output dtype
+      // class meets the hasher" — this one query exposes every dtype
+      // class the engine emits (byte/short/int/long, float/double,
+      // boolean, string, date, epoch-millis instants per the output
+      // convention, decimal-rendered-as-string per the r10 contract,
+      // and NULL cells of two classes), so the next dtype drift fails
+      // ONE canary instead of eleven stats queries. Raw timestamps are
+      // deliberately absent: the engine's documented convention
+      // renders instants as unix_millis BIGINT (Spark LTZ vs DuckDB
+      // naive timestamps cannot hash-match).
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          count(lit(1)).cast("long").as("c_long"),
+          countDistinct(col("l_linenumber")).cast("int").as("c_int"),
+          max(col("l_linenumber")).cast("short").as("c_short"),
+          min(col("l_linenumber")).cast("byte").as("c_byte"),
+          min(col("l_quantity")).cast("float").as("c_float"),
+          expr("round(CAST(SUM(CAST(ROUND(l_extendedprice*100, 0)" +
+            " AS BIGINT)) AS DOUBLE) / (CAST(100 AS DOUBLE) * COUNT(*))" +
+            ", 6)").as("c_double"),
+          min(col("l_shipdate")).cast("date").as("c_date"),
+          max(unix_millis(col("l_shipdate").cast("timestamp")))
+            .cast("long").as("c_ts_ms"),
+          sum(col("l_quantity").cast("long").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").cast("string").as("c_dec_str"))
+        .withColumn("c_bool", col("flag") === "R")
+        .withColumn("c_null_double", expr(
+          "CASE WHEN flag = 'N' THEN CAST(NULL AS DOUBLE) " +
+            "ELSE c_double END"))
+        .withColumn("c_null_date", expr(
+          "CASE WHEN flag = 'N' THEN CAST(NULL AS DATE) ELSE c_date END"))
+    }),
     "q_auc_ci" -> ((s, dir) => {
       // q_auc's point estimate with the DeLong confidence interval:
       // exact integer placement values off the same distinct-score
@@ -12708,6 +12743,26 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_dtype_canary" ->
+      s"""WITH g AS (SELECT l_returnflag AS flag,
+         |    CAST(COUNT(*) AS BIGINT) AS c_long,
+         |    CAST(COUNT(DISTINCT l_linenumber) AS INTEGER) AS c_int,
+         |    CAST(MAX(l_linenumber) AS SMALLINT) AS c_short,
+         |    CAST(MIN(l_linenumber) AS TINYINT) AS c_byte,
+         |    CAST(MIN(l_quantity) AS REAL) AS c_float,
+         |    round(CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))
+         |      AS DOUBLE) / (100.0 * COUNT(*)), 6) AS c_double,
+         |    CAST(MIN(l_shipdate) AS DATE) AS c_date,
+         |    CAST(epoch_ms(MAX(l_shipdate)) AS BIGINT) AS c_ts_ms,
+         |    CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0))
+         |      AS VARCHAR) AS c_dec_str
+         |  FROM lineitem GROUP BY 1)
+         |SELECT flag, c_long, c_int, c_short, c_byte, c_float, c_double,
+         |  c_date, c_ts_ms, c_dec_str, flag = 'R' AS c_bool,
+         |  CASE WHEN flag = 'N' THEN NULL ELSE c_double END
+         |    AS c_null_double,
+         |  CASE WHEN flag = 'N' THEN NULL ELSE c_date END AS c_null_date
+         |FROM g""".stripMargin,
     "q_auc_ci" ->
       s"""WITH per AS (SELECT CAST(ROUND(value*100, 0) AS BIGINT) AS v,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
