@@ -740,6 +740,18 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
     }),
+    "q_similarity_ivf_capped" -> ((s, dir) => {
+      // q_similarity_ivf with the hot-cell salt-splitting valve ON
+      // (cellCap = 40 forces multi-salt cells even at sf0.01): the
+      // valve is output-INVARIANT by design, so this query runs
+      // against the UNCAPPED oracle replay — it passes iff salting
+      // changed the plan's balance and nothing else.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(q, e.select(col("vec_id"), col("embedding")),
+        k = 10, cellCap = 40)
+    }),
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupCosine(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
@@ -7440,35 +7452,10 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
-    "q_similarity_ivf" ->
-      // mirrors Similarity.ivfTopK at trainIters = 0: cent = 16 lowest-id
-      // vectors; assign = top-2 cells by rounded cosine (tie-break cell
-      // asc) over ALL corpus rows (multi-assignment recall trick); probes
-      // = each query's top-4 cells by the same ranking; final = exact rank
-      // within probed cells, DISTINCT pairs first (a vector reachable via
-      // both its cells must rank once)
-      s"""WITH $normCte,
-         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
-         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
-         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
-         |    FROM n q CROSS JOIN cent c)
-         |  WHERE r <= 2),
-         |probes AS (SELECT qid, embedding, nrm, cell FROM (
-         |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
-         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
-         |  WHERE r <= 4)
-         |SELECT qid, vec_id, sim, rank FROM (
-         |  SELECT qid, vec_id, sim,
-         |    ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY sim DESC, vec_id) AS rank
-         |  FROM (SELECT DISTINCT p.qid, a.vec_id,
-         |          round(${cosineSqlExprAs("p", "a")}, 6) AS sim
-         |        FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id != p.qid))
-         |WHERE rank <= 10""".stripMargin,
+    "q_similarity_ivf" -> ivfOracleSql,
+    // the salt-splitting cellCap valve is output-invariant, so the
+    // capped query verifies against the SAME uncapped replay
+    "q_similarity_ivf_capped" -> ivfOracleSql,
     "q_embedding_neardup" ->
       s"""WITH $normCte,
          |scored AS (
@@ -13172,6 +13159,37 @@ object SparkEntry {
     * `pq(vec_id, subspace, code, dist2)` — shared by q_pq_encode and
     * q_pq_error. Codebooks = subvectors of the 16 lowest vec_ids (the
     * ivf trainIters=0 convention); exact integer L2 assignment. */
+  /** IVF replay shared by q_similarity_ivf and its cellCap twin —
+    * mirrors Similarity.ivfTopK at trainIters = 0: cent = 16 lowest-id
+    * vectors; assign = top-2 cells by rounded cosine (tie-break cell
+    * asc) over ALL corpus rows (multi-assignment recall trick); probes
+    * = each query's top-4 cells by the same ranking; final = exact rank
+    * within probed cells, DISTINCT pairs first (a vector reachable via
+    * both its cells must rank once). */
+  private lazy val ivfOracleSql: String =
+    s"""WITH $normCte,
+       |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+       |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+       |    FROM n q CROSS JOIN cent c)
+       |  WHERE r <= 2),
+       |probes AS (SELECT qid, embedding, nrm, cell FROM (
+       |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+       |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+       |  WHERE r <= 4)
+       |SELECT qid, vec_id, sim, rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rank
+       |  FROM (SELECT DISTINCT p.qid, a.vec_id,
+       |          round(${cosineSqlExprAs("p", "a")}, 6) AS sim
+       |        FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id != p.qid))
+       |WHERE rank <= 10""".stripMargin
+
   private lazy val pqEncodeCtes: String =
     """x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
       |    CAST((i - 1) // (len(e) // 4) AS BIGINT) AS subspace,

@@ -228,7 +228,18 @@ object Similarity {
     * iteration. Cells that end up empty drop out (their probes fall to the
     * surviving cells). Float means are aggregation-order-dependent, so
     * trained centroids are NOT bit-reproducible across partitionings —
-    * use the training-free seeds where hash-stable output matters. */
+    * use the training-free seeds where hash-stable output matters.
+    *
+    * Measured caveat (r11 adversarial smoke): on a cloud where most
+    * vectors share ONE tight direction, Lloyd under cosine COLLAPSES the
+    * blob's seed centroids into near-duplicates — their means converge
+    * to the blob mean, the (sim, cell) tie-break lumps the whole blob
+    * into the lowest surviving cell, and trained cells end up MORE
+    * skewed than the untrained seeds (max occupancy 7224/8000 vs
+    * 1388/8000 at 16 cells). Training buys recall on naturally
+    * multi-modal data, not balance on adversarial data — the skew valve
+    * is ivfTopK's salt-splitting `cellCap`, which rebalances a hot cell
+    * without touching the candidate set. */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame =
     kmeansCentroidsFrom(
       withNorm(corpus, "vec_id", "embedding").materialize, nCentroids, iters)
@@ -537,7 +548,17 @@ object Similarity {
     * top-N cells, so boundary vectors stay findable from either adjacent
     * cell — the `distinct()` dedups (query, vector) pairs reached through
     * several shared cells). Cost ~ cellsPerVec·nprobe/nCentroids of brute
-    * force. */
+    * force.
+    *
+    * `cellCap` is the HOT-CELL valve (the IVF analogue of the LSH bucket
+    * caps, measured in the r11 adversarial smoke — a clustered cloud can
+    * land most of the corpus in one cell): cells holding more than
+    * `cellCap` vectors are SALT-SPLIT into ceil(n/cellCap) sub-cells by
+    * vec_id, and probes of a split cell fan out to every salt. Unlike a
+    * candidate cap this is output-INVARIANT — the same (query, vector)
+    * pairs are scored, just across many tasks instead of one straggler —
+    * so a search index never silently loses recall (a dedup bucket can
+    * degrade; a top-k index cannot). 0 disables. */
   def ivfTopK(
       queries: DataFrame,   // (qid, qvec)
       corpus: DataFrame,    // (vec_id, embedding)
@@ -545,7 +566,8 @@ object Similarity {
       nCentroids: Int = 16,
       nprobe: Int = 4,
       trainIters: Int = 0,
-      cellsPerVec: Int = 2): DataFrame = {
+      cellsPerVec: Int = 2,
+      cellCap: Int = 0): DataFrame = {
     // ONE withNorm + ONE centroid table feed the training loop, the cell
     // assignment, and the query probes. The trained path materializes the
     // norm table first (localCheckpoint) so Lloyd iterations and the final
@@ -555,18 +577,39 @@ object Similarity {
     val centroids =
       if (trainIters > 0) kmeansCentroidsFrom(c, nCentroids, trainIters)
       else centroidsOf(c, nCentroids)
-    val cells = assignCellsWith(c, centroids, cellsPerVec)
+    val cells0 = assignCellsWith(c, centroids, cellsPerVec)
     val q = withNorm(queries, "qid", "qvec").withColumnRenamed("__nrm", "__qnrm")
     val wq = Window.partitionBy(col("qid")).orderBy(col("__d").desc, col("cell"))
-    val probes = q
+    val probes0 = q
       .crossJoin(centroids)
       .withColumn("__d", cosineFromNorms(col("qvec"), col("cvec"), col("__qnrm"), col("cnrm")))
       .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
       .select(col("qid"), col("qvec"), col("__qnrm"), col("cell"))
+    val (probes, cells) =
+      if (cellCap <= 0)
+        (probes0.withColumn("salt", lit(0L)),
+          cells0.withColumn("salt", lit(0L)))
+      else {
+        // nCentroids-row salt table, always broadcastable
+        val salts = cells0.groupBy(col("cell"))
+          .agg(count(lit(1)).cast("long").as("__n"))
+          .select(col("cell"),
+            ceil(col("__n").cast("double") / cellCap)
+              .cast("long").as("n_salts"))
+        (probes0.join(broadcast(salts), "cell")
+          .withColumn("salt",
+            explode(expr("sequence(0L, n_salts - 1)")))
+          .drop("n_salts"),
+          cells0.join(broadcast(salts), "cell")
+            .withColumn("salt", pmod(col("vec_id"), col("n_salts")))
+            .drop("n_salts"))
+      }
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     probes
-      .join(cells, "cell") // shuffle join on cell — each query scans only probed cells
+      // shuffle join on (cell, salt) — each query scans only probed
+      // cells, and a hot cell's scan spreads across its salts
+      .join(cells, Seq("cell", "salt"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", cosineFromNorms(col("qvec"), col("embedding"), col("__qnrm"), col("__nrm")))
       .select(col("qid"), col("vec_id"), col("sim"))

@@ -1442,6 +1442,49 @@ object ScaleSmoke {
       drain(Similarity.randomProjection(emb, k = 4))
       drain(Similarity.pqEncode(emb, m = 4, k = 16))
     }
+    time(s"r11 ivf adversarial cell skew x${math.max(1, mult / 5)}") {
+      // The 100-TB IVF risk is a HOT CELL — the exact analogue of the
+      // LSH bucket caps: an adversarially clustered cloud (90% of
+      // vectors collapsed into one tight blob) under the lowest-id
+      // centroid convention lands the blob in ~1 cell, so every probe
+      // touching it scans ~the whole corpus. The fix is not a cap
+      // (dropping candidates from a top-k index silently loses recall;
+      // a dedup bucket can degrade, a search index cannot) but TRAINED
+      // centroids: k-means allocates centroids proportional to
+      // density, splitting the blob across many cells. This row
+      // measures both: max/mean cell occupancy untrained vs trained,
+      // and the ivfTopK probe cost against the clustered cloud.
+      val clustered = emb.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(10L)) =!= 0L,
+          expr("transform(embedding, x -> CAST(0.124 + 0.02 * x" +
+            " AS FLOAT))"))
+          .otherwise(col("embedding")))
+        .materialize
+      def skew(cells: DataFrame, label: String): Unit = {
+        val s = cells.groupBy(col("cell"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .agg(max(col("n")).as("mx"),
+            avg(col("n")).as("mean"), count(lit(1)).as("n_cells"))
+          .head()
+        println(f"[scale]   $label%-42s max=${s.getLong(0)}%d " +
+          f"mean=${s.getDouble(1)}%.1f cells=${s.getLong(2)}%d")
+      }
+      skew(Similarity.assignCells(clustered, nCentroids = 16,
+        topCells = 2), "untrained lowest-id centroids (topCells=2)")
+      skew(Similarity.assignCellsTo(clustered,
+          Similarity.kmeansCentroids(clustered, 16, iters = 2),
+          topCells = 2),
+        "k-means 2-iter centroids (topCells=2)")
+      val q = clustered.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      drain(Similarity.ivfTopK(q, clustered, k = 10, nCentroids = 16,
+        nprobe = 2, trainIters = 0, cellsPerVec = 2))
+      drain(Similarity.ivfTopK(q, clustered, k = 10, nCentroids = 16,
+        nprobe = 2, trainIters = 2, cellsPerVec = 2))
+      // the valve: same candidate set, hot cell spread across salts
+      drain(Similarity.ivfTopK(q, clustered, k = 10, nCentroids = 16,
+        nprobe = 2, trainIters = 0, cellsPerVec = 2, cellCap = 500))
+    }
     spark.stop()
   }
 }

@@ -84,6 +84,25 @@ class Round11OpsSpec extends SparkFunSuite {
     assert(rer == exact)
   }
 
+  test("ivfTopK cellCap: salt-splitting a hot cell is output-invariant") {
+    // adversarial blob: 12 of 16 vectors share one tight direction, so
+    // one cell goes hot; cellCap = 3 forces multi-salt splitting there
+    val e = emb((0L to 15L).map { i =>
+      if (i % 4 == 0L) i -> Seq(0.9, 0.1 * i, 0.05, 0.02 * i)
+      else i -> Seq(0.124 + 0.0001 * i, 0.124, 0.124, 0.124)
+    }: _*)
+    val q = e.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    def run(cap: Int) = Similarity.ivfTopK(q, corpus, k = 5,
+        nCentroids = 4, nprobe = 2, cellsPerVec = 2, cellCap = cap)
+      .orderBy("qid", "rank").collect().toSeq
+    val uncapped = run(0)
+    assert(uncapped.nonEmpty)
+    assert(run(3) == uncapped)
+    assert(run(1) == uncapped) // every cell multi-salted
+  }
+
   test("pqQuantized guard: dims not divisible by m fails fast") {
     val e = emb(0L -> Seq(0.1, 0.2, 0.3, 0.4))
     val ex = intercept[IllegalArgumentException] {
