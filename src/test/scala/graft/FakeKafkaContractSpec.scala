@@ -127,4 +127,40 @@ class FakeKafkaContractSpec extends SparkFunSuite {
     }
     assert(chain(noTopic).contains("topic"), chain(noTopic))
   }
+
+  test("at-least-once DEMONSTRATED: a crash after publish re-emits the batch") {
+    // SURVEY §2.6 documents the delta vs the reference's EXACTLY_ONCE
+    // producer config: Spark's Kafka sink publishes before the offset
+    // commit, so a crash in that window re-runs the batch on restart
+    // and the rows go out twice. This test makes the documented claim
+    // observable instead of asserted: the broker's injected crash
+    // fires AFTER the epoch's rows publish, the query fails, the
+    // restart from the SAME checkpoint replays the source range, and
+    // the sink topic holds every row exactly twice.
+    FakeKafkaBroker.clear()
+    FakeKafkaBroker.publish("alo_in", "m1")
+    FakeKafkaBroker.publish("alo_in", "m2")
+    val ckpt = tmp("fk_alo_ckpt")
+    def startSink() = Streams.kafkaJsonSink(
+      Streams.kafkaLines(spark, "fake:9092", "alo_in", "earliest")
+        .select(expr("CAST(value AS STRING)").as("v")),
+      "fake:9092", "alo_out", ckpt).start()
+    FakeKafkaBroker.failNextSinkCommitAfterPublish = true
+    val q1 = startSink()
+    val failed = intercept[Exception] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    def chain2(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain2(failed).contains("at-least-once window"), chain2(failed))
+    // the doomed epoch DID publish (that is the point of the window)
+    assert(FakeKafkaBroker.values("alo_out").size == 2)
+    val q2 = startSink()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = FakeKafkaBroker.values("alo_out").sorted
+    assert(out.size == 4, s"restart must re-emit the uncommitted batch: $out")
+    assert(out.count(_.contains("\"v\":\"m1\"")) == 2 &&
+      out.count(_.contains("\"v\":\"m2\"")) == 2, out)
+  }
 }

@@ -76,6 +76,11 @@ object FakeKafkaBroker {
   /** Options the last SINK write was built with — the producer-side
     * twin (reference applies one security config to both ends). */
   @volatile var lastSinkOptions: Map[String, String] = Map.empty
+  /** One-shot failure injection: the next epoch commit PUBLISHES its
+    * rows and then throws — modelling the real at-least-once window
+    * (producer sends are not transactional with the offset commit, so
+    * a crash between them re-emits the batch on restart). */
+  @volatile var failNextSinkCommitAfterPublish: Boolean = false
 
   private def log(topic: String): ArrayBuffer[(Array[Byte], Long)] =
     topics.computeIfAbsent(topic, _ => ArrayBuffer.empty)
@@ -102,6 +107,7 @@ object FakeKafkaBroker {
   }
   def clear(): Unit = {
     topics.clear(); lastSourceOptions = Map.empty; lastSinkOptions = Map.empty
+    failNextSinkCommitAfterPublish = false
   }
 
   def requireOption(options: CaseInsensitiveStringMap, key: String): String = {
@@ -234,11 +240,17 @@ class FakeKafkaStreamingWrite(topic: String, valueIdx: Int, valueIsString: Boole
     // top-level case class, NOT an anonymous inner class: the factory is
     // shipped to executors and must not capture this (non-serializable) write
     FakeKafkaWriterFactory(valueIdx, valueIsString)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case FakeKafkaCommit(rows) => rows.foreach(FakeKafkaBroker.publishRaw(topic, _))
       case other => sys.error(s"unexpected commit message: $other")
     }
+    if (FakeKafkaBroker.failNextSinkCommitAfterPublish) {
+      FakeKafkaBroker.failNextSinkCommitAfterPublish = false
+      sys.error("fake kafka: injected crash AFTER publish, BEFORE the " +
+        "offset commit (the at-least-once window)")
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
