@@ -5496,6 +5496,44 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_tukey_fences" -> ((s, dir) => {
+      // Boxplot-rule outlier screen per event type: exact type-1
+      // quartiles via the ranged prefix-sum kernel, fence membership
+      // decided in integer QUARTERS (no double ever flips a flag).
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Profiling.tukeyFences(ev, "event_type", "cents")
+    }),
+    "q_equidepth_hist" -> ((s, dir) => {
+      // ANALYZE-style equi-depth histogram (8 buckets) per event type:
+      // each distinct value assigned whole by its end rank — exact
+      // counts, optimizer/drift-monitor food.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Profiling.equiDepthHistogram(
+        ev, "event_type", "cents", nBuckets = 8)
+    }),
+    "q_conover" -> ((s, dir) => {
+      // Conover squared-ranks variance-homogeneity test across event
+      // types — the rank-based sibling of q_bartlett/q_levene: median-
+      // centered integer deviations, normalized micro-quantized squared
+      // midranks, chi2(k-1) referral.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Normalize.conoverSquaredRanks(
+        ev, "event_type", "cents")
+    }),
+    "q_forecast_accuracy" -> ((s, dir) => {
+      // MAE/RMSE/sMAPE/MASE of the seasonal-naive (lag-24) forecast on
+      // hourly spend, scaled by the lag-1 naive per Hyndman's MASE.
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.forecastAccuracy(
+        hourly, "event_type", "h", "v", fLag = 24, sLag = 1)
+    }),
     "q_dtype_canary" -> ((s, dir) => {
       // Dtype-contract regression canary (VERDICT r10 #8): the HUGEINT
       // (r7) and DECIMAL (r9) episodes were both "new output dtype
@@ -12730,6 +12768,122 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_tukey_fences" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+         |per AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM per),
+         |qa AS (SELECT event_type, CAST(MIN(v) AS BIGINT) AS q1
+         |  FROM c WHERE cum >= (n + 3) // 4 GROUP BY 1),
+         |qb AS (SELECT event_type, CAST(MIN(v) AS BIGINT) AS q3
+         |  FROM c WHERE cum >= (3 * n + 3) // 4 GROUP BY 1),
+         |f AS (SELECT qa.event_type, q1, q3,
+         |    4 * q1 - 6 * (q3 - q1) AS lo4,
+         |    4 * q3 + 6 * (q3 - q1) AS hi4
+         |  FROM qa JOIN qb USING (event_type))
+         |SELECT c.event_type, CAST(MAX(n) AS BIGINT) AS n, q1, q3,
+         |  q3 - q1 AS iqr,
+         |  round(CAST(lo4 AS DOUBLE) / 4, 6) AS fence_lo,
+         |  round(CAST(hi4 AS DOUBLE) / 4, 6) AS fence_hi,
+         |  CAST(SUM(CASE WHEN 4 * v < lo4 THEN cnt ELSE 0 END)
+         |    AS BIGINT) AS n_low,
+         |  CAST(SUM(CASE WHEN 4 * v > hi4 THEN cnt ELSE 0 END)
+         |    AS BIGINT) AS n_high
+         |FROM c JOIN f USING (event_type)
+         |GROUP BY 1, 3, 4, 5, 6, 7""".stripMargin,
+    "q_equidepth_hist" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+         |per AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM per)
+         |SELECT event_type, (cum * 8 + n - 1) // n AS bucket,
+         |  CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi,
+         |  CAST(SUM(cnt) AS BIGINT) AS cnt,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_conover" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+         |per AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM per),
+         |ma AS (SELECT event_type, CAST(MIN(v) AS BIGINT) AS m_lo
+         |  FROM c WHERE cum >= (n + 1) // 2 GROUP BY 1),
+         |mb AS (SELECT event_type, CAST(MIN(v) AS BIGINT) AS m_hi
+         |  FROM c WHERE cum >= (n + 2) // 2 GROUP BY 1),
+         |med AS (SELECT ma.event_type, m_lo + m_hi AS m2
+         |  FROM ma JOIN mb USING (event_type)),
+         |u AS (SELECT e.event_type, ABS(2 * e.v - m2) AS u
+         |  FROM e JOIN med USING (event_type)),
+         |pu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS cnt_u
+         |  FROM u GROUP BY 1),
+         |rk AS (SELECT u, cnt_u,
+         |    CAST(SUM(cnt_u) OVER (ORDER BY u) AS BIGINT) AS cum_cnt_u,
+         |    CAST(SUM(cnt_u) OVER () AS BIGINT) AS nn FROM pu),
+         |aa AS (SELECT u, cnt_u, nn,
+         |    ${graft.operators.Normalize.conoverAMicroSql} AS a
+         |  FROM (SELECT *, 2 * cum_cnt_u - cnt_u + 1 AS r2 FROM rk)),
+         |pg AS (SELECT ug.event_type,
+         |    CAST(SUM(ug.c_gu * aa.a) AS BIGINT) AS s_g,
+         |    CAST(SUM(ug.c_gu) AS BIGINT) AS n_g
+         |  FROM (SELECT event_type, u, CAST(COUNT(*) AS BIGINT) AS c_gu
+         |      FROM u GROUP BY 1, 2) ug
+         |    JOIN aa ON aa.u = ug.u
+         |  GROUP BY 1),
+         |pt AS (SELECT event_type, s_g, n_g,
+         |    CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 0) AS BIGINT)
+         |      AS term FROM pg),
+         |tt AS (SELECT CAST(MAX(nn) AS BIGINT) AS n,
+         |    CAST(SUM(cnt_u * a * a) AS BIGINT) AS sa2 FROM aa),
+         |gg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(term) AS BIGINT) AS st,
+         |    CAST(SUM(s_g) AS BIGINT) AS s_tot FROM pt)
+         |SELECT n, k, st, s_tot, sa2,
+         |  ${graft.operators.Normalize.conoverTSql} AS t_conover,
+         |  ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}
+         |    AS chi2_crit,
+         |  coalesce(${graft.operators.Normalize.conoverTSql} >
+         |    ${graft.operators.Profiling.chi2Crit95Sql("k - 1")}, false)
+         |    AS significant
+         |FROM gg, tt""".stripMargin,
+    "q_forecast_accuracy" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |      AS rn,
+         |    lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS yf,
+         |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY h) AS ys
+         |  FROM hb),
+         |t AS (SELECT event_type, v, yf, ys,
+         |    ${graft.operators.TimeSeries.smapeTermMicroSql} AS sm_term
+         |  FROM r WHERE rn > 24),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(ABS(v - yf)) AS BIGINT) AS sae,
+         |    CAST(SUM((v - yf) * (v - yf)) AS BIGINT) AS sse,
+         |    CAST(SUM(ABS(v - ys)) AS BIGINT) AS sas,
+         |    CAST(SUM(sm_term) AS BIGINT) AS sm_sum,
+         |    CAST(COUNT(sm_term) AS BIGINT) AS sm_n
+         |  FROM t GROUP BY 1)
+         |SELECT event_type, n, sae, sse, sas, sm_sum, sm_n,
+         |  round(CAST(sae AS DOUBLE) / n, 6) AS mae,
+         |  round(sqrt(CAST(sse AS DOUBLE) / n), 6) AS rmse,
+         |  ${graft.operators.TimeSeries.smapeSql} AS smape,
+         |  ${graft.operators.TimeSeries.maseSql} AS mase
+         |FROM g""".stripMargin,
     "q_dtype_canary" ->
       s"""WITH g AS (SELECT l_returnflag AS flag,
          |    CAST(COUNT(*) AS BIGINT) AS c_long,

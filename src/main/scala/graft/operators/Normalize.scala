@@ -571,4 +571,100 @@ object Normalize {
   /** Stephens' small-sample adjusted A*² over the ROUNDED a2 column. */
   val adAStarSql: String =
     "round(a2 * (1 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 6)"
+
+  /** Conover squared-ranks variance test — the RANK-based third member
+    * of the variance-homogeneity family next to [[bartlett]] (normal
+    * theory) and levene (mean deviations): deviations are ranked, the
+    * ranks squared, and the between-group spread of the squared-rank
+    * sums is referred to χ²(k−1). Robust to heavy tails where bartlett
+    * over-rejects. Two deliberate exactness choices, both documented
+    * contracts: (1) deviations center on the group MEDIAN held as the
+    * exact integer 2·x − (m_lo + m_hi) (the Brown–Forsythe centering —
+    * a double group mean could flip cross-engine tie order; the
+    * integer median cannot); (2) squared midranks are NORMALIZED and
+    * micro-quantized — a = round_half_up(10⁶·(2r)²/(2N)²) in integer
+    * arithmetic (HUGEINT/decimal internally, exact in both engines) —
+    * the statistic is scale-invariant, so normalizing keeps every
+    * downstream sum long-exact at any N instead of overflowing at the
+    * raw (2N)² scale. Group-sum squares and the correction term finish
+    * as IEEE-deterministic double round(·, 0) longs, so the cross-group
+    * sums are exact-integer, order-free.
+    *
+    * Plan: one value-domain frame + two order-stat picks (median), one
+    * global distinct-deviation prefix sum (ranged kernel), two hash
+    * aggregates — nothing row-sized sorts. */
+  def conoverSquaredRanks(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val c = graft.Materialize(
+      Profiling.valueCumFrame(df, groupCol, valCol))
+    def os(k: String, nm: String) =
+      c.filter(expr(s"cum_cnt >= $k")).groupBy(col(groupCol))
+        .agg(min(col("v")).as(nm))
+    val med = os("(n + 1) div 2", "m_lo")
+      .join(os("(n + 2) div 2", "m_hi"), groupCol)
+      .select(col(groupCol), (col("m_lo") + col("m_hi")).as("m2"))
+    val u = df.select(col(groupCol), col(valCol).cast("long").as("x"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol),
+        abs(lit(2L) * col("x") - col("m2")).as("u"))
+    val perU = u.groupBy(col("u"))
+      .agg(count(lit(1)).cast("long").as("cnt_u"))
+    // the global count joins in as a broadcast 1-row aggregate — a
+    // sum-over-() window here would funnel the whole distinct-deviation
+    // frame through ONE partition
+    val nTot = broadcast(
+      perU.agg(sum(col("cnt_u")).cast("long").as("nn")))
+    val ranks = graft.Materialize(
+      Eval.rangedCumsum(perU, Nil, "u", Seq("cnt_u"))
+        .crossJoin(nTot)
+        .withColumn("r2",
+          lit(2L) * col("cum_cnt_u") - col("cnt_u") + lit(1L))
+        .withColumn("a", expr(conoverAMicroSql).cast("long"))
+        .select(col("u"), col("cnt_u"), col("nn"), col("a")))
+    val perG = u.groupBy(col(groupCol), col("u"))
+      .agg(count(lit(1)).cast("long").as("c_gu"))
+      .join(ranks.select(col("u"), col("a")), "u")
+      .groupBy(col(groupCol))
+      .agg(sum(col("c_gu") * col("a")).cast("long").as("s_g"),
+        sum(col("c_gu")).cast("long").as("n_g"))
+      .withColumn("term",
+        expr("CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 0) AS BIGINT)"))
+    val tot = ranks.agg(
+      max(col("nn")).cast("long").as("n"),
+      sum(col("cnt_u") * col("a") * col("a")).cast("long").as("sa2"))
+    perG.agg(
+        count(lit(1)).cast("long").as("k"),
+        sum(col("term")).cast("long").as("st"),
+        sum(col("s_g")).cast("long").as("s_tot"))
+      .crossJoin(broadcast(tot))
+      .withColumn("t_conover", expr(conoverTSql))
+      .withColumn("chi2_crit",
+        expr(Profiling.chi2Crit95Sql("k - 1")))
+      .withColumn("significant", expr(
+        s"coalesce($conoverTSql > " +
+          s"${Profiling.chi2Crit95Sql("k - 1")}, false)"))
+      .select(col("n"), col("k"), col("st"), col("s_tot"), col("sa2"),
+        col("t_conover"), col("chi2_crit"), col("significant"))
+  }
+
+  /** Micro-quantized normalized squared midrank over (r2 = 2·midrank,
+    * nn = N): round(10⁶·(r2/2N)²). The quotient and square run in IEEE
+    * doubles (both inputs exact longs < 2⁵³; ·/÷ match engines
+    * libm-for-libm all session) and the half-away round pins the
+    * result, so both engines compute the identical integer at any N —
+    * the statistic is scale-invariant, so normalizing the ranks is
+    * free and keeps every downstream sum long-exact. Shared with the
+    * oracle. */
+  val conoverAMicroSql: String =
+    "CAST(round(1000000 * (CAST(r2 AS DOUBLE) / (2 * nn)) * " +
+      "(CAST(r2 AS DOUBLE) / (2 * nn)), 0) AS BIGINT)"
+
+  /** Conover T over (n, k, st, s_tot, sa2); NULL when the denominator
+    * degenerates (all deviations tie). Shared with the oracle. */
+  val conoverTSql: String = {
+    val corr = "(CAST(s_tot AS DOUBLE) * s_tot / n)"
+    val d2 = s"((CAST(sa2 AS DOUBLE) - $corr) / (n - 1))"
+    s"CASE WHEN n > 1 AND $d2 > 0 THEN " +
+      s"round((CAST(st AS DOUBLE) - $corr) / $d2, 6) END"
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize
 import graft.Materialize.MaterializeOps
 
 /** Data-profiling / diagnostics operators — the "look before you shuffle"
@@ -2417,5 +2419,80 @@ object Profiling {
         expr(binomialZSql(tA.toString, (tA + tB).toString)))
       .withColumn("p_normal", expr(s"round(${normalPSql("z")}, 6)"))
       .withColumn("significant", expr("abs(z) > 1.959964"))
+  }
+
+  /** (group, v, cnt, cum_cnt, n): distinct-value counts with an
+    * inclusive prefix sum and the group total — the order-statistics
+    * frame [[tukeyFences]] and [[equiDepthHistogram]] share. Bounded by
+    * the VALUE DOMAIN, not the row count; the prefix sum is the ranged
+    * kernel (no global sort). */
+  private[operators] def valueCumFrame(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    Eval.rangedCumsum(per, Seq(groupCol), "v", Seq("cnt"))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col(groupCol)))
+          .cast("long"))
+  }
+
+  /** Tukey fences outlier screen per group — the boxplot rule: values
+    * outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] are flagged. Quartiles are
+    * EXACT lower order statistics (type-1: the ceil(n/4)-th and
+    * ceil(3n/4)-th values), and the fence compare runs in QUARTERS —
+    * 4v < 4·q1 − 6·(q3 − q1) — so no double ever decides membership.
+    * The robust screen next to [[TimeSeries.madOutliers]] (MAD flags
+    * per-point deviation from a rolling center; Tukey is the
+    * distribution-shape rule auditors expect on static columns).
+    *
+    * Plan: one value-domain aggregate, one ranged prefix sum, two
+    * broadcast order-stat picks, one counting re-scan. */
+  def tukeyFences(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val c = Materialize(valueCumFrame(df, groupCol, valCol))
+    def orderStat(kExpr: String, name: String) =
+      c.filter(expr(s"cum_cnt >= $kExpr"))
+        .groupBy(col(groupCol))
+        .agg(min(col("v")).as(name))
+    val qs = orderStat("(n + 3) div 4", "q1")
+      .join(orderStat("(3 * n + 3) div 4", "q3"), groupCol)
+      .withColumn("lo4", lit(4L) * col("q1") - lit(6L) * (col("q3") - col("q1")))
+      .withColumn("hi4", lit(4L) * col("q3") + lit(6L) * (col("q3") - col("q1")))
+    c.join(broadcast(qs), groupCol)
+      .groupBy(col(groupCol), col("q1"), col("q3"),
+        col("lo4"), col("hi4"))
+      .agg(max(col("n")).as("n"),
+        sum(when(lit(4L) * col("v") < col("lo4"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_low"),
+        sum(when(lit(4L) * col("v") > col("hi4"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_high"))
+      .select(col(groupCol), col("n"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"),
+        expr("round(CAST(lo4 AS DOUBLE) / 4, 6)").as("fence_lo"),
+        expr("round(CAST(hi4 AS DOUBLE) / 4, 6)").as("fence_hi"),
+        col("n_low"), col("n_high"))
+  }
+
+  /** Equi-depth histogram per group — the ANALYZE-statistics operator:
+    * `nBuckets` buckets of ~equal row count, each distinct value
+    * assigned whole to the bucket of its END rank (b = ceil(cum·B/n),
+    * exact integers — values never split, so heavy values overfill
+    * their bucket honestly instead of lying about boundaries). Emits
+    * per (group, bucket) the value span and exact count — what an
+    * optimizer or a drift monitor consumes.
+    *
+    * Plan: the shared value-domain prefix frame + one hash aggregate;
+    * work bounded by distinct values, never a global sort. */
+  def equiDepthHistogram(
+      df: DataFrame, groupCol: String, valCol: String,
+      nBuckets: Int = 8): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    valueCumFrame(df, groupCol, valCol)
+      .withColumn("bucket",
+        expr(s"(cum_cnt * $nBuckets + n - 1) div n").cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).cast("long").as("cnt"),
+        count(lit(1)).cast("long").as("n_distinct"))
   }
 }

@@ -2092,4 +2092,65 @@ object TimeSeries {
       s"round(($dfSxyCSql / $dfSxxCSql) / " +
       s"sqrt(($ssr / (m - 2)) / $dfSxxCSql), 6) END"
   }
+
+  /** Forecast-accuracy panel per key — the metrics that judge a
+    * forecast next to [[forecastSkill]]'s relative score: MAE and RMSE
+    * of the lag-`fLag` forecast (ŷₜ = yₜ₋f, the seasonal-naive
+    * baseline), sMAPE (per-row 2|e|/(|y|+|ŷ|) terms micro-quantized
+    * before averaging — a raw double sum would be order-dependent;
+    * rows with |y|+|ŷ| = 0 have an UNDEFINED term and drop from the
+    * average), and MASE (Hyndman: MAE of the forecast over the MAE of
+    * the lag-`sLag` naive scale). Scoring is restricted to rows where
+    * BOTH lags exist, so the two error counts coincide and MASE is the
+    * exact integer ratio Σ|e_f|/Σ|e_s|, NULL on a constant series.
+    *
+    * Long bound: Σe² at cents scale holds to ~10⁸ scored rows per key.
+    *
+    * Plan: ONE key-hashed sort carries both lags; one map-side-combined
+    * aggregate finishes. */
+  def forecastAccuracy(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, fLag: Int = 24, sLag: Int = 1): DataFrame = {
+    require(fLag > 0 && sLag > 0, s"lags must be positive: $fLag, $sLag")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("yf", lag(col("v"), fLag).over(wOrd))
+      .withColumn("ys", lag(col("v"), sLag).over(wOrd))
+      .filter(col("rn") > math.max(fLag, sLag))
+      .withColumn("sm_term", expr(smapeTermMicroSql))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(abs(col("v") - col("yf"))).cast("long").as("sae"),
+        sum((col("v") - col("yf")) * (col("v") - col("yf")))
+          .cast("long").as("sse"),
+        sum(abs(col("v") - col("ys"))).cast("long").as("sas"),
+        sum(col("sm_term")).cast("long").as("sm_sum"),
+        count(col("sm_term")).cast("long").as("sm_n"))
+      .withColumn("mae", expr("round(CAST(sae AS DOUBLE) / n, 6)"))
+      .withColumn("rmse", expr("round(sqrt(CAST(sse AS DOUBLE) / n), 6)"))
+      .withColumn("smape", expr(smapeSql))
+      .withColumn("mase", expr(maseSql))
+  }
+
+  /** Micro-quantized sMAPE term over (v, yf); NULL when |y|+|ŷ| = 0
+    * (undefined, drops from the average). Shared with the oracle. */
+  val smapeTermMicroSql: String =
+    "CASE WHEN abs(v) + abs(yf) > 0 THEN " +
+      "CAST(round(2000000 * CAST(abs(v - yf) AS DOUBLE) / " +
+      "(abs(v) + abs(yf)), 0) AS BIGINT) END"
+
+  /** sMAPE over (sm_sum, sm_n); NULL when no term was defined. Shared
+    * with the oracle. */
+  val smapeSql: String =
+    "CASE WHEN sm_n > 0 THEN " +
+      "round(CAST(sm_sum AS DOUBLE) / sm_n / 1000000, 6) END"
+
+  /** MASE over (sae, sas); NULL on a constant series (zero naive
+    * scale). Shared with the oracle. */
+  val maseSql: String =
+    "CASE WHEN sas > 0 THEN " +
+      "round(CAST(sae AS DOUBLE) / sas, 6) END"
 }
