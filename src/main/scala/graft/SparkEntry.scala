@@ -5496,6 +5496,32 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_ngram_novelty" -> ((s, dir) => {
+      // Per-doc fraction of distinct 3-gram shingles unseen in any
+      // earlier (lower-id) document — the arrival-order diversity
+      // signal; a low-novelty batch is content the corpus already has.
+      graft.operators.TextAnalysis.ngramNovelty(
+        table(s, dir, "documents"), "doc_id", "text", n = 3)
+    }),
+    "q_silhouette" -> ((s, dir) => {
+      // Simplified (centroid) silhouette per IVF cell — the cluster-
+      // quality number for the search partition, on the exact
+      // deterministic cell ranking the IVF oracle replays.
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.silhouetteCells(e, nCentroids = 16)
+    }),
+    "q_page_hinkley" -> ((s, dir) => {
+      // Page-Hinkley upward-drift detector on hourly spend per event
+      // type: delta = $1 slack, lambda = $500 threshold (cents scale).
+      val hourly = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      graft.operators.TimeSeries.pageHinkley(
+        hourly, "event_type", "h", "v", delta = 100L, lambda = 50000L)
+    }),
     "q_tukey_fences" -> ((s, dir) => {
       // Boxplot-rule outlier screen per event type: exact type-1
       // quartiles via the ranged prefix-sum kernel, fence membership
@@ -12768,6 +12794,70 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh.sh) AS g FROM sh),
+         |fs AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_id
+         |  FROM ex GROUP BY 1)
+         |SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN fs.first_id = ex.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(SUM(CASE WHEN fs.first_id = ex.doc_id THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+         |FROM ex JOIN fs USING (g)
+         |GROUP BY 1""".stripMargin,
+    "q_silhouette" ->
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |d AS (SELECT q.vec_id, c.cell,
+         |    round($cosineSqlExpr, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |  FROM n q CROSS JOIN cent c),
+         |pv AS (SELECT vec_id,
+         |    CAST(MAX(CASE WHEN r = 1 THEN cell END) AS BIGINT) AS cell,
+         |    MAX(CASE WHEN r = 1 THEN sim END) AS sim_own,
+         |    MAX(CASE WHEN r = 2 THEN sim END) AS sim_next
+         |  FROM d WHERE r <= 2 GROUP BY 1),
+         |sm AS (SELECT cell,
+         |    ${graft.operators.Similarity.silhouetteMicroSql} AS s_micro
+         |  FROM pv),
+         |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(s_micro) AS BIGINT) AS s_sum,
+         |    CAST(COUNT(s_micro) AS BIGINT) AS s_n
+         |  FROM sm GROUP BY 1)
+         |SELECT cell, n, s_sum, s_n,
+         |  CASE WHEN s_n > 0 THEN
+         |    round(CAST(s_sum AS DOUBLE) / s_n / 1e6, 6) END AS s_mean
+         |FROM g""".stripMargin,
+    "q_page_hinkley" ->
+      s"""WITH $hourlySpendCte,
+         |r AS (SELECT event_type, h, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS rn,
+         |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS sv
+         |  FROM hb),
+         |t AS (SELECT event_type, h,
+         |    ${graft.operators.TimeSeries.phTermMicroSql(100L)} AS term
+         |  FROM r),
+         |p AS (SELECT event_type, h,
+         |    CAST(SUM(term) OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS ph
+         |  FROM t),
+         |gaps AS (SELECT event_type, h,
+         |    ph - CAST(MIN(ph) OVER (PARTITION BY event_type ORDER BY h)
+         |      AS BIGINT) AS gap
+         |  FROM p),
+         |fl AS (SELECT event_type, h, gap,
+         |    gap > CAST(50000 AS BIGINT) * 1000000 AS alarm FROM gaps)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MAX(alarm) AS drift,
+         |  CAST(MIN(CASE WHEN alarm THEN h END) AS BIGINT)
+         |    AS first_alarm_bucket,
+         |  round(CAST(MAX(gap) AS BIGINT) / 1e6, 6) AS max_gap
+         |FROM fl GROUP BY 1""".stripMargin,
     "q_tukey_fences" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),

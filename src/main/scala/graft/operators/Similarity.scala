@@ -619,6 +619,59 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
   }
 
+  /** Simplified (centroid) silhouette per cell — the cluster-quality
+    * measurement for the IVF partition the search tier rides on: for
+    * each vector, a = cosine distance (1 − sim) to its OWN centroid,
+    * b = distance to the nearest OTHER centroid, s = (b − a)/max(a, b)
+    * ∈ [−1, 1]. Full silhouette is O(n²); the centroid form is the
+    * standard at-scale substitute and reuses exactly the deterministic
+    * cell ranking the IVF oracle replays (rounded cosines, cell-id tie
+    * break, lowest-id centroids). Per-point s values micro-quantize
+    * before the per-cell mean (order-free sums). A cell mean near 0 or
+    * below says its members sit as close to a neighboring centroid as
+    * their own — expect IVF multi-assignment (cellsPerVec) to matter
+    * there.
+    *
+    * Plan: one broadcast centroid cross → two window picks on the same
+    * (vec, sim) sort → one hash aggregate. */
+  def silhouetteCells(
+      corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val c = withNorm(corpus, "vec_id", "embedding")
+    val centroids = centroidsOf(c, nCentroids)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    c.crossJoin(centroids)
+      .withColumn("sim", cosineFromNorms(
+        col("embedding"), col("cvec"), col("__nrm"), col("cnrm")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("__r") === 1, col("cell"))).as("cell"),
+        max(when(col("__r") === 1, col("sim"))).as("sim_own"),
+        max(when(col("__r") === 2, col("sim"))).as("sim_next"))
+      .withColumn("s_micro", expr(silhouetteMicroSql))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("s_micro")).cast("long").as("s_sum"),
+        count(col("s_micro")).cast("long").as("s_n"))
+      .withColumn("s_mean", expr(
+        "CASE WHEN s_n > 0 THEN " +
+          "round(CAST(s_sum AS DOUBLE) / s_n / 1e6, 6) END"))
+  }
+
+  /** Micro-quantized silhouette over (sim_own, sim_next): distances
+    * a = 1 − sim_own, b = 1 − sim_next; NULL when both distances are 0
+    * (the vector IS both centroids — undefined by convention). Shared
+    * with the oracle. */
+  val silhouetteMicroSql: String = {
+    val a = "(1 - sim_own)"
+    val b = "(1 - sim_next)"
+    s"CASE WHEN greatest($a, $b) > 0 THEN " +
+      s"CAST(round(1000000 * ($b - $a) / greatest($a, $b), 0) " +
+      "AS BIGINT) END"
+  }
+
   /** Leave-one-out kNN classification eval — the standard label-quality /
     * embedding-quality probe before trusting either at scale: each query
     * vector's k nearest neighbors (self excluded) vote with their labels;

@@ -1485,4 +1485,34 @@ object TextAnalysis {
   val dsirAvgSql: String =
     "CASE WHEN n_tokens > 0 THEN " +
       "round(CAST(s_micro AS DOUBLE) / n_tokens / 1e6, 6) END"
+
+  /** Per-document n-gram novelty — the diversity/curation signal next
+    * to [[Dedup.decontaminate]]'s overlap count: the fraction of a
+    * document's distinct n-grams that NO earlier document (lower
+    * doc_id = arrival order) contains. Low novelty in an incoming
+    * batch means the corpus already has this content — cut before
+    * tokenizing, not after. Attribution is exact: each distinct
+    * n-gram's first_doc is a min-aggregate, so a popular n-gram is
+    * novel exactly once, in its earliest document.
+    *
+    * Plan: the fused shingle kernel → one min-aggregate keyed by
+    * n-gram (map-side combined — hot n-grams never hotspot) → one
+    * join back + per-doc rollup. Shuffle bounded by n-gram instances;
+    * no pair-space anywhere. Documents too short to shingle drop by
+    * contract (no n-grams — novelty undefined). */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val ex = Dedup.shingleSigTable(docs, idCol, textCol, n, numHashes = 0)
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+    val first = ex.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__first"))
+    ex.join(first, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        expr("round(CAST(n_novel AS DOUBLE) / n_grams, 6)"))
+  }
 }

@@ -2153,4 +2153,48 @@ object TimeSeries {
   val maseSql: String =
     "CASE WHEN sas > 0 THEN " +
       "round(CAST(sae AS DOUBLE) / sas, 6) END"
+
+  /** Page–Hinkley upward-drift test per key — the classical sequential
+    * change detector next to the CUSUM tier: PHₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ − δ)
+    * with x̄ᵢ the RUNNING mean, alarm when PHₜ − minᵢ≤ₜ PHᵢ exceeds λ.
+    * Per-row terms micro-quantize (prefix sums are exact longs, the
+    * mean division and round are IEEE-deterministic), so the PH
+    * cumulative and its running minimum are exact integers and the
+    * alarm decision is an integer compare — no double drift across
+    * engines. Emits one row per key: the max gap, whether it crossed
+    * λ, and the FIRST alarm bucket (earliest detection, the number an
+    * on-call page needs). δ and λ are in value units (cents here).
+    *
+    * Plan: ONE key-hashed sort carries the prefix sum, the term
+    * cumulative, and the running min; one aggregate finishes. */
+  def pageHinkley(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, delta: Long = 0L, lambda: Long = 1000L): DataFrame = {
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(col(keyCol), col(bucketCol), col(valCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("sv", sum(col("v")).over(wCum).cast("long"))
+      .withColumn("term", expr(phTermMicroSql(delta)))
+      .withColumn("ph", sum(col("term")).over(wCum).cast("long"))
+      .withColumn("ph_min", min(col("ph")).over(wCum).cast("long"))
+      .withColumn("gap", col("ph") - col("ph_min"))
+      .withColumn("alarm", col("gap") > lit(lambda) * lit(1000000L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("gap")).cast("long").as("max_gap_micro"),
+        max(col("alarm")).as("drift"),
+        min(when(col("alarm"), col(bucketCol))).as("first_alarm_bucket"))
+      .withColumn("max_gap", expr("round(max_gap_micro / 1e6, 6)"))
+      .drop("max_gap_micro")
+  }
+
+  /** Micro-quantized PH term over (v, sv, rn): x − (running mean) − δ.
+    * Shared with the oracle. */
+  def phTermMicroSql(delta: Long): String =
+    "CAST(round(1000000 * (CAST(v AS DOUBLE) - " +
+      s"CAST(sv AS DOUBLE) / rn - $delta), 0) AS BIGINT)"
 }
