@@ -5432,12 +5432,16 @@ object SparkEntry {
     "q_power_proportion" -> ((s, dir) => {
       // Experiment design for BINARY metrics: per user-cohort, the
       // per-arm n to detect a 2pp conversion lift and the MDE now.
+      // "Converted" = 12+ purchase events — the any-purchase predicate
+      // saturates to p = 1.0 at every SF (all-NULL guarded outputs;
+      // the r11 degenerate sweep's find), this threshold is interior
+      // (~0.55-0.8) at sf0.01 and sf0.1 both.
       val users = table(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
         .select(pmod(col("user_id"), lit(4L)).as("cohort"),
-          (col("conv") === 1L).as("converted"))
+          (col("np") >= 12L).as("converted"))
       Eval.powerProportion(users, "cohort", "converted",
         deltaPpm = 20000L)
     }),
@@ -12708,7 +12712,7 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "q_power_proportion" ->
       s"""WITH u AS (SELECT user_id % 4 AS cohort,
-         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 12
          |      AS converted
          |  FROM events GROUP BY user_id),
          |g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
