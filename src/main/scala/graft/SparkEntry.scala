@@ -5500,6 +5500,28 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_katz" -> ((s, dir) => {
+      // Katz centrality (4 damped rounds, alpha = 0.05) over the
+      // customer->supplier purchase graph — raw path-count prestige
+      // next to q_pagerank's normalized flow; micro-long ranks make
+      // every round bit-identical across engines.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.katzCentrality(edges, "src", "dst",
+        iters = 4, alpha = 0.05)
+    }),
+    "q_max_cover" -> ((s, dir) => {
+      // Greedy maximum-coverage curation: the 5 documents that cover
+      // the most distinct 3-gram shingles, one exact-integer argmax at
+      // a time (disjoint gains -> covered_total is their prefix sum).
+      graft.operators.Sampling.greedyMaxCover(
+        table(s, dir, "documents"), "doc_id", "text", k = 5, n = 3)
+    }),
     "q_ngram_novelty" -> ((s, dir) => {
       // Per-doc fraction of distinct 3-gram shingles unseen in any
       // earlier (lower-id) document — the arrival-order diversity
@@ -12798,6 +12820,8 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_katz" -> katzOracle,
+    "q_max_cover" -> maxCoverOracle,
     "q_ngram_novelty" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, unnest(sh.sh) AS g FROM sh),
@@ -13855,6 +13879,64 @@ object SparkEntry {
        |und AS (SELECT src, dst FROM pairs
        |  UNION SELECT dst, src FROM pairs),
        |${graft.operators.Graph.labelPropSql(4)}""".stripMargin
+
+  /** Unrolled Katz replay — mirrors Graph.katzCentrality(iters = 4,
+    * alpha = 0.05) on the purchase graph: per round, one incoming
+    * micro-sum and the shared IEEE step expression. */
+  private lazy val katzOracle: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS xm FROM v)""".stripMargin
+    val iterCtes = (1 to 4).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM(p.xm) AS BIGINT) AS s
+         |  FROM e JOIN x${i - 1} p ON p.id = e.src GROUP BY 1),
+         |x$i AS MATERIALIZED (SELECT v.id,
+         |    CAST(${graft.operators.Graph.katzStepSql(0.05)} AS BIGINT)
+         |      AS xm
+         |  FROM v LEFT JOIN s$i ON s$i.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iterCtes\n" +
+      "SELECT id, round(CAST(xm AS DOUBLE) / 1e6, 6) AS katz FROM x4"
+  }
+
+  /** Unrolled greedy max-coverage replay — mirrors
+    * Sampling.greedyMaxCover(k = 5, n = 3): per step, an anti-join
+    * against the covered set, an exact-count argmax with the
+    * (gain desc, doc_id) tie-break, and a UNION-dedup'ed covered
+    * update; covered_total is the prefix sum of the disjoint gains. */
+  private lazy val maxCoverOracle: String = {
+    val steps = (2 to 5).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM ex ANTI JOIN c${i - 1} USING (g) GROUP BY 1),
+         |p$i AS MATERIALIZED (SELECT doc_id, gain FROM (SELECT *,
+         |    row_number() OVER (ORDER BY gain DESC, doc_id) AS rn
+         |  FROM g$i) WHERE rn = 1),
+         |c$i AS MATERIALIZED (SELECT g FROM c${i - 1}
+         |  UNION SELECT ex.g FROM ex JOIN p$i USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleCte,
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh.sh) AS g FROM sh),
+       |g1 AS MATERIALIZED (SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS gain FROM ex GROUP BY 1),
+       |p1 AS MATERIALIZED (SELECT doc_id, gain FROM (SELECT *,
+       |    row_number() OVER (ORDER BY gain DESC, doc_id) AS rn
+       |  FROM g1) WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT DISTINCT ex.g FROM ex
+       |  JOIN p1 USING (doc_id)),
+       |$steps,
+       |sel AS (${(1 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, doc_id, gain FROM p$i")
+          .mkString("\n  UNION ALL ")})
+       |SELECT step, doc_id, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+       |FROM sel""".stripMargin
+  }
 
   private val pagerankOracle: String = {
     val base =

@@ -68,6 +68,51 @@ object Graph {
     pr.select(col("id"), round(col("pr"), 8).as("pagerank"))
   }
 
+  /** Katz centrality — the damped path-count sibling of [[pageRank]]
+    * (no out-degree normalization, so prestige flows along raw edges):
+    * x_{t+1}(v) = 1 + α·Σ_{u→v} x_t(u), fixed iterations from x₀ = 1.
+    * Ranks live as MICRO-LONGS: the per-target sum of incoming micro
+    * scores is an exact integer, the single α·sum multiply-and-round
+    * per vertex per round is IEEE-deterministic — so every iteration
+    * is bit-identical across engines and the oracle unrolls rounds as
+    * CTEs exactly like pageRank's. α must satisfy α < 1/λ_max for
+    * convergence; with fixed small iters the truncated sum is
+    * well-defined for any α, which is the contract here (document the
+    * α choice at the call site).
+    *
+    * Plan per round: one edge-keyed join + one hash aggregate; edges
+    * and vertices materialized once. */
+  def katzCentrality(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4, alpha: Double = 0.05): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().materialize
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .materialize
+    var x = verts.withColumn("xm", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val in = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("xm")).cast("long").as("s"))
+      x = verts.join(in, Seq("id"), "left")
+        .select(col("id"), expr(katzStepSql(alpha)).as("xm"))
+        .materialize
+    }
+    x.select(col("id"),
+      expr("round(CAST(xm AS DOUBLE) / 1e6, 6)").as("katz"))
+  }
+
+  /** Next micro-rank over the nullable incoming sum `s` — the α
+    * multiply runs in DOUBLE explicitly (a bare 0.05 literal types as
+    * DECIMAL in both engines, with engine-specific arithmetic — the
+    * dtype-canary lesson). Shared with the oracle. */
+  def katzStepSql(alpha: Double): String =
+    s"1000000 + CAST(round(CAST($alpha AS DOUBLE) * " +
+      "CAST(coalesce(s, 0) AS DOUBLE), 0) AS BIGINT)"
+
   /** Bounded-depth BFS: minimum hop count from any `sources` row to every
     * vertex reachable within `maxHops` (unreached vertices are absent).
     * Each level is one frontier-edge join plus one min-aggregate, both

@@ -556,4 +556,64 @@ object Sampling {
   val chapmanSql: String =
     "round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) / " +
       "(CAST(m AS DOUBLE) + 1) - 1, 6)"
+
+  /** Greedy maximum-coverage selection — the SUBMODULAR curation step:
+    * pick `k` documents maximizing the number of distinct n-grams
+    * covered, one greedy argmax at a time (the classical (1 − 1/e)
+    * guarantee). "Which k docs summarize the corpus's content?" — the
+    * coverage-driven complement of diversity sampling's
+    * embedding-space spread. Fully deterministic: marginal gains are
+    * exact integer counts of UNCOVERED n-grams, argmax ties break on
+    * the lowest doc_id, and a document whose n-grams are all covered
+    * leaves the candidate pool (so selection stops early when nothing
+    * gains — never a zero-gain pick). Because greedy gains are
+    * disjoint sets, the running covered total is the prefix sum of
+    * gains.
+    *
+    * Plan: the n-gram table materializes ONCE; each of the ≤ k steps
+    * is one anti-join + one count aggregate + a 1-row argmax (the
+    * driver reads one row per step — the same bounded scalar the
+    * CC convergence count reads). At 100 TB: work per step is one
+    * shuffle over surviving n-gram instances; k is a constant. */
+  def greedyMaxCover(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, n: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ex = graft.Materialize(
+      Dedup.shingleSigTable(docs, idCol, textCol, n, numHashes = 0)
+        .select(col(idCol).as("__id"), explode(col("__sh")).as("__g")))
+    var covered = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__g", ex.schema("__g").dataType))))
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val pick = ex.join(covered, Seq("__g"), "left_anti")
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).cast("long").as("gain"))
+        .orderBy(col("gain").desc, col("__id"))
+        .limit(1).collect()
+      pick.headOption match {
+        case Some(r) =>
+          val id = r.getLong(0)
+          picks += ((step.toLong, id, r.getLong(1)))
+          covered = graft.Materialize(
+            covered.unionByName(
+              ex.filter(col("__id") === id).select(col("__g")))
+              .distinct())
+          step += 1
+        case None => done = true
+      }
+    }
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    picks.toSeq.toDF("step", idCol, "gain")
+      .withColumn("covered_total",
+        sum(col("gain")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)).cast("long"))
+  }
 }
