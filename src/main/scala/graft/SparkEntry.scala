@@ -5500,6 +5500,21 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_betweenness" -> ((s, dir) => {
+      // Landmark betweenness (quantized Brandes, 4 lowest-id pivots,
+      // 3-hop horizon) over the purchase graph — the "which vertices
+      // sit on the most shortest paths" estimator next to
+      // q_harmonic_centrality's landmark distances.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.betweennessLandmarks(edges, "src", "dst",
+        nLandmarks = 4, maxHops = 3, topK = 20)
+    }),
     "q_katz" -> ((s, dir) => {
       // Katz centrality (4 damped rounds, alpha = 0.05) over the
       // customer->supplier purchase graph — raw path-count prestige
@@ -12820,6 +12835,7 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_betweenness" -> betweennessOracle,
     "q_katz" -> katzOracle,
     "q_max_cover" -> maxCoverOracle,
     "q_ngram_novelty" ->
@@ -13879,6 +13895,64 @@ object SparkEntry {
        |und AS (SELECT src, dst FROM pairs
        |  UNION SELECT dst, src FROM pairs),
        |${graft.operators.Graph.labelPropSql(4)}""".stripMargin
+
+  /** Unrolled landmark-Brandes replay — mirrors
+    * Graph.betweennessLandmarks(nLandmarks = 4, maxHops = 3, topK = 20)
+    * on the purchase graph: forward BFS levels carry exact σ path
+    * counts, backward levels accumulate the half-up micro dependency
+    * term, both phases fully unrolled as MATERIALIZED CTEs. */
+  private lazy val betweennessOracle: String = {
+    val maxHops = 3
+    val fwd = (1 to maxHops).map { i =>
+      s"""c$i AS (SELECT f.lm, und.v AS v, f.sigma
+         |  FROM f${i - 1} f JOIN und ON und.u = f.v),
+         |f$i AS MATERIALIZED (SELECT lm, v,
+         |    CAST($i AS BIGINT) AS d, CAST(SUM(sigma) AS BIGINT) AS sigma
+         |  FROM c$i ANTI JOIN ds${i - 1} USING (lm, v) GROUP BY 1, 2),
+         |ds$i AS MATERIALIZED (SELECT * FROM ds${i - 1}
+         |  UNION ALL SELECT * FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((maxHops - 1) to 0 by -1).map { l =>
+      s"""t$l AS (SELECT lm, v,
+         |    ${graft.operators.Graph.betwTermSqlDuck} AS term
+         |  FROM (SELECT f.lm, f.v, f.sigma AS sigma_v,
+         |      sx.sigma_w, sx.delta_w
+         |    FROM f$l f JOIN und ON und.u = f.v
+         |    JOIN (SELECT s.lm, s.v AS w, s.sigma AS sigma_w,
+         |        b.delta_micro AS delta_w
+         |      FROM f${l + 1} s JOIN b${l + 1} b
+         |        ON b.lm = s.lm AND b.v = s.v) sx
+         |      ON sx.lm = f.lm AND sx.w = und.v)),
+         |b$l AS MATERIALIZED (SELECT f.lm, f.v,
+         |    CAST(COALESCE(SUM(t.term), 0) AS BIGINT) AS delta_micro
+         |  FROM f$l f LEFT JOIN t$l t ON t.lm = f.lm AND t.v = f.v
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val allB = (0 to maxHops)
+      .map(l => s"SELECT lm, v, delta_micro FROM b$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0
+       |  UNION SELECT dst, src FROM e0),
+       |lms AS (SELECT u FROM (SELECT DISTINCT u FROM und)
+       |  ORDER BY u LIMIT 4),
+       |f0 AS (SELECT u AS lm, u AS v, CAST(0 AS BIGINT) AS d,
+       |    CAST(1 AS BIGINT) AS sigma FROM lms),
+       |ds0 AS (SELECT * FROM f0),
+       |$fwd,
+       |b$maxHops AS (SELECT lm, v, CAST(0 AS BIGINT) AS delta_micro
+       |  FROM f$maxHops),
+       |$bwd,
+       |ab AS ($allB)
+       |SELECT v, btw_micro, n_landmarks,
+       |  round(CAST(btw_micro AS DOUBLE) / 1e6, 6) AS betweenness
+       |FROM (SELECT v, CAST(SUM(delta_micro) AS BIGINT) AS btw_micro,
+       |    CAST(COUNT(*) AS BIGINT) AS n_landmarks
+       |  FROM ab WHERE v <> lm GROUP BY 1)
+       |ORDER BY btw_micro DESC, v LIMIT 20""".stripMargin
+  }
 
   /** Unrolled Katz replay — mirrors Graph.katzCentrality(iters = 4,
     * alpha = 0.05) on the purchase graph: per round, one incoming

@@ -603,6 +603,99 @@ object Graph {
       .limit(topK)
   }
 
+  /** Landmark betweenness centrality — quantized Brandes from a
+    * deterministic pivot set (the [[harmonicCentrality]] convention:
+    * lowest-id landmarks, bounded horizon, a documented ESTIMATOR —
+    * scores are relative to the landmark set, the Eppstein–Wang
+    * trade). Forward phase: level-synchronous BFS carrying exact
+    * integer shortest-path counts σ (a vertex first reached at level i
+    * sums σ over its level-(i−1) parents). Backward phase: dependency
+    * accumulation δ(v) = Σ_{w succ} (σ_v/σ_w)(1 + δ_w) in MICRO-LONGS —
+    * each per-successor term is the half-up integer division
+    * (2·σ_v·(10⁶+δ_w) + σ_w) div (2·σ_w), so every level is exact
+    * integer arithmetic and the oracle unrolls both phases as CTEs.
+    * Betweenness(v) = Σ_landmarks δ(v), v ∉ landmarks' own source row.
+    *
+    * Plan: one symmetrized edge table materialized once; maxHops
+    * frontier joins forward, maxHops successor joins backward, all
+    * keyed on (landmark, vertex); state ≤ nLandmarks·V rows. Top-K via
+    * TakeOrdered. */
+  def betweennessLandmarks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nLandmarks: Int = 4, maxHops: Int = 3, topK: Int = 20): DataFrame = {
+    require(nLandmarks >= 1 && maxHops >= 1 && topK >= 1,
+      s"bad params: $nLandmarks/$maxHops/$topK")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .materialize
+    val ed = und.select(col("u").as("eu"), col("v").as("ev"))
+    val landmarks = und.select(col("u")).distinct()
+      .orderBy(col("u")).limit(nLandmarks)
+    var ds = landmarks
+      .select(col("u").as("lm"), col("u").as("v"),
+        lit(0L).as("d"), lit(1L).as("sigma"))
+      .materialize
+    var frontier = ds
+    for (i <- 1 to maxHops) {
+      val next = frontier.select(col("lm"), col("v"), col("sigma"))
+        .join(ed, col("v") === col("eu"))
+        .select(col("lm"), col("ev").as("v"), col("sigma"))
+        .join(ds.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
+        .groupBy(col("lm"), col("v"))
+        .agg(sum(col("sigma")).cast("long").as("sigma"))
+        .withColumn("d", lit(i.toLong))
+        .select(col("lm"), col("v"), col("d"), col("sigma"))
+        .materialize
+      ds = ds.unionByName(next).materialize
+      frontier = next
+    }
+    // backward: deepest level has no in-horizon successors -> delta 0
+    var deltaAll = ds.filter(col("d") === maxHops.toLong)
+      .select(col("lm"), col("v"), col("d"), lit(0L).as("delta_micro"))
+      .materialize
+    for (l <- (maxHops - 1) to 0 by -1) {
+      val lvlV = ds.filter(col("d") === l.toLong)
+        .select(col("lm"), col("v"), col("sigma").as("sigma_v"))
+      val succ = ds.filter(col("d") === (l + 1).toLong)
+        .select(col("lm"), col("v").as("w"), col("sigma").as("sigma_w"))
+        .join(deltaAll.filter(col("d") === (l + 1).toLong)
+          .select(col("lm"), col("v").as("w"),
+            col("delta_micro").as("delta_w")), Seq("lm", "w"))
+      val contrib = lvlV
+        .join(ed, col("v") === col("eu"))
+        .select(col("lm"), col("v"), col("sigma_v"), col("ev").as("w"))
+        .join(succ, Seq("lm", "w"))
+        .withColumn("term", expr(betwTermSql))
+        .groupBy(col("lm"), col("v"))
+        .agg(sum(col("term")).cast("long").as("delta_micro"))
+      val lvl = lvlV.select(col("lm"), col("v"))
+        .join(contrib, Seq("lm", "v"), "left")
+        .select(col("lm"), col("v"), lit(l.toLong).as("d"),
+          coalesce(col("delta_micro"), lit(0L)).as("delta_micro"))
+      deltaAll = deltaAll.unionByName(lvl).materialize
+    }
+    deltaAll.filter(col("v") =!= col("lm"))
+      .groupBy(col("v"))
+      .agg(sum(col("delta_micro")).cast("long").as("btw_micro"),
+        count(lit(1)).cast("long").as("n_landmarks"))
+      .withColumn("betweenness",
+        expr("round(CAST(btw_micro AS DOUBLE) / 1e6, 6)"))
+      .orderBy(col("btw_micro").desc, col("v"))
+      .limit(topK)
+  }
+
+  /** Per-successor Brandes dependency term in micro units over
+    * (sigma_v, sigma_w, delta_w): half-up integer division keeps both
+    * engines bit-identical. Shared with the oracle (`//` vs `div`
+    * spelled by the caller — operands are non-negative). */
+  val betwTermSql: String =
+    "(2 * sigma_v * (1000000 + delta_w) + sigma_w) div (2 * sigma_w)"
+
+  /** The same term with DuckDB's `//` spelling. */
+  val betwTermSqlDuck: String =
+    "(2 * sigma_v * (1000000 + delta_w) + sigma_w) // (2 * sigma_w)"
+
   /** Per-node structural features — the graph-feature-engineering pass a
     * fraud/recommendation model consumes: degree, triangle participation
     * ([[triangleCounts]] reused), and the local clustering coefficient

@@ -45,6 +45,33 @@ class Round11dOpsSpec extends SparkFunSuite {
       Seq((1L, 1L, 3L, 3L), (2L, 3L, 2L, 5L)))
   }
 
+  test("betweennessLandmarks: hand-computed Brandes on the 4-path") {
+    // path 1-2-3-4, all 4 vertices as landmarks, full horizon:
+    // deltas per landmark sum to betweenness 0/4/4/0 (v = lm excluded;
+    // inner vertices carry all the pair dependencies)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.betweennessLandmarks(e, "src", "dst",
+      nLandmarks = 4, maxHops = 3, topK = 10)
+      .orderBy(col("v")).collect()
+    assert(out.map(r => (r.getAs[Long]("v"),
+      r.getAs[Double]("betweenness"))).toSeq ==
+      Seq((1L, 0.0), (2L, 4.0), (3L, 4.0), (4L, 0.0)))
+    assert(out.forall(_.getAs[Long]("n_landmarks") == 3L))
+  }
+
+  test("betweennessLandmarks: sigma multiplicity splits dependencies") {
+    // diamond 1-2-4, 1-3-4 (two shortest 1->4 paths): from landmark 1,
+    // sigma(4) = 2 and delta(2) = delta(3) = (1/2)(1+0) = 0.5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.betweennessLandmarks(e, "src", "dst",
+      nLandmarks = 1, maxHops = 2, topK = 10)
+      .orderBy(col("v")).collect()
+    assert(out.map(r => (r.getAs[Long]("v"),
+      r.getAs[Double]("betweenness"))).toSeq ==
+      Seq((2L, 0.5), (3L, 0.5), (4L, 0.0)))
+  }
+
   test("greedyMaxCover: argmax ties break on the lowest doc_id") {
     val docs = Seq((7L, "a b c"), (4L, "x y z")).toDF("doc_id", "text")
     val out = Sampling.greedyMaxCover(docs, "doc_id", "text", k = 1, n = 3)
