@@ -5500,6 +5500,30 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_feature_hash" -> ((s, dir) => {
+      // Hashing-trick featurizer: 64-dim signed bag-of-words, emitted
+      // as non-zero (doc, dim, value) scalar rows — no vocabulary
+      // table, both hashes the portable md5 family.
+      graft.operators.TextAnalysis.featureHash(
+        table(s, dir, "documents"), "doc_id", "text", numFeatures = 64)
+    }),
+    "q_vocab_stats" -> ((s, dir) => {
+      // Vocabulary pruning table: per token tf/df/rank/coverage share
+      // plus the is_rare (df < 2) and is_head (top-50% coverage) flags
+      // a tokenizer filter pass consumes.
+      graft.operators.TextAnalysis.vocabStats(
+        table(s, dir, "documents"), "doc_id", "text",
+        minDf = 2L, coveragePpm = 500000L)
+    }),
+    "q_neyman" -> ((s, dir) => {
+      // Neyman allocation of a 1000-row sample budget across event
+      // types by N_h * s_h of user-event spend (micro-quantized
+      // weights, exact integer moments).
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Sampling.neymanAllocation(
+        ev, "event_type", "cents", totalN = 1000L)
+    }),
     "q_betweenness" -> ((s, dir) => {
       // Landmark betweenness (quantized Brandes, 4 lowest-id pivots,
       // 3-hop horizon) over the purchase graph — the "which vertices
@@ -12835,6 +12859,53 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim,
+         |    CASE WHEN CAST('0x'||substr(md5('sgn:'||tok),1,15)
+         |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM t)
+         |SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS value
+         |FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0""".stripMargin,
+    "q_vocab_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS token FROM documents),
+         |per AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM t GROUP BY 1),
+         |c AS (SELECT *,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+         |      AS rank,
+         |    CAST(SUM(tf) OVER (ORDER BY tf DESC, token) AS BIGINT)
+         |      AS cum_tf,
+         |    CAST(SUM(tf) OVER () AS BIGINT) AS tot
+         |  FROM per)
+         |SELECT token, tf, df, rank,
+         |  round(CAST(cum_tf AS DOUBLE) / tot, 6) AS cum_share,
+         |  df < 2 AS is_rare,
+         |  cum_tf * 1000000 <= 500000 * tot AS is_head
+         |FROM c""".stripMargin,
+    "q_neyman" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pop,
+         |    CAST(SUM(v) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+         |      AS __sxx
+         |  FROM e GROUP BY 1),
+         |w AS (SELECT event_type, n_pop, sx,
+         |    ${graft.operators.Sampling.neymanSdSql} AS sd FROM m),
+         |w2 AS (SELECT event_type, n_pop, sx, sd,
+         |    CAST(round(1000000 * n_pop * coalesce(sd, 0), 0) AS BIGINT)
+         |      AS w_micro FROM w),
+         |tt AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w2)
+         |SELECT event_type, n_pop, sx, sd, w_micro,
+         |  CASE WHEN wt > 0 THEN CAST(round(CAST(1000 AS DOUBLE) *
+         |    w_micro / wt, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |    AS alloc
+         |FROM w2, tt""".stripMargin,
     "q_betweenness" -> betweennessOracle,
     "q_katz" -> katzOracle,
     "q_max_cover" -> maxCoverOracle,

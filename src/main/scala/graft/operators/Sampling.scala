@@ -557,6 +557,47 @@ object Sampling {
     "round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) / " +
       "(CAST(m AS DOUBLE) + 1) - 1, 6)"
 
+  /** Neyman (optimal) allocation for stratified sampling — the
+    * design-side operator before any stratified draw: with a total
+    * budget n, stratum h gets n_h ∝ N_h·s_h (population size × value
+    * standard deviation), minimizing the estimator variance. Weights
+    * are MICRO-QUANTIZED — w = round(10⁶·N_h·s_h) from exact integer
+    * moments (squares in decimal internally), so the cross-stratum
+    * weight total is an exact long and each allocation is one
+    * IEEE-deterministic round(n·w/Σw). Strata with n < 2 or zero
+    * variance carry weight 0 (no variance estimate → Neyman assigns
+    * nothing; route them to a fixed floor upstream if they must be
+    * sampled). One aggregate + a broadcast 1-row total. */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be positive: $totalN")
+    val m = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("long").as("n_pop"),
+        sum(col(valCol).cast("long")).cast("long").as("sx"),
+        sum(col(valCol).cast("long").cast("decimal(38,0)") *
+          col(valCol).cast("long")).cast("decimal(38,0)").as("__sxx"))
+      .withColumn("sd", expr(neymanSdSql))
+      .withColumn("w_micro", expr(
+        "CAST(round(1000000 * n_pop * coalesce(sd, 0), 0) AS BIGINT)"))
+      .drop("__sxx")
+    val tot = broadcast(
+      m.agg(sum(col("w_micro")).cast("long").as("__wt")))
+    m.crossJoin(tot)
+      .withColumn("alloc", expr(
+        s"CASE WHEN __wt > 0 THEN CAST(round(CAST($totalN AS DOUBLE) * " +
+          "w_micro / __wt, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .drop("__wt")
+  }
+
+  /** Sample standard deviation over (n_pop, sx, __sxx); NULL when
+    * n < 2 or the variance degenerates. Shared with the oracle. */
+  val neymanSdSql: String = {
+    val v = "((CAST(__sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "(CAST(sx AS DOUBLE) / n_pop)) / (n_pop - 1))"
+    s"CASE WHEN n_pop > 1 AND $v > 0 THEN round(sqrt($v), 6) END"
+  }
+
   /** Greedy maximum-coverage selection — the SUBMODULAR curation step:
     * pick `k` documents maximizing the number of distinct n-grams
     * covered, one greedy argmax at a time (the classical (1 − 1/e)

@@ -1500,6 +1500,66 @@ object TextAnalysis {
     * join back + per-doc rollup. Shuffle bounded by n-gram instances;
     * no pair-space anywhere. Documents too short to shingle drop by
     * contract (no n-grams — novelty undefined). */
+  /** Hashing-trick featurizer — the fixed-width bag-of-words a
+    * downstream linear model or nearest-neighbor join consumes without
+    * a vocabulary table: token t adds ±1 (sign from an independent
+    * hash, the standard collision-debiasing trick) to dimension
+    * hash(t) mod D. Emits only NON-ZERO (doc, dim, value) entries —
+    * scalar rows, not an array column, so results join/aggregate
+    * directly. Both hashes are the portable 60-bit md5 family the
+    * oracles replay; no vocabulary broadcast anywhere, the one
+    * aggregate is (doc, dim)-keyed.
+    *
+    * Plan: token explode → hash projections → one hash aggregate. */
+  def featureHash(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numFeatures: Int = 64): DataFrame = {
+    require(numFeatures >= 2, s"numFeatures must be >= 2: $numFeatures")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(tokenHash60(col("__t")), lit(numFeatures.toLong)).as("dim"),
+        when(pmod(tokenHash60(concat(lit("sgn:"), col("__t"))), lit(2L))
+          === 0L, 1L).otherwise(-1L).as("__s"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__s")).cast("long").as("value"))
+      .filter(col("value") =!= 0L)
+  }
+
+  /** Vocabulary pruning stats — the table a tokenizer/filter pass is
+    * built from: per token its total count (tf), document frequency
+    * (df), global frequency rank, cumulative corpus-coverage share,
+    * and the two standard pruning flags — `is_rare` (df below the
+    * floor: likely noise/typos/PII fragments) and `is_head` (inside
+    * the top coverage share: stopword candidates). Rank and cumulative
+    * share ride the ranged prefix-sum kernel over the (tf desc, token)
+    * total order — no global sort, no single-partition window; the
+    * head decision is the exact integer compare cum_tf·10⁶ ≤
+    * coveragePpm·total. */
+  def vocabStats(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Long = 2L,
+      coveragePpm: Long = 500000L): DataFrame = {
+    require(coveragePpm > 0 && coveragePpm <= 1000000L,
+      s"coveragePpm in (0, 1e6]: $coveragePpm")
+    val per = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        countDistinct(col(idCol)).cast("long").as("df"))
+      .withColumn("__neg_tf", -col("tf"))
+      .withColumn("__one", lit(1L))
+    val c = Eval.rangedCumsumOrdered(per, Nil, Seq("__neg_tf", "token"),
+      Seq("__one", "tf"))
+    val tot = broadcast(per.agg(sum(col("tf")).cast("long").as("__tot")))
+    c.crossJoin(tot)
+      .select(col("token"), col("tf"), col("df"),
+        col("cum___one").as("rank"),
+        expr("round(CAST(cum_tf AS DOUBLE) / __tot, 6)").as("cum_share"),
+        (col("df") < minDf).as("is_rare"),
+        (col("cum_tf") * lit(1000000L) <=
+          lit(coveragePpm) * col("__tot")).as("is_head"))
+  }
+
   def ngramNovelty(
       docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
