@@ -5500,6 +5500,29 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_ks_test" -> ((s, dir) => {
+      // Exact two-sample Kolmogorov-Smirnov on purchase vs click spend
+      // distributions: the D supremum and its location decided in
+      // exact integers over the distinct-value prefix frame.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Profiling.ksTwoSample(
+        ev.filter(col("event_type") === "purchase").select(col("cents")),
+        ev.filter(col("event_type") === "click").select(col("cents")),
+        "cents")
+    }),
+    "q_chi2_features" -> ((s, dir) => {
+      // chi2 feature selection over the hashed bag-of-words vs the
+      // is-English label: exact 2x2 cell counts per dimension, one
+      // IEEE chain for the statistic.
+      val docs = table(s, dir, "documents")
+      val items = graft.operators.TextAnalysis.featureHash(
+          docs, "doc_id", "text", numFeatures = 64)
+        .select(col("doc_id"), col("dim"))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("is_en")), "doc_id")
+      Eval.chi2FeatureScores(items, "doc_id", "dim", "is_en")
+    }),
     "q_feature_hash" -> ((s, dir) => {
       // Hashing-trick featurizer: 64-dim signed bag-of-words, emitted
       // as non-zero (doc, dim, value) scalar rows — no vocabulary
@@ -5831,6 +5854,43 @@ object SparkEntry {
         .agg(sum(round(col("value"), 0).cast("long")).cast("long").as("v"))
       graft.operators.TimeSeries.seasonalStrength(
         hourly, "event_type", "h", "v", period = 24)
+    }),
+    "q_stream_page_hinkley" -> ((s, dir) => {
+      // Streaming Page-Hinkley drift tier: the SAME O(1)-per-key
+      // (n, sx) stateful fold as q_stream_zscore (its prior moments
+      // are exactly PH's running mean inputs), finished by the shared
+      // micro-term/cumulative/alarm SQL over the drained batch — the
+      // single-batch-determinism contract of the other stream tiers.
+      // No Scala-side rounding anywhere: the one round() lives in the
+      // shared SQL text both engines evaluate.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(
+          graft.functions.TextFunctions.tokenHash60(col("event_type"))
+            .as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingZscore.Ev]
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ts_ms"), col("tie"))
+      val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+      runToMemory(s,
+        graft.streaming.StreamingZscore.zscore(ev).toDF(), "update")
+        .withColumn("rn", (col("n_prior") + 1L).cast("long"))
+        .withColumn("sv", (col("sx_prior") + col("x")).cast("long"))
+        .withColumn("v", col("x"))
+        .withColumn("term",
+          expr(graft.operators.TimeSeries.phTermMicroSql(100L)))
+        .withColumn("ph", sum(col("term")).over(wc).cast("long"))
+        .withColumn("ph_min", min(col("ph")).over(wc).cast("long"))
+        .withColumn("gap", (col("ph") - col("ph_min")).cast("long"))
+        .withColumn("alarm",
+          col("gap") > lit(50000L) * lit(1000000L))
+        .select(col("key"), col("ts_ms"), col("tie"), col("x"),
+          col("rn"), col("sv"), col("ph"), col("ph_min"), col("gap"),
+          col("alarm"))
     }),
     "q_stream_zscore" -> ((s, dir) => {
       // Streaming anomaly screen: each spend event judged against the
@@ -12859,6 +12919,57 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_ks_test" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events
+         |  WHERE event_type IN ('purchase', 'click')),
+         |u AS (SELECT v,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT v, ca, cb,
+         |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+         |    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+         |  FROM u),
+         |g AS (SELECT *, ABS(cum_ca * n_b - cum_cb * n_a) AS gap
+         |  FROM c),
+         |m AS (SELECT CAST(MAX(gap) AS BIGINT) AS d_num FROM g)
+         |SELECT n_a, n_b, d_num, CAST(MIN(v) AS BIGINT) AS d_at,
+         |  ${graft.operators.Profiling.ksDSql} AS d,
+         |  ${graft.operators.Profiling.ksSigSql} AS significant
+         |FROM g, m WHERE gap = d_num GROUP BY 1, 2, 3""".stripMargin,
+    "q_chi2_features" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS tok FROM documents),
+         |h0 AS (SELECT doc_id,
+         |    CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 64 AS dim,
+         |    CASE WHEN CAST('0x'||substr(md5('sgn:'||tok),1,15)
+         |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM t),
+         |h AS (SELECT doc_id, dim FROM h0
+         |  GROUP BY 1, 2 HAVING SUM(s) <> 0),
+         |lb0 AS (SELECT doc_id, lang = 'en' AS is_en FROM documents),
+         |it AS (SELECT h.doc_id, h.dim, lb0.is_en
+         |  FROM h JOIN lb0 USING (doc_id)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos
+         |  FROM (SELECT DISTINCT doc_id, is_en FROM it)),
+         |gg AS (SELECT dim,
+         |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+         |  FROM it GROUP BY 1),
+         |cc AS (SELECT dim, a, b, CAST(n_pos - a AS BIGINT) AS c,
+         |    CAST(n_docs - n_pos - b AS BIGINT) AS d FROM gg, tot)
+         |SELECT dim, a, b, c, d,
+         |  ${graft.operators.Eval.chi2x2Sql} AS chi2,
+         |  coalesce(${graft.operators.Eval.chi2x2Sql} > 3.841459, false)
+         |    AS significant
+         |FROM cc""".stripMargin,
     "q_feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
          |    AS tok FROM documents),
@@ -13349,6 +13460,31 @@ object SparkEntry {
          |SELECT event_type, n,
          |  ${graft.operators.TimeSeries.strengthSql("sr")} AS f_seasonal,
          |  ${graft.operators.TimeSeries.strengthSql("tr")} AS f_trend
+         |FROM g""".stripMargin,
+    "q_stream_page_hinkley" ->
+      s"""WITH o AS (SELECT
+         |    CAST('0x'||substr(md5(event_type),1,15) AS BIGINT) AS key,
+         |    epoch_ms(ts) AS ts_ms, event_id AS tie,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |r AS (SELECT key, ts_ms, tie, x, x AS v,
+         |    CAST(row_number() OVER pw AS BIGINT) AS rn,
+         |    CAST(SUM(x) OVER pw AS BIGINT) AS sv
+         |  FROM o WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT key, ts_ms, tie, x, rn, sv,
+         |    ${graft.operators.TimeSeries.phTermMicroSql(100L)} AS term
+         |  FROM r),
+         |p AS (SELECT key, ts_ms, tie, x, rn, sv,
+         |    CAST(SUM(term) OVER pw AS BIGINT) AS ph
+         |  FROM t WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT *, CAST(MIN(ph) OVER pw AS BIGINT) AS ph_min
+         |  FROM p WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT key, ts_ms, tie, x, rn, sv, ph, ph_min,
+         |  ph - ph_min AS gap,
+         |  ph - ph_min > CAST(50000 AS BIGINT) * 1000000 AS alarm
          |FROM g""".stripMargin,
     "q_stream_zscore" ->
       s"""WITH o AS (SELECT user_id AS key, epoch_ms(ts) AS ts_ms,

@@ -1807,6 +1807,50 @@ object Eval {
     "CASE WHEN x > 0 AND x < n THEN " +
       s"round(2.801585 * sqrt(2 * $powerPropPqSql / n), 6) END"
 
+  /** χ² feature scoring — the classical filter-method feature selector
+    * over a presence table (e.g. [[TextAnalysis.featureHash]] output
+    * joined to labels): per feature, the 2×2 independence χ² of
+    * feature-presence vs a boolean label, from EXACT integer cell
+    * counts (a = present∧label, b = present∧¬label; c/d from the
+    * broadcast label totals). The statistic finishes as one IEEE
+    * double chain — N(ad−bc)²/margins — deterministic cross-engine;
+    * degenerate margins (a feature in every doc, or a single-class
+    * corpus) yield NULL by contract. Rank by χ², keep the top
+    * features, drop the rest before training. One hash aggregate +
+    * a broadcast 1-row total. */
+  def chi2FeatureScores(
+      items: DataFrame, idCol: String, dimCol: String,
+      labelCol: String): DataFrame = {
+    val labels = items.select(col(idCol), col(labelCol)).distinct()
+    val tot = broadcast(labels.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).cast("long")
+        .as("n_pos")))
+    items.groupBy(col(dimCol))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).cast("long").as("b"))
+      .crossJoin(tot)
+      .withColumn("c", (col("n_pos") - col("a")).cast("long"))
+      .withColumn("d",
+        (col("n_docs") - col("n_pos") - col("b")).cast("long"))
+      .withColumn("chi2", expr(chi2x2Sql))
+      .withColumn("significant",
+        expr(s"coalesce($chi2x2Sql > 3.841459, false)"))
+      .select(col(dimCol), col("a"), col("b"), col("c"), col("d"),
+        col("chi2"), col("significant"))
+  }
+
+  /** 2×2 independence χ² over (a, b, c, d); NULL on any zero margin.
+    * Shared with the oracle. */
+  val chi2x2Sql: String = {
+    val n = "(CAST(a AS DOUBLE) + b + c + d)"
+    val det = "(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    "CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0 " +
+      s"THEN round($n * $det * $det / ((CAST(a AS DOUBLE) + b) * " +
+      "(CAST(c AS DOUBLE) + d) * (CAST(a AS DOUBLE) + c) * " +
+      "(CAST(b AS DOUBLE) + d)), 6) END"
+  }
+
   /** Herfindahl–Hirschman concentration index per market — the
     * antitrust-standard scalar [[gini]]'s rank curve summarizes
     * differently: HHI = Σ share², 1/n_firms (perfect split) → 1

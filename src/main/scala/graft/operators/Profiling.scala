@@ -2473,6 +2473,58 @@ object Profiling {
         col("n_low"), col("n_high"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov test — the distribution-shift
+    * detector the binned panel (distDistances) approximates: D = max
+    * over values of |F̂_a − F̂_b|, computed as the EXACT integer
+    * maximum of |cum_a·n_b − cum_b·n_a| over the distinct-value prefix
+    * frame (no bins, no doubles in the decision path). Also reports
+    * the LOCATION of the supremum (lowest value achieving it — where
+    * the two CDFs diverge most, the first thing a drift inspection
+    * asks) and the large-sample 5% verdict D > 1.358·√((n_a+n_b)/
+    * (n_a·n_b)) as an exact-rational-vs-IEEE compare.
+    *
+    * Plan: one value-domain aggregate, one ranged prefix sum, a
+    * broadcast max, one location pick. Long bound: cum·n products hold
+    * to ~3·10⁹ rows per side. */
+  def ksTwoSample(
+      a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val u = a.select(col(valCol).cast("long").as("v"),
+        lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionByName(b.select(col(valCol).cast("long").as("v"),
+        lit(0L).as("__ca"), lit(1L).as("__cb")))
+      .groupBy(col("v"))
+      .agg(sum(col("__ca")).cast("long").as("ca"),
+        sum(col("__cb")).cast("long").as("cb"))
+    val c = Materialize(
+      Eval.rangedCumsum(u, Nil, "v", Seq("ca", "cb")))
+    val tot = broadcast(c.agg(
+      sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b")))
+    val withGap = c.crossJoin(tot)
+      .withColumn("__gap",
+        abs(col("cum_ca") * col("n_b") - col("cum_cb") * col("n_a")))
+    val mx = broadcast(withGap.agg(max(col("__gap")).as("d_num")))
+    withGap.crossJoin(mx)
+      .filter(col("__gap") === col("d_num"))
+      .groupBy(col("n_a"), col("n_b"), col("d_num"))
+      .agg(min(col("v")).as("d_at"))
+      .withColumn("d", expr(ksDSql))
+      .withColumn("significant", expr(ksSigSql))
+      .select(col("n_a"), col("n_b"), col("d_num"), col("d_at"),
+        col("d"), col("significant"))
+  }
+
+  /** D over (d_num, n_a, n_b). Shared with the oracle. */
+  val ksDSql: String =
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) END"
+
+  /** Large-sample 5% KS verdict. Shared with the oracle. */
+  val ksSigSql: String =
+    "coalesce(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) > " +
+      "1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b) / " +
+      "(CAST(n_a AS DOUBLE) * n_b)), false)"
+
   /** Equi-depth histogram per group — the ANALYZE-statistics operator:
     * `nBuckets` buckets of ~equal row count, each distinct value
     * assigned whole to the bucket of its END rank (b = ceil(cum·B/n),

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Eval, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 6: exact two-sample KS and chi-squared feature
+  * scoring. */
+class Round11fOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("ksTwoSample: exact integer supremum, location, and verdict") {
+    // A=[1,2,3,4], B=[3,4,5,6]: gap peaks at 8/16 = 0.5, first at v=2
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Profiling.ksTwoSample(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("d_num") == 8L)
+    assert(r.getAs[Long]("d_at") == 2L) // lowest value achieving the max
+    assert(r.getAs[Double]("d") == 0.5)
+    assert(!r.getAs[Boolean]("significant")) // crit ~ 0.96 at n=4/4
+  }
+
+  test("ksTwoSample: identical samples give D = 0") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val r = Profiling.ksTwoSample(a, a, "v").head()
+    assert(r.getAs[Long]("d_num") == 0L)
+    assert(r.getAs[Double]("d") == 0.0)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("chi2FeatureScores: pinned 2x2 and the zero-margin NULL guard") {
+    // universe = 8 docs (all carry dim 9); dim 7 sits in docs 1-4:
+    // a=3, b=1, c=1, d=3 -> chi2 = 8*(9-1)^2/256 = 2.0;
+    // dim 9 is in EVERY doc -> c+d margin 0 -> NULL by contract
+    val items = Seq(
+      (1L, 7L, true), (2L, 7L, true), (3L, 7L, true), (4L, 7L, false),
+      (1L, 9L, true), (2L, 9L, true), (3L, 9L, true), (4L, 9L, false),
+      (5L, 9L, true), (6L, 9L, false), (7L, 9L, false), (8L, 9L, false))
+      .toDF("doc_id", "dim", "is_en")
+    val out = Eval.chi2FeatureScores(items, "doc_id", "dim", "is_en")
+      .orderBy("dim").collect()
+    val d7 = out(0)
+    assert(d7.getAs[Long]("a") == 3L && d7.getAs[Long]("b") == 1L)
+    assert(d7.getAs[Long]("c") == 1L && d7.getAs[Long]("d") == 3L)
+    assert(d7.getAs[Double]("chi2") == 2.0)
+    assert(!d7.getAs[Boolean]("significant")) // 2.0 < 3.84
+    val d9 = out(1)
+    assert(d9.isNullAt(d9.fieldIndex("chi2")))
+    assert(!d9.getAs[Boolean]("significant"))
+  }
+}
