@@ -1442,6 +1442,61 @@ object ScaleSmoke {
       drain(Similarity.randomProjection(emb, k = 4))
       drain(Similarity.pqEncode(emb, m = 4, k = 16))
     }
+    time(s"r11 order-stat family x$mult (tukey/equidepth/conover/ks)") {
+      val ev = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      drain(Profiling.tukeyFences(ev, "event_type", "cents"))
+      drain(Profiling.equiDepthHistogram(ev, "event_type", "cents", 8))
+      drain(Normalize.conoverSquaredRanks(ev, "event_type", "cents"))
+      drain(Profiling.ksTwoSample(
+        ev.filter(col("event_type") === "purchase").select(col("cents")),
+        ev.filter(col("event_type") === "click").select(col("cents")),
+        "cents"))
+    }
+    time(s"r11 series family x$mult (forecastAcc/pageHinkley/neyman)") {
+      val hourly = events
+        .groupBy(col("event_type"),
+          expr("(unix_millis(ts) - 1704067200000) div 3600000").as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("v"))
+      drain(TimeSeries.forecastAccuracy(hourly, "event_type", "h", "v"))
+      drain(TimeSeries.pageHinkley(hourly, "event_type", "h", "v",
+        delta = 100L, lambda = 50000L))
+      drain(Sampling.neymanAllocation(events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", totalN = 1000L))
+    }
+    time(s"r11 text family x${math.max(1, mult / 5)} " +
+        "(novelty/featureHash/vocab/chi2/maxCover)") {
+      drain(TextAnalysis.ngramNovelty(docs))
+      val fh = TextAnalysis.featureHash(docs)
+      drain(fh)
+      drain(TextAnalysis.vocabStats(docs))
+      drain(Eval.chi2FeatureScores(
+        fh.select(col("doc_id"), col("dim"))
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").as("is_en")), "doc_id"),
+        "doc_id", "dim", "is_en"))
+      drain(Sampling.greedyMaxCover(docs, k = 3))
+    }
+    time(s"r11 graph family x${math.max(1, mult / 5)} (katz/betweenness)") {
+      // disjoint doc-similarity-ish graph copies, same recipe as
+      // hits+labelProp: offset key spaces keep per-copy structure
+      val edges = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val m = math.max(1, mult / 5)
+      val big = (0 until m).map(i => edges
+          .select((col("src") + lit(i * 100000000L)).as("src"),
+            (col("dst") + lit(i * 100000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      drain(graft.operators.Graph.katzCentrality(big, "src", "dst"))
+      drain(graft.operators.Graph.betweennessLandmarks(big, "src", "dst"))
+    }
     time(s"r11 ivf adversarial cell skew x${math.max(1, mult / 5)}") {
       // The 100-TB IVF risk is a HOT CELL — the exact analogue of the
       // LSH bucket caps: an adversarially clustered cloud (90% of
