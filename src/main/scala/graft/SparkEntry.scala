@@ -5500,6 +5500,17 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_shapley" -> ((s, dir) => {
+      // Exact Shapley multi-touch attribution over the four non-
+      // purchase channels: presence-based coalitions, 16 exact v(S)
+      // values, integer factorial-weighted marginals; the efficient/
+      // symmetric upgrade of q_attribution's last-touch credit.
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+      graft.operators.Sessionize.shapleyAttribution(ev,
+        touchTypes = Seq("click", "error", "signup", "view"),
+        convType = "purchase")
+    }),
     "q_ks_test" -> ((s, dir) => {
       // Exact two-sample Kolmogorov-Smirnov on purchase vs click spend
       // distributions: the D supremum and its location decided in
@@ -12919,6 +12930,39 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_shapley" ->
+      s"""WITH um AS (SELECT user_id, CAST(SUM(b) AS BIGINT) AS mask
+         |  FROM (SELECT DISTINCT user_id,
+         |      CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+         |        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b
+         |    FROM events
+         |    WHERE event_type IN ('click', 'error', 'signup', 'view'))
+         |  GROUP BY 1),
+         |cv AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase'),
+         |sig AS (SELECT mask, CAST(SUM(CASE WHEN cv.user_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+         |  FROM um LEFT JOIN cv USING (user_id) GROUP BY 1),
+         |co AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16)),
+         |vs AS (SELECT co.s,
+         |    CAST(COALESCE(SUM(sig.n_conv), 0) AS BIGINT) AS v
+         |  FROM co LEFT JOIN sig ON (sig.mask & co.s) = sig.mask
+         |  GROUP BY 1),
+         |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+         |    ('signup', 4), ('view', 8)) AS t(channel, bit)),
+         |pairs AS (SELECT ch.channel,
+         |    ((a.s >> 0) & 1) + ((a.s >> 1) & 1) + ((a.s >> 2) & 1) +
+         |      ((a.s >> 3) & 1) AS ps,
+         |    a.v AS v_s, b.v AS v_si
+         |  FROM ch JOIN vs a ON (a.s & ch.bit) = 0
+         |  JOIN vs b ON b.s = (a.s | ch.bit))
+         |SELECT channel,
+         |  CAST(SUM((CASE ps WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+         |    ELSE 6 END) * (v_si - v_s)) AS BIGINT) AS phi_num,
+         |  round(CAST(SUM((CASE ps WHEN 0 THEN 6 WHEN 1 THEN 2
+         |    WHEN 2 THEN 2 ELSE 6 END) * (v_si - v_s)) AS DOUBLE) / 24,
+         |    6) AS phi
+         |FROM pairs GROUP BY 1""".stripMargin,
     "q_ks_test" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events

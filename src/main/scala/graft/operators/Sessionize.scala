@@ -550,6 +550,89 @@ object Sessionize {
         count_distinct(col(keyCol)).as("n_users"))
   }
 
+  /** Exact Shapley multi-touch attribution — the game-theoretic upgrade
+    * of [[attributeLastTouch]]: each channel's credit is its average
+    * marginal contribution over ALL coalition orders, the one
+    * attribution scheme that is efficient (credits sum to total
+    * conversions), symmetric, and null-player-consistent. The
+    * characteristic function is presence-based: v(S) = conversions
+    * among users whose touched-channel set ⊆ S (coalition S fully
+    * explains those journeys). Everything is EXACT: users collapse to
+    * 2^k touched-set signatures (one aggregate), v over the 2^k
+    * coalitions is a bounded containment join, and φ·k! is an integer
+    * sum of factorial-weighted marginals — the only double is the
+    * final /k! render. k ≤ 6 enforced (64 coalitions; the channel→bit
+    * map and the |S|-weight table are driver-built bounded constants,
+    * the critical-value-table class).
+    *
+    * Plan: one (user, channel) distinct + one mask aggregate + one
+    * 2^k-row signature rollup; coalition algebra runs on broadcast
+    * constant tables. Scale lives entirely in the first aggregate. */
+  def shapleyAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val k = touchTypes.size
+    require(k >= 1 && k <= 6,
+      s"shapley needs 1..6 channels (2^k coalitions): $touchTypes")
+    require(!touchTypes.contains(convType),
+      s"conversion must not be a touch channel: $convType")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val chBit = touchTypes.sorted.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }
+    val bits = broadcast(chBit.toDF(typeCol, "__bit"))
+    // distinct (user, channel) first, so the bit sum IS the OR-mask;
+    // converting users with NO touches are deliberately absent — their
+    // empty signature is contained in EVERY coalition, adding the same
+    // constant to every v(S), so phi is unchanged (route them to
+    // attributeLastTouch's "(none)" bucket when the count matters)
+    val userMask = events
+      .filter(col(typeCol).isin(touchTypes.map(x => x: Any): _*))
+      .select(col(keyCol), col(typeCol)).distinct()
+      .join(bits, Seq(typeCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__bit")).cast("long").as("mask"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(keyCol)).distinct().withColumn("__c", lit(1L))
+    val sig = userMask.join(conv, Seq(keyCol), "left")
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(coalesce(col("__c"), lit(0L))).cast("long").as("n_conv"))
+      .materialize
+    val nCoal = 1 << k
+    def pop(s: Int): Int = Integer.bitCount(s)
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val coalitions = broadcast(
+      (0 until nCoal).map(s => (s.toLong, pop(s))).toDF("s", "ps"))
+    val vS = coalitions.join(sig,
+        (col("mask").bitwiseAND(col("s"))) === col("mask"), "left")
+      .groupBy(col("s"), col("ps"))
+      .agg(sum(coalesce(col("n_conv"), lit(0L))).cast("long").as("v"))
+      .materialize
+    val kFact = fact(k)
+    val marginals = chBit.map { case (ch, bit) =>
+      val wS = vS.filter((col("s").bitwiseAND(lit(bit))) === 0L)
+        .select(col("s"), col("ps"), col("v").as("v_s"))
+      val wSi = vS.filter(col("s").bitwiseAND(lit(bit)) === lit(bit))
+        .select(col("s").bitwiseAND(lit(~bit)).as("s"),
+          col("v").as("v_si"))
+      val weights = broadcast((0 until k)
+        .map(p => (p, fact(p) * fact(k - 1 - p))).toDF("ps", "w"))
+      wS.join(wSi, "s").join(weights, "ps")
+        .agg(sum(col("w") * (col("v_si") - col("v_s")))
+          .cast("long").as("phi_num"))
+        .withColumn("channel", lit(ch))
+    }
+    marginals.reduce(_ unionByName _)
+      .withColumn("k_fact", lit(kFact))
+      .withColumn("phi", expr(
+        "round(CAST(phi_num AS DOUBLE) / k_fact, 6)"))
+      .select(col("channel"), col("phi_num"), col("phi"))
+  }
+
   /** Ordered funnel, first-touch semantics: per key, `t1` is the earliest
     * step-1 event, and each later `tK` is the earliest step-K event
     * AT-OR-AFTER `t(K-1)` — so a user counts for step K only if the steps

@@ -28,6 +28,30 @@ class Round11fOpsSpec extends SparkFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("shapleyAttribution: asymmetric credit, efficiency, null player") {
+    // u1 touched {A} and converted; u2 touched {B}, no conversion;
+    // u3 touched {A,B} and converted. v: v({A})=1, v({B})=0, v(AB)=2.
+    // phi_A = (1 + 2)/2 = 1.5, phi_B = (0 + 1)/2 = 0.5 — credits sum
+    // to the 2 explained conversions (efficiency).
+    val ev = Seq(
+      (1L, "A"), (1L, "conv"),
+      (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "conv"))
+      .toDF("user_id", "event_type")
+    val out = graft.operators.Sessionize.shapleyAttribution(
+      ev, touchTypes = Seq("A", "B"), convType = "conv")
+      .orderBy("channel").collect()
+    assert(out.map(r => (r.getAs[String]("channel"),
+      r.getAs[Double]("phi"))).toSeq == Seq(("A", 1.5), ("B", 0.5)))
+    // a channel nobody touches is a null player: phi = 0
+    val out3 = graft.operators.Sessionize.shapleyAttribution(
+      ev, touchTypes = Seq("A", "B", "C"), convType = "conv")
+      .orderBy("channel").collect()
+    assert(out3.find(_.getAs[String]("channel") == "C").get
+      .getAs[Double]("phi") == 0.0)
+    assert(out3.map(_.getAs[Double]("phi")).sum == 2.0) // efficiency
+  }
+
   test("chi2FeatureScores: pinned 2x2 and the zero-margin NULL guard") {
     // universe = 8 docs (all carry dim 9); dim 7 sits in docs 1-4:
     // a=3, b=1, c=1, d=3 -> chi2 = 8*(9-1)^2/256 = 2.0;
