@@ -5500,6 +5500,23 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_qini" -> ((s, dir) => {
+      // Qini uplift deciles: users ranked by total spend, synthetic
+      // treatment = even user_id, conversion = 12+ purchases (the
+      // interior predicate — any-purchase saturates to 100% at every
+      // SF, the q_power_proportion lesson); q per decile + the Qini
+      // coefficient vs the random diagonal.
+      val u = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .select(col("user_id"), col("spend"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("treated"),
+          (col("np") >= 12L).as("converted"))
+      Eval.qiniDeciles(u, "spend", "treated", "converted", "user_id")
+    }),
     "q_shapley" -> ((s, dir) => {
       // Exact Shapley multi-touch attribution over the four non-
       // purchase channels: presence-based coalitions, 16 exact v(S)
@@ -12930,6 +12947,47 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_qini" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+         |      AS spend,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS cv
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT user_id, spend, user_id % 2 = 0 AS treated,
+         |    cv >= 12 AS converted,
+         |    CAST(row_number() OVER (ORDER BY spend DESC, user_id)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM u),
+         |c AS (SELECT (rk * 10 + n - 1) // n AS decile, rk,
+         |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END)
+         |      OVER pw AS BIGINT) AS c_t,
+         |    CAST(SUM(CASE WHEN treated AND converted THEN 1 ELSE 0 END)
+         |      OVER pw AS BIGINT) AS c_ct,
+         |    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+         |      OVER pw AS BIGINT) AS c_c,
+         |    CAST(SUM(CASE WHEN NOT treated AND converted THEN 1
+         |      ELSE 0 END) OVER pw AS BIGINT) AS c_cc
+         |  FROM r WINDOW pw AS (ORDER BY rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT decile, CAST(MAX(rk) AS BIGINT) AS depth,
+         |    CAST(MAX(c_t) AS BIGINT) AS n_t,
+         |    CAST(MAX(c_ct) AS BIGINT) AS conv_t,
+         |    CAST(MAX(c_c) AS BIGINT) AS n_c,
+         |    CAST(MAX(c_cc) AS BIGINT) AS conv_c
+         |  FROM c GROUP BY 1),
+         |qd AS (SELECT *, ${graft.operators.Eval.qiniQMicroSql}
+         |    AS q_micro FROM d),
+         |tr AS (SELECT *, CAST(q_micro +
+         |      lag(q_micro, 1, 0) OVER (ORDER BY decile)
+         |    AS BIGINT) AS __trap
+         |  FROM qd)
+         |SELECT decile, depth, n_t, conv_t, n_c, conv_c,
+         |  CASE WHEN q_micro IS NOT NULL THEN
+         |    round(q_micro / 1e6, 6) END AS q,
+         |  ${graft.operators.Eval.qiniCoefSql(10)} AS qini_coef
+         |FROM tr""".stripMargin,
     "q_shapley" ->
       s"""WITH um AS (SELECT user_id, CAST(SUM(b) AS BIGINT) AS mask
          |  FROM (SELECT DISTINCT user_id,

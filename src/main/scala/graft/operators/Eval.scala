@@ -1807,6 +1807,75 @@ object Eval {
     "CASE WHEN x > 0 AND x < n THEN " +
       s"round(2.801585 * sqrt(2 * $powerPropPqSql / n), 6) END"
 
+  /** Qini uplift curve at decile granularity + the Qini coefficient —
+    * the standard uplift-model evaluation: rank units by score
+    * descending, and at each depth compare cumulative treated
+    * conversions against the control conversions scaled to the treated
+    * exposure, q(t) = convT(t) − convC(t)·nT(t)/nC(t). The coefficient
+    * is the area between the decile-interpolated curve and the random
+    * diagonal to q(1). Cumulative counts ride the ranged prefix-sum
+    * kernel over the (score desc, id) total order; each decile
+    * boundary's q micro-quantizes through one IEEE chain, and the
+    * trapezoid/coefficient algebra runs over the TEN boundary rows
+    * (driver-scale — the one unpartitioned window is 10 rows by
+    * construction). Deciles with no control units yield NULL q by
+    * contract. */
+  def qiniDeciles(
+      units: DataFrame, scoreCol: String, treatedCol: String,
+      convCol: String, idCol: String): DataFrame = {
+    val per = units.select(col(idCol).cast("long").as("uid"),
+        (-col(scoreCol).cast("long")).as("__neg"),
+        when(col(treatedCol), 1L).otherwise(0L).as("__t"),
+        when(col(treatedCol) && col(convCol), 1L).otherwise(0L).as("__ct"),
+        when(!col(treatedCol), 1L).otherwise(0L).as("__c"),
+        when(!col(treatedCol) && col(convCol), 1L).otherwise(0L)
+          .as("__cc"))
+      .withColumn("__one", lit(1L))
+    val c = graft.Materialize(rangedCumsumOrdered(per, Nil, Seq("__neg", "uid"),
+      Seq("__one", "__t", "__ct", "__c", "__cc")))
+    val tot = broadcast(c.agg(max(col("cum___one")).cast("long").as("n")))
+    val dec = c.crossJoin(tot)
+      .withColumn("decile",
+        expr("(cum___one * 10 + n - 1) div n").cast("long"))
+      .groupBy(col("decile"))
+      .agg(max(col("cum___one")).cast("long").as("depth"),
+        max(col("cum___t")).cast("long").as("n_t"),
+        max(col("cum___ct")).cast("long").as("conv_t"),
+        max(col("cum___c")).cast("long").as("n_c"),
+        max(col("cum___cc")).cast("long").as("conv_c"))
+      .withColumn("q_micro", expr(qiniQMicroSql))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("decile")) // 10 rows by construction
+    dec
+      .withColumn("q", expr(
+        "CASE WHEN q_micro IS NOT NULL THEN " +
+          "round(q_micro / 1e6, 6) END"))
+      .withColumn("__prev", lag(col("q_micro"), 1, 0L).over(w))
+      // exact long pair-sums; the single /2 happens in the final IEEE
+      // chain. A NULL q (no controls yet) nulls its trapezoid and SQL
+      // SUM skips it in both engines — the documented contract.
+      .withColumn("__trap", (col("q_micro") + col("__prev")).cast("long"))
+      .withColumn("qini_coef", expr(qiniCoefSql(10)))
+      .drop("__prev", "__trap", "q_micro")
+  }
+
+  /** Micro-quantized q at a depth over cumulative (conv_t, conv_c,
+    * n_t, n_c); NULL when no control units are in frame yet. Shared
+    * with the oracle. */
+  val qiniQMicroSql: String =
+    "CASE WHEN n_c > 0 THEN CAST(round(1000000 * " +
+      "(CAST(conv_t AS DOUBLE) - CAST(conv_c AS DOUBLE) * n_t / n_c)" +
+      ", 0) AS BIGINT) END"
+
+  /** Qini coefficient over the decile frame: mean trapezoid minus the
+    * random-line area q_final/2, in q units. The windows span the ten
+    * decile rows only. Shared with the oracle. */
+  def qiniCoefSql(nBuckets: Int): String =
+    s"round((CAST(SUM(__trap) OVER () AS DOUBLE) / 2 / $nBuckets - " +
+      "CAST(LAST_VALUE(q_micro) OVER (ORDER BY decile ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) / 2) " +
+      "/ 1e6, 6)"
+
   /** χ² feature scoring — the classical filter-method feature selector
     * over a presence table (e.g. [[TextAnalysis.featureHash]] output
     * joined to labels): per feature, the 2×2 independence χ² of

@@ -28,6 +28,24 @@ class Round11fOpsSpec extends SparkFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("qiniDeciles: pinned uplift curve, NULL-control decile, coefficient") {
+    // ranked desc: (T,conv), (C,not), (T,not), (C,conv) — the first
+    // decile has no controls yet (q NULL by contract); q then walks
+    // 1.0, 1.0, 0.0 and the trapezoid coefficient is 0.15
+    val u = Seq(
+      (1L, 40L, true, true), (2L, 30L, false, false),
+      (3L, 20L, true, false), (4L, 10L, false, true))
+      .toDF("uid", "score", "treated", "converted")
+    val out = Eval.qiniDeciles(u, "score", "treated", "converted", "uid")
+      .orderBy("decile").collect()
+    assert(out.map(_.getAs[Long]("decile")).toSeq == Seq(3L, 5L, 8L, 10L))
+    assert(out(0).isNullAt(out(0).fieldIndex("q")))
+    assert(out(1).getAs[Double]("q") == 1.0)
+    assert(out(2).getAs[Double]("q") == 1.0)
+    assert(out(3).getAs[Double]("q") == 0.0)
+    assert(out.forall(_.getAs[Double]("qini_coef") == 0.15))
+  }
+
   test("shapleyAttribution: asymmetric credit, efficiency, null player") {
     // u1 touched {A} and converted; u2 touched {B}, no conversion;
     // u3 touched {A,B} and converted. v: v({A})=1, v({B})=0, v(AB)=2.
