@@ -3578,6 +3578,29 @@ object SparkEntry {
       // correction, df-indexed chi-square critical value.
       Profiling.kruskalWallis(
         table(s, dir, "documents"), "source", "n_chars")),
+    "q_cum_incidence" -> ((s, dir) => {
+      // Aalen-Johansen competing-risks cumulative incidence: per user
+      // the FIRST of error (cause 1) vs signup (cause 2) from first
+      // activity, censored (0) at the last event when neither occurs;
+      // CIFs per parity cohort — what 1-KM would overstate.
+      val agg = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("event_type") === "error", col("ms"))).as("e_ms"),
+          min(when(col("event_type") === "signup", col("ms"))).as("s_ms"))
+      val subj = agg.select(
+        concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+        expr("(coalesce(least(coalesce(e_ms, s_ms), " +
+          "coalesce(s_ms, e_ms)), last_ms) - first_ms) div 3600000")
+          .as("t_hours"),
+        expr("CASE WHEN e_ms IS NULL AND s_ms IS NULL THEN 0 " +
+          "WHEN s_ms IS NULL OR (e_ms IS NOT NULL AND e_ms <= s_ms) " +
+          "THEN 1 ELSE 2 END").as("cause"))
+      graft.operators.Survival.cumulativeIncidence(
+        subj, "cohort", "t_hours", "cause")
+    }),
     "q_kaplan_meier" -> ((s, dir) => {
       // Time-to-first-error per user (hours from first activity),
       // right-censored at the last observed event for error-free users;
@@ -10966,6 +10989,54 @@ object SparkEntry {
          |  ${graft.operators.Profiling.kwHSql} >
          |    ${graft.operators.Profiling.chi2Crit95Sql("g - 1")} AS significant
          |FROM t""".stripMargin,
+    "q_cum_incidence" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms, event_type
+         |  FROM events),
+         |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+         |    MIN(CASE WHEN event_type = 'error' THEN ms END) AS e_ms,
+         |    MIN(CASE WHEN event_type = 'signup' THEN ms END) AS s_ms
+         |  FROM u GROUP BY 1),
+         |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+         |    (COALESCE(LEAST(COALESCE(e_ms, s_ms), COALESCE(s_ms, e_ms)),
+         |      last_ms) - first_ms) // 3600000 AS t,
+         |    CASE WHEN e_ms IS NULL AND s_ms IS NULL THEN 0
+         |      WHEN s_ms IS NULL OR (e_ms IS NOT NULL AND e_ms <= s_ms)
+         |      THEN 1 ELSE 2 END AS cause
+         |  FROM agg),
+         |per AS (SELECT grp, t,
+         |    CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d1,
+         |    CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d2,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+         |r AS (SELECT grp, t, d1, d2, m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_m,
+         |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+         |  FROM per),
+         |sx AS (SELECT grp, t, d1, d2, d1 + d2 AS d,
+         |    n_grp - cum_m + m AS n_at_risk FROM r),
+         |f AS (SELECT grp, t, d1, d2, n_at_risk,
+         |    ${graft.operators.Survival.kmLnNanoSql} AS ln_nano,
+         |    ${graft.operators.Survival.kmZeroFlagSql} AS zf FROM sx),
+         |c AS (SELECT grp, t, d1, d2, n_at_risk, ln_nano, zf,
+         |    CAST(SUM(ln_nano) OVER (PARTITION BY grp ORDER BY t)
+         |      AS BIGINT) AS cum_ln_nano,
+         |    CAST(SUM(zf) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+         |      AS cum_zf
+         |  FROM f),
+         |i AS (SELECT grp, t, d1, d2, n_at_risk,
+         |    ${graft.operators.Survival.ajIncMicroSql("d1")}
+         |      AS inc1_micro,
+         |    ${graft.operators.Survival.ajIncMicroSql("d2")}
+         |      AS inc2_micro
+         |  FROM c)
+         |SELECT grp, t, n_at_risk, d1, d2,
+         |  round(CAST(SUM(inc1_micro) OVER (PARTITION BY grp ORDER BY t)
+         |    AS DOUBLE) / 1e6, 6) AS cif1,
+         |  round(CAST(SUM(inc2_micro) OVER (PARTITION BY grp ORDER BY t)
+         |    AS DOUBLE) / 1e6, 6) AS cif2
+         |FROM i QUALIFY d1 + d2 > 0""".stripMargin,
     "q_kaplan_meier" ->
       s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
          |    event_type = 'error' AS is_err FROM events),

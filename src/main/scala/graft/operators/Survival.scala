@@ -126,6 +126,67 @@ object Survival {
     "CASE WHEN cum_zf > 0 THEN CAST(0 AS DOUBLE) ELSE " +
       "ROUND(EXP(CAST(cum_ln_nano AS DOUBLE) / 1000000000), 6) END"
 
+  /** Aalen–Johansen cumulative incidence for two COMPETING causes —
+    * what 1−KM gets wrong when another event can preempt yours: the
+    * probability of failing from cause j by time t is
+    * CIF_j(t) = Σ_{s≤t} S(s⁻)·d_j(s)/n(s), with S the ALL-CAUSE KM.
+    * Exactness follows the KM discipline end to end: S(s⁻) is the exp
+    * of the EXCLUSIVE prefix of nano-quantized log factors (the
+    * inclusive cum minus the row's own term — no second prefix pass),
+    * each increment micro-quantizes through one IEEE chain, and the
+    * CIFs are exact running long sums. `causeCol`: 0 = censored,
+    * 1 and 2 the competing causes.
+    *
+    * Plan: one per-(grp, t) aggregate + two ranged prefix sums over
+    * the step table (∝ distinct event times, not subjects). */
+  def cumulativeIncidence(
+      df: DataFrame, groupCol: String, timeCol: String,
+      causeCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("string").as("grp"),
+      col(timeCol).cast("long").as("t"),
+      col(causeCol).cast("long").as("cause"))
+    val per = u.groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("cause") === 1L, 1L).otherwise(0L))
+        .cast("long").as("d1"),
+        sum(when(col("cause") === 2L, 1L).otherwise(0L))
+          .cast("long").as("d2"),
+        count(lit(1)).cast("long").as("m"))
+    val tot = broadcast(
+      per.groupBy(col("grp")).agg(sum(col("m")).cast("long").as("n_grp")))
+    val risk = Eval.rangedCumsum(per, Seq("grp"), "t", Seq("m"))
+      .join(tot, Seq("grp"))
+      .withColumn("n_at_risk",
+        (col("n_grp") - col("cum_m") + col("m")).cast("long"))
+      .withColumn("d", (col("d1") + col("d2")).cast("long"))
+      .withColumn("ln_nano", expr(kmLnNanoSql))
+      .withColumn("zf", expr(kmZeroFlagSql))
+    val s = Eval.rangedCumsum(
+      risk.select(col("grp"), col("t"), col("d1"), col("d2"),
+        col("n_at_risk"), col("ln_nano"), col("zf")),
+      Seq("grp"), "t", Seq("ln_nano", "zf"))
+      .withColumn("inc1_micro", expr(ajIncMicroSql("d1")))
+      .withColumn("inc2_micro", expr(ajIncMicroSql("d2")))
+    Eval.rangedCumsum(
+      s.select(col("grp"), col("t"), col("d1"), col("d2"),
+        col("n_at_risk"), col("inc1_micro"), col("inc2_micro")),
+      Seq("grp"), "t", Seq("inc1_micro", "inc2_micro"))
+      .filter(col("d1") + col("d2") > 0L)
+      .select(col("grp"), col("t"), col("n_at_risk"), col("d1"),
+        col("d2"),
+        expr("round(CAST(cum_inc1_micro AS DOUBLE) / 1e6, 6)")
+          .as("cif1"),
+        expr("round(CAST(cum_inc2_micro AS DOUBLE) / 1e6, 6)")
+          .as("cif2"))
+  }
+
+  /** Micro-quantized AJ increment S(t⁻)·d_j/n over the inclusive
+    * cum columns (exclusive prefix = cum minus the row's own term).
+    * Shared with the oracle. */
+  def ajIncMicroSql(dCol: String): String =
+    "CAST(ROUND(1000000 * (CASE WHEN cum_zf - zf > 0 THEN 0.0 ELSE " +
+      "EXP(CAST(cum_ln_nano - ln_nano AS DOUBLE) / 1000000000) END) * " +
+      s"$dCol / n_at_risk, 0) AS BIGINT)"
+
   /** Two-group log-rank test — "do the two survival curves differ?"
     * without any distributional assumption: at each event time the
     * hypergeometric expectation E₁ = d·n₁/n and variance are computed

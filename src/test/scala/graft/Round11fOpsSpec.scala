@@ -28,6 +28,22 @@ class Round11fOpsSpec extends SparkFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("cumulativeIncidence: hand-computed Aalen-Johansen, CIFs sum sanely") {
+    // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1:
+    // inc1(1) = 1/4 = .25; inc2(2) = .75/3 = .25; inc1(4) = .5*1 = .5
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 0L),
+      ("g", 4L, 1L)).toDF("grp", "t", "cause")
+    val out = graft.operators.Survival.cumulativeIncidence(
+      df, "grp", "t", "cause").orderBy("t").collect()
+    assert(out.map(r => (r.getAs[Long]("t"), r.getAs[Double]("cif1"),
+      r.getAs[Double]("cif2"))).toSeq ==
+      Seq((1L, 0.25, 0.0), (2L, 0.25, 0.25), (4L, 0.75, 0.25)))
+    assert(out.map(_.getAs[Long]("n_at_risk")).toSeq == Seq(4L, 3L, 1L))
+    // competing risks partition the failures: cif1 + cif2 <= 1 always
+    assert(out.forall(r =>
+      r.getAs[Double]("cif1") + r.getAs[Double]("cif2") <= 1.0))
+  }
+
   test("qiniDeciles: pinned uplift curve, NULL-control decile, coefficient") {
     // ranked desc: (T,conv), (C,not), (T,not), (C,conv) — the first
     // decile has no controls yet (q NULL by contract); q then walks
