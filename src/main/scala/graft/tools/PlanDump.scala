@@ -89,7 +89,13 @@ object PlanDump {
     "q_pq_adc",              // codes scan + broadcast ADC table join + per-query TakeOrdered
     "q_dsir_weights",        // token window exchange + 3-scalar totals broadcast, no vocab broadcast
     "q_seasonal_decompose",  // two rolling sums on one sort + (key,phase) agg/join-back
-    "q_local_clustering")    // one checkpointed canonical edge frame feeds degrees + triangles
+    "q_local_clustering",    // one checkpointed canonical edge frame feeds degrees + triangles
+    "q_betweenness",         // 3 fwd + 3 bwd materialized Brandes rounds, (lm,v)-keyed joins
+    "q_conover",             // value-domain frame + global distinct-deviation ranged rank
+    "q_pq_rerank",           // trained codes shortlist 400 -> exact rerank on candidates only
+    "q_cum_incidence",       // KM nano-log prefix reused exclusively; two ranged passes
+    "q_max_cover",           // 5 anti-join argmax rounds over one materialized gram table
+    "q_shapley")             // one signature agg; coalition algebra on broadcast constants
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
