@@ -5523,6 +5523,14 @@ object SparkEntry {
           q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
           trainIters = 1))
     }),
+    "q_containment" -> ((s, dir) => {
+      // Exact containment join (|A inter B| / |A| >= 0.8): documents
+      // near-contained in a longer one — quotes/snippets/partial
+      // copies that Jaccard misses; one-sided rare-first prefix
+      // against the full inverted index.
+      graft.operators.Dedup.exactContainmentJoin(
+        table(s, dir, "documents"), thresholdPpm = 800000L)
+    }),
     "q_qini" -> ((s, dir) => {
       // Qini uplift deciles: users ranked by total spend, synthetic
       // treatment = even user_id, conversion = 12+ purchases (the
@@ -13018,6 +13026,33 @@ object SparkEntry {
          |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
          |  AND rrt.vec_id = bft.vec_id
          |GROUP BY 1""".stripMargin,
+    "q_containment" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((800000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN ex b ON a.s = b.s AND a.id <> b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2)
+         |SELECT cm.doc_a, cm.doc_b, common,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(CAST(common AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |  JOIN szs sb ON sb.id = cm.doc_b
+         |WHERE common * 1000000 >= 800000 * sa.sz""".stripMargin,
     "q_qini" ->
       s"""WITH u AS (SELECT user_id,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)

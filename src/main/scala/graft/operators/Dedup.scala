@@ -981,4 +981,62 @@ object Dedup {
         round(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 6).as("jaccard"))
   }
+
+  /** EXACT containment join — the ASYMMETRIC sibling of
+    * [[exactJaccardJoin]]: pairs where |A∩B|/|A| ≥ τ, i.e. document A
+    * is (near-)CONTAINED in B — quotes, snippets, partial copies, the
+    * duplication Jaccard misses when B is much longer than A. Prefix
+    * filtering still applies, but one-sided: the required overlap
+    * t = ceil(τ·|A|) depends only on the PROBE side, so A contributes
+    * its |A| − t + 1 globally-rarest shingles and B indexes ALL of its
+    * shingles (a contained A can sit anywhere inside B). Candidates =
+    * prefix(A) ⋈ index(B), a ≠ b both directions; verification counts
+    * the exact intersection; the decision is the integer compare
+    * common·10⁶ ≥ τppm·|A|.
+    *
+    * Scale: candidate volume is Σ_A prefix(A)·df — the same rare-first
+    * bound as the Jaccard join, minus the symmetric pruning (the
+    * honest price of asymmetry). */
+  def exactContainmentJoin(
+      docs: DataFrame, thresholdPpm: Long = 800000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6]: $thresholdPpm")
+    val ex = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(tokens(col(textCol)), shingleN)).as("s"))
+      .materialize // feeds df, ranks, index, and both verify joins
+    val dfTab = ex.groupBy(col("s")).agg(count(lit(1)).cast("long").as("df"))
+    val ranked = ex.join(dfTab, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s")))
+        .cast("long"))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("id"))).cast("long"))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") -
+        expr(s"(($thresholdPpm * sz) + 999999) div 1000000") + 1)
+      .select(col("id"), col("s"))
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).cast("long").as("sz"))
+    cand
+      .join(ex.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(ex.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(col("common") * lit(1000000L) >=
+        lit(thresholdPpm) * col("sz_a"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sz_a"), col("sz_b"),
+        round(col("common").cast("double") / col("sz_a"), 6)
+          .as("containment"))
+  }
 }

@@ -28,6 +28,30 @@ class Round11fOpsSpec extends SparkFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("exactContainmentJoin: asymmetric — the snippet is found, not its host") {
+    // doc 1's 3 grams all sit inside doc 2's 8 (containment 1.0, but
+    // Jaccard only 3/8 — the pair exactJaccardJoin misses at 0.5);
+    // the reverse direction (8 grams vs host of 3) stays below 0.8
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactContainmentJoin(
+      docs, thresholdPpm = 800000L).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Double]("containment"))).toSeq == Seq((1L, 2L, 1.0)))
+    assert(out.head.getAs[Long]("common") == 3L)
+    // identical twins contain each other: BOTH directions emitted
+    val twins = Seq((1L, "p q r s"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val t = graft.operators.Dedup.exactContainmentJoin(
+      twins, thresholdPpm = 800000L)
+      .orderBy("doc_a").collect()
+    assert(t.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("cumulativeIncidence: hand-computed Aalen-Johansen, CIFs sum sanely") {
     // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1:
     // inc1(1) = 1/4 = .25; inc2(2) = .75/3 = .25; inc1(4) = .5*1 = .5
