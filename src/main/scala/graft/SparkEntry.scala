@@ -913,6 +913,23 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
         .join(frames, "doc_id")
     }),
+    "q_wav_spectrum" -> ((s, dir) => {
+      // Dominant frequency via direct DFT sweep over the DECODED
+      // sawtooth payloads (8 docs, bins 1..64): per-sample trig terms
+      // micro-quantized so re/im are exact longs; the peak bin should
+      // track each doc's synth tone (pinned in the spec).
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(col("doc_id") < 8L)
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthesizeWavSaw(
+            (100 + id % 400).toInt, (500 + nc % 500).toInt))
+        }).toDF("doc_id", "content")
+      Multimodal.wavDominantFreq(media)
+    }),
     "q_multimodal_wav" -> ((s, dir) => {
       // REAL binary decode, no codec library: synthesize deterministic PCM
       // WAV payloads (integer sawtooth tones parameterized per doc), then
@@ -8126,6 +8143,37 @@ object SparkEntry {
         |  CAST(list_max(px) AS BIGINT) AS peak_px,
         |  round(CAST(list_sum(px) AS DOUBLE)/(w*h), 6) AS mean_px
         |FROM v""".stripMargin,
+    "q_wav_spectrum" ->
+      s"""WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS freq,
+         |    LEAST(500 + n_chars % 500, 2048) AS n
+         |  FROM documents WHERE doc_id < 8),
+         |samp AS (SELECT doc_id, n, unnest(range(0, n)) AS i, freq
+         |  FROM p),
+         |sv AS (SELECT doc_id, n, i,
+         |    ((i * freq) % 8000) * 65536 // 8000 - 32768 AS amp
+         |  FROM samp),
+         |sk AS (SELECT sv.*, k FROM sv,
+         |  (SELECT unnest(range(1, 65)) AS k)),
+         |t AS (SELECT doc_id, n, k,
+         |    ${graft.operators.Multimodal.dftTermMicroSql("cos")} AS re_t,
+         |    ${graft.operators.Multimodal.dftTermMicroSql("sin")} AS im_t
+         |  FROM sk),
+         |g AS (SELECT doc_id, n, k,
+         |    CAST(SUM(re_t) AS BIGINT) AS re_micro,
+         |    CAST(SUM(im_t) AS BIGINT) AS im_micro
+         |  FROM t GROUP BY 1, 2, 3),
+         |e AS (SELECT doc_id, n, k,
+         |    CAST(CAST(re_micro AS DECIMAL(38,0)) * re_micro +
+         |      CAST(im_micro AS DECIMAL(38,0)) * im_micro
+         |      AS DECIMAL(38,0)) AS e2
+         |  FROM g)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |  CAST(k AS BIGINT) AS k_peak,
+         |  CAST(e2 AS VARCHAR) AS peak_energy_sq,
+         |  round(CAST(k AS DOUBLE) * 8000 / n, 6) AS freq_hz
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY e2 DESC, k) AS r FROM e)
+         |WHERE r = 1""".stripMargin,
     "q_multimodal_wav" ->
       // replays the SAWTOOTH SYNTHESIS formulas per sample (not the bytes):
       // freq/n from doc_id/n_chars, sample(i) = ((i·freq) mod 8000)·65536

@@ -282,6 +282,92 @@ object Multimodal {
         }
     }
 
+  final case class WavSample(doc_id: Long, n: Long, i: Long, amp: Long)
+
+  /** Per-SAMPLE decode (capped at `maxSamples` per payload) — the raw
+    * stream the spectral operators consume; same batched mapPartitions
+    * shape as the other decoders. Emits (doc, capped n, index,
+    * amplitude); unparseable payloads drop by the tolerant-parse
+    * contract. */
+  def wavSamples(media: DataFrame, maxSamples: Int = 2048): Dataset[WavSample] = {
+    require(maxSamples > 0, s"maxSamples must be positive: $maxSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavPcmData(bytes) match {
+          case None => Iterator.empty
+          case Some((dataOff, n0, _, _, _)) =>
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = math.min(n0, maxSamples)
+            (0 until n).iterator.map(i =>
+              WavSample(id, n.toLong, i.toLong,
+                bb.getShort(dataOff + 2 * i).toLong))
+        }
+      })
+  }
+
+  /** Dominant-frequency estimate via a direct DFT sweep over the
+    * decoded samples — the real audio feature a curation pipeline
+    * wants ("is this payload tonal, and at what pitch?"): for each
+    * bin k in 1..maxBins, energy_k = re² + im² with
+    * re = Σᵢ amp·cos(2πki/n), im = Σᵢ amp·sin(2πki/n); the peak bin
+    * wins (energy desc, k tie-break). Per-sample trig terms are
+    * micro-quantized (cos/sin match engines libm-for-libm; a raw
+    * double Σ would be order-dependent), so re/im are exact longs and
+    * the energy compare is deterministic. Output: peak bin, its energy
+    * in amplitude² units, and the bin's frequency in Hz.
+    *
+    * Plan: samples × broadcast bin list → one (doc, k) hash aggregate
+    * → per-doc TakeOrdered-style pick. Work is n·maxBins narrow rows
+    * per payload. */
+  def wavDominantFreq(
+      media: DataFrame, maxBins: Int = 64, maxSamples: Int = 2048,
+      sampleRate: Int = 8000): DataFrame = {
+    require(maxBins >= 1, s"maxBins must be >= 1: $maxBins")
+    val spark = media.sparkSession
+    val bins = broadcast(spark.range(1, maxBins + 1)
+      .select(col("id").cast("long").as("k")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__e2").desc, col("k"))
+    wavSamples(media, maxSamples).toDF()
+      .crossJoin(bins)
+      .withColumn("re_t", expr(dftTermMicroSql("cos")))
+      .withColumn("im_t", expr(dftTermMicroSql("sin")))
+      .groupBy(col("doc_id"), col("n"), col("k"))
+      .agg(sum(col("re_t")).cast("long").as("re_micro"),
+        sum(col("im_t")).cast("long").as("im_micro"))
+      // energy stays an EXACT decimal: the double form re²+im² differed
+      // by 1 ulp across engines (FMA contraction on one side), and a
+      // decimal→double cast past 2^53 has the r10 1-ulp cast hazard —
+      // so the argmax compares exact integers and the exposed copy is
+      // STRING-rendered per the decimal contract
+      .withColumn("__e2",
+        (col("re_micro").cast("decimal(38,0)") * col("re_micro") +
+          col("im_micro").cast("decimal(38,0)") * col("im_micro"))
+          .cast("decimal(38,0)"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("doc_id"), col("n").as("n_samples"),
+        col("k").as("k_peak"),
+        col("__e2").cast("string").as("peak_energy_sq"),
+        expr(s"round(CAST(k AS DOUBLE) * $sampleRate / n, 6)")
+          .as("freq_hz"))
+  }
+
+  /** Micro-quantized per-sample DFT term amp·fn(2πki/n). The phase
+    * k·i reduces mod n in EXACT integer arithmetic before the trig
+    * call — cos/sin of large arguments hit libm argument-reduction
+    * differences across engines (measured: the unreduced form
+    * hash-mismatched), while [0, 2π) is the well-conditioned core
+    * range both agree on. Shared with the oracle. */
+  def dftTermMicroSql(fn: String): String =
+    s"CAST(ROUND(1000000 * amp * $fn(2 * PI() * ((k * i) % n) / n), 0)" +
+      " AS BIGINT)"
+
   /** Distributed frame-energy decode: same batched mapPartitions shape as
     * [[decodeWavPcm]], fanning each payload out to its frame rows —
     * per-row work is bounded by frameLen, per-doc output by its duration. */

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 7: per-sample WAV decode + DFT dominant-frequency
+  * sweep — the spectral feature finds the synthesized tone. */
+class Round11gOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def media(specs: (Long, Int, Int)*) =
+    specs.map { case (id, f, n) =>
+      (id, Multimodal.synthesizeWavSaw(f, n))
+    }.toDF("doc_id", "content")
+
+  test("wavSamples: capped per-sample decode matches the synth formula") {
+    val m = media((1L, 400, 300))
+    val s = Multimodal.wavSamples(m, maxSamples = 100)
+      .orderBy("i").collect()
+    assert(s.length == 100 && s.forall(_.n == 100L))
+    // sample(i) = ((i*400) % 8000) * 65536 / 8000 - 32768
+    assert(s(0).amp == -32768L)
+    assert(s(1).amp == (400L * 65536L / 8000L - 32768L))
+  }
+
+  test("wavDominantFreq: the DFT peak lands on each doc's synth tone") {
+    // k_peak = freq * n / rate exactly when the tone period divides n
+    val m = media((1L, 400, 800), (2L, 100, 800), (3L, 1000, 800))
+    val out = Multimodal.wavDominantFreq(m, maxBins = 110,
+        maxSamples = 2048)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("k_peak"), r.getAs[Double]("freq_hz"))).toSeq ==
+      Seq((1L, 40L, 400.0), (2L, 10L, 100.0), (3L, 100L, 1000.0)))
+    // exact-decimal energy is exposed string-rendered, never NULL
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("peak_energy_sq"))))
+  }
+}
