@@ -1010,6 +1010,12 @@ object SparkEntry {
       Dedup.nearDupHamming(h, groupCol = Some("n_bits"),
         bands = 6, bandBits = 7, maxHamming = 3)
     }),
+    "q_image_otsu" -> ((s, dir) =>
+      // Otsu binarization threshold per decoded BMP: exact-integer
+      // between-class numerator, two-IEEE-op objective, lowest-t
+      // tie-break; emits threshold + foreground fraction.
+      Multimodal.bmpOtsu(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")))),
     "q_image_tiles" -> ((s, dir) =>
       // Block-mean 8×8 tiling over the REAL BMP decode — the resize /
       // patch-extraction step of an image pipeline, as exact integer
@@ -8280,6 +8286,34 @@ object SparkEntry {
         |FROM hh a JOIN hh b
         |  ON a.n_bits = b.n_bits AND b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    "q_image_otsu" ->
+      s"""WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+         |    1 + n_chars % 48 AS h FROM documents),
+         |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+         |v AS (SELECT doc_id,
+         |    (doc_id + (i % w) + 3*(i // w)) % 251 AS px FROM s),
+         |hist AS (SELECT doc_id, px, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |c AS (SELECT doc_id, px, cnt,
+         |    CAST(SUM(cnt) OVER pw AS BIGINT) AS cum_cnt,
+         |    CAST(SUM(px * cnt) OVER pw AS BIGINT) AS cum_pxc,
+         |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS n_px,
+         |    CAST(SUM(px * cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS s_tot
+         |  FROM hist WINDOW pw AS (PARTITION BY doc_id ORDER BY px
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (SELECT doc_id, px, cum_cnt, n_px,
+         |    CAST(cum_pxc * n_px - s_tot * cum_cnt AS BIGINT) AS d
+         |  FROM c WHERE cum_cnt > 0 AND cum_cnt < n_px),
+         |j AS (SELECT *, ${graft.operators.Multimodal.otsuJSql} AS j
+         |  FROM f)
+         |SELECT doc_id, n_px, CAST(px AS BIGINT) AS threshold,
+         |  d AS j_num,
+         |  round(CAST(n_px - cum_cnt AS DOUBLE) / n_px, 6) AS fg_frac
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY j DESC, px) AS r FROM j)
+         |WHERE r = 1""".stripMargin,
     "q_image_tiles" ->
       // replays the gray-ramp pixel formula (same as q_multimodal_image)
       // grouped into 8×8 logical tiles; edge tiles keep their true n_px

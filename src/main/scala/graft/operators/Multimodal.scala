@@ -577,6 +577,55 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => parseBmpTiles(id, bytes, tile) })
   }
 
+  /** Otsu's threshold per image — the classical histogram-based
+    * binarization (foreground/background split maximizing between-class
+    * variance): over the REAL BMP pixel decode (the tile kernel at
+    * tile = 1), build the per-image gray histogram, prefix it, and for
+    * each candidate threshold t (class 0 = px ≤ t) score
+    * J(t) ∝ (s0·N − S·w0)²/(w0·(N − w0)) — the numerator is an EXACT
+    * long from exact prefix sums, squared and divided in two IEEE ops
+    * (no fused multiply-add shape, so no FMA-contraction hazard), and
+    * the argmax breaks ties on the lowest t. Degenerate thresholds
+    * (empty class) drop by contract. Emits the threshold, the
+    * foreground fraction, and the exact numerator for audit.
+    *
+    * Plan: pixel decode → (doc, px) histogram → per-doc ranged prefix
+    * → broadcast per-doc totals → argmax pick. Work ∝ pixels, state ∝
+    * distinct gray levels per image. */
+  def bmpOtsu(media: DataFrame): DataFrame = {
+    val px = bmpTileMeans(media, tile = 1).toDF()
+      .select(col("doc_id"), col("sum_px").as("px"))
+    val hist = px.groupBy(col("doc_id"), col("px"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("pxc", (col("px") * col("cnt")).cast("long"))
+    val c = graft.operators.Eval.rangedCumsum(
+      hist, Seq("doc_id"), "px", Seq("cnt", "pxc"))
+    val tot = broadcast(c.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_px"),
+        sum(col("pxc")).cast("long").as("s_tot")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("j").desc, col("px"))
+    c.join(tot, Seq("doc_id"))
+      .filter(col("cum_cnt") > 0L && col("cum_cnt") < col("n_px"))
+      .withColumn("d",
+        (col("cum_pxc") * col("n_px") - col("s_tot") * col("cum_cnt"))
+          .cast("long"))
+      .withColumn("j", expr(otsuJSql))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("doc_id"), col("n_px"), col("px").as("threshold"),
+        col("d").as("j_num"),
+        expr("round(CAST(n_px - cum_cnt AS DOUBLE) / n_px, 6)")
+          .as("fg_frac"))
+  }
+
+  /** Between-class objective over (d, cum_cnt, n_px): d²/(w0·w1) in
+    * two IEEE ops. Shared with the oracle. */
+  val otsuJSql: String =
+    "(CAST(d AS DOUBLE) * d) / " +
+      "(CAST(cum_cnt AS DOUBLE) * (n_px - cum_cnt))"
+
   /** Perceptual difference-hash (dHash) from the tile-mean grid: one bit
     * per horizontally-adjacent tile pair — set when the left tile is
     * brighter — packed in (tile_y, tile_x) order into a BIGINT. The

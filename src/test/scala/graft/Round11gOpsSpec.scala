@@ -23,6 +23,18 @@ class Round11gOpsSpec extends SparkFunSuite {
     assert(s(1).amp == (400L * 65536L / 8000L - 32768L))
   }
 
+  test("bmpOtsu: hand-computed threshold on a 4-pixel ramp") {
+    // pixels [0,1,2,3]: J(t=0)=12, J(t=1)=16, J(t=2)=12 -> threshold 1,
+    // foreground (px > 1) fraction 0.5
+    val m = Seq((1L, Multimodal.synthesizeBmp24(0L, 4, 1)))
+      .toDF("doc_id", "content")
+    val r = Multimodal.bmpOtsu(m).head()
+    assert(r.getAs[Long]("n_px") == 4L)
+    assert(r.getAs[Long]("threshold") == 1L)
+    assert(r.getAs[Long]("j_num") == -8L)
+    assert(r.getAs[Double]("fg_frac") == 0.5)
+  }
+
   test("wavDominantFreq: the DFT peak lands on each doc's synth tone") {
     // k_peak = freq * n / rate exactly when the tone period divides n
     val m = media((1L, 400, 800), (2L, 100, 800), (3L, 1000, 800))
