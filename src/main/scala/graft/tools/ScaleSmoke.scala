@@ -1497,6 +1497,75 @@ object ScaleSmoke {
       drain(graft.operators.Graph.katzCentrality(big, "src", "dst"))
       drain(graft.operators.Graph.betweennessLandmarks(big, "src", "dst"))
     }
+    time(s"r11b attribution+uplift+survival x$mult (shapley/qini/aj)") {
+      val ev = events.select(col("user_id"), col("event_type"))
+      drain(Sessionize.shapleyAttribution(ev,
+        touchTypes = Seq("click", "error", "signup", "view"),
+        convType = "purchase"))
+      val u = events.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .select(col("user_id"), col("spend"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("treated"),
+          (col("np") >= 12L).as("converted"))
+      drain(Eval.qiniDeciles(u, "spend", "treated", "converted",
+        "user_id"))
+      val agg = events
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("event_type") === "error", col("ms"))).as("e_ms"),
+          min(when(col("event_type") === "signup", col("ms")))
+            .as("s_ms"))
+      val subj = agg.select(
+        concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+        expr("(coalesce(least(coalesce(e_ms, s_ms), " +
+          "coalesce(s_ms, e_ms)), last_ms) - first_ms) div 3600000")
+          .as("t_hours"),
+        expr("CASE WHEN e_ms IS NULL AND s_ms IS NULL THEN 0 " +
+          "WHEN s_ms IS NULL OR (e_ms IS NOT NULL AND e_ms <= s_ms) " +
+          "THEN 1 ELSE 2 END").as("cause"))
+      drain(graft.operators.Survival.cumulativeIncidence(
+        subj, "cohort", "t_hours", "cause"))
+    }
+    time(s"r11b containment join x${math.max(1, mult / 5)} (perturbed copies)") {
+      // the plain multiply() copies are EXACT duplicates, so the TRUE
+      // containment pair set grows quadratically in the copy count —
+      // measured 37.9 s at x4 -> 564.6 s at x20, all of it honest
+      // output (380 directed pairs per source doc at 20 copies). That
+      // measures the dataset, not the operator: a real pipeline runs
+      // exact-dup removal first. Copies perturbed by SUFFIXING every
+      // token with a copy tag keep the shingle-df structure identical
+      // within each copy (same difficulty) while sharing NO shingle
+      // across copies — measuring the operator's own scaling. (A first
+      // attempt INSERTED a tag token between every pair; that created
+      // bigram-df-heavy shingles and inflated the index join 12x —
+      // perturbations must preserve the df profile.)
+      val m = math.max(1, mult / 5)
+      val perturbed = (0 until m).map(k =>
+          graft.SparkEntry.table(spark, dir, "documents")
+            .select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"$$1c$k").as("text")))
+        .reduce(_ unionByName _)
+      drain(Dedup.exactContainmentJoin(perturbed, thresholdPpm = 800000L))
+    }
+    time(s"r11b media features x${math.max(1, mult / 5)} (otsu/spectrum)") {
+      drain(graft.operators.Multimodal.bmpOtsu(
+        graft.operators.Multimodal.synthesizeBmpTable(docs)))
+      import spark.implicits._
+      val media = docs.filter(col("doc_id") % 1000L < 8L)
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, graft.operators.Multimodal.synthesizeWavSaw(
+            (100 + id % 400).toInt, (500 + nc % 500).toInt))
+        }).toDF("doc_id", "content")
+      drain(graft.operators.Multimodal.wavDominantFreq(media))
+    }
     time(s"r11 ivf adversarial cell skew x${math.max(1, mult / 5)}") {
       // The 100-TB IVF risk is a HOT CELL — the exact analogue of the
       // LSH bucket caps: an adversarially clustered cloud (90% of
