@@ -5571,6 +5571,20 @@ object SparkEntry {
           (col("np") >= 12L).as("converted"))
       Eval.qiniDeciles(u, "spend", "treated", "converted", "user_id")
     }),
+    "q_time_to_convert" -> ((s, dir) => {
+      // Touch->conversion latency distribution: per user ms from the
+      // first non-purchase touch to the first purchase at-or-after it,
+      // summarized as EXACT p25/p50/p90 per parity cohort.
+      val ev = table(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val lat = graft.operators.Sessionize.timeToConvert(ev,
+          touchTypes = Seq("click", "error", "signup", "view"),
+          convType = "purchase")
+        .select(concat(lit("c"), pmod(col("user_id"), lit(2L)))
+          .as("cohort"), col("latency_ms"))
+      graft.operators.Profiling.exactQuantiles(lat, "cohort",
+        "latency_ms", Seq(250000L, 500000L, 900000L))
+    }),
     "q_shapley" -> ((s, dir) => {
       // Exact Shapley multi-touch attribution over the four non-
       // purchase channels: presence-based coalitions, 16 exact v(S)
@@ -13176,6 +13190,30 @@ object SparkEntry {
          |    round(q_micro / 1e6, 6) END AS q,
          |  ${graft.operators.Eval.qiniCoefSql(10)} AS qini_coef
          |FROM tr""".stripMargin,
+    "q_time_to_convert" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+         |  FROM events),
+         |ft AS (SELECT user_id, MIN(ts_ms) AS t0 FROM e
+         |  WHERE event_type IN ('click', 'error', 'signup', 'view')
+         |  GROUP BY 1),
+         |lat AS (SELECT 'c' || CAST(e.user_id % 2 AS VARCHAR) AS cohort,
+         |    CAST(MIN(e.ts_ms) - MAX(ft.t0) AS BIGINT) AS v
+         |  FROM e JOIN ft ON ft.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts_ms >= ft.t0
+         |  GROUP BY e.user_id, 1),
+         |per AS (SELECT cohort, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lat GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |    CAST(SUM(cnt) OVER (PARTITION BY cohort ORDER BY v)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY cohort) AS BIGINT) AS n
+         |  FROM per),
+         |q AS (SELECT CAST(q AS BIGINT) AS q_ppm
+         |  FROM (VALUES (250000), (500000), (900000)) t(q))
+         |SELECT cohort, q_ppm, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MIN(v) AS BIGINT) AS value
+         |FROM c JOIN q ON cum >= (q_ppm * n + 999999) // 1000000
+         |GROUP BY 1, 2""".stripMargin,
     "q_shapley" ->
       s"""WITH um AS (SELECT user_id, CAST(SUM(b) AS BIGINT) AS mask
          |  FROM (SELECT DISTINCT user_id,

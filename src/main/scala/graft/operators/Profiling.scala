@@ -2525,6 +2525,28 @@ object Profiling {
       "1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b) / " +
       "(CAST(n_a AS DOUBLE) * n_b)), false)"
 
+  /** Exact quantile panel per group — the type-1 (lower order
+    * statistic) counterpart of approx_percentile, for when the number
+    * must be exact and auditable: value at rank ceil(q·n) for each
+    * requested quantile, off ONE shared value-domain prefix frame (the
+    * [[tukeyFences]] kernel generalized to any q). Emits (group,
+    * q_ppm, n, value) scalar rows. */
+  def exactQuantiles(
+      df: DataFrame, groupCol: String, valCol: String,
+      qPpm: Seq[Long]): DataFrame = {
+    require(qPpm.nonEmpty && qPpm.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1e6] ppm: $qPpm")
+    val c = Materialize(valueCumFrame(df, groupCol, valCol))
+    qPpm.map { q =>
+      c.filter(expr(s"cum_cnt >= ($q * n + 999999) div 1000000"))
+        .groupBy(col(groupCol))
+        .agg(max(col("n")).cast("long").as("n"),
+          min(col("v")).as("value"))
+        .withColumn("q_ppm", lit(q))
+        .select(col(groupCol), col("q_ppm"), col("n"), col("value"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Equi-depth histogram per group — the ANALYZE-statistics operator:
     * `nBuckets` buckets of ~equal row count, each distinct value
     * assigned whole to the bucket of its END rank (b = ceil(cum·B/n),

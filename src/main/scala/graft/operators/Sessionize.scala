@@ -550,6 +550,34 @@ object Sessionize {
         count_distinct(col(keyCol)).as("n_users"))
   }
 
+  /** Time-to-convert — the latency companion of the attribution
+    * family: per key, milliseconds from the FIRST touch (any touch
+    * type) to the first conversion AT-OR-AFTER it. Keys with no touch,
+    * no conversion, or whose conversions all precede the first touch
+    * drop by contract (there is no defined latency). One aggregate;
+    * the caller summarizes the latency distribution (e.g. with
+    * [[Profiling.exactQuantiles]]). */
+  def timeToConvert(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms"): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must exclude the conversion: $touchTypes / $convType")
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val firstTouch = events.filter(isTouch)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t0"))
+    events.filter(col(typeCol) === convType)
+      .select(col(keyCol), col(tsCol).as("__ct"))
+      .join(firstTouch, Seq(keyCol))
+      .filter(col("__ct") >= col("__t0"))
+      .groupBy(col(keyCol))
+      .agg((min(col("__ct")) - max(col("__t0"))).cast("long")
+        .as("latency_ms"))
+  }
+
   /** Exact Shapley multi-touch attribution — the game-theoretic upgrade
     * of [[attributeLastTouch]]: each channel's credit is its average
     * marginal contribution over ALL coalition orders, the one

@@ -23,6 +23,31 @@ class Round11gOpsSpec extends SparkFunSuite {
     assert(s(1).amp == (400L * 65536L / 8000L - 32768L))
   }
 
+  test("timeToConvert: first conversion at-or-after the first touch") {
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "conv", 15L),            // latency 5
+      (2L, "conv", 5L), (2L, "click", 10L), (2L, "conv", 30L), // 20
+      (3L, "conv", 7L),                                 // no touch: drop
+      (4L, "click", 9L))                                // no conv: drop
+      .toDF("user_id", "event_type", "ts_ms")
+    val out = graft.operators.Sessionize.timeToConvert(
+      ev, touchTypes = Seq("click"), convType = "conv")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("latency_ms"))).toSeq == Seq((1L, 5L), (2L, 20L)))
+  }
+
+  test("exactQuantiles: type-1 order statistics at any q") {
+    val df = (1L to 10L).map(("k", _)).toDF("k", "v")
+    val out = graft.operators.Profiling.exactQuantiles(
+      df, "k", "v", Seq(250000L, 500000L, 900000L, 1000000L))
+      .orderBy("q_ppm").collect()
+    assert(out.map(r => (r.getAs[Long]("q_ppm"), r.getAs[Long]("value")))
+      .toSeq == Seq((250000L, 3L), (500000L, 5L), (900000L, 9L),
+        (1000000L, 10L)))
+    assert(out.forall(_.getAs[Long]("n") == 10L))
+  }
+
   test("bmpOtsu: hand-computed threshold on a 4-pixel ramp") {
     // pixels [0,1,2,3]: J(t=0)=12, J(t=1)=16, J(t=2)=12 -> threshold 1,
     // foreground (px > 1) fraction 0.5
