@@ -5706,6 +5706,14 @@ object SparkEntry {
       graft.operators.TimeSeries.pageHinkley(
         hourly, "event_type", "h", "v", delta = 100L, lambda = 50000L)
     }),
+    "q_enrichment" -> ((s, dir) => {
+      // Over-representation analysis: is the high-value flag (spend
+      // >= $80) enriched in each event type? Hypergeometric z with the
+      // finite-population correction, continuity-corrected.
+      val ev = table(s, dir, "events").select(col("event_type"),
+        (round(col("value") * 100, 0).cast("long") >= 8000L).as("hi"))
+      graft.operators.Profiling.enrichment(ev, "event_type", "hi")
+    }),
     "q_tukey_fences" -> ((s, dir) => {
       // Boxplot-rule outlier screen per event type: exact type-1
       // quartiles via the ranged prefix-sum kernel, fence membership
@@ -13412,6 +13420,26 @@ object SparkEntry {
          |    AS first_alarm_bucket,
          |  round(CAST(MAX(gap) AS BIGINT) / 1e6, 6) AS max_gap
          |FROM fl GROUP BY 1""".stripMargin,
+    "q_enrichment" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) >= 8000 AS hi
+         |  FROM events),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS k_tot FROM e),
+         |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM e GROUP BY 1),
+         |j AS (SELECT * FROM g, tot)
+         |SELECT event_type, n, k, n_tot, k_tot,
+         |  round(CAST(n AS DOUBLE) * k_tot / n_tot, 6) AS expected,
+         |  ${graft.operators.Profiling.enrichRatioSql} AS ratio,
+         |  ${graft.operators.Profiling.enrichZSql} AS z,
+         |  round(${graft.operators.Profiling.normalPSql(
+            graft.operators.Profiling.enrichZSql)}, 6) AS p_normal,
+         |  coalesce(abs(${graft.operators.Profiling.enrichZSql})
+         |    > 1.959964, false) AS significant
+         |FROM j""".stripMargin,
     "q_tukey_fences" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(ROUND(value*100, 0) AS BIGINT) AS v FROM events),

@@ -2525,6 +2525,52 @@ object Profiling {
       "1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b) / " +
       "(CAST(n_a AS DOUBLE) * n_b)), false)"
 
+  /** Hypergeometric enrichment test per group — the
+    * over-representation analysis behind "is this tag enriched in this
+    * cluster?": with N universe rows, K flagged overall, a group of
+    * size n holding k flagged rows, score k against the
+    * hypergeometric null (mean n·K/N, variance with the finite-
+    * population correction (N−n)/(N−1)) via a continuity-corrected z —
+    * the [[binomialTest]] discipline with the exact-population
+    * variance. All cells are exact integers; one IEEE chain per group.
+    * Also reports the enrichment ratio k·N/(n·K). Degenerate nulls
+    * (K = 0, K = N, or n = N) yield NULL z by contract. */
+  def enrichment(
+      df: DataFrame, groupCol: String, flagCol: String): DataFrame = {
+    val tot = broadcast(df.agg(
+      count(lit(1)).cast("long").as("n_tot"),
+      sum(when(col(flagCol), 1L).otherwise(0L)).cast("long").as("k_tot")))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).cast("long").as("k"))
+      .crossJoin(tot)
+      .withColumn("expected", expr(
+        "round(CAST(n AS DOUBLE) * k_tot / n_tot, 6)"))
+      .withColumn("ratio", expr(enrichRatioSql))
+      .withColumn("z", expr(enrichZSql))
+      .withColumn("p_normal", expr(s"round(${normalPSql("z")}, 6)"))
+      .withColumn("significant", expr("coalesce(abs(z) > 1.959964, false)"))
+  }
+
+  /** Enrichment ratio over (k, n, k_tot, n_tot); NULL on an empty
+    * flag population. Shared with the oracle. */
+  val enrichRatioSql: String =
+    "CASE WHEN k_tot > 0 AND n > 0 THEN " +
+      "round(CAST(k AS DOUBLE) * n_tot / (CAST(n AS DOUBLE) * k_tot)" +
+      ", 6) END"
+
+  /** Continuity-corrected hypergeometric z over (k, n, k_tot, n_tot);
+    * NULL when the null degenerates. Shared with the oracle. */
+  val enrichZSql: String = {
+    val p = "(CAST(k_tot AS DOUBLE) / n_tot)"
+    val d = s"(CAST(k AS DOUBLE) - CAST(n AS DOUBLE) * $p)"
+    val v = s"(CAST(n AS DOUBLE) * $p * (1 - $p) * " +
+      "(CAST(n_tot - n AS DOUBLE) / (n_tot - 1)))"
+    "CASE WHEN k_tot > 0 AND k_tot < n_tot AND n < n_tot AND " +
+      s"n_tot > 1 THEN round((CASE WHEN $d > 0.5 THEN $d - 0.5 " +
+      s"WHEN $d < -0.5 THEN $d + 0.5 ELSE 0.0 END) / sqrt($v), 6) END"
+  }
+
   /** Exact quantile panel per group — the type-1 (lower order
     * statistic) counterpart of approx_percentile, for when the number
     * must be exact and auditable: value at rank ceil(q·n) for each

@@ -23,6 +23,26 @@ class Round11gOpsSpec extends SparkFunSuite {
     assert(s(1).amp == (400L * 65536L / 8000L - 32768L))
   }
 
+  test("enrichment: a flag-heavy group scores positive; degenerate nulls") {
+    // 12 rows, 4 flagged; group a (4 rows) holds all 4 flags
+    val df = (Seq.fill(4)(("a", true)) ++ Seq.fill(8)(("b", false)))
+      .toDF("g", "f")
+    val out = graft.operators.Profiling.enrichment(df, "g", "f")
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("k") == 4L && a.getAs[Long]("n") == 4L)
+    // expected = 4*4/12 = 1.333, ratio = 4*12/(4*4) = 3
+    assert(a.getAs[Double]("expected") == 1.333333)
+    assert(a.getAs[Double]("ratio") == 3.0)
+    assert(a.getAs[Double]("z") > 0 && a.getAs[Boolean]("significant"))
+    assert(out(1).getAs[Double]("z") < 0)
+    // a universe with every row flagged has no null to test against
+    val deg = Seq(("a", true), ("b", true)).toDF("g", "f")
+    val d = graft.operators.Profiling.enrichment(deg, "g", "f").head()
+    assert(d.isNullAt(d.fieldIndex("z")))
+    assert(!d.getAs[Boolean]("significant"))
+  }
+
   test("timeToConvert: first conversion at-or-after the first touch") {
     val ev = Seq(
       (1L, "click", 10L), (1L, "conv", 15L),            // latency 5
