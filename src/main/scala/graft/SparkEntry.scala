@@ -3505,6 +3505,18 @@ object SparkEntry {
             .otherwise(0L))
       Eval.retrievalMetrics(ranked, "cust", "rank", "rel", k = 10)
     }),
+    "q_anova_effects" -> ((s, dir) =>
+      // q_anova's F with the effect sizes reviewers actually ask for:
+      // eta-squared (variance explained) and the less-biased
+      // omega-squared, both off the same exact SS assembly.
+      Eval.anovaF(
+        table(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")
+        .withColumn("eta_sq", expr(Eval.anovaEtaSqSql))
+        .withColumn("omega_sq", expr(Eval.anovaOmegaSqSql))
+        .select(col("g"), col("n"), col("f_stat"), col("eta_sq"),
+          col("omega_sq"))),
     "q_anova" -> ((s, dir) =>
       // One-way ANOVA F across event types on per-event cents: exact
       // per-group moment longs, milli-floored between/within sums via
@@ -10893,6 +10905,31 @@ object SparkEntry {
          |  ${graft.operators.Eval.anovaSswSql} AS ssw,
          |  ${graft.operators.Eval.anovaFSql("//")} AS f_stat
          |FROM agg""".stripMargin,
+    "q_anova_effects" ->
+      s"""WITH per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS sg,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT) *
+         |      CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS ssg
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT ng, sg, ssg,
+         |    CAST(${graft.operators.Eval.sqOverNWhole("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_whole,
+         |    CAST(${graft.operators.Eval.sqOverNFracMilli("sg", "ng", "//")}
+         |      AS BIGINT) AS tg_frac FROM per),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+         |    CAST(SUM(ssg) AS BIGINT) AS ss,
+         |    CAST(SUM(tg_whole) AS BIGINT) AS t_whole,
+         |    CAST(SUM(tg_frac) AS BIGINT) AS t_frac FROM t),
+         |f AS (SELECT g, n,
+         |    ${graft.operators.Eval.anovaSsbSql("//")} AS ssb,
+         |    ${graft.operators.Eval.anovaSswSql} AS ssw,
+         |    ${graft.operators.Eval.anovaFSql("//")} AS f_stat
+         |  FROM agg)
+         |SELECT g, n, f_stat,
+         |  ${graft.operators.Eval.anovaEtaSqSql} AS eta_sq,
+         |  ${graft.operators.Eval.anovaOmegaSqSql} AS omega_sq
+         |FROM f""".stripMargin,
     "q_durbin_watson" ->
       s"""WITH pd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
          |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS v

@@ -1391,6 +1391,20 @@ object Eval {
       s"round((${anovaSsbSql(idiv)} / (g - 1)) / " +
       s"($anovaSswSql / (n - g)), 6) END"
 
+  /** η² over the (ssb, ssw) columns: variance explained by the group
+    * factor; NULL on a zero total SS. Shared with the oracle. */
+  val anovaEtaSqSql: String =
+    "CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END"
+
+  /** ω² — the less-biased effect size (subtracts the chance-level
+    * expectation): (SSB − (g−1)·MSW)/(SST + MSW); NULL when df or the
+    * denominator degenerates. Shared with the oracle. */
+  val anovaOmegaSqSql: String = {
+    val msw = "(ssw / (n - g))"
+    s"CASE WHEN n > g AND ssb + ssw + $msw > 0 THEN " +
+      s"round((ssb - (g - 1) * $msw) / (ssb + ssw + $msw), 6) END"
+  }
+
   /** Brown–Forsythe homogeneity-of-variance test — the robust Levene
     * variant: [[anovaF]] run on |v − group MEDIAN| (medians via the
     * [[weightedMedian]] lower-median prefix-sum kernel, no per-group
