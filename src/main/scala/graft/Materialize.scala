@@ -27,8 +27,44 @@ import org.apache.spark.sql.Dataset
   * Both modes are eager (the plan computes here) and both return a
   * Dataset whose plan is a scan of the materialized blocks — identical
   * results by construction; MaterializeSpec pins that on a fixture.
+  *
+  * RELIABLE-MODE DISK LIFECYCLE — reliable checkpoints are PERMANENT
+  * files: Spark never deletes them unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` was set at
+  * SparkContext CREATION (and even then cleanup waits on driver GC of
+  * the RDD reference). Iterative operators (connectedComponents, BFS,
+  * truss, Lloyd loops) call `.materialize` once or more per round, so
+  * an unmanaged long-lived session accumulates unbounded data under
+  * `graft.checkpoint.dir`. Two supported disciplines:
+  *  1. set the cleaner conf when building the cluster SparkSession
+  *     (best-effort, GC-driven), and/or
+  *  2. wrap each query (or batch of queries) in [[reliableScope]],
+  *     which routes its checkpoints to a fresh subdirectory and
+  *     deletes it when the scope exits — deterministic, and the
+  *     discipline Bench/ScaleSmoke use in reliable runs.
   */
 object Materialize {
+
+  /** Run `body` with reliable checkpoints routed to a fresh
+    * subdirectory of the configured checkpoint dir, then DELETE that
+    * subdirectory. The caller must fully consume every result inside
+    * the scope (write/collect/count) — the returned Datasets' plans
+    * scan the checkpoint files, which are gone once the scope exits.
+    * No-op wrapper semantics in `local` mode (nothing is written to
+    * the dir, and the delete of the unused subdir is harmless).
+    * `SparkContext.setCheckpointDir` already creates a UUID subdir per
+    * call, so scoping is one re-point + one recursive delete. */
+  def reliableScope[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(spark.conf.get("graft.checkpoint.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"))
+    val dir = sc.getCheckpointDir.get
+    try body
+    finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+  }
   def apply[T](ds: Dataset[T]): Dataset[T] = {
     val s = ds.sparkSession
     s.conf.get("graft.checkpoint.mode", "local") match {

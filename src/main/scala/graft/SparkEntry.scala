@@ -13384,12 +13384,24 @@ object SparkEntry {
          |w2 AS (SELECT event_type, n_pop, sx, sd,
          |    CAST(round(1000000 * n_pop * coalesce(sd, 0), 0) AS BIGINT)
          |      AS w_micro FROM w),
-         |tt AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w2)
+         |tt AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w2),
+         |b AS (SELECT event_type, n_pop, sx, sd, w_micro, wt,
+         |    CASE WHEN wt > 0 THEN CAST((CAST(1000 AS HUGEINT) *
+         |      w_micro) // wt AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      AS base,
+         |    CASE WHEN wt > 0 THEN CAST((CAST(1000 AS HUGEINT) *
+         |      w_micro) % wt AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      AS rem
+         |  FROM w2, tt),
+         |d AS (SELECT CASE WHEN MAX(wt) > 0 THEN
+         |    1000 - CAST(SUM(base) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS def FROM b),
+         |r AS (SELECT *, row_number() OVER
+         |    (ORDER BY rem DESC, event_type) AS rk FROM b)
          |SELECT event_type, n_pop, sx, sd, w_micro,
-         |  CASE WHEN wt > 0 THEN CAST(round(CAST(1000 AS DOUBLE) *
-         |    w_micro / wt, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END
-         |    AS alloc
-         |FROM w2, tt""".stripMargin,
+         |  CAST(base + CASE WHEN rk <= def THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM r, d""".stripMargin,
     "q_betweenness" -> betweennessOracle,
     "q_katz" -> katzOracle,
     "q_max_cover" -> maxCoverOracle,
@@ -14567,7 +14579,7 @@ object SparkEntry {
         |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS xm FROM v)""".stripMargin
     val iterCtes = (1 to 4).map { i =>
       s"""s$i AS MATERIALIZED (SELECT e.dst AS id,
-         |    CAST(SUM(p.xm) AS BIGINT) AS s
+         |    CAST(SUM(p.xm) AS DECIMAL(38,0)) AS s
          |  FROM e JOIN x${i - 1} p ON p.id = e.src GROUP BY 1),
          |x$i AS MATERIALIZED (SELECT v.id,
          |    CAST(${graft.operators.Graph.katzStepSql(0.05)} AS BIGINT)

@@ -1833,10 +1833,23 @@ object Eval {
     * trapezoid/coefficient algebra runs over the TEN boundary rows
     * (driver-scale — the one unpartitioned window is 10 rows by
     * construction). Deciles with no control units yield NULL q by
-    * contract. */
+    * contract.
+    *
+    * `scoreCol` must be an INTEGRAL column (the micro-quantized-long
+    * score contract shared by the ranked operators): a fractional
+    * uplift score in (0, 1) would silently truncate to 0 under the
+    * ranking cast and degenerate the order to the id tie-break, so a
+    * non-integral type fails fast here — micro-quantize upstream
+    * (e.g. `round(score * 1e6).cast("long")`) before calling. */
   def qiniDeciles(
       units: DataFrame, scoreCol: String, treatedCol: String,
       convCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val scoreType = units.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(scoreType),
+      s"qiniDeciles ranks by an integral score (micro-quantize fractional " +
+        s"model outputs upstream, e.g. round(score*1e6)::long); " +
+        s"'$scoreCol' is $scoreType")
     val per = units.select(col(idCol).cast("long").as("uid"),
         (-col(scoreCol).cast("long")).as("__neg"),
         when(col(treatedCol), 1L).otherwise(0L).as("__t"),

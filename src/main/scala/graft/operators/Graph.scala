@@ -80,6 +80,15 @@ object Graph {
     * well-defined for any α, which is the contract here (document the
     * α choice at the call site).
     *
+    * Overflow bound: micro ranks grow roughly as (α·d_max)^iters·10⁶,
+    * so the per-round INCOMING SUM accumulates in decimal(38,0) on
+    * both engines (a bigint sum is the first overflow point on a
+    * high-degree graph — Spark non-ANSI would wrap where DuckDB
+    * raises, breaking the bit-identical contract). The per-vertex
+    * micro rank itself must still fit int64: callers need
+    * (α·d_max)^iters·10⁶ < 2⁶³ (e.g. α·d_max ≤ 100 is safe for ≤ 6
+    * rounds); beyond that, lower α or iters.
+    *
     * Plan per round: one edge-keyed join + one hash aggregate; edges
     * and vertices materialized once. */
   def katzCentrality(
@@ -96,7 +105,7 @@ object Graph {
     (1 to iters).foreach { _ =>
       val in = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("xm")).cast("long").as("s"))
+        .agg(sum(col("xm").cast("decimal(38,0)")).as("s"))
       x = verts.join(in, Seq("id"), "left")
         .select(col("id"), expr(katzStepSql(alpha)).as("xm"))
         .materialize

@@ -564,13 +564,23 @@ object Sampling {
     * are MICRO-QUANTIZED — w = round(10⁶·N_h·s_h) from exact integer
     * moments (squares in decimal internally), so the cross-stratum
     * weight total is an exact long and each allocation is one
-    * IEEE-deterministic round(n·w/Σw). Strata with n < 2 or zero
+    * exact integer arithmetic throughout. Strata with n < 2 or zero
     * variance carry weight 0 (no variance estimate → Neyman assigns
     * nothing; route them to a fixed floor upstream if they must be
-    * sampled). One aggregate + a broadcast 1-row total. */
+    * sampled).
+    *
+    * Allocations sum EXACTLY to totalN (largest-remainder method):
+    * each stratum takes the floor of its exact share
+    * (totalN·w div Σw, decimal(38,0) numerator so no overflow), and
+    * the ≤ #strata−1 leftover units go to the largest fractional
+    * remainders, ties broken by stratum value — independent round()
+    * per stratum can drift off the budget by several units with many
+    * strata. The one unpartitioned window ranks STRATA (a design-side
+    * table, small by definition), not data rows. */
   def neymanAllocation(
       df: DataFrame, stratumCol: String, valCol: String,
       totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(totalN > 0, s"totalN must be positive: $totalN")
     val m = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).cast("long").as("n_pop"),
@@ -583,11 +593,27 @@ object Sampling {
       .drop("__sxx")
     val tot = broadcast(
       m.agg(sum(col("w_micro")).cast("long").as("__wt")))
-    m.crossJoin(tot)
-      .withColumn("alloc", expr(
-        s"CASE WHEN __wt > 0 THEN CAST(round(CAST($totalN AS DOUBLE) * " +
-          "w_micro / __wt, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-      .drop("__wt")
+    val base = m.crossJoin(tot)
+      .withColumn("__num",
+        col("w_micro").cast("decimal(38,0)") * lit(totalN))
+      .withColumn("__base", expr(
+        "CASE WHEN __wt > 0 THEN __num div __wt " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("__rem", expr(
+        "CASE WHEN __wt > 0 THEN CAST(__num - " +
+          "CAST(__base AS DECIMAL(38,0)) * __wt AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    val deficit = broadcast(base.agg(
+      when(max(col("__wt")) > 0, lit(totalN) - sum(col("__base")))
+        .otherwise(lit(0L)).cast("long").as("__def")))
+    val rk = Window.orderBy(col("__rem").desc, col(stratumCol))
+    base.crossJoin(deficit)
+      .withColumn("__rk", row_number().over(rk).cast("long"))
+      .withColumn("alloc",
+        (col("__base") +
+          when(col("__rk") <= col("__def"), 1L).otherwise(0L))
+          .cast("long"))
+      .drop("__wt", "__num", "__base", "__rem", "__def", "__rk")
   }
 
   /** Sample standard deviation over (n_pop, sx, __sxx); NULL when

@@ -1104,10 +1104,11 @@ object Similarity {
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16,
       trainIters: Int = 0): DataFrame = {
     require(m > 0 && k > 0, s"m and k must be positive: $m, $k")
+    val dims = dimsOf(emb, "embedding")
     val cb =
-      if (trainIters > 0) pqCodebookTrained(emb, m, k, trainIters)
-      else pqCodebook(emb, m, k)
-    pqEncodeWith(pqQuantized(emb, "vec_id", "embedding", m), cb)
+      if (trainIters > 0) pqCodebookTrainedWithDims(emb, m, k, trainIters, dims)
+      else pqCodebookWithDims(emb, m, k, dims)
+    pqEncodeWith(pqQuantizedWithDims(emb, "vec_id", "embedding", m, dims), cb)
   }
 
   /** Nearest-codeword assignment of pre-quantized coords against a
@@ -1132,8 +1133,17 @@ object Similarity {
     * would divide by zero → NULL subspace → silently dropped rows) or
     * not divisible by m (a ragged (m+1)-th subspace would appear). */
   private[operators] def pqQuantized(
-      df: DataFrame, idCol: String, embCol: String, m: Int): DataFrame = {
-    val dims = dimsOf(df, embCol)
+      df: DataFrame, idCol: String, embCol: String, m: Int): DataFrame =
+    pqQuantizedWithDims(df, idCol, embCol, m, dimsOf(df, embCol))
+
+  /** [[pqQuantized]] with the dimensionality already known — public PQ
+    * entry points probe [[dimsOf]] ONCE and thread the result through
+    * every internal quantize, so a composite like [[pqAdcRerankTopK]]
+    * costs two probe jobs (corpus + queries), not one per kernel
+    * (each probe re-executes the un-materialized upstream plan). */
+  private def pqQuantizedWithDims(
+      df: DataFrame, idCol: String, embCol: String, m: Int,
+      dims: Int): DataFrame = {
     require(dims >= m && dims % m == 0,
       s"PQ needs embedding dims divisible by m: dims=$dims, m=$m")
     df.select(col(idCol), col(embCol).as("__emb"),
@@ -1145,16 +1155,28 @@ object Similarity {
         expr("CAST(round(CAST(e AS DOUBLE) * 4096, 0) AS BIGINT)").as("xq"))
   }
 
+  /** m = 1 quantize (the exact-L2 rerank paths): the divisibility
+    * guard is vacuous (`dims % 1 == 0` always), so no dims probe job
+    * runs at all — the literal 1 passed as dims only satisfies the
+    * guard, the body never reads it. */
+  private def pqQuantized1(
+      df: DataFrame, idCol: String, embCol: String): DataFrame =
+    pqQuantizedWithDims(df, idCol, embCol, 1, 1)
+
   /** (code, subspace, i, cq): codebooks per subspace — codeword c is
     * the subvector of the (c+1)-th lowest id (the ivf trainIters = 0
     * determinism convention). k·d values, always broadcastable. */
   private[operators] def pqCodebook(
-      emb: DataFrame, m: Int, k: Int): DataFrame = {
+      emb: DataFrame, m: Int, k: Int): DataFrame =
+    pqCodebookWithDims(emb, m, k, dimsOf(emb, "embedding"))
+
+  private def pqCodebookWithDims(
+      emb: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ids = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
       .withColumn("code",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
-    pqQuantized(emb, "vec_id", "embedding", m)
+    pqQuantizedWithDims(emb, "vec_id", "embedding", m, dims)
       .join(broadcast(ids), Seq("vec_id"))
       .select(col("code"), col("subspace"), col("i"), col("xq").as("cq"))
   }
@@ -1176,11 +1198,15 @@ object Similarity {
     * codebook never leaves broadcast range. */
   def pqCodebookTrained(
       emb: DataFrame, m: Int = 4, k: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    pqCodebookTrainedWithDims(emb, m, k, iters, dimsOf(emb, "embedding"))
+
+  private def pqCodebookTrainedWithDims(
+      emb: DataFrame, m: Int, k: Int, iters: Int, dims: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     import org.apache.spark.sql.expressions.Window
-    val xq = Materialize(pqQuantized(emb, "vec_id", "embedding", m))
-    var cb = pqCodebook(emb, m, k)
+    val xq = Materialize(pqQuantizedWithDims(emb, "vec_id", "embedding", m, dims))
+    var cb = pqCodebookWithDims(emb, m, k, dims)
     for (_ <- 1 to iters) {
       val assign = xq.join(broadcast(cb), Seq("subspace", "i"))
         .groupBy(col("vec_id"), col("subspace"), col("code"))
@@ -1227,16 +1253,23 @@ object Similarity {
   def pqAdcTopK(
       queries: DataFrame, corpus: DataFrame,
       m: Int = 4, k: Int = 16, topK: Int = 10,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0): DataFrame =
+    pqAdcTopKWithDims(queries, corpus, m, k, topK, trainIters,
+      dimsOf(queries, "qvec"), dimsOf(corpus, "embedding"))
+
+  private def pqAdcTopKWithDims(
+      queries: DataFrame, corpus: DataFrame,
+      m: Int, k: Int, topK: Int, trainIters: Int,
+      qDims: Int, cDims: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb =
       if (trainIters > 0)
-        Materialize(pqCodebookTrained(corpus, m, k, trainIters))
-      else pqCodebook(corpus, m, k)
+        Materialize(pqCodebookTrainedWithDims(corpus, m, k, trainIters, cDims))
+      else pqCodebookWithDims(corpus, m, k, cDims)
     val codes = pqEncodeWith(
-        pqQuantized(corpus, "vec_id", "embedding", m), cb)
+        pqQuantizedWithDims(corpus, "vec_id", "embedding", m, cDims), cb)
       .select(col("vec_id"), col("subspace"), col("code"))
-    val adc = pqQuantized(queries, "qid", "qvec", m)
+    val adc = pqQuantizedWithDims(queries, "qid", "qvec", m, qDims)
       .join(broadcast(cb), Seq("subspace", "i"))
       .groupBy(col("qid"), col("subspace"), col("code"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
@@ -1268,11 +1301,12 @@ object Similarity {
       trainIters: Int = 1): DataFrame = {
     require(rerank >= topK, s"rerank must be >= topK: $rerank, $topK")
     import org.apache.spark.sql.expressions.Window
-    val cand = pqAdcTopK(queries, corpus, m, k, rerank, trainIters)
+    val cand = pqAdcTopKWithDims(queries, corpus, m, k, rerank, trainIters,
+        dimsOf(queries, "qvec"), dimsOf(corpus, "embedding"))
       .select(col("qid"), col("vec_id"))
-    val qx = pqQuantized(queries, "qid", "qvec", 1)
+    val qx = pqQuantized1(queries, "qid", "qvec")
       .select(col("qid"), col("i"), col("xq").as("qq"))
-    val cx = pqQuantized(corpus, "vec_id", "embedding", 1)
+    val cx = pqQuantized1(corpus, "vec_id", "embedding")
       .select(col("vec_id"), col("i"), col("xq").as("cq2"))
     val pick = Window.partitionBy(col("qid"))
       .orderBy(col("dist2"), col("vec_id"))
@@ -1294,9 +1328,9 @@ object Similarity {
   def l2TopK(
       queries: DataFrame, corpus: DataFrame, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qx = pqQuantized(queries, "qid", "qvec", 1)
+    val qx = pqQuantized1(queries, "qid", "qvec")
       .select(col("qid"), col("i"), col("xq").as("qq"))
-    val cx = pqQuantized(corpus, "vec_id", "embedding", 1)
+    val cx = pqQuantized1(corpus, "vec_id", "embedding")
       .select(col("vec_id"), col("i"), col("xq").as("cq"))
     val pick = Window.partitionBy(col("qid"))
       .orderBy(col("dist2"), col("vec_id"))

@@ -19,8 +19,8 @@ object RecallProbe {
     val q = e.filter(col("vec_id") < 8L)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     // candidate-list recall: is the exact top-10 inside the ADC top-R?
-    val truth = Similarity.l2TopK(q, e, topK = 10)
-      .select(col("qid"), col("vec_id")).localCheckpoint(true)
+    val truth = graft.Materialize(Similarity.l2TopK(q, e, topK = 10)
+      .select(col("qid"), col("vec_id")))
     for ((m, k, iters, rr) <- Seq((4, 16, 1, 50), (4, 16, 1, 100),
         (4, 16, 1, 200), (8, 16, 1, 100), (16, 16, 1, 50),
         (16, 16, 1, 400), (16, 64, 1, 200), (16, 64, 1, 400))) {
