@@ -40,6 +40,24 @@ object SparkEntry {
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
+  /** Part co-purchase edges (src < dst per order) from a
+    * (l_orderkey, l_partkey) projection — the edge derivation behind
+    * every graph query on this dataset. Shape: ONE shuffle of the
+    * projection (groupBy order) + map-side pair explode of the sorted
+    * per-order part set; the previous lineitem self-join shuffled the
+    * scan twice and joined for the same rows. Per-order fan-out is
+    * bounded by the TPC-H contract of <= 7 lineitems/order
+    * (C(7,2) = 21 pairs); collect_set dedups within-order repeats,
+    * which is output-invariant because every graph operator dedups its
+    * edge input (canonicalUndirected / distinct). */
+  private def coPurchasePairs(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))
+      .select(col("src").cast("long").as("src"),
+        explode(expr("slice(__ps, __i + 2, size(__ps))")).as("__d"))
+      .select(col("src"), col("__d").cast("long").as("dst"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_sessionize_gap")(spark, "/root/testdata/sf0.001")
@@ -714,12 +732,21 @@ object SparkEntry {
       // distinct parts seed the triangles; the count is orientation-
       // invariant so the id-ordered DuckDB enumeration matches exactly.
       val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("long").as("src"),
-          col("b.l_partkey").cast("long").as("dst"))
+      val e = coPurchasePairs(li)
       graft.operators.Graph.triangleCounts(e, "src", "dst")
+        .orderBy(col("n_tri").desc, col("id"))
+        .limit(20)
+    }),
+    "q_triangle_count_capped" -> ((s, dir) => {
+      // q_triangle_count with the power-law hub-cap valve ENGAGED:
+      // maxDeg = 1000 bounds per-vertex wedge work on a skewed graph
+      // (the O(m^1.5) guard a 100x-scale user copies), and is a NO-OP
+      // here — the co-purchase max degree is ~220 at sf0.1 — so this
+      // verifies against the same uncapped oracle; it passes iff the
+      // cap filter changed nothing but the plan.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.triangleCounts(
+          coPurchasePairs(li), "src", "dst", maxDeg = 1000L)
         .orderBy(col("n_tri").desc, col("id"))
         .limit(20)
     }),
@@ -2939,11 +2966,7 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
         .filter(col("l_partkey") % 10 < 3)
         .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("long").as("src"),
-          col("b.l_partkey").cast("long").as("dst"))
+      val e = coPurchasePairs(li)
       graft.operators.Graph.kTruss(e, "src", "dst", k = 4)
     }),
     "q_kcore" -> ((s, dir) => {
@@ -5451,12 +5474,20 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
         .filter(pmod(col("l_partkey"), lit(2)) === 0)
         .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("long").as("src"),
-          col("b.l_partkey").cast("long").as("dst"))
+      val e = coPurchasePairs(li)
       graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
+    }),
+    "q_local_clustering_capped" -> ((s, dir) => {
+      // q_local_clustering with the hub-cap valve engaged (maxDeg =
+      // 1000, sub-cap on this data — see q_triangle_count_capped):
+      // degrees stay FULL-graph while the triangle kernel runs capped,
+      // so a cap that silently dropped edges would skew cc and fail
+      // the uncapped oracle.
+      val li = table(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.localClustering(
+        coPurchasePairs(li), "src", "dst", topK = 20, maxDeg = 1000L)
     }),
     "q_pq_encode" -> ((s, dir) =>
       // Product-quantization codes: 64-dim embeddings -> 4 subspace
@@ -7729,23 +7760,11 @@ object SparkEntry {
          |  ${graft.operators.TimeSeries.fanoSql} AS fano,
          |  ${graft.operators.TimeSeries.burstinessSql} AS burstiness
          |FROM a""".stripMargin,
-    "q_triangle_count" ->
-      """WITH e AS (
-        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
-        |                  CAST(b.l_partkey AS BIGINT) AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |t AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM e e1
-        |  JOIN e e2 ON e2.u = e1.v
-        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |x AS (
-        |  SELECT a AS id FROM t
-        |  UNION ALL SELECT b FROM t
-        |  UNION ALL SELECT c FROM t)
-        |SELECT id, count(*) AS n_tri FROM x GROUP BY id
-        |ORDER BY n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_triangle_count" -> triangleCountOracle,
+    // the hub-cap valve is a no-op below the cap (max co-purchase degree
+    // is ~220 at sf0.1 vs maxDeg = 1000), so the capped query verifies
+    // against the SAME uncapped enumeration — the ivf_capped discipline
+    "q_triangle_count_capped" -> triangleCountOracle,
     "q_similarity_bruteforce" ->
       s"""WITH $normCte,
          |scored AS (
@@ -12909,34 +12928,9 @@ object SparkEntry {
          |SELECT vec_id, j, CAST(SUM(xq * sgn) AS BIGINT) AS y_q,
          |  round(CAST(SUM(xq * sgn) AS DOUBLE) / 4096, 6) AS y
          |FROM t GROUP BY 1, 2""".stripMargin,
-    "q_local_clustering" ->
-      s"""WITH e AS (
-         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
-         |                  CAST(b.l_partkey AS BIGINT) AS v
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
-         |d AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-         |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
-         |  GROUP BY 1),
-         |t AS (
-         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-         |  FROM e e1
-         |  JOIN e e2 ON e2.u = e1.v
-         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-         |x AS (
-         |  SELECT a AS id FROM t
-         |  UNION ALL SELECT b FROM t
-         |  UNION ALL SELECT c FROM t),
-         |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
-         |  FROM x GROUP BY id),
-         |m AS (SELECT d.id, d.deg,
-         |    CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri
-         |  FROM d LEFT JOIN tc USING (id) WHERE d.deg > 1)
-         |SELECT id, deg, n_tri,
-         |  ${graft.operators.Graph.localCcSql} AS cc
-         |FROM m
-         |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin,
+    "q_local_clustering" -> localClusteringOracle,
+    // hub-cap no-op below the cap — see q_triangle_count_capped
+    "q_local_clustering_capped" -> localClusteringOracle,
     "q_pq_encode" ->
       s"""WITH $pqEncodeCtes
          |SELECT vec_id, subspace, code, dist2 FROM pq""".stripMargin,
@@ -14569,6 +14563,56 @@ object SparkEntry {
   /** Unrolled Katz replay — mirrors Graph.katzCentrality(iters = 4,
     * alpha = 0.05) on the purchase graph: per round, one incoming
     * micro-sum and the shared IEEE step expression. */
+  /** Id-ordered triangle enumeration over the co-purchase graph —
+    * shared by the uncapped query and the maxDeg-valve variant (the
+    * valve is a no-op while every degree is below the cap). */
+  private lazy val triangleCountOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+      |                  CAST(b.l_partkey AS BIGINT) AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |x AS (
+      |  SELECT a AS id FROM t
+      |  UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |SELECT id, count(*) AS n_tri FROM x GROUP BY id
+      |ORDER BY n_tri DESC, id LIMIT 20""".stripMargin
+
+  private lazy val localClusteringOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+       |                  CAST(b.l_partkey AS BIGINT) AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+       |d AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |x AS (
+       |  SELECT a AS id FROM t
+       |  UNION ALL SELECT b FROM t
+       |  UNION ALL SELECT c FROM t),
+       |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+       |  FROM x GROUP BY id),
+       |m AS (SELECT d.id, d.deg,
+       |    CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri
+       |  FROM d LEFT JOIN tc USING (id) WHERE d.deg > 1)
+       |SELECT id, deg, n_tri,
+       |  ${graft.operators.Graph.localCcSql} AS cc
+       |FROM m
+       |ORDER BY cc DESC, n_tri DESC, id LIMIT 20""".stripMargin
+
   private lazy val katzOracle: String = {
     val base =
       """WITH e AS (

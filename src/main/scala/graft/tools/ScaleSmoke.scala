@@ -1242,6 +1242,10 @@ object ScaleSmoke {
           maxDeg = 64L))
         drain(graft.operators.Graph.adamicAdar(e, "src", "dst", 20,
           maxCenterDeg = 64L))
+        // the q_local_clustering_capped valve: full-graph degrees,
+        // capped triangle kernel — must stay flat like the rows above
+        drain(graft.operators.Graph.localClustering(e, "src", "dst",
+          topK = 20, maxDeg = 64L))
       }
     }
     time(s"hits+labelProp x$mult (disjoint graph copies)") {
