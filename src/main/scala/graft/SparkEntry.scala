@@ -2907,6 +2907,12 @@ object SparkEntry {
       // BPE-training pair counts: corpus → word histogram (the only
       // corpus-sized pass) → pairs over DISTINCT words → top-20.
       TextAnalysis.bpePairs(table(s, dir, "documents"))),
+    "q_bpe_train" -> ((s, dir) =>
+      // Iterated BPE training: the 5-round merge sequence (argmax pair
+      // per round, greedy left-to-right merge over the word histogram)
+      // — the trained merge table a tokenizer ships; the oracle unrolls
+      // rounds as MATERIALIZED CTEs and replays replace() bit-for-bit.
+      TextAnalysis.bpeTrain(table(s, dir, "documents"), rounds = 5)),
     "q_minimizer_sketch" -> ((s, dir) =>
       // (8,3)-minimizer sketch per doc: min 60-bit shingle hash per
       // 8-position window, distinct — the sampling sketch; window-min is
@@ -10008,6 +10014,7 @@ object SparkEntry {
         |SELECT pair, freq,
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rn
         |FROM pairs ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_minimizer_sketch" ->
       """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
         |sh0 AS (SELECT doc_id, unnest([struct_pack(pos := i,
@@ -14563,6 +14570,41 @@ object SparkEntry {
   /** Unrolled Katz replay — mirrors Graph.katzCentrality(iters = 4,
     * alpha = 0.05) on the purchase graph: per round, one incoming
     * micro-sum and the shared IEEE step expression. */
+  /** Unrolled 5-round BPE-training replay — mirrors
+    * TextAnalysis.bpeTrain: per round, adjacent-pair counts over the
+    * wrapped-symbol segmentations, the (freq desc, l, r) argmax, and
+    * the greedy left-to-right merge as a literal replace() (identical
+    * non-overlapping scan semantics in both engines). Every round's
+    * CTE is MATERIALIZED — the k^rounds inlining lesson. */
+  private lazy val bpeTrainOracle: String = {
+    val base =
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w HAVING length(w) >= 2),
+        |g0 AS MATERIALIZED (SELECT wf,
+        |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM vocab)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(SUM(wf) AS BIGINT) AS freq
+         |  FROM (SELECT wf, pr.l AS l, pr.r AS r FROM
+         |    (SELECT wf, string_split(trim(seg, '_'), '__') AS syms
+         |      FROM g${i - 1}),
+         |    LATERAL (SELECT unnest([struct_pack(l := syms[j],
+         |        r := syms[j + 1]) FOR j IN range(1, len(syms))]) AS pr))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, freq FROM p$i
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |g$i AS MATERIALIZED (SELECT wf,
+         |  replace(seg, '_' || l || '__' || r || '_',
+         |    '_' || l || r || '_') AS seg FROM g${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS l_sym, r AS r_sym, " +
+        s"l || r AS merged, freq FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$out"
+  }
+
   /** Id-ordered triangle enumeration over the co-purchase graph —
     * shared by the uncapped query and the maxDeg-valve variant (the
     * valve is a no-op while every degree is below the cap). */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize
 import graft.Materialize.MaterializeOps
 
 /** Text-analysis operators: per-document stats, language-ID heuristic,
@@ -974,6 +975,69 @@ object TextAnalysis {
       .withColumn("rn", row_number()
         .over(Window.orderBy(col("freq").desc, col("pair"))).cast("long"))
       .select(col("pair"), col("freq"), col("rn"))
+  }
+
+  /** Iterated BPE tokenizer training — the merge SEQUENCE, not just one
+    * pair count ([[bpePairs]] is the single-step profile): per round,
+    * count adjacent symbol pairs across the word histogram, merge the
+    * (freq desc, l, r) argmax pair greedily left-to-right in every
+    * word, repeat. Output: one row per round
+    * `(step, l_sym, r_sym, merged, freq)` — the trained merge table a
+    * tokenizer ships.
+    *
+    * Segmentations live as WRAPPED-SYMBOL STRINGS — each symbol is
+    * `_sym_` and a word's segmentation is their concatenation
+    * (`_a__b__c_`) — because `replace(seg, "_l__r_", "_lr_")` then IS
+    * the greedy merge: both engines' `replace` scans left-to-right,
+    * never rescans its own output (so `aaa` → `[aa, a]`, `aaaa` →
+    * `[aa, aa]`), and the full `_sym_` wrapping makes suffix/prefix
+    * collisions impossible (`xa`+`b` never matches pair `(a, b)`).
+    * `_` is outside the token alphabet by the corpus contract.
+    *
+    * Scale shape: one corpus-sized pass (the word histogram), then all
+    * rounds run on the vocabulary-sized seg table, materialized per
+    * round so the per-round argmax action (a 1-row collect, the
+    * greedyMaxCover discipline — inherently sequential) never replays
+    * the growing lineage. The DuckDB oracle unrolls rounds as
+    * MATERIALIZED CTEs and replays pair counts, argmax, and replace
+    * bit-for-bit. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    var seg = Materialize(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wf"))
+        .filter(length(col("w")) >= 2)
+        .select(col("wf"),
+          regexp_replace(col("w"), "(.)", "_$1_").as("seg")))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = seg
+        .select(col("wf"),
+          split(expr("btrim(seg, '_')"), "__").as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(__syms) - 1), i -> " +
+            "struct(element_at(__syms, CAST(i AS INT)) AS l, " +
+            "element_at(__syms, CAST(i + 1 AS INT)) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).cast("long").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, l + rr, f))
+        seg = Materialize(seg.select(col("wf"),
+          expr(s"replace(seg, '_${l}__${rr}_', '_${l}${rr}_')").as("seg")))
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("step", "l_sym", "r_sym", "merged", "freq")
   }
 
   /** (w,k)-minimizer sketch per document — the genomics-style sampling

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Eval, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-12: iterated BPE training (greedy merge semantics pinned by a
+  * hand-derived fixture), largest-remainder Neyman allocation, and the
+  * qiniDeciles integral-score guard. */
+class Round12OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("bpeTrain: merge sequence, greedy left-to-right, tie-breaks") {
+    // vocab: aaab x2, aaa x1, cab x1. Hand-derived rounds:
+    //  1: (a,a) 6 (beats (a,b) 3) -> aaa segments GREEDILY to [aa,a],
+    //     aaab to [aa,a,b] (left-to-right, no rescan of merged output)
+    //  2: (a,b) 3 ties (aa,a) 3 -> l asc tie-break picks "a" < "aa"
+    //  3: (aa,ab) 2   4: (aa,a) 1 ties (c,ab) 1 -> "aa" < "c"
+    //  5: (c,ab) 1
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaa cab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, rounds = 5)
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L),
+      (4L, "aa", "a", "aaa", 1L),
+      (5L, "c", "ab", "cab", 1L)))
+  }
+
+  test("bpeTrain: stops early when no pairs remain") {
+    // one 2-char word: round 1 merges it to a single symbol, rounds
+    // 2+ have no adjacent pairs -> exactly one output row
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, rounds = 4).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(3) == "ab" && out(0).getLong(4) == 2L)
+  }
+
+  test("neymanAllocation: allocations sum exactly to totalN (largest remainder)") {
+    // three equal-weight strata, totalN = 100: 100/3 rounds to 33.33..
+    // per stratum; floors are 33 and the single leftover unit goes to
+    // the largest remainder (all tie -> lowest stratum value "a")
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      Seq((g, 1L), (g, 5L), (g, 1L), (g, 5L))
+    }
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), "g", "v",
+        totalN = 100L)
+      .orderBy("g").collect()
+    val allocs = out.map(_.getAs[Long]("alloc")).toSeq
+    assert(allocs.sum == 100L)
+    assert(allocs == Seq(34L, 33L, 33L))
+  }
+
+  test("neymanAllocation: all-degenerate strata allocate nothing") {
+    // zero-variance strata carry weight 0 -> no allocation at all
+    // (the deficit must be 0, not totalN)
+    val df = Seq(("a", 7L), ("a", 7L), ("b", 9L)).toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, "g", "v", totalN = 50L)
+      .collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == 0L)
+  }
+
+  test("qiniDeciles: non-integral score column fails fast") {
+    val u = Seq((1L, 0.9, true, true), (2L, 0.1, false, false))
+      .toDF("uid", "score", "treated", "converted")
+    val e = intercept[IllegalArgumentException] {
+      Eval.qiniDeciles(u, "score", "treated", "converted", "uid")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+}
