@@ -59,9 +59,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def evaluate(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    // GRAFT_CHECKPOINT_MODE=reliable runs the whole bench on the durable
+    // checkpoint path (the cluster-durability leg of the Materialize
+    // switch); each query gets its own reliableScope so checkpoint disk
+    // is reclaimed per query, not leaked across the 473-query run
+    sys.env.get("GRAFT_CHECKPOINT_MODE")
+      .foreach(m => spark.conf.set("graft.checkpoint.mode", m))
+    val reliable =
+      spark.conf.get("graft.checkpoint.mode", "local") == "reliable"
+
+    def evaluate(name: String): Unit = {
+      def once(): Unit = SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      if (reliable) Materialize.reliableScope(spark)(once()) else once()
+    }
 
     def settle(): Unit = { System.gc(); Thread.sleep(300) }
 

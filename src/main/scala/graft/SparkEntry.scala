@@ -2913,6 +2913,12 @@ object SparkEntry {
       // — the trained merge table a tokenizer ships; the oracle unrolls
       // rounds as MATERIALIZED CTEs and replays replace() bit-for-bit.
       TextAnalysis.bpeTrain(table(s, dir, "documents"), rounds = 5)),
+    "q_bpe_apply" -> ((s, dir) =>
+      // The trained tokenizer APPLIED: top-30 token histogram of the
+      // corpus after the 5 merges (the post-merge segmentation IS the
+      // tokenization — one explode + aggregate over the vocab table).
+      TextAnalysis.bpeApply(table(s, dir, "documents"), rounds = 5,
+        k = 30)),
     "q_minimizer_sketch" -> ((s, dir) =>
       // (8,3)-minimizer sketch per doc: min 60-bit shingle hash per
       // 8-position window, distinct — the sampling sketch; window-min is
@@ -10015,6 +10021,7 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rn
         |FROM pairs ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_apply" -> bpeApplyOracle,
     "q_minimizer_sketch" ->
       """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
         |sh0 AS (SELECT doc_id, unnest([struct_pack(pos := i,
@@ -14577,8 +14584,29 @@ object SparkEntry {
     * non-overlapping scan semantics in both engines). Every round's
     * CTE is MATERIALIZED — the k^rounds inlining lesson. */
   private lazy val bpeTrainOracle: String = {
+    val out = (1 to 5).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS l_sym, r AS r_sym, " +
+        s"l || r AS merged, freq FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH $bpeCtes\n$out"
+  }
+
+  /** Token histogram after the 5 trained merges — the apply half of
+    * the tokenizer story, over the same unrolled CTE chain. */
+  private lazy val bpeApplyOracle: String =
+    s"""WITH $bpeCtes,
+       |tok AS (SELECT token, CAST(SUM(wf) AS BIGINT) AS freq FROM
+       |    (SELECT wf, unnest(string_split(trim(seg, '_'), '__'))
+       |      AS token FROM g5)
+       |  GROUP BY 1)
+       |SELECT token, freq,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+       |    AS rank
+       |FROM tok ORDER BY freq DESC, token LIMIT 30""".stripMargin
+
+  private lazy val bpeCtes: String = {
     val base =
-      """WITH vocab AS MATERIALIZED (
+      """vocab AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w HAVING length(w) >= 2),
@@ -14598,11 +14626,7 @@ object SparkEntry {
          |  replace(seg, '_' || l || '__' || r || '_',
          |    '_' || l || r || '_') AS seg FROM g${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 5).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS step, l AS l_sym, r AS r_sym, " +
-        s"l || r AS merged, freq FROM m$i"
-    }.mkString("\nUNION ALL ")
-    s"$base,\n$rounds\n$out"
+    s"$base,\n$rounds"
   }
 
   /** Id-ordered triangle enumeration over the co-purchase graph —

@@ -19,12 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_CHECKPOINT_MODE=reliable: bit-identical-output certification
+    // of the durable checkpoint path (per-query reliableScope cleanup)
+    sys.env.get("GRAFT_CHECKPOINT_MODE")
+      .foreach(m => spark.conf.set("graft.checkpoint.mode", m))
+    val reliable =
+      spark.conf.get("graft.checkpoint.mode", "local") == "reliable"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      def once(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try {
+        if (reliable) Materialize.reliableScope(spark)(once()) else once()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1003,8 +1003,33 @@ object TextAnalysis {
     * bit-for-bit. */
   def bpeTrain(docs: DataFrame, rounds: Int = 5,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainCore(docs, rounds, textCol)._2
+      .toDF("step", "l_sym", "r_sym", "merged", "freq")
+  }
+
+  /** Apply the trained tokenizer: the token histogram of the corpus
+    * AFTER the `rounds` merges — the segmentation [[bpeTrain]] leaves
+    * behind IS the tokenization, so apply is one explode + aggregate
+    * over the vocabulary-sized seg table. Top-k under
+    * (freq desc, token); words under 2 chars are outside the
+    * tokenizer corpus by the same contract as training. */
+  def bpeApply(docs: DataFrame, rounds: Int = 5, k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = bpeTrainCore(docs, rounds, textCol)._1
+    seg.select(col("wf"),
+        explode(split(expr("btrim(seg, '_')"), "__")).as("token"))
+      .groupBy(col("token")).agg(sum(col("wf")).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+  }
+
+  private def bpeTrainCore(docs: DataFrame, rounds: Int, textCol: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     var seg = Materialize(
       docs.select(explode(tokens(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wf"))
@@ -1035,9 +1060,7 @@ object TextAnalysis {
           expr(s"replace(seg, '_${l}__${rr}_', '_${l}${rr}_')").as("seg")))
       }
     }
-    import spark.implicits._
-    merges.result()
-      .toDF("step", "l_sym", "r_sym", "merged", "freq")
+    (seg, merges.result())
   }
 
   /** (w,k)-minimizer sketch per document — the genomics-style sampling

@@ -17,10 +17,19 @@ import graft.Materialize.MaterializeOps
   */
 object ScaleSmoke {
   private var only: Option[Seq[String]] = None
+  private var session: Option[SparkSession] = None
 
   def time[A](label: String)(f: => A): Unit =
     if (only.forall(_.exists(label.contains))) {
-      val t0 = System.nanoTime(); f
+      val t0 = System.nanoTime()
+      // reliable mode (GRAFT_CHECKPOINT_MODE): per-row durable-checkpoint
+      // scope, so the 20x pass measures AND reclaims checkpoint disk
+      session match {
+        case Some(s)
+            if s.conf.get("graft.checkpoint.mode", "local") == "reliable" =>
+          graft.Materialize.reliableScope(s)(f)
+        case _ => f
+      }
       println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
@@ -42,6 +51,9 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("GRAFT_CHECKPOINT_MODE")
+      .foreach(m => spark.conf.set("graft.checkpoint.mode", m))
+    session = Some(spark)
 
     val events = multiply(graft.SparkEntry.table(spark, dir, "events"), "user_id", mult, 1_000_000L)
     val docs = multiply(

@@ -40,6 +40,18 @@ class Round12OpsSpec extends SparkFunSuite {
     assert(out(0).getString(3) == "ab" && out(0).getLong(4) == 2L)
   }
 
+  test("bpeApply: the mid-training segmentation is the tokenization") {
+    // after 2 of the 5 fixture merges ((a,a) then (a,b)):
+    // aaab -> [aa, ab] x2, aaa -> [aa, a], cab -> [c, ab]
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaa cab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeApply(docs, rounds = 2, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("aa", 3L, 1L), ("ab", 3L, 2L), ("a", 1L, 3L), ("c", 1L, 4L)))
+  }
+
   test("neymanAllocation: allocations sum exactly to totalN (largest remainder)") {
     // three equal-weight strata, totalN = 100: 100/3 rounds to 33.33..
     // per stratum; floors are 33 and the single leftover unit goes to
