@@ -725,6 +725,26 @@ object SparkEntry {
           (col("l_suppkey").cast("long") + 10000000L).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
     }),
+    "q_ppr" -> ((s, dir) => {
+      // Personalized PageRank from the <=40-id customer seeds over the
+      // SYMMETRIZED purchase graph (one-directional cust->supplier
+      // edges would strand all walk mass on dangling suppliers after
+      // one hop): "which customers and suppliers are closest to this
+      // cohort's buying neighborhood" — exact micro-long arithmetic,
+      // unrolled-CTE oracle.
+      val d = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val e = d.unionByName(
+        d.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = d.select(col("src").as("id")).filter(col("id") <= 40L)
+      graft.operators.Graph.personalizedPageRank(
+        e, seeds, iters = 4, alpha = 0.85)
+    }),
     "q_triangle_count" -> ((s, dir) => {
       // Degree-ordered triangle counting over the part co-purchase graph
       // (parts sharing an order are adjacent): top-20 vertices by triangle
@@ -6469,6 +6489,7 @@ object SparkEntry {
     "q_corpus_overlap_sampled" -> corpusOverlapOracle(sampleMod = 4),
     "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_ppr" -> pprOracle,
     "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
     "q_emd" ->
@@ -14755,6 +14776,46 @@ object SparkEntry {
          |  GROUP BY v.id, n.n)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iterCtes\nSELECT id, round(pr, 8) AS pagerank FROM p5"
+  }
+
+  /** Unrolled personalized-PageRank replay — mirrors
+    * Graph.personalizedPageRank (exact micro-long mass, truncating
+    * per-edge division, decimal incoming sums, shared pprStepSql);
+    * every round MATERIALIZED (the k^rounds inlining lesson). */
+  private lazy val pprOracle: String = {
+    val base =
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT DISTINCT id FROM v WHERE id <= 40),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sd),
+        |b AS MATERIALIZED (SELECT v.id,
+        |    CASE WHEN sd.id IS NOT NULL THEN 1000000 // ns.ns
+        |      ELSE CAST(0 AS BIGINT) END AS r0,
+        |    CASE WHEN sd.id IS NOT NULL THEN CAST(round(
+        |        CAST(1 - CAST(0.85 AS DOUBLE) AS DOUBLE) *
+        |        (1000000 // ns.ns), 0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS base
+        |  FROM v CROSS JOIN ns LEFT JOIN sd ON sd.id = v.id),
+        |od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+        |  FROM e GROUP BY 1),
+        |x0 AS MATERIALIZED (SELECT id, r0 AS xm FROM b)""".stripMargin
+    val iterCtes = (1 to 4).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM(p.xm // od.odeg) AS DECIMAL(38,0)) AS s
+         |  FROM e JOIN x${i - 1} p ON p.id = e.src
+         |  JOIN od ON od.src = e.src GROUP BY 1),
+         |x$i AS MATERIALIZED (SELECT b.id,
+         |    CAST(${graft.operators.Graph.pprStepSql(0.85)} AS BIGINT)
+         |      AS xm
+         |  FROM b LEFT JOIN s$i ON s$i.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iterCtes\n" +
+      "SELECT id, round(CAST(xm AS DOUBLE) / 1e6, 6) AS ppr FROM x4"
   }
 
   /** Cross-corpus overlap oracle — mirrors Dedup.corpusOverlap: distinct

@@ -122,6 +122,80 @@ object Graph {
     s"1000000 + CAST(round(CAST($alpha AS DOUBLE) * " +
       "CAST(coalesce(s, 0) AS DOUBLE), 0) AS BIGINT)"
 
+  /** Personalized PageRank — random walk WITH RESTART from a seed set:
+    * x_{t+1}(v) = (1−α)·r(v) + α·Σ_{u→v} x_t(u)/outdeg(u), where r is
+    * uniform over the seeds and x₀ = r. The "how relevant is every
+    * vertex TO THESE seeds" primitive behind related-item recs and
+    * local community scoring; [[pageRank]] is the seed-free global
+    * sibling, [[katzCentrality]] the un-normalized one.
+    *
+    * Determinism discipline (the katz recipe): mass lives as
+    * MICRO-LONGS; the per-edge contribution is the truncating integer
+    * division xm div odeg (both operands non-negative, so Spark `div`
+    * and DuckDB `//` agree), the per-target sum accumulates in
+    * decimal(38,0), and the single α multiply-and-round per vertex per
+    * round is IEEE-deterministic — every iteration is bit-identical
+    * across engines and the oracle unrolls rounds as MATERIALIZED
+    * CTEs. The div truncation leaks ≤ odeg−1 micro per vertex per
+    * round (documented quantization, not drift). Dangling vertices
+    * absorb their mass (standard simplified PPR).
+    *
+    * Plan per round: one src-keyed join against the once-materialized
+    * odeg-carrying edges + one dst-keyed aggregate + the vertex-sized
+    * base join — rank tables stay vertex-cardinality throughout. */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id",
+      iters: Int = 4, alpha: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().materialize
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .materialize
+    val sd = seeds.select(col(idCol).as("id")).distinct()
+      .join(verts, Seq("id"), "left_semi")
+    val ns = broadcast(sd.agg(count(lit(1)).cast("long").as("__ns")))
+    // per-seed restart micro-mass: full for x0, (1-α)-scaled per round
+    val base = verts
+      .join(sd.withColumn("__seed", lit(1L)), Seq("id"), "left")
+      .crossJoin(ns)
+      .select(col("id"),
+        expr("CASE WHEN __seed = 1 THEN 1000000 div __ns " +
+          "ELSE CAST(0 AS BIGINT) END").as("r0"),
+        expr(s"CASE WHEN __seed = 1 THEN CAST(round(" +
+          s"CAST(1 - CAST($alpha AS DOUBLE) AS DOUBLE) * " +
+          "(1000000 div __ns), 0) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").as("base"))
+      .materialize
+    val bySrc = e.withColumn("odeg",
+      count(lit(1)).over(Window.partitionBy(col("src"))).cast("long"))
+      .materialize
+    var x = base.select(col("id"), col("r0").as("xm"))
+    (1 to iters).foreach { _ =>
+      val in = bySrc
+        .join(x.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), expr("xm div odeg").as("c"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+      x = base.join(in, Seq("id"), "left")
+        .select(col("id"), expr(pprStepSql(alpha)).as("xm"))
+        .materialize
+    }
+    x.select(col("id"),
+      expr("round(CAST(xm AS DOUBLE) / 1e6, 6)").as("ppr"))
+  }
+
+  /** Next PPR micro-mass over (base, nullable incoming sum s) — the α
+    * multiply runs in explicit DOUBLE (the dtype-canary lesson).
+    * Shared with the oracle. */
+  def pprStepSql(alpha: Double): String =
+    s"base + CAST(round(CAST($alpha AS DOUBLE) * " +
+      "CAST(coalesce(s, 0) AS DOUBLE), 0) AS BIGINT)"
+
   /** Bounded-depth BFS: minimum hop count from any `sources` row to every
     * vertex reachable within `maxHops` (unreached vertices are absent).
     * Each level is one frontier-edge join plus one min-aggregate, both

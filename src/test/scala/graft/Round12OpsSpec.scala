@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Eval, Sampling, TextAnalysis}
+import graft.operators.{Eval, Graph, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-12: iterated BPE training (greedy merge semantics pinned by a
@@ -74,6 +74,30 @@ class Round12OpsSpec extends SparkFunSuite {
     val out = Sampling.neymanAllocation(df, "g", "v", totalN = 50L)
       .collect()
     assert(out.map(_.getAs[Long]("alloc")).sum == 0L)
+  }
+
+  test("personalizedPageRank: hand-derived micro-long walk with restart") {
+    // a->b, a->c, b->c; seed {a}, alpha 0.5, 2 rounds:
+    //  x0: a=1e6. base(a)=round(0.5*1e6)=500000; odeg a=2, b=1
+    //  r1: in b=500000 (1e6 div 2), c=500000; a=500000, b=250000, c=250000
+    //  r2: in b=250000, c=250000+250000; a=500000, b=125000, c=250000
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val out = Graph.personalizedPageRank(e, seeds, iters = 2, alpha = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 0.5), (2L, 0.125), (3L, 0.25)))
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored; " +
+      "restart mass splits across seeds") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 99L).map(Tuple1(_)).toDF("id")
+    // ns = 2 (99 is not a vertex): x0 a=b=500000, base=round(.5*5e5)=250000
+    // r1: in(b) = 500000 div 1 = 500000 -> a=250000, b=250000+250000
+    val out = Graph.personalizedPageRank(e, seeds, iters = 1, alpha = 0.5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 0.25), (2L, 0.5)))
   }
 
   test("qiniDeciles: non-integral score column fails fast") {
