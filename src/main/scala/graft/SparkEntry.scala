@@ -2939,6 +2939,12 @@ object SparkEntry {
       // tokenization — one explode + aggregate over the vocab table).
       TextAnalysis.bpeApply(table(s, dir, "documents"), rounds = 5,
         k = 30)),
+    "q_bpe_fertility" -> ((s, dir) =>
+      // Tokenizer fertility per source after the 5 trained merges:
+      // tokens/word + chars/token — which domain the merge table
+      // under-serves (near-character fertility = poor compression).
+      TextAnalysis.bpeFertility(table(s, dir, "documents"), "source",
+        rounds = 5)),
     "q_minimizer_sketch" -> ((s, dir) =>
       // (8,3)-minimizer sketch per doc: min 60-bit shingle hash per
       // 8-position window, distinct — the sampling sketch; window-min is
@@ -10043,6 +10049,24 @@ object SparkEntry {
         |FROM pairs ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_apply" -> bpeApplyOracle,
+    "q_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |sym AS (SELECT w,
+         |    CAST(len(string_split(trim(seg, '_'), '__')) AS BIGINT)
+         |      AS nt,
+         |    CAST(length(w) AS BIGINT) AS nc FROM g5),
+         |ps AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+         |    (SELECT source, unnest(string_split(text, ' ')) AS w
+         |      FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(cnt * nc) AS BIGINT) AS n_chars,
+         |  round(CAST(SUM(cnt * nt) AS DOUBLE) /
+         |    CAST(SUM(cnt) AS DOUBLE), 6) AS tokens_per_word,
+         |  round(CAST(SUM(cnt * nc) AS DOUBLE) /
+         |    CAST(SUM(cnt * nt) AS DOUBLE), 6) AS chars_per_token
+         |FROM ps JOIN sym USING (w) GROUP BY 1""".stripMargin,
     "q_minimizer_sketch" ->
       """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
         |sh0 AS (SELECT doc_id, unnest([struct_pack(pos := i,
@@ -14631,7 +14655,7 @@ object SparkEntry {
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w HAVING length(w) >= 2),
-        |g0 AS MATERIALIZED (SELECT wf,
+        |g0 AS MATERIALIZED (SELECT w, wf,
         |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM vocab)""".stripMargin
     val rounds = (1 to 5).map { i =>
       s"""p$i AS MATERIALIZED (SELECT l, r, CAST(SUM(wf) AS BIGINT) AS freq
@@ -14643,7 +14667,7 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, freq FROM p$i
          |  ORDER BY freq DESC, l, r LIMIT 1),
-         |g$i AS MATERIALIZED (SELECT wf,
+         |g$i AS MATERIALIZED (SELECT w, wf,
          |  replace(seg, '_' || l || '__' || r || '_',
          |    '_' || l || r || '_') AS seg FROM g${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")

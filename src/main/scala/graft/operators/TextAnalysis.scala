@@ -1027,6 +1027,39 @@ object TextAnalysis {
         .over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
   }
 
+  /** Tokenizer fertility by group — the "is this tokenizer efficient
+    * on MY domain" metric: tokens-per-word and chars-per-token after
+    * the `rounds` trained merges, per `groupCol` (e.g. source). Lower
+    * tokens/word = better compression on that slice; a domain whose
+    * fertility stays near character level is under-served by the
+    * merge table. Plan: the vocabulary-sized post-merge symbol counts
+    * join the per-group word histogram (one shuffle each) — nothing
+    * corpus-sized after the histogram pass. Words under 2 chars are
+    * outside the tokenizer corpus by the training contract. */
+  def bpeFertility(docs: DataFrame, groupCol: String = "source",
+      rounds: Int = 5, textCol: String = "text"): DataFrame = {
+    val seg = bpeTrainCore(docs, rounds, textCol)._1
+    val sym = seg.select(col("w"),
+      size(split(expr("btrim(seg, '_')"), "__")).cast("long")
+        .as("__nt"),
+      length(col("w")).cast("long").as("__nc"))
+    val perGroup = docs
+      .select(col(groupCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+    perGroup.join(sym, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("__cnt")).cast("long").as("n_words"),
+        sum(col("__cnt") * col("__nt")).cast("long").as("n_tokens"),
+        sum(col("__cnt") * col("__nc")).cast("long").as("n_chars"))
+      .withColumn("tokens_per_word", expr(
+        "round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)"))
+      .withColumn("chars_per_token", expr(
+        "round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"))
+  }
+
   private def bpeTrainCore(docs: DataFrame, rounds: Int, textCol: String)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
@@ -1034,7 +1067,7 @@ object TextAnalysis {
       docs.select(explode(tokens(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wf"))
         .filter(length(col("w")) >= 2)
-        .select(col("wf"),
+        .select(col("w"), col("wf"),
           regexp_replace(col("w"), "(.)", "_$1_").as("seg")))
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
@@ -1056,7 +1089,7 @@ object TextAnalysis {
         val (l, rr, f) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, l, rr, l + rr, f))
-        seg = Materialize(seg.select(col("wf"),
+        seg = Materialize(seg.select(col("w"), col("wf"),
           expr(s"replace(seg, '_${l}__${rr}_', '_${l}${rr}_')").as("seg")))
       }
     }

@@ -52,6 +52,21 @@ class Round12OpsSpec extends SparkFunSuite {
       ("aa", 3L, 1L), ("ab", 3L, 2L), ("a", 1L, 3L), ("c", 1L, 4L)))
   }
 
+  test("bpeFertility: per-source tokens/word and chars/token after merges") {
+    // post-2-round segs: aaab=[aa,ab] (2 tok, 4 ch), aaa=[aa,a] (2, 3),
+    // cab=[c,ab] (2, 3). x: aaab x2 -> tpw 4/2=2.0, cpt 8/4=2.0;
+    // y: aaa+cab -> tpw 4/2=2.0, cpt 6/4=1.5
+    val docs = Seq((1L, "x", "aaab aaab"), (2L, "y", "aaa cab"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.bpeFertility(docs, "source", rounds = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("tokens_per_word"),
+        r.getAs[Double]("chars_per_token")))
+    assert(out.toSeq == Seq(
+      ("x", 2L, 4L, 2.0, 2.0), ("y", 2L, 4L, 2.0, 1.5)))
+  }
+
   test("neymanAllocation: allocations sum exactly to totalN (largest remainder)") {
     // three equal-weight strata, totalN = 100: 100/3 rounds to 33.33..
     // per stratum; floors are 33 and the single leftover unit goes to
