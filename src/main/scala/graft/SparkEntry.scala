@@ -1336,6 +1336,23 @@ object SparkEntry {
       val sess = graft.operators.Sessionize.gapSessionize(table(s, dir, "events"))
       graft.operators.Sessionize.sessionEntryExit(sess)
     }),
+    "q_ransac" -> ((s, dir) => {
+      // RANSAC consensus line over (quantity, extended price cents):
+      // 16 md5-seeded two-point candidates, exact integer inlier votes
+      // at eps = $2000.00, OLS refit on the winner's inliers. On this
+      // part-price-dispersed data the headline is the CONSENSUS
+      // FRACTION (~4%): the robust "is there a dominant linear band,
+      // and what is it" diagnostic plain OLS can't give — the spec
+      // pins the planted-line case where RANSAC recovers slope exactly
+      // while OLS is dragged by outliers.
+      graft.operators.TimeSeries.ransacLine(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey").cast("long") * 10L +
+            col("l_linenumber").cast("long")).as("lid"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "lid", "qty", "cents", nCand = 16, epsilon = 200000L)
+    }),
     "q_trend_ols" -> ((s, dir) => {
       // Per-user spend trend line (slope cents/day, intercept, r2) from
       // exact BIGINT moment sums — the acf pattern applied to regression.
@@ -8735,6 +8752,43 @@ object SparkEntry {
         |  CAST(COUNT(*) = 1 AS INT) AS bounce
         |FROM s3
         |GROUP BY user_id, session_id""".stripMargin,
+    "q_ransac" ->
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+         |    CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+         |  FROM lineitem),
+         |sel AS MATERIALIZED (SELECT id, x, y,
+         |    CAST(row_number() OVER (ORDER BY hh, id) AS BIGINT) AS rk
+         |  FROM (SELECT id, x, y, CAST('0x' || substr(md5(
+         |        'ransac:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      AS hh FROM pts)
+         |  QUALIFY rk <= 32),
+         |cand AS MATERIALIZED (SELECT (a.rk + 1) // 2 AS cand,
+         |    a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |  FROM sel a JOIN sel b
+         |    ON b.rk = a.rk + 1 AND a.rk % 2 = 1 AND b.x != a.x),
+         |inl AS MATERIALIZED (SELECT cand, x1, y1, x2, y2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inliers
+         |  FROM pts p CROSS JOIN cand c
+         |  WHERE ${graft.operators.TimeSeries.ransacInlierSql(200000L)}
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |win AS MATERIALIZED (SELECT * FROM inl
+         |  ORDER BY n_inliers DESC, cand LIMIT 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pts),
+         |fit AS (SELECT cand, x1, y1, x2, y2, n_inliers,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM pts, win
+         |  WHERE ${graft.operators.TimeSeries.ransacInlierSql(200000L)}
+         |  GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT cand, x1, y1, x2, y2, n_inliers, n_total,
+         |  round(CAST(n_inliers AS DOUBLE) / n_total, 6) AS inlier_frac,
+         |  ${graft.operators.TimeSeries.ransacSlopeSql} AS slope,
+         |  ${graft.operators.TimeSeries.ransacInterceptSql} AS intercept
+         |FROM fit, tot""".stripMargin,
     "q_trend_ols" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

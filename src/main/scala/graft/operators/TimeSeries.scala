@@ -465,6 +465,99 @@ object TimeSeries {
           6).as("r2"))
   }
 
+  /** Deterministic RANSAC robust line fit — [[trendOls]]'s
+    * outlier-immune sibling: `nCand` two-point candidate lines are
+    * seeded from the md5-ranked points (no RNG — reruns, partitionings,
+    * and the SQL oracle all draw the SAME candidates), every point
+    * votes inlier/outlier per candidate under an EXACT INTEGER residual
+    * test, the candidate with the most inliers wins (ties by candidate
+    * index), and the final line is the exact-moment OLS refit over the
+    * winner's inliers.
+    *
+    * The inlier test never divides: |y − ŷ(x)| ≤ ε on the candidate
+    * line through (x1,y1),(x2,y2) is cross-multiplied to
+    * |(y−y1)·dx − (x−x1)·dy| ≤ ε·|dx| — decimal(38,0) products, so
+    * both engines compare exact integers. The refit's moment sums stay
+    * BIGINT (caller contract: n·Σxy must fit int64 — cents×quantity
+    * scales to ~10¹⁸ rows here) and the two final division chains run
+    * in explicit DOUBLE (shared SQL text; double ·/÷ match libm-free
+    * across engines).
+    *
+    * Plan: one TakeOrdered of 2·nCand seed rows, one broadcast of the
+    * ≤ nCand candidate lines against the point set (narrow filter +
+    * count), a 1-row winner broadcast, one refit aggregate. Nothing
+    * quadratic, nothing driver-bound. */
+  def ransacLine(
+      df: DataFrame, idCol: String, xCol: String, yCol: String,
+      nCand: Int = 16, epsilon: Long = 1000000L): DataFrame = {
+    require(nCand >= 1, s"nCand must be >= 1: $nCand")
+    require(epsilon >= 0, s"epsilon must be >= 0: $epsilon")
+    import org.apache.spark.sql.expressions.Window
+    val pts = graft.Materialize(df.select(
+      col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+    val sel = graft.Materialize(pts
+      .withColumn("__h", graft.functions.TextFunctions.tokenHash60(
+        concat(lit("ransac:"), col("id").cast("string"))))
+      .orderBy(col("__h"), col("id")).limit(2 * nCand)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("__h"), col("id"))).cast("long")))
+    val cand = sel.as("a").join(sel.as("b"),
+        col("b.rk") === col("a.rk") + 1L &&
+          pmod(col("a.rk"), lit(2L)) === 1L &&
+          col("b.x") =!= col("a.x"))
+      .select(expr("(a.rk + 1) div 2").as("cand"),
+        col("a.x").as("x1"), col("a.y").as("y1"),
+        col("b.x").as("x2"), col("b.y").as("y2"))
+    val inl = pts.crossJoin(broadcast(cand))
+      .filter(expr(ransacInlierSql(epsilon)))
+    val win = broadcast(graft.Materialize(
+      inl.groupBy(col("cand"), col("x1"), col("y1"), col("x2"), col("y2"))
+        .agg(count(lit(1)).cast("long").as("n_inliers"))
+        .orderBy(col("n_inliers").desc, col("cand")).limit(1)))
+    val tot = broadcast(pts.agg(count(lit(1)).cast("long").as("n_total")))
+    pts.crossJoin(win)
+      .filter(expr(ransacInlierSql(epsilon)))
+      .groupBy(col("cand"), col("x1"), col("y1"), col("x2"), col("y2"),
+        col("n_inliers"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .crossJoin(tot)
+      .select(col("cand"), col("x1"), col("y1"), col("x2"), col("y2"),
+        col("n_inliers"), col("n_total"),
+        expr("round(CAST(n_inliers AS DOUBLE) / n_total, 6)")
+          .as("inlier_frac"),
+        expr(ransacSlopeSql).as("slope"),
+        expr(ransacInterceptSql).as("intercept"))
+  }
+
+  /** Exact cross-multiplied inlier predicate over
+    * (x, y, x1, y1, x2, y2) — shared with the oracle. */
+  def ransacInlierSql(eps: Long): String =
+    "abs(CAST(y - y1 AS DECIMAL(38,0)) * (x2 - x1) - " +
+      "CAST(x - x1 AS DECIMAL(38,0)) * (y2 - y1)) <= " +
+      s"CAST($eps AS DECIMAL(38,0)) * abs(x2 - x1)"
+
+  private val ransacDetSql: String =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+  private val ransacSlopeRawSql: String =
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      s"CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / $ransacDetSql)"
+
+  /** OLS slope/intercept over exact BIGINT moments (n, sx, sy, sxy,
+    * sxx), NULL on zero x-variance — shared with the oracle. */
+  val ransacSlopeSql: String =
+    s"CASE WHEN $ransacDetSql > 0 THEN round($ransacSlopeRawSql, 6) END"
+
+  val ransacInterceptSql: String =
+    s"CASE WHEN $ransacDetSql > 0 THEN round((CAST(sy AS DOUBLE) - " +
+      s"CAST(sx AS DOUBLE) * $ransacSlopeRawSql) / CAST(n AS DOUBLE), 6) END"
+
   /** Per-key autocorrelation at `lag` over the ordered bucket series —
     * Pearson correlation of (vₜ, vₜ₋lag) on CONSECUTIVE-ROW pairs. The
     * correlation is assembled from exact BIGINT moment sums (n, Σx, Σy,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Eval, Graph, Sampling, TextAnalysis}
+import graft.operators.{Eval, Graph, Sampling, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-12: iterated BPE training (greedy merge semantics pinned by a
@@ -113,6 +113,34 @@ class Round12OpsSpec extends SparkFunSuite {
     val out = Graph.personalizedPageRank(e, seeds, iters = 1, alpha = 0.5)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.toSeq == Seq((1L, 0.25), (2L, 0.5)))
+  }
+
+  test("ransacLine: recovers a planted line exactly where OLS is dragged") {
+    // 40 points exactly on y = 3x + 10, 15 far-off outliers. At eps=0
+    // only exact collinearity votes, so any candidate seeded from two
+    // line points collects all 40 inliers and the OLS refit over them
+    // returns slope 3, intercept 10 exactly; plain OLS over the full
+    // set is dragged far off the line by the outliers.
+    val line = (1L to 40L).map(x => (x, x, 3L * x + 10L))
+    val outliers = (41L to 55L).map(i => (i, i - 40L, 10000L + 137L * i))
+    val df = (line ++ outliers).toDF("id", "x", "y")
+    val fit = TimeSeries.ransacLine(df, "id", "x", "y",
+      nCand = 8, epsilon = 0L).head()
+    assert(fit.getAs[Long]("n_inliers") == 40L)
+    assert(fit.getAs[Long]("n_total") == 55L)
+    assert(fit.getAs[Double]("slope") == 3.0)
+    assert(fit.getAs[Double]("intercept") == 10.0)
+    val ols = TimeSeries.trendOls(
+      df.withColumn("k", lit(1L)), "k", "x", "y").head()
+    assert(math.abs(ols.getAs[Double]("slope") - 3.0) > 10.0)
+  }
+
+  test("ransacLine: zero x-variance in the winner's inliers yields null fit") {
+    // all points share x -> no candidate has dx != 0 -> empty output
+    val df = Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L))
+      .toDF("id", "x", "y")
+    assert(TimeSeries.ransacLine(df, "id", "x", "y", nCand = 4,
+      epsilon = 10L).collect().isEmpty)
   }
 
   test("qiniDeciles: non-integral score column fails fast") {
