@@ -2956,6 +2956,11 @@ object SparkEntry {
       // tokenization — one explode + aggregate over the vocab table).
       TextAnalysis.bpeApply(table(s, dir, "documents"), rounds = 5,
         k = 30)),
+    "q_textrank" -> ((s, dir) =>
+      // TextRank keywords: PageRank (= all-vertex-restart PPR, exact
+      // micro-long walk) over the adjacent-word co-occurrence graph,
+      // top-20 by (score, word).
+      TextAnalysis.textRank(table(s, dir, "documents"), k = 20)),
     "q_bpe_fertility" -> ((s, dir) =>
       // Tokenizer fertility per source after the 5 trained merges:
       // tokens/word + chars/token — which domain the merge table
@@ -6513,6 +6518,7 @@ object SparkEntry {
     "q_bfs_hops" -> bfsOracle,
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
+    "q_textrank" -> textrankOracle,
     "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
     "q_emd" ->
@@ -14882,18 +14888,49 @@ object SparkEntry {
         |od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
         |  FROM e GROUP BY 1),
         |x0 AS MATERIALIZED (SELECT id, r0 AS xm FROM b)""".stripMargin
-    val iterCtes = (1 to 4).map { i =>
+    s"$base,\n${pprIterCtes(4, 0.85)}\n" +
+      "SELECT id, round(CAST(xm AS DOUBLE) / 1e6, 6) AS ppr FROM x4"
+  }
+
+  /** The shared unrolled-PPR round CTEs over (e, od, b, x0) — used by
+    * the q_ppr and q_textrank replays. */
+  private def pprIterCtes(rounds: Int, alpha: Double): String =
+    (1 to rounds).map { i =>
       s"""s$i AS MATERIALIZED (SELECT e.dst AS id,
          |    CAST(SUM(p.xm // od.odeg) AS DECIMAL(38,0)) AS s
          |  FROM e JOIN x${i - 1} p ON p.id = e.src
          |  JOIN od ON od.src = e.src GROUP BY 1),
          |x$i AS MATERIALIZED (SELECT b.id,
-         |    CAST(${graft.operators.Graph.pprStepSql(0.85)} AS BIGINT)
+         |    CAST(${graft.operators.Graph.pprStepSql(alpha)} AS BIGINT)
          |      AS xm
          |  FROM b LEFT JOIN s$i ON s$i.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$iterCtes\n" +
-      "SELECT id, round(CAST(xm AS DOUBLE) / 1e6, 6) AS ppr FROM x4"
+
+  /** TextRank replay: the word co-occurrence graph + the same unrolled
+    * PPR rounds with EVERY vertex in the restart set (uniform restart
+    * = plain PageRank). */
+  private lazy val textrankOracle: String = {
+    val base =
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl
+        |  FROM documents),
+        |nb AS (SELECT doc_id, w, w2 FROM (SELECT doc_id,
+        |    tl[i] AS w, tl[i + 1] AS w2
+        |  FROM tl, LATERAL (SELECT unnest(range(1, len(tl))) AS i))
+        |  WHERE w != w2),
+        |e AS MATERIALIZED (SELECT w AS src, w2 AS dst FROM nb
+        |  UNION SELECT w2, w FROM nb),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM v),
+        |b AS MATERIALIZED (SELECT v.id, 1000000 // ns.ns AS r0,
+        |    CAST(round(CAST(1 - CAST(0.85 AS DOUBLE) AS DOUBLE) *
+        |      (1000000 // ns.ns), 0) AS BIGINT) AS base
+        |  FROM v CROSS JOIN ns),
+        |od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+        |  FROM e GROUP BY 1),
+        |x0 AS MATERIALIZED (SELECT id, r0 AS xm FROM b)""".stripMargin
+    s"$base,\n${pprIterCtes(4, 0.85)}\n" +
+      """SELECT id AS word, round(CAST(xm AS DOUBLE) / 1e6, 6) AS score
+        |FROM x4 ORDER BY score DESC, word LIMIT 20""".stripMargin
   }
 
   /** Cross-corpus overlap oracle — mirrors Dedup.corpusOverlap: distinct

@@ -1096,6 +1096,36 @@ object TextAnalysis {
     (seg, merges.result())
   }
 
+  /** TextRank keyword extraction — PageRank over the word
+    * CO-OCCURRENCE graph (adjacent tokens are mutually linked): the
+    * graph-centrality answer to "which words organize this corpus",
+    * complementing [[rakeKeyphrases]] (degree/frequency) and TF-IDF
+    * (contrast). Implemented as
+    * [[graft.operators.Graph.personalizedPageRank]] with the restart
+    * vector spread over EVERY vertex — uniform restart IS plain
+    * PageRank, so the walk inherits the exact micro-long determinism
+    * and the unrolled-CTE oracle replay. Top-k by (score desc, word).
+    * Caveat inherited from the micro quantization: vocabularies beyond
+    * 10⁶ distinct words quantize the per-word restart to zero — shard
+    * by language/source upstream at that scale. */
+  def textRank(docs: DataFrame, k: Int = 20, iters: Int = 4,
+      alpha: Double = 0.85, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+    val nbr = toks
+      .withColumn("w2", lead(col("w"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+    val e = nbr.select(col("w").as("src"), col("w2").as("dst"))
+      .unionByName(nbr.select(col("w2").as("src"), col("w").as("dst")))
+    val seeds = e.select(col("src").as("id"))
+    graft.operators.Graph.personalizedPageRank(
+        e, seeds, iters = iters, alpha = alpha)
+      .select(col("id").as("word"), col("ppr").as("score"))
+      .orderBy(col("score").desc, col("word")).limit(k)
+  }
+
   /** (w,k)-minimizer sketch per document — the genomics-style sampling
     * sketch: hash every k-token shingle at its position, keep the MINIMUM
     * hash in every window of `w` consecutive positions, emit the distinct

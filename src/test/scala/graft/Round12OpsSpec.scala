@@ -115,6 +115,19 @@ class Round12OpsSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((1L, 0.25), (2L, 0.5)))
   }
 
+  test("textRank: hub word dominates; hand-derived one-round scores") {
+    // "a b a c a d": symmetric co-occurrence a<->{b,c,d}; ns=4,
+    // r0=250000, base=round(.15*250000)=37500, odeg a=3, others 1.
+    // round 1: in(a)=3*250000, in(x)=250000 div 3=83333 ->
+    // a=37500+round(.85*750000)=675000; x=37500+round(.85*83333)=108333
+    val docs = Seq((1L, "a b a c a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, k = 4, iters = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out("a") == 0.675)
+    assert(out("b") == 0.108333 && out("c") == 0.108333 &&
+      out("d") == 0.108333)
+  }
+
   test("ransacLine: recovers a planted line exactly where OLS is dragged") {
     // 40 points exactly on y = 3x + 10, 15 far-off outliers. At eps=0
     // only exact collinearity votes, so any candidate seeded from two
