@@ -1625,6 +1625,62 @@ object ScaleSmoke {
       drain(Similarity.ivfTopK(q, clustered, k = 10, nCentroids = 16,
         nprobe = 2, trainIters = 0, cellsPerVec = 2, cellCap = 500))
     }
+    time(s"r12 bpe train+apply+fertility x${math.max(1, mult / 5)}") {
+      // one corpus-sized histogram pass, then vocabulary-sized rounds:
+      // the suffix perturbation keeps copies' vocabularies DISJOINT so
+      // the vocab (and per-round work) grows with the multiplier — the
+      // honest worst case for a multiplied corpus
+      val d2 = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("x"), pmod(col("doc_id"), lit(977)))))
+          .as("text"))
+      drain(TextAnalysis.bpeTrain(d2, rounds = 5))
+      drain(TextAnalysis.bpeApply(d2, rounds = 5, k = 30))
+      drain(TextAnalysis.bpeFertility(
+        d2.withColumn("source", pmod(col("doc_id"), lit(20L))), "source",
+        rounds = 5))
+    }
+    time(s"r12 textRank x${math.max(1, mult / 5)}") {
+      // tokenize is corpus-sized; the walk is vocabulary-graph-sized
+      drain(TextAnalysis.textRank(docs, k = 20))
+    }
+    time(s"r12 ppr x$mult (disjoint graph copies)") {
+      // restart-walk cost per round is one edge join + one agg — must
+      // scale with the multiplied edge count like hits/labelProp
+      val e0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.SparkEntry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10_000_000L).as("dst"))
+      val edges = (0 until mult).map { i =>
+        e0.select((col("src") + lit(i * 20_000_000L)).as("src"),
+          (col("dst") + lit(i * 20_000_000L)).as("dst"))
+      }.reduce(_ unionByName _)
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(pmod(col("id"), lit(20_000_000L)) <= 40L)
+      drain(graft.operators.Graph.personalizedPageRank(
+        sym, seeds, iters = 4))
+    }
+    time(s"r12 ransac x$mult (shifted point copies)") {
+      // candidate count is FIXED (16), so cost = points x candidates
+      // must grow linearly with the multiplied point set
+      val p0 = spark.read.parquet(s"$dir/lineitem.parquet").select(
+        (col("l_orderkey").cast("long") * 10L +
+          col("l_linenumber").cast("long")).as("lid"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+          .as("cents"))
+      val pts = (0 until mult).map { i =>
+        p0.select((col("lid") + lit(i * 100_000_000L)).as("lid"),
+          col("qty"), col("cents"))
+      }.reduce(_ unionByName _)
+      drain(graft.operators.TimeSeries.ransacLine(
+        pts, "lid", "qty", "cents", nCand = 16, epsilon = 200000L))
+    }
     spark.stop()
   }
 }
