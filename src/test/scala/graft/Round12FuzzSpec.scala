@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Graph, Sampling, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-12 cross-implementation fuzz: iterated BPE training/apply
@@ -84,6 +84,90 @@ class Round12FuzzSpec extends SparkFunSuite {
         .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
       val (_, want) = refBpe(wf, rounds = 2)
       assert(got == want, s"seed=$seed words=$words")
+    }
+  }
+
+  test("personalizedPageRank matches a direct in-memory quantized walk") {
+    (1 to 8).foreach { seed =>
+      val r = rng(400 + seed)
+      val n = 5 + r.nextInt(8)
+      val edges = (0 until 2 * n)
+        .map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val seeds = verts.filter(_ => r.nextBoolean()) match {
+          case Nil => Seq(verts.head)
+          case s => s
+        }
+        val alpha = 0.85
+        val got = Graph.personalizedPageRank(
+            edges.toDF("src", "dst"), seeds.map(Tuple1(_)).toDF("id"),
+            iters = 3, alpha = alpha)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        // independent reference: adjacency-map walk on the exact same
+        // quantized recurrence (micro longs, trunc div, double round)
+        val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val ns = seeds.size.toLong
+        val r0 = verts.map(v =>
+          v -> (if (seeds.contains(v)) 1000000L / ns else 0L)).toMap
+        val base = verts.map(v => v -> (if (seeds.contains(v))
+          math.round((1 - alpha) * (1000000L / ns)) else 0L)).toMap
+        var x = r0
+        for (_ <- 1 to 3) {
+          val in = scala.collection.mutable.Map.empty[Long, BigInt]
+          edges.foreach { case (u, v) =>
+            in(v) = in.getOrElse(v, BigInt(0)) + (x(u) / odeg(u))
+          }
+          x = verts.map(v => v -> (base(v) +
+            math.round(alpha * in.getOrElse(v, BigInt(0)).toDouble))).toMap
+        }
+        val want = verts.map(v =>
+          v -> (math.round(x(v).toDouble / 1e6 * 1e6) / 1e6)).toMap
+        assert(got == want, s"seed=$seed edges=$edges seeds=$seeds")
+      }
+    }
+  }
+
+  test("ransacLine: winner's inlier count matches brute force and beats " +
+      "every other candidate") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (1 to 6).foreach { seed =>
+      val r = rng(500 + seed)
+      val pts = (1L to (30L + r.nextInt(40)))
+        .map(i => (i, r.nextInt(50).toLong, r.nextInt(2000).toLong))
+      val eps = 50L + r.nextInt(300)
+      val out = TimeSeries.ransacLine(
+        pts.toDF("id", "x", "y"), "id", "x", "y",
+        nCand = 8, epsilon = eps).collect()
+      // replicate the seed ranking independently (MessageDigest md5)
+      val sel = pts.sortBy(p => (h60(s"ransac:${p._1}"), p._1)).take(16)
+      val cands = sel.grouped(2).toSeq.zipWithIndex.collect {
+        case (Seq(a, b), i) if a._2 != b._2 =>
+          (i + 1L, a._2, a._3, b._2, b._3)
+      }
+      def inliers(c: (Long, Long, Long, Long, Long)): Long =
+        pts.count { case (_, x, y) =>
+          ((BigInt(y) - c._3) * (c._4 - c._2) -
+            (BigInt(x) - c._2) * (c._5 - c._3)).abs <=
+            BigInt(eps) * (BigInt(c._4) - c._2).abs
+        }.toLong
+      if (cands.isEmpty) assert(out.isEmpty, s"seed=$seed")
+      else {
+        val row = out.head
+        val winner = (row.getAs[Long]("cand"), row.getAs[Long]("x1"),
+          row.getAs[Long]("y1"), row.getAs[Long]("x2"),
+          row.getAs[Long]("y2"))
+        val counts = cands.map(c => (c._1, inliers(c)))
+        val best = counts.minBy { case (i, nn) => (-nn, i) }
+        assert(winner._1 == best._1 &&
+          row.getAs[Long]("n_inliers") == best._2,
+          s"seed=$seed winner=$winner counts=$counts")
+      }
     }
   }
 
