@@ -53,16 +53,36 @@ object Materialize {
     * No-op wrapper semantics in `local` mode (nothing is written to
     * the dir, and the delete of the unused subdir is harmless).
     * `SparkContext.setCheckpointDir` already creates a UUID subdir per
-    * call, so scoping is one re-point + one recursive delete. */
+    * call, so scoping is one re-point + one recursive delete.
+    *
+    * On exit the session's checkpoint dir is RE-POINTED AWAY from the
+    * deleted scope dir — back under the prior dir if one was set, else
+    * to the configured base — so a later reliable-mode [[apply]]
+    * outside any scope writes into the tracked base directory, never
+    * into the untracked ghost of a deleted scope (the round-12 ADVICE
+    * leak). NOT safe for concurrent queries on one SparkSession: the
+    * checkpoint dir is SparkContext-global, so two live scopes would
+    * re-point the shared dir and each scope's exit would delete the
+    * other's in-flight checkpoint files — serialize scopes per
+    * session (Bench/ScaleSmoke/Verify all do). */
   def reliableScope[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val sc = spark.sparkContext
-    sc.setCheckpointDir(spark.conf.get("graft.checkpoint.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"))
+    val prior = sc.getCheckpointDir
+    val base = spark.conf.get("graft.checkpoint.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+    sc.setCheckpointDir(base)
     val dir = sc.getCheckpointDir.get
     try body
     finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      // setCheckpointDir(prior) would nest a fresh UUID under the old
+      // scope dir; re-pointing at the base (= the parent of every
+      // prior dir this module ever set) keeps post-scope checkpoints
+      // inside the one tracked tree either way.
+      sc.setCheckpointDir(prior.map(d =>
+        new org.apache.hadoop.fs.Path(d).getParent.toString)
+        .getOrElse(base))
     }
   }
   def apply[T](ds: Dataset[T]): Dataset[T] = {

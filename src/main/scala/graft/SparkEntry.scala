@@ -2956,6 +2956,16 @@ object SparkEntry {
       // tokenization — one explode + aggregate over the vocab table).
       TextAnalysis.bpeApply(table(s, dir, "documents"), rounds = 5,
         k = 30)),
+    "q_bpe_train_batched" -> ((s, dir) =>
+      // Batched BPE training (the 100 TB trainer shape): per round the
+      // top-4 candidate pairs walked rank-first, every pair whose
+      // symbol triple {l,r,lr} is disjoint from the already-SELECTED
+      // triples merges in ONE replace job — up to 12 merges in 3
+      // rounds vs 3 for sequential. The oracle replays the ranking,
+      // the chained greedy selection (recursive CTE over the ≤4
+      // candidates), and the slot-unrolled replace chain.
+      TextAnalysis.bpeTrainBatched(table(s, dir, "documents"),
+        rounds = 3, batchTopN = 4)),
     "q_textrank" -> ((s, dir) =>
       // TextRank keywords: PageRank (= all-vertex-restart PPR, exact
       // micro-long walk) over the adjacent-word co-occurrence graph,
@@ -10108,6 +10118,7 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rn
         |FROM pairs ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_train_batched" -> bpeTrainBatchedOracle,
     "q_bpe_apply" -> bpeApplyOracle,
     "q_bpe_fertility" ->
       s"""WITH $bpeCtes,
@@ -14709,12 +14720,21 @@ object SparkEntry {
        |    AS rank
        |FROM tok ORDER BY freq DESC, token LIMIT 30""".stripMargin
 
+  /** The vocab filter mirrors the ENFORCED tokenizer-corpus contract
+    * (TextAnalysis.bpeHostileTokenRe): tokens carrying the wrap
+    * sentinel `_`, a quote, or a backslash are dropped before
+    * training. Each g_i LEFT JOINs its (≤1-row) merge so an exhausted
+    * round passes the segmentation through unchanged instead of
+    * cascading to an empty corpus (the round-12 ADVICE latent
+    * divergence on small corpora — Spark keeps the final seg table on
+    * exhaustion; the inner-join replay used to drop it). */
   private lazy val bpeCtes: String = {
     val base =
       """vocab AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w HAVING length(w) >= 2),
+        |  GROUP BY w
+        |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\]')),
         |g0 AS MATERIALIZED (SELECT w, wf,
         |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM vocab)""".stripMargin
     val rounds = (1 to 5).map { i =>
@@ -14728,10 +14748,85 @@ object SparkEntry {
          |m$i AS MATERIALIZED (SELECT l, r, freq FROM p$i
          |  ORDER BY freq DESC, l, r LIMIT 1),
          |g$i AS MATERIALIZED (SELECT w, wf,
-         |  replace(seg, '_' || l || '__' || r || '_',
-         |    '_' || l || r || '_') AS seg FROM g${i - 1}, m$i)""".stripMargin
+         |  COALESCE(replace(seg, '_' || l || '__' || r || '_',
+         |    '_' || l || r || '_'), seg) AS seg
+         |  FROM g${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$rounds"
+  }
+
+  /** Unrolled batched-BPE replay (rounds=3, batchTopN=4) — mirrors
+    * TextAnalysis.bpeTrainBatched: per round, pair counts, the top-4
+    * candidate ranking (freq desc, l, r), the CHAINED greedy disjoint
+    * selection (walk candidates rank-first, keep a pair iff its symbol
+    * triple {l, r, l||r} is disjoint from every SELECTED pair's triple
+    * — replayed as a recursive CTE carrying the used-symbol list),
+    * then the batch applied slot-by-slot: four passthrough-replace
+    * CTEs per round, each LEFT JOINing its (≤1-row) rank slot so an
+    * empty slot is the identity (the same LEFT-JOIN-passthrough shape
+    * as the sequential bpeCtes exhaustion fix). */
+  private lazy val bpeTrainBatchedOracle: String = {
+    val rounds = 3
+    val n = 4
+    val base =
+      """bvocab AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\]')),
+        |bh0 AS MATERIALIZED (SELECT w, wf,
+        |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM bvocab)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      val slots = (1 to n).map { j =>
+        val src = if (j == 1) s"bh${i - 1}" else s"bh${i}s${j - 1}"
+        val out = if (j == n) s"bh$i" else s"bh${i}s$j"
+        s"""$out AS MATERIALIZED (SELECT w, wf,
+           |  COALESCE(replace(seg, '_' || m.l || '__' || m.r || '_',
+           |    '_' || m.l || m.r || '_'), seg) AS seg
+           |  FROM $src LEFT JOIN
+           |    (SELECT l, r FROM bs$i WHERE k = $j) m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""bp$i AS MATERIALIZED (SELECT l, r, CAST(SUM(wf) AS BIGINT) AS freq
+         |  FROM (SELECT wf, pr.l AS l, pr.r AS r FROM
+         |    (SELECT wf, string_split(trim(seg, '_'), '__') AS syms
+         |      FROM bh${i - 1}),
+         |    LATERAL (SELECT unnest([struct_pack(l := syms[j],
+         |        r := syms[j + 1]) FOR j IN range(1, len(syms))]) AS pr))
+         |  GROUP BY 1, 2),
+         |bc$i AS MATERIALIZED (SELECT l, r, freq,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, l, r) AS BIGINT)
+         |    AS rn
+         |  FROM bp$i ORDER BY freq DESC, l, r LIMIT $n),
+         |bs$i AS MATERIALIZED (
+         |  WITH RECURSIVE walk AS (
+         |    SELECT rn, l, r, freq, TRUE AS picked,
+         |      [l, r, l || r] AS used
+         |    FROM bc$i WHERE rn = 1
+         |    UNION ALL
+         |    SELECT c.rn, c.l, c.r, c.freq,
+         |      NOT (list_contains(w.used, c.l) OR
+         |        list_contains(w.used, c.r) OR
+         |        list_contains(w.used, c.l || c.r)) AS picked,
+         |      CASE WHEN NOT (list_contains(w.used, c.l) OR
+         |          list_contains(w.used, c.r) OR
+         |          list_contains(w.used, c.l || c.r))
+         |        THEN list_concat(w.used, [c.l, c.r, c.l || c.r])
+         |        ELSE w.used END AS used
+         |    FROM walk w JOIN bc$i c ON c.rn = w.rn + 1)
+         |  SELECT l, r, freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY rn) AS BIGINT) AS k
+         |  FROM walk WHERE picked),
+         |$slots""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, l, r, freq, k FROM bs$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $base,
+       |$roundCtes
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, k) AS BIGINT)
+       |    AS step,
+       |  round, l AS l_sym, r AS r_sym, l || r AS merged, freq
+       |FROM ($union)""".stripMargin
   }
 
   /** Id-ordered triangle enumeration over the co-purchase graph —

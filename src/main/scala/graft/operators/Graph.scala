@@ -158,6 +158,29 @@ object Graph {
       .materialize
     val sd = seeds.select(col(idCol).as("id")).distinct()
       .join(verts, Seq("id"), "left_semi")
+      .materialize
+    // Fail-fast guards on the seed count (one count over the already-
+    // materialized seed set — no extra scan of edges or seeds):
+    //  - zero surviving seeds (typo'd ids, empty frame) would make
+    //    every restart term 0 and the walk would silently return
+    //    all-zero scores — a plausible-looking, meaningless result;
+    //  - more than 10^6 seeds quantizes the per-seed micro restart
+    //    (1000000 div ns) to 0 with the same silent-zero outcome (the
+    //    textRank caveat, now loud). Shard the graph upstream (by
+    //    language/source/partition key), run the walk per shard, and
+    //    union — restart mass is per-shard, so sharding is exact for
+    //    disjoint vertex sets.
+    val nsCount = sd.count()
+    require(nsCount > 0,
+      "personalizedPageRank: no seed id intersects the edge vertex " +
+        "set — every restart term would be 0 and all scores would be " +
+        "silently 0. Check the seed ids (and idCol) against src/dst.")
+    require(nsCount <= 1000000L,
+      s"personalizedPageRank: $nsCount seeds quantize the per-seed " +
+        "micro restart (1000000 div ns) to 0 — all scores would be " +
+        "silently 0. Shard the graph (by language/source) and run the " +
+        "walk per shard; restart mass is per-shard, so the union of " +
+        "per-shard walks is exact for disjoint vertex sets.")
     val ns = broadcast(sd.agg(count(lit(1)).cast("long").as("__ns")))
     // per-seed restart micro-mass: full for x0, (1-α)-scaled per round
     val base = verts

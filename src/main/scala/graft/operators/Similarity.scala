@@ -312,9 +312,18 @@ object Similarity {
     }
 
   /** (vec_id, srp_sig) signature table — deterministic, so hash-matchable
-    * against the DuckDB oracle bit-for-bit. */
-  def srpSignatures(embeddings: DataFrame, planes: Int = 32): DataFrame = {
-    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    * against the DuckDB oracle bit-for-bit. Probes [[dimsOf]] once; a
+    * caller composing several SRP stages over the same frame threads
+    * its own probe through [[srpSignaturesWithDims]] instead (the PQ
+    * `…WithDims` discipline from the round-11 ADVICE, extended to the
+    * SRP family in round 13). */
+  def srpSignatures(embeddings: DataFrame, planes: Int = 32): DataFrame =
+    srpSignaturesWithDims(embeddings, planes, dimsOf(embeddings, "embedding"))
+
+  /** [[srpSignatures]] with the embedding dimensionality supplied by
+    * the caller — zero data jobs at plan-build time. */
+  def srpSignaturesWithDims(embeddings: DataFrame, planes: Int, dims: Int): DataFrame = {
+    val signs = srpSigns(planes, dims)
     embeddings.select(col("vec_id"), srpSignatureCol(col("embedding"), signs).as("srp_sig"))
   }
 
@@ -333,11 +342,22 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double,
       planes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    nearDupCosineSrpWithDims(embeddings, threshold, planes, bands,
+      dimsOf(embeddings, "embedding"))
+
+  /** [[nearDupCosineSrp]] with the embedding dimensionality supplied
+    * by the caller — zero data jobs at plan-build time. */
+  def nearDupCosineSrpWithDims(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int,
+      bands: Int,
+      dims: Int): DataFrame = {
     require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
-    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    val signs = srpSigns(planes, dims)
     val sigs = withNorm(embeddings, "vec_id", "embedding")
       .withColumn("__sig", srpSignatureCol(col("embedding"), signs))
     val banded = sigs.select(
@@ -372,11 +392,22 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double,
       planes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    nearDupCosineSrpMultiProbeWithDims(embeddings, threshold, planes,
+      bands, dimsOf(embeddings, "embedding"))
+
+  /** [[nearDupCosineSrpMultiProbe]] with the embedding dimensionality
+    * supplied by the caller — zero data jobs at plan-build time. */
+  def nearDupCosineSrpMultiProbeWithDims(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int,
+      bands: Int,
+      dims: Int): DataFrame = {
     require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
-    val signs = srpSigns(planes, dimsOf(embeddings, "embedding"))
+    val signs = srpSigns(planes, dims)
     val sigs = withNorm(embeddings, "vec_id", "embedding")
       .withColumn("__sig", srpSignatureCol(col("embedding"), signs))
     val banded = sigs.select(

@@ -1640,6 +1640,23 @@ object ScaleSmoke {
         d2.withColumn("source", pmod(col("doc_id"), lit(20L))), "source",
         rounds = 5))
     }
+    time(s"r13 bpeTrainBatched 50r x64 x${math.max(1, mult / 5)}") {
+      // the SCALE trainer (verdict r12 #4, the literal rounds=50 row):
+      // chained greedy selection over a 64-candidate window merges
+      // ~10 disjoint pairs per round on this corpus (508 merges /
+      // 19.9 s at 20× when pinned), so per-MERGE wall-time ≈ 0.04 s —
+      // ~1/35 of sequential bpeTrain's — read this row's secs/merges
+      // against "r12 bpe train" above (≈ its secs/5). A wide window
+      // costs nothing extra per round: one limit-N collect either way.
+      val d2 = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("x"), pmod(col("doc_id"), lit(977)))))
+          .as("text"))
+      val m = TextAnalysis.bpeTrainBatched(d2, rounds = 50, batchTopN = 64)
+      val nMerges = m.count()
+      println(s"[scale]   batched merges completed: $nMerges")
+      drain(m)
+    }
     time(s"r12 textRank x${math.max(1, mult / 5)}") {
       // tokenize is corpus-sized; the walk is vocabulary-graph-sized
       drain(TextAnalysis.textRank(docs, k = 20))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Round-13 cross-implementation fuzz: batched BPE training checked on
+  * random small-alphabet corpora against an independent in-memory
+  * implementation that shares no code with the seg-string engine —
+  * symbol-LIST segmentations, explicit top-N ranking, the same
+  * CHAINED greedy triple-disjoint selection (used-symbol set), and a
+  * two-pointer greedy merge applied rank-first. Deterministic seeds. */
+class Round13FuzzSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  /** Independent batched-BPE reference over symbol lists. */
+  private def refBpeBatched(
+      words: Seq[(String, Long)], rounds: Int, batchTopN: Int)
+      : Seq[(Long, Long, String, String, String, Long)] = {
+    var segs: Seq[(List[String], Long)] =
+      words.map { case (w, wf) => (w.map(_.toString).toList, wf) }
+    val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var step = 0L
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (seg, wf) =>
+        seg.zip(seg.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + wf)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ranked = counts.toSeq
+          .sortBy { case ((l, rr), f) => (-f, l, rr) }.take(batchTopN)
+        val used = scala.collection.mutable.Set.empty[String]
+        val selected = ranked.collect {
+          case ((l, rr), f)
+              if Set(l, rr, l + rr).forall(!used.contains(_)) =>
+            used ++= Set(l, rr, l + rr)
+            (l, rr, f)
+        }
+        selected.foreach { case (l, rr, f) =>
+          step += 1
+          out += ((step, r.toLong, l, rr, l + rr, f))
+          segs = segs.map { case (seg, wf) =>
+            val b = List.newBuilder[String]
+            var i = 0
+            while (i < seg.length) {
+              if (i < seg.length - 1 && seg(i) == l && seg(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += seg(i); i += 1 }
+            }
+            (b.result(), wf)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrainBatched matches the independent two-pointer batched BPE " +
+      "on random corpora") {
+    (1 to 10).foreach { seed =>
+      val r = new scala.util.Random(1300 + seed)
+      // tiny alphabet → heavy collisions, ties, and real batch conflicts
+      val words = Seq.fill(5 + r.nextInt(12))(
+        Seq.fill(2 + r.nextInt(5))(('a' + r.nextInt(3)).toChar).mkString)
+      val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val batch = 1 + r.nextInt(4)
+      val got = TextAnalysis
+        .bpeTrainBatched(docs, rounds = 3, batchTopN = batch)
+        .orderBy("step").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+          x.getString(3), x.getString(4), x.getLong(5))).toSeq
+      val want = refBpeBatched(wf, rounds = 3, batchTopN = batch)
+      assert(got == want, s"seed=$seed batch=$batch words=$words")
+    }
+  }
+}
