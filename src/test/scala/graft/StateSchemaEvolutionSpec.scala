@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    handshake).
   *  - ADDING a field — even nullable-with-default — is REJECTED at
   *    query start by the state schema compatibility check; the error
-  *    names both schemas. Deploys that must evolve fMGWS state need a
-  *    state rewrite (read old checkpoint, transform, bootstrap a new
-  *    one) or the transformWithState encoder path; silently
-  *    reinterpreting bytes is never attempted.
+  *    names both schemas. Deploys that must evolve fMGWS state use the
+  *    TESTED rewrite path: [[graft.streaming.StateMigration]] drain →
+  *    map → initialState seed (StateMigrationSpec, end to end), or —
+  *    for ADDITIVE transformWithState changes — a native in-place
+  *    restart under the Avro state encoding (TwsStateEvolutionSpec).
+  *    Silently reinterpreting bytes is never attempted.
   *  - the rejected attempt does NOT corrupt the checkpoint: the
   *    original schema keeps working afterwards.
   */
