@@ -897,6 +897,41 @@ object SparkEntry {
       // counterpart of q_tfidf; corpus side is one doc-keyed agg pass.
       TextAnalysis.bm25TopK(table(s, dir, "documents"),
         queryTerms = Seq("join", "vector", "spark"), k = 10)),
+    "q_hard_negatives" -> ((s, dir) =>
+      // BM25 hard-negative mining for retriever training data: three
+      // labeled (query, positive) pairs, top-5 highest-scoring
+      // NON-positive docs each — one corpus tokenization, multi-query
+      // scoring, per-query ranking window.
+      graft.operators.Retrieval.hardNegativesBm25(
+        table(s, dir, "documents"),
+        queries = Seq(
+          (1L, Seq("join", "vector", "spark"), 0L),
+          (2L, Seq("window", "stream", "merge"), 1L),
+          (3L, Seq("filter", "scan", "column"), 2L)),
+        k = 5)),
+    "q_kneser_ney" -> ((s, dir) =>
+      // Interpolated Kneser-Ney bigram LM (D=0.75): top-25 model rows
+      // among bigrams with count >= 5 — continuation-count backoff from
+      // exact BIGINT counts, one shared-text double chain.
+      TextAnalysis.kneserNeyBigrams(table(s, dir, "documents"),
+        k = 25, minCount = 5L)),
+    "q_sax" -> ((s, dir) => {
+      // SAX shape fingerprint: each nation's monthly shipped-quantity
+      // series -> 8-segment PAA -> z-normalized quartile letters -> one
+      // word per nation (equal words = similar demand shapes).
+      val li = table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val series = li
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)")
+            .as("m"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      graft.operators.TimeSeries.saxWords(
+        series, "nation", "m", "qty", segments = 8)
+    }),
     "q_rrf_fusion" -> ((s, dir) => {
       // Hybrid retrieval: BM25 top-50 (lexical) fused with cosine top-50
       // around query vector 0 (doc_id and vec_id share the synthetic id
@@ -8098,6 +8133,91 @@ object SparkEntry {
         |SELECT doc_id, n_matched, score, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    "q_hard_negatives" ->
+      // Multi-query BM25 (same formula text as q_bm25), positives
+      // excluded, per-query rank window — mirrors
+      // Retrieval.hardNegativesBm25 on the same 3 labeled pairs
+      """WITH qt(query_id, term) AS (VALUES
+        |    (1, 'join'), (1, 'vector'), (1, 'spark'),
+        |    (2, 'window'), (2, 'stream'), (2, 'merge'),
+        |    (3, 'filter'), (3, 'scan'), (3, 'column')),
+        |pos(query_id, pos_doc_id) AS (VALUES (1, 0), (2, 1), (3, 2)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    round(SUM(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN qt USING (term) JOIN perdoc USING (doc_id)
+        |    JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT s.query_id, s.doc_id, n_matched, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+        |      ORDER BY score DESC, s.doc_id) AS BIGINT) AS neg_rank
+        |  FROM scored s JOIN pos p
+        |    ON p.query_id = s.query_id AND s.doc_id <> p.pos_doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matched,
+        |  score, neg_rank
+        |FROM ranked WHERE neg_rank <= 5""".stripMargin,
+    "q_kneser_ney" ->
+      // Exact BIGINT bigram/continuation counts off one bigram table;
+      // the probability is TextAnalysis.knProbSql verbatim
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
+         |  FROM documents),
+         |b AS (SELECT tl[i] AS w1, tl[i + 1] AS w2
+         |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl))) AS i
+         |    FROM toks)),
+         |big AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM b GROUP BY 1, 2),
+         |lft AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS nfw FROM big GROUP BY 1),
+         |rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nbw
+         |  FROM big GROUP BY 1),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM big)
+         |SELECT w1, w2, c, c1, nfw, nbw,
+         |  ${graft.operators.TextAnalysis.knProbSql(0.75)} AS p_kn
+         |FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN nb
+         |WHERE c >= 5
+         |ORDER BY p_kn DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q_sax" ->
+      // PAA segment = ((rn-1)*8)//n (non-negative // ≡ div), letters via
+      // TimeSeries.saxSymbolSql verbatim over exact BIGINT moments
+      s"""WITH series AS (SELECT CAST(s_nationkey AS BIGINT) AS nation,
+         |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+         |      AS m,
+         |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |rows_ AS (SELECT nation, qty,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m)
+         |      AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS nn
+         |  FROM series),
+         |segd AS (SELECT nation, qty AS __y, nn,
+         |    ((rn - 1) * 8) // nn AS __seg FROM rows_),
+         |paa AS (SELECT nation, __seg, CAST(SUM(__y) AS BIGINT) AS __ps,
+         |    CAST(COUNT(*) AS BIGINT) AS __pc FROM segd GROUP BY 1, 2),
+         |stats AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS __n,
+         |    CAST(SUM(__y) AS BIGINT) AS __s,
+         |    CAST(SUM(__y * __y) AS BIGINT) AS __q FROM segd GROUP BY 1),
+         |sym AS (SELECT nation, __seg, __n,
+         |    ${graft.operators.TimeSeries.saxSymbolSql} AS __sym
+         |  FROM paa JOIN stats USING (nation))
+         |SELECT nation, MAX(__n) AS n,
+         |  string_agg(__sym, '' ORDER BY __seg) AS sax_word
+         |FROM sym GROUP BY 1""".stripMargin,
     "q_rrf_fusion" ->
       // Replays BM25 top-50 (same CTEs as q_bm25), cosine top-50 around
       // vector 0 (same norm/rounding as q_similarity_ivf), then the

@@ -39,4 +39,81 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** BM25 hard-negative mining — the training-data op behind every
+    * dense-retriever / reranker dataset (DPR, sentence-transformers):
+    * for each (query, known-positive) pair, the top-k HIGHEST-scoring
+    * non-positive documents are the "hard" negatives a contrastive
+    * loss actually learns from (random negatives are trivially
+    * separable). Queries and positives arrive as a driver-side list —
+    * the realistic shape: labeled pairs are tiny next to the corpus.
+    *
+    * Same Lucene-form BM25 as [[graft.operators.TextAnalysis.bm25TopK]]
+    * but MULTI-QUERY in one pass: the corpus is tokenized once, tf is
+    * kept only for the union of all query terms (broadcast semi-join —
+    * query-width, never vocabulary-width), df/avgdl come off the same
+    * pass, and per-query ranking is one window partitioned by query.
+    * Per-query candidate sets are docs matching ≥1 term; a stop-word
+    * query term makes its query's candidate set corpus-sized — keep
+    * query terms contentful (the caller owns term selection, exactly
+    * as in search).
+    *
+    * Output: (query_id, doc_id, n_matched, score, neg_rank ≤ k) with
+    * positives EXCLUDED; scores round-6, ties break on doc_id. */
+  def hardNegativesBm25(
+      docs: DataFrame,
+      queries: Seq[(Long, Seq[String], Long)],
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    queries.foreach { case (qid, terms, _) =>
+      require(terms.nonEmpty && terms.distinct.size == terms.size,
+        s"query $qid terms must be non-empty and distinct") }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = broadcast(
+      queries.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
+        .toDF("query_id", "term"))
+    val pos = broadcast(
+      queries.map { case (qid, _, p) => (qid, p) }
+        .toDF("query_id", "pos_doc_id"))
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("dl"))
+    val tf = tok
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf
+      .join(qTerms, Seq("term"))
+      .join(perDoc, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched"),
+        round(sum(idf * tfNorm), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .join(pos, Seq("query_id"))
+      .filter(col("doc_id") =!= col("pos_doc_id"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        col("score"), col("neg_rank"))
+  }
 }

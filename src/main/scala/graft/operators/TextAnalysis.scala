@@ -1819,6 +1819,75 @@ object TextAnalysis {
           lit(coveragePpm) * col("__tot")).as("is_head"))
   }
 
+  /** Interpolated Kneser–Ney bigram language model (fixed discount D) —
+    * the standard n-gram smoothing a corpus-quality pipeline scores
+    * with: unlike the raw MLE table behind `q_bigram_logprob`, KN
+    * redistributes `D` of every observed bigram's mass to a
+    * CONTINUATION-count unigram backoff (how many distinct left
+    * contexts a word follows — "Francisco" is frequent but follows
+    * almost nothing), which is what makes the probabilities usable on
+    * unseen text.
+    *
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * All five inputs are exact BIGINT counts off ONE bigram table
+    * (adjacent in-document token pairs): c(w1w2), c(w1·) = Σ_w c(w1w),
+    * N1+(w1·) / N1+(·w2) = distinct continuations / contexts, N1+(··)
+    * = distinct bigrams — so the probability is one shared-text double
+    * chain over integers and hashes bit-for-bit. Output: the top-k
+    * model rows under (p desc, w1, w2) among bigrams with
+    * c ≥ `minCount` (the table a deployment would actually ship; the
+    * cutoff also keeps the top-k ordering off the p≈1 singleton-tie
+    * cliff). Plan: one corpus-sized token explode, then everything is
+    * bigram-vocabulary-sized aggregates — two hash-aggs keyed on w1 /
+    * w2 joined back on the bigram table, no broadcast of anything
+    * vocabulary-sized. */
+  def kneserNeyBigrams(
+      docs: DataFrame,
+      k: Int = 25,
+      minCount: Long = 5L,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__i", "w")))
+    val nbr = toks
+      .withColumn("w2", lead(col("w"), 1)
+        .over(Window.partitionBy(col(idCol)).orderBy(col("__i"))))
+      .filter(col("w2").isNotNull)
+    val big = nbr.groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c")).materialize
+    val left = big.groupBy(col("w1"))
+      .agg(sum(col("c")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("nfw"))
+    val right = big.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("nbw"))
+    val nbig = broadcast(big.agg(count(lit(1)).cast("long").as("nbig")))
+    big.filter(col("c") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(nbig)
+      .withColumn("p_kn", expr(knProbSql(discount)))
+      .select(col("w1"), col("w2"), col("c"), col("c1"), col("nfw"),
+        col("nbw"), col("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** KN probability over (c, c1, nfw, nbw, nbig) — one double chain
+    * (every operand explicitly DOUBLE: bare decimal literals type as
+    * DECIMAL in both engines, the dtype-canary lesson), rounded 6,
+    * shared with the oracle. */
+  def knProbSql(d: Double): String =
+    s"round(greatest(CAST(c AS DOUBLE) - CAST($d AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE) + " +
+      s"CAST($d AS DOUBLE) * CAST(nfw AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+      "CAST(nbw AS DOUBLE) / CAST(nbig AS DOUBLE), 6)"
+
   def ngramNovelty(
       docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {

@@ -2290,4 +2290,74 @@ object TimeSeries {
   def phTermMicroSql(delta: Long): String =
     "CAST(round(1000000 * (CAST(v AS DOUBLE) - " +
       s"CAST(sv AS DOUBLE) / rn - $delta), 0) AS BIGINT)"
+
+  /** SAX — Symbolic Aggregate approXimation (Lin/Keogh 2003): each
+    * key's ordered integer series → `segments` equal-width PAA means →
+    * z-normalize against the key's own mean/std → map to letters at
+    * the N(0,1) equiprobable breakpoints → one WORD per key. The
+    * classic cheap series fingerprint: equal words ⇒ similar shapes,
+    * so GROUP BY word is a shape-clustering and word distance lower-
+    * bounds Euclidean distance (the paper's guarantee). The
+    * time-series sibling of [[graft.operators.TextAnalysis]]'s
+    * minimizer sketch — sublinear representation first, any pairwise
+    * work on the tiny sketch table after.
+    *
+    * Exactness: PAA segment assignment is `((rn−1)·segments) div n`
+    * (exact integers), mean/std come from exact BIGINT Σy and Σy²
+    * (caller contract: values small enough that n·Σy² fits a double
+    * exactly, i.e. < 2⁵³ — quantities yes, cents no), and the z-score
+    * is ONE shared-text double chain, so the letter comparisons see
+    * bit-identical doubles in both engines. Constant series (std = 0)
+    * map every segment to the middle letter 'b'.
+    *
+    * Plan: two key-hashed aggregates (segment PAA + key stats) and a
+    * word concat over `segments` rows per key — nothing is ever
+    * all-pairs; keys partition freely. */
+  def saxWords(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      segments: Int = 8): DataFrame = {
+    require(segments >= 2 && segments <= 64,
+      s"segments must be in [2, 64]: $segments")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val rows = df
+      .select(col(keyCol), col(orderCol),
+        col(valueCol).cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(keyCol))).cast("long"))
+      .withColumn("__seg", expr(s"((__rn - 1) * $segments) div __n"))
+    val paa = rows.groupBy(col(keyCol), col("__seg"))
+      .agg(sum(col("__y")).cast("long").as("__ps"),
+        count(lit(1)).cast("long").as("__pc"))
+    val stats = rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__y")).cast("long").as("__s"),
+        sum(col("__y") * col("__y")).cast("long").as("__q"))
+    paa.join(stats, Seq(keyCol))
+      .withColumn("__sym", expr(saxSymbolSql))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("__seg"), col("__sym")))),
+          x => x("__sym")), "").as("sax_word"))
+  }
+
+  /** PAA z-score → letter over (__ps, __pc, __n, __s, __q): std from
+    * exact integer moments (n·Σy² − (Σy)² under one sqrt), breakpoints
+    * ±0.6745 and 0 (N(0,1) quartiles → 4 equiprobable letters).
+    * Shared with the oracle. */
+  val saxSymbolSql: String = {
+    val mean = "CAST(__s AS DOUBLE) / __n"
+    val std = "sqrt((CAST(__n AS DOUBLE) * CAST(__q AS DOUBLE) - " +
+      "CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE)) / " +
+      "(CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE)))"
+    val z = s"(CAST(__ps AS DOUBLE) / __pc - ($mean)) / ($std)"
+    s"CASE WHEN ($std) = 0 THEN 'b' WHEN ($z) < -0.6745 THEN 'a' " +
+      s"WHEN ($z) < 0 THEN 'b' WHEN ($z) < 0.6745 THEN 'c' " +
+      "ELSE 'd' END"
+  }
 }

@@ -1661,6 +1661,38 @@ object ScaleSmoke {
       // tokenize is corpus-sized; the walk is vocabulary-graph-sized
       drain(TextAnalysis.textRank(docs, k = 20))
     }
+    time(s"r13 kneserNey x${math.max(1, mult / 5)}") {
+      // one corpus-sized bigram explode, then bigram-vocab-sized aggs;
+      // the suffix perturbation grows the bigram vocabulary honestly
+      val d2 = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("x"), pmod(col("doc_id"), lit(977)))))
+          .as("text"))
+      drain(TextAnalysis.kneserNeyBigrams(d2, k = 25, minCount = 5L))
+    }
+    time(s"r13 hardNegatives x${math.max(1, mult / 5)}") {
+      // corpus tokenized once for 3 queries; candidate sets bounded by
+      // docs matching >=1 contentful term
+      drain(graft.operators.Retrieval.hardNegativesBm25(docs,
+        queries = Seq(
+          (1L, Seq("join", "vector", "spark"), 0L),
+          (2L, Seq("window", "stream", "merge"), 1L),
+          (3L, Seq("filter", "scan", "column"), 2L)), k = 5))
+    }
+    time(s"r13 saxWords x$mult (disjoint supplier copies)") {
+      // per-key window + two key-hashed aggs — must scale with rows,
+      // never with key-pair count
+      val li = graft.SparkEntry.table(spark, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("sk"),
+          expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)").as("m"),
+          col("l_quantity").cast("long").as("q"))
+      val copies = (0 until mult).map(i =>
+        li.select((col("sk") + lit(i * 1_000_000L)).as("sk"), col("m"), col("q")))
+        .reduce(_ unionByName _)
+      val series = copies.groupBy(col("sk").as("nation"), col("m"))
+        .agg(sum(col("q")).cast("long").as("qty"))
+      drain(TimeSeries.saxWords(series, "nation", "m", "qty", segments = 8))
+    }
     time(s"r12 ppr x$mult (disjoint graph copies)") {
       // restart-walk cost per round is one edge join + one agg — must
       // scale with the multiplied edge count like hits/labelProp

@@ -223,6 +223,119 @@ class Round13OpsSpec extends SparkFunSuite {
     }
   }
 
+  // ---- SAX ------------------------------------------------------------
+
+  test("saxWords: ramp maps to 'abcd', constant series to all-'b', " +
+      "and equal shapes share a word across scale/offset") {
+    val ramp = (1 to 16).map(i => ("ramp", i.toLong, i.toLong))
+    val const = (1 to 16).map(i => ("flat", i.toLong, 7L))
+    // same shape as ramp, different scale+offset — z-normalization
+    // must give the identical word
+    val ramp2 = (1 to 16).map(i => ("ramp2", i.toLong, 100L + 5L * i))
+    val vee = (1 to 8).map(i => ("vee", i.toLong, (9 - i).toLong)) ++
+      (9 to 16).map(i => ("vee", i.toLong, (i - 8).toLong))
+    val df = (ramp ++ const ++ ramp2 ++ vee).toDF("k", "t", "y")
+    val words = operators.TimeSeries.saxWords(df, "k", "t", "y", 4)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(words("ramp") == "abcd", words.toString)
+    assert(words("ramp2") == "abcd")
+    assert(words("flat") == "bbbb")
+    // v-shape: high-low-low-high
+    assert(words("vee").head == words("vee").last &&
+      words("vee") == words("vee").reverse, words("vee"))
+  }
+
+  // ---- Kneser–Ney ------------------------------------------------------
+
+  test("kneserNeyBigrams matches an independent in-memory KN computation") {
+    val docs = Seq(
+      (1L, "a b a b c a b"),
+      (2L, "b c a c a b"),
+      (3L, "c a b a")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .kneserNeyBigrams(docs, k = 100, minCount = 1L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // independent reference: plain Scala counts + the KN formula
+    val corpus = Seq("a b a b c a b", "b c a c a b", "c a b a")
+      .map(_.split(" ").toSeq)
+    val bigrams = corpus.flatMap(ws => ws.zip(ws.tail))
+    val c = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nfw = c.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nbw = c.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbig = c.size.toLong
+    assert(got.keySet == c.keySet)
+    got.foreach { case ((w1, w2), (gc, gc1, gnfw, gnbw, p)) =>
+      assert((gc, gc1, gnfw, gnbw) ==
+        (c((w1, w2)), c1(w1), nfw(w1), nbw(w2)))
+      val d = 0.75
+      val want = math.max(gc - d, 0.0) / gc1 +
+        d * gnfw / gc1 * gnbw / nbig
+      assert(math.abs(p - want) < 1e-6, s"($w1,$w2): $p vs $want")
+    }
+    // the KN signature: mass flows by CONTEXT COUNT, not frequency —
+    // P(b|a) must dominate (a is almost always followed by b)
+    assert(got(("a", "b"))._5 > 0.5)
+  }
+
+  test("kneserNeyBigrams probabilities per left context sum to ~1 " +
+      "over observed continuations plus backoff mass") {
+    val docs = Seq((1L, "x y x z x y x w q q q r")).toDF("doc_id", "text")
+    val rows = operators.TextAnalysis
+      .kneserNeyBigrams(docs, k = 100, minCount = 1L).collect()
+    // Σ_w2∈observed P(w2|w1) ≤ 1 for every context (the unallocated
+    // remainder is the backoff mass KN reserves for UNSEEN pairs —
+    // here Pcont only covers observed w2, so the observed sum is < 1)
+    rows.groupBy(_.getString(0)).foreach { case (w1, rs) =>
+      val s = rs.map(_.getDouble(6)).sum
+      assert(s <= 1.0 + 1e-9 && s > 0.0, s"$w1 sums to $s")
+    }
+  }
+
+  // ---- hard negatives --------------------------------------------------
+
+  test("hardNegativesBm25 with one query reproduces bm25TopK minus the " +
+      "positive, and never emits a positive") {
+    val r = new scala.util.Random(7)
+    val vocab = Seq("join", "vector", "spark", "scan", "row", "agg")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(12)(vocab(r.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val terms = Seq("join", "vector", "spark")
+    val full = operators.TextAnalysis.bm25TopK(docs, terms, k = 40)
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    val pos = full.head._1 // the top doc is the labeled positive
+    val negs = operators.Retrieval.hardNegativesBm25(
+        docs, Seq((9L, terms, pos)), k = 5)
+      .orderBy("neg_rank").collect()
+      .map(x => (x.getLong(1), x.getDouble(3), x.getLong(4))).toSeq
+    assert(!negs.exists(_._1 == pos))
+    val expect = full.filter(_._1 != pos).take(5)
+    assert(negs.map(n => (n._1, n._2)) == expect, s"$negs vs $expect")
+    assert(negs.map(_._3) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("hardNegativesBm25 ranks independently per query and excludes " +
+      "each query's own positive only") {
+    val docs = Seq(
+      (1L, "join join join"), (2L, "join vector"),
+      (3L, "scan scan"), (4L, "scan row"), (5L, "agg agg")
+    ).toDF("doc_id", "text")
+    val out = operators.Retrieval.hardNegativesBm25(docs,
+        Seq((1L, Seq("join"), 1L), (2L, Seq("scan"), 3L)), k = 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+      .groupBy(_._1)
+    // q1: candidates {1, 2}, positive 1 excluded → only doc 2
+    assert(out(1L).map(t => (t._2, t._3)).toSeq == Seq((2L, 1L)))
+    // q2: candidates {3, 4}, positive 3 excluded → only doc 4
+    assert(out(2L).map(t => (t._2, t._3)).toSeq == Seq((4L, 1L)))
+  }
+
   // ---- SRP WithDims ---------------------------------------------------
 
   test("SRP WithDims entry points are value-identical to the probing ones") {
