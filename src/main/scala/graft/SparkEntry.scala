@@ -832,6 +832,13 @@ object SparkEntry {
       Similarity.nearDupCosineSrpMultiProbe(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.4)),
+    "q_kcenter" -> ((s, dir) =>
+      // Greedy k-center (farthest-point traversal): 6 coverage-
+      // maximizing seeds from the embedding table; the dist column is
+      // the k-center radius sequence (the coverage curve).
+      Similarity.kCenterGreedy(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 6)),
     "q_diversity_sample" -> ((s, dir) =>
       // Embedding-space curation: cell-stratified deterministic subset —
       // dense regions capped at perCell, sparse regions kept whole.
@@ -7946,6 +7953,7 @@ object SparkEntry {
          |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
          |            JOIN n c ON c.vec_id = cand.vec_b)
          |WHERE sim >= 0.4""".stripMargin,
+    "q_kcenter" -> kCenterOracle,
     "q_diversity_sample" ->
       // same deterministic cell assignment as the IVF oracle, then md5-
       // ordered row_number per cell
@@ -15224,6 +15232,43 @@ object SparkEntry {
       |         WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'stopwords'
       |         ELSE 'ok' END AS verdict
       |  FROM m)""".stripMargin
+
+  /** Unrolled greedy k-center replay (k=6) — mirrors
+    * Similarity.kCenterGreedy: start at min vec_id, then per round the
+    * (dmin desc, vec_id) argmax among unselected points becomes the
+    * next center and every point's running min round-6 cosine distance
+    * refreshes against it. Every d-CTE is MATERIALIZED (referenced by
+    * both the next argmax and the next refresh — the k^rounds inlining
+    * lesson). */
+  private lazy val kCenterOracle: String = {
+    val k = 6
+    val cos = cosineSqlExprAs("p", "c")
+    val rounds = (2 to k).map { r =>
+      s"""ks$r AS MATERIALIZED (SELECT vec_id AS cid, embedding, nrm
+         |  FROM kd${r - 1} WHERE sel_rank IS NULL
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |kd$r AS MATERIALIZED (SELECT p.vec_id, p.embedding, p.nrm,
+         |  CASE WHEN p.sel_rank IS NOT NULL THEN p.dmin
+         |    ELSE least(p.dmin, 1.0 - round($cos, 6)) END AS dmin,
+         |  CASE WHEN p.vec_id = c.cid THEN $r ELSE p.sel_rank END
+         |    AS sel_rank,
+         |  CASE WHEN p.vec_id = c.cid THEN p.dmin ELSE p.d_at_sel END
+         |    AS d_at_sel
+         |  FROM kd${r - 1} p, ks$r c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |ks1 AS MATERIALIZED (SELECT vec_id AS cid, embedding, nrm
+       |  FROM n ORDER BY vec_id LIMIT 1),
+       |kd1 AS MATERIALIZED (SELECT p.vec_id, p.embedding, p.nrm,
+       |  1.0 - round($cos, 6) AS dmin,
+       |  CASE WHEN p.vec_id = c.cid THEN 1 END AS sel_rank,
+       |  CAST(NULL AS DOUBLE) AS d_at_sel
+       |  FROM n p, ks1 c),
+       |$rounds
+       |SELECT CAST(sel_rank AS BIGINT) AS rank, vec_id,
+       |  round(d_at_sel, 6) AS dist
+       |FROM kd$k WHERE sel_rank IS NOT NULL""".stripMargin
+  }
 
   /** Embeddings with precomputed L2 norms (double math). */
   private val normCte: String =

@@ -184,6 +184,64 @@ object Similarity {
     * are capped and sparse cells survive whole. Greedy k-center would
     * serialize the cluster; this is its shuffle-partitionable stand-in
     * (cells ≈ coverage regions). Fully replayable by the SQL oracle. */
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985) over
+    * embeddings — the COVERAGE-maximizing seed selection for curation:
+    * start at the minimum vec_id, then each round add the point whose
+    * cosine distance to its NEAREST already-selected center is largest
+    * (ties: dist desc, vec_id asc). A 2-approximation of the optimal
+    * k-center cover, and the complement of [[semDedup]]/
+    * [[diversitySample]]: those REMOVE redundancy cell-locally, this
+    * SELECTS a globally spread skeleton (eval probes, annotation
+    * batches, cluster seeds).
+    *
+    * Determinism: distances are round-6 cosines off precomputed norms
+    * (the [[dot]] fold order the oracle replays), so every argmax is a
+    * total-order decision. Plan per round: ONE 1-row broadcast (the
+    * new center) refreshes each point's running min-distance —
+    * O(n·k) distance evals total, k materialized rounds (lineage cut
+    * per round, the iterative-kernel discipline), the per-round argmax
+    * is TakeOrdered. Nothing is ever all-pairs; rows partition freely.
+    *
+    * Returns one row per selected center: (rank 1..k, vec_id, dist =
+    * the point's min-distance at selection — the k-center radius
+    * sequence; null for rank 1). A monotonically non-increasing dist
+    * column IS the coverage curve: stop where it elbows. */
+  def kCenterGreedy(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    val pts = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val first = broadcast(pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("__cid"), col("embedding").as("__cemb"),
+        col("__nrm").as("__cnrm")))
+    var state = pts.crossJoin(first)
+      .select(col("vec_id"), col("embedding"), col("__nrm"),
+        (lit(1.0) - cosineFromNorms(col("embedding"), col("__cemb"),
+          col("__nrm"), col("__cnrm"))).as("dmin"),
+        when(col("vec_id") === col("__cid"), lit(1L)).as("sel_rank"),
+        lit(null).cast("double").as("d_at_sel"))
+      .materialize
+    (2 to k).foreach { r =>
+      val c = broadcast(state.filter(col("sel_rank").isNull)
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("__cid"), col("embedding").as("__cemb"),
+          col("__nrm").as("__cnrm")))
+      state = state.crossJoin(c)
+        .select(col("vec_id"), col("embedding"), col("__nrm"),
+          when(col("sel_rank").isNotNull, col("dmin"))
+            .otherwise(least(col("dmin"),
+              lit(1.0) - cosineFromNorms(col("embedding"), col("__cemb"),
+                col("__nrm"), col("__cnrm")))).as("dmin"),
+          when(col("vec_id") === col("__cid"), lit(r.toLong))
+            .otherwise(col("sel_rank")).as("sel_rank"),
+          when(col("vec_id") === col("__cid"), col("dmin"))
+            .otherwise(col("d_at_sel")).as("d_at_sel"))
+        .materialize
+    }
+    state.filter(col("sel_rank").isNotNull)
+      .select(col("sel_rank").as("rank"), col("vec_id"),
+        round(col("d_at_sel"), 6).as("dist"))
+  }
+
   def diversitySample(embeddings: DataFrame, perCell: Int = 3, nCentroids: Int = 16): DataFrame = {
     require(perCell > 0, s"perCell must be positive: $perCell")
     val w = Window.partitionBy(col("cell"))

@@ -1693,6 +1693,11 @@ object ScaleSmoke {
         .agg(sum(col("q")).cast("long").as("qty"))
       drain(TimeSeries.saxWords(series, "nation", "m", "qty", segments = 8))
     }
+    time(s"r13 kCenterGreedy k=6 x${math.max(1, mult / 5)}") {
+      // O(n*k) distance evals, one 1-row broadcast + argmax per round —
+      // wall-time must grow with n, never n^2
+      drain(Similarity.kCenterGreedy(emb, k = 6))
+    }
     time(s"r12 ppr x$mult (disjoint graph copies)") {
       // restart-walk cost per round is one edge join + one agg — must
       // scale with the multiplied edge count like hits/labelProp

@@ -336,6 +336,39 @@ class Round13OpsSpec extends SparkFunSuite {
     assert(out(2L).map(t => (t._2, t._3)).toSeq == Seq((4L, 1L)))
   }
 
+  // ---- k-center --------------------------------------------------------
+
+  test("kCenterGreedy picks one point per planted cluster before any " +
+      "second point, and the radius sequence is non-increasing") {
+    val r = new scala.util.Random(31)
+    // three tight clusters around orthogonal directions — farthest-point
+    // traversal must visit all three clusters in rounds 1-3
+    def around(base: Array[Float], id: Long) =
+      (id, base.map(v => v + 0.01f * r.nextGaussian().toFloat))
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val emb = ((0L until 10L).map(i => around(a, i)) ++
+      (10L until 20L).map(i => around(b, i)) ++
+      (20L until 30L).map(i => around(c, i)))
+      .toDF("vec_id", "embedding")
+    val sel = operators.Similarity.kCenterGreedy(emb, k = 5)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) Double.NaN else x.getDouble(2)))
+    assert(sel.length == 5 && sel.head._2 == 0L) // starts at min id
+    val clusterOf = (id: Long) => id / 10
+    // rounds 1-3 cover all three clusters exactly once
+    assert(sel.take(3).map(s => clusterOf(s._2)).toSet == Set(0L, 1L, 2L))
+    // the k-center radius sequence never increases
+    val dists = sel.drop(1).map(_._3)
+    assert(dists.zip(dists.tail).forall { case (x, y) => x >= y - 1e-9 },
+      dists.toSeq.toString)
+    // inter-cluster distances (~1.0) dwarf intra-cluster (~0.0004):
+    // rounds 2-3 are far, rounds 4-5 are near
+    assert(dists(0) > 0.5 && dists(1) > 0.5 && dists(2) < 0.1)
+  }
+
   // ---- SRP WithDims ---------------------------------------------------
 
   test("SRP WithDims entry points are value-identical to the probing ones") {
