@@ -10237,7 +10237,8 @@ object SparkEntry {
     "q_bpe_pairs" ->
       """WITH vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w HAVING length(w) >= 2),
+        |  GROUP BY w
+        |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\]')),
         |pairs AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM
         |    (SELECT wf, unnest([substring(w, i, 2)
         |        FOR i IN range(1, CAST(length(w) AS INT))]) AS pair FROM vocab)

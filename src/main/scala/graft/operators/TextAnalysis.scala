@@ -963,9 +963,11 @@ object TextAnalysis {
   def bpePairs(docs: DataFrame, k: Int = 20,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same tokenizer-corpus contract as bpeTrain ([[bpeHostileTokenRe]])
+    // so this profile IS the trainer's round-1 candidate histogram
     val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wf"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 2 && !col("w").rlike(bpeHostileTokenRe))
     val pairs = vocab
       .select(col("wf"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))

@@ -56,6 +56,47 @@ class Round13FuzzSpec extends SparkFunSuite {
     out.result()
   }
 
+  test("kCenterGreedy matches an independent in-memory farthest-point " +
+      "traversal on random embeddings") {
+    import spark.implicits._
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(pts: Seq[(Long, Array[Float])], k: Int): Seq[(Long, Long)] = {
+      val nrm = pts.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+      val byId = pts.toMap
+      def dist(a: Long, b: Long): Double =
+        1.0 - rnd6(dot(byId(a), byId(b)) / (nrm(a) * nrm(b)))
+      val first = pts.map(_._1).min
+      var dmin = pts.map { case (id, _) => id -> dist(id, first) }.toMap
+      var sel = Vector(1L -> first)
+      (2 to k).foreach { r =>
+        val picked = (dmin -- sel.map(_._2))
+          .toSeq.minBy { case (id, d) => (-d, id) }._1
+        sel :+= (r.toLong -> picked)
+        dmin = dmin.map { case (id, d) =>
+          id -> math.min(d, dist(id, picked)) }
+      }
+      sel
+    }
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(1700 + seed)
+      val n = 20 + r.nextInt(30)
+      val pts = (0L until n.toLong).map(i =>
+        (i, Array.fill(6)(r.nextGaussian().toFloat)))
+      val k = 3 + r.nextInt(5)
+      val got = graft.operators.Similarity
+        .kCenterGreedy(pts.toDF("vec_id", "embedding"), k)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got == ref(pts, k), s"seed=$seed k=$k")
+    }
+  }
+
   test("bpeTrainBatched matches the independent two-pointer batched BPE " +
       "on random corpora") {
     (1 to 10).foreach { seed =>
