@@ -3008,6 +3008,15 @@ object SparkEntry {
       // candidates), and the slot-unrolled replace chain.
       TextAnalysis.bpeTrainBatched(table(s, dir, "documents"),
         rounds = 3, batchTopN = 4)),
+    "q_bpe_heldout" -> ((s, dir) => {
+      // Held-out tokenizer eval: train the 5-merge table on EVEN
+      // doc_ids, tokenize the ODD half with the frozen merges (applied
+      // in training order) — the honest train/test fertility read.
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bpeHeldOutApply(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), rounds = 5, k = 30)
+    }),
     "q_textrank" -> ((s, dir) =>
       // TextRank keywords: PageRank (= all-vertex-restart PPR, exact
       // micro-long walk) over the adjacent-word co-occurrence graph,
@@ -10249,6 +10258,7 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_train_batched" -> bpeTrainBatchedOracle,
     "q_bpe_apply" -> bpeApplyOracle,
+    "q_bpe_heldout" -> bpeHeldOutOracle,
     "q_bpe_fertility" ->
       s"""WITH $bpeCtes,
          |sym AS (SELECT w,
@@ -14857,31 +14867,73 @@ object SparkEntry {
     * cascading to an empty corpus (the round-12 ADVICE latent
     * divergence on small corpora — Spark keeps the final seg table on
     * exhaustion; the inner-join replay used to drop it). */
-  private lazy val bpeCtes: String = {
+  private lazy val bpeCtes: String = bpeCtesFor("TRUE", "")
+
+  /** The sequential-BPE CTE chain over `documents` rows matching
+    * `pred`, with every CTE name prefixed `px` — so the held-out
+    * oracle can train on one corpus half under one namespace while
+    * tokenizing the other. */
+  private def bpeCtesFor(pred: String, px: String): String = {
     val base =
-      """vocab AS MATERIALIZED (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
-        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w
-        |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\]')),
-        |g0 AS MATERIALIZED (SELECT w, wf,
-        |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM vocab)""".stripMargin
+      s"""${px}vocab AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |     WHERE $pred)
+         |  GROUP BY w
+         |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\\\]')),
+         |${px}g0 AS MATERIALIZED (SELECT w, wf,
+         |  regexp_replace(w, '(.)', '_\\1_', 'g') AS seg FROM ${px}vocab)""".stripMargin
     val rounds = (1 to 5).map { i =>
-      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(SUM(wf) AS BIGINT) AS freq
+      s"""${px}p$i AS MATERIALIZED (SELECT l, r, CAST(SUM(wf) AS BIGINT) AS freq
          |  FROM (SELECT wf, pr.l AS l, pr.r AS r FROM
          |    (SELECT wf, string_split(trim(seg, '_'), '__') AS syms
-         |      FROM g${i - 1}),
+         |      FROM ${px}g${i - 1}),
          |    LATERAL (SELECT unnest([struct_pack(l := syms[j],
          |        r := syms[j + 1]) FOR j IN range(1, len(syms))]) AS pr))
          |  GROUP BY 1, 2),
-         |m$i AS MATERIALIZED (SELECT l, r, freq FROM p$i
+         |${px}m$i AS MATERIALIZED (SELECT l, r, freq FROM ${px}p$i
          |  ORDER BY freq DESC, l, r LIMIT 1),
-         |g$i AS MATERIALIZED (SELECT w, wf,
+         |${px}g$i AS MATERIALIZED (SELECT w, wf,
          |  COALESCE(replace(seg, '_' || l || '__' || r || '_',
          |    '_' || l || r || '_'), seg) AS seg
-         |  FROM g${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+         |  FROM ${px}g${i - 1} LEFT JOIN ${px}m$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$rounds"
+  }
+
+  /** Held-out BPE application: train the 5-round merge chain on EVEN
+    * doc_ids (namespace `t`), tokenize the ODD-doc_id vocabulary with
+    * the frozen merges applied in training order (the same
+    * LEFT-JOIN-passthrough shape handles early exhaustion), histogram
+    * top-30. */
+  private lazy val bpeHeldOutOracle: String = {
+    val trainCtes = bpeCtesFor("doc_id % 2 = 0", "t")
+    val heldBase =
+      """hvocab AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |     WHERE doc_id % 2 = 1)
+        |  GROUP BY w
+        |  HAVING length(w) >= 2 AND NOT regexp_matches(w, '[_''\\]')),
+        |hg0 AS MATERIALIZED (SELECT w, wf,
+        |  regexp_replace(w, '(.)', '_\1_', 'g') AS seg FROM hvocab)""".stripMargin
+    val applyRounds = (1 to 5).map { i =>
+      s"""hg$i AS MATERIALIZED (SELECT w, wf,
+         |  COALESCE(replace(seg, '_' || l || '__' || r || '_',
+         |    '_' || l || r || '_'), seg) AS seg
+         |  FROM hg${i - 1} LEFT JOIN tm$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainCtes,
+       |$heldBase,
+       |$applyRounds,
+       |htok AS (SELECT token, CAST(SUM(wf) AS BIGINT) AS freq FROM
+       |    (SELECT wf, unnest(string_split(trim(seg, '_'), '__'))
+       |      AS token FROM hg5)
+       |  GROUP BY 1)
+       |SELECT token, freq,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+       |    AS rank
+       |FROM htok ORDER BY freq DESC, token LIMIT 30""".stripMargin
   }
 
   /** Unrolled batched-BPE replay (rounds=3, batchTopN=4) — mirrors

@@ -1079,6 +1079,35 @@ object TextAnalysis {
     * tokenizer in any of the three views. */
   private[operators] val bpeHostileTokenRe = "[_'\\\\]"
 
+  /** Held-out tokenizer application — the honest train/test split the
+    * same-corpus [[bpeApply]] cannot give: train the merge table on
+    * `train`, then tokenize `heldOut` with the FROZEN merges (applied
+    * in training order — each merge sees the result of its
+    * predecessors, exactly as during training) and return the held-out
+    * top-k token histogram. Rising held-out fertility vs training
+    * fertility is the overfit/domain-shift signal a tokenizer eval
+    * reads. Merges are a driver-side Seq (vocabulary-sized, tiny); the
+    * held-out pass is one histogram + `rounds` chained literal
+    * replaces in ONE job — applying a trained tokenizer is always
+    * cheaper than training it. */
+  def bpeHeldOutApply(train: DataFrame, heldOut: DataFrame,
+      rounds: Int = 5, k: Int = 30, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = bpeTrainCore(train, rounds, textCol)._2
+      .map(t => (t._2, t._3))
+    val segCol = merges.foldLeft(col("seg")) { case (c, (l, r)) =>
+      replace(c, lit(s"_${l}__${r}_"), lit(s"_${l}${r}_"))
+    }
+    bpeHistogram(heldOut, textCol)
+      .withColumn("__seg2", segCol)
+      .select(col("wf"),
+        explode(split(expr("btrim(__seg2, '_')"), "__")).as("token"))
+      .groupBy(col("token")).agg(sum(col("wf")).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+  }
+
   /** The filtered word histogram every BPE trainer starts from: one
     * corpus-sized pass, then everything downstream is vocabulary-sized.
     * Enforces the tokenizer-corpus contract ([[bpeHostileTokenRe]]). */

@@ -81,6 +81,17 @@ class Round13OpsSpec extends SparkFunSuite {
     assert(fert.length == 1 && fert.head.getAs[Long]("n_tokens") == 3L)
   }
 
+  test("bpeHeldOutApply tokenizes unseen text with the FROZEN trained " +
+      "merges — merged where trained, characters where not") {
+    val train = Seq((2L, "ab ab ab")).toDF("doc_id", "text")
+    // held-out: "ab" matches the trained (a,b) merge; "ba" has no
+    // trained merge and must stay at character level
+    val held = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeHeldOutApply(train, held, rounds = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("ab", 1L), ("b", 1L), ("a", 1L)), out.toString)
+  }
+
   // ---- batched BPE ---------------------------------------------------
 
   test("bpeTrainBatched with batchTopN=1 is exactly sequential bpeTrain") {
