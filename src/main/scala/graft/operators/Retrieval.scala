@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -79,15 +80,28 @@ object Retrieval {
     val pos = broadcast(
       queries.map { case (qid, _, p) => (qid, p) }
         .toDF("query_id", "pos_doc_id"))
-    val tok = docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as("term"))
-    val perDoc = tok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("dl"))
-    val tf = tok
-      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    // ONE corpus tokenization pass: document length and every query
+    // term's tf come out of the same doc-keyed hash-agg as conditional
+    // counts (the bm25TopK fusion — the pivot is the UNION of all
+    // query terms, still query-width, never vocabulary-width), then a
+    // narrow unpivot back to (doc, term, tf) rows
+    val allTerms = queries.flatMap(_._2).distinct
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$i")
+    }
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("dl"), tfCols: _*)
+      .materialize
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"),
+        explode(map(allTerms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"__tf_$i"))
+        }: _*)).as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
     val stats = perDoc.agg(
@@ -97,9 +111,8 @@ object Retrieval {
     val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    val scored = tf
+    val scored = tf // already carries dl from the fused agg
       .join(qTerms, Seq("term"))
-      .join(perDoc, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))

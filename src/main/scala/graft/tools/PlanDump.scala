@@ -95,7 +95,11 @@ object PlanDump {
     "q_pq_rerank",           // trained codes shortlist 400 -> exact rerank on candidates only
     "q_cum_incidence",       // KM nano-log prefix reused exclusively; two ranged passes
     "q_max_cover",           // 5 anti-join argmax rounds over one materialized gram table
-    "q_shapley")             // one signature agg; coalition algebra on broadcast constants
+    "q_shapley",             // one signature agg; coalition algebra on broadcast constants
+    "q_hard_negatives",      // one tokenization; query-width broadcasts; per-query rank window
+    "q_kneser_ney",          // one bigram exchange feeds left/right/total aggs joined back
+    "q_sax",                 // per-key rank window + two key-hashed aggs + word concat
+    "q_kcenter")             // 6 argmax rounds, 1-row broadcast refresh over materialized state
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
