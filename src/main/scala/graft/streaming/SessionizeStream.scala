@@ -54,6 +54,43 @@ object SessionizeStream {
       }
   }
 
+  /** [[sessionize]] seeded with MIGRATED per-key state — the redeploy
+    * entry point of the state-migration story (the Spark analogue of
+    * the reference's savepoint-uid remap,
+    * `RealtimeSessionize.scala:101,121,135,143`): a deploy whose state
+    * schema or operator topology changed cannot resume the old
+    * checkpoint (`StateSchemaEvolutionSpec` pins the rejection), so it
+    * drains the stopped checkpoint through
+    * [[StateMigration.drainKeyedState]], maps rows to [[SessionState]],
+    * and starts HERE at a fresh checkpoint — open sessions continue
+    * with their original ids and running counts instead of being cut
+    * at the deploy boundary (SessionizeMigrationSpec proves it end to
+    * end, including the rollback path). Seeding is executor-parallel:
+    * `initial` is a keyed Dataset, state-store-partitioned like any
+    * other grouped input — nothing driver-sized. */
+  def sessionizeWithInitialState(
+      events: DataFrame,
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[String, SessionState],
+      cfg: SessionConfig = SessionConfig.default,
+      watermarkDelay: String = "60 seconds"): Dataset[SessionizedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("tieBreak").cast("long").as("tieBreak"))
+      .withWatermark("ts", watermarkDelay)
+      .as[StreamEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout,
+        initial) { (key, rows, state) =>
+        advanceGroup(key, rows, state, cfg)
+      }
+  }
+
   /** Per-trigger group transition — separated for direct unit testing. */
   private[streaming] def advanceGroup(
       key: String,
