@@ -939,6 +939,24 @@ object SparkEntry {
       graft.operators.TimeSeries.saxWords(
         series, "nation", "m", "qty", segments = 8)
     }),
+    "q_dtw" -> ((s, dir) => {
+      // Exact DTW on PAA-8 sketches of the per-nation monthly-quantity
+      // series: 15 wavefront-parallel integer DP rounds over the 300
+      // nation pairs; 20 closest alignments.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val series = li
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)")
+            .as("m"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      graft.operators.TimeSeries.dtwPaaDistances(
+          series, "nation", "m", "qty", segments = 8)
+        .orderBy(col("dtw_micro"), col("ka"), col("kb")).limit(20)
+    }),
     "q_rrf_fusion" -> ((s, dir) => {
       // Hybrid retrieval: BM25 top-50 (lexical) fused with cosine top-50
       // around query vector 0 (doc_id and vec_id share the synthetic id
@@ -7963,6 +7981,7 @@ object SparkEntry {
          |            JOIN n c ON c.vec_id = cand.vec_b)
          |WHERE sim >= 0.4""".stripMargin,
     "q_kcenter" -> kCenterOracle,
+    "q_dtw" -> dtwOracle,
     "q_diversity_sample" ->
       // same deterministic cell assignment as the IVF oracle, then md5-
       // ordered row_number per cell
@@ -15321,6 +15340,57 @@ object SparkEntry {
        |SELECT CAST(sel_rank AS BIGINT) AS rank, vec_id,
        |  round(d_at_sel, 6) AS dist
        |FROM kd$k WHERE sel_rank IS NOT NULL""".stripMargin
+  }
+
+  /** Unrolled PAA-8 DTW replay — mirrors TimeSeries.dtwPaaDistances on
+    * the per-nation monthly-quantity series: micro-quantized PAA means
+    * (paaMicroSql verbatim), |Δ| BIGINT cell costs over nation pairs,
+    * and the 15 anti-diagonal DP rounds as MATERIALIZED CTEs (each
+    * cell = cost + least(up, left, diag); both engines' least ignores
+    * the NULLs that encode grid edges). */
+  private lazy val dtwOracle: String = {
+    val m = 8
+    val diags = (1 to 2 * m - 2).map { d =>
+      val dg = if (d >= 2)
+        s"""
+           |  LEFT JOIN w${d - 2} g ON g.ka = c.ka AND g.kb = c.kb
+           |    AND g.i = c.i - 1 AND g.j = c.j - 1""".stripMargin
+      else ""
+      val dgAcc = if (d >= 2) ", g.acc" else ""
+      s"""w$d AS MATERIALIZED (SELECT c.ka, c.kb, c.i, c.j,
+         |    c.cost + least(u.acc, l.acc$dgAcc) AS acc
+         |  FROM (SELECT * FROM dcost WHERE i + j = $d) c
+         |  LEFT JOIN w${d - 1} u ON u.ka = c.ka AND u.kb = c.kb
+         |    AND u.i = c.i - 1 AND u.j = c.j
+         |  LEFT JOIN w${d - 1} l ON l.ka = c.ka AND l.kb = c.kb
+         |    AND l.i = c.i AND l.j = c.j - 1$dg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH series AS (SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+       |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |rows_ AS (SELECT nation, qty,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m)
+       |      AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS nn
+       |  FROM series),
+       |segd AS (SELECT nation, qty AS __y, ((rn - 1) * $m) // nn AS seg
+       |  FROM rows_ WHERE nn >= $m),
+       |paa0 AS (SELECT nation, seg, CAST(SUM(__y) AS BIGINT) AS __ps,
+       |    CAST(COUNT(*) AS BIGINT) AS __pc FROM segd GROUP BY 1, 2),
+       |paa AS MATERIALIZED (SELECT nation, seg,
+       |    ${graft.operators.TimeSeries.paaMicroSql} AS pm FROM paa0),
+       |dcost AS MATERIALIZED (SELECT a.nation AS ka, b.nation AS kb,
+       |    a.seg AS i, b.seg AS j, abs(a.pm - b.pm) AS cost
+       |  FROM paa a JOIN paa b ON a.nation < b.nation),
+       |w0 AS MATERIALIZED (SELECT ka, kb, i, j, cost AS acc
+       |  FROM dcost WHERE i + j = 0),
+       |$diags
+       |SELECT ka, kb, acc AS dtw_micro, round(acc / 1e6, 6) AS dtw,
+       |  round(acc / 1e6 / ${2 * m}, 6) AS dtw_norm
+       |FROM w${2 * m - 2} WHERE i = ${m - 1} AND j = ${m - 1}
+       |ORDER BY dtw_micro, ka, kb LIMIT 20""".stripMargin
   }
 
   /** Embeddings with precomputed L2 norms (double math). */

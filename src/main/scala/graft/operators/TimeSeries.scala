@@ -2291,6 +2291,107 @@ object TimeSeries {
     "CAST(round(1000000 * (CAST(v AS DOUBLE) - " +
       s"CAST(sv AS DOUBLE) / rn - $delta), 0) AS BIGINT)"
 
+  /** All-pairs Dynamic Time Warping over PAA-REDUCED series — the
+    * standard "DTW on the sketch" trick from the SAX literature
+    * (Keogh's PAA lower-bounding): reduce each key's ordered integer
+    * series to `segments` equal-width PAA means (micro-quantized →
+    * exact BIGINT), then run EXACT DTW on the m×m grid per key pair.
+    * DTW aligns series that plain Euclidean distance mis-ranks when
+    * one lags the other (shifted seasonal peaks, delayed rollouts) —
+    * the alignment-invariant sibling of [[saxWords]]' shape equality.
+    *
+    * Exactness: PAA means quantize ONCE to micro longs (shared-text
+    * round), cell costs are |Δmicro| BIGINTs, and the DP accumulates
+    * exact integer sums — the whole distance matrix hashes
+    * bit-for-bit. Both engines' `least` ignore NULLs, so the three DP
+    * moves (up/left/diag) collapse at grid edges for free.
+    *
+    * Plan: the DP runs WAVEFRONT-PARALLEL — anti-diagonal d depends
+    * only on d−1 and d−2, so the m×m grid is 2m−1 materialized rounds
+    * of three (pair,i,j)-keyed equi-joins, every round fully
+    * distributed across pairs. Pairs are enumerated with a hard
+    * `maxKeys` guard (pair count grows quadratically in KEYS — series
+    * length only enters through the one PAA pass; at 100 TB you DTW
+    * thousands of series of any length, not millions of series).
+    * Keys with fewer than `segments` points are dropped (their PAA
+    * grid would be ragged); dtw_norm = dtw / (2m) is the
+    * path-length-normalized distance. */
+  def dtwPaaDistances(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      segments: Int = 8,
+      maxKeys: Long = 4096L): DataFrame = {
+    require(segments >= 2 && segments <= 32,
+      s"segments must be in [2, 32]: $segments")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .select(col(keyCol).as("k"), col(orderCol).as("o"),
+        col(valueCol).cast("long").as("__y"))
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col("k")).orderBy(col("o"))).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col("k"))).cast("long"))
+      .filter(col("__n") >= segments.toLong)
+      .withColumn("__seg", expr(s"((__rn - 1) * $segments) div __n"))
+    val paa = rows.groupBy(col("k"), col("__seg").as("seg"))
+      .agg(sum(col("__y")).cast("long").as("__ps"),
+        count(lit(1)).cast("long").as("__pc"))
+      .withColumn("pm", expr(paaMicroSql))
+      .select(col("k"), col("seg"), col("pm"))
+      .materialize
+    val nKeys = paa.select(col("k")).distinct()
+      .limit((maxKeys + 1).toInt).count()
+    require(nKeys <= maxKeys,
+      s"dtwPaaDistances: > $maxKeys keys — the pair grid is quadratic " +
+        "in keys; pre-cluster (saxWords GROUP BY word) or raise maxKeys " +
+        "deliberately.")
+    val a = paa.select(col("k").as("ka"), col("seg").as("i"),
+      col("pm").as("pa"))
+    val b = paa.select(col("k").as("kb"), col("seg").as("j"),
+      col("pm").as("pb"))
+    val cost = a.join(b, col("ka") < col("kb"))
+      .select(col("ka"), col("kb"), col("i"), col("j"),
+        abs(col("pa") - col("pb")).as("cost"))
+      .materialize
+    var prev2: DataFrame = null
+    var prev1 = cost.filter(col("i") + col("j") === 0L)
+      .select(col("ka"), col("kb"), col("i"), col("j"),
+        col("cost").as("acc"))
+      .materialize
+    (1 to 2 * segments - 2).foreach { d =>
+      val up = prev1.select(col("ka"), col("kb"),
+        (col("i") + 1L).as("i"), col("j"), col("acc").as("__up"))
+      val lf = prev1.select(col("ka"), col("kb"), col("i"),
+        (col("j") + 1L).as("j"), col("acc").as("__lf"))
+      var cur = cost.filter(col("i") + col("j") === d.toLong)
+        .join(up, Seq("ka", "kb", "i", "j"), "left")
+        .join(lf, Seq("ka", "kb", "i", "j"), "left")
+      cur = if (prev2 == null) cur.withColumn("__dg", lit(null).cast("long"))
+      else cur.join(prev2.select(col("ka"), col("kb"),
+          (col("i") + 1L).as("i"), (col("j") + 1L).as("j"),
+          col("acc").as("__dg")),
+        Seq("ka", "kb", "i", "j"), "left")
+      prev2 = prev1
+      prev1 = cur
+        .select(col("ka"), col("kb"), col("i"), col("j"),
+          (col("cost") +
+            least(col("__up"), col("__lf"), col("__dg"))).as("acc"))
+        .materialize
+    }
+    val m = segments
+    prev1.filter(col("i") === (m - 1).toLong && col("j") === (m - 1).toLong)
+      .select(col("ka"), col("kb"), col("acc").as("dtw_micro"),
+        expr("round(acc / 1e6, 6)").as("dtw"),
+        expr(s"round(acc / 1e6 / ${2 * m}, 6)").as("dtw_norm"))
+  }
+
+  /** Micro-quantized PAA mean over (__ps, __pc) — one double division
+    * rounded back to micro. Shared with the oracle. */
+  val paaMicroSql: String =
+    "CAST(round(1000000 * CAST(__ps AS DOUBLE) / __pc, 0) AS BIGINT)"
+
   /** SAX — Symbolic Aggregate approXimation (Lin/Keogh 2003): each
     * key's ordered integer series → `segments` equal-width PAA means →
     * z-normalize against the key's own mean/std → map to letters at

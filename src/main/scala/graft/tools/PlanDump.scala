@@ -99,7 +99,8 @@ object PlanDump {
     "q_hard_negatives",      // one tokenization; query-width broadcasts; per-query rank window
     "q_kneser_ney",          // one bigram exchange feeds left/right/total aggs joined back
     "q_sax",                 // per-key rank window + two key-hashed aggs + word concat
-    "q_kcenter")             // 6 argmax rounds, 1-row broadcast refresh over materialized state
+    "q_kcenter",             // 6 argmax rounds, 1-row broadcast refresh over materialized state
+    "q_dtw")                 // 15 wavefront DP rounds of (pair,i,j)-keyed joins on materialized cost
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

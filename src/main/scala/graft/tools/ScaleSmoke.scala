@@ -1693,6 +1693,26 @@ object ScaleSmoke {
         .agg(sum(col("q")).cast("long").as("qty"))
       drain(TimeSeries.saxWords(series, "nation", "m", "qty", segments = 8))
     }
+    time(s"r13 dtwPaa x$mult (series length, fixed 25 keys)") {
+      // series LENGTH is the cheap axis (one PAA pass); the pair grid
+      // stays 25 nations -> 300 pairs regardless of mult. Months are
+      // shifted per copy so the series genuinely lengthens.
+      val li0 = graft.SparkEntry.table(spark, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      val sup = graft.SparkEntry.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val base = li0.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)").as("m"),
+          col("l_quantity").cast("long").as("q"))
+      val longSeries = (0 until mult).map(i =>
+        base.select(col("nation"), (col("m") + lit(i * 3000L)).as("m"), col("q")))
+        .reduce(_ unionByName _)
+        .groupBy(col("nation"), col("m"))
+        .agg(sum(col("q")).cast("long").as("qty"))
+      drain(TimeSeries.dtwPaaDistances(longSeries, "nation", "m", "qty",
+        segments = 8))
+    }
     time(s"r13 kCenterGreedy k=6 x${math.max(1, mult / 5)}") {
       // O(n*k) distance evals, one 1-row broadcast + argmax per round —
       // wall-time must grow with n, never n^2

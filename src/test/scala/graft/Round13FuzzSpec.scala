@@ -97,6 +97,55 @@ class Round13FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("dtwPaaDistances matches an independent in-memory DTW on random " +
+      "non-negative series") {
+    import spark.implicits._
+    def refDtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val m = a.length
+      val dp = Array.fill(m, m)(Long.MaxValue / 4)
+      for (i <- 0 until m; j <- 0 until m) {
+        val c = math.abs(a(i) - b(j))
+        dp(i)(j) =
+          if (i == 0 && j == 0) c
+          else c + Seq(
+            if (i > 0) dp(i - 1)(j) else Long.MaxValue / 4,
+            if (j > 0) dp(i)(j - 1) else Long.MaxValue / 4,
+            if (i > 0 && j > 0) dp(i - 1)(j - 1) else Long.MaxValue / 4).min
+      }
+      dp(m - 1)(m - 1)
+    }
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(1900 + seed)
+      val segs = 3 + r.nextInt(4)
+      val nKeys = 2 + r.nextInt(3)
+      // per key: a series of length in [segs, 2*segs] of small
+      // NON-NEGATIVE ints (keeps the PAA micro rounding identical to
+      // math.round in the reference)
+      val data = (0 until nKeys).flatMap { k =>
+        val n = segs + r.nextInt(segs + 1)
+        (0 until n).map(i => (s"k$k", i.toLong, r.nextInt(50).toLong))
+      }
+      // reference PAA: same ((rn-1)*segs) div n segment map + micro round
+      val paa = data.groupBy(_._1).map { case (k, rows) =>
+        val ys = rows.sortBy(_._2).map(_._3)
+        val n = ys.length
+        val segsOf = ys.zipWithIndex.groupBy { case (_, i) =>
+          (i.toLong * segs) / n }
+        k -> (0 until segs).map(s =>
+          math.round(1e6 * segsOf(s.toLong).map(_._1).sum /
+            segsOf(s.toLong).length))
+      }
+      val want = (for {
+        (ka, pa) <- paa; (kb, pb) <- paa if ka < kb
+      } yield (ka, kb) -> refDtw(pa, pb)).toMap
+      val got = graft.operators.TimeSeries
+        .dtwPaaDistances(data.toDF("k", "t", "y"), "k", "t", "y", segs)
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+      assert(got == want, s"seed=$seed segs=$segs")
+    }
+  }
+
   test("bpeTrainBatched matches the independent two-pointer batched BPE " +
       "on random corpora") {
     (1 to 10).foreach { seed =>

@@ -347,6 +347,44 @@ class Round13OpsSpec extends SparkFunSuite {
     assert(out(2L).map(t => (t._2, t._3)).toSeq == Seq((4L, 1L)))
   }
 
+  // ---- DTW -------------------------------------------------------------
+
+  test("dtwPaaDistances: a one-segment phase shift aligns to zero cost " +
+      "while the flat control pays the peak") {
+    // n = segments so PAA is the raw series; A and B carry the same
+    // peak one position apart — DTW warps them together (distance 0);
+    // C is flat, so its best path must pay the peak once
+    val a = Seq(0L, 0L, 0L, 10L, 0L, 0L, 0L, 0L).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+    val b = Seq(0L, 0L, 10L, 0L, 0L, 0L, 0L, 0L).zipWithIndex
+      .map { case (v, i) => ("B", i.toLong, v) }
+    val c = Seq.fill(8)(0L).zipWithIndex
+      .map { case (v, i) => ("C", i.toLong, v) }
+    val out = operators.TimeSeries.dtwPaaDistances(
+        (a ++ b ++ c).toDF("k", "t", "y"), "k", "t", "y", segments = 8)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("A", "B")) == 0L, out.toString)
+    assert(out(("A", "C")) == 10000000L && out(("B", "C")) == 10000000L)
+  }
+
+  test("dtwPaaDistances drops keys shorter than the segment count and " +
+      "guards the quadratic pair grid") {
+    val df = ((1 to 8).map(i => ("long1", i.toLong, i.toLong)) ++
+      (1 to 8).map(i => ("long2", i.toLong, (9 - i).toLong)) ++
+      (1 to 3).map(i => ("short", i.toLong, i.toLong)))
+      .toDF("k", "t", "y")
+    val out = operators.TimeSeries
+      .dtwPaaDistances(df, "k", "t", "y", segments = 8).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("long1", "long2")))
+    val ex = intercept[IllegalArgumentException] {
+      operators.TimeSeries.dtwPaaDistances(
+        df, "k", "t", "y", segments = 8, maxKeys = 1L).collect()
+    }
+    assert(ex.getMessage.contains("quadratic"))
+  }
+
   // ---- k-center --------------------------------------------------------
 
   test("kCenterGreedy picks one point per planted cluster before any " +
