@@ -72,6 +72,15 @@ object Retrieval {
     queries.foreach { case (qid, terms, _) =>
       require(terms.nonEmpty && terms.distinct.size == terms.size,
         s"query $qid terms must be non-empty and distinct") }
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    // the corpus agg pivots one conditional-count column per DISTINCT
+    // term — keep it query-width by contract, not accident: past a few
+    // hundred columns the single wide agg row stops being the cheap
+    // plan and the mining should batch by query group instead
+    require(queries.flatMap(_._2).distinct.size <= 256,
+      "more than 256 distinct query terms — batch the mining into " +
+        "query groups (the tf pivot is one column per distinct term)")
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = broadcast(

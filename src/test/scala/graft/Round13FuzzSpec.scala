@@ -146,6 +146,40 @@ class Round13FuzzSpec extends SparkFunSuite {
     }
   }
 
+  test("kneserNeyBigrams matches an independent in-memory KN on random " +
+      "small-alphabet corpora") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(2100 + seed)
+      val docs = (1 to 2 + r.nextInt(3)).map { d =>
+        (d.toLong, Seq.fill(8 + r.nextInt(20))(
+          ('a' + r.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      val got = graft.operators.TextAnalysis
+        .kneserNeyBigrams(docs.toDF("doc_id", "text"), k = 1000,
+          minCount = 1L)
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) ->
+          (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+            x.getDouble(6))).toMap
+      val bigrams = docs.flatMap { case (_, t) =>
+        val ws = t.split(" ").toSeq; ws.zip(ws.tail) }
+      val c = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nfw = c.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nbw = c.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nbig = c.size.toLong
+      assert(got.keySet == c.keySet, s"seed=$seed")
+      got.foreach { case ((w1, w2), (gc, gc1, gnfw, gnbw, p)) =>
+        assert((gc, gc1, gnfw, gnbw) ==
+          (c((w1, w2)), c1(w1), nfw(w1), nbw(w2)), s"seed=$seed ($w1,$w2)")
+        val want = math.max(gc - 0.75, 0.0) / gc1 +
+          0.75 * gnfw / gc1 * gnbw / nbig
+        assert(math.abs(p - want) < 1e-6, s"seed=$seed ($w1,$w2)")
+      }
+    }
+  }
+
   test("bpeTrainBatched matches the independent two-pointer batched BPE " +
       "on random corpora") {
     (1 to 10).foreach { seed =>

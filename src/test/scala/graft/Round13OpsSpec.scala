@@ -418,6 +418,36 @@ class Round13OpsSpec extends SparkFunSuite {
     assert(dists(0) > 0.5 && dists(1) > 0.5 && dists(2) < 0.1)
   }
 
+  // ---- empty/edge inputs -------------------------------------------------
+
+  test("the round-13 operators degrade cleanly on empty input " +
+      "(no crash, empty output) and hardNegatives guards its pivot width") {
+    val emptyDocs = spark.emptyDataset[(Long, String)]
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainBatched(emptyDocs, 2, 4).count() == 0L)
+    assert(TextAnalysis.kneserNeyBigrams(emptyDocs, k = 5, minCount = 1L)
+      .count() == 0L)
+    val emptyEmb = spark.emptyDataset[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    assert(operators.Similarity.kCenterGreedy(emptyEmb, k = 3).count() == 0L)
+    val emptySeries = spark.emptyDataset[(String, Long, Long)]
+      .toDF("k", "t", "y")
+    assert(operators.TimeSeries
+      .dtwPaaDistances(emptySeries, "k", "t", "y", 4).count() == 0L)
+    assert(operators.TimeSeries
+      .saxWords(emptySeries, "k", "t", "y", 4).count() == 0L)
+    val ex = intercept[IllegalArgumentException] {
+      operators.Retrieval.hardNegativesBm25(emptyDocs,
+        (1 to 300).map(i => (i.toLong, Seq(s"t$i"), 0L)))
+    }
+    assert(ex.getMessage.contains("256"))
+    val ex2 = intercept[IllegalArgumentException] {
+      operators.Retrieval.hardNegativesBm25(emptyDocs,
+        Seq((1L, Seq("a"), 0L), (1L, Seq("b"), 1L)))
+    }
+    assert(ex2.getMessage.contains("distinct"))
+  }
+
   // ---- SRP WithDims ---------------------------------------------------
 
   test("SRP WithDims entry points are value-identical to the probing ones") {
