@@ -6195,6 +6195,27 @@ object SparkEntry {
         .withColumn("z", expr(graft.streaming.StreamingZscore.zSql))
         .withColumn("anomaly", expr("coalesce(abs(z) > 3, false)"))
     }),
+
+    // ---- Round-13 wave 2: graph spectra + HMM decode
+    "q_eigen_centrality" -> ((s, dir) => {
+      // Truncated power iteration on the undirected part co-purchase
+      // graph (4 max-normalized rounds, oracle unrolls them) — the
+      // Perron-vector complement of q_pagerank's out-degree walk and
+      // q_hits' bipartite hub/auth split.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.eigenvectorCentrality(
+        coPurchasePairs(li), "src", "dst", iters = 4)
+    }),
+    "q_viterbi" -> ((s, dir) => {
+      // Most-likely engaged/idle latent path over each user's first 8
+      // events under the fixed integer-score HMM — exact int64 DP
+      // (ties prefer E), so path and score are engine-exact with no
+      // floating normalization anywhere.
+      val ev = table(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.viterbiDecode(ev, steps = 8)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14188,7 +14209,44 @@ object SparkEntry {
          |  coalesce(abs(${graft.streaming.StreamingZscore.zSql}) > 3, false)
          |    AS anomaly
          |FROM w""".stripMargin,
+    "q_eigen_centrality" -> eigenCentralityOracle,
+    "q_viterbi" -> viterbiOracle,
   )
+
+  /** Symmetrized co-purchase edge CTE pair (`cu` canonical, `e`
+    * bidirectional) — shared by the round-13 graph oracles. */
+  private val symCoPurchaseCte: String =
+    """cu AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+      |                  CAST(b.l_partkey AS BIGINT) AS hi
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT lo AS src, hi AS dst FROM cu
+      |  UNION ALL SELECT hi AS src, lo AS dst FROM cu)""".stripMargin
+
+  /** Unrolled 4-round max-normalized power iteration over the
+    * symmetrized co-purchase graph (Graph.eigenCentralitySql). */
+  private lazy val eigenCentralityOracle: String =
+    s"""WITH $symCoPurchaseCte,
+       |${graft.operators.Graph.eigenCentralitySql(4)}""".stripMargin
+
+  /** First-8-events pivot per user (exactly-8 contract) + the unrolled
+    * integer-score Viterbi chain (Sessionize.viterbiSqlCtes — the SAME
+    * score maps the Spark DP interpolates, so path and score are
+    * engine-exact integers). */
+  private lazy val viterbiOracle: String =
+    s"""WITH o AS (SELECT user_id AS k, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS rn
+       |  FROM events),
+       |p AS (SELECT k,
+       |    ${(1 to 8).map(i =>
+            s"MAX(CASE WHEN rn = $i THEN event_type END) AS o$i")
+            .mkString(",\n    ")}
+       |  FROM o WHERE rn <= 8 GROUP BY k
+       |  HAVING MAX(CASE WHEN rn = 8 THEN event_type END) IS NOT NULL),
+       |${graft.operators.Sessionize.viterbiSqlCtes(8, keyAlias = "user_id")}"""
+      .stripMargin
 
   /** Shared by q_bh_fdr (batch) and q_stream_bh_fdr (complete-mode
     * streaming counts): identical test semantics, one oracle text. */

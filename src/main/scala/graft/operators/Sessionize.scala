@@ -441,6 +441,154 @@ object Sessionize {
         regexp_instr(col("seq"), lit(pattern)).cast("bigint").as("first_pos"))
   }
 
+  /** The fixed 2-state HMM behind [[viterbiDecode]]: latent intent
+    * E (engaged) / I (idle) over the observed event-type alphabet.
+    * All parameters are INTEGER log-scores in centi-nats (ln p × 100,
+    * rounded) — model constants, not fitted values — so the whole DP
+    * is exact int64 arithmetic: no floating normalization, no ulp
+    * class, and the argmax tie-break (prefer E) is engine-exact. The
+    * SQL twin [[viterbiSqlCtes]] interpolates the SAME maps. */
+  val ViterbiInit: Map[String, Long] = Map("E" -> -36L, "I" -> -120L)
+  val ViterbiTrans: Map[(String, String), Long] = Map(
+    ("E", "E") -> -22L, ("E", "I") -> -161L,
+    ("I", "E") -> -92L, ("I", "I") -> -51L)
+  val ViterbiEmit: Map[(String, String), Long] = Map(
+    ("E", "view") -> -69L, ("E", "click") -> -120L,
+    ("E", "purchase") -> -230L, ("E", "signup") -> -300L,
+    ("E", "error") -> -300L,
+    ("I", "view") -> -92L, ("I", "click") -> -230L,
+    ("I", "purchase") -> -461L, ("I", "signup") -> -161L,
+    ("I", "error") -> -120L)
+  /** Emission floor for observation types outside the alphabet — the
+    * same for both states, so an unknown type dents the score without
+    * steering the path. */
+  val ViterbiUnk: Long = -700L
+
+  /** Ordered emission alphabet (deterministic CASE generation). */
+  private def viterbiObs: Seq[String] =
+    ViterbiEmit.keys.map(_._2).toSeq.distinct.sorted
+
+  /** Viterbi decode of the fixed 2-state HMM over each key's FIRST
+    * `steps` events (stream order `(tsCol, tieCol)`): the most likely
+    * latent engaged/idle path and its exact integer log-score — the
+    * hidden-state refinement of [[markovTransitions]]' observed-state
+    * matrix. Keys with fewer than `steps` events are excluded by
+    * contract: the fixed unroll is the determinism device (both
+    * engines replay the same `steps` DP columns; see
+    * [[viterbiSqlCtes]] for the oracle's identical chain). Ties in
+    * every max prefer state E, so the decoded path is total-ordered.
+    *
+    * Scale shape: one key-partitioned window (row_number, capped at
+    * `steps` before the shuffle by the filter) + one pivot aggregate
+    * → ONE row per key carrying `steps` observation columns; the DP
+    * itself is per-row codegen'd column arithmetic — 2·steps int64
+    * columns, no joins, no second shuffle, nothing keyed wider than
+    * the session key. */
+  def viterbiDecode(
+      events: DataFrame,
+      steps: Int = 8,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"steps must be in [1, 64] (the unrolled-column budget): $steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val firstN = events
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= steps)
+    val pivotAggs = (1 to steps).map(i =>
+      max(when(col("__rn") === i, col(typeCol))).as(s"o$i"))
+    val row = firstN.groupBy(col(keyCol))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .filter(col(s"o$steps").isNotNull) // exactly-`steps` contract
+
+    def emit(state: String, obs: org.apache.spark.sql.Column) =
+      viterbiObs.foldLeft(lit(ViterbiUnk)) { (acc, o) =>
+        when(obs === o, lit(ViterbiEmit((state, o)))).otherwise(acc)
+      }
+
+    // forward DP: v{S}t = best score ending in S at step t, b{S}t = the
+    // argmax predecessor (tie -> E)
+    var vE = lit(ViterbiInit("E")) + emit("E", col("o1"))
+    var vI = lit(ViterbiInit("I")) + emit("I", col("o1"))
+    val backs = (2 to steps).map { t =>
+      val eToE = vE + lit(ViterbiTrans(("E", "E")))
+      val iToE = vI + lit(ViterbiTrans(("I", "E")))
+      val eToI = vE + lit(ViterbiTrans(("E", "I")))
+      val iToI = vI + lit(ViterbiTrans(("I", "I")))
+      val bE = when(eToE >= iToE, lit("E")).otherwise(lit("I"))
+      val bI = when(eToI >= iToI, lit("E")).otherwise(lit("I"))
+      vE = greatest(eToE, iToE) + emit("E", col(s"o$t"))
+      vI = greatest(eToI, iToI) + emit("I", col(s"o$t"))
+      (bE, bI)
+    }
+    // backtrack: sT from the final argmax, then s{t-1} = b{s_t}t
+    var states = List(when(vE >= vI, lit("E")).otherwise(lit("I")))
+    backs.reverse.foreach { case (bE, bI) =>
+      states = when(states.head === "E", bE).otherwise(bI) :: states
+    }
+    row.select(col(keyCol),
+      concat(states: _*).as("path"),
+      greatest(vE, vI).cast("long").as("score"))
+  }
+
+  /** Unrolled [[viterbiDecode]] oracle body: CTEs after a caller-
+    * provided `p(k, o1..o{steps})` pivot (one row per key, exactly
+    * `steps` observations). Interpolates the SAME integer score maps
+    * as the Spark DP, one CTE per forward step and one per backtrack
+    * step; ends with `SELECT k AS <keyAlias>, path, score FROM ...`
+    * so the oracle's key column name matches the Spark output's. */
+  def viterbiSqlCtes(steps: Int, keyAlias: String = "k"): String = {
+    require(steps >= 2, s"steps must be >= 2: $steps")
+    def emitSql(state: String, obsCol: String): String =
+      viterbiObs.map(o =>
+        s"WHEN '$o' THEN ${ViterbiEmit((state, o))}")
+        .mkString(s"CASE $obsCol ", " ", s" ELSE $ViterbiUnk END")
+    val d1 =
+      s"""d1 AS (SELECT *,
+         |  ${ViterbiInit("E")} + ${emitSql("E", "o1")} AS ve1,
+         |  ${ViterbiInit("I")} + ${emitSql("I", "o1")} AS vi1
+         |  FROM p)""".stripMargin
+    val fwd = (2 to steps).map { t =>
+      val p = t - 1
+      s"""d$t AS (SELECT *,
+         |  CASE WHEN ve$p + ${ViterbiTrans(("E", "E"))} >=
+         |    vi$p + ${ViterbiTrans(("I", "E"))} THEN 'E' ELSE 'I' END
+         |    AS be$t,
+         |  CASE WHEN ve$p + ${ViterbiTrans(("E", "I"))} >=
+         |    vi$p + ${ViterbiTrans(("I", "I"))} THEN 'E' ELSE 'I' END
+         |    AS bi$t,
+         |  greatest(ve$p + ${ViterbiTrans(("E", "E"))},
+         |    vi$p + ${ViterbiTrans(("I", "E"))}) +
+         |    ${emitSql("E", s"o$t")} AS ve$t,
+         |  greatest(ve$p + ${ViterbiTrans(("E", "I"))},
+         |    vi$p + ${ViterbiTrans(("I", "I"))}) +
+         |    ${emitSql("I", s"o$t")} AS vi$t
+         |  FROM d$p)""".stripMargin
+    }.mkString(",\n")
+    val bT =
+      s"""b$steps AS (SELECT *,
+         |  CASE WHEN ve$steps >= vi$steps THEN 'E' ELSE 'I' END AS s$steps
+         |  FROM d$steps)""".stripMargin
+    val back = (steps - 1 to 1 by -1).map { t =>
+      val n = t + 1
+      s"""b$t AS (SELECT *,
+         |  CASE WHEN s$n = 'E' THEN be$n ELSE bi$n END AS s$t
+         |  FROM b$n)""".stripMargin
+    }.mkString(",\n")
+    val path = (1 to steps).map(t => s"s$t").mkString(" || ")
+    s"""$d1,
+       |$fwd,
+       |$bT,
+       |$back
+       |SELECT k AS $keyAlias, $path AS path,
+       |  CAST(greatest(ve$steps, vi$steps) AS BIGINT) AS score
+       |FROM b1""".stripMargin
+  }
+
   /** Per-session entry/exit summary over [[gapSessionize]] (or any)
     * sessionized output: first and last event type in stream order,
     * event count, session duration, and the bounce flag (single-event
