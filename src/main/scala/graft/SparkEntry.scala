@@ -6216,6 +6216,37 @@ object SparkEntry {
         .withColumn("ts_ms", unix_millis(col("ts")))
       graft.operators.Sessionize.viterbiDecode(ev, steps = 8)
     }),
+    "q_matrix_profile" -> ((s, dir) => {
+      // Exact matrix profile over the gap-filled HOURLY event-count
+      // series (the time range, not the corpus, bounds the series at
+      // ~720 points per 30-day month): 24 h windows, 12 h exclusion
+      // zone — per window, the z-normed distance and start of its
+      // nearest non-trivial neighbor (motif/discord discovery).
+      val perHour = table(s, dir, "events")
+        .select(expr("unix_millis(ts) div 3600000").as("hour"))
+        .groupBy(col("hour")).agg(count(lit(1)).as("x"))
+        .withColumn("k", lit(0))
+      val filled = graft.operators.TimeSeries
+        .fillBucketGaps(perHour, "k", "hour", "x")
+      graft.operators.TimeSeries.matrixProfile(
+        filled, "hour", "x", m = 24, excl = 12)
+    }),
+    "q_ar_forecast" -> ((s, dir) => {
+      // Yule-Walker AR(2) on per-user gap-filled daily spend + a
+      // 6-step mean-reverting forecast — the model-fitting step the
+      // q_acf/q_pacf diagnostics motivate. Degenerate series (zero
+      // variance) forecast NULL; users with < 3 days drop (no rho_2).
+      val pd = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      val filled = graft.operators.TimeSeries
+        .fillBucketGaps(pd, "user_id", "day", "v")
+      graft.operators.TimeSeries.ar2Forecast(
+        filled, "user_id", "day", "v", horizon = 6)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14211,7 +14242,111 @@ object SparkEntry {
          |FROM w""".stripMargin,
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_viterbi" -> viterbiOracle,
+    "q_matrix_profile" -> matrixProfileOracle,
+    "q_ar_forecast" -> arForecastOracle,
   )
+
+  /** Gap-filled hourly counts → per-(offset, start) exact dot products
+    * via one rolling window per offset partition → the shared distance
+    * text (TimeSeries.mpDistSql) → start-keyed arg-min with the
+    * (dist, neighbor) tie-break — the Spark kernel replayed CTE for
+    * CTE. Full windows pin via COUNT(*) OVER the same frame. */
+  private lazy val matrixProfileOracle: String =
+    s"""WITH cnt AS (SELECT epoch_ms(ts) // 3600000 AS t,
+       |    CAST(COUNT(*) AS BIGINT) AS x0 FROM events GROUP BY 1),
+       |sp AS (SELECT unnest(generate_series(
+       |    (SELECT MIN(t) FROM cnt), (SELECT MAX(t) FROM cnt))) AS t),
+       |s AS (SELECT sp.t, COALESCE(cnt.x0, 0) AS x
+       |  FROM sp LEFT JOIN cnt USING (t)),
+       |w AS (SELECT t AS i,
+       |    CAST(SUM(x) OVER win AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+       |    CAST(COUNT(*) OVER win AS BIGINT) AS cw
+       |  FROM s WINDOW win AS (ORDER BY t
+       |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+       |wv AS MATERIALIZED (SELECT i, sx, sxx FROM w WHERE cw = 24),
+       |z AS (SELECT b.t - a.t AS d, a.t,
+       |    CAST(a.x * b.x AS BIGINT) AS z
+       |  FROM s a JOIN s b ON b.t - a.t >= 12),
+       |qr AS (SELECT d, t AS i, t + d AS j,
+       |    CAST(SUM(z) OVER win AS BIGINT) AS q,
+       |    CAST(COUNT(*) OVER win AS BIGINT) AS cq
+       |  FROM z WINDOW win AS (PARTITION BY d ORDER BY t
+       |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+       |pairs AS MATERIALIZED (SELECT i, j,
+       |    ${graft.operators.TimeSeries.mpDistSql(24)} AS dist
+       |  FROM (SELECT qr.i, qr.j, qr.q,
+       |      wi.sx AS sxi, wi.sxx AS sxxi, wj.sx AS sxj, wj.sxx AS sxxj
+       |    FROM qr JOIN wv wi ON wi.i = qr.i JOIN wv wj ON wj.i = qr.j
+       |    WHERE qr.cq = 24)),
+       |mirr AS (SELECT i, j, dist FROM pairs WHERE dist IS NOT NULL
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, dist FROM pairs WHERE dist IS NOT NULL),
+       |f AS (SELECT i, j, dist,
+       |    row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+       |  FROM mirr)
+       |SELECT i AS window_start, j AS nn_start, dist AS nn_dist
+       |FROM f WHERE rn = 1""".stripMargin
+
+  /** Per-user gap-filled daily spend → lag-1/lag-2 Pearson rho (the
+    * q_acf text, rounded 6 dp so both engines seed identical doubles)
+    * → the shared Yule-Walker phi and forecast-step texts
+    * (TimeSeries.ar2Phi*Sql / arStepSql) unrolled h=1..6. */
+  private lazy val arForecastOracle: String = {
+    def rhoCtes(k: Int) =
+      s"""p$k AS (SELECT user_id, v AS y,
+         |    lag(v, $k) OVER (PARTITION BY user_id ORDER BY day) AS x
+         |  FROM pd),
+         |m$k AS (SELECT user_id, COUNT(*) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM p$k WHERE x IS NOT NULL GROUP BY 1),
+         |r$k AS (SELECT user_id,
+         |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |    THEN (n * sxy - sx * sy) /
+         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |           CAST(n * syy - sy * sy AS DOUBLE))
+         |    END, 6) AS rho$k FROM m$k)""".stripMargin
+    val steps = (1 to 6).map { h =>
+      val p1 = if (h == 1) "f0" else s"f${h - 1}"
+      val p2 = if (h == 1) "fm1" else if (h == 2) "f0" else s"f${h - 2}"
+      s"""g$h AS (SELECT *,
+         |  ${graft.operators.TimeSeries.arStepSql(p1, p2)} AS f$h
+         |  FROM g${h - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 6).map(h =>
+      s"SELECT user_id, n_series, round(phi1, 6) AS phi1, " +
+        s"round(phi2, 6) AS phi2, CAST($h AS BIGINT) AS h, " +
+        s"round(f$h, 6) AS forecast FROM g6").mkString("\nUNION ALL ")
+    s"""WITH pd0 AS (
+       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |sp AS (SELECT user_id, unnest(generate_series(b0, b1)) AS day
+       |  FROM (SELECT user_id, MIN(day) AS b0, MAX(day) AS b1
+       |    FROM pd0 GROUP BY 1)),
+       |pd AS (SELECT sp.user_id, sp.day, COALESCE(pd0.v, 0) AS v
+       |  FROM sp LEFT JOIN pd0 USING (user_id, day)),
+       |${rhoCtes(1)},
+       |${rhoCtes(2)},
+       |base AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_series,
+       |    CAST(SUM(v) AS BIGINT) AS sv FROM pd GROUP BY 1),
+       |lt AS (SELECT user_id,
+       |    MAX(CASE WHEN rn = 1 THEN v END) AS xn,
+       |    MAX(CASE WHEN rn = 2 THEN v END) AS xn1
+       |  FROM (SELECT user_id, v, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY day DESC) AS rn FROM pd)
+       |  WHERE rn <= 2 GROUP BY 1),
+       |g0 AS (SELECT base.user_id, n_series, rho1, rho2,
+       |    CAST(sv AS DOUBLE) / n_series AS mu,
+       |    ${graft.operators.TimeSeries.ar2Phi1Sql} AS phi1,
+       |    ${graft.operators.TimeSeries.ar2Phi2Sql} AS phi2,
+       |    CAST(xn AS DOUBLE) AS f0, CAST(xn1 AS DOUBLE) AS fm1
+       |  FROM base JOIN r1 USING (user_id) JOIN r2 USING (user_id)
+       |  JOIN lt USING (user_id)),
+       |$steps
+       |$out""".stripMargin
+  }
 
   /** Symmetrized co-purchase edge CTE pair (`cu` canonical, `e`
     * bidirectional) — shared by the round-13 graph oracles. */

@@ -1143,19 +1143,26 @@ object Graph {
     * split and from [[pageRank]]'s out-degree-normalized walk):
     * x_{t+1}(v) = Σ_{u~v} x_t(u), max-normalized each round from
     * x₀ = 1 — truncated power iteration toward the Perron vector.
-    * Max-of-doubles normalization is order-independent (an L2 norm's
-    * sum is not) and round(·,8) absorbs the ulp class of the neighbor
-    * sums. Isolated vertices never appear (symmetrized edge rows are
-    * the vertex source); a disconnected component converges toward its
-    * own Perron vector scaled by the global max — the standard
-    * truncated-iteration semantics, which the fixed round count pins.
+    * Normalization happens ONCE, by the final max — in exact
+    * arithmetic that is identical to normalizing every round (scaling
+    * commutes with the linear map), and deferring it removes every
+    * mid-loop action: no per-round broadcast max, no per-round
+    * materialize, one linear 4-join plan evaluated once.
+    * Max-of-doubles is order-independent (an L2 norm's sum is not) and
+    * round(·,8) absorbs the ulp class of the neighbor sums; the
+    * unnormalized scores grow as deg_max^iters — within double range
+    * (and integer-exact below 2^53) for any realistic graph at small
+    * iteration counts. Isolated vertices never appear (symmetrized
+    * edge rows are the vertex source); a disconnected component
+    * converges toward its own Perron vector scaled by the global max —
+    * the standard truncated-iteration semantics, which the fixed round
+    * count pins.
     *
     * Scale shape: edges are canonicalized + symmetrized ONCE
     * (materialized); each round is one vertex-keyed shuffle join + one
-    * aggregate + one 1-row broadcast max, with the half-step
-    * materialized so the per-round max action cannot replay the
-    * growing lineage (the [[hits]] plan note). Scores stay
-    * vertex-cardinality; nothing collects to the driver. */
+    * aggregate; the final table is materialized once so the 1-row max
+    * does not replay the chain. Scores stay vertex-cardinality;
+    * nothing collects to the driver. */
   def eigenvectorCentrality(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 4): DataFrame = {
@@ -1167,30 +1174,29 @@ object Graph {
     var x = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("x"))
     (1 to iters).foreach { _ =>
-      val x0 = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
+      x = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("x")).as("x"))
-        .materialize
-      val xm = broadcast(x0.agg(max(col("x")).as("xm")))
-      x = x0.crossJoin(xm)
-        .select(col("id"), (col("x") / col("xm")).as("x"))
     }
-    x.select(col("id"), round(col("x"), 8).as("eigen"))
+    val xt = x.materialize
+    val xm = broadcast(xt.agg(max(col("x")).as("xm")))
+    xt.crossJoin(xm)
+      .select(col("id"), round(col("x") / col("xm"), 8).as("eigen"))
   }
 
   /** Unrolled [[eigenvectorCentrality]] oracle body — CTEs after an
-    * `e(src, dst)` SYMMETRIZED edge set the caller provides. Each
+    * `e(src, dst)` SYMMETRIZED edge set the caller provides; the same
+    * defer-normalization shape (one max division at the end). Each
     * round CTE is MATERIALIZED (the [[hitsSql]] expansion note). */
   def eigenCentralitySql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT e.dst AS id, SUM(x.x) AS x
-         |  FROM e JOIN x${i - 1} x ON x.id = e.src GROUP BY e.dst),
-         |m$i AS (SELECT MAX(x) AS m FROM s$i),
-         |x$i AS MATERIALIZED (SELECT id, x/m AS x FROM s$i, m$i)"""
+      s"""x$i AS MATERIALIZED (SELECT e.dst AS id, SUM(x.x) AS x
+         |  FROM e JOIN x${i - 1} x ON x.id = e.src GROUP BY e.dst)"""
         .stripMargin
     }.mkString(",\n")
     s"""x0 AS (SELECT DISTINCT src AS id, CAST(1 AS DOUBLE) AS x FROM e),
-       |$rounds
-       |SELECT id, round(x, 8) AS eigen FROM x$iters""".stripMargin
+       |$rounds,
+       |xm AS (SELECT MAX(x) AS m FROM x$iters)
+       |SELECT id, round(x / m, 8) AS eigen FROM x$iters, xm""".stripMargin
   }
 
 }

@@ -510,29 +510,38 @@ object Sessionize {
         when(obs === o, lit(ViterbiEmit((state, o)))).otherwise(acc)
       }
 
-    // forward DP: v{S}t = best score ending in S at step t, b{S}t = the
-    // argmax predecessor (tie -> E)
-    var vE = lit(ViterbiInit("E")) + emit("E", col("o1"))
-    var vI = lit(ViterbiInit("I")) + emit("I", col("o1"))
-    val backs = (2 to steps).map { t =>
-      val eToE = vE + lit(ViterbiTrans(("E", "E")))
-      val iToE = vI + lit(ViterbiTrans(("I", "E")))
-      val eToI = vE + lit(ViterbiTrans(("E", "I")))
-      val iToI = vI + lit(ViterbiTrans(("I", "I")))
-      val bE = when(eToE >= iToE, lit("E")).otherwise(lit("I"))
-      val bI = when(eToI >= iToI, lit("E")).otherwise(lit("I"))
-      vE = greatest(eToE, iToE) + emit("E", col(s"o$t"))
-      vI = greatest(eToI, iToI) + emit("I", col(s"o$t"))
-      (bE, bI)
+    // Forward DP as NAMED per-step columns (ve$t/vi$t/be$t/bi$t), never
+    // nested Column trees: each step references the previous step 4×, so
+    // an inlined expression would grow 4^steps nodes (measured 28 s at
+    // sf0.1 for steps = 8 vs ~1 s columnar) — withColumn keeps one
+    // projection per step and CollapseProject declines to re-inline
+    // multiply-referenced non-trivial expressions.
+    val d1 = row
+      .withColumn("ve1", lit(ViterbiInit("E")) + emit("E", col("o1")))
+      .withColumn("vi1", lit(ViterbiInit("I")) + emit("I", col("o1")))
+    val fwd = (2 to steps).foldLeft(d1) { (d, t) =>
+      val eToE = col(s"ve${t - 1}") + lit(ViterbiTrans(("E", "E")))
+      val iToE = col(s"vi${t - 1}") + lit(ViterbiTrans(("I", "E")))
+      val eToI = col(s"ve${t - 1}") + lit(ViterbiTrans(("E", "I")))
+      val iToI = col(s"vi${t - 1}") + lit(ViterbiTrans(("I", "I")))
+      d.withColumn(s"be$t", when(eToE >= iToE, lit("E")).otherwise(lit("I")))
+        .withColumn(s"bi$t", when(eToI >= iToI, lit("E")).otherwise(lit("I")))
+        .withColumn(s"ve$t", greatest(eToE, iToE) + emit("E", col(s"o$t")))
+        .withColumn(s"vi$t", greatest(iToI, eToI) + emit("I", col(s"o$t")))
     }
-    // backtrack: sT from the final argmax, then s{t-1} = b{s_t}t
-    var states = List(when(vE >= vI, lit("E")).otherwise(lit("I")))
-    backs.reverse.foreach { case (bE, bI) =>
-      states = when(states.head === "E", bE).otherwise(bI) :: states
+    // backtrack: s$T from the final argmax, then s{t-1} = b{s_t}t —
+    // same columnar discipline
+    val bT = fwd.withColumn(s"s$steps",
+      when(col(s"ve$steps") >= col(s"vi$steps"), lit("E"))
+        .otherwise(lit("I")))
+    val back = (steps - 1 to 1 by -1).foldLeft(bT) { (d, t) =>
+      d.withColumn(s"s$t",
+        when(col(s"s${t + 1}") === "E", col(s"be${t + 1}"))
+          .otherwise(col(s"bi${t + 1}")))
     }
-    row.select(col(keyCol),
-      concat(states: _*).as("path"),
-      greatest(vE, vI).cast("long").as("score"))
+    back.select(col(keyCol),
+      concat((1 to steps).map(t => col(s"s$t")): _*).as("path"),
+      greatest(col(s"ve$steps"), col(s"vi$steps")).cast("long").as("score"))
   }
 
   /** Unrolled [[viterbiDecode]] oracle body: CTEs after a caller-

@@ -2461,4 +2461,178 @@ object TimeSeries {
       s"WHEN ($z) < 0 THEN 'b' WHEN ($z) < 0.6745 THEN 'c' " +
       "ELSE 'd' END"
   }
+
+  /** AR(2) fit by Yule–Walker over the [[autocorr]] Pearson-pairs
+    * ρ₁/ρ₂ (the same convention [[pacf]]'s Durbin–Levinson uses), plus
+    * an unrolled `horizon`-step mean-reverting forecast per key:
+    * φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²), then
+    * x̂_{n+h} = μ + φ₁(x̂_{n+h−1}−μ) + φ₂(x̂_{n+h−2}−μ) seeded from the
+    * last two observations. Determinism: ρ's arrive ROUNDED (6 dp) so
+    * both engines start the φ/forecast chain from identical doubles;
+    * μ and the seeds are exact-integer derived; every double step is
+    * the SAME spliced SQL text ([[ar2Phi1Sql]]/[[arStepSql]], the
+    * pacfSteps discipline). Keys with degenerate ρ (zero variance or
+    * |1−ρ₁²| ≤ 1e-12) forecast NULL by contract, never a crash.
+    *
+    * Scale shape: two [[autocorr]] lag aggregates + one moment
+    * aggregate + one last-two pivot (key-partitioned window capped at
+    * 2 rows before the shuffle), all joined key-wise; the unrolled
+    * forecast is per-row column arithmetic — nothing wider than the
+    * key ever shuffles, and `horizon` is a column budget (≤ 24), not
+    * a job count. */
+  def ar2Forecast(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, horizon: Int = 6): DataFrame = {
+    require(horizon >= 1 && horizon <= 24,
+      s"horizon must be in [1, 24] (unrolled-column budget): $horizon")
+    import org.apache.spark.sql.expressions.Window
+    val r1 = autocorr(perBucket, keyCol, bucketCol, valueCol, 1)
+      .select(col(keyCol), col("acf").as("rho1"))
+    val r2 = autocorr(perBucket, keyCol, bucketCol, valueCol, 2)
+      .select(col(keyCol), col("acf").as("rho2"))
+    val base = perBucket.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_series"),
+        sum(col(valueCol).cast("long")).as("sv"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).desc)
+    val lastTwo = perBucket
+      .select(col(keyCol), col(bucketCol), col(valueCol).cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(keyCol))
+      .agg(max(when(col("__rn") === 1, col("__y"))).as("xn"),
+        max(when(col("__rn") === 2, col("__y"))).as("xn1"))
+    val fitted = base.join(r1, Seq(keyCol)).join(r2, Seq(keyCol))
+      .join(lastTwo, Seq(keyCol))
+      .withColumn("mu", expr("CAST(sv AS DOUBLE) / n_series"))
+      .withColumn("phi1", expr(ar2Phi1Sql))
+      .withColumn("phi2", expr(ar2Phi2Sql))
+      .withColumn("f0", expr("CAST(xn AS DOUBLE)"))
+      .withColumn("fm1", expr("CAST(xn1 AS DOUBLE)"))
+    val stepped = (1 to horizon).foldLeft(fitted) { (d, h) =>
+      val p1 = if (h == 1) "f0" else s"f${h - 1}"
+      val p2 = if (h == 1) "fm1" else if (h == 2) "f0" else s"f${h - 2}"
+      d.withColumn(s"f$h", expr(arStepSql(p1, p2)))
+    }
+    stepped.select(
+        col(keyCol), col("n_series"),
+        round(col("phi1"), 6).as("phi1"),
+        round(col("phi2"), 6).as("phi2"),
+        posexplode(array((1 to horizon).map(h => col(s"f$h")): _*))
+          .as(Seq("__p", "__f")))
+      .select(col(keyCol), col("n_series"), col("phi1"), col("phi2"),
+        (col("__p") + 1).cast("long").as("h"),
+        round(col("__f"), 6).as("forecast"))
+  }
+
+  /** Yule–Walker φ₁ over (rho1, rho2); NULL when 1−ρ₁² degenerates
+    * (the pacfSteps guard style). Shared with the oracle. */
+  val ar2Phi1Sql: String =
+    "CASE WHEN abs(1.0 - rho1 * rho1) > 1e-12 " +
+      "THEN (rho1 * (1.0 - rho2)) / (1.0 - rho1 * rho1) END"
+
+  /** Yule–Walker φ₂ over (rho1, rho2); same guard. */
+  val ar2Phi2Sql: String =
+    "CASE WHEN abs(1.0 - rho1 * rho1) > 1e-12 " +
+      "THEN (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) END"
+
+  /** One mean-reverting AR(2) forecast step over (mu, phi1, phi2) and
+    * the two predecessor columns. Shared with the oracle. */
+  def arStepSql(prev1: String, prev2: String): String =
+    s"mu + phi1 * ($prev1 - mu) + phi2 * ($prev2 - mu)"
+
+  /** Matrix profile (z-normalized Euclidean, window `m`, exclusion
+    * zone `excl`) over ONE gap-free integer series `(tCol, xCol)`:
+    * for every length-m subsequence, the distance to its nearest
+    * non-trivial neighbor and that neighbor's start — the standard
+    * motif/discord primitive (Yeh et al., ICDM 2016; this is the
+    * exact O(n²) profile computed set-wise, not the STOMP recurrence,
+    * which is inherently sequential). Determinism: window dot products
+    * and moment sums are EXACT BIGINTs (the series is integer by
+    * contract); each pair's distance is ONE spliced double expression
+    * ([[mpDistSql]]) rounded to 6 dp BEFORE the arg-min, whose
+    * tie-break is the smaller neighbor index — so profile and indices
+    * are engine-exact. Zero-variance windows (σ = 0, z-norm undefined)
+    * drop out of both sides of the arg-min by contract.
+    *
+    * Scale shape: the series is probed once (1-row bounds action),
+    * then pairs enumerate as (offset δ, start) — the δ frame is
+    * broadcast, products rolling-sum per δ partition (ONE window pass,
+    * never an n²·m explode), and the arg-min is a start-keyed
+    * aggregate. Total work is Θ(n²) pairs BY DEFINITION of the exact
+    * profile — `maxN` is the valve (default 20k starts ≈ 2·10⁸ pairs);
+    * longer series should PAA/SAX-sketch first ([[saxWords]]) or shard
+    * by regime. The raw-data side (bucketing events into the series)
+    * is one groupBy at any corpus scale. */
+  def matrixProfile(
+      series: DataFrame, tCol: String, xCol: String,
+      m: Int = 24, excl: Int = 12, maxN: Long = 20000L): DataFrame = {
+    require(m >= 4, s"window m must be >= 4: $m")
+    require(excl >= 1, s"exclusion zone must be >= 1: $excl")
+    import org.apache.spark.sql.expressions.Window
+    val s = series
+      .select(col(tCol).cast("long").as("t"), col(xCol).cast("long").as("x"))
+      .materialize
+    val b = s.agg(min(col("t")).as("t0"), max(col("t")).as("t1"),
+      count(lit(1)).as("n")).collect()(0)
+    val (t0, t1, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    require(n == t1 - t0 + 1,
+      s"series must be gap-free: ${t1 - t0 + 1 - n} missing buckets " +
+        "(fillBucketGaps first)")
+    require(n <= maxN,
+      s"series length $n exceeds maxN=$maxN — the exact profile is " +
+        "O(n^2) pairs; PAA/SAX-sketch or shard longer series")
+    val nw = n - m + 1 // number of window starts
+    require(nw > excl,
+      s"need more than excl=$excl windows (have $nw): series too short " +
+        s"for m=$m")
+    val lastStart = t1 - m + 1
+    // per-window moment sums (full windows only)
+    val wOrd = Window.orderBy(col("t")).rowsBetween(0, m - 1)
+    val wv = s.select(col("t").as("i"),
+        sum(col("x")).over(wOrd).cast("long").as("sx"),
+        sum(col("x") * col("x")).over(wOrd).cast("long").as("sxx"))
+      .filter(col("i") <= lastStart)
+      .materialize
+    // product series per offset δ, rolling-summed into Q(i, i+δ)
+    val deltas = series.sparkSession.range(excl.toLong, nw)
+      .select(col("id").as("d"))
+    val wQ = Window.partitionBy(col("d")).orderBy(col("t"))
+      .rowsBetween(0, m - 1)
+    val q = s.crossJoin(broadcast(deltas))
+      .join(s.select(col("t").as("__t2"), col("x").as("__x2")),
+        col("__t2") === col("t") + col("d"))
+      .select(col("d"), col("t"), (col("x") * col("__x2")).as("z"))
+      .withColumn("q", sum(col("z")).over(wQ).cast("long"))
+      .filter(col("t") <= lit(lastStart) - col("d"))
+      .select(col("t").as("i"), (col("t") + col("d")).as("j"), col("q"))
+    val pairs = q
+      .join(wv.select(col("i"), col("sx").as("sxi"), col("sxx").as("sxxi")),
+        Seq("i"))
+      .join(wv.select(col("i").as("j"), col("sx").as("sxj"),
+        col("sxx").as("sxxj")), Seq("j"))
+      .select(col("i"), col("j"), expr(mpDistSql(m)).as("dist"))
+      .filter(col("dist").isNotNull)
+    pairs.union(pairs.select(col("j").as("i"), col("i").as("j"), col("dist")))
+      .groupBy(col("i").as("window_start"))
+      .agg(min(struct(col("dist"), col("j"))).as("__m"))
+      .select(col("window_start"),
+        col("__m")("j").as("nn_start"),
+        col("__m")("dist").as("nn_dist"))
+  }
+
+  /** z-normalized Euclidean distance over the exact BIGINT pair row
+    * (q, sxi, sxxi, sxj, sxxj): d = √(2m(1 − corr)) with
+    * corr = (mQ − SᵢSⱼ)/(√(mΣᵢ²−Sᵢ²)·√(mΣⱼ²−Sⱼ²)) — numerator and
+    * variances are exact integer products, one double finish, rounded
+    * BEFORE the arg-min; NULL on a zero-variance window. Shared with
+    * the oracle. */
+  def mpDistSql(m: Int): String = {
+    val vi = s"(CAST($m AS BIGINT) * sxxi - sxi * sxi)"
+    val vj = s"(CAST($m AS BIGINT) * sxxj - sxj * sxj)"
+    val num = s"(CAST($m AS BIGINT) * q - sxi * sxj)"
+    s"CASE WHEN $vi > 0 AND $vj > 0 THEN " +
+      s"round(sqrt(greatest(0.0, CAST(${2 * m} AS DOUBLE) * " +
+      s"(1.0 - CAST($num AS DOUBLE) / " +
+      s"(sqrt(CAST($vi AS DOUBLE)) * sqrt(CAST($vj AS DOUBLE)))))), 6) END"
+  }
 }

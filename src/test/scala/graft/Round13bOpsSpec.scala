@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Sessionize}
+import graft.operators.{Graph, Sessionize, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-13 continuation wave: eigenvector centrality (truncated power
@@ -133,5 +133,107 @@ class Round13bOpsSpec extends SparkFunSuite {
     spark.catalog.dropTempView("viterbi_ev")
     assert(engine == replay)
     assert(engine.size == 40)
+  }
+
+  // ---- matrixProfile --------------------------------------------------
+
+  /** Deterministic pseudo-noise series with an AFFINE motif pair planted
+    * at starts 10 and 50 (y = 2x + 3 of the same pattern — z-norm
+    * distance exactly 0). */
+  private def motifSeries: Seq[(Long, Long)] = {
+    val pattern = Seq(5L, 9L, 1L, 8L, 2L, 7L, 3L, 6L)
+    (0L until 80L).map { t =>
+      val x =
+        if (t >= 10 && t < 18) pattern((t - 10).toInt)
+        else if (t >= 50 && t < 58) 2L * pattern((t - 50).toInt) + 3L
+        else (t * 37) % 11
+      (t, x)
+    }
+  }
+
+  test("matrixProfile finds the planted affine motif at distance 0") {
+    val s = motifSeries.toDF("t", "x")
+    val got = TimeSeries.matrixProfile(s, "t", "x", m = 8, excl = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) == ((50L, 0.0)), got.get(10L).toString)
+    assert(got(50L) == ((10L, 0.0)), got.get(50L).toString)
+    // profile covers every window start, exclusion zone respected
+    assert(got.size == 80 - 8 + 1)
+    got.foreach { case (i, (j, d)) =>
+      assert(math.abs(i - j) >= 4, s"trivial match survived: $i -> $j")
+      assert(d >= 0.0)
+    }
+  }
+
+  test("matrixProfile contract guards: gaps, length valve, zero variance") {
+    val gapped = motifSeries.filterNot(_._1 == 40L).toDF("t", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.matrixProfile(gapped, "t", "x", m = 8, excl = 4)
+    }
+    assert(e1.getMessage.contains("gap-free"))
+    val full = motifSeries.toDF("t", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.matrixProfile(full, "t", "x", m = 8, excl = 4, maxN = 10L)
+    }
+    assert(e2.getMessage.contains("maxN"))
+    // constant series: every window is zero-variance -> empty profile
+    val const = (0L until 40L).map(t => (t, 5L)).toDF("t", "x")
+    assert(TimeSeries.matrixProfile(const, "t", "x", m = 8, excl = 4)
+      .count() == 0L)
+  }
+
+  // ---- ar2Forecast ----------------------------------------------------
+
+  test("ar2Forecast matches an independent Scala replay of the " +
+      "Yule-Walker + recursion math") {
+    val xs = Seq(10L, 12L, 9L, 11L, 10L, 13L, 8L, 12L, 10L, 11L)
+    val df = xs.zipWithIndex.map { case (v, d) => (1L, d.toLong, v) }
+      .toDF("k", "day", "v")
+    val got = TimeSeries.ar2Forecast(df, "k", "day", "v", horizon = 3)
+      .collect().map(r => r.getLong(4) -> r.getDouble(5)).toMap
+
+    // independent replay: exact integer moments -> rho (rounded 6) ->
+    // phi -> 3 recursion steps -> round 6
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rho(lag: Int): Double = {
+      val pairs = xs.drop(lag).zip(xs.dropRight(lag)) // (y, x)
+      val n = pairs.size.toLong
+      val sy = pairs.map(_._1).sum; val sx = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._2 * p._2).sum
+      val syy = pairs.map(p => p._1 * p._1).sum
+      r6((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    }
+    val (rho1, rho2) = (rho(1), rho(2))
+    val phi1 = (rho1 * (1.0 - rho2)) / (1.0 - rho1 * rho1)
+    val phi2 = (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1)
+    val mu = xs.sum.toDouble / xs.size
+    val f1 = mu + phi1 * (xs.last - mu) + phi2 * (xs(xs.size - 2) - mu)
+    val f2 = mu + phi1 * (f1 - mu) + phi2 * (xs.last - mu)
+    val f3 = mu + phi1 * (f2 - mu) + phi2 * (f1 - mu)
+    assert(got == Map(1L -> r6(f1), 2L -> r6(f2), 3L -> r6(f3)),
+      s"got $got expected ${Map(1 -> r6(f1), 2 -> r6(f2), 3 -> r6(f3))}")
+  }
+
+  test("ar2Forecast: degenerate rho forecasts NULL; short keys drop; " +
+      "horizon bounded") {
+    // perfectly alternating series: rho1 = -1 -> 1 - rho1^2 = 0 -> NULL
+    val alt = (0L until 10L).map(d => (1L, d, if (d % 2 == 0) 10L else -10L))
+    // two-bucket key: lag-2 pairs empty -> no rho2 row -> key drops
+    val short = Seq((2L, 0L, 5L), (2L, 1L, 7L))
+    val df = (alt ++ short).toDF("k", "day", "v")
+    val out = TimeSeries.ar2Forecast(df, "k", "day", "v", horizon = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.forall(_.isNullAt(5)), "degenerate rho must forecast NULL")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ar2Forecast(df, "k", "day", "v", horizon = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ar2Forecast(df, "k", "day", "v", horizon = 25)
+    }
   }
 }
