@@ -6247,6 +6247,30 @@ object SparkEntry {
       graft.operators.TimeSeries.ar2Forecast(
         filled, "user_id", "day", "v", horizon = 6)
     }),
+    "q_ridge_path" -> ((s, dir) => {
+      // Ridge path over the q_ols2 regression (price on quantity and
+      // discount-%): one Gram aggregate, five lambdas fanned over the
+      // moment row, closed-form Cramer solve per lambda. lambda = 0
+      // reproduces q_ols2's coefficients (spec-pinned).
+      val li = table(s, dir, "lineitem").select(
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      graft.operators.Eval.ridge2Path(li, "y", "x1", "x2",
+        Seq(0L, 1000000L, 10000000L, 100000000L, 1000000000L))
+    }),
+    "q_poisson_trend" -> ((s, dir) => {
+      // Poisson IRLS on daily event counts vs day index (rebased to 0
+      // so the micro-quantized weighted moments stay in int64): one
+      // row per iteration pins the convergence trajectory, b is the
+      // daily log-growth rate.
+      val perDay = table(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .withColumn("x", col("day") - min(col("day")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      graft.operators.TimeSeries.poissonTrend(perDay, "x", "y", iters = 4)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14244,7 +14268,67 @@ object SparkEntry {
     "q_viterbi" -> viterbiOracle,
     "q_matrix_profile" -> matrixProfileOracle,
     "q_ar_forecast" -> arForecastOracle,
+    "q_ridge_path" -> ridgePathOracle,
+    "q_poisson_trend" -> poissonTrendOracle,
   )
+
+  /** The q_ols2 moment CTE + a VALUES lambda grid + the shared ridge
+    * Cramer text (Eval.ridge2Solve). */
+  private lazy val ridgePathOracle: String = {
+    val solve = graft.operators.Eval.ridge2Solve
+      .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
+    val grid = Seq(0L, 1000000L, 10000000L, 100000000L, 1000000000L)
+      .map(l => s"(CAST($l AS BIGINT))").mkString(", ")
+    s"""WITH li AS (SELECT CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS x1,
+       |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2 FROM lineitem),
+       |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x1*x1) AS BIGINT) AS s11,
+       |    CAST(SUM(x1*x2) AS BIGINT) AS s12,
+       |    CAST(SUM(x2*x2) AS BIGINT) AS s22,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+       |    CAST(SUM(x2*y) AS BIGINT) AS s2y FROM li),
+       |g AS (SELECT sums.*, lam FROM sums, (VALUES $grid) AS t(lam))
+       |SELECT lam AS lambda,
+       |  $solve
+       |FROM g""".stripMargin
+  }
+
+  /** Daily counts, day index rebased to 0, then the unrolled IRLS
+    * chain: per iteration one micro-quantized moment aggregate (the
+    * SAME five term texts the Spark fold quantizes) and the shared
+    * b/a update texts (TimeSeries.poissonBSql/poissonASql) split
+    * across two CTEs (the same-SELECT-alias rule). */
+  private lazy val poissonTrendOracle: String = {
+    def m(e: String) =
+      s"CAST(SUM(CAST(ROUND(($e) * 1000000, 0) AS BIGINT)) AS BIGINT)"
+    val iterCtes = (1 to 4).map { i =>
+      s"""t$i AS (SELECT MAX(n) AS n,
+         |    ${m("mu")} AS w,
+         |    ${m("mu * x")} AS wx,
+         |    ${m("mu * x * x")} AS wxx,
+         |    ${m("mu * eta + y - mu")} AS wz,
+         |    ${m("x * (mu * eta + y - mu)")} AS wxz
+         |  FROM (SELECT n, x, y, a + b * x AS eta, exp(a + b * x) AS mu
+         |    FROM s, i${i - 1})),
+         |pb$i AS (SELECT n, w, wx, wxx, wz, wxz,
+         |    ${graft.operators.TimeSeries.poissonBSql} AS b FROM t$i),
+         |i$i AS (SELECT n, ${graft.operators.TimeSeries.poissonASql} AS a,
+         |    b FROM pb$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 4).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, n, round(a, 6) AS a, " +
+        s"round(b, 6) AS b FROM i$i").mkString("\nUNION ALL ")
+    s"""WITH pd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1),
+       |s AS (SELECT day - MIN(day) OVER () AS x, y FROM pd),
+       |i0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ln(CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS a,
+       |    CAST(0 AS DOUBLE) AS b FROM s),
+       |$iterCtes
+       |$out""".stripMargin
+  }
 
   /** Gap-filled hourly counts → per-(offset, start) exact dot products
     * via one rolling window per offset partition → the shared distance

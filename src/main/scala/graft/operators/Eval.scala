@@ -1139,6 +1139,70 @@ object Eval {
         s"($syy - $sy*$sy/$n), 6)"))
   }
 
+  /** Ridge regularization path for the 2-feature regression: the
+    * [[ols2]] normal equations with λ added to the SLOPE diagonal only
+    * (X'X + λ·diag(0,1,1) — the intercept is never penalized, the
+    * standard convention), solved closed-form at every λ in
+    * `lambdas`. λ = 0 reproduces [[ols2]]'s coefficients exactly
+    * (pinned by spec). Raw-unit penalties: λ is in the features' own
+    * scale, so callers pick the grid for their units — the path shape,
+    * not λ's absolute meaning, is the diagnostic.
+    *
+    * Determinism/scale shape: the NINE exact integer moments are ONE
+    * Gram aggregate over the data — the λ grid then fans out over the
+    * single moment row (a broadcast of |λ| rows), so the path costs
+    * one pass regardless of grid size; the per-λ Cramer solve is the
+    * shared double text ([[ridge2Solve]]), spliced verbatim into the
+    * oracle. */
+  def ridge2Path(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty, "lambdas must be non-empty")
+    require(lambdas.forall(_ >= 0L), s"lambdas must be >= 0: $lambdas")
+    require(lambdas.distinct.size == lambdas.size,
+      s"duplicate lambdas: $lambdas")
+    val sums = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(x1Col)).cast("long").as("s1"),
+      sum(col(x2Col)).cast("long").as("s2"),
+      sum(col(x1Col) * col(x1Col)).cast("long").as("s11"),
+      sum(col(x1Col) * col(x2Col)).cast("long").as("s12"),
+      sum(col(x2Col) * col(x2Col)).cast("long").as("s22"),
+      sum(col(yCol)).cast("long").as("sy"),
+      sum(col(x1Col) * col(yCol)).cast("long").as("s1y"),
+      sum(col(x2Col) * col(yCol)).cast("long").as("s2y"))
+    val grid = sums.select(col("*"),
+      explode(array(lambdas.map(l => lit(l)): _*)).as("lam"))
+    ridge2Solve.foldLeft(grid) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }.select(col("lam").as("lambda"), col("b0"), col("b1"), col("b2"))
+  }
+
+  /** The ridge closed-form solve over the moment row + `lam` — the
+    * [[ols2Solve]] Cramer text with (s11 + λ) and (s22 + λ) on the
+    * slope diagonal (integer sums, so the penalized entries stay
+    * exact). Shared verbatim with the oracle. */
+  val ridge2Solve: Seq[(String, String)] = {
+    val (n, s1, s2, s12, sy, s1y, s2y) = (
+      "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+      "CAST(s12 AS DOUBLE)", "CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)",
+      "CAST(s2y AS DOUBLE)")
+    val a11 = "CAST(s11 + lam AS DOUBLE)"
+    val a22 = "CAST(s22 + lam AS DOUBLE)"
+    val det =
+      s"($n*($a11*$a22 - $s12*$s12) - $s1*($s1*$a22 - $s12*$s2) + $s2*($s1*$s12 - $a11*$s2))"
+    val det0 =
+      s"($sy*($a11*$a22 - $s12*$s12) - $s1*($s1y*$a22 - $s12*$s2y) + $s2*($s1y*$s12 - $a11*$s2y))"
+    val det1 =
+      s"($n*($s1y*$a22 - $s12*$s2y) - $sy*($s1*$a22 - $s12*$s2) + $s2*($s1*$s2y - $s1y*$s2))"
+    val det2 =
+      s"($n*($a11*$s2y - $s1y*$s12) - $s1*($s1*$s2y - $s1y*$s2) + $sy*($s1*$s12 - $a11*$s2))"
+    Seq(
+      "b0" -> s"round($det0/$det, 6)",
+      "b1" -> s"round($det1/$det, 6)",
+      "b2" -> s"round($det2/$det, 6)")
+  }
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

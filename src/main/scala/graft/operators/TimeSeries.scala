@@ -2635,4 +2635,75 @@ object TimeSeries {
       s"(1.0 - CAST($num AS DOUBLE) / " +
       s"(sqrt(CAST($vi AS DOUBLE)) * sqrt(CAST($vj AS DOUBLE)))))), 6) END"
   }
+
+  /** Poisson trend regression y ~ Poisson(exp(a + b·x)) by IRLS with a
+    * FIXED iteration count — the GLM counterpart of [[trendOls]] for
+    * count series ("is traffic growing exponentially, and how fast"):
+    * per round, working response z = η + (y−μ)/μ and weight w = μ give
+    * the weighted-OLS update for (a, b). Emits one row PER ITERATION so
+    * the convergence trajectory is pinned, not just the endpoint.
+    *
+    * Determinism: each round's five weighted moments are MICRO-QUANTIZED
+    * per row (round(10⁶·term) as BIGINT — w·z = μη + y − μ, so no
+    * per-row division feeds a float sum) and summed exactly; the (a, b)
+    * update is ONE shared double text ([[poissonBSql]]/[[poissonASql]])
+    * over the integer sums, and exp/ln match engines at any magnitude
+    * (the verify-skill libm note) — so every iteration starts from
+    * bit-identical params on both engines. Quantization bound: per-row
+    * |x·(μη + y − μ)| must stay ≤ ~9·10¹² (int64 at micro), i.e. counts
+    * to ~10⁶ on buckets to ~10² — rescale x (day index, not epoch-ms!)
+    * or pre-divide y beyond that.
+    *
+    * Scale shape: one aggregate pass per iteration over the bucketed
+    * series (already tiny relative to the raw corpus); params are a
+    * 1-row broadcast, materialized per round so the k-th iteration
+    * never replays rounds 1..k−1. */
+  def poissonTrend(
+      series: DataFrame, xCol: String, yCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8]: $iters")
+    val s = series
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .materialize
+    def micro(e: String) = expr(s"CAST(ROUND(($e) * 1000000, 0) AS BIGINT)")
+    var params = s.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("sy"))
+      .select(lit(0L).as("iter"), col("n"),
+        expr("ln(CAST(sy AS DOUBLE) / n)").as("a"),
+        expr("CAST(0 AS DOUBLE)").as("b"))
+      .materialize
+    val trail = (1 to iters).map { i =>
+      val terms = s.crossJoin(broadcast(params.select(col("n"), col("a"), col("b"))))
+        .withColumn("eta", expr("a + b * x"))
+        .withColumn("mu", expr("exp(a + b * x)"))
+        .agg(max(col("n")).as("n"),
+          sum(micro("mu")).as("w"),
+          sum(micro("mu * x")).as("wx"),
+          sum(micro("mu * x * x")).as("wxx"),
+          sum(micro("mu * eta + y - mu")).as("wz"),
+          sum(micro("x * (mu * eta + y - mu)")).as("wxz"))
+      params = terms
+        .withColumn("b", expr(poissonBSql))
+        .withColumn("a", expr(poissonASql))
+        .select(lit(i.toLong).as("iter"), col("n"), col("a"), col("b"))
+        .materialize
+      params
+    }
+    trail.reduce(_ unionByName _)
+      .select(col("iter"), col("n"),
+        round(col("a"), 6).as("a"), round(col("b"), 6).as("b"))
+  }
+
+  /** IRLS slope update over the micro-quantized moment row
+    * (w, wx, wxx, wz, wxz) — the quantization scale cancels. Shared
+    * with the oracle. */
+  val poissonBSql: String =
+    "(CAST(w AS DOUBLE) * wxz - CAST(wx AS DOUBLE) * wz) / " +
+      "(CAST(w AS DOUBLE) * wxx - CAST(wx AS DOUBLE) * wx)"
+
+  /** IRLS intercept update over the moment row + the just-updated `b`.
+    * Shared with the oracle. */
+  val poissonASql: String =
+    "(CAST(wz AS DOUBLE) - b * CAST(wx AS DOUBLE)) / CAST(w AS DOUBLE)"
 }

@@ -1755,6 +1755,63 @@ object ScaleSmoke {
       drain(graft.operators.TimeSeries.ransacLine(
         pts, "lid", "qty", "cents", nCand = 16, epsilon = 200000L))
     }
+    time(s"r13b eigenCentrality x${math.max(1, mult / 5)} (graph copies)") {
+      // one join + one agg per round, no mid-loop actions — must scale
+      // with the multiplied edge count like ppr/katz
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val li = (0 until math.max(1, mult / 5)).map { i =>
+        li0.select((col("ok") + lit(i * 100_000_000L)).as("ok"),
+          (col("pk") + lit(i * 10_000_000L)).as("pk"))
+      }.reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      drain(graft.operators.Graph.eigenvectorCentrality(
+        e, "src", "dst", iters = 4))
+    }
+    time(s"r13b viterbi+ar2+poisson x$mult (disjoint user copies)") {
+      // viterbi: one capped window + pivot, per-row DP; ar2: two lag
+      // aggregates + last-two pivot; poisson: 4 tiny aggregates — all
+      // must grow linearly with the multiplied event volume
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      drain(Sessionize.viterbiDecode(ev, steps = 8))
+      val pd = events.select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day")).agg(sum(col("cents")).as("v"))
+      drain(TimeSeries.ar2Forecast(
+        TimeSeries.fillBucketGaps(pd, "user_id", "day", "v"),
+        "user_id", "day", "v", horizon = 6))
+      val perDay = events
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .withColumn("x", col("day") - min(col("day")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      drain(TimeSeries.poissonTrend(perDay, "x", "y", iters = 4))
+    }
+    time(s"r13b matrixProfile n=${720 * math.max(1, mult / 5)} " +
+        "(extended series)") {
+      // the exact profile is O(n^2) BY DEFINITION — this measures the
+      // in-valve growth on a longer synthetic series (the corpus side,
+      // bucketing events into the series, is one groupBy at any scale)
+      val n = 720L * math.max(1, mult / 5)
+      val syn = spark.range(n).select(col("id").as("t"),
+        (pmod(col("id") * 37L, lit(97L)) + pmod(col("id"), lit(24L))).as("x"))
+      drain(TimeSeries.matrixProfile(syn, "t", "x", m = 24, excl = 12))
+    }
+    time(s"r13b ridge2Path x$mult (lineitem copies)") {
+      // one Gram aggregate however long the path — the lambda fan-out
+      // rides a 1-row broadcast
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet").select(
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      val li = (0 until mult).map(_ => li0).reduce(_ unionByName _)
+      drain(Eval.ridge2Path(li, "y", "x1", "x2",
+        Seq(0L, 1000000L, 100000000L)))
+    }
     spark.stop()
   }
 }

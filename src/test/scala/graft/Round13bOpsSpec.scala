@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Sessionize, TimeSeries}
+import graft.operators.{Eval, Graph, Sessionize, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-13 continuation wave: eigenvector centrality (truncated power
@@ -234,6 +234,64 @@ class Round13bOpsSpec extends SparkFunSuite {
     }
     intercept[IllegalArgumentException] {
       TimeSeries.ar2Forecast(df, "k", "day", "v", horizon = 25)
+    }
+  }
+
+  // ---- ridge2Path -----------------------------------------------------
+
+  test("ridge2Path: lambda=0 reproduces ols2, larger lambdas shrink " +
+      "the slopes") {
+    val rows = (1L to 200L).map { i =>
+      val x1 = i % 17; val x2 = (i * 3) % 11
+      (5L + 2L * x1 - 3L * x2 + (i % 5) - 2L, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val ols = Eval.ols2(df, "y", "x1", "x2").collect().head
+    val path = Eval.ridge2Path(df, "y", "x1", "x2",
+        Seq(0L, 1000L, 100000L)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(path(0L) == ((ols.getAs[Double]("b0"), ols.getAs[Double]("b1"),
+      ols.getAs[Double]("b2"))))
+    // slope magnitudes shrink monotonically along the path
+    val l2 = Seq(0L, 1000L, 100000L).map { l =>
+      val (_, b1, b2) = path(l); b1 * b1 + b2 * b2
+    }
+    assert(l2 == l2.sorted.reverse, s"no shrinkage: $l2")
+    intercept[IllegalArgumentException] {
+      Eval.ridge2Path(df, "y", "x1", "x2", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.ridge2Path(df, "y", "x1", "x2", Seq(-1L))
+    }
+    intercept[IllegalArgumentException] {
+      Eval.ridge2Path(df, "y", "x1", "x2", Seq(1L, 1L))
+    }
+  }
+
+  // ---- poissonTrend ---------------------------------------------------
+
+  test("poissonTrend recovers an exact exponential trend (a=ln3, b=ln2)") {
+    // y = 3 * 2^x is an exact Poisson-mean curve: the IRLS fixpoint is
+    // a = ln 3, b = ln 2
+    val df = (0L to 7L).map(x => (x, 3L * (1L << x))).toDF("x", "y")
+    val out = TimeSeries.poissonTrend(df, "x", "y", iters = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == (1L to 8L).toSet)
+    val (a8, b8) = out(8L)
+    assert(math.abs(a8 - math.log(3.0)) < 1e-4, s"a8=$a8")
+    assert(math.abs(b8 - math.log(2.0)) < 1e-4, s"b8=$b8")
+    // iteration trajectory is monotone toward the fixpoint in b
+    val bs = (1 to 8).map(i => out(i.toLong)._2)
+    assert(bs.zip(bs.tail).forall { case (p, n) =>
+      math.abs(n - math.log(2.0)) <= math.abs(p - math.log(2.0)) + 1e-9
+    }, s"b trajectory diverged: $bs")
+    intercept[IllegalArgumentException] {
+      TimeSeries.poissonTrend(df, "x", "y", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.poissonTrend(df, "x", "y", iters = 9)
     }
   }
 }
