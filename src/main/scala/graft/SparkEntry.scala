@@ -6271,6 +6271,14 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.partitionBy()))
       graft.operators.TimeSeries.poissonTrend(perDay, "x", "y", iters = 4)
     }),
+    "q_extractive_chunks" -> ((s, dir) =>
+      // Centroid-style extractive selection over 10-token pseudo-
+      // sentences: per doc, the most TYPICAL chunk (highest mean corpus
+      // log-prob — the summarizer's pick) and the most NOVEL one
+      // (lowest — the curation-inspection pick). Vocabulary counts stay
+      // a token-keyed shuffle join, never a broadcast.
+      graft.operators.TextAnalysis.extractiveChunks(
+        table(s, dir, "documents"), chunkTokens = 10)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14270,6 +14278,36 @@ object SparkEntry {
     "q_ar_forecast" -> arForecastOracle,
     "q_ridge_path" -> ridgePathOracle,
     "q_poisson_trend" -> poissonTrendOracle,
+    "q_extractive_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(range(0, len(tl))) AS pos, tl
+        |  FROM toks),
+        |tko AS (SELECT doc_id, pos, tl[pos + 1] AS w FROM tk
+        |  WHERE length(tl[pos + 1]) > 0),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM tko GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tw FROM wc),
+        |ch AS (SELECT doc_id, CAST(pos // 10 AS BIGINT) AS chunk_idx,
+        |    CAST(SUM(CAST(ROUND(ln(CAST(cw AS DOUBLE) / tw) * 1000000, 0)
+        |      AS BIGINT)) AS BIGINT) AS slp,
+        |    CAST(COUNT(*) AS BIGINT) AS nw
+        |  FROM tko JOIN wc USING (w) CROSS JOIN tot GROUP BY 1, 2),
+        |cs0 AS (SELECT doc_id, chunk_idx,
+        |    round(CAST(slp AS DOUBLE) / nw / 1000000, 6) AS avg_lp
+        |  FROM ch),
+        |cs AS (SELECT doc_id, chunk_idx, avg_lp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY avg_lp DESC, chunk_idx) AS rt,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY avg_lp, chunk_idx) AS rv,
+        |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks
+        |  FROM cs0)
+        |SELECT t.doc_id, t.n_chunks,
+        |  t.chunk_idx AS typical_idx, t.avg_lp AS typical_score,
+        |  v.chunk_idx AS novel_idx, v.avg_lp AS novel_score
+        |FROM cs t JOIN cs v ON v.doc_id = t.doc_id
+        |WHERE t.rt = 1 AND v.rv = 1""".stripMargin,
   )
 
   /** The q_ols2 moment CTE + a VALUES lambda grid + the shared ridge

@@ -1934,4 +1934,54 @@ object TextAnalysis {
       .withColumn("novelty",
         expr("round(CAST(n_novel AS DOUBLE) / n_grams, 6)"))
   }
+
+  /** Centroid-style extractive chunk selection (the SumBasic/centroid
+    * summarization family over fixed-size pseudo-sentences): split each
+    * doc into `chunkTokens`-token chunks, score every chunk by its MEAN
+    * corpus token log-probability, and per doc return both the most
+    * TYPICAL chunk (highest mean — the centroid pick a summarizer
+    * keeps) and the most NOVEL one (lowest mean — the anomaly pick a
+    * curation pass inspects). Ties break toward the smaller chunk
+    * index on both sides.
+    *
+    * Determinism: per-token ln p is micro-quantized from the exact
+    * corpus counts (ln matches engines at any magnitude), chunk sums
+    * are exact BIGINTs, and the mean's one double division + round(6)
+    * is shared text shape with the oracle.
+    *
+    * Scale shape: one vocabulary count aggregate, one token-keyed
+    * shuffle join of tokens⋈counts (the vocabulary is NEVER broadcast
+    * or collected — the document-frequency discipline), one
+    * (doc, chunk) aggregate, one doc-keyed arg-min/arg-max. Everything
+    * is keyed by token or doc; nothing is quadratic. */
+  def extractiveChunks(
+      docs: DataFrame, chunkTokens: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 2, s"chunkTokens must be >= 2: $chunkTokens")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wc = toks.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("cw"))
+    val total = broadcast(wc.agg(sum(col("cw")).cast("long").as("tw")))
+    val chunks = toks.join(wc, Seq("w")).crossJoin(total)
+      .withColumn("lp",
+        expr("CAST(ROUND(ln(CAST(cw AS DOUBLE) / tw) * 1000000, 0) " +
+          "AS BIGINT)"))
+      .withColumn("chunk_idx", expr(s"CAST(pos div $chunkTokens AS BIGINT)"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("lp")).as("slp"), count(lit(1)).cast("long").as("nw"))
+      .withColumn("avg_lp",
+        expr("round(CAST(slp AS DOUBLE) / nw / 1000000, 6)"))
+    chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        max(struct(col("avg_lp"), (-col("chunk_idx")).as("ni"))).as("__t"),
+        min(struct(col("avg_lp"), col("chunk_idx"))).as("__n"))
+      .select(col(idCol), col("n_chunks"),
+        (-col("__t")("ni")).as("typical_idx"),
+        col("__t")("avg_lp").as("typical_score"),
+        col("__n")("chunk_idx").as("novel_idx"),
+        col("__n")("avg_lp").as("novel_score"))
+  }
 }

@@ -294,4 +294,31 @@ class Round13bOpsSpec extends SparkFunSuite {
       TimeSeries.poissonTrend(df, "x", "y", iters = 9)
     }
   }
+
+  // ---- extractiveChunks -----------------------------------------------
+
+  test("extractiveChunks: typical = common-word chunk, novel = rare-word " +
+      "chunk, ties to the smaller index") {
+    // corpus counts: a=6, z=2 (T=8) -> ln p(a) ≈ -0.2877 > ln p(z)
+    val docs = Seq(
+      (1L, "a a a a"), // both chunks identical -> tie -> idx 0 twice
+      (2L, "a a z z")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .extractiveChunks(docs, chunkTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // micro-quantize exactly as the operator does, then average
+    def lp(p: Double) = math.round(math.log(p) * 1e6)
+    val lpa = r6(lp(0.75) / 1e6.toDouble)
+    val lpz = r6(lp(0.25) / 1e6.toDouble)
+    assert(got(1L) == ((2L, 0L, lpa, 0L, lpa)), got(1L).toString)
+    assert(got(2L) == ((2L, 0L, lpa, 1L, lpz)), got(2L).toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.extractiveChunks(docs, chunkTokens = 1)
+    }
+  }
 }
