@@ -6279,6 +6279,27 @@ object SparkEntry {
       // a token-keyed shuffle join, never a broadcast.
       graft.operators.TextAnalysis.extractiveChunks(
         table(s, dir, "documents"), chunkTokens = 10)),
+    "q_kmeans_lloyd" -> ((s, dir) =>
+      // Three CHAINED hash-stable Lloyd rounds (q_kmeans_step is round
+      // 1 of this exact trajectory): fixed-point means + float-cast
+      // centroids keep every round's assignment engine-exact, so the
+      // oracle replays the whole multi-round training run.
+      graft.operators.Similarity.kmeansLloydExact(
+        table(s, dir, "embeddings"), nCentroids = 8, rounds = 3)),
+    "q_target_encode" -> ((s, dir) => {
+      // Leave-one-out smoothed target encoding of order priority
+      // against a "returned order" label (any R lineitem) — the
+      // leakage-safe categorical feature derivation (one category-keyed
+      // window + a 1-row global prior).
+      val lab = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(max((col("l_returnflag") === "R").cast("int")).as("ret"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(lab, Seq("o_orderkey"))
+      graft.operators.Eval.targetEncodeLoo(o, "o_orderpriority", "ret",
+        Seq("o_orderkey"), m = 10L)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14308,6 +14329,28 @@ object SparkEntry {
         |  v.chunk_idx AS novel_idx, v.avg_lp AS novel_score
         |FROM cs t JOIN cs v ON v.doc_id = t.doc_id
         |WHERE t.rt = 1 AND v.rv = 1""".stripMargin,
+    "q_kmeans_lloyd" ->
+      graft.operators.Similarity.kmeansLloydOracleSql(
+        nCentroids = 8, rounds = 3),
+    "q_target_encode" -> {
+      val enc = graft.operators.Eval.targetEncodeSql(10L)
+      s"""WITH lab AS (SELECT l_orderkey AS o_orderkey,
+         |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS __y
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT o.o_orderkey, o_orderpriority, __y
+         |  FROM orders o JOIN lab USING (o_orderkey)),
+         |w AS (SELECT *,
+         |    CAST(SUM(__y) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         |      AS __sc,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         |      AS __nc
+         |  FROM b),
+         |g AS (SELECT CAST(SUM(__y) AS BIGINT) AS __sg,
+         |    CAST(COUNT(*) AS BIGINT) AS __ng FROM b)
+         |SELECT o_orderkey, o_orderpriority,
+         |  CAST(__y AS BIGINT) AS label, $enc AS enc
+         |FROM w, g""".stripMargin
+    },
   )
 
   /** The q_ols2 moment CTE + a VALUES lambda grid + the shared ridge

@@ -1203,6 +1203,45 @@ object Eval {
       "b2" -> s"round($det2/$det, 6)")
   }
 
+  /** Leave-one-out target encoding with additive smoothing — the
+    * leakage-safe categorical feature a training pipeline derives from
+    * the label: enc(row) = (Σ_cat y − y_row + m·prior) / (n_cat − 1 + m),
+    * prior = the global label mean. Subtracting the row's OWN label from
+    * its category sum is what keeps the feature out-of-sample (plain
+    * category means leak the label and overfit rare categories); the
+    * smoothing mass `m` pulls singleton categories toward the prior
+    * (n_cat = 1 ⇒ enc = prior exactly).
+    *
+    * Determinism: category sums/counts are exact integers from ONE
+    * category-partitioned window; the finish is shared double text
+    * ([[targetEncodeSql]]). Scale shape: one window pass keyed by the
+    * category + a 1-row broadcast of the global sums — no joins, no
+    * per-category table, label cardinality never leaves its partition. */
+  def targetEncodeLoo(
+      df: DataFrame, catCol: String, labelCol: String,
+      idCols: Seq[String], m: Long = 10L): DataFrame = {
+    require(m >= 1L, s"smoothing mass m must be >= 1: $m")
+    require(idCols.nonEmpty, "idCols must name the output row identity")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(catCol))
+    val g = broadcast(df.agg(
+      sum(col(labelCol).cast("long")).as("__sg"),
+      count(lit(1)).as("__ng")))
+    df.select(idCols.map(col) :+ col(catCol) :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .withColumn("__sc", sum(col("__y")).over(w))
+      .withColumn("__nc", count(lit(1)).over(w))
+      .crossJoin(g)
+      .withColumn("enc", expr(targetEncodeSql(m)))
+      .select(idCols.map(col) ++
+        Seq(col(catCol), col("__y").as("label"), col("enc")): _*)
+  }
+
+  /** The LOO-encode finish over (__y, __sc, __nc, __sg, __ng); shared
+    * with the oracle. */
+  def targetEncodeSql(m: Long): String =
+    s"round((CAST(__sc - __y AS DOUBLE) + CAST($m AS DOUBLE) * " +
+      s"(CAST(__sg AS DOUBLE) / __ng)) / CAST(__nc - 1 + $m AS DOUBLE), 6)"
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

@@ -631,6 +631,109 @@ object Similarity {
       .withColumn("dim", col("dim").cast("long"))
   }
 
+  /** Multi-round Lloyd that stays HASH-REPRODUCIBLE — the [[kmeansStep]]
+    * exact 2^24 fixed-point mean CHAINED: each refinement's per-dim means
+    * are exact integers divided once and rounded(6), the centroid vector
+    * is that rounded list cast to FLOAT (both engines round-to-nearest
+    * identically), and the next assignment's rounded cosine therefore
+    * starts from bit-identical centroids — so unlike [[kmeansCentroids]]'
+    * float means (documented non-reproducible), the WHOLE multi-round
+    * trajectory replays in the DuckDB oracle. `rounds = 1` degenerates to
+    * [[kmeansStep]] exactly (spec-pinned). Cells emptied by a refinement
+    * drop out on both engines (standard Lloyd semantics under fixed
+    * seeds). Output = the final assignment aggregated as
+    * (cell, dim, n, centroid).
+    *
+    * Scale shape per round: one broadcast of the nCentroids-row table,
+    * one narrow codegen'd assignment map over the corpus, one
+    * (cell, dim)-keyed aggregate with map-side combine — linear in corpus
+    * size, the canonical distributed k-means; the corpus norm table is
+    * materialized ONCE for all rounds. */
+  def kmeansLloydExact(
+      embeddings: DataFrame, nCentroids: Int = 8,
+      rounds: Int = 3): DataFrame = {
+    require(nCentroids >= 2 && nCentroids <= 4096,
+      s"nCentroids must be in [2, 4096]: $nCentroids")
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds must be in [1, 6] (each is one corpus pass + an unrolled " +
+        s"oracle round): $rounds")
+    val c = withNorm(embeddings, "vec_id", "embedding").materialize
+    var cent = centroidsOf(c, nCentroids)
+    (1 until rounds).foreach { _ =>
+      val refined = assignCellsWith(c, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(
+          sum(round(col("x").cast("double") * 16777216d).cast("long"))
+            .cast("double") / count(lit(1)) / 16777216d, 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("cell"),
+          transform(col("dims"), d => d.getField("m").cast("float")).as("cvec"))
+        .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+        .materialize
+      cent = broadcast(refined)
+    }
+    assignCellsWith(c, cent)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(
+          sum(round(col("x").cast("double") * 16777216d).cast("long")).cast("double")
+            / count(lit(1)) / 16777216d,
+          6).as("centroid"))
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
+  /** Unrolled [[kmeansLloydExact]] oracle (full statement): the
+    * q_kmeans_step assignment/fixed-point-mean CTE pair repeated per
+    * round, centroids rebuilt as FLOAT-cast lists between rounds (the
+    * same cast the engine applies), final round emitted step-style. */
+  def kmeansLloydOracleSql(nCentroids: Int, rounds: Int): String = {
+    def assign(r: Int) =
+      s"""a$r AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
+         |    SELECT q.vec_id, q.embedding, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.cvec[i] AS DOUBLE)
+         |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.cnrm), 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent${r - 1} c)
+         |  WHERE r = 1)""".stripMargin
+    val refines = (1 until rounds).map { r =>
+      s"""${assign(r)},
+         |m$r AS MATERIALIZED (SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+         |    round(CAST(SUM(CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 16777216, 6) AS m
+         |  FROM (SELECT cell, embedding AS e,
+         |          unnest(range(1, len(embedding)+1)) AS i
+         |        FROM a$r)
+         |  GROUP BY cell, dim),
+         |cent$r AS MATERIALIZED (SELECT cell, cvec,
+         |    sqrt(list_sum(list_transform(cvec,
+         |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cnrm
+         |  FROM (SELECT cell,
+         |      list_transform(list(m ORDER BY dim), x -> CAST(x AS FLOAT))
+         |        AS cvec
+         |    FROM m$r GROUP BY cell))""".stripMargin
+    }.mkString(",\n")
+    val chain = if (rounds > 1) s"$refines,\n${assign(rounds)}"
+      else assign(rounds)
+    s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       |FROM embeddings),
+       |cent0 AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+       |  FROM n ORDER BY vec_id LIMIT $nCentroids),
+       |$chain,
+       |ex AS (SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT) AS fx
+       |  FROM (SELECT cell, embedding AS e,
+       |          unnest(range(1, len(embedding)+1)) AS i
+       |        FROM a$rounds))
+       |SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
+       |FROM ex GROUP BY cell, dim""".stripMargin
+  }
+
   /** IVF approximate top-k: probe the `nprobe` cells nearest to each query,
     * exact-rank within the probed subset. Recall rises with nprobe (query
     * side) and `cellsPerVec` (corpus side: each vector indexed under its

@@ -321,4 +321,78 @@ class Round13bOpsSpec extends SparkFunSuite {
       graft.operators.TextAnalysis.extractiveChunks(docs, chunkTokens = 1)
     }
   }
+
+  // ---- kmeansLloydExact -----------------------------------------------
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("kmeansLloydExact rounds=1 is exactly kmeansStep") {
+    val emb = vecDf((1L to 12L).map(i =>
+      i -> Seq.tabulate(4)(d => (((i * 7 + d * 3) % 9) - 4).toFloat / 4f)))
+    val a = graft.operators.Similarity.kmeansStep(emb, nCentroids = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val b = graft.operators.Similarity
+      .kmeansLloydExact(emb, nCentroids = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(a == b)
+  }
+
+  test("kmeansLloydExact converges to the separated cluster means") {
+    // two orthogonal clusters, one seed in each (ids 1 and 2): after 3
+    // rounds each centroid is its cluster's exact fixed-point mean
+    val a = Seq(1L -> Seq(1f, 0f), 3L -> Seq(0.75f, 0.25f),
+      5L -> Seq(0.875f, 0.125f))
+    val b = Seq(2L -> Seq(0f, 1f), 4L -> Seq(0.25f, 0.75f),
+      6L -> Seq(0.125f, 0.875f))
+    val got = graft.operators.Similarity
+      .kmeansLloydExact(vecDf(a ++ b), nCentroids = 2, rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getDouble(3)))).toMap
+    // every dim row carries the full cell occupancy (3 each)
+    assert(got.values.map(_._1).toSet == Set(3L))
+    // cluster means are exactly representable: (1+.75+.875)/3, etc.
+    def m(xs: Seq[Float]) = BigDecimal(
+      xs.map(x => math.round(x.toDouble * 16777216d)).sum / 3.0 / 16777216d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 0L))._2 == m(Seq(1f, 0.75f, 0.875f)))
+    assert(got((1L, 1L))._2 == m(Seq(0f, 0.25f, 0.125f)))
+    assert(got((2L, 0L))._2 == m(Seq(0f, 0.25f, 0.125f)))
+    assert(got((2L, 1L))._2 == m(Seq(1f, 0.75f, 0.875f)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.kmeansLloydExact(
+        vecDf(a), nCentroids = 2, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.kmeansLloydExact(
+        vecDf(a), nCentroids = 1, rounds = 2)
+    }
+  }
+
+  // ---- targetEncodeLoo ------------------------------------------------
+
+  test("targetEncodeLoo: leave-one-out means, singleton = prior") {
+    val df = Seq(
+      (1L, "A", 1), (2L, "A", 0), (3L, "A", 1), (4L, "B", 1))
+      .toDF("id", "cat", "y")
+    val got = Eval.targetEncodeLoo(df, "cat", "y", Seq("id"), m = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // prior = 3/4; A rows: (2 - y + 0.75) / 3; B singleton: prior
+    assert(got == Map(
+      1L -> r6((2 - 1 + 0.75) / 3.0),
+      2L -> r6((2 - 0 + 0.75) / 3.0),
+      3L -> r6((2 - 1 + 0.75) / 3.0),
+      4L -> 0.75), got.toString)
+    intercept[IllegalArgumentException] {
+      Eval.targetEncodeLoo(df, "cat", "y", Seq("id"), m = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.targetEncodeLoo(df, "cat", "y", Seq.empty)
+    }
+  }
 }
