@@ -6300,6 +6300,34 @@ object SparkEntry {
       graft.operators.Eval.targetEncodeLoo(o, "o_orderpriority", "ret",
         Seq("o_orderkey"), m = 10L)
     }),
+    "q_logistic_irls" -> ((s, dir) => {
+      // Logistic regression of order fulfillment on price ($k) and
+      // priority digit — fixed-count IRLS, one coefficient row per
+      // iteration, the exact-moment ols2Solve machinery per round.
+      // Label probed interior (33% F at both SFs).
+      val o = table(s, dir, "orders").select(
+        (col("o_orderstatus") === "F").cast("int").as("y"),
+        round(col("o_totalprice") / 1000, 0).cast("long").as("x1"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("x2"))
+      graft.operators.Eval.logisticIrls2(o, "y", "x1", "x2", iters = 4)
+    }),
+    "q_ipw_ate" -> ((s, dir) => {
+      // Hajek IPW average treatment effect of high order priority on
+      // order value: logistic propensity on (lineitem count,
+      // custkey-bucket), clipped [0.01, 0.99], milli-quantized
+      // reweighted sums; the naive mean difference rides along so the
+      // output shows what the reweighting moved.
+      val nli = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2L)
+            .cast("int").as("t"),
+          round(col("o_totalprice"), 0).cast("long").as("yo"),
+          pmod(col("o_custkey"), lit(7)).cast("long").as("x2"))
+        .join(nli, Seq("o_orderkey"))
+      graft.operators.Eval.ipwAte(o, "t", "yo", "x1", "x2", iters = 4)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14332,6 +14360,47 @@ object SparkEntry {
     "q_kmeans_lloyd" ->
       graft.operators.Similarity.kmeansLloydOracleSql(
         nCentroids = 8, rounds = 3),
+    "q_logistic_irls" -> {
+      val out = (1 to 4).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, b0, b1, b2 FROM i$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH s AS (SELECT
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         |    CAST(ROUND(o_totalprice / 1000, 0) AS BIGINT) AS x1,
+         |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x2
+         |  FROM orders),
+         |${logisticIrlsCtes(4)}
+         |$out""".stripMargin
+    },
+    "q_ipw_ate" -> {
+      def ml(e: String) =
+        s"CAST(SUM(CAST(ROUND(($e) * 1000, 0) AS BIGINT)) AS BIGINT)"
+      s"""WITH nli AS (SELECT l_orderkey AS o_orderkey,
+         |    CAST(COUNT(*) AS BIGINT) AS x1 FROM lineitem GROUP BY 1),
+         |base AS (SELECT o.o_orderkey,
+         |    CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+         |      THEN 1 ELSE 0 END AS t,
+         |    CAST(ROUND(o_totalprice, 0) AS BIGINT) AS yo,
+         |    o_custkey % 7 AS x2, x1
+         |  FROM orders o JOIN nli USING (o_orderkey)),
+         |s AS (SELECT t AS y, x1, x2 FROM base),
+         |${logisticIrlsCtes(4)},
+         |f AS (SELECT base.*, ${graft.operators.Eval.ipwEhSql(0.01)} AS eh
+         |  FROM base, i4),
+         |a AS (SELECT CAST(SUM(t) AS BIGINT) AS n_treated,
+         |    CAST(SUM(1 - t) AS BIGINT) AS n_control,
+         |    ${ml("t * yo / eh")} AS ty,
+         |    ${ml("t / eh")} AS tw,
+         |    ${ml("(1 - t) * yo / (1.0 - eh)")} AS cy,
+         |    ${ml("(1 - t) / (1.0 - eh)")} AS cw,
+         |    CAST(SUM(t * yo) AS BIGINT) AS sty,
+         |    CAST(SUM((1 - t) * yo) AS BIGINT) AS scy
+         |  FROM f)
+         |SELECT n_treated, n_control,
+         |  ${graft.operators.Eval.ipwAteSql} AS ate_ipw,
+         |  ${graft.operators.Eval.naiveDiffSql} AS diff_naive
+         |FROM a""".stripMargin
+    },
     "q_target_encode" -> {
       val enc = graft.operators.Eval.targetEncodeSql(10L)
       s"""WITH lab AS (SELECT l_orderkey AS o_orderkey,
@@ -14409,6 +14478,40 @@ object SparkEntry {
        |    CAST(0 AS DOUBLE) AS b FROM s),
        |$iterCtes
        |$out""".stripMargin
+  }
+
+  /** Unrolled logistic-IRLS CTE chain over a caller-provided
+    * `s(y, x1, x2)`: log-odds init `i0`, per round the micro-quantized
+    * weighted moments (NESTED subqueries so w/p/eta never reference a
+    * same-SELECT alias — the DuckDB resolution rule) and the spliced
+    * Eval.ols2Solve b0/b1/b2 — the SAME term texts the Spark fold
+    * quantizes, so coefficient trajectories are engine-identical. */
+  private def logisticIrlsCtes(iters: Int): String = {
+    def m(e: String) =
+      s"CAST(SUM(CAST(ROUND(($e) * 1000000, 0) AS BIGINT)) AS BIGINT)"
+    val solve = graft.operators.Eval.ols2Solve.take(3)
+      .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n    ")
+    val rounds = (1 to iters).map { i =>
+      s"""t$i AS (SELECT
+         |    ${m("w")} AS n, ${m("w * x1")} AS s1, ${m("w * x2")} AS s2,
+         |    ${m("w * x1 * x1")} AS s11, ${m("w * x1 * x2")} AS s12,
+         |    ${m("w * x2 * x2")} AS s22,
+         |    ${m("w * eta + y - p")} AS sy,
+         |    ${m("x1 * (w * eta + y - p)")} AS s1y,
+         |    ${m("x2 * (w * eta + y - p)")} AS s2y
+         |  FROM (SELECT x1, x2, y, eta, p, p * (1.0 - p) AS w
+         |    FROM (SELECT x1, x2, y, b0 + b1 * x1 + b2 * x2 AS eta,
+         |        1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+         |      FROM s, i${i - 1}))),
+         |i$i AS (SELECT
+         |    $solve
+         |  FROM t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""i0 AS (SELECT
+       |    ln((CAST(SUM(y) AS DOUBLE) / COUNT(*)) /
+       |      (1.0 - CAST(SUM(y) AS DOUBLE) / COUNT(*))) AS b0,
+       |    CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2 FROM s),
+       |$rounds""".stripMargin
   }
 
   /** Gap-filled hourly counts → per-(offset, start) exact dot products

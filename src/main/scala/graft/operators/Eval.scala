@@ -1242,6 +1242,132 @@ object Eval {
     s"round((CAST(__sc - __y AS DOUBLE) + CAST($m AS DOUBLE) * " +
       s"(CAST(__sg AS DOUBLE) / __ng)) / CAST(__nc - 1 + $m AS DOUBLE), 6)"
 
+  /** Two-feature logistic regression by IRLS with a FIXED iteration
+    * count — the classification sibling of [[ols2]] (and the same
+    * engine discipline as TimeSeries.poissonTrend): per round,
+    * weight w = p(1−p) and working response z = η + (y−p)/w reduce the
+    * Newton step to the WEIGHTED normal equations, whose nine moments
+    * are micro-quantized per row (w·z = w·η + y − p, so no per-row
+    * division feeds a float sum) and summed exactly; the 3×3 Cramer
+    * solve is [[ols2Solve]]'s b0/b1/b2 text verbatim (the common 10⁶
+    * factor cancels), so both engines replay identical coefficient
+    * trajectories, one row per iteration.
+    *
+    * Per-iteration coefficients round(6) through the shared solve —
+    * the fixpoint is pinned to that grid, which is also the output
+    * precision. Quantization bound: per-row |x·(w·η + y − p)| ≲ 9·10¹²
+    * at micro — keep features rescaled (totalprice in $k, not cents).
+    * Degenerate labels (all 0 or all 1) make the init log-odds ±∞ by
+    * contract — callers feed interior labels (the saturating-predicate
+    * probe rule).
+    *
+    * Scale shape: one aggregate pass per iteration; params ride a
+    * 1-row broadcast, materialized per round. */
+  def logisticIrls2(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8]: $iters")
+    val s = df.select(col(yCol).cast("long").as("y"),
+        col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
+      .materialize
+    def micro(e: String) = expr(s"CAST(ROUND(($e) * 1000000, 0) AS BIGINT)")
+    var params = s.agg(count(lit(1)).cast("long").as("nr"),
+        sum(col("y")).cast("long").as("syr"))
+      .select(lit(0L).as("iter"),
+        expr("ln((CAST(syr AS DOUBLE) / nr) / " +
+          "(1.0 - CAST(syr AS DOUBLE) / nr))").as("b0"),
+        expr("CAST(0 AS DOUBLE)").as("b1"),
+        expr("CAST(0 AS DOUBLE)").as("b2"))
+      .materialize
+    val trail = (1 to iters).map { i =>
+      val t = s
+        .crossJoin(broadcast(params.select(col("b0"), col("b1"), col("b2"))))
+        .withColumn("eta", expr("b0 + b1 * x1 + b2 * x2"))
+        .withColumn("p", expr("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))"))
+        .withColumn("w", expr("p * (1.0 - p)"))
+        .agg(
+          sum(micro("w")).as("n"),
+          sum(micro("w * x1")).as("s1"),
+          sum(micro("w * x2")).as("s2"),
+          sum(micro("w * x1 * x1")).as("s11"),
+          sum(micro("w * x1 * x2")).as("s12"),
+          sum(micro("w * x2 * x2")).as("s22"),
+          sum(micro("w * eta + y - p")).as("sy"),
+          sum(micro("x1 * (w * eta + y - p)")).as("s1y"),
+          sum(micro("x2 * (w * eta + y - p)")).as("s2y"))
+      params = ols2Solve.take(3).foldLeft(t) { case (d, (name, sql)) =>
+          d.withColumn(name, expr(sql))
+        }
+        .select(lit(i.toLong).as("iter"), col("b0"), col("b1"), col("b2"))
+        .materialize
+      params
+    }
+    trail.reduce(_ unionByName _)
+  }
+
+  /** Inverse-propensity-weighted (Hájek) average treatment effect:
+    * fit the propensity e(x) = P(t=1 | x1, x2) with [[logisticIrls2]],
+    * clip it to [clip, 1−clip] (the standard overlap guard), and
+    * contrast the self-normalized reweighted outcome means. Also emits
+    * the naive mean difference so the output SHOWS what the
+    * reweighting moved.
+    *
+    * Determinism: the fitted coefficients are round(6)-pinned by
+    * construction; every reweighted term (y·t/ê etc.) is
+    * MILLI-quantized per row and summed exactly (milli, not micro —
+    * clipping at 0.01 inflates terms 100×, and the int64 budget must
+    * survive outcome·10²·quantum·rows); the four-ratio finish is
+    * shared text ([[ipwAteSql]]).
+    *
+    * Scale shape: the IRLS passes + ONE reweighting aggregate; the
+    * coefficient row is a 1-row broadcast. */
+  def ipwAte(
+      df: DataFrame, tCol: String, yCol: String,
+      x1Col: String, x2Col: String,
+      iters: Int = 4, clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, s"clip must be in (0, 0.5): $clip")
+    val s = df.select(col(tCol).cast("long").as("t"),
+        col(yCol).cast("long").as("yo"),
+        col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
+      .materialize
+    val fit = logisticIrls2(
+      s.select(col("t").as("y"), col("x1"), col("x2")), "y", "x1", "x2",
+      iters)
+    val last = broadcast(fit.orderBy(col("iter").desc).limit(1)
+      .select(col("b0"), col("b1"), col("b2")))
+    def milli(e: String) = expr(s"CAST(ROUND(($e) * 1000, 0) AS BIGINT)")
+    s.crossJoin(last)
+      .withColumn("eh", expr(ipwEhSql(clip)))
+      .agg(
+        sum(col("t")).cast("long").as("n_treated"),
+        sum(lit(1L) - col("t")).cast("long").as("n_control"),
+        sum(milli("t * yo / eh")).as("ty"),
+        sum(milli("t / eh")).as("tw"),
+        sum(milli("(1 - t) * yo / (1.0 - eh)")).as("cy"),
+        sum(milli("(1 - t) / (1.0 - eh)")).as("cw"),
+        sum(col("t") * col("yo")).cast("long").as("sty"),
+        sum((lit(1L) - col("t")) * col("yo")).cast("long").as("scy"))
+      .select(col("n_treated"), col("n_control"),
+        expr(ipwAteSql).as("ate_ipw"),
+        expr(naiveDiffSql).as("diff_naive"))
+  }
+
+  /** Hájek contrast over the milli-quantized sums (the quantum
+    * cancels); shared with the oracle. */
+  val ipwAteSql: String =
+    "round(CAST(ty AS DOUBLE) / tw - CAST(cy AS DOUBLE) / cw, 6)"
+
+  /** Naive mean difference over the exact outcome sums; shared. */
+  val naiveDiffSql: String =
+    "round(CAST(sty AS DOUBLE) / n_treated - " +
+      "CAST(scy AS DOUBLE) / n_control, 6)"
+
+  /** Clipped propensity over (b0, b1, b2, x1, x2); every literal is an
+    * explicit DOUBLE cast (dtype canary). Shared with the oracle. */
+  def ipwEhSql(clip: Double): String =
+    s"greatest(CAST($clip AS DOUBLE), least(CAST(${1 - clip} AS DOUBLE), " +
+      "1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))))"
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

@@ -395,4 +395,56 @@ class Round13bOpsSpec extends SparkFunSuite {
       Eval.targetEncodeLoo(df, "cat", "y", Seq.empty)
     }
   }
+
+  // ---- logisticIrls2 / ipwAte -----------------------------------------
+
+  test("logisticIrls2 converges to the MLE (score equations ~ 0) with " +
+      "the right slope sign") {
+    // y depends positively on x1, x2 is orthogonal noise
+    val rows = (1L to 120L).map { i =>
+      val x1 = i % 7; val x2 = i % 3
+      val y = if ((x1 * 13 + i * 5) % 23 < 3 + 2 * x1) 1 else 0
+      (y, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val fit = Eval.logisticIrls2(df, "y", "x1", "x2", iters = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val (b0, b1, b2) = fit(6L)
+    assert(b1 > 0.0, s"slope sign wrong: $b1")
+    // converged: last two iterates agree to the round(6) grid's scale
+    val (p0, p1, p2) = fit(5L)
+    assert(math.abs(b0 - p0) < 1e-4 && math.abs(b1 - p1) < 1e-4 &&
+      math.abs(b2 - p2) < 1e-4, s"not converged: ${fit(5L)} vs ${fit(6L)}")
+    // score equations at the fit: sum(y - p) ~ 0 and sum(x1 (y - p)) ~ 0
+    def p(x1: Long, x2: Long) =
+      1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+    val s0 = rows.map { case (y, x1, x2) => y - p(x1, x2) }.sum
+    val s1 = rows.map { case (y, x1, x2) => x1 * (y - p(x1, x2)) }.sum
+    assert(math.abs(s0) < 0.01 && math.abs(s1) < 0.05,
+      s"score equations violated: $s0 / $s1")
+    intercept[IllegalArgumentException] {
+      Eval.logisticIrls2(df, "y", "x1", "x2", iters = 0)
+    }
+  }
+
+  test("ipwAte removes the confounder bias the naive difference keeps") {
+    // x1 drives BOTH treatment (80/20) and outcome (10 vs 0); the true
+    // treatment effect is 0. Naive diff = 6 exactly; IPW must collapse
+    // toward 0.
+    val rows =
+      (1L to 8L).map(i => (1, 10L, 1L, i % 3)) ++ // x1=1 treated
+        (1L to 2L).map(i => (0, 10L, 1L, i % 3)) ++ // x1=1 control
+        (1L to 2L).map(i => (1, 0L, 0L, i % 3)) ++ // x1=0 treated
+        (1L to 8L).map(i => (0, 0L, 0L, i % 3)) // x1=0 control
+    val df = rows.toDF("t", "yo", "x1", "x2")
+    val out = Eval.ipwAte(df, "t", "yo", "x1", "x2", iters = 6).collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    val (ate, naive) = (out.getDouble(2), out.getDouble(3))
+    assert(naive == 6.0, s"naive=$naive")
+    assert(math.abs(ate) < 1.0, s"IPW did not deconfound: ate=$ate")
+    intercept[IllegalArgumentException] {
+      Eval.ipwAte(df, "t", "yo", "x1", "x2", clip = 0.5)
+    }
+  }
 }
