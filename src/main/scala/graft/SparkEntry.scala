@@ -6328,6 +6328,32 @@ object SparkEntry {
         .join(nli, Seq("o_orderkey"))
       graft.operators.Eval.ipwAte(o, "t", "yo", "x1", "x2", iters = 4)
     }),
+    "q_hitting_time" -> ((s, dir) => {
+      // E[min(steps to first purchase, 8)] from each event type under
+      // the observed first-order chain — micro-long recursion, oracle
+      // unrolls the 8 rounds.
+      val ev = table(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.expectedHittingTime(
+        ev, target = "purchase", horizon = 8)
+    }),
+    "q_weibull_fit" -> ((s, dir) => {
+      // Parametric Weibull summary of the q_kaplan_meier curves:
+      // shape/scale per cohort from the probability-plot regression
+      // over the interior KM steps (exact micro moments).
+      val users = table(s, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      Survival.weibullFit(users, "cohort", "t_hours", "event")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14327,6 +14353,8 @@ object SparkEntry {
     "q_ar_forecast" -> arForecastOracle,
     "q_ridge_path" -> ridgePathOracle,
     "q_poisson_trend" -> poissonTrendOracle,
+    "q_hitting_time" -> hittingTimeOracle,
+    "q_weibull_fit" -> weibullFitOracle,
     "q_extractive_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
         |  FROM documents),
@@ -14479,6 +14507,88 @@ object SparkEntry {
        |$iterCtes
        |$out""".stripMargin
   }
+
+  /** Exact-count transition matrix + the unrolled 8-round micro-long
+    * truncated-hitting-time recursion (Sessionize.hittingTermSql —
+    * the same term text the Spark loop rounds). */
+  private lazy val hittingTimeOracle: String = {
+    val rounds = (1 to 8).map { h =>
+      s"""s$h AS (SELECT t.from_type AS state,
+         |    CAST(SUM(${graft.operators.Sessionize.hittingTermSql})
+         |      AS BIGINT) AS s
+         |  FROM (SELECT from_type, to_type, n, rs,
+         |      e.em AS em FROM trs t0 JOIN e${h - 1} e
+         |      ON e.state = t0.to_type) t
+         |  GROUP BY 1),
+         |e$h AS (SELECT st.state,
+         |    CAST(CASE WHEN st.state = 'purchase' THEN 0
+         |      ELSE 1000000 + COALESCE(s.s, 0) END AS BIGINT) AS em
+         |  FROM st LEFT JOIN s$h s USING (state))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS to_type
+       |  FROM events),
+       |tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |trs AS (SELECT from_type, to_type, n,
+       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS rs
+       |  FROM tr),
+       |st AS (SELECT DISTINCT from_type AS state FROM trs),
+       |e0 AS (SELECT state, CAST(0 AS BIGINT) AS em FROM st),
+       |$rounds
+       |SELECT state,
+       |  round(CAST(em AS DOUBLE) / 1e6, 6) AS exp_steps
+       |FROM e8""".stripMargin
+  }
+
+  /** The q_kaplan_meier survival chain + the interior-point filter and
+    * the shared Weibull plot-regression texts (Survival.wb*Sql). */
+  private lazy val weibullFitOracle: String =
+    s"""WITH u AS (SELECT user_id, epoch_ms(ts) AS ms,
+       |    event_type = 'error' AS is_err FROM events),
+       |agg AS (SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+       |    MIN(CASE WHEN is_err THEN ms END) AS err_ms
+       |  FROM u GROUP BY 1),
+       |subj AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS grp,
+       |    (COALESCE(err_ms, last_ms) - first_ms) // 3600000 AS t,
+       |    CASE WHEN err_ms IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM agg),
+       |per AS (SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS m FROM subj GROUP BY 1, 2),
+       |r AS (SELECT grp, t, d, m,
+       |    CAST(SUM(m) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+       |      AS cum_m,
+       |    CAST(SUM(m) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+       |  FROM per),
+       |s AS (SELECT grp, t, d, n_grp - cum_m + m AS n_at_risk FROM r),
+       |f AS (SELECT grp, t, d, n_at_risk,
+       |    ${graft.operators.Survival.kmLnNanoSql} AS ln_nano,
+       |    ${graft.operators.Survival.kmZeroFlagSql} AS zf FROM s),
+       |c AS (SELECT grp, t, d, n_at_risk,
+       |    CAST(SUM(ln_nano) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+       |      AS cum_ln_nano,
+       |    CAST(SUM(zf) OVER (PARTITION BY grp ORDER BY t) AS BIGINT)
+       |      AS cum_zf
+       |  FROM f),
+       |km AS (SELECT grp, t,
+       |    ${graft.operators.Survival.kmSurvivalSql} AS survival
+       |  FROM c WHERE d > 0),
+       |pts AS (SELECT grp,
+       |    ${graft.operators.Survival.wbXmSql} AS xm,
+       |    ${graft.operators.Survival.wbYmSql} AS ym
+       |  FROM km WHERE t > 0 AND survival > 0 AND survival < 1),
+       |mo AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+       |    CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+       |    CAST(SUM(xm * xm) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1),
+       |sh AS (SELECT grp, np, sx, sy,
+       |    ${graft.operators.Survival.wbShapeSql} AS shape FROM mo)
+       |SELECT grp, np, round(shape, 6) AS shape,
+       |  round(${graft.operators.Survival.wbScaleSql}, 6) AS scale
+       |FROM sh""".stripMargin
 
   /** Unrolled logistic-IRLS CTE chain over a caller-provided
     * `s(y, x1, x2)`: log-odds init `i0`, per round the micro-quantized

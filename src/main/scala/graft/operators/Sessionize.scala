@@ -392,6 +392,72 @@ object Sessionize {
           org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** Expected clickstream steps to first reach `target` under the
+    * first-order [[markovTransitions]] chain, TRUNCATED at `horizon` —
+    * i.e. E[min(T_target, horizon)] per starting state, the actionable
+    * "how far is a purchase from here" number (the truncation makes the
+    * value finite and the unrolled-round replay exact; untruncated
+    * hitting times need a linear solve). Recursion per round:
+    * E_h(s) = 1 + Σ_{s'} P(s,s')·E_{h−1}(s'), E_h(target) = 0.
+    *
+    * Determinism: transition probabilities are exact-count ratios
+    * evaluated as ONE double division; E lives as MICRO-LONGS with one
+    * rounding per (s, s') term per round, so every round's table is
+    * bit-identical across engines (the katz micro-long discipline).
+    * States are the types with at least one OUTGOING transition; chain
+    * mass toward never-from types (none in practice) is dropped by
+    * contract.
+    *
+    * Scale shape: the transition matrix is |types|² (tiny at any corpus
+    * scale, derived by ONE key-windowed pass + one aggregate); each
+    * round is a matrix-sized join + aggregate, materialized so round k
+    * never replays rounds 1..k−1. */
+  def expectedHittingTime(
+      events: DataFrame,
+      target: String = "purchase",
+      horizon: Int = 8,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1, 32] (one unrolled round each): $horizon")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val tr = events
+      .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rs", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))))
+      .materialize
+    val states = tr.select(col("from_type").as("state")).distinct()
+      .materialize
+    var e = states.select(col("state"), lit(0L).as("em"))
+    (1 to horizon).foreach { _ =>
+      val stepped = tr
+        .join(e.withColumnRenamed("state", "to_type"), Seq("to_type"))
+        .groupBy(col("from_type").as("state"))
+        .agg(sum(expr(hittingTermSql)).as("s"))
+      e = states.join(stepped, Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === target, lit(0L))
+            .otherwise(lit(1000000L) + coalesce(col("s"), lit(0L)))
+            .as("em"))
+        .materialize
+    }
+    e.select(col("state"),
+      round(col("em").cast("double") / 1e6, 6).as("exp_steps"))
+  }
+
+  /** One (s, s') recursion term over (n, rs, em) — exact-count ratio ×
+    * micro expectation, rounded back to the micro grid. Shared with
+    * the oracle. */
+  val hittingTermSql: String =
+    "CAST(ROUND((CAST(n AS DOUBLE) / rs) * em, 0) AS BIGINT)"
+
   /** MATCH_RECOGNIZE-lite: collapse each key's ordered event-type stream
     * to a one-char-per-event string (caller supplies the type→char code
     * map) and count NON-OVERLAPPING occurrences of a regex `pattern` over

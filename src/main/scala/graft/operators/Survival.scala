@@ -126,6 +126,66 @@ object Survival {
     "CASE WHEN cum_zf > 0 THEN CAST(0 AS DOUBLE) ELSE " +
       "ROUND(EXP(CAST(cum_ln_nano AS DOUBLE) / 1000000000), 6) END"
 
+  /** Weibull fit by probability-plot regression over the
+    * [[kaplanMeier]] curve — the parametric summary a survival analysis
+    * reports after the nonparametric look: ln(−ln S(t)) is linear in
+    * ln t under a Weibull, so shape k = the OLS slope and scale
+    * λ = exp(−a/k) from the intercept. Points use the INTERIOR of the
+    * curve (t > 0, 0 < S < 1 — the boundary steps have no plot
+    * coordinates by definition). Per-point plot coordinates are
+    * micro-quantized from the round(6) KM survival (identical on both
+    * engines), so the OLS moments are exact BIGINTs; the slope and
+    * scale are shared double texts, and the common micro factor cancels
+    * out of the slope. Degenerate curves yield NULL shape/scale (one
+    * plot point: zero x-variance) or drop from the output entirely
+    * (no interior step at all, e.g. S falls straight to 0) — both by
+    * contract, spec-pinned.
+    *
+    * Scale shape: the kaplanMeier plan (one subject aggregate + two
+    * ranged prefix sums over the step table) plus one group-keyed
+    * moment aggregate — the fit costs one more pass over a table
+    * sized by DISTINCT EVENT TIMES, not subjects. */
+  def weibullFit(
+      df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val km = kaplanMeier(df, groupCol, timeCol, eventCol)
+      .filter(col("t") > 0L && col("survival") > 0.0 &&
+        col("survival") < 1.0)
+    km.select(col("grp"), expr(wbXmSql).as("xm"), expr(wbYmSql).as("ym"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("np"),
+        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm") * col("ym")).as("sxy"),
+        sum(col("xm") * col("xm")).as("sxx"))
+      .withColumn("shape", expr(wbShapeSql))
+      .withColumn("scale", expr(wbScaleSql))
+      .select(col("grp"), col("np"),
+        round(col("shape"), 6).as("shape"),
+        round(col("scale"), 6).as("scale"))
+  }
+
+  /** Micro ln t over the KM step row. Shared with the oracle. */
+  val wbXmSql: String =
+    "CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+
+  /** Micro ln(−ln S) over the round(6) KM survival. Shared. */
+  val wbYmSql: String =
+    "CAST(ROUND(LN(-LN(survival)) * 1000000, 0) AS BIGINT)"
+
+  /** Weibull shape = OLS slope over the micro moment row (the common
+    * micro factor cancels); NULL on zero x-variance. Shared. */
+  val wbShapeSql: String =
+    "CASE WHEN CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 " +
+      "THEN (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END"
+
+  /** Weibull scale = exp(−a/k), intercept a de-micro'd; NULL with the
+    * shape. Shared. */
+  val wbScaleSql: String =
+    "CASE WHEN shape IS NOT NULL AND shape <> 0 THEN " +
+      "exp(-(((CAST(sy AS DOUBLE) - shape * sx) / np) / 1000000) / shape) " +
+      "END"
+
   /** Aalen–Johansen cumulative incidence for two COMPETING causes —
     * what 1−KM gets wrong when another event can preempt yours: the
     * probability of failing from cause j by time t is

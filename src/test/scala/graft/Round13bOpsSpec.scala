@@ -447,4 +447,53 @@ class Round13bOpsSpec extends SparkFunSuite {
       Eval.ipwAte(df, "t", "yo", "x1", "x2", clip = 0.5)
     }
   }
+
+  // ---- expectedHittingTime --------------------------------------------
+
+  test("expectedHittingTime: two-state chain by hand (E_h = 2 - 2^(1-h) " +
+      "on the micro grid)") {
+    // one user, stream view view view purchase view purchase view:
+    // view->view 2, view->purchase 2 (p = 0.5 each), purchase->view 2
+    val types = Seq("view", "view", "view", "purchase", "view",
+      "purchase", "view")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (1L, (i + 1) * 10L, i.toLong, t)
+    }.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = Sessionize.expectedHittingTime(ev, "purchase", horizon = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("purchase") == 0.0)
+    // exact micro-grid recursion: E8(view) = 1992188 micro
+    assert(got("view") == 1.992188, got.toString)
+    intercept[IllegalArgumentException] {
+      Sessionize.expectedHittingTime(ev, "purchase", horizon = 0)
+    }
+  }
+
+  // ---- weibullFit -------------------------------------------------------
+
+  test("weibullFit recovers the shape of a quantile-sampled Weibull " +
+      "and NULLs degenerate curves") {
+    // deterministic quantile sample from Weibull(k=2, lambda=100),
+    // uncensored: t_i = round(lambda * (-ln(1 - (i-0.5)/n))^(1/2))
+    val n = 200
+    val rows = (1 to n).map { i =>
+      val u = (i - 0.5) / n
+      val t = math.round(100.0 * math.sqrt(-math.log(1.0 - u)))
+      ("w", t, true)
+    }
+    // degenerate cohort: every subject fails at the same time -> the
+    // single step drops S straight to 0, leaving no interior plot
+    // point, so the whole group is absent from the fit output
+    val deg = (1 to 5).map(_ => ("d", 10L, true))
+    val df = (rows ++ deg).toDF("grp", "t", "ev")
+    val got = graft.operators.Survival.weibullFit(df, "grp", "t", "ev")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    val (np, shape) = got("w")
+    assert(np > 100L)
+    assert(shape.exists(k => math.abs(k - 2.0) < 0.2),
+      s"shape off: $shape")
+    assert(!got.contains("d"),
+      "curve with no interior plot point must drop from the fit")
+  }
 }
