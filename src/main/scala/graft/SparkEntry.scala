@@ -6354,6 +6354,30 @@ object SparkEntry {
           col("err_ms").isNotNull.as("event"))
       Survival.weibullFit(users, "cohort", "t_hours", "event")
     }),
+    "q_removal_effect" -> ((s, dir) => {
+      // Markov removal-effect attribution: which event types carry the
+      // 8-step conversion probability? All removal scenarios run in
+      // ONE recursion frame; micro-long arithmetic end to end.
+      val ev = table(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      graft.operators.Sessionize.removalEffect(
+        ev, target = "purchase", horizon = 8)
+    }),
+    "q_doubly_robust" -> ((s, dir) => {
+      // AIPW on the q_ipw_ate design: logistic propensity + per-arm
+      // OLS outcome models, milli-quantized influence sums — the
+      // doubly-robust completion of the causal trio (naive/IPW/AIPW).
+      val nli = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2L)
+            .cast("int").as("t"),
+          round(col("o_totalprice"), 0).cast("long").as("yo"),
+          pmod(col("o_custkey"), lit(7)).cast("long").as("x2"))
+        .join(nli, Seq("o_orderkey"))
+      graft.operators.Eval.aipwAte(o, "t", "yo", "x1", "x2", iters = 4)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14355,6 +14379,8 @@ object SparkEntry {
     "q_poisson_trend" -> poissonTrendOracle,
     "q_hitting_time" -> hittingTimeOracle,
     "q_weibull_fit" -> weibullFitOracle,
+    "q_removal_effect" -> removalEffectOracle,
+    "q_doubly_robust" -> doublyRobustOracle,
     "q_extractive_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
         |  FROM documents),
@@ -14543,6 +14569,66 @@ object SparkEntry {
        |FROM e8""".stripMargin
   }
 
+  /** All removal scenarios in one unrolled 8-round absorption
+    * recursion (Sessionize.absorbTermSql), plus the first-event start
+    * mixture — the Spark kernel replayed CTE for CTE. */
+  private lazy val removalEffectOracle: String = {
+    val rounds = (1 to 8).map { h =>
+      s"""s$h AS MATERIALIZED (SELECT removed, from_type AS state,
+         |    CAST(SUM(${graft.operators.Sessionize.absorbTermSql})
+         |      AS BIGINT) AS s
+         |  FROM (SELECT t.removed, t.from_type, t.n, t.rs, t.hit,
+         |      COALESCE(e.em, 0) AS em
+         |    FROM trx t LEFT JOIN e${h - 1} e
+         |      ON e.removed = t.removed AND e.state = t.to_type)
+         |  GROUP BY 1, 2),
+         |e$h AS MATERIALIZED (SELECT sv.removed, sv.state,
+         |    CAST(CASE WHEN sv.state = 'purchase' THEN 0
+         |      ELSE COALESCE(s.s, 0) END AS BIGINT) AS em
+         |  FROM sv LEFT JOIN s$h s
+         |    ON s.removed = sv.removed AND s.state = sv.state)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS from_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS rn,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS to_type
+       |  FROM events),
+       |tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |trs AS (SELECT from_type, to_type, n,
+       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS rs
+       |  FROM tr),
+       |st AS (SELECT DISTINCT from_type AS state FROM trs),
+       |sc AS (SELECT state AS removed FROM st WHERE state <> 'purchase'
+       |  UNION ALL SELECT '__none__'),
+       |trx AS MATERIALIZED (SELECT trs.*, sc.removed,
+       |    CASE WHEN to_type = 'purchase' THEN 1 ELSE 0 END AS hit
+       |  FROM trs CROSS JOIN sc
+       |  WHERE to_type <> removed AND from_type <> removed),
+       |sv AS MATERIALIZED (SELECT sc.removed, st.state
+       |  FROM st CROSS JOIN sc WHERE st.state <> sc.removed),
+       |e0 AS (SELECT removed, state, CAST(0 AS BIGINT) AS em FROM sv),
+       |$rounds,
+       |fe AS (SELECT from_type AS state, CAST(COUNT(*) AS BIGINT) AS fn
+       |  FROM seq WHERE rn = 1 GROUP BY 1),
+       |fet AS (SELECT state, fn, CAST(SUM(fn) OVER () AS BIGINT) AS ft
+       |  FROM fe),
+       |pc AS (SELECT removed,
+       |    CAST(SUM(CAST(ROUND((CAST(fn AS DOUBLE) / ft) * em, 0)
+       |      AS BIGINT)) AS BIGINT) AS pm
+       |  FROM e8 JOIN fet ON fet.state = e8.state GROUP BY 1),
+       |pb AS (SELECT pm AS pbm FROM pc WHERE removed = '__none__')
+       |SELECT removed AS channel,
+       |  round(CAST(pbm AS DOUBLE) / 1e6, 6) AS p_base,
+       |  round(CAST(pm AS DOUBLE) / 1e6, 6) AS p_removed,
+       |  round(CAST(pbm - pm AS DOUBLE) / greatest(pbm, 1), 6)
+       |    AS removal_effect
+       |FROM pc, pb WHERE removed <> '__none__'""".stripMargin
+  }
+
   /** The q_kaplan_meier survival chain + the interior-point filter and
     * the shared Weibull plot-regression texts (Survival.wb*Sql). */
   private lazy val weibullFitOracle: String =
@@ -14589,6 +14675,59 @@ object SparkEntry {
        |SELECT grp, np, round(shape, 6) AS shape,
        |  round(${graft.operators.Survival.wbScaleSql}, 6) AS scale
        |FROM sh""".stripMargin
+
+  /** The q_ipw_ate base + per-arm ols2 moment/solve CTEs + the
+    * milli-quantized AIPW influence aggregate (Eval.aipwAteSql). */
+  private lazy val doublyRobustOracle: String = {
+    val solve = graft.operators.Eval.ols2Solve.take(3)
+    def armCtes(arm: Int, px: String) = {
+      val sel = solve.map { case (name, sql) =>
+        s"$sql AS ${px}${name.drop(1)}" }.mkString(",\n    ")
+      s"""${px}m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(x1*x1) AS BIGINT) AS s11,
+         |    CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |    CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         |    CAST(SUM(yo) AS BIGINT) AS sy,
+         |    CAST(SUM(x1*yo) AS BIGINT) AS s1y,
+         |    CAST(SUM(x2*yo) AS BIGINT) AS s2y
+         |  FROM base WHERE t = $arm),
+         |${px}c AS (SELECT
+         |    $sel
+         |  FROM ${px}m)""".stripMargin
+    }
+    def ml(e: String) =
+      s"CAST(SUM(CAST(ROUND(($e) * 1000, 0) AS BIGINT)) AS BIGINT)"
+    s"""WITH nli AS (SELECT l_orderkey AS o_orderkey,
+       |    CAST(COUNT(*) AS BIGINT) AS x1 FROM lineitem GROUP BY 1),
+       |base AS (SELECT o.o_orderkey,
+       |    CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+       |      THEN 1 ELSE 0 END AS t,
+       |    CAST(ROUND(o_totalprice, 0) AS BIGINT) AS yo,
+       |    o_custkey % 7 AS x2, x1
+       |  FROM orders o JOIN nli USING (o_orderkey)),
+       |s AS (SELECT t AS y, x1, x2 FROM base),
+       |${logisticIrlsCtes(4)},
+       |${armCtes(1, "m1_")},
+       |${armCtes(0, "m0_")},
+       |f AS (SELECT base.*,
+       |    ${graft.operators.Eval.ipwEhSql(0.01)} AS eh,
+       |    m1_0 + m1_1 * x1 + m1_2 * x2 AS m1,
+       |    m0_0 + m0_1 * x1 + m0_2 * x2 AS m0
+       |  FROM base, i4, m1_c, m0_c),
+       |a AS (SELECT CAST(SUM(t) AS BIGINT) AS n_treated,
+       |    CAST(SUM(1 - t) AS BIGINT) AS n_control,
+       |    CAST(COUNT(*) AS BIGINT) AS nn,
+       |    ${ml("m1 - m0 + t * (yo - m1) / eh - " +
+              "(1 - t) * (yo - m0) / (1.0 - eh)")} AS sa,
+       |    CAST(SUM(t * yo) AS BIGINT) AS sty,
+       |    CAST(SUM((1 - t) * yo) AS BIGINT) AS scy
+       |  FROM f)
+       |SELECT n_treated, n_control,
+       |  ${graft.operators.Eval.aipwAteSql} AS ate_aipw,
+       |  ${graft.operators.Eval.naiveDiffSql} AS diff_naive
+       |FROM a""".stripMargin
+  }
 
   /** Unrolled logistic-IRLS CTE chain over a caller-provided
     * `s(y, x1, x2)`: log-odds init `i0`, per round the micro-quantized

@@ -1368,6 +1368,62 @@ object Eval {
     s"greatest(CAST($clip AS DOUBLE), least(CAST(${1 - clip} AS DOUBLE), " +
       "1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))))"
 
+  /** Doubly-robust (AIPW) average treatment effect — consistent when
+    * EITHER the propensity model OR the per-arm outcome regressions are
+    * right: per row,
+    * ψ = μ₁(x) − μ₀(x) + t(y−μ₁(x))/ê − (1−t)(y−μ₀(x))/(1−ê),
+    * ATE = mean ψ. Propensity = [[logisticIrls2]] (clipped); outcome
+    * models = [[ols2]] fit separately on each arm (their round(6)
+    * coefficients are engine-identical by construction). ψ is
+    * milli-quantized per row and summed exactly; the finish is shared
+    * text ([[aipwAteSql]]). The naive difference rides along like
+    * [[ipwAte]]'s.
+    *
+    * Scale shape: the IRLS passes + two one-aggregate OLS fits + ONE
+    * scoring aggregate; all three coefficient rows are 1-row
+    * broadcasts. */
+  def aipwAte(
+      df: DataFrame, tCol: String, yCol: String,
+      x1Col: String, x2Col: String,
+      iters: Int = 4, clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, s"clip must be in (0, 0.5): $clip")
+    val s = df.select(col(tCol).cast("long").as("t"),
+        col(yCol).cast("long").as("yo"),
+        col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
+      .materialize
+    val fit = logisticIrls2(
+      s.select(col("t").as("y"), col("x1"), col("x2")), "y", "x1", "x2",
+      iters)
+    val prop = broadcast(fit.orderBy(col("iter").desc).limit(1)
+      .select(col("b0"), col("b1"), col("b2")))
+    def arm(cond: org.apache.spark.sql.Column, px: String) =
+      broadcast(ols2(s.filter(cond), "yo", "x1", "x2")
+        .select(col("b0").as(s"${px}0"), col("b1").as(s"${px}1"),
+          col("b2").as(s"${px}2")))
+    val mu1 = arm(col("t") === 1L, "m1_")
+    val mu0 = arm(col("t") === 0L, "m0_")
+    def milli(e: String) = expr(s"CAST(ROUND(($e) * 1000, 0) AS BIGINT)")
+    s.crossJoin(prop).crossJoin(mu1).crossJoin(mu0)
+      .withColumn("eh", expr(ipwEhSql(clip)))
+      .withColumn("m1", expr("m1_0 + m1_1 * x1 + m1_2 * x2"))
+      .withColumn("m0", expr("m0_0 + m0_1 * x1 + m0_2 * x2"))
+      .agg(
+        sum(col("t")).cast("long").as("n_treated"),
+        sum(lit(1L) - col("t")).cast("long").as("n_control"),
+        count(lit(1)).cast("long").as("nn"),
+        sum(milli("m1 - m0 + t * (yo - m1) / eh - " +
+          "(1 - t) * (yo - m0) / (1.0 - eh)")).as("sa"),
+        sum(col("t") * col("yo")).cast("long").as("sty"),
+        sum((lit(1L) - col("t")) * col("yo")).cast("long").as("scy"))
+      .select(col("n_treated"), col("n_control"),
+        expr(aipwAteSql).as("ate_aipw"),
+        expr(naiveDiffSql).as("diff_naive"))
+  }
+
+  /** AIPW mean over the milli sum (de-milli'd once); shared. */
+  val aipwAteSql: String =
+    "round(CAST(sa AS DOUBLE) / 1000 / nn, 6)"
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

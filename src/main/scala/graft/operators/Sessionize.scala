@@ -458,6 +458,114 @@ object Sessionize {
   val hittingTermSql: String =
     "CAST(ROUND((CAST(n AS DOUBLE) / rs) * em, 0) AS BIGINT)"
 
+  /** One absorption-probability term over (n, rs, hit, em): the
+    * exact-count ratio times (1 if the step lands on the target, else
+    * the successor's micro probability), rounded to the micro grid.
+    * Shared with the oracle. */
+  val absorbTermSql: String =
+    "CAST(ROUND((CAST(n AS DOUBLE) / rs) * " +
+      "(CASE WHEN hit = 1 THEN 1000000 ELSE em END), 0) AS BIGINT)"
+
+  /** Markov removal-effect attribution (Anderl et al. 2014, the
+    * chain-based alternative to last-touch/Shapley): for every
+    * non-target event type r, how much of the chain's `horizon`-step
+    * conversion probability disappears if paths may no longer pass
+    * through r? P_conv = Σ_s π(s)·A(s) with π the first-event
+    * distribution and A(s) = P(reach `target` within `horizon` from s);
+    * the removal scenario zeroes every step INTO r (the removed state
+    * absorbs as a loss, denominators unchanged — the standard removal
+    * model). Output per removed type: the base and removed conversion
+    * probabilities and the normalized removal effect.
+    *
+    * Determinism: the [[expectedHittingTime]] micro-long recursion, one
+    * rounding per (scenario, s, s') term per round
+    * ([[absorbTermSql]]); the start mixture is one more micro-rounded
+    * exact-count fold. Every scenario runs in the SAME frame (a
+    * scenario column on the transition matrix), so the loop cost is
+    * one |scenarios|·|types|²-row join per round — never a per-channel
+    * re-run.
+    *
+    * Scale shape: one windowed pass for transitions + one for first
+    * events; the recursion tables are (scenarios × types)-sized —
+    * tiny at any corpus scale. */
+  def removalEffect(
+      events: DataFrame,
+      target: String = "purchase",
+      horizon: Int = 8,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id"): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1, 32]: $horizon")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val base = events
+      .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol),
+        col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .materialize
+    val tr = base.filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rs", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_type"))))
+    val states = tr.select(col("from_type").as("state")).distinct()
+    // scenarios: the base chain plus one removal per non-target state
+    val scen = states.filter(col("state") =!= target)
+      .select(col("state").as("removed"))
+      .union(states.sparkSession.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("__none__")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("removed",
+            org.apache.spark.sql.types.StringType)))))
+    val trx = tr.crossJoin(broadcast(scen))
+      .filter(col("to_type") =!= col("removed") &&
+        col("from_type") =!= col("removed"))
+      .withColumn("hit", (col("to_type") === target).cast("int"))
+      .materialize
+    val sv = states.crossJoin(broadcast(scen))
+      .filter(col("state") =!= col("removed")).materialize
+    var e = sv.select(col("removed"), col("state"), lit(0L).as("em"))
+    (1 to horizon).foreach { _ =>
+      val stepped = trx
+        .join(e.withColumnRenamed("state", "to_type"),
+          Seq("removed", "to_type"), "left")
+        // a target successor carries hit = 1 and no em row is needed;
+        // the target's own em is 0 by construction
+        .withColumn("em", coalesce(col("em"), lit(0L)))
+        .groupBy(col("removed"), col("from_type").as("state"))
+        .agg(sum(expr(absorbTermSql)).as("s"))
+      e = sv.join(stepped, Seq("removed", "state"), "left")
+        .select(col("removed"), col("state"),
+          when(col("state") === target, lit(0L))
+            .otherwise(coalesce(col("s"), lit(0L))).as("em"))
+        .materialize
+    }
+    // first-event mixture (exact counts), folded per scenario
+    val first = base.filter(col("__rn") === 1)
+      .groupBy(col("from_type").as("state"))
+      .agg(count(lit(1)).as("fn"))
+      .withColumn("ft", sum(col("fn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val pconv = e.join(broadcast(first), Seq("state"))
+      .groupBy(col("removed"))
+      .agg(sum(expr(
+        "CAST(ROUND((CAST(fn AS DOUBLE) / ft) * em, 0) AS BIGINT)"))
+        .as("pm"))
+    val pbase = broadcast(pconv.filter(col("removed") === "__none__")
+      .select(col("pm").as("pb")))
+    pconv.filter(col("removed") =!= "__none__")
+      .crossJoin(pbase)
+      .select(col("removed").as("channel"),
+        round(col("pb").cast("double") / 1e6, 6).as("p_base"),
+        round(col("pm").cast("double") / 1e6, 6).as("p_removed"),
+        round((col("pb") - col("pm")).cast("double") /
+          greatest(col("pb"), lit(1L)), 6).as("removal_effect"))
+  }
+
   /** MATCH_RECOGNIZE-lite: collapse each key's ordered event-type stream
     * to a one-char-per-event string (caller supplies the type→char code
     * map) and count NON-OVERLAPPING occurrences of a regex `pattern` over

@@ -496,4 +496,53 @@ class Round13bOpsSpec extends SparkFunSuite {
     assert(!got.contains("d"),
       "curve with no interior plot point must drop from the fit")
   }
+
+  // ---- removalEffect ----------------------------------------------------
+
+  test("removalEffect: channel shares of a two-path funnel by hand") {
+    // 3 users convert via signup -> view -> purchase, 1 via
+    // click -> purchase: removing view or signup kills 75% of the
+    // conversion mass, removing click kills 25%
+    val rows = (1L to 3L).flatMap { u =>
+      Seq((u, 10L, 1L, "signup"), (u, 20L, 2L, "view"),
+        (u, 30L, 3L, "purchase"))
+    } ++ Seq((9L, 10L, 1L, "click"), (9L, 20L, 2L, "purchase"))
+    val ev = rows.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = Sessionize.removalEffect(ev, "purchase", horizon = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("signup", "view", "click"))
+    assert(got("view") == ((1.0, 0.25, 0.75)), got("view").toString)
+    assert(got("signup") == ((1.0, 0.25, 0.75)), got("signup").toString)
+    assert(got("click") == ((1.0, 0.75, 0.25)), got("click").toString)
+    intercept[IllegalArgumentException] {
+      Sessionize.removalEffect(ev, "purchase", horizon = 0)
+    }
+  }
+
+  // ---- aipwAte ------------------------------------------------------------
+
+  test("aipwAte deconfounds like ipwAte and agrees with the outcome " +
+      "models when they are exact") {
+    // the ipwAte fixture: x1 drives treatment (80/20) and outcome
+    // (10 vs 0); true effect 0, naive diff 6. The per-arm OLS fits are
+    // EXACT here (outcome is a deterministic function of x1), so AIPW
+    // collapses to ~0 regardless of propensity wobble.
+    val rows =
+      (1L to 8L).map(i => (1, 10L, 1L, i % 3)) ++
+        (1L to 2L).map(i => (0, 10L, 1L, i % 3)) ++
+        (1L to 2L).map(i => (1, 0L, 0L, i % 3)) ++
+        (1L to 8L).map(i => (0, 0L, 0L, i % 3))
+    val df = rows.toDF("t", "yo", "x1", "x2")
+    val out = Eval.aipwAte(df, "t", "yo", "x1", "x2", iters = 6)
+      .collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    val (ate, naive) = (out.getDouble(2), out.getDouble(3))
+    assert(naive == 6.0)
+    assert(math.abs(ate) < 0.01, s"AIPW with exact outcome models " +
+      s"must be ~0: $ate")
+    intercept[IllegalArgumentException] {
+      Eval.aipwAte(df, "t", "yo", "x1", "x2", clip = 0.0)
+    }
+  }
 }
