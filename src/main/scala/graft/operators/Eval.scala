@@ -1271,17 +1271,23 @@ object Eval {
         col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
       .materialize
     def micro(e: String) = expr(s"CAST(ROUND(($e) * 1000000, 0) AS BIGINT)")
-    var params = s.agg(count(lit(1)).cast("long").as("nr"),
-        sum(col("y")).cast("long").as("syr"))
-      .select(lit(0L).as("iter"),
-        expr("ln((CAST(syr AS DOUBLE) / nr) / " +
-          "(1.0 - CAST(syr AS DOUBLE) / nr))").as("b0"),
-        expr("CAST(0 AS DOUBLE)").as("b1"),
-        expr("CAST(0 AS DOUBLE)").as("b2"))
-      .materialize
+    // params are a 1-ROW driver fold (the sanctioned inherently-
+    // sequential pattern): every numeric step — init log-odds, moment
+    // solve — still executes as the SHARED SQL text inside Spark, the
+    // driver only carries the three solved doubles between rounds (a
+    // per-round localCheckpoint of a 1-row frame measured ~2x slower)
+    var cur = {
+      val r = s.agg(count(lit(1)).cast("long").as("nr"),
+          sum(col("y")).cast("long").as("syr"))
+        .select(expr("ln((CAST(syr AS DOUBLE) / nr) / " +
+          "(1.0 - CAST(syr AS DOUBLE) / nr))").as("b0"))
+        .collect()(0)
+      (r.getDouble(0), 0.0, 0.0)
+    }
     val trail = (1 to iters).map { i =>
       val t = s
-        .crossJoin(broadcast(params.select(col("b0"), col("b1"), col("b2"))))
+        .withColumn("b0", lit(cur._1)).withColumn("b1", lit(cur._2))
+        .withColumn("b2", lit(cur._3))
         .withColumn("eta", expr("b0 + b1 * x1 + b2 * x2"))
         .withColumn("p", expr("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))"))
         .withColumn("w", expr("p * (1.0 - p)"))
@@ -1295,14 +1301,15 @@ object Eval {
           sum(micro("w * eta + y - p")).as("sy"),
           sum(micro("x1 * (w * eta + y - p)")).as("s1y"),
           sum(micro("x2 * (w * eta + y - p)")).as("s2y"))
-      params = ols2Solve.take(3).foldLeft(t) { case (d, (name, sql)) =>
+      val r = ols2Solve.take(3).foldLeft(t) { case (d, (name, sql)) =>
           d.withColumn(name, expr(sql))
         }
-        .select(lit(i.toLong).as("iter"), col("b0"), col("b1"), col("b2"))
-        .materialize
-      params
+        .select(col("b0"), col("b1"), col("b2")).collect()(0)
+      cur = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      (i.toLong, cur._1, cur._2, cur._3)
     }
-    trail.reduce(_ unionByName _)
+    import s.sparkSession.implicits._
+    trail.toDF("iter", "b0", "b1", "b2")
   }
 
   /** Inverse-propensity-weighted (Hájek) average treatment effect:

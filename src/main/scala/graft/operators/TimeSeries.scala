@@ -2667,30 +2667,36 @@ object TimeSeries {
       .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .materialize
     def micro(e: String) = expr(s"CAST(ROUND(($e) * 1000000, 0) AS BIGINT)")
-    var params = s.agg(count(lit(1)).cast("long").as("n"),
-        sum(col("y")).cast("long").as("sy"))
-      .select(lit(0L).as("iter"), col("n"),
-        expr("ln(CAST(sy AS DOUBLE) / n)").as("a"),
-        expr("CAST(0 AS DOUBLE)").as("b"))
-      .materialize
+    // params are a 1-ROW driver fold (the sanctioned inherently-
+    // sequential pattern): the init and every update still execute as
+    // the SHARED SQL text inside Spark — the driver only carries
+    // (n, a, b) between rounds
+    var (n0, a0, b0) = {
+      val r = s.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("sy"))
+        .select(col("n"), expr("ln(CAST(sy AS DOUBLE) / n)").as("a"))
+        .collect()(0)
+      (r.getLong(0), r.getDouble(1), 0.0)
+    }
     val trail = (1 to iters).map { i =>
-      val terms = s.crossJoin(broadcast(params.select(col("n"), col("a"), col("b"))))
+      val r = s
+        .withColumn("a", lit(a0)).withColumn("b", lit(b0))
         .withColumn("eta", expr("a + b * x"))
         .withColumn("mu", expr("exp(a + b * x)"))
-        .agg(max(col("n")).as("n"),
+        .agg(
           sum(micro("mu")).as("w"),
           sum(micro("mu * x")).as("wx"),
           sum(micro("mu * x * x")).as("wxx"),
           sum(micro("mu * eta + y - mu")).as("wz"),
           sum(micro("x * (mu * eta + y - mu)")).as("wxz"))
-      params = terms
         .withColumn("b", expr(poissonBSql))
         .withColumn("a", expr(poissonASql))
-        .select(lit(i.toLong).as("iter"), col("n"), col("a"), col("b"))
-        .materialize
-      params
+        .select(col("a"), col("b")).collect()(0)
+      a0 = r.getDouble(0); b0 = r.getDouble(1)
+      (i.toLong, n0, a0, b0)
     }
-    trail.reduce(_ unionByName _)
+    import s.sparkSession.implicits._
+    trail.toDF("iter", "n", "a", "b")
       .select(col("iter"), col("n"),
         round(col("a"), 6).as("a"), round(col("b"), 6).as("b"))
   }
