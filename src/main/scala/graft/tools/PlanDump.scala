@@ -100,7 +100,16 @@ object PlanDump {
     "q_kneser_ney",          // one bigram exchange feeds left/right/total aggs joined back
     "q_sax",                 // per-key rank window + two key-hashed aggs + word concat
     "q_kcenter",             // 6 argmax rounds, 1-row broadcast refresh over materialized state
-    "q_dtw")                 // 15 wavefront DP rounds of (pair,i,j)-keyed joins on materialized cost
+    "q_dtw",                 // 15 wavefront DP rounds of (pair,i,j)-keyed joins on materialized cost
+    "q_eigen_centrality",    // 4 linear join+agg rounds, ONE final 1-row max broadcast
+    "q_viterbi",             // capped window + pivot agg, DP = per-row columnar codegen
+    "q_matrix_profile",      // bounded delta broadcast + per-offset rolling window + argmin agg
+    "q_ar_forecast",         // two lag aggs + last-two pivot, unrolled per-row forecast columns
+    "q_kmeans_lloyd",        // 3 chained broadcast-assign + (cell,dim) fixed-point agg rounds
+    "q_target_encode",       // one category window + 1-row global prior broadcast
+    "q_removal_effect",      // all removal scenarios in ONE recursion frame (scenario column)
+    "q_doubly_robust",       // IRLS aggregates + two arm OLS fits, 3 coefficient-row broadcasts
+    "q_extractive_chunks")   // token-keyed vocab join (never broadcast) + doc-keyed argmin/argmax
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

@@ -37,7 +37,11 @@ class PlanGuardSpec extends SparkFunSuite {
     "q_market_basket", "q_auc", "q_join_size_est", "q_jonckheere",
     "q_gram_covariance", "q_conformal", "q_modularity", "q_bh_fdr",
     "q_pca_power", "q_lorenz", "q_hits", "q_jsd", "q_platt", "q_cox",
-    "q_dsir_weights", "q_conover", "q_hard_negatives", "q_kneser_ney")
+    "q_dsir_weights", "q_conover", "q_hard_negatives", "q_kneser_ney",
+    // round-13b documented 1-row/bounded broadcast sites
+    "q_eigen_centrality", "q_matrix_profile", "q_kmeans_lloyd",
+    "q_target_encode", "q_removal_effect", "q_doubly_robust",
+    "q_extractive_chunks")
 
   test("no audited plan contains a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at documented 1-row/" +
