@@ -6378,6 +6378,22 @@ object SparkEntry {
         .join(nli, Seq("o_orderkey"))
       graft.operators.Eval.aipwAte(o, "t", "yo", "x1", "x2", iters = 4)
     }),
+    "q_cem_att" -> ((s, dir) => {
+      // Coarsened-exact-matching ATT on the same causal design —
+      // exact (x1, x2) strata, both-arm cells only, treated-weighted
+      // mean differences; reports the unmatched-treated overlap
+      // diagnostic.
+      val nli = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2L)
+            .cast("int").as("t"),
+          round(col("o_totalprice"), 0).cast("long").as("yo"),
+          pmod(col("o_custkey"), lit(7)).cast("long").as("x2"))
+        .join(nli, Seq("o_orderkey"))
+      graft.operators.Eval.cemAtt(o, "t", "yo", "x1", "x2")
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14381,6 +14397,33 @@ object SparkEntry {
     "q_weibull_fit" -> weibullFitOracle,
     "q_removal_effect" -> removalEffectOracle,
     "q_doubly_robust" -> doublyRobustOracle,
+    "q_cem_att" ->
+      s"""WITH nli AS (SELECT l_orderkey AS o_orderkey,
+         |    CAST(COUNT(*) AS BIGINT) AS x1 FROM lineitem GROUP BY 1),
+         |base AS (SELECT
+         |    CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+         |      THEN 1 ELSE 0 END AS t,
+         |    CAST(ROUND(o_totalprice, 0) AS BIGINT) AS yo,
+         |    o_custkey % 7 AS x2, x1
+         |  FROM orders o JOIN nli USING (o_orderkey)),
+         |cells AS (SELECT x1, x2, CAST(SUM(t) AS BIGINT) AS nt,
+         |    CAST(SUM(1 - t) AS BIGINT) AS nc,
+         |    CAST(SUM(t * yo) AS BIGINT) AS syt,
+         |    CAST(SUM((1 - t) * yo) AS BIGINT) AS syc
+         |  FROM base GROUP BY 1, 2),
+         |a AS (SELECT
+         |    CAST(COUNT(CASE WHEN nt > 0 AND nc > 0 THEN 1 END) AS BIGINT)
+         |      AS n_strata_matched,
+         |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+         |      AS BIGINT) AS n_treated_matched,
+         |    CAST(SUM(CASE WHEN nt > 0 AND nc = 0 THEN nt ELSE 0 END)
+         |      AS BIGINT) AS n_treated_unmatched,
+         |    CAST(SUM(${graft.operators.Eval.cemCellSql}) AS BIGINT) AS sw
+         |  FROM cells)
+         |SELECT n_strata_matched, n_treated_matched, n_treated_unmatched,
+         |  round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6)
+         |    AS att_cem
+         |FROM a""".stripMargin,
     "q_extractive_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
         |  FROM documents),

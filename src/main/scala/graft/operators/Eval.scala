@@ -1431,6 +1431,55 @@ object Eval {
   val aipwAteSql: String =
     "round(CAST(sa AS DOUBLE) / 1000 / nn, 6)"
 
+  /** Coarsened-exact-matching ATT — the MATCHING estimator completing
+    * the causal set ([[ipwAte]] reweights, [[aipwAte]] models, CEM
+    * prunes): exact-match strata on the (already-discrete) covariate
+    * pair, keep only strata holding BOTH arms, and average the
+    * within-stratum mean differences weighted by each stratum's
+    * TREATED count (Iacus–King–Porro with the identity coarsening —
+    * callers bucket continuous covariates first). Also reports how
+    * many treated rows fell in unmatched strata (the overlap
+    * diagnostic matching is chosen for).
+    *
+    * Determinism: everything is exact integer sums until one shared
+    * double finish per stratum, milli-quantized and re-summed exactly
+    * ([[cemCellSql]]) — no model, no iteration. Scale shape: ONE
+    * (x1, x2) stratum aggregate + one global fold; strata never leave
+    * their partition. */
+  def cemAtt(
+      df: DataFrame, tCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    val s = df.select(col(tCol).cast("long").as("t"),
+      col(yCol).cast("long").as("yo"),
+      col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
+    val cells = s.groupBy(col("x1"), col("x2"))
+      .agg(sum(col("t")).cast("long").as("nt"),
+        sum(lit(1L) - col("t")).cast("long").as("nc"),
+        sum(col("t") * col("yo")).cast("long").as("syt"),
+        sum((lit(1L) - col("t")) * col("yo")).cast("long").as("syc"))
+    cells.agg(
+        count(when(col("nt") > 0 && col("nc") > 0, 1)).cast("long")
+          .as("n_strata_matched"),
+        sum(when(col("nt") > 0 && col("nc") > 0, col("nt"))
+          .otherwise(0L)).cast("long").as("n_treated_matched"),
+        sum(when(col("nt") > 0 && col("nc") === 0L, col("nt"))
+          .otherwise(0L)).cast("long").as("n_treated_unmatched"),
+        sum(expr(cemCellSql)).as("sw"))
+      .select(col("n_strata_matched"), col("n_treated_matched"),
+        col("n_treated_unmatched"),
+        expr("round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6)")
+          .as("att_cem"))
+  }
+
+  /** Per-stratum treated-weighted mean difference, milli-quantized
+    * (zero when the stratum lacks either arm); shared with the
+    * oracle. */
+  val cemCellSql: String =
+    "CASE WHEN nt > 0 AND nc > 0 THEN " +
+      "CAST(ROUND(nt * (CAST(syt AS DOUBLE) / nt - " +
+      "CAST(syc AS DOUBLE) / nc) * 1000, 0) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

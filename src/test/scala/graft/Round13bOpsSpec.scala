@@ -545,4 +545,23 @@ class Round13bOpsSpec extends SparkFunSuite {
       Eval.aipwAte(df, "t", "yo", "x1", "x2", clip = 0.0)
     }
   }
+
+  // ---- cemAtt -------------------------------------------------------------
+
+  test("cemAtt: exact-stratum ATT by hand, unmatched treated reported") {
+    // stratum (1,0): treated y={10,12}, control y={5} -> diff 6, nt=2
+    // stratum (2,0): treated y={20},   control y={14,16} -> diff 5, nt=1
+    // stratum (3,0): treated only -> unmatched (2 rows)
+    // stratum (4,0): control only -> ignored
+    val df = Seq(
+      (1, 10L, 1L, 0L), (1, 12L, 1L, 0L), (0, 5L, 1L, 0L),
+      (1, 20L, 2L, 0L), (0, 14L, 2L, 0L), (0, 16L, 2L, 0L),
+      (1, 99L, 3L, 0L), (1, 98L, 3L, 0L),
+      (0, 7L, 4L, 0L)).toDF("t", "yo", "x1", "x2")
+    val r = Eval.cemAtt(df, "t", "yo", "x1", "x2").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
+    // ATT = (2*6 + 1*5) / 3 = 17/3
+    assert(r.getDouble(3) == BigDecimal(17.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+  }
 }
