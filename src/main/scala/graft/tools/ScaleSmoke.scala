@@ -1812,6 +1812,59 @@ object ScaleSmoke {
       drain(Eval.ridge2Path(li, "y", "x1", "x2",
         Seq(0L, 1000000L, 100000000L)))
     }
+    time(s"r13b causal family x$mult (logistic/ipw/aipw/cem)") {
+      // every estimator is k tiny aggregates (or one stratum aggregate)
+      // over the scaled frame — wall-time must grow with rows, never
+      // with the lambda/iteration counts
+      val nli = graft.SparkEntry.table(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"))
+      val o0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2L)
+            .cast("int").as("t"),
+          round(col("o_totalprice"), 0).cast("long").as("yo"),
+          pmod(col("o_custkey"), lit(7)).cast("long").as("x2"))
+        .join(nli, Seq("o_orderkey"))
+        .drop("o_orderkey")
+      val o = (0 until mult).map(_ => o0).reduce(_ unionByName _)
+      drain(Eval.logisticIrls2(
+        o.select(col("t").as("y"), col("x1"), col("x2")),
+        "y", "x1", "x2", iters = 4))
+      drain(Eval.ipwAte(o, "t", "yo", "x1", "x2", iters = 4))
+      drain(Eval.aipwAte(o, "t", "yo", "x1", "x2", iters = 4))
+      drain(Eval.cemAtt(o, "t", "yo", "x1", "x2"))
+    }
+    time(s"r13b journey values x$mult (hitting/removal, disjoint users)") {
+      // the recursion tables stay |types|-sized whatever the corpus;
+      // only the two windowed passes scale with rows
+      val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+      drain(Sessionize.expectedHittingTime(ev, "purchase", horizon = 8))
+      drain(Sessionize.removalEffect(ev, "purchase", horizon = 8))
+    }
+    time(s"r13b encode+extract+weibull+lloyd x$mult/" +
+        s"x${math.max(1, mult / 5)}") {
+      val o0 = graft.SparkEntry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_orderstatus") === "F").cast("int").as("ret"))
+      val o = (0 until mult).map(_ => o0).reduce(_ unionByName _)
+      drain(Eval.targetEncodeLoo(o, "o_orderpriority", "ret",
+        Seq("o_orderkey"), m = 10L))
+      drain(TextAnalysis.extractiveChunks(docs, chunkTokens = 10))
+      val subj = events
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+          min(when(col("is_err"), col("ms"))).as("err_ms"))
+        .select(concat(lit("c"), pmod(col("user_id"), lit(2L))).as("cohort"),
+          expr("(coalesce(err_ms, last_ms) - first_ms) div 3600000")
+            .as("t_hours"),
+          col("err_ms").isNotNull.as("event"))
+      drain(graft.operators.Survival.weibullFit(
+        subj, "cohort", "t_hours", "event"))
+      drain(Similarity.kmeansLloydExact(emb, nCentroids = 8, rounds = 3))
+    }
     spark.stop()
   }
 }
