@@ -6394,6 +6394,15 @@ object SparkEntry {
         .join(nli, Seq("o_orderkey"))
       graft.operators.Eval.cemAtt(o, "t", "yo", "x1", "x2")
     }),
+    "q_mis" -> ((s, dir) => {
+      // Luby maximal independent set on the co-purchase graph: md5
+      // priorities replace the RNG, so the whole round trajectory is
+      // engine-exact and (id, round) is the pinned output.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.maximalIndependentSet(
+        coPurchasePairs(li), "src", "dst", maxRounds = 16)
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14389,6 +14398,7 @@ object SparkEntry {
          |FROM w""".stripMargin,
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_viterbi" -> viterbiOracle,
+    "q_mis" -> misOracle,
     "q_matrix_profile" -> matrixProfileOracle,
     "q_ar_forecast" -> arForecastOracle,
     "q_ridge_path" -> ridgePathOracle,
@@ -14924,6 +14934,13 @@ object SparkEntry {
   private lazy val eigenCentralityOracle: String =
     s"""WITH $symCoPurchaseCte,
        |${graft.operators.Graph.eigenCentralitySql(4)}""".stripMargin
+
+  /** Unrolled Luby rounds over the same symmetrized edge set
+    * (Graph.misSql — post-convergence rounds are empty on both
+    * engines). */
+  private lazy val misOracle: String =
+    s"""WITH $symCoPurchaseCte,
+       |${graft.operators.Graph.misSql(16)}""".stripMargin
 
   /** First-8-events pivot per user (exactly-8 contract) + the unrolled
     * integer-score Viterbi chain (Sessionize.viterbiSqlCtes — the SAME

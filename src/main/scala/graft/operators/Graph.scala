@@ -1183,6 +1183,150 @@ object Graph {
       .select(col("id"), round(col("x") / col("xm"), 8).as("eigen"))
   }
 
+  /** Maximal independent set by Luby's algorithm with HASH priorities —
+    * the deterministic-parallel classic (Luby 1986): each round, every
+    * active vertex whose md5-prefix priority strictly beats every
+    * ACTIVE neighbor's joins the set; winners and their neighborhoods
+    * deactivate. Hash priorities replace the RNG (the md5-not-an-RNG
+    * discipline), so the whole set evolution — and therefore the
+    * output — is engine-exact and the oracle unrolls the rounds. The
+    * result is maximAL (no vertex addable), not maximum (NP-hard);
+    * emitted as (id, round) so the convergence trajectory is pinned.
+    *
+    * Converges in O(log n) rounds w.h.p.; a graph that exhausts
+    * `maxRounds` fails LOUDLY (the [[kCore]] truncation contract —
+    * never a silently-non-maximal set). Per DISTRIBUTED round: one
+    * tagged-state job (active-edge join + max aggregate + winner and
+    * neighbor flags in a single DAG) + the loop counter's count.
+    * Luby's frontier collapses geometrically, so once it fits under
+    * `finishBelow` the REMAINING rounds replay on the driver over the
+    * collected induced subgraph — identical priorities, identical
+    * winner rule, identical round numbering (spec-pinned equal to the
+    * all-distributed run), because tail rounds over a few hundred
+    * vertices are pure cluster-latency waste at any scale. The
+    * finisher collect is bounded by `finishBelow` vertices plus their
+    * induced edges; set `finishBelow = 0` to stay fully distributed
+    * (e.g. under extreme hub degrees). */
+  def maximalIndependentSet(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 16, finishBelow: Long = 2048L): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64]: $maxRounds")
+    require(finishBelow >= 0L, s"finishBelow must be >= 0: $finishBelow")
+    val cu = canonicalUndirected(edges, srcCol, dstCol)
+    val e = cu.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(cu.select(col("hi").as("src"), col("lo").as("dst")))
+      .materialize
+    var active = e.select(col("src").as("id")).distinct()
+      .withColumn("pri", expr(misPriSql("id")))
+      .materialize
+    var mis: DataFrame = null
+    var round = 0
+    var n = active.count()
+    while (n > finishBelow && round < maxRounds) {
+      round += 1
+      // ONE materialized state frame per round (each extra action is a
+      // whole-job round-trip, and Luby runs ~log n rounds): tag every
+      // active vertex winner / neighbor-of-winner in a single DAG —
+      // both-endpoints-active restriction rides the STATIC edge table
+      // (the oracle's shape)
+      val nbrMax = e
+        .join(active.select(col("id").as("dst"), col("pri").as("npri")),
+          Seq("dst"))
+        .join(active.select(col("id").as("src")), Seq("src"))
+        .groupBy(col("src").as("id")).agg(max(col("npri")).as("mx"))
+      val tagged = active.join(nbrMax, Seq("id"), "left")
+        .withColumn("is_w", col("mx").isNull || col("pri") > col("mx"))
+      val nbrOfW = e
+        .join(tagged.filter(col("is_w")).select(col("id").as("src")),
+          Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .withColumn("is_nbr", lit(true))
+      val state = tagged.join(nbrOfW, Seq("id"), "left")
+        .select(col("id"), col("pri"), col("is_w"),
+          coalesce(col("is_nbr"), lit(false)).as("is_nbr"))
+        .materialize
+      val w = state.filter(col("is_w"))
+        .select(col("id"), lit(round.toLong).as("round"))
+      mis = if (mis == null) w else mis.unionByName(w)
+      active = state.filter(!col("is_w") && !col("is_nbr"))
+        .select(col("id"), col("pri"))
+      n = active.count()
+    }
+    if (n > 0) {
+      // driver finisher: the collapsed frontier replays the SAME Luby
+      // rounds sequentially — identical priorities and winner rule, so
+      // the output is bit-equal to the all-distributed run
+      var pri = active.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val actIds = active.select(col("id"))
+      var sub = e
+        .join(actIds.withColumnRenamed("id", "src"), Seq("src"))
+        .join(actIds.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rows = Seq.newBuilder[(Long, Long)]
+      while (pri.nonEmpty && round < maxRounds) {
+        round += 1
+        val nbr = sub.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val winners = pri.keySet.filter { v =>
+          nbr.get(v).forall(_.forall(u => pri(v) > pri(u)))
+        }
+        winners.toSeq.sorted.foreach(v => rows += ((v, round.toLong)))
+        val removed = winners ++
+          winners.toSeq.flatMap(w => nbr.get(w).toSeq.flatten)
+        pri = pri.filterNot { case (v, _) => removed(v) }
+        sub = sub.filter { case (a, b) =>
+          pri.contains(a) && pri.contains(b) }
+      }
+      require(pri.isEmpty,
+        s"MIS did not converge within $maxRounds rounds " +
+          s"(${pri.size} vertices still active) — raise maxRounds")
+      val tail = edges.sparkSession
+        .createDataFrame(rows.result()).toDF("id", "round")
+      mis = if (mis == null) tail else mis.unionByName(tail)
+    }
+    if (mis == null) // edgeless input: the empty set is the MIS
+      edges.sparkSession.createDataFrame(Seq.empty[(Long, Long)])
+        .toDF("id", "round")
+    else mis
+  }
+
+  /** 60-bit md5-prefix priority of a vertex id (Spark side; the oracle
+    * uses DuckDB's hex-literal cast of the same prefix). */
+  def misPriSql(idCol: String): String =
+    s"CAST(conv(substring(md5(CONCAT('mis:', CAST($idCol AS STRING))), " +
+      "1, 15), 16, 10) AS BIGINT)"
+
+  /** Unrolled [[maximalIndependentSet]] oracle (rounds fixed at the
+    * engine's maxRounds; post-convergence rounds are empty, so any
+    * unroll ≥ the live round count matches). Caller provides the
+    * SYMMETRIZED `e(src, dst)`. */
+  def misSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""nm$r AS MATERIALIZED (SELECT e.src AS id, MAX(a.pri) AS mx
+         |  FROM e JOIN a${r - 1} a ON a.id = e.dst
+         |  JOIN a${r - 1} s ON s.id = e.src
+         |  GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT a.id FROM a${r - 1} a
+         |  LEFT JOIN nm$r n ON n.id = a.id
+         |  WHERE n.mx IS NULL OR a.pri > n.mx),
+         |rm$r AS MATERIALIZED (SELECT id FROM w$r
+         |  UNION SELECT e.dst AS id FROM e JOIN w$r w ON w.id = e.src),
+         |a$r AS MATERIALIZED (SELECT a.id, a.pri FROM a${r - 1} a
+         |  ANTI JOIN rm$r USING (id))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT id, CAST($r AS BIGINT) AS round FROM w$r")
+      .mkString("\nUNION ALL ")
+    s"""a0 AS MATERIALIZED (SELECT id,
+       |    CAST('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS pri
+       |  FROM (SELECT DISTINCT src AS id FROM e)),
+       |$roundCtes
+       |$out""".stripMargin
+  }
+
   /** Unrolled [[eigenvectorCentrality]] oracle body — CTEs after an
     * `e(src, dst)` SYMMETRIZED edge set the caller provides; the same
     * defer-normalization shape (one max division at the end). Each

@@ -47,6 +47,50 @@ class Round13bFuzzSpec extends SparkFunSuite {
     }
   }
 
+  // ---- maximalIndependentSet properties -----------------------------------
+
+  test("fuzz: maximalIndependentSet is independent, maximal, and " +
+      "deterministic on random graphs") {
+    (1 to 5).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val nV = 10 + rnd.nextInt(15)
+      val edges = (for {
+        a <- 0 until nV; b <- (a + 1) until nV
+        if rnd.nextInt(100) < 25
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val mis = Graph.maximalIndependentSet(df, "src", "dst")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ids = mis.map(_._1).toSet
+        // independent: no edge inside the set
+        edges.foreach { case (a, b) =>
+          assert(!(ids(a) && ids(b)), s"seed=$seed: edge $a-$b inside MIS")
+        }
+        // maximal: every non-member vertex (of the edge-induced graph)
+        // has a member neighbor
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        (verts -- ids).foreach { v =>
+          assert(adj(v).exists(ids), s"seed=$seed: $v addable, not maximal")
+        }
+        // deterministic across runs, and the driver finisher replays
+        // the distributed rounds bit-equal (all-distributed vs
+        // all-driver vs the default hybrid)
+        val allDist = Graph.maximalIndependentSet(df, "src", "dst",
+            finishBelow = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val allDriver = Graph.maximalIndependentSet(df, "src", "dst",
+            finishBelow = 1000000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(mis.toSet == allDist.toSet, s"seed=$seed: hybrid != dist")
+        assert(mis.toSet == allDriver.toSet, s"seed=$seed: hybrid != driver")
+        assert(mis.forall(_._2 >= 1L))
+      }
+    }
+  }
+
   // ---- viterbiDecode vs a direct sequence DP -----------------------------
 
   test("fuzz: viterbiDecode matches a direct per-sequence DP on random " +
