@@ -6403,6 +6403,22 @@ object SparkEntry {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_burrows_delta" -> ((s, dir) =>
+      // Burrows' Delta stylometry between the document sources: z-score
+      // the top-30 words' micro relative frequencies across sources,
+      // mean |dz| per source pair — "which corpora write alike".
+      graft.operators.TextAnalysis.burrowsDelta(
+        table(s, dir, "documents"), k = 30)),
+    "q_fd_check" -> ((s, dir) => {
+      // Functional-dependency audit over four candidate pairs of the
+      // orders table: key-like columns hold, the reverse directions
+      // leak (exact violation mass per determinant).
+      graft.operators.Profiling.fdCheck(table(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderkey", "o_orderpriority")))
+    }),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -14399,6 +14415,57 @@ object SparkEntry {
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_viterbi" -> viterbiOracle,
     "q_mis" -> misOracle,
+    "q_burrows_delta" ->
+      s"""WITH tkf AS (SELECT src, w FROM (SELECT source AS src,
+         |    unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |counts AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tkf GROUP BY 1, 2),
+         |ct AS (SELECT src, w, c,
+         |    CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS tot
+         |  FROM counts),
+         |nsrc AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS ns
+         |  FROM counts),
+         |gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cg
+         |  FROM counts GROUP BY 1),
+         |topw AS (SELECT w FROM (SELECT w,
+         |    row_number() OVER (ORDER BY cg DESC, w) AS rk FROM gw)
+         |  WHERE rk <= 30),
+         |srcs AS (SELECT DISTINCT src, tot FROM ct),
+         |grid AS (SELECT srcs.src, topw.w,
+         |    CAST(ROUND(CAST(COALESCE(ct.c, 0) AS DOUBLE) / srcs.tot
+         |      * 1000000, 0) AS BIGINT) AS fm
+         |  FROM srcs CROSS JOIN topw
+         |  LEFT JOIN ct ON ct.src = srcs.src AND ct.w = topw.w),
+         |zt AS (SELECT src, w, fm,
+         |    CAST(SUM(fm) OVER (PARTITION BY w) AS BIGINT) AS sf,
+         |    CAST(SUM(fm * fm) OVER (PARTITION BY w) AS BIGINT) AS sff
+         |  FROM grid),
+         |z AS (SELECT src, w,
+         |    ${graft.operators.TextAnalysis.burrowsZSql} AS z
+         |  FROM zt, nsrc),
+         |zz AS (SELECT src, w, z FROM z WHERE z IS NOT NULL),
+         |p AS (SELECT a.src AS src_a, b.src AS src_b,
+         |    CAST(ROUND(abs(a.z - b.z) * 1000000, 0) AS BIGINT) AS dm
+         |  FROM zz a JOIN zz b ON b.w = a.w AND a.src < b.src)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  round(CAST(SUM(dm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS delta
+         |FROM p GROUP BY 1, 2""".stripMargin,
+    "q_fd_check" -> Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderkey", "o_orderpriority"))
+      .map { case (det, dep) =>
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_det,
+           |  CAST(SUM(nd - 1) AS BIGINT) AS n_extra_dep,
+           |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd
+           |  FROM orders GROUP BY 1)""".stripMargin
+      }.mkString("\nUNION ALL "),
     "q_matrix_profile" -> matrixProfileOracle,
     "q_ar_forecast" -> arForecastOracle,
     "q_ridge_path" -> ridgePathOracle,

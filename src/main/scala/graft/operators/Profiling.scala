@@ -2615,4 +2615,35 @@ object Profiling {
         sum(col("cnt")).cast("long").as("cnt"),
         count(lit(1)).cast("long").as("n_distinct"))
   }
+
+  /** Functional-dependency audit over candidate column pairs — the
+    * schema-discovery profiling step ("is A a key for B, and how badly
+    * does it leak?"): for each (determinant, dependent) candidate, the
+    * determinant-value count, how many determinant values map to MORE
+    * than one dependent value, the total violating EXTRA rows
+    * (Σ_det (distinct_dep − 1) — the standard g3-style error mass),
+    * and the holds verdict. Exact integer counts end to end; one
+    * determinant-keyed aggregate per candidate (candidates are a
+    * handful of audited pairs, not a cross product of the schema).
+    *
+    * Each candidate scans only its two columns (column pruning reaches
+    * the parquet scan), so the audit costs |pairs| narrow passes. */
+  def fdCheck(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "pairs must name at least one candidate")
+    require(pairs.forall(p => p._1 != p._2),
+      s"determinant = dependent is vacuous: $pairs")
+    pairs.map { case (det, dep) =>
+      df.select(col(det), col(dep))
+        .groupBy(col(det).as("__d"))
+        .agg(countDistinct(col(dep)).cast("long").as("__nd"))
+        .agg(
+          count(lit(1)).cast("long").as("n_det_values"),
+          sum(when(col("__nd") > 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_violating_det"),
+          sum(col("__nd") - 1L).cast("long").as("n_extra_dep"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det_values"), col("n_violating_det"), col("n_extra_dep"),
+          (col("n_violating_det") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

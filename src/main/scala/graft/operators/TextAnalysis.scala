@@ -1935,6 +1935,86 @@ object TextAnalysis {
         expr("round(CAST(n_novel AS DOUBLE) / n_grams, 6)"))
   }
 
+  /** Burrows' Delta stylometry (Burrows 2002): the authorship-
+    * attribution distance between sources — z-score each source's
+    * relative frequency of the corpus's top-`k` words against the
+    * across-source mean/sd, then Delta(a, b) = mean |z_a − z_b| over
+    * those words. Small Delta = same register/style; the standard
+    * "which corpus does this batch write like" diagnostic for mixture
+    * audits.
+    *
+    * Determinism: relative frequencies are micro-quantized from exact
+    * counts (one rounding per (source, word)); the across-source
+    * moments are exact integer sums of those micro values; z and the
+    * per-word |Δz| are shared double texts with the |Δz| term
+    * micro-rounded before the pair sum — so every engine-visible sum
+    * is over exact integers. Top-k picks break ties toward the smaller
+    * word.
+    *
+    * Scale shape: one (source, word) count aggregate; totals and
+    * across-source moments are word-keyed windows (the vocabulary is
+    * never broadcast or collected); the final pair frame is
+    * |sources|² — tiny at any corpus scale. */
+  def burrowsDelta(
+      docs: DataFrame, k: Int = 30, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000]: $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("src"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("src"))))
+      .materialize // feeds the source count, the top-k, and the grid
+    val nSrc = counts.select(col("src")).distinct().count()
+    // top-k words by GLOBAL count (tie: smaller word)
+    val topWords = counts.groupBy(col("w"))
+      .agg(sum(col("c")).cast("long").as("cg"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cg").desc, col("w"))))
+      .filter(col("rk") <= k)
+      .select(col("w"))
+    // dense (source, top-word) grid: a word a source never uses counts
+    // as frequency 0, not a missing row
+    val grid = counts.select(col("src"), col("tot")).distinct()
+      .crossJoin(broadcast(topWords))
+      .join(counts.select(col("src"), col("w"), col("c")),
+        Seq("src", "w"), "left")
+      .withColumn("fm", expr(
+        "CAST(ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / tot * 1000000, 0) " +
+          "AS BIGINT)"))
+    val wW = Window.partitionBy(col("w"))
+    val z = grid
+      .withColumn("sf", sum(col("fm")).over(wW))
+      .withColumn("sff", sum(col("fm") * col("fm")).over(wW))
+      .withColumn("ns", lit(nSrc))
+      .withColumn("z", expr(burrowsZSql))
+      .filter(col("z").isNotNull)
+      .select(col("src"), col("w"), col("z"))
+    z.as("a").join(z.as("b"), col("a.w") === col("b.w") &&
+        col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        expr("CAST(ROUND(abs(a.z - b.z) * 1000000, 0) AS BIGINT)").as("dm"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("dm")).as("sdm"))
+      .withColumn("delta", expr(
+        "round(CAST(sdm AS DOUBLE) / n_words / 1000000, 6)"))
+      .drop("sdm")
+  }
+
+  /** z over (fm, sf, sff, ns): population moments of the micro
+    * frequencies across sources; NULL when the word has zero variance
+    * (identical usage everywhere — it carries no style signal). Shared
+    * with the oracle. */
+  val burrowsZSql: String =
+    "CASE WHEN CAST(ns AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf > 0 " +
+      "THEN (CAST(fm AS DOUBLE) - CAST(sf AS DOUBLE) / ns) / " +
+      "sqrt((CAST(ns AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf) / " +
+      "(CAST(ns AS DOUBLE) * ns)) END"
+
   /** Centroid-style extractive chunk selection (the SumBasic/centroid
     * summarization family over fixed-size pseudo-sentences): split each
     * doc into `chunkTokens`-token chunks, score every chunk by its MEAN

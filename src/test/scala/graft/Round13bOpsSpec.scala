@@ -564,4 +564,52 @@ class Round13bOpsSpec extends SparkFunSuite {
     assert(r.getDouble(3) == BigDecimal(17.0 / 3)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
   }
+
+  // ---- burrowsDelta -------------------------------------------------------
+
+  test("burrowsDelta: mirrored two-source usage gives delta 2, " +
+      "zero-variance words drop") {
+    // A uses x twice / y once, B the mirror: z = ±1 for both words ->
+    // Delta = mean(|1-(-1)|, |-1-1|) = 2. The word 'z' appears once in
+    // each source with EQUAL totals -> zero across-source variance ->
+    // excluded from the pair mean (n_words stays 2).
+    val docs = Seq(
+      (1L, "x x y z", "A"), (2L, "x y y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.burrowsDelta(docs, k = 3)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("A", "B")))
+    assert(row.getLong(2) == 2L, s"n_words=${row.getLong(2)}")
+    assert(row.getDouble(3) == 2.0, row.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.burrowsDelta(docs, k = 1)
+    }
+  }
+
+  // ---- fdCheck -------------------------------------------------------------
+
+  test("fdCheck: holds/violations per candidate by hand") {
+    val df = Seq(
+      (1L, "a", 10L), (1L, "a", 10L), (2L, "b", 10L), (3L, "b", 20L),
+      (3L, "c", 20L)).toDF("k", "v", "g")
+    val got = graft.operators.Profiling
+      .fdCheck(df, Seq(("k", "v"), ("v", "k"), ("g", "v")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // k->v: k=3 maps to {b,c} -> 1 violating det, 1 extra
+    assert(got(("k", "v")) == ((3L, 1L, 1L, false)))
+    // v->k: a->{1}, b->{2,3}, c->{3} -> 1 violating det
+    assert(got(("v", "k")) == ((3L, 1L, 1L, false)))
+    // g->v: 10->{a,b} 20->{b,c} -> both violate
+    assert(got(("g", "v")) == ((2L, 2L, 2L, false)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.fdCheck(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.fdCheck(df, Seq(("k", "k")))
+    }
+  }
 }
