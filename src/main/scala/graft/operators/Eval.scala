@@ -1279,10 +1279,19 @@ object Eval {
     var cur = {
       val r = s.agg(count(lit(1)).cast("long").as("nr"),
           sum(col("y")).cast("long").as("syr"))
-        .select(expr("ln((CAST(syr AS DOUBLE) / nr) / " +
-          "(1.0 - CAST(syr AS DOUBLE) / nr))").as("b0"))
         .collect()(0)
-      (r.getDouble(0), 0.0, 0.0)
+      val (nr, syr) =
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      require(nr > 0L && syr > 0L && syr < nr,
+        s"logistic IRLS needs an INTERIOR 0/1 label (got $syr positives " +
+          s"of $nr rows) — the saturating-predicate probe rule")
+      // the init log-odds still evaluates as Spark SQL over the exact
+      // counts (engine parity with the oracle's i0 text)
+      val b0 = s.sparkSession.sql(
+        s"SELECT ln((CAST($syr AS DOUBLE) / $nr) / " +
+          s"(1.0 - CAST($syr AS DOUBLE) / $nr)) AS b0")
+        .collect()(0).getDouble(0)
+      (b0, 0.0, 0.0)
     }
     val trail = (1 to iters).map { i =>
       val t = s

@@ -2574,6 +2574,7 @@ object TimeSeries {
       .materialize
     val b = s.agg(min(col("t")).as("t0"), max(col("t")).as("t1"),
       count(lit(1)).as("n")).collect()(0)
+    require(b.getLong(2) > 0L, "series is empty — nothing to profile")
     val (t0, t1, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
     require(n == t1 - t0 + 1,
       s"series must be gap-free: ${t1 - t0 + 1 - n} missing buckets " +
@@ -2674,9 +2675,18 @@ object TimeSeries {
     var (n0, a0, b0) = {
       val r = s.agg(count(lit(1)).cast("long").as("n"),
           sum(col("y")).cast("long").as("sy"))
-        .select(col("n"), expr("ln(CAST(sy AS DOUBLE) / n)").as("a"))
         .collect()(0)
-      (r.getLong(0), r.getDouble(1), 0.0)
+      val (nn, sy) =
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      require(nn > 0L && sy > 0L,
+        s"Poisson trend needs a nonempty series with positive total " +
+          s"count (rows=$nn) — ln of a zero mean is not a fit")
+      // the init still evaluates as Spark SQL over the exact counts
+      // (engine parity with the oracle's i0 text)
+      val a = s.sparkSession
+        .sql(s"SELECT ln(CAST($sy AS DOUBLE) / $nn) AS a")
+        .collect()(0).getDouble(0)
+      (nn, a, 0.0)
     }
     val trail = (1 to iters).map { i =>
       val r = s

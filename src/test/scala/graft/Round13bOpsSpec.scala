@@ -612,4 +612,66 @@ class Round13bOpsSpec extends SparkFunSuite {
       graft.operators.Profiling.fdCheck(df, Seq(("k", "k")))
     }
   }
+
+  // ---- empty-input pins ----------------------------------------------------
+
+  test("round-13b operators return empty (or degenerate-safe) frames " +
+      "on empty input, never a crash") {
+    val emptyEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    assert(Sessionize.viterbiDecode(emptyEv, steps = 4).count() == 0L)
+    assert(Sessionize.expectedHittingTime(emptyEv, "purchase").count() == 0L)
+    assert(Sessionize.removalEffect(emptyEv, "purchase").count() == 0L)
+
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.eigenvectorCentrality(emptyEdges, "src", "dst")
+      .count() == 0L)
+    assert(Graph.maximalIndependentSet(emptyEdges, "src", "dst")
+      .count() == 0L)
+
+    val emptySeries = Seq.empty[(Long, Long)].toDF("t", "x")
+    // matrixProfile requires a non-degenerate window count — loud, not
+    // silent
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.matrixProfile(
+        emptySeries, "t", "x", m = 4, excl = 1)
+    }
+    val emptyKeyed = Seq.empty[(Long, Long, Long)].toDF("k", "day", "v")
+    assert(graft.operators.TimeSeries
+      .ar2Forecast(emptyKeyed, "k", "day", "v").count() == 0L)
+
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.operators.TextAnalysis
+      .extractiveChunks(emptyDocs).count() == 0L)
+    assert(graft.operators.TextAnalysis
+      .burrowsDelta(emptyDocs).count() == 0L)
+
+    val emptyCausal = Seq.empty[(Int, Long, Long, Long)]
+      .toDF("t", "yo", "x1", "x2")
+    assert(Eval.cemAtt(emptyCausal, "t", "yo", "x1", "x2")
+      .collect().head.getLong(0) == 0L) // 0 matched strata, NULL ATT
+    assert(Eval.targetEncodeLoo(emptyCausal.withColumn("id", col("x1")),
+      "x1", "t", Seq("id")).count() == 0L)
+    assert(graft.operators.Eval.ridge2Path(
+      emptyCausal, "yo", "x1", "x2", Seq(0L)).count() == 1L) // NULL betas
+
+    // the IRLS fitters fail LOUDLY on empty / saturated inputs (a
+    // silent null-fold would emit an all-NaN trajectory)
+    val m1 = intercept[IllegalArgumentException] {
+      Eval.logisticIrls2(emptyCausal.withColumnRenamed("t", "y"),
+        "y", "x1", "x2")
+    }
+    assert(m1.getMessage.contains("INTERIOR"))
+    val sat = Seq((1, 1L, 1L, 0L), (1, 2L, 2L, 0L))
+      .toDF("y", "yo", "x1", "x2")
+    assert(intercept[IllegalArgumentException] {
+      Eval.logisticIrls2(sat, "y", "x1", "x2")
+    }.getMessage.contains("INTERIOR"))
+    val m2 = intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.poissonTrend(
+        Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y")
+    }
+    assert(m2.getMessage.contains("nonempty"))
+  }
 }
