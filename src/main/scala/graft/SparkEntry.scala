@@ -6409,6 +6409,18 @@ object SparkEntry {
       // mean |dz| per source pair — "which corpora write alike".
       graft.operators.TextAnalysis.burrowsDelta(
         table(s, dir, "documents"), k = 30)),
+    "q_boosted_stumps" -> ((s, dir) => {
+      // Gradient-boosted depth-1 trees (L2 loss, lr 1/2, 3 rounds) on
+      // price vs quantity/discount: exact milli residuals, threshold
+      // scans over distinct-value prefix sums, 1-row argmax broadcast
+      // per round — the model rows pin the whole boosting trajectory.
+      val li = table(s, dir, "lineitem").select(
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      graft.operators.Eval.boostedStumps(li, "y", Seq("x1", "x2"),
+        rounds = 3)
+    }),
     "q_fd_check" -> ((s, dir) => {
       // Functional-dependency audit over four candidate pairs of the
       // orders table: key-like columns hold, the reverse directions
@@ -14415,6 +14427,7 @@ object SparkEntry {
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_viterbi" -> viterbiOracle,
     "q_mis" -> misOracle,
+    "q_boosted_stumps" -> boostedStumpsOracle,
     "q_burrows_delta" ->
       s"""WITH tkf AS (SELECT src, w FROM (SELECT source AS src,
          |    unnest(string_split(text, ' ')) AS w FROM documents)
@@ -14651,6 +14664,59 @@ object SparkEntry {
        |    ln(CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS a,
        |    CAST(0 AS DOUBLE) AS b FROM s),
        |$iterCtes
+       |$out""".stripMargin
+  }
+
+  /** Unrolled 3-round boosted-stump replay: per round, a distinct-value
+    * prefix scan per feature (the SAME gain/leaf texts —
+    * Eval.boostGainSql/boostLeaf*Sql), the (gain desc, feature, v)
+    * argmax, and the exact milli residual update. */
+  private lazy val boostedStumpsOracle: String = {
+    val features = Seq("x1", "x2")
+    val roundCtes = (1 to 3).map { r =>
+      val scans = features.map { f =>
+        s"""p${r}$f AS (SELECT $f AS v, CAST(COUNT(*) AS BIGINT) AS nu,
+           |    CAST(SUM(res) AS BIGINT) AS sres
+           |  FROM r${r - 1} GROUP BY 1),
+           |c${r}$f AS (SELECT v,
+           |    CAST(SUM(nu) OVER w AS BIGINT) AS cum_nu,
+           |    CAST(SUM(sres) OVER w AS BIGINT) AS cum_sres,
+           |    CAST(SUM(nu) OVER () AS BIGINT) AS n_tot,
+           |    CAST(SUM(sres) OVER () AS BIGINT) AS s_tot
+           |  FROM p${r}$f WINDOW w AS (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+          .stripMargin
+      }.mkString(",\n")
+      val gUnion = features.map { f =>
+        s"""SELECT '$f' AS feature, v,
+           |    ${graft.operators.Eval.boostGainSql} AS gain,
+           |    ${graft.operators.Eval.boostLeafLSql} AS leaf_l,
+           |    ${graft.operators.Eval.boostLeafRSql} AS leaf_r
+           |  FROM c${r}$f WHERE cum_nu < n_tot""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""$scans,
+         |g$r AS (${gUnion}),
+         |b$r AS MATERIALIZED (SELECT feature, v, leaf_l, leaf_r
+         |  FROM (SELECT *, row_number() OVER (
+         |      ORDER BY gain DESC, feature, v) AS rk FROM g$r)
+         |  WHERE rk = 1),
+         |r$r AS MATERIALIZED (SELECT x1, x2,
+         |    CASE WHEN b.feature = 'x1'
+         |      THEN (CASE WHEN x1 <= b.v THEN res - b.leaf_l
+         |        ELSE res - b.leaf_r END)
+         |      ELSE (CASE WHEN x2 <= b.v THEN res - b.leaf_l
+         |        ELSE res - b.leaf_r END) END AS res
+         |  FROM r${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 3).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, feature, v AS split_value, " +
+        s"leaf_l, leaf_r FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH r0 AS MATERIALIZED (SELECT
+       |    CAST(l_quantity AS BIGINT) AS x1,
+       |    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+       |    CAST(ROUND(l_extendedprice, 0) AS BIGINT) * 1000 AS res
+       |  FROM lineitem),
+       |$roundCtes
        |$out""".stripMargin
   }
 

@@ -1489,6 +1489,94 @@ object Eval {
       "CAST(syc AS DOUBLE) / nc) * 1000, 0) AS BIGINT) " +
       "ELSE CAST(0 AS BIGINT) END"
 
+  /** L2-boosted regression stumps (gradient boosting with depth-1
+    * trees, learning rate ½, squared loss): per round, scan every
+    * `features` threshold for the split maximizing S_L²/n_L + S_R²/n_R
+    * over the current residuals (the SSE-reduction argmax — the
+    * constant parent term drops out), shrink the leaf means by ½, and
+    * subtract them from the residuals. The model is one row per round:
+    * (round, feature, split_value, leaf_l, leaf_r) in MILLI label
+    * units.
+    *
+    * Determinism: residuals live as exact milli-longs — each leaf is
+    * ONE shared-text rounding of an exact-integer ratio
+    * ([[boostLeafLSql]]), so the residual update is integer-exact and
+    * every round's candidate scan starts from identical state on both
+    * engines; the gain ordering is the shared double text
+    * ([[boostGainSql]]) over exact sums with a (feature, value)
+    * tie-break. The argmax row stays a 1-row broadcast — no driver
+    * math.
+    *
+    * Scale shape per round: one distinct-value aggregate + ranged
+    * prefix sum PER FEATURE (threshold scans never sort row-level
+    * data), one global 1-row argmax, one narrow residual map —
+    * O(rounds · features) passes, each aggregate map-side combined. */
+  def boostedStumps(
+      df: DataFrame, yCol: String, features: Seq[String],
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds must be in [1, 6] (each is one scan + an unrolled " +
+        s"oracle round): $rounds")
+    require(features.nonEmpty && features.size <= 4,
+      s"features must name 1..4 columns: $features")
+    val featCols = features.map(f => col(f).cast("long").as(f))
+    var cur = df
+      .select(featCols :+ (col(yCol).cast("long") * 1000L).as("res"): _*)
+      .materialize
+    var model: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val cands = features.map { f =>
+        val per = cur.groupBy(col(f).as("v"))
+          .agg(count(lit(1)).cast("long").as("nu"),
+            sum(col("res")).cast("long").as("sres"))
+        val c = rangedCumsum(per, Nil, "v", Seq("nu", "sres"))
+        val tot = broadcast(c.agg(
+          sum(col("nu")).cast("long").as("n_tot"),
+          sum(col("sres")).cast("long").as("s_tot")))
+        c.crossJoin(tot)
+          .filter(col("cum_nu") < col("n_tot"))
+          .select(lit(f).as("feature"), col("v"),
+            expr(boostGainSql).as("gain"),
+            expr(boostLeafLSql).as("leaf_l"),
+            expr(boostLeafRSql).as("leaf_r"))
+      }.reduce(_ unionByName _)
+      val best = cands
+        .sort(col("gain").desc, col("feature"), col("v"))
+        .limit(1).materialize
+      val row = best.select(lit(r.toLong).as("round"), col("feature"),
+        col("v").as("split_value"), col("leaf_l"), col("leaf_r"))
+      model = if (model == null) row else model.unionByName(row)
+      val update = features.reverse.foldLeft("CAST(NULL AS BIGINT)") {
+        (els, f) =>
+          s"CASE WHEN feature = '$f' THEN " +
+            s"(CASE WHEN $f <= v THEN res - leaf_l " +
+            s"ELSE res - leaf_r END) ELSE $els END"
+      }
+      cur = cur.crossJoin(broadcast(best))
+        .select(features.map(col) :+ expr(update).as("res"): _*)
+        .materialize
+    }
+    model
+  }
+
+  /** Split objective S_L²/n_L + S_R²/n_R over the prefix row — the
+    * SSE-reduction argmax with the constant parent term dropped.
+    * Shared with the oracle. */
+  val boostGainSql: String =
+    "CAST(cum_sres AS DOUBLE) * cum_sres / cum_nu + " +
+      "CAST(s_tot - cum_sres AS DOUBLE) * (s_tot - cum_sres) / " +
+      "(n_tot - cum_nu)"
+
+  /** Left-leaf value: the shrunk (×½) left mean, one rounding back to
+    * exact milli units. Shared with the oracle. */
+  val boostLeafLSql: String =
+    "CAST(ROUND(CAST(0.5 AS DOUBLE) * cum_sres / cum_nu, 0) AS BIGINT)"
+
+  /** Right-leaf value, same shape. Shared with the oracle. */
+  val boostLeafRSql: String =
+    "CAST(ROUND(CAST(0.5 AS DOUBLE) * (s_tot - cum_sres) / " +
+      "(n_tot - cum_nu), 0) AS BIGINT)"
+
   def confusionStats(
       df: DataFrame, predCol: String, actualCol: String): DataFrame = {
     // cells materialize ONCE (class²-sized) — both per-class branches

@@ -613,6 +613,30 @@ class Round13bOpsSpec extends SparkFunSuite {
     }
   }
 
+  // ---- boostedStumps --------------------------------------------------------
+
+  test("boostedStumps: three-round trajectory by hand, constant feature " +
+      "contributes no candidates") {
+    // y in {10, 10, 20, 20} on x1 = 1..4 (x2 constant -> no valid
+    // split): every round splits at x1 <= 2 and halves the residual
+    // means — leaves 5000/10000, then 2500/5000, then 1250/2500 milli
+    val df = Seq((10L, 1L, 0L), (10L, 2L, 0L), (20L, 3L, 0L),
+      (20L, 4L, 0L)).toDF("y", "x1", "x2")
+    val got = Eval.boostedStumps(df, "y", Seq("x1", "x2"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "x1", 2L, 5000L, 10000L),
+      (2L, "x1", 2L, 2500L, 5000L),
+      (3L, "x1", 2L, 1250L, 2500L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Eval.boostedStumps(df, "y", Seq("x1", "x2"), rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.boostedStumps(df, "y", Seq.empty)
+    }
+  }
+
   // ---- empty-input pins ----------------------------------------------------
 
   test("round-13b operators return empty (or degenerate-safe) frames " +
