@@ -6403,6 +6403,18 @@ object SparkEntry {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_four_cliques" -> ((s, dir) => {
+      // K4 participation — one density level past q_triangle_count —
+      // on the even-part co-purchase subgraph (the q_local_clustering
+      // slice: the full graph's K4 extension costs ~2x its triangle
+      // kernel; the slice keeps the same plan shape at query-fleet
+      // cost).
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+      graft.operators.Graph.fourCliqueCounts(
+        coPurchasePairs(li), "src", "dst", topK = 20)
+    }),
     "q_burrows_delta" -> ((s, dir) =>
       // Burrows' Delta stylometry between the document sources: z-score
       // the top-30 words' micro relative frequencies across sources,
@@ -14428,6 +14440,33 @@ object SparkEntry {
     "q_viterbi" -> viterbiOracle,
     "q_mis" -> misOracle,
     "q_boosted_stumps" -> boostedStumpsOracle,
+    "q_four_cliques" ->
+      // id-ordered triangle enumeration + the 3-way mutual-neighbor
+      // extension (d > c) — each K4 exactly once, same top-20 order
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                  CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |k AS (
+        |  SELECT t.a, t.b, t.c, x1.v AS d
+        |  FROM t
+        |  JOIN e x1 ON x1.u = t.c
+        |  JOIN e x2 ON x2.u = t.b AND x2.v = x1.v
+        |  JOIN e x3 ON x3.u = t.a AND x3.v = x1.v),
+        |x AS (
+        |  SELECT a AS id FROM k
+        |  UNION ALL SELECT b FROM k
+        |  UNION ALL SELECT c FROM k
+        |  UNION ALL SELECT d FROM k)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_k4 FROM x GROUP BY id
+        |ORDER BY n_k4 DESC, id LIMIT 20""".stripMargin,
     "q_burrows_delta" ->
       s"""WITH tkf AS (SELECT src, w FROM (SELECT source AS src,
          |    unnest(string_split(text, ' ')) AS w FROM documents)

@@ -1183,6 +1183,51 @@ object Graph {
       .select(col("id"), round(col("x") / col("xm"), 8).as("eigen"))
   }
 
+  /** Per-vertex 4-clique participation — one density level past
+    * [[triangleCounts]] (K4s mark near-clique communities that triangles
+    * alone overcount): each id-sorted triangle (t1 < t2 < t3) extends by
+    * every d > t3 adjacent to all three, so every K4 is enumerated
+    * exactly once (as its three smallest vertices + the largest).
+    * Output: top-`topK` vertices by K4 count, (n_k4 desc, id) order.
+    *
+    * Scale shape: the [[triangleEnum]] kernel feeds three edge-keyed
+    * equi-joins against the canonical edge frame (materialized once,
+    * reused by all three probes) — work is O(#triangles · deg) with the
+    * same `maxDeg` hub valve as the triangle kernel, applied to the
+    * EDGE SET up front so triangles and extensions see the same induced
+    * subgraph. */
+  def fourCliqueCounts(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20, maxDeg: Long = Long.MaxValue): DataFrame = {
+    val base = canonicalUndirected(edges, srcCol, dstCol)
+    val cand = (if (maxDeg == Long.MaxValue) base
+      else {
+        val keep = base.select(col("lo").as("id"))
+          .unionByName(base.select(col("hi").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDeg).select(col("id"))
+        base
+          .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
+          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+      }).materialize
+    val tri = triangleEnum(cand)
+      .select(least(col("a"), col("b"), col("c")).as("t1"),
+        (col("a") + col("b") + col("c")
+          - least(col("a"), col("b"), col("c"))
+          - greatest(col("a"), col("b"), col("c"))).as("t2"),
+        greatest(col("a"), col("b"), col("c")).as("t3"))
+    val k4 = tri
+      .join(cand.select(col("lo").as("t3"), col("hi").as("d")), Seq("t3"))
+      .join(cand.select(col("lo").as("t2"), col("hi").as("d")),
+        Seq("t2", "d"))
+      .join(cand.select(col("lo").as("t1"), col("hi").as("d")),
+        Seq("t1", "d"))
+    k4.select(explode(array(col("t1"), col("t2"), col("t3"), col("d")))
+        .as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("n_k4"))
+      .orderBy(col("n_k4").desc, col("id")).limit(topK)
+  }
+
   /** Maximal independent set by Luby's algorithm with HASH priorities —
     * the deterministic-parallel classic (Luby 1986): each round, every
     * active vertex whose md5-prefix priority strictly beats every

@@ -637,6 +637,20 @@ class Round13bOpsSpec extends SparkFunSuite {
     }
   }
 
+  // ---- fourCliqueCounts ------------------------------------------------------
+
+  test("fourCliqueCounts: K5 gives every vertex 4 K4s, pendant excluded") {
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 :+ ((1L, 6L))).toDF("src", "dst")
+    val got = Graph.fourCliqueCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap, got.toString)
+    // hub valve: capping at deg <= 3 drops every K5 vertex (deg >= 4),
+    // leaving no triangles at all
+    assert(Graph.fourCliqueCounts(edges, "src", "dst", maxDeg = 3L)
+      .count() == 0L)
+  }
+
   // ---- empty-input pins ----------------------------------------------------
 
   test("round-13b operators return empty (or degenerate-safe) frames " +
