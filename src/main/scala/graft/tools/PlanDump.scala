@@ -109,7 +109,12 @@ object PlanDump {
     "q_target_encode",       // one category window + 1-row global prior broadcast
     "q_removal_effect",      // all removal scenarios in ONE recursion frame (scenario column)
     "q_doubly_robust",       // IRLS aggregates + two arm OLS fits, 3 coefficient-row broadcasts
-    "q_extractive_chunks")   // token-keyed vocab join (never broadcast) + doc-keyed argmin/argmax
+    "q_extractive_chunks",   // token-keyed vocab join (never broadcast) + doc-keyed argmin/argmax
+    "q_mis",                 // per-round tagged-state job over static edges + driver tail finisher
+    "q_four_cliques",        // triangle enum + 3 edge-keyed extension joins, one reused edge frame
+    "q_boosted_stumps",      // per-round distinct-value prefix scans + 1-row argmax broadcast
+    "q_burrows_delta",       // word-keyed moment windows, |sources|^2 pair join at the top
+    "q_fd_check")            // one pruned 2-column aggregate per candidate, unioned
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

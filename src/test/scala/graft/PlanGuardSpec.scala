@@ -41,7 +41,8 @@ class PlanGuardSpec extends SparkFunSuite {
     // round-13b documented 1-row/bounded broadcast sites
     "q_eigen_centrality", "q_matrix_profile", "q_kmeans_lloyd",
     "q_target_encode", "q_removal_effect", "q_doubly_robust",
-    "q_extractive_chunks")
+    "q_extractive_chunks", "q_mis", "q_boosted_stumps",
+    "q_burrows_delta")
 
   test("no audited plan contains a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at documented 1-row/" +
