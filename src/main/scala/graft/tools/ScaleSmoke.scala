@@ -1865,6 +1865,39 @@ object ScaleSmoke {
         subj, "cohort", "t_hours", "event"))
       drain(Similarity.kmeansLloydExact(emb, nCentroids = 8, rounds = 3))
     }
+    time(s"r13b mis+k4 x${math.max(1, mult / 5)} (disjoint graph copies)") {
+      // MIS rounds are frontier-sized; K4 work is O(#triangles * deg) —
+      // disjoint copies must scale both linearly
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+        .filter(pmod(col("pk"), lit(2)) === 0)
+      val li = (0 until math.max(1, mult / 5)).map { i =>
+        li0.select((col("ok") + lit(i * 100_000_000L)).as("ok"),
+          (col("pk") + lit(i * 10_000_000L)).as("pk"))
+      }.reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .materialize
+      drain(graft.operators.Graph.maximalIndependentSet(e, "src", "dst"))
+      drain(graft.operators.Graph.fourCliqueCounts(e, "src", "dst"))
+    }
+    time(s"r13b boosted+burrows+fd x$mult/x${math.max(1, mult / 5)}") {
+      // boosting scans distinct values (bounded), burrows windows are
+      // vocabulary-keyed, fd candidates are fixed — all row-linear
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet").select(
+        round(col("l_extendedprice"), 0).cast("long").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      val li = (0 until mult).map(_ => li0).reduce(_ unionByName _)
+      drain(Eval.boostedStumps(li, "y", Seq("x1", "x2"), rounds = 3))
+      drain(TextAnalysis.burrowsDelta(docs, k = 30))
+      val o0 = spark.read.parquet(s"$dir/orders.parquet")
+      val o = (0 until mult).map(_ => o0).reduce(_ unionByName _)
+      drain(Profiling.fdCheck(o, Seq(
+        ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"))))
+    }
     spark.stop()
   }
 }
