@@ -6403,6 +6403,21 @@ object SparkEntry {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_simpson_check" -> ((s, dir) => {
+      // Simpson's-paradox audit on the causal design: does the
+      // aggregate high-priority price difference reverse inside the
+      // lineitem-count strata? Exact cross-multiplied sign tests, no
+      // division anywhere near the verdict.
+      val nli = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2L)
+            .cast("int").as("t"),
+          round(col("o_totalprice"), 0).cast("long").as("yo"))
+        .join(nli, Seq("o_orderkey"))
+      graft.operators.Eval.simpsonCheck(o, "t", "yo", "x1")
+    }),
     "q_four_cliques" -> ((s, dir) => {
       // K4 participation — one density level past q_triangle_count —
       // on the even-part co-purchase subgraph (the q_local_clustering
@@ -14440,6 +14455,46 @@ object SparkEntry {
     "q_viterbi" -> viterbiOracle,
     "q_mis" -> misOracle,
     "q_boosted_stumps" -> boostedStumpsOracle,
+    "q_simpson_check" ->
+      s"""WITH nli AS (SELECT l_orderkey AS o_orderkey,
+         |    CAST(COUNT(*) AS BIGINT) AS x1 FROM lineitem GROUP BY 1),
+         |base AS (SELECT
+         |    CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+         |      THEN 1 ELSE 0 END AS t,
+         |    CAST(ROUND(o_totalprice, 0) AS BIGINT) AS yo, x1
+         |  FROM orders o JOIN nli USING (o_orderkey)),
+         |cells AS (SELECT x1 AS g, CAST(SUM(t) AS BIGINT) AS nt,
+         |    CAST(SUM(1 - t) AS BIGINT) AS nc,
+         |    CAST(SUM(t * yo) AS BIGINT) AS syt,
+         |    CAST(SUM((1 - t) * yo) AS BIGINT) AS syc
+         |  FROM base GROUP BY 1),
+         |a AS (SELECT CAST(SUM(nt) AS BIGINT) AS snt,
+         |    CAST(SUM(nc) AS BIGINT) AS snc,
+         |    CAST(SUM(syt) AS BIGINT) AS ssyt,
+         |    CAST(SUM(syc) AS BIGINT) AS ssyc,
+         |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both,
+         |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0
+         |      THEN CAST(sign(syt * nc - syc * nt) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS sign_sum,
+         |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0
+         |        AND syt * nc - syc * nt = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tied
+         |  FROM cells),
+         |b AS (SELECT a.*,
+         |    CAST(sign(ssyt * snc - ssyc * snt) AS BIGINT) AS overall_sign
+         |  FROM a),
+         |c AS (SELECT b.*,
+         |    ${graft.operators.Eval.simpsonOppositeSql} AS n_opposite
+         |  FROM b)
+         |SELECT round(CAST(ssyt AS DOUBLE) / snt -
+         |    CAST(ssyc AS DOUBLE) / snc, 6) AS diff_overall,
+         |  n_both AS n_strata,
+         |  n_both - n_tied - n_opposite AS n_agreeing,
+         |  n_opposite, n_tied,
+         |  overall_sign <> 0 AND n_opposite = n_both AND n_both > 0
+         |    AS full_reversal
+         |FROM c""".stripMargin,
     "q_four_cliques" ->
       // id-ordered triangle enumeration + the 3-way mutual-neighbor
       // extension (d > c) — each K4 exactly once, same top-20 order

@@ -1559,6 +1559,65 @@ object Eval {
     model
   }
 
+  /** Simpson's-paradox audit — does the aggregate association REVERSE
+    * inside the strata? Compares the sign of the overall treated-vs-
+    * control mean difference against every both-arm stratum's sign,
+    * using the EXACT cross-multiplied integer form
+    * sign(Σy_t·n_c − Σy_c·n_t) — no division, no rounding, so the
+    * verdict is arithmetic, not float luck. Reports the both-arm
+    * stratum count, how many agree / oppose / tie the aggregate sign,
+    * the aggregate difference itself, and the full-reversal flag (every
+    * both-arm stratum opposes a nonzero aggregate) — the "trust the
+    * stratified number" alarm that motivates [[cemAtt]]/[[aipwAte]].
+    *
+    * Scale shape: ONE stratum aggregate + one global fold, the
+    * [[cemAtt]] plan. */
+  def simpsonCheck(
+      df: DataFrame, tCol: String, yCol: String,
+      stratumCol: String): DataFrame = {
+    val s = df.select(col(tCol).cast("long").as("t"),
+      col(yCol).cast("long").as("yo"), col(stratumCol).as("g"))
+    val cells = s.groupBy(col("g"))
+      .agg(sum(col("t")).cast("long").as("nt"),
+        sum(lit(1L) - col("t")).cast("long").as("nc"),
+        sum(col("t") * col("yo")).cast("long").as("syt"),
+        sum((lit(1L) - col("t")) * col("yo")).cast("long").as("syc"))
+    cells.agg(
+        sum(col("nt")).cast("long").as("snt"),
+        sum(col("nc")).cast("long").as("snc"),
+        sum(col("syt")).cast("long").as("ssyt"),
+        sum(col("syc")).cast("long").as("ssyc"),
+        sum(when(col("nt") > 0 && col("nc") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_both"),
+        sum(when(col("nt") > 0 && col("nc") > 0,
+          signum(col("syt") * col("nc") - col("syc") * col("nt"))
+            .cast("long")).otherwise(0L)).cast("long").as("sign_sum"),
+        sum(when(col("nt") > 0 && col("nc") > 0 &&
+            (col("syt") * col("nc") - col("syc") * col("nt")) === 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_tied"))
+      .withColumn("overall_sign",
+        expr("CAST(sign(ssyt * snc - ssyc * snt) AS BIGINT)"))
+      .withColumn("n_opposite", expr(simpsonOppositeSql))
+      .select(
+        expr("round(CAST(ssyt AS DOUBLE) / snt - " +
+          "CAST(ssyc AS DOUBLE) / snc, 6)").as("diff_overall"),
+        col("n_both").as("n_strata"),
+        (col("n_both") - col("n_tied") - col("n_opposite"))
+          .as("n_agreeing"),
+        col("n_opposite"), col("n_tied"),
+        (col("overall_sign") =!= 0L &&
+          col("n_opposite") === col("n_both") && col("n_both") > 0L)
+          .as("full_reversal"))
+  }
+
+  /** Opposing-stratum count over (n_both, n_tied, sign_sum,
+    * overall_sign): with a = agreeing, o = opposing,
+    * a + o = n_both − n_tied and a − o = overall_sign·sign_sum. Shared
+    * with the oracle. */
+  val simpsonOppositeSql: String =
+    "CAST(CASE WHEN overall_sign = 0 THEN 0 ELSE " +
+      "((n_both - n_tied) - overall_sign * sign_sum) / 2 END AS BIGINT)"
+
   /** Split objective S_L²/n_L + S_R²/n_R over the prefix row — the
     * SSE-reduction argmax with the constant parent term dropped.
     * Shared with the oracle. */

@@ -637,6 +637,38 @@ class Round13bOpsSpec extends SparkFunSuite {
     }
   }
 
+  // ---- simpsonCheck ----------------------------------------------------------
+
+  test("simpsonCheck flags the textbook full reversal and counts " +
+      "agreeing strata otherwise") {
+    // classic reversal: treatment wins inside BOTH strata but loses in
+    // aggregate (treated mass sits in the low-outcome stratum)
+    val rev = Seq(
+      // stratum A: treated 8x y=6, control 2x y=5  (t wins: 6 > 5)
+      (1, 6L, "A"), (1, 6L, "A"), (1, 6L, "A"), (1, 6L, "A"),
+      (1, 6L, "A"), (1, 6L, "A"), (1, 6L, "A"), (1, 6L, "A"),
+      (0, 5L, "A"), (0, 5L, "A"),
+      // stratum B: treated 2x y=20, control 8x y=18 (t wins: 20 > 18)
+      (1, 20L, "B"), (1, 20L, "B"),
+      (0, 18L, "B"), (0, 18L, "B"), (0, 18L, "B"), (0, 18L, "B"),
+      (0, 18L, "B"), (0, 18L, "B"), (0, 18L, "B"), (0, 18L, "B"))
+      .toDF("t", "yo", "g")
+    val r = Eval.simpsonCheck(rev, "t", "yo", "g").collect().head
+    // aggregate: treated mean (8*6+2*20)/10 = 8.8 < control
+    // (2*5+8*18)/10 = 15.4 -> overall NEGATIVE, both strata POSITIVE
+    assert(r.getDouble(0) == -6.6, r.toString)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 0L, 2L, 0L)))
+    assert(r.getBoolean(5), "full reversal must flag")
+
+    // consistent data: both strata agree with the aggregate
+    val ok = Seq((1, 10L, "A"), (0, 5L, "A"), (1, 20L, "B"), (0, 15L, "B"))
+      .toDF("t", "yo", "g")
+    val r2 = Eval.simpsonCheck(ok, "t", "yo", "g").collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 2L, 0L)))
+    assert(!r2.getBoolean(5))
+  }
+
   // ---- fourCliqueCounts ------------------------------------------------------
 
   test("fourCliqueCounts: K5 gives every vertex 4 K4s, pendant excluded") {
