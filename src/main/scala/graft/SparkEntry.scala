@@ -6199,9 +6199,11 @@ object SparkEntry {
     // ---- Round-13 wave 2: graph spectra + HMM decode
     "q_eigen_centrality" -> ((s, dir) => {
       // Truncated power iteration on the undirected part co-purchase
-      // graph (4 max-normalized rounds, oracle unrolls them) — the
-      // Perron-vector complement of q_pagerank's out-degree walk and
-      // q_hits' bipartite hub/auth split.
+      // graph: 4 UNNORMALIZED rounds, one final max-normalization
+      // (deferred by design — see eigenvectorCentrality doc; literal
+      // per-round normalization would break engine/oracle parity in
+      // finite floats). The Perron-vector complement of q_pagerank's
+      // out-degree walk and q_hits' bipartite hub/auth split.
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.eigenvectorCentrality(
@@ -14570,7 +14572,9 @@ object SparkEntry {
            |    AS n_violating_det,
            |  CAST(SUM(nd - 1) AS BIGINT) AS n_extra_dep,
            |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
-           |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd
+           |FROM (SELECT $det,
+           |    COUNT(DISTINCT coalesce(CAST($dep AS VARCHAR), chr(1)))
+           |      AS nd
            |  FROM orders GROUP BY 1)""".stripMargin
       }.mkString("\nUNION ALL "),
     "q_matrix_profile" -> matrixProfileOracle,
@@ -14605,8 +14609,9 @@ object SparkEntry {
          |    CAST(SUM(${graft.operators.Eval.cemCellSql}) AS BIGINT) AS sw
          |  FROM cells)
          |SELECT n_strata_matched, n_treated_matched, n_treated_unmatched,
-         |  round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6)
-         |    AS att_cem
+         |  CASE WHEN n_treated_matched > 0 THEN
+         |    round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6)
+         |  ELSE NULL END AS att_cem
          |FROM a""".stripMargin,
     "q_extractive_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl

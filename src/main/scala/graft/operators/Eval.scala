@@ -1476,7 +1476,12 @@ object Eval {
         sum(expr(cemCellSql)).as("sw"))
       .select(col("n_strata_matched"), col("n_treated_matched"),
         col("n_treated_unmatched"),
-        expr("round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6)")
+        // NULL by contract when no stratum holds both arms (the
+        // oracle carries the same CASE): 0/0 would be NaN in Spark
+        // and engine-dependent in DuckDB
+        expr("CASE WHEN n_treated_matched > 0 THEN " +
+            "round(CAST(sw AS DOUBLE) / 1000 / n_treated_matched, 6) " +
+            "ELSE NULL END")
           .as("att_cem"))
   }
 

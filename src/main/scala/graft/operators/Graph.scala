@@ -1299,6 +1299,15 @@ object Graph {
       n = active.count()
     }
     if (n > 0) {
+      // Non-convergence guard BEFORE any collect: if the distributed
+      // loop exhausted maxRounds while the frontier is still above
+      // finishBelow, fail loudly here — collecting an arbitrarily
+      // large remaining subgraph into the driver (only to fail the
+      // convergence require later) could OOM on an adversarial graph.
+      require(n <= finishBelow,
+        s"MIS did not converge within $maxRounds distributed rounds " +
+          s"($n vertices still active > finishBelow=$finishBelow) — " +
+          "raise maxRounds")
       // driver finisher: the collapsed frontier replays the SAME Luby
       // rounds sequentially — identical priorities and winner rule, so
       // the output is bit-equal to the all-distributed run

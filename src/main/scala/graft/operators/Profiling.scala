@@ -2626,6 +2626,12 @@ object Profiling {
     * determinant-keyed aggregate per candidate (candidates are a
     * handful of audited pairs, not a cross product of the schema).
     *
+    * NULL dependents COUNT as a distinct value (a determinant mapping
+    * to {NULL, 'x'} is a real violation — the FD does not hold): the
+    * dependent is cast to string and NULL coalesced to a U+0001
+    * sentinel before countDistinct, so nd >= 1 always and n_extra_dep
+    * can never go negative. The oracle mirrors the same coalesce.
+    *
     * Each candidate scans only its two columns (column pruning reaches
     * the parquet scan), so the audit costs |pairs| narrow passes. */
   def fdCheck(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
@@ -2635,7 +2641,9 @@ object Profiling {
     pairs.map { case (det, dep) =>
       df.select(col(det), col(dep))
         .groupBy(col(det).as("__d"))
-        .agg(countDistinct(col(dep)).cast("long").as("__nd"))
+        .agg(countDistinct(
+            coalesce(col(dep).cast("string"), lit("\u0001")))
+          .cast("long").as("__nd"))
         .agg(
           count(lit(1)).cast("long").as("n_det_values"),
           sum(when(col("__nd") > 1L, 1L).otherwise(0L)).cast("long")
