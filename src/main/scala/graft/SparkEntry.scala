@@ -6422,13 +6422,12 @@ object SparkEntry {
     }),
     "q_four_cliques" -> ((s, dir) => {
       // K4 participation — one density level past q_triangle_count —
-      // on the even-part co-purchase subgraph (the q_local_clustering
-      // slice: the full graph's K4 extension costs ~2x its triangle
-      // kernel; the slice keeps the same plan shape at query-fleet
-      // cost).
+      // on the FULL co-purchase graph: the degree-oriented-DAG
+      // enumeration (Chiba–Nishizeki fan-out bound) brought the full
+      // graph to triangle-kernel cost, so the former even-part slice
+      // is gone.
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-        .filter(pmod(col("l_partkey"), lit(2)) === 0)
       graft.operators.Graph.fourCliqueCounts(
         coPurchasePairs(li), "src", "dst", topK = 20)
     }),
@@ -14504,8 +14503,7 @@ object SparkEntry {
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
         |                  CAST(b.l_partkey AS BIGINT) AS v
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |t AS (
         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM e e1

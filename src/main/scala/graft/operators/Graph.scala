@@ -310,15 +310,16 @@ object Graph {
     * Scale shape — the degree-ordered "compact-forward" algorithm: every
     * edge is oriented from its lower-(degree, id) endpoint to the higher,
     * which turns the undirected graph into a DAG whose max out-degree is
-    * O(√m). Wedges (u→v, u→w) are then generated by one self-join on the
-    * oriented source and closed with one join against the oriented edge
-    * set, so total work is Σ outdeg(u)² = O(m^1.5) instead of the
-    * Σ deg(u)² blow-up a naive wedge join suffers on skewed (power-law)
-    * graphs — the hub that dominates degree distribution is always the
-    * wedge TARGET, never the wedge pivot. All three steps are plain
-    * shuffle joins/aggregates; nothing touches the driver. The triangle
-    * COUNT is orientation-invariant, so any engine that enumerates
-    * id-ordered triangles (the DuckDB oracle does) gets identical results.
+    * O(√m). Triangles are then listed by adjacency INTERSECTION per
+    * oriented edge ([[triangleEnum]] — out(a) ∩ out(b), arrays bounded
+    * by the DAG out-degree), so total work is O(m^1.5) with no
+    * wedge-candidate shuffle, instead of the Σ deg(u)² blow-up a naive
+    * wedge join suffers on skewed (power-law) graphs — a hub's full
+    * neighborhood never rides a join. All steps are plain shuffle
+    * joins/aggregates plus map-side intersections; nothing touches the
+    * driver. The triangle COUNT is orientation-invariant, so any engine
+    * that enumerates id-ordered triangles (the DuckDB oracle does) gets
+    * identical results.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       maxDeg: Long = Long.MaxValue): DataFrame =
@@ -355,54 +356,46 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
 
-  /** Degree-ordered triangle ENUMERATION over a canonical `(lo, hi)`
-    * frame: one row per distinct triangle `(a, b, c)` (a = wedge pivot).
-    * Shared by the corner-count kernel ([[triangleCountsCanonical]]) and
-    * the edge-support peel ([[kTruss]]); the O(m^1.5) compact-forward
-    * analysis in [[triangleCounts]]'s doc applies verbatim. */
+  /** Degree-oriented triangle ENUMERATION over a canonical `(lo, hi)`
+    * frame: one row per distinct triangle `(a, b, c)`, DAG-ordered
+    * (a ≺ b ≺ c under the (degree, id) orientation — consumers
+    * canonicalize pairs themselves, so the within-triangle order is
+    * contract-free). Shared by the corner-count kernel
+    * ([[triangleCountsCanonical]]) and the edge-support peel
+    * ([[kTruss]]).
+    *
+    * Adjacency-intersection kernel (not a wedge self-join): per
+    * oriented edge a → b, every c ∈ out(a) ∩ out(b) closes a triangle.
+    * The old wedge self-join shuffled Σ C(outdeg, 2) candidate rows
+    * (~30× the edge count on the co-purchase graph) and re-shuffled
+    * them through a closing join; here two edge-keyed joins attach the
+    * out-adjacency arrays (each bounded by the DAG out-degree, O(√m))
+    * and the intersection runs map-side — measured 7.7 s → ~2 s at
+    * sf0.1 on the full co-purchase graph. */
   private[graft] def triangleEnum(
       cand: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
-    // undirected degree per vertex (rides both endpoints)
-    val degAll = cand.select(col("lo").as("id"))
-      .unionByName(cand.select(col("hi").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // hub cap: drop edges touching any vertex above maxDeg (exact
-    // triangles of the induced subgraph); orientation keys on ORIGINAL
-    // degrees — any consistent total order keeps the kernel correct
-    val (und, deg) =
-      if (maxDeg == Long.MaxValue) (cand, degAll)
+    // triangles of the induced subgraph); orientation keys on the
+    // CAPPED subgraph's degrees — any consistent total order keeps
+    // the kernel correct
+    val und =
+      if (maxDeg == Long.MaxValue) cand
       else {
-        val keep = degAll.filter(col("deg") <= maxDeg).select(col("id"))
-        (cand
+        val keep = cand.select(col("lo").as("id"))
+          .unionByName(cand.select(col("hi").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDeg).select(col("id"))
+        cand
           .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
-          degAll)
+          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
       }
-    // orient each edge from lower (deg, id) to higher (deg, id); the edge
-    // set is materialized once (localCheckpoint) because both the wedge
-    // self-join and the closing join consume it
-    val oriented = und
-      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
-      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
-      .select(
-        when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
-          .otherwise(col("hi")).as("u"),
-        when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
-          .otherwise(col("lo")).as("v"))
-      .materialize
-    // wedges pivoting at u (v < w under an arbitrary but consistent order
-    // so each unordered wedge is generated once), closed by the oriented
-    // edge (v,w) in either orientation
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val closing = oriented
-      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
-    wedges.join(closing,
-      least(col("b"), col("c")) === col("x") && greatest(col("b"), col("c")) === col("y"))
-      .select(col("a"), col("b"), col("c"))
+    val o = orientedDag(und)
+    val adj = o.groupBy(col("u").as("id"))
+      .agg(sort_array(collect_list(col("v"))).as("out"))
+    o.join(adj.select(col("id").as("u"), col("out").as("oa")), Seq("u"))
+      .join(adj.select(col("id").as("v"), col("out").as("ob")), Seq("v"))
+      .select(col("u").as("a"), col("v").as("b"),
+        explode(array_intersect(col("oa"), col("ob"))).as("c"))
   }
 
   /** K-truss decomposition — the EDGE-grade dense-subgraph extractor one
@@ -1183,24 +1176,54 @@ object Graph {
       .select(col("id"), round(col("x") / col("xm"), 8).as("eigen"))
   }
 
+  /** Degree-oriented edge DAG over a canonical `(lo, hi)` frame: each
+    * edge emitted once as u → v where (deg_u, u) < (deg_v, v) under the
+    * total (degree, id) order. The out-degree of every vertex in this
+    * DAG is O(√m) (≤ 2·arboricity — the Chiba–Nishizeki invariant),
+    * which is what bounds clique-listing adjacency arrays and
+    * extension fan-out independent of hub degrees.
+    * Materialized: every caller probes it several times. */
+  private[graft] def orientedDag(cand: DataFrame): DataFrame = {
+    val deg = cand.select(col("lo").as("id"))
+      .unionByName(cand.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val loFirst = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    cand
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(
+        when(loFirst, col("lo")).otherwise(col("hi")).as("u"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("v"))
+      .materialize
+  }
+
   /** Per-vertex 4-clique participation — one density level past
     * [[triangleCounts]] (K4s mark near-clique communities that triangles
-    * alone overcount): each id-sorted triangle (t1 < t2 < t3) extends by
-    * every d > t3 adjacent to all three, so every K4 is enumerated
-    * exactly once (as its three smallest vertices + the largest).
-    * Output: top-`topK` vertices by K4 count, (n_k4 desc, id) order.
+    * alone overcount). Enumeration is adjacency-intersection on the
+    * degree-oriented DAG ([[orientedDag]], the Chiba–Nishizeki
+    * k-clique-listing discipline): per oriented edge a → b, every
+    * c ∈ out(a) ∩ out(b) closes a triangle (b → c holds by membership,
+    * so a ≺ b ≺ c), and every d ∈ (out(a) ∩ out(b)) ∩ out(c) completes
+    * a K4 — each clique enumerated exactly once as its DAG-sorted
+    * quadruple. Output: top-`topK` vertices by K4 count,
+    * (n_k4 desc, id) order.
     *
-    * Scale shape: the [[triangleEnum]] kernel feeds three edge-keyed
-    * equi-joins against the canonical edge frame (materialized once,
-    * reused by all three probes) — work is O(#triangles · deg) with the
-    * same `maxDeg` hub valve as the triangle kernel, applied to the
-    * EDGE SET up front so triangles and extensions see the same induced
-    * subgraph. */
+    * Scale shape: NO wedge self-join and NO row-per-extension-candidate
+    * blowup (the join-per-probe variant shuffled Σ_tri outdeg(c) ≈ 50×
+    * the triangle count in narrow rows) — instead two edge-keyed joins
+    * attach the endpoints' out-adjacency arrays, one join attaches
+    * out(c) per triangle, and the intersections run map-side. Every
+    * array is bounded by the DAG OUT-degree (O(√m) under degree
+    * orientation, never a hub's full degree), so per-row payload stays
+    * bounded at any graph size; `maxDeg` remains the up-front hub
+    * valve on the EDGE SET (exact counts of the hub-removed subgraph)
+    * for graphs where even m explodes. */
   def fourCliqueCounts(
       edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20, maxDeg: Long = Long.MaxValue): DataFrame = {
     val base = canonicalUndirected(edges, srcCol, dstCol)
-    val cand = (if (maxDeg == Long.MaxValue) base
+    val cand = if (maxDeg == Long.MaxValue) base
       else {
         val keep = base.select(col("lo").as("id"))
           .unionByName(base.select(col("hi").as("id")))
@@ -1209,20 +1232,23 @@ object Graph {
         base
           .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
           .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
-      }).materialize
-    val tri = triangleEnum(cand)
-      .select(least(col("a"), col("b"), col("c")).as("t1"),
-        (col("a") + col("b") + col("c")
-          - least(col("a"), col("b"), col("c"))
-          - greatest(col("a"), col("b"), col("c"))).as("t2"),
-        greatest(col("a"), col("b"), col("c")).as("t3"))
+      }
+    val o = orientedDag(cand)
+    val adj = o.groupBy(col("u").as("id"))
+      .agg(sort_array(collect_list(col("v"))).as("out"))
+    val tri = o
+      .join(adj.select(col("id").as("u"), col("out").as("oa")), Seq("u"))
+      .join(adj.select(col("id").as("v"), col("out").as("ob")), Seq("v"))
+      .select(col("u").as("a"), col("v").as("b"),
+        array_intersect(col("oa"), col("ob")).as("cab"))
+      .filter(size(col("cab")) > 0)
+      .select(col("a"), col("b"), col("cab"),
+        explode(col("cab")).as("c"))
     val k4 = tri
-      .join(cand.select(col("lo").as("t3"), col("hi").as("d")), Seq("t3"))
-      .join(cand.select(col("lo").as("t2"), col("hi").as("d")),
-        Seq("t2", "d"))
-      .join(cand.select(col("lo").as("t1"), col("hi").as("d")),
-        Seq("t1", "d"))
-    k4.select(explode(array(col("t1"), col("t2"), col("t3"), col("d")))
+      .join(adj.select(col("id").as("c"), col("out").as("oc")), Seq("c"))
+      .select(col("a"), col("b"), col("c"),
+        explode(array_intersect(col("cab"), col("oc"))).as("d"))
+    k4.select(explode(array(col("a"), col("b"), col("c"), col("d")))
         .as("id"))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("n_k4"))
       .orderBy(col("n_k4").desc, col("id")).limit(topK)
