@@ -1670,10 +1670,14 @@ object SparkEntry {
         concat(lit("arm_"), pmod(col("user_id"), lit(2L))).as("arm"))
       Profiling.chi2Independence(ev, "event_type", "arm")
     }),
-    "q_ks_test" -> ((s, dir) => {
+    "q_ks_users" -> ((s, dir) => {
       // Exact two-sample KS statistic between the even/odd-user value
       // samples — the global CDF cumsum runs as the distributed prefix sum
       // (range partition + offset broadcast), never one partition.
+      // (Revived round-14: this entry was silently SHADOWED by a later
+      // duplicate "q_ks_test" key — Map keeps the last binding — so it
+      // had never reached the driver; it exercises Profiling.ksTest,
+      // a different kernel than q_ks_test's ksTwoSample.)
       val ev = table(s, dir, "events")
         .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
       Profiling.ksTest(
@@ -9550,7 +9554,7 @@ object SparkEntry {
         |        (CAST(nr AS DOUBLE) * nc / n), 6) AS chi2_contrib
         |FROM cells JOIN r ON r.event_type = cells.event_type
         |  JOIN c ON c.arm = cells.arm CROSS JOIN t""".stripMargin,
-    "q_ks_test" ->
+    "q_ks_users" ->
       // naive single-window cumsum is fine AS AN ORACLE; the engine's
       // distributed prefix sum must produce the identical D
       """WITH a AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v
