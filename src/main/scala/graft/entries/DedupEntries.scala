@@ -1,0 +1,697 @@
+package graft
+
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, Survival, TextAnalysis, Urls}
+import graft.sources.ElbLogParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
+import graft.SparkEntry._
+
+/** Dedup-family driver registrations — one slice of [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] (the round-14 monolith split: same entries,
+  * same names, merged with a duplicate-key guard in SparkEntry). */
+private[graft] object DedupEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_dedup_report" -> ((s, dir) => {
+      // The headline curation metric: how much of the corpus is duplicated
+      // mass. Non-canonical members of near-dup components (the docs
+      // keep-one dedup would drop) are counted in docs AND tokens — the
+      // number that justifies running dedup at all.
+      val d = table(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.nearDupMinhash(d, threshold = 0.5).select(col("doc_a"), col("doc_b")))
+        .withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("dup",
+          (col("component").isNotNull && col("component") =!= col("doc_id")).cast("int"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("dup")).cast("long").as("n_dup_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("dup") === 1, col("n_tokens")).otherwise(0L)).as("n_dup_tokens"),
+          round(sum((col("dup") * col("n_tokens")).cast("double")) /
+            sum(col("n_tokens")).cast("double"), 6).as("dup_token_frac"))
+    }),
+    "q_dedup_apply" -> ((s, dir) =>
+      // The full dedup operator end-to-end: near-dup clusters collapsed to
+      // their min-id representative, unclustered docs untouched.
+      Dedup.dedupNearMinhash(table(s, dir, "documents"), threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_dedup_components" -> ((s, dir) =>
+      // Near-dup pairs -> duplicate CLUSTERS: min-label propagation to a
+      // fixpoint (component = min reachable doc id). The real dedup
+      // pipeline's keep-one-per-cluster step.
+      Dedup.connectedComponents(
+        Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"))),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // n-gram Jaccard scoring over deterministic (id, id+1) pairs —
+      // guaranteed rows, exercises the shingle+jaccard kernel with an oracle.
+      val d = table(s, dir, "documents")
+      val sh = Dedup.shingleSigTable(d, "doc_id", "text", 3, numHashes = 0)
+      val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    }),
+    "q_ngram_containment" -> ((s, dir) => {
+      // Directional containment |A∩B|/|A| over the same deterministic
+      // (id, id+1) pairs as q_ngram_jaccard — the asymmetric dedup score:
+      // a short doc quoted inside a long one scores ~1 here while its
+      // Jaccard stays low (union dominated by the long doc). Same plan
+      // shape: one shingle kernel, one adjacent-id equi-join, no fan-out.
+      val d = table(s, dir, "documents")
+      val sh = Dedup.shingleSigTable(d, "doc_id", "text", 3, numHashes = 0)
+      val a = sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b"))
+      import graft.functions.TextFunctions.containment
+      a.join(b, col("doc_b") === col("doc_a") + 1L)
+        .select(col("doc_a"), col("doc_b"),
+          containment(col("sh_a"), col("sh_b")).as("c_ab"),
+          containment(col("sh_b"), col("sh_a")).as("c_ba"),
+          greatest(
+            containment(col("sh_a"), col("sh_b")),
+            containment(col("sh_b"), col("sh_a"))).as("c_max"))
+    }),
+    "q_prefix_jaccard" -> ((s, dir) =>
+      // EXACT 4-gram-Jaccard self-join via prefix filtering (AllPairs/
+      // PPJoin) — deterministic counterpart of the MinHash tier; the
+      // oracle is an independent naive all-pairs join, so it checks the
+      // pruning logic, not a replay of it. Shingle width 4, not 3: on
+      // this 31-word vocabulary trigram doc-frequencies are so dense the
+      // prefix filter degenerates (695k candidate pairs at sf0.1 vs 6.3k
+      // with 4-grams — 100× — for the identical 25-pair result; min
+      // true-pair jaccard 0.889 vs threshold 0.5). Shingle width must
+      // scale with vocabulary density, same doctrine as [[shingles]].
+      Dedup.prefixJaccardJoin(table(s, dir, "documents"),
+        threshold = 0.5, shingleN = 4)),
+    "q_corpus_overlap" -> ((s, dir) =>
+      // Cross-corpus 3-gram vocabulary overlap across the 10 document
+      // sources: intersection, directional containment, Jaccard per pair —
+      // the decision input for cross-dump dedup ordering.
+      Dedup.corpusOverlap(table(s, dir, "documents"))),
+    "q_corpus_overlap_sampled" -> ((s, dir) =>
+      // The 1/4 universe-sampled scale path: the md5-mod shingle sample is
+      // a pure function of the shingle bytes, so the estimates are exactly
+      // replayable by the oracle (same hash predicate), not rows-only.
+      Dedup.corpusOverlap(table(s, dir, "documents"), sampleMod = 4)),
+    "q_repeated_spans" -> ((s, dir) =>
+      // Lee-et-al-style exact substring dedup. The synthetic corpus has no
+      // verbatim cross-doc spans (31-word soup: P(shared 8-gram) ≈ 0), so
+      // splice a 13-token license disclaimer onto every 3rd doc — and TWICE
+      // onto every 6th, whose back-to-back copies must merge into ONE
+      // maximal span (the overlap-merge path). The oracle rebuilds the
+      // identical text and replays window hashes + span merging.
+      Dedup.repeatedSpans(spliceDisclaimer(table(s, dir, "documents")), window = 8)),
+    "q_repeated_spans_apply" -> ((s, dir) =>
+      // The scrub step over the same spliced corpus: repeated spans removed,
+      // document rebuilt. Interval-overlay coverage (see removeRepeatedSpans)
+      // — the oracle replays spans AND the overlay with one running-sum
+      // window. Standalone-query contract: recomputes the span pipeline.
+      Dedup.removeRepeatedSpans(spliceDisclaimer(table(s, dir, "documents")), window = 8)),
+    "q_decontaminate" -> ((s, dir) => {
+      // Held-out "benchmark" = every 20th doc; flag train docs sharing any
+      // 4-gram with it. Broadcast test shingle set, narrow train scan.
+      // (4/20 chosen so ~10% of the corpus actually flags at sf0.01 — a
+      // 5-gram over this vocab contaminates 1 doc, too thin to verify.)
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20L =!= 0L),
+        docs.filter(col("doc_id") % 20L === 0L),
+        n = 4)
+    }),
+    "q_image_neardup_dhash" -> ((s, dir) => {
+      // Image near-dup via Hamming LSH on the dHash fingerprints: 6 bands
+      // × 7 bits, verify bit_count(xor) <= 3. maxHamming < bands makes the
+      // banding EXHAUSTIVE (>=1 clean band by pigeonhole), so the oracle is
+      // an independent all-pairs join within same-bit-width groups — it
+      // checks equality, not recall. Grid geometry (n_bits) scopes buckets.
+      val h = Multimodal.imageDHash(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")), tile = 8)
+      Dedup.nearDupHamming(h, groupCol = Some("n_bits"),
+        bands = 6, bandBits = 7, maxHamming = 3)
+    }),
+    "q_split_leakage_safe" -> ((s, dir) => {
+      // Near-dup-cluster-aware 80/10/10 split: hashing each doc's own id
+      // (q_train_split) lets near-duplicate docs straddle train and test —
+      // eval contamination. Hashing the cluster representative keeps every
+      // near-dup component wholly in one split.
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.nearDupMinhash(d, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Sampling.leakageSafeSplit(d, pairs)
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
+    "q_train_pipeline" -> ((s, dir) => {
+      // END-TO-END training-data pipeline composed purely from the library
+      // operators — quality gate → exact dedup → context-window chunking →
+      // deterministic 80/10/10 split — and still fully oracled because
+      // every stage is. (The testdata has no exact-duplicate texts, so the
+      // dedup stage passes everything through here; its behavior under real
+      // duplicates is covered by q_dedup_exact and ExtensionSpec.)
+      // Output: per-split corpus accounting, the numbers a training run
+      // starts from.
+      val d = table(s, dir, "documents")
+      val ok = TextAnalysis.qualityScore(d)
+        .filter(col("verdict") === "ok").select(col("doc_id"))
+      val gated = d.join(ok, Seq("doc_id"), "left_semi")
+      val chunks = TextAnalysis
+        .chunkDocuments(graft.operators.Dedup.exact(gated), chunkSize = 50)
+        .withColumn("chunk_id", concat_ws("_", col("doc_id"), col("chunk_idx")))
+      graft.operators.Sampling.trainValTestSplit(chunks, "chunk_id")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+    }),
+    "q_dedup_normalized" -> ((s, dir) => {
+      // Casing/punctuation-insensitive dedup tier. The synthetic corpus has
+      // no case/punct variants (it is already lowercase soup, 0 exact dups),
+      // so splice them: every 7th doc gains a shouted+decorated twin at
+      // -(doc_id+1) — a namespace no real corpus id can collide with at ANY
+      // scale (a fixed +offset would collide once ids reach it, fanning out
+      // normalizedExact's join-back into duplicate rows). Twins normalize
+      // back onto their base (n_group=2; min-id keeps the negative twin,
+      // replayed identically by the oracle). The oracle rebuilds the union
+      // and mirrors the normalization in RE2.
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select(
+          (-(col("doc_id") + 1L)).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !!")).as("text"))
+      Dedup.normalizedExact(docs.unionByName(variants))
+    }),
+    "q_dedup_keep_best" -> ((s, dir) =>
+      // Curation-policy dedup: per near-dup cluster keep the LONGEST member
+      // (tie-break lowest id), not the lowest id — the policy real
+      // pipelines want. Shares the MinHash cluster machinery + oracle CTEs.
+      Dedup.dedupNearMinhashKeepBest(
+        table(s, dir, "documents"), threshold = 0.5, scoreCol = "n_chars")
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization: synthesize messy-but-valid URLs from events
+      // (uppercase scheme/host, www., explicit port, tracking params,
+      // unsorted params, fragment, trailing slash), canonicalize with
+      // parse_url + array functions. The oracle does NOT replay the string
+      // surgery — it reconstructs the expected canonical form from the
+      // event columns directly, so any parse_url misuse diverges.
+      val urls = table(s, dir, "events").select(
+        col("event_id"),
+        format_string(
+          "HTTP://WWW.Host%d.example.com:8080/%s/%d/?utm_source=feed&b=%d&a=1&gclid=XYZ#sec%d",
+          pmod(col("user_id"), lit(20L)),
+          col("event_type"),
+          pmod(col("event_id"), lit(50L)),
+          pmod(col("event_id"), lit(3L)),
+          pmod(col("event_id"), lit(7L))).as("url"))
+      Urls.normalize(urls, "url").select(col("event_id"), col("url_norm"))
+    }),
+    "q_minhash_estimate" -> ((s, dir) => {
+      // Sketch-accuracy query: per adjacent-id doc pair, the MinHash
+      // estimate (fraction of agreeing signature slots) NEXT TO the exact
+      // shingle Jaccard it approximates — the verification a sketch
+      // deployment needs. Both columns oracled: the affine signature family
+      // is replayed bit-for-bit in SQL.
+      val st = Dedup.shingleSigTable(table(s, dir, "documents"), "doc_id", "text", 3, 16)
+      // filter on the cheap __has twin (pushdown-safe), not the sig —
+      // see shingleSigTable's scaladoc
+      val a = st.filter(col("__has")).select(col("doc_id").as("doc_a"),
+        col("__sh").as("sh_a"), col("__sig").as("sig_a"))
+      val b = st.filter(col("__has")).select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"),
+        col("__sh").as("sh_b"), col("__sig").as("sig_b"))
+      a.join(b, Seq("doc_a"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard_exact"),
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)).cast("double") / 16.0, 6).as("jaccard_est"))
+    }),
+    "q_ip_cidr" -> ((s, dir) => {
+      // Access-log CIDR rollup: requests + distinct clients per /20 (true
+      // integer network mask, splits the third octet). IPs synthesized
+      // deterministically from events — the oracle rebuilds them.
+      val ips = table(s, dir, "events").select(concat_ws(".",
+        lit(10), pmod(col("user_id"), lit(256L)),
+        pmod(expr("user_id div 256"), lit(256L)),
+        pmod(col("event_id"), lit(256L))).as("ip"))
+      graft.operators.Urls.cidrRollup(ips, "ip", bits = 20)
+    }),
+    "q_fuzzy_name_join" -> ((s, dir) =>
+      // Entity-resolution candidates over the part-name DOMAIN: collapse
+      // rows to the name histogram first, then Levenshtein-match distinct
+      // names inside last-token blocks with a length-band prefilter.
+      Dedup.fuzzyNameJoin(table(s, dir, "part"), "p_name",
+        n => element_at(split(n, " "), -1), maxDist = 3)),
+    "q_exact_jaccard" -> ((s, dir) =>
+      // EXACT Jaccard >= 0.5 self-join via prefix filtering (the
+      // PPJoin baseline the MinHash LSH approximates): rare-first
+      // prefixes bound the inverted index; integer threshold compare.
+      graft.operators.Dedup.exactJaccardJoin(
+        table(s, dir, "documents"), thresholdPpm = 500000L)),
+    "q_minhash_recall" -> ((s, dir) => {
+      // recall of the banded MinHash near-dup pairs against the exact
+      // prefix-join ground truth at the same threshold — the number
+      // that certifies the banding parameters (16 hashes x 4 bands).
+      val d = table(s, dir, "documents")
+      val exact = graft.operators.Dedup.exactJaccardJoin(d, 500000L)
+        .select(col("doc_a"), col("doc_b"))
+      val mh = graft.operators.Dedup.nearDupMinhash(d, threshold = 0.5)
+        .select(col("doc_a").as("__a"), col("doc_b").as("__b"))
+      exact.join(mh,
+          col("doc_a") === col("__a") && col("doc_b") === col("__b"),
+          "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(when(col("__a").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_found"))
+        .withColumn("recall",
+          expr("round(CAST(n_found AS DOUBLE) / n_exact, 6)"))
+    }),
+    "q_containment" -> ((s, dir) => {
+      // Exact containment join (|A inter B| / |A| >= 0.8): documents
+      // near-contained in a longer one — quotes/snippets/partial
+      // copies that Jaccard misses; one-sided rare-first prefix
+      // against the full inverted index.
+      graft.operators.Dedup.exactContainmentJoin(
+        table(s, dir, "documents"), thresholdPpm = 800000L)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $minhashVerifiedCtes
+         |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+    "q_dedup_report" ->
+      // same reachability closure; duplicated mass = losers' docs/tokens
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |losers AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(v)),
+         |t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END AS dup
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN dup = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+         |  round(sum(dup * n_tokens) * 1.0 / sum(n_tokens), 6) AS dup_token_frac
+         |FROM t""".stripMargin,
+    "q_dedup_apply" ->
+      // keep docs that are not a non-canonical member of any component
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |losers AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(v))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_dedup_components" ->
+      // Reachability closure via recursive CTE: component = min reachable
+      // id, exactly the fixpoint the Spark label propagation converges to.
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         |SELECT u AS node, CAST(MIN(v) AS BIGINT) AS component
+         |FROM reach GROUP BY u""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents)
+         |SELECT doc_id, $simhashSqlExpr AS simhash FROM toks""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_ngram_containment" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(a.sh), 6) AS c_ab,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0/len(b.sh), 6) AS c_ba,
+         |  greatest(
+         |    round(len(list_intersect(a.sh, b.sh))*1.0/len(a.sh), 6),
+         |    round(len(list_intersect(a.sh, b.sh))*1.0/len(b.sh), 6)) AS c_max
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_prefix_jaccard" ->
+      // INDEPENDENT naive all-pairs oracle (no prefix-filter replay):
+      // checks the pruning keeps every qualifying pair. 4-gram shingles.
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([tl[i]||'_'||tl[i+1]||'_'||tl[i+2]||'_'||tl[i+3]
+         |                 FOR i IN range(1, len(tl)-2)]) AS sh
+         |  FROM toks WHERE len(tl) >= 4),
+         |ts AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM ts GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS overlap
+         |       FROM ts a JOIN ts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, overlap, sa.s AS size_a, sb.s AS size_b,
+         |    CAST(overlap AS DOUBLE) / (sa.s + sb.s - overlap) AS jac
+         |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, overlap, size_a, size_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.5""".stripMargin,
+    "q_corpus_overlap" -> corpusOverlapOracle(sampleMod = 1),
+    "q_corpus_overlap_sampled" -> corpusOverlapOracle(sampleMod = 4),
+    "q_repeated_spans" ->
+      // window hashes over the rebuilt text: DuckDB pos = Spark pos via
+      // i-1 (1-based slices tl[i:i+7] = 8 tokens); dup mark = MIN≠MAX doc
+      // per hash; spans = lag/sum run-length merge, strict overlap
+      s"""WITH $disclaimerCte,
+        |toks AS (SELECT doc_id, string_split(text,' ') AS tl FROM p WHERE len(string_split(text,' ')) >= 8),
+        |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(tl[i:i+7], ' ')) AS whash
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      MIN(doc_id) OVER (PARTITION BY whash) AS mn,
+        |      MAX(doc_id) OVER (PARTITION BY whash) AS mx
+        |    FROM wh) WHERE mn <> mx),
+        |f AS (SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 8) >= 8
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM dup),
+        |s AS (SELECT doc_id, pos,
+        |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+        |  FROM f)
+        |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        |  CAST(MIN(pos) AS BIGINT) AS start_tok, CAST(MAX(pos) + 8 AS BIGINT) AS end_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM s GROUP BY doc_id, span_idx""".stripMargin,
+    "q_repeated_spans_apply" ->
+      // spans replayed as in q_repeated_spans, then the interval overlay:
+      // +1/-1 delta events union with token rows; running SUM over
+      // (pos, kind) marks covered tokens (kind puts deltas before the
+      // token at the same position -> end-exclusive semantics)
+      s"""WITH $disclaimerCte,
+        |t0 AS (SELECT doc_id, string_split(text,' ') AS tl FROM p),
+        |toks AS (SELECT doc_id, tl FROM t0 WHERE len(tl) >= 8),
+        |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(tl[i:i+7], ' ')) AS whash
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      MIN(doc_id) OVER (PARTITION BY whash) AS mn,
+        |      MAX(doc_id) OVER (PARTITION BY whash) AS mx
+        |    FROM wh) WHERE mn <> mx),
+        |f AS (SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 8) >= 8
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM dup),
+        |s AS (SELECT doc_id, pos,
+        |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+        |  FROM f),
+        |spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+        |    CAST(MAX(pos) + 8 AS BIGINT) AS end_tok
+        |  FROM s GROUP BY doc_id, span_idx),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tl[i] AS token
+        |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl)+1)) AS i FROM t0)),
+        |ev AS (
+        |  SELECT doc_id, start_tok AS pos, 1 AS delta, 0 AS kind, CAST(NULL AS VARCHAR) AS token FROM spans
+        |  UNION ALL SELECT doc_id, end_tok, -1, 0, CAST(NULL AS VARCHAR) FROM spans
+        |  UNION ALL SELECT doc_id, pos, 0, 1, token FROM tok),
+        |c AS (SELECT doc_id, pos, kind, token,
+        |    SUM(delta) OVER (PARTITION BY doc_id ORDER BY pos, kind ROWS UNBOUNDED PRECEDING) AS cov
+        |  FROM ev)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) FILTER (cov = 0) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (cov > 0) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (cov = 0), '') AS clean_text
+        |FROM c WHERE kind = 1 GROUP BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      // 4-gram strings via inclusive 1-based list slices tl[i:i+3];
+      // range(1, len-2) caps i at len-3 and is empty when len < 4
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tl FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct([array_to_string(tl[i:i+3],'_') FOR i IN range(1, len(tl)-2)]) AS gs
+        |  FROM t),
+        |te AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS sh FROM g WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+        |FROM tr JOIN te USING(sh) GROUP BY tr.doc_id""".stripMargin,
+    "q_image_neardup_dhash" ->
+      // INDEPENDENT all-pairs formulation (no banding): valid as an
+      // equality oracle because maxHamming(3) < bands(6) makes the
+      // engine's LSH exhaustive, and every bucket here is far under the
+      // star-fallback cap (largest n_bits group ~52 docs at sf0.01).
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |t AS (SELECT doc_id, (i % w) // 8 AS tile_x, (i // w) // 8 AS tile_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_px,
+        |    CAST(SUM((doc_id + (i % w) + 3*(i // w)) % 251) AS BIGINT) AS sum_px
+        |  FROM s GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+        |      ORDER BY a.tile_y, a.tile_x) - 1 AS k,
+        |    CASE WHEN a.sum_px * b.n_px > b.sum_px * a.n_px
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x + 1),
+        |hh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS dhash
+        |  FROM pr GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hh a JOIN hh b
+        |  ON a.n_bits = b.n_bits AND b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    "q_split_leakage_safe" ->
+      // Same reachability closure as q_dedup_components, then the
+      // q_train_split bucket replay on the component representative.
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, MIN(v) AS c FROM reach GROUP BY u)
+         |SELECT doc_id, rep,
+         |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(c.c, d.doc_id) AS BIGINT) AS rep,
+         |    CAST('0x' || substr(md5(CAST(COALESCE(c.c, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 100 AS hb
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin,
+    "q_train_pipeline" ->
+      s"""WITH $qualityCte,
+         |gated AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN quality q ON q.doc_id = d.doc_id AND q.verdict = 'ok'),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |ded AS (SELECT g.doc_id, g.text FROM gated g JOIN keep k ON k.doc_id = g.doc_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM ded),
+         |i AS (SELECT doc_id, tl, unnest(range(0, len(tl), 50)) AS i FROM toks),
+         |ch AS (SELECT doc_id,
+         |         CAST(least(50, len(tl) - i) AS BIGINT) AS n_tokens,
+         |         doc_id || '_' || CAST(i // 50 AS VARCHAR) AS chunk_id
+         |       FROM i),
+         |sp AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT *,
+         |               CAST('0x' || substr(md5(chunk_id), 1, 15) AS BIGINT) % 100 AS hb
+         |             FROM ch))
+         |SELECT split, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split""".stripMargin,
+    "q_dedup_normalized" ->
+      // same spliced variants; normalization mirrored in RE2 ('g' flag =
+      // Java's replace-all default); [^a-z0-9 ] / ' +' stay inside the
+      // Java-RE2-identical regex subset (no \s/\w shorthands)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), '  ' || upper(text) || '  !!'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |norm AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |  FROM all_docs)
+        |SELECT MIN(doc_id) AS doc_id, norm_md5, CAST(COUNT(*) AS BIGINT) AS n_group
+        |FROM norm GROUP BY norm_md5""".stripMargin,
+    "q_dedup_keep_best" ->
+      // same reachability closure as q_dedup_components; winner per
+      // component by (n_chars DESC, doc_id ASC); singletons keep themselves
+      // via the COALESCE'd left join
+      s"""WITH RECURSIVE $minhashVerifiedCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         |m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+         |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM m)
+         |SELECT doc_id, lang, source FROM r WHERE rn = 1""".stripMargin,
+    "q_url_normalize" ->
+      // reconstructs the expected canonical URL from the event columns
+      // directly (host lowercased, www./port/trackers/fragment/trailing
+      // slash gone, surviving params sorted: a=1 < b=N)
+      """SELECT event_id,
+        |  'host' || CAST(user_id % 20 AS VARCHAR) || '.example.com/' || event_type ||
+        |  '/' || CAST(event_id % 50 AS VARCHAR) ||
+        |  '?a=1&b=' || CAST(event_id % 3 AS VARCHAR) AS url_norm
+        |FROM events""".stripMargin,
+    "q_minhash_estimate" ->
+      // adjacent-id pairs; signature agreement fraction vs exact jaccard,
+      // same affine family as the minhash dedup oracle
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, t ->
+         |     (((1103515245*(i+1)+12345) % 2147483647)
+         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+         |   FOR i IN range(0,16)] AS sg
+         |FROM sh WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh))*1.0
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_exact,
+         |  round(len([i FOR i IN range(1,17) IF a.sg[i] = b.sg[i]])/16.0, 6) AS jaccard_est
+         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_ip_cidr" ->
+      """WITH ips AS (SELECT
+        |    10 * 16777216 + (user_id % 256) * 65536 +
+        |    ((user_id // 256) % 256) * 256 + (event_id % 256) AS ipl
+        |  FROM events),
+        |m AS (SELECT CAST((ipl // 4096) * 4096 AS BIGINT) AS net, ipl FROM ips)
+        |SELECT CAST(net // 16777216 AS VARCHAR) || '.' ||
+        |    CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+        |    CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+        |    CAST(net % 256 AS VARCHAR) || '/20' AS subnet,
+        |  CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(COUNT(DISTINCT ipl) AS BIGINT) AS n_ips
+        |FROM m GROUP BY 1""".stripMargin,
+    "q_fuzzy_name_join" ->
+      """WITH names AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+        |    string_split(p_name, ' ')[-1] AS blk FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
+    "q_exact_jaccard" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2)
+         |SELECT cm.doc_a, cm.doc_b, common,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+         |    AS jaccard
+         |FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |  JOIN szs sb ON sb.id = cm.doc_b
+         |WHERE common * 1000000 >= 500000 * (sa.sz + sb.sz - common)
+         |""".stripMargin,
+    "q_minhash_recall" ->
+      s"""WITH $minhashVerifiedCtes,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.id < b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT cm.doc_a, cm.doc_b
+         |  FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |    JOIN szs sb ON sb.id = cm.doc_b
+         |  WHERE common * 1000000 >= 500000 * (sa.sz + sb.sz - common))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_found,
+         |  round(CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM exact LEFT JOIN verified v ON v.doc_a = exact.doc_a
+         |  AND v.doc_b = exact.doc_b""".stripMargin,
+    "q_containment" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id AS id, unnest(sh.sh) AS s FROM sh),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT id, ex.s,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY df, ex.s)
+         |      AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS sz
+         |  FROM ex JOIN dft USING (s)),
+         |pre AS (SELECT id, s FROM rk
+         |  WHERE rk <= sz - ((800000 * sz + 999999) // 1000000) + 1),
+         |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+         |  FROM pre a JOIN ex b ON a.s = b.s AND a.id <> b.id),
+         |szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM ex GROUP BY 1),
+         |cm AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT)
+         |      AS common
+         |  FROM cand c JOIN ex ea ON ea.id = c.doc_a
+         |    JOIN ex eb ON eb.id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2)
+         |SELECT cm.doc_a, cm.doc_b, common,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(CAST(common AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM cm JOIN szs sa ON sa.id = cm.doc_a
+         |  JOIN szs sb ON sb.id = cm.doc_b
+         |WHERE common * 1000000 >= 800000 * sa.sz""".stripMargin,
+  )
+}

@@ -1,0 +1,680 @@
+package graft
+
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, Survival, TextAnalysis, Urls}
+import graft.sources.ElbLogParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
+import graft.SparkEntry._
+
+/** Graph-family driver registrations — one slice of [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] (the round-14 monolith split: same entries,
+  * same names, merged with a duplicate-key guard in SparkEntry). */
+private[graft] object GraphEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_hops" -> ((s, dir) => {
+      // 3-hop BFS over the UNDIRECTED customer<->supplier purchase graph
+      // from a fixed seed set (custkey < 5): min hop count per vertex.
+      val e0 = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val undirected = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = table(s, dir, "customer")
+        .filter(col("c_custkey") < 5L)
+        .select(col("c_custkey").cast("long").as("id"))
+      graft.operators.Graph.bfsHops(undirected, seeds, maxHops = 3)
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // Fixed-iteration PageRank over the customer->supplier purchase
+      // graph (supplier ids offset out of the customer key space).
+      val edges = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+    }),
+    "q_ppr" -> ((s, dir) => {
+      // Personalized PageRank from the <=40-id customer seeds over the
+      // SYMMETRIZED purchase graph (one-directional cust->supplier
+      // edges would strand all walk mass on dangling suppliers after
+      // one hop): "which customers and suppliers are closest to this
+      // cohort's buying neighborhood" — exact micro-long arithmetic,
+      // unrolled-CTE oracle.
+      val d = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val e = d.unionByName(
+        d.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = d.select(col("src").as("id")).filter(col("id") <= 40L)
+      graft.operators.Graph.personalizedPageRank(
+        e, seeds, iters = 4, alpha = 0.85)
+    }),
+    "q_triangle_count" -> ((s, dir) => {
+      // Degree-ordered triangle counting over the part co-purchase graph
+      // (parts sharing an order are adjacent): top-20 vertices by triangle
+      // participation, stable (n_tri desc, id) order. Orders with >= 3
+      // distinct parts seed the triangles; the count is orientation-
+      // invariant so the id-ordered DuckDB enumeration matches exactly.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = coPurchasePairs(li)
+      graft.operators.Graph.triangleCounts(e, "src", "dst")
+        .orderBy(col("n_tri").desc, col("id"))
+        .limit(20)
+    }),
+    "q_triangle_count_capped" -> ((s, dir) => {
+      // q_triangle_count with the power-law hub-cap valve ENGAGED:
+      // maxDeg = 1000 bounds per-vertex wedge work on a skewed graph
+      // (the O(m^1.5) guard a 100x-scale user copies), and is a NO-OP
+      // here — the co-purchase max degree is ~220 at sf0.1 — so this
+      // verifies against the same uncapped oracle; it passes iff the
+      // cap filter changed nothing but the plan.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.triangleCounts(
+          coPurchasePairs(li), "src", "dst", maxDeg = 1000L)
+        .orderBy(col("n_tri").desc, col("id"))
+        .limit(20)
+    }),
+    "q_sssp" -> ((s, dir) => {
+      // 4-round weighted shortest paths over the undirected customer<->
+      // supplier purchase graph (weight = order-to-ship day lag), from the
+      // q_bfs_hops seed set. Exact BIGINT min-plus relaxation.
+      val e0 = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("od"))
+        .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"),
+              datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+                .cast("long").as("sd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"),
+          (col("sd") - col("od")).as("w"))
+      val undirected = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = table(s, dir, "customer")
+        .filter(col("c_custkey") < 5L)
+        .select(col("c_custkey").cast("long").as("id"))
+      graft.operators.Graph.shortestPaths(undirected, seeds, rounds = 4)
+    }),
+    "q_ktruss" -> ((s, dir) => {
+      // 4-truss of the sampled co-purchase graph (parts with key%10 < 3
+      // sharing an order — the repeat-filtered graph is triangle-poor):
+      // every surviving edge sits on >= 2 triangles WITHIN the truss,
+      // the edge-grade community core that cuts the bridge edges
+      // q_kcore keeps. Engine peels to the fixpoint (12 rounds at
+      // sf0.01); the oracle unrolls 14 id-ordered rounds (idempotent
+      // past the fixpoint, pinned by the compare).
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 < 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = coPurchasePairs(li)
+      graft.operators.Graph.kTruss(e, "src", "dst", k = 4)
+    }),
+    "q_kcore" -> ((s, dir) => {
+      // 3-core of the repeat-co-purchase graph (parts sharing >= 2 orders
+      // are adjacent): simultaneous peeling to the fixpoint — the dense
+      // community the one-off co-purchases hide. The engine iterates to
+      // convergence; the oracle unrolls 14 peel rounds (fixpoint at 11 on
+      // this data, pinned by the compare itself).
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.kCore(e, "src", "dst", k = 3)
+    }),
+    "q_graph_stats" -> ((s, dir) => {
+      // One-row structural summary of the repeat-co-purchase graph:
+      // counts, degree extremes, and degree assortativity (exact moment
+      // sums over the degree-joined edge list, double finish).
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.graphStats(e, "src", "dst")
+    }),
+    "q_link_prediction" -> ((s, dir) => {
+      // Adamic–Adar link prediction on the repeat-co-purchase graph:
+      // top-20 non-adjacent part pairs by Σ 1/ln(deg) over common
+      // neighbors, micro-quantized so the score sum is an exact long.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.adamicAdar(e, "src", "dst", topK = 20)
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // Community-structure quality of the repeat-co-purchase graph under
+      // its connected-components partition: per-community Newman-Q
+      // contributions in exact micro units.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.modularity(e, "src", "dst")
+    }),
+    "q_graph_features" -> ((s, dir) => {
+      // Per-node feature engineering on the repeat-co-purchase graph:
+      // degree, triangle participation, local clustering coefficient in
+      // exact micro units — the fraud/reco model input table.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.nodeFeatures(e, "src", "dst")
+    }),
+    "q_hits" -> ((s, dir) => {
+      // HITS on the customer->supplier purchase graph (the q_pagerank
+      // edges): customers score as hubs, suppliers as authorities;
+      // 4 fixed max-normalized iterations, oracle unrolls them.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 4)
+    }),
+    "q_label_prop" -> ((s, dir) => {
+      // Majority-vote communities on the repeat-co-purchase graph
+      // (the q_modularity edges): 4 synchronous rounds, smallest-label
+      // tie-break — exact integer votes, no quantization needed.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+    }),
+    "q_rich_club" -> ((s, dir) => {
+      // Do the hub parts of the repeat-co-purchase graph interconnect?
+      // phi(k) over degree thresholds {2,4,8} — exact integer club
+      // edge/member counts, one pass per table.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.richClub(e, "src", "dst")
+    }),
+    "q_reach_profile" -> ((s, dir) => {
+      // How much of the co-purchase graph do the 4 biggest hubs reach,
+      // and how fast? Multi-source BFS levels -> vertices-per-hop
+      // profile (max hop = a diameter lower bound).
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      val und = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        // the co-purchase self-join is the expensive subtree; the seeds
+        // derivation and the BFS both read it — materialize once
+        .materialize
+      val deg = und.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val seeds = deg.orderBy(col("d").desc, col("id")).limit(4)
+        .select(col("id"))
+      graft.operators.Graph.bfsHops(und, seeds, maxHops = 4)
+        .groupBy(col("hops"))
+        .agg(count(lit(1)).cast("long").as("n_vertices"))
+    }),
+    "q_link_predictors" -> ((s, dir) => {
+      // The classical predictor battery (common neighbors / Jaccard /
+      // preferential attachment / resource allocation) on the SAME
+      // repeat-co-purchase graph as q_link_prediction — one wedge
+      // enumeration feeds all four scores.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.linkPredictors(e, "src", "dst", topK = 20)
+    }),
+    "q_harmonic_centrality" -> ((s, dir) => {
+      // Which parts sit closest to the co-purchase core? Landmark
+      // harmonic centrality (8 lowest-id landmarks, 3 BFS hops) — the
+      // documented Eppstein-Wang estimator, deterministic end to end.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.harmonicCentrality(e, "src", "dst")
+    }),
+    "q_local_clustering" -> ((s, dir) => {
+      // Which parts sit inside tight co-purchase cliques vs acting as
+      // bridges? Per-vertex clustering coefficient, top-20 by
+      // (cc, n_tri). Even-part sparsification (the adamicAdar caller
+      // discipline) — q_triangle_count already pays for the full graph.
+      val li = table(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = coPurchasePairs(li)
+      graft.operators.Graph.localClustering(e, "src", "dst", topK = 20)
+    }),
+    "q_local_clustering_capped" -> ((s, dir) => {
+      // q_local_clustering with the hub-cap valve engaged (maxDeg =
+      // 1000, sub-cap on this data — see q_triangle_count_capped):
+      // degrees stay FULL-graph while the triangle kernel runs capped,
+      // so a cap that silently dropped edges would skew cc and fail
+      // the uncapped oracle.
+      val li = table(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.localClustering(
+        coPurchasePairs(li), "src", "dst", topK = 20, maxDeg = 1000L)
+    }),
+    "q_betweenness" -> ((s, dir) => {
+      // Landmark betweenness (quantized Brandes, 4 lowest-id pivots,
+      // 3-hop horizon) over the purchase graph — the "which vertices
+      // sit on the most shortest paths" estimator next to
+      // q_harmonic_centrality's landmark distances.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.betweennessLandmarks(edges, "src", "dst",
+        nLandmarks = 4, maxHops = 3, topK = 20)
+    }),
+    "q_katz" -> ((s, dir) => {
+      // Katz centrality (4 damped rounds, alpha = 0.05) over the
+      // customer->supplier purchase graph — raw path-count prestige
+      // next to q_pagerank's normalized flow; micro-long ranks make
+      // every round bit-identical across engines.
+      val edges = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      graft.operators.Graph.katzCentrality(edges, "src", "dst",
+        iters = 4, alpha = 0.05)
+    }),
+    "q_eigen_centrality" -> ((s, dir) => {
+      // Truncated power iteration on the undirected part co-purchase
+      // graph: 4 UNNORMALIZED rounds, one final max-normalization
+      // (deferred by design — see eigenvectorCentrality doc; literal
+      // per-round normalization would break engine/oracle parity in
+      // finite floats). The Perron-vector complement of q_pagerank's
+      // out-degree walk and q_hits' bipartite hub/auth split.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.eigenvectorCentrality(
+        coPurchasePairs(li), "src", "dst", iters = 4)
+    }),
+    "q_mis" -> ((s, dir) => {
+      // Luby maximal independent set on the co-purchase graph: md5
+      // priorities replace the RNG, so the whole round trajectory is
+      // engine-exact and (id, round) is the pinned output.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.maximalIndependentSet(
+        coPurchasePairs(li), "src", "dst", maxRounds = 16)
+    }),
+    "q_four_cliques" -> ((s, dir) => {
+      // K4 participation — one density level past q_triangle_count —
+      // on the FULL co-purchase graph: the degree-oriented-DAG
+      // enumeration (Chiba–Nishizeki fan-out bound) brought the full
+      // graph to triangle-kernel cost, so the former even-part slice
+      // is gone.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.fourCliqueCounts(
+        coPurchasePairs(li), "src", "dst", topK = 20)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bfs_hops" -> bfsOracle,
+    "q_pagerank" -> pagerankOracle,
+    "q_ppr" -> pprOracle,
+    "q_hits" -> hitsOracle,
+    "q_label_prop" -> labelPropOracle,
+    "q_rich_club" ->
+      s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         |    CAST(b.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |e0 AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+         |    GREATEST(src, dst) AS hi FROM pairs WHERE src <> dst),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0)
+         |  GROUP BY 1),
+         |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+         |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+         |  FROM deg CROSS JOIN ks WHERE deg.deg > ks.k GROUP BY 1),
+         |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+         |  FROM e0 JOIN deg dl ON dl.id = e0.lo
+         |  JOIN deg dh ON dh.id = e0.hi
+         |  CROSS JOIN ks WHERE dl.deg > ks.k AND dh.deg > ks.k
+         |  GROUP BY 1),
+         |f AS (SELECT ks.k, CAST(COALESCE(n_k, 0) AS BIGINT) AS n_k,
+         |    CAST(COALESCE(e_k, 0) AS BIGINT) AS e_k
+         |  FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k))
+         |SELECT k, n_k, e_k, ${graft.operators.Graph.richClubSql} AS phi
+         |FROM f""".stripMargin,
+    "q_reach_profile" -> {
+      val levels = (1 to 4).map { h =>
+        s"""d$h AS (
+           |  SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+           |    SELECT id, hops FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, ${h} AS hops
+           |    FROM d${h - 1} f JOIN e ON e.src = f.id
+           |    WHERE f.hops = ${h - 1})
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         |    CAST(b.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src
+         |  FROM pairs),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM e GROUP BY 1),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM (
+         |    SELECT id FROM deg ORDER BY d DESC, id LIMIT 4)),
+         |$levels
+         |SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_vertices
+         |FROM d4 GROUP BY 1""".stripMargin
+    },
+    "q_triangle_count" -> triangleCountOracle,
+    // the hub-cap valve is a no-op below the cap (max co-purchase degree
+    // is ~220 at sf0.1 vs maxDeg = 1000), so the capped query verifies
+    // against the SAME uncapped enumeration — the ivf_capped discipline
+    "q_triangle_count_capped" -> triangleCountOracle,
+    "q_sssp" ->
+      """WITH e0 AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey + 10000000 AS BIGINT) AS dst,
+        |    epoch_ms(l_shipdate) // 86400000 - epoch_ms(o_orderdate) // 86400000 AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM e0
+        |    UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+        |d0 AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey < 5),
+        |d1 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0 JOIN e ON d0.id = e.src)
+        |  GROUP BY 1),
+        |d2 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1 JOIN e ON d1.id = e.src)
+        |  GROUP BY 1),
+        |d3 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2 JOIN e ON d2.id = e.src)
+        |  GROUP BY 1),
+        |d4 AS (SELECT id, MIN(d) AS d FROM (
+        |  SELECT id, d FROM d3
+        |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3 JOIN e ON d3.id = e.src)
+        |  GROUP BY 1)
+        |SELECT id, d FROM d4""".stripMargin,
+    "q_ktruss" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_partkey % 10 < 3),
+         |ec AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo,
+         |    b.l_partkey AS hi
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |${graft.operators.Graph.kTrussSql(k = 4, rounds = 14)}""".stripMargin,
+    "q_kcore" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |${graft.operators.Graph.kCoreSql(k = 3, rounds = 14)}""".stripMargin,
+    "q_graph_stats" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM es GROUP BY 1),
+         |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |    MAX(deg) AS max_deg,
+         |    round(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 6) AS avg_deg FROM deg),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(a.deg) AS BIGINT) AS sx, CAST(SUM(b.deg) AS BIGINT) AS sy,
+         |    CAST(SUM(a.deg*a.deg) AS BIGINT) AS sxx,
+         |    CAST(SUM(b.deg*b.deg) AS BIGINT) AS syy,
+         |    CAST(SUM(a.deg*b.deg) AS BIGINT) AS sxy
+         |  FROM es JOIN deg a ON es.src = a.id JOIN deg b ON es.dst = b.id)
+         |SELECT n_vertices, m // 2 AS n_edges, max_deg, avg_deg,
+         |  ${graft.operators.Graph.assortativitySql} AS assortativity
+         |FROM ds, mo""".stripMargin,
+    "q_link_prediction" ->
+      """WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |contrib AS MATERIALIZED (SELECT src AS w,
+        |    CAST(ROUND(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)), 0) AS BIGINT)
+        |      AS contrib
+        |  FROM es GROUP BY 1 HAVING COUNT(*) >= 2),
+        |wedges AS (SELECT x.src AS w, x.dst AS a, y.dst AS b
+        |  FROM es x JOIN es y ON x.src = y.src AND x.dst < y.dst),
+        |scored AS (SELECT a, b, CAST(SUM(contrib) AS BIGINT) AS aa_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM wedges JOIN contrib USING (w) GROUP BY 1, 2)
+        |SELECT a, b, aa_micro, n_common FROM scored s
+        |WHERE NOT EXISTS (SELECT 1 FROM es
+        |  WHERE es.src = s.a AND es.dst = s.b)
+        |ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin,
+    "q_modularity" ->
+      s"""WITH RECURSIVE e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach(u, v) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM es)
+         |  UNION
+         |  SELECT r.u, e.dst FROM reach r JOIN es e ON r.v = e.src),
+         |lab AS MATERIALIZED (SELECT u AS node, CAST(MIN(v) AS BIGINT) AS label
+         |  FROM reach GROUP BY u),
+         |m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM es),
+         |tagged AS (SELECT a.label AS cu, b.label AS cv
+         |  FROM es JOIN lab a ON es.src = a.node JOIN lab b ON es.dst = b.node),
+         |perc AS (SELECT cu AS label, CAST(COUNT(*) AS BIGINT) AS a_c,
+         |    CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+         |  FROM tagged GROUP BY 1)
+         |SELECT label, a_c, e_in, m2,
+         |  ${graft.operators.Graph.modularityCellSql} AS contrib_micro
+         |FROM perc, m2t""".stripMargin,
+    "q_graph_features" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM es GROUP BY 1),
+         |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e0 e1 JOIN e0 e2 ON e2.src = e1.dst
+         |  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |x AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+         |  UNION ALL SELECT c FROM t),
+         |tri AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |  FROM x GROUP BY 1),
+         |f AS (SELECT deg.id, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri
+         |  FROM deg LEFT JOIN tri USING (id))
+         |SELECT id, deg, n_tri, ${graft.operators.Graph.lccSql} AS lcc_micro
+         |FROM f""".stripMargin,
+    "q_link_predictors" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src,
+        |    b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |deg AS MATERIALIZED (SELECT src AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS deg FROM es GROUP BY 1),
+        |centers AS MATERIALIZED (SELECT w,
+        |    CAST(ROUND(1000000.0 / deg, 0) AS BIGINT) AS ra_contrib
+        |  FROM deg WHERE deg >= 2),
+        |wedges AS (SELECT x.src AS w, x.dst AS a, y.dst AS b
+        |  FROM es x JOIN es y ON x.src = y.src AND x.dst < y.dst),
+        |scored AS (SELECT a, b,
+        |    CAST(SUM(ra_contrib) AS BIGINT) AS ra_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM wedges JOIN centers USING (w) GROUP BY 1, 2),
+        |wd AS (SELECT s.a, s.b, s.n_common, s.ra_micro,
+        |    da.deg AS deg_a, db.deg AS deg_b
+        |  FROM scored s JOIN deg da ON da.w = s.a
+        |    JOIN deg db ON db.w = s.b),
+        |f AS (SELECT a, b, n_common, deg_a, deg_b,
+        |    ${graft.operators.Graph.jaccardMicroSql} AS jaccard_micro,
+        |    CAST(deg_a * deg_b AS BIGINT) AS pref_attach, ra_micro
+        |  FROM wd)
+        |SELECT a, b, n_common, deg_a, deg_b, jaccard_micro, pref_attach,
+        |  ra_micro
+        |FROM f s
+        |WHERE NOT EXISTS (SELECT 1 FROM es
+        |  WHERE es.src = s.a AND es.dst = s.b)
+        |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin,
+    "q_harmonic_centrality" ->
+      """WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src,
+        |    b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |es AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |lm AS MATERIALIZED (SELECT src AS u FROM es GROUP BY 1
+        |  ORDER BY 1 LIMIT 8),
+        |d0 AS MATERIALIZED (SELECT u AS lm, u AS v FROM lm),
+        |n1 AS MATERIALIZED (
+        |  SELECT DISTINCT d0.lm, es.dst AS v FROM d0
+        |    JOIN es ON es.src = d0.v
+        |  EXCEPT SELECT lm, v FROM d0),
+        |p1 AS MATERIALIZED (SELECT lm, v FROM d0
+        |  UNION SELECT lm, v FROM n1),
+        |n2 AS MATERIALIZED (
+        |  SELECT DISTINCT n1.lm, es.dst AS v FROM n1
+        |    JOIN es ON es.src = n1.v
+        |  EXCEPT SELECT lm, v FROM p1),
+        |p2 AS MATERIALIZED (SELECT lm, v FROM p1
+        |  UNION SELECT lm, v FROM n2),
+        |n3 AS MATERIALIZED (
+        |  SELECT DISTINCT n2.lm, es.dst AS v FROM n2
+        |    JOIN es ON es.src = n2.v
+        |  EXCEPT SELECT lm, v FROM p2),
+        |alld AS (SELECT lm, v, 1 AS d FROM n1
+        |  UNION ALL SELECT lm, v, 2 FROM n2
+        |  UNION ALL SELECT lm, v, 3 FROM n3)
+        |SELECT v,
+        |  CAST(SUM(CAST(ROUND(1000000.0 / d, 0) AS BIGINT)) AS BIGINT)
+        |    AS harmonic_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_reached
+        |FROM alld GROUP BY 1
+        |ORDER BY harmonic_micro DESC, v LIMIT 20""".stripMargin,
+    "q_local_clustering" -> localClusteringOracle,
+    // hub-cap no-op below the cap — see q_triangle_count_capped
+    "q_local_clustering_capped" -> localClusteringOracle,
+    "q_betweenness" -> betweennessOracle,
+    "q_katz" -> katzOracle,
+    "q_eigen_centrality" -> eigenCentralityOracle,
+    "q_mis" -> misOracle,
+    "q_four_cliques" ->
+      // id-ordered triangle enumeration + the 3-way mutual-neighbor
+      // extension (d > c) — each K4 exactly once, same top-20 order
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                  CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |k AS (
+        |  SELECT t.a, t.b, t.c, x1.v AS d
+        |  FROM t
+        |  JOIN e x1 ON x1.u = t.c
+        |  JOIN e x2 ON x2.u = t.b AND x2.v = x1.v
+        |  JOIN e x3 ON x3.u = t.a AND x3.v = x1.v),
+        |x AS (
+        |  SELECT a AS id FROM k
+        |  UNION ALL SELECT b FROM k
+        |  UNION ALL SELECT c FROM k
+        |  UNION ALL SELECT d FROM k)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_k4 FROM x GROUP BY id
+        |ORDER BY n_k4 DESC, id LIMIT 20""".stripMargin,
+  )
+}

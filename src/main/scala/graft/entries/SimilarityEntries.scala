@@ -1,0 +1,805 @@
+package graft
+
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, Survival, TextAnalysis, Urls}
+import graft.sources.ElbLogParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
+import graft.SparkEntry._
+
+/** Similarity-family driver registrations — one slice of [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] (the round-14 monolith split: same entries,
+  * same names, merged with a duplicate-key guard in SparkEntry). */
+private[graft] object SimilarityEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_similarity_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
+    }),
+    "q_similarity_ivf" -> ((s, dir) => {
+      // Approximate IVF search — scale path. With trainIters = 0 the whole
+      // pipeline is deterministic (lowest-id seed centroids, rounded
+      // cosines, total-order tie-breaks), so the DuckDB oracle replays
+      // centroid choice, cell assignment, probe ranking, and final top-k
+      // bit-for-bit; recall vs brute force is measured in the spec.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(q, e.select(col("vec_id"), col("embedding")), k = 10)
+    }),
+    "q_similarity_ivf_capped" -> ((s, dir) => {
+      // q_similarity_ivf with the hot-cell salt-splitting valve ON
+      // (cellCap = 40 forces multi-salt cells even at sf0.01): the
+      // valve is output-INVARIANT by design, so this query runs
+      // against the UNCAPPED oracle replay — it passes iff salting
+      // changed the plan's balance and nothing else.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(q, e.select(col("vec_id"), col("embedding")),
+        k = 10, cellCap = 40)
+    }),
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupCosine(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_embedding_neardup_lsh" -> ((s, dir) =>
+      // Cell-blocked near-dup: the scale path for q_embedding_neardup.
+      // Approximate (cell-boundary pairs missed — recall vs the exact op
+      // asserted in ExtensionSpec) but DETERMINISTIC: seed centroids +
+      // rounded cosines + total-order tie-breaks, so the oracle replays
+      // the exact cell assignment and within-cell verification.
+      Similarity.nearDupCosineBlocked(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_embedding_srp" -> ((s, dir) =>
+      // Signed-random-projection signatures: md5-derived hyperplanes, so the
+      // 32 bits are reproduced exactly by the DuckDB oracle (hash check).
+      Similarity.srpSignatures(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))),
+    "q_embedding_neardup_srp" -> ((s, dir) =>
+      // Cosine-LSH near-dup with deterministic hyperplanes: the ONE
+      // approximate-similarity tier whose candidates and verdicts the SQL
+      // oracle replays bit-for-bit (IVF/cell tiers are rows-only instead).
+      Similarity.nearDupCosineSrp(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_embedding_neardup_srp_mp" -> ((s, dir) =>
+      // Multi-probe recall tier: band keys probed at Hamming distance <= 1
+      // (each 1-bit flip), equi-join preserved; the oracle states the rule
+      // closed-form via bit_count(xor(bk_a, bk_b)) <= 1. Superset of
+      // q_embedding_neardup_srp's result by construction.
+      Similarity.nearDupCosineSrpMultiProbe(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.4)),
+    "q_kcenter" -> ((s, dir) =>
+      // Greedy k-center (farthest-point traversal): 6 coverage-
+      // maximizing seeds from the embedding table; the dist column is
+      // the k-center radius sequence (the coverage curve).
+      Similarity.kCenterGreedy(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 6)),
+    "q_diversity_sample" -> ((s, dir) =>
+      // Embedding-space curation: cell-stratified deterministic subset —
+      // dense regions capped at perCell, sparse regions kept whole.
+      Similarity.diversitySample(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        perCell = 3)),
+    "q_quantize_int8" -> ((s, dir) =>
+      // Symmetric int8 embedding quantization — the 4x storage-compression
+      // step of an embedding pipeline. Exact-integer codes, exploded to
+      // (vec_id, dim, q) scalars so the hash compare sees no array cells.
+      Similarity.quantizeInt8(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .withColumn("dim", col("dim").cast("long"))),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval: BM25 top-50 (lexical) fused with cosine top-50
+      // around query vector 0 (doc_id and vec_id share the synthetic id
+      // space) by reciprocal-rank fusion — rank-only, so no score
+      // calibration across the two scorers, and exactly oracle-replayable.
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val text = TextAnalysis.bm25TopK(table(s, dir, "documents"),
+        queryTerms = Seq("join", "vector", "spark"), k = 50)
+      val q0 = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Similarity.bruteForceTopK(q0, emb, k = 50)
+      Retrieval.rrfFuse(
+        Seq((text, "doc_id", "rn"), (vec, "vec_id", "rank")), k0 = 60, topK = 20)
+    }),
+    "q_embedding_centroids" -> ((s, dir) =>
+      // Per-label centroids in exact 2^24 fixed-point (distributed float
+      // means are summation-order-dependent; integer sums are not).
+      Similarity.labelCentroids(table(s, dir, "embeddings"))),
+    "q_kmeans_step" -> ((s, dir) =>
+      // One hash-stable Lloyd iteration: deterministic lowest-id seeds,
+      // rounded-cosine nearest-centroid assignment (broadcast centroids,
+      // narrow map over the scan), refined centroids via exact 2^24
+      // fixed-point sums in ONE (cell, dim)-keyed map-side-combined agg.
+      Similarity.kmeansStep(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        nCentroids = 8)),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: embedding-space near-duplicate pruning — cluster with the
+      // deterministic seed centroids, keep the lowest-id member of every
+      // in-cell cosine-≥0.35 neighborhood. The oracle replays the cell
+      // assignment (same CTE as q_similarity_ivf) and the min-id keep rule.
+      Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35, nCentroids = 16)),
+    "q_gram_covariance" -> ((s, dir) =>
+      // Distributed covariance matrix of the embedding corpus (upper
+      // triangle, exact 2^12 fixed-point sums) — the PCA/whitening kernel.
+      // mapPartitions accumulates each partition's d×d outer product
+      // locally; shuffle is P·d² triples, independent of corpus size.
+      Similarity.gramCovariance(table(s, dir, "embeddings"))),
+    "q_grid_cluster" -> ((s, dir) =>
+      // Grid-density clustering of the embedding cloud (first two dims,
+      // 1/32 cells, minPts=3): dense cells connected through the shared
+      // CC label propagation — corpus collapses to cell counts in one
+      // aggregate; CC runs on the bounded dense-cell table.
+      Similarity.gridClusters(table(s, dir, "embeddings"))),
+    "q_knn_eval" -> ((s, dir) =>
+      // Leave-one-out 10-NN label eval over the first 50 vectors:
+      // neighbors vote (count desc, label tie-break), prediction vs own
+      // label in-row — embedding/label quality probe on the exact kernel.
+      Similarity.knnEval(table(s, dir, "embeddings"), nQueries = 50L, k = 10)),
+    "q_mmr_rerank" -> ((s, dir) =>
+      // Diversity reranking: greedy λ=0.7 MMR picking 5 of each query's
+      // 10-candidate pool — sequential over 5 STEPS, each a bounded
+      // per-query argmax on once-materialized pool/pair tables.
+      Similarity.mmrRerank(
+        table(s, dir, "embeddings").filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        poolK = 10, selectK = 5)),
+    "q_pca_power" -> ((s, dir) =>
+      // Top principal component by micro-quantized power iteration on the
+      // distributed covariance matrix — corpus touched ONCE (the Gramian
+      // pass); 12 iterations over d² tiny rows; deterministic trajectory
+      // incl. the eigenvector sign, replayed by the unrolled oracle.
+      Similarity.pcaPower(table(s, dir, "embeddings"))),
+    "q_fisher_ratio" -> ((s, dir) =>
+      // Which embedding dimensions separate the labels? Per-dim
+      // between/within scatter off exact fixed-point moments — the
+      // space-quality probe before q_knn_eval spends a classifier.
+      Similarity.fisherRatio(table(s, dir, "embeddings"))),
+    "q_mmd" -> ((s, dir) =>
+      // Did the embedding distribution drift between the even and odd
+      // vector populations? Linear-kernel MMD^2 = squared distance of
+      // the mean embeddings, nano-quantized per dimension.
+      graft.operators.Similarity.mmdLinear(
+        table(s, dir, "embeddings")
+          .withColumn("in_a", pmod(col("vec_id"), lit(2L)) === 0L),
+        "in_a")),
+    "q_random_projection" -> ((s, dir) =>
+      // Seed-free Rademacher JL reduction of the 64-dim embeddings to
+      // 4 dims: the +/-1 matrix derives from a multiplicative hash of
+      // (i, j), so re-runs and the oracle materialize the same matrix.
+      graft.operators.Similarity.randomProjection(
+        table(s, dir, "embeddings"), k = 4)),
+    "q_pq_encode" -> ((s, dir) =>
+      // Product-quantization codes: 64-dim embeddings -> 4 subspace
+      // codes from deterministic lowest-id codebooks, exact integer L2
+      // assignment — the ANN compression step next to q_similarity_ivf.
+      graft.operators.Similarity.pqEncode(
+        table(s, dir, "embeddings"), m = 4, k = 16)),
+    "q_pq_error" -> ((s, dir) =>
+      // Reconstruction quality of the PQ codes: per-vector total exact
+      // squared distance and per-coordinate RMSE in original units
+      // (64 = the corpus embedding dim, pinned with the oracle).
+      graft.operators.Similarity.pqEncode(
+        table(s, dir, "embeddings"), m = 4, k = 16)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).cast("long").as("n_subspaces"),
+          sum(col("dist2")).cast("long").as("dist2_total"))
+        .withColumn("rmse", expr(
+          "round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6)"))),
+    "q_ivf_recall" -> ((s, dir) => {
+      // recall@10 of the IVF path vs the exact cosine brute force —
+      // the partition-pruning twin of q_pq_recall's code-table number;
+      // together they certify both approximate search paths.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(q, corpus, k = 10),
+        Similarity.ivfTopK(q, corpus, k = 10))
+    }),
+    "q_l2_topk" -> ((s, dir) => {
+      // Exact Euclidean top-10 over quantized coordinates — the L2
+      // ground truth q_pq_recall measures the code table against
+      // (q_similarity_bruteforce is the cosine twin).
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.l2TopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")), topK = 10)
+    }),
+    "q_pq_recall" -> ((s, dir) => {
+      // recall@10 of the PQ-ADC search vs exact L2 per query — the
+      // measure-don't-guess number that validates m/k before the code
+      // table ships.
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqRecall(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 4, k = 16, topK = 10)
+    }),
+    "q_pq_train" -> ((s, dir) => {
+      // Lloyd-trained PQ codebook (2 refinement iterations seeded from
+      // the lowest-id convention) — exact integer centroid rounding,
+      // replayed by unrolled per-iteration CTEs like pageRank.
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.pqCodebookTrained(
+        e, m = 4, k = 16, iters = 2)
+    }),
+    "q_pq_rerank" -> ((s, dir) => {
+      // ADC search with exact re-ranking (FAISS-style refine): trained
+      // m=16/k=16 codes shortlist 400 candidates per query, exact
+      // integer L2 re-picks the top 10 — compressed-domain scan
+      // economics with measured recall >= 0.96 (BASELINE.md r11).
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqAdcRerankTopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 16, k = 16, topK = 10, rerank = 400, trainIters = 1)
+    }),
+    "q_pq_recall_rerank" -> ((s, dir) => {
+      // recall@10 of the rerank tier vs exact L2 — the certification
+      // number next to q_pq_recall's ADC-only value.
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.recallAtK(
+        graft.operators.Similarity.l2TopK(q, corpus, topK = 10),
+        graft.operators.Similarity.pqAdcRerankTopK(
+          q, corpus, m = 16, k = 16, topK = 10, rerank = 400,
+          trainIters = 1))
+    }),
+    "q_silhouette" -> ((s, dir) => {
+      // Simplified (centroid) silhouette per IVF cell — the cluster-
+      // quality number for the search partition, on the exact
+      // deterministic cell ranking the IVF oracle replays.
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.silhouetteCells(e, nCentroids = 16)
+    }),
+    "q_pq_adc" -> ((s, dir) => {
+      // PQ search by asymmetric distance: per-query codeword lookup
+      // tables (exact integer L2), corpus scanned as CODES only —
+      // the compressed-domain sibling of q_similarity_bruteforce/ivf.
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 8L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id"), col("embedding")),
+        m = 4, k = 16, topK = 10)
+    }),
+    "q_kmeans_lloyd" -> ((s, dir) =>
+      // Three CHAINED hash-stable Lloyd rounds (q_kmeans_step is round
+      // 1 of this exact trajectory): fixed-point means + float-cast
+      // centroids keep every round's assignment engine-exact, so the
+      // oracle replays the whole multi-round training run.
+      graft.operators.Similarity.kmeansLloydExact(
+        table(s, dir, "embeddings"), nCentroids = 8, rounds = 3)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_similarity_bruteforce" ->
+      s"""WITH $normCte,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "q_similarity_ivf" -> ivfOracleSql,
+    // the salt-splitting cellCap valve is output-invariant, so the
+    // capped query verifies against the SAME uncapped replay
+    "q_similarity_ivf_capped" -> ivfOracleSql,
+    "q_embedding_neardup" ->
+      s"""WITH $normCte,
+         |scored AS (
+         |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_neardup_lsh" ->
+      // mirrors Similarity.nearDupCosineBlocked at nCentroids = 16: same
+      // deterministic cell ranking as the IVF oracle but TOP-2 assignment
+      // (multi-assignment recall trick), then exact verification within
+      // cells only; DISTINCT dedups pairs sharing both cells
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r <= 2)
+         |SELECT DISTINCT vec_a, vec_b, sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosineSqlExprAs("a", "b")}, 6) AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_srp" ->
+      s"""SELECT vec_id, ${srpSigSqlExpr(32)} AS srp_sig
+         |FROM (SELECT vec_id, embedding AS e FROM embeddings)""".stripMargin,
+    "q_embedding_neardup_srp" ->
+      s"""WITH $normCte,
+         |sigs AS (SELECT vec_id, ${srpSigSqlExpr(32)} AS sig
+         |         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         |bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bk
+         |          FROM sigs, range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.bk = y.bk AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT cand.vec_a, cand.vec_b, round($cosineSqlExpr, 6) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
+         |            JOIN n c ON c.vec_id = cand.vec_b)
+         |WHERE sim >= 0.4""".stripMargin,
+    "q_embedding_neardup_srp_mp" ->
+      // same band CTEs as q_embedding_neardup_srp; the multi-probe rule is
+      // closed-form: same band, keys within Hamming distance 1
+      s"""WITH $normCte,
+         |sigs AS (SELECT vec_id, ${srpSigSqlExpr(32)} AS sig
+         |         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         |bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bk
+         |          FROM sigs, range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND bit_count(xor(x.bk, y.bk)) <= 1
+         |          AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT cand.vec_a, cand.vec_b, round($cosineSqlExpr, 6) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.vec_a
+         |            JOIN n c ON c.vec_id = cand.vec_b)
+         |WHERE sim >= 0.4""".stripMargin,
+    "q_kcenter" -> kCenterOracle,
+    "q_diversity_sample" ->
+      // same deterministic cell assignment as the IVF oracle, then md5-
+      // ordered row_number per cell
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1)
+         |SELECT vec_id, cell, rk FROM (
+         |  SELECT vec_id, cell,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         |  FROM assign)
+         |WHERE rk <= 3""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding AS e,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |FROM embeddings),
+        |q AS (SELECT vec_id, round(ma/127, 6) AS scale,
+        |  CASE WHEN ma = 0 THEN [0 FOR x IN e]
+        |       ELSE [CAST(round(CAST(x AS DOUBLE)*127/ma) AS INTEGER) FOR x IN e]
+        |  END AS qvec
+        |FROM m)
+        |SELECT vec_id, scale, CAST(i - 1 AS BIGINT) AS dim, qvec[i] AS q
+        |FROM (SELECT vec_id, scale, qvec, unnest(range(1, len(qvec)+1)) AS i FROM q)""".stripMargin,
+    "q_rrf_fusion" ->
+      // Replays BM25 top-50 (same CTEs as q_bm25), cosine top-50 around
+      // vector 0 (same norm/rounding as q_similarity_ivf), then the
+      // 1/(60+rank) fusion: a <=2-element double sum is order-independent
+      // (IEEE addition is commutative), rank by rounded rrf desc, id.
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('join', 'vector', 'spark') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc),
+        |scored AS (
+        |  SELECT tf.doc_id, round(SUM(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN perdoc USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |trank AS (SELECT doc_id AS id, rn FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn <= 50),
+        |n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q0 AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |vrank AS (SELECT vec_id AS id, rk FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk FROM (
+        |    SELECT n.vec_id,
+        |      round(list_sum([CAST(n.embedding[i] AS DOUBLE)*CAST(q0.qv[i] AS DOUBLE)
+        |  FOR i IN range(1, len(n.embedding)+1)]) / (n.nrm * q0.qn), 6) AS sim
+        |    FROM n CROSS JOIN q0 WHERE n.vec_id != 0))
+        |  WHERE rk <= 50),
+        |u AS (SELECT id, CAST(1 AS DOUBLE) / (60 + rn) AS c FROM trank
+        |  UNION ALL SELECT id, CAST(1 AS DOUBLE) / (60 + rk) FROM vrank),
+        |f AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    round(SUM(c), 6) AS rrf FROM u GROUP BY id)
+        |SELECT id, n_lists, rrf, CAST(r AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS r FROM f)
+        |WHERE r <= 20""".stripMargin,
+    "q_embedding_centroids" ->
+      // 2^24 fixed-point mean: float->double is exact, the scaled products
+      // are exact integers (24-bit mantissas, |x| < 2^15), so the integer
+      // SUM is order-independent — both engines compute identical doubles
+      """WITH ex AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT) AS fx
+        |  FROM (SELECT label, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings))
+        |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
+        |FROM ex GROUP BY label, dim""".stripMargin,
+    "q_kmeans_step" ->
+      // Replays the Lloyd step: lowest-id seeds, rounded-cosine argmax
+      // assignment (cell-id tie-break — the q_similarity_ivf pattern),
+      // then the same 2^24 fixed-point mean as q_embedding_centroids.
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+        |  FROM n ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, embedding, cell FROM (
+        |    SELECT q.vec_id, q.embedding, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.cvec[i] AS DOUBLE)
+        |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.cnrm), 6) DESC, c.cell) AS r
+        |    FROM n q CROSS JOIN cent c)
+        |  WHERE r = 1),
+        |ex AS (SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 16777216) AS BIGINT) AS fx
+        |  FROM (SELECT cell, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i
+        |        FROM a))
+        |SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 16777216, 6) AS centroid
+        |FROM ex GROUP BY cell, dim""".stripMargin,
+    "q_semdedup" ->
+      // same deterministic cell assignment as the IVF oracle; drop any
+      // vector with a lower-id in-cell neighbor at rounded cosine >= 0.35
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSqlExprAs("a", "b")}, 6) >= 0.35)
+         |SELECT vec_id, cell FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "q_gram_covariance" ->
+      // 2^12 fixed-point quantization (Spark round = DuckDB round, the
+      // q_kmeans_step precedent), exact integer sums, then identical
+      // double arithmetic for the covariance; q² = 4096² = 16777216
+      """WITH x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, embedding AS e,
+        |          unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+        |p AS (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS s_ij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2),
+        |m AS (SELECT dim, CAST(SUM(xq) AS BIGINT) AS m FROM x GROUP BY dim),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT p.i, p.j, n, s_ij, ma.m AS m_i, mb.m AS m_j,
+        |  round((CAST(s_ij AS DOUBLE) / n -
+        |    (CAST(ma.m AS DOUBLE) / n) * (CAST(mb.m AS DOUBLE) / n))
+        |    / 16777216.0, 8) AS cov
+        |FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim, n""".stripMargin,
+    "q_grid_cluster" ->
+      // reachability closure over 8-adjacent dense cells — same
+      // recursive-CTE fixpoint as q_dedup_components' oracle
+      """WITH RECURSIVE cells AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 32) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 32) AS BIGINT) AS cy,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |dense AS (SELECT cx, cy, n,
+        |    (cx + 1000) * 1000000 + (cy + 1000) AS id
+        |  FROM cells WHERE n >= 3),
+        |und AS (SELECT a.id AS u, b.id AS v FROM dense a JOIN dense b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.id <> b.id),
+        |reach(u, v) AS (
+        |  SELECT id, id FROM dense
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+        |SELECT cx, cy, n, comp.cluster
+        |FROM dense JOIN (SELECT u AS id, CAST(MIN(v) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY u) comp USING (id)""".stripMargin,
+    "q_knn_eval" ->
+      s"""WITH $normCte,
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    round($cosineSqlExpr, 6) AS sim
+         |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id),
+         |top AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rank FROM scored) WHERE rank <= 10),
+         |votes AS (SELECT t.qid, CAST(e.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM top t JOIN embeddings e ON t.vec_id = e.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT qid, label AS pred_label, n_votes FROM (
+         |    SELECT qid, label, n_votes, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY n_votes DESC, label) AS rn FROM votes) WHERE rn = 1)
+         |SELECT p.qid, p.pred_label, p.n_votes,
+         |  CAST(e.label AS BIGINT) AS true_label,
+         |  (p.pred_label = CAST(e.label AS BIGINT)) AS correct
+         |FROM pred p JOIN embeddings e ON p.qid = e.vec_id""".stripMargin,
+    "q_mmr_rerank" ->
+      s"""WITH $normCte,
+         |pool AS MATERIALIZED (SELECT qid, vec_id, sim AS rel FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |      round($cosineSqlExpr, 6) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 10),
+         |pairs AS MATERIALIZED (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+         |    round(list_sum([CAST(q.embedding[i] AS DOUBLE) *
+         |        CAST(c.embedding[i] AS DOUBLE)
+         |      FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * c.nrm), 6)
+         |      AS psim
+         |  FROM pool x JOIN pool y ON x.qid = y.qid AND x.vec_id != y.vec_id
+         |  JOIN n q ON q.vec_id = x.vec_id JOIN n c ON c.vec_id = y.vec_id),
+         |${graft.operators.Similarity.mmrSql(selectK = 5)}""".stripMargin,
+    "q_pca_power" -> pcaPowerOracleSql,
+    "q_fisher_ratio" ->
+      s"""WITH ex AS (SELECT label AS lbl,
+         |    generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding) AS x FROM embeddings),
+         |qv AS (SELECT lbl, CAST(dim AS BIGINT) AS dim,
+         |    CAST(ROUND(CAST(x AS DOUBLE) * 16777216, 0) AS BIGINT) AS q
+         |  FROM ex),
+         |per AS (SELECT dim, lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+         |      AS sq
+         |  FROM qv GROUP BY 1, 2),
+         |pm AS (SELECT dim, lbl, n, s, sq,
+         |    CAST(ROUND(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS mu
+         |  FROM per),
+         |gl AS (SELECT dim,
+         |    CAST(ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 0) AS BIGINT)
+         |      AS mug
+         |  FROM pm GROUP BY 1),
+         |t AS (SELECT pm.dim,
+         |    sq - CAST(mu AS DECIMAL(38,0)) * s * 2
+         |      + CAST(n AS DECIMAL(38,0)) * mu * mu AS w_l,
+         |    CAST(n AS DECIMAL(38,0)) * (mu - mug) * (mu - mug) AS b_l
+         |  FROM pm JOIN gl USING (dim)),
+         |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS k_labels,
+         |    CAST(SUM(w_l) AS DECIMAL(38,0)) AS w,
+         |    CAST(SUM(b_l) AS DECIMAL(38,0)) AS b
+         |  FROM t GROUP BY 1)
+         |SELECT dim, k_labels,
+         |  ${graft.operators.Similarity.fisherSql} AS fisher,
+         |  CAST(w AS VARCHAR) AS w, CAST(b AS VARCHAR) AS b
+         |FROM a""".stripMargin,
+    "q_mmd" ->
+      s"""WITH x AS (SELECT vec_id % 2 = 0 AS a, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding AS e,
+         |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+         |p AS (SELECT dim,
+         |    CAST(SUM(CASE WHEN a THEN xq ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+         |    CAST(SUM(CASE WHEN NOT a THEN xq ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb_d
+         |  FROM x GROUP BY 1),
+         |t AS (SELECT dim, na_d, nb_d,
+         |    ${graft.operators.Similarity.mmdTermNanoSql} AS term FROM p),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         |    CAST(MAX(na_d) AS BIGINT) AS n_a,
+         |    CAST(MAX(nb_d) AS BIGINT) AS n_b,
+         |    CAST(SUM(term) AS BIGINT) AS s_nano FROM t)
+         |SELECT d, n_a, n_b, s_nano,
+         |  ${graft.operators.Similarity.mmdSql} AS mmd2
+         |FROM g""".stripMargin,
+    "q_random_projection" ->
+      s"""WITH x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(e[i] AS DOUBLE) * 4096, 0) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding AS e,
+         |      unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+         |jj AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS j),
+         |t AS (SELECT vec_id, j, xq,
+         |    ${graft.operators.Similarity.rpSignSql} AS sgn
+         |  FROM x CROSS JOIN jj)
+         |SELECT vec_id, j, CAST(SUM(xq * sgn) AS BIGINT) AS y_q,
+         |  round(CAST(SUM(xq * sgn) AS DOUBLE) / 4096, 6) AS y
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH $pqEncodeCtes
+         |SELECT vec_id, subspace, code, dist2 FROM pq""".stripMargin,
+    "q_pq_error" ->
+      s"""WITH $pqEncodeCtes,
+         |g AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_subspaces,
+         |    CAST(SUM(dist2) AS BIGINT) AS dist2_total
+         |  FROM pq GROUP BY 1)
+         |SELECT vec_id, n_subspaces, dist2_total,
+         |  round(sqrt(CAST(dist2_total AS DOUBLE) / 64) / 4096, 6) AS rmse
+         |FROM g""".stripMargin,
+    "q_ivf_recall" ->
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c)
+         |  WHERE r <= 2),
+         |probes AS (SELECT qid, embedding, nrm, cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding, q.nrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |    FROM n q CROSS JOIN cent c WHERE q.vec_id < 8)
+         |  WHERE r <= 4),
+         |ivfres AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM (SELECT DISTINCT p.qid, a.vec_id,
+         |          round(${cosineSqlExprAs("p", "a")}, 6) AS sim
+         |        FROM probes p JOIN assign a ON p.cell = a.cell
+         |          AND a.vec_id != p.qid))
+         |  WHERE rank <= 10),
+         |bfs AS (SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cosineSqlExpr, 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT bfs.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN ivfres.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN ivfres.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bfs LEFT JOIN ivfres ON ivfres.qid = bfs.qid
+         |  AND ivfres.vec_id = bfs.vec_id
+         |GROUP BY 1""".stripMargin,
+    "q_l2_topk" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, i, xq AS qq FROM x
+         |  WHERE vec_id < 8),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qq - x.xq) * (qq - x.xq)) AS BIGINT) AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, vec_id, dist2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist2, vec_id) AS BIGINT) AS rank FROM bf)
+         |WHERE rank <= 10""".stripMargin,
+    "q_pq_recall" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, subspace, i, xq FROM x
+         |  WHERE vec_id < 8),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qx.xq - x.xq) * (qx.xq - x.xq)) AS BIGINT) AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2),
+         |bft AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+         |      AS rn FROM bf) WHERE rn <= 10),
+         |adc AS (SELECT qid, qx.subspace, cb.code,
+         |    CAST(SUM((qx.xq - cb.cq) * (qx.xq - cb.cq)) AS BIGINT) AS d2
+         |  FROM qx JOIN cb ON cb.subspace = qx.subspace AND cb.i = qx.i
+         |  GROUP BY 1, 2, 3),
+         |ap AS (SELECT adc.qid, pq.vec_id,
+         |    CAST(SUM(adc.d2) AS BIGINT) AS adc_dist2
+         |  FROM pq JOIN adc ON adc.subspace = pq.subspace
+         |    AND adc.code = pq.code
+         |  WHERE pq.vec_id <> adc.qid GROUP BY 1, 2),
+         |adct AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist2, vec_id) AS rn FROM ap) WHERE rn <= 10)
+         |SELECT bft.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bft LEFT JOIN adct ON adct.qid = bft.qid
+         |  AND adct.vec_id = bft.vec_id
+         |GROUP BY 1""".stripMargin,
+    "q_pq_train" ->
+      s"""WITH ${pqTrainedCtes(4, 16, 2)}
+         |SELECT code, subspace, i, cq FROM cb_2""".stripMargin,
+    "q_pq_rerank" ->
+      s"""WITH ${pqTrainedCtes(16, 16, 1)},
+         |${pqRerankCtes("cb_1", 400)}
+         |SELECT qid, vec_id, dist2, rank FROM (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist2, vec_id) AS BIGINT) AS rank FROM rer)
+         |WHERE rank <= 10""".stripMargin,
+    "q_pq_recall_rerank" ->
+      s"""WITH ${pqTrainedCtes(16, 16, 1)},
+         |${pqRerankCtes("cb_1", 400)},
+         |rrt AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist2, vec_id) AS rn FROM rer) WHERE rn <= 10),
+         |bf AS (SELECT qid, x.vec_id,
+         |    CAST(SUM((qx.xq - x.xq) * (qx.xq - x.xq)) AS BIGINT)
+         |      AS dist2
+         |  FROM x JOIN qx ON qx.i = x.i WHERE x.vec_id <> qx.qid
+         |  GROUP BY 1, 2),
+         |bft AS (SELECT qid, vec_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+         |      AS rn FROM bf) WHERE rn <= 10)
+         |SELECT bft.qid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN rrt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  round(CAST(SUM(CASE WHEN rrt.vec_id IS NOT NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM bft LEFT JOIN rrt ON rrt.qid = bft.qid
+         |  AND rrt.vec_id = bft.vec_id
+         |GROUP BY 1""".stripMargin,
+    "q_silhouette" ->
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cell, embedding, nrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |d AS (SELECT q.vec_id, c.cell,
+         |    round($cosineSqlExpr, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($cosineSqlExpr, 6) DESC, c.cell) AS r
+         |  FROM n q CROSS JOIN cent c),
+         |pv AS (SELECT vec_id,
+         |    CAST(MAX(CASE WHEN r = 1 THEN cell END) AS BIGINT) AS cell,
+         |    MAX(CASE WHEN r = 1 THEN sim END) AS sim_own,
+         |    MAX(CASE WHEN r = 2 THEN sim END) AS sim_next
+         |  FROM d WHERE r <= 2 GROUP BY 1),
+         |sm AS (SELECT cell,
+         |    ${graft.operators.Similarity.silhouetteMicroSql} AS s_micro
+         |  FROM pv),
+         |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(s_micro) AS BIGINT) AS s_sum,
+         |    CAST(COUNT(s_micro) AS BIGINT) AS s_n
+         |  FROM sm GROUP BY 1)
+         |SELECT cell, n, s_sum, s_n,
+         |  CASE WHEN s_n > 0 THEN
+         |    round(CAST(s_sum AS DOUBLE) / s_n / 1e6, 6) END AS s_mean
+         |FROM g""".stripMargin,
+    "q_pq_adc" ->
+      s"""WITH $pqEncodeCtes,
+         |qx AS (SELECT vec_id AS qid, subspace, i, xq FROM x
+         |  WHERE vec_id < 8),
+         |adc AS (SELECT qid, qx.subspace, cb.code,
+         |    CAST(SUM((qx.xq - cb.cq) * (qx.xq - cb.cq)) AS BIGINT) AS d2
+         |  FROM qx JOIN cb ON cb.subspace = qx.subspace AND cb.i = qx.i
+         |  GROUP BY 1, 2, 3),
+         |ap AS (SELECT adc.qid, pq.vec_id,
+         |    CAST(SUM(adc.d2) AS BIGINT) AS adc_dist2
+         |  FROM pq JOIN adc ON adc.subspace = pq.subspace
+         |    AND adc.code = pq.code
+         |  WHERE pq.vec_id <> adc.qid GROUP BY 1, 2)
+         |SELECT qid, vec_id, adc_dist2, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank FROM ap)
+         |WHERE rank <= 10""".stripMargin,
+    "q_kmeans_lloyd" ->
+      graft.operators.Similarity.kmeansLloydOracleSql(
+        nCentroids = 8, rounds = 3),
+  )
+}

@@ -1,0 +1,816 @@
+package graft
+
+import graft.operators.{Dedup, Eval, Multimodal, Normalize, Profiling, Retrieval, RuntimeFilter, Sampling, Sessionize, Similarity, Survival, TextAnalysis, Urls}
+import graft.sources.ElbLogParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Materialize.MaterializeOps
+import graft.SparkEntry._
+
+/** Streaming-family driver registrations — one slice of [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] (the round-14 monolith split: same entries,
+  * same names, merged with a duplicate-key guard in SparkEntry). */
+private[graft] object StreamingEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize_stream" -> ((s, dir) => {
+      // The REAL Structured-Streaming path (flatMapGroupsWithState +
+      // watermark + EventTimeTimeout), driven to completion over the file
+      // source and drained into a memory sink. One trigger sees all data, so
+      // the result equals batch full-rule sessionize (proven per-trigger-
+      // split-independent in StreamingSpec) — and therefore shares the
+      // recursive-CTE oracle (fullSessionizeSql): a streaming-tier drift
+      // from batch semantics now fails the HASH gate, not just a spec.
+      // RocksDB state store for reference parity (set in runToFiles).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = normalizeTs(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      val sessionized = graft.streaming.SessionizeStream.sessionizeEvents(src)
+      runToFiles(s, sessionized.toDF())
+        .select(
+          col("tieBreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("tsMillis").as("ts_ms"),
+          col("sessionId").as("session_id"),
+          col("sessionIdx").as("session_idx"),
+          col("duration"))
+    }),
+    "q_sessionize_stream_tws" -> ((s, dir) => {
+      // The transformWithState tier (Spark 4 stateful API, SPARK-40434) of
+      // the same streaming sessionizer — typed ValueState handle +
+      // declarative TTL instead of flatMapGroupsWithState's per-call
+      // wrapper. REQUIRES the RocksDB provider (set in runToFiles).
+      // TimeMode.None for replay: no timers, so processAllAvailable drains.
+      // Shares the recursive-CTE oracle with the batch machine; cross-tier
+      // equality is additionally asserted in CrossImplFuzzSpec/StreamingSpec.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = normalizeTs(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("ts"),
+          col("event_id").as("tieBreak"))
+      val sessionized = graft.streaming.SessionizeProcessor.sessionize(src)
+      runToFiles(s, sessionized.toDF())
+        .select(
+          col("tieBreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("tsMillis").as("ts_ms"),
+          col("sessionId").as("session_id"),
+          col("sessionIdx").as("session_idx"),
+          col("duration"))
+    }),
+    "q_stream_psi_drift" -> ((s, dir) => {
+      // IN-STREAM drift monitoring: the current sample arrives as a
+      // stream, buckets against the BROADCAST baseline edges (stream-
+      // static join — the stateful part is one per-bucket count in
+      // complete mode), and the drained counts compose with the batch
+      // baseline through the same PSI assembly as q_psi_drift — so the
+      // two queries share one oracle formula.
+      val evB = table(s, dir, "events")
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = evB.filter(pmod(col("user_id"), lit(2L)) === 0L).select(col("cents"))
+      val edges = Profiling.psiEdges(base, "cents")
+      val baseCounts = base.crossJoin(edges)
+        .select(Profiling.psiBucket("cents").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_base"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val cur = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .filter(pmod(col("user_id"), lit(2L)) =!= 0L)
+        .crossJoin(edges)
+        .select(Profiling.psiBucket("cents").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("n_cur"))
+      val curCounts = runToMemory(s, cur, "complete")
+      Profiling.psiFromCounts(
+        Profiling.psiCountsSpine(baseCounts, curCounts, 10), 10)
+    }),
+    "q_stream_keyword_alert" -> ((s, dir) => {
+      // The same spotting over a document STREAM, rolled up per needle in
+      // complete mode — the alerting tier of the content filter; shares
+      // the batch formula's oracle rollup.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = TextAnalysis
+        .keywordSpot(src, Seq("join", "vector", "spark", "data"))
+        .groupBy(col("needle"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_hits")).cast("long").as("total_hits"))
+      runToMemory(s, agg, "complete")
+    }),
+    "q_streaming_update" -> ((s, dir) => {
+      // UPDATE output mode — the third Structured-Streaming mode (complete
+      // and append are covered above): emits only rows whose aggregate
+      // changed in the trigger. The single events.parquet file arrives as
+      // one microbatch, so every group changes exactly once and the update
+      // stream equals the full aggregate — which is what the oracle checks;
+      // multi-batch replays would interleave intermediate states (a
+      // changelog, documented here, not claimed deterministic in general).
+      val agg = eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "update")
+    }),
+
+    "q_stream_funnel" -> ((s, dir) => {
+      // Streaming ordered funnel: flatMapGroupsWithState with three-long
+      // per-user state (no event buffering). Single-file source = one
+      // microbatch, so the update stream equals the batch funnel — the
+      // oracle is literally q_funnel's.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .otherwise(3).as("step"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[graft.streaming.StreamingFunnel.Ev]
+      runToMemory(s, graft.streaming.StreamingFunnel.funnel3(ev).toDF(), "update")
+    }),
+
+    "q_stream_cusum" -> ((s, dir) => {
+      // Streaming two-sided CUSUM over per-event spend: two-long per-user
+      // state, update-mode changelog. Single-file source = one microbatch,
+      // so the fold equals the batch recurrence — the oracle replays it
+      // with a recursive CTE in event order.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingCusum.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingCusum.cusum(ev,
+          target = 500L, drift = 50L, threshold = 2000L).toDF(), "update")
+    }),
+    "q_stream_cadence" -> ((s, dir) => {
+      // Streaming bot screen: five-long per-user state (exact gap
+      // moments + last position), update-mode one-row-per-key
+      // changelog; cv/is_regular finish with the SAME shared SQL the
+      // batch operator and oracle use. Single-file source = one
+      // microbatch, so moments equal the batch fold.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"))
+        .as[graft.streaming.StreamingCadence.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingCadence.cadence(ev).toDF(), "update")
+        .withColumn("cv", expr(Sessionize.cadenceCvSql))
+        .withColumn("is_regular",
+          expr(s"${Sessionize.cadenceCvSql} < 0.1 AND n_gaps >= 5"))
+    }),
+    "q_stream_foreach_merge" -> ((s, dir) => {
+      // foreachBatch incremental-merge sink (MergeSink): update-mode per-user
+      // counts merged into a versioned parquet serving table batch by batch —
+      // the "streaming aggregate → queryable store without native upsert"
+      // production pattern, effectively-once via per-batchId idempotent
+      // republish. The single-file source is one batch here, so the final
+      // version equals the batch aggregate (what the oracle checks);
+      // multi-batch merging and crash-replay idempotency are pinned in
+      // StreamingSpec.
+      val agg = eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runMergeSink(s, agg, Seq("user_id"))
+    }),
+    "q_streaming_window" -> ((s, dir) => {
+      // Streaming tumbling-window aggregation (complete mode, memory sink):
+      // the windowed-agg surface of Structured Streaming with a full SQL
+      // oracle — window(ts, 6h) is UTC-epoch-aligned, so the oracle is pure
+      // integer bucket math.
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      runToMemory(s, agg, "complete")
+    }),
+    "q_streaming_sliding" -> ((s, dir) => {
+      // SLIDING (hopping) window aggregation — tumbling's overlapping
+      // sibling: every event lands in windowLen/slide = 2 windows. The
+      // oracle replays Spark's epoch-aligned window set exactly: starts =
+      // {floor(ms/slide)·slide − slide, floor(ms/slide)·slide}.
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      runToMemory(s, agg, "complete")
+    }),
+    "q_dedup_stream" -> ((s, dir) => {
+      // Streaming exact dedup (dropDuplicates state): emits each user_id the
+      // first time it is seen. Projected to the key before dedup, so the
+      // result set is deterministic and oracle-checkable. Drained through
+      // the parquet FILE sink (append mode): executor→disk, no driver hop.
+      val distinctUsers = eventsStream(s, dir).select(col("user_id")).dropDuplicates("user_id")
+      runToFiles(s, distinctUsers)
+    }),
+    "q_stream_dedup_watermark" -> ((s, dir) => {
+      // dropDuplicatesWithinWatermark: streaming dedup whose per-key state
+      // is EVICTED once the watermark passes — the bounded-state variant of
+      // q_dedup_stream (whose dropDuplicates state grows forever). At 100 TB
+      // this is the only sustainable streaming-dedup shape: state holds one
+      // watermark window of keys, not the full history. Key-only projection
+      // keeps the kept-row choice deterministic for the oracle.
+      val dedup = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToFiles(s, dedup)
+    }),
+    "q_stream_static_join" -> ((s, dir) => {
+      // Stream-static enrichment join (the 100 TB streaming pattern: facts
+      // stream, dimension broadcast per microbatch) + stateful agg.
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, joined, "complete")
+    }),
+    "q_stream_stream_join" -> ((s, dir) => {
+      // Stream-stream interval self-join: purchases matched to the same
+      // user's clicks within the preceding hour. Watermarks + the time-range
+      // condition bound the join state on both sides (append mode) — the
+      // real Structured Streaming two-stream path. Determinism caveat: the
+      // 60 s watermark against a 1 h join interval is safe HERE because the
+      // single events.parquet file arrives as one microbatch (and
+      // StreamingJoinSpec's chunked replay feeds event-time-ordered chunks);
+      // a source that splits time-unsorted data across microbatches could
+      // late-drop rows >60 s behind the max seen event time. Size the
+      // watermark to the data's maximum disorder in such deployments.
+      val ev = eventsStream(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "60 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "60 seconds")
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
+      runToFiles(s, j)
+    }),
+    "q_stream_quality_gate" -> ((s, dir) => {
+      // The batch text operators run UNCHANGED on a stream: qualityScore
+      // (narrow maps) over a documents file-source stream, aggregated per
+      // verdict in complete mode. Proves the ingest gate composes with
+      // Structured Streaming; oracle = the shared qualityCte replay.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = TextAnalysis.qualityScore(src)
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+    }),
+    "q_stream_dedup_docs" -> ((s, dir) => {
+      // Streaming exact CONTENT dedup: first occurrence per md5(text),
+      // projected to the digest so the emitted set is deterministic
+      // (the q_dedup_stream pattern, on content instead of keys).
+      // Executor→disk drain via the parquet file sink.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      runToFiles(s, src.select(md5(col("text")).as("text_md5"))
+        .dropDuplicates("text_md5"))
+    }),
+    "q_stream_elb_source" -> ((s, dir) => {
+      // The reference's streaming file-source path (EP1) on the NATIVE
+      // DSv2 connector: readStream.format("elb") over synthesized log
+      // files, drained executor→disk. Same oracle as q_parse_elb — the
+      // MicroBatchStream tier must reproduce the batch parse exactly.
+      val lines = table(s, dir, "events").select(
+        format_string(
+          "%s elb u%d:%d 10.0.0.1:80 0.0 0.0 0.0 200 200 0 699 GET http://x/y HTTP/1.1",
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("user_id"),
+          col("event_id")).as("value"))
+      val root = streamTempRoot("graft_elbs_")
+      lines.write.mode("overwrite").text(root.toString)
+      val result = runToFiles(s,
+        s.readStream.format("elb").load(root.toString)
+          .select(col("ip"), col("ts_ms")))
+      deleteRecursively(root.toFile)
+      result
+    }),
+    "q_stream_interval_left_join" -> ((s, dir) => {
+      // Stream-stream LEFT OUTER interval join — the completion-semantics
+      // tier above q_stream_stream_join: unmatched purchases emit with null
+      // click columns only once the global watermark proves no matching
+      // click can still arrive (p_ts < min(max p_ts, max c_ts) - 60 s; the
+      // oracle applies that exact cutoff). Same bounded-state interval
+      // condition as the inner variant.
+      val ev = eventsStream(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "60 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "60 seconds")
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+        .select(col("p_id"), col("c_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("c_ts")).as("c_ts_ms"))
+      runToFiles(s, j)
+    }),
+    "q_stream_lsh_dedup" -> ((s, dir) => {
+      // Online MinHash-LSH near-dup admission: foreachBatch keeps a
+      // persistent band-key index; a doc is admitted iff no band key
+      // collided with any earlier (lower-id / prior-batch) document. The
+      // oracle states the batching-invariant rule closed-form over the
+      // replayed band CTEs.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val root = streamTempRoot("graft_lsh_")
+      val idx = root.resolve("bands").toString
+      val out = root.resolve("admitted").toString
+      val ckpt = root.resolve("_checkpoint").toString
+      withStreamingConfs(s) {
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(graft.streaming.LshDedupSink.admitBatch(idx, out) _)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val result = s.read.parquet(out).select(col("doc_id")).materialize
+      deleteRecursively(root.toFile)
+      result
+    }),
+    "q_stream_budget_admit" -> ((s, dir) => {
+      // Online token-budget admission: per-source budgets enforced on the
+      // arriving stream in id order, per-source running totals handed off
+      // across microbatches (k-row state, never per-doc). The rule is
+      // batching-invariant, so the oracle states it closed-form: admitted
+      // ⇔ same-source lower-id token sum < budget.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val w = table(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("weight", (ascii(substring(col("source"), -1, 1)) % 3 + 1).cast("long"))
+      val denom = w.agg(sum(col("weight")).cast("long").as("__denom"))
+      val budgets = w.crossJoin(broadcast(denom))
+        .select(col("source"),
+          floor(lit(10000L).cast("double") * col("weight").cast("double") /
+            col("__denom").cast("double")).as("budget"))
+        .materialize
+      val root = streamTempRoot("graft_budget_")
+      val state = root.resolve("state").toString
+      val out = root.resolve("admitted").toString
+      val ckpt = root.resolve("_checkpoint").toString
+      withStreamingConfs(s) {
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(graft.streaming.BudgetAdmitSink.admitBatch(state, out, budgets) _)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val result = s.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+        .materialize
+      deleteRecursively(root.toFile)
+      result
+    }),
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      // The exact heavy-hitters rollup over a document STREAM: token
+      // counts aggregate in complete mode (the streaming-state half);
+      // the support threshold joins against the drained totals. Shares
+      // q_heavy_hitters' oracle.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val counts = src.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("freq"))
+      val drained = runToMemory(s, counts, "complete")
+      val total = drained.agg(sum(col("freq")).cast("double").as("total"))
+      drained.crossJoin(broadcast(total))
+        .filter(col("freq").cast("double") > col("total") * 0.002)
+        .select(col("token"), col("freq"))
+    }),
+    "q_stream_kmv" -> ((s, dir) => {
+      // Streaming distinct-user estimate per event type via the mergeable
+      // KMV Aggregator — state is 64 longs per group no matter how long
+      // the stream runs; shares the batch KMV oracle shape.
+      val kmv = udaf(new graft.functions.KmvSketchAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hashed = eventsStream(s, dir).select(col("event_type"),
+        graft.functions.TextFunctions.tokenHash60(
+          col("user_id").cast("string")).as("h"))
+      val agg = hashed.groupBy(col("event_type")).agg(kmv(col("h")).as("kmv"))
+      runToMemory(s, agg, "complete")
+        .select(col("event_type"), col("kmv.n_k").as("n_k"),
+          col("kmv.h_k").as("h_k"))
+        .withColumn("est_distinct",
+          when(col("n_k") === 64L,
+            round((col("n_k") - 1).cast("double") * lit(math.pow(2, 60)) /
+              col("h_k").cast("double"), 6))
+            .otherwise(col("n_k").cast("double")))
+    }),
+    "q_stream_ohlc" -> ((s, dir) =>
+      // The same bars as a STREAMING aggregate: row_number isn't legal in
+      // a streaming agg, so open/close become min_by/max_by over the
+      // combined (ts, event_id) key — shares q_ohlc_bars' oracle text.
+      runToMemory(s, eventsStream(s, dir)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("bar_start_ms", expr("(ms DIV 21600000L) * 21600000L"))
+        .withColumn("tkey",
+          expr("(ms - 1700000000000L) * 100000000L + event_id"))
+        .groupBy(col("event_type"), col("bar_start_ms"))
+        .agg(min_by(col("cents"), col("tkey")).as("open"),
+          max(col("cents")).as("high"), min(col("cents")).as("low"),
+          max_by(col("cents"), col("tkey")).as("close"),
+          count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("volume")), "complete")),
+    "q_stream_srm" -> ((s, dir) =>
+      // The SRM gate as an in-stream monitor: per-arm event counts in a
+      // complete-mode aggregate, chi-square on the drained cells.
+      runToMemory(s, eventsStream(s, dir)
+        .select((pmod(col("user_id"), lit(2L)) === 1L).as("treat"))
+        .groupBy(col("treat")).agg(count(lit(1)).cast("long").as("n")),
+        "complete")
+        .agg(max(when(col("treat"), col("n"))).as("n_t"),
+          max(when(!col("treat"), col("n"))).as("n_c"))
+        .withColumn("chi2", expr(Profiling.srmChi2Sql))
+        .withColumn("srm", expr(s"${Profiling.srmChi2Sql} > 3.841459"))),
+    "q_stream_wilson" -> ((s, dir) =>
+      // The Wilson rate CI as an in-stream monitor: complete-mode
+      // (success, n) counts per type, closed-form endpoints on the
+      // drained cells — shares q_wilson_ci's oracle semantics.
+      runToMemory(s, eventsStream(s, dir)
+        .select(col("event_type"), (col("value") > 100).as("success"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("success"), 1L).otherwise(0L)).cast("long").as("s")),
+        "complete")
+        .withColumn("p_hat", expr("round(CAST(s AS DOUBLE) / n, 6)"))
+        .withColumn("ci_lo", expr(Profiling.wilsonSql("-")))
+        .withColumn("ci_hi", expr(Profiling.wilsonSql("+")))),
+    "q_stream_bh_fdr" -> ((s, dir) => {
+      // The FDR sweep as an in-stream monitor: per-user (n1, n2) cells in
+      // a complete-mode streaming aggregate; z/p/BH on the drained test
+      // table — shares q_bh_fdr's oracle text.
+      val counts = runToMemory(s, eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) < 16, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L))
+            .cast("long").as("n2")),
+        "complete")
+        .withColumn("z", expr(
+          "round(CAST(n2 - n1 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6)"))
+        .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
+      Profiling.bhFdr(counts, Seq("user_id"), "p", qPpm = 100000L)
+    }),
+    "q_stream_risk_ratio" -> ((s, dir) =>
+      // The 2x2 risk readout as an in-stream monitor: complete-mode
+      // per-user exposure/outcome state, RR/OR + CIs on the drained
+      // table — shares the batch q_risk_ratio oracle.
+      Profiling.riskRatio(
+        runToMemory(s, eventsStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              >= 14L).as("clicker"),
+            (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              >= 15L).as("heavy")),
+          "complete"),
+        "clicker", "heavy")),
+    "q_stream_sign_test" -> ((s, dir) =>
+      // The paired sign test as an in-stream monitor: complete-mode
+      // per-user even/odd-day spend state, sign z on the drained
+      // table — shares the batch q_sign_test oracle.
+      Profiling.signTest(
+        runToMemory(s, eventsStream(s, dir)
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("day") % 2 === 0L, col("cents"))
+              .otherwise(0L)).cast("long").as("x"),
+            sum(when(col("day") % 2 === 1L, col("cents"))
+              .otherwise(0L)).cast("long").as("y")),
+          "complete"),
+        "x", "y")),
+    "q_stream_hhi" -> ((s, dir) => {
+      // Streaming concentration watch: the per-(type, user) spend
+      // rollup runs as a COMPLETE-mode streaming aggregate (the
+      // incremental part); the tiny share^2 finish is batch SQL over
+      // the drained table — shares q_hhi's oracle text verbatim.
+      val perUser = runToMemory(s, eventsStream(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long"))
+          .cast("long").as("c")), "complete")
+      import org.apache.spark.sql.expressions.Window
+      perUser
+        .withColumn("t", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))).cast("long"))
+        .withColumn("term", expr(graft.operators.Eval.hhiTermNanoSql))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_firms"),
+          max(col("t")).as("total"),
+          sum(col("term")).cast("long").as("s_nano"),
+          max(col("c")).cast("long").as("top_c"))
+        .withColumn("hhi", expr(graft.operators.Eval.hhiSql))
+        .withColumn("top_share", expr(
+          "CASE WHEN total > 0 THEN " +
+            "round(CAST(top_c AS DOUBLE) / total, 6) END"))
+    }),
+    "q_stream_page_hinkley" -> ((s, dir) => {
+      // Streaming Page-Hinkley drift tier: the SAME O(1)-per-key
+      // (n, sx) stateful fold as q_stream_zscore (its prior moments
+      // are exactly PH's running mean inputs), finished by the shared
+      // micro-term/cumulative/alarm SQL over the drained batch — the
+      // single-batch-determinism contract of the other stream tiers.
+      // No Scala-side rounding anywhere: the one round() lives in the
+      // shared SQL text both engines evaluate.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(
+          graft.functions.TextFunctions.tokenHash60(col("event_type"))
+            .as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingZscore.Ev]
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ts_ms"), col("tie"))
+      val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+      runToMemory(s,
+        graft.streaming.StreamingZscore.zscore(ev).toDF(), "update")
+        .withColumn("rn", (col("n_prior") + 1L).cast("long"))
+        .withColumn("sv", (col("sx_prior") + col("x")).cast("long"))
+        .withColumn("v", col("x"))
+        .withColumn("term",
+          expr(graft.operators.TimeSeries.phTermMicroSql(100L)))
+        .withColumn("ph", sum(col("term")).over(wc).cast("long"))
+        .withColumn("ph_min", min(col("ph")).over(wc).cast("long"))
+        .withColumn("gap", (col("ph") - col("ph_min")).cast("long"))
+        .withColumn("alarm",
+          col("gap") > lit(50000L) * lit(1000000L))
+        .select(col("key"), col("ts_ms"), col("tie"), col("x"),
+          col("rn"), col("sv"), col("ph"), col("ph_min"), col("gap"),
+          col("alarm"))
+    }),
+    "q_stream_zscore" -> ((s, dir) => {
+      // Streaming anomaly screen: each spend event judged against the
+      // PRIOR per-user moments (three-long state), then folded in.
+      // z/flag finish with the SAME shared SQL the window-replay
+      // oracle uses; single-file source = one microbatch = batch fold.
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+        .as[graft.streaming.StreamingZscore.Ev]
+      runToMemory(s,
+        graft.streaming.StreamingZscore.zscore(ev).toDF(), "update")
+        .withColumn("z", expr(graft.streaming.StreamingZscore.zSql))
+        .withColumn("anomaly", expr("coalesce(abs(z) > 3, false)"))
+    }),
+
+    // ---- Round-13 wave 2: graph spectra + HMM decode
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sessionize_stream" -> fullSessionizeSql,
+    "q_sessionize_stream_tws" -> fullSessionizeSql,
+    "q_stream_elb_source" ->
+      """SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS ip,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin,
+    "q_stream_heavy_hitters" -> heavyHittersSql,
+    "q_stream_funnel" -> funnelOracle,
+    "q_stream_cadence" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id
+         |  FROM events),
+         |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id
+         |    ORDER BY ms, event_id) AS gap FROM e),
+         |a AS (SELECT user_id,
+         |    CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         |    CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sg,
+         |    CAST(COALESCE(SUM(gap*gap), 0) AS BIGINT) AS sgg
+         |  FROM g GROUP BY 1)
+         |SELECT user_id, n_gaps, sg, sgg,
+         |  ${graft.operators.Sessionize.cadenceCvSql} AS cv,
+         |  ${graft.operators.Sessionize.cadenceCvSql} < 0.1
+         |    AND n_gaps >= 5 AS is_regular
+         |FROM a""".stripMargin,
+    "q_stream_cusum" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS ts_ms, event_id AS tie,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT key, rn, ts_ms, tie, x,
+        |    greatest(0, x - 500 - 50) AS pos,
+        |    greatest(0, 500 - x - 50) AS neg
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.rn, o.ts_ms, o.tie, o.x,
+        |    greatest(0, r.pos + o.x - 500 - 50),
+        |    greatest(0, r.neg + 500 - o.x - 50)
+        |  FROM o JOIN r ON o.key = r.key AND o.rn = r.rn + 1)
+        |SELECT key, ts_ms, tie, x, CAST(pos AS BIGINT) AS cusum_pos,
+        |  CAST(neg AS BIGINT) AS cusum_neg,
+        |  CAST(pos > 2000 OR neg > 2000 AS INT) AS alarm
+        |FROM r""".stripMargin,
+    "q_stream_psi_drift" -> psiDriftOracle,
+    "q_stream_keyword_alert" ->
+      """SELECT needle, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_hits) AS BIGINT) AS total_hits FROM (
+        |  SELECT doc_id, needle,
+        |    len(list_filter(string_split(text, ' '), t -> t = needle)) AS n_hits
+        |  FROM documents,
+        |    (SELECT unnest(['join', 'vector', 'spark', 'data']) AS needle))
+        |WHERE n_hits > 0 GROUP BY needle""".stripMargin,
+    "q_streaming_update" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    "q_stream_foreach_merge" ->
+      "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+    "q_streaming_window" ->
+      """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_start_ms, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_streaming_sliding" ->
+      """SELECT ws AS win_start_ms, event_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([(epoch_ms(ts) // 10800000 - 1) * 10800000,
+        |            (epoch_ms(ts) // 10800000) * 10800000]) AS ws
+        |  FROM events)
+        |GROUP BY ws, event_type""".stripMargin,
+    "q_dedup_stream" ->
+      "SELECT DISTINCT user_id FROM events",
+    "q_stream_dedup_watermark" ->
+      // single-batch source: every key emitted exactly once (no watermark
+      // eviction + re-emission can occur inside one microbatch)
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_ms(p.ts) AS p_ts_ms, epoch_ms(c.ts) AS c_ts_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
+    "q_stream_quality_gate" ->
+      s"""WITH $qualityCte
+         |SELECT verdict, COUNT(*) AS n FROM quality GROUP BY verdict""".stripMargin,
+    "q_stream_dedup_docs" ->
+      "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    "q_stream_budget_admit" ->
+      // Closed-form batching-invariant admission rule: same budget CTEs as
+      // q_token_budget_mix, cumsum ordered by ARRIVAL (doc_id) instead of
+      // the md5 admission hash.
+      """WITH w AS (SELECT source, CAST(ascii(substr(source, -1)) % 3 + 1 AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS denom FROM w),
+        |b AS (SELECT source, CAST(10000 * wt // denom AS BIGINT) AS budget FROM w, tot),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum_before < b.budget""".stripMargin,
+    "q_stream_lsh_dedup" ->
+      // admitted <=> no band key shared with a lower-id doc; docs without
+      // shingles (no bands) always admitted. Same sig/band family as the
+      // minhash oracle.
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, t ->
+         |     (((1103515245*(i+1)+12345) % 2147483647)
+         |        * (CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 1073741824)
+         |      + ((1103515245*(i+17)+12345) % 2147483647)) % 2147483647))
+         |   FOR i IN range(0,16)] AS sg
+         |FROM sh WHERE len(sh) > 0),
+         |bandkeys AS (SELECT doc_id, unnest(
+         |  [CAST(sg[j*4+1] AS VARCHAR)||'_'||CAST(sg[j*4+2] AS VARCHAR)||'_'||
+         |   CAST(sg[j*4+3] AS VARCHAR)||'_'||CAST(sg[j*4+4] AS VARCHAR) FOR j IN range(0,4)]) AS bk
+         |FROM sig),
+         |m AS (SELECT bk, min(doc_id) AS min_id FROM bandkeys GROUP BY bk),
+         |dropped AS (SELECT DISTINCT b.doc_id
+         |  FROM bandkeys b JOIN m USING (bk) WHERE b.doc_id > m.min_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    "q_stream_interval_left_join" ->
+      // matched pairs = the plain interval join; null-extended rows only
+      // for purchases whose join window provably closed under the final
+      // global watermark = min(max p_ts, max c_ts) - 60 s
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |       FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |       FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+        |         - INTERVAL 60 SECOND AS w),
+        |matched AS (SELECT p_id, c_id, epoch_ms(p_ts) AS p_ts_ms, epoch_ms(c_ts) AS c_ts_ms
+        |  FROM p JOIN c ON p_user = c_user
+        |    AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts)
+        |SELECT p_id, c_id, p_ts_ms, c_ts_ms FROM matched
+        |UNION ALL
+        |SELECT p_id, CAST(NULL AS BIGINT), epoch_ms(p_ts), CAST(NULL AS BIGINT)
+        |FROM p CROSS JOIN wm
+        |WHERE p_ts < wm.w AND p_id NOT IN (SELECT p_id FROM matched)""".stripMargin,
+    "q_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type, CAST('0x' ||
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    MAX(h) AS h_k FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, n_k, h_k,
+        |  CASE WHEN n_k = 64
+        |    THEN round(CAST(n_k - 1 AS DOUBLE) * power(2, 60) / h_k, 6)
+        |    ELSE CAST(n_k AS DOUBLE) END AS est_distinct
+        |FROM k""".stripMargin,
+    "q_stream_ohlc" -> ohlcOracleSql,
+    "q_stream_wilson" -> wilsonOracleSql,
+    "q_stream_srm" ->
+      s"""WITH t AS (SELECT
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c FROM events)
+         |SELECT n_t, n_c, ${graft.operators.Profiling.srmChi2Sql} AS chi2,
+         |  ${graft.operators.Profiling.srmChi2Sql} > 3.841459 AS srm
+         |FROM t""".stripMargin,
+    "q_stream_bh_fdr" -> bhFdrOracleSql,
+    "q_stream_sign_test" -> signTestOracleSql,
+    "q_stream_risk_ratio" -> riskRatioOracleSql,
+    "q_stream_hhi" -> hhiOracleSql,
+    "q_stream_page_hinkley" ->
+      s"""WITH o AS (SELECT
+         |    CAST('0x'||substr(md5(event_type),1,15) AS BIGINT) AS key,
+         |    epoch_ms(ts) AS ts_ms, event_id AS tie,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |r AS (SELECT key, ts_ms, tie, x, x AS v,
+         |    CAST(row_number() OVER pw AS BIGINT) AS rn,
+         |    CAST(SUM(x) OVER pw AS BIGINT) AS sv
+         |  FROM o WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT key, ts_ms, tie, x, rn, sv,
+         |    ${graft.operators.TimeSeries.phTermMicroSql(100L)} AS term
+         |  FROM r),
+         |p AS (SELECT key, ts_ms, tie, x, rn, sv,
+         |    CAST(SUM(term) OVER pw AS BIGINT) AS ph
+         |  FROM t WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT *, CAST(MIN(ph) OVER pw AS BIGINT) AS ph_min
+         |  FROM p WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT key, ts_ms, tie, x, rn, sv, ph, ph_min,
+         |  ph - ph_min AS gap,
+         |  ph - ph_min > CAST(50000 AS BIGINT) * 1000000 AS alarm
+         |FROM g""".stripMargin,
+    "q_stream_zscore" ->
+      s"""WITH o AS (SELECT user_id AS key, epoch_ms(ts) AS ts_ms,
+         |    event_id AS tie, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |w AS (SELECT key, ts_ms, tie, x,
+         |    CAST(COUNT(*) OVER pw AS BIGINT) AS n_prior,
+         |    CAST(COALESCE(SUM(x) OVER pw, 0) AS BIGINT) AS sx_prior,
+         |    CAST(COALESCE(SUM(x * x) OVER pw, 0) AS BIGINT) AS sxx_prior
+         |  FROM o WINDOW pw AS (PARTITION BY key ORDER BY ts_ms, tie
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT key, ts_ms, tie, x, n_prior, sx_prior, sxx_prior,
+         |  ${graft.streaming.StreamingZscore.zSql} AS z,
+         |  coalesce(abs(${graft.streaming.StreamingZscore.zSql}) > 3, false)
+         |    AS anomaly
+         |FROM w""".stripMargin,
+  )
+}

@@ -2356,8 +2356,11 @@ object TimeSeries {
       .agg(expr("transform(sort_array(collect_list(struct(seg, pm))), " +
         "x -> x.pm)").as("pv"))
     val m = segments
+    // broadcast the probe side: ≤ maxKeys rows of m longs each, so the
+    // pair enumeration plans as a bounded BNLJ instead of an
+    // unconstrained CartesianProduct (PlanGuardSpec contract)
     arr.select(col("k").as("ka"), col("pv").as("pa"))
-      .join(arr.select(col("k").as("kb"), col("pv").as("pb")),
+      .join(broadcast(arr.select(col("k").as("kb"), col("pv").as("pb"))),
         col("ka") < col("kb"))
       .select(col("ka"), col("kb"), expr(dtwFoldSql(m)).as("acc"))
       .select(col("ka"), col("kb"), col("acc").as("dtw_micro"),

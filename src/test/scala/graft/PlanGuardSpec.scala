@@ -42,7 +42,11 @@ class PlanGuardSpec extends SparkFunSuite {
     "q_eigen_centrality", "q_matrix_profile", "q_kmeans_lloyd",
     "q_target_encode", "q_removal_effect", "q_doubly_robust",
     "q_extractive_chunks", "q_mis", "q_boosted_stumps",
-    "q_burrows_delta")
+    "q_burrows_delta",
+    // round-14: DTW pair grid — maxKeys-valved (≤4096 keys × m longs)
+    // broadcast of the PAA-array table; the intended bounded
+    // brute-force tier, same class as q_similarity_bruteforce
+    "q_dtw")
 
   test("no audited plan contains a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at documented 1-row/" +
