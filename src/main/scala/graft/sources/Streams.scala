@@ -11,7 +11,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    (`RealtimeSessionize.scala:94-102`);
   *  - sink: Spark's Kafka sink is at-least-once; the reference claims
   *    EXACTLY_ONCE via transactional producers (`:165-174`) — a documented
-  *    semantics delta (SURVEY.md §7.4), not silently glossed;
+  *    semantics delta (SURVEY.md §7.4), not silently glossed. The
+  *    production-pattern closure is [[graft.streaming.KeyedKafkaSink]]:
+  *    keyed upserts + a compacted consumer view make replayed
+  *    micro-batches invisible to consumers (effectively-once),
+  *    contract-proven in FakeKafkaUpsertSpec;
   *  - the reference's sink bug (fresh Properties with empty
   *    bootstrap.servers, `:162-163`) is intentionally NOT reproduced.
   * The Kafka connector jar is not present in this container (verified:

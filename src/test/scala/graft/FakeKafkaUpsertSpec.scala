@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.KeyedKafkaSink
+import graft.testkit.FakeKafkaBroker
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Contract spec for the effectively-once keyed-upsert Kafka sink
+  * (VERDICT-r13 item 7): Spark's Kafka sink is at-least-once — a crash
+  * in the window between the sink write and the offset commit replays
+  * the whole micro-batch. [[KeyedKafkaSink]] upgrades the CONSUMED
+  * semantics to effectively-once by publishing keyed records and
+  * reading the topic compacted (last record per key). These tests pin
+  * the exact replay scenarios against the DSv2 fake broker. */
+class FakeKafkaUpsertSpec extends SparkFunSuite {
+
+  private def parsed(topic: String) = {
+    val v = KeyedKafkaSink.compactedView(spark, topic, "fake:9092")
+    v.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("duplicate micro-batch replay yields ONE logical record per key " +
+      "in the compacted view (raw log shows the at-least-once copies)") {
+    FakeKafkaBroker.clear()
+    import spark.implicits._
+    val batch = Seq(("u1", 10L, 3L), ("u2", 20L, 3L))
+      .toDF("user", "dur", "t")
+    val sink = KeyedKafkaSink.upsertBatch(
+      "up_out", "fake:9092", Seq("user"), "t") _
+    sink(batch, 0L)
+    sink(batch, 0L) // foreachBatch at-least-once replay: same batchId
+    // the raw log honestly holds both deliveries...
+    assert(FakeKafkaBroker.size("up_out") === 4)
+    // ...but the keyed view collapses them: one logical record per key
+    val view = parsed("up_out")
+    assert(view.keySet === Set("u1", "u2"))
+    assert(view("u1").contains("\"dur\":10") && view("u2").contains("\"dur\":20"))
+  }
+
+  test("cross-batch updates win by log order; replaying the LAST batch " +
+      "after its own publish leaves the final state unchanged") {
+    FakeKafkaBroker.clear()
+    import spark.implicits._
+    val sink = KeyedKafkaSink.upsertBatch(
+      "up_out2", "fake:9092", Seq("user"), "t") _
+    sink(Seq(("u1", 10L, 1L)).toDF("user", "dur", "t"), 0L)
+    sink(Seq(("u1", 35L, 2L)).toDF("user", "dur", "t"), 1L)
+    sink(Seq(("u1", 35L, 2L)).toDF("user", "dur", "t"), 1L) // replay of batch 1
+    assert(FakeKafkaBroker.size("up_out2") === 3)
+    val view = parsed("up_out2")
+    assert(view.keySet === Set("u1"))
+    assert(view("u1").contains("\"dur\":35"))
+  }
+
+  test("append-shaped input: several rows per key in one batch reduce " +
+      "to the orderCol-latest before publishing") {
+    FakeKafkaBroker.clear()
+    import spark.implicits._
+    val batch = Seq(("u1", 10L, 1L), ("u1", 99L, 5L), ("u1", 50L, 3L))
+      .toDF("user", "dur", "t")
+    KeyedKafkaSink.upsertBatch("up_out3", "fake:9092", Seq("user"), "t")(
+      batch, 0L)
+    assert(FakeKafkaBroker.size("up_out3") === 1)
+    assert(parsed("up_out3")("u1").contains("\"dur\":99"))
+  }
+
+  test("END-TO-END: a streaming sessionize-style aggregation through " +
+      "foreachBatch(upsertBatch) with an injected duplicate delivery " +
+      "serves the same compacted table as a clean run") {
+    FakeKafkaBroker.clear()
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val agg = in.toDF().toDF("user", "dur")
+      .groupBy($"user").agg(org.apache.spark.sql.functions.sum($"dur").as("total"))
+      .withColumn("t", org.apache.spark.sql.functions.lit(0L))
+    val dir = java.nio.file.Files.createTempDirectory("upsert_ck").toString
+    val base = KeyedKafkaSink.upsertBatch(
+      "up_e2e", "fake:9092", Seq("user"), "t") _
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", dir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        base(b, id)
+        if (id == 0L) base(b, id) // injected at-least-once re-delivery
+      }
+      .start()
+    in.addData(("u1", 5L), ("u2", 7L))
+    q.processAllAvailable()
+    in.addData(("u1", 6L))
+    q.processAllAvailable()
+    q.stop()
+    val view = parsed("up_e2e")
+    assert(view.keySet === Set("u1", "u2"))
+    assert(view("u1").contains("\"total\":11"))
+    assert(view("u2").contains("\"total\":7"))
+    // raw log: batch0 published twice (2 keys x 2) + batch1 (1 key)
+    assert(FakeKafkaBroker.size("up_e2e") === 5)
+  }
+}
