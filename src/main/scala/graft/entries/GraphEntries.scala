@@ -227,6 +227,25 @@ private[graft] object GraphEntries {
         .select(col("src"), col("dst"))
       graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)
     }),
+    "q_louvain" -> ((s, dir) => {
+      // Modularity-gain communities on the same repeat-co-purchase
+      // graph — synchronous parallel Louvain, 4 parity-alternated
+      // rounds (two full sweeps; parity coloring kills the symmetric
+      // ping-pong), exact cross-multiplied gain (no division),
+      // smallest-community tie-break; the gain-driven upgrade of
+      // q_label_prop's plurality vote.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.louvainSync(e, "src", "dst", rounds = 4)
+    }),
     "q_rich_club" -> ((s, dir) => {
       // Do the hub parts of the repeat-co-purchase graph interconnect?
       // phi(k) over degree thresholds {2,4,8} — exact integer club
@@ -394,6 +413,51 @@ private[graft] object GraphEntries {
     "q_ppr" -> pprOracle,
     "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_louvain" -> {
+      // one round of the synchronous gain update as a CTE template
+      // (par = which id parity may move this round); materialized per
+      // round or DuckDB re-inlines the chain
+      def round(prev: String, out: String, par: Int): String =
+        s"""n_$out AS (SELECT e.u AS id, $prev.c AS cand,
+           |    CAST(COUNT(*) AS BIGINT) AS e_vc
+           |  FROM e JOIN $prev ON $prev.id = e.v GROUP BY 1, 2),
+           |s_$out AS (SELECT id, cand, MAX(e_vc) AS e_vc FROM (
+           |    SELECT id, cand, e_vc FROM n_$out
+           |    UNION ALL SELECT id, c, CAST(0 AS BIGINT) FROM $prev)
+           |  GROUP BY 1, 2),
+           |t_$out AS (SELECT $prev.c AS cand, CAST(SUM(deg.k) AS BIGINT)
+           |    AS tot FROM $prev JOIN deg USING (id) GROUP BY 1),
+           |g_$out AS (SELECT s_$out.id, s_$out.cand,
+           |    m2 * e_vc - deg.k * (tot - CASE WHEN s_$out.cand = $prev.c
+           |      THEN deg.k ELSE CAST(0 AS BIGINT) END) AS score
+           |  FROM s_$out JOIN $prev ON $prev.id = s_$out.id
+           |    JOIN deg ON deg.id = s_$out.id
+           |    JOIN t_$out ON t_$out.cand = s_$out.cand CROSS JOIN m2t),
+           |$out AS MATERIALIZED (SELECT w.id,
+           |    CASE WHEN w.id % 2 = $par THEN w.cand ELSE $prev.c END AS c
+           |  FROM (SELECT id, cand, row_number() OVER (PARTITION BY id
+           |      ORDER BY score DESC, cand) AS rn FROM g_$out) w
+           |  JOIN $prev ON $prev.id = w.id
+           |  WHERE w.rn = 1)""".stripMargin
+      s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         |    CAST(b.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |cu AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+         |    GREATEST(src, dst) AS hi FROM pairs WHERE src <> dst),
+         |e AS MATERIALIZED (SELECT lo AS u, hi AS v FROM cu
+         |  UNION ALL SELECT hi, lo FROM cu),
+         |deg AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT)
+         |    AS k FROM e GROUP BY 1),
+         |m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+         |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
+         |${round("c0", "c1", 1)},
+         |${round("c1", "c2", 0)},
+         |${round("c2", "c3", 1)},
+         |${round("c3", "c4", 0)}
+         |SELECT id, c AS community FROM c4""".stripMargin
+    },
     "q_rich_club" ->
       s"""WITH pairs AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
          |    CAST(b.l_partkey AS BIGINT) AS dst

@@ -387,9 +387,63 @@ private[graft] object TextEntries {
       // mean |dz| per source pair — "which corpora write alike".
       graft.operators.TextAnalysis.burrowsDelta(
         table(s, dir, "documents"), k = 30)),
+    "q_lcs_pairs" -> ((s, dir) => {
+      // Token-level LCS similarity between consecutive document pairs
+      // (ROUGE-L's core statistic): the subsequence complement of
+      // q_edit_distance (char-level) and q_ngram_jaccard (set-level) -
+      // insertions on both sides tolerated. First 24 tokens per side;
+      // exact integer DP via one map-side aggregate() fold per pair.
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d
+        .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        .join(d.select((col("doc_id") - 1).as("doc_a"),
+          col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_a"))
+      graft.operators.TextAnalysis.lcsTokenPairs(pairs, "ta", "tb")
+        .select(col("doc_a"), col("doc_b"), col("lcs"), col("na"),
+          col("nb"), col("lcs_ratio"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lcs_pairs" ->
+      // same rolling-window DP, replayed as a recursive CTE: the
+      // working row carries the (nb+1)-cell window as a LIST and steps
+      // one grid cell per recursion level (t = i*nb + j, row-major)
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)[1:24] AS tl
+        |  FROM documents),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.tl AS ta, b.tl AS tb, CAST(len(a.tl) AS BIGINT) AS na,
+        |    CAST(len(b.tl) AS BIGINT) AS nb
+        |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1),
+        |r AS (
+        |  SELECT doc_a, doc_b, ta, tb, na, nb, CAST(0 AS BIGINT) AS t,
+        |      [CAST(0 AS BIGINT) FOR i IN range(0, CAST(nb AS INT) + 1)]
+        |        AS win
+        |    FROM pairs WHERE na > 0 AND nb > 0
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, ta, tb, na, nb, t + 1,
+        |      list_concat(win[2:], [CASE
+        |        WHEN ta[CAST(t // nb AS INT) + 1]
+        |             = tb[CAST(t % nb AS INT) + 1]
+        |        THEN (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE win[1] END) + 1
+        |        ELSE greatest(
+        |          CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE win[CAST(nb AS INT) + 1] END,
+        |          win[2]) END])
+        |    FROM r WHERE t < na * nb),
+        |fin AS (SELECT doc_a, doc_b, na, nb,
+        |    win[CAST(nb AS INT) + 1] AS lcs
+        |  FROM r WHERE t = na * nb
+        |  UNION ALL SELECT doc_a, doc_b, na, nb, CAST(0 AS BIGINT)
+        |  FROM pairs WHERE na = 0 OR nb = 0)
+        |SELECT doc_a, doc_b, lcs, na, nb,
+        |  CASE WHEN greatest(na, nb) > 0
+        |    THEN round(CAST(lcs AS DOUBLE) / greatest(na, nb), 6)
+        |  ELSE NULL END AS lcs_ratio
+        |FROM fin""".stripMargin,
     "q_quality_composite" ->
       s"""WITH $qualityCte, $unigramCte
          |SELECT q.doc_id,

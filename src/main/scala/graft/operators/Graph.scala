@@ -1041,6 +1041,84 @@ object Graph {
     * edge count, never materializing neighbor lists. Synchronous
     * updates can oscillate on bipartite structures; the fixed round
     * count makes that a documented property, not nondeterminism. */
+  /** Louvain-style SYNCHRONOUS community detection (the parallel-Louvain
+    * variant, Staudt/Meyerhenke 2016 family): per round, the ACTIVE
+    * vertices simultaneously move to the neighbor community with the
+    * highest modularity gain (or stay), computed from the ROUND-START
+    * state. Plain all-at-once synchronous updates ping-pong on
+    * symmetric structures (two singletons that each want the other's
+    * community swap forever), so rounds alternate the move set by id
+    * PARITY — round r moves only vertices with id % 2 == r % 2, the
+    * deterministic coloring used by parallel Louvain implementations
+    * to restore Louvain's sequential-progress guarantee. The gain
+    * comparison is EXACT — candidates C₁, C₂ compare as
+    * 2m·e_{v,C} − k_v·Σtot_{C∖v}, the cross-multiplied Newman gain with
+    * no division anywhere — and ties break toward the smaller community
+    * id, so the whole trajectory is engine-exact and the oracle unrolls
+    * the rounds (the [[labelPropagation]] discipline, upgraded from
+    * plurality labels to modularity gain). `rounds` counts half-sweeps
+    * (4 = two full parity sweeps); an all-one-parity id space makes the
+    * off-parity rounds no-ops, never wrong.
+    *
+    * Scale shape per round: one edge-keyed neighbor-community count
+    * (bounded by the edge count), one community degree-sum aggregate,
+    * one vertex-keyed argmax window — all key-hashed shuffles; the
+    * 1-row 2m total rides a broadcast. Nothing touches the driver. */
+  def louvainSync(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16]: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val cu = canonicalUndirected(edges, srcCol, dstCol)
+    val e = cu.select(col("lo").as("u"), col("hi").as("v"))
+      .union(cu.select(col("hi").as("u"), col("lo").as("v")))
+      .materialize
+    val deg = e.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("k")).materialize
+    val m2 = broadcast(e.agg(count(lit(1)).cast("long").as("m2")))
+    var comm = deg.select(col("id"), col("id").as("c"))
+    (1 to rounds).foreach { r =>
+      val nbr = e
+        .join(comm.select(col("id").as("v"), col("c").as("cand")), Seq("v"))
+        .groupBy(col("u").as("id"), col("cand"))
+        .agg(count(lit(1)).cast("long").as("e_vc"))
+      // the STAY option must compete even when v has no neighbor in its
+      // own community (e_vc = 0 there)
+      val withStay = nbr.unionByName(
+          comm.select(col("id"), col("c").as("cand"), lit(0L).as("e_vc")))
+        .groupBy(col("id"), col("cand"))
+        .agg(max(col("e_vc")).cast("long").as("e_vc"))
+      val tot = comm.join(deg, Seq("id"))
+        .groupBy(col("c").as("cand"))
+        .agg(sum(col("k")).cast("long").as("tot"))
+      val scored = withStay
+        .join(comm, Seq("id"))
+        .join(deg, Seq("id"))
+        .join(tot, Seq("cand"))
+        .crossJoin(m2)
+        .withColumn("score", expr(louvainScoreSql))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      comm = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"),
+          when(pmod(col("id"), lit(2L)) === lit((r % 2).toLong),
+            col("cand")).otherwise(col("c")).as("c"))
+        .materialize
+    }
+    comm.select(col("id"), col("c").as("community"))
+  }
+
+  /** Cross-multiplied modularity gain of vertex (k) joining community
+    * `cand` (degree sum `tot`, e_vc edges from the vertex): exact
+    * BIGINT, v's own degree removed when cand is its current community.
+    * Pure integer arithmetic, so the oracle mirrors the formula with
+    * qualified column names (no float chain to share verbatim). */
+  val louvainScoreSql: String =
+    "m2 * e_vc - k * (tot - CASE WHEN cand = c THEN k " +
+      "ELSE CAST(0 AS BIGINT) END)"
+
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 5): DataFrame = {

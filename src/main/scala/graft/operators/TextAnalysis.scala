@@ -2064,4 +2064,63 @@ object TextAnalysis {
         col("__n")("chunk_idx").as("novel_idx"),
         col("__n")("avg_lp").as("novel_score"))
   }
+
+  /** Token-level Longest-Common-Subsequence similarity between document
+    * pairs — the subsequence complement of [[graft.operators]]' edit
+    * distance (LCS tolerates insertions on BOTH sides, the
+    * plagiarism/near-translation signal char-level Levenshtein and
+    * set-based Jaccard both miss; ROUGE-L's core statistic). Each side
+    * is capped at `maxTokens` whitespace tokens; output per pair:
+    * (lcs, na, nb, lcs_ratio = lcs / max(na, nb)).
+    *
+    * Plan: the m×n LCS grid per pair runs MAP-SIDE as one `aggregate`
+    * higher-order fold over the two token arrays (rolling (nb+1)-cell
+    * window, row-major — the [[TimeSeries.dtwPaaDistances]] fold shape
+    * with a max/branch recurrence instead of min/plus). Zero joins,
+    * zero shuffles beyond whatever produced the pairs; exact integer
+    * DP, so the whole column hashes bit-for-bit against the oracle's
+    * recursive-CTE replay. Pair cardinality is the CALLER's contract
+    * (pass consecutive/blocked pairs, never a cross join). */
+  def lcsTokenPairs(
+      pairs: DataFrame, aTextCol: String, bTextCol: String,
+      maxTokens: Int = 24): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 64,
+      s"maxTokens must be in [1, 64]: $maxTokens")
+    val prepped = pairs
+      .withColumn("__a", expr(
+        s"slice(filter(split($aTextCol, ' '), x -> length(x) > 0), 1, $maxTokens)"))
+      .withColumn("__b", expr(
+        s"slice(filter(split($bTextCol, ' '), x -> length(x) > 0), 1, $maxTokens)"))
+      .withColumn("na", expr("CAST(size(__a) AS BIGINT)"))
+      .withColumn("nb", expr("CAST(size(__b) AS BIGINT)"))
+    prepped
+      .withColumn("lcs", expr(lcsFoldSql))
+      .withColumn("lcs_ratio", expr(
+        "CASE WHEN greatest(na, nb) > 0 THEN " +
+          "round(CAST(lcs AS DOUBLE) / greatest(na, nb), 6) " +
+          "ELSE CAST(NULL AS DOUBLE) END"))
+      .drop("__a", "__b")
+  }
+
+  /** The whole na×nb LCS grid as ONE map-side integer fold: cells
+    * row-major (t = i·nb + j), rolling window S of the last nb+1 DP
+    * values — dp(i,j−1) is slot nb+1, dp(i−1,j) slot 2, dp(i−1,j−1)
+    * slot 1; the j=0 column gates left/diag to the zero boundary (the
+    * i=0 row needs no gate: the zero-filled init IS its boundary).
+    * Empty sides short-circuit to 0 (sequence() would run backwards
+    * on a negative stop). */
+  private val lcsFoldSql: String =
+    """CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT) ELSE aggregate(
+      |  sequence(0L, na * nb - 1L),
+      |  array_repeat(CAST(0 AS BIGINT), CAST(nb AS INT) + 1),
+      |  (S, t) -> concat(slice(S, 2, CAST(nb AS INT)), array(
+      |    CASE WHEN element_at(__a, CAST(t div nb AS INT) + 1)
+      |              = element_at(__b, CAST(t % nb AS INT) + 1)
+      |         THEN (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |               ELSE element_at(S, 1) END) + 1L
+      |         ELSE greatest(
+      |           CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |           ELSE element_at(S, CAST(nb AS INT) + 1) END,
+      |           element_at(S, 2)) END)),
+      |  S -> element_at(S, CAST(nb AS INT) + 1)) END""".stripMargin
 }

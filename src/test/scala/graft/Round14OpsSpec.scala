@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 operators: synchronous Louvain communities and the
+  * map-side LCS fold. */
+class Round14OpsSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  test("louvainSync: two triangles joined by one bridge edge split " +
+      "into their two natural communities") {
+    // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.Graph.louvainSync(e, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // each triangle collapses to one community, the bridge does not merge them
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(Set(out(4L), out(5L), out(6L)).size === 1)
+    assert(out(1L) !== out(4L))
+  }
+
+  test("louvainSync matches a plain-Scala replay of the synchronous " +
+      "gain update on random graphs") {
+    val rnd = new scala.util.Random(14)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 3
+      val edges = (for {
+        a <- 0L until n
+        b <- (a + 1) until n if rnd.nextDouble() < 0.22
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        val deg = sym.groupBy(_._1).map { case (v, l) => v -> l.size.toLong }
+        val m2 = sym.size.toLong
+        var comm: Map[Long, Long] = deg.keys.map(v => v -> v).toMap
+        for (r <- 1 to 4) {
+          val cur = comm
+          val tot = cur.toSeq.groupBy(_._2)
+            .map { case (c, vs) => c -> vs.map(v => deg(v._1)).sum }
+          comm = deg.keys.map { v =>
+            val evc = sym.filter(_._1 == v).groupBy(e => cur(e._2))
+              .map { case (c, l) => c -> l.size.toLong }
+            val cands = (evc.keySet + cur(v)).toSeq
+            val best = cands.map { c =>
+              val e = evc.getOrElse(c, 0L)
+              val t = tot(c) - (if (c == cur(v)) deg(v) else 0L)
+              (m2 * e - deg(v) * t, c)
+            }.minBy { case (s, c) => (-s, c) }
+            v -> (if (v % 2 == r % 2) best._2 else cur(v))
+          }.toMap
+        }
+        val out = graft.operators.Graph
+          .louvainSync(edges.toDF("src", "dst"), "src", "dst", rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(out === comm, s"trial $trial")
+      }
+    }
+  }
+
+  test("lcsTokenPairs: hand-checked cases incl. empty and disjoint") {
+    val pairs = Seq(
+      (0, "a b c d e", "a x b y e"), // lcs = a b e = 3
+      (1, "q w", "z z z"),           // disjoint: 0
+      (2, "same same", "same same"), // identical: 2
+      (3, "", "a b")                 // empty side: 0, ratio vs max side
+    ).toDF("i", "ta", "tb")
+    val out = graft.operators.TextAnalysis.lcsTokenPairs(pairs, "ta", "tb")
+      .orderBy("i").select("lcs", "na", "nb", "lcs_ratio").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(out(0) === ((3L, 5L, 5L, 0.6)))
+    assert(out(1) === ((0L, 2L, 3L, 0.0)))
+    assert(out(2) === ((2L, 2L, 2L, 1.0)))
+    assert(out(3) === ((0L, 0L, 2L, 0.0)))
+  }
+
+  test("lcsTokenPairs matches a classic two-row DP on random token pairs") {
+    val rnd = new scala.util.Random(41)
+    def doc(): String =
+      Seq.fill(1 + rnd.nextInt(30))(('a' + rnd.nextInt(4)).toChar.toString)
+        .mkString(" ")
+    val data = (0 until 40).map(i => (i, doc(), doc()))
+    def lcsRef(a: Seq[String], b: Seq[String]): Long = {
+      var prev = Array.fill(b.length + 1)(0L)
+      for (i <- a.indices) {
+        val cur = Array.fill(b.length + 1)(0L)
+        for (j <- b.indices)
+          cur(j + 1) = if (a(i) == b(j)) prev(j) + 1
+            else math.max(cur(j), prev(j + 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val expect = data.map { case (_, x, y) =>
+      lcsRef(x.split(" ").filter(_.nonEmpty).take(24).toSeq,
+        y.split(" ").filter(_.nonEmpty).take(24).toSeq)
+    }
+    val out = graft.operators.TextAnalysis
+      .lcsTokenPairs(data.toDF("i", "ta", "tb"), "ta", "tb")
+      .orderBy("i").select("lcs").collect().map(_.getLong(0)).toSeq
+    assert(out === expect)
+  }
+}
