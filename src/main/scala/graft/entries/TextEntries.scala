@@ -387,6 +387,16 @@ private[graft] object TextEntries {
       // mean |dz| per source pair — "which corpora write alike".
       graft.operators.TextAnalysis.burrowsDelta(
         table(s, dir, "documents"), k = 30)),
+    "q_unigram_segment" -> ((s, dir) => {
+      // Unigram-LM tokenizer segmentation (SentencePiece-style greedy
+      // Viterbi) over the documents token stream: singles + top-64
+      // substring pieces scored by micro log-prob, each of the top-30
+      // words segmented by an exact integer DP fold (fewest pieces on
+      // ties) - the segmentation-based complement of q_bpe_train.
+      graft.operators.TextAnalysis.unigramSegment(
+        table(s, dir, "documents"), "text",
+        vocabMulti = 64, topWords = 30)
+    }),
     "q_lcs_pairs" -> ((s, dir) => {
       // Token-level LCS similarity between consecutive document pairs
       // (ROUGE-L's core statistic): the subsequence complement of
@@ -405,6 +415,68 @@ private[graft] object TextEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_unigram_segment" ->
+      // identical vocab + the Viterbi window DP replayed as a
+      // recursive CTE (4 LEFT JOINs against the score table per level;
+      // NULL dp slots / out-of-vocab pieces kill a candidate in both
+      // engines because greatest ignores NULLs)
+      """WITH RECURSIVE toks AS (SELECT substr(w0, 1, 16) AS w FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS w0 FROM documents)),
+        |wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM toks GROUP BY 1),
+        |pi AS (SELECT w, cw,
+        |    CAST(unnest(range(1, length(w) + 1)) AS BIGINT) AS i
+        |  FROM wc),
+        |pl AS (SELECT w, cw, i, CAST(unnest(range(1,
+        |    least(4, length(w) - i + 1) + 1)) AS BIGINT) AS l FROM pi),
+        |pieces AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT))
+        |    AS piece, CAST(SUM(cw) AS BIGINT) AS cnt
+        |  FROM pl GROUP BY 1),
+        |multis AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        |  FROM pieces WHERE length(piece) > 1) WHERE rk <= 64),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+        |  UNION ALL SELECT piece, cnt FROM multis),
+        |tott AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+        |scores AS MATERIALIZED (SELECT piece,
+        |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tot) * 1000000, 0)
+        |      AS BIGINT) AS sc
+        |  FROM vocab CROSS JOIN tott),
+        |words AS MATERIALIZED (SELECT w AS word, cw AS n_occurrences
+        |  FROM (SELECT w, cw, row_number() OVER (ORDER BY cw DESC, w)
+        |    AS rk FROM wc) WHERE rk <= 30),
+        |r AS (
+        |  SELECT word, n_occurrences, CAST(0 AS BIGINT) AS i,
+        |      [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(0 AS BIGINT)] AS win
+        |    FROM words
+        |  UNION ALL
+        |  SELECT r.word, r.n_occurrences, r.i + 1,
+        |      list_concat(r.win[2:], [greatest(
+        |        r.win[4] + 64 * s1.sc - 1,
+        |        r.win[3] + 64 * s2.sc - 1,
+        |        r.win[2] + 64 * s3.sc - 1,
+        |        r.win[1] + 64 * s4.sc - 1)])
+        |    FROM r
+        |    LEFT JOIN scores s1
+        |      ON s1.piece = substr(r.word, CAST(r.i + 1 AS INT), 1)
+        |    LEFT JOIN scores s2 ON r.i >= 1
+        |      AND s2.piece = substr(r.word, CAST(r.i AS INT), 2)
+        |    LEFT JOIN scores s3 ON r.i >= 2
+        |      AND s3.piece = substr(r.word, CAST(r.i - 1 AS INT), 3)
+        |    LEFT JOIN scores s4 ON r.i >= 3
+        |      AND s4.piece = substr(r.word, CAST(r.i - 2 AS INT), 4)
+        |    WHERE r.i < length(r.word)),
+        |fin AS (SELECT word, n_occurrences, win[4] AS dp FROM r
+        |  WHERE i = length(word))
+        |SELECT word, n_occurrences, CAST(length(word) AS BIGINT)
+        |    AS n_chars,
+        |  64 - ((dp % 64) + 64) % 64 AS n_pieces,
+        |  round(CAST((dp + (64 - ((dp % 64) + 64) % 64)) // 64
+        |    AS DOUBLE) / 1000000, 6) AS score
+        |FROM fin""".stripMargin,
     "q_lcs_pairs" ->
       // same rolling-window DP, replayed as a recursive CTE: the
       // working row carries the (nb+1)-cell window as a LIST and steps

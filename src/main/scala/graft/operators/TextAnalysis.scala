@@ -2086,7 +2086,12 @@ object TextAnalysis {
       maxTokens: Int = 24): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 64,
       s"maxTokens must be in [1, 64]: $maxTokens")
+    // CPU-per-row op: explicit-width repartition or AQE coalesces the
+    // few-MB pair frame to ONE task and the folds serialize (the
+    // q_edit_distance lesson — byte-based coalescing can't see CPU)
     val prepped = pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col(aTextCol))
       .withColumn("__a", expr(
         s"slice(filter(split($aTextCol, ' '), x -> length(x) > 0), 1, $maxTokens)"))
       .withColumn("__b", expr(
@@ -2123,4 +2128,111 @@ object TextAnalysis {
       |           ELSE element_at(S, CAST(nb AS INT) + 1) END,
       |           element_at(S, 2)) END)),
       |  S -> element_at(S, CAST(nb AS INT) + 1)) END""".stripMargin
+
+  /** Unigram-LM tokenizer segmentation (the SentencePiece/Kudo-2018
+    * family, greedy-Viterbi inference): build a piece vocabulary — ALL
+    * single characters plus the `vocabMulti` highest-count substrings
+    * of length 2..4 across the token stream — score each piece by its
+    * micro-quantized corpus log-probability, then segment each of the
+    * `topWords` most frequent words into the piece sequence maximizing
+    * total log-prob (fewest pieces on exact ties). The segmentation-
+    * based complement of [[bpeTrain]]'s merge-based tokenizer: same
+    * corpus contract, opposite inference direction.
+    *
+    * Exactness: piece scores are micro-long ln(cnt/total) (one ln per
+    * piece, libm-identical cross-engine); the Viterbi value is the
+    * exact integer max of (64·Σscore − n_pieces) — the ×64 packing
+    * makes "fewest pieces" the integer tie-break with zero float
+    * arithmetic in the DP. Words cap at 16 chars; pieces at 4, so the
+    * DP window is 4 cells.
+    *
+    * Plan: vocabulary = two hash aggregates over exploded substrings
+    * (bounded by distinct-words × 10 pieces each); the score table
+    * collapses to ONE map row broadcast to the word list; the DP runs
+    * MAP-SIDE as an aggregate() rolling-window fold per word (the
+    * [[TimeSeries.dtwPaaDistances]] fold discipline). Nothing is ever
+    * all-pairs; the only driver-bound object is the ≤(chars+vocabMulti)
+    * piece map. */
+  def unigramSegment(
+      docs: DataFrame, textCol: String,
+      vocabMulti: Int = 64, topWords: Int = 30): DataFrame = {
+    require(vocabMulti >= 1 && vocabMulti <= 4096,
+      s"vocabMulti must be in [1, 4096]: $vocabMulti")
+    require(topWords >= 1 && topWords <= 10000,
+      s"topWords must be in [1, 10000]: $topWords")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(explode(expr(
+        s"filter(split($textCol, ' '), x -> length(x) > 0)")).as("w0"))
+      .select(expr("substring(w0, 1, 16)").as("w"))
+    val wc = toks.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("cw"))
+      .materialize
+    // every (position, length<=4) substring of every distinct word,
+    // weighted by the word's corpus count
+    val pieces = wc
+      .select(col("w"), col("cw"),
+        expr("explode(sequence(1, length(w)))").as("i"))
+      .select(col("w"), col("cw"), col("i"),
+        expr("explode(sequence(1, least(4, length(w) - i + 1)))").as("l"))
+      .select(expr("substring(w, i, l)").as("piece"), col("cw"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cw")).cast("long").as("cnt"))
+    val singles = pieces.filter(length(col("piece")) === 1)
+    val multiRank = Window.orderBy(col("cnt").desc, col("piece").asc)
+    val multis = pieces.filter(length(col("piece")) > 1)
+      .withColumn("__rk", row_number().over(multiRank))
+      .filter(col("__rk") <= vocabMulti).drop("__rk")
+    val vocab = singles.unionByName(multis).materialize
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("tot"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .withColumn("sc", expr(unigramScoreSql))
+    // ONE map row: piece -> micro log-prob (bounded by chars+vocabMulti)
+    val vmap = broadcast(scored.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("sc"))))
+        .as("vmap")))
+    val words = wc
+      .withColumn("__rk", row_number()
+        .over(Window.orderBy(col("cw").desc, col("w").asc)))
+      .filter(col("__rk") <= topWords)
+      .select(col("w").as("word"), col("cw").as("n_occurrences"))
+    words.crossJoin(vmap)
+      .withColumn("n_chars", expr("CAST(length(word) AS BIGINT)"))
+      .withColumn("__dp", expr(unigramFoldSql))
+      .withColumn("n_pieces", expr("64 - pmod(__dp, 64)"))
+      .withColumn("score", expr(
+        "round(CAST((__dp + (64 - pmod(__dp, 64))) div 64 AS DOUBLE) " +
+          "/ 1000000, 6)"))
+      .select(col("word"), col("n_occurrences"), col("n_chars"),
+        col("n_pieces"), col("score"))
+  }
+
+  /** Micro log-probability of a vocabulary piece, shared verbatim with
+    * the oracle (one ln + one division per piece — libm-identical). */
+  val unigramScoreSql: String =
+    "CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tot) * 1000000, 0) AS BIGINT)"
+
+  /** Viterbi segmentation value as ONE map-side fold over the word's
+    * character positions: dp[i] = max over len 1..4 of
+    * dp[i−len] + 64·score(substr) − 1, packed as 64·Σscore − n_pieces
+    * so the exact-tie preference for FEWER pieces is integer max. The
+    * rolling window holds dp[i−4..i−1] (NULL-padded start —
+    * out-of-range and out-of-vocab candidates are NULL and `greatest`
+    * ignores them; single-char pieces are always in vocab, so the DP
+    * never strands). */
+  private val unigramFoldSql: String =
+    """aggregate(
+      |  sequence(1, CAST(length(word) AS INT)),
+      |  concat(array_repeat(CAST(NULL AS BIGINT), 3),
+      |    array(CAST(0 AS BIGINT))),
+      |  (W, i) -> concat(slice(W, 2, 3), array(greatest(
+      |    element_at(W, 4)
+      |      + 64 * try_element_at(vmap, substring(word, i, 1)) - 1,
+      |    element_at(W, 3)
+      |      + 64 * try_element_at(vmap, substring(word, i - 1, 2)) - 1,
+      |    element_at(W, 2)
+      |      + 64 * try_element_at(vmap, substring(word, i - 2, 3)) - 1,
+      |    element_at(W, 1)
+      |      + 64 * try_element_at(vmap, substring(word, i - 3, 4)) - 1))),
+      |  W -> element_at(W, 4))""".stripMargin
 }

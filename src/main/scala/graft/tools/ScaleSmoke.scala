@@ -1898,6 +1898,31 @@ object ScaleSmoke {
       drain(Profiling.fdCheck(o, Seq(
         ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"))))
     }
+    time(s"r14 louvain+lcs+unigram x${math.max(1, mult / 5)}") {
+      // louvain rounds are edge-keyed aggregates (disjoint copies must
+      // scale linearly); lcs/unigram DPs are map-side folds whose only
+      // scale axis is ROW COUNT — doc multiplication is the honest test
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val li = (0 until math.max(1, mult / 5)).map { i =>
+        li0.select((col("ok") + lit(i * 100_000_000L)).as("ok"),
+          (col("pk") + lit(i * 10_000_000L)).as("pk"))
+      }.reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count_distinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select(col("src"), col("dst"))
+      drain(graft.operators.Graph.louvainSync(e, "src", "dst"))
+      val pairs = docs
+        .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        .join(docs.select((col("doc_id") - 1).as("doc_a"),
+          col("text").as("tb")), Seq("doc_a"))
+      drain(TextAnalysis.lcsTokenPairs(pairs, "ta", "tb"))
+      drain(TextAnalysis.unigramSegment(docs, "text", topWords = 200))
+    }
     spark.stop()
   }
 }

@@ -103,4 +103,66 @@ class Round14OpsSpec extends SparkFunSuite {
       .orderBy("i").select("lcs").collect().map(_.getLong(0)).toSeq
     assert(out === expect)
   }
+
+  test("unigramSegment: a word made of one hot piece segments into it; " +
+      "rare words fall back to singles; ties prefer fewer pieces") {
+    // corpus: 'abab' dominates so piece 'ab' (and 'abab') are hot
+    val docs = (Seq.fill(50)("abab abab") ++ Seq("zq")).toDF("text")
+    val out = graft.operators.TextAnalysis
+      .unigramSegment(docs, "text", vocabMulti = 8, topWords = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // abab: 100 occurrences, 4 chars; best segmentation is the single
+    // piece 'abab' (highest-prob 4-gram) = 1 piece
+    assert(out("abab") === ((100L, 4L, 1L)))
+    // zq occurs once; 'zq' IS a candidate piece (top-8 multis over this
+    // tiny corpus include it) so it segments as one piece; the real
+    // assertion is the fewest-pieces tie-break and single fallback
+    assert(out("zq")._3 <= 2L)
+  }
+
+  test("unigramSegment matches a plain-Scala Viterbi on random words") {
+    val rnd = new scala.util.Random(7)
+    def word(): String =
+      Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar).mkString
+    val docs = Seq.fill(60)(Seq.fill(3)(word()).mkString(" ")).toDF("text")
+    val kMulti = 16
+    // reference vocab + scores (mirrors the operator's definition)
+    val toks = docs.collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty).map(_.take(16)).toSeq
+    val wc = toks.groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    val pieceCnt = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- wc; i <- w.indices; l <- 1 to math.min(4, w.length - i))
+      pieceCnt(w.substring(i, i + l)) =
+        pieceCnt.getOrElse(w.substring(i, i + l), 0L) + c
+    val singles = pieceCnt.filter(_._1.length == 1)
+    val multis = pieceCnt.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(kMulti)
+    val vocab = (singles.toSeq ++ multis).toMap
+    val tot = vocab.values.sum
+    val sc = vocab.map { case (p, c) =>
+      p -> math.round(math.log(c.toDouble / tot) * 1e6) }
+    def viterbi(w: String): (Long, Long) = {
+      val dp = Array.fill(w.length + 1)(Long.MinValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        val piece = w.substring(i - l, i)
+        if (dp(i - l) != Long.MinValue && sc.contains(piece)) {
+          val v = dp(i - l) + 64L * sc(piece) - 1L
+          if (v > dp(i)) dp(i) = v
+        }
+      }
+      val t = 64L - (((dp(w.length) % 64) + 64) % 64)
+      (t, (dp(w.length) + t) / 64)
+    }
+    val expect = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+      .map { case (w, _) => w -> viterbi(w) }.toMap
+    val out = graft.operators.TextAnalysis
+      .unigramSegment(docs, "text", vocabMulti = kMulti, topWords = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), math.round(r.getDouble(4) * 1e6)))).toMap
+    assert(out.keySet === expect.keySet)
+    for ((w, (t, s)) <- expect)
+      assert(out(w) === ((t, s)), s"word $w")
+  }
 }
