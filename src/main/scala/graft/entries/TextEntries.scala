@@ -397,6 +397,21 @@ private[graft] object TextEntries {
         table(s, dir, "documents"), "text",
         vocabMulti = 64, topWords = 30)
     }),
+    "q_sw_align" -> ((s, dir) => {
+      // Smith-Waterman LOCAL token alignment between consecutive
+      // document pairs (match +2 / mismatch -1 / gap -1 / floor 0):
+      // the plagiarized-SPAN detector complementing q_lcs_pairs'
+      // global subsequence - a verbatim quote inside two otherwise
+      // unrelated docs scores high here, low there.
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d
+        .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        .join(d.select((col("doc_id") - 1).as("doc_a"),
+          col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_a"))
+      graft.operators.TextAnalysis.swAlignPairs(pairs, "ta", "tb")
+        .select(col("doc_a"), col("doc_b"), col("sw"), col("na"),
+          col("nb"), col("sw_norm"))
+    }),
     "q_lcs_pairs" -> ((s, dir) => {
       // Token-level LCS similarity between consecutive document pairs
       // (ROUGE-L's core statistic): the subsequence complement of
@@ -476,6 +491,55 @@ private[graft] object TextEntries {
         |  64 - ((dp % 64) + 64) % 64 AS n_pieces,
         |  round(CAST((dp + (64 - ((dp % 64) + 64) % 64)) // 64
         |    AS DOUBLE) / 1000000, 6) AS score
+        |FROM fin""".stripMargin,
+    "q_sw_align" ->
+      // the LCS recursive-CTE replay with the window extended by one
+      // running-max slot (SW's answer is max over ALL cells)
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)[1:24] AS tl
+        |  FROM documents),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.tl AS ta, b.tl AS tb, CAST(len(a.tl) AS BIGINT) AS na,
+        |    CAST(len(b.tl) AS BIGINT) AS nb
+        |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1),
+        |r AS (
+        |  SELECT doc_a, doc_b, ta, tb, na, nb, CAST(0 AS BIGINT) AS t,
+        |      [CAST(0 AS BIGINT) FOR i IN range(0, CAST(nb AS INT) + 2)]
+        |        AS win
+        |    FROM pairs WHERE na > 0 AND nb > 0
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, ta, tb, na, nb, t + 1,
+        |      list_concat(win[2:CAST(nb AS INT) + 1], [
+        |        greatest(CAST(0 AS BIGINT),
+        |          (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE win[1] END)
+        |          + (CASE WHEN ta[CAST(t // nb AS INT) + 1]
+        |                  = tb[CAST(t % nb AS INT) + 1]
+        |             THEN 2 ELSE -1 END),
+        |          win[2] - 1,
+        |          (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE win[CAST(nb AS INT) + 1] END) - 1),
+        |        greatest(win[CAST(nb AS INT) + 2],
+        |          greatest(CAST(0 AS BIGINT),
+        |            (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE win[1] END)
+        |            + (CASE WHEN ta[CAST(t // nb AS INT) + 1]
+        |                    = tb[CAST(t % nb AS INT) + 1]
+        |               THEN 2 ELSE -1 END),
+        |            win[2] - 1,
+        |            (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE win[CAST(nb AS INT) + 1] END) - 1))])
+        |    FROM r WHERE t < na * nb),
+        |fin AS (SELECT doc_a, doc_b, na, nb,
+        |    win[CAST(nb AS INT) + 2] AS sw
+        |  FROM r WHERE t = na * nb
+        |  UNION ALL SELECT doc_a, doc_b, na, nb, CAST(0 AS BIGINT)
+        |  FROM pairs WHERE na = 0 OR nb = 0)
+        |SELECT doc_a, doc_b, sw, na, nb,
+        |  CASE WHEN least(na, nb) > 0
+        |    THEN round(CAST(sw AS DOUBLE) / (2 * least(na, nb)), 6)
+        |  ELSE NULL END AS sw_norm
         |FROM fin""".stripMargin,
     "q_lcs_pairs" ->
       // same rolling-window DP, replayed as a recursive CTE: the

@@ -2235,4 +2235,74 @@ object TextAnalysis {
       |    element_at(W, 1)
       |      + 64 * try_element_at(vmap, substring(word, i - 3, 4)) - 1))),
       |  W -> element_at(W, 4))""".stripMargin
+
+  /** Smith–Waterman LOCAL token alignment between document pairs — the
+    * local-span complement of [[lcsTokenPairs]]: where LCS scores the
+    * global common subsequence, SW finds the best CONTIGUOUS-ish
+    * aligned region (match +2, mismatch −1, gap −1, floor 0), the
+    * standard plagiarized-span / contamination-span detector (a short
+    * verbatim quote inside two otherwise-unrelated documents scores
+    * high here and low on global measures). Integer scoring, so the
+    * whole column is engine-exact.
+    *
+    * Plan: identical discipline to [[lcsTokenPairs]] — one map-side
+    * `aggregate` fold per pair over the capped token arrays, with the
+    * rolling (nb+1)-cell window extended by ONE slot carrying the
+    * running grid maximum (SW's answer is max over ALL cells, not the
+    * corner). Explicit-width repartition keeps the CPU-bound folds off
+    * a single AQE-coalesced task. */
+  def swAlignPairs(
+      pairs: DataFrame, aTextCol: String, bTextCol: String,
+      maxTokens: Int = 24): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 64,
+      s"maxTokens must be in [1, 64]: $maxTokens")
+    val prepped = pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col(aTextCol))
+      .withColumn("__a", expr(
+        s"slice(filter(split($aTextCol, ' '), x -> length(x) > 0), 1, $maxTokens)"))
+      .withColumn("__b", expr(
+        s"slice(filter(split($bTextCol, ' '), x -> length(x) > 0), 1, $maxTokens)"))
+      .withColumn("na", expr("CAST(size(__a) AS BIGINT)"))
+      .withColumn("nb", expr("CAST(size(__b) AS BIGINT)"))
+    prepped
+      .withColumn("sw", expr(swFoldSql))
+      .withColumn("sw_norm", expr(
+        "CASE WHEN least(na, nb) > 0 THEN " +
+          "round(CAST(sw AS DOUBLE) / (2 * least(na, nb)), 6) " +
+          "ELSE CAST(NULL AS DOUBLE) END"))
+      .drop("__a", "__b")
+  }
+
+  /** The SW grid as ONE map-side fold: the state array is the LCS
+    * window plus one trailing slot holding the running maximum; cell
+    * value = greatest(0, diag + (match ? 2 : −1), up − 1, left − 1)
+    * with the same j=0 boundary gates as [[lcsTokenPairs]]. Slot map
+    * for window size nb+2: left = S[nb+1], up = S[2], diag = S[1],
+    * runmax = S[nb+2]. */
+  private val swFoldSql: String =
+    """CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT) ELSE aggregate(
+      |  sequence(0L, na * nb - 1L),
+      |  array_repeat(CAST(0 AS BIGINT), CAST(nb AS INT) + 2),
+      |  (S, t) -> concat(slice(S, 2, CAST(nb AS INT)), array(
+      |    greatest(CAST(0 AS BIGINT),
+      |      (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE element_at(S, 1) END)
+      |      + (CASE WHEN element_at(__a, CAST(t div nb AS INT) + 1)
+      |               = element_at(__b, CAST(t % nb AS INT) + 1)
+      |         THEN 2L ELSE -1L END),
+      |      element_at(S, 2) - 1L,
+      |      (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE element_at(S, CAST(nb AS INT) + 1) END) - 1L),
+      |    greatest(element_at(S, CAST(nb AS INT) + 2),
+      |      greatest(CAST(0 AS BIGINT),
+      |        (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE element_at(S, 1) END)
+      |        + (CASE WHEN element_at(__a, CAST(t div nb AS INT) + 1)
+      |                 = element_at(__b, CAST(t % nb AS INT) + 1)
+      |           THEN 2L ELSE -1L END),
+      |        element_at(S, 2) - 1L,
+      |        (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE element_at(S, CAST(nb AS INT) + 1) END) - 1L)))),
+      |  S -> element_at(S, CAST(nb AS INT) + 2)) END""".stripMargin
 }

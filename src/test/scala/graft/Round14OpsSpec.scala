@@ -165,4 +165,50 @@ class Round14OpsSpec extends SparkFunSuite {
     for ((w, (t, s)) <- expect)
       assert(out(w) === ((t, s)), s"word $w")
   }
+
+  test("swAlignPairs: an embedded verbatim quote scores the local max " +
+      "while global LCS stays diluted") {
+    val quote = "to be or not to be"
+    val pairs = Seq(
+      (0, s"alpha beta $quote gamma delta", s"x y z $quote q r"),
+      (1, "one two three", "four five six")
+    ).toDF("i", "ta", "tb")
+    val out = graft.operators.TextAnalysis.swAlignPairs(pairs, "ta", "tb")
+      .orderBy("i").select("sw").collect().map(_.getLong(0))
+    // 6-token exact quote: local score 12 (6 matches x 2); the quote's
+    // internal repeat (to/be) can't beat the contiguous block
+    assert(out(0) === 12L)
+    assert(out(1) === 0L)
+  }
+
+  test("swAlignPairs matches a classic SW DP on random token pairs") {
+    val rnd = new scala.util.Random(73)
+    def doc(): String =
+      Seq.fill(1 + rnd.nextInt(28))(('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" ")
+    val data = (0 until 30).map(i => (i, doc(), doc()))
+    def swRef(a: Seq[String], b: Seq[String]): Long = {
+      var best = 0L
+      var prev = Array.fill(b.length + 1)(0L)
+      for (i <- a.indices) {
+        val cur = Array.fill(b.length + 1)(0L)
+        for (j <- b.indices) {
+          val m = if (a(i) == b(j)) 2L else -1L
+          cur(j + 1) = math.max(0L, math.max(prev(j) + m,
+            math.max(prev(j + 1) - 1L, cur(j) - 1L)))
+          best = math.max(best, cur(j + 1))
+        }
+        prev = cur
+      }
+      best
+    }
+    val expect = data.map { case (_, x, y) =>
+      swRef(x.split(" ").filter(_.nonEmpty).take(24).toSeq,
+        y.split(" ").filter(_.nonEmpty).take(24).toSeq)
+    }
+    val out = graft.operators.TextAnalysis
+      .swAlignPairs(data.toDF("i", "ta", "tb"), "ta", "tb")
+      .orderBy("i").select("sw").collect().map(_.getLong(0)).toSeq
+    assert(out === expect)
+  }
 }
