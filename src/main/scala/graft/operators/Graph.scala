@@ -1083,28 +1083,38 @@ object Graph {
         .join(comm.select(col("id").as("v"), col("c").as("cand")), Seq("v"))
         .groupBy(col("u").as("id"), col("cand"))
         .agg(count(lit(1)).cast("long").as("e_vc"))
-      // the STAY option must compete even when v has no neighbor in its
-      // own community (e_vc = 0 there)
-      val withStay = nbr.unionByName(
-          comm.select(col("id"), col("c").as("cand"), lit(0L).as("e_vc")))
-        .groupBy(col("id"), col("cand"))
-        .agg(max(col("e_vc")).cast("long").as("e_vc"))
       val tot = comm.join(deg, Seq("id"))
         .groupBy(col("c").as("cand"))
         .agg(sum(col("k")).cast("long").as("tot"))
-      val scored = withStay
+      val scored = nbr
         .join(comm, Seq("id"))
         .join(deg, Seq("id"))
         .join(tot, Seq("cand"))
         .crossJoin(m2)
         .withColumn("score", expr(louvainScoreSql))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("score").desc, col("cand").asc)
-      comm = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // best NEIGHBOR community by (score desc, cand asc) — a hash
+      // aggregate, not a window sort; negating cand makes the struct
+      // max the (score, smallest-cand) argmax
+      val best = scored.groupBy(col("id"))
+        .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("__b"))
+        .select(col("id"), col("__b.score").as("bs"),
+          (-col("__b.nc")).as("bc"))
+      // the STAY option competes separately with its e_vc = 0 floor
+      // score (when v's own community IS a neighbor community, its
+      // true-e_vc row already sits inside `best` and dominates this
+      // floor — the comparison below is tie-exact either way)
+      val cur = comm
+        .join(deg, Seq("id"))
+        .join(tot.withColumnRenamed("cand", "c"), Seq("c"))
+        .crossJoin(m2)
+        .withColumn("stay0", expr("0 - k * (tot - k)"))
+        .select(col("id"), col("c"), col("stay0"))
+      comm = cur.join(best, Seq("id"))
         .select(col("id"),
-          when(pmod(col("id"), lit(2L)) === lit((r % 2).toLong),
-            col("cand")).otherwise(col("c")).as("c"))
+          when(pmod(col("id"), lit(2L)) === lit((r % 2).toLong) &&
+              (col("bs") > col("stay0") ||
+                (col("bs") === col("stay0") && col("bc") < col("c"))),
+            col("bc")).otherwise(col("c")).as("c"))
         .materialize
     }
     comm.select(col("id"), col("c").as("community"))
