@@ -113,6 +113,24 @@ private[graft] object TimeSeriesEntries {
         .agg(sum(col("cents")).cast("long").as("v"))
       graft.operators.TimeSeries.seasonalByPhase(pd, "event_type", "day", "v", period = 7)
     }),
+    "q_kalman_level" -> ((s, dir) => {
+      // Local-level Kalman filter over the first 8 days of per-type
+      // event counts - the adaptive-gain level tracker completing the
+      // TS smoothing family (EWMA = fixed alpha, Holt = trend; this
+      // one's gain decays as the state converges). Exact milli state,
+      // every float op rounded per step, unrolled named columns.
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+      val d0 = broadcast(ev.agg(min(col("d")).as("d0")))
+      val daily = ev.crossJoin(d0)
+        .select(col("event_type"),
+          datediff(col("d"), col("d0")).cast("long").as("idx"))
+        .filter(col("idx") >= 0L && col("idx") < 8L)
+        .groupBy(col("event_type"), col("idx"))
+        .agg((count(lit(1)) * 1000L).cast("long").as("ym"))
+      graft.operators.TimeSeries.kalmanLocalLevel(
+        daily, "event_type", "idx", "ym", steps = 8)
+    }),
     "q_ewma" -> ((s, dir) => {
       // Exponentially-weighted moving average (α=0.3, 30-row lookback) of
       // per-user daily value sums — the smoothing twin of q_interpolate.
@@ -989,6 +1007,39 @@ private[graft] object TimeSeriesEntries {
         |  round(CAST(pd.v AS DOUBLE) - CAST(sv AS DOUBLE) / n, 6) AS resid
         |FROM pd JOIN s
         |  ON s.event_type = pd.event_type AND s.dow = pd.day % 7""".stripMargin,
+    "q_kalman_level" -> {
+      val (qm, rm, p0) = (4000L, 100000L, 10000000L)
+      val steps = (1 to 8).map { t =>
+        val (pm, pp, y) = (s"m${t - 1}", s"pp$t", s"y${t - 1}")
+        s"""s$t AS (SELECT *, ${graft.operators.TimeSeries
+             .kalmanPUpdateSql(pp, rm)} AS p$t,
+           |    ${graft.operators.TimeSeries
+             .kalmanMUpdateSql(pm, pp, y, rm)} AS m$t
+           |  FROM (SELECT *, p${t - 1} + $qm AS pp$t FROM s${t - 1}))"""
+          .stripMargin
+      }.mkString(",\n")
+      val ys = (0 until 8).map(k =>
+        s"COALESCE(MAX(CASE WHEN idx = $k THEN ym END), CAST(0 AS BIGINT)) AS y$k")
+        .mkString(",\n    ")
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d
+         |  FROM events),
+         |d0 AS (SELECT MIN(d) AS d0 FROM ev),
+         |daily AS (SELECT event_type,
+         |    CAST(date_diff('day', d0, d) AS BIGINT) AS idx,
+         |    CAST(COUNT(*) * 1000 AS BIGINT) AS ym
+         |  FROM ev CROSS JOIN d0
+         |  WHERE date_diff('day', d0, d) BETWEEN 0 AND 7 GROUP BY 1, 2),
+         |wide AS (SELECT event_type,
+         |    $ys
+         |  FROM daily GROUP BY 1),
+         |s0 AS (SELECT *, CAST(0 AS BIGINT) AS m0,
+         |    CAST($p0 AS BIGINT) AS p0 FROM wide),
+         |$steps
+         |SELECT event_type, round(CAST(m8 AS DOUBLE) / 1000, 6) AS level,
+         |  round(CAST(p8 AS DOUBLE) / 1000, 6) AS variance,
+         |  round(CAST(pp8 AS DOUBLE) / (pp8 + $rm), 6) AS last_gain
+         |FROM s8""".stripMargin
+    },
     "q_ewma" ->
       """WITH pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

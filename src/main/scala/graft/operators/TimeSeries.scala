@@ -2728,4 +2728,67 @@ object TimeSeries {
     * Shared with the oracle. */
   val poissonASql: String =
     "(CAST(wz AS DOUBLE) - b * CAST(wx AS DOUBLE)) / CAST(w AS DOUBLE)"
+
+  /** Local-level Kalman filter (the simplest state-space model:
+    * x_t = x_{t−1} + w, y_t = x_t + v) over per-key step series — the
+    * probabilistic smoother the TS family lacked: unlike EWMA's fixed
+    * alpha, the gain ADAPTS (high while the state is uncertain, low
+    * once it converges), which is the textbook noisy-counter
+    * level-tracker. Fixed `steps` unrolled as NAMED per-step columns
+    * (the Viterbi lesson — a self-referencing Column tree grows
+    * k^steps).
+    *
+    * Exactness: state (m, P) lives in exact MILLI longs; each step
+    * does one double division (the gain) and one double product, each
+    * immediately rounded back to milli ([[kalmanMUpdateSql]] /
+    * [[kalmanPUpdateSql]], shared verbatim with the oracle), so no
+    * float SUM ever crosses engines and the FMA-contraction hazard
+    * (m + K·innov as one fused expression) is quantized away. Missing
+    * steps observe y = 0 (callers gap-fill or accept the zero-count
+    * reading — counts ARE zero on empty days).
+    *
+    * Input: (key, idx ∈ [0, steps), yMilli). Output per key: filtered
+    * level and variance after the last step plus the last gain —
+    * one conditional-aggregate pivot and a map-side column chain;
+    * keys partition freely, nothing iterates on the driver. */
+  def kalmanLocalLevel(
+      df: DataFrame, keyCol: String, idxCol: String, yMilliCol: String,
+      steps: Int = 8, qMilli: Long = 4000L, rMilli: Long = 100000L,
+      p0Milli: Long = 10000000L): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps must be in [1, 16]: $steps")
+    require(qMilli > 0 && rMilli > 0 && p0Milli > 0,
+      s"variances must be positive: $qMilli/$rMilli/$p0Milli")
+    val aggs = (0 until steps).map(k =>
+      coalesce(max(when(col(idxCol) === k.toLong, col(yMilliCol))),
+        lit(0L)).as(s"__y$k"))
+    val wide = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    var cur = wide
+      .withColumn("__m0", lit(0L))
+      .withColumn("__p0", lit(p0Milli))
+    (1 to steps).foreach { t =>
+      val (pm, pp, y) = (s"__m${t - 1}", s"__p${t - 1}", s"__y${t - 1}")
+      cur = cur
+        .withColumn(s"__pp$t", expr(s"$pp + $qMilli"))
+        .withColumn(s"__m$t",
+          expr(kalmanMUpdateSql(pm, s"__pp$t", y, rMilli)))
+        .withColumn(s"__p$t", expr(kalmanPUpdateSql(s"__pp$t", rMilli)))
+    }
+    cur.select(col(keyCol),
+      expr(s"round(CAST(__m$steps AS DOUBLE) / 1000, 6)").as("level"),
+      expr(s"round(CAST(__p$steps AS DOUBLE) / 1000, 6)").as("variance"),
+      expr(s"round(CAST(__pp$steps AS DOUBLE) / (__pp$steps + $rMilli), 6)")
+        .as("last_gain"))
+  }
+
+  /** Milli state update m' = m + round(K·(y − m)): ONE double division
+    * and ONE product, rounded straight back to exact milli. Shared
+    * verbatim with the oracle. */
+  def kalmanMUpdateSql(m: String, pp: String, y: String, rm: Long): String =
+    s"$m + CAST(ROUND(CAST($pp AS DOUBLE) / ($pp + $rm) * ($y - $m), 0) " +
+      "AS BIGINT)"
+
+  /** Milli variance update P' = round(Pp·R / (Pp + R)) — the
+    * multiply-then-divide form with no float add. Shared verbatim. */
+  def kalmanPUpdateSql(pp: String, rm: Long): String =
+    s"CAST(ROUND(CAST($pp AS DOUBLE) * $rm / ($pp + $rm), 0) AS BIGINT)"
 }

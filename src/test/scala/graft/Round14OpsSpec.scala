@@ -211,4 +211,43 @@ class Round14OpsSpec extends SparkFunSuite {
       .orderBy("i").select("sw").collect().map(_.getLong(0)).toSeq
     assert(out === expect)
   }
+
+  test("kalmanLocalLevel: converges onto a constant series, variance " +
+      "and gain shrink; matches a plain-Scala replay with identical " +
+      "per-step quantization") {
+    val (qm, rm, p0) = (4000L, 100000L, 10000000L)
+    def replay(ys: Seq[Long]): (Long, Long, Double) = {
+      var m = 0L; var p = p0; var ppLast = 0L
+      for (y <- ys) {
+        val pp = p + qm
+        ppLast = pp
+        m = m + math.round(pp.toDouble / (pp + rm) * (y - m))
+        p = math.round(pp.toDouble * rm / (pp + rm))
+      }
+      (m, p, ppLast.toDouble / (ppLast + rm))
+    }
+    val seriesA = Seq.fill(8)(500000L)                  // constant 500.0
+    val seriesB = Seq(100L, 900L, 200L, 800L, 300L, 700L, 400L, 600L)
+      .map(_ * 1000L)                                   // noisy
+    val df = (seriesA.zipWithIndex.map { case (y, i) => ("a", i.toLong, y) }
+      ++ seriesB.zipWithIndex.map { case (y, i) => ("b", i.toLong, y) })
+      .toDF("k", "idx", "ym")
+    val out = graft.operators.TimeSeries
+      .kalmanLocalLevel(df, "k", "idx", "ym", steps = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (ma, pa, ga) = replay(seriesA)
+    assert(out("a")._1 === ma / 1000.0)
+    assert(out("a")._2 === pa / 1000.0)
+    assert(math.abs(out("a")._3 - ga) < 5e-7)
+    // constant series: level locks onto 500 (gain ~1 on first step)
+    assert(math.abs(out("a")._1 - 500.0) < 1.0)
+    // steady-state variance far below the prior, gain well below 1
+    assert(out("a")._2 < 100.0 && out("a")._3 < 0.5)
+    val (mb, pb, _) = replay(seriesB)
+    assert(out("b")._1 === mb / 1000.0)
+    assert(out("b")._2 === pb / 1000.0)
+    // both keys reach the same steady-state variance (P is y-free)
+    assert(out("a")._2 === out("b")._2)
+  }
 }
