@@ -375,21 +375,24 @@ object Graph {
   private[graft] def triangleEnum(
       cand: DataFrame, maxDeg: Long = Long.MaxValue): DataFrame = {
     // hub cap: drop edges touching any vertex above maxDeg (exact
-    // triangles of the induced subgraph); orientation keys on the
-    // CAPPED subgraph's degrees — any consistent total order keeps
-    // the kernel correct
-    val und =
-      if (maxDeg == Long.MaxValue) cand
+    // triangles of the induced subgraph); orientation reuses the
+    // ORIGINAL degrees already aggregated for the cap — any consistent
+    // total order keeps the kernel correct, and the reuse saves one
+    // full edge pass
+    val (und, degOpt) =
+      if (maxDeg == Long.MaxValue) (cand, None)
       else {
-        val keep = cand.select(col("lo").as("id"))
+        val degAll = cand.select(col("lo").as("id"))
           .unionByName(cand.select(col("hi").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= maxDeg).select(col("id"))
-        cand
+          .materialize
+        val keep = degAll.filter(col("deg") <= maxDeg).select(col("id"))
+        (cand
           .join(keep.select(col("id").as("lo")), Seq("lo"), "left_semi")
-          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi")
+          .join(keep.select(col("id").as("hi")), Seq("hi"), "left_semi"),
+          Some(degAll))
       }
-    val o = orientedDag(und)
+    val o = orientedDag(und, degOpt)
     val adj = o.groupBy(col("u").as("id"))
       .agg(sort_array(collect_list(col("v"))).as("out"))
     o.join(adj.select(col("id").as("u"), col("out").as("oa")), Seq("u"))
@@ -1270,11 +1273,17 @@ object Graph {
     * DAG is O(√m) (≤ 2·arboricity — the Chiba–Nishizeki invariant),
     * which is what bounds clique-listing adjacency arrays and
     * extension fan-out independent of hub degrees.
-    * Materialized: every caller probes it several times. */
-  private[graft] def orientedDag(cand: DataFrame): DataFrame = {
-    val deg = cand.select(col("lo").as("id"))
+    * Materialized: every caller probes it several times.
+    *
+    * `degOpt` lets a caller that already aggregated degrees (the hub
+    * valve) reuse them for the orientation key — ANY consistent total
+    * order keeps clique enumeration exact, so orienting a capped
+    * subgraph by the ORIGINAL degrees saves one full edge pass. */
+  private[graft] def orientedDag(
+      cand: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(cand.select(col("lo").as("id"))
       .unionByName(cand.select(col("hi").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
     cand
