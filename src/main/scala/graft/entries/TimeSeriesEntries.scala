@@ -288,6 +288,19 @@ private[graft] object TimeSeriesEntries {
       graft.operators.TimeSeries.mannKendall(
         daily, "event_type", "day_idx", "cents")
     }),
+    "q_binary_segmentation" -> ((s, dir) => {
+      // Depth-2 binary segmentation of each type's daily-cents series
+      // (up to 3 ordered changepoints per group, minSeg=3) - the
+      // multiple-changepoint extension q_changepoint's single split
+      // can't express; identical micro SS score, shared with the
+      // unrolled two-level oracle.
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_idx"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.operators.TimeSeries.binarySegmentation(
+        daily, "event_type", "day_idx", "cents", depth = 2, minSeg = 3)
+    }),
     "q_changepoint" -> ((s, dir) => {
       // Binary-segmentation step: the single best split of each type's
       // daily-total series by between-segment SS — locates what CUSUM
@@ -1248,6 +1261,45 @@ private[graft] object TimeSeriesEntries {
          |SELECT s.g AS event_type, s_stat, n_distinct_y, n, tie_term,
          |  $v AS var_s, $z AS z, abs($z) > 1.959964 AS significant
          |FROM s JOIN ties USING (g)""".stripMargin
+    },
+    "q_binary_segmentation" -> {
+      // one segmentation level as a CTE template over a labeled
+      // (g, seg, x, y) frame: prefix sums per (g, seg), the minSeg
+      // filter, the (score desc, x) argmax, then the relabel
+      def level(src: String, lv: Int, bestOut: String, nextOut: String): String =
+        s"""r_$lv AS (SELECT g, seg, x, y,
+           |    CAST(SUM(y) OVER (PARTITION BY g, seg ORDER BY x)
+           |      AS BIGINT) AS sl,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY g, seg ORDER BY x)
+           |      AS BIGINT) AS nl,
+           |    CAST(COUNT(*) OVER (PARTITION BY g, seg) AS BIGINT) AS n,
+           |    CAST(SUM(y) OVER (PARTITION BY g, seg) AS BIGINT) AS s
+           |  FROM $src),
+           |sc_$lv AS (SELECT *,
+           |    ${graft.operators.TimeSeries.binsegScoreSql} AS score_micro
+           |  FROM r_$lv WHERE nl >= 3 AND n - nl >= 3),
+           |$bestOut AS MATERIALIZED (SELECT g, seg, x AS split_after_x,
+           |    score_micro, n, nl AS n_left
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g, seg
+           |      ORDER BY score_micro DESC, x) AS rn FROM sc_$lv)
+           |  WHERE rn = 1),
+           |$nextOut AS MATERIALIZED (SELECT l.g,
+           |    l.seg * 2 + CASE WHEN b.split_after_x IS NOT NULL
+           |      AND l.x > b.split_after_x THEN 1 ELSE 0 END AS seg,
+           |    l.x, l.y
+           |  FROM $src l LEFT JOIN $bestOut b
+           |    ON b.g = l.g AND b.seg = l.seg)""".stripMargin
+      s"""WITH daily AS (SELECT event_type AS g, CAST(0 AS BIGINT) AS seg,
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         |    CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 3),
+         |${level("daily", 0, "b0", "lab1")},
+         |${level("lab1", 1, "b1", "lab2")}
+         |SELECT g AS event_type, CAST(0 AS BIGINT) AS level, seg,
+         |    split_after_x, score_micro, n, n_left FROM b0
+         |UNION ALL
+         |SELECT g AS event_type, CAST(1 AS BIGINT) AS level, seg,
+         |    split_after_x, score_micro, n, n_left FROM b1""".stripMargin
     },
     "q_changepoint" -> changepointOracleSql,
     "q_ljung_box" -> {

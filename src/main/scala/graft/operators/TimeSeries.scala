@@ -2791,4 +2791,70 @@ object TimeSeries {
     * multiply-then-divide form with no float add. Shared verbatim. */
   def kalmanPUpdateSql(pp: String, rm: Long): String =
     s"CAST(ROUND(CAST($pp AS DOUBLE) * $rm / ($pp + $rm), 0) AS BIGINT)"
+
+  /** Binary segmentation to `depth` levels — MULTIPLE changepoints,
+    * the recursive extension of [[changepoint]] (one split) that
+    * real drift audits need (a series that jumps twice fools a single
+    * split into the middle): level 0 takes each group's best
+    * between-segment-SS split; every level after re-runs the same
+    * argmax INSIDE each resulting segment, so depth 2 yields up to 3
+    * ordered changepoints per group. `minSeg` keeps both halves of
+    * every accepted split at least that long (degenerate 1-point
+    * segments score high on noise). Ties break toward the smaller x;
+    * scores are the exact micro-quantized [[binsegScoreSql]] shared
+    * with the oracle.
+    *
+    * Output: one row per ACCEPTED split — (group, level, seg, the
+    * binary segment path at that level, split_after_x, score_micro,
+    * n, n_left).
+    *
+    * Scale shape per level: the same group×segment-keyed prefix-sum
+    * windows as [[changepoint]] plus one argmax window — segment
+    * labels ride the rows, so groups and segments partition freely
+    * and each level is two window passes over the data, never a
+    * per-split job. */
+  def binarySegmentation(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      depth: Int = 2, minSeg: Int = 2): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1, 4]: $depth")
+    require(minSeg >= 1, s"minSeg must be >= 1: $minSeg")
+    import org.apache.spark.sql.expressions.Window
+    var rows = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("seg", lit(0L))
+    var out: DataFrame = null
+    (0 until depth).foreach { level =>
+      val w = Window.partitionBy(col("g"), col("seg")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("g"), col("seg"))
+      val ranked = rows
+        .withColumn("sl", sum(col("y")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nl", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("s", sum(col("y")).over(wAll).cast("long"))
+        .filter(col("nl") >= minSeg.toLong &&
+          col("n") - col("nl") >= minSeg.toLong)
+        .withColumn("score_micro", expr(binsegScoreSql))
+      val pick = Window.partitionBy(col("g"), col("seg"))
+        .orderBy(col("score_micro").desc, col("x"))
+      val best = ranked.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("g"), col("seg"), col("x").as("split_after_x"),
+          col("score_micro"), col("n"), col("nl").as("n_left"))
+        .materialize
+      val lvl = best.select(col("g"), lit(level.toLong).as("level"),
+        col("seg"), col("split_after_x"), col("score_micro"),
+        col("n"), col("n_left"))
+      out = if (out == null) lvl else out.unionByName(lvl)
+      rows = rows
+        .join(best.select(col("g"), col("seg"), col("split_after_x")),
+          Seq("g", "seg"), "left")
+        .withColumn("seg",
+          col("seg") * 2 + when(col("split_after_x").isNotNull &&
+            col("x") > col("split_after_x"), 1L).otherwise(0L))
+        .drop("split_after_x")
+    }
+    out.select(col("g").as(groupCol), col("level"), col("seg"),
+      col("split_after_x"), col("score_micro"), col("n"), col("n_left"))
+  }
 }

@@ -250,4 +250,38 @@ class Round14OpsSpec extends SparkFunSuite {
     // both keys reach the same steady-state variance (P is y-free)
     assert(out("a")._2 === out("b")._2)
   }
+
+  test("binarySegmentation: a two-jump series recovers BOTH jumps " +
+      "(level 0 takes the bigger one), matching a brute-force argmax") {
+    // 30|30|30|30  90|90|90|90  10|10|10|10  : jumps after x=3 and x=7
+    val ys = Seq.fill(4)(30L) ++ Seq.fill(4)(90L) ++ Seq.fill(4)(10L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("k", i.toLong, y) }
+      .toDF("g", "x", "y")
+    val out = graft.operators.TimeSeries
+      .binarySegmentation(df, "g", "x", "y", depth = 2, minSeg = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // level 0: the 90->10 edge carries the larger between-segment SS
+    assert(out((0L, 0L)) === 7L)
+    // level 1 on the left segment [0..7] finds the 30->90 jump
+    assert(out((1L, 0L)) === 3L)
+    // level 1 on the right segment [8..11] is flat: accepted split (if
+    // any) is noise-free zero score or absent; assert no spurious x
+    assert(out.keySet.filter(_._1 == 1L).forall { k =>
+      k._2 == 0L || out(k) >= 8L })
+  }
+
+  test("binarySegmentation level-0 equals changepoint on the same " +
+      "series when minSeg permits every split") {
+    val rnd = new scala.util.Random(99)
+    val data = for (g <- Seq("a", "b"); i <- 0 until 20)
+      yield (g, i.toLong, (rnd.nextInt(100) + 1).toLong)
+    val df = data.toDF("g", "x", "y")
+    val cp = graft.operators.TimeSeries.changepoint(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bs = graft.operators.TimeSeries
+      .binarySegmentation(df, "g", "x", "y", depth = 1, minSeg = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(bs === cp)
+  }
 }
