@@ -100,7 +100,7 @@ object PlanDump {
     "q_kneser_ney",          // one bigram exchange feeds left/right/total aggs joined back
     "q_sax",                 // per-key rank window + two key-hashed aggs + word concat
     "q_kcenter",             // 6 argmax rounds, 1-row broadcast refresh over materialized state
-    "q_dtw",                 // 15 wavefront DP rounds of (pair,i,j)-keyed joins on materialized cost
+    "q_dtw",                 // bounded broadcast pair grid; DP = ONE map-side fold per pair (r14)
     "q_eigen_centrality",    // 4 linear join+agg rounds, ONE final 1-row max broadcast
     "q_viterbi",             // capped window + pivot agg, DP = per-row columnar codegen
     "q_matrix_profile",      // bounded delta broadcast + per-offset rolling window + argmin agg
@@ -108,6 +108,15 @@ object PlanDump {
     "q_kmeans_lloyd",        // 3 chained broadcast-assign + (cell,dim) fixed-point agg rounds
     "q_target_encode",       // one category window + 1-row global prior broadcast
     "q_removal_effect",      // all removal scenarios in ONE recursion frame (scenario column)
+    // round-14 additions
+    "q_four_cliques",        // adjacency-intersection K4: 3 edge-keyed joins, arrays bounded by DAG out-degree
+    "q_louvain",             // per-round edge-keyed count + degree agg + hash argmax; 1-row 2m broadcast
+    "q_lcs_pairs",           // consecutive-pair join + explicit-width repartition + map-side DP fold
+    "q_sw_align",            // same shape, running-max window fold
+    "q_unigram_segment",     // bounded piece-map broadcast (singles+64) + map-side Viterbi fold
+    "q_kalman_level",        // conditional-aggregate pivot + unrolled named step columns
+    "q_binary_segmentation", // two window passes per level over (group,segment)-labeled rows
+    "q_ks_users",            // distributed prefix-sum CDF: range exchange + offset broadcast
     "q_doubly_robust",       // IRLS aggregates + two arm OLS fits, 3 coefficient-row broadcasts
     "q_extractive_chunks",   // token-keyed vocab join (never broadcast) + doc-keyed argmin/argmax
     "q_mis",                 // per-round tagged-state job over static edges + driver tail finisher

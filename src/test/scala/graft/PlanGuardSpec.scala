@@ -46,7 +46,11 @@ class PlanGuardSpec extends SparkFunSuite {
     // round-14: DTW pair grid — maxKeys-valved (≤4096 keys × m longs)
     // broadcast of the PAA-array table; the intended bounded
     // brute-force tier, same class as q_similarity_bruteforce
-    "q_dtw")
+    "q_dtw",
+    // round-14 documented 1-row/bounded broadcast sites:
+    // unigram piece-map (singles + 64 multis, ONE row), kalman min-date
+    // (1 row), ks_users partition-offset broadcast (bounded prefix)
+    "q_unigram_segment", "q_kalman_level", "q_ks_users")
 
   test("no audited plan contains a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at documented 1-row/" +
