@@ -19,6 +19,25 @@ private[graft] object DedupEntries {
         .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhash(table(s, dir, "documents"), threshold = 0.5)),
+    "q_lcs_verified" -> ((s, dir) => {
+      // The REAL blocked-pairs pipeline shape: LSH-banded near-dup
+      // candidates (verified Jaccard >= 0.5) scored by token-level LCS
+      // ratio - "how much of each near-dup pair is one shared
+      // subsequence" separates reordered-bag lookalikes from genuine
+      // copied passages. Pair cardinality is bounded by the banding,
+      // never all-pairs; the LCS DP is the q_lcs_pairs map-side fold.
+      val d = table(s, dir, "documents")
+      val nd = Dedup.nearDupMinhash(d, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val pairs = nd
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          Seq("doc_b"))
+      graft.operators.TextAnalysis.lcsTokenPairs(pairs, "ta", "tb")
+        .select(col("doc_a"), col("doc_b"), col("lcs"), col("na"),
+          col("nb"), col("lcs_ratio"))
+    }),
     "q_dedup_report" -> ((s, dir) => {
       // The headline curation metric: how much of the corpus is duplicated
       // mass. Non-canonical members of near-dup components (the docs
@@ -293,6 +312,45 @@ private[graft] object DedupEntries {
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "q_lcs_verified" ->
+      // the q_dedup_minhash candidate CTEs feed the q_lcs_pairs
+      // recursive window DP over the verified pairs
+      s"""WITH RECURSIVE ${graft.SparkEntry.minhashVerifiedCtes},
+         |docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |      x -> length(x) > 0)[1:24] AS tl
+         |  FROM documents),
+         |vp AS (SELECT v.doc_a, v.doc_b, a.tl AS ta, b.tl AS tb,
+         |    CAST(len(a.tl) AS BIGINT) AS na,
+         |    CAST(len(b.tl) AS BIGINT) AS nb
+         |  FROM verified v JOIN docs2 a ON a.doc_id = v.doc_a
+         |    JOIN docs2 b ON b.doc_id = v.doc_b),
+         |r AS (
+         |  SELECT doc_a, doc_b, ta, tb, na, nb, CAST(0 AS BIGINT) AS t,
+         |      [CAST(0 AS BIGINT) FOR i IN range(0, CAST(nb AS INT) + 1)]
+         |        AS win
+         |    FROM vp WHERE na > 0 AND nb > 0
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, ta, tb, na, nb, t + 1,
+         |      list_concat(win[2:], [CASE
+         |        WHEN ta[CAST(t // nb AS INT) + 1]
+         |             = tb[CAST(t % nb AS INT) + 1]
+         |        THEN (CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE win[1] END) + 1
+         |        ELSE greatest(
+         |          CASE WHEN t % nb = 0 THEN CAST(0 AS BIGINT)
+         |          ELSE win[CAST(nb AS INT) + 1] END,
+         |          win[2]) END])
+         |    FROM r WHERE t < na * nb),
+         |fin AS (SELECT doc_a, doc_b, na, nb,
+         |    win[CAST(nb AS INT) + 1] AS lcs
+         |  FROM r WHERE t = na * nb
+         |  UNION ALL SELECT doc_a, doc_b, na, nb, CAST(0 AS BIGINT)
+         |  FROM vp WHERE na = 0 OR nb = 0)
+         |SELECT doc_a, doc_b, lcs, na, nb,
+         |  CASE WHEN greatest(na, nb) > 0
+         |    THEN round(CAST(lcs AS DOUBLE) / greatest(na, nb), 6)
+         |  ELSE NULL END AS lcs_ratio
+         |FROM fin""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashVerifiedCtes
          |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
