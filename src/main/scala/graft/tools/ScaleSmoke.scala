@@ -1921,7 +1921,23 @@ object ScaleSmoke {
         .join(docs.select((col("doc_id") - 1).as("doc_a"),
           col("text").as("tb")), Seq("doc_a"))
       drain(TextAnalysis.lcsTokenPairs(pairs, "ta", "tb"))
+      drain(TextAnalysis.swAlignPairs(pairs, "ta", "tb"))
       drain(TextAnalysis.unigramSegment(docs, "text", topWords = 200))
+    }
+    time(s"r14 binseg+kalman x$mult") {
+      // both are window/pivot passes over per-key series — row-linear
+      val daily = events
+        .groupBy(col("event_type"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("idx"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      drain(TimeSeries.binarySegmentation(
+        daily.withColumn("g",
+          concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(64L)))),
+        "g", "idx", "cents", depth = 2, minSeg = 3))
+      drain(TimeSeries.kalmanLocalLevel(
+        daily.select(col("user_id").as("k"), (col("idx") - 1).as("idx"),
+          (col("cents") * 10).as("ym")),
+        "k", "idx", "ym", steps = 8))
     }
     spark.stop()
   }
