@@ -207,6 +207,26 @@ private[graft] object TimeSeriesEntries {
         .agg(sum(col("cents")).as("v"))
       graft.operators.TimeSeries.autocorr(perDay, "user_id", "day", "v", lag = 1)
     }),
+    "q_holt_winters" -> ((s, dir) => {
+      // Additive Holt-Winters (weekly seasonality, dyadic weights
+      // alpha=1/2 beta=gamma=1/4) over each type's first 14 daily-cents
+      // totals: textbook two-season init + 7 exact-integer smoothing
+      // steps + the h=1/h=7 forecasts - the seasonal FORECASTING member
+      // q_holt (trend) and q_seasonal_decompose (retrospective) lack.
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val d0 = broadcast(ev.agg(min(col("d")).as("d0")))
+      val daily = ev.crossJoin(d0)
+        .select(col("event_type"),
+          datediff(col("d"), col("d0")).cast("long").as("idx"),
+          col("cents"))
+        .filter(col("idx") >= 0L && col("idx") < 14L)
+        .groupBy(col("event_type"), col("idx"))
+        .agg(sum(col("cents")).cast("long").as("y"))
+      graft.operators.TimeSeries.holtWintersInt(
+        daily, "event_type", "idx", "y")
+    }),
     "q_holt" -> ((s, dir) => {
       // Holt level+trend smoothing of per-user daily spend. Fixed-point
       // rational arithmetic with floor division -> the recursive oracle
@@ -1177,6 +1197,43 @@ private[graft] object TimeSeriesEntries {
         |           CAST(n * syy - sy * sy AS DOUBLE))
         |    END, 6) AS acf
         |FROM m""".stripMargin,
+    "q_holt_winters" -> {
+      import graft.operators.TimeSeries.floorDivSql
+      val ys = (0 until 14).map(k =>
+        s"COALESCE(MAX(CASE WHEN idx = $k THEN y END), CAST(0 AS BIGINT)) AS y$k")
+        .mkString(",\n    ")
+      val s1 = (0 until 7).map(k => s"y$k").mkString(" + ")
+      val s2 = (7 until 14).map(k => s"y$k").mkString(" + ")
+      val seas = (0 until 7).map(j => s"y$j - l6 AS sea$j").mkString(", ")
+      val steps = (7 until 14).map { t =>
+        val j = t - 7
+        s"""st$t AS (SELECT *, ${floorDivSql(
+             s"y$t - l$t + 3 * sea$j", 4)} AS su$j FROM (
+           |  SELECT *, ${floorDivSql(
+             s"l$t - l${t - 1} + 3 * b${t - 1}", 4)} AS b$t FROM (
+           |    SELECT *, ${floorDivSql(
+             s"y$t - sea$j + l${t - 1} + b${t - 1}", 2)} AS l$t
+           |    FROM st${t - 1})))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+         |d0 AS (SELECT MIN(d) AS d0 FROM ev),
+         |daily AS (SELECT event_type,
+         |    CAST(date_diff('day', d0, d) AS BIGINT) AS idx,
+         |    CAST(SUM(cents) AS BIGINT) AS y
+         |  FROM ev CROSS JOIN d0
+         |  WHERE date_diff('day', d0, d) BETWEEN 0 AND 13 GROUP BY 1, 2),
+         |wide AS (SELECT event_type,
+         |    $ys
+         |  FROM daily GROUP BY 1),
+         |st6 AS (SELECT *, $seas FROM (
+         |  SELECT *, ${floorDivSql(s"($s2) - ($s1)", 49)} AS b6 FROM (
+         |    SELECT *, ${floorDivSql(s1, 7)} AS l6 FROM wide))),
+         |$steps
+         |SELECT event_type, l13 AS level, b13 AS trend,
+         |  l13 + 1 * b13 + su0 AS fc_1, l13 + 7 * b13 + su6 AS fc_7
+         |FROM st13""".stripMargin
+    },
     "q_holt" ->
       """WITH RECURSIVE pd AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

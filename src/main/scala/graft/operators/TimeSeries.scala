@@ -2857,4 +2857,61 @@ object TimeSeries {
     out.select(col("g").as(groupCol), col("level"), col("seg"),
       col("split_after_x"), col("score_micro"), col("n"), col("n_left"))
   }
+
+  /** Additive Holt–Winters with weekly seasonality over a fixed
+    * 14-step (two-season) window — the SEASONAL member completing the
+    * smoothing family ([[holt]] = level+trend, EWMA = level,
+    * [[kalmanLocalLevel]] = adaptive gain; this one forecasts the
+    * weekly shape): classic textbook init (level = week-1 mean, trend
+    * = (week-2 − week-1 sums)/49, seasonals = week-1 deviations), then
+    * seven smoothing steps over week 2 with DYADIC weights α=1/2,
+    * β=γ=1/4 — so every update is integer add/multiply plus ONE
+    * floor division, written once as [[floorDivSql]] and shared
+    * verbatim with the oracle: the whole recursion is exact BIGINT
+    * arithmetic, no doubles anywhere.
+    *
+    * Output per key: smoothed level/trend after step 14 and the h=1
+    * and h=7 forecasts (level + h·trend + updated seasonal), all in
+    * the input's integer unit.
+    *
+    * Plan: one conditional-aggregate pivot per key + a map-side named
+    * column chain (the [[kalmanLocalLevel]] shape); keys partition
+    * freely. */
+  def holtWintersInt(
+      df: DataFrame, keyCol: String, idxCol: String,
+      yCol: String): DataFrame = {
+    val aggs = (0 until 14).map(k =>
+      coalesce(max(when(col(idxCol) === k.toLong, col(yCol))), lit(0L))
+        .as(s"__y$k"))
+    val wide = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val s1 = (0 until 7).map(k => s"__y$k").mkString(" + ")
+    val s2 = (7 until 14).map(k => s"__y$k").mkString(" + ")
+    var cur = wide
+      .withColumn("__l6", expr(floorDivSql(s1, 7)))
+      .withColumn("__b6", expr(floorDivSql(s"($s2) - ($s1)", 49)))
+    (0 until 7).foreach { j =>
+      cur = cur.withColumn(s"__sea$j", expr(s"__y$j - __l6"))
+    }
+    (7 until 14).foreach { t =>
+      val j = t - 7
+      cur = cur
+        .withColumn(s"__l$t", expr(floorDivSql(
+          s"__y$t - __sea$j + __l${t - 1} + __b${t - 1}", 2)))
+        .withColumn(s"__b$t", expr(floorDivSql(
+          s"__l$t - __l${t - 1} + 3 * __b${t - 1}", 4)))
+        .withColumn(s"__su$j", expr(floorDivSql(
+          s"__y$t - __l$t + 3 * __sea$j", 4)))
+    }
+    cur.select(col(keyCol),
+      col("__l13").as("level"), col("__b13").as("trend"),
+      expr("__l13 + 1 * __b13 + __su0").as("fc_1"),
+      expr("__l13 + 7 * __b13 + __su6").as("fc_7"))
+  }
+
+  /** Portable exact floor division (d > 0): identical text in Spark
+    * and DuckDB — `%` follows the dividend's sign in both, the
+    * corrected remainder makes the numerator an exact multiple, and
+    * the double `/` is exact on multiples below 2^53. */
+  def floorDivSql(x: String, d: Long): String =
+    s"CAST((($x) - (((($x) % $d) + $d) % $d)) / $d AS BIGINT)"
 }

@@ -284,4 +284,43 @@ class Round14OpsSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(bs === cp)
   }
+
+  test("holtWintersInt: replays a plain-Scala reference and tracks a " +
+      "perfect weekly pattern with linear growth") {
+    def fdiv(x: Long, d: Long): Long = Math.floorDiv(x, d)
+    def replay(ys: Seq[Long]): (Long, Long, Long, Long) = {
+      val s1 = ys.slice(0, 7).sum; val s2 = ys.slice(7, 14).sum
+      var l = fdiv(s1, 7); var b = fdiv(s2 - s1, 49)
+      val sea = Array.tabulate(7)(j => ys(j) - l)
+      for (t <- 7 until 14) {
+        val j = t - 7
+        val lN = fdiv(ys(t) - sea(j) + l + b, 2)
+        b = fdiv(lN - l + 3 * b, 4)
+        sea(j) = fdiv(ys(t) - lN + 3 * sea(j), 4)
+        l = lN
+      }
+      (l, b, l + b + sea(0), l + 7 * b + sea(6))
+    }
+    // weekly shape [100,200,300,400,500,600,700] + 10/day growth
+    val shape = Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L)
+    val grow = (0 until 14).map(t => shape(t % 7) + 10L * t)
+    // plus a noisy series to exercise negative floor divisions
+    val noisy = Seq(500L, 20L, 900L, 40L, 700L, 60L, 300L,
+      80L, 650L, 10L, 820L, 30L, 550L, 70L)
+    val df = (grow.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      ++ noisy.zipWithIndex.map { case (y, i) => ("n", i.toLong, y) })
+      .toDF("k", "idx", "y")
+    val out = graft.operators.TimeSeries
+      .holtWintersInt(df, "k", "idx", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("g") === replay(grow))
+    assert(out("n") === replay(noisy))
+    // the growing series: positive trend (true +10/day; the dyadic
+    // beta=1/4 over 7 steps converges part-way) and the h=1 forecast
+    // inside a seasonal-amplitude band of the true next value 240
+    val (_, bg, f1, _) = replay(grow)
+    assert(bg >= 1L && bg <= 20L)
+    assert(math.abs(f1 - 240L) <= 100L)
+  }
 }
