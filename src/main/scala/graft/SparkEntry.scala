@@ -208,7 +208,7 @@ object SparkEntry {
     * LOUD failure: a repeated name across (or within) families would
     * silently shadow an implementation, which is exactly how the
     * pre-split q_ks_test duplicate stayed invisible for rounds. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val families = Seq(
     DedupEntries.queries,
     EvalEntries.queries,
@@ -233,7 +233,7 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  lazy val oracleSql: Map[String, String] = {
     val families = Seq(
     DedupEntries.oracleSql,
     EvalEntries.oracleSql,

@@ -2097,7 +2097,7 @@ private[graft] object ProfilingEntries {
            |  CAST(SUM(nd - 1) AS BIGINT) AS n_extra_dep,
            |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
            |FROM (SELECT $det,
-           |    COUNT(DISTINCT coalesce(CAST($dep AS VARCHAR), chr(1)))
+           |    COUNT(DISTINCT ROW($dep IS NULL, CAST($dep AS VARCHAR)))
            |      AS nd
            |  FROM orders GROUP BY 1)""".stripMargin
       }.mkString("\nUNION ALL "),

@@ -227,6 +227,49 @@ private[graft] object TimeSeriesEntries {
       graft.operators.TimeSeries.holtWintersInt(
         daily, "event_type", "idx", "y")
     }),
+    "q_croston" -> ((s, dir) => {
+      // Croston intermittent-demand forecast per part: TPC-H parts sell
+      // on a handful of scattered ship-days — the exact regime where
+      // level-only smoothing decays to zero between demands. Bounded
+      // last-64-demands fold (map-side aggregate(), zero joins), exact
+      // fixed-point EWMAs, Croston + SBA forecasts as the only doubles.
+      val daily = table(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("part"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("day"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("part"), col("day"))
+        .agg(sum(col("qty")).cast("long").as("q"))
+      graft.operators.TimeSeries.crostonInt(daily, "part", "day", "q")
+    }),
+    "q_perm_entropy" -> ((s, dir) => {
+      // Bandt-Pompe permutation entropy (m=3) of each user's daily
+      // spend series: ordinal-pattern complexity that separates
+      // regular from noisy spenders where variance and lag-1 ACF
+      // cannot. Integer ranks, exact micro-quantized entropy terms.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.permutationEntropy(
+        perDay, "user_id", "day", "v")
+    }),
+    "q_spectral_entropy" -> ((s, dir) => {
+      // Spectral entropy of each type's daily-dollar series over the
+      // 32-day window from 2024-01-01 (missing days zero-pad): exact
+      // integer-phase DFT power, micro-quantized entropy of the
+      // normalized spectrum — narrowband/periodic vs broadband/noisy.
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01"))
+            .cast("long").as("idx"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("idx"))
+        .agg(expr("CAST(SUM(cents) AS BIGINT) div 100").as("y"))
+      graft.operators.TimeSeries.spectralEntropy(
+        daily, "event_type", "idx", "y", n = 32)
+    }),
     "q_holt" -> ((s, dir) => {
       // Holt level+trend smoothing of per-user daily spend. Fixed-point
       // rational arithmetic with floor division -> the recursive oracle
@@ -1233,6 +1276,93 @@ private[graft] object TimeSeriesEntries {
          |SELECT event_type, l13 AS level, b13 AS trend,
          |  l13 + 1 * b13 + su0 AS fc_1, l13 + 7 * b13 + su6 AS fc_7
          |FROM st13""".stripMargin
+    },
+    "q_croston" -> {
+      import graft.operators.TimeSeries.{crostonFcSql, crostonSbaSql}
+      s"""WITH RECURSIVE d AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS part,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+         |      AS day,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |dd AS (SELECT * FROM d WHERE q > 0),
+         |cnt AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_demands
+         |  FROM dd GROUP BY 1),
+         |tl AS (SELECT part, day, q,
+         |    row_number() OVER (PARTITION BY part ORDER BY day DESC) AS rd
+         |  FROM dd),
+         |t AS (SELECT part, day, q,
+         |    row_number() OVER (PARTITION BY part ORDER BY day) AS rn
+         |  FROM tl WHERE rd <= 64),
+         |r AS (
+         |  SELECT part, rn, day, q * 1000000 AS z,
+         |    CAST(1000000 AS BIGINT) AS p
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.part, t.rn, t.day,
+         |    CAST((3 * t.q * 1000000 + 7 * r.z) // 10 AS BIGINT),
+         |    CAST((3 * (t.day - r.day) * 1000000 + 7 * r.p) // 10 AS BIGINT)
+         |  FROM t JOIN r ON t.part = r.part AND t.rn = r.rn + 1),
+         |fin AS (SELECT part, rn, z, p,
+         |    row_number() OVER (PARTITION BY part ORDER BY rn DESC) AS rl
+         |  FROM r)
+         |SELECT f.part, c.n_demands, f.z AS z_fp, f.p AS p_fp,
+         |  ${crostonFcSql("f.z", "f.p")} AS croston_fc,
+         |  ${crostonSbaSql("f.z", "f.p", 3L, 10L)} AS sba_fc
+         |FROM fin f JOIN cnt c USING (part) WHERE f.rl = 1""".stripMargin
+    },
+    "q_perm_entropy" -> {
+      import graft.operators.TimeSeries.{permPatternSql, entropyTermMicroSql}
+      s"""WITH pd AS (
+         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT user_id, v AS v1,
+         |    LEAD(v, 1) OVER w AS v2, LEAD(v, 2) OVER w AS v3
+         |  FROM pd WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         |g AS (SELECT user_id, ${permPatternSql("v1", "v2", "v3")} AS pat
+         |  FROM t WHERE v3 IS NOT NULL),
+         |c AS (SELECT user_id, pat, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2),
+         |nn AS (SELECT user_id, pat, c,
+         |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c),
+         |agg AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_windows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+         |    CAST(SUM(${entropyTermMicroSql("c", "n")}) AS BIGINT) AS h_micro
+         |  FROM nn GROUP BY 1)
+         |SELECT user_id, n_windows, n_patterns, h_micro,
+         |  round(CAST(h_micro AS DOUBLE) / (1000000.0 * ln(6.0)), 6) AS h_norm
+         |FROM agg""".stripMargin
+    },
+    "q_spectral_entropy" -> {
+      import graft.operators.TimeSeries.{dftTermDeciSql, entropyTermMicroSql}
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS i,
+         |    CAST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         |      // 100 AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |terms AS (SELECT d.event_type, d.i AS __i, d.y AS __y, kr.__k,
+         |    CAST(32 AS BIGINT) AS __n
+         |  FROM (SELECT * FROM daily WHERE i >= 0 AND i < 32) d
+         |  CROSS JOIN (SELECT k AS __k FROM range(1, 17) t(k)) kr),
+         |pk AS (SELECT event_type, __k,
+         |    CAST(SUM(${dftTermDeciSql("cos")}) AS BIGINT) AS re,
+         |    CAST(SUM(${dftTermDeciSql("sin")}) AS BIGINT) AS im
+         |  FROM terms GROUP BY 1, 2),
+         |pt AS (SELECT event_type, __k, re * re + im * im AS p,
+         |    CAST(SUM(re * re + im * im) OVER (PARTITION BY event_type)
+         |      AS BIGINT) AS tot
+         |  FROM pk),
+         |agg AS (SELECT event_type, CAST(MAX(tot) AS BIGINT) AS total_power,
+         |    CAST(SUM(CASE WHEN p > 0
+         |      THEN ${entropyTermMicroSql("p", "tot")}
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h_micro
+         |  FROM pt GROUP BY 1)
+         |SELECT event_type, total_power, h_micro,
+         |  round(CAST(h_micro AS DOUBLE) / (1000000.0 * ln(16.0)), 6)
+         |    AS h_norm
+         |FROM agg""".stripMargin
     },
     "q_holt" ->
       """WITH RECURSIVE pd AS (

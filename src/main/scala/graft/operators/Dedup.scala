@@ -661,7 +661,8 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxPostingLen: Long = 10000L): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
     import org.apache.spark.sql.expressions.Window
     // long ids take the fused mapPartitions shingle kernel (the columnar
@@ -687,6 +688,8 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <= col("s") - ceil(lit(threshold) * col("s") - eps) + 1)
       .select(col(idCol), col("tok"), col("s"), col("rn"))
+      .materialize // feeds the valve + both sides of the candidate join
+    assertPostingBound(prefix, "tok", maxPostingLen, "prefixJaccardJoin")
     // candidate generation with the two PPJoin prunes applied per shared
     // prefix token, BEFORE the pair dedup:
     //  - length filter: t <= |B|/|A| <= 1/t is necessary for J >= t
@@ -907,6 +910,54 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
   }
 
+  /** Loud fan-out valve shared by the exact prefix-filter joins
+    * ([[prefixJaccardJoin]], [[exactJaccardJoin]],
+    * [[exactContainmentJoin]]). The candidate stage of each is an
+    * equi-join on inverted-index tokens, so one token owned by `d`
+    * documents contributes O(d²) candidate pairs — superlinear the
+    * moment a posting list outgrows the rare-first prefix bound (mass
+    * exact duplication, a degenerate tokenizer, a threshold far below
+    * the corpus's similarity floor). These joins are EXACT tiers:
+    * silently capping a posting list (the [[nearDupMinhash]]
+    * `maxBucketSize` star-pair degrade) would break the exactness
+    * contract, so the valve FAILS LOUDLY instead — one vocabulary-sized
+    * aggregate over the (already checkpointed) index, then a clear
+    * exception naming the hot-token count, worst posting length, and
+    * the estimated pair mass, before the quadratic join is attempted.
+    * `maxPostingLen <= 0` disables the valve for callers who mean it. */
+  private def assertPostingBound(
+      index: DataFrame, tokCol: String, maxPostingLen: Long,
+      op: String): Unit =
+    if (maxPostingLen > 0)
+      assertPostingCounts(
+        index.groupBy(col(tokCol))
+          .agg(count(lit(1)).cast("long").as("__d")),
+        maxPostingLen, op)
+
+  /** [[assertPostingBound]] over an already-counted posting table
+    * (one row per token, length in `__d`). */
+  private def assertPostingCounts(
+      counts: DataFrame, maxPostingLen: Long, op: String): Unit = {
+      val stats = counts
+        .agg(
+          coalesce(max(col("__d")), lit(0L)).as("max_d"),
+          coalesce(sum(when(col("__d") > maxPostingLen, 1L)), lit(0L))
+            .as("n_hot"),
+          coalesce(sum(expr("__d * (__d - 1) div 2")), lit(0L))
+            .as("est_pairs"))
+        .head()
+      if (stats.getLong(0) > maxPostingLen)
+        throw new IllegalStateException(
+          s"$op: posting-list fan-out valve tripped — ${stats.getLong(1)} " +
+          s"token(s) exceed maxPostingLen=$maxPostingLen (worst posting " +
+          s"length ${stats.getLong(0)}; estimated candidate pairs across " +
+          s"the index ~${stats.getLong(2)}). Candidate pairs per token " +
+          "grow as C(d,2): raise the threshold, increase shingleN, " +
+          "pre-dedup exact duplicates first, or switch to the " +
+          "nearDupMinhash LSH tier. Pass maxPostingLen=0 only if this " +
+          "quadratic cost is intended.")
+    }
+
   /** Shared output projection of both overlap paths. */
   private def overlapOutput: Seq[Column] = Seq(
     col("corpus_a"), col("corpus_b"), col("inter"),
@@ -941,7 +992,7 @@ object Dedup {
   def exactJaccardJoin(
       docs: DataFrame, thresholdPpm: Long = 500000L,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxPostingLen: Long = 10000L): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm < 1000000L,
       s"thresholdPpm must be in (0, 1e6): $thresholdPpm")
     val ex = docs
@@ -959,7 +1010,8 @@ object Dedup {
       .filter(col("rk") <= col("sz") -
         expr(s"(($thresholdPpm * sz) + 999999) div 1000000") + 1)
       .select(col("id"), col("s"))
-      .materialize // both sides of the candidate self-join
+      .materialize // both sides of the candidate self-join + the valve
+    assertPostingBound(prefix, "s", maxPostingLen, "exactJaccardJoin")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -1000,7 +1052,7 @@ object Dedup {
   def exactContainmentJoin(
       docs: DataFrame, thresholdPpm: Long = 800000L,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxPostingLen: Long = 10000L): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6]: $thresholdPpm")
     val ex = docs
@@ -1018,6 +1070,18 @@ object Dedup {
       .filter(col("rk") <= col("sz") -
         expr(s"(($thresholdPpm * sz) + 999999) div 1000000") + 1)
       .select(col("id"), col("s"))
+    // the candidate fan-out per token is prefixDf·indexDf, and every
+    // prefix posting list is a subset of the matching index list, so
+    // valving the PREFIX-RESTRICTED index (index tokens that occur in
+    // some prefix — the only ones the join ever touches) bounds both
+    // factors. Cost shape: two vocabulary-sized COUNT aggregates
+    // (map-side combined) joined to each other — never a row-level
+    // semi-join of the full exploded index.
+    if (maxPostingLen > 0)
+      assertPostingCounts(
+        ex.groupBy(col("s")).agg(count(lit(1)).cast("long").as("__d"))
+          .join(prefix.select(col("s")).distinct(), Seq("s"), "leftsemi"),
+        maxPostingLen, "exactContainmentJoin")
     val cand = prefix.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

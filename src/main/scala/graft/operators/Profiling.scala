@@ -2628,9 +2628,11 @@ object Profiling {
     *
     * NULL dependents COUNT as a distinct value (a determinant mapping
     * to {NULL, 'x'} is a real violation — the FD does not hold): the
-    * dependent is cast to string and NULL coalesced to a U+0001
-    * sentinel before countDistinct, so nd >= 1 always and n_extra_dep
-    * can never go negative. The oracle mirrors the same coalesce.
+    * distinct key is the collision-free pair (dep IS NULL, dep string)
+    * — a struct is never NULL itself, so countDistinct sees every row
+    * and nd >= 1 always. A sentinel coalesce would silently merge NULL
+    * with a dependent whose string form equals the sentinel; the pair
+    * key cannot collide. The oracle mirrors the same ROW key.
     *
     * Each candidate scans only its two columns (column pruning reaches
     * the parquet scan), so the audit costs |pairs| narrow passes. */
@@ -2642,7 +2644,7 @@ object Profiling {
       df.select(col(det), col(dep))
         .groupBy(col(det).as("__d"))
         .agg(countDistinct(
-            coalesce(col(dep).cast("string"), lit("\u0001")))
+            struct(col(dep).isNull.as("n"), col(dep).cast("string").as("v")))
           .cast("long").as("__nd"))
         .agg(
           count(lit(1)).cast("long").as("n_det_values"),

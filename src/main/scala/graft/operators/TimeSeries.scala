@@ -2914,4 +2914,203 @@ object TimeSeries {
     * the double `/` is exact on multiples below 2^53. */
   def floorDivSql(x: String, d: Long): String =
     s"CAST((($x) - (((($x) % $d) + $d) % $d)) / $d AS BIGINT)"
+
+  /** Croston's method for INTERMITTENT demand — the forecaster for
+    * series that are mostly zeros with occasional positive demand
+    * (spare parts, long-tail SKUs), where plain exponential smoothing
+    * ([[holt]]) collapses toward zero between demands. Two coupled
+    * EWMAs run over DEMAND EVENTS only: demand size
+    * `z ← (α·q·scale + (1−α)·z) / 1` and inter-demand interval
+    * `p ← α·I + (1−α)·p`; the per-period forecast is z/p, and the
+    * Syntetos–Boylan approximation (SBA) debiases it by (1 − α/2).
+    *
+    * EXACT ARITHMETIC CONTRACT (the [[holt]] discipline): α =
+    * alphaNum/alphaDen rational, state in `scale`-scaled fixed point,
+    * every step divides with TRUNCATING semantics — a recursive-CTE
+    * oracle replays the fold bit for bit. Initialization: the first
+    * demand sets z = q₁·scale, p = scale (interval 1); each later
+    * demand updates both EWMAs with its size and its observed gap.
+    * The two forecasts are the only double steps (ratios of final
+    * fixed points, round 6).
+    *
+    * `maxDemands` BOUNDS the per-key fold: only the LAST maxDemands
+    * demand events feed the recurrence (α-geometric weights make the
+    * dropped prefix's influence (1−α)^maxDemands ≈ 0, but the CONTRACT
+    * is the truncated fold itself, so both engines replay the same
+    * series at any scale) — at 100 TB a hot key's history collapses to
+    * a fixed-size tail instead of an unbounded driver-side array.
+    *
+    * Plan shape: one key-hashed aggregate collects the bounded sorted
+    * demand tail; the fold is a map-side `aggregate()` HOF over ≤
+    * maxDemands elements — zero joins, zero iteration rounds. */
+  def crostonInt(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      qtyCol: String,
+      alphaNum: Long = 3L, alphaDen: Long = 10L,
+      scale: Long = 1000000L, maxDemands: Int = 64): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): $alphaNum/$alphaDen")
+    require(maxDemands >= 2, s"maxDemands must be >= 2: $maxDemands")
+    val an = alphaNum; val ad = alphaDen
+    perBucket
+      .filter(col(qtyCol) > 0L)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_demands"),
+        sort_array(collect_list(struct(
+          col(bucketCol).cast("long").as("b"),
+          col(qtyCol).cast("long").as("q")))).as("__all"))
+      // slice with a start beyond the array's length yields EMPTY, so
+      // clamp the tail window to the series length
+      .withColumn("__tail", expr(
+        s"slice(__all, -least(size(__all), $maxDemands), $maxDemands)"))
+      .withColumn("__st", expr(
+        // state: (z_fp, p_fp, prev_bucket, seen) — seen gates the init
+        s"""aggregate(__tail,
+           |  named_struct('z', CAST(0 AS BIGINT), 'p', CAST(0 AS BIGINT),
+           |    'prev', CAST(0 AS BIGINT), 'seen', CAST(0 AS BIGINT)),
+           |  (s, x) -> IF(s.seen = 0,
+           |    named_struct('z', x.q * $scale, 'p', CAST($scale AS BIGINT),
+           |      'prev', x.b, 'seen', CAST(1 AS BIGINT)),
+           |    named_struct(
+           |      'z', CAST(($an * x.q * $scale + ($ad - $an) * s.z) div $ad
+           |        AS BIGINT),
+           |      'p', CAST(($an * (x.b - s.prev) * $scale
+           |        + ($ad - $an) * s.p) div $ad AS BIGINT),
+           |      'prev', x.b, 'seen', s.seen + 1)))""".stripMargin))
+      .select(col(keyCol), col("n_demands"),
+        col("__st.z").as("z_fp"), col("__st.p").as("p_fp"),
+        expr(crostonFcSql("__st.z", "__st.p")).as("croston_fc"),
+        expr(crostonSbaSql("__st.z", "__st.p", an, ad)).as("sba_fc"))
+  }
+
+  /** Per-period Croston forecast z/p — ONE double step from exact
+    * fixed points; shared with the oracle. */
+  def crostonFcSql(z: String, p: String): String =
+    s"round(CAST($z AS DOUBLE) / CAST($p AS DOUBLE), 6)"
+
+  /** Syntetos–Boylan debias (1 − α/2)·z/p with the rational α kept
+    * exact in the numerator; shared with the oracle. */
+  def crostonSbaSql(z: String, p: String, an: Long, ad: Long): String =
+    s"round((CAST(${2 * ad - an} AS DOUBLE) * CAST($z AS DOUBLE)) / " +
+      s"(CAST(${2 * ad} AS DOUBLE) * CAST($p AS DOUBLE)), 6)"
+
+  /** Permutation entropy (Bandt–Pompe, order m = 3) — model-free series
+    * complexity: slide a 3-wide window over each key's series, encode
+    * each window's ORDINAL pattern (the permutation that sorts it, ties
+    * broken by time position — the standard stable rule), and take the
+    * Shannon entropy of the pattern distribution. Near 0 = monotone /
+    * strongly regular dynamics, near 1 (normalized by ln 3!) = white
+    * noise. Distinguishes equal-variance series that [[autocorr]] and
+    * spectral moments cannot.
+    *
+    * Exactness: ordinal ranks are pure integer comparisons; pattern
+    * counts are exact longs; each entropy term −(c/n)·ln(c/n) is
+    * micro-quantized per PATTERN and summed exactly (≤ 6 terms — an
+    * order-dependent double Σ would not cross engines), leaving the
+    * final normalization as the one double step.
+    *
+    * Plan: two LEADs over the per-key window, one (key, pattern)
+    * aggregate, one key aggregate — no joins, partitions by key. */
+  def permutationEntropy(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val tri = perBucket
+      .select(col(keyCol), col(bucketCol),
+        col(valueCol).cast("long").as("v1"))
+      .withColumn("v2", lead(col("v1"), 1).over(w))
+      .withColumn("v3", lead(col("v1"), 2).over(w))
+      .filter(col("v3").isNotNull)
+      .withColumn("pat", expr(permPatternSql("v1", "v2", "v3")))
+    tri
+      .groupBy(col(keyCol), col("pat"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col(keyCol))).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("n")).as("n_windows"),
+        count(lit(1)).cast("long").as("n_patterns"),
+        sum(expr(entropyTermMicroSql("c", "n"))).cast("long")
+          .as("h_micro"))
+      .select(col(keyCol), col("n_windows"), col("n_patterns"),
+        col("h_micro"),
+        expr(s"round(CAST(h_micro AS DOUBLE) / (1000000.0 * ln(6.0)), 6)")
+          .as("h_norm"))
+  }
+
+  /** Ordinal pattern of (v1, v2, v3) as the 3-digit code r1·100 +
+    * r2·10 + r3, where r_i = #{j : v_j < v_i} + #{j < i : v_j = v_i}
+    * (stable argsort — ties rank by time position). Pure integer
+    * CASE arithmetic; shared with the oracle. */
+  def permPatternSql(a: String, b: String, c: String): String = {
+    def lt(x: String, y: String) = s"(CASE WHEN $x < $y THEN 1 ELSE 0 END)"
+    def eq(x: String, y: String) = s"(CASE WHEN $x = $y THEN 1 ELSE 0 END)"
+    val r1 = s"(${lt(b, a)} + ${lt(c, a)})"
+    val r2 = s"(${lt(a, b)} + ${lt(c, b)} + ${eq(a, b)})"
+    val r3 = s"(${lt(a, c)} + ${lt(b, c)} + ${eq(a, c)} + ${eq(b, c)})"
+    s"CAST($r1 * 100 + $r2 * 10 + $r3 AS BIGINT)"
+  }
+
+  /** One micro-quantized entropy term −(c/n)·ln(c/n) — exact BIGINT
+    * per bucket so the cross-bucket sum is order-free; shared with the
+    * oracle. */
+  def entropyTermMicroSql(c: String, n: String): String =
+    s"CAST(ROUND(-1000000.0 * (CAST($c AS DOUBLE) / CAST($n AS DOUBLE)) " +
+      s"* ln(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)), 0) AS BIGINT)"
+
+  /** Spectral entropy over an n-point integer series per key: DFT power
+    * at k = 1..n/2 via the EXACT-phase-reduction trick (phase k·i mod n
+    * reduces in integer arithmetic BEFORE the trig call — cos/sin of
+    * large arguments hit libm argument-reduction differences across
+    * engines), per-sample trig terms deci-quantized and summed as exact
+    * BIGINTs, so every P_k = re² + im² and the total power are exact
+    * integers both engines agree on bit for bit. The entropy of the
+    * normalized power spectrum (micro-quantized per frequency, ≤ n/2
+    * exact terms) separates narrowband/periodic series (low) from
+    * broadband/noisy ones (high). Overflow headroom: |re| ≤ n·10·max|y|,
+    * so y up to ~3e7 is safe at n = 32 under ANSI's loud overflow.
+    *
+    * Plan: series × small static k-range cross, one (key, k) aggregate,
+    * one key aggregate — partitions by key throughout. */
+  def spectralEntropy(
+      series: DataFrame, keyCol: String, idxCol: String, yCol: String,
+      n: Int = 32): DataFrame = {
+    require(n >= 4 && n % 2 == 0, s"n must be even and >= 4: $n")
+    val spark = series.sparkSession
+    val ks = spark.range(1, n / 2 + 1).select(col("id").as("__k"))
+    val terms = series
+      .select(col(keyCol), col(idxCol).cast("long").as("__i"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__i") >= 0L && col("__i") < n.toLong)
+      .crossJoin(broadcast(ks))
+      .withColumn("__n", lit(n.toLong))
+    val pk = terms
+      .groupBy(col(keyCol), col("__k"))
+      .agg(
+        sum(expr(dftTermDeciSql("cos"))).cast("long").as("re"),
+        sum(expr(dftTermDeciSql("sin"))).cast("long").as("im"))
+      .withColumn("p", expr("re * re + im * im"))
+      .withColumn("tot", sum(col("p")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol)))
+        .cast("long"))
+    pk.groupBy(col(keyCol))
+      .agg(
+        max(col("tot")).as("total_power"),
+        sum(when(col("p") > 0L, expr(entropyTermMicroSql("p", "tot")))
+          .otherwise(0L)).cast("long").as("h_micro"))
+      .select(col(keyCol), col("total_power"), col("h_micro"),
+        expr(s"round(CAST(h_micro AS DOUBLE) / " +
+          s"(1000000.0 * ln(${n / 2}.0)), 6)").as("h_norm"))
+  }
+
+  /** Deci-quantized per-sample DFT term y·fn(2π((k·i) mod n)/n)·10 —
+    * the [[graft.operators.Multimodal.dftTermMicroSql]] construction at
+    * ×10 so P_k = re² + im² stays inside exact signed-64 range; shared
+    * with the oracle. */
+  def dftTermDeciSql(fn: String): String =
+    s"CAST(ROUND(10 * __y * $fn(2 * PI() * ((__k * __i) % __n) / __n), 0)" +
+      " AS BIGINT)"
 }

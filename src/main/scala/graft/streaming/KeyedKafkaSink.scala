@@ -38,8 +38,13 @@ object KeyedKafkaSink {
     *
     * `orderCol` breaks within-batch ties when the input can carry
     * several rows per key (append-shaped input); update-mode aggregates
-    * never do, making the reduce a no-op there. Key = `keyCols` joined
-    * with '|'; value = the full row as JSON. */
+    * never do, making the reduce a no-op there. The reduce is a
+    * lexicographic max over (orderCol, serialized value), so rows that
+    * tie on orderCol break on the value bytes — fully deterministic
+    * across replays, where a bare max_by(value, orderCol) would pick an
+    * engine-order-dependent winner and a replayed batch could publish a
+    * different record. Key = `keyCols` joined with '|'; value = the
+    * full row as JSON. */
   def upsertBatch(topic: String, bootstrapServers: String,
       keyCols: Seq[String], orderCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
@@ -47,10 +52,10 @@ object KeyedKafkaSink {
     val latest = batch
       .withColumn("__k", concat_ws("|", keyCols.map(col): _*))
       .groupBy(col("__k"))
-      .agg(max_by(to_json(struct(batch.columns.map(col): _*)),
-        col(orderCol)).as("value"))
+      .agg(max(struct(col(orderCol).as("o"),
+        to_json(struct(batch.columns.map(col): _*)).as("v"))).as("__m"))
     latest
-      .select(col("__k").as("key"), col("value"))
+      .select(col("__k").as("key"), col("__m.v").as("value"))
       .write.format("kafka")
       .mode("append") // a topic is append-only; default ErrorIfExists maps to CTAS on DSv2
       .option("kafka.bootstrap.servers", bootstrapServers)

@@ -63,6 +63,23 @@ class FakeKafkaUpsertSpec extends SparkFunSuite {
     assert(parsed("up_out3")("u1").contains("\"dur\":99"))
   }
 
+  test("exact orderCol ties break DETERMINISTICALLY on the value bytes — " +
+      "input order cannot change the published winner") {
+    import spark.implicits._
+    // two rows tie on t=1; the lexicographic (orderCol, json) max picks
+    // dur=99 ('9' > '1') no matter which row the engine sees first
+    val fwd = Seq(("u1", 10L, 1L), ("u1", 99L, 1L)).toDF("user", "dur", "t")
+    val rev = Seq(("u1", 99L, 1L), ("u1", 10L, 1L)).toDF("user", "dur", "t")
+    for ((b, i) <- Seq(fwd, rev, fwd.repartition(4), rev.repartition(3))
+        .zipWithIndex) {
+      FakeKafkaBroker.clear()
+      KeyedKafkaSink.upsertBatch(s"up_tie", "fake:9092", Seq("user"), "t")(
+        b, i.toLong)
+      assert(parsed("up_tie")("u1").contains("\"dur\":99"),
+        s"variant $i published a different tie winner")
+    }
+  }
+
   test("END-TO-END: a streaming sessionize-style aggregation through " +
       "foreachBatch(upsertBatch) with an injected duplicate delivery " +
       "serves the same compacted table as a clean run") {

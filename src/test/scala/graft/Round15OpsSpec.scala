@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.{Dedup, Profiling}
+import org.apache.spark.sql.functions._
+
+/** Round-15 wave 1: the posting-list fan-out valve on the exact
+  * prefix-filter joins (VERDICT-r14 next-round item 1) and the
+  * collision-free FD-check distinct key (ADVICE-r14). */
+class Round15OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // 12 identical docs: every doc's prefix holds the SAME shingles, so
+  // one posting list owns all 12 ids — C(12,2) candidate pairs from a
+  // single token, the exact shape that went superlinear in the 100x
+  // smoke when duplication scaled with corpus size.
+  private def clones = (1L to 12L).map(i => (i, "a b c d e f"))
+    .toDF("doc_id", "text")
+
+  test("exactJaccardJoin: posting valve trips LOUDLY on mass duplication") {
+    val e = intercept[IllegalStateException] {
+      Dedup.exactJaccardJoin(clones, 500000L, maxPostingLen = 4L).collect()
+    }
+    assert(e.getMessage.contains("exactJaccardJoin"))
+    assert(e.getMessage.contains("valve tripped"))
+    assert(e.getMessage.contains("maxPostingLen=4"))
+    assert(e.getMessage.contains("worst posting length 12"))
+  }
+
+  test("exactJaccardJoin: results are unchanged when the valve passes, " +
+      "and maxPostingLen=0 disables it") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    // grams(1)={abc,bcd,cde}, grams(2)={abc,bcd,cdx}: J = 2/4 >= 0.5
+    val expected = Seq((1L, 2L, 2L))
+    def pairs(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"))).toSeq
+    assert(pairs(Dedup.exactJaccardJoin(docs, 500000L)) == expected)
+    // clones under a disabled valve: all C(12,2) pairs come back exact
+    assert(Dedup.exactJaccardJoin(clones, 500000L, maxPostingLen = 0L)
+      .count() == 66L)
+  }
+
+  test("prefixJaccardJoin: valve trips on the same clone corpus, passes " +
+      "on a benign one with identical results") {
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixJaccardJoin(clones, 0.5, maxPostingLen = 4L).collect()
+    }
+    assert(e.getMessage.contains("prefixJaccardJoin"))
+    assert(e.getMessage.contains("valve tripped"))
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardJoin(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("exactContainmentJoin: valve bounds the PREFIX-RESTRICTED index — " +
+      "a hot host-side token only trips when a probe prefix touches it") {
+    // 12 hosts share shingle 'a_b_c'; the snippet's prefix hits it, so
+    // the restricted index holds a 13-long posting list
+    val docs = ((1L, "a b c") +:
+      (2L to 13L).map(i => (i, s"a b c d$i e$i f$i g$i")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.exactContainmentJoin(docs, 800000L, maxPostingLen = 4L).collect()
+    }
+    assert(e.getMessage.contains("exactContainmentJoin"))
+    assert(e.getMessage.contains("valve tripped"))
+    // the same corpus under the default valve: snippet found in every host
+    assert(Dedup.exactContainmentJoin(docs, 800000L)
+      .filter(col("doc_a") === 1L).count() == 12L)
+  }
+
+  test("crostonInt: hand-computed fixed-point fold, Croston and SBA " +
+      "forecasts") {
+    // demands (day, q): (1,10) (3,20) (7,10); alpha = 3/10, scale 1e6:
+    // z: 10e6 -> (60+70)e6/10 = 13e6 -> (30+91)e6/10 = 12.1e6
+    // p: 1e6 -> (3*2+7)e6/10 = 1.3e6 -> (3*4+9.1)e6/10 = 2.11e6
+    val df = Seq((1L, 1L, 10L), (1L, 3L, 20L), (1L, 7L, 10L),
+      (1L, 5L, 0L), (2L, 2L, 4L)) // zero-qty day must be ignored
+      .toDF("part", "day", "q")
+    val out = graft.operators.TimeSeries.crostonInt(df, "part", "day", "q")
+      .orderBy("part").collect()
+    val r = out(0)
+    assert(r.getAs[Long]("n_demands") == 3L)
+    assert(r.getAs[Long]("z_fp") == 12100000L)
+    assert(r.getAs[Long]("p_fp") == 2110000L)
+    assert(r.getAs[Double]("croston_fc") == 5.734597)
+    assert(r.getAs[Double]("sba_fc") == 4.874408)
+    // single-demand key: init state only, fc = q
+    assert(out(1).getAs[Long]("n_demands") == 1L)
+    assert(out(1).getAs[Double]("croston_fc") == 4.0)
+  }
+
+  test("crostonInt: maxDemands truncates the fold to the LAST demands") {
+    val df = ((1L to 10L).map(d => (1L, d, d))).toDF("part", "day", "q")
+    val full = graft.operators.TimeSeries.crostonInt(df, "part", "day", "q")
+      .head()
+    val tail3 = graft.operators.TimeSeries.crostonInt(
+      df, "part", "day", "q", maxDemands = 3).head()
+    assert(full.getAs[Long]("n_demands") == 10L)
+    assert(tail3.getAs[Long]("n_demands") == 10L) // count is pre-truncation
+    // tail-3 fold over days 8..10 (all gaps 1): init (8e6, 1e6) ->
+    // (9): z=(27+56)e6/10=8.3e6 -> (10): z=(30+58.1)e6/10=8.81e6;
+    // p stays at 1e6 (every interval is 1)
+    assert(tail3.getAs[Long]("z_fp") == 8810000L)
+    assert(tail3.getAs[Long]("p_fp") == 1000000L)
+    assert(full.getAs[Long]("z_fp") != tail3.getAs[Long]("z_fp"))
+  }
+
+  test("permutationEntropy: ordinal patterns with stable tie-breaks; " +
+      "monotone series has zero entropy, 2-cycle splits patterns") {
+    // key 1: strictly increasing -> every window is pattern 012 -> H=0
+    // key 2: 1,2,1,2,1,2 -> windows (1,2,1)=021? and (2,1,2)
+    val rows = (1L to 6L).map(i => (1L, i, i * 10L)) ++
+      (1L to 6L).map(i => (2L, i, if (i % 2 == 1) 10L else 20L))
+    val out = graft.operators.TimeSeries.permutationEntropy(
+      rows.toDF("k", "b", "v"), "k", "b", "v").orderBy("k").collect()
+    assert(out(0).getAs[Long]("n_windows") == 4L)
+    assert(out(0).getAs[Long]("n_patterns") == 1L)
+    assert(out(0).getAs[Long]("h_micro") == 0L)
+    assert(out(0).getAs[Double]("h_norm") == 0.0)
+    // key 2: patterns alternate between two kinds, 2 each of 4 windows
+    assert(out(1).getAs[Long]("n_patterns") == 2L)
+    // H = -2*(1/2 ln 1/2) = ln 2 -> micro 693147; norm ln2/ln6 = 0.386853
+    assert(out(1).getAs[Long]("h_micro") == 693148L) // 2 x round(346573.59)
+    assert(out(1).getAs[Double]("h_norm") == 0.386853)
+  }
+
+  test("permutationEntropy: tied triple ranks by time position") {
+    // (5,5,5): r1=0, r2=[5<5]+[5<5]+[5==5]=1, r3=0+0+1+1=2 -> pattern 012
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L))
+      .toDF("k", "b", "v")
+    val out = graft.operators.TimeSeries.permutationEntropy(
+      df, "k", "b", "v").head()
+    assert(out.getAs[Long]("n_windows") == 1L && out.getAs[Long]("n_patterns") == 1L)
+  }
+
+  test("spectralEntropy: constant series has zero broadband power; a pure " +
+      "2-cycle concentrates ALL power at the Nyquist bin (entropy 0)") {
+    val const = (0L until 32L).map(i => (1L, i, 100L))
+    val nyq = (0L until 32L).map(i => (2L, i, if (i % 2 == 0L) 200L else 0L))
+    val out = graft.operators.TimeSeries.spectralEntropy(
+      (const ++ nyq).toDF("k", "i", "y"), "k", "i", "y", n = 32)
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("total_power") == 0L)
+    assert(out(0).getAs[Double]("h_norm") == 0.0)
+    // 2-cycle: only k=16 survives (sum of (-1)^i * y), entropy exactly 0
+    assert(out(1).getAs[Long]("total_power") > 0L)
+    assert(out(1).getAs[Long]("h_micro") == 0L)
+  }
+
+  test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
+      "no longer collides with NULL (collision-free struct key)") {
+    val df = Seq(
+      (1L, Some("")), (1L, None), // {chr(1), NULL}: a REAL violation
+      (2L, Some("x")), (2L, Some("x")), // clean determinant
+      (3L, None), (3L, None)) // all-NULL dependent: nd = 1, holds
+      .toDF("det", "dep")
+    val r = Profiling.fdCheck(df, Seq(("det", "dep"))).head()
+    assert(r.getAs[Long]("n_det_values") == 3L)
+    assert(r.getAs[Long]("n_violating_det") == 1L) // det=1 only
+    assert(r.getAs[Long]("n_extra_dep") == 1L)
+    assert(!r.getAs[Boolean]("holds"))
+  }
+}
