@@ -723,6 +723,13 @@ object SparkEntry {
     s"""WITH $symCoPurchaseCte,
        |${graft.operators.Graph.misSql(16)}""".stripMargin
 
+  /** Unrolled greedy-matching handshake rounds over the same
+    * symmetrized edge set (Graph.matchingSql — post-quiescence rounds
+    * are empty on both engines). */
+  private[graft] lazy val matchingOracle: String =
+    s"""WITH $symCoPurchaseCte,
+       |${graft.operators.Graph.matchingSql(8)}""".stripMargin
+
   /** First-8-events pivot per user (exactly-8 contract) + the unrolled
     * integer-score Viterbi chain (Sessionize.viterbiSqlCtes — the SAME
     * score maps the Spark DP interpolates, so path and score are

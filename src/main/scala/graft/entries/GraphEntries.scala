@@ -394,6 +394,16 @@ private[graft] object GraphEntries {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_greedy_matching" -> ((s, dir) => {
+      // Luby-style deterministic greedy maximal matching on the
+      // co-purchase graph (md5 handshake priorities): the edge-side
+      // sibling of q_mis — contention-free pairing for dedup-pair
+      // selection and capacity-capped assignment.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.greedyMatching(
+        coPurchasePairs(li), "src", "dst", rounds = 8)
+    }),
     "q_four_cliques" -> ((s, dir) => {
       // K4 participation — one density level past q_triangle_count —
       // on the FULL co-purchase graph: the degree-oriented-DAG
@@ -714,6 +724,7 @@ private[graft] object GraphEntries {
     "q_katz" -> katzOracle,
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_mis" -> misOracle,
+    "q_greedy_matching" -> matchingOracle,
     "q_four_cliques" ->
       // id-ordered triangle enumeration + the 3-way mutual-neighbor
       // extension (d > c) — each K4 exactly once, same top-20 order

@@ -674,6 +674,31 @@ private[graft] object ProfilingEntries {
         .withColumn("p", expr(s"round(${Profiling.normalPSql("z")}, 6)"))
       Profiling.byFdr(perUser, Seq("user_id"), "p", qPpm = 100000L)
     }),
+    "q_dp_counts" -> ((s, dir) => {
+      // epsilon-DP Laplace release of (event_type, day-of-month)
+      // counts: deterministic seeded noise (engine-parity + testable
+      // plumbing; production swaps the seed for a CSPRNG — documented
+      // on the operator), eps = 1, sensitivity 1.
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(day(ts) AS BIGINT)").as("dom"))
+      graft.operators.Profiling.dpNoisyCounts(
+        ev, Seq("event_type", "dom"))
+    }),
+    "q_krippendorff" -> ((s, dir) => {
+      // Krippendorff's alpha (nominal) treating each event_type channel
+      // as a rater assigning the user a spend tier: the
+      // missing-tolerant reliability coefficient (users rated by >= 2
+      // channels contribute; fleiss/cohen require complete panels).
+      val ratings = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+          .cast("long").as("spend"))
+        .select(col("user_id"), col("event_type"),
+          least(expr("spend div 25000"), lit(3L)).as("tier"))
+      graft.operators.Profiling.krippendorffAlpha(
+        ratings, "user_id", "event_type", "tier")
+    }),
     "q_fd_check" -> ((s, dir) => {
       // Functional-dependency audit over four candidate pairs of the
       // orders table: key-like columns hold, the reverse directions
@@ -2084,6 +2109,46 @@ private[graft] object ProfilingEntries {
          |SELECT user_id, n1, n2, z, p, p_rank, m_tests, hm_micro, k_star,
          |  (p_rank <= k_star) AS rejected
          |FROM r2, ks""".stripMargin,
+    "q_dp_counts" -> {
+      import graft.operators.Profiling.{dpUniformSql, dpLaplaceNoiseSql}
+      s"""WITH g AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+         |    CAST(COUNT(*) AS BIGINT) AS n_true FROM events GROUP BY 1, 2),
+         |h AS (SELECT *, CAST('0x' || substr(md5('dp:' ||
+         |      CONCAT_WS('|', CAST(event_type AS VARCHAR),
+         |        CAST(dom AS VARCHAR))), 1, 15) AS BIGINT)
+         |    % 1073741824 AS hh FROM g),
+         |u AS (SELECT *, ${dpUniformSql("hh")} AS uu FROM h)
+         |SELECT event_type, dom, n_true,
+         |  ${graft.operators.Profiling.dpEpsilonSql(1000000L)} AS epsilon,
+         |  round(CAST(n_true AS DOUBLE) +
+         |    ${dpLaplaceNoiseSql("uu", 1000000L)}, 6) AS noisy_count
+         |FROM u""".stripMargin
+    },
+    "q_krippendorff" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS rater,
+        |    LEAST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) // 25000, 3) AS c
+        |  FROM events GROUP BY 1, 2),
+        |uc AS (SELECT u, c, CAST(COUNT(*) AS BIGINT) AS nuc
+        |  FROM r GROUP BY 1, 2),
+        |pu AS (SELECT u, CAST(SUM(nuc) AS BIGINT) AS m,
+        |    CAST(SUM(nuc * nuc) AS BIGINT) AS s2
+        |  FROM uc GROUP BY 1 HAVING SUM(nuc) >= 2),
+        |ua AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n_values,
+        |    CAST(SUM((2520 // (m - 1)) * (m * m - s2)) AS BIGINT)
+        |      AS d_o_scaled FROM pu),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(nc * nc) AS BIGINT) AS snc2 FROM (
+        |      SELECT uc.c, CAST(SUM(uc.nuc) AS BIGINT) AS nc
+        |      FROM uc JOIN pu USING (u) GROUP BY 1))
+        |SELECT n_units, n_values, n_categories, d_o_scaled,
+        |  n_values * n_values - snc2 AS d_e_raw,
+        |  round(1.0 - (CAST(d_o_scaled AS DOUBLE) *
+        |    CAST(n_values - 1 AS DOUBLE)) /
+        |    (2520.0 * CAST(n_values * n_values - snc2 AS DOUBLE)), 6)
+        |    AS alpha
+        |FROM ua, ca""".stripMargin,
     "q_fd_check" -> Seq(
         ("o_orderkey", "o_custkey"),
         ("o_custkey", "o_orderstatus"),

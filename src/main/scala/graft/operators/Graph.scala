@@ -1520,4 +1520,106 @@ object Graph {
        |SELECT id, round(x / m, 8) AS eigen FROM x$iters, xm""".stripMargin
   }
 
+  /** Distributed greedy MAXIMAL MATCHING — the edge-side sibling of
+    * [[maximalIndependentSet]]: a deterministic Luby-style handshake.
+    * Each round, every unmatched vertex points at its min-priority
+    * unmatched neighbor (md5 priorities replace the RNG, ties broken by
+    * id); vertices that point at EACH OTHER match and retire with their
+    * round number. The matched set is a valid matching by construction
+    * (a vertex points at exactly one neighbor per round) and maximal
+    * once no active edge remains; the CONTRACT is the fixed `rounds`
+    * trajectory itself — both engines replay identical rounds, and
+    * post-quiescence rounds emit nothing on both. Matching seeds
+    * maximal-weight greedy dedup-pair selection, b-matching caps, and
+    * contention-free pairing jobs.
+    *
+    * Scale shape per round: one both-endpoints-active edge restriction
+    * (two hash joins on the STATIC edge table), one per-vertex
+    * min(struct) aggregate, one mutual-handshake self-join on the
+    * vertex-keyed target table — everything key-partitioned, state
+    * materialized once per round ([[maximalIndependentSet]]'s lineage
+    * discipline). */
+  def greedyMatching(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32]: $rounds")
+    val cu = canonicalUndirected(edges, srcCol, dstCol)
+    val e = cu.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(cu.select(col("hi").as("src"), col("lo").as("dst")))
+      .materialize
+    val pri = e.select(col("src").as("id")).distinct()
+      .withColumn("pri", expr(matchPriSql("id")))
+      .materialize
+    var active = pri
+    var matched: DataFrame = null
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
+      val ea = e
+        .join(active.select(col("id").as("src"), col("pri").as("__sp")),
+          Seq("src"))
+        .join(active.select(col("id").as("dst"), col("pri").as("__dp")),
+          Seq("dst"))
+      val tgt = ea
+        .groupBy(col("src").as("id"))
+        .agg(min(struct(col("__dp").as("p"), col("dst").as("t")))
+          .as("__m"))
+        .select(col("id"), col("__m.t").as("t"))
+      val m = tgt.as("a")
+        .join(tgt.as("b"),
+          col("a.t") === col("b.id") && col("b.t") === col("a.id") &&
+            col("a.id") < col("a.t"))
+        .select(col("a.id").as("src"), col("a.t").as("dst"),
+          lit(round.toLong).as("round"))
+        .materialize
+      matched = if (matched == null) m else matched.unionByName(m)
+      if (m.isEmpty) done = true // quiescent: later rounds stay empty
+      else {
+        val gone = m.select(col("src").as("id"))
+          .unionByName(m.select(col("dst").as("id")))
+        active = active.join(gone, Seq("id"), "left_anti").materialize
+      }
+    }
+    matched
+  }
+
+  /** Matching priority — md5 of the id under a matching-specific salt
+    * (decorrelated from [[misPriSql]]); Spark-side text. */
+  def matchPriSql(idCol: String): String =
+    s"CAST(conv(substring(md5(CONCAT('match:', CAST($idCol AS STRING))), " +
+      "1, 15), 16, 10) AS BIGINT)"
+
+  /** Unrolled [[greedyMatching]] rounds for the DuckDB oracle (expects
+    * the `e` bidirectional-edge CTE in scope; every round MATERIALIZED
+    * or the chain re-inlines exponentially). Post-quiescence rounds
+    * emit zero rows on both engines, so a fixed unroll is exact. */
+  def matchingSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""ea$r AS MATERIALIZED (SELECT e.src, e.dst, p.pri AS dp
+         |  FROM e JOIN act${r - 1} a ON a.id = e.src
+         |  JOIN act${r - 1} b ON b.id = e.dst
+         |  JOIN pri p ON p.id = e.dst),
+         |tg$r AS MATERIALIZED (SELECT src AS id, dst AS t FROM (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dp, dst) AS rn
+         |  FROM ea$r) WHERE rn = 1),
+         |m$r AS MATERIALIZED (SELECT a.id AS src, a.t AS dst
+         |  FROM tg$r a JOIN tg$r b
+         |  ON a.t = b.id AND b.t = a.id AND a.id < a.t),
+         |act$r AS MATERIALIZED (SELECT id FROM act${r - 1}
+         |  ANTI JOIN (SELECT src AS id FROM m$r
+         |    UNION ALL SELECT dst FROM m$r) USING (id))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT src, dst, CAST($r AS BIGINT) AS round FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""pri AS MATERIALIZED (SELECT id,
+       |    CAST('0x' || substr(md5('match:' || CAST(id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS pri
+       |  FROM (SELECT DISTINCT src AS id FROM e)),
+       |act0 AS MATERIALIZED (SELECT id FROM pri),
+       |$roundCtes
+       |$out""".stripMargin
+  }
 }

@@ -2656,4 +2656,126 @@ object Profiling {
           (col("n_violating_det") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Laplace-mechanism noisy counts — the ε-differential-privacy release
+    * shape for publishing group counts about a sensitive corpus (the
+    * privacy tier past [[kAnonymity]]/[[lDiversity]]/[[tCloseness]],
+    * which audit rather than release): per group, true count n plus
+    * Laplace(Δ/ε) noise, Δ = 1 (one row changes one count).
+    *
+    * The noise draw inverts the Laplace CDF at a uniform u derived from
+    * md5 of the group key — a DETERMINISTIC, replayable noise source so
+    * the engine and the oracle agree bit for bit and tests can pin
+    * outputs. That determinism is the point here (pipeline plumbing +
+    * exact mechanism shape) and the documented delta from production
+    * DP: a public seed leaks everything, so a real release swaps
+    * [[dpUniformSql]] for a CSPRNG draw per group — nothing else
+    * changes. u ∈ (0,1) strictly (half-offset before the 2⁻³⁰ divide),
+    * so the ln never sees 0; ln is the one transcendental (libm-stable
+    * cross-engine), noise and the noisy count round at 6dp.
+    *
+    * Plan: ONE map-side-combined aggregate, then per-group scalar math
+    * — no joins, partitions freely. */
+  def dpNoisyCounts(
+      df: DataFrame, dims: Seq[String],
+      epsPpm: Long = 1000000L): DataFrame = {
+    require(dims.nonEmpty, "dims must name at least one group column")
+    require(epsPpm > 0, s"epsPpm must be positive: $epsPpm")
+    val keyExpr = dims.map(d => s"CAST($d AS STRING)")
+      .mkString("CONCAT_WS('|', ", ", ", ")")
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_true"))
+      .withColumn("__h", expr(
+        s"CAST(conv(substring(md5(CONCAT('dp:', $keyExpr)), 1, 15), " +
+          "16, 10) AS BIGINT) % 1073741824"))
+      .withColumn("__u", expr(dpUniformSql("__h")))
+      .withColumn("noise", expr(dpLaplaceNoiseSql("__u", epsPpm)))
+      .select(dims.map(col) ++ Seq(col("n_true"),
+        expr(dpEpsilonSql(epsPpm)).as("epsilon"),
+        expr("round(CAST(n_true AS DOUBLE) + noise, 6)")
+          .as("noisy_count")): _*)
+  }
+
+  /** ε as an explicit DOUBLE (a bare decimal literal types as DECIMAL
+    * in Spark — the dtype-canary contract bans Decimal in outputs);
+    * shared with the oracle. */
+  def dpEpsilonSql(epsPpm: Long): String =
+    s"round(CAST($epsPpm AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)"
+
+  /** Strict-interior uniform from a 30-bit hash: (h + 0.5)/2³⁰ ∈ (0,1).
+    * Shared with the oracle (the hash itself is engine-specific text;
+    * everything from `h` on is this one shared formula). */
+  def dpUniformSql(h: String): String =
+    s"((CAST($h AS DOUBLE) + 0.5) / 1073741824.0)"
+
+  /** Inverse-CDF Laplace(1/ε) draw at uniform `u`, ε = epsPpm/10⁶,
+    * rounded 6dp; shared with the oracle. */
+  def dpLaplaceNoiseSql(u: String, epsPpm: Long): String =
+    s"round((CASE WHEN $u >= 0.5 THEN -1.0 ELSE 1.0 END) * " +
+      s"(CAST(1000000 AS DOUBLE) / CAST($epsPpm AS DOUBLE)) * " +
+      s"ln(1.0 - 2.0 * abs($u - 0.5)), 6)"
+
+  /** Krippendorff's alpha (NOMINAL) — the inter-rater reliability
+    * coefficient that, unlike [[fleissKappa]]/[[cohensKappa]], handles
+    * MISSING ratings natively: units rated by any ≥ 2 of the raters
+    * contribute, single-rating units drop out. alpha = 1 − D_o/D_e over
+    * the coincidence matrix; expected disagreement uses the pooled
+    * category marginals.
+    *
+    * EXACT ARITHMETIC: the per-unit coincidence contribution divides by
+    * (m_u − 1), so all contributions are scaled by 2520 = lcm(1..9) and
+    * every division is an exact integer (a loud `require` bounds raters
+    * per unit at 10); marginals n_c and n are plain counts. alpha is
+    * the single double step: 1 − (Ooff·(n−1)) / (2520·(n² − Σn_c²)),
+    * round 6.
+    *
+    * Plan: one (unit, category) aggregate, one unit aggregate, one
+    * category aggregate, one single-row combine — no joins beyond the
+    * final 1×1, partitions by unit/category. */
+  def krippendorffAlpha(
+      ratings: DataFrame, unitCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val uc = ratings
+      .groupBy(col(unitCol).as("__u"), col(valueCol).as("__c"))
+      .agg(count(lit(1)).cast("long").as("__nuc"))
+      .materialize // feeds the unit pass and the marginal pass
+    val perUnit = uc
+      .groupBy(col("__u"))
+      .agg(sum(col("__nuc")).cast("long").as("__m"),
+        sum(col("__nuc") * col("__nuc")).cast("long").as("__s2"))
+      .filter(col("__m") >= 2L)
+      .materialize // pairable units feed both aggregates below
+    val unitAgg = perUnit
+      .agg(
+        count(lit(1)).cast("long").as("n_units"),
+        sum(col("__m")).cast("long").as("n_values"),
+        // 2520 = lcm(1..9): the per-unit division is exact for up to 10
+        // raters; assert_true makes an 11th rater a LOUD failure inside
+        // the same pass, before any rounded math could go wrong
+        sum(expr(
+          """CASE WHEN assert_true(__m <= 10,
+            |  'krippendorffAlpha: a unit exceeds the exact-arithmetic
+            | bound of 10 ratings') IS NULL
+            |THEN (2520 div (__m - 1)) * (__m * __m - __s2) END"""
+            .stripMargin.replaceAll("\n", " ")))
+          .cast("long").as("d_o_scaled"))
+    val catAgg = uc
+      .join(perUnit.select(col("__u")), Seq("__u"))
+      .groupBy(col("__c"))
+      .agg(sum(col("__nuc")).cast("long").as("__nc"))
+      .agg(count(lit(1)).cast("long").as("n_categories"),
+        sum(col("__nc") * col("__nc")).cast("long").as("__snc2"))
+    unitAgg.crossJoin(catAgg)
+      .select(col("n_units"), col("n_values"), col("n_categories"),
+        col("d_o_scaled"),
+        expr("n_values * n_values - __snc2").as("d_e_raw"),
+        expr(krippendorffAlphaSql).as("alpha"))
+  }
+
+  /** alpha = 1 − (D_o·(n−1))/(2520·D_e) — the one double step from
+    * exact longs; shared with the oracle. */
+  val krippendorffAlphaSql: String =
+    "round(1.0 - (CAST(d_o_scaled AS DOUBLE) * " +
+      "CAST(n_values - 1 AS DOUBLE)) / " +
+      "(2520.0 * CAST(n_values * n_values - __snc2 AS DOUBLE)), 6)"
 }

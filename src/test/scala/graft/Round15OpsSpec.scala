@@ -151,6 +151,65 @@ class Round15OpsSpec extends SparkFunSuite {
     assert(out(1).getAs[Long]("h_micro") == 0L)
   }
 
+  test("krippendorffAlpha: hand-computed nominal alpha; single-rating " +
+      "units drop out") {
+    // u1:{0,0} u2:{0,1} u3:{1,1} u4:{0 only, excluded}:
+    // D_o = (2/6), D_e = 18/30 -> alpha = 1 - (1/3)/(3/5) = 0.444444
+    val r = Seq((1L, "a", 0L), (1L, "b", 0L), (2L, "a", 0L), (2L, "b", 1L),
+      (3L, "a", 1L), (3L, "b", 1L), (4L, "a", 0L))
+      .toDF("unit", "rater", "v")
+    val out = graft.operators.Profiling.krippendorffAlpha(
+      r, "unit", "rater", "v").head()
+    assert(out.getAs[Long]("n_units") == 3L)
+    assert(out.getAs[Long]("n_values") == 6L)
+    assert(out.getAs[Long]("n_categories") == 2L)
+    assert(out.getAs[Long]("d_o_scaled") == 5040L)
+    assert(out.getAs[Long]("d_e_raw") == 18L)
+    assert(out.getAs[Double]("alpha") == 0.444444)
+    // perfect agreement -> alpha = 1
+    val perfect = Seq((1L, "a", 0L), (1L, "b", 0L), (2L, "a", 1L),
+      (2L, "b", 1L)).toDF("unit", "rater", "v")
+    assert(graft.operators.Profiling.krippendorffAlpha(
+      perfect, "unit", "rater", "v").head().getAs[Double]("alpha") == 1.0)
+  }
+
+  test("dpNoisyCounts: deterministic seeded Laplace — replayable, " +
+      "non-degenerate, DOUBLE-typed") {
+    val df = Seq.tabulate(100)(i => (s"g${i % 4}", i))
+      .toDF("g", "x")
+    val a = graft.operators.Profiling.dpNoisyCounts(df, Seq("g"))
+      .orderBy("g").collect()
+    val b = graft.operators.Profiling.dpNoisyCounts(df, Seq("g"))
+      .orderBy("g").collect()
+    assert(a.toSeq == b.toSeq) // same seed, same release
+    assert(a.forall(_.getAs[Double]("epsilon") == 1.0))
+    // noise actually perturbs (md5-uniform is never exactly 0.5 here)
+    assert(a.exists(r =>
+      r.getAs[Double]("noisy_count") != r.getAs[Long]("n_true").toDouble))
+    // Laplace(1) noise at these counts stays small but nonzero
+    assert(a.forall(r => math.abs(r.getAs[Double]("noisy_count") -
+      r.getAs[Long]("n_true")) < 25.0))
+  }
+
+  test("greedyMatching: a valid matching (each vertex at most once), " +
+      "edges only, maximal on a small graph, deterministic") {
+    // two triangles joined by a bridge
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val m = graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val touched = m.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.length == touched.length) // vertex-disjoint
+    val edgeSet = Set((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L),(5L,6L),(4L,6L))
+    assert(m.forall(p => edgeSet(p)))
+    // maximality: no remaining edge with both endpoints unmatched
+    val free = (1L to 6L).toSet -- touched.toSet
+    assert(!edgeSet.exists(p => free(p._1) && free(p._2)))
+    val m2 = graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(m.sorted.toSeq == m2.sorted.toSeq)
+  }
+
   test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
       "no longer collides with NULL (collision-free struct key)") {
     val df = Seq(
