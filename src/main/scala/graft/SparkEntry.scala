@@ -730,6 +730,12 @@ object SparkEntry {
     s"""WITH $symCoPurchaseCte,
        |${graft.operators.Graph.matchingSql(8)}""".stripMargin
 
+  /** Two unrolled 8-level BFS sweeps + argmax picks over the same
+    * symmetrized edge set (Graph.diameterSweepSql). */
+  private[graft] lazy val diameterOracle: String =
+    s"""WITH $symCoPurchaseCte,
+       |${graft.operators.Graph.diameterSweepSql(8)}""".stripMargin
+
   /** First-8-events pivot per user (exactly-8 contract) + the unrolled
     * integer-score Viterbi chain (Sessionize.viterbiSqlCtes — the SAME
     * score maps the Spark DP interpolates, so path and score are

@@ -394,6 +394,15 @@ private[graft] object GraphEntries {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_diameter_sweep" -> ((s, dir) => {
+      // Two-sweep BFS diameter estimate of the co-purchase graph
+      // (8-hop bounded): BFS from the min-id part, re-BFS from the
+      // farthest vertex, report its eccentricity + periphery.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.diameterSweep(
+        coPurchasePairs(li), "src", "dst", maxHops = 8)
+    }),
     "q_greedy_matching" -> ((s, dir) => {
       // Luby-style deterministic greedy maximal matching on the
       // co-purchase graph (md5 handshake priorities): the edge-side
@@ -725,6 +734,7 @@ private[graft] object GraphEntries {
     "q_eigen_centrality" -> eigenCentralityOracle,
     "q_mis" -> misOracle,
     "q_greedy_matching" -> matchingOracle,
+    "q_diameter_sweep" -> diameterOracle,
     "q_four_cliques" ->
       // id-ordered triangle enumeration + the 3-way mutual-neighbor
       // extension (d > c) — each K4 exactly once, same top-20 order

@@ -108,6 +108,13 @@ private[graft] object MultimodalEntries {
         bit_count(col("ahash").bitwiseXOR(lag(col("ahash"), 1).over(w)))
           .cast("long"))
     }),
+    "q_image_sobel" -> ((s, dir) =>
+      // Sobel edge energy per decoded BMP via two separable window
+      // passes (no joins): exact integer |Gx|+|Gy| over interior
+      // pixels — the feature-extraction convolution of an image
+      // pipeline; the oracle replays the gray-ramp pixel formula.
+      Multimodal.bmpSobelEnergy(
+        Multimodal.synthesizeBmpTable(table(s, dir, "documents")))),
     "q_image_otsu" -> ((s, dir) =>
       // Otsu binarization threshold per decoded BMP: exact-integer
       // between-class numerator, two-IEEE-op objective, lowest-t
@@ -300,6 +307,32 @@ private[graft] object MultimodalEntries {
         |  CAST(bit_count(xor(ahash, lag(ahash, 1) OVER (ORDER BY doc_id)))
         |    AS BIGINT) AS hamming_prev
         |FROM hh""".stripMargin,
+    "q_image_sobel" ->
+      // the same gray-ramp replay as q_image_tiles, then the identical
+      // separable Sobel windows the engine runs over the decoded pixels
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + n_chars % 48 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, w*h)) AS i FROM p),
+        |v AS (SELECT doc_id, i % w AS x, i // w AS y,
+        |    (doc_id + (i % w) + 3*(i // w)) % 251 AS v FROM s),
+        |d AS (SELECT doc_id, x, y,
+        |    LEAD(v, 1) OVER wx - LAG(v, 1) OVER wx AS dx,
+        |    LEAD(v, 1) OVER wy - LAG(v, 1) OVER wy AS dy
+        |  FROM v WINDOW wx AS (PARTITION BY doc_id, y ORDER BY x),
+        |    wy AS (PARTITION BY doc_id, x ORDER BY y)),
+        |g AS (SELECT doc_id, x, y,
+        |    LAG(dx, 1) OVER wy2 + dx * 2 + LEAD(dx, 1) OVER wy2 AS gx,
+        |    LAG(dy, 1) OVER wx2 + dy * 2 + LEAD(dy, 1) OVER wx2 AS gy
+        |  FROM d WINDOW wy2 AS (PARTITION BY doc_id, x ORDER BY y),
+        |    wx2 AS (PARTITION BY doc_id, y ORDER BY x))
+        |SELECT doc_id, CAST(MAX(x) + 2 AS BIGINT) AS width,
+        |  CAST(MAX(y) + 2 AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_interior,
+        |  CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS sobel_energy,
+        |  round(CAST(SUM(abs(gx) + abs(gy)) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_grad
+        |FROM g WHERE gx IS NOT NULL AND gy IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_image_otsu" ->
       s"""WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w,
          |    1 + n_chars % 48 AS h FROM documents),

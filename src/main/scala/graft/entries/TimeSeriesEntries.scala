@@ -227,6 +227,32 @@ private[graft] object TimeSeriesEntries {
       graft.operators.TimeSeries.holtWintersInt(
         daily, "event_type", "idx", "y")
     }),
+    "q_sample_entropy" -> ((s, dir) => {
+      // SampEn (m=2, r=3000 cents) of each user's daily spend:
+      // amplitude-regularity — the Chebyshev-tolerance complement of
+      // q_perm_entropy's ordinal complexity. Exact pair counts;
+      // -ln(A/B) the one double.
+      val perDay = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.TimeSeries.sampleEntropy(
+        perDay, "user_id", "day", "v", r = 3000L)
+    }),
+    "q_cvar" -> ((s, dir) => {
+      // 10% expected shortfall of each type's daily spend: the tail
+      // MEAN past the VaR cut (k = ceil(0.1 n) worst days) — the
+      // coherent risk number the quantile family doesn't give.
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).cast("long").as("v"))
+      graft.operators.TimeSeries.expectedShortfall(
+        daily, "event_type", "day", "v", tailPpm = 100000L)
+    }),
     "q_croston" -> ((s, dir) => {
       // Croston intermittent-demand forecast per part: TPC-H parts sell
       // on a handful of scattered ship-days — the exact regime where
@@ -1277,6 +1303,51 @@ private[graft] object TimeSeriesEntries {
          |  l13 + 1 * b13 + su0 AS fc_1, l13 + 7 * b13 + su6 AS fc_7
          |FROM st13""".stripMargin
     },
+    "q_sample_entropy" -> {
+      import graft.operators.TimeSeries.sampEnSql
+      s"""WITH pd AS (
+         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT user_id, day, v AS v1,
+         |    LEAD(v, 1) OVER w AS v2, LEAD(v, 2) OVER w AS v3
+         |  FROM pd WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         |g AS (SELECT user_id, v1, v2, v3,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+         |  FROM t WHERE v3 IS NOT NULL),
+         |c AS (SELECT a.user_id,
+         |    CAST(SUM(CASE WHEN abs(a.v1 - b.v1) <= 3000
+         |      AND abs(a.v2 - b.v2) <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b_pairs,
+         |    CAST(SUM(CASE WHEN abs(a.v1 - b.v1) <= 3000
+         |      AND abs(a.v2 - b.v2) <= 3000
+         |      AND abs(a.v3 - b.v3) <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a_pairs
+         |  FROM g a JOIN g b ON a.user_id = b.user_id AND a.i < b.i
+         |  GROUP BY 1)
+         |SELECT user_id, b_pairs, a_pairs,
+         |  ${sampEnSql("a_pairs", "b_pairs")} AS sampen
+         |FROM c""".stripMargin
+    },
+    "q_cvar" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v DESC, day) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |k AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
+        |    (100000 * n + 999999) // 1000000) AS k_tail FROM r)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(k_tail) AS BIGINT) AS k_tail,
+        |  CAST(MIN(v) AS BIGINT) AS var_floor,
+        |  CAST(SUM(v) AS BIGINT) AS tail_sum,
+        |  round(CAST(SUM(v) AS DOUBLE) / CAST(MAX(k_tail) AS DOUBLE), 6)
+        |    AS es
+        |FROM k WHERE rk <= k_tail GROUP BY 1""".stripMargin,
     "q_croston" -> {
       import graft.operators.TimeSeries.{crostonFcSql, crostonSbaSql}
       s"""WITH RECURSIVE d AS (

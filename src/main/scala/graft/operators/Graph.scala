@@ -1584,6 +1584,74 @@ object Graph {
     matched
   }
 
+  /** Two-sweep BFS diameter estimate — the standard cheap lower bound:
+    * BFS from the minimum-id vertex, take the farthest reached vertex
+    * (max hops, ties to the lowest id), BFS again from there; the
+    * second sweep's eccentricity lower-bounds the component's diameter
+    * (exact on trees, near-exact on small-world graphs). `maxHops`
+    * bounds BOTH sweeps, so the output is a deterministic fixed-round
+    * trajectory whether or not the frontier drained — the
+    * [[pagerank]]/[[bfsHops]] contract, and the oracle unrolls the same
+    * levels. One row: sweep-2 start, the peripheral vertex, the hop
+    * eccentricity, and the reached-vertex count.
+    *
+    * Scale shape: two [[bfsHops]] runs (frontier-only joins per level)
+    * plus two global argmax picks (orderBy + limit 1 — a top-1
+    * TakeOrdered, never a full sort at the driver). */
+  def diameterSweep(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 8): DataFrame = {
+    val cu = canonicalUndirected(edges, srcCol, dstCol)
+    val e = cu.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(cu.select(col("hi").as("src"), col("lo").as("dst")))
+      .materialize
+    val s1 = e.agg(min(col("src")).as("id"))
+    val d1 = bfsHops(e, s1, maxHops)
+    val far1 = d1.orderBy(col("hops").desc, col("id")).limit(1)
+      .select(col("id"))
+      .materialize // feeds sweep 2 AND the output row; sweep 1 runs once
+    val d2 = bfsHops(e, far1, maxHops).materialize
+    val far2 = d2.orderBy(col("hops").desc, col("id")).limit(1)
+      .select(col("id").as("far_id"), col("hops").as("eccentricity"))
+    far1.select(col("id").as("start_id"))
+      .crossJoin(far2)
+      .crossJoin(d2.agg(count(lit(1)).cast("long").as("n_reached")))
+  }
+
+  /** Unrolled [[diameterSweep]] for the DuckDB oracle (expects the `e`
+    * bidirectional-edge CTE in scope). */
+  def diameterSweepSql(maxHops: Int): String = {
+    def sweep(tag: String, base: String): String = {
+      val levels = (1 to maxHops).map { h =>
+        s"""$tag$h AS MATERIALIZED (
+           |  SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+           |    SELECT id, hops FROM $tag${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $h AS hops
+           |    FROM $tag${h - 1} f JOIN e ON e.src = f.id
+           |    WHERE f.hops = ${h - 1})
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$levels"
+    }
+    val s1 = sweep("u",
+      s"""u0 AS MATERIALIZED (SELECT MIN(src) AS id, CAST(0 AS BIGINT)
+         |  AS hops FROM e)""".stripMargin)
+    val s2 = sweep("t",
+      s"""far1 AS MATERIALIZED (SELECT id FROM u$maxHops
+         |  ORDER BY hops DESC, id LIMIT 1),
+         |t0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS hops
+         |  FROM far1)""".stripMargin)
+    s"""$s1,
+       |$s2,
+       |far2 AS MATERIALIZED (SELECT id, hops FROM t$maxHops
+       |  ORDER BY hops DESC, id LIMIT 1)
+       |SELECT (SELECT id FROM far1) AS start_id, far2.id AS far_id,
+       |  far2.hops AS eccentricity,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t$maxHops) AS n_reached
+       |FROM far2""".stripMargin
+  }
+
   /** Matching priority — md5 of the id under a matching-specific salt
     * (decorrelated from [[misPriSql]]); Spark-side text. */
   def matchPriSql(idCol: String): String =

@@ -3106,6 +3106,97 @@ object TimeSeries {
           s"(1000000.0 * ln(${n / 2}.0)), 6)").as("h_norm"))
   }
 
+  /** Sample entropy (SampEn, m = 2) — the regularity statistic of
+    * physiological-series analysis: −ln(A/B) where B counts template
+    * pairs of length m within Chebyshev tolerance `r` and A counts the
+    * same pairs still matching at length m+1 (self-matches excluded by
+    * the i<j pairing; both sets range over the n−m windows with a full
+    * m+1 template, the standard formulation). Complements
+    * [[permutationEntropy]]: SampEn sees AMPLITUDE regularity where
+    * ordinal patterns see only order.
+    *
+    * Exactness: match predicates are pure integer compares, A and B
+    * exact longs; −ln(A/B) is the one double step (round 6, null when
+    * A = 0 — no matches at m+1 gives SampEn = ∞ by convention).
+    *
+    * Scale shape: the pair count is O(per-key windows²) by DEFINITION —
+    * bounded here because keys are short per-entity series (a daily
+    * month ≈ 30 points → ≤ ~400 pairs/key); the self-join is key-local
+    * (equi-join on the key), so it partitions freely and never goes
+    * cross-key. For long series, PAA-compress first (the q_dtw
+    * recipe). */
+  def sampleEntropy(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, r: Long): DataFrame = {
+    require(r >= 0, s"tolerance r must be >= 0: $r")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val tri = perBucket
+      .select(col(keyCol), col(bucketCol),
+        col(valueCol).cast("long").as("v1"))
+      .withColumn("v2", lead(col("v1"), 1).over(w))
+      .withColumn("v3", lead(col("v1"), 2).over(w))
+      .filter(col("v3").isNotNull)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("i"), col("v1"), col("v2"), col("v3"))
+    val a = tri.toDF(tri.columns.map(c => if (c == keyCol) c else s"a_$c"): _*)
+    val b = tri.toDF(tri.columns.map(c => if (c == keyCol) c else s"b_$c"): _*)
+    a.join(b, Seq(keyCol))
+      .filter(col("a_i") < col("b_i"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(abs(col("a_v1") - col("b_v1")) <= r &&
+          abs(col("a_v2") - col("b_v2")) <= r, 1L).otherwise(0L))
+          .cast("long").as("b_pairs"),
+        sum(when(abs(col("a_v1") - col("b_v1")) <= r &&
+          abs(col("a_v2") - col("b_v2")) <= r &&
+          abs(col("a_v3") - col("b_v3")) <= r, 1L).otherwise(0L))
+          .cast("long").as("a_pairs"))
+      .select(col(keyCol), col("b_pairs"), col("a_pairs"),
+        expr(sampEnSql("a_pairs", "b_pairs")).as("sampen"))
+  }
+
+  /** −ln(A/B) at 6dp, null when either count is 0; shared with the
+    * oracle. */
+  def sampEnSql(a: String, b: String): String =
+    s"CASE WHEN $a > 0 AND $b > 0 THEN " +
+      s"round(-ln(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)), 6) END"
+
+  /** Expected shortfall (CVaR) — the tail MEAN past the VaR cut: per
+    * key, the k worst (largest) values where k = max(1, ⌈tailPpm·n⌉),
+    * their exact integer sum, the k-th largest as the VaR floor, and
+    * the tail mean as the one double step. The coherent risk metric the
+    * quantile family (q_percentile/q_approx_percentile) doesn't give:
+    * VaR ignores how bad the tail is, ES averages it.
+    *
+    * One per-key window rank + one aggregate, exact integers
+    * throughout; ties at the cut break on the bucket (deterministic
+    * membership, both engines replay it). */
+  def expectedShortfall(
+      perBucket: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, tailPpm: Long = 50000L): DataFrame = {
+    require(tailPpm > 0 && tailPpm <= 1000000L,
+      s"tailPpm must be in (0, 1e6]: $tailPpm")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__v").desc, col(bucketCol))
+    perBucket
+      .select(col(keyCol), col(bucketCol),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))).cast("long"))
+      .withColumn("__k", expr(
+        s"greatest(CAST(1 AS BIGINT), ($tailPpm * __n + 999999) div 1000000)"))
+      .filter(col("__rk") <= col("__k"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k_tail"),
+        min(col("__v")).as("var_floor"),
+        sum(col("__v")).cast("long").as("tail_sum"))
+      .withColumn("es", expr(
+        "round(CAST(tail_sum AS DOUBLE) / CAST(k_tail AS DOUBLE), 6)"))
+  }
+
   /** Deci-quantized per-sample DFT term y·fn(2π((k·i) mod n)/n)·10 —
     * the [[graft.operators.Multimodal.dftTermMicroSql]] construction at
     * ×10 so P_k = re² + im² stays inside exact signed-64 range; shared

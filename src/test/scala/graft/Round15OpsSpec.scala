@@ -210,6 +210,55 @@ class Round15OpsSpec extends SparkFunSuite {
     assert(m.sorted.toSeq == m2.sorted.toSeq)
   }
 
+  test("sampleEntropy: identical templates give SampEn 0; out-of-tolerance " +
+      "pairs are excluded exactly") {
+    val flat = (1L to 5L).map(d => (1L, d, 50L)) // 3 windows, all equal
+    val spiky = (1L to 5L).map(d => (2L, d, if (d % 2 == 1) 0L else 100L))
+    val out = graft.operators.TimeSeries.sampleEntropy(
+      (flat ++ spiky).toDF("k", "b", "v"), "k", "b", "v", r = 10L)
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("b_pairs") == 3L)
+    assert(out(0).getAs[Long]("a_pairs") == 3L)
+    assert(out(0).getAs[Double]("sampen") == 0.0)
+    // spiky: windows (0,100,0),(100,0,100),(0,100,0) — only (1,3) match
+    assert(out(1).getAs[Long]("b_pairs") == 1L)
+    assert(out(1).getAs[Long]("a_pairs") == 1L)
+    assert(out(1).getAs[Double]("sampen") == 0.0)
+  }
+
+  test("expectedShortfall: exact tail mean past the VaR cut") {
+    val df = (1L to 10L).map(d => (1L, d, d * 10L)).toDF("k", "b", "v")
+    val r = graft.operators.TimeSeries.expectedShortfall(
+      df, "k", "b", "v", tailPpm = 200000L).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("k_tail") == 2L)
+    assert(r.getAs[Long]("var_floor") == 90L)
+    assert(r.getAs[Long]("tail_sum") == 190L)
+    assert(r.getAs[Double]("es") == 95.0)
+  }
+
+  test("diameterSweep: exact on a path graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = graft.operators.Graph.diameterSweep(e, "src", "dst", maxHops = 8)
+      .head()
+    assert(r.getAs[Long]("start_id") == 5L) // farthest from vertex 1
+    assert(r.getAs[Long]("far_id") == 1L)
+    assert(r.getAs[Long]("eccentricity") == 4L)
+    assert(r.getAs[Long]("n_reached") == 5L)
+  }
+
+  test("bmpSobelEnergy: constant-gradient ramp (no mod wrap) gives " +
+      "|Gx|+|Gy| = 8+24 per interior pixel") {
+    // v = (5 + x + 3y) % 251 over 4x4 never wraps: dx=2, dy=6 everywhere
+    val media = Seq((5L,
+      graft.operators.Multimodal.synthesizeBmp24(5L, 4, 4)))
+      .toDF("doc_id", "content")
+    val r = graft.operators.Multimodal.bmpSobelEnergy(media).head()
+    assert(r.getAs[Long]("width") == 4L && r.getAs[Long]("height") == 4L)
+    assert(r.getAs[Long]("n_interior") == 4L)
+    assert(r.getAs[Long]("sobel_energy") == 128L)
+    assert(r.getAs[Double]("mean_grad") == 32.0)
+  }
+
   test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
       "no longer collides with NULL (collision-free struct key)") {
     val df = Seq(
