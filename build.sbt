@@ -9,8 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
   // Attempted (2026-08-12, re-verified 2026-08-13, 2026-08-15 twice,
-  // 2026-08-16 — latest: round 14, scratch-project `sbt update` against
-  // the offline mirror still returns "Not found"): the Kafka connector,
+  // 2026-08-16 rounds 14 AND 15 — latest: round-15 scratch-project
+  // `sbt update` against the offline mirror still returns "Not found"
+  // for both the POM and every local cache path): the Kafka connector,
   // to execute the Streams.kafkaLines/kafkaJsonSink paths. Resolution
   // fails in this container — offline coursier mirror has no
   // org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 ("Not found"), no

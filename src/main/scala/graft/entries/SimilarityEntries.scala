@@ -89,6 +89,20 @@ private[graft] object SimilarityEntries {
       Similarity.diversitySample(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         perCell = 3)),
+    "q_dbscan" -> ((s, dir) => {
+      // Density clustering of the embedding space: exact fixed-point
+      // eps-neighbor pairs (eps ~ 1.1 L2, the NN-distance knee) feed
+      // the decoupled DBSCAN cluster step (cores >= 3 neighbors,
+      // min-label components, deterministic min border assignment) —
+      // the curation primitive that separates dense semantic clumps
+      // from background noise. At 100 TB the edge list swaps to the
+      // IVF/SRP blocked builders; the cluster step is unchanged.
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val epsFp = 18454938L // round(1.1 * 2^24)
+      val edges = Similarity.epsNeighborPairs(emb, epsFp * epsFp)
+      Similarity.dbscanFromEdges(emb, edges, minPts = 3)
+    }),
     "q_quantize_int8" -> ((s, dir) =>
       // Symmetric int8 embedding quantization — the 4x storage-compression
       // step of an embedding pipeline. Exact-integer codes, exploded to
@@ -386,6 +400,51 @@ private[graft] object SimilarityEntries {
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
          |  FROM assign)
          |WHERE rk <= 3""".stripMargin,
+    "q_dbscan" ->
+      // fixed-point pairwise distances -> core flags -> reachability
+      // closure over core-core edges (q_dedup_components pattern) ->
+      // min border assignment; mirrors dbscanFromEdges decision for
+      // decision
+      """WITH RECURSIVE v AS (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE) * 16777216) AS BIGINT)
+        |      FOR x IN embedding] AS f
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS ua, b.vec_id AS ub,
+        |    list_sum([(a.f[i] - b.f[i]) * (a.f[i] - b.f[i])
+        |      FOR i IN range(1, len(a.f) + 1)]) AS d2
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+        |ed AS MATERIALIZED (SELECT ua, ub FROM p
+        |  WHERE d2 <= CAST(18454938 AS BIGINT) * 18454938),
+        |e2 AS MATERIALIZED (SELECT ua AS u, ub AS w FROM ed
+        |  UNION ALL SELECT ub, ua FROM ed),
+        |deg AS (SELECT u AS id, CAST(COUNT(*) + 1 AS BIGINT)
+        |    AS n_neighbors FROM e2 GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT pts.vec_id AS id,
+        |    COALESCE(d.n_neighbors, CAST(1 AS BIGINT)) AS n_neighbors,
+        |    COALESCE(d.n_neighbors, CAST(1 AS BIGINT)) >= 3 AS is_core
+        |  FROM v pts LEFT JOIN deg d ON d.id = pts.vec_id),
+        |ce AS MATERIALIZED (SELECT e2.u, e2.w FROM e2
+        |  JOIN fl a ON a.id = e2.u AND a.is_core
+        |  JOIN fl b ON b.id = e2.w AND b.is_core),
+        |reach(u, w) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ce)
+        |  UNION
+        |  SELECT r.u, e.w FROM reach r JOIN ce e ON r.w = e.u),
+        |comp AS MATERIALIZED (SELECT u AS id, CAST(MIN(w) AS BIGINT)
+        |    AS component FROM reach GROUP BY 1),
+        |clab AS MATERIALIZED (SELECT f.id,
+        |    COALESCE(c.component, f.id) AS cluster
+        |  FROM fl f LEFT JOIN comp c ON c.id = f.id WHERE f.is_core),
+        |blab AS (SELECT e2.u AS id, CAST(MIN(cl.cluster) AS BIGINT) AS bc
+        |  FROM e2 JOIN clab cl ON cl.id = e2.w GROUP BY 1)
+        |SELECT f.id AS vec_id, f.n_neighbors,
+        |  CASE WHEN f.is_core THEN 'core'
+        |    WHEN b.bc IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  CAST(COALESCE(cl.cluster,
+        |    CASE WHEN NOT f.is_core THEN b.bc END, -1) AS BIGINT) AS cluster
+        |FROM fl f LEFT JOIN clab cl ON cl.id = f.id
+        |LEFT JOIN blab b ON b.id = f.id""".stripMargin,
     "q_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding AS e,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma

@@ -1572,4 +1572,96 @@ object Similarity {
   val rpSignSql: String =
     "CASE WHEN ((i + 1) * (j + 7) * 2654435761) % 101 < 50 " +
       "THEN 1 ELSE -1 END"
+
+  /** Exact ε-neighbor pairs over 2²⁴ fixed-point embeddings — the
+    * BRUTE-FORCE edge builder for density clustering ([[dbscanFromEdges]]):
+    * every a<b pair with squared L2 distance ≤ epsFpSq, computed in exact
+    * integer arithmetic (floats scale to 2²⁴ fixed point — exact for
+    * |x| < 2⁷ since float mantissas are 24 bits; diffs² over 64 dims stay
+    * under 2⁶³). O(n²) by DEFINITION — the oracled baseline tier, like
+    * [[topKCosine]]: at 100 TB the edge list comes from the blocked
+    * families instead (IVF cell-local or SRP-banded candidates, exactly
+    * the [[nearDupCosineBlocked]] recipe) and feeds the SAME cluster
+    * step unchanged. */
+  def epsNeighborPairs(
+      embeddings: DataFrame, epsFpSq: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(epsFpSq > 0, s"epsFpSq must be positive: $epsFpSq")
+    val fp = embeddings
+      .select(col(idCol),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 16777216d).cast("long")).as("__f"))
+      .materialize // both sides of the pair join read the quantized form
+    val a = fp.select(col(idCol).as("a"), col("__f").as("__fa"))
+    val b = fp.select(col(idCol).as("b"), col("__f").as("__fb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(__fa, __fb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("d2") <= epsFpSq)
+      .select(col("a"), col("b"), col("d2"))
+  }
+
+  /** DBSCAN's CLUSTER step over a precomputed ε-neighbor edge list —
+    * decoupled from neighbor search exactly because that is the scale
+    * dial (brute-force [[epsNeighborPairs]] at test scale, IVF/SRP
+    * blocked candidates at 100 TB; the clustering is identical):
+    *
+    *  - core points: |N_ε(p)| ≥ minPts (self included — the textbook
+    *    count);
+    *  - clusters: connected components of the core-core subgraph
+    *    ([[Dedup.connectedComponents]] — min-label + pointer jumping,
+    *    O(log diameter) rounds), isolated cores label themselves;
+    *  - border points: non-core with ≥ 1 core neighbor, assigned the
+    *    MINIMUM core-neighbor cluster (the textbook leaves border
+    *    assignment order-dependent; min makes it deterministic);
+    *  - noise: everything else, cluster −1.
+    *
+    * All decisions are integer compares on exact counts/labels — the
+    * oracle replays core flags, a reachability closure, and the min
+    * border pick. Every stage is a key-hashed join/aggregate. */
+  def dbscanFromEdges(
+      points: DataFrame, edges: DataFrame, minPts: Int,
+      idCol: String = "vec_id",
+      srcCol: String = "a", dstCol: String = "b"): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2: $minPts")
+    import graft.Materialize.MaterializeOps
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .materialize
+    val deg = e.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("__deg"))
+    val flagged = points.select(col(idCol).as("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__deg"), lit(0L)) + 1L).as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") >= minPts.toLong)
+      .materialize
+    val coreIds = flagged.filter(col("is_core")).select(col("id"))
+    val coreEdges = e
+      .join(coreIds.withColumnRenamed("id", "u"), Seq("u"))
+      .join(coreIds.withColumnRenamed("id", "v"), Seq("v"))
+      .filter(col("u") < col("v"))
+    val comp = Dedup.connectedComponents(coreEdges, "u", "v")
+      .select(col("node").as("id"), col("component"))
+    // isolated cores (no core neighbor) label themselves
+    val coreLabel = coreIds.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .materialize // feeds border assignment AND the core output rows
+    val borderLabel = e
+      .join(coreLabel.select(col("id").as("v"), col("cluster")), Seq("v"))
+      .groupBy(col("u").as("id"))
+      .agg(min(col("cluster")).as("__bc"))
+    flagged
+      .join(coreLabel.withColumnRenamed("cluster", "__cc"), Seq("id"), "left")
+      .join(borderLabel, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_neighbors"),
+        when(col("is_core"), "core")
+          .when(col("__bc").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("__cc"),
+          when(col("__bc").isNotNull, col("__bc")), lit(-1L))
+          .cast("long").as("cluster"))
+  }
 }

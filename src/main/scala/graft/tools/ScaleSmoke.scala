@@ -1924,6 +1924,47 @@ object ScaleSmoke {
       drain(TextAnalysis.swAlignPairs(pairs, "ta", "tb"))
       drain(TextAnalysis.unigramSegment(docs, "text", topWords = 200))
     }
+    time(s"r15 matching+diameter x${math.max(1, mult / 5)}") {
+      // graph family: both inherit the co-purchase edge build; matching
+      // is O(rounds * edges) handshakes, diameter two frontier BFS runs
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until math.max(1, mult / 5)).map(i =>
+        li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
+        .reduce(_ unionByName _)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      drain(graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8))
+      drain(graft.operators.Graph.diameterSweep(e, "src", "dst", maxHops = 8))
+    }
+    time(s"r15 entropy+croston x$mult") {
+      // key-local kernels: SampEn's pair join and the entropy terms are
+      // bounded per key (30-day series), croston folds a <=64 tail —
+      // all three should scale with KEY count, i.e. row-linear
+      val perDay = events
+        .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+      drain(TimeSeries.sampleEntropy(perDay, "user_id", "day", "v", r = 3000L))
+      drain(TimeSeries.permutationEntropy(perDay, "user_id", "day", "v"))
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+      val li = (0 until mult).map(i =>
+        li0.select((col("l_partkey") + lit(i * 1_000_000L)).as("part"),
+          col("l_shipdate"), col("l_quantity")))
+        .reduce(_ unionByName _)
+      val daily = li
+        .select(col("part"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("day"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("part"), col("day"))
+        .agg(sum(col("qty")).cast("long").as("q"))
+      drain(TimeSeries.crostonInt(daily, "part", "day", "q"))
+    }
     time(s"r14 binseg+kalman x$mult") {
       // both are window/pivot passes over per-key series — row-linear
       val daily = events

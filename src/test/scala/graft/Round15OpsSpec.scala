@@ -259,6 +259,35 @@ class Round15OpsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mean_grad") == 32.0)
   }
 
+  test("dbscanFromEdges: cores, components, deterministic border " +
+      "assignment, and noise on a hand graph") {
+    // triangle {1,2,3} (all core at minPts=3), 4 borders on 3,
+    // pair {5,6} too sparse -> noise, 7 isolated -> noise
+    val pts = (1L to 7L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val out = graft.operators.Similarity.dbscanFromEdges(pts, edges, minPts = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[String]("role"), r.getAs[Long]("cluster")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "core", 1L), (2L, 3L, "core", 1L), (3L, 4L, "core", 1L),
+      (4L, 2L, "border", 1L), (5L, 2L, "noise", -1L),
+      (6L, 2L, "noise", -1L), (7L, 1L, "noise", -1L)))
+  }
+
+  test("epsNeighborPairs: exact fixed-point distance cut") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.3f, 0.4f)), // d = 0.5
+      (3L, Array(3.0f, 4.0f))) // d(1,3) = 5
+      .toDF("vec_id", "embedding")
+    val epsFp = math.round(0.6 * 16777216d) // eps = 0.6
+    val pairs = graft.operators.Similarity.epsNeighborPairs(
+      emb, epsFp * epsFp).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Long]("d2") > 0L)
+  }
+
   test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
       "no longer collides with NULL (collision-free struct key)") {
     val df = Seq(
