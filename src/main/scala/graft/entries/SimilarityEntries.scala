@@ -89,6 +89,14 @@ private[graft] object SimilarityEntries {
       Similarity.diversitySample(
         table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         perCell = 3)),
+    "q_lof" -> ((s, dir) =>
+      // Local Outlier Factor (k=5) over the embedding space — the
+      // density-ratio anomaly scorer for curation (mislabeled samples,
+      // encoding glitches score >> 1). Deterministic (d2, id)-kNN,
+      // exact quantized reach/lrd ladder, one double ratio.
+      Similarity.lofScores(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 5)),
     "q_dbscan" -> ((s, dir) => {
       // Density clustering of the embedding space: exact fixed-point
       // eps-neighbor pairs (eps ~ 1.1 L2, the NN-distance knee) feed
@@ -400,6 +408,34 @@ private[graft] object SimilarityEntries {
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
          |  FROM assign)
          |WHERE rk <= 3""".stripMargin,
+    "q_lof" -> {
+      import graft.operators.Similarity.{lofReachMicroSql, lofLrdNanoSql}
+      s"""WITH v AS (SELECT vec_id,
+         |    [CAST(round(CAST(x AS DOUBLE) * 16777216) AS BIGINT)
+         |      FOR x IN embedding] AS f
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    list_sum([(a.f[i] - b.f[i]) * (a.f[i] - b.f[i])
+         |      FOR i IN range(1, len(a.f) + 1)]) AS d2
+         |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+         |knn AS MATERIALIZED (SELECT a, b, CAST(d2 AS BIGINT) AS d2 FROM (
+         |    SELECT a, b, d2,
+         |      row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+         |    FROM p) WHERE rn <= 5),
+         |kd AS (SELECT a AS b, CAST(MAX(d2) AS BIGINT) AS kd2
+         |  FROM knn GROUP BY 1),
+         |ds AS (SELECT knn.a,
+         |    CAST(SUM($lofReachMicroSql) AS BIGINT) AS rsum
+         |  FROM knn JOIN kd ON kd.b = knn.b GROUP BY 1),
+         |lrd AS MATERIALIZED (SELECT a, rsum, ${lofLrdNanoSql(5)} AS lrd_nano
+         |  FROM ds),
+         |nb AS (SELECT knn.a, CAST(SUM(l.lrd_nano) AS BIGINT) AS nb_lrd_sum
+         |  FROM knn JOIN lrd l ON l.a = knn.b GROUP BY 1)
+         |SELECT lrd.a AS vec_id, lrd.rsum AS reach_sum_micro, lrd.lrd_nano,
+         |  round(CAST(nb.nb_lrd_sum AS DOUBLE) /
+         |    (CAST(5 AS DOUBLE) * CAST(lrd.lrd_nano AS DOUBLE)), 6) AS lof
+         |FROM lrd JOIN nb ON nb.a = lrd.a""".stripMargin
+    },
     "q_dbscan" ->
       // fixed-point pairwise distances -> core flags -> reachability
       // closure over core-core edges (q_dedup_components pattern) ->

@@ -1603,6 +1603,86 @@ object Similarity {
       .select(col("a"), col("b"), col("d2"))
   }
 
+  /** Local Outlier Factor (k = `k`) — the density-ratio anomaly score
+    * for embedding curation: LOF ≈ 1 for inliers, ≫ 1 for points whose
+    * local density is far below their neighbors' (mislabeled samples,
+    * modality leaks, encoding glitches). Deterministic variant: the
+    * neighborhood is EXACTLY the k nearest by (squared fixed-point L2,
+    * neighbor id) — the textbook ties-included neighborhood is
+    * engine-order-dependent, this one is replayable.
+    *
+    * Exactness ladder (every cross-engine sum is over exact BIGINTs):
+    * d² exact fixed-point ints → k-distance = k-th smallest d² (exact)
+    * → reachability distance micro-quantized per PAIR
+    * (ROUND(10⁶·√(max(d², kdist(b)))/2²⁴)) and integer-summed per point
+    * → lrd nano-quantized from that exact denominator → LOF = one
+    * double division of two exact aggregates, round 6.
+    *
+    * O(n²) candidate tier like [[epsNeighborPairs]] (swap in blocked
+    * candidates at scale — kNN only needs enough candidates to cover
+    * the true top-k, the IVF-probe recipe); everything after the pair
+    * table is key-hashed joins/aggregates. */
+  def lofScores(
+      embeddings: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val fp = embeddings
+      .select(col(idCol),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 16777216d).cast("long")).as("__f"))
+      .materialize
+    val a = fp.select(col(idCol).as("a"), col("__f").as("__fa"))
+    val b = fp.select(col(idCol).as("b"), col("__f").as("__fb"))
+    val knn = a.crossJoin(b)
+      .filter(col("a") =!= col("b"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(__fa, __fb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"), col("d2"))
+      .materialize // feeds kdist, reach, and the final neighbor join
+    val kdist = knn.groupBy(col("a").as("b"))
+      .agg(max(col("d2")).as("kd2")) // k-th smallest = max of the top-k
+    val dsum = knn.join(kdist, Seq("b"))
+      .withColumn("reach_micro", expr(lofReachMicroSql))
+      .groupBy(col("a"))
+      .agg(sum(col("reach_micro")).cast("long").as("rsum"))
+    val lrd = dsum
+      .withColumn("lrd_nano", expr(lofLrdNanoSql(k)))
+      .materialize // self AND neighbor sides below
+    knn.select(col("a"), col("b"))
+      .join(lrd.select(col("a").as("b"), col("lrd_nano").as("nb_lrd")),
+        Seq("b"))
+      .groupBy(col("a"))
+      .agg(sum(col("nb_lrd")).cast("long").as("nb_lrd_sum"))
+      .join(lrd.select(col("a"), col("rsum"), col("lrd_nano")), Seq("a"))
+      .select(col("a").as(idCol), col("rsum").as("reach_sum_micro"),
+        col("lrd_nano"),
+        expr(s"round(CAST(nb_lrd_sum AS DOUBLE) / " +
+          s"(CAST($k AS DOUBLE) * CAST(lrd_nano AS DOUBLE)), 6)")
+          .as("lof"))
+  }
+
+  /** Micro-quantized reachability distance
+    * ROUND(10⁶·√(max(d², kd2))/2²⁴) — exact BIGINT per pair (√ of an
+    * exact int is one deterministic libm call), floored at 1 micro so
+    * exact-duplicate neighborhoods keep lrd finite (textbook LOF sends
+    * it to ∞; the floor caps lrd at 10⁹·k instead — documented
+    * variant); shared with the oracle. */
+  val lofReachMicroSql: String =
+    "GREATEST(CAST(ROUND(1000000.0 * " +
+      "sqrt(CAST(GREATEST(d2, kd2) AS DOUBLE)) / 16777216.0, 0) " +
+      "AS BIGINT), CAST(1 AS BIGINT))"
+
+  /** Nano-quantized local reachability density k·10⁶·10⁹/Σreach_micro —
+    * exact BIGINT per point; shared with the oracle. */
+  def lofLrdNanoSql(k: Int): String =
+    s"CAST(ROUND(CAST($k AS DOUBLE) * 1000000.0 * 1000000000.0 " +
+      "/ CAST(rsum AS DOUBLE), 0) AS BIGINT)"
+
   /** DBSCAN's CLUSTER step over a precomputed ε-neighbor edge list —
     * decoupled from neighbor search exactly because that is the scale
     * dial (brute-force [[epsNeighborPairs]] at test scale, IVF/SRP

@@ -288,6 +288,19 @@ class Round15OpsSpec extends SparkFunSuite {
     assert(pairs.head.getAs[Long]("d2") > 0L)
   }
 
+  test("lofScores: a far outlier scores >> 1, cluster members ~ 1") {
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+      (4L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.lofScores(emb, k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("lof"))
+      .toMap
+    assert(out(4L) > 5.0, s"outlier lof ${out(4L)}")
+    Seq(1L, 2L, 3L).foreach(i =>
+      assert(out(i) > 0.8 && out(i) < 1.3, s"inlier $i lof ${out(i)}"))
+  }
+
   test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
       "no longer collides with NULL (collision-free struct key)") {
     val df = Seq(
