@@ -101,10 +101,38 @@ object Materialize {
     }
   }
 
+  /** [[apply]] plus a STATS RESET — for fixpoint loops whose per-round
+    * plan SELF-JOINS the previous round's frame (pointer jumping,
+    * handshake targets): `localCheckpoint` truncates the lineage but
+    * PRESERVES the logical plan's `sizeInBytes`, and a self-join
+    * SQUARES it, so the BigInt statistic doubles its bit length every
+    * iteration — by ~20 iterations the size-only stats visitor is
+    * multiplying million-bit integers and PLANNING time dwarfs
+    * execution (measured: bits exactly doubled per materialize+self-
+    * join round; nested loops like Borůvka-over-components hung for
+    * 20+ minutes in `BigInteger.multiplyToomCook3`). Rebuilding the
+    * frame from its checkpointed RDD resets stats to the default —
+    * costs one InternalRow↔Row conversion layer (fine for the
+    * vertex-sized state frames these loops carry) and forgoes
+    * auto-broadcast for the frame (fixpoint state is join-keyed
+    * anyway). */
+  def freshStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = apply(df)
+    m.sparkSession.createDataFrame(m.rdd, m.schema)
+  }
+
   /** `.materialize` postfix syntax so operator code reads like the
     * `.localCheckpoint(true)` chains it replaces. */
   implicit class MaterializeOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def materialize: Dataset[T] = Materialize(ds)
+  }
+
+  /** `.materializeFresh` postfix for [[freshStats]]. */
+  implicit class MaterializeFreshOps(
+      private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+    def materializeFresh: org.apache.spark.sql.DataFrame =
+      Materialize.freshStats(df)
   }
 }

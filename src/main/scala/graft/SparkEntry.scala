@@ -736,6 +736,15 @@ object SparkEntry {
     s"""WITH $symCoPurchaseCte,
        |${graft.operators.Graph.diameterSweepSql(8)}""".stripMargin
 
+  /** Unrolled Borůvka rounds over the canonical co-purchase edge set
+    * (Graph.mstSql — per-round reachability-closure labels; post-
+    * convergence rounds select nothing on both engines). Needs only
+    * the `cu` CTE, so the bidirectional half of symCoPurchaseCte is
+    * harmlessly unused. */
+  private[graft] lazy val mstOracle: String =
+    s"""WITH RECURSIVE $symCoPurchaseCte,
+       |${graft.operators.Graph.mstSql(12)}""".stripMargin
+
   /** First-8-events pivot per user (exactly-8 contract) + the unrolled
     * integer-score Viterbi chain (Sessionize.viterbiSqlCtes — the SAME
     * score maps the Spark DP interpolates, so path and score are

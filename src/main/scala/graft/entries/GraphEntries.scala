@@ -394,6 +394,15 @@ private[graft] object GraphEntries {
       graft.operators.Graph.maximalIndependentSet(
         coPurchasePairs(li), "src", "dst", maxRounds = 16)
     }),
+    "q_mst" -> ((s, dir) => {
+      // Boruvka minimum spanning forest of the co-purchase graph under
+      // the deterministic md5 edge weight — single-linkage clustering's
+      // backbone (threshold-cut the forest for dendrogram levels).
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.boruvkaForest(
+        coPurchasePairs(li), "src", "dst", rounds = 12)
+    }),
     "q_diameter_sweep" -> ((s, dir) => {
       // Two-sweep BFS diameter estimate of the co-purchase graph
       // (8-hop bounded): BFS from the min-id part, re-BFS from the
@@ -735,6 +744,7 @@ private[graft] object GraphEntries {
     "q_mis" -> misOracle,
     "q_greedy_matching" -> matchingOracle,
     "q_diameter_sweep" -> diameterOracle,
+    "q_mst" -> mstOracle,
     "q_four_cliques" ->
       // id-ordered triangle enumeration + the 3-way mutual-neighbor
       // extension (d > c) — each K4 exactly once, same top-20 order

@@ -4,7 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Materialize.MaterializeOps
+import graft.Materialize.{MaterializeOps, MaterializeFreshOps}
 
 /** Deduplication operators for a training-data pipeline, all shuffle-based
   * and driver-memory-free (designed for 100 TB — see scaladoc per op).
@@ -315,7 +315,7 @@ object Dedup {
       edges: DataFrame,
       srcCol: String = "doc_a",
       dstCol: String = "doc_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 48): DataFrame = {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
@@ -345,16 +345,33 @@ object Dedup {
       // instead of re-running the labels join as its own shuffle job —
       // at fixpoint-iteration counts the per-round job floor, not data
       // volume, dominates wall-clock on small-to-mid graphs
+      // materializeFresh, not materialize: the propagate+jump plan
+      // self-joins `propagated`, which SQUARES the preserved
+      // sizeInBytes statistic every iteration — without the stats
+      // reset a long fixpoint run (or a caller looping over this, like
+      // Graph.boruvkaForest) spends its wall-clock in BigInteger stats
+      // math, not in Spark jobs (see Materialize.freshStats)
       val next = jumped
         .join(labels.select(col("node"), col("component").as("__prev")), "node")
         .select(col("node"), col("component"),
           (col("component") =!= col("__prev")).as("__changed"))
-        .materialize
+        .materializeFresh
       val changed = next.filter(col("__changed")).limit(1).count()
       labels = next.select(col("node"), col("component"))
       converged = changed == 0L
       iter += 1
     }
+    // LOUD non-convergence: a silent exit at maxIters returns STALE
+    // labels that split true components — downstream math (dedup
+    // cluster picks, Borůvka round selections) would be quietly wrong.
+    // Found the hard way: the round-4 Borůvka forest (a ~2000-node
+    // spanning tree of chained star merges) needed > 20 iterations,
+    // and the old silent cap made the MST re-select the same bridge
+    // edges forever. Converged runs exit early, so a generous default
+    // cap costs nothing.
+    require(converged,
+      s"connectedComponents did not converge within $maxIters " +
+        "iterations — raise maxIters (labels would be silently stale)")
     labels
   }
 

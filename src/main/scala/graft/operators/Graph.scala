@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.Materialize.MaterializeOps
+import graft.Materialize.{MaterializeOps, MaterializeFreshOps}
 
 /** Iterative graph analytics. Connected components (pointer-jumping) lives
   * with the dedup pipeline in [[Dedup.connectedComponents]]; this object
@@ -1650,6 +1650,143 @@ object Graph {
        |  far2.hops AS eccentricity,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t$maxHops) AS n_reached
        |FROM far2""".stripMargin
+  }
+
+  /** Borůvka minimum spanning FOREST — the bulk-parallel MST: every
+    * round, each component claims its cheapest outgoing edge (ties
+    * cannot matter: the md5 weight plus the (w, lo, hi) total order
+    * make the forest unique), claimed edges join the forest, and
+    * components merge; component count at least halves per round, so
+    * `rounds` ≥ ⌈log₂ n⌉ converges and post-convergence rounds are
+    * no-ops on both engines. The MST is single-linkage clustering's
+    * backbone (cut it at a weight threshold for the dendrogram level)
+    * and the cheapest-interconnect summary of a similarity graph.
+    *
+    * Weights: `weightCol` if given, else the deterministic
+    * [[mstWeightSql]] md5 weight (distinct w.h.p., replayable in SQL).
+    * Labels each round come from [[Dedup.connectedComponents]] over the
+    * forest-so-far (min-label + pointer jumping — the oracle computes
+    * the same fixpoint as a per-round reachability closure).
+    *
+    * Scale shape per round: one components run over ≤ n−1 forest edges,
+    * one edge↔label join, one per-component min(struct) aggregate —
+    * all key-hashed; the candidate edge table is re-labeled, never
+    * re-shuffled wholesale (it stays checkpointed). */
+  def boruvkaForest(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32]: $rounds")
+    val spark = edges.sparkSession
+    val w = canonicalUndirected(edges, srcCol, dstCol)
+      .withColumn("w", expr(mstWeightSql("lo", "hi")))
+      .materialize
+    val verts = w.select(col("lo").as("id"))
+      .unionByName(w.select(col("hi").as("id"))).distinct().materialize
+    var forest: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("lo", "long").add("hi", "long").add("w", "long")
+        .add("round", "long"))
+    // labels maintained INCREMENTALLY: each round runs components over
+    // the CONTRACTED graph only (nodes = current component labels,
+    // edges = this round's selections — at most halving in size every
+    // round, so total components work is a geometric series), then
+    // composes into the vertex labels. Recomputing full-graph
+    // components from the forest each round both re-paid the whole
+    // graph every round AND handed connectedComponents ever-deeper
+    // spanning trees (the sf0.1 forest blew past its iteration cap —
+    // the loud-converge require caught it).
+    var lab = verts.withColumn("l", col("id")).materialize
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
+      val cand = w
+        .join(lab.select(col("id").as("lo"), col("l").as("cl")), Seq("lo"))
+        .join(lab.select(col("id").as("hi"), col("l").as("ch")), Seq("hi"))
+        .filter(col("cl") =!= col("ch"))
+      val sel = cand.select(col("cl").as("c"), col("w"), col("lo"),
+          col("hi"), col("cl"), col("ch"))
+        .unionByName(cand.select(col("ch").as("c"), col("w"), col("lo"),
+          col("hi"), col("cl"), col("ch")))
+        .groupBy(col("c"))
+        .agg(min(struct(col("w"), col("lo"), col("hi"), col("cl"),
+          col("ch"))).as("__m"))
+        .select(col("__m.lo").as("lo"), col("__m.hi").as("hi"),
+          col("__m.w").as("w"), col("__m.cl").as("cl"),
+          col("__m.ch").as("ch"))
+        .distinct()
+        .materialize
+      if (sel.isEmpty) done = true
+      else {
+        forest = forest.unionByName(
+          sel.select(col("lo"), col("hi"), col("w"),
+            lit(round.toLong).as("round"))).materializeFresh
+        // merge labels through the contracted component graph — its
+        // node count is the CURRENT component count, and selected
+        // edges form a pseudo-forest (out-degree 1 per component), so
+        // the components run is small and shallow every round
+        val merged = Dedup.connectedComponents(
+          sel.select(col("cl"), col("ch")), "cl", "ch")
+          .select(col("node").as("l"), col("component").as("__nl"))
+        lab = lab.join(merged, Seq("l"), "left")
+          .select(col("id"), coalesce(col("__nl"), col("l")).as("l"))
+          .materializeFresh
+      }
+    }
+    forest
+  }
+
+  /** Deterministic md5 edge weight in [0, 10⁹) over the canonical
+    * (lo, hi) pair; Spark-side text (the oracle uses the DuckDB hex
+    * form of the same md5). */
+  def mstWeightSql(lo: String, hi: String): String =
+    s"CAST(conv(substring(md5(CONCAT('mst:', CAST($lo AS STRING), '~', " +
+      s"CAST($hi AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000000"
+
+  /** Unrolled [[boruvkaForest]] rounds for the DuckDB oracle (expects
+    * `cu` canonical (lo, hi) in scope): labels per round come from a
+    * reachability closure over the forest-so-far (the
+    * q_dedup_components pattern — same min-label fixpoint the engine's
+    * pointer-jumping components converge to), then the identical
+    * per-component (w, lo, hi) min pick. Closure volume is
+    * Σ component² — fine at oracle scale (sf0.01), which is the only
+    * scale the driver replays. */
+  def mstSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""bi$r AS (SELECT lo AS u, hi AS v FROM f$p
+         |  UNION ALL SELECT hi, lo FROM f$p),
+         |reach$r(u, v) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT x.u, b.v FROM reach$r x JOIN bi$r b ON x.v = b.u),
+         |lab$r AS MATERIALIZED (SELECT u AS id, CAST(MIN(v) AS BIGINT) AS l
+         |  FROM reach$r GROUP BY 1),
+         |cand$r AS (SELECT w.lo, w.hi, w.w, a.l AS cl, b.l AS ch
+         |  FROM w JOIN lab$r a ON a.id = w.lo JOIN lab$r b ON b.id = w.hi
+         |  WHERE a.l != b.l),
+         |sel$r AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM (
+         |  SELECT lo, hi, w, row_number() OVER (PARTITION BY c
+         |      ORDER BY w, lo, hi) AS rn
+         |  FROM (SELECT cl AS c, lo, hi, w FROM cand$r
+         |    UNION ALL SELECT ch, lo, hi, w FROM cand$r))
+         |  WHERE rn = 1),
+         |f$r AS MATERIALIZED (SELECT lo, hi, w, round FROM f$p
+         |  UNION ALL SELECT lo, hi, w, CAST($r AS BIGINT) AS round
+         |  FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT lo, hi,
+       |    CAST('0x' || substr(md5('mst:' || CAST(lo AS VARCHAR) ||
+       |      '~' || CAST(hi AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000000 AS w
+       |  FROM cu),
+       |verts AS MATERIALIZED (SELECT DISTINCT lo AS id FROM cu
+       |  UNION SELECT hi FROM cu),
+       |f0 AS (SELECT lo, hi, w, CAST(0 AS BIGINT) AS round FROM w
+       |  WHERE FALSE),
+       |$roundCtes
+       |SELECT lo, hi, w, round FROM f$rounds""".stripMargin
   }
 
   /** Matching priority — md5 of the id under a matching-specific salt

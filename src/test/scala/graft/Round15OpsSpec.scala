@@ -301,6 +301,35 @@ class Round15OpsSpec extends SparkFunSuite {
       assert(out(i) > 0.8 && out(i) < 1.3, s"inlier $i lof ${out(i)}"))
   }
 
+  test("boruvkaForest: equals a driver-side Kruskal on the same md5 " +
+      "weights (unique MST), spanning-forest edge count, acyclic") {
+    // two components: an 8-node clique-ish blob and a 3-node triangle
+    val blob = for { a <- 1L to 8L; b <- (a + 1) to 8L if (a + b) % 3 != 0 }
+      yield (a, b)
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (blob ++ tri).toDF("src", "dst")
+    val out = graft.operators.Graph.boruvkaForest(edges, "src", "dst")
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toSet
+    // reference: Kruskal over the identical (w, lo, hi) order
+    val w = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi")).distinct()
+      .withColumn("w", expr(graft.operators.Graph.mstWeightSql("lo", "hi")))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    var parent = Map[Long, Long]().withDefault(identity)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); r }
+    val kruskal = scala.collection.mutable.Set[(Long, Long)]()
+    w.foreach { case (_, lo, hi) =>
+      val (a, b) = (find(lo), find(hi))
+      if (a != b) { parent = parent.updated(a, b); kruskal += ((lo, hi)) }
+    }
+    assert(out == kruskal.toSet)
+    // spanning forest: (8-node comp -> 7 edges) + (triangle -> 2)
+    assert(out.size == 9)
+  }
+
   test("fdCheck: a dependent whose string form is the old U+0001 sentinel " +
       "no longer collides with NULL (collision-free struct key)") {
     val df = Seq(
