@@ -513,6 +513,30 @@ private[graft] object StreamingEntries {
               .otherwise(0L)).cast("long").as("y")),
           "complete"),
         "x", "y")),
+    "q_stream_dp_counts" -> ((s, dir) => {
+      // Streaming DP release: the (type, day-of-month) counts run as a
+      // COMPLETE-mode streaming aggregate; the deterministic Laplace
+      // mechanism (Profiling.dpNoisyCounts' exact noise ladder) is the
+      // batch finish over the drained table — publish noisy counts per
+      // trigger without ever re-reading the raw stream.
+      val counts = runToMemory(s, eventsStream(s, dir)
+        .groupBy(col("event_type"),
+          expr("CAST(day(ts) AS BIGINT)").as("dom"))
+        .agg(count(lit(1)).cast("long").as("n_true")), "complete")
+      import graft.operators.Profiling.{dpUniformSql, dpLaplaceNoiseSql,
+        dpEpsilonSql}
+      counts
+        .withColumn("__h", expr(
+          "CAST(conv(substring(md5(CONCAT('dp:', CONCAT_WS('|', " +
+            "CAST(event_type AS STRING), CAST(dom AS STRING)))), 1, 15), " +
+            "16, 10) AS BIGINT) % 1073741824"))
+        .withColumn("__u", expr(dpUniformSql("__h")))
+        .withColumn("noise", expr(dpLaplaceNoiseSql("__u", 1000000L)))
+        .select(col("event_type"), col("dom"), col("n_true"),
+          expr(dpEpsilonSql(1000000L)).as("epsilon"),
+          expr("round(CAST(n_true AS DOUBLE) + noise, 6)")
+            .as("noisy_count"))
+    }),
     "q_stream_hhi" -> ((s, dir) => {
       // Streaming concentration watch: the per-(type, user) spend
       // rollup runs as a COMPLETE-mode streaming aggregate (the
@@ -772,6 +796,9 @@ private[graft] object StreamingEntries {
     "q_stream_sign_test" -> signTestOracleSql,
     "q_stream_risk_ratio" -> riskRatioOracleSql,
     "q_stream_hhi" -> hhiOracleSql,
+    // complete-mode drain == the batch counts, so the DP release oracle
+    // is q_dp_counts' text verbatim (one shared mechanism definition)
+    "q_stream_dp_counts" -> ProfilingEntries.oracleSql("q_dp_counts"),
     "q_stream_page_hinkley" ->
       s"""WITH o AS (SELECT
          |    CAST('0x'||substr(md5(event_type),1,15) AS BIGINT) AS key,
