@@ -123,7 +123,20 @@ object PlanDump {
     "q_four_cliques",        // triangle enum + 3 edge-keyed extension joins, one reused edge frame
     "q_boosted_stumps",      // per-round distinct-value prefix scans + 1-row argmax broadcast
     "q_burrows_delta",       // word-keyed moment windows, |sources|^2 pair join at the top
-    "q_fd_check")            // one pruned 2-column aggregate per candidate, unioned
+    "q_fd_check",            // one pruned 2-column aggregate per candidate, unioned
+    // round-15 additions
+    "q_mst",                 // Boruvka: contracted-graph components per round, fresh-stats state
+    "q_greedy_matching",     // handshake rounds: 2 edge joins + min-struct + mutual self-join
+    "q_diameter_sweep",      // two frontier BFS runs + top-1 TakeOrdered picks
+    "q_dbscan",              // fp-exact eps pairs (documented O(n^2) tier) + components + min border
+    "q_lof",                 // (d2,id)-kNN window + quantized reach/lrd aggregates
+    "q_croston",             // one part-keyed agg + bounded last-64 aggregate() fold
+    "q_sample_entropy",      // key-local template self-join, bounded per-entity series
+    "q_perm_entropy",        // two LEADs + two key aggs, no joins
+    "q_spectral_entropy",    // small static k-range broadcast cross + (key,k) agg
+    "q_cvar",                // one key window rank + one agg
+    "q_image_sobel",         // separable Sobel: two window passes over pixel decode, no joins
+    "q_exact_jaccard")       // prefix posting valve: checkpointed index + 1-row stats agg
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

@@ -1941,29 +1941,34 @@ object ScaleSmoke {
       drain(graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8))
       drain(graft.operators.Graph.diameterSweep(e, "src", "dst", maxHops = 8))
     }
-    time(s"r15 entropy+croston x$mult") {
+    locally {
       // key-local kernels: SampEn's pair join and the entropy terms are
       // bounded per key (30-day series), croston folds a <=64 tail —
       // all three should scale with KEY count, i.e. row-linear
-      val perDay = events
+      lazy val perDay = events
         .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
-      drain(TimeSeries.sampleEntropy(perDay, "user_id", "day", "v", r = 3000L))
-      drain(TimeSeries.permutationEntropy(perDay, "user_id", "day", "v"))
-      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"))
-      val li = (0 until mult).map(i =>
-        li0.select((col("l_partkey") + lit(i * 1_000_000L)).as("part"),
-          col("l_shipdate"), col("l_quantity")))
-        .reduce(_ unionByName _)
-      val daily = li
-        .select(col("part"),
-          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
-            .cast("long").as("day"),
-          col("l_quantity").cast("long").as("qty"))
-        .groupBy(col("part"), col("day"))
-        .agg(sum(col("qty")).cast("long").as("q"))
-      drain(TimeSeries.crostonInt(daily, "part", "day", "q"))
+        .materialize
+      time(s"r15 sampen x$mult")(
+        drain(TimeSeries.sampleEntropy(perDay, "user_id", "day", "v", r = 3000L)))
+      time(s"r15 permentropy x$mult")(
+        drain(TimeSeries.permutationEntropy(perDay, "user_id", "day", "v")))
+      time(s"r15 croston x$mult") {
+        val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+        val li = (0 until mult).map(i =>
+          li0.select((col("l_partkey") + lit(i * 1_000_000L)).as("part"),
+            col("l_shipdate"), col("l_quantity")))
+          .reduce(_ unionByName _)
+        val daily = li
+          .select(col("part"),
+            datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+              .cast("long").as("day"),
+            col("l_quantity").cast("long").as("qty"))
+          .groupBy(col("part"), col("day"))
+          .agg(sum(col("qty")).cast("long").as("q"))
+        drain(TimeSeries.crostonInt(daily, "part", "day", "q"))
+      }
     }
     time(s"r14 binseg+kalman x$mult") {
       // both are window/pivot passes over per-key series — row-linear
