@@ -439,7 +439,7 @@ object Graph {
         .filter(col("support") >= k - 2)
         .materialize
       val kept = e.join(sup, Seq("lo", "hi"), "left_semi")
-        .materialize
+        .materializeFresh // carried state: reset the squared stats
       val n = kept.count()
       converged = n == nEdges
       nEdges = n
@@ -493,7 +493,7 @@ object Graph {
         .join(keep.withColumnRenamed("v", "src"), Seq("src"))
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
-        .materialize
+        .materializeFresh // carried state: reset the cubed stats
       val n = pruned.count()
       converged = n == nEdges
       nEdges = n
@@ -1578,7 +1578,8 @@ object Graph {
       else {
         val gone = m.select(col("src").as("id"))
           .unionByName(m.select(col("dst").as("id")))
-        active = active.join(gone, Seq("id"), "left_anti").materialize
+        active = active.join(gone, Seq("id"), "left_anti")
+          .materializeFresh // carried state: reset the squared stats
       }
     }
     matched
