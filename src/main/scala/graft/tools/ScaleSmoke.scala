@@ -1940,6 +1940,9 @@ object ScaleSmoke {
         .distinct()
       drain(graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8))
       drain(graft.operators.Graph.diameterSweep(e, "src", "dst", maxHops = 8))
+      // Boruvka: contracted-graph components keep per-round work
+      // geometric; 12-round cap, converges in ~6 on this graph
+      drain(graft.operators.Graph.boruvkaForest(e, "src", "dst", rounds = 12))
     }
     locally {
       // key-local kernels: SampEn's pair join and the entropy terms are
