@@ -50,7 +50,15 @@ class PlanGuardSpec extends SparkFunSuite {
     // round-14 documented 1-row/bounded broadcast sites:
     // unigram piece-map (singles + 64 multis, ONE row), kalman min-date
     // (1 row), ks_users partition-offset broadcast (bounded prefix)
-    "q_unigram_segment", "q_kalman_level", "q_ks_users")
+    "q_unigram_segment", "q_kalman_level", "q_ks_users",
+    // round-15 documented bounded broadcast sites: the spectral-entropy
+    // k-range (n/2 = 16 static rows) crossed into the series, and the
+    // DBSCAN/LOF fixed-point pair tiers — the intended bounded
+    // brute-force class, same as q_similarity_bruteforce
+    "q_spectral_entropy", "q_dbscan", "q_lof",
+    // diameter sweep: three 1-row crosses (sweep-2 source, peripheral
+    // argmax, reached count) assembling the single output row
+    "q_diameter_sweep")
 
   test("no audited plan contains a CartesianProduct, and " +
       "BroadcastNestedLoopJoin appears only at documented 1-row/" +
