@@ -58,6 +58,24 @@ object SparkEntry {
         explode(expr("slice(__ps, __i + 2, size(__ps))")).as("__d"))
       .select(col("src"), col("__d").cast("long").as("dst"))
 
+  /** REPEAT-co-purchase edges (>= 2 shared orders) — the sparse,
+    * semantically-loaded sibling of [[coPurchasePairs]] shared by the
+    * community/matching/diameter queries: one (pair)-keyed aggregate
+    * over the pair explode, count distinct orders, filter. */
+  private[graft] def repeatCoPurchase(
+      s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").cast("long").as("src"),
+        col("b.l_partkey").cast("long").as("dst"))
+      .agg(count_distinct(col("a.l_orderkey")).as("__n"))
+      .filter(col("__n") >= 2L)
+      .select(col("src"), col("dst"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_sessionize_gap")(spark, "/root/testdata/sf0.001")
@@ -723,18 +741,30 @@ object SparkEntry {
     s"""WITH $symCoPurchaseCte,
        |${graft.operators.Graph.misSql(16)}""".stripMargin
 
-  /** Unrolled greedy-matching handshake rounds over the same
-    * symmetrized edge set (Graph.matchingSql — post-quiescence rounds
-    * are empty on both engines). */
+  /** Symmetrized REPEAT-co-purchase edge CTE pair (>= 2 shared orders —
+    * [[repeatCoPurchase]]'s SQL twin). */
+  private[graft] val symRepeatCoPurchaseCte: String =
+    """cu AS MATERIALIZED (
+      |  SELECT CAST(a.l_partkey AS BIGINT) AS lo,
+      |         CAST(b.l_partkey AS BIGINT) AS hi
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+      |e AS (SELECT lo AS src, hi AS dst FROM cu
+      |  UNION ALL SELECT hi AS src, lo AS dst FROM cu)""".stripMargin
+
+  /** Unrolled greedy-matching handshake rounds over the symmetrized
+    * repeat-co-purchase edge set (Graph.matchingSql — post-quiescence
+    * rounds are empty on both engines). */
   private[graft] lazy val matchingOracle: String =
-    s"""WITH $symCoPurchaseCte,
+    s"""WITH $symRepeatCoPurchaseCte,
        |${graft.operators.Graph.matchingSql(8)}""".stripMargin
 
-  /** Two unrolled 8-level BFS sweeps + argmax picks over the same
-    * symmetrized edge set (Graph.diameterSweepSql). */
+  /** Two unrolled 12-level BFS sweeps + argmax picks over the same
+    * repeat-co-purchase edge set (Graph.diameterSweepSql). */
   private[graft] lazy val diameterOracle: String =
-    s"""WITH $symCoPurchaseCte,
-       |${graft.operators.Graph.diameterSweepSql(8)}""".stripMargin
+    s"""WITH $symRepeatCoPurchaseCte,
+       |${graft.operators.Graph.diameterSweepSql(12)}""".stripMargin
 
   /** Unrolled Borůvka rounds over the canonical co-purchase edge set
     * (Graph.mstSql — per-round reachability-closure labels; post-

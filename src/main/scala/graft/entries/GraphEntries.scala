@@ -404,23 +404,25 @@ private[graft] object GraphEntries {
         coPurchasePairs(li), "src", "dst", rounds = 12)
     }),
     "q_diameter_sweep" -> ((s, dir) => {
-      // Two-sweep BFS diameter estimate of the co-purchase graph
-      // (8-hop bounded): BFS from the min-id part, re-BFS from the
-      // farthest vertex, report its eccentricity + periphery.
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
+      // Two-sweep BFS diameter estimate of the REPEAT-co-purchase
+      // graph (>= 2 shared orders — the q_modularity edge set; the
+      // dense 1-order graph is a near-clique with eccentricity 3,
+      // which measures nothing): BFS from the min-id part, re-BFS from
+      // the farthest vertex, report its eccentricity + periphery.
       graft.operators.Graph.diameterSweep(
-        coPurchasePairs(li), "src", "dst", maxHops = 8)
+        repeatCoPurchase(s, dir), "src", "dst", maxHops = 12)
     }),
     "q_greedy_matching" -> ((s, dir) => {
-      // Luby-style deterministic greedy maximal matching on the
-      // co-purchase graph (md5 handshake priorities): the edge-side
-      // sibling of q_mis — contention-free pairing for dedup-pair
-      // selection and capacity-capped assignment.
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
+      // Luby-style deterministic greedy matching on the repeat-
+      // co-purchase graph: mutual-min handshakes pair parts that
+      // repeatedly sell together — the edge-side sibling of q_mis.
+      // Sparse input by design: handshake rounds on a near-clique
+      // retire a handful of pairs per round (every vertex points at
+      // the same few min-priority hubs), so the dense graph spends
+      // full-size rounds for little progress; the repeat graph is the
+      // semantically-real pairing workload.
       graft.operators.Graph.greedyMatching(
-        coPurchasePairs(li), "src", "dst", rounds = 8)
+        repeatCoPurchase(s, dir), "src", "dst", rounds = 8)
     }),
     "q_four_cliques" -> ((s, dir) => {
       // K4 participation — one density level past q_triangle_count —

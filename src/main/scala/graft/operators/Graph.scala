@@ -238,6 +238,16 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .materialize
+    bfsHopsOn(e, sources, maxHops, idCol)
+  }
+
+  /** [[bfsHops]] over an ALREADY canonical+materialized bidirectional
+    * edge frame (columns src/dst) — callers running several sweeps on
+    * one graph ([[diameterSweep]]) skip re-distincting and
+    * re-checkpointing the edge set per sweep. */
+  private def bfsHopsOn(
+      e: DataFrame, sources: DataFrame, maxHops: Int,
+      idCol: String = "id"): DataFrame = {
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("hops", lit(0L))
     (1 to maxHops).foreach { h =>
@@ -246,6 +256,11 @@ object Graph {
         .select(col("dst").as("id"), lit(h.toLong).as("hops"))
       dist = dist.unionByName(next)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        // each level references the previous dist TWICE (frontier filter
+        // + union); without a per-level cut the final single plan
+        // re-evaluates level 1 2^maxHops times (fine at 3 hops, fatal at
+        // 8 — the diameter sweep's cost was this recompute, not BFS)
+        .materializeFresh
     }
     dist
   }
@@ -1554,9 +1569,10 @@ object Graph {
     var matched: DataFrame = null
     var round = 0
     var done = false
+    var eAct = e // shrinks to the surviving subgraph round over round
     while (round < rounds && !done) {
       round += 1
-      val ea = e
+      val ea = eAct
         .join(active.select(col("id").as("src"), col("pri").as("__sp")),
           Seq("src"))
         .join(active.select(col("id").as("dst"), col("pri").as("__dp")),
@@ -1580,6 +1596,53 @@ object Graph {
           .unionByName(m.select(col("dst").as("id")))
         active = active.join(gone, Seq("id"), "left_anti")
           .materializeFresh // carried state: reset the squared stats
+        // carry only the surviving subgraph into later rounds — the
+        // full edge set would otherwise be re-scanned every round even
+        // when most vertices have retired (ea is exactly that subgraph)
+        eAct = ea.select(col("src"), col("dst")).materializeFresh
+        // driver finisher (the maximalIndependentSet recipe): once the
+        // surviving frontier collapses below the bound, replay the
+        // IDENTICAL handshake rounds in memory — same priorities, same
+        // min-(pri, id) target, same mutual rule, so the rows are
+        // bit-equal to the all-distributed run at a fraction of the
+        // per-round job floor
+        if (active.count() <= 2048L) {
+          var pri = active.collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val actIds = active.select(col("id"))
+          var sub = eAct
+            .join(actIds.withColumnRenamed("id", "src"), Seq("src"))
+            .join(actIds.withColumnRenamed("id", "dst"), Seq("dst"))
+            .select(col("src"), col("dst")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val rows = Seq.newBuilder[(Long, Long, Long)]
+          var quiet = false
+          while (round < rounds && !quiet && pri.nonEmpty) {
+            round += 1
+            val nbr = sub.groupBy(_._1)
+              .map { case (v, es) => v -> es.map(_._2) }
+            val t = pri.keys.flatMap { v =>
+              nbr.get(v).filter(_.nonEmpty).map(us =>
+                v -> us.minBy(u => (pri(u), u)))
+            }.toMap
+            val pairs = t.collect {
+              case (v, u) if v < u && t.get(u).contains(v) => (v, u)
+            }.toSeq.sorted
+            if (pairs.isEmpty) quiet = true
+            else {
+              pairs.foreach { case (v, u) =>
+                rows += ((v, u, round.toLong)) }
+              val gone2 = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+              pri = pri.filterNot { case (v, _) => gone2(v) }
+              sub = sub.filter { case (a, b) =>
+                pri.contains(a) && pri.contains(b) }
+            }
+          }
+          val tail = edges.sparkSession.createDataFrame(rows.result())
+            .toDF("src", "dst", "round")
+          matched = matched.unionByName(tail)
+          done = true
+        }
       }
     }
     matched
@@ -1607,11 +1670,11 @@ object Graph {
       .union(cu.select(col("hi").as("src"), col("lo").as("dst")))
       .materialize
     val s1 = e.agg(min(col("src")).as("id"))
-    val d1 = bfsHops(e, s1, maxHops)
+    val d1 = bfsHopsOn(e, s1, maxHops)
     val far1 = d1.orderBy(col("hops").desc, col("id")).limit(1)
       .select(col("id"))
       .materialize // feeds sweep 2 AND the output row; sweep 1 runs once
-    val d2 = bfsHops(e, far1, maxHops).materialize
+    val d2 = bfsHopsOn(e, far1, maxHops).materialize
     val far2 = d2.orderBy(col("hops").desc, col("id")).limit(1)
       .select(col("id").as("far_id"), col("hops").as("eccentricity"))
     far1.select(col("id").as("start_id"))
@@ -1718,18 +1781,45 @@ object Graph {
           col("__m.ch").as("ch"))
         .distinct()
         .materialize
-      if (sel.isEmpty) done = true
+      val nSel = sel.count()
+      if (nSel == 0L) done = true
       else {
         forest = forest.unionByName(
           sel.select(col("lo"), col("hi"), col("w"),
             lit(round.toLong).as("round"))).materializeFresh
         // merge labels through the contracted component graph — its
-        // node count is the CURRENT component count, and selected
-        // edges form a pseudo-forest (out-degree 1 per component), so
-        // the components run is small and shallow every round
-        val merged = Dedup.connectedComponents(
-          sel.select(col("cl"), col("ch")), "cl", "ch")
-          .select(col("node").as("l"), col("component").as("__nl"))
+        // node count is the CURRENT component count (at-most-halving
+        // per round) and rows are already driver-safe below the valve,
+        // so the merge is an in-memory min-union-find (root always the
+        // smaller label → root = min of the set, exactly the
+        // distributed components' min-label fixpoint) instead of ~15
+        // whole-cluster jobs of a distributed fixpoint per round; past
+        // the valve it falls back to the distributed run
+        val merged =
+          if (nSel <= 1000000L) {
+            val pairs = sel.select(col("cl"), col("ch")).collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.Map[Long, Long]()
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val nx = parent(c); parent(c) = r; c = nx
+              }
+              r
+            }
+            pairs.foreach { case (a, b) =>
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+            val rows = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+              .map(x => (x, find(x))).toSeq
+            import spark.implicits._
+            rows.toDF("l", "__nl")
+          } else Dedup.connectedComponents(
+            sel.select(col("cl"), col("ch")), "cl", "ch")
+            .select(col("node").as("l"), col("component").as("__nl"))
         lab = lab.join(merged, Seq("l"), "left")
           .select(col("id"), coalesce(col("__nl"), col("l")).as("l"))
           .materializeFresh

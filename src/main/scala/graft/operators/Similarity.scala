@@ -1587,20 +1587,61 @@ object Similarity {
       embeddings: DataFrame, epsFpSq: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(epsFpSq > 0, s"epsFpSq must be positive: $epsFpSq")
-    val fp = embeddings
-      .select(col(idCol),
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val fp = fpVectors(embeddings, idCol, vecCol)
+    val all = broadcastFp(fp)
+    fp.mapPartitions { it =>
+      val ref = all.value
+      it.flatMap { case (a, fa) =>
+        ref.iterator.flatMap { case (b, fb) =>
+          if (a < b) {
+            val d2 = sqDistFp(fa, fb)
+            if (d2 <= epsFpSq) Iterator.single((a, b, d2))
+            else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }.toDF("a", "b", "d2")
+  }
+
+  /** 2²⁴ fixed-point quantization of a float-array column — exact for
+    * |x| < 2⁷ (float mantissas are 24 bits); the typed form feeds the
+    * compiled pairwise kernels (the columnar zip_with/aggregate HOFs
+    * are INTERPRETED — the measured cliff: the same 4M-pair scan cost
+    * 48 s through the lambda path, ~2 s compiled). */
+  private def fpVectors(
+      embeddings: DataFrame, idCol: String, vecCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(col(idCol).cast("long"),
         transform(col(vecCol),
-          x => round(x.cast("double") * 16777216d).cast("long")).as("__f"))
-      .materialize // both sides of the pair join read the quantized form
-    val a = fp.select(col(idCol).as("a"), col("__f").as("__fa"))
-    val b = fp.select(col(idCol).as("b"), col("__f").as("__fb"))
-    a.crossJoin(b)
-      .filter(col("a") < col("b"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(__fa, __fb, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .filter(col("d2") <= epsFpSq)
-      .select(col("a"), col("b"), col("d2"))
+          x => round(x.cast("double") * 16777216d).cast("long")))
+      .as[(Long, Array[Long])]
+  }
+
+  /** Broadcast the full quantized table for the brute-force tiers —
+    * LOUDLY bounded (the documented baseline class: at 100 TB the
+    * blocked candidate builders replace the broadcast, not the
+    * kernel). 1 M × 64-dim longs ≈ 512 MB: refuse beyond that. */
+  private def broadcastFp(
+      fp: org.apache.spark.sql.Dataset[(Long, Array[Long])])
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]] = {
+    val arr = fp.collect().sortBy(_._1)
+    require(arr.length <= 1000000,
+      s"brute-force tier bounded at 1e6 vectors (got ${arr.length}) — " +
+        "use the blocked candidate builders at this scale")
+    fp.sparkSession.sparkContext.broadcast(arr)
+  }
+
+  /** Exact integer squared L2 over fixed-point vectors. */
+  private def sqDistFp(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var acc = 0L
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
   }
 
   /** Local Outlier Factor (k = `k`) — the density-ratio anomaly score
@@ -1626,23 +1667,37 @@ object Similarity {
       embeddings: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    import org.apache.spark.sql.expressions.Window
-    val fp = embeddings
-      .select(col(idCol),
-        transform(col(vecCol),
-          x => round(x.cast("double") * 16777216d).cast("long")).as("__f"))
-      .materialize
-    val a = fp.select(col(idCol).as("a"), col("__f").as("__fa"))
-    val b = fp.select(col(idCol).as("b"), col("__f").as("__fb"))
-    val knn = a.crossJoin(b)
-      .filter(col("a") =!= col("b"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(__fa, __fb, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))))
-      .filter(col("rn") <= k)
-      .select(col("a"), col("b"), col("d2"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val fp = fpVectors(embeddings, idCol, vecCol)
+    val all = broadcastFp(fp)
+    // compiled brute-force kNN: per point, a bounded insertion sort of
+    // the k best (d2, id) pairs over the broadcast table — the same
+    // exact integers and tie order the window-rank form produced, at
+    // JVM speed instead of interpreted-lambda speed
+    val knn = fp.mapPartitions { it =>
+      val ref = all.value
+      it.flatMap { case (a, fa) =>
+        val bd = new Array[Long](k); val bi = new Array[Long](k)
+        var filled = 0
+        ref.foreach { case (b, fb) =>
+          if (b != a) {
+            val d2 = sqDistFp(fa, fb)
+            if (filled < k || d2 < bd(filled - 1) ||
+                (d2 == bd(filled - 1) && b < bi(filled - 1))) {
+              var pos = math.min(filled, k - 1)
+              while (pos > 0 && (bd(pos - 1) > d2 ||
+                  (bd(pos - 1) == d2 && bi(pos - 1) > b))) {
+                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+              }
+              bd(pos) = d2; bi(pos) = b
+              if (filled < k) filled += 1
+            }
+          }
+        }
+        (0 until filled).iterator.map(j => (a, bi(j), bd(j)))
+      }
+    }.toDF("a", "b", "d2")
       .materialize // feeds kdist, reach, and the final neighbor join
     val kdist = knn.groupBy(col("a").as("b"))
       .agg(max(col("d2")).as("kd2")) // k-th smallest = max of the top-k

@@ -1933,13 +1933,21 @@ object ScaleSmoke {
         li0.select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 1_000_000L)).as("l_partkey")))
         .reduce(_ unionByName _)
+      // matching/diameter run on the sparse repeat graph (the query
+      // shape); Boruvka spans the full dense graph
+      val rep = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count_distinct(col("a.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 2).select(col("src"), col("dst"))
+      drain(graft.operators.Graph.greedyMatching(rep, "src", "dst", rounds = 8))
+      drain(graft.operators.Graph.diameterSweep(rep, "src", "dst", maxHops = 12))
       val e = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      drain(graft.operators.Graph.greedyMatching(e, "src", "dst", rounds = 8))
-      drain(graft.operators.Graph.diameterSweep(e, "src", "dst", maxHops = 8))
       // Boruvka: contracted-graph components keep per-round work
       // geometric; 12-round cap, converges in ~6 on this graph
       drain(graft.operators.Graph.boruvkaForest(e, "src", "dst", rounds = 12))
